@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table loaders over the driver-provided parquet test data.
+  *
+  * Mirrors the reference's metadata-catalog role (pixels-common metadata
+  * domain, `proto/metadata.proto:33-45`): a name -> storage-path mapping
+  * that the scan layer resolves. Here the "catalog" is the sfDir layout;
+  * the production path would be a Spark catalog plugin.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table. Filters/projections on the result are pushed into the
+    * parquet scan by Catalyst (PushedFilters / ReadSchema), which is the
+    * Spark-native equivalent of the reference's scan pushdown
+    * (pixels-executor scan/Scanner.java:36-93). */
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = t(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Local test/bench session defaults tuned for local[32] single-JVM mode;
+    * on a real cluster these come from spark-submit conf. */
+  def localSession(cores: Int = 4): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** One verifiable operator: a Spark implementation plus (when SQL-
+  * expressible) a DuckDB oracle over the same parquet tables. The driver
+  * hash-compares both sides, so column NAMES and deterministic VALUES and
+  * row order must match exactly (see Determinism notes in each module). */
+final case class GQuery(
+    name: String,
+    spark: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

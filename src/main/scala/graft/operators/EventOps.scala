@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{Det, GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream operators: ClickBench-style aggregation, sessionization,
+  * CDC upsert merge (reference Retina, pixels-retina/.../MemTable.java:31),
+  * and MVCC snapshot reads (reader option transTimestamp,
+  * PixelsReaderOption.java:39).
+  *
+  * The events table carries nanosecond parquet timestamps, which Spark's
+  * vectorized reader rejects; we read them as raw nanos longs
+  * (spark.sql.legacy.parquet.nanosAsLong) — the engine-portable epoch
+  * representation (DuckDB side: epoch_ns). The CDC/MVCC queries are the
+  * BATCH expression of the semantics; the streaming path (foreachBatch
+  * upsert) lives in graft.streaming and is exercised by CdcStreamSpec.
+  */
+object EventOps {
+
+  /** events with ts as epoch nanos (LongType). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.t(s, d, "events")
+  }
+
+  private val NanosPerSec = 1000000000L
+
+  val queries: Seq[GQuery] = Seq(
+
+    // ClickBench-shape aggregation: by event type and day.
+    GQuery("e01_events_daily_agg", (s, d) =>
+      events(s, d)
+        .withColumn("day", to_date(timestamp_seconds(expr("ts div 1000000000"))))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type", "day"),
+      Some(s"""SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+              |  ${Det.o.dsum("value")} AS sum_value,
+              |  MIN(value) AS min_value, MAX(value) AS max_value,
+              |  COUNT(DISTINCT user_id) AS n_users
+              |FROM events GROUP BY event_type, CAST(ts AS DATE)
+              |ORDER BY event_type, day""".stripMargin)),
+
+    // Sessionization: a session break is a >30 min gap between a user's
+    // consecutive events. One shuffle on user_id; window is per-user local.
+    GQuery("e02_sessionize", (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, d)
+        .withColumn("sec", expr("ts div 1000000000"))
+        .withColumn("prev_sec", lag(col("sec"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(sum(col("new_session")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+      Some("""SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+             |FROM (
+             |  SELECT user_id,
+             |    CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_session
+             |  FROM (
+             |    SELECT user_id, epoch_ns(ts) // 1000000000 AS sec,
+             |      LAG(epoch_ns(ts) // 1000000000, 1) OVER
+             |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+             |    FROM events) t1) t2
+             |GROUP BY user_id
+             |ORDER BY user_id""".stripMargin)),
+
+    // CDC upsert merge-on-read: latest version per (user_id, event_type)
+    // key — the batch equivalent of Retina's MemTable replay + visibility.
+    GQuery("e03_cdc_upsert_latest", (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_versions", count(lit(1)).over(
+          Window.partitionBy(col("user_id"), col("event_type"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id").as("latest_event_id"),
+          col("value").as("latest_value"), col("n_versions"))
+        .orderBy("user_id", "event_type")
+    },
+      Some("""SELECT user_id, event_type, event_id AS latest_event_id,
+             |  value AS latest_value, n_versions
+             |FROM (SELECT *,
+             |        ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |          ORDER BY ts DESC, event_id DESC) AS rn,
+             |        COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+             |      FROM events) t
+             |WHERE rn = 1
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // MVCC snapshot read: same merge but only versions with
+    // commit_ts <= snapshot timestamp are visible (time travel).
+    GQuery("e04_mvcc_snapshot", (s, d) => {
+      // snapshot: 2024-01-15 00:00:00 UTC
+      val snapNs = 1705276800L * NanosPerSec
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, d)
+        .filter(col("ts") <= snapNs)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("latest_event_id"), col("value").as("latest_value"))
+        .orderBy("user_id", "event_type")
+    },
+      Some("""SELECT user_id, event_type, event_id AS latest_event_id, value AS latest_value
+             |FROM (SELECT *,
+             |        ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |          ORDER BY ts DESC, event_id DESC) AS rn
+             |      FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00') t
+             |WHERE rn = 1
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // Tumbling-window aggregation (6h buckets) — the batch shape of the
+    // Structured Streaming windowed agg (window start as epoch seconds).
+    GQuery("e05_tumbling_window", (s, d) =>
+      events(s, d)
+        .withColumn("win_start",
+          expr("(ts div 1000000000) div 21600 * 21600"))
+        .groupBy("win_start", "event_type")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+        .orderBy("win_start", "event_type"),
+      Some(s"""SELECT (epoch_ns(ts) // 1000000000) // 21600 * 21600 AS win_start,
+              |  event_type, COUNT(*) AS n, ${Det.o.dsum("value")} AS sum_value
+              |FROM events GROUP BY 1, 2
+              |ORDER BY win_start, event_type""".stripMargin))
+  )
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata.
+  *
+  * Real image/audio decode libraries are not in this container, so the
+  * decode step is a clearly-marked deterministic fake — but the Spark-side
+  * plumbing (binary columns, schema, partition-parallel batch decode via
+  * mapPartitions, metadata extraction) is real and is what matters at
+  * 100 TB: payload bytes never leave the executor, decode is per-partition
+  * streaming, and metadata fields are ordinary pushdown-able columns.
+  */
+object Multimodal {
+
+  /** Deterministic FAKE decoder (stands in for an image codec): derives
+    * pseudo width/height/brightness from payload bytes. Replace the body
+    * with a real codec when libraries are available. */
+  def fakeDecode(payload: Array[Byte]): (Int, Int, Double) = {
+    val len = payload.length
+    var sum = 0L
+    var i = 0
+    while (i < len) { sum += (payload(i) & 0xff); i += 1 }
+    val width = 16 + (len % 640)
+    val height = 16 + ((len * 7) % 480)
+    val brightness = if (len == 0) 0.0 else sum.toDouble / len
+    (width, height, brightness)
+  }
+
+  /** documents text encoded as a binary "payload" column — the multimodal
+    * table shape: (id, payload binary, mime string, meta...). */
+  def payloads(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("application/octet-stream").as("mime"),
+      col("source"))
+
+  /** Batch decode via mapPartitions: one decoder instance per partition,
+    * streaming rows — the Scala analog of a Pandas-UDF batch decode. */
+  def decoded(s: SparkSession, d: String): DataFrame = {
+    val in = payloads(s, d)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("byte_len", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("brightness", DoubleType)))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.select("doc_id", "payload").mapPartitions { rows =>
+      // per-partition decoder setup would go here (codec init, etc.)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val (w, h, b) = fakeDecode(payload)
+        Row(id, payload.length, w, h, b)
+      }
+    }
+  }
+
+  val queries: Seq[GQuery] = Seq(
+
+    // Metadata extraction over binary payloads — expression-only path
+    // (octet_length / sha256 / deterministic derived fields), fully
+    // oracle-checkable.
+    GQuery("m01_multimodal_meta", (s, d) =>
+      payloads(s, d)
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).as("byte_len"),
+          sha2(col("payload"), 256).as("sha"),
+          (octet_length(col("payload")) % 640 + 16).as("fake_width"),
+          (octet_length(col("payload")) * 7 % 480 + 16).as("fake_height"),
+          col("mime"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+             |  sha256(text) AS sha,
+             |  CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS fake_width,
+             |  CAST(octet_length(encode(text)) * 7 % 480 + 16 AS INT) AS fake_height,
+             |  'application/octet-stream' AS mime
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Batch decode through mapPartitions (the stubbed codec path) + an
+    // aggregation over decoded metadata. byte_len/width/height are
+    // integer-deterministic; brightness is an integer-sum / length ratio
+    // => engine-exact doubles.
+    GQuery("m02_multimodal_decode", (s, d) =>
+      decoded(s, d)
+        .groupBy((col("byte_len") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("width")).as("min_w"),
+          max(col("height")).as("max_h"))
+        .orderBy("bucket"),
+      Some("""SELECT CAST(octet_length(encode(text)) % 10 AS INT) AS bucket,
+             |  COUNT(*) AS n,
+             |  CAST(MIN(16 + octet_length(encode(text)) % 640) AS INT) AS min_w,
+             |  CAST(MAX(16 + (octet_length(encode(text)) * 7) % 480) AS INT) AS max_h
+             |FROM documents
+             |GROUP BY 1 ORDER BY bucket""".stripMargin))
+  )
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for LLM training-data pipelines (beyond the
+  * reference's surface; BASELINE.json north star). All are partition-local
+  * map operations — no shuffle, no driver state — so they scale linearly
+  * with data volume on any cluster.
+  *
+  * Determinism: every measure is integer-derived (lengths, replace-trick
+  * occurrence counts) or an exact ratio of integers evaluated in double,
+  * so Spark and DuckDB agree bit-for-bit.
+  */
+object TextOps {
+
+  /** Occurrence count of word w in text via the padded replace trick:
+    * identical semantics in Spark SQL and DuckDB (both non-overlapping
+    * left-to-right replace). */
+  private def cnt(w: String): Column =
+    ((length(concat(lit(" "), col("text"), lit(" "))) -
+      length(expr(s"replace(concat(' ', text, ' '), ' $w ', '')"))) /
+      lit(w.length + 2)).cast(IntegerType)
+
+  private def oCnt(w: String): String =
+    s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2} AS INT)"
+
+  // language -> marker stopwords (simple n-gram/stopword heuristic)
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "und", "die"),
+    "fr" -> Seq("le", "et", "les"))
+
+  val queries: Seq[GQuery] = Seq(
+
+    // Language identification: stopword-marker scoring with a fixed
+    // argmax tie-break order.
+    GQuery("t01_langid", (s, d) => {
+      val scored = markers.foldLeft(Tables.documents(s, d)) {
+        case (df, (lang, ws)) =>
+          df.withColumn(s"${lang}_score",
+            ws.map(cnt).reduce(_ + _))
+      }
+      val Seq(en, es, de, fr) =
+        Seq("en_score", "es_score", "de_score", "fr_score").map(col)
+      scored.withColumn("predicted",
+          when(en >= es && en >= de && en >= fr, "en")
+            .when(es >= de && es >= fr, "es")
+            .when(de >= fr, "de")
+            .otherwise("fr"))
+        .select("doc_id", "en_score", "es_score", "de_score", "fr_score", "predicted")
+        .orderBy("doc_id")
+    },
+      Some {
+        val sc = markers.map { case (lang, ws) =>
+          s"${ws.map(oCnt).mkString(" + ")} AS ${lang}_score"
+        }.mkString(",\n  ")
+        s"""SELECT doc_id, en_score, es_score, de_score, fr_score,
+           |  CASE WHEN en_score >= es_score AND en_score >= de_score AND en_score >= fr_score THEN 'en'
+           |       WHEN es_score >= de_score AND es_score >= fr_score THEN 'es'
+           |       WHEN de_score >= fr_score THEN 'de'
+           |       ELSE 'fr' END AS predicted
+           |FROM (SELECT doc_id,
+           |  $sc
+           |FROM documents) t
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Quality scoring: token count, average token length, stopword ratio.
+    GQuery("t02_quality_score", (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tokens",
+          (length(trim(col("text"))) - length(expr("replace(trim(text), ' ', '')")) + 1).cast(IntegerType))
+        .withColumn("n_alpha", length(expr("replace(trim(text), ' ', '')")).cast(IntegerType))
+        .withColumn("stop_hits", cnt("the") + cnt("and") + cnt("a"))
+        .withColumn("avg_token_len", col("n_alpha").cast(DoubleType) / col("n_tokens"))
+        .withColumn("stop_ratio", col("stop_hits").cast(DoubleType) / col("n_tokens"))
+        .select("doc_id", "n_tokens", "avg_token_len", "stop_ratio")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, n_tokens,
+              |  CAST(n_alpha AS DOUBLE) / n_tokens AS avg_token_len,
+              |  CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio
+              |FROM (SELECT doc_id,
+              |  CAST(length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 AS INT) AS n_tokens,
+              |  CAST(length(replace(trim(text), ' ', '')) AS INT) AS n_alpha,
+              |  ${oCnt("the")} + ${oCnt("and")} + ${oCnt("a")} AS stop_hits
+              |FROM documents) t
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Token statistics: total and distinct token counts per document, plus
+    // corpus-level rollup by language.
+    GQuery("t03_token_stats", (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .groupBy("lang")
+        .agg(
+          sum(size(col("toks"))).as("total_tokens"),
+          sum(size(array_distinct(col("toks")))).as("total_distinct"),
+          count(lit(1)).as("n_docs"),
+          max(size(col("toks"))).as("max_tokens"))
+        .orderBy("lang"),
+      Some("""SELECT lang,
+             |  SUM(len(string_split(text, ' '))) AS total_tokens,
+             |  SUM(len(list_distinct(string_split(text, ' ')))) AS total_distinct,
+             |  COUNT(*) AS n_docs,
+             |  CAST(MAX(len(string_split(text, ' '))) AS INT) AS max_tokens
+             |FROM documents GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    // Document fingerprinting: md5 of normalized text + per-source dup stats.
+    GQuery("t04_fingerprint", (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(expr("cast(lower(trim(text)) as binary)")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"))
+        .orderBy("source"),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+             |  COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique
+             |FROM documents GROUP BY source
+             |ORDER BY source""".stripMargin))
+  )
+}

