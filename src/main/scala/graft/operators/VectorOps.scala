@@ -86,8 +86,11 @@ object VectorOps {
               |ORDER BY q_id, rank""".stripMargin)),
 
     // IVF-style pruned ANN (the 100 TB scale path): coarse-quantize on the
-    // label partition, build per-cluster centroids, probe the 2 nearest
+    // label partition, build per-cluster centroids, probe the 4 nearest
     // clusters per query, exact-search only inside probed clusters.
+    // (The synthetic embeddings are near-uniform, so recall here is
+    // data-bound — on real clustered embeddings the same probe ratio gives
+    // much higher recall; exactness is v02's job.)
     // Approximate by construction -> rows-only gate; recall vs v02 is
     // asserted in VectorOpsSpec.
     GQuery("v03_knn_ivf", (s, d) => {
@@ -109,7 +112,7 @@ object VectorOps {
       val probes = q.join(broadcast(cent))
         .withColumn("ccos", cosine("qv", "qnorm", "cv", "cnorm"))
         .withColumn("crank", row_number().over(wc))
-        .filter(col("crank") <= 2)
+        .filter(col("crank") <= 4)
         .select(col("q_id"), col("qv"), col("qnorm"), col("c_label"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
       probes.join(e.filter(col("vec_id") >= 10)

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends GraftSpec {
+  test("d01 exact dedup: fingerprints cover all docs") {
+    val df = run("d01_dedup_exact")
+    assert(df.count() == Tables.documents(spark, sf).count())
+    assert(df.filter(col("keep_id") > col("doc_id")).count() == 0)
+  }
+
+  test("d02 minhash-lsh pairs: all above threshold, a<b") {
+    val df = run("d02_minhash_lsh").cache()
+    assert(df.filter(col("jaccard") < 0.8).count() == 0)
+    assert(df.filter(col("a_id") >= col("b_id")).count() == 0)
+    assert(df.count() > 0)
+  }
+
+  test("d03 ngram jaccard pairs above threshold") {
+    assert(run("d03_ngram_jaccard").filter(col("jaccard") < 0.6).count() == 0)
+  }
+
+  test("d04 simhash: one 32-bit fingerprint per doc") {
+    val df = run("d04_simhash").cache()
+    assert(df.count() == Tables.documents(spark, sf).count())
+    assert(df.filter(col("simhash") < 0 || col("simhash") > ((1L << 32) - 1)).count() == 0)
+  }
+
+  test("d05 simhash pairs: hamming <= 6 and banding recall is exact") {
+    val df = run("d05_simhash_pairs").cache()
+    assert(df.filter(col("hamming") > 6).count() == 0)
+    // pigeonhole: banding must find every pair with hamming <= 6
+    val fp = run("d04_simhash")
+    val brute = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .filter(col("hamming") <= 6)
+      .count()
+    assert(df.count() == brute)
+  }
+}
+
+class VectorOpsSpec extends GraftSpec {
+  test("v01 cosine pairs: values in [-1, 1] and above threshold") {
+    val df = run("v01_cosine_pairs_brute").cache()
+    assert(df.filter(col("cos_sim") < 0.4 - 1e-4 || col("cos_sim") > 1.0001).count() == 0)
+  }
+
+  test("v02 knn brute: exactly 5 neighbors per query, rank ordered") {
+    val df = run("v02_knn_brute").cache()
+    assert(df.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
+  }
+
+  test("v03 knn ivf: recall@5 vs brute force (4/10 probes on uniform data)") {
+    val brute = run("v02_knn_brute").select("q_id", "n_id")
+    val ivf = run("v03_knn_ivf").select("q_id", "n_id")
+    val hits = brute.intersect(ivf).count().toDouble
+    val recall = hits / brute.count()
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+}
+
+class TextOpsSpec extends GraftSpec {
+  test("t01 langid: predictions from the marker set") {
+    val df = run("t01_langid")
+    assert(df.filter(!col("predicted").isin("en", "es", "de", "fr")).count() == 0)
+    assert(df.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("t02 quality: token counts positive, ratios finite") {
+    val df = run("t02_quality_score")
+    assert(df.filter(col("n_tokens") <= 0).count() == 0)
+    assert(df.filter(col("avg_token_len") <= 0).count() == 0)
+  }
+}
+
+class MultimodalSpec extends GraftSpec {
+  test("fakeDecode is deterministic and matches the expression path") {
+    val (w, h, b) = operators.Multimodal.fakeDecode("hello".getBytes("UTF-8"))
+    assert(w == 16 + 5 && h == 16 + 35)
+    assert(math.abs(b - "hello".getBytes("UTF-8").map(_ & 0xff).sum / 5.0) < 1e-12)
+  }
+
+  test("m02 mapPartitions decode aggregates per bucket") {
+    val df = run("m02_multimodal_decode")
+    assert(df.count() > 0 && df.count() <= 10)
+  }
+}
+
+class EventOpsSpec extends GraftSpec {
+  test("e03 cdc upsert: unique (user, event_type) keys") {
+    val df = run("e03_cdc_upsert_latest")
+    assert(df.groupBy("user_id", "event_type").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("e04 snapshot is a subset of key space with older versions") {
+    assert(run("e04_mvcc_snapshot").count() <= run("e03_cdc_upsert_latest").count())
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.streaming.{CdcUpsert, SnapshotStore}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+case class Ev(user_id: Long, event_type: String, ts: Long, value: Double,
+    _deleted: Boolean = false)
+
+class StreamingSpec extends GraftSpec {
+  private val sp = TestSpark.spark
+
+  test("snapshot store: upsert + delete + time travel") {
+    val dir = Files.createTempDirectory("snap").toString
+    val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts")
+    import sp.implicits._
+
+    store.upsert(Seq(
+      Ev(1, "click", 100, 1.0), Ev(2, "click", 100, 2.0)).toDF())
+    assert(store.currentVersion == 0)
+    assert(store.read().get.count() == 2)
+
+    // update user 1, insert user 3
+    store.upsert(Seq(
+      Ev(1, "click", 200, 9.0), Ev(3, "view", 200, 3.0)).toDF())
+    val v1 = store.read().get.cache()
+    assert(v1.count() == 3)
+    assert(v1.filter($"user_id" === 1).head.getAs[Double]("value") == 9.0)
+
+    // delete user 2
+    store.upsert(Seq(Ev(2, "click", 300, 0.0, _deleted = true)).toDF())
+    assert(store.read().get.count() == 2)
+
+    // time travel: version 0 still intact
+    assert(store.readVersion(0).count() == 2)
+    // MVCC as-of: at ts<=100 user 1 still has value 1.0
+    val asOf = store.readAsOf(100).get
+    assert(asOf.filter($"user_id" === 1).head.getAs[Double]("value") == 1.0)
+  }
+
+  test("structured streaming CDC: foreachBatch upsert reaches the store") {
+    val dir = Files.createTempDirectory("snapstream").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts")
+    import sp.implicits._
+
+    implicit val ctx = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val q = CdcUpsert.start(source.toDF(), store, ckpt)
+    source.addData(Ev(1, "click", 100, 1.0), Ev(2, "view", 100, 2.0))
+    q.processAllAvailable()
+    source.addData(Ev(1, "click", 200, 5.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val snap = store.read().get.cache()
+    assert(snap.count() == 2)
+    assert(snap.filter($"user_id" === 1).head.getAs[Double]("value") == 5.0)
+  }
+
+  test("compactor merges small files and preserves rows") {
+    val in = Files.createTempDirectory("ordered").toString
+    import sp.implicits._
+    // simulate many small load batches
+    (0 until 8).foreach { i =>
+      Seq.tabulate(100)(j => (i * 100 + j, s"row$i-$j")).toDF("id", "s")
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val out = Files.createTempDirectory("compact").toString
+    val res = Compactor.compact(spark, in, out)
+    assert(res.rows == 800)
+    assert(res.outputFiles <= res.inputFiles && res.outputFiles >= 1)
+  }
+}
