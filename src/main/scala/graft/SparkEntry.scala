@@ -18,7 +18,8 @@ object SparkEntry {
       TextOps.queries ++
       Dedup.queries ++
       VectorOps.queries ++
-      Multimodal.queries
+      Multimodal.queries ++
+      FormatOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: 3-way join + grouped agg + top-k. */

@@ -1,0 +1,248 @@
+package graft.format
+
+import GpxFormat._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import scala.collection.mutable.ArrayBuffer
+
+/** Writes one gpx file from InternalRows (reference analog:
+  * PixelsWriterImpl.java:70-110 buffering row batches per column writer and
+  * emitting row groups; stats recorders in pixels-core/.../stats/). */
+final class GpxFileWriter(
+    path: String,
+    schema: StructType,
+    conf: Configuration,
+    rowGroupRows: Int = DefaultRowGroupRows) {
+
+  require(schema.fields.forall(f => supported(f.dataType)),
+    s"unsupported gpx schema: $schema")
+
+  private val hPath = new Path(path)
+  private val fs = hPath.getFileSystem(conf)
+  private val out = new DataOutputStream(new java.io.BufferedOutputStream(fs.create(hPath, true), 1 << 20))
+  private var pos: Long = 0L
+  private def write(b: Array[Byte]): Unit = { out.write(b); pos += b.length }
+
+  write(Magic)
+
+  // ---- per-column row-group buffers ----
+  private val n = schema.length
+  private val longs = Array.fill(n)(new ArrayBuffer[Long](1024))
+  private val doubles = Array.fill(n)(new ArrayBuffer[Double](1024))
+  private val floats = Array.fill(n)(new ArrayBuffer[Float](1024))
+  private val bytes = Array.fill(n)(new ArrayBuffer[Array[Byte]](1024))
+  private val nulls = Array.fill(n)(new ArrayBuffer[Boolean](1024))
+  private var bufRows = 0
+  private val rowGroups = new ArrayBuffer[RowGroupMeta]
+
+  def addRow(row: InternalRow): Unit = {
+    var i = 0
+    while (i < n) {
+      val dt = schema(i).dataType
+      if (row.isNullAt(i)) {
+        nulls(i) += true
+        dt match {
+          case FloatType => floats(i) += 0f
+          case DoubleType => doubles(i) += 0.0
+          case StringType | BinaryType => bytes(i) += Array.emptyByteArray
+          case _ => longs(i) += 0L
+        }
+      } else {
+        nulls(i) += false
+        dt match {
+          case BooleanType => longs(i) += (if (row.getBoolean(i)) 1L else 0L)
+          case ByteType => longs(i) += row.getByte(i).toLong
+          case ShortType => longs(i) += row.getShort(i).toLong
+          case IntegerType | DateType => longs(i) += row.getInt(i).toLong
+          case LongType | TimestampType | TimestampNTZType => longs(i) += row.getLong(i)
+          case d: DecimalType =>
+            longs(i) += row.getDecimal(i, d.precision, d.scale).toUnscaledLong
+          case FloatType => floats(i) += row.getFloat(i)
+          case DoubleType => doubles(i) += row.getDouble(i)
+          case StringType => bytes(i) += row.getUTF8String(i).getBytes.clone()
+          case BinaryType => bytes(i) += row.getBinary(i).clone()
+          case other => throw new IllegalStateException(s"unsupported $other")
+        }
+      }
+      i += 1
+    }
+    bufRows += 1
+    if (bufRows >= rowGroupRows) flushRowGroup()
+  }
+
+  private def flushRowGroup(): Unit = {
+    if (bufRows == 0) return
+    val chunks = new Array[ChunkMeta](n)
+    var i = 0
+    while (i < n) {
+      chunks(i) = writeChunk(i)
+      i += 1
+    }
+    rowGroups += RowGroupMeta(bufRows, chunks)
+    (0 until n).foreach { j =>
+      longs(j).clear(); doubles(j).clear(); floats(j).clear()
+      bytes(j).clear(); nulls(j).clear()
+    }
+    bufRows = 0
+  }
+
+  private def writeChunk(i: Int): ChunkMeta = {
+    val dt = schema(i).dataType
+    val offset = pos
+    val nullArr = nulls(i)
+    val nullCount = nullArr.count(identity)
+
+    val body = new ByteArrayOutputStream(8192)
+    val d = new DataOutputStream(body)
+
+    // encode data + collect stats
+    var stats = ChunkStats.empty.copy(nullCount = nullCount)
+    var encoding = EncPlain
+
+    if (isLongBacked(dt)) {
+      val vals = longs(i)
+      var mn = Long.MaxValue; var mx = Long.MinValue; var any = false
+      var k = 0
+      while (k < vals.length) {
+        if (!nullArr(k)) { val v = vals(k); if (v < mn) mn = v; if (v > mx) mx = v; any = true }
+        k += 1
+      }
+      if (any) stats = stats.copy(hasValues = true, minLong = mn, maxLong = mx)
+      // RLE probe: count runs
+      var runs = 0
+      k = 0
+      while (k < vals.length) {
+        var j = k + 1
+        while (j < vals.length && vals(j) == vals(k)) j += 1
+        runs += 1; k = j
+      }
+      val rleBytes = runs * 12L
+      val plainBytes = vals.length * 8L
+      if (rleBytes < plainBytes / 2) {
+        encoding = EncRleLong
+        k = 0
+        while (k < vals.length) {
+          var j = k + 1
+          while (j < vals.length && vals(j) == vals(k)) j += 1
+          d.writeLong(vals(k)); d.writeInt(j - k); k = j
+        }
+      } else {
+        k = 0
+        while (k < vals.length) { d.writeLong(vals(k)); k += 1 }
+      }
+    } else dt match {
+      case FloatType =>
+        val vals = floats(i)
+        var mn = Double.MaxValue; var mx = -Double.MaxValue; var any = false
+        var k = 0
+        while (k < vals.length) {
+          if (!nullArr(k)) { val v = vals(k); if (v < mn) mn = v; if (v > mx) mx = v; any = true }
+          d.writeFloat(vals(k)); k += 1
+        }
+        if (any) stats = stats.copy(hasValues = true, minDouble = mn, maxDouble = mx)
+      case DoubleType =>
+        val vals = doubles(i)
+        var mn = Double.MaxValue; var mx = -Double.MaxValue; var any = false
+        var k = 0
+        while (k < vals.length) {
+          if (!nullArr(k)) { val v = vals(k); if (v < mn) mn = v; if (v > mx) mx = v; any = true }
+          d.writeDouble(vals(k)); k += 1
+        }
+        if (any) stats = stats.copy(hasValues = true, minDouble = mn, maxDouble = mx)
+      case StringType | BinaryType =>
+        val vals = bytes(i)
+        if (dt == StringType) {
+          var mn: String = null; var mx: String = null
+          var k = 0
+          while (k < vals.length) {
+            if (!nullArr(k)) {
+              val s = UTF8String.fromBytes(vals(k)).toString
+              if (mn == null || s < mn) mn = s
+              if (mx == null || s > mx) mx = s
+            }
+            k += 1
+          }
+          if (mn != null)
+            stats = stats.copy(hasValues = true, minString = mn, maxString = mx)
+        }
+        // dictionary probe (strings only): bail out early once the
+        // dictionary clearly doesn't pay; only a COMPLETE scan that stayed
+        // under the cardinality bound enables DICT.
+        val distinct = scala.collection.mutable.LinkedHashMap[Seq[Byte], Int]()
+        var dictComplete = false
+        if (dt == StringType) {
+          var k = 0
+          while (k < vals.length && distinct.size <= vals.length / 2) {
+            val key = vals(k).toSeq
+            if (!distinct.contains(key)) distinct(key) = distinct.size
+            k += 1
+          }
+          dictComplete = k == vals.length && distinct.size <= vals.length / 2
+        }
+        if (dt == StringType && vals.nonEmpty && dictComplete) {
+          encoding = EncDictString
+          d.writeInt(distinct.size)
+          distinct.keys.foreach { key =>
+            val arr = key.toArray
+            d.writeInt(arr.length); d.write(arr)
+          }
+          var k = 0
+          while (k < vals.length) { d.writeInt(distinct(vals(k).toSeq)); k += 1 }
+        } else {
+          var k = 0
+          while (k < vals.length) {
+            d.writeInt(vals(k).length); d.write(vals(k)); k += 1
+          }
+        }
+      case other => throw new IllegalStateException(s"unsupported $other")
+    }
+    d.flush()
+
+    // chunk = encoding | nullCount | bitmap | dataLen | data
+    val head = new ByteArrayOutputStream(64)
+    val hd = new DataOutputStream(head)
+    hd.writeByte(encoding)
+    hd.writeInt(nullCount)
+    if (nullCount > 0) {
+      val bm = new Array[Byte]((bufRows + 7) / 8)
+      var k = 0
+      while (k < bufRows) {
+        if (nullArr(k)) bm(k >> 3) = (bm(k >> 3) | (1 << (k & 7))).toByte
+        k += 1
+      }
+      hd.write(bm)
+    }
+    hd.writeInt(body.size())
+    hd.flush()
+    write(head.toByteArray)
+    write(body.toByteArray)
+    ChunkMeta(offset, pos - offset, encoding, stats)
+  }
+
+  /** finalize: flush last row group, write footer + trailer. */
+  def close(): Unit = {
+    flushRowGroup()
+    val fBytes = new ByteArrayOutputStream(8192)
+    val fd = new DataOutputStream(fBytes)
+    GpxFormat.writeFooter(fd, Footer(schema, rowGroups.toArray))
+    fd.flush()
+    val arr = fBytes.toByteArray
+    write(arr)
+    val tail = new ByteArrayOutputStream(8)
+    val td = new DataOutputStream(tail)
+    td.writeInt(arr.length)
+    td.write(Magic)
+    td.flush()
+    write(tail.toByteArray)
+    out.close()
+  }
+
+  def abort(): Unit = {
+    out.close()
+    fs.delete(hPath, false)
+  }
+}

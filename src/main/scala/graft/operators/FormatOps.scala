@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.{Det, GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate queries that exercise the gpx columnar format end-to-end: parquet
+  * source -> gpx write (encodings + footer stats) -> gpx vectorized read
+  * (pushdown + zone maps) -> aggregation. The DuckDB oracle computes the
+  * same answer straight from parquet, so any format corruption, pushdown
+  * bug, or over-eager zone-map skip fails the hash compare.
+  */
+object FormatOps {
+
+  /** write `table` to a per-sf gpx dir once per JVM (idempotent). */
+  private def gpx(s: SparkSession, d: String, table: String,
+      sortCol: Option[String] = None, rgRows: Int = 8192): DataFrame = {
+    val key = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gpx/${table}_$key"
+    val marker = new java.io.File(s"$dir/_done")
+    if (!marker.exists()) {
+      val src = Tables.t(s, d, table)
+      val sorted = sortCol.map(c => src.orderBy(c)).getOrElse(src)
+      sorted.write.format("gpx").mode("overwrite")
+        .option("rowGroupRows", rgRows.toString).save(dir)
+      marker.createNewFile()
+    }
+    s.read.format("gpx").load(dir)
+  }
+
+  val queries: Seq[GQuery] = Seq(
+
+    // Full-table round trip + grouped aggregation over the gpx scan.
+    GQuery("f01_gpx_roundtrip_agg", (s, d) =>
+      gpx(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${Det.o.dsum("l_quantity")} AS sum_qty,
+              |  ${Det.o.dsum("l_extendedprice")} AS sum_price,
+              |  COUNT(*) AS n
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Selective key-range scan over data sorted on the key: zone maps must
+    // skip most row groups AND still return exactly the right rows.
+    GQuery("f02_gpx_zonemap_scan", (s, d) =>
+      gpx(s, d, "orders", sortCol = Some("o_orderkey"), rgRows = 4096)
+        .filter(col("o_orderkey") % 100 < 2 && col("o_orderkey") > 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice
+             |FROM orders
+             |WHERE o_orderkey % 100 < 2 AND o_orderkey > 1000
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Projection pushdown: 2-column read of a wide table through gpx.
+    GQuery("f03_gpx_projection", (s, d) =>
+      gpx(s, d, "part")
+        .groupBy("p_brand")
+        .agg(Det.dsum(col("p_retailprice")).as("sum_retail"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand"),
+      Some(s"""SELECT p_brand, ${Det.o.dsum("p_retailprice")} AS sum_retail,
+              |  COUNT(*) AS n
+              |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+  )
+}

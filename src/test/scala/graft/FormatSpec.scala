@@ -1,0 +1,127 @@
+package graft
+
+import graft.format.{GpxFileReader, GpxFormat}
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+class FormatSpec extends GraftSpec {
+  private val sp = TestSpark.spark
+
+  private def tmp(): String = Files.createTempDirectory("gpx").toString
+
+  test("round-trip all supported types incl. nulls") {
+    import sp.implicits._
+    val df = sp.createDataFrame(sp.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(1, 10L, 1.5, 2.5f, "alpha", true,
+        Date.valueOf("2020-01-01"), Timestamp.valueOf("2020-01-01 12:34:56.789"),
+        BigDecimal("12345.67"), Array[Byte](1, 2, 3), 7.toShort, 3.toByte),
+      org.apache.spark.sql.Row(2, null, null, null, null, null,
+        null, null, null, null, null, null),
+      org.apache.spark.sql.Row(3, 30L, -1.5, -2.5f, "beta", false,
+        Date.valueOf("1999-12-31"), Timestamp.valueOf("1999-12-31 23:59:59.999"),
+        BigDecimal("-0.01"), Array[Byte](), 8.toShort, 4.toByte))),
+      StructType(Seq(
+        StructField("i", IntegerType), StructField("l", LongType),
+        StructField("d", DoubleType), StructField("f", FloatType),
+        StructField("s", StringType), StructField("b", BooleanType),
+        StructField("dt", DateType), StructField("ts", TimestampType),
+        StructField("dec", DecimalType(18, 2)), StructField("bin", BinaryType),
+        StructField("sh", ShortType), StructField("by", ByteType))))
+    val dir = tmp()
+    df.coalesce(1).write.format("gpx").mode("overwrite").save(dir)
+    val back = sp.read.format("gpx").load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val a = df.orderBy("i").collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq
+      case x => x
+    })
+    val b = back.orderBy("i").collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq
+      case x => x
+    })
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("round-trip lineitem sf0.001 exactly (timestamp_ntz included)") {
+    val li = Tables.lineitem(sp, sf)
+    val dir = tmp()
+    li.write.format("gpx").mode("overwrite").save(dir)
+    val back = sp.read.format("gpx").load(dir)
+    assert(back.count() == li.count())
+    assert(back.schema == li.schema)
+    // exact content compare
+    assert(back.exceptAll(li).count() == 0)
+    assert(li.exceptAll(back).count() == 0)
+  }
+
+  test("column pruning and filter pushdown appear in the plan") {
+    val li = Tables.lineitem(sp, sf)
+    val dir = tmp()
+    li.write.format("gpx").mode("overwrite").save(dir)
+    val q = sp.read.format("gpx").load(dir)
+      .filter(col("l_quantity") < 5)
+      .select("l_orderkey", "l_quantity")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GpxScan[l_orderkey,l_quantity]") ||
+      plan.contains("l_orderkey,l_quantity"), plan)
+    assert(q.count() == li.filter(col("l_quantity") < 5).count())
+  }
+
+  test("zone-map skipping prunes row groups on sorted data") {
+    val li = Tables.lineitem(sp, sf).orderBy("l_orderkey")
+    val dir = tmp()
+    li.coalesce(1).write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "500").save(dir)
+    val conf = new Configuration()
+    val file = graft.format.GpxTable.listFiles(Seq(dir), conf).head
+    val footer = GpxFileReader.readFooter(file, conf)
+    assert(footer.rowGroups.length > 5)
+    // a selective key predicate must keep only a few row groups
+    val hi = GreaterThan("l_orderkey", 1400L)
+    val kept = footer.rowGroups.count(GpxFileReader.mayMatch(hi, footer.schema, _))
+    assert(kept < footer.rowGroups.length / 2,
+      s"kept $kept of ${footer.rowGroups.length}")
+    // and results are still correct end-to-end
+    val got = sp.read.format("gpx").load(dir)
+      .filter(col("l_orderkey") > 1400L).count()
+    val want = Tables.lineitem(sp, sf).filter(col("l_orderkey") > 1400L).count()
+    assert(got == want)
+  }
+
+  test("RLE and dictionary encodings engage and decode correctly") {
+    import sp.implicits._
+    val df = (0 until 10000)
+      .map(i => (i / 1000, if (i % 2 == 0) "even" else "odd", i.toLong))
+      .toDF("run_int", "dict_str", "plain_long")
+    val dir = tmp()
+    df.coalesce(1).write.format("gpx").mode("overwrite").save(dir)
+    val conf = new Configuration()
+    val file = graft.format.GpxTable.listFiles(Seq(dir), conf).head
+    val footer = GpxFileReader.readFooter(file, conf)
+    val encs = footer.rowGroups.head.chunks.map(_.encoding)
+    assert(encs(0) == GpxFormat.EncRleLong)
+    assert(encs(1) == GpxFormat.EncDictString)
+    val back = sp.read.format("gpx").load(dir)
+    assert(back.agg(sum("plain_long")).head.getLong(0) ==
+      (0 until 10000).map(_.toLong).sum)
+    assert(back.filter($"dict_str" === "even").count() == 5000)
+  }
+
+  test("all-null and empty-string zone maps don't mislead the skipper") {
+    import sp.implicits._
+    val df = Seq(
+      (1, Option.empty[Long], ""),
+      (2, Option.empty[Long], "x")).toDF("id", "nl", "s")
+    val dir = tmp()
+    df.coalesce(1).write.format("gpx").mode("overwrite").save(dir)
+    val back = sp.read.format("gpx").load(dir)
+    assert(back.filter(col("nl").isNull).count() == 2)
+    assert(back.filter(col("nl") > 0).count() == 0)
+    assert(back.filter(col("s") === "").count() == 1)
+  }
+}
