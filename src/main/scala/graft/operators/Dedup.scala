@@ -25,7 +25,10 @@ object Dedup {
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
 
   private val NumHashes = 128 // minhash functions (xxhash64 seeded by index)
-  private val BandR = 2 // rows per band -> 64 bands
+  private val BandR = 4 // rows per band -> 32 bands; at J>=0.8 the pair
+  // miss probability is (1-J^4)^32 <= (1-0.41)^32 ~ 4e-8, while mediocre
+  // pairs (J~0.5) fire ~100x fewer bands than r=2 would — the candidate
+  // set stays near the true pair set instead of exploding.
 
   /** DuckDB brute-force token-set jaccard pair query (oracle side). */
   private def oJaccardPairs(threshold: Double): String =
@@ -88,47 +91,109 @@ object Dedup {
              |      FROM documents) t
              |ORDER BY doc_id""".stripMargin)),
 
-    // MinHash + LSH near-dup pairs, exact-verified. 128 minhashes, 64 bands
-    // of r=2: at J>=0.8 the miss probability per pair is (1-J^2)^64 < 1e-28,
-    // so the LSH candidate set provably covers the brute-force oracle.
-    // Scale: only equality-join on (band, h1, h2) buckets — no cross join.
+    // MinHash + LSH near-dup pairs, exact-verified, in three scale moves:
+    //  1. collapse docs with IDENTICAL token sets to one representative
+    //     (training corpora are full of exact near-dup clusters; a cluster
+    //     of k docs would otherwise inject k^2/2 candidates into every
+    //     band bucket) — their pairs are J=1 by construction;
+    //  2. LSH over representatives only: 32 bands of r=4 minhashes
+    //     (miss prob at J>=0.8 is (1-J^4)^32 < 4e-8 — the candidate set
+    //     covers the brute-force oracle);
+    //  3. exact token-set Jaccard verification of candidates, then expand
+    //     representative pairs back to doc pairs.
+    // Everything is equality-join bounded — no cross join at any step.
     GQuery("d02_minhash_lsh", (s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), tokens.as("toks"))
-      val exploded = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
-      val mh = exploded.groupBy("doc_id").agg(
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), array_sort(tokens).as("toks"))
+        .withColumn("fp", md5(concat_ws("", col("toks")).cast(BinaryType)))
+      val groups = docs.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("rep_id"),
+          first(col("toks")).as("toks"),
+          collect_list(col("doc_id")).as("members"))
+        .persist() // reused by reps, the verify joins, and both expansions
+      val reps = groups.select(col("rep_id"), col("toks"))
+      val exploded = reps.select(col("rep_id"), explode(col("toks")).as("tok"))
+      val mh = exploded.groupBy("rep_id").agg(
         min(xxhash64(lit(0), col("tok"))).as("mh0"),
         (1 until NumHashes).map(i => min(xxhash64(lit(i), col("tok"))).as(s"mh$i")): _*)
       val bandCols = (0 until NumHashes / BandR).map { b =>
-        struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))
+        struct(lit(b).as("band") +:
+          (0 until BandR).map(r => col(s"mh${BandR * b + r}").as(s"h$r")): _*)
       }
-      val banded = mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      val banded = mh.select(col("rep_id"), explode(array(bandCols: _*)).as("bk"))
       val candidates = banded.as("x").join(banded.as("y"),
-          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          col("x.bk") === col("y.bk") && col("x.rep_id") < col("y.rep_id"))
+        .select(col("x.rep_id").as("ra"), col("y.rep_id").as("rb"))
         .distinct()
-      candidates
-        .join(docs.select(col("doc_id").as("a_id"), col("toks").as("a_toks")), "a_id")
-        .join(docs.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), "b_id")
+      // exact verify between representative token sets (size-ratio
+      // prefilter is implied by J>=t: |A|/|B| must be in [t, 1/t])
+      val verified = candidates
+        .join(reps.select(col("rep_id").as("ra"), col("toks").as("a_toks")), "ra")
+        .join(reps.select(col("rep_id").as("rb"), col("toks").as("b_toks")), "rb")
+        .filter(size(col("a_toks")) >= size(col("b_toks")) * 0.8 - 0.5 &&
+          size(col("b_toks")) >= size(col("a_toks")) * 0.8 - 0.5)
         .withColumn("jaccard", jaccard(col("a_toks"), col("b_toks")))
         .filter(col("jaccard") >= 0.8)
-        .select("a_id", "b_id", "jaccard")
+        .select(col("ra"), col("rb"), col("jaccard"))
+      // expand: cross-group pairs
+      val mem = groups.select(col("rep_id"), explode(col("members")).as("m"))
+      val crossPairs = verified
+        .join(mem.select(col("rep_id").as("ra"), col("m").as("ma")), "ra")
+        .join(mem.select(col("rep_id").as("rb"), col("m").as("mb")), "rb")
+        .select(least(col("ma"), col("mb")).as("a_id"),
+          greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
+      // expand: within-group pairs (identical token sets, J = 1)
+      val withinPairs = mem.as("p").join(mem.as("q"),
+          col("p.rep_id") === col("q.rep_id") && col("p.m") < col("q.m"))
+        .select(col("p.m").as("a_id"), col("q.m").as("b_id"),
+          lit(1.0).as("jaccard"))
+      crossPairs.unionByName(withinPairs)
         .orderBy("a_id", "b_id")
     },
       Some(oJaccardPairs(0.8))),
 
-    // Character n-gram (3-gram) Jaccard within language blocks — exact
-    // similarity, blocking keeps the pair space bounded per block.
+    // Character n-gram (3-gram) Jaccard within language blocks — EXACT
+    // similarity join via prefix filtering (the AllPairs/PPJoin family):
+    // with a global total order on grams (rarest first), two sets with
+    // J >= t MUST share a gram within each other's first
+    // |A| - ceil(t*|A|) + 1 grams. So candidates come from an equality
+    // join on (lang, prefix gram) — never a cross join — and each
+    // candidate is verified exactly. Plus the size-ratio bound
+    // (J>=t => |A|/|B| in [t, 1/t]). Identical output to brute force.
     GQuery("d03_ngram_jaccard", (s, d) => {
+      val t = 0.6
       val g = Tables.documents(s, d)
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"),
           array_distinct(expr(
             "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("s"))
-      g.as("a").join(g.as("b"),
-          col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jaccard", jaccard(col("a.s"), col("b.s")))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"), col("jaccard"))
+        .withColumn("sz", size(col("s")))
+        .persist() // tokenized grams feed the prefix pass + 2 verify joins
+      val grams = g.select(col("doc_id"), col("lang"), col("sz"),
+        explode(col("s")).as("gram"))
+      val freq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("gram"))
+      val prefix = grams.join(broadcast(freq), "gram")
+        .withColumn("rn", row_number().over(w))
+        // -1e-9 guards against fp overshoot in sz*t making ceil (and thus
+        // the prefix) one too short — a silent false-negative source
+        .filter(col("rn") <= col("sz") - ceil(col("sz") * t - 1e-9) + 1)
+        .select(col("doc_id"), col("lang"), col("sz"), col("gram"))
+      val candidates = prefix.as("x").join(prefix.as("y"),
+          col("x.gram") === col("y.gram") && col("x.lang") === col("y.lang") &&
+            col("x.doc_id") < col("y.doc_id") &&
+            // int sizes: 0.5 slack keeps boundary pairs (|A| = t|B|) safe
+            col("x.sz") >= col("y.sz") * t - 0.5 &&
+            col("y.sz") >= col("x.sz") * t - 0.5)
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      candidates
+        .join(g.select(col("doc_id").as("a_id"), col("s").as("a_s")), "a_id")
+        .join(g.select(col("doc_id").as("b_id"), col("s").as("b_s")), "b_id")
+        .withColumn("jaccard", jaccard(col("a_s"), col("b_s")))
+        .filter(col("jaccard") >= t)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
         .orderBy("a_id", "b_id")
     },
       Some("""WITH g AS (SELECT doc_id, lang,
@@ -150,7 +215,9 @@ object Dedup {
     // 8 bands x 4 bits: any pair with <= 7 differing bits shares at least
     // one clean band (pigeonhole) => banding has PROVABLY exact recall.
     GQuery("d05_simhash_pairs", (s, d) => {
-      val fp = simhashDF(s, d)
+      // fingerprints are tiny (one long per doc) but cost a full corpus
+      // pass — persist so the banded self-join doesn't recompute both sides
+      val fp = simhashDF(s, d).persist()
       val bandCols = (0 until 8).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("key"))

@@ -66,6 +66,18 @@ object FormatOps {
         .orderBy("p_brand"),
       Some(s"""SELECT p_brand, ${Det.o.dsum("p_retailprice")} AS sum_retail,
               |  COUNT(*) AS n
-              |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin))
+              |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // Point lookup on the sort key: the zone maps reduce this to one row
+    // group — the Spark analog of the reference's point-index path (S20,
+    // pixels-index): key -> (file, row group) pruning from footer stats.
+    GQuery("f04_gpx_point_lookup", (s, d) =>
+      gpx(s, d, "orders", sortCol = Some("o_orderkey"), rgRows = 4096)
+        .filter(col("o_orderkey").isin(42L, 4242L, 9999L))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders WHERE o_orderkey IN (42, 4242, 9999)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -437,6 +437,51 @@ object Relational {
              |  MAX(CAST(l_shipdate AS DATE)) AS max_ship,
              |  COUNT(*) AS n
              |FROM lineitem GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin))
+             |ORDER BY l_returnflag""".stripMargin)),
+
+    // Inline VALUES relation joined against a table (Calcite
+    // ENUMERABLE_VALUES_RULE parity) — broadcast by construction.
+    GQuery("q25_values_join",
+      (s, d) => {
+        import s.implicits._
+        val weights = Seq(
+          ("1-URGENT", 10), ("2-HIGH", 5), ("3-MEDIUM", 3),
+          ("4-NOT SPECIFIED", 1), ("5-LOW", 0))
+          .toDF("prio", "weight")
+        Tables.orders(s, d)
+          .join(broadcast(weights), col("o_orderpriority") === col("prio"))
+          .groupBy("o_orderstatus")
+          .agg(sum(col("weight")).as("total_weight"), count(lit(1)).as("n"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, SUM(weight) AS total_weight, COUNT(*) AS n
+             |FROM orders
+             |JOIN (VALUES ('1-URGENT', 10), ('2-HIGH', 5), ('3-MEDIUM', 3),
+             |             ('4-NOT SPECIFIED', 1), ('5-LOW', 0)) AS w(prio, weight)
+             |  ON o_orderpriority = prio
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
+
+    // Date arithmetic: interval add, date_add, month bucketing (TPC-H
+    // Q1/Q4/Q5 date windows use exactly this surface).
+    GQuery("q26_date_arith",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderdate") >= ts("1996-01-01") &&
+          col("o_orderdate") < add_months(ts("1996-01-01"), 6))
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"),
+          min(date_add(col("o_orderdate").cast(DateType), 30)).as("min_due"),
+          max(col("o_orderdate").cast(DateType)).as("max_day"))
+        .orderBy("y", "m"),
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS y,
+             |  CAST(month(o_orderdate) AS INT) AS m,
+             |  COUNT(*) AS n,
+             |  MIN(CAST(o_orderdate AS DATE) + 30) AS min_due,
+             |  MAX(CAST(o_orderdate AS DATE)) AS max_day
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1996-01-01' + INTERVAL 6 MONTH
+             |GROUP BY 1, 2
+             |ORDER BY y, m""".stripMargin))
   )
 }

@@ -23,12 +23,11 @@ object VectorOps {
       .withColumn("norm", sqrt(expr(
         "aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)")))
 
-  /** sequential-fold dot product of two double-array columns */
-  private def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
-
+  /** cosine via the native codegen'd Catalyst expression
+    * (graft.functions.CosineSimilarity) — same accumulation order and
+    * formula as the DuckDB oracle, but fused into WholeStageCodegen. */
   private def cosine(a: String, an: String, b: String, bn: String): Column =
-    dot(a, b) / (col(an) * col(bn))
+    graft.functions.VectorFunctions.cos_sim(col(a), col(b))
 
   /** DuckDB mirror: dot via list_dot_product on DOUBLE[] casts. */
   private val oVecs =
