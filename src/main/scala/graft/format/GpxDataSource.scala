@@ -5,11 +5,12 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.SparkContext
@@ -90,10 +91,12 @@ class GpxTable(schema: StructType, roots: Seq[String])
 class GpxScanBuilder(fileSchema: StructType, roots: Seq[String])
   extends ScanBuilder
   with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private var required: StructType = fileSchema
   private var filters: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     // keep every filter for zone-map skipping, but report none as fully
@@ -107,7 +110,128 @@ class GpxScanBuilder(fileSchema: StructType, roots: Seq[String])
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GpxScan(fileSchema, required, filters, roots)
+  /** Partial aggregate pushdown (reference S12 — partial aggregation in
+    * the scan worker, ScanInput.partialAggregationPresent): ungrouped,
+    * unfiltered MIN/MAX/COUNT are answered straight from footer stats —
+    * one row per row group, ZERO data pages read. Spark runs the final
+    * aggregation over the per-row-group partials. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (filters.nonEmpty || agg.groupByExpressions().nonEmpty) return false
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case f: NamedReference if f.fieldNames.length == 1 =>
+          Some(f.fieldNames.head)
+        case _ => None
+      }
+    def statsUsable(name: String): Boolean = {
+      val i = fileSchema.fieldIndex(name)
+      val dt = fileSchema(i).dataType
+      // strings excluded: footer stats are truncated; float/double min/max
+      // and the whole integer family are exact
+      GpxFormat.isLongBacked(dt) || dt == DoubleType || dt == FloatType
+    }
+    val ok = agg.aggregateExpressions().forall {
+      case _: CountStar => true
+      case c: Count if !c.isDistinct => colName(c.column).isDefined
+      case m: Min => colName(m.column).exists(statsUsable)
+      case m: Max => colName(m.column).exists(statsUsable)
+      case _ => false
+    }
+    if (ok) pushedAgg = Some(agg)
+    ok
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new GpxStatsScan(fileSchema, agg, roots)
+    case None => new GpxScan(fileSchema, required, filters, roots)
+  }
+}
+
+/** Stats-only scan for pushed-down aggregates: emits one row of partial
+  * aggregates per row group, computed from the footer alone. */
+class GpxStatsScan(fileSchema: StructType, agg: Aggregation, roots: Seq[String])
+  extends Scan with Batch {
+
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): StructField =
+    fileSchema(fileSchema.fieldIndex(
+      e.asInstanceOf[NamedReference].fieldNames.head))
+
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions().zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"count_star_$i", LongType, nullable = false)
+      case (c: Count, i) => StructField(s"count_$i", LongType, nullable = false)
+      case (m: Min, i) => StructField(s"min_$i", fieldOf(m.column).dataType)
+      case (m: Max, i) => StructField(s"max_$i", fieldOf(m.column).dataType)
+      case (other, _) => throw new IllegalStateException(other.toString)
+    })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GpxStatsScan[${agg.aggregateExpressions().mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = new Configuration()
+    GpxTable.listFiles(roots, conf).flatMap { f =>
+      GpxFileReader.readFooter(f, conf).rowGroups.indices
+        .map(GpxInputPartition(f, _))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GpxStatsReaderFactory(fileSchema, agg)
+}
+
+class GpxStatsReaderFactory(fileSchema: StructType, agg: Aggregation)
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GpxInputPartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (done) return false
+        val conf = new Configuration()
+        val footer = GpxFileReader.readFooter(part.path, conf)
+        val rg = footer.rowGroups(part.rgIndex)
+        def statOf(e: org.apache.spark.sql.connector.expressions.Expression) = {
+          val name = e.asInstanceOf[NamedReference].fieldNames.head
+          val i = fileSchema.fieldIndex(name)
+          (rg.chunks(i).stats, fileSchema(i).dataType)
+        }
+        def minMax(e: org.apache.spark.sql.connector.expressions.Expression, isMin: Boolean): Any = {
+          val (s, dt) = statOf(e)
+          if (!s.hasValues) null
+          else dt match {
+            case DoubleType => if (isMin) s.minDouble else s.maxDouble
+            case FloatType => (if (isMin) s.minDouble else s.maxDouble).toFloat
+            case BooleanType => (if (isMin) s.minLong else s.maxLong) != 0L
+            case ByteType => (if (isMin) s.minLong else s.maxLong).toByte
+            case ShortType => (if (isMin) s.minLong else s.maxLong).toShort
+            case IntegerType | DateType => (if (isMin) s.minLong else s.maxLong).toInt
+            case LongType | TimestampType | TimestampNTZType =>
+              if (isMin) s.minLong else s.maxLong
+            case dec: DecimalType =>
+              org.apache.spark.sql.types.Decimal.createUnsafe(
+                if (isMin) s.minLong else s.maxLong, dec.precision, dec.scale)
+            case other => throw new IllegalStateException(other.toString)
+          }
+        }
+        val values: Array[Any] = agg.aggregateExpressions().map {
+          case _: CountStar => rg.numRows.toLong
+          case c: Count => rg.numRows.toLong - statOf(c.column)._1.nullCount
+          case m: Min => minMax(m.column, isMin = true)
+          case m: Max => minMax(m.column, isMin = false)
+          case other => throw new IllegalStateException(other.toString)
+        }
+        row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+        done = true
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** One split per (file, row group) that survives zone-map pruning. */

@@ -175,6 +175,19 @@ object GpxFileReader {
           while (j < run) { out(k + j) = value; j += 1 }
           k += run
         }
+      } else if (encoding == EncForPacked) {
+        val base = d.readLong()
+        val width = d.readByte()
+        var k = 0
+        while (k < numRows) {
+          val delta = width match {
+            case 1 => (d.readByte() & 0xffL)
+            case 2 => (d.readShort() & 0xffffL)
+            case 4 => (d.readInt() & 0xffffffffL)
+          }
+          out(k) = base + delta
+          k += 1
+        }
       } else {
         var k = 0
         while (k < numRows) { out(k) = d.readLong(); k += 1 }

@@ -122,13 +122,39 @@ final class GpxFileWriter(
       }
       val rleBytes = runs * 12L
       val plainBytes = vals.length * 8L
-      if (rleBytes < plainBytes / 2) {
+      // frame-of-reference width: bytes needed for (v - min); nulls hold a
+      // placeholder 0 in the buffer, so they are packed as delta 0
+      val forWidth: Int =
+        if (!any) 8
+        else {
+          val range = stats.maxLong - stats.minLong
+          if (range < 0) 8 // overflow: span too wide, keep plain
+          else if (range < 256L) 1
+          else if (range < 65536L) 2
+          else if (range < 4294967296L) 4
+          else 8
+        }
+      if (rleBytes < plainBytes / 2 && rleBytes < vals.length.toLong * forWidth) {
         encoding = EncRleLong
         k = 0
         while (k < vals.length) {
           var j = k + 1
           while (j < vals.length && vals(j) == vals(k)) j += 1
           d.writeLong(vals(k)); d.writeInt(j - k); k = j
+        }
+      } else if (forWidth < 8) {
+        encoding = EncForPacked
+        val base = stats.minLong
+        d.writeLong(base); d.writeByte(forWidth)
+        k = 0
+        while (k < vals.length) {
+          val delta = if (nullArr(k)) 0L else vals(k) - base
+          forWidth match {
+            case 1 => d.writeByte(delta.toInt)
+            case 2 => d.writeShort(delta.toInt)
+            case 4 => d.writeInt(delta.toInt)
+          }
+          k += 1
         }
       } else {
         k = 0

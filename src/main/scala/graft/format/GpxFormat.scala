@@ -27,6 +27,9 @@ object GpxFormat {
   val EncPlain: Byte = 0
   val EncRleLong: Byte = 1
   val EncDictString: Byte = 2
+  /** frame-of-reference packing: base:i64 width:u8 then width-byte
+    * big-endian unsigned deltas (integer family) */
+  val EncForPacked: Byte = 3
 
   val DefaultRowGroupRows: Int = 65536
 

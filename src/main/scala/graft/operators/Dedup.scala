@@ -162,38 +162,58 @@ object Dedup {
     // (J>=t => |A|/|B| in [t, 1/t]). Identical output to brute force.
     GQuery("d03_ngram_jaccard", (s, d) => {
       val t = 0.6
-      val g = Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"),
-          array_distinct(expr(
-            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("s"))
+          array_sort(array_distinct(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))).as("s"))
+      // collapse identical (lang, gram-set) docs to a representative —
+      // near-dup corpora otherwise put k^2 candidates per duplicate
+      // cluster through the prefix join
+      val groups = docs
+        .withColumn("fp", md5(concat_ws("", col("s")).cast(BinaryType)))
+        .groupBy(col("lang"), col("fp"))
+        .agg(min(col("doc_id")).as("rep_id"), first(col("s")).as("s"),
+          collect_list(col("doc_id")).as("members"))
+        .persist()
+      val g = groups.select(col("rep_id"), col("lang"), col("s"))
         .withColumn("sz", size(col("s")))
-        .persist() // tokenized grams feed the prefix pass + 2 verify joins
-      val grams = g.select(col("doc_id"), col("lang"), col("sz"),
+        .persist()
+      val grams = g.select(col("rep_id"), col("lang"), col("sz"),
         explode(col("s")).as("gram"))
       val freq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy(col("doc_id"))
+      val w = Window.partitionBy(col("rep_id"))
         .orderBy(col("df"), col("gram"))
       val prefix = grams.join(broadcast(freq), "gram")
         .withColumn("rn", row_number().over(w))
         // -1e-9 guards against fp overshoot in sz*t making ceil (and thus
         // the prefix) one too short — a silent false-negative source
         .filter(col("rn") <= col("sz") - ceil(col("sz") * t - 1e-9) + 1)
-        .select(col("doc_id"), col("lang"), col("sz"), col("gram"))
+        .select(col("rep_id"), col("lang"), col("sz"), col("gram"))
       val candidates = prefix.as("x").join(prefix.as("y"),
           col("x.gram") === col("y.gram") && col("x.lang") === col("y.lang") &&
-            col("x.doc_id") < col("y.doc_id") &&
+            col("x.rep_id") < col("y.rep_id") &&
             // int sizes: 0.5 slack keeps boundary pairs (|A| = t|B|) safe
             col("x.sz") >= col("y.sz") * t - 0.5 &&
             col("y.sz") >= col("x.sz") * t - 0.5)
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .select(col("x.rep_id").as("ra"), col("y.rep_id").as("rb"))
         .distinct()
-      candidates
-        .join(g.select(col("doc_id").as("a_id"), col("s").as("a_s")), "a_id")
-        .join(g.select(col("doc_id").as("b_id"), col("s").as("b_s")), "b_id")
+      val verified = candidates
+        .join(g.select(col("rep_id").as("ra"), col("s").as("a_s")), "ra")
+        .join(g.select(col("rep_id").as("rb"), col("s").as("b_s")), "rb")
         .withColumn("jaccard", jaccard(col("a_s"), col("b_s")))
         .filter(col("jaccard") >= t)
-        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .select(col("ra"), col("rb"), col("jaccard"))
+      val mem = groups.select(col("rep_id"), explode(col("members")).as("m"))
+      val crossPairs = verified
+        .join(mem.select(col("rep_id").as("ra"), col("m").as("ma")), "ra")
+        .join(mem.select(col("rep_id").as("rb"), col("m").as("mb")), "rb")
+        .select(least(col("ma"), col("mb")).as("a_id"),
+          greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
+      val withinPairs = mem.as("p").join(mem.as("q"),
+          col("p.rep_id") === col("q.rep_id") && col("p.m") < col("q.m"))
+        .select(col("p.m").as("a_id"), col("q.m").as("b_id"), lit(1.0).as("jaccard"))
+      crossPairs.unionByName(withinPairs)
         .orderBy("a_id", "b_id")
     },
       Some("""WITH g AS (SELECT doc_id, lang,

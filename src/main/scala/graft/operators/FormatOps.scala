@@ -78,6 +78,22 @@ object FormatOps {
         .orderBy("o_orderkey"),
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
              |FROM orders WHERE o_orderkey IN (42, 4242, 9999)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Stats-only aggregation: MIN/MAX/COUNT pushed into the gpx scan and
+    // answered from footer zone maps — zero data pages read (S12).
+    GQuery("f05_gpx_stats_agg", (s, d) =>
+      gpx(s, d, "lineitem")
+        .agg(count(lit(1)).as("n"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          count(col("l_quantity")).as("n_qty")),
+      Some("""SELECT COUNT(*) AS n,
+             |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+             |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+             |  COUNT(l_quantity) AS n_qty
+             |FROM lineitem""".stripMargin))
   )
 }

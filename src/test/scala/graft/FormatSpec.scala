@@ -112,6 +112,40 @@ class FormatSpec extends GraftSpec {
     assert(back.filter($"dict_str" === "even").count() == 5000)
   }
 
+  test("FOR packing engages on narrow-range ints and round-trips") {
+    import sp.implicits._
+    val df = (0 until 5000).map(i => (i % 100 + 1000000L, i.toLong * 1000000L))
+      .toDF("narrow", "wide")
+    val dir = tmp()
+    df.coalesce(1).write.format("gpx").mode("overwrite").save(dir)
+    val conf = new Configuration()
+    val file = graft.format.GpxTable.listFiles(Seq(dir), conf).head
+    val footer = GpxFileReader.readFooter(file, conf)
+    assert(footer.rowGroups.head.chunks(0).encoding == GpxFormat.EncForPacked)
+    val back = sp.read.format("gpx").load(dir)
+    assert(back.agg(sum("narrow"), sum("wide")).head.toSeq ==
+      df.agg(sum("narrow"), sum("wide")).head.toSeq)
+  }
+
+  test("aggregate pushdown answers MIN/MAX/COUNT from footer stats") {
+    val li = Tables.lineitem(sp, sf)
+    val dir = tmp()
+    li.write.format("gpx").mode("overwrite").save(dir)
+    val q = sp.read.format("gpx").load(dir)
+      .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_extendedprice")),
+        count(col("l_quantity")))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GpxStatsScan"), plan)
+    assert(q.head.toSeq == li.agg(count(lit(1)), min(col("l_orderkey")),
+      max(col("l_extendedprice")), count(col("l_quantity"))).head.toSeq)
+    // grouped/filtered aggregates must NOT take the stats path
+    val q2 = sp.read.format("gpx").load(dir)
+      .filter(col("l_quantity") > 5).agg(min(col("l_orderkey")))
+    assert(!q2.queryExecution.executedPlan.toString.contains("GpxStatsScan"))
+    assert(q2.head.toSeq == li.filter(col("l_quantity") > 5)
+      .agg(min(col("l_orderkey"))).head.toSeq)
+  }
+
   test("all-null and empty-string zone maps don't mislead the skipper") {
     import sp.implicits._
     val df = Seq(
