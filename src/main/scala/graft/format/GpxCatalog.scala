@@ -1,0 +1,131 @@
+package graft.format
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** Filesystem-backed catalog for gpx tables — the Spark-native replacement
+  * of the reference's metadata service (proto/metadata.proto:33-45:
+  * CreateSchema/CreateTable/table->paths mapping). Layout:
+  * `<warehouse>/<namespace>/<table>/` holds the gpx files plus a
+  * `_schema.ddl` sidecar (the catalog record). Registration:
+  *
+  *   spark.sql.catalog.graft = graft.format.GpxCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  *
+  * then `CREATE TABLE graft.db.t (...) USING gpx`, `INSERT INTO`,
+  * `SELECT`, `ANALYZE TABLE ... COMPUTE STATISTICS` (CBO stats) all work
+  * through plain Spark SQL.
+  */
+class GpxCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+  private val conf = new Configuration()
+  private def fs = warehouse.getFileSystem(conf)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = Option(options.get("warehouse"))
+      .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/gpx_warehouse")
+    warehouse = new Path(w)
+    fs.mkdirs(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, n) => new Path(p, n))
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace()), ident.name())
+
+  // ---- namespaces ----
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  override def listNamespaces(): Array[Array[String]] =
+    fs.listStatus(warehouse).filter(_.isDirectory)
+      .map(s => Array(s.getPath.getName))
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    if (ns.isEmpty) listNamespaces()
+    else if (namespaceExists(ns)) Array.empty
+    else throw new NoSuchNamespaceException(ns)
+  }
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    fs.exists(nsPath(ns))
+
+  override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(ns: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    fs.mkdirs(nsPath(ns))
+
+  override def alterNamespace(ns: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean =
+    fs.delete(nsPath(ns), cascade)
+
+  // ---- tables ----
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    fs.listStatus(nsPath(ns)).filter(_.isDirectory)
+      .map(s => Identifier.of(ns, s.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    fs.exists(new Path(tablePath(ident), "_schema.ddl"))
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tablePath(ident)
+    val ddlFile = new Path(dir, "_schema.ddl")
+    if (!fs.exists(ddlFile)) throw new NoSuchTableException(ident)
+    val in = fs.open(ddlFile)
+    val ddl = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    new GpxTable(StructType.fromDDL(ddl), Seq(dir.toString))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty, "gpx tables do not support partitioning yet")
+    val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
+    require(provider.forall(_.equalsIgnoreCase("gpx")),
+      s"graft catalog only stores gpx tables, got $provider")
+    require(schema.fields.forall(f => GpxFormat.supported(f.dataType)),
+      s"unsupported gpx schema: $schema")
+    val dir = tablePath(ident)
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, "_schema.ddl"), true)
+    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    new GpxTable(schema, Seq(dir.toString))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("alterTable")
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && fs.delete(tablePath(ident), true)
+
+  override def renameTable(old: Identifier, next: Identifier): Unit = {
+    if (!tableExists(old)) throw new NoSuchTableException(old)
+    if (tableExists(next)) throw new TableAlreadyExistsException(next)
+    fs.mkdirs(nsPath(next.namespace()))
+    fs.rename(tablePath(old), tablePath(next))
+  }
+}

@@ -242,23 +242,42 @@ class GpxScan(
     fileSchema: StructType,
     required: StructType,
     filters: Array[Filter],
-    roots: Seq[String]) extends Scan with Batch {
+    roots: Seq[String]) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GpxScan[${required.fieldNames.mkString(",")}] filters=${filters.mkString(";")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val keptRowGroups: Array[(String, Int, GpxFormat.RowGroupMeta)] = {
     val conf = new Configuration()
     GpxTable.listFiles(roots, conf).flatMap { f =>
       val footer = GpxFileReader.readFooter(f, conf)
       footer.rowGroups.indices.flatMap { i =>
         val rg = footer.rowGroups(i)
         val keep = filters.forall(GpxFileReader.mayMatch(_, fileSchema, rg))
-        if (keep) Some(GpxInputPartition(f, i)) else None
+        if (keep) Some((f, i, rg)) else None
       }
     }.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    keptRowGroups.map { case (f, i, _) => GpxInputPartition(f, i) }
+
+  /** Footer-derived stats AFTER zone-map pruning, sized to the pruned
+    * column set — feeds CBO/AQE broadcast decisions with real numbers
+    * (the reference's PlanOptimizer does the same from its metadata stats,
+    * PlanOptimizer.java:94-204). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val requiredIdx = required.fieldNames.map(fileSchema.fieldIndex)
+    private val rows = keptRowGroups.map(_._3.numRows.toLong).sum
+    private val bytes = keptRowGroups.map { case (_, _, rg) =>
+      requiredIdx.map(i => rg.chunks(i).length).sum
+    }.sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(bytes, 1L))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

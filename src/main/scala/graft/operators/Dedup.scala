@@ -113,9 +113,20 @@ object Dedup {
         .persist() // reused by reps, the verify joins, and both expansions
       val reps = groups.select(col("rep_id"), col("toks"))
       val exploded = reps.select(col("rep_id"), explode(col("toks")).as("tok"))
-      val mh = exploded.groupBy("rep_id").agg(
-        min(xxhash64(lit(0), col("tok"))).as("mh0"),
-        (1 until NumHashes).map(i => min(xxhash64(lit(i), col("tok"))).as(s"mh$i")): _*)
+      // dictionary-encode tokens to dense ints: minhashing and the verify
+      // intersections run over ints instead of strings (a bijection — the
+      // jaccard values and LSH recall analysis are unchanged)
+      val tokDict = exploded.select(col("tok")).distinct()
+        .withColumn("tid", row_number().over(Window.orderBy(col("tok"))))
+      val expInt = exploded.join(broadcast(tokDict), "tok")
+        .select(col("rep_id"), col("tid"))
+        .persist()
+      val repsInt = expInt.groupBy("rep_id")
+        .agg(collect_list(col("tid")).as("toks"))
+        .persist()
+      val mh = expInt.groupBy("rep_id").agg(
+        min(xxhash64(lit(0), col("tid"))).as("mh0"),
+        (1 until NumHashes).map(i => min(xxhash64(lit(i), col("tid"))).as(s"mh$i")): _*)
       val bandCols = (0 until NumHashes / BandR).map { b =>
         struct(lit(b).as("band") +:
           (0 until BandR).map(r => col(s"mh${BandR * b + r}").as(s"h$r")): _*)
@@ -128,8 +139,8 @@ object Dedup {
       // exact verify between representative token sets (size-ratio
       // prefilter is implied by J>=t: |A|/|B| must be in [t, 1/t])
       val verified = candidates
-        .join(reps.select(col("rep_id").as("ra"), col("toks").as("a_toks")), "ra")
-        .join(reps.select(col("rep_id").as("rb"), col("toks").as("b_toks")), "rb")
+        .join(repsInt.select(col("rep_id").as("ra"), col("toks").as("a_toks")), "ra")
+        .join(repsInt.select(col("rep_id").as("rb"), col("toks").as("b_toks")), "rb")
         .filter(size(col("a_toks")) >= size(col("b_toks")) * 0.8 - 0.5 &&
           size(col("b_toks")) >= size(col("a_toks")) * 0.8 - 0.5)
         .withColumn("jaccard", jaccard(col("a_toks"), col("b_toks")))
@@ -162,58 +173,56 @@ object Dedup {
     // (J>=t => |A|/|B| in [t, 1/t]). Identical output to brute force.
     GQuery("d03_ngram_jaccard", (s, d) => {
       val t = 0.6
-      val docs = Tables.documents(s, d)
+      val g = Tables.documents(s, d)
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"),
-          array_sort(array_distinct(expr(
-            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))).as("s"))
-      // collapse identical (lang, gram-set) docs to a representative —
-      // near-dup corpora otherwise put k^2 candidates per duplicate
-      // cluster through the prefix join
-      val groups = docs
-        .withColumn("fp", md5(concat_ws("", col("s")).cast(BinaryType)))
-        .groupBy(col("lang"), col("fp"))
-        .agg(min(col("doc_id")).as("rep_id"), first(col("s")).as("s"),
-          collect_list(col("doc_id")).as("members"))
-        .persist()
-      val g = groups.select(col("rep_id"), col("lang"), col("s"))
+          array_distinct(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("s"))
         .withColumn("sz", size(col("s")))
-        .persist()
-      val grams = g.select(col("rep_id"), col("lang"), col("sz"),
+        .persist() // tokenized grams feed the prefix pass + 2 verify joins
+      val grams = g.select(col("doc_id"), col("lang"), col("sz"),
         explode(col("s")).as("gram"))
+      // dictionary-encode grams to dense ints: join keys and the verify
+      // intersections then run over int arrays instead of strings (a
+      // bijection, so every count/jaccard is unchanged)
       val freq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy(col("rep_id"))
-        .orderBy(col("df"), col("gram"))
-      val prefix = grams.join(broadcast(freq), "gram")
+      val dict = freq.withColumn("gid",
+        row_number().over(Window.orderBy(col("gram"))))
+      val gidGrams = grams.join(broadcast(dict), "gram")
+        .select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("df"))
+        .persist()
+      val gInt = gidGrams.groupBy(col("doc_id").as("gd"), col("lang"), col("sz"))
+        .agg(collect_list(col("gid")).as("sids"))
+        .persist()
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("gid"))
+      val prefix = gidGrams
         .withColumn("rn", row_number().over(w))
         // -1e-9 guards against fp overshoot in sz*t making ceil (and thus
         // the prefix) one too short — a silent false-negative source
         .filter(col("rn") <= col("sz") - ceil(col("sz") * t - 1e-9) + 1)
-        .select(col("rep_id"), col("lang"), col("sz"), col("gram"))
+        .select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("rn"))
+      // PPJoin positional filter: a gram matching at 1-based positions
+      // (rnA, rnB) of the canonical rare-first order bounds the overlap by
+      // 1 + min(szA-rnA, szB-rnB), which must reach the equivalent overlap
+      // threshold a = t/(1+t) * (szA+szB). Complete: the smallest common
+      // gram of any qualifying pair satisfies the bound.
       val candidates = prefix.as("x").join(prefix.as("y"),
-          col("x.gram") === col("y.gram") && col("x.lang") === col("y.lang") &&
-            col("x.rep_id") < col("y.rep_id") &&
+          col("x.gid") === col("y.gid") && col("x.lang") === col("y.lang") &&
+            col("x.doc_id") < col("y.doc_id") &&
             // int sizes: 0.5 slack keeps boundary pairs (|A| = t|B|) safe
             col("x.sz") >= col("y.sz") * t - 0.5 &&
-            col("y.sz") >= col("x.sz") * t - 0.5)
-        .select(col("x.rep_id").as("ra"), col("y.rep_id").as("rb"))
+            col("y.sz") >= col("x.sz") * t - 0.5 &&
+            lit(1) + least(col("x.sz") - col("x.rn"), col("y.sz") - col("y.rn")) >=
+              (col("x.sz") + col("y.sz")) * (t / (1 + t)) - 0.5)
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      val verified = candidates
-        .join(g.select(col("rep_id").as("ra"), col("s").as("a_s")), "ra")
-        .join(g.select(col("rep_id").as("rb"), col("s").as("b_s")), "rb")
+      candidates
+        .join(gInt.select(col("gd").as("a_id"), col("sids").as("a_s")), "a_id")
+        .join(gInt.select(col("gd").as("b_id"), col("sids").as("b_s")), "b_id")
         .withColumn("jaccard", jaccard(col("a_s"), col("b_s")))
         .filter(col("jaccard") >= t)
-        .select(col("ra"), col("rb"), col("jaccard"))
-      val mem = groups.select(col("rep_id"), explode(col("members")).as("m"))
-      val crossPairs = verified
-        .join(mem.select(col("rep_id").as("ra"), col("m").as("ma")), "ra")
-        .join(mem.select(col("rep_id").as("rb"), col("m").as("mb")), "rb")
-        .select(least(col("ma"), col("mb")).as("a_id"),
-          greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
-      val withinPairs = mem.as("p").join(mem.as("q"),
-          col("p.rep_id") === col("q.rep_id") && col("p.m") < col("q.m"))
-        .select(col("p.m").as("a_id"), col("q.m").as("b_id"), lit(1.0).as("jaccard"))
-      crossPairs.unionByName(withinPairs)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
         .orderBy("a_id", "b_id")
     },
       Some("""WITH g AS (SELECT doc_id, lang,

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class CatalogSpec extends GraftSpec {
+  private val sp = TestSpark.spark
+
+  test("CREATE TABLE / INSERT / SELECT / ANALYZE / DROP through SQL") {
+    val wh = Files.createTempDirectory("gpx_wh").toString
+    sp.conf.set("spark.sql.catalog.graft", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.graft.warehouse", wh)
+
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS graft.db")
+    sp.sql("""CREATE TABLE graft.db.items (
+             |  id BIGINT, name STRING, price DOUBLE, day DATE
+             |) USING gpx""".stripMargin)
+    assert(sp.sql("SHOW TABLES IN graft.db").count() == 1)
+
+    sp.sql("""INSERT INTO graft.db.items VALUES
+             |  (1, 'a', 1.5, DATE '2024-01-01'),
+             |  (2, 'b', 2.5, DATE '2024-01-02'),
+             |  (3, NULL, NULL, NULL)""".stripMargin)
+    val rows = sp.sql("SELECT * FROM graft.db.items ORDER BY id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(1) == "a" && rows(2).isNullAt(1))
+
+    // second insert appends
+    sp.sql("INSERT INTO graft.db.items VALUES (4, 'd', 4.0, DATE '2024-01-04')")
+    assert(sp.sql("SELECT count(*) FROM graft.db.items").head.getLong(0) == 4)
+
+    // v2 CBO stats come from SupportsReportStatistics (footer-derived),
+    // not ANALYZE TABLE (v1-only command)
+    val stats = sp.table("graft.db.items").queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.exists(_.toLong == 4L), stats)
+
+    // rename + drop
+    sp.sql("ALTER TABLE graft.db.items RENAME TO db.items2")
+    assert(sp.sql("SELECT count(*) FROM graft.db.items2").head.getLong(0) == 4)
+    sp.sql("DROP TABLE graft.db.items2")
+    assert(sp.sql("SHOW TABLES IN graft.db").count() == 0)
+  }
+
+  test("saveAsTable / spark.table round-trip via catalog") {
+    val wh = Files.createTempDirectory("gpx_wh2").toString
+    sp.conf.set("spark.sql.catalog.graft2", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.graft2.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS graft2.db")
+    Tables.part(sp, sf).writeTo("graft2.db.part").using("gpx").create()
+    val back = sp.table("graft2.db.part")
+    assert(back.count() == Tables.part(sp, sf).count())
+    assert(back.exceptAll(Tables.part(sp, sf)).count() == 0)
+  }
+}
