@@ -45,6 +45,12 @@ object GpxFileReader {
       if (i < rg.chunks.length) Some((rg.chunks(i).stats, schema(i).dataType))
       else None
     }
+    // types for which the writer always records stats — ONLY for these may
+    // hasValues=false be read as "chunk is all null"; wide decimals and
+    // binary write no stats, so their chunks must never be skipped
+    def statsCapable(dt: DataType): Boolean =
+      (isLongBacked(dt) || dt == FloatType || dt == DoubleType ||
+        dt == StringType) && !isWideDecimal(dt)
     def cmpBounds(col: String, v: Any)(test: (Int, Int) => Boolean): Boolean =
       statsOf(col) match {
         case Some((s, dt)) if s.hasValues =>
@@ -52,8 +58,10 @@ object GpxFileReader {
             case Some((cmpMin, cmpMax)) => test(cmpMin, cmpMax)
             case None => true
           }
-        case Some((s, _)) => s.nullCount > 0 && filter.isInstanceOf[IsNull]
-        case None => true
+        case Some((s, dt)) if statsCapable(dt) =>
+          // all-null chunk: value comparisons can never match
+          false
+        case _ => true
       }
     filter match {
       case EqualTo(c, v) => cmpBounds(c, v)((mn, mx) => mn <= 0 && mx >= 0)
@@ -227,6 +235,22 @@ object GpxFileReader {
         while (k < numRows) {
           val x = d.readDouble()
           if (isNull(k)) v.putNull(k) else v.putDouble(k, x)
+          k += 1
+        }
+      case dec: DecimalType => // wide decimal: length-prefixed unscaled bytes
+        var k = 0
+        while (k < numRows) {
+          val len = d.readInt()
+          val a = new Array[Byte](len)
+          d.readFully(a)
+          if (isNull(k)) v.putNull(k)
+          else {
+            val bi = new java.math.BigInteger(a)
+            v.putDecimal(k,
+              org.apache.spark.sql.types.Decimal(
+                new java.math.BigDecimal(bi, dec.scale), dec.precision, dec.scale),
+              dec.precision)
+          }
           k += 1
         }
       case StringType | BinaryType =>

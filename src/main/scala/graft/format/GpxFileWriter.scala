@@ -49,6 +49,7 @@ final class GpxFileWriter(
           case FloatType => floats(i) += 0f
           case DoubleType => doubles(i) += 0.0
           case StringType | BinaryType => bytes(i) += Array.emptyByteArray
+          case d if isWideDecimal(d) => bytes(i) += Array.emptyByteArray
           case _ => longs(i) += 0L
         }
       } else {
@@ -59,8 +60,11 @@ final class GpxFileWriter(
           case ShortType => longs(i) += row.getShort(i).toLong
           case IntegerType | DateType => longs(i) += row.getInt(i).toLong
           case LongType | TimestampType | TimestampNTZType => longs(i) += row.getLong(i)
-          case d: DecimalType =>
+          case d: DecimalType if d.precision <= 18 =>
             longs(i) += row.getDecimal(i, d.precision, d.scale).toUnscaledLong
+          case d: DecimalType =>
+            bytes(i) += row.getDecimal(i, d.precision, d.scale)
+              .toJavaBigDecimal.unscaledValue().toByteArray
           case FloatType => floats(i) += row.getFloat(i)
           case DoubleType => doubles(i) += row.getDouble(i)
           case StringType => bytes(i) += row.getUTF8String(i).getBytes.clone()
@@ -179,7 +183,7 @@ final class GpxFileWriter(
           d.writeDouble(vals(k)); k += 1
         }
         if (any) stats = stats.copy(hasValues = true, minDouble = mn, maxDouble = mx)
-      case StringType | BinaryType =>
+      case StringType | BinaryType | _: DecimalType =>
         val vals = bytes(i)
         if (dt == StringType) {
           var mn: String = null; var mx: String = null

@@ -53,20 +53,29 @@ object GpxFormat {
 
   final case class Footer(schema: StructType, rowGroups: Array[RowGroupMeta])
 
-  /** Types the format materializes natively. */
+  /** Types the format materializes natively. Decimals come in two widths
+    * like the reference (TypeDescription.java:60-61): p<=18 rides in a
+    * long (RLE/FOR-packable); p<=38 is stored as a variable-length
+    * unscaled big-integer (Integer128 analog). */
   def supported(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
          FloatType | DoubleType | StringType | BinaryType | DateType |
          TimestampType | TimestampNTZType => true
+    case d: DecimalType => d.precision <= 38
+    case _ => false
+  }
+
+  /** integer-family types whose values ride in a long (and may RLE/FOR) */
+  def isLongBacked(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | BooleanType => true
     case d: DecimalType => d.precision <= 18
     case _ => false
   }
 
-  /** integer-family types whose values ride in a long (and may RLE) */
-  def isLongBacked(dt: DataType): Boolean = dt match {
-    case ByteType | ShortType | IntegerType | LongType | DateType |
-         TimestampType | TimestampNTZType | BooleanType => true
-    case _: DecimalType => true
+  /** wide decimals (19..38 digits): stored like binary, no zone maps */
+  def isWideDecimal(dt: DataType): Boolean = dt match {
+    case d: DecimalType => d.precision > 18
     case _ => false
   }
 

@@ -112,6 +112,23 @@ class FormatSpec extends GraftSpec {
     assert(back.filter($"dict_str" === "even").count() == 5000)
   }
 
+  test("wide Decimal(38,10) round-trips (Int128 analog)") {
+    import sp.implicits._
+    val df = Seq(
+      (0, "123456789012345678901234567.8901234567"),
+      (1, "-0.0000000001"), (2, "0"), (3, null))
+      .toDF("id", "decs")
+      .select(col("id"), col("decs").cast(DecimalType(38, 10)).as("dec"))
+    val dir = tmp()
+    df.coalesce(1).write.format("gpx").mode("overwrite").save(dir)
+    val back = sp.read.format("gpx").load(dir)
+    assert(back.schema("dec").dataType == DecimalType(38, 10))
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+    // filters on wide decimals stay correct (no zone-map support => no skip)
+    assert(back.filter(col("dec") > 0).count() == 1)
+  }
+
   test("FOR packing engages on narrow-range ints and round-trips") {
     import sp.implicits._
     val df = (0 until 5000).map(i => (i % 100 + 1000000L, i.toLong * 1000000L))

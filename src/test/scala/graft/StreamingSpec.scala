@@ -59,6 +59,45 @@ class StreamingSpec extends GraftSpec {
     assert(snap.filter($"user_id" === 1).head.getAs[Double]("value") == 5.0)
   }
 
+  test("streaming windowed aggregation with watermark (event time)") {
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = sp.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = source.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("winagg").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    source.addData(
+      (t("2024-01-01 00:01:00"), "click", 1.0),
+      (t("2024-01-01 00:02:00"), "click", 2.0),
+      (t("2024-01-01 00:07:00"), "view", 3.0))
+    q.processAllAvailable()
+    val rows = sp.table("winagg").collect()
+    q.stop()
+    assert(rows.length == 2) // two 5-min windows
+    val click = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(click.getAs[Long]("n") == 2)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    // 90% of rows share one hot key
+    val large = sp.range(10000)
+      .withColumn("k", when($"id" % 10 < 9, 7L).otherwise($"id" % 100))
+      .withColumn("payload", $"id" * 2)
+    val small = (0L until 100L).map(i => (i, s"dim$i")).toDF("k", "name")
+    val plain = large.join(small, "k").agg(
+      count(lit(1)), sum("payload"), count("name")).head.toSeq
+    val salted = operators.Skew.saltedJoin(large, small, "k", 8).agg(
+      count(lit(1)), sum("payload"), count("name")).head.toSeq
+    assert(plain == salted)
+  }
+
   test("compactor merges small files and preserves rows") {
     val in = Files.createTempDirectory("ordered").toString
     import sp.implicits._
