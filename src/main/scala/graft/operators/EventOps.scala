@@ -133,6 +133,22 @@ object EventOps {
       Some(s"""SELECT (epoch_ns(ts) // 1000000000) // 21600 * 21600 AS win_start,
               |  event_type, COUNT(*) AS n, ${Det.o.dsum("value")} AS sum_value
               |FROM events GROUP BY 1, 2
-              |ORDER BY win_start, event_type""".stripMargin))
+              |ORDER BY win_start, event_type""".stripMargin)),
+
+    // Property extraction from the JSON-ish props column via portable
+    // string surgery (props = '{"k": N}'): the reference has no native
+    // JSON functions either (SURVEY §2.3) — the front-end engine does it.
+    GQuery("e06_props_extract", (s, d) =>
+      events(s, d)
+        .withColumn("k",
+          expr("cast(replace(replace(props, '{\"k\": ', ''), '}', '') as int)"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("k_bucket"),
+      Some("""SELECT CAST(k % 10 AS INT) AS k_bucket, COUNT(*) AS n,
+             |  MIN(k) AS min_k, MAX(k) AS max_k
+             |FROM (SELECT CAST(replace(replace(props, '{"k": ', ''), '}', '') AS INT) AS k
+             |      FROM events) t
+             |GROUP BY 1 ORDER BY k_bucket""".stripMargin))
   )
 }

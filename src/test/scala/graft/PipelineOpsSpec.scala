@@ -87,6 +87,27 @@ class MultimodalSpec extends GraftSpec {
   }
 }
 
+class TimeFunctionsSpec extends GraftSpec {
+  test("TIME mapping: millis-since-midnight round-trips to HH:mm:ss") {
+    val sp = TestSpark.spark
+    import sp.implicits._
+    import graft.functions.TimeFunctions._
+    val df = Seq("2024-01-01 00:00:00.000", "2024-01-01 13:45:30.250",
+      "2024-01-01 23:59:59.999")
+      .toDF("s")
+      .select(org.apache.spark.sql.functions.col("s").cast("timestamp").as("ts"))
+      .withColumn("millis", time_of_day_millis(org.apache.spark.sql.functions.col("ts")))
+      .withColumn("str", time_to_string(org.apache.spark.sql.functions.col("millis")))
+      .withColumn("h", time_hour(org.apache.spark.sql.functions.col("millis")))
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Int]("millis")).toSeq ==
+      Seq(0, (13 * 3600 + 45 * 60 + 30) * 1000 + 250, 86399999))
+    assert(rows.map(_.getAs[String]("str")).toSeq ==
+      Seq("00:00:00", "13:45:30", "23:59:59"))
+    assert(rows.map(_.getAs[Int]("h")).toSeq == Seq(0, 13, 23))
+  }
+}
+
 class EventOpsSpec extends GraftSpec {
   test("e03 cdc upsert: unique (user, event_type) keys") {
     val df = run("e03_cdc_upsert_latest")
