@@ -237,6 +237,37 @@ object GpxFileReader {
           if (isNull(k)) v.putNull(k) else v.putDouble(k, x)
           k += 1
         }
+      case ArrayType(et, _) => // VECTOR: count | null-bitmap | packed values
+        val child = v.arrayData()
+        var offset = 0
+        var k = 0
+        while (k < numRows) {
+          val outerLen = d.readInt()
+          val blob = new Array[Byte](outerLen)
+          d.readFully(blob)
+          if (isNull(k)) v.putNull(k)
+          else {
+            val bb = java.nio.ByteBuffer.wrap(blob)
+            val n = bb.getInt()
+            val bm = new Array[Byte]((n + 7) / 8)
+            bb.get(bm)
+            var j = 0
+            while (j < n) {
+              val isNullElem = (bm(j >> 3) & (1 << (j & 7))) != 0
+              if (et == FloatType) {
+                val f = bb.getFloat()
+                if (isNullElem) child.appendNull() else child.appendFloat(f)
+              } else {
+                val x = bb.getDouble()
+                if (isNullElem) child.appendNull() else child.appendDouble(x)
+              }
+              j += 1
+            }
+            v.putArray(k, offset, n)
+            offset += n
+          }
+          k += 1
+        }
       case dec: DecimalType => // wide decimal: length-prefixed unscaled bytes
         var k = 0
         while (k < numRows) {

@@ -49,7 +49,8 @@ final class GpxFileWriter(
           case FloatType => floats(i) += 0f
           case DoubleType => doubles(i) += 0.0
           case StringType | BinaryType => bytes(i) += Array.emptyByteArray
-          case d if isWideDecimal(d) => bytes(i) += Array.emptyByteArray
+          case d if isWideDecimal(d) || isNumericArray(d) =>
+            bytes(i) += Array.emptyByteArray
           case _ => longs(i) += 0L
         }
       } else {
@@ -65,6 +66,27 @@ final class GpxFileWriter(
           case d: DecimalType =>
             bytes(i) += row.getDecimal(i, d.precision, d.scale)
               .toJavaBigDecimal.unscaledValue().toByteArray
+          case ArrayType(et, _) =>
+            // VECTOR chunk element: count | null-bitmap | packed values
+            val ad = row.getArray(i)
+            val n2 = ad.numElements()
+            val w = if (et == FloatType) 4 else 8
+            val bm = new Array[Byte]((n2 + 7) / 8)
+            val bb = java.nio.ByteBuffer.allocate(4 + bm.length + n2 * w)
+            bb.putInt(n2)
+            var j = 0
+            while (j < n2) {
+              if (ad.isNullAt(j)) bm(j >> 3) = (bm(j >> 3) | (1 << (j & 7))).toByte
+              j += 1
+            }
+            bb.put(bm)
+            j = 0
+            while (j < n2) {
+              if (et == FloatType) bb.putFloat(if (ad.isNullAt(j)) 0f else ad.getFloat(j))
+              else bb.putDouble(if (ad.isNullAt(j)) 0.0 else ad.getDouble(j))
+              j += 1
+            }
+            bytes(i) += bb.array()
           case FloatType => floats(i) += row.getFloat(i)
           case DoubleType => doubles(i) += row.getDouble(i)
           case StringType => bytes(i) += row.getUTF8String(i).getBytes.clone()
@@ -183,7 +205,8 @@ final class GpxFileWriter(
           d.writeDouble(vals(k)); k += 1
         }
         if (any) stats = stats.copy(hasValues = true, minDouble = mn, maxDouble = mx)
-      case StringType | BinaryType | _: DecimalType =>
+      case bdt if bdt == StringType || bdt == BinaryType ||
+          bdt.isInstanceOf[DecimalType] || isNumericArray(bdt) =>
         val vals = bytes(i)
         if (dt == StringType) {
           var mn: String = null; var mx: String = null

@@ -62,6 +62,14 @@ object GpxFormat {
          FloatType | DoubleType | StringType | BinaryType | DateType |
          TimestampType | TimestampNTZType => true
     case d: DecimalType => d.precision <= 38
+    // VECTOR columns (reference VectorColumnVector.java:35-50): numeric
+    // arrays, stored as count-prefixed packed elements
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  def isNumericArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
     case _ => false
   }
 

@@ -94,6 +94,38 @@ object FormatOps {
              |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
              |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
              |  COUNT(l_quantity) AS n_qty
-             |FROM lineitem""".stripMargin))
+             |FROM lineitem""".stripMargin)),
+
+    // VECTOR columns through gpx: same top-k ANN as v02 but the embedding
+    // table is stored in the gpx format — proves arrays survive the
+    // columnar round trip under real query load (same DuckDB oracle,
+    // computed from the original parquet).
+    GQuery("f06_gpx_vector_knn", (s, d) => {
+      val e = gpx(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      q.join(e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("n_id"), col("v").as("nv")))
+        .withColumn("cos", graft.functions.VectorFunctions.cos_sim(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             |       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+             |     FROM embeddings)
+             |SELECT q_id, rank, n_id, cos_sim FROM (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |    round(list_dot_product(a.v, b.v) / (a.norm * b.norm), 4) AS cos_sim,
+             |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             |      ORDER BY list_dot_product(a.v, b.v) / (a.norm * b.norm) DESC, b.vec_id) AS rank
+             |  FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id >= 10) t
+             |WHERE rank <= 5
+             |ORDER BY q_id, rank""".stripMargin))
   )
 }

@@ -112,6 +112,26 @@ class FormatSpec extends GraftSpec {
     assert(back.filter($"dict_str" === "even").count() == 5000)
   }
 
+  test("VECTOR (array<float>) columns round-trip incl. null arrays/elements") {
+    import sp.implicits._
+    val df = Seq(
+      (0, Some(Seq(Some(1.5f), Some(-2.5f), None))),
+      (1, None),
+      (2, Some(Seq.empty[Option[Float]]))).toDF("id", "vec")
+    val dir = tmp()
+    df.coalesce(1).write.format("gpx").mode("overwrite").save(dir)
+    val back = sp.read.format("gpx").load(dir)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+    // whole embeddings table
+    val emb = Tables.embeddings(sp, sf)
+    val dir2 = tmp()
+    emb.write.format("gpx").mode("overwrite").save(dir2)
+    val back2 = sp.read.format("gpx").load(dir2)
+    assert(back2.count() == emb.count())
+    assert(back2.exceptAll(emb).count() == 0)
+  }
+
   test("wide Decimal(38,10) round-trips (Int128 analog)") {
     import sp.implicits._
     val df = Seq(
