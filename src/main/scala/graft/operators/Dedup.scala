@@ -137,8 +137,24 @@ object Dedup {
         .select(col("x.rep_id").as("ra"), col("y.rep_id").as("rb"))
         .distinct()
       // exact verify between representative token sets (size-ratio
-      // prefilter is implied by J>=t: |A|/|B| must be in [t, 1/t])
-      val verified = candidates
+      // prefilter is implied by J>=t: |A|/|B| must be in [t, 1/t]).
+      // Adaptive representation: when the corpus vocabulary fits in a
+      // 64-bit word, each set is a bitmask and jaccard becomes two
+      // bit_counts — identical integer ratios, ~100x cheaper per pair.
+      val vocabSize = tokDict.count()
+      val verified = if (vocabSize <= 62) {
+        val masks = expInt.groupBy("rep_id")
+          // tids are distinct per rep, so the sum of powers IS the bit-OR
+          .agg(sum(expr("shiftleft(cast(1 as bigint), tid - 1)")).as("mask"))
+        candidates
+          .join(broadcast(masks.select(col("rep_id").as("ra"), col("mask").as("ma"))), "ra")
+          .join(broadcast(masks.select(col("rep_id").as("rb"), col("mask").as("mb"))), "rb")
+          .withColumn("inter", bit_count(col("ma").bitwiseAND(col("mb"))))
+          .withColumn("uni", bit_count(col("ma").bitwiseOR(col("mb"))))
+          .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
+          .filter(col("jaccard") >= 0.8)
+          .select(col("ra"), col("rb"), col("jaccard"))
+      } else candidates
         .join(repsInt.select(col("rep_id").as("ra"), col("toks").as("a_toks")), "ra")
         .join(repsInt.select(col("rep_id").as("rb"), col("toks").as("b_toks")), "rb")
         .filter(size(col("a_toks")) >= size(col("b_toks")) * 0.8 - 0.5 &&

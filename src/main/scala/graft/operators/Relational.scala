@@ -482,6 +482,87 @@ object Relational {
              |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
              |  AND o_orderdate < TIMESTAMP '1996-01-01' + INTERVAL 6 MONTH
              |GROUP BY 1, 2
-             |ORDER BY y, m""".stripMargin))
+             |ORDER BY y, m""".stripMargin)),
+
+    // TPC-H Q2 shape: join-back to the per-group minimum (min acctbal
+    // customer per nation).
+    GQuery("q27_min_per_group_joinback",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val mins = c.groupBy(col("c_nationkey").as("mn_nationkey"))
+          .agg(min(col("c_acctbal")).as("min_bal"))
+        c.join(broadcast(mins),
+            col("c_nationkey") === col("mn_nationkey") &&
+              col("c_acctbal") === col("min_bal"))
+          .select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+          .orderBy("c_nationkey", "c_custkey")
+      },
+      Some("""SELECT c_nationkey, c_custkey, c_name, c_acctbal
+             |FROM customer c1
+             |WHERE c_acctbal = (SELECT MIN(c_acctbal) FROM customer c2
+             |                   WHERE c2.c_nationkey = c1.c_nationkey)
+             |ORDER BY c_nationkey, c_custkey""".stripMargin)),
+
+    // TPC-H Q11 shape: HAVING against a global scalar subquery fraction.
+    GQuery("q28_having_global_fraction",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val total = o.agg(Det.dsum(col("o_totalprice")).as("grand")).select("grand")
+        o.groupBy("o_custkey")
+          .agg(Det.dsum(col("o_totalprice")).as("cust_total"))
+          .crossJoin(broadcast(total))
+          .filter(col("cust_total") > col("grand") * 0.0005)
+          .select("o_custkey", "cust_total")
+          .orderBy("o_custkey")
+      },
+      Some(s"""SELECT o_custkey, ${Det.o.dsum("o_totalprice")} AS cust_total
+              |FROM orders
+              |GROUP BY o_custkey
+              |HAVING ${Det.o.dsum("o_totalprice")} >
+              |  (SELECT ${Det.o.dsum("o_totalprice")} FROM orders) * 0.0005
+              |ORDER BY o_custkey""".stripMargin)),
+
+    // TPC-H Q13 shape: distribution of customers by their order count
+    // (outer join + double aggregation).
+    GQuery("q29_double_aggregation",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, COUNT(*) AS custdist
+             |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |      GROUP BY c_custkey) t
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q22 full shape: prefix-blocked customers with above-average
+    // balances and no orders (avg scalar subquery + anti join).
+    GQuery("q30_tpch_q22_shape",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .withColumn("code", substring(col("c_name"), -1, 1))
+        val avgBal = c.filter(col("c_acctbal") > 0.0)
+          .agg((sum(Det.dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+        val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("code")
+          .agg(count(lit(1)).as("numcust"), Det.dsum(col("c_acctbal")).as("totacctbal"))
+          .orderBy("code")
+      },
+      Some(s"""SELECT substring(c_name, -1, 1) AS code, COUNT(*) AS numcust,
+              |  ${Det.o.dsum("c_acctbal")} AS totacctbal
+              |FROM customer c1
+              |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+              |                   FROM customer WHERE c_acctbal > 0.0)
+              |  AND NOT EXISTS (SELECT 1 FROM orders
+              |                  WHERE o_custkey = c1.c_custkey AND o_totalprice > 300000.0)
+              |GROUP BY 1
+              |ORDER BY code""".stripMargin))
   )
 }
