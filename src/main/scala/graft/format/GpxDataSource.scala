@@ -126,9 +126,10 @@ class GpxScanBuilder(fileSchema: StructType, roots: Seq[String])
     def statsUsable(name: String): Boolean = {
       val i = fileSchema.fieldIndex(name)
       val dt = fileSchema(i).dataType
-      // strings excluded: footer stats are truncated; float/double min/max
-      // and the whole integer family are exact
-      GpxFormat.isLongBacked(dt) || dt == DoubleType || dt == FloatType
+      // integer family only: always NaN-free and exact. Strings are
+      // truncated; float/double chunks may carry NaN (stats then marked
+      // unreliable, which planning time can't see) — not pushed.
+      GpxFormat.isLongBacked(dt)
     }
     val ok = agg.aggregateExpressions().forall {
       case _: CountStar => true

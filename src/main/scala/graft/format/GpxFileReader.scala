@@ -45,23 +45,19 @@ object GpxFileReader {
       if (i < rg.chunks.length) Some((rg.chunks(i).stats, schema(i).dataType))
       else None
     }
-    // types for which the writer always records stats — ONLY for these may
-    // hasValues=false be read as "chunk is all null"; wide decimals and
-    // binary write no stats, so their chunks must never be skipped
-    def statsCapable(dt: DataType): Boolean =
-      (isLongBacked(dt) || dt == FloatType || dt == DoubleType ||
-        dt == StringType) && !isWideDecimal(dt)
     def cmpBounds(col: String, v: Any)(test: (Int, Int) => Boolean): Boolean =
       statsOf(col) match {
+        case Some((s, _)) if !s.reliable => true // stats unusable: keep
         case Some((s, dt)) if s.hasValues =>
           boundsFor(v, dt, s) match {
             case Some((cmpMin, cmpMax)) => test(cmpMin, cmpMax)
             case None => true
           }
-        case Some((s, dt)) if statsCapable(dt) =>
-          // all-null chunk: value comparisons can never match
+        case Some(_) =>
+          // reliable && !hasValues => genuinely all-null chunk: value
+          // comparisons can never match
           false
-        case _ => true
+        case None => true
       }
     filter match {
       case EqualTo(c, v) => cmpBounds(c, v)((mn, mx) => mn <= 0 && mx >= 0)

@@ -189,25 +189,42 @@ final class GpxFileWriter(
     } else dt match {
       case FloatType =>
         val vals = floats(i)
-        var mn = Double.MaxValue; var mx = -Double.MaxValue; var any = false
+        var mn = Double.MaxValue; var mx = -Double.MaxValue
+        var any = false; var sawNaN = false
         var k = 0
         while (k < vals.length) {
-          if (!nullArr(k)) { val v = vals(k); if (v < mn) mn = v; if (v > mx) mx = v; any = true }
+          if (!nullArr(k)) {
+            val v = vals(k)
+            if (java.lang.Float.isNaN(v)) sawNaN = true
+            else { if (v < mn) mn = v; if (v > mx) mx = v; any = true }
+          }
           d.writeFloat(vals(k)); k += 1
         }
-        if (any) stats = stats.copy(hasValues = true, minDouble = mn, maxDouble = mx)
+        if (sawNaN) stats = stats.copy(reliable = false)
+        else if (any) stats = stats.copy(hasValues = true, minDouble = mn, maxDouble = mx)
       case DoubleType =>
         val vals = doubles(i)
-        var mn = Double.MaxValue; var mx = -Double.MaxValue; var any = false
+        var mn = Double.MaxValue; var mx = -Double.MaxValue
+        var any = false; var sawNaN = false
         var k = 0
         while (k < vals.length) {
-          if (!nullArr(k)) { val v = vals(k); if (v < mn) mn = v; if (v > mx) mx = v; any = true }
+          if (!nullArr(k)) {
+            val v = vals(k)
+            if (java.lang.Double.isNaN(v)) sawNaN = true
+            else { if (v < mn) mn = v; if (v > mx) mx = v; any = true }
+          }
           d.writeDouble(vals(k)); k += 1
         }
-        if (any) stats = stats.copy(hasValues = true, minDouble = mn, maxDouble = mx)
+        // NaN sorts ABOVE +Inf in Spark: finite min/max would wrongly
+        // prune range predicates that NaN rows satisfy
+        if (sawNaN) stats = stats.copy(reliable = false)
+        else if (any) stats = stats.copy(hasValues = true, minDouble = mn, maxDouble = mx)
       case bdt if bdt == StringType || bdt == BinaryType ||
           bdt.isInstanceOf[DecimalType] || isNumericArray(bdt) =>
         val vals = bytes(i)
+        // only strings get zone-map stats; other bytes-backed types must
+        // never be skipped on (absent) stats
+        if (bdt != StringType) stats = stats.copy(reliable = false)
         if (dt == StringType) {
           var mn: String = null; var mx: String = null
           var k = 0

@@ -33,17 +33,25 @@ object GpxFormat {
 
   val DefaultRowGroupRows: Int = 65536
 
-  /** Column-chunk statistics: typed min/max + null count (zone map). */
+  /** Column-chunk statistics: typed min/max + null count (zone map).
+    * `reliable=false` marks stats that must not drive skipping: float
+    * chunks containing NaN (Spark orders NaN above +Inf, so finite
+    * min/max would wrongly prune `col > huge` predicates), and types the
+    * writer records no stats for (wide decimal, binary, arrays).
+    * `hasValues=false && reliable` means the chunk is genuinely all-null. */
   final case class ChunkStats(
       hasValues: Boolean,
       minLong: Long, maxLong: Long, // integer family (incl. date/ts/decimal unscaled)
       minDouble: Double, maxDouble: Double, // float family
       minString: String, maxString: String, // string family (truncated)
-      nullCount: Long)
+      nullCount: Long,
+      reliable: Boolean = true)
 
   object ChunkStats {
     val empty: ChunkStats =
       ChunkStats(hasValues = false, 0L, 0L, 0.0, 0.0, "", "", 0L)
+    val unreliable: ChunkStats =
+      empty.copy(reliable = false)
   }
 
   final case class ChunkMeta(
@@ -101,6 +109,7 @@ object GpxFormat {
         out.writeDouble(s.minDouble); out.writeDouble(s.maxDouble)
         out.writeUTF(s.minString.take(64)); out.writeUTF(s.maxString.take(64))
         out.writeLong(s.nullCount)
+        out.writeBoolean(s.reliable)
       }
     }
   }
@@ -115,7 +124,7 @@ object GpxFormat {
         val off = in.readLong(); val len = in.readLong(); val enc = in.readByte()
         val stats = ChunkStats(in.readBoolean(),
           in.readLong(), in.readLong(), in.readDouble(), in.readDouble(),
-          in.readUTF(), in.readUTF(), in.readLong())
+          in.readUTF(), in.readUTF(), in.readLong(), in.readBoolean())
         ChunkMeta(off, len, enc, stats)
       }
       RowGroupMeta(numRows, chunks)

@@ -87,12 +87,13 @@ object FormatOps {
         .agg(count(lit(1)).as("n"),
           min(col("l_orderkey")).as("min_key"),
           max(col("l_orderkey")).as("max_key"),
-          min(col("l_extendedprice")).as("min_price"),
-          max(col("l_extendedprice")).as("max_price"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_suppkey")).as("max_supp"),
           count(col("l_quantity")).as("n_qty")),
       Some("""SELECT COUNT(*) AS n,
              |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
-             |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+             |  MIN(l_shipdate) AS min_ship,
+             |  MAX(l_suppkey) AS max_supp,
              |  COUNT(l_quantity) AS n_qty
              |FROM lineitem""".stripMargin)),
 

@@ -169,18 +169,39 @@ class FormatSpec extends GraftSpec {
     val dir = tmp()
     li.write.format("gpx").mode("overwrite").save(dir)
     val q = sp.read.format("gpx").load(dir)
-      .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_extendedprice")),
+      .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_suppkey")),
         count(col("l_quantity")))
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("GpxStatsScan"), plan)
     assert(q.head.toSeq == li.agg(count(lit(1)), min(col("l_orderkey")),
-      max(col("l_extendedprice")), count(col("l_quantity"))).head.toSeq)
+      max(col("l_suppkey")), count(col("l_quantity"))).head.toSeq)
+    // double min/max must NOT take the stats path (NaN chunks make footer
+    // float stats unreliable, invisible at planning time)
+    val qd = sp.read.format("gpx").load(dir).agg(max(col("l_extendedprice")))
+    assert(!qd.queryExecution.executedPlan.toString.contains("GpxStatsScan"))
+    assert(qd.head.toSeq == li.agg(max(col("l_extendedprice"))).head.toSeq)
     // grouped/filtered aggregates must NOT take the stats path
     val q2 = sp.read.format("gpx").load(dir)
       .filter(col("l_quantity") > 5).agg(min(col("l_orderkey")))
     assert(!q2.queryExecution.executedPlan.toString.contains("GpxStatsScan"))
     assert(q2.head.toSeq == li.filter(col("l_quantity") > 5)
       .agg(min(col("l_orderkey"))).head.toSeq)
+  }
+
+  test("NaN rows survive range predicates (NaN sorts above +Inf in Spark)") {
+    import sp.implicits._
+    // one row group holds only (NaN, huge) values; zone maps must not
+    // prune it for col > finite-threshold predicates
+    val df = ((0 until 100).map(i => (i, i.toDouble)) :+ (100, Double.NaN))
+      .toDF("id", "x")
+    val dir = tmp()
+    df.orderBy("id").coalesce(1).write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "50").save(dir)
+    val back = sp.read.format("gpx").load(dir)
+    // Spark semantics: NaN > 1e9 is TRUE
+    assert(back.filter(col("x") > 1e9).count() == 1)
+    assert(back.filter(col("x") > 98.5).count() == 2) // 99.0 and NaN
+    assert(back.filter(col("x") < 5.0).count() == 5)
   }
 
   test("all-null and empty-string zone maps don't mislead the skipper") {
