@@ -233,10 +233,35 @@ object Dedup {
               (col("x.sz") + col("y.sz")) * (t / (1 + t)) - 0.5)
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
-      candidates
-        .join(gInt.select(col("gd").as("a_id"), col("sids").as("a_s")), "a_id")
-        .join(gInt.select(col("gd").as("b_id"), col("sids").as("b_s")), "b_id")
-        .withColumn("jaccard", jaccard(col("a_s"), col("b_s")))
+      // multi-word bitset verify: with a dictionary of V grams, each set is
+      // ceil(V/64) longs; |A&B| / |A|B| are word-wise popcounts — identical
+      // integer ratios to the array intersect/union, ~2 orders cheaper per
+      // candidate pair. Falls back to array jaccard for huge vocabularies.
+      val vocabV = dict.count()
+      val nWords = ((vocabV + 63) / 64).toInt
+      val verify =
+        if (nWords <= 32) {
+          val wordCols = (0 until nWords).map { w =>
+            sum(when(((col("gid") - 1) / 64).cast("int") === w,
+              expr("shiftleft(cast(1 as bigint), (gid - 1) % 64)"))
+              .otherwise(0L)).as(s"w$w")
+          }
+          val masks = gidGrams.groupBy(col("doc_id"))
+            .agg(wordCols.head, wordCols.tail: _*)
+            .select(col("doc_id"), array((0 until nWords).map(w => col(s"w$w")): _*).as("m"))
+          val inter = expr(
+            "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)")
+          val uni = expr(
+            "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x | y)), 0, (acc, v) -> acc + v)")
+          candidates
+            .join(masks.select(col("doc_id").as("a_id"), col("m").as("ma")), "a_id")
+            .join(masks.select(col("doc_id").as("b_id"), col("m").as("mb")), "b_id")
+            .withColumn("jaccard", inter.cast(DoubleType) / uni)
+        } else candidates
+          .join(gInt.select(col("gd").as("a_id"), col("sids").as("a_s")), "a_id")
+          .join(gInt.select(col("gd").as("b_id"), col("sids").as("b_s")), "b_id")
+          .withColumn("jaccard", jaccard(col("a_s"), col("b_s")))
+      verify
         .filter(col("jaccard") >= t)
         .select(col("a_id"), col("b_id"), col("jaccard"))
         .orderBy("a_id", "b_id")
