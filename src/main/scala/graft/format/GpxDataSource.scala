@@ -242,15 +242,32 @@ final case class GpxInputPartition(
 class GpxScan(
     fileSchema: StructType,
     required: StructType,
-    filters: Array[Filter],
-    roots: Seq[String]) extends Scan with Batch with SupportsReportStatistics {
+    planningFilters: Array[Filter],
+    roots: Seq[String]) extends Scan with Batch
+  with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  /** planning-time filters plus any runtime (DPP-style) filters Spark
+    * injects after build sides materialize — the v2 analog of dynamic
+    * partition pruning; zone maps re-prune with the runtime IN-sets. */
+  @volatile private var filters: Array[Filter] = planningFilters
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GpxScan[${required.fieldNames.mkString(",")}] filters=${filters.mkString(";")}"
 
-  private lazy val keptRowGroups: Array[(String, Int, GpxFormat.RowGroupMeta)] = {
+  override def filterAttributes(): Array[NamedReference] =
+    // must reference only the scan's OUTPUT columns (Spark resolves these
+    // against readSchema, not the file schema)
+    required.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(runtime: Array[Filter]): Unit = {
+    filters = filters ++ runtime
+    GpxScan.runtimeFilterCalls.incrementAndGet()
+  }
+
+  private def computeKept(): Array[(String, Int, GpxFormat.RowGroupMeta)] = {
     val conf = new Configuration()
     GpxTable.listFiles(roots, conf).flatMap { f =>
       val footer = GpxFileReader.readFooter(f, conf)
@@ -262,8 +279,12 @@ class GpxScan(
     }.toArray
   }
 
+  // stats snapshot uses planning-time filters; partitions are planned
+  // AFTER runtime filters arrive, so they see the narrowed set
+  private lazy val keptRowGroups = computeKept()
+
   override def planInputPartitions(): Array[InputPartition] =
-    keptRowGroups.map { case (f, i, _) => GpxInputPartition(f, i) }
+    computeKept().map { case (f, i, _) => GpxInputPartition(f, i) }
 
   /** Footer-derived stats AFTER zone-map pruning, sized to the pruned
     * column set — feeds CBO/AQE broadcast decisions with real numbers
@@ -283,6 +304,11 @@ class GpxScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GpxReaderFactory(fileSchema, required)
+}
+
+object GpxScan {
+  /** observability hook for tests: counts runtime-filter injections */
+  val runtimeFilterCalls = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
 class GpxReaderFactory(fileSchema: StructType, required: StructType)

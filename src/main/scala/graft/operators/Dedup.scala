@@ -124,6 +124,7 @@ object Dedup {
       val repsInt = expInt.groupBy("rep_id")
         .agg(collect_list(col("tid")).as("toks"))
         .persist()
+      val sizes = repsInt.select(col("rep_id"), size(col("toks")).as("nt"))
       val mh = expInt.groupBy("rep_id").agg(
         min(xxhash64(lit(0), col("tid"))).as("mh0"),
         (1 until NumHashes).map(i => min(xxhash64(lit(i), col("tid"))).as(s"mh$i")): _*)
@@ -131,9 +132,15 @@ object Dedup {
         struct(lit(b).as("band") +:
           (0 until BandR).map(r => col(s"mh${BandR * b + r}").as(s"h$r")): _*)
       }
-      val banded = mh.select(col("rep_id"), explode(array(bandCols: _*)).as("bk"))
+      val banded = mh.join(sizes, "rep_id")
+        .select(col("rep_id"), col("nt"), explode(array(bandCols: _*)).as("bk"))
+      // size-ratio bound applied INSIDE the band join: J>=0.8 forces
+      // |A|/|B| in [0.8, 1.25], so dropping these rows before the distinct
+      // cannot lose a true pair (verify applies the same bound)
       val candidates = banded.as("x").join(banded.as("y"),
-          col("x.bk") === col("y.bk") && col("x.rep_id") < col("y.rep_id"))
+          col("x.bk") === col("y.bk") && col("x.rep_id") < col("y.rep_id") &&
+            col("x.nt") >= col("y.nt") * 0.8 - 0.5 &&
+            col("y.nt") >= col("x.nt") * 0.8 - 0.5)
         .select(col("x.rep_id").as("ra"), col("y.rep_id").as("rb"))
         .distinct()
       // exact verify between representative token sets (size-ratio
