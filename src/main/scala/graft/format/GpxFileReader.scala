@@ -227,11 +227,29 @@ object GpxFileReader {
           k += 1
         }
       case DoubleType =>
-        var k = 0
-        while (k < numRows) {
-          val x = d.readDouble()
-          if (isNull(k)) v.putNull(k) else v.putDouble(k, x)
-          k += 1
+        if (encoding == EncScaledDouble) {
+          val p = math.pow(10, d.readByte().toInt)
+          val base = d.readLong()
+          val width = d.readByte()
+          var k = 0
+          while (k < numRows) {
+            val delta = width match {
+              case 1 => (d.readByte() & 0xffL)
+              case 2 => (d.readShort() & 0xffffL)
+              case 4 => (d.readInt() & 0xffffffffL)
+              case 8 => d.readLong()
+            }
+            if (isNull(k)) v.putNull(k)
+            else v.putDouble(k, (base + delta) / p)
+            k += 1
+          }
+        } else {
+          var k = 0
+          while (k < numRows) {
+            val x = d.readDouble()
+            if (isNull(k)) v.putNull(k) else v.putDouble(k, x)
+            k += 1
+          }
         }
       case ArrayType(et, _) => // VECTOR: count | null-bitmap | packed values
         val child = v.arrayData()

@@ -213,12 +213,76 @@ final class GpxFileWriter(
             if (java.lang.Double.isNaN(v)) sawNaN = true
             else { if (v < mn) mn = v; if (v > mx) mx = v; any = true }
           }
-          d.writeDouble(vals(k)); k += 1
+          k += 1
         }
         // NaN sorts ABOVE +Inf in Spark: finite min/max would wrongly
         // prune range predicates that NaN rows satisfy
         if (sawNaN) stats = stats.copy(reliable = false)
         else if (any) stats = stats.copy(hasValues = true, minDouble = mn, maxDouble = mx)
+
+        // scaled-decimal probe: many real-world measure columns are
+        // fixed-point (money, ratings). If every value is bit-exactly
+        // k/10^s for some s<=4 and |k| < 2^52, store the ints FOR-packed.
+        var scale = -1
+        if (!sawNaN) {
+          var s2 = 0
+          while (scale < 0 && s2 <= 4) {
+            val p = math.pow(10, s2)
+            var ok = true
+            var k2 = 0
+            while (ok && k2 < vals.length) {
+              if (!nullArr(k2)) {
+                val v = vals(k2)
+                val scaled = Math.rint(v * p)
+                // NB: double == treats -0.0 == 0.0 — but decode would
+                // produce +0.0, so negative zero must stay plain-encoded
+                ok = math.abs(scaled) < (1L << 52) && scaled / p == v &&
+                  !(v == 0.0 && java.lang.Double.doubleToRawLongBits(v) != 0L)
+              }
+              k2 += 1
+            }
+            if (ok) scale = s2 else s2 += 1
+          }
+        }
+        if (scale >= 0 && vals.nonEmpty) {
+          encoding = EncScaledDouble
+          val p = math.pow(10, scale)
+          val longsV = new Array[Long](vals.length)
+          var k2 = 0
+          var lmn = Long.MaxValue
+          while (k2 < vals.length) {
+            longsV(k2) = if (nullArr(k2)) 0L else Math.rint(vals(k2) * p).toLong
+            if (longsV(k2) < lmn) lmn = longsV(k2)
+            k2 += 1
+          }
+          var lmx = Long.MinValue
+          k2 = 0
+          while (k2 < vals.length) { if (longsV(k2) > lmx) lmx = longsV(k2); k2 += 1 }
+          // rewrite null placeholders to the base so deltas stay >= 0
+          k2 = 0
+          while (k2 < vals.length) { if (nullArr(k2)) longsV(k2) = lmn; k2 += 1 }
+          val range = lmx - lmn
+          val width =
+            if (range < 0) 8
+            else if (range < 256L) 1 else if (range < 65536L) 2
+            else if (range < 4294967296L) 4 else 8
+          d.writeByte(scale)
+          d.writeLong(lmn); d.writeByte(width)
+          k2 = 0
+          while (k2 < vals.length) {
+            val delta = longsV(k2) - lmn
+            width match {
+              case 1 => d.writeByte(delta.toInt)
+              case 2 => d.writeShort(delta.toInt)
+              case 4 => d.writeInt(delta.toInt)
+              case 8 => d.writeLong(delta)
+            }
+            k2 += 1
+          }
+        } else {
+          k = 0
+          while (k < vals.length) { d.writeDouble(vals(k)); k += 1 }
+        }
       case bdt if bdt == StringType || bdt == BinaryType ||
           bdt.isInstanceOf[DecimalType] || isNumericArray(bdt) =>
         val vals = bytes(i)

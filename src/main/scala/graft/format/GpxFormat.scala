@@ -30,6 +30,10 @@ object GpxFormat {
   /** frame-of-reference packing: base:i64 width:u8 then width-byte
     * big-endian unsigned deltas (integer family) */
   val EncForPacked: Byte = 3
+  /** doubles that are exactly k/10^s for s<=4: scale:u8 then the longs k
+    * FOR-packed (base:i64 width:u8 deltas). Decode k/10^s is bit-exact
+    * because each stored double was the nearest-double of k/10^s. */
+  val EncScaledDouble: Byte = 4
 
   val DefaultRowGroupRows: Int = 65536
 

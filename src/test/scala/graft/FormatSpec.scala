@@ -188,6 +188,23 @@ class FormatSpec extends GraftSpec {
       .agg(min(col("l_orderkey"))).head.toSeq)
   }
 
+  test("scaled-double encoding engages on fixed-point measure columns") {
+    val li = Tables.lineitem(sp, sf)
+    val dir = tmp()
+    li.coalesce(1).write.format("gpx").mode("overwrite").save(dir)
+    val conf = new Configuration()
+    val file = graft.format.GpxTable.listFiles(Seq(dir), conf).head
+    val footer = GpxFileReader.readFooter(file, conf)
+    val priceIdx = footer.schema.fieldIndex("l_extendedprice")
+    assert(footer.rowGroups.head.chunks(priceIdx).encoding ==
+      GpxFormat.EncScaledDouble)
+    // exact-sum equality proves bit-exact decode
+    val a = sp.read.format("gpx").load(dir)
+      .agg(sum(graft.Det.dec(col("l_extendedprice")))).head.getDecimal(0)
+    val b = li.agg(sum(graft.Det.dec(col("l_extendedprice")))).head.getDecimal(0)
+    assert(a == b)
+  }
+
   test("NaN rows survive range predicates (NaN sorts above +Inf in Spark)") {
     import sp.implicits._
     // one row group holds only (NaN, huge) values; zone maps must not
