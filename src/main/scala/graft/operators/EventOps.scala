@@ -149,6 +149,31 @@ object EventOps {
              |  MIN(k) AS min_k, MAX(k) AS max_k
              |FROM (SELECT CAST(replace(replace(props, '{"k": ', ''), '}', '') AS INT) AS k
              |      FROM events) t
-             |GROUP BY 1 ORDER BY k_bucket""".stripMargin))
+             |GROUP BY 1 ORDER BY k_bucket""".stripMargin)),
+
+    // ClickBench-style top-N entities by aggregate measure.
+    GQuery("e07_top_users_by_value", (s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .agg(Det.dsum(col("value")).as("total_value"), count(lit(1)).as("n"))
+        .orderBy(col("total_value").desc, col("user_id"))
+        .limit(10),
+      Some(s"""SELECT user_id, ${Det.o.dsum("value")} AS total_value, COUNT(*) AS n
+              |FROM events GROUP BY user_id
+              |ORDER BY total_value DESC, user_id LIMIT 10""".stripMargin)),
+
+    // ClickBench-style engagement histogram: users bucketed by how many
+    // distinct event types they produced.
+    GQuery("e08_event_type_diversity", (s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .agg(countDistinct(col("event_type")).as("n_types"))
+        .groupBy("n_types")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("n_types"),
+      Some("""SELECT n_types, COUNT(*) AS n_users
+             |FROM (SELECT user_id, COUNT(DISTINCT event_type) AS n_types
+             |      FROM events GROUP BY user_id) t
+             |GROUP BY n_types ORDER BY n_types""".stripMargin))
   )
 }

@@ -83,6 +83,31 @@ class StreamingSpec extends GraftSpec {
     assert(click.getAs[Long]("n") == 2)
   }
 
+  test("streaming exact dedup: dropDuplicates with watermark drops replays") {
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = sp.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = source.toDF().toDF("ts", "doc_id", "fp")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("fp") // content-fingerprint dedup on the stream
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    source.addData(
+      (t("2024-01-01 00:01:00"), 1L, "aaa"),
+      (t("2024-01-01 00:02:00"), 2L, "bbb"))
+    q.processAllAvailable()
+    source.addData(
+      (t("2024-01-01 00:03:00"), 3L, "aaa"), // replayed content
+      (t("2024-01-01 00:04:00"), 4L, "ccc"))
+    q.processAllAvailable()
+    val rows = sp.table("dedup_stream").collect()
+    q.stop()
+    assert(rows.length == 3) // aaa kept once, bbb, ccc
+    assert(rows.map(_.getAs[String]("fp")).sorted.toSeq == Seq("aaa", "bbb", "ccc"))
+  }
+
   test("salted join equals plain join on skewed data") {
     import sp.implicits._
     import org.apache.spark.sql.functions._
