@@ -1,0 +1,66 @@
+package graft
+
+import graft.format.{GpxFileReader, GpxTable}
+import org.apache.hadoop.conf.Configuration
+
+/** Command-line driver — the analog of pixels-cli's LOAD / COMPACT / STAT /
+  * QUERY commands (pixels-cli, docs/TPC-H.md:38-115), spark-submit-able.
+  *
+  *   LOAD <parquetPathOrDir> <gpxDir> [rowGroupRows]   parquet -> gpx
+  *   COMPACT <inDir> <outDir> [targetMB]               ordered -> compact
+  *   STAT <gpxDirOrFile>                               footer/zone-map dump
+  *   QUERY <sql> [warehouseDir]                        SQL via graft catalog
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: Cli LOAD|COMPACT|STAT|QUERY ...")
+    args(0).toUpperCase match {
+      case "LOAD" =>
+        val spark = Tables.localSession(8)
+        val rg = if (args.length > 3) args(3).toInt else format.GpxFormat.DefaultRowGroupRows
+        spark.read.parquet(args(1)).write.format("gpx")
+          .option("rowGroupRows", rg.toString).mode("overwrite").save(args(2))
+        val n = spark.read.format("gpx").load(args(2)).count()
+        println(s"LOADED $n rows -> ${args(2)}")
+        spark.stop()
+
+      case "COMPACT" =>
+        val spark = Tables.localSession(8)
+        val target = if (args.length > 3) args(3).toLong * 1024 * 1024 else 128L * 1024 * 1024
+        val res = Compactor.compact(spark, args(1), args(2), target)
+        println(s"COMPACTED ${res.inputFiles} files -> ${res.outputFiles} (${res.rows} rows)")
+        spark.stop()
+
+      case "STAT" =>
+        val conf = new Configuration()
+        GpxTable.listFiles(Seq(args(1)), conf).foreach { f =>
+          val footer = GpxFileReader.readFooter(f, conf)
+          val rows = footer.rowGroups.map(_.numRows.toLong).sum
+          println(s"$f: ${footer.rowGroups.length} row groups, $rows rows")
+          println(s"  schema: ${footer.schema.toDDL}")
+          footer.rowGroups.zipWithIndex.take(3).foreach { case (rg, i) =>
+            val encs = rg.chunks.zipWithIndex.map { case (c, ci) =>
+              val name = footer.schema(ci).name
+              val enc = c.encoding match {
+                case 0 => "plain"; case 1 => "rle"; case 2 => "dict"
+                case 3 => "for"; case 4 => "sdec"; case e => s"enc$e"
+              }
+              s"$name=$enc"
+            }.mkString(" ")
+            println(s"  rg$i (${rg.numRows} rows): $encs")
+          }
+        }
+
+      case "QUERY" =>
+        val spark = Tables.localSession(8)
+        if (args.length > 2) {
+          spark.conf.set("spark.sql.catalog.graft", "graft.format.GpxCatalog")
+          spark.conf.set("spark.sql.catalog.graft.warehouse", args(2))
+        }
+        spark.sql(args(1)).show(50, false)
+        spark.stop()
+
+      case other => sys.error(s"unknown command $other")
+    }
+  }
+}

@@ -110,6 +110,23 @@ object TextOps {
              |FROM documents GROUP BY lang
              |ORDER BY lang""".stripMargin)),
 
+    // PII-style scrubbing: mask digit runs and long tokens via portable
+    // string surgery (translate digits to '#'), report scrub statistics.
+    GQuery("t05_scrub", (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("scrubbed", translate(col("text"), "0123456789", "##########"))
+        .withColumn("n_digits",
+          (length(col("text")) -
+            length(expr("translate(text, '0123456789', '')"))).cast(IntegerType))
+        .select(col("doc_id"), col("n_digits"),
+          substring(col("scrubbed"), 1, 40).as("scrub_prefix"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(length(text) - length(translate(text, '0123456789', '')) AS INT) AS n_digits,
+             |  substring(translate(text, '0123456789', '##########'), 1, 40) AS scrub_prefix
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
     // Document fingerprinting: md5 of normalized text + per-source dup stats.
     GQuery("t04_fingerprint", (s, d) =>
       Tables.documents(s, d)
