@@ -124,6 +124,40 @@ object VectorOps {
         .orderBy("q_id", "rank")
     }, None),
 
+    // Random-hyperplane LSH near-dup pairs — the 100 TB scale path for
+    // v01's semantics: T tables of B sign-bits bucket the vectors; only
+    // same-bucket pairs are exact-verified with the codegen'd cosine.
+    // Precision is exact (every emitted pair passes the true threshold);
+    // recall is probabilistic — rows-only gate, measured in VectorOpsSpec.
+    GQuery("v05_cosine_pairs_lsh", (s, d) => {
+      val Tables_ = 16; val Bits = 8; val Dim = 64
+      val rnd = new scala.util.Random(42)
+      val planes = Array.fill(Tables_, Bits, Dim)(rnd.nextGaussian())
+      val e = vecs(s, d)
+      val sigCols = (0 until Tables_).map { t =>
+        val sig = (0 until Bits).map { b =>
+          val hSql = planes(t)(b)
+            .map(x => s"cast($x as double)").mkString("array(", ",", ")")
+          when(expr(s"aggregate(zip_with(v, $hSql, (x, y) -> x * y), " +
+            "cast(0 as double), (acc, x) -> acc + x)") > 0, 1 << b).otherwise(0)
+        }.reduce(_ + _)
+        struct(lit(t).as("t"), sig.as("sig"))
+      }
+      val banded = e.select(col("vec_id"), col("v"), col("norm"),
+        explode(array(sigCols: _*)).as("bk"))
+      val candidates = banded.as("a").join(banded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+        .distinct()
+      val withVec = candidates
+        .join(e.select(col("vec_id").as("a_id"), col("v").as("av")), "a_id")
+        .join(e.select(col("vec_id").as("b_id"), col("v").as("bv")), "b_id")
+        .withColumn("cos", graft.functions.VectorFunctions.cos_sim(col("av"), col("bv")))
+        .filter(col("cos") >= 0.4)
+      withVec.select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("a_id", "b_id")
+    }, None),
+
     // Vector stats per label cluster — exact decimal aggregation of the
     // first component plus norms (sanity surface for the VECTOR type).
     GQuery("v04_vector_stats", (s, d) =>

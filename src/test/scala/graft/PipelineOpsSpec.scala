@@ -51,6 +51,16 @@ class VectorOpsSpec extends GraftSpec {
     assert(df.groupBy("q_id").count().filter(col("count") =!= 5).count() == 0)
   }
 
+  test("v05 lsh pairs: exact precision vs brute force, recall measured") {
+    val brute = run("v01_cosine_pairs_brute").select("a_id", "b_id").cache()
+    val lsh = run("v05_cosine_pairs_lsh").select("a_id", "b_id").cache()
+    // precision must be exact: every LSH pair passes the true threshold
+    assert(lsh.exceptAll(brute).count() == 0)
+    val recall = lsh.count().toDouble / math.max(1, brute.count())
+    info(s"v05 recall vs brute = $recall")
+    assert(recall >= 0.2, s"recall=$recall")
+  }
+
   test("v03 knn ivf: recall@5 vs brute force (4/10 probes on uniform data)") {
     val brute = run("v02_knn_brute").select("q_id", "n_id")
     val ivf = run("v03_knn_ivf").select("q_id", "n_id")
