@@ -136,10 +136,11 @@ object VectorOps {
       val e = vecs(s, d)
       val sigCols = (0 until Tables_).map { t =>
         val sig = (0 until Bits).map { b =>
-          val hSql = planes(t)(b)
-            .map(x => s"cast($x as double)").mkString("array(", ",", ")")
-          when(expr(s"aggregate(zip_with(v, $hSql, (x, y) -> x * y), " +
-            "cast(0 as double), (acc, x) -> acc + x)") > 0, 1 << b).otherwise(0)
+          // sign(dot(v, h)) == sign(cos(v, h)) — reuse the codegen'd
+          // cosine expression instead of an interpreted lambda fold
+          val h = typedlit(planes(t)(b).toSeq)
+          when(graft.functions.VectorFunctions.cos_sim(col("v"), h) > 0,
+            1 << b).otherwise(0)
         }.reduce(_ + _)
         struct(lit(t).as("t"), sig.as("sig"))
       }
