@@ -67,6 +67,38 @@ object GpxTable {
         .filter(_.getPath.getName.endsWith(".gpx"))
         .map(_.getPath.toString).toSeq
     }
+
+  /** Bucket layout sidecar (reference: hash-partitioned files,
+    * PixelsWriterImpl.addRowBatch(batch, hashValue) + partitioned flag in
+    * the PostScript). Format: "<column>\n<numBuckets>". */
+  case class BucketSpec(column: String, numBuckets: Int)
+
+  def readBucketSpec(root: String, conf: Configuration): Option[BucketSpec] = {
+    val p = new Path(root, "_bucketspec")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val Array(c, n) = txt.trim.split("\n")
+      Some(BucketSpec(c, n.toInt))
+    }
+  }
+
+  /** engine-portable bucket id for a long key (documented hash; the same
+    * function routes writes and prunes reads) */
+  def bucketOf(key: Long, n: Int): Int = {
+    val h = java.lang.Long.hashCode(key * -7046029254386353131L)
+    ((h % n) + n) % n
+  }
+
+  /** bucket id extracted from a bucketed file name part-*-bN.gpx */
+  def bucketOfFile(path: String): Option[Int] = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    val m = "-b(\\d+)\\.gpx$".r.findFirstMatchIn(name)
+    m.map(_.group(1).toInt)
+  }
 }
 
 class GpxTable(schema: StructType, roots: Seq[String])
@@ -84,7 +116,11 @@ class GpxTable(schema: StructType, roots: Seq[String])
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val rgRows = Option(info.options.get("rowGroupRows"))
       .map(_.toInt).getOrElse(GpxFormat.DefaultRowGroupRows)
-    new GpxWriteBuilder(info.schema(), roots.head, rgRows)
+    val bucket = for {
+      c <- Option(info.options.get("bucketBy"))
+      n <- Option(info.options.get("numBuckets"))
+    } yield GpxTable.BucketSpec(c, n.toInt)
+    new GpxWriteBuilder(info.schema(), roots.head, rgRows, bucket)
   }
 }
 
@@ -267,14 +303,44 @@ class GpxScan(
     GpxScan.runtimeFilterCalls.incrementAndGet()
   }
 
+  /** eligible bucket ids when the table is bucketed and the filters pin
+    * the bucket column to specific keys (point lookup / IN list). */
+  private def eligibleBuckets(conf: Configuration): Option[Set[Int]] =
+    roots.headOption.flatMap(GpxTable.readBucketSpec(_, conf)).flatMap { spec =>
+      def keysOf(f: Filter): Option[Set[Long]] = f match {
+        case org.apache.spark.sql.sources.EqualTo(c, v: Number)
+          if c == spec.column => Some(Set(v.longValue()))
+        case org.apache.spark.sql.sources.In(c, vs) if c == spec.column &&
+          vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+          Some(vs.map(_.asInstanceOf[Number].longValue()).toSet)
+        case org.apache.spark.sql.sources.And(l, r) =>
+          (keysOf(l), keysOf(r)) match {
+            case (Some(a), Some(b)) => Some(a.intersect(b))
+            case (a, b) => a.orElse(b)
+          }
+        case _ => None
+      }
+      filters.flatMap(keysOf).reduceOption(_ intersect _)
+        .map(_.map(GpxTable.bucketOf(_, spec.numBuckets)))
+    }
+
   private def computeKept(): Array[(String, Int, GpxFormat.RowGroupMeta)] = {
     val conf = new Configuration()
+    val buckets = eligibleBuckets(conf)
     GpxTable.listFiles(roots, conf).flatMap { f =>
-      val footer = GpxFileReader.readFooter(f, conf)
-      footer.rowGroups.indices.flatMap { i =>
-        val rg = footer.rowGroups(i)
-        val keep = filters.forall(GpxFileReader.mayMatch(_, fileSchema, rg))
-        if (keep) Some((f, i, rg)) else None
+      // bucket pruning: skip whole files whose bucket can't hold the keys
+      val bucketOk = (buckets, GpxTable.bucketOfFile(f)) match {
+        case (Some(elig), Some(b)) => elig.contains(b)
+        case _ => true
+      }
+      if (!bucketOk) Seq.empty
+      else {
+        val footer = GpxFileReader.readFooter(f, conf)
+        footer.rowGroups.indices.flatMap { i =>
+          val rg = footer.rowGroups(i)
+          val keep = filters.forall(GpxFileReader.mayMatch(_, fileSchema, rg))
+          if (keep) Some((f, i, rg)) else None
+        }
       }
     }.toArray
   }
@@ -342,7 +408,8 @@ class GpxReaderFactory(fileSchema: StructType, required: StructType)
 
 // ---------------- write path ----------------
 
-class GpxWriteBuilder(schema: StructType, path: String, rgRows: Int)
+class GpxWriteBuilder(schema: StructType, path: String, rgRows: Int,
+    bucket: Option[GpxTable.BucketSpec])
   extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -350,22 +417,30 @@ class GpxWriteBuilder(schema: StructType, path: String, rgRows: Int)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GpxBatchWrite(schema, path, doTruncate, rgRows)
+      new GpxBatchWrite(schema, path, doTruncate, rgRows, bucket)
   }
 }
 
-class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean, rgRows: Int)
+class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
+    rgRows: Int, bucket: Option[GpxTable.BucketSpec])
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = new Configuration()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
     if (truncate) {
-      val conf = new Configuration()
-      val p = new Path(path)
-      val fs = p.getFileSystem(conf)
       if (fs.exists(p)) fs.delete(p, true)
       fs.mkdirs(p)
     }
-    GpxWriterFactory(schema, path, rgRows)
+    bucket.foreach { b =>
+      require(schema.fieldNames.contains(b.column), s"bucket column ${b.column}")
+      fs.mkdirs(p)
+      val out = fs.create(new Path(p, "_bucketspec"), true)
+      try out.write(s"${b.column}\n${b.numBuckets}".getBytes("UTF-8"))
+      finally out.close()
+    }
+    GpxWriterFactory(schema, path, rgRows, bucket)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -374,17 +449,54 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean, rgRows:
 
 final case class GpxCommit(file: String) extends WriterCommitMessage
 
-final case class GpxWriterFactory(schema: StructType, path: String, rgRows: Int)
+final case class GpxWriterFactory(schema: StructType, path: String, rgRows: Int,
+    bucket: Option[GpxTable.BucketSpec])
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    val file = s"$path/part-$partitionId-$taskId.gpx"
-    val w = new GpxFileWriter(file, schema, new Configuration(), rgRows)
-    new DataWriter[InternalRow] {
-      override def write(record: InternalRow): Unit = w.addRow(record)
-      override def commit(): WriterCommitMessage = { w.close(); GpxCommit(file) }
-      override def abort(): Unit = w.abort()
-      override def close(): Unit = ()
+    val conf = new Configuration()
+    bucket match {
+      case None =>
+        val file = s"$path/part-$partitionId-$taskId.gpx"
+        val w = new GpxFileWriter(file, schema, conf, rgRows)
+        new DataWriter[InternalRow] {
+          override def write(record: InternalRow): Unit = w.addRow(record)
+          override def commit(): WriterCommitMessage = { w.close(); GpxCommit(file) }
+          override def abort(): Unit = w.abort()
+          override def close(): Unit = ()
+        }
+      case Some(b) =>
+        // hash-partitioned write: route each row to a per-bucket file
+        // (reference PixelsWriterImpl.addRowBatch(batch, hashValue) :481)
+        val keyIdx = schema.fieldIndex(b.column)
+        val keyDt = schema(keyIdx).dataType
+        val writers = new Array[GpxFileWriter](b.numBuckets)
+        new DataWriter[InternalRow] {
+          override def write(record: InternalRow): Unit = {
+            val key: Long =
+              if (record.isNullAt(keyIdx)) 0L
+              else keyDt match {
+                case LongType => record.getLong(keyIdx)
+                case IntegerType | DateType => record.getInt(keyIdx).toLong
+                case ShortType => record.getShort(keyIdx).toLong
+                case ByteType => record.getByte(keyIdx).toLong
+                case other =>
+                  throw new IllegalArgumentException(s"bucketBy $other unsupported")
+              }
+            val bk = GpxTable.bucketOf(key, b.numBuckets)
+            if (writers(bk) == null)
+              writers(bk) = new GpxFileWriter(
+                s"$path/part-$partitionId-$taskId-b$bk.gpx", schema, conf, rgRows)
+            writers(bk).addRow(record)
+          }
+          override def commit(): WriterCommitMessage = {
+            writers.foreach(w => if (w != null) w.close())
+            GpxCommit(s"$path/part-$partitionId-$taskId")
+          }
+          override def abort(): Unit =
+            writers.foreach(w => if (w != null) w.abort())
+          override def close(): Unit = ()
+        }
     }
   }
 }

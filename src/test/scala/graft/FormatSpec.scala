@@ -221,6 +221,33 @@ class FormatSpec extends GraftSpec {
     assert(back.filter(col("x") < 5.0).count() == 5)
   }
 
+  test("bucketed writes + bucket pruning on point lookups") {
+    val o = Tables.orders(sp, sf)
+    val dir = tmp()
+    o.repartition(4).write.format("gpx").mode("overwrite")
+      .option("bucketBy", "o_orderkey").option("numBuckets", "8")
+      .option("rowGroupRows", "200").save(dir)
+    val back = sp.read.format("gpx").load(dir)
+    // full-table correctness through the bucketed layout
+    assert(back.count() == o.count())
+    assert(back.exceptAll(o).count() == 0)
+    // point lookup plans only the key's bucket files
+    val conf = new Configuration()
+    val allFiles = graft.format.GpxTable.listFiles(Seq(dir), conf)
+    val lookups = back.filter(col("o_orderkey") === 42L)
+    val parts = lookups.queryExecution.executedPlan.collectLeaves()
+      .head.asInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]
+      .inputPartitions
+    val touchedFiles = parts.map(_.asInstanceOf[graft.format.GpxInputPartition].path).distinct
+    val expectedBucket = graft.format.GpxTable.bucketOf(42L, 8)
+    assert(touchedFiles.forall(f =>
+      graft.format.GpxTable.bucketOfFile(f).contains(expectedBucket)),
+      s"touched $touchedFiles")
+    assert(touchedFiles.size < allFiles.size)
+    // and the lookup is correct
+    assert(lookups.count() == o.filter(col("o_orderkey") === 42L).count())
+  }
+
   test("runtime filtering (DPP analog): join keys injected into the scan") {
     import sp.implicits._
     val fact = Tables.orders(sp, sf)
