@@ -23,6 +23,10 @@ import java.io.{DataInputStream, DataOutputStream}
 object GpxFormat {
   val Magic: Array[Byte] = "GPX1".getBytes("UTF-8")
 
+  /** bumped on any footer/encoding layout change; cache dirs embed it so
+    * files written by an older writer are never misread */
+  val FormatVersion: Int = 3
+
   // encodings
   val EncPlain: Byte = 0
   val EncRleLong: Byte = 1

@@ -16,7 +16,8 @@ object FormatOps {
   private def gpx(s: SparkSession, d: String, table: String,
       sortCol: Option[String] = None, rgRows: Int = 8192): DataFrame = {
     val key = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gpx/${table}_$key"
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gpx" +
+      s"/v${graft.format.GpxFormat.FormatVersion}/${table}_$key"
     val marker = new java.io.File(s"$dir/_done")
     if (!marker.exists()) {
       val src = Tables.t(s, d, table)
