@@ -113,14 +113,30 @@ object Dedup {
         .persist() // reused by reps, the verify joins, and both expansions
       val reps = groups.select(col("rep_id"), col("toks"))
       val exploded = reps.select(col("rep_id"), explode(col("toks")).as("tok"))
-      // dictionary-encode tokens to dense ints: minhashing and the verify
-      // intersections run over ints instead of strings (a bijection — the
-      // jaccard values and LSH recall analysis are unchanged)
-      val tokDict = exploded.select(col("tok")).distinct()
-        .withColumn("tid", row_number().over(Window.orderBy(col("tok"))))
-      val expInt = exploded.join(broadcast(tokDict), "tok")
-        .select(col("rep_id"), col("tid"))
-        .persist()
+      // dictionary-encode tokens to ints: minhashing and the verify
+      // intersections run over ints instead of strings. Ids are xxhash64 —
+      // computed inline per row, fully parallel (a global
+      // row_number().over(Window.orderBy(...)) would funnel the entire
+      // vocabulary through ONE partition, the textbook Spark scale-killer).
+      // Injectivity (the bijection every jaccard count relies on) is
+      // verified with one vocabulary-sized aggregate; on the astronomically
+      // unlikely 64-bit collision we fall back to dense ids from RDD
+      // zipWithIndex, which is also partition-parallel.
+      val hashed = exploded.withColumn("tid", xxhash64(col("tok")))
+      val vocabRow = hashed
+        .agg(countDistinct(col("tok")).as("ntok"), countDistinct(col("tid")).as("ntid"))
+        .head()
+      val vocabSize = vocabRow.getLong(0)
+      val expInt = (if (vocabSize == vocabRow.getLong(1)) {
+        hashed.select(col("rep_id"), col("tid"))
+      } else {
+        val dense = s.createDataFrame(
+          exploded.select(col("tok")).distinct().rdd
+            .map(_.getString(0)).zipWithIndex()
+            .map { case (t, i) => org.apache.spark.sql.Row(t, i + 1L) },
+          new StructType().add("tok", StringType).add("tid", LongType))
+        exploded.join(dense, "tok").select(col("rep_id"), col("tid"))
+      }).persist()
       val repsInt = expInt.groupBy("rep_id")
         .agg(collect_list(col("tid")).as("toks"))
         .persist()
@@ -148,14 +164,23 @@ object Dedup {
       // Adaptive representation: when the corpus vocabulary fits in a
       // 64-bit word, each set is a bitmask and jaccard becomes two
       // bit_counts — identical integer ratios, ~100x cheaper per pair.
-      val vocabSize = tokDict.count()
       val verified = if (vocabSize <= 62) {
-        val masks = expInt.groupBy("rep_id")
-          // tids are distinct per rep, so the sum of powers IS the bit-OR
-          .agg(sum(expr("shiftleft(cast(1 as bigint), tid - 1)")).as("mask"))
+        // map the <=62 sparse tids to dense bit positions via a collected,
+        // sorted table — bounded by the gate, so the collect and the
+        // broadcast are provably tiny at any corpus size
+        val tids = expInt.select(col("tid")).distinct().orderBy(col("tid"))
+          .collect().map(_.getLong(0))
+        val posDf = broadcast(s.createDataFrame(
+          s.sparkContext.parallelize(tids.zipWithIndex.toSeq.map {
+            case (t, i) => org.apache.spark.sql.Row(t, i + 1)
+          }, 1),
+          new StructType().add("tid", LongType).add("pos", IntegerType)))
+        val masks = expInt.join(posDf, "tid").groupBy("rep_id")
+          // positions are distinct per rep, so the sum of powers IS the bit-OR
+          .agg(sum(expr("shiftleft(cast(1 as bigint), pos - 1)")).as("mask"))
         candidates
-          .join(broadcast(masks.select(col("rep_id").as("ra"), col("mask").as("ma"))), "ra")
-          .join(broadcast(masks.select(col("rep_id").as("rb"), col("mask").as("mb"))), "rb")
+          .join(masks.select(col("rep_id").as("ra"), col("mask").as("ma")), "ra")
+          .join(masks.select(col("rep_id").as("rb"), col("mask").as("mb")), "rb")
           .withColumn("inter", bit_count(col("ma").bitwiseAND(col("mb"))))
           .withColumn("uni", bit_count(col("ma").bitwiseOR(col("mb"))))
           .withColumn("jaccard", col("inter").cast(DoubleType) / col("uni"))
@@ -205,15 +230,32 @@ object Dedup {
         .persist() // tokenized grams feed the prefix pass + 2 verify joins
       val grams = g.select(col("doc_id"), col("lang"), col("sz"),
         explode(col("s")).as("gram"))
-      // dictionary-encode grams to dense ints: join keys and the verify
+      // dictionary-encode grams to ints: join keys and the verify
       // intersections then run over int arrays instead of strings (a
-      // bijection, so every count/jaccard is unchanged)
+      // bijection, so every count/jaccard is unchanged). Ids are xxhash64 —
+      // inline, fully parallel (NOT a global row_number window, which would
+      // be a single-partition stage), injectivity checked below with a
+      // dense-id fallback. The df join carries no broadcast hint: the
+      // vocabulary of a 100 TB corpus doesn't fit in a broadcast; AQE
+      // promotes it to broadcast when it actually is small.
       val freq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-      val dict = freq.withColumn("gid",
-        row_number().over(Window.orderBy(col("gram"))))
-      val gidGrams = grams.join(broadcast(dict), "gram")
-        .select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("df"))
-        .persist()
+      val hashedGrams = grams.join(freq, "gram")
+        .withColumn("gid", xxhash64(col("gram")))
+      val vocabRow = hashedGrams
+        .agg(countDistinct(col("gram")).as("ng"), countDistinct(col("gid")).as("ni"))
+        .head()
+      val vocabV = vocabRow.getLong(0)
+      val gidGrams = (if (vocabV == vocabRow.getLong(1)) {
+        hashedGrams.select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("df"))
+      } else {
+        val dense = s.createDataFrame(
+          grams.select(col("gram")).distinct().rdd
+            .map(_.getString(0)).zipWithIndex()
+            .map { case (t, i) => org.apache.spark.sql.Row(t, i + 1L) },
+          new StructType().add("gram", StringType).add("gid", LongType))
+        grams.join(freq, "gram").join(dense, "gram")
+          .select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("df"))
+      }).persist()
       val gInt = gidGrams.groupBy(col("doc_id").as("gd"), col("lang"), col("sz"))
         .agg(collect_list(col("gid")).as("sids"))
         .persist()
@@ -244,16 +286,25 @@ object Dedup {
       // ceil(V/64) longs; |A&B| / |A|B| are word-wise popcounts — identical
       // integer ratios to the array intersect/union, ~2 orders cheaper per
       // candidate pair. Falls back to array jaccard for huge vocabularies.
-      val vocabV = dict.count()
       val nWords = ((vocabV + 63) / 64).toInt
       val verify =
         if (nWords <= 32) {
+          // dense bit positions for the <=2048 sparse gids via a collected,
+          // sorted table — bounded by the nWords gate, so the collect and
+          // broadcast are provably tiny at any corpus size
+          val gids = gidGrams.select(col("gid")).distinct().orderBy(col("gid"))
+            .collect().map(_.getLong(0))
+          val posDf = broadcast(s.createDataFrame(
+            s.sparkContext.parallelize(gids.zipWithIndex.toSeq.map {
+              case (t, i) => org.apache.spark.sql.Row(t, i + 1)
+            }, 1),
+            new StructType().add("gid", LongType).add("pos", IntegerType)))
           val wordCols = (0 until nWords).map { w =>
-            sum(when(((col("gid") - 1) / 64).cast("int") === w,
-              expr("shiftleft(cast(1 as bigint), (gid - 1) % 64)"))
+            sum(when(((col("pos") - 1) / 64).cast("int") === w,
+              expr("shiftleft(cast(1 as bigint), (pos - 1) % 64)"))
               .otherwise(0L)).as(s"w$w")
           }
-          val masks = gidGrams.groupBy(col("doc_id"))
+          val masks = gidGrams.join(posDf, "gid").groupBy(col("doc_id"))
             .agg(wordCols.head, wordCols.tail: _*)
             .select(col("doc_id"), array((0 until nWords).map(w => col(s"w$w")): _*).as("m"))
           val inter = expr(

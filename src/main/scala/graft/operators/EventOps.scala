@@ -62,7 +62,7 @@ object EventOps {
           count(lit(1)).as("n_events"))
         .orderBy("user_id")
     },
-      Some("""SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+      Some("""SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
              |FROM (
              |  SELECT user_id,
              |    CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS new_session

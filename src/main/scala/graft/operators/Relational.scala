@@ -303,8 +303,8 @@ object Relational {
           sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("low_line_count"))
         .orderBy("o_orderstatus"),
       Some("""SELECT o_orderstatus,
-             |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-             |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+             |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
              |FROM orders GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
@@ -454,7 +454,7 @@ object Relational {
           .agg(sum(col("weight")).as("total_weight"), count(lit(1)).as("n"))
           .orderBy("o_orderstatus")
       },
-      Some("""SELECT o_orderstatus, SUM(weight) AS total_weight, COUNT(*) AS n
+      Some("""SELECT o_orderstatus, CAST(SUM(weight) AS BIGINT) AS total_weight, COUNT(*) AS n
              |FROM orders
              |JOIN (VALUES ('1-URGENT', 10), ('2-HIGH', 5), ('3-MEDIUM', 3),
              |             ('4-NOT SPECIFIED', 1), ('5-LOW', 0)) AS w(prio, weight)

@@ -103,8 +103,8 @@ object TextOps {
           max(size(col("toks"))).as("max_tokens"))
         .orderBy("lang"),
       Some("""SELECT lang,
-             |  SUM(len(string_split(text, ' '))) AS total_tokens,
-             |  SUM(len(list_distinct(string_split(text, ' ')))) AS total_distinct,
+             |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             |  CAST(SUM(len(list_distinct(string_split(text, ' ')))) AS BIGINT) AS total_distinct,
              |  COUNT(*) AS n_docs,
              |  CAST(MAX(len(string_split(text, ' '))) AS INT) AS max_tokens
              |FROM documents GROUP BY lang

@@ -20,6 +20,20 @@ class DedupSpec extends GraftSpec {
     assert(run("d03_ngram_jaccard").filter(col("jaccard") < 0.6).count() == 0)
   }
 
+  test("d02/d03 plans contain no single-partition Window stage") {
+    // A Window with an empty partitionSpec funnels all rows through one
+    // task — the dictionary-encoding scale-killer the ids fix removed.
+    for (q <- Seq("d02_minhash_lsh", "d03_ngram_jaccard")) {
+      val plan = run(q).queryExecution.optimizedPlan
+      val globalWindows = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty,
+        s"$q has ${globalWindows.size} global Window node(s)")
+    }
+  }
+
   test("d04 simhash: one 32-bit fingerprint per doc") {
     val df = run("d04_simhash").cache()
     assert(df.count() == Tables.documents(spark, sf).count())

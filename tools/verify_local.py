@@ -47,6 +47,18 @@ for name in sorted(os.listdir(outdir)):
     if list(g.columns) != list(e.columns):
         fail.append((name, f"schema: got {list(g.columns)} want {list(e.columns)}"))
         continue
+    # The driver hashes rendered values, so int64 123 vs float64 123.0 is a
+    # hash MISMATCH there even when numerically equal. Be at least as strict:
+    # fail on any int-vs-float kind divergence (DuckDB SUM(int)→HUGEINT→float64
+    # is the classic cause; fix the oracle with CAST(... AS BIGINT)).
+    kind_diverge = [c for c in g.columns
+                    if {g[c].dtype.kind, e[c].dtype.kind} == {'i', 'f'}]
+    if kind_diverge:
+        fail.append((name, f"dtype int-vs-float divergence on {kind_diverge} "
+                           f"(spark {[str(g[c].dtype) for c in kind_diverge]} vs "
+                           f"oracle {[str(e[c].dtype) for c in kind_diverge]}) — "
+                           f"driver would hash-mismatch; CAST the oracle"))
+        continue
     if len(g) != len(e):
         fail.append((name, f"rows: got {len(g)} want {len(e)}"))
         continue
