@@ -14,6 +14,7 @@ object SparkEntry {
   /** Every verifiable operator, grouped by module. */
   val registry: Seq[GQuery] =
     Relational.queries ++
+      Tpch.queries ++
       EventOps.queries ++
       TextOps.queries ++
       Dedup.queries ++
