@@ -4,19 +4,29 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
 import scala.util.Try
 
-/** Versioned snapshot store with atomic metadata swap — the Spark-native
-  * equivalent of the reference's Retina write path + MVCC visibility
-  * (pixels-retina/.../MemTable.java:31-75, RGVisibility.java:34-60,
+/** Log-structured versioned snapshot store with atomic metadata swap — the
+  * Spark-native equivalent of the reference's Retina write path + MVCC
+  * visibility (pixels-retina/.../MemTable.java:31-75, RGVisibility.java:34-60,
   * metadata AtomicSwapFiles proto/metadata.proto:74).
   *
-  * Design for scale: each committed version is an immutable parquet
-  * directory; readers resolve `_CURRENT` (one tiny file) and then read an
-  * immutable snapshot — no shared mutable visibility state, no reader/writer
-  * races. Upsert = union + latest-per-key, one shuffle on the key columns.
-  * Deletes are logical: a `_deleted` column filtered at read time
-  * (delete-bitmap analog). Time travel = read any retained version.
+  * Layout: each commit v writes ONLY its micro-batch as an immutable delta
+  * directory `d_v` plus a manifest `m_v.txt` listing every directory that
+  * constitutes the table at v (previous manifest + the new delta); `_CURRENT`
+  * is swapped to v last. So write amplification is O(batch), not O(table) —
+  * the log-structured property that gives Retina its MemTable-flush freshness.
+  * Readers resolve `_CURRENT` -> manifest -> an immutable set of directories;
+  * no shared mutable visibility state, no reader/writer races.
+  *
+  * Reads are merge-on-read: union of the manifest members, latest visible row
+  * per key (one shuffle on the key columns). Deletes are logical: a
+  * `_deleted` column filtered at read time (delete-bitmap analog). Time
+  * travel = read any retained version, or any commit-ts bound within one.
+  * [[compact]] folds the current manifest into a single base directory `b_v`
+  * so read fan-in stays bounded (the Compactor's merge role,
+  * pixels-core/.../compactor/PixelsCompactor.java:52).
   */
 class SnapshotStore(
     spark: SparkSession,
@@ -32,14 +42,27 @@ class SnapshotStore(
     else Try(new String(Files.readAllBytes(currentFile)).trim.toLong).getOrElse(-1L)
   }
 
-  private def versionDir(v: Long) = root.resolve(f"v_$v%06d")
+  private def deltaDir(v: Long) = root.resolve(f"d_$v%06d")
+  private def baseDir(v: Long) = root.resolve(f"b_$v%06d")
+  private def manifestFile(v: Long) = root.resolve(f"m_$v%06d.txt")
 
-  /** Read a specific committed version (time travel). */
-  def readVersion(v: Long): DataFrame =
-    spark.read.parquet(versionDir(v).toString)
+  /** Directory names making up version v (immutable once written). */
+  def manifest(v: Long): Seq[String] =
+    new String(Files.readAllBytes(manifestFile(v)))
+      .split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** All retained row versions visible at table version v: the union of the
+    * manifest's member directories. At-least-once redelivery can land the
+    * same (key, commit-ts) row in two deltas, so the union dedupes on
+    * key+ts — idempotent by construction. */
+  def readVersion(v: Long): DataFrame = {
+    val dirs = manifest(v).map(n => root.resolve(n).toString)
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+      .dropDuplicates(keyCols :+ versionCol)
+  }
 
   /** Read the current snapshot: latest visible row per key, excluding
-    * logically-deleted rows (merge-on-read over retained versions). */
+    * logically-deleted rows (merge-on-read over base + deltas). */
   def read(): Option[DataFrame] = {
     val v = currentVersion
     if (v < 0) None
@@ -65,25 +88,54 @@ class SnapshotStore(
   }
 
   /** Apply one CDC micro-batch: rows with `_deleted=true` are tombstones.
-    * Version N+1 retains ALL row versions (current ∪ batch, deduped on
-    * key+commit-ts), so any commit-ts snapshot stays readable; visibility
-    * is resolved at read time (merge-on-read). At-least-once redelivery is
-    * idempotent via the key+ts dedup. Version retention/compaction of old
-    * row versions is Compactor's job. */
+    * Writes ONLY the batch as delta v+1 (O(batch) bytes — never a table
+    * rewrite); visibility is resolved at read time (merge-on-read). All row
+    * versions are retained, so any commit-ts snapshot stays readable. */
   def upsert(batch: DataFrame): Long = {
     val withDel =
       if (batch.columns.contains("_deleted")) batch
       else batch.withColumn("_deleted", lit(false))
     val cur = currentVersion
-    val merged = if (cur < 0) withDel else {
-      val existing = readVersion(cur)
-      existing.unionByName(withDel, allowMissingColumns = true)
-    }
-    val deduped = merged.dropDuplicates(keyCols :+ versionCol)
     val next = cur + 1
-    deduped.write.mode(SaveMode.Overwrite).parquet(versionDir(next).toString)
+    withDel.dropDuplicates(keyCols :+ versionCol)
+      .write.mode(SaveMode.Overwrite).parquet(deltaDir(next).toString)
+    val members =
+      (if (cur < 0) Seq.empty else manifest(cur)) :+ deltaDir(next).getFileName.toString
+    writeManifest(next, members)
     commit(next)
     next
+  }
+
+  /** Fold every member of the current version into one base directory and
+    * commit it as the next version. All row versions are retained (so
+    * [[readAsOf]] time travel still works within the compacted base); older
+    * table versions keep referencing their original directories. Bounded
+    * read fan-in without blocking writers: the fold reads an immutable
+    * version while new deltas keep committing on top. */
+  def compact(): Long = {
+    val cur = currentVersion
+    require(cur >= 0, "nothing to compact")
+    val next = cur + 1
+    readVersion(cur).write.mode(SaveMode.Overwrite).parquet(baseDir(next).toString)
+    writeManifest(next, Seq(baseDir(next).getFileName.toString))
+    commit(next)
+    next
+  }
+
+  /** Total bytes under one member directory (test/ops instrumentation). */
+  def dirBytes(member: String): Long = {
+    val p = root.resolve(member)
+    if (!Files.exists(p)) 0L
+    else Files.walk(p).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+  }
+
+  private def writeManifest(v: Long, members: Seq[String]): Unit = {
+    Files.createDirectories(root)
+    val tmp = root.resolve(s"_m.tmp.$v")
+    Files.write(tmp, members.mkString("\n").getBytes)
+    Files.move(tmp, manifestFile(v), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Atomic pointer swap: write tmp, then ATOMIC_MOVE over _CURRENT. */

@@ -39,6 +39,31 @@ class StreamingSpec extends GraftSpec {
     assert(asOf.filter($"user_id" === 1).head.getAs[Double]("value") == 1.0)
   }
 
+  test("upsert writes O(batch) bytes not O(table); compact folds deltas into a base") {
+    val dir = Files.createTempDirectory("snapdelta").toString
+    val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts")
+    import sp.implicits._
+    // big initial load, then a 1-row micro-batch: the second commit must
+    // write only the batch, not rewrite the table
+    store.upsert(Seq.tabulate(500)(i => Ev(i.toLong, "click", 100, i.toDouble)).toDF())
+    store.upsert(Seq(Ev(1, "click", 200, 9.0)).toDF())
+    val d0 = store.dirBytes("d_000000")
+    val d1 = store.dirBytes("d_000001")
+    assert(d1 * 3 < d0, s"delta commit wrote $d1 bytes vs table $d0 — O(table) rewrite")
+    assert(store.manifest(1) == Seq("d_000000", "d_000001"))
+
+    val before = store.read().get.orderBy("user_id", "event_type").collect().toSeq
+    store.compact()
+    assert(store.currentVersion == 2)
+    assert(store.manifest(2) == Seq("b_000002"))
+    val after = store.read().get.orderBy("user_id", "event_type").collect().toSeq
+    assert(before == after)
+    // ts time travel survives compaction; pre-compaction versions intact
+    assert(store.readAsOf(100).get.filter($"user_id" === 1)
+      .head.getAs[Double]("value") == 1.0)
+    assert(store.readVersion(0).count() == 500)
+  }
+
   test("structured streaming CDC: foreachBatch upsert reaches the store") {
     val dir = Files.createTempDirectory("snapstream").toString
     val ckpt = Files.createTempDirectory("ckpt").toString
