@@ -16,13 +16,21 @@ import java.io.File
 object Compactor {
   final case class Result(inputFiles: Int, outputFiles: Int, rows: Long)
 
-  /** Compact `inDir` parquet into `outDir` targeting ~`targetFileBytes`
-    * per output file. */
+  /** Compact `inDir` into `outDir` targeting ~`targetFileBytes` per output
+    * file. gpx directories take the NATIVE path: encoded chunk bytes are
+    * copied verbatim and footers rebuilt — no decode/re-encode, no Spark
+    * job (graft.format.GpxCompactor, mirroring PixelsCompactor.java:52).
+    * Parquet directories fall back to a read→coalesce→write job. */
   def compact(
       spark: SparkSession,
       inDir: String,
       outDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Result = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (format.GpxTable.listFiles(Seq(inDir), conf).nonEmpty) {
+      val r = format.GpxCompactor.compact(inDir, outDir, conf, targetFileBytes)
+      return Result(r.inputFiles, r.outputFiles, r.rows)
+    }
     val inFiles = Option(new File(inDir).listFiles())
       .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
     val totalBytes = Option(new File(inDir).listFiles())

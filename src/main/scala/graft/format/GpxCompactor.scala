@@ -1,0 +1,99 @@
+package graft.format
+
+import GpxFormat._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+
+/** Native gpx compaction: concatenates the row groups of many small gpx
+  * files into few large ones by COPYING the encoded chunk bytes verbatim
+  * and rebuilding the footer with shifted offsets — no decode, no
+  * re-encode, no Spark job (the reference's PixelsCompactor,
+  * pixels-core/.../compactor/PixelsCompactor.java:52, does exactly this
+  * over its physical layout).
+  *
+  * All stats, pixel zone maps, encodings and per-row-group commit
+  * timestamps are preserved, so pruning and MVCC time travel behave
+  * identically on the compacted layout. Inputs must share one schema.
+  */
+object GpxCompactor {
+  final case class Result(inputFiles: Int, outputFiles: Int, rows: Long)
+
+  def compact(
+      inDir: String,
+      outDir: String,
+      conf: Configuration,
+      targetFileBytes: Long = 128L * 1024 * 1024): Result = {
+    val files = GpxTable.listFiles(Seq(inDir), conf).sorted
+    require(files.nonEmpty, s"no gpx files under $inDir")
+    val outPath = new Path(outDir)
+    val fs = outPath.getFileSystem(conf)
+    fs.mkdirs(outPath)
+    // carry the bucket-layout sidecar so bucket pruning keeps working
+    GpxTable.readBucketSpec(inDir, conf).foreach { b =>
+      val o = fs.create(new Path(outPath, "_bucketspec"), true)
+      try o.write(s"${b.column}\n${b.numBuckets}".getBytes("UTF-8"))
+      finally o.close()
+    }
+
+    val schema = GpxFileReader.FooterCache.get(files.head, conf).schema
+    var outIndex = 0
+    var out: java.io.DataOutputStream = null
+    var pos = 0L
+    var rgs = List.newBuilder[RowGroupMeta]
+    var outFiles = 0
+    var totalRows = 0L
+
+    def openOut(): Unit = {
+      out = new DataOutputStream(new java.io.BufferedOutputStream(
+        fs.create(new Path(outPath, f"compact-$outIndex%05d.gpx"), true), 1 << 20))
+      out.write(Magic); pos = Magic.length.toLong
+      rgs = List.newBuilder[RowGroupMeta]
+      outFiles += 1
+    }
+    def closeOut(): Unit = {
+      if (out == null) return
+      val fBytes = new ByteArrayOutputStream(8192)
+      val fd = new DataOutputStream(fBytes)
+      GpxFormat.writeFooter(fd, Footer(schema, rgs.result().toArray))
+      fd.flush()
+      val arr = fBytes.toByteArray
+      out.write(arr)
+      out.writeInt(arr.length)
+      out.write(Magic)
+      out.close()
+      out = null
+      outIndex += 1
+    }
+
+    openOut()
+    files.foreach { f =>
+      val footer = GpxFileReader.FooterCache.get(f, conf)
+      require(footer.schema == schema,
+        s"schema mismatch: $f has ${footer.schema.toDDL}, expected ${schema.toDDL}")
+      val inPath = new Path(f)
+      val in = inPath.getFileSystem(conf).open(inPath)
+      try {
+        footer.rowGroups.foreach { rg =>
+          if (pos > Magic.length && pos >= targetFileBytes) { closeOut(); openOut() }
+          // a row group's chunks are written contiguously; copy the span
+          val start = rg.chunks.map(_.offset).min
+          val end = rg.chunks.map(c => c.offset + c.length).max
+          val span = (end - start).toInt
+          val buf = new Array[Byte](span)
+          in.seek(start)
+          in.readFully(buf)
+          val shift = pos - start
+          out.write(buf)
+          pos += span
+          rgs += RowGroupMeta(rg.numRows,
+            rg.chunks.map(c => c.copy(offset = c.offset + shift)),
+            rg.commitTs)
+          totalRows += rg.numRows
+        }
+      } finally in.close()
+    }
+    closeOut()
+    Result(files.length, outFiles, totalRows)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.format
 
 import GpxFormat._
+import GpxFileReader.PixelSlice
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
@@ -13,22 +14,30 @@ import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.ColumnarBatch
-import org.apache.spark.SparkContext
 import java.util
+import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
 /** DataSource V2 for the gpx columnar format:
   * `spark.read.format("gpx").load(dir)` / `df.write.format("gpx").save(dir)`.
   *
-  * Read path: one input partition per (file, row group) — the split
-  * granularity that lets a 1000-executor cluster balance a 100 TB table
-  * (reference: splits from metadata Layout, CostBasedSplitsIndex) — with
-  * column pruning (SupportsPushDownRequiredColumns), filter pushdown
-  * (SupportsPushDownFilters) and footer-stats zone-map skipping at both
-  * planning time (per row group) and nothing left at runtime.
-  * Filters are also RE-APPLIED by Spark above the scan (we never claim
-  * them as fully handled), so pushdown is purely an I/O reduction —
-  * exactly the reference's scan/filter split (Scanner.java:36-93).
+  * Read path: one SELF-CONTAINED input partition per (file, row group) that
+  * survives zone-map pruning — the split carries the byte ranges of every
+  * kept pixel segment, so executors seek straight to data and NEVER read a
+  * footer (footers are parsed once on the driver through a (len, mtime)-
+  * validated cache — the metadata-service role, proto/metadata.proto:33-45).
+  * Pruning happens at three granularities: bucket (file), row group (chunk
+  * stats), pixel (sub-row-group stats, proto/pixels.proto:30-34), with
+  * column pruning (SupportsPushDownRequiredColumns) and filter pushdown
+  * (SupportsPushDownFilters). Filters are RE-APPLIED by Spark above the
+  * scan (we never claim them as fully handled), so pushdown is purely an
+  * I/O reduction — exactly the reference's scan/filter split
+  * (Scanner.java:36-93).
+  *
+  * MVCC: row groups carry the writer's `option("commitTs", t)`;
+  * `option("snapshotTs", t)` reads only row groups committed at or before
+  * t, and `option("exposeCommitTs", true)` surfaces the hidden `_commit_ts`
+  * column (PixelsReaderOption.java:37-39 analog).
   */
 class GpxDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "gpx"
@@ -45,7 +54,10 @@ class GpxDataSource extends TableProvider with DataSourceRegister {
     val conf = new Configuration()
     val files = GpxTable.listFiles(paths(options), conf)
     require(files.nonEmpty, s"no gpx files under ${paths(options)}")
-    GpxFileReader.readFooter(files.head, conf).schema
+    val base = GpxFileReader.FooterCache.get(files.head, conf).schema
+    if (options.getBoolean("exposeCommitTs", false))
+      base.add(StructField(GpxTable.CommitTsCol, LongType, nullable = false))
+    else base
   }
 
   override def getTable(
@@ -57,6 +69,9 @@ class GpxDataSource extends TableProvider with DataSourceRegister {
 }
 
 object GpxTable {
+  /** hidden MVCC column exposed via option("exposeCommitTs", true) */
+  val CommitTsCol = "_commit_ts"
+
   def listFiles(roots: Seq[String], conf: Configuration): Seq[String] =
     roots.flatMap { r =>
       val p = new Path(r)
@@ -110,27 +125,38 @@ class GpxTable(schema: StructType, roots: Seq[String])
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GpxScanBuilder(schema, roots)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val snapshotTs = Option(options.get("snapshotTs")).map(_.toLong)
+    new GpxScanBuilder(schema, roots, snapshotTs)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val rgRows = Option(info.options.get("rowGroupRows"))
       .map(_.toInt).getOrElse(GpxFormat.DefaultRowGroupRows)
+    val pxRows = Option(info.options.get("pixelRows"))
+      .map(_.toInt).getOrElse(GpxFormat.DefaultPixelRows)
+    val commitTs = Option(info.options.get("commitTs"))
+      .map(_.toLong).getOrElse(-1L)
     val bucket = for {
       c <- Option(info.options.get("bucketBy"))
       n <- Option(info.options.get("numBuckets"))
     } yield GpxTable.BucketSpec(c, n.toInt)
-    new GpxWriteBuilder(info.schema(), roots.head, rgRows, bucket)
+    new GpxWriteBuilder(info.schema(), roots.head, rgRows, pxRows, commitTs, bucket)
   }
 }
 
-class GpxScanBuilder(fileSchema: StructType, roots: Seq[String])
+class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
+    snapshotTs: Option[Long])
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates {
 
-  private var required: StructType = fileSchema
+  /** schema of what's physically in the files (no synthetic columns) */
+  private val fileSchema =
+    StructType(tableSchema.filterNot(_.name == GpxTable.CommitTsCol))
+
+  private var required: StructType = tableSchema
   private var filters: Array[Filter] = Array.empty
   private var pushedAgg: Option[Aggregation] = None
 
@@ -155,7 +181,8 @@ class GpxScanBuilder(fileSchema: StructType, roots: Seq[String])
     if (filters.nonEmpty || agg.groupByExpressions().nonEmpty) return false
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
-        case f: NamedReference if f.fieldNames.length == 1 =>
+        case f: NamedReference if f.fieldNames.length == 1 &&
+          fileSchema.fieldNames.contains(f.fieldNames.head) =>
           Some(f.fieldNames.head)
         case _ => None
       }
@@ -179,14 +206,16 @@ class GpxScanBuilder(fileSchema: StructType, roots: Seq[String])
   }
 
   override def build(): Scan = pushedAgg match {
-    case Some(agg) => new GpxStatsScan(fileSchema, agg, roots)
-    case None => new GpxScan(fileSchema, required, filters, roots)
+    case Some(agg) => new GpxStatsScan(fileSchema, agg, roots, snapshotTs)
+    case None => new GpxScan(fileSchema, required, filters, roots, snapshotTs)
   }
 }
 
 /** Stats-only scan for pushed-down aggregates: emits one row of partial
-  * aggregates per row group, computed from the footer alone. */
-class GpxStatsScan(fileSchema: StructType, agg: Aggregation, roots: Seq[String])
+  * aggregates per row group, computed on the executor from row-group
+  * metadata EMBEDDED in the split (no footer access at execution). */
+class GpxStatsScan(fileSchema: StructType, agg: Aggregation, roots: Seq[String],
+    snapshotTs: Option[Long])
   extends Scan with Batch {
 
   private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): StructField =
@@ -209,8 +238,9 @@ class GpxStatsScan(fileSchema: StructType, agg: Aggregation, roots: Seq[String])
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration()
     GpxTable.listFiles(roots, conf).flatMap { f =>
-      GpxFileReader.readFooter(f, conf).rowGroups.indices
-        .map(GpxInputPartition(f, _))
+      GpxFileReader.FooterCache.get(f, conf).rowGroups
+        .filter(rg => GpxScan.visibleAt(rg, snapshotTs))
+        .map(rg => GpxStatsPartition(f, rg): InputPartition)
     }.toArray
   }
 
@@ -218,19 +248,21 @@ class GpxStatsScan(fileSchema: StructType, agg: Aggregation, roots: Seq[String])
     new GpxStatsReaderFactory(fileSchema, agg)
 }
 
+/** Stats split: the row-group metadata travels with the partition. */
+final case class GpxStatsPartition(path: String, rg: RowGroupMeta)
+  extends InputPartition
+
 class GpxStatsReaderFactory(fileSchema: StructType, agg: Aggregation)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[GpxInputPartition]
+    val part = p.asInstanceOf[GpxStatsPartition]
     new PartitionReader[InternalRow] {
       private var done = false
       private var row: InternalRow = _
       override def next(): Boolean = {
         if (done) return false
-        val conf = new Configuration()
-        val footer = GpxFileReader.readFooter(part.path, conf)
-        val rg = footer.rowGroups(part.rgIndex)
+        val rg = part.rg
         def statOf(e: org.apache.spark.sql.connector.expressions.Expression) = {
           val name = e.asInstanceOf[NamedReference].fieldNames.head
           val i = fileSchema.fieldIndex(name)
@@ -271,15 +303,19 @@ class GpxStatsReaderFactory(fileSchema: StructType, agg: Aggregation)
   }
 }
 
-/** One split per (file, row group) that survives zone-map pruning. */
+/** One self-contained split per (file, row group) that survives pruning:
+  * `cols` holds, per output column, the kept pixel slices in row order —
+  * or null for the synthetic `_commit_ts` column (filled from commitTs). */
 final case class GpxInputPartition(
-    path: String, rgIndex: Int) extends InputPartition
+    path: String, numRows: Int, commitTs: Long,
+    cols: Array[Array[PixelSlice]]) extends InputPartition
 
 class GpxScan(
     fileSchema: StructType,
     required: StructType,
     planningFilters: Array[Filter],
-    roots: Seq[String]) extends Scan with Batch
+    roots: Seq[String],
+    snapshotTs: Option[Long]) extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   /** planning-time filters plus any runtime (DPP-style) filters Spark
@@ -324,60 +360,92 @@ class GpxScan(
         .map(_.map(GpxTable.bucketOf(_, spec.numBuckets)))
     }
 
-  private def computeKept(): Array[(String, Int, GpxFormat.RowGroupMeta)] = {
+  /** Plan splits: bucket prune -> snapshot visibility -> row-group zone
+    * maps -> pixel zone maps; survivors become self-contained slice lists.
+    * Footers come from the driver-side cache — zero footer I/O on warm
+    * paths, zero ALWAYS on executors. */
+  private def computeKept(): (Array[GpxInputPartition], Long, Long) = {
     val conf = new Configuration()
     val buckets = eligibleBuckets(conf)
-    GpxTable.listFiles(roots, conf).flatMap { f =>
+    val parts = new ArrayBuffer[GpxInputPartition]
+    var totalRows = 0L
+    var totalBytes = 0L
+    GpxTable.listFiles(roots, conf).foreach { f =>
       // bucket pruning: skip whole files whose bucket can't hold the keys
       val bucketOk = (buckets, GpxTable.bucketOfFile(f)) match {
         case (Some(elig), Some(b)) => elig.contains(b)
         case _ => true
       }
-      if (!bucketOk) Seq.empty
-      else {
-        val footer = GpxFileReader.readFooter(f, conf)
-        footer.rowGroups.indices.flatMap { i =>
-          val rg = footer.rowGroups(i)
-          val keep = filters.forall(GpxFileReader.mayMatch(_, fileSchema, rg))
-          if (keep) Some((f, i, rg)) else None
+      if (bucketOk) {
+        val footer = GpxFileReader.FooterCache.get(f, conf)
+        val phys = footer.schema
+        val physIdx: Array[Int] = required.fields.map { fd =>
+          if (fd.name == GpxTable.CommitTsCol) -1 else phys.fieldIndex(fd.name)
+        }
+        footer.rowGroups.foreach { rg =>
+          if (GpxScan.visibleAt(rg, snapshotTs) &&
+            filters.forall(GpxFileReader.mayMatch(_, phys, rg))) {
+            val nPix = rg.chunks.headOption.map(_.pixels.length).getOrElse(0)
+            val keptPix: Array[Int] =
+              if (nPix == 0) Array.empty
+              else (0 until nPix).filter(p =>
+                filters.forall(GpxFileReader.mayMatchPixel(_, phys, rg, p))).toArray
+            if (keptPix.nonEmpty) {
+              val numRows = keptPix.map(rg.chunks.head.pixels(_).rows).sum
+              val cols: Array[Array[PixelSlice]] = physIdx.map { ci =>
+                if (ci < 0) null
+                else {
+                  val ch = rg.chunks(ci)
+                  keptPix.map(p => PixelSlice(
+                    ch.offset + ch.pixels(p).relOffset, ch.pixelLength(p),
+                    ch.pixels(p).rows))
+                }
+              }
+              parts += GpxInputPartition(f, numRows, rg.commitTs, cols)
+              totalRows += numRows
+              cols.foreach { c =>
+                totalBytes += (if (c == null) 8L * numRows else c.map(_.length.toLong).sum)
+              }
+            }
+          }
         }
       }
-    }.toArray
+    }
+    (parts.toArray, totalRows, math.max(totalBytes, 1L))
   }
 
   // stats snapshot uses planning-time filters; partitions are planned
   // AFTER runtime filters arrive, so they see the narrowed set
-  private lazy val keptRowGroups = computeKept()
+  private lazy val statsSnapshot = computeKept()
 
   override def planInputPartitions(): Array[InputPartition] =
-    computeKept().map { case (f, i, _) => GpxInputPartition(f, i) }
+    computeKept()._1.toArray[InputPartition]
 
   /** Footer-derived stats AFTER zone-map pruning, sized to the pruned
     * column set — feeds CBO/AQE broadcast decisions with real numbers
     * (the reference's PlanOptimizer does the same from its metadata stats,
     * PlanOptimizer.java:94-204). */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val requiredIdx = required.fieldNames.map(fileSchema.fieldIndex)
-    private val rows = keptRowGroups.map(_._3.numRows.toLong).sum
-    private val bytes = keptRowGroups.map { case (_, _, rg) =>
-      requiredIdx.map(i => rg.chunks(i).length).sum
-    }.sum
     override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(math.max(bytes, 1L))
+      java.util.OptionalLong.of(statsSnapshot._3)
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(rows)
+      java.util.OptionalLong.of(statsSnapshot._2)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GpxReaderFactory(fileSchema, required)
+    new GpxReaderFactory(required)
 }
 
 object GpxScan {
   /** observability hook for tests: counts runtime-filter injections */
   val runtimeFilterCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** MVCC visibility: row groups without a commit ts are always visible. */
+  def visibleAt(rg: RowGroupMeta, snapshotTs: Option[Long]): Boolean =
+    snapshotTs.forall(ts => rg.commitTs < 0 || rg.commitTs <= ts)
 }
 
-class GpxReaderFactory(fileSchema: StructType, required: StructType)
+class GpxReaderFactory(required: StructType)
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(p: InputPartition): Boolean = true
@@ -393,10 +461,8 @@ class GpxReaderFactory(fileSchema: StructType, required: StructType)
       override def next(): Boolean = {
         if (consumed) return false
         val conf = new Configuration()
-        val footer = GpxFileReader.readFooter(part.path, conf)
-        val rg = footer.rowGroups(part.rgIndex)
-        val cols = required.fieldNames.map(fileSchema.fieldIndex)
-        batch = GpxFileReader.readRowGroup(part.path, conf, fileSchema, rg, cols)
+        batch = GpxFileReader.readSlices(part.path, conf, required,
+          part.cols, part.numRows, part.commitTs)
         consumed = true
         true
       }
@@ -409,7 +475,7 @@ class GpxReaderFactory(fileSchema: StructType, required: StructType)
 // ---------------- write path ----------------
 
 class GpxWriteBuilder(schema: StructType, path: String, rgRows: Int,
-    bucket: Option[GpxTable.BucketSpec])
+    pxRows: Int, commitTs: Long, bucket: Option[GpxTable.BucketSpec])
   extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -417,12 +483,12 @@ class GpxWriteBuilder(schema: StructType, path: String, rgRows: Int,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GpxBatchWrite(schema, path, doTruncate, rgRows, bucket)
+      new GpxBatchWrite(schema, path, doTruncate, rgRows, pxRows, commitTs, bucket)
   }
 }
 
 class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
-    rgRows: Int, bucket: Option[GpxTable.BucketSpec])
+    rgRows: Int, pxRows: Int, commitTs: Long, bucket: Option[GpxTable.BucketSpec])
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -440,7 +506,7 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
       try out.write(s"${b.column}\n${b.numBuckets}".getBytes("UTF-8"))
       finally out.close()
     }
-    GpxWriterFactory(schema, path, rgRows, bucket)
+    GpxWriterFactory(schema, path, rgRows, pxRows, commitTs, bucket)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -450,15 +516,21 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
 final case class GpxCommit(file: String) extends WriterCommitMessage
 
 final case class GpxWriterFactory(schema: StructType, path: String, rgRows: Int,
-    bucket: Option[GpxTable.BucketSpec])
+    pxRows: Int, commitTs: Long, bucket: Option[GpxTable.BucketSpec])
   extends DataWriterFactory {
+
+  /** appended files must not collide with an earlier write's names: tag
+    * with commitTs when present (append-mode MVCC batches) */
+  private def fileName(partitionId: Int, taskId: Long, suffix: String): String =
+    if (commitTs >= 0) s"part-$partitionId-$taskId-t$commitTs$suffix.gpx"
+    else s"part-$partitionId-$taskId$suffix.gpx"
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val conf = new Configuration()
     bucket match {
       case None =>
-        val file = s"$path/part-$partitionId-$taskId.gpx"
-        val w = new GpxFileWriter(file, schema, conf, rgRows)
+        val file = s"$path/${fileName(partitionId, taskId, "")}"
+        val w = new GpxFileWriter(file, schema, conf, rgRows, pxRows, commitTs)
         new DataWriter[InternalRow] {
           override def write(record: InternalRow): Unit = w.addRow(record)
           override def commit(): WriterCommitMessage = { w.close(); GpxCommit(file) }
@@ -486,7 +558,8 @@ final case class GpxWriterFactory(schema: StructType, path: String, rgRows: Int,
             val bk = GpxTable.bucketOf(key, b.numBuckets)
             if (writers(bk) == null)
               writers(bk) = new GpxFileWriter(
-                s"$path/part-$partitionId-$taskId-b$bk.gpx", schema, conf, rgRows)
+                s"$path/${fileName(partitionId, taskId, s"-b$bk")}",
+                schema, conf, rgRows, pxRows, commitTs)
             writers(bk).addRow(record)
           }
           override def commit(): WriterCommitMessage = {

@@ -7,16 +7,24 @@ import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.ColumnarBatch
-import org.apache.spark.unsafe.types.UTF8String
 import java.io.{ByteArrayInputStream, DataInputStream}
+import java.util.concurrent.atomic.AtomicLong
 
-/** Reads gpx files: footer parse, zone-map row-group skipping, vectorized
-  * column-chunk materialization into Spark OnHeapColumnVectors
-  * (reference analog: PixelsRecordReaderImpl.java:319-451 — file/row-group
-  * stats checks then vectorized read of included columns). */
+/** Reads gpx files: footer parse (with a driver-side cache), zone-map
+  * row-group AND pixel skipping, vectorized pixel-segment materialization
+  * into Spark OnHeapColumnVectors (reference analog:
+  * PixelsRecordReaderImpl.java:319-451 — file/row-group/pixel stats checks
+  * then vectorized read of included columns). */
 object GpxFileReader {
 
+  /** observability: actual footer parses (cache misses) / pixel segments
+    * decoded — FormatSpec asserts planning is cache-served and selective
+    * scans decode fewer pixels */
+  val footerReads = new AtomicLong(0)
+  val pixelsDecoded = new AtomicLong(0)
+
   def readFooter(path: String, conf: Configuration): Footer = {
+    footerReads.incrementAndGet()
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(conf)
     val len = fs.getFileStatus(hPath).getLen
@@ -36,14 +44,56 @@ object GpxFileReader {
     } finally in.close()
   }
 
-  /** Zone-map check: can this row group possibly satisfy the filter?
+  /** Driver-side footer cache keyed by path and validated by (length,
+    * mtime) — repeated queries over the same table plan without re-reading
+    * any footer bytes (the reference keeps these stats in a metadata
+    * service, proto/metadata.proto:33-45; a single-process cache is the
+    * Spark-driver equivalent). Bounded: oldest entries evicted past 64k. */
+  object FooterCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Footer)]()
+
+    def get(path: String, conf: Configuration): Footer = {
+      val hPath = new Path(path)
+      val fs = hPath.getFileSystem(conf)
+      val st = fs.getFileStatus(hPath)
+      val cached = cache.get(path)
+      if (cached != null && cached._1 == st.getLen && cached._2 == st.getModificationTime)
+        cached._3
+      else {
+        val footer = readFooter(path, conf)
+        if (cache.size() > 65536) cache.clear() // crude but bounded
+        cache.put(path, (st.getLen, st.getModificationTime, footer))
+        footer
+      }
+    }
+  }
+
+  /** Zone-map check at row-group granularity (chunk stats). */
+  def mayMatch(filter: Filter, schema: StructType, rg: RowGroupMeta): Boolean =
+    mayMatchStats(filter, schema, rg.numRows,
+      i => if (i < rg.chunks.length) Some(rg.chunks(i).stats) else None)
+
+  /** Zone-map check at pixel granularity (pixel p's stats). */
+  def mayMatchPixel(filter: Filter, schema: StructType, rg: RowGroupMeta, p: Int): Boolean =
+    mayMatchStats(filter, schema,
+      rg.chunks.headOption.flatMap(c => c.pixels.lift(p)).map(_.rows).getOrElse(rg.numRows),
+      i => if (i < rg.chunks.length && p < rg.chunks(i).pixels.length)
+        Some(rg.chunks(i).pixels(p).stats) else None)
+
+  /** Can a row range with these stats possibly satisfy the filter?
     * Conservative — unknown filters/columns answer true
     * (reference PixelsPredicate.matches, PixelsPredicate.java:32-96). */
-  def mayMatch(filter: Filter, schema: StructType, rg: RowGroupMeta): Boolean = {
+  private def mayMatchStats(
+      filter: Filter,
+      schema: StructType,
+      numRows: Int,
+      statsAt: Int => Option[ChunkStats]): Boolean = {
     def statsOf(col: String): Option[(ChunkStats, DataType)] = {
-      val i = schema.fieldIndex(col)
-      if (i < rg.chunks.length) Some((rg.chunks(i).stats, schema(i).dataType))
-      else None
+      // columns absent from the file schema (e.g. the synthetic
+      // _commit_ts) have no stats: conservative keep
+      val i = schema.fieldNames.indexOf(col)
+      if (i < 0) None else statsAt(i).map((_, schema(i).dataType))
     }
     def cmpBounds(col: String, v: Any)(test: (Int, Int) => Boolean): Boolean =
       statsOf(col) match {
@@ -54,7 +104,7 @@ object GpxFileReader {
             case None => true
           }
         case Some(_) =>
-          // reliable && !hasValues => genuinely all-null chunk: value
+          // reliable && !hasValues => genuinely all-null range: value
           // comparisons can never match
           false
         case None => true
@@ -69,9 +119,11 @@ object GpxFileReader {
         vs.exists(v => cmpBounds(c, v)((mn, mx) => mn <= 0 && mx >= 0))
       case IsNull(c) => statsOf(c).forall(_._1.nullCount > 0)
       case IsNotNull(c) => statsOf(c).forall { case (s, _) =>
-        s.hasValues || s.nullCount < rg.numRows }
-      case And(l, r) => mayMatch(l, schema, rg) && mayMatch(r, schema, rg)
-      case Or(l, r) => mayMatch(l, schema, rg) || mayMatch(r, schema, rg)
+        s.hasValues || s.nullCount < numRows }
+      case And(l, r) => mayMatchStats(l, schema, numRows, statsAt) &&
+        mayMatchStats(r, schema, numRows, statsAt)
+      case Or(l, r) => mayMatchStats(l, schema, numRows, statsAt) ||
+        mayMatchStats(r, schema, numRows, statsAt)
       case _ => true
     }
   }
@@ -119,41 +171,75 @@ object GpxFileReader {
     }
   }
 
-  /** Load one row group's requested columns into a ColumnarBatch. */
-  def readRowGroup(
+  /** One pixel segment to read: absolute file offset, byte length, rows. */
+  final case class PixelSlice(offset: Long, length: Int, rows: Int)
+
+  /** Materialize a self-contained split: for each output column either a
+    * run of pixel slices (in row order) or null => a synthetic constant
+    * long column filled with `constLong` (the hidden _commit_ts). The
+    * executor touches ONLY the slice byte ranges — no footer access. */
+  def readSlices(
       path: String,
       conf: Configuration,
-      fileSchema: StructType,
-      rg: RowGroupMeta,
-      requiredCols: Array[Int]): ColumnarBatch = {
+      outSchema: StructType,
+      cols: Array[Array[PixelSlice]],
+      numRows: Int,
+      constLong: Long): ColumnarBatch = {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(conf)
     val in = fs.open(hPath)
     try {
-      val outSchema = StructType(requiredCols.map(fileSchema(_)))
-      val vectors = OnHeapColumnVector.allocateColumns(rg.numRows, outSchema)
+      val vectors = OnHeapColumnVector.allocateColumns(numRows, outSchema)
       var oi = 0
-      while (oi < requiredCols.length) {
-        val ci = requiredCols(oi)
-        val meta = rg.chunks(ci)
-        val buf = new Array[Byte](meta.length.toInt)
-        in.seek(meta.offset)
-        in.readFully(buf)
-        fillVector(new DataInputStream(new ByteArrayInputStream(buf)),
-          fileSchema(ci).dataType, rg.numRows, vectors(oi))
+      while (oi < cols.length) {
+        val slices = cols(oi)
+        if (slices == null) {
+          vectors(oi).putLongs(0, numRows, constLong)
+        } else {
+          var rowBase = 0
+          var elemBase = 0
+          var si = 0
+          while (si < slices.length) {
+            // coalesce adjacent slices into one read
+            var sj = si
+            var runLen = 0L
+            while (sj < slices.length &&
+              slices(sj).offset == slices(si).offset + runLen) {
+              runLen += slices(sj).length
+              sj += 1
+            }
+            val buf = new Array[Byte](runLen.toInt)
+            in.seek(slices(si).offset)
+            in.readFully(buf)
+            val d = new DataInputStream(new ByteArrayInputStream(buf))
+            var sk = si
+            while (sk < sj) {
+              elemBase = decodeSegment(d, outSchema(oi).dataType,
+                slices(sk).rows, vectors(oi), rowBase, elemBase)
+              pixelsDecoded.incrementAndGet()
+              rowBase += slices(sk).rows
+              sk += 1
+            }
+            si = sj
+          }
+        }
         oi += 1
       }
       new ColumnarBatch(
         vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]],
-        rg.numRows)
+        numRows)
     } finally in.close()
   }
 
-  private def fillVector(
+  /** Decode one pixel segment into `v` starting at row `rowBase`; returns
+    * the updated array-element append position (numeric-array columns). */
+  private def decodeSegment(
       d: DataInputStream,
       dt: DataType,
       numRows: Int,
-      v: OnHeapColumnVector): Unit = {
+      v: OnHeapColumnVector,
+      rowBase: Int,
+      elemBase: Int): Int = {
     val encoding = d.readByte()
     val nullCount = d.readInt()
     val isNull = new Array[Boolean](numRows)
@@ -199,20 +285,21 @@ object GpxFileReader {
       out
     }
 
+    var newElemBase = elemBase
     dt match {
       case _ if isLongBacked(dt) =>
         val vals = decodeLongs()
         var k = 0
         while (k < numRows) {
-          if (isNull(k)) v.putNull(k)
+          if (isNull(k)) v.putNull(rowBase + k)
           else dt match {
-            case BooleanType => v.putBoolean(k, vals(k) != 0L)
-            case ByteType => v.putByte(k, vals(k).toByte)
-            case ShortType => v.putShort(k, vals(k).toShort)
-            case IntegerType | DateType => v.putInt(k, vals(k).toInt)
-            case LongType | TimestampType | TimestampNTZType => v.putLong(k, vals(k))
+            case BooleanType => v.putBoolean(rowBase + k, vals(k) != 0L)
+            case ByteType => v.putByte(rowBase + k, vals(k).toByte)
+            case ShortType => v.putShort(rowBase + k, vals(k).toShort)
+            case IntegerType | DateType => v.putInt(rowBase + k, vals(k).toInt)
+            case LongType | TimestampType | TimestampNTZType => v.putLong(rowBase + k, vals(k))
             case dec: DecimalType =>
-              v.putDecimal(k,
+              v.putDecimal(rowBase + k,
                 org.apache.spark.sql.types.Decimal.createUnsafe(vals(k), dec.precision, dec.scale),
                 dec.precision)
             case _ => throw new IllegalStateException(dt.toString)
@@ -223,7 +310,7 @@ object GpxFileReader {
         var k = 0
         while (k < numRows) {
           val f = d.readFloat()
-          if (isNull(k)) v.putNull(k) else v.putFloat(k, f)
+          if (isNull(k)) v.putNull(rowBase + k) else v.putFloat(rowBase + k, f)
           k += 1
         }
       case DoubleType =>
@@ -239,27 +326,27 @@ object GpxFileReader {
               case 4 => (d.readInt() & 0xffffffffL)
               case 8 => d.readLong()
             }
-            if (isNull(k)) v.putNull(k)
-            else v.putDouble(k, (base + delta) / p)
+            if (isNull(k)) v.putNull(rowBase + k)
+            else v.putDouble(rowBase + k, (base + delta) / p)
             k += 1
           }
         } else {
           var k = 0
           while (k < numRows) {
             val x = d.readDouble()
-            if (isNull(k)) v.putNull(k) else v.putDouble(k, x)
+            if (isNull(k)) v.putNull(rowBase + k) else v.putDouble(rowBase + k, x)
             k += 1
           }
         }
       case ArrayType(et, _) => // VECTOR: count | null-bitmap | packed values
         val child = v.arrayData()
-        var offset = 0
+        var offset = newElemBase
         var k = 0
         while (k < numRows) {
           val outerLen = d.readInt()
           val blob = new Array[Byte](outerLen)
           d.readFully(blob)
-          if (isNull(k)) v.putNull(k)
+          if (isNull(k)) v.putNull(rowBase + k)
           else {
             val bb = java.nio.ByteBuffer.wrap(blob)
             val n = bb.getInt()
@@ -277,21 +364,22 @@ object GpxFileReader {
               }
               j += 1
             }
-            v.putArray(k, offset, n)
+            v.putArray(rowBase + k, offset, n)
             offset += n
           }
           k += 1
         }
+        newElemBase = offset
       case dec: DecimalType => // wide decimal: length-prefixed unscaled bytes
         var k = 0
         while (k < numRows) {
           val len = d.readInt()
           val a = new Array[Byte](len)
           d.readFully(a)
-          if (isNull(k)) v.putNull(k)
+          if (isNull(k)) v.putNull(rowBase + k)
           else {
             val bi = new java.math.BigInteger(a)
-            v.putDecimal(k,
+            v.putDecimal(rowBase + k,
               org.apache.spark.sql.types.Decimal(
                 new java.math.BigDecimal(bi, dec.scale), dec.precision, dec.scale),
               dec.precision)
@@ -307,8 +395,8 @@ object GpxFileReader {
           var k = 0
           while (k < numRows) {
             val idx = d.readInt()
-            if (isNull(k)) v.putNull(k)
-            else { val a = dict(idx); v.putByteArray(k, a, 0, a.length) }
+            if (isNull(k)) v.putNull(rowBase + k)
+            else { val a = dict(idx); v.putByteArray(rowBase + k, a, 0, a.length) }
             k += 1
           }
         } else {
@@ -317,11 +405,13 @@ object GpxFileReader {
             val len = d.readInt()
             val a = new Array[Byte](len)
             d.readFully(a)
-            if (isNull(k)) v.putNull(k) else v.putByteArray(k, a, 0, a.length)
+            if (isNull(k)) v.putNull(rowBase + k)
+            else v.putByteArray(rowBase + k, a, 0, a.length)
             k += 1
           }
         }
       case other => throw new IllegalStateException(s"unsupported $other")
     }
+    newElemBase
   }
 }

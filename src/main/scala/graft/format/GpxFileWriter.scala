@@ -11,15 +11,26 @@ import scala.collection.mutable.ArrayBuffer
 
 /** Writes one gpx file from InternalRows (reference analog:
   * PixelsWriterImpl.java:70-110 buffering row batches per column writer and
-  * emitting row groups; stats recorders in pixels-core/.../stats/). */
+  * emitting row groups; stats recorders in pixels-core/.../stats/).
+  *
+  * Every column chunk is emitted as a run of independently decodable PIXEL
+  * segments (fixed `pixelRows` row ranges) with their own zone maps — the
+  * reference's sub-row-group stats granule (proto/pixels.proto:30-34) —
+  * so selective readers can seek to just the matching pixels. Encoding
+  * selection (RLE / FOR / dict / scaled-double probes) runs per segment,
+  * which also makes it adaptive to local value distributions.
+  */
 final class GpxFileWriter(
     path: String,
     schema: StructType,
     conf: Configuration,
-    rowGroupRows: Int = DefaultRowGroupRows) {
+    rowGroupRows: Int = DefaultRowGroupRows,
+    pixelRows: Int = DefaultPixelRows,
+    commitTs: Long = -1L) {
 
   require(schema.fields.forall(f => supported(f.dataType)),
     s"unsupported gpx schema: $schema")
+  require(pixelRows > 0, "pixelRows must be positive")
 
   private val hPath = new Path(path)
   private val fs = hPath.getFileSystem(conf)
@@ -108,7 +119,7 @@ final class GpxFileWriter(
       chunks(i) = writeChunk(i)
       i += 1
     }
-    rowGroups += RowGroupMeta(bufRows, chunks)
+    rowGroups += RowGroupMeta(bufRows, chunks, commitTs)
     (0 until n).foreach { j =>
       longs(j).clear(); doubles(j).clear(); floats(j).clear()
       bytes(j).clear(); nulls(j).clear()
@@ -116,38 +127,66 @@ final class GpxFileWriter(
     bufRows = 0
   }
 
+  /** Emit column i of the buffered row group as pixel segments. */
   private def writeChunk(i: Int): ChunkMeta = {
-    val dt = schema(i).dataType
     val offset = pos
-    val nullArr = nulls(i)
-    val nullCount = nullArr.count(identity)
-
     val body = new ByteArrayOutputStream(8192)
+    val nPixels = (bufRows + pixelRows - 1) / pixelRows
+    val pixels = new Array[PixelMeta](nPixels)
+    var p = 0
+    var firstEncoding = EncPlain
+    var merged: ChunkStats = null
+    while (p < nPixels) {
+      val from = p * pixelRows
+      val until = math.min(bufRows, from + pixelRows)
+      val rel = body.size()
+      val (enc, st) = encodeSegment(i, from, until, new DataOutputStream(body))
+      if (p == 0) firstEncoding = enc
+      pixels(p) = PixelMeta(rel, until - from, st)
+      merged = if (merged == null) st else ChunkStats.merge(merged, st)
+      p += 1
+    }
+    write(body.toByteArray)
+    ChunkMeta(offset, pos - offset, firstEncoding, merged, pixels)
+  }
+
+  /** Encode rows [from, until) of column i as one self-contained segment:
+    * encoding | nullCount | bitmap | dataLen | data. Returns the chosen
+    * encoding and the segment's zone-map stats. */
+  private def encodeSegment(
+      i: Int, from: Int, until: Int, seg: DataOutputStream): (Byte, ChunkStats) = {
+    val dt = schema(i).dataType
+    val nullArr = nulls(i)
+    val rows = until - from
+    var nullCount = 0
+    var k = from
+    while (k < until) { if (nullArr(k)) nullCount += 1; k += 1 }
+
+    val body = new ByteArrayOutputStream(4096)
     val d = new DataOutputStream(body)
 
-    // encode data + collect stats
     var stats = ChunkStats.empty.copy(nullCount = nullCount)
     var encoding = EncPlain
 
     if (isLongBacked(dt)) {
       val vals = longs(i)
       var mn = Long.MaxValue; var mx = Long.MinValue; var any = false
-      var k = 0
-      while (k < vals.length) {
+      k = from
+      while (k < until) {
         if (!nullArr(k)) { val v = vals(k); if (v < mn) mn = v; if (v > mx) mx = v; any = true }
         k += 1
       }
       if (any) stats = stats.copy(hasValues = true, minLong = mn, maxLong = mx)
       // RLE probe: count runs
       var runs = 0
-      k = 0
-      while (k < vals.length) {
+      k = from
+      while (k < until) {
         var j = k + 1
-        while (j < vals.length && vals(j) == vals(k)) j += 1
+        while (j < until && vals(j) == vals(k)) j += 1
         runs += 1; k = j
       }
       val rleBytes = runs * 12L
-      val plainBytes = vals.length * 8L
+      val plainBytes = rows * 8L
       // frame-of-reference width: bytes needed for (v - min); nulls hold a
       // placeholder 0 in the buffer, so they are packed as delta 0
       val forWidth: Int =
@@ -160,20 +199,20 @@ final class GpxFileWriter(
           else if (range < 4294967296L) 4
           else 8
         }
-      if (rleBytes < plainBytes / 2 && rleBytes < vals.length.toLong * forWidth) {
+      if (rleBytes < plainBytes / 2 && rleBytes < rows.toLong * forWidth) {
         encoding = EncRleLong
-        k = 0
-        while (k < vals.length) {
+        k = from
+        while (k < until) {
           var j = k + 1
-          while (j < vals.length && vals(j) == vals(k)) j += 1
+          while (j < until && vals(j) == vals(k)) j += 1
           d.writeLong(vals(k)); d.writeInt(j - k); k = j
         }
       } else if (forWidth < 8) {
         encoding = EncForPacked
         val base = stats.minLong
         d.writeLong(base); d.writeByte(forWidth)
-        k = 0
-        while (k < vals.length) {
+        k = from
+        while (k < until) {
           val delta = if (nullArr(k)) 0L else vals(k) - base
           forWidth match {
             case 1 => d.writeByte(delta.toInt)
@@ -183,16 +222,16 @@ final class GpxFileWriter(
           k += 1
         }
       } else {
-        k = 0
-        while (k < vals.length) { d.writeLong(vals(k)); k += 1 }
+        k = from
+        while (k < until) { d.writeLong(vals(k)); k += 1 }
       }
     } else dt match {
       case FloatType =>
         val vals = floats(i)
         var mn = Double.MaxValue; var mx = -Double.MaxValue
         var any = false; var sawNaN = false
-        var k = 0
-        while (k < vals.length) {
+        k = from
+        while (k < until) {
           if (!nullArr(k)) {
             val v = vals(k)
             if (java.lang.Float.isNaN(v)) sawNaN = true
@@ -206,8 +245,8 @@ final class GpxFileWriter(
         val vals = doubles(i)
         var mn = Double.MaxValue; var mx = -Double.MaxValue
         var any = false; var sawNaN = false
-        var k = 0
-        while (k < vals.length) {
+        k = from
+        while (k < until) {
           if (!nullArr(k)) {
             val v = vals(k)
             if (java.lang.Double.isNaN(v)) sawNaN = true
@@ -229,8 +268,8 @@ final class GpxFileWriter(
           while (scale < 0 && s2 <= 4) {
             val p = math.pow(10, s2)
             var ok = true
-            var k2 = 0
-            while (ok && k2 < vals.length) {
+            var k2 = from
+            while (ok && k2 < until) {
               if (!nullArr(k2)) {
                 val v = vals(k2)
                 val scaled = Math.rint(v * p)
@@ -244,23 +283,23 @@ final class GpxFileWriter(
             if (ok) scale = s2 else s2 += 1
           }
         }
-        if (scale >= 0 && vals.nonEmpty) {
+        if (scale >= 0 && rows > 0) {
           encoding = EncScaledDouble
           val p = math.pow(10, scale)
-          val longsV = new Array[Long](vals.length)
+          val longsV = new Array[Long](rows)
           var k2 = 0
           var lmn = Long.MaxValue
-          while (k2 < vals.length) {
-            longsV(k2) = if (nullArr(k2)) 0L else Math.rint(vals(k2) * p).toLong
+          while (k2 < rows) {
+            longsV(k2) = if (nullArr(from + k2)) 0L else Math.rint(vals(from + k2) * p).toLong
             if (longsV(k2) < lmn) lmn = longsV(k2)
             k2 += 1
           }
           var lmx = Long.MinValue
           k2 = 0
-          while (k2 < vals.length) { if (longsV(k2) > lmx) lmx = longsV(k2); k2 += 1 }
+          while (k2 < rows) { if (longsV(k2) > lmx) lmx = longsV(k2); k2 += 1 }
           // rewrite null placeholders to the base so deltas stay >= 0
           k2 = 0
-          while (k2 < vals.length) { if (nullArr(k2)) longsV(k2) = lmn; k2 += 1 }
+          while (k2 < rows) { if (nullArr(from + k2)) longsV(k2) = lmn; k2 += 1 }
           val range = lmx - lmn
           val width =
             if (range < 0) 8
@@ -269,7 +308,7 @@ final class GpxFileWriter(
           d.writeByte(scale)
           d.writeLong(lmn); d.writeByte(width)
           k2 = 0
-          while (k2 < vals.length) {
+          while (k2 < rows) {
             val delta = longsV(k2) - lmn
             width match {
               case 1 => d.writeByte(delta.toInt)
@@ -280,8 +319,8 @@ final class GpxFileWriter(
             k2 += 1
           }
         } else {
-          k = 0
-          while (k < vals.length) { d.writeDouble(vals(k)); k += 1 }
+          k = from
+          while (k < until) { d.writeDouble(vals(k)); k += 1 }
         }
       case bdt if bdt == StringType || bdt == BinaryType ||
           bdt.isInstanceOf[DecimalType] || isNumericArray(bdt) =>
@@ -291,8 +330,8 @@ final class GpxFileWriter(
         if (bdt != StringType) stats = stats.copy(reliable = false)
         if (dt == StringType) {
           var mn: String = null; var mx: String = null
-          var k = 0
-          while (k < vals.length) {
+          k = from
+          while (k < until) {
             if (!nullArr(k)) {
               val s = UTF8String.fromBytes(vals(k)).toString
               if (mn == null || s < mn) mn = s
@@ -309,26 +348,26 @@ final class GpxFileWriter(
         val distinct = scala.collection.mutable.LinkedHashMap[Seq[Byte], Int]()
         var dictComplete = false
         if (dt == StringType) {
-          var k = 0
-          while (k < vals.length && distinct.size <= vals.length / 2) {
+          k = from
+          while (k < until && distinct.size <= rows / 2) {
             val key = vals(k).toSeq
             if (!distinct.contains(key)) distinct(key) = distinct.size
             k += 1
           }
-          dictComplete = k == vals.length && distinct.size <= vals.length / 2
+          dictComplete = k == until && distinct.size <= rows / 2
         }
-        if (dt == StringType && vals.nonEmpty && dictComplete) {
+        if (dt == StringType && rows > 0 && dictComplete) {
           encoding = EncDictString
           d.writeInt(distinct.size)
           distinct.keys.foreach { key =>
             val arr = key.toArray
             d.writeInt(arr.length); d.write(arr)
           }
-          var k = 0
-          while (k < vals.length) { d.writeInt(distinct(vals(k).toSeq)); k += 1 }
+          k = from
+          while (k < until) { d.writeInt(distinct(vals(k).toSeq)); k += 1 }
         } else {
-          var k = 0
-          while (k < vals.length) {
+          k = from
+          while (k < until) {
             d.writeInt(vals(k).length); d.write(vals(k)); k += 1
           }
         }
@@ -336,25 +375,25 @@ final class GpxFileWriter(
     }
     d.flush()
 
-    // chunk = encoding | nullCount | bitmap | dataLen | data
-    val head = new ByteArrayOutputStream(64)
-    val hd = new DataOutputStream(head)
-    hd.writeByte(encoding)
-    hd.writeInt(nullCount)
+    // segment = encoding | nullCount | bitmap | dataLen | data
+    seg.writeByte(encoding)
+    seg.writeInt(nullCount)
     if (nullCount > 0) {
-      val bm = new Array[Byte]((bufRows + 7) / 8)
-      var k = 0
-      while (k < bufRows) {
-        if (nullArr(k)) bm(k >> 3) = (bm(k >> 3) | (1 << (k & 7))).toByte
+      val bm = new Array[Byte]((rows + 7) / 8)
+      k = from
+      while (k < until) {
+        if (nullArr(k)) {
+          val r = k - from
+          bm(r >> 3) = (bm(r >> 3) | (1 << (r & 7))).toByte
+        }
         k += 1
       }
-      hd.write(bm)
+      seg.write(bm)
     }
-    hd.writeInt(body.size())
-    hd.flush()
-    write(head.toByteArray)
-    write(body.toByteArray)
-    ChunkMeta(offset, pos - offset, encoding, stats)
+    seg.writeInt(body.size())
+    seg.write(body.toByteArray)
+    seg.flush()
+    (encoding, stats)
   }
 
   /** finalize: flush last row group, write footer + trailer. */

@@ -8,11 +8,21 @@ import java.io.{DataInputStream, DataOutputStream}
   *
   *   file   := MAGIC "GPX1" | rowgroup* | footer | footerLen:i32 | MAGIC
   *   rowgroup := column chunk* (schema order)
-  *   chunk  := encoding:u8 | nullCount:i32 | nullBitmap | dataLen:i32 | data
+  *   chunk  := pixel segment* (each independently decodable)
+  *   segment := encoding:u8 | nullCount:i32 | nullBitmap | dataLen:i32 | data
   *
-  * Per-chunk min/max/nullCount statistics live in the footer (the
-  * reference's zone maps, proto/pixels.proto:154-235) and drive row-group
-  * skipping in the reader (PixelsRecordReaderImpl.java:347-451 analog).
+  * A PIXEL (reference proto/pixels.proto:30-34 — the ~10k-row stats granule
+  * that gives Pixels its name) is a fixed row range within a row group; each
+  * column chunk encodes every pixel as an independent segment and the footer
+  * records per-pixel offsets and min/max, so a selective reader seeks to and
+  * decodes ONLY the pixels that can match — sub-row-group skipping, not just
+  * row-group skipping.
+  *
+  * Chunk- and pixel-level min/max/nullCount statistics live in the footer
+  * (zone maps, proto/pixels.proto:154-235) and drive pruning at planning
+  * time (PixelsRecordReaderImpl.java:347-451 analog). Row groups carry an
+  * optional commit timestamp (proto/pixels.proto:66-69 hidden-column
+  * analog) that `option("snapshotTs", ...)` filters for MVCC time travel.
   *
   * Encodings (reference: encoding/RunLenIntEncoder.java, dictionary in
   * StringColumnWriter.java:42-64): PLAIN for all types; RLE for the integer
@@ -25,7 +35,7 @@ object GpxFormat {
 
   /** bumped on any footer/encoding layout change; cache dirs embed it so
     * files written by an older writer are never misread */
-  val FormatVersion: Int = 3
+  val FormatVersion: Int = 4
 
   // encodings
   val EncPlain: Byte = 0
@@ -40,6 +50,9 @@ object GpxFormat {
   val EncScaledDouble: Byte = 4
 
   val DefaultRowGroupRows: Int = 65536
+  /** default stats/encode sub-granule within a row group (reference pixel
+    * size; pixels.proto:31 uses ~10k) */
+  val DefaultPixelRows: Int = 8192
 
   /** Column-chunk statistics: typed min/max + null count (zone map).
     * `reliable=false` marks stats that must not drive skipping: float
@@ -60,12 +73,43 @@ object GpxFormat {
       ChunkStats(hasValues = false, 0L, 0L, 0.0, 0.0, "", "", 0L)
     val unreliable: ChunkStats =
       empty.copy(reliable = false)
+
+    /** Combine stats of two row ranges of the same column. */
+    def merge(a: ChunkStats, b: ChunkStats): ChunkStats = {
+      def pickL(av: Long, bv: Long, f: (Long, Long) => Long): Long =
+        if (a.hasValues && b.hasValues) f(av, bv) else if (a.hasValues) av else bv
+      def pickD(av: Double, bv: Double, f: (Double, Double) => Double): Double =
+        if (a.hasValues && b.hasValues) f(av, bv) else if (a.hasValues) av else bv
+      def pickS(av: String, bv: String, lo: Boolean): String =
+        if (a.hasValues && b.hasValues) {
+          if ((av <= bv) == lo) av else bv
+        } else if (a.hasValues) av else bv
+      ChunkStats(
+        a.hasValues || b.hasValues,
+        pickL(a.minLong, b.minLong, math.min), pickL(a.maxLong, b.maxLong, math.max),
+        pickD(a.minDouble, b.minDouble, math.min), pickD(a.maxDouble, b.maxDouble, math.max),
+        pickS(a.minString, b.minString, lo = true), pickS(a.maxString, b.maxString, lo = false),
+        a.nullCount + b.nullCount,
+        a.reliable && b.reliable)
+    }
   }
 
-  final case class ChunkMeta(
-      offset: Long, length: Long, encoding: Byte, stats: ChunkStats)
+  /** One pixel segment of a chunk: byte offset relative to the chunk start,
+    * row count, and its own zone map. */
+  final case class PixelMeta(relOffset: Int, rows: Int, stats: ChunkStats)
 
-  final case class RowGroupMeta(numRows: Int, chunks: Array[ChunkMeta])
+  final case class ChunkMeta(
+      offset: Long, length: Long, encoding: Byte, stats: ChunkStats,
+      pixels: Array[PixelMeta]) {
+    /** byte length of pixel segment p within this chunk */
+    def pixelLength(p: Int): Int =
+      (if (p + 1 < pixels.length) pixels(p + 1).relOffset else length.toInt) -
+        pixels(p).relOffset
+  }
+
+  /** commitTs = -1 means "no commit timestamp recorded" (always visible). */
+  final case class RowGroupMeta(
+      numRows: Int, chunks: Array[ChunkMeta], commitTs: Long = -1L)
 
   final case class Footer(schema: StructType, rowGroups: Array[RowGroupMeta])
 
@@ -103,21 +147,35 @@ object GpxFormat {
     case _ => false
   }
 
+  private def writeStats(out: DataOutputStream, s: ChunkStats): Unit = {
+    out.writeBoolean(s.hasValues)
+    out.writeLong(s.minLong); out.writeLong(s.maxLong)
+    out.writeDouble(s.minDouble); out.writeDouble(s.maxDouble)
+    out.writeUTF(s.minString.take(64)); out.writeUTF(s.maxString.take(64))
+    out.writeLong(s.nullCount)
+    out.writeBoolean(s.reliable)
+  }
+
+  private def readStats(in: DataInputStream): ChunkStats =
+    ChunkStats(in.readBoolean(),
+      in.readLong(), in.readLong(), in.readDouble(), in.readDouble(),
+      in.readUTF(), in.readUTF(), in.readLong(), in.readBoolean())
+
   def writeFooter(out: DataOutputStream, f: Footer): Unit = {
     out.writeUTF(f.schema.toDDL)
     out.writeInt(f.rowGroups.length)
     f.rowGroups.foreach { rg =>
       out.writeInt(rg.numRows)
+      out.writeLong(rg.commitTs)
       out.writeInt(rg.chunks.length)
       rg.chunks.foreach { c =>
         out.writeLong(c.offset); out.writeLong(c.length); out.writeByte(c.encoding)
-        val s = c.stats
-        out.writeBoolean(s.hasValues)
-        out.writeLong(s.minLong); out.writeLong(s.maxLong)
-        out.writeDouble(s.minDouble); out.writeDouble(s.maxDouble)
-        out.writeUTF(s.minString.take(64)); out.writeUTF(s.maxString.take(64))
-        out.writeLong(s.nullCount)
-        out.writeBoolean(s.reliable)
+        writeStats(out, c.stats)
+        out.writeInt(c.pixels.length)
+        c.pixels.foreach { p =>
+          out.writeInt(p.relOffset); out.writeInt(p.rows)
+          writeStats(out, p.stats)
+        }
       }
     }
   }
@@ -127,15 +185,19 @@ object GpxFormat {
     val nRg = in.readInt()
     val rgs = Array.fill(nRg) {
       val numRows = in.readInt()
+      val commitTs = in.readLong()
       val nCh = in.readInt()
       val chunks = Array.fill(nCh) {
         val off = in.readLong(); val len = in.readLong(); val enc = in.readByte()
-        val stats = ChunkStats(in.readBoolean(),
-          in.readLong(), in.readLong(), in.readDouble(), in.readDouble(),
-          in.readUTF(), in.readUTF(), in.readLong(), in.readBoolean())
-        ChunkMeta(off, len, enc, stats)
+        val stats = readStats(in)
+        val nPx = in.readInt()
+        val pixels = Array.fill(nPx) {
+          val rel = in.readInt(); val rows = in.readInt()
+          PixelMeta(rel, rows, readStats(in))
+        }
+        ChunkMeta(off, len, enc, stats, pixels)
       }
-      RowGroupMeta(numRows, chunks)
+      RowGroupMeta(numRows, chunks, commitTs)
     }
     Footer(schema, rgs)
   }

@@ -12,19 +12,27 @@ import org.apache.spark.sql.functions._
   */
 object FormatOps {
 
+  /** per-sf cache dir built at most once per JVM (idempotent via marker). */
+  private def cachedDir(d: String, name: String)(build: String => Unit): String = {
+    val key = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gpx" +
+      s"/v${graft.format.GpxFormat.FormatVersion}/${name}_$key"
+    val marker = new java.io.File(s"$dir/_done")
+    if (!marker.exists()) {
+      build(dir)
+      marker.createNewFile()
+    }
+    dir
+  }
+
   /** write `table` to a per-sf gpx dir once per JVM (idempotent). */
   private def gpx(s: SparkSession, d: String, table: String,
       sortCol: Option[String] = None, rgRows: Int = 8192): DataFrame = {
-    val key = d.replaceAll("[^a-zA-Z0-9]", "_")
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gpx" +
-      s"/v${graft.format.GpxFormat.FormatVersion}/${table}_$key"
-    val marker = new java.io.File(s"$dir/_done")
-    if (!marker.exists()) {
+    val dir = cachedDir(d, table) { dir =>
       val src = Tables.t(s, d, table)
       val sorted = sortCol.map(c => src.orderBy(c)).getOrElse(src)
       sorted.write.format("gpx").mode("overwrite")
         .option("rowGroupRows", rgRows.toString).save(dir)
-      marker.createNewFile()
     }
     s.read.format("gpx").load(dir)
   }
@@ -128,6 +136,57 @@ object FormatOps {
              |      ORDER BY list_dot_product(a.v, b.v) / (a.norm * b.norm) DESC, b.vec_id) AS rank
              |  FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id >= 10) t
              |WHERE rank <= 5
-             |ORDER BY q_id, rank""".stripMargin))
+             |ORDER BY q_id, rank""".stripMargin)),
+
+    // Native compaction: many small gpx files -> few large ones by copying
+    // encoded chunk bytes (no re-encode, PixelsCompactor.java:52 analog);
+    // the aggregate over the compacted layout must still hash-match the
+    // parquet oracle.
+    GQuery("f07_gpx_compact_agg", (s, d) => {
+      val out = cachedDir(d, "compact_out") { out =>
+        val src = cachedDir(d, "compact_src") { src =>
+          Tables.orders(s, d).repartition(8).write.format("gpx")
+            .mode("overwrite").option("rowGroupRows", "2048").save(src)
+        }
+        graft.format.GpxCompactor.compact(src, out,
+          s.sparkContext.hadoopConfiguration)
+      }
+      s.read.format("gpx").load(out)
+        .groupBy("o_orderstatus")
+        .agg(Det.dsum(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("n_keys"))
+        .orderBy("o_orderstatus")
+    },
+      Some(s"""SELECT o_orderstatus, ${Det.o.dsum("o_totalprice")} AS sum_price,
+              |  COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS n_keys
+              |FROM orders GROUP BY o_orderstatus
+              |ORDER BY o_orderstatus""".stripMargin)),
+
+    // MVCC time travel inside the format: three append commits carry
+    // commitTs 100/200/300 in their row groups; snapshotTs=200 must see
+    // exactly the first two, and exposeCommitTs surfaces the hidden
+    // column (PixelsReaderOption.java:37-39 analog).
+    GQuery("f08_gpx_time_travel", (s, d) => {
+      val dir = cachedDir(d, "mvcc_orders") { dir =>
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderkey") % 3 === 0).write.format("gpx")
+          .mode("overwrite").option("commitTs", "100").save(dir)
+        o.filter(col("o_orderkey") % 3 === 1).write.format("gpx")
+          .mode("append").option("commitTs", "200").save(dir)
+        o.filter(col("o_orderkey") % 3 === 2).write.format("gpx")
+          .mode("append").option("commitTs", "300").save(dir)
+      }
+      s.read.format("gpx")
+        .option("snapshotTs", "200").option("exposeCommitTs", "true")
+        .load(dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col(graft.format.GpxTable.CommitTsCol).as("commit_ts"))
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_totalprice,
+             |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 200 END AS BIGINT) AS commit_ts
+             |FROM orders WHERE o_orderkey % 3 <= 1
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

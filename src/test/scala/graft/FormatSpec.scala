@@ -266,6 +266,92 @@ class FormatSpec extends GraftSpec {
     info(s"runtime filter invocations: ${graft.format.GpxScan.runtimeFilterCalls.get() - before}")
   }
 
+  test("pixel-level zone maps skip sub-row-group ranges") {
+    import sp.implicits._
+    // ONE row group of 16384 rows, 16 pixels of 1024: a point filter must
+    // decode ~1 pixel, not the whole row group
+    val df = (0 until 16384).map(i => (i.toLong, i % 7)).toDF("id", "x")
+    val dir = tmp()
+    df.orderBy("id").coalesce(1).write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "16384").option("pixelRows", "1024").save(dir)
+    val t = sp.read.format("gpx").load(dir)
+    val b1 = GpxFileReader.pixelsDecoded.get()
+    assert(t.filter(col("id") === 7777L).count() == 1)
+    val selective = GpxFileReader.pixelsDecoded.get() - b1
+    val b2 = GpxFileReader.pixelsDecoded.get()
+    assert(t.filter(col("id") >= 0L).count() == 16384)
+    val full = GpxFileReader.pixelsDecoded.get() - b2
+    assert(selective < full / 4, s"selective=$selective full=$full")
+    // sub-granule skipping must not lose boundary rows
+    assert(t.filter(col("id").between(1020L, 1030L)).count() == 11)
+  }
+
+  test("repeated queries plan from the footer cache; executors read no footers") {
+    val li = Tables.lineitem(sp, sf)
+    val dir = tmp()
+    li.write.format("gpx").mode("overwrite").save(dir)
+    val t = sp.read.format("gpx").load(dir)
+    assert(t.filter(col("l_quantity") < 5).count() ==
+      li.filter(col("l_quantity") < 5).count()) // cold: parses + caches footers
+    val before = GpxFileReader.footerReads.get()
+    assert(t.filter(col("l_quantity") >= 5).count() ==
+      li.filter(col("l_quantity") >= 5).count())
+    assert(t.groupBy("l_returnflag").count().count() == 3)
+    // planning hit the (len, mtime)-validated cache; splits are
+    // self-contained so executors never touched a footer either
+    assert(GpxFileReader.footerReads.get() == before,
+      s"footers re-read: ${GpxFileReader.footerReads.get() - before}")
+  }
+
+  test("commitTs/snapshotTs MVCC time travel with the hidden _commit_ts column") {
+    import sp.implicits._
+    val dir = tmp()
+    (0L until 100L).map(i => (i, i * 2)).toDF("id", "v").write.format("gpx")
+      .mode("overwrite").option("commitTs", "100").save(dir)
+    (100L until 200L).map(i => (i, i * 2)).toDF("id", "v").write.format("gpx")
+      .mode("append").option("commitTs", "200").save(dir)
+    (200L until 300L).map(i => (i, i * 2)).toDF("id", "v").write.format("gpx")
+      .mode("append").option("commitTs", "300").save(dir)
+    // plain read: all commits, no hidden column in the schema
+    val all = sp.read.format("gpx").load(dir)
+    assert(all.count() == 300)
+    assert(!all.schema.fieldNames.contains("_commit_ts"))
+    // snapshot at 200 sees exactly the first two commits
+    val snap = sp.read.format("gpx").option("snapshotTs", "200").load(dir)
+    assert(snap.count() == 200)
+    assert(snap.agg(max("id")).head.getLong(0) == 199L)
+    // exposed hidden column carries each row group's commit ts
+    val exposed = sp.read.format("gpx").option("exposeCommitTs", "true").load(dir)
+    assert(exposed.filter(col("_commit_ts") === 200L).count() == 100)
+    assert(exposed.groupBy("_commit_ts").count().count() == 3)
+  }
+
+  test("native gpx compaction copies chunks verbatim and preserves results") {
+    val o = Tables.orders(sp, sf)
+    val in = tmp()
+    o.repartition(4).write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "512").save(in)
+    val outDir = tmp() + "/compacted"
+    val conf = new Configuration()
+    val res = graft.format.GpxCompactor.compact(in, outDir, conf)
+    assert(res.inputFiles == 4 && res.outputFiles == 1)
+    assert(res.rows == o.count())
+    // row groups, encodings, pixel stats and byte lengths are preserved
+    val inFooters = graft.format.GpxTable.listFiles(Seq(in), conf)
+      .map(GpxFileReader.readFooter(_, conf))
+    val outFooter = GpxFileReader.readFooter(
+      graft.format.GpxTable.listFiles(Seq(outDir), conf).head, conf)
+    assert(outFooter.rowGroups.length == inFooters.map(_.rowGroups.length).sum)
+    assert(outFooter.rowGroups.map(_.chunks.map(_.length).sum).sum ==
+      inFooters.map(_.rowGroups.map(_.chunks.map(_.length).sum).sum).sum)
+    // full result equality through the compacted layout
+    val back = sp.read.format("gpx").load(outDir)
+    assert(back.exceptAll(o).count() == 0 && o.exceptAll(back).count() == 0)
+    // zone-map pruning still works on the compacted file
+    assert(back.filter(col("o_orderkey") === 42L).count() ==
+      o.filter(col("o_orderkey") === 42L).count())
+  }
+
   test("all-null and empty-string zone maps don't mislead the skipper") {
     import sp.implicits._
     val df = Seq(
