@@ -84,39 +84,72 @@ object VectorOps {
               |WHERE rank <= 5
               |ORDER BY q_id, rank""".stripMargin)),
 
-    // IVF-style pruned ANN (the 100 TB scale path): coarse-quantize on the
-    // label partition, build per-cluster centroids, probe the 4 nearest
-    // clusters per query, exact-search only inside probed clusters.
-    // (The synthetic embeddings are near-uniform, so recall here is
-    // data-bound — on real clustered embeddings the same probe ratio gives
-    // much higher recall; exactness is v02's job.)
+    // IVF ANN with LEARNED coarse centroids (the 100 TB scale path):
+    // Lloyd's k-means over the corpus (fixed seed-free deterministic init
+    // = the K lowest vec_ids; cosine assignment), then probe the NProbe
+    // nearest clusters per query and exact-search only inside them.
+    // Each iteration is one n-by-K broadcast pass + one shuffle for the
+    // per-cluster means; only the K centroids (bounded) ever reach the
+    // driver — the same coordination shape as MLlib's KMeans.
     // Approximate by construction -> rows-only gate; recall vs v02 is
     // asserted in VectorOpsSpec.
     GQuery("v03_knn_ivf", (s, d) => {
+      val K = 8; val NProbe = 4; val Iters = 4
       val e = vecs(s, d)
-      val dim = 64
-      // centroid per label: exact decimal mean per dimension would be
-      // overkill — centroids only steer pruning, never affect exactness
-      // of the final per-cluster search.
-      val cent = e.select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy("label", "i").agg(avg(col("x")).as("cx"))
-        .groupBy("label").agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
-        .select(col("label").as("c_label"),
-          expr("transform(pairs, p -> p.cx)").as("cv"))
-        .withColumn("cnorm", sqrt(expr(
-          "aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x)")))
+      val data = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("n_id"), col("v").as("nv"), col("norm").as("nnorm"))
+        .persist()
+
+      def centDf(cent: Array[Seq[Double]]): DataFrame =
+        broadcast(s.createDataFrame(
+          s.sparkContext.parallelize(
+            cent.zipWithIndex.toSeq.map { case (v, i) =>
+              org.apache.spark.sql.Row(i, v)
+            }, 1),
+          StructType(Seq(StructField("cid", IntegerType),
+            StructField("cv", ArrayType(DoubleType)))))
+          .withColumn("cnorm", sqrt(expr(
+            "aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x)"))))
+
+      /** nearest-centroid assignment: n x K broadcast pass, argmax by
+        * (cosine, cid) — deterministic tie-break */
+      def assign(cent: Array[Seq[Double]]): DataFrame = {
+        val wAssign = Window.partitionBy(col("n_id"))
+          .orderBy(col("ccos").desc, col("cid"))
+        data.crossJoin(centDf(cent))
+          .withColumn("ccos", cosine("nv", "nnorm", "cv", "cnorm"))
+          .withColumn("r", row_number().over(wAssign))
+          .filter(col("r") === 1)
+          .select(col("n_id"), col("nv"), col("nnorm"), col("cid"))
+      }
+
+      // deterministic init: the K lowest ids (bounded collect)
+      var centroids: Array[Seq[Double]] = data.orderBy("n_id").limit(K)
+        .select("nv").collect().map(_.getSeq[Double](0))
+      for (_ <- 0 until Iters) {
+        val means = assign(centroids)
+          .select(col("cid"), posexplode(col("nv")).as(Seq("i", "x")))
+          .groupBy("cid", "i").agg(avg(col("x")).as("cx"))
+          .groupBy("cid")
+          .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("ps"))
+          .select(col("cid"), expr("transform(ps, p -> p.cx)").as("cv"))
+          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        // empty clusters keep their previous centroid
+        centroids = centroids.indices
+          .map(i => means.getOrElse(i, centroids(i))).toArray
+      }
+      val clustered = assign(centroids).persist()
+
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
-      val wc = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("c_label"))
-      val probes = q.join(broadcast(cent))
+      val wc = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))
+      val probes = q.crossJoin(centDf(centroids))
         .withColumn("ccos", cosine("qv", "qnorm", "cv", "cnorm"))
         .withColumn("crank", row_number().over(wc))
-        .filter(col("crank") <= 4)
-        .select(col("q_id"), col("qv"), col("qnorm"), col("c_label"))
+        .filter(col("crank") <= NProbe)
+        .select(col("q_id"), col("qv"), col("qnorm"), col("cid"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-      probes.join(e.filter(col("vec_id") >= 10)
-          .select(col("vec_id").as("n_id"), col("label"), col("v").as("nv"), col("norm").as("nnorm")),
-          col("c_label") === col("label"))
+      probes.join(clustered, "cid")
         .withColumn("cos", cosine("qv", "qnorm", "nv", "nnorm"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)

@@ -75,12 +75,13 @@ class VectorOpsSpec extends GraftSpec {
     assert(recall >= 0.2, s"recall=$recall")
   }
 
-  test("v03 knn ivf: recall@5 vs brute force (4/10 probes on uniform data)") {
+  test("v03 knn ivf: learned k-means centroids, recall@5 vs brute >= 0.6") {
     val brute = run("v02_knn_brute").select("q_id", "n_id")
     val ivf = run("v03_knn_ivf").select("q_id", "n_id")
     val hits = brute.intersect(ivf).count().toDouble
     val recall = hits / brute.count()
-    assert(recall >= 0.4, s"recall=$recall")
+    info(s"v03 ivf recall@5 = $recall")
+    assert(recall >= 0.6, s"recall=$recall")
   }
 }
 
