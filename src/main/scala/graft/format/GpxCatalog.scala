@@ -23,7 +23,7 @@ import scala.jdk.CollectionConverters._
   * `SELECT`, `ANALYZE TABLE ... COMPUTE STATISTICS` (CBO stats) all work
   * through plain Spark SQL.
   */
-class GpxCatalog extends TableCatalog with SupportsNamespaces {
+class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -128,4 +128,16 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces {
     fs.mkdirs(nsPath(next.namespace()))
     fs.rename(tablePath(old), tablePath(next))
   }
+
+  // ---- functions (storage-partitioned joins need the bucket function
+  // resolvable from the table's catalog) ----
+  override def listFunctions(ns: Array[String]): Array[Identifier] =
+    Array(Identifier.of(ns, "bucket"))
+
+  override def loadFunction(ident: Identifier): functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GpxBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.name().equalsIgnoreCase("bucket")
 }

@@ -125,6 +125,17 @@ class GpxTable(schema: StructType, roots: Seq[String])
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
+  /** Bucketed layouts advertise their bucket transform; with GpxCatalog's
+    * FunctionCatalog resolving `bucket`, equi-joins on the bucket key
+    * become storage-partitioned joins — zero Exchange. */
+  override def partitioning(): Array[Transform] =
+    roots.headOption
+      .flatMap(GpxTable.readBucketSpec(_, new Configuration()))
+      .map(b => Array[Transform](
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(
+          b.numBuckets, b.column)))
+      .getOrElse(Array.empty)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val snapshotTs = Option(options.get("snapshotTs")).map(_.toLong)
     new GpxScanBuilder(schema, roots, snapshotTs)
@@ -305,10 +316,17 @@ class GpxStatsReaderFactory(fileSchema: StructType, agg: Aggregation)
 
 /** One self-contained split per (file, row group) that survives pruning:
   * `cols` holds, per output column, the kept pixel slices in row order —
-  * or null for the synthetic `_commit_ts` column (filled from commitTs). */
+  * or null for the synthetic `_commit_ts` column (filled from commitTs).
+  * `bucketId` (file-name bucket, -1 if unbucketed) is the partition key
+  * for storage-partitioned joins over the bucketed layout. */
 final case class GpxInputPartition(
     path: String, numRows: Int, commitTs: Long,
-    cols: Array[Array[PixelSlice]]) extends InputPartition
+    cols: Array[Array[PixelSlice]], bucketId: Int = -1)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucketId))
+}
 
 class GpxScan(
     fileSchema: StructType,
@@ -316,7 +334,8 @@ class GpxScan(
     planningFilters: Array[Filter],
     roots: Seq[String],
     snapshotTs: Option[Long]) extends Scan with Batch
-  with SupportsReportStatistics with SupportsRuntimeFiltering {
+  with SupportsReportStatistics with SupportsRuntimeFiltering
+  with SupportsReportPartitioning {
 
   /** planning-time filters plus any runtime (DPP-style) filters Spark
     * injects after build sides materialize — the v2 analog of dynamic
@@ -401,7 +420,8 @@ class GpxScan(
                     ch.pixels(p).rows))
                 }
               }
-              parts += GpxInputPartition(f, numRows, rg.commitTs, cols)
+              parts += GpxInputPartition(f, numRows, rg.commitTs, cols,
+                GpxTable.bucketOfFile(f).getOrElse(-1))
               totalRows += numRows
               cols.foreach { c =>
                 totalBytes += (if (c == null) 8L * numRows else c.map(_.length.toLong).sum)
@@ -430,6 +450,26 @@ class GpxScan(
       java.util.OptionalLong.of(statsSnapshot._3)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.of(statsSnapshot._2)
+  }
+
+  /** Bucketed layout + bucket column still in the output => key-grouped on
+    * bucket(n, col): Spark groups the splits per bucket id and plans
+    * equi-joins on the key WITHOUT an Exchange (both sides' `bucket`
+    * resolve to GpxBucketFunction through the catalog). */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val spec = roots.headOption
+      .flatMap(GpxTable.readBucketSpec(_, new Configuration()))
+    spec match {
+      case Some(b) if required.fieldNames.contains(b.column) &&
+        statsSnapshot._1.forall(_.bucketId >= 0) && statsSnapshot._1.nonEmpty =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+            b.numBuckets, b.column)),
+          statsSnapshot._1.map(_.bucketId).distinct.length)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          statsSnapshot._1.length)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -41,6 +41,52 @@ class CatalogSpec extends GraftSpec {
     assert(sp.sql("SHOW TABLES IN graft.db").count() == 0)
   }
 
+  test("storage-partitioned join: bucketed gpx tables join with zero Exchange") {
+    val wh = Files.createTempDirectory("gpx_spj").toString
+    sp.conf.set("spark.sql.catalog.gspj", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gspj.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gspj.db")
+    sp.sql("CREATE TABLE gspj.db.t1 (k BIGINT, v BIGINT) USING gpx")
+    sp.sql("CREATE TABLE gspj.db.t2 (k BIGINT, w BIGINT) USING gpx")
+    import sp.implicits._
+    // write the bucketed layout directly into the catalog table dirs
+    (0L until 2000L).map(i => (i % 97, i)).toDF("k", "v")
+      .write.format("gpx").mode("append")
+      .option("bucketBy", "k").option("numBuckets", "4").save(s"$wh/db/t1")
+    (0L until 1000L).map(i => (i % 89, i * 3)).toDF("k", "w")
+      .write.format("gpx").mode("append")
+      .option("bucketBy", "k").option("numBuckets", "4").save(s"$wh/db/t2")
+
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = keys.map { case (k, _) => k -> sp.conf.getOption(k) }
+    keys.foreach { case (k, v) => sp.conf.set(k, v) }
+    try {
+      val j = sp.table("gspj.db.t1").join(sp.table("gspj.db.t2"), "k")
+      val agg = j.agg(count(lit(1)).as("n"), sum($"v" + $"w").as("s"))
+      val plan = agg.queryExecution.executedPlan
+      val exchangesBelowJoin = plan.collect {
+        case smj: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          (smj.left.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e } ++
+            smj.right.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }).size
+      }
+      assert(exchangesBelowJoin.nonEmpty, s"no SMJ found:\n$plan")
+      assert(exchangesBelowJoin.forall(_ == 0),
+        s"join inputs still shuffle:\n$plan")
+      // correctness vs a plain (shuffled) computation
+      val t1 = (0L until 2000L).map(i => (i % 97, i)).toDF("k", "v")
+      val t2 = (0L until 1000L).map(i => (i % 89, i * 3)).toDF("k", "w")
+      val want = t1.join(t2, "k").agg(count(lit(1)), sum($"v" + $"w")).head.toSeq
+      assert(agg.head.toSeq == want)
+    } finally saved.foreach {
+      case (k, Some(v)) => sp.conf.set(k, v)
+      case (k, None) => sp.conf.unset(k)
+    }
+  }
+
   test("saveAsTable / spark.table round-trip via catalog") {
     val wh = Files.createTempDirectory("gpx_wh2").toString
     sp.conf.set("spark.sql.catalog.graft2", "graft.format.GpxCatalog")
