@@ -116,8 +116,33 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     new GpxTable(schema, Seq(dir.toString))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("alterTable")
+  /** Schema evolution: ADD COLUMN appends a nullable column to the catalog
+    * record; existing gpx files stay untouched and read as nulls for the
+    * new column (tolerantSchemaEvolution, PixelsReaderOption.java:34,126). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tablePath(ident)
+    val ddlFile = new Path(dir, "_schema.ddl")
+    if (!fs.exists(ddlFile)) throw new NoSuchTableException(ident)
+    val in = fs.open(ddlFile)
+    val ddl = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    var schema = StructType.fromDDL(ddl)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "gpx supports only top-level ADD COLUMN")
+        require(add.isNullable,
+          "added columns must be nullable (existing files read them as null)")
+        require(GpxFormat.supported(add.dataType()),
+          s"unsupported gpx type ${add.dataType()}")
+        schema = schema.add(add.fieldNames().head, add.dataType(), nullable = true)
+      case other =>
+        throw new UnsupportedOperationException(s"alterTable: $other")
+    }
+    val out = fs.create(ddlFile, true)
+    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    new GpxTable(schema, Seq(dir.toString))
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && fs.delete(tablePath(ident), true)

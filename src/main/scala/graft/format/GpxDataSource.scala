@@ -54,7 +54,21 @@ class GpxDataSource extends TableProvider with DataSourceRegister {
     val conf = new Configuration()
     val files = GpxTable.listFiles(paths(options), conf)
     require(files.nonEmpty, s"no gpx files under ${paths(options)}")
-    val base = GpxFileReader.FooterCache.get(files.head, conf).schema
+    // tolerant schema evolution (PixelsReaderOption.tolerantSchemaEvolution
+    // analog): the table schema is the by-name union across files in sorted
+    // order; files missing a column surface nulls for it at read time
+    val base = files.sorted.map(GpxFileReader.FooterCache.get(_, conf).schema)
+      .reduce { (a, b) =>
+        b.foldLeft(a) { (acc, f) =>
+          acc.fieldNames.indexOf(f.name) match {
+            case -1 => acc.add(f.copy(nullable = true))
+            case i =>
+              require(acc(i).dataType == f.dataType,
+                s"column ${f.name} has conflicting types: ${acc(i).dataType} vs ${f.dataType}")
+              acc
+          }
+        }
+      }
     if (options.getBoolean("exposeCommitTs", false))
       base.add(StructField(GpxTable.CommitTsCol, LongType, nullable = false))
     else base
@@ -78,9 +92,18 @@ object GpxTable {
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) Seq.empty
       else if (fs.getFileStatus(p).isFile) Seq(p.toString)
-      else fs.listStatus(p).filter(_.isFile)
-        .filter(_.getPath.getName.endsWith(".gpx"))
-        .map(_.getPath.toString).toSeq
+      else {
+        // recursive: nested layouts (e.g. per-day subdirs) must not
+        // silently read empty
+        val it = fs.listFiles(p, true)
+        val out = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.isFile && s.getPath.getName.endsWith(".gpx"))
+            out += s.getPath.toString
+        }
+        out.result()
+      }
     }
 
   /** Bucket layout sidecar (reference: hash-partitioned files,
@@ -190,6 +213,12 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
     * aggregation over the per-row-group partials. */
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (filters.nonEmpty || agg.groupByExpressions().nonEmpty) return false
+    // evolved tables (files with differing schemas) answer from the normal
+    // scan's null-filling path — footer column ordinals differ per file
+    val conf = new Configuration()
+    val uniform = GpxTable.listFiles(roots, conf).forall(f =>
+      GpxFileReader.FooterCache.get(f, conf).schema == fileSchema)
+    if (!uniform) return false
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case f: NamedReference if f.fieldNames.length == 1 &&
@@ -398,8 +427,14 @@ class GpxScan(
       if (bucketOk) {
         val footer = GpxFileReader.FooterCache.get(f, conf)
         val phys = footer.schema
+        // -1 = synthetic commit-ts column; -2 = column absent from THIS
+        // file (schema evolution) -> filled with nulls
         val physIdx: Array[Int] = required.fields.map { fd =>
-          if (fd.name == GpxTable.CommitTsCol) -1 else phys.fieldIndex(fd.name)
+          if (fd.name == GpxTable.CommitTsCol) -1
+          else phys.fieldNames.indexOf(fd.name) match {
+            case -1 => -2
+            case i => i
+          }
         }
         footer.rowGroups.foreach { rg =>
           if (GpxScan.visibleAt(rg, snapshotTs) &&
@@ -412,7 +447,8 @@ class GpxScan(
             if (keptPix.nonEmpty) {
               val numRows = keptPix.map(rg.chunks.head.pixels(_).rows).sum
               val cols: Array[Array[PixelSlice]] = physIdx.map { ci =>
-                if (ci < 0) null
+                if (ci == -1) null // synthetic commit-ts constant
+                else if (ci == -2) Array.empty[PixelSlice] // absent -> nulls
                 else {
                   val ch = rg.chunks(ci)
                   keptPix.map(p => PixelSlice(

@@ -195,6 +195,9 @@ object GpxFileReader {
         val slices = cols(oi)
         if (slices == null) {
           vectors(oi).putLongs(0, numRows, constLong)
+        } else if (slices.isEmpty) {
+          // column absent from this file (schema evolution): all nulls
+          vectors(oi).putNulls(0, numRows)
         } else {
           var rowBase = 0
           var elemBase = 0

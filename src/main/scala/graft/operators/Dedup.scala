@@ -122,7 +122,9 @@ object Dedup {
       // verified with one vocabulary-sized aggregate; on the astronomically
       // unlikely 64-bit collision we fall back to dense ids from RDD
       // zipWithIndex, which is also partition-parallel.
-      val hashed = exploded.withColumn("tid", xxhash64(col("tok")))
+      // persist BEFORE the collision-check aggregate so the explode+hash
+      // pass runs once, serving both the check and every downstream reuse
+      val hashed = exploded.withColumn("tid", xxhash64(col("tok"))).persist()
       val vocabRow = hashed
         .agg(countDistinct(col("tok")).as("ntok"), countDistinct(col("tid")).as("ntid"))
         .head()
@@ -136,7 +138,7 @@ object Dedup {
             .map { case (t, i) => org.apache.spark.sql.Row(t, i + 1L) },
           new StructType().add("tok", StringType).add("tid", LongType))
         exploded.join(dense, "tok").select(col("rep_id"), col("tid"))
-      }).persist()
+      })
       val repsInt = expInt.groupBy("rep_id")
         .agg(collect_list(col("tid")).as("toks"))
         .persist()
@@ -239,8 +241,11 @@ object Dedup {
       // vocabulary of a 100 TB corpus doesn't fit in a broadcast; AQE
       // promotes it to broadcast when it actually is small.
       val freq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      // persist BEFORE the collision check: the df join runs once for the
+      // check and all downstream consumers
       val hashedGrams = grams.join(freq, "gram")
         .withColumn("gid", xxhash64(col("gram")))
+        .persist()
       val vocabRow = hashedGrams
         .agg(countDistinct(col("gram")).as("ng"), countDistinct(col("gid")).as("ni"))
         .head()
@@ -255,7 +260,7 @@ object Dedup {
           new StructType().add("gram", StringType).add("gid", LongType))
         grams.join(freq, "gram").join(dense, "gram")
           .select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("df"))
-      }).persist()
+      }) // projection over the persisted hashedGrams — no second cache
       val gInt = gidGrams.groupBy(col("doc_id").as("gd"), col("lang"), col("sz"))
         .agg(collect_list(col("gid")).as("sids"))
         .persist()

@@ -352,6 +352,43 @@ class FormatSpec extends GraftSpec {
       o.filter(col("o_orderkey") === 42L).count())
   }
 
+  test("schema evolution: old files read new columns as null") {
+    import sp.implicits._
+    val dir = tmp()
+    // v1 files: (id, a)
+    (0L until 100L).map(i => (i, s"a$i")).toDF("id", "a")
+      .write.format("gpx").mode("overwrite").save(dir)
+    // v2 files add column b
+    (100L until 200L).map(i => (i, s"a$i", i * 10)).toDF("id", "a", "b")
+      .write.format("gpx").mode("append").save(dir)
+    val t = sp.read.format("gpx").load(dir)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "a", "b"))
+    assert(t.count() == 200)
+    assert(t.filter(col("b").isNull).count() == 100)
+    assert(t.filter(col("b").isNotNull).agg(sum("b")).head.getLong(0) ==
+      (100L until 200L).map(_ * 10).sum)
+    // filters on the new column still return correct rows from old files
+    assert(t.filter(col("b") > 1500L).count() == (151L until 200L).length)
+    // aggregate pushdown must NOT engage across heterogeneous files
+    val q = t.agg(min(col("id")), max(col("id")))
+    assert(!q.queryExecution.executedPlan.toString.contains("GpxStatsScan"))
+    assert(q.head.toSeq == Seq(0L, 199L))
+  }
+
+  test("ALTER TABLE ADD COLUMN evolves the catalog schema") {
+    val wh = java.nio.file.Files.createTempDirectory("gpx_evo").toString
+    sp.conf.set("spark.sql.catalog.gevo", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gevo.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gevo.db")
+    sp.sql("CREATE TABLE gevo.db.t (id BIGINT, a STRING) USING gpx")
+    sp.sql("INSERT INTO gevo.db.t VALUES (1, 'x'), (2, 'y')")
+    sp.sql("ALTER TABLE gevo.db.t ADD COLUMN b BIGINT")
+    sp.sql("INSERT INTO gevo.db.t VALUES (3, 'z', 30)")
+    val rows = sp.sql("SELECT id, a, b FROM gevo.db.t ORDER BY id").collect()
+    assert(rows.map(_.toSeq).toSeq == Seq(
+      Seq(1L, "x", null), Seq(2L, "y", null), Seq(3L, "z", 30L)))
+  }
+
   test("all-null and empty-string zone maps don't mislead the skipper") {
     import sp.implicits._
     val df = Seq(
