@@ -22,6 +22,7 @@ object GpxFileReader {
     * scans decode fewer pixels */
   val footerReads = new AtomicLong(0)
   val pixelsDecoded = new AtomicLong(0)
+  val dictColumnsFilled = new AtomicLong(0)
 
   def readFooter(path: String, conf: Configuration): Footer = {
     footerReads.incrementAndGet()
@@ -199,8 +200,8 @@ object GpxFileReader {
           // column absent from this file (schema evolution): all nulls
           vectors(oi).putNulls(0, numRows)
         } else {
-          var rowBase = 0
-          var elemBase = 0
+          // gather per-segment buffers with coalesced reads
+          val segBufs = new Array[Array[Byte]](slices.length)
           var si = 0
           while (si < slices.length) {
             // coalesce adjacent slices into one read
@@ -214,16 +215,35 @@ object GpxFileReader {
             val buf = new Array[Byte](runLen.toInt)
             in.seek(slices(si).offset)
             in.readFully(buf)
-            val d = new DataInputStream(new ByteArrayInputStream(buf))
+            var off = 0
             var sk = si
             while (sk < sj) {
-              elemBase = decodeSegment(d, outSchema(oi).dataType,
-                slices(sk).rows, vectors(oi), rowBase, elemBase)
+              segBufs(sk) = java.util.Arrays.copyOfRange(buf, off, off + slices(sk).length)
+              off += slices(sk).length
+              sk += 1
+            }
+            si = sj
+          }
+          val dt = outSchema(oi).dataType
+          // encoded-vector fast path (enableEncodedColumnVector analog,
+          // PixelsReaderOption.java:35): all-dict string chunks feed
+          // Spark's dictionary ColumnVector — per row just an int id, no
+          // per-row byte copies
+          val allDict = (dt == StringType || dt == BinaryType) &&
+            segBufs.forall(b => b.nonEmpty && b(0) == EncDictString)
+          if (allDict) fillDictColumn(segBufs, slices, vectors(oi))
+          else {
+            var rowBase = 0
+            var elemBase = 0
+            var sk = 0
+            while (sk < segBufs.length) {
+              elemBase = decodeSegment(
+                new DataInputStream(new ByteArrayInputStream(segBufs(sk))),
+                dt, slices(sk).rows, vectors(oi), rowBase, elemBase)
               pixelsDecoded.incrementAndGet()
               rowBase += slices(sk).rows
               sk += 1
             }
-            si = sj
           }
         }
         oi += 1
@@ -232,6 +252,64 @@ object GpxFileReader {
         vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]],
         numRows)
     } finally in.close()
+  }
+
+  /** Dictionary entries of all of one column's dict segments, combined
+    * with per-segment id offsets — backs Spark's dictionary ColumnVector. */
+  private final class GpxByteDictionary(entries: Array[Array[Byte]])
+    extends org.apache.spark.sql.execution.vectorized.Dictionary {
+    override def decodeToBinary(id: Int): Array[Byte] = entries(id)
+    override def decodeToInt(id: Int): Int = throw new UnsupportedOperationException
+    override def decodeToLong(id: Int): Long = throw new UnsupportedOperationException
+    override def decodeToFloat(id: Int): Float = throw new UnsupportedOperationException
+    override def decodeToDouble(id: Int): Double = throw new UnsupportedOperationException
+  }
+
+  /** All-dict string column: combine segment dictionaries (offset ids) and
+    * write only int ids per row. */
+  private def fillDictColumn(
+      segBufs: Array[Array[Byte]],
+      slices: Array[PixelSlice],
+      v: OnHeapColumnVector): Unit = {
+    val entries = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    val totalRows = slices.map(_.rows).sum
+    val ids = v.reserveDictionaryIds(totalRows)
+    var rowBase = 0
+    var s = 0
+    while (s < segBufs.length) {
+      val d = new DataInputStream(new ByteArrayInputStream(segBufs(s)))
+      val rows = slices(s).rows
+      d.readByte() // EncDictString
+      val nullCount = d.readInt()
+      val isNull = new Array[Boolean](rows)
+      if (nullCount > 0) {
+        val bm = new Array[Byte]((rows + 7) / 8)
+        d.readFully(bm)
+        var k = 0
+        while (k < rows) { isNull(k) = (bm(k >> 3) & (1 << (k & 7))) != 0; k += 1 }
+      }
+      d.readInt() // dataLen
+      val dictSize = d.readInt()
+      val base = entries.length
+      var e = 0
+      while (e < dictSize) {
+        val len = d.readInt(); val a = new Array[Byte](len); d.readFully(a)
+        entries += a
+        e += 1
+      }
+      var k = 0
+      while (k < rows) {
+        val idx = d.readInt()
+        if (isNull(k)) { v.putNull(rowBase + k); ids.putInt(rowBase + k, 0) }
+        else ids.putInt(rowBase + k, base + idx)
+        k += 1
+      }
+      pixelsDecoded.incrementAndGet()
+      rowBase += rows
+      s += 1
+    }
+    v.setDictionary(new GpxByteDictionary(entries.toArray))
+    dictColumnsFilled.incrementAndGet()
   }
 
   /** Decode one pixel segment into `v` starting at row `rowBase`; returns

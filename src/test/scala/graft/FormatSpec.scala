@@ -109,7 +109,11 @@ class FormatSpec extends GraftSpec {
     val back = sp.read.format("gpx").load(dir)
     assert(back.agg(sum("plain_long")).head.getLong(0) ==
       (0 until 10000).map(_.toLong).sum)
+    val before = GpxFileReader.dictColumnsFilled.get()
     assert(back.filter($"dict_str" === "even").count() == 5000)
+    // the dict column rode Spark's dictionary ColumnVector (encoded-vector
+    // fast path), not per-row byte materialization
+    assert(GpxFileReader.dictColumnsFilled.get() > before)
   }
 
   test("VECTOR (array<float>) columns round-trip incl. null arrays/elements") {
