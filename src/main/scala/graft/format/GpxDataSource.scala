@@ -45,9 +45,15 @@ class GpxDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
-    val p = Option(options.get("path")).toSeq ++
-      Option(options.get("paths")).toSeq.flatMap(_.split(","))
-    p
+    // DataFrameReader.load(p1, p2, ...) JSON-encodes the list under
+    // "paths"; a comma list is also accepted for hand-built options
+    def parse(s: String): Seq[String] =
+      if (s.trim.startsWith("[")) {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        m.readValue(s, classOf[Array[String]]).toSeq
+      } else s.split(",").toSeq
+    Option(options.get("path")).toSeq ++
+      Option(options.get("paths")).toSeq.flatMap(parse)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {

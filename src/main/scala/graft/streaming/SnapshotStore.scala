@@ -32,7 +32,8 @@ class SnapshotStore(
     spark: SparkSession,
     path: String,
     keyCols: Seq[String],
-    versionCol: String) {
+    versionCol: String,
+    format: String = "parquet") {
 
   private def root = Paths.get(path)
   private def currentFile = root.resolve("_CURRENT")
@@ -57,7 +58,7 @@ class SnapshotStore(
     * key+ts — idempotent by construction. */
   def readVersion(v: Long): DataFrame = {
     val dirs = manifest(v).map(n => root.resolve(n).toString)
-    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    spark.read.format(format).option("mergeSchema", "true").load(dirs: _*)
       .dropDuplicates(keyCols :+ versionCol)
   }
 
@@ -98,7 +99,11 @@ class SnapshotStore(
     val cur = currentVersion
     val next = cur + 1
     withDel.dropDuplicates(keyCols :+ versionCol)
-      .write.mode(SaveMode.Overwrite).parquet(deltaDir(next).toString)
+      .write.mode(SaveMode.Overwrite).format(format)
+      // gpx deltas also carry the table version as the format-level MVCC
+      // commit ts (option is ignored by parquet)
+      .option("commitTs", next.toString)
+      .save(deltaDir(next).toString)
     val members =
       (if (cur < 0) Seq.empty else manifest(cur)) :+ deltaDir(next).getFileName.toString
     writeManifest(next, members)
@@ -116,7 +121,9 @@ class SnapshotStore(
     val cur = currentVersion
     require(cur >= 0, "nothing to compact")
     val next = cur + 1
-    readVersion(cur).write.mode(SaveMode.Overwrite).parquet(baseDir(next).toString)
+    readVersion(cur).write.mode(SaveMode.Overwrite).format(format)
+      .option("commitTs", next.toString)
+      .save(baseDir(next).toString)
     writeManifest(next, Seq(baseDir(next).getFileName.toString))
     commit(next)
     next

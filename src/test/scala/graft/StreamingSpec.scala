@@ -133,6 +133,50 @@ class StreamingSpec extends GraftSpec {
     assert(rows.map(_.getAs[String]("fp")).sorted.toSeq == Seq("aaa", "bbb", "ccc"))
   }
 
+  test("snapshot store over the gpx format: deltas carry format-level commit ts") {
+    val dir = Files.createTempDirectory("snapgpx").toString
+    val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts",
+      format = "gpx")
+    import sp.implicits._
+    store.upsert(Seq(Ev(1, "click", 100, 1.0), Ev(2, "click", 100, 2.0)).toDF())
+    store.upsert(Seq(Ev(1, "click", 200, 9.0), Ev(3, "view", 200, 3.0)).toDF())
+    store.upsert(Seq(Ev(2, "click", 300, 0.0, _deleted = true)).toDF())
+    val snap = store.read().get.cache()
+    assert(snap.count() == 2)
+    assert(snap.filter($"user_id" === 1).head.getAs[Double]("value") == 9.0)
+    assert(store.readAsOf(100).get.filter($"user_id" === 1)
+      .head.getAs[Double]("value") == 1.0)
+    // the gpx deltas recorded their table version as the hidden commit ts
+    val d0 = sp.read.format("gpx").option("exposeCommitTs", "true")
+      .load(s"$dir/d_000000")
+    assert(d0.select("_commit_ts").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // compaction folds gpx deltas into a gpx base, reads unchanged
+    store.compact()
+    assert(store.read().get.orderBy("user_id").collect().toSeq ==
+      snap.orderBy("user_id").collect().toSeq)
+  }
+
+  test("streaming sessionization via flatMapGroupsWithState custom state") {
+    import sp.implicits._
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.Click
+    implicit val ctx = sp.sqlContext
+    val source = MemoryStream[Click]
+    val q = Sessionize.sessions(sp, source.toDS(), gapSeconds = 60)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    // user 1: two sessions split by a >60s gap; user 2: one session
+    source.addData(
+      Click(1, 100, 1.0), Click(1, 130, 2.0), // session A
+      Click(1, 300, 5.0), // gap 170s -> closes A, opens B
+      Click(2, 100, 9.0))
+    q.processAllAvailable()
+    val closed = sp.table("sessions").as[Sessionize.SessionOut].collect()
+    q.stop()
+    // only session A is closed (B and user 2's are still open in state)
+    assert(closed.toSeq == Seq(Sessionize.SessionOut(1, 100, 130, 2, 3.0)))
+  }
+
   test("salted join equals plain join on skewed data") {
     import sp.implicits._
     import org.apache.spark.sql.functions._
