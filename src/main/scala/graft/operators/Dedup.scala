@@ -122,9 +122,10 @@ object Dedup {
       // verified with one vocabulary-sized aggregate; on the astronomically
       // unlikely 64-bit collision we fall back to dense ids from RDD
       // zipWithIndex, which is also partition-parallel.
-      // persist BEFORE the collision-check aggregate so the explode+hash
-      // pass runs once, serving both the check and every downstream reuse
-      val hashed = exploded.withColumn("tid", xxhash64(col("tok"))).persist()
+      // the collision check re-derives explode+hash from the persisted
+      // groups (one cheap vocabulary-sized agg); the lean 2-column int
+      // projection is what gets cached for the many downstream passes
+      val hashed = exploded.withColumn("tid", xxhash64(col("tok")))
       val vocabRow = hashed
         .agg(countDistinct(col("tok")).as("ntok"), countDistinct(col("tid")).as("ntid"))
         .head()
@@ -138,7 +139,7 @@ object Dedup {
             .map { case (t, i) => org.apache.spark.sql.Row(t, i + 1L) },
           new StructType().add("tok", StringType).add("tid", LongType))
         exploded.join(dense, "tok").select(col("rep_id"), col("tid"))
-      })
+      }).persist()
       val repsInt = expInt.groupBy("rep_id")
         .agg(collect_list(col("tid")).as("toks"))
         .persist()
