@@ -8,6 +8,7 @@ import org.apache.hadoop.conf.Configuration
   *
   *   LOAD <parquetPathOrDir> <gpxDir> [rowGroupRows]   parquet -> gpx
   *   COMPACT <inDir> <outDir> [targetMB]               ordered -> compact
+  *   INDEX <gpxDir> <column> [numBuckets]              build point index
   *   STAT <gpxDirOrFile>                               footer/zone-map dump
   *   QUERY <sql> [warehouseDir]                        SQL via graft catalog
   */
@@ -29,6 +30,14 @@ object Cli {
         val target = if (args.length > 3) args(3).toLong * 1024 * 1024 else 128L * 1024 * 1024
         val res = Compactor.compact(spark, args(1), args(2), target)
         println(s"COMPACTED ${res.inputFiles} files -> ${res.outputFiles} (${res.rows} rows)")
+        spark.stop()
+
+      case "INDEX" =>
+        // INDEX <gpxDir> <column> [numBuckets] — build the S20 point index
+        val spark = Tables.localSession(8)
+        val n = if (args.length > 3) args(3).toInt else 16
+        val entries = format.GpxPointIndex.build(spark, args(1), args(2), n)
+        println(s"INDEXED $entries entries on ${args(2)} -> ${args(1)}/_index/${args(2)}")
         spark.stop()
 
       case "STAT" =>

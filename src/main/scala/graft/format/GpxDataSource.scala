@@ -100,17 +100,33 @@ object GpxTable {
       else if (fs.getFileStatus(p).isFile) Seq(p.toString)
       else {
         // recursive: nested layouts (e.g. per-day subdirs) must not
-        // silently read empty
+        // silently read empty. Hadoop-convention hidden entries (path
+        // segments under the root starting with '_' or '.') are metadata
+        // sidecars — e.g. the _index point-index tables — never data.
+        val qroot = fs.makeQualified(p).toString
         val it = fs.listFiles(p, true)
         val out = Seq.newBuilder[String]
         while (it.hasNext) {
           val s = it.next()
-          if (s.isFile && s.getPath.getName.endsWith(".gpx"))
-            out += s.getPath.toString
+          val full = s.getPath.toString
+          val rel =
+            if (full.startsWith(qroot)) full.drop(qroot.length).stripPrefix("/")
+            else full
+          val hidden = rel.split('/').exists(seg =>
+            seg.startsWith("_") || seg.startsWith("."))
+          if (s.isFile && full.endsWith(".gpx") && !hidden)
+            out += full
         }
         out.result()
       }
     }
+
+  /** root qualified with its filesystem scheme — the canonical prefix that
+    * index entries' relative paths are resolved against */
+  def qualifiedRoot(root: String, conf: Configuration): String = {
+    val p = new Path(root)
+    p.getFileSystem(conf).makeQualified(p).toString
+  }
 
   /** Bucket layout sidecar (reference: hash-partitioned files,
     * PixelsWriterImpl.addRowBatch(batch, hashValue) + partitioned flag in
@@ -421,6 +437,14 @@ class GpxScan(
   private def computeKept(): (Array[GpxInputPartition], Long, Long) = {
     val conf = new Configuration()
     val buckets = eligibleBuckets(conf)
+    // point-index pruning (S20): equality/IN filters on an indexed column
+    // resolve to the exact (file -> row groups) containing the keys, so
+    // planning skips non-matching files WITHOUT opening their footers
+    val idxAllowed: Option[Map[String, Set[Int]]] =
+      if (roots.size == 1)
+        GpxPointIndex.allowedRowGroups(roots.head, filters, conf)
+      else None
+    val qroot = roots.headOption.map(GpxTable.qualifiedRoot(_, conf))
     val parts = new ArrayBuffer[GpxInputPartition]
     var totalRows = 0L
     var totalBytes = 0L
@@ -430,7 +454,13 @@ class GpxScan(
         case (Some(elig), Some(b)) => elig.contains(b)
         case _ => true
       }
-      if (bucketOk) {
+      val allowedRgs: Option[Set[Int]] = idxAllowed.map { m =>
+        val rel = qroot.map(q =>
+          if (f.startsWith(q)) f.drop(q.length).stripPrefix("/") else f)
+          .getOrElse(f)
+        m.getOrElse(rel, Set.empty)
+      }
+      if (bucketOk && allowedRgs.forall(_.nonEmpty)) {
         val footer = GpxFileReader.FooterCache.get(f, conf)
         val phys = footer.schema
         // -1 = synthetic commit-ts column; -2 = column absent from THIS
@@ -442,8 +472,9 @@ class GpxScan(
             case i => i
           }
         }
-        footer.rowGroups.foreach { rg =>
-          if (GpxScan.visibleAt(rg, snapshotTs) &&
+        footer.rowGroups.zipWithIndex.foreach { case (rg, rgIdx) =>
+          if (allowedRgs.forall(_.contains(rgIdx)) &&
+            GpxScan.visibleAt(rg, snapshotTs) &&
             filters.forall(GpxFileReader.mayMatch(_, phys, rg))) {
             val nPix = rg.chunks.headOption.map(_.pixels.length).getOrElse(0)
             val keptPix: Array[Int] =

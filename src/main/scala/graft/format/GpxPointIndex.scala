@@ -1,0 +1,353 @@
+package graft.format
+
+import GpxFormat._
+import GpxFileReader.PixelSlice
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** Secondary point index over a gpx table — the reference's single-point
+  * index service re-expressed as a self-describing storage sidecar
+  * (pixels-common index/SinglePointIndex.java:41-46, proto/index.proto:36-37:
+  * key -> rowId lookups served by rocksdb/memory backends).
+  *
+  * Layout: `<table>/_index/<column>/` holds
+  *   - a KEY-BUCKETED gpx table of (key, file, rg) entries — one row per
+  *     distinct key per row group, written by a distributed build job and
+  *     read back through the same bucket-pruned path as any gpx table, so
+  *     a lookup touches ONLY the bucket file(s) its keys hash to;
+  *   - `_manifest`: the indexed column plus a fingerprint of the table's
+  *     (file, length) listing. A table rewrite invalidates the index
+  *     atomically — readers fall back to zone-map planning, never serve
+  *     stale row-group ids.
+  *
+  * Serving path is DRIVER-DIRECT: bucket-of-key -> index bucket file ->
+  * zone-map-pruned entry read -> (file, rowGroup) set, all through the
+  * footer cache with no Spark job. `GpxScan` consults the same path at
+  * planning time, so an equality/IN query on an indexed column opens only
+  * the footers of files that actually contain the keys — O(keys) planning
+  * I/O instead of O(files) (the gap called out for S20).
+  *
+  * At 100 TB the index is itself just a bucketed gpx table: entries are
+  * hash-spread over N buckets, each bucket compacts/scales independently,
+  * and the entry count is bounded by (distinct keys x row groups touched),
+  * not rows.
+  */
+object GpxPointIndex {
+
+  /** cap on IN-list size served from the index; larger sets plan via zone
+    * maps (a scan is the better tool once selectivity is gone) */
+  val MaxKeys = 1024
+
+  def indexDir(table: String, column: String): String =
+    s"$table/_index/$column"
+
+  // ---------------- manifest / fingerprint ----------------
+
+  /** order-insensitive digest of the table's (relative path, length)
+    * listing — any added/removed/rewritten file changes it */
+  def fingerprint(relsAndLens: Seq[(String, Long)]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    relsAndLens.map { case (r, l) => s"$r:$l" }.sorted.foreach(s =>
+      md.update(s.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def tableFingerprint(table: String, conf: Configuration): String = {
+    val qroot = GpxTable.qualifiedRoot(table, conf)
+    val fs = new Path(table).getFileSystem(conf)
+    fingerprint(GpxTable.listFiles(Seq(table), conf).map { f =>
+      (relOf(f, qroot), fs.getFileStatus(new Path(f)).getLen)
+    })
+  }
+
+  private def relOf(full: String, qroot: String): String =
+    if (full.startsWith(qroot)) full.drop(qroot.length).stripPrefix("/")
+    else full
+
+  private def writeManifest(table: String, column: String, fp: String,
+      conf: Configuration): Unit = {
+    val p = new Path(indexDir(table, column), "_manifest")
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(s"$column\n$fp\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readManifest(table: String, column: String,
+      conf: Configuration): Option[String] = {
+    val p = new Path(indexDir(table, column), "_manifest")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.split("\n").lift(1)
+    }
+  }
+
+  /** index exists and matches the table's current file listing */
+  def valid(table: String, column: String, conf: Configuration): Boolean =
+    readManifest(table, column, conf).contains(tableFingerprint(table, conf))
+
+  // ---------------- key conversion ----------------
+
+  /** integer-family column value at position i -> index key (dates ride as
+    * epoch days, exactly how the column is stored) */
+  private def keyAt(row: org.apache.spark.sql.catalyst.InternalRow, i: Int,
+      dt: DataType): Long = dt match {
+    case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+    case IntegerType | DateType => row.getInt(i).toLong
+    case ShortType => row.getShort(i).toLong
+    case ByteType => row.getByte(i).toLong
+    case BooleanType => if (row.getBoolean(i)) 1L else 0L
+    case other => throw new IllegalArgumentException(s"unindexable $other")
+  }
+
+  /** filter literal -> index key, when losslessly convertible */
+  def literalKey(v: Any): Option[Long] = v match {
+    case b: Boolean => Some(if (b) 1L else 0L)
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  def indexable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DateType | ShortType | ByteType |
+         BooleanType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  // ---------------- build (distributed) ----------------
+
+  /** Build/rebuild the index for `column`: a Spark job reads ONLY the key
+    * column of every row group (vectorized pixel slices, no footer I/O
+    * beyond one cached parse per file) and writes the distinct
+    * (key, file, rg) entries as a key-bucketed gpx table. Returns the
+    * number of entries. */
+  def build(spark: SparkSession, table: String, column: String,
+      numBuckets: Int = 16): Long = {
+    val conf = new Configuration()
+    val qroot = GpxTable.qualifiedRoot(table, conf)
+    val files = GpxTable.listFiles(Seq(table), conf)
+    require(files.nonEmpty, s"no gpx files under $table")
+    val rels = files.map(relOf(_, qroot))
+    val entries = spark.sparkContext
+      .parallelize(rels, math.max(1, math.min(rels.size, 256)))
+      .flatMap { r =>
+        val c = new Configuration()
+        val f = s"$qroot/$r"
+        val footer = GpxFileReader.FooterCache.get(f, c)
+        val ci = footer.schema.fieldNames.indexOf(column)
+        if (ci < 0) Iterator.empty // evolved file without the column: nulls never equal
+        else {
+          val dt = footer.schema(ci).dataType
+          require(indexable(dt), s"cannot point-index $column: $dt")
+          val field = footer.schema(ci)
+          footer.rowGroups.iterator.zipWithIndex.flatMap { case (rg, rgIdx) =>
+            val ch = rg.chunks(ci)
+            val slices = ch.pixels.indices.map(p => PixelSlice(
+              ch.offset + ch.pixels(p).relOffset, ch.pixelLength(p),
+              ch.pixels(p).rows)).toArray
+            val batch = GpxFileReader.readSlices(
+              f, c, StructType(Seq(field)), Array(slices), rg.numRows, -1L)
+            val keys = mutable.HashSet.empty[Long]
+            val it = batch.rowIterator()
+            while (it.hasNext) {
+              val row = it.next()
+              if (!row.isNullAt(0)) keys += keyAt(row, 0, dt)
+            }
+            batch.close()
+            keys.iterator.map(k => (k, r, rgIdx))
+          }
+        }
+      }
+    val sp = spark
+    import sp.implicits._
+    val df = entries.toDF("key", "file", "rg")
+    df.write.format("gpx").mode("overwrite")
+      .option("bucketBy", "key").option("numBuckets", numBuckets.toString)
+      .save(indexDir(table, column))
+    writeManifest(table, column, tableFingerprint(table, conf), conf)
+    df.count()
+  }
+
+  // ---------------- serve (driver-direct, no Spark job) ----------------
+
+  /** (file -> row-group ids) that may contain any of `keys`, or None when
+    * the index is missing/stale/oversized-request (caller falls back to
+    * zone-map planning). Touches only the index bucket files the keys hash
+    * to; entry reads are themselves zone-map pruned. */
+  def entriesFor(table: String, column: String, keys: Set[Long],
+      conf: Configuration): Option[Map[String, Set[Int]]] = {
+    if (keys.isEmpty || keys.size > MaxKeys) return None
+    if (!valid(table, column, conf)) return None
+    val idx = indexDir(table, column)
+    val spec = GpxTable.readBucketSpec(idx, conf).getOrElse(return None)
+    val eligible = keys.map(GpxTable.bucketOf(_, spec.numBuckets))
+    val out = mutable.Map.empty[String, mutable.Set[Int]]
+    val keyFilter: Filter = In("key", keys.toArray.map(_.asInstanceOf[Any]))
+    GpxTable.listFiles(Seq(idx), conf).foreach { f =>
+      val keep = GpxTable.bucketOfFile(f).forall(eligible.contains)
+      if (keep) {
+        val footer = GpxFileReader.FooterCache.get(f, conf)
+        val schema = footer.schema // (key, file, rg)
+        footer.rowGroups.foreach { rg =>
+          if (GpxFileReader.mayMatch(keyFilter, schema, rg)) {
+            val keptPix = rg.chunks.head.pixels.indices.filter(p =>
+              GpxFileReader.mayMatchPixel(keyFilter, schema, rg, p)).toArray
+            if (keptPix.nonEmpty) {
+              val numRows = keptPix.map(rg.chunks.head.pixels(_).rows).sum
+              val cols = schema.fields.indices.toArray.map { ci =>
+                val ch = rg.chunks(ci)
+                keptPix.map(p => PixelSlice(
+                  ch.offset + ch.pixels(p).relOffset, ch.pixelLength(p),
+                  ch.pixels(p).rows))
+              }
+              val batch = GpxFileReader.readSlices(
+                f, conf, schema, cols, numRows, -1L)
+              val it = batch.rowIterator()
+              while (it.hasNext) {
+                val row = it.next()
+                if (keys.contains(row.getLong(0)))
+                  out.getOrElseUpdate(row.getUTF8String(1).toString,
+                    mutable.Set.empty) += row.getInt(2)
+              }
+              batch.close()
+            }
+          }
+        }
+      }
+    }
+    Some(out.view.mapValues(_.toSet).toMap)
+  }
+
+  /** Full point lookup served on the driver: index entries -> direct
+    * pixel-pruned reads of exactly the matching row groups -> local
+    * DataFrame. No Spark job, no shuffle — the analog of the reference's
+    * index-served point query (proto/index.proto lookup rpc). Falls back
+    * to a normal scan when the index can't serve. */
+  def lookup(spark: SparkSession, table: String, column: String,
+      keys: Set[Long], columns: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val conf = new Configuration()
+    entriesFor(table, column, keys, conf) match {
+      case None =>
+        spark.read.format("gpx").load(table)
+          .filter(col(column).isin(keys.toSeq: _*))
+          .select(columns.map(col): _*)
+      case Some(entries) =>
+        val qroot = GpxTable.qualifiedRoot(table, conf)
+        val keyFilter: Filter = In(column, keys.toArray.map(_.asInstanceOf[Any]))
+        val rows = mutable.ArrayBuffer.empty[Row]
+        var outSchema: StructType = null
+        entries.toSeq.sortBy(_._1).foreach { case (rel, rgs) =>
+          val f = s"$qroot/$rel"
+          val footer = GpxFileReader.FooterCache.get(f, conf)
+          val phys = footer.schema
+          val keyIdx = phys.fieldIndex(column)
+          val keyDt = phys(keyIdx).dataType
+          val outIdx = columns.map(phys.fieldIndex).toArray
+          if (outSchema == null)
+            outSchema = StructType(outIdx.map(phys(_)).toIndexedSeq)
+          rgs.toSeq.sorted.foreach { rgIdx =>
+            val rg = footer.rowGroups(rgIdx)
+            val keptPix = rg.chunks.head.pixels.indices.filter(p =>
+              GpxFileReader.mayMatchPixel(keyFilter, phys, rg, p)).toArray
+            if (keptPix.nonEmpty) {
+              val numRows = keptPix.map(rg.chunks.head.pixels(_).rows).sum
+              // read the key column alongside the requested ones
+              val readIdx = (outIdx :+ keyIdx).distinct
+              val readSchema = StructType(readIdx.map(phys(_)).toIndexedSeq)
+              val cols = readIdx.map { ci =>
+                val ch = rg.chunks(ci)
+                keptPix.map(p => PixelSlice(
+                  ch.offset + ch.pixels(p).relOffset, ch.pixelLength(p),
+                  ch.pixels(p).rows))
+              }
+              val batch = GpxFileReader.readSlices(
+                f, conf, readSchema, cols, numRows, -1L)
+              val kPos = readIdx.indexOf(keyIdx)
+              val outPos = outIdx.map(ci => readIdx.indexOf(ci))
+              val it = batch.rowIterator()
+              while (it.hasNext) {
+                val r = it.next()
+                if (!r.isNullAt(kPos) && keys.contains(keyAt(r, kPos, keyDt)))
+                  rows += Row.fromSeq(outPos.toIndexedSeq.map(p =>
+                    external(r, p, readSchema(p).dataType)))
+              }
+              batch.close()
+            }
+          }
+        }
+        if (outSchema == null)
+          // no entries: empty result with the requested shape
+          spark.read.format("gpx").load(table)
+            .filter(col(column).isin(keys.toSeq: _*))
+            .select(columns.map(col): _*).limit(0)
+        else
+          spark.createDataFrame(
+            new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+              .SeqHasAsJava(rows.toSeq).asJava), outSchema)
+    }
+  }
+
+  /** internal value -> external Row value for the primitive set gpx stores */
+  private def external(r: org.apache.spark.sql.catalyst.InternalRow, i: Int,
+      dt: DataType): Any =
+    if (r.isNullAt(i)) null
+    else dt match {
+      case LongType => r.getLong(i)
+      case IntegerType => r.getInt(i)
+      case ShortType => r.getShort(i)
+      case ByteType => r.getByte(i)
+      case BooleanType => r.getBoolean(i)
+      case FloatType => r.getFloat(i)
+      case DoubleType => r.getDouble(i)
+      case StringType => r.getUTF8String(i).toString
+      case BinaryType => r.getBinary(i)
+      case DateType => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(r.getInt(i).toLong))
+      case TimestampType => java.sql.Timestamp.from(
+        java.time.Instant.EPOCH.plus(r.getLong(i),
+          java.time.temporal.ChronoUnit.MICROS))
+      case d: DecimalType => r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+      case other => throw new IllegalArgumentException(s"lookup: $other")
+    }
+
+  // ---------------- planning hook ----------------
+
+  /** Equality/IN key sets per column implied by the scan's conjunctive
+    * filters (intersecting same-column conjuncts). */
+  def equalityKeys(filters: Array[Filter]): Map[String, Set[Long]] = {
+    val sets = filters.flatMap {
+      case EqualTo(c, v) => literalKey(v).map(k => c -> Set(k))
+      case In(c, vs) if vs.nonEmpty =>
+        val ks = vs.flatMap(literalKey)
+        if (ks.length == vs.length) Some(c -> ks.toSet) else None
+      case _ => None
+    }
+    sets.groupBy(_._1).view.mapValues(_.map(_._2).reduce(_ intersect _)).toMap
+  }
+
+  /** Planning-time pruning: the (file -> rowGroups) allowed by the first
+    * valid index over a filtered-on column, or None when no index can
+    * serve. Files are RELATIVE to the table's qualified root. */
+  def allowedRowGroups(table: String, filters: Array[Filter],
+      conf: Configuration): Option[Map[String, Set[Int]]] = {
+    val cands = equalityKeys(filters)
+    if (cands.isEmpty) return None
+    // only probe columns that actually have an index directory
+    val fs = new Path(table).getFileSystem(conf)
+    cands.toSeq.sortBy(_._1).iterator.flatMap { case (c, ks) =>
+      if (!fs.exists(new Path(indexDir(table, c)))) None
+      else entriesFor(table, c, ks, conf)
+    }.nextOption()
+  }
+}

@@ -187,6 +187,26 @@ object FormatOps {
       Some("""SELECT o_orderkey, o_totalprice,
              |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 200 END AS BIGINT) AS commit_ts
              |FROM orders WHERE o_orderkey % 3 <= 1
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Point-index-served lookup (S20, SinglePointIndex.java:41-46 analog):
+    // orders stored UNSORTED (zone maps can't prune a point key), a
+    // key-bucketed (key, file, rowGroup) index sidecar built once, then the
+    // lookup served DRIVER-DIRECT from the index + footer cache — no Spark
+    // job, no full-table scan. The oracle recomputes from parquet.
+    GQuery("f09_point_index", (s, d) => {
+      val dir = cachedDir(d, "ptidx_orders") { dir =>
+        Tables.orders(s, d).repartition(8).write.format("gpx")
+          .mode("overwrite").option("rowGroupRows", "2048").save(dir)
+        graft.format.GpxPointIndex.build(s, dir, "o_orderkey", numBuckets = 8)
+      }
+      graft.format.GpxPointIndex.lookup(s, dir, "o_orderkey",
+        Set(42L, 4242L, 9999L, 12345L),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders WHERE o_orderkey IN (42, 4242, 9999, 12345)
              |ORDER BY o_orderkey""".stripMargin))
   )
 }

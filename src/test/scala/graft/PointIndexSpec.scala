@@ -1,0 +1,99 @@
+package graft
+
+import graft.format.{GpxFileReader, GpxPointIndex, GpxTable}
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import java.nio.file.Files
+
+/** Point index (S20): key -> (file, rowGroup) sidecar built as a bucketed
+  * gpx table, served driver-direct, and consulted by scan planning. */
+class PointIndexSpec extends GraftSpec {
+  private val sp = TestSpark.spark
+  private val conf = new Configuration()
+
+  /** orders written UNSORTED across many small files: zone maps are useless
+    * for a point key, so pruning wins must come from the index */
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("gpx_idx").toString
+    Tables.orders(sp, sf).repartition(8)
+      .write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "256").save(d)
+    GpxPointIndex.build(sp, d, "o_orderkey", numBuckets = 8)
+    d
+  }
+
+  test("index build is valid and invalidated by table rewrites") {
+    assert(GpxPointIndex.valid(dir, "o_orderkey", conf))
+    // appending a file changes the fingerprint -> index must go stale
+    val d2 = Files.createTempDirectory("gpx_idx2").toString
+    Tables.orders(sp, sf).limit(10).coalesce(1)
+      .write.format("gpx").mode("overwrite").save(d2)
+    GpxPointIndex.build(sp, d2, "o_orderkey", numBuckets = 2)
+    assert(GpxPointIndex.valid(d2, "o_orderkey", conf))
+    Tables.orders(sp, sf).limit(5).coalesce(1)
+      .write.format("gpx").mode("append").save(d2)
+    assert(!GpxPointIndex.valid(d2, "o_orderkey", conf))
+    // stale index must NOT be used for planning (falls back, stays correct)
+    val keys = Tables.orders(sp, sf).limit(5).collect().map(_.getLong(0))
+    val got = sp.read.format("gpx").load(d2)
+      .filter(col("o_orderkey").isin(keys.toSeq: _*)).count()
+    assert(got >= keys.distinct.length)
+  }
+
+  test("driver-direct lookup matches a full scan filter") {
+    val all = Tables.orders(sp, sf).select("o_orderkey").as[Long](
+      sp.implicits.newLongEncoder).collect()
+    val keys = Set(all.head, all(all.length / 2), all.last)
+    val viaIndex = GpxPointIndex.lookup(sp, dir, "o_orderkey", keys,
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val viaScan = sp.read.format("gpx").load(dir)
+      .filter(col("o_orderkey").isin(keys.toSeq: _*))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex.toSeq == viaScan.toSeq)
+    // absent key -> empty, not an error
+    assert(GpxPointIndex.lookup(sp, dir, "o_orderkey", Set(-12345L),
+      Seq("o_orderkey")).collect().isEmpty)
+  }
+
+  test("scan planning prunes to the indexed row groups without reading all footers") {
+    val key = Tables.orders(sp, sf).select("o_orderkey").head().getLong(0)
+    val entries = GpxPointIndex.entriesFor(dir, "o_orderkey", Set(key), conf)
+    assert(entries.isDefined && entries.get.nonEmpty)
+    val expectedRgs = entries.get.values.map(_.size).sum
+    val totalFiles = GpxTable.listFiles(Seq(dir), conf).length
+    assert(totalFiles >= 8)
+    // physical plan over the equality filter reads only the indexed rgs
+    val df = sp.read.format("gpx").load(dir).filter(col("o_orderkey") === key)
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val parts = scan.inputRDD.getNumPartitions
+    assert(parts <= expectedRgs,
+      s"planned $parts partitions, index allows only $expectedRgs row groups")
+    assert(df.count() == 1)
+    // files the index excludes contribute zero planned splits: partition
+    // count is far below the per-file row-group total
+    val allRgs = GpxTable.listFiles(Seq(dir), conf).map(f =>
+      GpxFileReader.FooterCache.get(f, conf).rowGroups.length).sum
+    assert(parts < allRgs)
+  }
+
+  test("index sidecar files are invisible to the table listing") {
+    val files = GpxTable.listFiles(Seq(dir), conf)
+    assert(files.nonEmpty)
+    assert(!files.exists(_.contains("/_index/")))
+    // and the table still reads exactly its own rows
+    assert(sp.read.format("gpx").load(dir).count() ==
+      Tables.orders(sp, sf).count())
+  }
+
+  test("equalityKeys intersects same-column conjuncts") {
+    val fs: Array[Filter] = Array(
+      In("k", Array(1, 2, 3)), EqualTo("k", 2), EqualTo("other", "x"))
+    assert(GpxPointIndex.equalityKeys(fs) == Map("k" -> Set(2L)))
+  }
+}
