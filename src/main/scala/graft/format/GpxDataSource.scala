@@ -94,30 +94,26 @@ object GpxTable {
 
   def listFiles(roots: Seq[String], conf: Configuration): Seq[String] =
     roots.flatMap { r =>
-      val p = new Path(r)
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) Seq.empty
-      else if (fs.getFileStatus(p).isFile) Seq(p.toString)
-      else {
-        // recursive: nested layouts (e.g. per-day subdirs) must not
-        // silently read empty. Hadoop-convention hidden entries (path
-        // segments under the root starting with '_' or '.') are metadata
-        // sidecars — e.g. the _index point-index tables — never data.
-        val qroot = fs.makeQualified(p).toString
-        val it = fs.listFiles(p, true)
-        val out = Seq.newBuilder[String]
-        while (it.hasNext) {
-          val s = it.next()
-          val full = s.getPath.toString
-          val rel =
-            if (full.startsWith(qroot)) full.drop(qroot.length).stripPrefix("/")
-            else full
-          val hidden = rel.split('/').exists(seg =>
-            seg.startsWith("_") || seg.startsWith("."))
-          if (s.isFile && full.endsWith(".gpx") && !hidden)
-            out += full
-        }
-        out.result()
+      GpxFs.stat(r, conf) match {
+        case None => Seq.empty
+        case Some(st) if st.isFile => Seq(new Path(r).toString)
+        case Some(_) =>
+          // recursive: nested layouts (e.g. per-day subdirs) must not
+          // silently read empty. Hadoop-convention hidden entries (path
+          // segments under the root starting with '_' or '.') are metadata
+          // sidecars — e.g. the _index point-index tables — never data.
+          val qroot = qualifiedRoot(r, conf)
+          GpxFs.listRecursive(r, conf).collect {
+            case (full, isFile)
+                if isFile && full.endsWith(".gpx") && {
+                  val rel =
+                    if (full.startsWith(qroot)) full.drop(qroot.length).stripPrefix("/")
+                    else full
+                  !rel.split('/').exists(seg =>
+                    seg.startsWith("_") || seg.startsWith("."))
+                } =>
+              full
+          }
       }
     }
 

@@ -28,7 +28,8 @@ object GpxFileReader {
     footerReads.incrementAndGet()
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(conf)
-    val len = fs.getFileStatus(hPath).getLen
+    val len = GpxFs.stat(path, conf)
+      .getOrElse(throw new java.io.FileNotFoundException(path)).len
     val in = fs.open(hPath)
     try {
       in.seek(len - 8)
@@ -55,16 +56,15 @@ object GpxFileReader {
       new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Footer)]()
 
     def get(path: String, conf: Configuration): Footer = {
-      val hPath = new Path(path)
-      val fs = hPath.getFileSystem(conf)
-      val st = fs.getFileStatus(hPath)
+      val st = GpxFs.stat(path, conf)
+        .getOrElse(throw new java.io.FileNotFoundException(path))
       val cached = cache.get(path)
-      if (cached != null && cached._1 == st.getLen && cached._2 == st.getModificationTime)
+      if (cached != null && cached._1 == st.len && cached._2 == st.mtime)
         cached._3
       else {
         val footer = readFooter(path, conf)
         if (cache.size() > 65536) cache.clear() // crude but bounded
-        cache.put(path, (st.getLen, st.getModificationTime, footer))
+        cache.put(path, (st.len, st.mtime, footer))
         footer
       }
     }

@@ -58,9 +58,9 @@ object GpxPointIndex {
 
   private def tableFingerprint(table: String, conf: Configuration): String = {
     val qroot = GpxTable.qualifiedRoot(table, conf)
-    val fs = new Path(table).getFileSystem(conf)
     fingerprint(GpxTable.listFiles(Seq(table), conf).map { f =>
-      (relOf(f, qroot), fs.getFileStatus(new Path(f)).getLen)
+      (relOf(f, qroot),
+        GpxFs.stat(f, conf).map(_.len).getOrElse(-1L))
     })
   }
 
@@ -79,7 +79,7 @@ object GpxPointIndex {
       conf: Configuration): Option[String] = {
     val p = new Path(indexDir(table, column), "_manifest")
     val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) None
+    if (!GpxFs.exists(p.toString, conf)) None
     else {
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -344,9 +344,8 @@ object GpxPointIndex {
     val cands = equalityKeys(filters)
     if (cands.isEmpty) return None
     // only probe columns that actually have an index directory
-    val fs = new Path(table).getFileSystem(conf)
     cands.toSeq.sortBy(_._1).iterator.flatMap { case (c, ks) =>
-      if (!fs.exists(new Path(indexDir(table, c)))) None
+      if (!GpxFs.exists(indexDir(table, c), conf)) None
       else entriesFor(table, c, ks, conf)
     }.nextOption()
   }

@@ -122,20 +122,21 @@ object Dedup {
       // verified with one vocabulary-sized aggregate; on the astronomically
       // unlikely 64-bit collision we fall back to dense ids from RDD
       // zipWithIndex, which is also partition-parallel.
-      // the collision check re-derives explode+hash from the persisted
-      // groups (one cheap vocabulary-sized agg); the lean 2-column int
-      // projection is what gets cached for the many downstream passes
+      // the collision check runs over the distinct vocabulary, not the
+      // exploded rows: distinct() partial-aggregates map-side so the
+      // shuffle carries ~|V| tokens (two countDistinct aggs in one pass
+      // would Expand the exploded data 2x through the shuffle instead);
+      // the lean 2-column int projection is what gets cached for the many
+      // downstream passes
       val hashed = exploded.withColumn("tid", xxhash64(col("tok")))
-      val vocabRow = hashed
-        .agg(countDistinct(col("tok")).as("ntok"), countDistinct(col("tid")).as("ntid"))
-        .head()
-      val vocabSize = vocabRow.getLong(0)
-      val expInt = (if (vocabSize == vocabRow.getLong(1)) {
+      val vocab = exploded.select(col("tok")).distinct().persist()
+      val vocabSize = vocab.count()
+      val expInt = (if (vocabSize ==
+          vocab.select(xxhash64(col("tok"))).distinct().count()) {
         hashed.select(col("rep_id"), col("tid"))
       } else {
         val dense = s.createDataFrame(
-          exploded.select(col("tok")).distinct().rdd
-            .map(_.getString(0)).zipWithIndex()
+          vocab.rdd.map(_.getString(0)).zipWithIndex()
             .map { case (t, i) => org.apache.spark.sql.Row(t, i + 1L) },
           new StructType().add("tok", StringType).add("tid", LongType))
         exploded.join(dense, "tok").select(col("rep_id"), col("tid"))
@@ -151,8 +152,12 @@ object Dedup {
         struct(lit(b).as("band") +:
           (0 until BandR).map(r => col(s"mh${BandR * b + r}").as(s"h$r")): _*)
       }
+      // persist: both sides of the band self-join read this, and the
+      // 128-min-agg signature pass above it is the most expensive stage
+      // in the pipeline — without the cache it runs once per side
       val banded = mh.join(sizes, "rep_id")
         .select(col("rep_id"), col("nt"), explode(array(bandCols: _*)).as("bk"))
+        .persist()
       // size-ratio bound applied INSIDE the band join: J>=0.8 forces
       // |A|/|B| in [0.8, 1.25], so dropping these rows before the distinct
       // cannot lose a true pair (verify applies the same bound)
@@ -247,16 +252,16 @@ object Dedup {
       val hashedGrams = grams.join(freq, "gram")
         .withColumn("gid", xxhash64(col("gram")))
         .persist()
-      val vocabRow = hashedGrams
-        .agg(countDistinct(col("gram")).as("ng"), countDistinct(col("gid")).as("ni"))
-        .head()
-      val vocabV = vocabRow.getLong(0)
-      val gidGrams = (if (vocabV == vocabRow.getLong(1)) {
+      // injectivity check over the distinct vocabulary (freq already holds
+      // one row per gram — no Expand-doubled countDistinct pass needed)
+      val gvocab = freq.select(col("gram")).persist()
+      val vocabV = gvocab.count()
+      val gidGrams = (if (vocabV ==
+          gvocab.select(xxhash64(col("gram"))).distinct().count()) {
         hashedGrams.select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("df"))
       } else {
         val dense = s.createDataFrame(
-          grams.select(col("gram")).distinct().rdd
-            .map(_.getString(0)).zipWithIndex()
+          gvocab.rdd.map(_.getString(0)).zipWithIndex()
             .map { case (t, i) => org.apache.spark.sql.Row(t, i + 1L) },
           new StructType().add("gram", StringType).add("gid", LongType))
         grams.join(freq, "gram").join(dense, "gram")
@@ -267,12 +272,15 @@ object Dedup {
         .persist()
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("df"), col("gid"))
+      // persist: both sides of the prefix self-join consume this, and the
+      // per-doc rank window above it would otherwise run once per side
       val prefix = gidGrams
         .withColumn("rn", row_number().over(w))
         // -1e-9 guards against fp overshoot in sz*t making ceil (and thus
         // the prefix) one too short — a silent false-negative source
         .filter(col("rn") <= col("sz") - ceil(col("sz") * t - 1e-9) + 1)
         .select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("rn"))
+        .persist()
       // PPJoin positional filter: a gram matching at 1-based positions
       // (rnA, rnB) of the canonical rare-first order bounds the overlap by
       // 1 + min(szA-rnA, szB-rnB), which must reach the equivalent overlap
