@@ -62,19 +62,24 @@ class GpxDataSource extends TableProvider with DataSourceRegister {
     require(files.nonEmpty, s"no gpx files under ${paths(options)}")
     // tolerant schema evolution (PixelsReaderOption.tolerantSchemaEvolution
     // analog): the table schema is the by-name union across files in sorted
-    // order; files missing a column surface nulls for it at read time
-    val base = files.sorted.map(GpxFileReader.FooterCache.get(_, conf).schema)
-      .reduce { (a, b) =>
-        b.foldLeft(a) { (acc, f) =>
-          acc.fieldNames.indexOf(f.name) match {
-            case -1 => acc.add(f.copy(nullable = true))
-            case i =>
-              require(acc(i).dataType == f.dataType,
-                s"column ${f.name} has conflicting types: ${acc(i).dataType} vs ${f.dataType}")
-              acc
-          }
-        }
+    // order. A column absent from ANY file is null-filled at read time, so
+    // it must be nullable in the table schema no matter which file
+    // contributed it first — otherwise Catalyst could eliminate IsNotNull
+    // filters against rows that are in fact null.
+    val schemas = files.sorted.map(GpxFileReader.FooterCache.get(_, conf).schema)
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, (StructField, Int)]
+    schemas.foreach(_.foreach { f =>
+      seen.get(f.name) match {
+        case None => seen(f.name) = (f, 1)
+        case Some((g, n)) =>
+          require(g.dataType == f.dataType,
+            s"column ${f.name} has conflicting types: ${g.dataType} vs ${f.dataType}")
+          seen(f.name) = (g.copy(nullable = g.nullable || f.nullable), n + 1)
       }
+    })
+    val base = StructType(seen.values.map { case (f, n) =>
+      if (n < schemas.size) f.copy(nullable = true) else f
+    }.toSeq)
     if (options.getBoolean("exposeCommitTs", false))
       base.add(StructField(GpxTable.CommitTsCol, LongType, nullable = false))
     else base
