@@ -59,14 +59,14 @@ object GpxCompactor {
       fd.flush()
       val arr = fBytes.toByteArray
       out.write(arr)
-      out.writeInt(arr.length)
-      out.write(Magic)
+      out.write(GpxFormat.trailerBytes(arr))
       out.close()
       out = null
       outIndex += 1
     }
 
     openOut()
+    val buf = new Array[Byte](8 << 20)
     files.foreach { f =>
       val footer = GpxFileReader.FooterCache.get(f, conf)
       require(footer.schema == schema,
@@ -76,15 +76,21 @@ object GpxCompactor {
       try {
         footer.rowGroups.foreach { rg =>
           if (pos > Magic.length && pos >= targetFileBytes) { closeOut(); openOut() }
-          // a row group's chunks are written contiguously; copy the span
+          // a row group's chunks are written contiguously; stream-copy the
+          // span in bounded buffers (a wide-binary row group can exceed
+          // 2 GiB — no single array may hold it)
           val start = rg.chunks.map(_.offset).min
           val end = rg.chunks.map(c => c.offset + c.length).max
-          val span = (end - start).toInt
-          val buf = new Array[Byte](span)
-          in.seek(start)
-          in.readFully(buf)
+          val span = end - start
           val shift = pos - start
-          out.write(buf)
+          in.seek(start)
+          var left = span
+          while (left > 0) {
+            val n2 = math.min(left, buf.length.toLong).toInt
+            in.readFully(buf, 0, n2)
+            out.write(buf, 0, n2)
+            left -= n2
+          }
           pos += span
           rgs += RowGroupMeta(rg.numRows,
             rg.chunks.map(c => c.copy(offset = c.offset + shift)),

@@ -436,6 +436,7 @@ class GpxScan(
     * Footers come from the driver-side cache — zero footer I/O on warm
     * paths, zero ALWAYS on executors. */
   private def computeKept(): (Array[GpxInputPartition], Long, Long) = {
+    GpxScan.pruningWalks.incrementAndGet()
     val conf = new Configuration()
     val buckets = eligibleBuckets(conf)
     // point-index pruning (S20): equality/IN filters on an indexed column
@@ -508,12 +509,28 @@ class GpxScan(
     (parts.toArray, totalRows, math.max(totalBytes, 1L))
   }
 
-  // stats snapshot uses planning-time filters; partitions are planned
-  // AFTER runtime filters arrive, so they see the narrowed set
-  private lazy val statsSnapshot = computeKept()
+  // One pruning walk per filter set: estimateStatistics runs on the
+  // planning-time filters, planInputPartitions AFTER any runtime (DPP)
+  // filters arrive. When none arrived in between, the filter set is
+  // unchanged and the cached walk is reused — at 100k files the walk is
+  // real driver CPU even with cache-served footers.
+  @volatile private var keptCache: (Seq[Filter], (Array[GpxInputPartition], Long, Long)) = null
+
+  private def kept(): (Array[GpxInputPartition], Long, Long) = synchronized {
+    val fs = filters.toSeq
+    val c = keptCache
+    if (c != null && c._1 == fs) c._2
+    else {
+      val r = computeKept()
+      keptCache = (fs, r)
+      r
+    }
+  }
+
+  private def statsSnapshot = kept()
 
   override def planInputPartitions(): Array[InputPartition] =
-    computeKept()._1.toArray[InputPartition]
+    kept()._1.toArray[InputPartition]
 
   /** Footer-derived stats AFTER zone-map pruning, sized to the pruned
     * column set — feeds CBO/AQE broadcast decisions with real numbers
@@ -553,6 +570,8 @@ class GpxScan(
 object GpxScan {
   /** observability hook for tests: counts runtime-filter injections */
   val runtimeFilterCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** observability hook for tests: counts full pruning walks (computeKept) */
+  val pruningWalks = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** MVCC visibility: row groups without a commit ts are always visible. */
   def visibleAt(rg: RowGroupMeta, snapshotTs: Option[Long]): Boolean =

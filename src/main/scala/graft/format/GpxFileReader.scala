@@ -24,25 +24,43 @@ object GpxFileReader {
   val pixelsDecoded = new AtomicLong(0)
   val dictColumnsFilled = new AtomicLong(0)
 
-  def readFooter(path: String, conf: Configuration): Footer = {
+  /** trailer of a gpx file: serialized-footer length + its content id */
+  final case class Tail(footerLen: Int, fileId: Long)
+
+  /** 16-byte tail read: (footerLen, fileId) — the cheap content check */
+  def readTail(path: String, conf: Configuration, len: Long): Tail = {
+    val hPath = new Path(path)
+    val in = hPath.getFileSystem(conf).open(hPath)
+    try {
+      in.seek(len - TrailerLen)
+      val tail = new Array[Byte](TrailerLen)
+      in.readFully(tail)
+      val td = new DataInputStream(new ByteArrayInputStream(tail))
+      val footerLen = td.readInt()
+      val fileId = td.readLong()
+      val magic = new Array[Byte](4); td.readFully(magic)
+      require(java.util.Arrays.equals(magic, Magic), s"not a gpx file: $path")
+      Tail(footerLen, fileId)
+    } finally in.close()
+  }
+
+  def readFooter(path: String, conf: Configuration): Footer =
+    readFooterWithId(path, conf)._1
+
+  def readFooterWithId(path: String, conf: Configuration): (Footer, Long) = {
     footerReads.incrementAndGet()
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(conf)
     val len = GpxFs.stat(path, conf)
       .getOrElse(throw new java.io.FileNotFoundException(path)).len
+    val tail = readTail(path, conf, len)
     val in = fs.open(hPath)
     try {
-      in.seek(len - 8)
-      val tail = new Array[Byte](8)
-      in.readFully(tail)
-      val td = new DataInputStream(new ByteArrayInputStream(tail))
-      val footerLen = td.readInt()
-      val magic = new Array[Byte](4); td.readFully(magic)
-      require(java.util.Arrays.equals(magic, Magic), s"not a gpx file: $path")
-      in.seek(len - 8 - footerLen)
-      val fb = new Array[Byte](footerLen)
+      in.seek(len - TrailerLen - tail.footerLen)
+      val fb = new Array[Byte](tail.footerLen)
       in.readFully(fb)
-      GpxFormat.readFooter(new DataInputStream(new ByteArrayInputStream(fb)))
+      (GpxFormat.readFooter(new DataInputStream(new ByteArrayInputStream(fb))),
+        tail.fileId)
     } finally in.close()
   }
 
@@ -50,23 +68,56 @@ object GpxFileReader {
     * mtime) — repeated queries over the same table plan without re-reading
     * any footer bytes (the reference keeps these stats in a metadata
     * service, proto/metadata.proto:33-45; a single-process cache is the
-    * Spark-driver equivalent). Bounded: oldest entries evicted past 64k. */
+    * Spark-driver equivalent).
+    *
+    * (length, mtime) alone cannot see a same-length rewrite landing within
+    * one mtime tick of the original write, so entries cached inside the
+    * `RaceWindowMs` of their file's mtime are additionally revalidated by
+    * the 16-byte trailer content id on every hit; entries whose mtime tick
+    * was safely in the past when cached (any later rewrite must bump mtime)
+    * serve with zero I/O beyond the stat. Bounded by LRU eviction. */
   object FooterCache {
-    private val cache =
-      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Footer)]()
+    private final case class Entry(
+        len: Long, mtime: Long, fileId: Long, cachedAt: Long, footer: Footer)
+
+    /** mtime granularity + clock-skew safety margin */
+    private val RaceWindowMs = 2000L
+    /** visible for tests (LRU eviction spec) */
+    @volatile var capacity = 65536
+    /** observability for specs: tail revalidation reads on cache hits */
+    val tailChecks = new AtomicLong(0)
+
+    private val cache = java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Entry](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Entry]): Boolean =
+          size() > capacity
+      })
+
+    def clear(): Unit = cache.clear()
 
     def get(path: String, conf: Configuration): Footer = {
       val st = GpxFs.stat(path, conf)
         .getOrElse(throw new java.io.FileNotFoundException(path))
       val cached = cache.get(path)
-      if (cached != null && cached._1 == st.len && cached._2 == st.mtime)
-        cached._3
-      else {
-        val footer = readFooter(path, conf)
-        if (cache.size() > 65536) cache.clear() // crude but bounded
-        cache.put(path, (st.len, st.mtime, footer))
-        footer
+      if (cached != null && cached.len == st.len && cached.mtime == st.mtime) {
+        if (cached.cachedAt - st.mtime >= RaceWindowMs) return cached.footer
+        // entry was cached within the file's mtime tick: an in-place
+        // same-length rewrite could hide behind identical (len, mtime) —
+        // revalidate content via the 16-byte trailer id
+        tailChecks.incrementAndGet()
+        if (readTail(path, conf, st.len).fileId == cached.fileId) {
+          // once the mtime tick is safely past, no future natural rewrite
+          // can reuse it — upgrade the entry so later hits skip the check
+          val now = System.currentTimeMillis()
+          if (now - st.mtime >= RaceWindowMs)
+            cache.put(path, cached.copy(cachedAt = now))
+          return cached.footer
+        }
       }
+      val (footer, fileId) = readFooterWithId(path, conf)
+      cache.put(path, Entry(st.len, st.mtime, fileId, System.currentTimeMillis(), footer))
+      footer
     }
   }
 

@@ -405,12 +405,7 @@ final class GpxFileWriter(
     fd.flush()
     val arr = fBytes.toByteArray
     write(arr)
-    val tail = new ByteArrayOutputStream(8)
-    val td = new DataOutputStream(tail)
-    td.writeInt(arr.length)
-    td.write(Magic)
-    td.flush()
-    write(tail.toByteArray)
+    write(GpxFormat.trailerBytes(arr))
     out.close()
   }
 

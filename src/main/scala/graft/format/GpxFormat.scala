@@ -33,9 +33,32 @@ import java.io.{DataInputStream, DataOutputStream}
 object GpxFormat {
   val Magic: Array[Byte] = "GPX1".getBytes("UTF-8")
 
+  /** trailer := footerLen:i32 | fileId:i64 | MAGIC — 16 bytes. `fileId` is
+    * a digest of the footer bytes, so a cached footer can be revalidated
+    * against an in-place rewrite with a 16-byte tail read (two files with
+    * identical footers are interchangeable for planning: the cache holds
+    * only footers, data bytes are always read fresh). */
+  val TrailerLen: Int = 16
+
+  /** content id of a serialized footer: first 8 bytes of its MD5 */
+  def footerId(footerBytes: Array[Byte]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(footerBytes)
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+  }
+
+  /** serialize the 16-byte trailer for a footer of `footerBytes` */
+  def trailerBytes(footerBytes: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(TrailerLen)
+    bb.putInt(footerBytes.length)
+    bb.putLong(footerId(footerBytes))
+    bb.put(Magic)
+    bb.array()
+  }
+
   /** bumped on any footer/encoding layout change; cache dirs embed it so
     * files written by an older writer are never misread */
-  val FormatVersion: Int = 4
+  val FormatVersion: Int = 5
 
   // encodings
   val EncPlain: Byte = 0
@@ -101,10 +124,16 @@ object GpxFormat {
   final case class ChunkMeta(
       offset: Long, length: Long, encoding: Byte, stats: ChunkStats,
       pixels: Array[PixelMeta]) {
-    /** byte length of pixel segment p within this chunk */
-    def pixelLength(p: Int): Int =
-      (if (p + 1 < pixels.length) pixels(p + 1).relOffset else length.toInt) -
-        pixels(p).relOffset
+    /** byte length of pixel segment p within this chunk; pixel relOffsets
+      * are i32, so a chunk past 2 GiB cannot be pixel-addressed — fail
+      * loudly instead of silently truncating `length.toInt` */
+    def pixelLength(p: Int): Int = {
+      val end: Long =
+        if (p + 1 < pixels.length) pixels(p + 1).relOffset.toLong else length
+      require(end <= Int.MaxValue, s"chunk of $length bytes exceeds the " +
+        "2 GiB pixel-addressing limit (i32 relOffset); split the row group")
+      end.toInt - pixels(p).relOffset
+    }
   }
 
   /** commitTs = -1 means "no commit timestamp recorded" (always visible). */

@@ -94,8 +94,20 @@ object GpxPointIndex {
 
   // ---------------- key conversion ----------------
 
-  /** integer-family column value at position i -> index key (dates ride as
-    * epoch days, exactly how the column is stored) */
+  /** stable 64-bit index key for a string value: xxhash64 of its UTF-8
+    * bytes (the reference's index keys are arbitrary bytes,
+    * proto/index.proto:36-37 — hashing folds them into the long keyspace;
+    * collisions only cost false-positive row groups because every serving
+    * path re-verifies actual values). */
+  def stringKey(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  def stringKey(s: String): Long =
+    stringKey(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+
+  /** indexable column value at position i -> index key (dates ride as
+    * epoch days, exactly how the column is stored; strings hash) */
   private def keyAt(row: org.apache.spark.sql.catalyst.InternalRow, i: Int,
       dt: DataType): Long = dt match {
     case LongType | TimestampType | TimestampNTZType => row.getLong(i)
@@ -103,10 +115,12 @@ object GpxPointIndex {
     case ShortType => row.getShort(i).toLong
     case ByteType => row.getByte(i).toLong
     case BooleanType => if (row.getBoolean(i)) 1L else 0L
+    case StringType => stringKey(row.getUTF8String(i))
     case other => throw new IllegalArgumentException(s"unindexable $other")
   }
 
-  /** filter literal -> index key, when losslessly convertible */
+  /** filter literal -> index key, when losslessly convertible (timestamps
+    * to micros, consistent with keyAt's stored-long reads; strings hash) */
   def literalKey(v: Any): Option[Long] = v match {
     case b: Boolean => Some(if (b) 1L else 0L)
     case b: Byte => Some(b.toLong)
@@ -115,12 +129,20 @@ object GpxPointIndex {
     case l: Long => Some(l)
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
     case d: java.time.LocalDate => Some(d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos / 1000) % 1000)
+    case t: java.time.Instant =>
+      Some(t.getEpochSecond * 1000000L + t.getNano / 1000)
+    case t: java.time.LocalDateTime =>
+      Some(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000)
+    case s: String => Some(stringKey(s))
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(stringKey(s))
     case _ => None
   }
 
   def indexable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DateType | ShortType | ByteType |
-         BooleanType | TimestampType | TimestampNTZType => true
+         BooleanType | TimestampType | TimestampNTZType | StringType => true
     case _ => false
   }
 
@@ -170,12 +192,17 @@ object GpxPointIndex {
       }
     val sp = spark
     import sp.implicits._
-    val df = entries.toDF("key", "file", "rg")
+    // count entries IN the write pass (accumulator) — a post-write
+    // df.count() would re-execute the whole lineage, i.e. read every
+    // file's key column a second time, the exact O(table) pass the index
+    // exists to avoid
+    val entryCount = spark.sparkContext.longAccumulator("gpxIndexEntries")
+    val df = entries.map { e => entryCount.add(1L); e }.toDF("key", "file", "rg")
     df.write.format("gpx").mode("overwrite")
       .option("bucketBy", "key").option("numBuckets", numBuckets.toString)
       .save(indexDir(table, column))
     writeManifest(table, column, tableFingerprint(table, conf), conf)
-    df.count()
+    entryCount.value
   }
 
   // ---------------- serve (driver-direct, no Spark job) ----------------
@@ -234,13 +261,27 @@ object GpxPointIndex {
     * index-served point query (proto/index.proto lookup rpc). Falls back
     * to a normal scan when the index can't serve. */
   def lookup(spark: SparkSession, table: String, column: String,
-      keys: Set[Long], columns: Seq[String]): DataFrame = {
+      keys: Set[Long], columns: Seq[String]): DataFrame =
+    lookupImpl(spark, table, column, keys, columns, exact = None)
+
+  /** String-key point lookup: probes the index with xxhash64 keys, then
+    * verifies ACTUAL string equality row-level, so hash collisions can
+    * never surface in results. */
+  def lookupString(spark: SparkSession, table: String, column: String,
+      strKeys: Set[String], columns: Seq[String]): DataFrame =
+    lookupImpl(spark, table, column, strKeys.map(stringKey), columns,
+      exact = Some(strKeys))
+
+  private def lookupImpl(spark: SparkSession, table: String, column: String,
+      keys: Set[Long], columns: Seq[String],
+      exact: Option[Set[String]]): DataFrame = {
     import org.apache.spark.sql.functions.col
     val conf = new Configuration()
+    def fallbackValues: Seq[Any] = exact.map(_.toSeq).getOrElse(keys.toSeq)
     entriesFor(table, column, keys, conf) match {
       case None =>
         spark.read.format("gpx").load(table)
-          .filter(col(column).isin(keys.toSeq: _*))
+          .filter(col(column).isin(fallbackValues: _*))
           .select(columns.map(col): _*)
       case Some(entries) =>
         val qroot = GpxTable.qualifiedRoot(table, conf)
@@ -278,7 +319,11 @@ object GpxPointIndex {
               val it = batch.rowIterator()
               while (it.hasNext) {
                 val r = it.next()
-                if (!r.isNullAt(kPos) && keys.contains(keyAt(r, kPos, keyDt)))
+                val hit = !r.isNullAt(kPos) && (exact match {
+                  case Some(ss) => ss.contains(r.getUTF8String(kPos).toString)
+                  case None => keys.contains(keyAt(r, kPos, keyDt))
+                })
+                if (hit)
                   rows += Row.fromSeq(outPos.toIndexedSeq.map(p =>
                     external(r, p, readSchema(p).dataType)))
               }
@@ -289,7 +334,7 @@ object GpxPointIndex {
         if (outSchema == null)
           // no entries: empty result with the requested shape
           spark.read.format("gpx").load(table)
-            .filter(col(column).isin(keys.toSeq: _*))
+            .filter(col(column).isin(fallbackValues: _*))
             .select(columns.map(col): _*).limit(0)
         else
           spark.createDataFrame(

@@ -393,6 +393,90 @@ class FormatSpec extends GraftSpec {
       Seq(1L, "x", null), Seq(2L, "y", null), Seq(3L, "z", 30L)))
   }
 
+  test("footer cache detects a same-length same-mtime-tick rewrite") {
+    import sp.implicits._
+    val dir = tmp()
+    // two writes that differ only in VALUES (identical schema/row count ->
+    // same byte length with FOR packing of same-width values)
+    def writeVals(base: Int): Unit =
+      (0 until 100).map(i => (i, base + i)).toDF("id", "v")
+        .coalesce(1).write.format("gpx").mode("overwrite").save(dir)
+    writeVals(1000)
+    val conf = new Configuration()
+    val f = graft.format.GpxTable.listFiles(Seq(dir), conf).head
+    val st0 = graft.format.GpxFs.stat(f, conf).get
+    val footer0 = GpxFileReader.FooterCache.get(f, conf) // cached now
+    assert(footer0.rowGroups.head.chunks(1).stats.minLong == 1000L)
+    writeVals(5000)
+    // land the rewritten bytes IN PLACE at the cached path with the same
+    // (length, mtime) the cache validated against — simulates the rewrite
+    // landing within one mtime tick
+    val f2 = graft.format.GpxTable.listFiles(Seq(dir), conf).head
+    val jf = java.nio.file.Paths.get(f.stripPrefix("file:"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(f2.stripPrefix("file:")),
+      jf, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val st1 = graft.format.GpxFs.stat(f, conf).get
+    assert(st1.len == st0.len, "test premise: rewrite must be same-length")
+    java.nio.file.Files.setLastModifiedTime(jf,
+      java.nio.file.attribute.FileTime.fromMillis(st0.mtime))
+    val footer1 = GpxFileReader.FooterCache.get(f, conf)
+    assert(footer1.rowGroups.head.chunks(1).stats.minLong == 5000L,
+      "stale footer served after an in-place rewrite")
+  }
+
+  test("footer cache evicts LRU instead of clearing wholesale") {
+    import sp.implicits._
+    val dir = tmp()
+    (0 until 10).map(i => (i, i.toLong)).toDF("id", "v")
+      .repartition(6).write.format("gpx").mode("overwrite").save(dir)
+    val conf = new Configuration()
+    val files = graft.format.GpxTable.listFiles(Seq(dir), conf).sorted
+    assert(files.size >= 4)
+    val saved = GpxFileReader.FooterCache.capacity
+    try {
+      GpxFileReader.FooterCache.clear()
+      GpxFileReader.FooterCache.capacity = 3
+      files.foreach(GpxFileReader.FooterCache.get(_, conf))
+      // the most-recently-used entries survive; re-getting the LAST file
+      // must be a pure cache hit (no footer parse)
+      val before = GpxFileReader.footerReads.get()
+      GpxFileReader.FooterCache.get(files.last, conf)
+      assert(GpxFileReader.footerReads.get() == before,
+        "most-recent entry was evicted: cache cleared wholesale")
+      // the oldest entry was evicted -> re-parse expected
+      GpxFileReader.FooterCache.get(files.head, conf)
+      assert(GpxFileReader.footerReads.get() == before + 1)
+    } finally {
+      GpxFileReader.FooterCache.capacity = saved
+      GpxFileReader.FooterCache.clear()
+    }
+  }
+
+  test("pixel addressing refuses chunks past 2 GiB instead of overflowing") {
+    import graft.format.GpxFormat.{ChunkMeta, ChunkStats, PixelMeta}
+    val huge = ChunkMeta(0L, 3L * 1024 * 1024 * 1024, GpxFormat.EncPlain,
+      ChunkStats.empty, Array(PixelMeta(0, 100, ChunkStats.empty)))
+    val e = intercept[IllegalArgumentException](huge.pixelLength(0))
+    assert(e.getMessage.contains("2 GiB"))
+    // in-range chunks still address normally
+    val ok = ChunkMeta(0L, 100L, GpxFormat.EncPlain, ChunkStats.empty,
+      Array(PixelMeta(0, 50, ChunkStats.empty), PixelMeta(60, 50, ChunkStats.empty)))
+    assert(ok.pixelLength(0) == 60 && ok.pixelLength(1) == 40)
+  }
+
+  test("one pruning walk per query when no runtime filter arrives") {
+    import sp.implicits._
+    val dir = tmp()
+    (0 until 1000).map(i => (i, i.toLong)).toDF("id", "v")
+      .coalesce(1).write.format("gpx").mode("overwrite").save(dir)
+    val df = sp.read.format("gpx").load(dir).filter(col("id") > 500)
+    val before = graft.format.GpxScan.pruningWalks.get()
+    assert(df.count() == 499)
+    val walks = graft.format.GpxScan.pruningWalks.get() - before
+    assert(walks == 1,
+      s"$walks pruning walks for one query; stats + planning must share one")
+  }
+
   test("all-null and empty-string zone maps don't mislead the skipper") {
     import sp.implicits._
     val df = Seq(

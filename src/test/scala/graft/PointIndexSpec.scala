@@ -91,9 +91,91 @@ class PointIndexSpec extends GraftSpec {
       Tables.orders(sp, sf).count())
   }
 
+  test("index build reads each key-column pixel exactly once") {
+    val d = Files.createTempDirectory("gpx_idx_once").toString
+    Tables.orders(sp, sf).repartition(4)
+      .write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "512").save(d)
+    // expected decode work: every pixel of the key column, once
+    val files = GpxTable.listFiles(Seq(d), conf)
+    val keyPixels = files.map { f =>
+      val footer = GpxFileReader.FooterCache.get(f, conf)
+      val ki = footer.schema.fieldNames.indexOf("o_orderkey")
+      footer.rowGroups.map(_.chunks(ki).pixels.length).sum
+    }.sum
+    val before = GpxFileReader.pixelsDecoded.get()
+    val n = GpxPointIndex.build(sp, d, "o_orderkey", numBuckets = 4)
+    val decoded = GpxFileReader.pixelsDecoded.get() - before
+    assert(n > 0)
+    assert(decoded == keyPixels,
+      s"build decoded $decoded pixels; a single pass over the key column is $keyPixels")
+  }
+
+  test("timestamp-keyed index serves at planning time") {
+    val d = Files.createTempDirectory("gpx_idx_ts").toString
+    Tables.orders(sp, sf)
+      .withColumn("o_ts", col("o_orderdate").cast("timestamp"))
+      .repartition(8)
+      .write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "256").save(d)
+    GpxPointIndex.build(sp, d, "o_ts", numBuckets = 4)
+    val ts = sp.read.format("gpx").load(d).select("o_ts").head()
+      .getTimestamp(0)
+    // literalKey understands all three timestamp literal flavors
+    val micros = ts.getTime * 1000L + (ts.getNanos / 1000) % 1000
+    assert(GpxPointIndex.literalKey(ts).contains(micros))
+    assert(GpxPointIndex.literalKey(ts.toInstant).contains(micros))
+    assert(GpxPointIndex.literalKey(
+      java.time.LocalDateTime.ofInstant(ts.toInstant, java.time.ZoneOffset.UTC))
+      .contains(micros))
+    // planning hook resolves the filter through the index
+    val allowed = GpxPointIndex.allowedRowGroups(
+      d, Array[Filter](EqualTo("o_ts", ts)), conf)
+    assert(allowed.isDefined && allowed.get.nonEmpty)
+    // end-to-end: an equality query plans fewer splits than total row groups
+    val df = sp.read.format("gpx").load(d).filter(col("o_ts") === ts)
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val allRgs = GpxTable.listFiles(Seq(d), conf).map(f =>
+      GpxFileReader.FooterCache.get(f, conf).rowGroups.length).sum
+    assert(scan.inputRDD.getNumPartitions < allRgs)
+    assert(df.count() >= 1)
+  }
+
+  test("string-keyed index: hashed keys, exact row-level verification") {
+    val d = Files.createTempDirectory("gpx_idx_str").toString
+    Tables.documents(sp, sf)
+      .withColumn("doc_key", concat(lit("doc-"), col("doc_id")))
+      .repartition(8)
+      .write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "64").save(d)
+    GpxPointIndex.build(sp, d, "doc_key", numBuckets = 4)
+    assert(GpxPointIndex.valid(d, "doc_key", conf))
+    val keys = sp.read.format("gpx").load(d).select("doc_key")
+      .limit(3).collect().map(_.getString(0)).toSet
+    val viaIndex = GpxPointIndex.lookupString(sp, d, "doc_key", keys,
+      Seq("doc_key", "doc_id", "n_chars"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val viaScan = sp.read.format("gpx").load(d)
+      .filter(col("doc_key").isin(keys.toSeq: _*))
+      .select("doc_key", "doc_id", "n_chars")
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex.toSeq == viaScan.toSeq)
+    // planning hook: a pushed string equality consults the index
+    val allowed = GpxPointIndex.allowedRowGroups(
+      d, Array[Filter](EqualTo("doc_key", keys.head)), conf)
+    assert(allowed.isDefined && allowed.get.nonEmpty)
+    // absent key -> empty, not an error
+    assert(GpxPointIndex.lookupString(sp, d, "doc_key", Set("doc-nope"),
+      Seq("doc_key")).collect().isEmpty)
+  }
+
   test("equalityKeys intersects same-column conjuncts") {
     val fs: Array[Filter] = Array(
       In("k", Array(1, 2, 3)), EqualTo("k", 2), EqualTo("other", "x"))
-    assert(GpxPointIndex.equalityKeys(fs) == Map("k" -> Set(2L)))
+    assert(GpxPointIndex.equalityKeys(fs) ==
+      Map("k" -> Set(2L), "other" -> Set(GpxPointIndex.stringKey("x"))))
   }
 }
