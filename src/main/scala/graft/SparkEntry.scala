@@ -20,7 +20,8 @@ object SparkEntry {
       Dedup.queries ++
       VectorOps.queries ++
       Multimodal.queries ++
-      FormatOps.queries
+      FormatOps.queries ++
+      WideOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: 3-way join + grouped agg + top-k. */

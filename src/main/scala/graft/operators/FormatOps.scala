@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object FormatOps {
 
   /** per-sf cache dir built at most once per JVM (idempotent via marker). */
-  private def cachedDir(d: String, name: String)(build: String => Unit): String = {
+  private[operators] def cachedDir(d: String, name: String)(build: String => Unit): String = {
     val key = d.replaceAll("[^a-zA-Z0-9]", "_")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gpx" +
       s"/v${graft.format.GpxFormat.FormatVersion}/${name}_$key"

@@ -1,0 +1,219 @@
+package graft.operators
+
+import graft.GQuery
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ClickBench-style wide-table workload (reference: docs/CLICKBENCH.md:8-19
+  * loads a 105-column `hits` table and runs the 43-query suite,
+  * scripts/sql/clickbench_schema.sql:7-113).
+  *
+  * A 42-column `hits` table is DERIVED deterministically from the events
+  * table — ids, timestamps, many low-cardinality string dimensions,
+  * URL-ish strings, flag ints and fixed-point measures — then stored in
+  * the gpx format sorted by (counter_id, event_sec) so zone maps have
+  * structure. The queries are hits-shaped: multi-column group-bys, top-N
+  * over URLs/titles, selective wide-row scans, narrow projections over the
+  * wide schema (the projection-pushdown economics a 100-column table
+  * exists to test).
+  *
+  * Every derivation expression is DIALECT-NEUTRAL SQL evaluated by BOTH
+  * engines: Spark builds the gpx table with them, the DuckDB oracle
+  * recomputes the same CTE from parquet, so the hash compare gates the
+  * whole wide-row write/scan path. Only the `base` projection differs per
+  * dialect (nanos handling: Spark reads events.ts as raw nanos longs,
+  * DuckDB as TIMESTAMP_NS).
+  */
+object WideOps {
+
+  /** shared (name, expression) list over the dialect-specific `base`
+    * projection; every expression parses identically in Spark SQL and
+    * DuckDB and yields the same value AND type */
+  private val cols: Seq[(String, String)] = Seq(
+    "watch_id" -> "event_id",
+    "user_id" -> "user_id",
+    "counter_id" -> "user_id % 100",
+    "counter_class" -> "user_id % 3",
+    "region_id" -> "user_id % 7",
+    "client_ip" -> "167772160 + event_id % 65536",
+    "event_sec" -> "sec",
+    "event_date" -> "event_date",
+    "hour_of_day" -> "hr_abs % 24",
+    "minute_of_hour" -> "min_abs % 60",
+    "ts_nanos" -> "tsn",
+    "event_type" -> "event_type",
+    "url" -> ("concat('https://example.com/s', CAST(user_id % 50 AS STRING)," +
+      " '/page/', CAST(event_id % 1000 AS STRING))"),
+    "referer" -> ("CASE event_id % 4 WHEN 0 THEN 'https://search.example/q'" +
+      " WHEN 1 THEN 'https://social.example/feed' WHEN 2 THEN ''" +
+      " ELSE 'https://news.example/top' END"),
+    "title" -> "concat('Title ', CAST(event_id % 1000 AS STRING))",
+    "search_phrase" -> ("CASE WHEN event_id % 20 = 0 THEN" +
+      " concat('query ', CAST(event_id % 500 AS STRING)) ELSE '' END"),
+    "is_mobile" -> "CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END",
+    "is_new_user" -> "CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END",
+    "is_refresh" -> "CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END",
+    "is_bounce" -> "CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END",
+    "os" -> ("CASE user_id % 5 WHEN 0 THEN 'linux' WHEN 1 THEN 'windows'" +
+      " WHEN 2 THEN 'macos' WHEN 3 THEN 'android' ELSE 'ios' END"),
+    "browser" -> ("CASE event_id % 6 WHEN 0 THEN 'chrome' WHEN 1 THEN 'firefox'" +
+      " WHEN 2 THEN 'safari' WHEN 3 THEN 'edge' WHEN 4 THEN 'opera'" +
+      " ELSE 'other' END"),
+    "country" -> ("CASE user_id % 6 WHEN 0 THEN 'US' WHEN 1 THEN 'CN'" +
+      " WHEN 2 THEN 'DE' WHEN 3 THEN 'IN' WHEN 4 THEN 'BR' ELSE 'JP' END"),
+    "city" -> ("CASE user_id % 12 WHEN 0 THEN 'springfield' WHEN 1 THEN 'riverton'" +
+      " WHEN 2 THEN 'lakeside' WHEN 3 THEN 'hillview' WHEN 4 THEN 'meadowbrook'" +
+      " WHEN 5 THEN 'stonebridge' WHEN 6 THEN 'fairhaven' WHEN 7 THEN 'oakdale'" +
+      " WHEN 8 THEN 'elmwood' WHEN 9 THEN 'crestfield' WHEN 10 THEN 'brookside'" +
+      " ELSE 'ashford' END"),
+    "lang" -> ("CASE user_id % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'zh'" +
+      " WHEN 2 THEN 'es' ELSE 'de' END"),
+    "phone_model" -> ("CASE WHEN event_id % 3 = 0 THEN" +
+      " concat('Phone-', CAST(user_id % 20 AS STRING)) ELSE '' END"),
+    "resolution_w" -> ("CASE event_id % 4 WHEN 0 THEN 1920 WHEN 1 THEN 1366" +
+      " WHEN 2 THEN 2560 ELSE 375 END"),
+    "resolution_h" -> ("CASE event_id % 4 WHEN 0 THEN 1080 WHEN 1 THEN 768" +
+      " WHEN 2 THEN 1440 ELSE 667 END"),
+    "color_depth" -> "CASE WHEN event_id % 2 = 0 THEN 24 ELSE 32 END",
+    "duration_ms" -> "(event_id * 7919) % 60000",
+    "load_time_ms" -> "(event_id * 31) % 3000",
+    "scroll_pct" -> "event_id % 101",
+    "session_depth" -> "event_id % 50",
+    "ad_id" -> "CASE WHEN event_id % 13 = 0 THEN event_id % 5000 ELSE 0 END",
+    "utm_source" -> ("CASE event_id % 5 WHEN 0 THEN 'ads' WHEN 1 THEN 'email'" +
+      " WHEN 2 THEN 'organic' WHEN 3 THEN 'social' ELSE '' END"),
+    "utm_medium" -> ("CASE event_id % 3 WHEN 0 THEN 'cpc' WHEN 1 THEN 'banner'" +
+      " ELSE '' END"),
+    "value" -> "value",
+    "revenue" -> "CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END",
+    "price_cents" -> "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)",
+    "age" -> "18 + user_id % 60",
+    "gender_code" -> "user_id % 2",
+    "income_band" -> ("CASE WHEN value < 50 THEN 'low'" +
+      " WHEN value < 200 THEN 'mid' ELSE 'high' END"),
+    "props_len" -> "CAST(length(props) AS BIGINT)")
+
+  /** Spark base: events.ts arrives as raw epoch nanos (LongType) */
+  private val sparkBase: Seq[String] = Seq(
+    "event_id", "user_id", "ts AS tsn",
+    "ts div 1000000000 AS sec",
+    "(ts div 1000000000) div 3600 AS hr_abs",
+    "(ts div 1000000000) div 60 AS min_abs",
+    "to_date(timestamp_seconds(ts div 1000000000)) AS event_date",
+    "event_type", "value", "props")
+
+  /** DuckDB base: events.ts is TIMESTAMP_NS */
+  private val duckBase: String =
+    """SELECT event_id, user_id, epoch_ns(ts) AS tsn,
+      |  epoch_ns(ts)//1000000000 AS sec,
+      |  (epoch_ns(ts)//1000000000)//3600 AS hr_abs,
+      |  (epoch_ns(ts)//1000000000)//60 AS min_abs,
+      |  CAST(ts AS DATE) AS event_date, event_type, value, props
+      |FROM events""".stripMargin
+
+  private def selectList: String =
+    cols.map { case (n, e) => s"$e AS $n" }.mkString(",\n  ")
+
+  /** oracle prefix: recompute the wide table from parquet */
+  private def duckCte: String =
+    s"WITH base AS ($duckBase),\nhits AS (SELECT\n  $selectList\nFROM base)"
+
+  /** the wide table as a Spark DataFrame (before gpx storage) */
+  def hitsDf(s: SparkSession, d: String): DataFrame =
+    EventOps.events(s, d)
+      .selectExpr(sparkBase: _*)
+      .selectExpr(cols.map { case (n, e) => s"$e AS $n" }: _*)
+
+  /** hits stored once per sf in gpx, sorted (counter_id, event_sec) like
+    * ClickBench's (CounterID, EventDate) physical order */
+  def hitsGpx(s: SparkSession, d: String): DataFrame = {
+    val dir = FormatOps.cachedDir(d, "hits") { dir =>
+      hitsDf(s, d).orderBy("counter_id", "event_sec")
+        .write.format("gpx").mode("overwrite")
+        .option("rowGroupRows", "8192").save(dir)
+    }
+    s.read.format("gpx").load(dir)
+  }
+
+  /** a wide query: one dialect-neutral SQL text runs over the gpx-backed
+    * `hits` view in Spark and over the recomputed CTE in DuckDB */
+  private def wq(name: String, sql: String): GQuery =
+    GQuery(name, (s, d) => {
+      hitsGpx(s, d).createOrReplaceTempView("hits")
+      s.sql(sql)
+    }, Some(s"$duckCte\n$sql"))
+
+  val queries: Seq[GQuery] = Seq(
+
+    // global flags/measures over a filtered scan
+    wq("w01_wide_count_flags",
+      """SELECT COUNT(*) AS n, CAST(SUM(is_mobile) AS BIGINT) AS n_mobile,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS sum_rev,
+        |  MAX(duration_ms) AS max_dur, MIN(load_time_ms) AS min_load
+        |FROM hits WHERE counter_id % 2 = 0""".stripMargin),
+
+    // ClickBench Q"top counters": group by id, top-N by traffic
+    wq("w02_wide_topk_counters",
+      """SELECT counter_id, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM hits GROUP BY counter_id
+        |ORDER BY n DESC, counter_id LIMIT 10""".stripMargin),
+
+    // non-empty search phrases, most frequent first
+    wq("w03_wide_search_phrases",
+      """SELECT search_phrase, COUNT(*) AS n
+        |FROM hits WHERE search_phrase <> ''
+        |GROUP BY search_phrase ORDER BY n DESC, search_phrase
+        |LIMIT 15""".stripMargin),
+
+    // URL traffic ranking with distinct visitors
+    wq("w04_wide_url_traffic",
+      """SELECT url, COUNT(*) AS views, COUNT(DISTINCT user_id) AS visitors,
+        |  CAST(SUM(is_refresh) AS BIGINT) AS refreshes
+        |FROM hits GROUP BY url
+        |ORDER BY views DESC, url LIMIT 20""".stripMargin),
+
+    // multi-column group-by matrix
+    wq("w05_wide_os_browser_matrix",
+      """SELECT os, browser, is_mobile, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM hits GROUP BY os, browser, is_mobile
+        |ORDER BY os, browser, is_mobile""".stripMargin),
+
+    // selective wide-row scan: few rows, few columns of a 42-column table
+    wq("w06_wide_selective_columns",
+      """SELECT watch_id, event_sec, url, title, duration_ms
+        |FROM hits WHERE url LIKE '%/page/42' AND is_mobile = 1
+        |ORDER BY watch_id""".stripMargin),
+
+    // date-range + region rollup
+    wq("w07_wide_date_region",
+      """SELECT event_date, region_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+        |  COUNT(DISTINCT counter_id) AS n_counters
+        |FROM hits WHERE hour_of_day >= 6 AND hour_of_day < 18
+        |GROUP BY event_date, region_id
+        |ORDER BY event_date, region_id""".stripMargin),
+
+    // histogram via integer bucket floors (no division: dialect-neutral)
+    wq("w08_wide_duration_histogram",
+      """SELECT duration_ms - duration_ms % 5000 AS bucket_ms, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM hits GROUP BY duration_ms - duration_ms % 5000
+        |ORDER BY bucket_ms""".stripMargin),
+
+    // 2 of 42 columns: the projection-pushdown economics a wide table tests
+    wq("w09_wide_narrow_projection",
+      """SELECT counter_class, CAST(SUM(price_cents) AS BIGINT) AS cents,
+        |  COUNT(*) AS n
+        |FROM hits GROUP BY counter_class ORDER BY counter_class""".stripMargin),
+
+    // top pages per region via window over aggregation
+    wq("w10_wide_top_pages_per_region",
+      """SELECT region_id, title, views FROM (
+        |  SELECT region_id, title, COUNT(*) AS views,
+        |    ROW_NUMBER() OVER (PARTITION BY region_id
+        |      ORDER BY COUNT(*) DESC, title) AS rk
+        |  FROM hits GROUP BY region_id, title) t
+        |WHERE rk <= 3 ORDER BY region_id, views DESC, title""".stripMargin))
+}

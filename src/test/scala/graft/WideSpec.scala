@@ -1,0 +1,78 @@
+package graft
+
+import graft.format.{GpxFileReader, GpxTable}
+import graft.operators.WideOps
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+
+/** ClickBench-style wide table: 43-column hits derived from events, stored
+  * in gpx. The value of a wide corpus is the projection economics — a
+  * 2-column query must read 2 columns' bytes, not 43. */
+class WideSpec extends GraftSpec {
+  private val sp = TestSpark.spark
+  private val conf = new Configuration()
+
+  test("hits survives the gpx round trip with its full wide schema") {
+    val direct = WideOps.hitsDf(sp, sf)
+    val viaGpx = WideOps.hitsGpx(sp, sf)
+    assert(direct.schema.length >= 40, s"hits is ${direct.schema.length} cols")
+    assert(viaGpx.schema.map(f => (f.name, f.dataType)) ==
+      direct.schema.map(f => (f.name, f.dataType)))
+    assert(viaGpx.count() == direct.count())
+    // spot-check content equality despite the sort-for-storage
+    val a = direct.orderBy("watch_id").limit(50).collect().map(_.toSeq)
+    val b = viaGpx.orderBy("watch_id").limit(50).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  /** test-local hits gpx with tiny row groups so pruning is observable at
+    * sf0.001 (1000 rows -> ~8 row groups x 4 pixels) */
+  private lazy val smallDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("gpx_hits").toString
+    WideOps.hitsDf(sp, sf).orderBy("counter_id", "event_sec")
+      .coalesce(1).write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "128").option("pixelRows", "32").save(d)
+    d
+  }
+
+  test("narrow projection over the wide schema decodes only requested chunks") {
+    val hits = sp.read.format("gpx").load(smallDir)
+    val nCols = hits.schema.length
+    // per-column pixel counts from the footers
+    val files = GpxTable.listFiles(Seq(smallDir), conf)
+    assert(files.nonEmpty)
+    val footers = files.map(GpxFileReader.FooterCache.get(_, conf))
+    def pixelsOf(col: String): Long = footers.map { f =>
+      val i = f.schema.fieldNames.indexOf(col)
+      f.rowGroups.map(_.chunks(i).pixels.length.toLong).sum
+    }.sum
+    val twoColPixels = pixelsOf("counter_class") + pixelsOf("price_cents")
+    val allPixels = footers.map(f =>
+      f.rowGroups.map(_.chunks.map(_.pixels.length.toLong).sum).sum).sum
+    val before = GpxFileReader.pixelsDecoded.get()
+    val n = hits.select("counter_class", "price_cents").collect().length
+    val decoded = GpxFileReader.pixelsDecoded.get() - before
+    assert(n > 0)
+    assert(decoded == twoColPixels,
+      s"2-col projection decoded $decoded pixels, expected $twoColPixels " +
+        s"(full width would be $allPixels)")
+    assert(twoColPixels * (nCols / 4) < allPixels,
+      "wide schema premise: 2 columns are a small fraction of total chunks")
+  }
+
+  test("selective wide query prunes row groups via the storage sort") {
+    // hits is stored sorted by (counter_id, event_sec): an equality on
+    // counter_id must zone-map-skip most row groups
+    val hits = sp.read.format("gpx").load(smallDir)
+    val before = GpxFileReader.pixelsDecoded.get()
+    val one = hits.filter(col("counter_id") === 7)
+      .select("counter_id", "url").collect()
+    val selective = GpxFileReader.pixelsDecoded.get() - before
+    val before2 = GpxFileReader.pixelsDecoded.get()
+    val all = hits.select("counter_id", "url").collect()
+    val full = GpxFileReader.pixelsDecoded.get() - before2
+    assert(one.nonEmpty && all.length > one.length)
+    assert(selective < full,
+      s"selective scan decoded $selective pixels vs full $full")
+  }
+}
