@@ -94,7 +94,35 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     val in = fs.open(ddlFile)
     val ddl = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    new GpxTable(StructType.fromDDL(ddl), Seq(dir.toString))
+    new GpxTable(StructType.fromDDL(ddl), Seq(dir.toString),
+      inheritBucketSpec = true)
+  }
+
+  /** `PARTITIONED BY (bucket(n, col))` -> the gpx hash-bucketed layout
+    * (the reference's partitioned-table metadata, proto/pixels.proto:
+    * 130-138); any other transform is rejected. */
+  private def bucketSpecOf(partitions: Array[Transform],
+      schema: StructType): Option[GpxTable.BucketSpec] = partitions match {
+    case Array() => None
+    case Array(t) if t.name().equalsIgnoreCase("bucket") =>
+      val n = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value().isInstanceOf[Number] =>
+          l.value().asInstanceOf[Number].intValue()
+      }.getOrElse(throw new IllegalArgumentException(
+        s"bucket transform needs a literal bucket count: $t"))
+      val col = t.references().headOption.map(_.fieldNames().mkString("."))
+        .getOrElse(throw new IllegalArgumentException(
+          s"bucket transform needs a column: $t"))
+      val i = schema.fieldNames.indexOf(col)
+      require(i >= 0, s"bucket column $col not in schema")
+      require(GpxTable.bucketableType(schema(i).dataType),
+        s"bucket column $col must be integer-family, got ${schema(i).dataType}")
+      require(n > 0, s"numBuckets must be positive, got $n")
+      Some(GpxTable.BucketSpec(col, n))
+    case other =>
+      throw new UnsupportedOperationException(
+        s"gpx supports only a single bucket(n, col) transform, got ${other.mkString(",")}")
   }
 
   override def createTable(
@@ -103,7 +131,7 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty, "gpx tables do not support partitioning yet")
+    val bucket = bucketSpecOf(partitions, schema)
     val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
     require(provider.forall(_.equalsIgnoreCase("gpx")),
       s"graft catalog only stores gpx tables, got $provider")
@@ -113,7 +141,12 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     fs.mkdirs(dir)
     val out = fs.create(new Path(dir, "_schema.ddl"), true)
     try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
-    new GpxTable(schema, Seq(dir.toString))
+    bucket.foreach { b =>
+      val bout = fs.create(new Path(dir, "_bucketspec"), true)
+      try bout.write(s"${b.column}\n${b.numBuckets}".getBytes("UTF-8"))
+      finally bout.close()
+    }
+    new GpxTable(schema, Seq(dir.toString), inheritBucketSpec = true)
   }
 
   /** Schema evolution: ADD COLUMN appends a nullable column to the catalog

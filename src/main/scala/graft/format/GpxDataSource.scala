@@ -160,9 +160,16 @@ object GpxTable {
     val m = "-b(\\d+)\\.gpx$".r.findFirstMatchIn(name)
     m.map(_.group(1).toInt)
   }
+
+  /** types the bucketed writer can route on (integer family) */
+  def bucketableType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DateType | ShortType | ByteType => true
+    case _ => false
+  }
 }
 
-class GpxTable(schema: StructType, roots: Seq[String])
+class GpxTable(schema: StructType, roots: Seq[String],
+    inheritBucketSpec: Boolean = false)
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"gpx:${roots.mkString(",")}"
@@ -194,10 +201,19 @@ class GpxTable(schema: StructType, roots: Seq[String])
       .map(_.toInt).getOrElse(GpxFormat.DefaultPixelRows)
     val commitTs = Option(info.options.get("commitTs"))
       .map(_.toLong).getOrElse(-1L)
-    val bucket = for {
+    val optBucket = for {
       c <- Option(info.options.get("bucketBy"))
       n <- Option(info.options.get("numBuckets"))
     } yield GpxTable.BucketSpec(c, n.toInt)
+    // catalog tables created PARTITIONED BY (bucket(n, col)) keep their
+    // layout across INSERTs: the _bucketspec sidecar is the table's
+    // metadata, not a per-write option (path-based writes stay opt-in)
+    val bucket = optBucket.orElse {
+      if (inheritBucketSpec)
+        roots.headOption.flatMap(
+          GpxTable.readBucketSpec(_, new Configuration()))
+      else None
+    }
     new GpxWriteBuilder(info.schema(), roots.head, rgRows, pxRows, commitTs, bucket)
   }
 }
@@ -629,7 +645,12 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     if (truncate) {
-      if (fs.exists(p)) fs.delete(p, true)
+      // truncate DATA, not catalog metadata: the _schema.ddl sidecar is
+      // the table's catalog record and must survive INSERT OVERWRITE
+      if (fs.exists(p))
+        fs.listStatus(p).foreach { st =>
+          if (st.getPath.getName != "_schema.ddl") fs.delete(st.getPath, true)
+        }
       fs.mkdirs(p)
     }
     bucket.foreach { b =>

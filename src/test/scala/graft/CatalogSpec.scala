@@ -87,6 +87,78 @@ class CatalogSpec extends GraftSpec {
     }
   }
 
+  test("CREATE TABLE ... PARTITIONED BY (bucket(n, col)): SQL-declared bucketed layout") {
+    val wh = Files.createTempDirectory("gpx_ddlb").toString
+    sp.conf.set("spark.sql.catalog.gddl", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gddl.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gddl.db")
+    sp.sql("""CREATE TABLE gddl.db.b1 (k BIGINT, v BIGINT) USING gpx
+             |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    sp.sql("""CREATE TABLE gddl.db.b2 (k BIGINT, w BIGINT) USING gpx
+             |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    // the layout is table metadata: plain INSERTs route rows by bucket
+    sp.sql("""INSERT INTO gddl.db.b1
+             |SELECT id % 97 AS k, id AS v FROM range(2000)""".stripMargin)
+    sp.sql("""INSERT INTO gddl.db.b2
+             |SELECT id % 89 AS k, id * 3 AS w FROM range(1000)""".stripMargin)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val spec = graft.format.GpxTable.readBucketSpec(s"$wh/db/b1", conf)
+    assert(spec.contains(graft.format.GpxTable.BucketSpec("k", 4)))
+    assert(graft.format.GpxTable.listFiles(Seq(s"$wh/db/b1"), conf)
+      .forall(f => graft.format.GpxTable.bucketOfFile(f).isDefined),
+      "INSERT into a DDL-bucketed table must write bucketed files")
+
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = keys.map { case (k, _) => k -> sp.conf.getOption(k) }
+    keys.foreach { case (k, v) => sp.conf.set(k, v) }
+    try {
+      import sp.implicits._
+      val j = sp.table("gddl.db.b1").join(sp.table("gddl.db.b2"), "k")
+      val agg = j.agg(count(lit(1)).as("n"), sum($"v" + $"w").as("s"))
+      val plan = agg.queryExecution.executedPlan
+      val exchangesBelowJoin = plan.collect {
+        case smj: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          (smj.left.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e } ++
+            smj.right.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }).size
+      }
+      assert(exchangesBelowJoin.nonEmpty, s"no SMJ found:\n$plan")
+      assert(exchangesBelowJoin.forall(_ == 0),
+        s"join inputs still shuffle:\n$plan")
+      val t1 = (0L until 2000L).map(i => (i % 97, i)).toDF("k", "v")
+      val t2 = (0L until 1000L).map(i => (i % 89, i * 3)).toDF("k", "w")
+      val want = t1.join(t2, "k").agg(count(lit(1)), sum($"v" + $"w")).head.toSeq
+      assert(agg.head.toSeq == want)
+    } finally saved.foreach {
+      case (k, Some(v)) => sp.conf.set(k, v)
+      case (k, None) => sp.conf.unset(k)
+    }
+    // non-bucket transforms are rejected with a clear error
+    val e = intercept[Exception](
+      sp.sql("CREATE TABLE gddl.db.bad (k BIGINT, d DATE) USING gpx PARTITIONED BY (d)"))
+    assert(e.getMessage.contains("bucket"))
+  }
+
+  test("INSERT OVERWRITE keeps the catalog record and the bucket layout") {
+    val wh = Files.createTempDirectory("gpx_ovw").toString
+    sp.conf.set("spark.sql.catalog.govw", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.govw.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS govw.db")
+    sp.sql("""CREATE TABLE govw.db.t (k BIGINT, v BIGINT) USING gpx
+             |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    sp.sql("INSERT INTO govw.db.t SELECT id, id FROM range(100)")
+    sp.sql("INSERT OVERWRITE govw.db.t SELECT id, id * 2 FROM range(50)")
+    assert(sp.sql("SELECT count(*) FROM govw.db.t").head.getLong(0) == 50)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    assert(graft.format.GpxTable.readBucketSpec(s"$wh/db/t", conf).isDefined,
+      "bucket layout must survive INSERT OVERWRITE")
+    assert(graft.format.GpxTable.listFiles(Seq(s"$wh/db/t"), conf)
+      .forall(f => graft.format.GpxTable.bucketOfFile(f).isDefined))
+  }
+
   test("saveAsTable / spark.table round-trip via catalog") {
     val wh = Files.createTempDirectory("gpx_wh2").toString
     sp.conf.set("spark.sql.catalog.graft2", "graft.format.GpxCatalog")
