@@ -1,0 +1,128 @@
+package graft.format
+
+import GpxFileReader.PixelSlice
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import java.nio.file.{Files, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+/** Structured Streaming SOURCE over a gpx-backed SnapshotStore: tails the
+  * store's manifest log and emits each new delta directory as a micro-batch
+  * — the subscribe side of the reference's Retina CDC path
+  * (proto/retina.proto:34-50: update stream -> queryable visibility).
+  *
+  *   spark.readStream.format("gpx-cdc").load(storePath)
+  *
+  * Offsets ARE store versions: batch (start, end] reads exactly the delta
+  * dirs d_{start+1}..d_end, so restart/recovery replays precisely the
+  * unseen commits (exactly-once with an idempotent sink). Compaction
+  * versions (b_*) re-fold already-emitted rows and are correctly skipped —
+  * the tail emits each row version once. Splits are the same self-contained
+  * (file, row group, pixel slices) units as the batch scan: executors never
+  * read a footer.
+  */
+class GpxCdcSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "gpx-cdc"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def path(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("gpx-cdc needs a store path"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // by-name union over the store's gpx files (deltas evolve like any
+    // gpx table); delegate to the batch source's tolerant inference
+    val opts = new CaseInsensitiveStringMap(
+      Map("path" -> path(options)).asJava)
+    new GpxDataSource().inferSchema(opts)
+  }
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GpxCdcTable(schema,
+      path(new CaseInsensitiveStringMap(properties)))
+}
+
+class GpxCdcTable(schema: StructType, root: String)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"gpx-cdc:$root"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = schema
+      override def description(): String = s"GpxCdcScan[$root]"
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new GpxCdcStream(root, schema)
+    }
+}
+
+/** store version as a streaming offset */
+case class GpxCdcOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+class GpxCdcStream(root: String, schema: StructType) extends MicroBatchStream {
+
+  private def currentVersion: Long = {
+    val f = Paths.get(root).resolve("_CURRENT")
+    if (!Files.exists(f)) -1L
+    else Try(new String(Files.readAllBytes(f)).trim.toLong).getOrElse(-1L)
+  }
+
+  override def initialOffset(): Offset = GpxCdcOffset(-1L)
+  override def latestOffset(): Offset = GpxCdcOffset(currentVersion)
+  override def deserializeOffset(json: String): Offset =
+    GpxCdcOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[GpxCdcOffset].v
+    val to = end.asInstanceOf[GpxCdcOffset].v
+    val conf = new Configuration()
+    ((from + 1) to to).flatMap { v =>
+      val delta = Paths.get(root).resolve(f"d_$v%06d")
+      if (!Files.exists(delta)) Seq.empty // compaction version: no new rows
+      else GpxTable.listFiles(Seq(delta.toString), conf).flatMap { file =>
+        val footer = GpxFileReader.FooterCache.get(file, conf)
+        val phys = footer.schema
+        val physIdx: Array[Int] = schema.fields.map { fd =>
+          phys.fieldNames.indexOf(fd.name) match {
+            case -1 => -2 // absent from this delta -> nulls
+            case i => i
+          }
+        }
+        footer.rowGroups.map { rg =>
+          val cols: Array[Array[PixelSlice]] = physIdx.map { ci =>
+            if (ci == -2) Array.empty[PixelSlice]
+            else {
+              val ch = rg.chunks(ci)
+              ch.pixels.indices.toArray.map(p => PixelSlice(
+                ch.offset + ch.pixels(p).relOffset, ch.pixelLength(p),
+                ch.pixels(p).rows))
+            }
+          }
+          GpxInputPartition(file, rg.numRows, rg.commitTs, cols): InputPartition
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GpxReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -156,6 +156,43 @@ class StreamingSpec extends GraftSpec {
       snap.orderBy("user_id").collect().toSeq)
   }
 
+  test("gpx-cdc streaming source tails the snapshot store manifest") {
+    val dir = Files.createTempDirectory("cdctail").toString
+    val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts",
+      format = "gpx")
+    import sp.implicits._
+    // two commits BEFORE the stream starts: replayed as the first batch
+    store.upsert(Seq(Ev(1, "click", 100, 1.0), Ev(2, "click", 100, 2.0)).toDF())
+    store.upsert(Seq(Ev(1, "click", 200, 9.0)).toDF())
+    val q = sp.readStream.format("gpx-cdc").load(dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdc_tail").start()
+    q.processAllAvailable()
+    assert(sp.table("cdc_tail").count() == 3)
+    // a live commit (with a tombstone) lands while the stream runs
+    store.upsert(Seq(Ev(3, "view", 300, 3.0),
+      Ev(2, "click", 300, 0.0, _deleted = true)).toDF())
+    q.processAllAvailable()
+    assert(sp.table("cdc_tail").count() == 5)
+    // compaction re-folds already-emitted rows: the tail must NOT replay
+    store.compact()
+    q.processAllAvailable()
+    assert(sp.table("cdc_tail").count() == 5)
+    q.stop()
+    // latest-per-key over the tailed rows == the store's snapshot read
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id", $"event_type").orderBy($"ts".desc)
+    val tailed = sp.table("cdc_tail")
+      .withColumn("_rn", row_number().over(w)).filter($"_rn" === 1)
+      .filter(!$"_deleted")
+      .select("user_id", "event_type", "ts", "value")
+      .orderBy("user_id").collect().toSeq
+    val snap = store.read().get
+      .select("user_id", "event_type", "ts", "value")
+      .orderBy("user_id").collect().toSeq
+    assert(tailed == snap)
+  }
+
   test("streaming sessionization via flatMapGroupsWithState custom state") {
     import sp.implicits._
     import graft.streaming.Sessionize
