@@ -67,14 +67,39 @@ class GpxDataSource extends TableProvider with DataSourceRegister {
     // contributed it first — otherwise Catalyst could eliminate IsNotNull
     // filters against rows that are in fact null.
     val schemas = files.sorted.map(GpxFileReader.FooterCache.get(_, conf).schema)
+    // Type widening across evolved files (tolerantSchemaEvolution's
+    // compatible-widening half, PixelsReaderOption.java:34,126): safe
+    // exactly within the long-backed integer family (and same-scale narrow
+    // decimals) because gpx stores every such value as a long — plain
+    // 8-byte, RLE, or FOR — so the physical bytes are identical whichever
+    // logical width the footer declares; the widened table type only
+    // changes which putInt/putLong the decoder calls.
+    def widen(a: DataType, b: DataType): Option[DataType] = {
+      def rank(dt: DataType): Int = dt match {
+        case ByteType => 1; case ShortType => 2
+        case IntegerType => 3; case LongType => 4
+        case _ => 0
+      }
+      if (a == b) Some(a)
+      else (a, b) match {
+        case _ if rank(a) > 0 && rank(b) > 0 =>
+          Some(if (rank(a) >= rank(b)) a else b)
+        case (x: DecimalType, y: DecimalType)
+            if x.scale == y.scale && x.precision <= 18 && y.precision <= 18 =>
+          Some(if (x.precision >= y.precision) x else y)
+        case _ => None
+      }
+    }
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, (StructField, Int)]
     schemas.foreach(_.foreach { f =>
       seen.get(f.name) match {
         case None => seen(f.name) = (f, 1)
         case Some((g, n)) =>
-          require(g.dataType == f.dataType,
-            s"column ${f.name} has conflicting types: ${g.dataType} vs ${f.dataType}")
-          seen(f.name) = (g.copy(nullable = g.nullable || f.nullable), n + 1)
+          val w = widen(g.dataType, f.dataType).getOrElse(throw
+            new IllegalArgumentException(
+              s"column ${f.name} has incompatible types: ${g.dataType} vs ${f.dataType}"))
+          seen(f.name) =
+            (g.copy(dataType = w, nullable = g.nullable || f.nullable), n + 1)
       }
     })
     val base = StructType(seen.values.map { case (f, n) =>

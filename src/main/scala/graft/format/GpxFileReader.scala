@@ -384,7 +384,14 @@ object GpxFileReader {
         k += 1
       }
     }
-    d.readInt() // dataLen
+    val dataLen = d.readInt()
+
+    // XOR segments are bit-packed: slurp the payload and bit-read it
+    def decodeXor(w: Int)(put: (Int, Long) => Unit): Unit = {
+      val buf = new Array[Byte](dataLen)
+      d.readFully(buf)
+      XorCodec.decode(buf, numRows, w)(put)
+    }
 
     // decode into a longs array for the integer family
     def decodeLongs(): Array[Long] = {
@@ -439,11 +446,19 @@ object GpxFileReader {
           k += 1
         }
       case FloatType =>
-        var k = 0
-        while (k < numRows) {
-          val f = d.readFloat()
-          if (isNull(k)) v.putNull(rowBase + k) else v.putFloat(rowBase + k, f)
-          k += 1
+        if (encoding == EncXorFloat) {
+          decodeXor(32) { (k, bits) =>
+            if (isNull(k)) v.putNull(rowBase + k)
+            else v.putFloat(rowBase + k,
+              java.lang.Float.intBitsToFloat(bits.toInt))
+          }
+        } else {
+          var k = 0
+          while (k < numRows) {
+            val f = d.readFloat()
+            if (isNull(k)) v.putNull(rowBase + k) else v.putFloat(rowBase + k, f)
+            k += 1
+          }
         }
       case DoubleType =>
         if (encoding == EncScaledDouble) {
@@ -461,6 +476,12 @@ object GpxFileReader {
             if (isNull(k)) v.putNull(rowBase + k)
             else v.putDouble(rowBase + k, (base + delta) / p)
             k += 1
+          }
+        } else if (encoding == EncXorDouble) {
+          decodeXor(64) { (k, bits) =>
+            if (isNull(k)) v.putNull(rowBase + k)
+            else v.putDouble(rowBase + k,
+              java.lang.Double.longBitsToDouble(bits))
           }
         } else {
           var k = 0

@@ -237,10 +237,22 @@ final class GpxFileWriter(
             if (java.lang.Float.isNaN(v)) sawNaN = true
             else { if (v < mn) mn = v; if (v > mx) mx = v; any = true }
           }
-          d.writeFloat(vals(k)); k += 1
+          k += 1
         }
         if (sawNaN) stats = stats.copy(reliable = false)
         else if (any) stats = stats.copy(hasValues = true, minDouble = mn, maxDouble = mx)
+        // XOR (Gorilla) probe: bit-exact, wins on repeated / slowly-varying
+        // sensor values; random payloads come out larger -> stay PLAIN
+        val xorBytes = XorCodec.encode(
+          r => java.lang.Float.floatToRawIntBits(vals(from + r)) & 0xffffffffL,
+          rows, 32)
+        if (xorBytes.length < rows * 4) {
+          encoding = EncXorFloat
+          d.write(xorBytes)
+        } else {
+          k = from
+          while (k < until) { d.writeFloat(vals(k)); k += 1 }
+        }
       case DoubleType =>
         val vals = doubles(i)
         var mn = Double.MaxValue; var mx = -Double.MaxValue
@@ -319,8 +331,17 @@ final class GpxFileWriter(
             k2 += 1
           }
         } else {
-          k = from
-          while (k < until) { d.writeDouble(vals(k)); k += 1 }
+          // XOR (Gorilla) probe for doubles the scaled-decimal pass can't
+          // represent: bit-exact, wins on repeated / slowly-drifting values
+          val xorBytes = XorCodec.encode(
+            r => java.lang.Double.doubleToRawLongBits(vals(from + r)), rows, 64)
+          if (xorBytes.length < rows * 8) {
+            encoding = EncXorDouble
+            d.write(xorBytes)
+          } else {
+            k = from
+            while (k < until) { d.writeDouble(vals(k)); k += 1 }
+          }
         }
       case bdt if bdt == StringType || bdt == BinaryType ||
           bdt.isInstanceOf[DecimalType] || isNumericArray(bdt) =>

@@ -25,10 +25,11 @@ import java.io.{DataInputStream, DataOutputStream}
   * analog) that `option("snapshotTs", ...)` filters for MVCC time travel.
   *
   * Encodings (reference: encoding/RunLenIntEncoder.java, dictionary in
-  * StringColumnWriter.java:42-64): PLAIN for all types; RLE for the integer
-  * family when runs compress; DICT for strings when the dictionary pays.
-  * Compression-by-encoding only, like the reference (pixels.proto:56-57
-  * declares codecs "currently NOT USED").
+  * StringColumnWriter.java:42-64): PLAIN for all types; RLE/FOR for the
+  * integer family when runs/ranges compress; DICT for strings when the
+  * dictionary pays; scaled-decimal or Gorilla-XOR for float/double when
+  * the probe wins. Compression-by-encoding only, like the reference
+  * (pixels.proto:56-57 declares codecs "currently NOT USED").
   */
 object GpxFormat {
   val Magic: Array[Byte] = "GPX1".getBytes("UTF-8")
@@ -58,7 +59,7 @@ object GpxFormat {
 
   /** bumped on any footer/encoding layout change; cache dirs embed it so
     * files written by an older writer are never misread */
-  val FormatVersion: Int = 5
+  val FormatVersion: Int = 6
 
   // encodings
   val EncPlain: Byte = 0
@@ -71,6 +72,10 @@ object GpxFormat {
     * FOR-packed (base:i64 width:u8 deltas). Decode k/10^s is bit-exact
     * because each stored double was the nearest-double of k/10^s. */
   val EncScaledDouble: Byte = 4
+  /** Gorilla-style XOR-of-previous bit packing over raw IEEE payloads
+    * (see [[XorCodec]]); chosen only when it beats PLAIN for the segment */
+  val EncXorDouble: Byte = 5
+  val EncXorFloat: Byte = 6
 
   val DefaultRowGroupRows: Int = 65536
   /** default stats/encode sub-granule within a row group (reference pixel

@@ -356,20 +356,24 @@ object Tpch {
 
     // TPC-H Q21: suppliers who were the SOLE late supplier on a
     // multi-supplier finished order — EXISTS (another supplier on the
-    // order) as a left-semi join, NOT EXISTS (another LATE supplier) as a
-    // left-anti join, counted per supplier. "Late" = shipped >60 days
-    // after the order date (no commit/receipt dates in this schema).
+    // order) as a left-semi join; NOT EXISTS (another LATE supplier) as a
+    // window over the SAME lateLines frame: a line survives that anti
+    // condition iff its order's distinct late-supplier set is a singleton,
+    // i.e. min == max of l_suppkey per order. One lineitem⋈orders
+    // materialization instead of two, and the window's hash partitioning
+    // on l_orderkey is the semi join's partitioning too.
     GQuery("q42_tpch_q21_waiting_supplier", (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
       val l1 = lateLines(s, d)
+        .withColumn("_mn", min("l_suppkey").over(w))
+        .withColumn("_mx", max("l_suppkey").over(w))
+        .filter(col("_mn") === col("_mx"))
+        .drop("_mn", "_mx")
       val others = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey"))
-      val lateOthers = lateLines(s, d)
-        .select(col("l_orderkey").as("y_orderkey"), col("l_suppkey").as("y_suppkey"))
       l1
         .join(others, col("x_orderkey") === col("l_orderkey") &&
           col("x_suppkey") =!= col("l_suppkey"), "left_semi")
-        .join(lateOthers, col("y_orderkey") === col("l_orderkey") &&
-          col("y_suppkey") =!= col("l_suppkey"), "left_anti")
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name")
         .agg(count(lit(1)).as("numwait"))

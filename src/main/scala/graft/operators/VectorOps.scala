@@ -164,7 +164,7 @@ object VectorOps {
     // recall is probabilistic — rows-only gate, measured in VectorOpsSpec.
     GQuery("v05_cosine_pairs_lsh", (s, d) => {
       val Tables_ = 16; val Dim = 64
-      val e = vecs(s, d)
+      val e = vecs(s, d).persist()
       // signature width grows with corpus size so per-bucket occupancy
       // (and the quadratic within-bucket verify) stays bounded at scale:
       // target ~64 vectors per bucket, Bits = log2(n/64) clamped [8, 24].
@@ -192,7 +192,7 @@ object VectorOps {
       // corpus and the computed signatures are persisted so the 128
       // hyperplane cosines per vector run once, not once per join side.
       val banded = e.select(col("vec_id"),
-        explode(array(sigCols: _*)).as("bk"))
+        explode(array(sigCols: _*)).as("bk")).persist()
       val candidates = banded.as("a").join(banded.as("b"),
           col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))

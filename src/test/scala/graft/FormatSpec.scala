@@ -379,6 +379,70 @@ class FormatSpec extends GraftSpec {
     assert(q.head.toSeq == Seq(0L, 199L))
   }
 
+  test("Gorilla-XOR encoding engages on sensor-like doubles/floats, bit-exact") {
+    import sp.implicits._
+    val n = 4000
+    // runs of identical irrational values (scale probe can't represent
+    // them, RLE doesn't exist for doubles) salted with NaN, -0.0, nulls —
+    // only raw IEEE bits flow through XOR, so all must survive bit-exactly
+    val rows = (0 until n).map { i =>
+      val v: Option[Double] =
+        if (i % 97 == 0) None
+        else if (i % 131 == 1) Some(Double.NaN)
+        else if (i % 173 == 2) Some(-0.0)
+        else Some(math.Pi * (1 + i / 400))
+      (i, v, v.map(_.toFloat))
+    }
+    val df = rows.toDF("id", "d", "f")
+    val dir = tmp()
+    df.coalesce(1).write.format("gpx").mode("overwrite").save(dir)
+    val conf = new Configuration()
+    val file = graft.format.GpxTable.listFiles(Seq(dir), conf).head
+    val footer = GpxFileReader.readFooter(file, conf)
+    val dIdx = footer.schema.fieldIndex("d")
+    val fIdx = footer.schema.fieldIndex("f")
+    assert(footer.rowGroups.head.chunks(dIdx).encoding == GpxFormat.EncXorDouble)
+    assert(footer.rowGroups.head.chunks(fIdx).encoding == GpxFormat.EncXorFloat)
+    // the whole point: the chunk is much smaller than plain 8/4 bytes a row
+    assert(footer.rowGroups.head.chunks(dIdx).length < n * 2L)
+    assert(footer.rowGroups.head.chunks(fIdx).length < n * 1L)
+    // raw-bits round trip (== would treat NaN != NaN and -0.0 == +0.0)
+    def bitsD(r: org.apache.spark.sql.Row) =
+      if (r.isNullAt(1)) None else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    def bitsF(r: org.apache.spark.sql.Row) =
+      if (r.isNullAt(2)) None else Some(java.lang.Float.floatToRawIntBits(r.getFloat(2)))
+    val orig = df.orderBy("id").collect()
+    val back = sp.read.format("gpx").load(dir).orderBy("id").collect()
+    assert(orig.map(bitsD).toSeq == back.map(bitsD).toSeq)
+    assert(orig.map(bitsF).toSeq == back.map(bitsF).toSeq)
+  }
+
+  test("type-widening schema evolution: int->long across evolved files") {
+    import sp.implicits._
+    val dir = tmp()
+    // v1 writes v as INT, v2 widens it to BIGINT (same column name)
+    (0 until 100).map(i => (i.toLong, i)).toDF("id", "v")
+      .write.format("gpx").mode("overwrite").save(dir)
+    (100 until 200).map(i => (i.toLong, i.toLong * 1000000000L))
+      .toDF("id", "v").write.format("gpx").mode("append").save(dir)
+    val t = sp.read.format("gpx").load(dir)
+    assert(t.schema("v").dataType == LongType)
+    assert(t.count() == 200)
+    // values from the narrow files decode correctly under the wide type
+    assert(t.agg(sum("v")).head.getLong(0) ==
+      (0 until 100).map(_.toLong).sum + (100 until 200).map(_.toLong * 1000000000L).sum)
+    // zone-map pruning still works against narrow-typed file stats
+    assert(t.filter(col("v") === 50L).count() == 1)
+    assert(t.filter(col("v") > 99L).count() == 100)
+    // genuinely incompatible types still fail loudly
+    (0 until 10).map(i => (i.toLong, s"s$i")).toDF("id", "v")
+      .write.format("gpx").mode("overwrite").save(dir)
+    (0 until 10).map(i => (i.toLong, i)).toDF("id", "v")
+      .write.format("gpx").mode("append").save(dir)
+    val e = intercept[Exception](sp.read.format("gpx").load(dir).schema)
+    assert(e.getMessage.contains("incompatible types"))
+  }
+
   test("ALTER TABLE ADD COLUMN evolves the catalog schema") {
     val wh = java.nio.file.Files.createTempDirectory("gpx_evo").toString
     sp.conf.set("spark.sql.catalog.gevo", "graft.format.GpxCatalog")
