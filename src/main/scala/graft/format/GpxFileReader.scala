@@ -417,6 +417,22 @@ object GpxFileReader {
           out(k) = base + delta
           k += 1
         }
+      } else if (encoding == EncDeltaLong) {
+        var prev = d.readLong()
+        val base = d.readLong()
+        val width = d.readByte()
+        out(0) = prev
+        var k = 1
+        while (k < numRows) {
+          val delta = width match {
+            case 1 => (d.readByte() & 0xffL)
+            case 2 => (d.readShort() & 0xffffL)
+            case 4 => (d.readInt() & 0xffffffffL)
+          }
+          prev += base + delta
+          out(k) = prev
+          k += 1
+        }
       } else {
         var k = 0
         while (k < numRows) { out(k) = d.readLong(); k += 1 }

@@ -199,7 +199,36 @@ final class GpxFileWriter(
           else if (range < 4294967296L) 4
           else 8
         }
-      if (rleBytes < plainBytes / 2 && rleBytes < rows.toLong * forWidth) {
+      // delta-of-previous probe: monotonic keys/timestamps have tiny delta
+      // ranges even when their absolute range defeats FOR. Null rows keep
+      // their placeholder 0 in the stream (decode reproduces it, the null
+      // bitmap masks it) — same contract as the other integer encodings.
+      // Skipped when value range overflowed (delta arithmetic could too).
+      var deltaWidth = 8
+      var minDelta = 0L
+      if (rows >= 2 && any && stats.maxLong - stats.minLong >= 0) {
+        var mnD = Long.MaxValue; var mxD = Long.MinValue
+        k = from + 1
+        while (k < until) {
+          val dd = vals(k) - vals(k - 1)
+          if (dd < mnD) mnD = dd; if (dd > mxD) mxD = dd
+          k += 1
+        }
+        val dr = mxD - mnD
+        if (dr >= 0) {
+          deltaWidth =
+            if (dr < 256L) 1 else if (dr < 65536L) 2
+            else if (dr < 4294967296L) 4 else 8
+          minDelta = mnD
+        }
+      }
+      val forBytes =
+        if (forWidth < 8) 9L + rows.toLong * forWidth else Long.MaxValue
+      val deltaBytes =
+        if (deltaWidth < 8) 17L + (rows - 1).toLong * deltaWidth
+        else Long.MaxValue
+      if (rleBytes < plainBytes / 2 && rleBytes < forBytes &&
+          rleBytes < deltaBytes) {
         encoding = EncRleLong
         k = from
         while (k < until) {
@@ -207,7 +236,7 @@ final class GpxFileWriter(
           while (j < until && vals(j) == vals(k)) j += 1
           d.writeLong(vals(k)); d.writeInt(j - k); k = j
         }
-      } else if (forWidth < 8) {
+      } else if (forBytes <= deltaBytes && forBytes < plainBytes) {
         encoding = EncForPacked
         val base = stats.minLong
         d.writeLong(base); d.writeByte(forWidth)
@@ -215,6 +244,20 @@ final class GpxFileWriter(
         while (k < until) {
           val delta = if (nullArr(k)) 0L else vals(k) - base
           forWidth match {
+            case 1 => d.writeByte(delta.toInt)
+            case 2 => d.writeShort(delta.toInt)
+            case 4 => d.writeInt(delta.toInt)
+          }
+          k += 1
+        }
+      } else if (deltaBytes < plainBytes) {
+        encoding = EncDeltaLong
+        d.writeLong(vals(from))
+        d.writeLong(minDelta); d.writeByte(deltaWidth)
+        k = from + 1
+        while (k < until) {
+          val delta = (vals(k) - vals(k - 1)) - minDelta
+          deltaWidth match {
             case 1 => d.writeByte(delta.toInt)
             case 2 => d.writeShort(delta.toInt)
             case 4 => d.writeInt(delta.toInt)

@@ -76,6 +76,11 @@ object GpxFormat {
     * (see [[XorCodec]]); chosen only when it beats PLAIN for the segment */
   val EncXorDouble: Byte = 5
   val EncXorFloat: Byte = 6
+  /** delta-of-previous packing (Parquet DELTA_BINARY_PACKED analog):
+    * first:i64 | minDelta:i64 | width:u8 | (rows-1) width-byte unsigned
+    * (delta - minDelta). Near-zero bytes for monotonic key/timestamp
+    * columns whose absolute range defeats FOR. */
+  val EncDeltaLong: Byte = 7
 
   val DefaultRowGroupRows: Int = 65536
   /** default stats/encode sub-granule within a row group (reference pixel

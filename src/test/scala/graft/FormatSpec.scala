@@ -417,6 +417,53 @@ class FormatSpec extends GraftSpec {
     assert(orig.map(bitsF).toSeq == back.map(bitsF).toSeq)
   }
 
+  test("delta packing engages on monotonic keys whose range defeats FOR") {
+    import sp.implicits._
+    // step 1e6/row over 65536 rows: absolute range ~6.5e10 > 4 GiB so FOR
+    // needs full 8-byte words, but deltas span [1e6, 1e6+99] -> 1 byte
+    val rnd = new scala.util.Random(7)
+    val ids = (0 until 65536).scanLeft(1000000000000L)(
+      (acc, _) => acc + 1000000L + rnd.nextInt(100)).tail
+    val df = ids.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "k")
+    val dir = tmp()
+    df.orderBy("i").coalesce(1).write.format("gpx").mode("overwrite").save(dir)
+    val conf = new Configuration()
+    val file = graft.format.GpxTable.listFiles(Seq(dir), conf).head
+    val footer = GpxFileReader.readFooter(file, conf)
+    val kIdx = footer.schema.fieldIndex("k")
+    val chunk = footer.rowGroups.head.chunks(kIdx)
+    assert(chunk.encoding == GpxFormat.EncDeltaLong)
+    // ~1 byte/row + per-pixel headers vs 8 bytes/row plain
+    assert(chunk.length < 65536L * 2)
+    val back = sp.read.format("gpx").load(dir).orderBy("i")
+      .select("k").collect().map(_.getLong(0))
+    assert(back.toSeq == ids)
+  }
+
+  test("XorCodec round-trips adversarial bit patterns (property sweep)") {
+    val rnd = new scala.util.Random(12345)
+    def patterns(w: Int): Seq[Array[Long]] = {
+      val full = if (w == 64) -1L else 0xffffffffL
+      Seq(
+        Array.fill(500)(rnd.nextLong() & full), // incompressible
+        Array.fill(500)(0L), // all zero
+        Array(rnd.nextLong() & full), // single value
+        (0 until 500).map(i => (i / 50).toLong).toArray, // runs
+        (0 until 500).map(_ => Seq(0L, full, 1L << (w / 2))(rnd.nextInt(3))).toArray,
+        // trailing/leading-zero stress: random single set bits
+        (0 until 500).map(_ => 1L << rnd.nextInt(w)).toArray,
+        // drifting low bits (the sensor shape)
+        (0 until 500).scanLeft(0x4045000000000000L & full)(
+          (acc, _) => acc ^ (rnd.nextInt(16).toLong)).tail.toArray)
+    }
+    for (w <- Seq(32, 64); (p, i) <- patterns(w).zipWithIndex) {
+      val enc = graft.format.XorCodec.encode(p(_), p.length, w)
+      val out = new Array[Long](p.length)
+      graft.format.XorCodec.decode(enc, p.length, w)((k, v) => out(k) = v)
+      assert(out.toSeq == p.toSeq, s"w=$w pattern=$i")
+    }
+  }
+
   test("type-widening schema evolution: int->long across evolved files") {
     import sp.implicits._
     val dir = tmp()
