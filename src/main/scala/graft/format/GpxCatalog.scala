@@ -87,7 +87,20 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   override def tableExists(ident: Identifier): Boolean =
     fs.exists(new Path(tablePath(ident), "_schema.ddl"))
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table =
+    loadTableAt(ident, None)
+
+  /** SQL time travel: `SELECT ... FROM t FOR TIMESTAMP AS OF ts` — Spark
+    * hands the timestamp in epoch MICROS, which is exactly the commitTs
+    * unit catalog INSERTs stamp (MVCC snapshot read, S19). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadTableAt(ident, Some(timestamp))
+
+  /** `FOR VERSION AS OF v`: v is a raw commitTs long (writer-stamped). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadTableAt(ident, Some(java.lang.Long.parseLong(version)))
+
+  private def loadTableAt(ident: Identifier, snapshotTs: Option[Long]): Table = {
     val dir = tablePath(ident)
     val ddlFile = new Path(dir, "_schema.ddl")
     if (!fs.exists(ddlFile)) throw new NoSuchTableException(ident)
@@ -95,7 +108,7 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     val ddl = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     new GpxTable(StructType.fromDDL(ddl), Seq(dir.toString),
-      inheritBucketSpec = true)
+      catalogManaged = true, defaultSnapshotTs = snapshotTs)
   }
 
   /** `PARTITIONED BY (bucket(n, col))` -> the gpx hash-bucketed layout
@@ -146,7 +159,7 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       try bout.write(s"${b.column}\n${b.numBuckets}".getBytes("UTF-8"))
       finally bout.close()
     }
-    new GpxTable(schema, Seq(dir.toString), inheritBucketSpec = true)
+    new GpxTable(schema, Seq(dir.toString), catalogManaged = true)
   }
 
   /** Schema evolution: ADD COLUMN appends a nullable column to the catalog
@@ -174,7 +187,7 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     }
     val out = fs.create(ddlFile, true)
     try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
-    new GpxTable(schema, Seq(dir.toString))
+    new GpxTable(schema, Seq(dir.toString), catalogManaged = true)
   }
 
   override def dropTable(ident: Identifier): Boolean =

@@ -194,14 +194,40 @@ object GpxTable {
 }
 
 class GpxTable(schema: StructType, roots: Seq[String],
-    inheritBucketSpec: Boolean = false)
-  extends Table with SupportsRead with SupportsWrite {
+    catalogManaged: Boolean = false,
+    defaultSnapshotTs: Option[Long] = None)
+  extends Table with SupportsRead with SupportsWrite
+  with SupportsMetadataColumns with SupportsDelete {
 
   override def name(): String = s"gpx:${roots.mkString(",")}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
+
+  /** `_commit_ts` as a DSv2 metadata column: `SELECT _commit_ts FROM t`
+    * resolves without the read option (the option form stays for
+    * path-based reads). Reference analog: the hidden version column,
+    * proto/pixels.proto:66-69. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = GpxTable.CommitTsCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "MVCC commit timestamp of the row group"
+    })
+
+  /** SQL DELETE (retina delete path, proto/retina.proto:34-50 analog):
+    * zone maps pick the files that MAY hold matching rows; only those are
+    * rewritten without the matching rows (the reference applies deletes by
+    * rewriting visibility; gpx compacts the history instead — a deleted
+    * row is gone from earlier snapshots too, which is the documented
+    * difference). Untouched files keep their bytes and their commitTs. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(GpxDelete.translatable)
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    GpxDelete.run(schema, roots, filters, catalogManaged)
 
   /** Bucketed layouts advertise their bucket transform; with GpxCatalog's
     * FunctionCatalog resolving `bucket`, equi-joins on the bucket key
@@ -216,6 +242,7 @@ class GpxTable(schema: StructType, roots: Seq[String],
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val snapshotTs = Option(options.get("snapshotTs")).map(_.toLong)
+      .orElse(defaultSnapshotTs) // SQL time travel (FOR TIMESTAMP/VERSION AS OF)
     new GpxScanBuilder(schema, roots, snapshotTs)
   }
 
@@ -224,8 +251,12 @@ class GpxTable(schema: StructType, roots: Seq[String],
       .map(_.toInt).getOrElse(GpxFormat.DefaultRowGroupRows)
     val pxRows = Option(info.options.get("pixelRows"))
       .map(_.toInt).getOrElse(GpxFormat.DefaultPixelRows)
+    // catalog tables auto-stamp commits in epoch micros so SQL time travel
+    // (FOR TIMESTAMP AS OF) works without writer options; path-based
+    // writes keep the explicit-option contract (-1 = always visible)
     val commitTs = Option(info.options.get("commitTs"))
-      .map(_.toLong).getOrElse(-1L)
+      .map(_.toLong)
+      .getOrElse(if (catalogManaged) System.currentTimeMillis() * 1000L else -1L)
     val optBucket = for {
       c <- Option(info.options.get("bucketBy"))
       n <- Option(info.options.get("numBuckets"))
@@ -234,7 +265,7 @@ class GpxTable(schema: StructType, roots: Seq[String],
     // layout across INSERTs: the _bucketspec sidecar is the table's
     // metadata, not a per-write option (path-based writes stay opt-in)
     val bucket = optBucket.orElse {
-      if (inheritBucketSpec)
+      if (catalogManaged)
         roots.headOption.flatMap(
           GpxTable.readBucketSpec(_, new Configuration()))
       else None

@@ -1,0 +1,94 @@
+package graft.format
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** SQL `DELETE FROM <gpx table> WHERE ...` (reference analog: retina's
+  * delete path, proto/retina.proto:34-50 — there deletes mask visibility;
+  * here affected files are compacted without the matching rows).
+  *
+  * Scale shape: the footer zone maps select ONLY the files that may hold a
+  * matching row — a key-targeted delete on a sorted/bucketed layout
+  * rewrites a handful of files, not the table. Each affected file is
+  * rewritten by a Spark job (executor-side rows, no driver materialization)
+  * and swapped in under its ORIGINAL name, so bucket-suffix routing
+  * (part-*-bN.gpx) survives. SQL semantics: rows where the predicate is
+  * NULL are kept (DELETE removes only TRUE rows). */
+object GpxDelete {
+
+  def translatable(f: Filter): Boolean = toColumn(f).isDefined
+
+  /** sources.Filter -> Column for the delete-supported subset; None marks
+    * the filter untranslatable (canDeleteWhere then refuses, and Spark
+    * reports the delete as unsupported instead of half-applying it). */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(c, v) => Some(col(c) === lit(v))
+    case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+    case GreaterThan(c, v) => Some(col(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case LessThan(c, v) => Some(col(c) < lit(v))
+    case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+    case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+    case IsNull(c) => Some(col(c).isNull)
+    case IsNotNull(c) => Some(col(c).isNotNull)
+    case StringStartsWith(c, v) => Some(col(c).startsWith(v))
+    case StringEndsWith(c, v) => Some(col(c).endsWith(v))
+    case StringContains(c, v) => Some(col(c).contains(v))
+    case And(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+    case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case Not(c) => toColumn(c).map(!_)
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+
+  def run(schema: StructType, roots: Seq[String], filters: Array[Filter],
+      catalogManaged: Boolean): Unit = {
+    val spark = SparkSession.active
+    val conf = new Configuration()
+    val pred = filters.flatMap(toColumn).reduceOption(_ && _).getOrElse(lit(true))
+    // a row is DELETED when the predicate is TRUE; null-predicate rows stay
+    val keepCond = !(pred <=> lit(true))
+    val dataSchema =
+      StructType(schema.filterNot(_.name == GpxTable.CommitTsCol))
+    // zone-map prune: untouched files keep their bytes (and their commitTs)
+    val affected = GpxTable.listFiles(roots, conf).filter { f =>
+      val footer = GpxFileReader.FooterCache.get(f, conf)
+      footer.rowGroups.exists(rg =>
+        filters.forall(GpxFileReader.mayMatch(_, footer.schema, rg)))
+    }
+    affected.foreach { f =>
+      val path = new Path(f)
+      val fs = path.getFileSystem(conf)
+      // underscore prefix keeps the scratch dir invisible to listFiles
+      val tmp = new Path(path.getParent, s"_delete_tmp_${path.getName}")
+      fs.delete(tmp, true)
+      // table-schema read: evolved files null-fill absent columns so the
+      // predicate resolves; the rewrite upgrades the file to the current
+      // schema (nullable columns), which is the compaction contract too
+      val keep = spark.read.format("gpx").schema(dataSchema).load(f)
+        .filter(keepCond)
+      val commitTs =
+        if (catalogManaged) System.currentTimeMillis() * 1000L else -1L
+      keep.coalesce(1).write.format("gpx")
+        .option("commitTs", commitTs.toString)
+        .mode("overwrite").save(tmp.toString)
+      val produced = fs.listStatus(tmp).map(_.getPath)
+        .filter(_.getName.endsWith(".gpx"))
+      val survivors = produced.headOption.map(p =>
+        GpxFileReader.readFooter(p.toString, conf).rowGroups.map(_.numRows.toLong).sum)
+        .getOrElse(0L)
+      fs.delete(path, false)
+      if (survivors > 0L) {
+        // swap in under the ORIGINAL name: bucket-id suffixes survive
+        if (!fs.rename(produced.head, path))
+          throw new java.io.IOException(s"delete rewrite rename failed: $f")
+      } // else: every row matched -> the file simply disappears
+      fs.delete(tmp, true)
+    }
+  }
+}

@@ -159,6 +159,85 @@ class CatalogSpec extends GraftSpec {
       .forall(f => graft.format.GpxTable.bucketOfFile(f).isDefined))
   }
 
+  test("SQL time travel: FOR TIMESTAMP/VERSION AS OF on catalog tables") {
+    val wh = Files.createTempDirectory("gpx_tt").toString
+    sp.conf.set("spark.sql.catalog.gtt", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gtt.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gtt.db")
+    sp.sql("CREATE TABLE gtt.db.t (id BIGINT, v STRING) USING gpx")
+    sp.sql("INSERT INTO gtt.db.t VALUES (1, 'one'), (2, 'two')")
+    // catalog INSERTs stamp epoch-micros commitTs
+    Thread.sleep(5)
+    val cut = java.time.Instant.now()
+    Thread.sleep(5)
+    sp.sql("INSERT INTO gtt.db.t VALUES (3, 'three')")
+    assert(sp.sql("SELECT count(*) FROM gtt.db.t").head.getLong(0) == 3)
+    // session TZ is UTC: format the literal in UTC, not the JVM default
+    val cutLit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC).format(cut)
+    assert(sp.sql(
+      s"SELECT count(*) FROM gtt.db.t FOR TIMESTAMP AS OF '$cutLit'")
+      .head.getLong(0) == 2)
+    // VERSION AS OF takes a raw commitTs long
+    val cutMicros = cut.getEpochSecond * 1000000L + cut.getNano / 1000
+    assert(sp.sql(
+      s"SELECT count(*) FROM gtt.db.t FOR VERSION AS OF $cutMicros")
+      .head.getLong(0) == 2)
+  }
+
+  test("_commit_ts resolves as a metadata column in SQL") {
+    val wh = Files.createTempDirectory("gpx_mc").toString
+    sp.conf.set("spark.sql.catalog.gmc", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gmc.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gmc.db")
+    sp.sql("CREATE TABLE gmc.db.t (id BIGINT) USING gpx")
+    sp.sql("INSERT INTO gmc.db.t VALUES (1), (2)")
+    Thread.sleep(5)
+    sp.sql("INSERT INTO gmc.db.t VALUES (3)")
+    val rows = sp.sql(
+      "SELECT id, _commit_ts FROM gmc.db.t ORDER BY id").collect()
+    assert(rows.length == 3)
+    val ts = rows.map(_.getLong(1))
+    assert(ts.forall(_ > 0L))
+    assert(ts(0) == ts(1) && ts(2) > ts(0), ts.toSeq)
+    // SELECT * must NOT include the metadata column
+    assert(sp.sql("SELECT * FROM gmc.db.t").schema.fieldNames.toSeq == Seq("id"))
+  }
+
+  test("SQL DELETE rewrites only zone-map-affected files") {
+    val wh = Files.createTempDirectory("gpx_del").toString
+    sp.conf.set("spark.sql.catalog.gdel", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gdel.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gdel.db")
+    sp.sql("CREATE TABLE gdel.db.t (id BIGINT, v STRING) USING gpx")
+    // two disjoint-id files (separate INSERTs -> separate gpx files)
+    sp.sql("INSERT INTO gdel.db.t SELECT id, concat('a', id) FROM range(0, 100)")
+    sp.sql("INSERT INTO gdel.db.t SELECT id, concat('b', id) FROM range(1000, 1100)")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = s"$wh/db/t"
+    val before = graft.format.GpxTable.listFiles(Seq(dir), conf)
+      .map(f => f -> graft.format.GpxFs.stat(f, conf).get.mtime).toMap
+    assert(before.size >= 2)
+    sp.sql("DELETE FROM gdel.db.t WHERE id >= 1050 AND id < 1060")
+    assert(sp.sql("SELECT count(*) FROM gdel.db.t").head.getLong(0) == 190)
+    assert(sp.sql("SELECT count(*) FROM gdel.db.t WHERE id >= 1000").head.getLong(0) == 90)
+    // the low-id file's zone maps exclude the predicate: bytes untouched
+    val after = graft.format.GpxTable.listFiles(Seq(dir), conf)
+      .map(f => f -> graft.format.GpxFs.stat(f, conf).get.mtime).toMap
+    val untouched = before.keys.filter(after.contains).filter(f =>
+      before(f) == after(f))
+    assert(untouched.nonEmpty, "low-id file should not be rewritten")
+    // delete-all on a file: it disappears instead of becoming empty
+    sp.sql("DELETE FROM gdel.db.t WHERE id < 100")
+    assert(sp.sql("SELECT count(*) FROM gdel.db.t").head.getLong(0) == 90)
+    // null-predicate rows survive (SQL DELETE removes only TRUE rows)
+    sp.sql("INSERT INTO gdel.db.t VALUES (5000, NULL)")
+    sp.sql("DELETE FROM gdel.db.t WHERE v LIKE 'b%'")
+    assert(sp.sql("SELECT count(*) FROM gdel.db.t").head.getLong(0) == 1)
+    assert(sp.sql("SELECT id FROM gdel.db.t").head.getLong(0) == 5000L)
+  }
+
   test("saveAsTable / spark.table round-trip via catalog") {
     val wh = Files.createTempDirectory("gpx_wh2").toString
     sp.conf.set("spark.sql.catalog.graft2", "graft.format.GpxCatalog")
