@@ -197,7 +197,8 @@ class GpxTable(schema: StructType, roots: Seq[String],
     catalogManaged: Boolean = false,
     defaultSnapshotTs: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite
-  with SupportsMetadataColumns with SupportsDelete {
+  with SupportsMetadataColumns with SupportsDelete
+  with SupportsRowLevelOperations {
 
   override def name(): String = s"gpx:${roots.mkString(",")}"
   override def schema(): StructType = schema
@@ -228,6 +229,15 @@ class GpxTable(schema: StructType, roots: Seq[String],
 
   override def deleteWhere(filters: Array[Filter]): Unit =
     GpxDelete.run(schema, roots, filters, catalogManaged)
+
+  /** SQL UPDATE / MERGE INTO (and subquery deletes) — group-based
+    * copy-on-write, see [[GpxRowLevelOperation]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new GpxRowLevelOperationBuilder(
+      StructType(schema.filterNot(_.name == GpxTable.CommitTsCol)),
+      roots, catalogManaged, info)
 
   /** Bucketed layouts advertise their bucket transform; with GpxCatalog's
     * FunctionCatalog resolving `bucket`, equi-joins on the bucket key
@@ -274,8 +284,15 @@ class GpxTable(schema: StructType, roots: Seq[String],
   }
 }
 
+/** `fileGranular`: set by row-level operations (UPDATE/MERGE copy-on-write)
+  * — pruning then works at FILE granularity only (a file with ANY possibly-
+  * matching row group is read in full, no row-group/pixel skipping, because
+  * the scan's rows are REWRITTEN, not re-filtered: a skipped row would be a
+  * lost row), and every planned file path is recorded into the given set so
+  * the replace-commit knows exactly which files the written data supersedes. */
 class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
-    snapshotTs: Option[Long])
+    snapshotTs: Option[Long],
+    fileGranular: Option[java.util.Set[String]] = None)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
@@ -307,6 +324,7 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
     * one row per row group, ZERO data pages read. Spark runs the final
     * aggregation over the per-row-group partials. */
   override def pushAggregation(agg: Aggregation): Boolean = {
+    if (fileGranular.isDefined) return false
     if (filters.nonEmpty || agg.groupByExpressions().nonEmpty) return false
     // evolved tables (files with differing schemas) answer from the normal
     // scan's null-filling path — footer column ordinals differ per file
@@ -342,7 +360,8 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new GpxStatsScan(fileSchema, agg, roots, snapshotTs)
-    case None => new GpxScan(fileSchema, required, filters, roots, snapshotTs)
+    case None =>
+      new GpxScan(fileSchema, required, filters, roots, snapshotTs, fileGranular)
   }
 }
 
@@ -457,7 +476,8 @@ class GpxScan(
     required: StructType,
     planningFilters: Array[Filter],
     roots: Seq[String],
-    snapshotTs: Option[Long]) extends Scan with Batch
+    snapshotTs: Option[Long],
+    fileGranular: Option[java.util.Set[String]] = None) extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering
   with SupportsReportPartitioning {
 
@@ -546,13 +566,25 @@ class GpxScan(
             case i => i
           }
         }
-        footer.rowGroups.zipWithIndex.foreach { case (rg, rgIdx) =>
-          if (allowedRgs.forall(_.contains(rgIdx)) &&
+        // file-granular mode (copy-on-write rewrite): if ANY row group may
+        // match, read the WHOLE file — skipped rows would be lost rows —
+        // and record the path as superseded by the replace-commit
+        val keepWholeFile = fileGranular.isDefined && {
+          val any = footer.rowGroups.exists(rg =>
             GpxScan.visibleAt(rg, snapshotTs) &&
-            filters.forall(GpxFileReader.mayMatch(_, phys, rg))) {
+              filters.forall(GpxFileReader.mayMatch(_, phys, rg)))
+          if (any) fileGranular.get.add(f)
+          any
+        }
+        footer.rowGroups.zipWithIndex.foreach { case (rg, rgIdx) =>
+          if (keepWholeFile ||
+            (fileGranular.isEmpty && allowedRgs.forall(_.contains(rgIdx)) &&
+            GpxScan.visibleAt(rg, snapshotTs) &&
+            filters.forall(GpxFileReader.mayMatch(_, phys, rg)))) {
             val nPix = rg.chunks.headOption.map(_.pixels.length).getOrElse(0)
             val keptPix: Array[Int] =
               if (nPix == 0) Array.empty
+              else if (fileGranular.isDefined) (0 until nPix).toArray
               else (0 until nPix).filter(p =>
                 filters.forall(GpxFileReader.mayMatchPixel(_, phys, rg, p))).toArray
             if (keptPix.nonEmpty) {

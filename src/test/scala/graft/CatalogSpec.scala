@@ -238,6 +238,74 @@ class CatalogSpec extends GraftSpec {
     assert(sp.sql("SELECT id FROM gdel.db.t").head.getLong(0) == 5000L)
   }
 
+  test("SQL UPDATE rewrites only affected files (copy-on-write)") {
+    val wh = Files.createTempDirectory("gpx_upd").toString
+    sp.conf.set("spark.sql.catalog.gupd", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gupd.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gupd.db")
+    sp.sql("CREATE TABLE gupd.db.t (id BIGINT, v STRING, n BIGINT) USING gpx")
+    sp.sql("INSERT INTO gupd.db.t SELECT id, concat('a', id), id FROM range(0, 100)")
+    sp.sql("INSERT INTO gupd.db.t SELECT id, concat('b', id), id FROM range(1000, 1100)")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = s"$wh/db/t"
+    val before = graft.format.GpxTable.listFiles(Seq(dir), conf)
+      .map(f => f -> graft.format.GpxFs.stat(f, conf).get.mtime).toMap
+    sp.sql("UPDATE gupd.db.t SET v = 'patched', n = n * 10 WHERE id >= 1050 AND id < 1060")
+    assert(sp.sql("SELECT count(*) FROM gupd.db.t").head.getLong(0) == 200)
+    assert(sp.sql("SELECT count(*) FROM gupd.db.t WHERE v = 'patched'")
+      .head.getLong(0) == 10)
+    assert(sp.sql("SELECT sum(n) FROM gupd.db.t WHERE id >= 1050 AND id < 1060")
+      .head.getLong(0) == (1050L until 1060L).map(_ * 10).sum)
+    // unchanged rows of the rewritten file survive intact
+    assert(sp.sql("SELECT count(*) FROM gupd.db.t WHERE v LIKE 'b%'")
+      .head.getLong(0) == 90)
+    // the low-id file's zone maps exclude the predicate: bytes untouched
+    val after = graft.format.GpxTable.listFiles(Seq(dir), conf)
+      .map(f => f -> graft.format.GpxFs.stat(f, conf).get.mtime).toMap
+    assert(before.keys.exists(f => after.get(f).contains(before(f))),
+      "unaffected file must keep its bytes")
+    assert(before.keys.exists(f => !after.contains(f)),
+      "affected file must be superseded")
+  }
+
+  test("SQL MERGE INTO upserts through the row-level operation") {
+    val wh = Files.createTempDirectory("gpx_mrg").toString
+    sp.conf.set("spark.sql.catalog.gmrg", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gmrg.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gmrg.db")
+    sp.sql("CREATE TABLE gmrg.db.t (id BIGINT, v STRING) USING gpx")
+    sp.sql("INSERT INTO gmrg.db.t VALUES (1, 'one'), (2, 'two'), (3, 'three')")
+    sp.sql("""MERGE INTO gmrg.db.t t
+             |USING (SELECT * FROM VALUES (2, 'TWO'), (4, 'FOUR') AS s(id, v)) s
+             |ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET t.v = s.v
+             |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val rows = sp.sql("SELECT id, v FROM gmrg.db.t ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "one"), (2L, "TWO"), (3L, "three"), (4L, "FOUR")))
+    // MERGE with a DELETE action
+    sp.sql("""MERGE INTO gmrg.db.t t
+             |USING (SELECT * FROM VALUES (1, 'x') AS s(id, v)) s
+             |ON t.id = s.id
+             |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(sp.sql("SELECT count(*) FROM gmrg.db.t").head.getLong(0) == 3)
+  }
+
+  test("DELETE with a subquery predicate routes through the row-level path") {
+    val wh = Files.createTempDirectory("gpx_dsq").toString
+    sp.conf.set("spark.sql.catalog.gdsq", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gdsq.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gdsq.db")
+    sp.sql("CREATE TABLE gdsq.db.t (id BIGINT, v STRING) USING gpx")
+    sp.sql("CREATE TABLE gdsq.db.bad (id BIGINT) USING gpx")
+    sp.sql("INSERT INTO gdsq.db.t SELECT id, concat('v', id) FROM range(0, 50)")
+    sp.sql("INSERT INTO gdsq.db.bad VALUES (7), (13), (42)")
+    sp.sql("DELETE FROM gdsq.db.t WHERE id IN (SELECT id FROM gdsq.db.bad)")
+    assert(sp.sql("SELECT count(*) FROM gdsq.db.t").head.getLong(0) == 47)
+    assert(sp.sql("SELECT count(*) FROM gdsq.db.t WHERE id IN (7, 13, 42)")
+      .head.getLong(0) == 0)
+  }
+
   test("saveAsTable / spark.table round-trip via catalog") {
     val wh = Files.createTempDirectory("gpx_wh2").toString
     sp.conf.set("spark.sql.catalog.graft2", "graft.format.GpxCatalog")
