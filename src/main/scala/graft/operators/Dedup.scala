@@ -19,11 +19,6 @@ object Dedup {
   /** distinct word tokens of `text` */
   private def tokens: Column = array_distinct(split(col("text"), " "))
 
-  /** exact token-set Jaccard between two pre-tokenized columns; an exact
-    * integer ratio evaluated in double => engine-identical. */
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
-
   private val NumHashes = 128 // minhash functions (xxhash64 seeded by index)
   private val BandR = 4 // rows per band -> 32 bands; at J>=0.8 the pair
   // miss probability is (1-J^4)^32 <= (1-0.41)^32 ~ 4e-8, while mediocre
@@ -141,8 +136,11 @@ object Dedup {
           new StructType().add("tok", StringType).add("tid", LongType))
         exploded.join(dense, "tok").select(col("rep_id"), col("tid"))
       }).persist()
+      // sort_array: one O(k log k) per representative buys the verify an
+      // allocation-free sorted-merge jaccard per candidate pair (and makes
+      // the collected arrays deterministic)
       val repsInt = expInt.groupBy("rep_id")
-        .agg(collect_list(col("tid")).as("toks"))
+        .agg(sort_array(collect_list(col("tid"))).as("toks"))
         .persist()
       val sizes = repsInt.select(col("rep_id"), size(col("toks")).as("nt"))
       val mh = expInt.groupBy("rep_id").agg(
@@ -199,7 +197,10 @@ object Dedup {
         .join(repsInt.select(col("rep_id").as("rb"), col("toks").as("b_toks")), "rb")
         .filter(size(col("a_toks")) >= size(col("b_toks")) * 0.8 - 0.5 &&
           size(col("b_toks")) >= size(col("a_toks")) * 0.8 - 0.5)
-        .withColumn("jaccard", jaccard(col("a_toks"), col("b_toks")))
+        // sorted-merge verify kernel: exact same |A∩B|/|A∪B| as the
+        // array_intersect/union formula, zero allocation per pair
+        .withColumn("jaccard", graft.functions.VectorFunctions
+          .sorted_jaccard(col("a_toks"), col("b_toks")))
         .filter(col("jaccard") >= 0.8)
         .select(col("ra"), col("rb"), col("jaccard"))
       // expand: cross-group pairs
@@ -267,8 +268,10 @@ object Dedup {
         grams.join(freq, "gram").join(dense, "gram")
           .select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("df"))
       }) // projection over the persisted hashedGrams — no second cache
+      // sorted once per document so the huge-vocabulary fallback verify
+      // can sorted-merge instead of hash-set per pair
       val gInt = gidGrams.groupBy(col("doc_id").as("gd"), col("lang"), col("sz"))
-        .agg(collect_list(col("gid")).as("sids"))
+        .agg(sort_array(collect_list(col("gid"))).as("sids"))
         .persist()
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("df"), col("gid"))
@@ -332,7 +335,8 @@ object Dedup {
         } else candidates
           .join(gInt.select(col("gd").as("a_id"), col("sids").as("a_s")), "a_id")
           .join(gInt.select(col("gd").as("b_id"), col("sids").as("b_s")), "b_id")
-          .withColumn("jaccard", jaccard(col("a_s"), col("b_s")))
+          .withColumn("jaccard", graft.functions.VectorFunctions
+            .sorted_jaccard(col("a_s"), col("b_s")))
       verify
         .filter(col("jaccard") >= t)
         .select(col("a_id"), col("b_id"), col("jaccard"))

@@ -82,8 +82,79 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact Jaccard of two SORTED distinct long-id arrays in one merge pass —
+  * the per-candidate verify kernel of the similarity self-joins (d02/d03).
+  * Spark's `array_intersect`/`array_union` build a hash set per CALL with
+  * boxed entries; over millions of candidate pairs the allocation cost
+  * dominates the verify stage. The merge loop does zero allocation and
+  * stays inside WholeStageCodegen.
+  *
+  * Inputs MUST be sorted and duplicate-free (the callers sort once per
+  * document at aggregation time — `sort_array(collect_list(...))` — which
+  * also makes the arrays deterministic). Null on null input; null for two
+  * empty arrays (0/0, matching the SQL size/size formula's behavior).
+  */
+case class SortedJaccard(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na.toLong + nb - inter
+    if (union == 0L) null else java.lang.Double.valueOf(inter.toDouble / union)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val inter = ctx.freshName("inter")
+      val union = ctx.freshName("union")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0, $j = 0;
+         |long $inter = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { $inter++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |long $union = (long) $na + (long) $nb - $inter;
+         |if ($union == 0L) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (double) $inter / (double) $union; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   def cos_sim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def sorted_jaccard(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedJaccard(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -3,6 +3,31 @@ package graft
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends GraftSpec {
+  test("sorted_jaccard matches the array_intersect/union formula (codegen + eval)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(99)
+    val rows = (0 until 2000).map { i =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(60).toLong).distinct.sorted
+      (i, a, b)
+    } :+ ((2000, Seq.empty[Long], Seq.empty[Long]))
+    val df = rows.toDF("i", "a", "b")
+    val got = df.select(col("i"),
+      graft.functions.VectorFunctions.sorted_jaccard(col("a"), col("b")).as("j"),
+      try_divide(size(array_intersect(col("a"), col("b"))).cast("double"),
+        size(array_union(col("a"), col("b")))).as("ref"))
+    // whole-stage codegen path
+    val mismatch = got.filter(!(col("j") <=> col("ref")) &&
+      // SQL x/0 yields NULL like sorted_jaccard's empty-input null
+      !(col("j").isNull && col("ref").isNull)).count()
+    assert(mismatch == 0)
+    // interpreted eval path too
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(got.filter(!(col("j") <=> col("ref"))).count() == 0)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("d01 exact dedup: fingerprints cover all docs") {
     val df = run("d01_dedup_exact")
     assert(df.count() == Tables.documents(spark, sf).count())
