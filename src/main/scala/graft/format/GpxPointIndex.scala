@@ -47,11 +47,11 @@ object GpxPointIndex {
 
   // ---------------- manifest / fingerprint ----------------
 
-  /** order-insensitive digest of the table's (relative path, length)
-    * listing — any added/removed/rewritten file changes it */
-  def fingerprint(relsAndLens: Seq[(String, Long)]): String = {
+  /** order-insensitive digest of the table's (relative path, length,
+    * mtime) listing — any added/removed/rewritten file changes it */
+  def fingerprint(listing: Seq[(String, Long, Long)]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    relsAndLens.map { case (r, l) => s"$r:$l" }.sorted.foreach(s =>
+    listing.map { case (r, l, m) => s"$r:$l:$m" }.sorted.foreach(s =>
       md.update(s.getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
   }
@@ -59,8 +59,13 @@ object GpxPointIndex {
   private def tableFingerprint(table: String, conf: Configuration): String = {
     val qroot = GpxTable.qualifiedRoot(table, conf)
     fingerprint(GpxTable.listFiles(Seq(table), conf).map { f =>
+      // mtime in the fingerprint: DELETE rewrites swap same-NAME files in
+      // place, and a coincidental same-length rewrite must still invalidate
+      // the index (a stale entry would hide the row from point lookups)
+      val st = GpxFs.stat(f, conf)
       (relOf(f, qroot),
-        GpxFs.stat(f, conf).map(_.len).getOrElse(-1L))
+        st.map(_.len).getOrElse(-1L),
+        st.map(_.mtime).getOrElse(-1L))
     })
   }
 

@@ -268,6 +268,51 @@ class CatalogSpec extends GraftSpec {
       "affected file must be superseded")
   }
 
+  test("UPDATE on a bucketed table keeps the storage-partitioned layout") {
+    val wh = Files.createTempDirectory("gpx_updb").toString
+    sp.conf.set("spark.sql.catalog.gub", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gub.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gub.db")
+    sp.sql("""CREATE TABLE gub.db.t (k BIGINT, v BIGINT) USING gpx
+             |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    sp.sql("INSERT INTO gub.db.t SELECT id % 97, id FROM range(2000)")
+    sp.sql("UPDATE gub.db.t SET v = v + 1000000 WHERE k = 13")
+    // every file (original AND rewritten) still carries a bucket suffix
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val files = graft.format.GpxTable.listFiles(Seq(s"$wh/db/t"), conf)
+    assert(files.nonEmpty &&
+      files.forall(f => graft.format.GpxTable.bucketOfFile(f).isDefined),
+      files.mkString("\n"))
+    // values correct after the rewrite
+    assert(sp.sql("SELECT count(*) FROM gub.db.t WHERE v >= 1000000")
+      .head.getLong(0) ==
+      (0L until 2000L).count(_ % 97 == 13))
+    assert(sp.sql("SELECT count(*) FROM gub.db.t").head.getLong(0) == 2000)
+    // self-join on the bucket key still plans with zero Exchange below it
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = keys.map { case (k, _) => k -> sp.conf.getOption(k) }
+    keys.foreach { case (k, v) => sp.conf.set(k, v) }
+    try {
+      val j = sp.table("gub.db.t").as("a")
+        .join(sp.table("gub.db.t").as("b"), "k")
+        .agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan
+      val ex = plan.collect {
+        case smj: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          (smj.left.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e } ++
+            smj.right.collect { case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }).size
+      }
+      assert(ex.nonEmpty && ex.forall(_ == 0), s"shuffle reappeared:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => sp.conf.set(k, v)
+      case (k, None) => sp.conf.unset(k)
+    }
+  }
+
   test("SQL MERGE INTO upserts through the row-level operation") {
     val wh = Files.createTempDirectory("gpx_mrg").toString
     sp.conf.set("spark.sql.catalog.gmrg", "graft.format.GpxCatalog")

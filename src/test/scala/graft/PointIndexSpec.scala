@@ -41,6 +41,24 @@ class PointIndexSpec extends GraftSpec {
     assert(got >= keys.distinct.length)
   }
 
+  test("DELETE's same-name file rewrite invalidates the index (mtime in fingerprint)") {
+    val d = Files.createTempDirectory("gpx_idx_del").toString
+    Tables.orders(sp, sf).limit(1000).coalesce(1)
+      .write.format("gpx").mode("overwrite").save(d)
+    GpxPointIndex.build(sp, d, "o_orderkey", numBuckets = 2)
+    assert(GpxPointIndex.valid(d, "o_orderkey", conf))
+    val victim = Tables.orders(sp, sf).limit(1).collect().head.getLong(0)
+    graft.format.GpxDelete.run(
+      sp.read.format("gpx").load(d).schema, Seq(d),
+      Array(org.apache.spark.sql.sources.EqualTo("o_orderkey", victim)),
+      catalogManaged = false)
+    // rewrite kept the file NAME; mtime (and length) changed -> stale
+    assert(!GpxPointIndex.valid(d, "o_orderkey", conf))
+    // post-delete reads are correct (index is bypassed, not consulted stale)
+    assert(sp.read.format("gpx").load(d)
+      .filter(col("o_orderkey") === victim).count() == 0)
+  }
+
   test("driver-direct lookup matches a full scan filter") {
     val all = Tables.orders(sp, sf).select("o_orderkey").as[Long](
       sp.implicits.newLongEncoder).collect()
