@@ -122,6 +122,13 @@ object GpxTable {
   /** hidden MVCC column exposed via option("exposeCommitTs", true) */
   val CommitTsCol = "_commit_ts"
 
+  /** source-file metadata column (split-constant, zero I/O) */
+  val FileCol = "_file"
+
+  /** synthetic columns never present in file footers */
+  def isSynthetic(name: String): Boolean =
+    name == CommitTsCol || name == FileCol
+
   def listFiles(roots: Seq[String], conf: Configuration): Seq[String] =
     roots.flatMap { r =>
       GpxFs.stat(r, conf) match {
@@ -206,16 +213,25 @@ class GpxTable(schema: StructType, roots: Seq[String],
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
-  /** `_commit_ts` as a DSv2 metadata column: `SELECT _commit_ts FROM t`
-    * resolves without the read option (the option form stays for
-    * path-based reads). Reference analog: the hidden version column,
-    * proto/pixels.proto:66-69. */
+  /** `_commit_ts` / `_file` as DSv2 metadata columns: they resolve in SQL
+    * without read options (the option form stays for path-based reads).
+    * `_commit_ts` is the reference's hidden version column analog
+    * (proto/pixels.proto:66-69); `_file` is the group column that lets
+    * Spark runtime-group-filter copy-on-write UPDATE/MERGE scans down to
+    * the files that actually contain matches. Both are served as
+    * per-split constants — zero I/O. */
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
       override def name(): String = GpxTable.CommitTsCol
       override def dataType(): DataType = LongType
       override def isNullable: Boolean = false
       override def comment(): String = "MVCC commit timestamp of the row group"
+    },
+    new MetadataColumn {
+      override def name(): String = GpxTable.FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "gpx file the row came from"
     })
 
   /** SQL DELETE (retina delete path, proto/retina.proto:34-50 analog):
@@ -236,7 +252,7 @@ class GpxTable(schema: StructType, roots: Seq[String],
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new GpxRowLevelOperationBuilder(
-      StructType(schema.filterNot(_.name == GpxTable.CommitTsCol)),
+      StructType(schema.filterNot(f => GpxTable.isSynthetic(f.name))),
       roots, catalogManaged, info)
 
   /** Bucketed layouts advertise their bucket transform; with GpxCatalog's
@@ -300,7 +316,7 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
 
   /** schema of what's physically in the files (no synthetic columns) */
   private val fileSchema =
-    StructType(tableSchema.filterNot(_.name == GpxTable.CommitTsCol))
+    StructType(tableSchema.filterNot(f => GpxTable.isSynthetic(f.name)))
 
   private var required: StructType = tableSchema
   private var filters: Array[Filter] = Array.empty
@@ -493,8 +509,15 @@ class GpxScan(
 
   override def filterAttributes(): Array[NamedReference] =
     // must reference only the scan's OUTPUT columns (Spark resolves these
-    // against readSchema, not the file schema)
-    required.fieldNames.map(
+    // against readSchema, not the file schema). The copy-on-write scan
+    // advertises ONLY `_file`: runtime group filtering then arrives as a
+    // convertible `_file IN (files with matches)` instead of an
+    // inconvertible struct-IN over every column (which would silently
+    // disable group pruning and rewrite the whole table on MERGE).
+    if (fileGranular.isDefined)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(GpxTable.FileCol))
+    else required.fieldNames.map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(runtime: Array[Filter]): Unit = {
@@ -527,10 +550,34 @@ class GpxScan(
     * maps -> pixel zone maps; survivors become self-contained slice lists.
     * Footers come from the driver-side cache — zero footer I/O on warm
     * paths, zero ALWAYS on executors. */
+  /** allowed file set when filters pin `_file` (Spark's runtime group
+    * filtering for copy-on-write injects `_file IN (matched files)`). */
+  private def eligibleFiles: Option[Set[String]] = {
+    def filesOf(f: Filter): Option[Set[String]] = f match {
+      case org.apache.spark.sql.sources.EqualTo(GpxTable.FileCol, v: String) =>
+        Some(Set(v))
+      case org.apache.spark.sql.sources.In(GpxTable.FileCol, vs)
+          if vs.forall(_.isInstanceOf[String]) =>
+        Some(vs.map(_.asInstanceOf[String]).toSet)
+      case org.apache.spark.sql.sources.And(l, r) =>
+        (filesOf(l), filesOf(r)) match {
+          case (Some(a), Some(b)) => Some(a.intersect(b))
+          case (a, b) => a.orElse(b)
+        }
+      case _ => None
+    }
+    filters.flatMap(filesOf).reduceOption(_ intersect _)
+  }
+
   private def computeKept(): (Array[GpxInputPartition], Long, Long) = {
     GpxScan.pruningWalks.incrementAndGet()
     val conf = new Configuration()
     val buckets = eligibleBuckets(conf)
+    val allowedFiles = eligibleFiles
+    // clear-then-record: the LAST walk before execution (after any runtime
+    // group filter arrived) defines the replaced-file set — accumulation
+    // across walks would over-delete at the replace-commit
+    fileGranular.foreach(_.clear())
     // point-index pruning (S20): equality/IN filters on an indexed column
     // resolve to the exact (file -> row groups) containing the keys, so
     // planning skips non-matching files WITHOUT opening their footers
@@ -544,10 +591,10 @@ class GpxScan(
     var totalBytes = 0L
     GpxTable.listFiles(roots, conf).foreach { f =>
       // bucket pruning: skip whole files whose bucket can't hold the keys
-      val bucketOk = (buckets, GpxTable.bucketOfFile(f)) match {
+      val bucketOk = ((buckets, GpxTable.bucketOfFile(f)) match {
         case (Some(elig), Some(b)) => elig.contains(b)
         case _ => true
-      }
+      }) && allowedFiles.forall(_.contains(f))
       val allowedRgs: Option[Set[Int]] = idxAllowed.map { m =>
         val rel = qroot.map(q =>
           if (f.startsWith(q)) f.drop(q.length).stripPrefix("/") else f)
@@ -557,10 +604,11 @@ class GpxScan(
       if (bucketOk && allowedRgs.forall(_.nonEmpty)) {
         val footer = GpxFileReader.FooterCache.get(f, conf)
         val phys = footer.schema
-        // -1 = synthetic commit-ts column; -2 = column absent from THIS
-        // file (schema evolution) -> filled with nulls
+        // -1 = synthetic constant column (_commit_ts / _file, filled from
+        // the split); -2 = column absent from THIS file (schema
+        // evolution) -> filled with nulls
         val physIdx: Array[Int] = required.fields.map { fd =>
-          if (fd.name == GpxTable.CommitTsCol) -1
+          if (GpxTable.isSynthetic(fd.name)) -1
           else phys.fieldNames.indexOf(fd.name) match {
             case -1 => -2
             case i => i

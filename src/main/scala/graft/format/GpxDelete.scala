@@ -54,7 +54,7 @@ object GpxDelete {
     // a row is DELETED when the predicate is TRUE; null-predicate rows stay
     val keepCond = !(pred <=> lit(true))
     val dataSchema =
-      StructType(schema.filterNot(_.name == GpxTable.CommitTsCol))
+      StructType(schema.filterNot(f => GpxTable.isSynthetic(f.name)))
     // zone-map prune: untouched files keep their bytes (and their commitTs)
     val affected = GpxTable.listFiles(roots, conf).filter { f =>
       val footer = GpxFileReader.FooterCache.get(f, conf)

@@ -228,8 +228,10 @@ object GpxFileReader {
 
   /** Materialize a self-contained split: for each output column either a
     * run of pixel slices (in row order) or null => a synthetic constant
-    * long column filled with `constLong` (the hidden _commit_ts). The
-    * executor touches ONLY the slice byte ranges — no footer access. */
+    * column filled from the split itself — `constLong` (the hidden
+    * _commit_ts) for long columns, the file path (_file) for string
+    * columns. The executor touches ONLY the slice byte ranges — no footer
+    * access. */
   def readSlices(
       path: String,
       conf: Configuration,
@@ -246,7 +248,14 @@ object GpxFileReader {
       while (oi < cols.length) {
         val slices = cols(oi)
         if (slices == null) {
-          vectors(oi).putLongs(0, numRows, constLong)
+          if (outSchema(oi).dataType == StringType) {
+            val bytes = path.getBytes("UTF-8")
+            var k = 0
+            while (k < numRows) {
+              vectors(oi).putByteArray(k, bytes, 0, bytes.length)
+              k += 1
+            }
+          } else vectors(oi).putLongs(0, numRows, constLong)
         } else if (slices.isEmpty) {
           // column absent from this file (schema evolution): all nulls
           vectors(oi).putNulls(0, numRows)

@@ -45,20 +45,34 @@ class GpxRowLevelOperation(
 
   override def command(): RowLevelOperation.Command = cmd
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GpxScanBuilder(schema, roots, None, fileGranular = Some(replacedFiles))
+  private val mainScanBuilt = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  /** Declaring a metadata attribute routes Spark onto the PROJECTED
-    * write path (DataAndMetadataWritingSparkTask): the writer then
-    * receives clean data rows via DataWriter.write(meta, row)'s default.
-    * With no metadata attrs Spark hands the writer the RAW query rows
-    * still carrying the __row_operation column — a silent row-layout
-    * mismatch. _commit_ts is the natural choice (the scan serves it as a
-    * constant per row group at zero I/O cost). */
+  /** The FIRST scan built is the operation's row scan (built by
+    * GroupBasedRowLevelOperationScanPlanning): file-granular, recording.
+    * LATER builds come from the runtime group-filtering rule's
+    * matching-rows subquery — those are plain existence reads that must
+    * use normal row-group/pixel pruning and must NOT record into
+    * [[replacedFiles]] (the subquery covers statically-candidate files, a
+    * superset of what the write actually replaces — recording them would
+    * over-delete at commit). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    if (mainScanBuilt.compareAndSet(false, true))
+      new GpxScanBuilder(schema, roots, None, fileGranular = Some(replacedFiles))
+    else new GpxScanBuilder(schema, roots, None)
+
+  /** `_file` does double duty: (1) declaring a metadata attribute routes
+    * Spark onto the PROJECTED write path (DataAndMetadataWritingSparkTask)
+    * — with no metadata attrs, group-based writes receive the RAW query
+    * rows still carrying the __row_operation column, a silent row-layout
+    * mismatch; (2) it is the GROUP column Spark's runtime group filtering
+    * uses to narrow the copy-on-write scan to `_file IN (files with
+    * matches)` — for MERGE, where the target side has no static filters,
+    * this is the difference between rewriting the whole table and
+    * rewriting only the touched files. Served split-constant, zero I/O. */
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column(GpxTable.CommitTsCol))
+      .column(GpxTable.FileCol))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val commitTs =

@@ -336,6 +336,55 @@ class CatalogSpec extends GraftSpec {
     assert(sp.sql("SELECT count(*) FROM gmrg.db.t").head.getLong(0) == 3)
   }
 
+  test("_file metadata column resolves and names the source file") {
+    val wh = Files.createTempDirectory("gpx_fc").toString
+    sp.conf.set("spark.sql.catalog.gfc", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gfc.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gfc.db")
+    sp.sql("CREATE TABLE gfc.db.t (id BIGINT) USING gpx")
+    sp.sql("INSERT INTO gfc.db.t VALUES (1)")
+    sp.sql("INSERT INTO gfc.db.t VALUES (2)")
+    val rows = sp.sql("SELECT id, _file FROM gfc.db.t ORDER BY id").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getString(1).endsWith(".gpx")))
+    // two inserts -> two distinct source files
+    assert(rows.map(_.getString(1)).distinct.length == 2)
+  }
+
+  test("MERGE runtime group filter: untouched files keep their bytes") {
+    val wh = Files.createTempDirectory("gpx_mgf").toString
+    sp.conf.set("spark.sql.catalog.gmgf", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gmgf.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gmgf.db")
+    sp.sql("CREATE TABLE gmgf.db.t (id BIGINT, v BIGINT) USING gpx")
+    // two disjoint-id files; the MERGE source touches only the second
+    sp.sql("INSERT INTO gmgf.db.t SELECT id, id FROM range(0, 100)")
+    sp.sql("INSERT INTO gmgf.db.t SELECT id, id FROM range(1000, 1100)")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val dir = s"$wh/db/t"
+    val before = graft.format.GpxTable.listFiles(Seq(dir), conf)
+      .map(f => f -> graft.format.GpxFs.stat(f, conf).get.mtime).toMap
+    // MERGE has NO static filter on the target: without runtime group
+    // filtering on _file, BOTH files would be rewritten
+    sp.sql("""MERGE INTO gmgf.db.t t
+             |USING (SELECT * FROM VALUES (1050L, 1L), (2000L, 2L) AS s(id, v)) s
+             |ON t.id = s.id
+             |WHEN MATCHED THEN UPDATE SET t.v = s.v
+             |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    assert(sp.sql("SELECT count(*) FROM gmgf.db.t").head.getLong(0) == 201)
+    assert(sp.sql("SELECT v FROM gmgf.db.t WHERE id = 1050").head.getLong(0) == 1L)
+    assert(sp.sql("SELECT v FROM gmgf.db.t WHERE id = 2000").head.getLong(0) == 2L)
+    assert(sp.sql("SELECT sum(v) FROM gmgf.db.t WHERE id < 100").head.getLong(0)
+      == (0L until 100L).sum)
+    val after = graft.format.GpxTable.listFiles(Seq(dir), conf)
+      .map(f => f -> graft.format.GpxFs.stat(f, conf).get.mtime).toMap
+    // the low-id file had no matches: its bytes must be untouched
+    assert(before.keys.exists(f => after.get(f).contains(before(f))),
+      s"low-id file was rewritten:\nbefore=$before\nafter=$after")
+    // the high-id file had the match: it must be superseded
+    assert(before.keys.exists(f => !after.contains(f)))
+  }
+
   test("DELETE with a subquery predicate routes through the row-level path") {
     val wh = Files.createTempDirectory("gpx_dsq").toString
     sp.conf.set("spark.sql.catalog.gdsq", "graft.format.GpxCatalog")
