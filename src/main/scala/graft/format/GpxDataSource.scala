@@ -211,7 +211,7 @@ class GpxTable(schema: StructType, roots: Seq[String],
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   /** `_commit_ts` / `_file` as DSv2 metadata columns: they resolve in SQL
     * without read options (the option form stays for path-based reads).
@@ -769,6 +769,47 @@ class GpxWriteBuilder(schema: StructType, path: String, rgRows: Int,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GpxBatchWrite(schema, path, doTruncate, rgRows, pxRows, commitTs, bucket)
+
+    /** Streaming sink (`writeStream.format("gpx")`): append one gpx file
+      * per (epoch, partition) micro-batch slice — the streaming analog of
+      * retina's continuous ingestion into pixels files (proto/retina.proto
+      * write path). Epoch in the file name makes micro-batch retries
+      * overwrite their own partial output instead of duplicating it. */
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GpxStreamingWrite(schema, path, rgRows, pxRows, commitTs)
+  }
+}
+
+/** Streaming sink write: one gpx file per (epoch, partition) micro-batch
+  * slice; epoch in the name makes retries overwrite their own partial
+  * output instead of duplicating it. */
+class GpxStreamingWrite(schema: StructType, path: String, rgRows: Int,
+    pxRows: Int, commitTs: Long)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    GpxStreamingWriterFactory(schema, path, rgRows, pxRows, commitTs)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class GpxStreamingWriterFactory(
+    schema: StructType, path: String, rgRows: Int, pxRows: Int, commitTs: Long)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    val conf = new Configuration()
+    val file = s"$path/part-e$epochId-$partitionId.gpx"
+    val w = new GpxFileWriter(file, schema, conf, rgRows, pxRows, commitTs)
+    new DataWriter[InternalRow] {
+      override def write(record: InternalRow): Unit = w.addRow(record)
+      override def commit(): WriterCommitMessage = { w.close(); GpxCommit(file) }
+      override def abort(): Unit = w.abort()
+      override def close(): Unit = ()
+    }
   }
 }
 

@@ -108,6 +108,42 @@ class StreamingSpec extends GraftSpec {
     assert(click.getAs[Long]("n") == 2)
   }
 
+  test("gpx streaming sink: writeStream lands queryable gpx files per epoch") {
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val ctx = sp.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val dir = java.nio.file.Files.createTempDirectory("gpx_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gpx_sink_ckpt").toString
+    // watermarked windowed agg -> APPEND into the gpx columnar sink: the
+    // full streaming loop (gpx-cdc source exists on the read side)
+    val q = source.toDF().toDF("ts", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"v")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("gpx").start(dir)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    source.addData(
+      (t("2024-01-01 00:01:00"), "click", 1.0),
+      (t("2024-01-01 00:02:00"), "click", 2.0),
+      (t("2024-01-01 00:07:00"), "view", 3.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close both windows
+    source.addData((t("2024-01-01 01:00:00"), "late", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val back = sp.read.format("gpx").load(dir)
+    val rows = back.orderBy("w_start", "event_type").collect()
+    assert(rows.length == 2, back.collect().mkString(";"))
+    assert(rows(0).getAs[String]("event_type") == "click" &&
+      rows(0).getAs[Long]("n") == 2 && rows(0).getAs[Double]("v") == 3.0)
+    assert(rows(1).getAs[String]("event_type") == "view" &&
+      rows(1).getAs[Long]("n") == 1)
+  }
+
   test("streaming exact dedup: dropDuplicates with watermark drops replays") {
     import sp.implicits._
     import org.apache.spark.sql.functions._
