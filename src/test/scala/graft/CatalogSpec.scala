@@ -411,3 +411,36 @@ class CatalogSpec extends GraftSpec {
     assert(back.exceptAll(Tables.part(sp, sf)).count() == 0)
   }
 }
+
+class ExtensionsSpec extends GraftSpec {
+  test("GraftExtensions registers cos_sim / sorted_jaccard as SQL functions") {
+    val old = TestSpark.spark // keep the shared session alive
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.GraftExtensions()(_))
+        .getOrCreate()
+      try {
+        val cos = s2.sql(
+          "SELECT cos_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c").head.getDouble(0)
+        assert(math.abs(cos - 1.0) < 1e-12)
+        val j = s2.sql(
+          "SELECT sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j").head.getDouble(0)
+        assert(j == 0.5)
+        // orthogonal vectors
+        assert(s2.sql("SELECT cos_sim(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS c")
+          .head.getDouble(0) == 0.0)
+      } finally {
+        // do NOT s2.stop(): it would stop the JVM-shared SparkContext
+        // out from under every other suite
+      }
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(old)
+      org.apache.spark.sql.SparkSession.setDefaultSession(old)
+    }
+  }
+}
