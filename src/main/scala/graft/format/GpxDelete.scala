@@ -15,9 +15,9 @@ import org.apache.spark.sql.types.StructType
   * matching row — a key-targeted delete on a sorted/bucketed layout
   * rewrites a handful of files, not the table. Each affected file is
   * rewritten by a Spark job (executor-side rows, no driver materialization)
-  * and swapped in under its ORIGINAL name, so bucket-suffix routing
-  * (part-*-bN.gpx) survives. SQL semantics: rows where the predicate is
-  * NULL are kept (DELETE removes only TRUE rows). */
+  * and swapped in under a fresh name that KEEPS the original as a suffix,
+  * so bucket-suffix routing (part-*-bN.gpx) survives. SQL semantics: rows
+  * where the predicate is NULL are kept (DELETE removes only TRUE rows). */
 object GpxDelete {
 
   def translatable(f: Filter): Boolean = toColumn(f).isDefined
@@ -82,12 +82,17 @@ object GpxDelete {
       val survivors = produced.headOption.map(p =>
         GpxFileReader.readFooter(p.toString, conf).rowGroups.map(_.numRows.toLong).sum)
         .getOrElse(0L)
-      fs.delete(path, false)
+      // crash-safe order: make the replacement visible FIRST (fresh name,
+      // original name kept as suffix so the -bN bucket tag stays last),
+      // then drop the original — a crash in between duplicates the kept
+      // rows instead of losing them
       if (survivors > 0L) {
-        // swap in under the ORIGINAL name: bucket-id suffixes survive
-        if (!fs.rename(produced.head, path))
+        val dest = new Path(path.getParent,
+          s"d${java.util.UUID.randomUUID().toString.take(8)}-${path.getName}")
+        if (!fs.rename(produced.head, dest))
           throw new java.io.IOException(s"delete rewrite rename failed: $f")
       } // else: every row matched -> the file simply disappears
+      fs.delete(path, false)
       fs.delete(tmp, true)
     }
   }

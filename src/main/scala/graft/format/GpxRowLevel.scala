@@ -109,7 +109,10 @@ class GpxReplaceBatchWrite(
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(conf)
     val tmpP = new Path(tmp)
-    replacedFiles.forEach(f => fs.delete(new Path(f), false))
+    // order matters for crash safety: stage the replacements IN first,
+    // delete the superseded files after. A crash in between leaves
+    // duplicates (recoverable, visible), never missing rows. Single-writer
+    // semantics, like every gpx write path.
     if (fs.exists(tmpP)) {
       fs.listStatus(tmpP).map(_.getPath)
         .filter(_.getName.endsWith(".gpx"))
@@ -123,6 +126,7 @@ class GpxReplaceBatchWrite(
         }
       fs.delete(tmpP, true)
     }
+    replacedFiles.forEach(f => fs.delete(new Path(f), false))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
