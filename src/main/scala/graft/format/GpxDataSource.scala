@@ -775,8 +775,13 @@ class GpxWriteBuilder(schema: StructType, path: String, rgRows: Int,
       * retina's continuous ingestion into pixels files (proto/retina.proto
       * write path). Epoch in the file name makes micro-batch retries
       * overwrite their own partial output instead of duplicating it. */
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      // complete mode arrives as truncate(): per-epoch truncation is not
+      // implemented, and silently appending would duplicate every epoch
+      require(!doTruncate,
+        "gpx streaming sink supports outputMode(\"append\") only")
       new GpxStreamingWrite(schema, path, rgRows, pxRows, commitTs)
+    }
   }
 }
 
