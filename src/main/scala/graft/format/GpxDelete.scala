@@ -20,7 +20,12 @@ import org.apache.spark.sql.types.StructType
   * where the predicate is NULL are kept (DELETE removes only TRUE rows). */
 object GpxDelete {
 
-  def translatable(f: Filter): Boolean = toColumn(f).isDefined
+  /** refuse filters on synthetic metadata columns (_file/_commit_ts):
+    * the rewrite below reads files with the DATA schema, so they would
+    * not resolve — Spark then routes the delete through the row-level
+    * operation, whose scan serves metadata columns natively */
+  def translatable(f: Filter): Boolean =
+    f.references.forall(c => !GpxTable.isSynthetic(c)) && toColumn(f).isDefined
 
   /** sources.Filter -> Column for the delete-supported subset; None marks
     * the filter untranslatable (canDeleteWhere then refuses, and Spark

@@ -400,6 +400,26 @@ class CatalogSpec extends GraftSpec {
       .head.getLong(0) == 0)
   }
 
+  test("DELETE by _file metadata column routes through the row-level path") {
+    val wh = Files.createTempDirectory("gpx_delf").toString
+    sp.conf.set("spark.sql.catalog.gdf", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gdf.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gdf.db")
+    sp.sql("CREATE TABLE gdf.db.t (id BIGINT) USING gpx")
+    sp.sql("INSERT INTO gdf.db.t SELECT id FROM range(0, 50)")
+    sp.sql("INSERT INTO gdf.db.t SELECT id FROM range(100, 150)")
+    val victim = sp.sql("SELECT _file FROM gdf.db.t WHERE id = 120")
+      .head.getString(0)
+    val inVictim = sp.sql(
+      s"SELECT count(*) FROM gdf.db.t WHERE _file = '$victim'").head.getLong(0)
+    assert(inVictim > 0)
+    sp.sql(s"DELETE FROM gdf.db.t WHERE _file = '$victim'")
+    assert(sp.sql("SELECT count(*) FROM gdf.db.t").head.getLong(0) ==
+      100 - inVictim)
+    assert(sp.sql("SELECT count(*) FROM gdf.db.t WHERE id = 120")
+      .head.getLong(0) == 0)
+  }
+
   test("saveAsTable / spark.table round-trip via catalog") {
     val wh = Files.createTempDirectory("gpx_wh2").toString
     sp.conf.set("spark.sql.catalog.graft2", "graft.format.GpxCatalog")
