@@ -207,6 +207,88 @@ object VectorOps {
         .orderBy("a_id", "b_id")
     }, None),
 
+    // IVF as a PERSISTED gpx index — the production serve pattern: train
+    // once, store (a) the K centroids and (b) the corpus clustered and
+    // BUCKETED BY cid in gpx, then answer queries by reading ONLY the
+    // probed buckets (bucket pruning on the cid literals + zone maps).
+    // The probe-cid set is bounded by K (=8), so the collect that feeds
+    // the pushed-down IN list is provably tiny at ANY corpus size; the
+    // per-bucket read cost is corpus/K regardless of table width. v03 is
+    // the train-per-query variant; this is what repeated-query serving
+    // looks like at 100 TB. Approximate by construction -> rows-only
+    // gate; recall vs v02 asserted in VectorOpsSpec.
+    GQuery("v06_knn_ivf_indexed", (s, d) => {
+      val K = 8; val NProbe = 4; val Iters = 4
+      val dir = FormatOps.cachedDir(d, "ivf") { dir =>
+        val e = vecs(s, d)
+        val data = e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("n_id"), col("v").as("nv"), col("norm").as("nnorm"))
+          .persist()
+        def centDf(cent: Array[Seq[Double]]): DataFrame =
+          broadcast(s.createDataFrame(
+            s.sparkContext.parallelize(
+              cent.zipWithIndex.toSeq.map { case (v, i) =>
+                org.apache.spark.sql.Row(i, v)
+              }, 1),
+            StructType(Seq(StructField("cid", IntegerType),
+              StructField("cv", ArrayType(DoubleType)))))
+            .withColumn("cnorm", sqrt(expr(
+              "aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x)"))))
+        def assign(cent: Array[Seq[Double]]): DataFrame =
+          data.crossJoin(centDf(cent))
+            .withColumn("ccos", cosine("nv", "nnorm", "cv", "cnorm"))
+            .groupBy("n_id")
+            .agg(max_by(struct(col("nv"), col("nnorm"), col("cid")),
+              struct(col("ccos"), (-col("cid")).as("nc"))).as("m"))
+            .select(col("n_id"), col("m.nv").as("nv"),
+              col("m.nnorm").as("nnorm"), col("m.cid").as("cid"))
+        var centroids: Array[Seq[Double]] = data.orderBy("n_id").limit(K)
+          .select("nv").collect().map(_.getSeq[Double](0))
+        for (_ <- 0 until Iters) {
+          val means = assign(centroids)
+            .select(col("cid"), posexplode(col("nv")).as(Seq("i", "x")))
+            .groupBy("cid", "i").agg(avg(col("x")).as("cx"))
+            .groupBy("cid")
+            .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("ps"))
+            .select(col("cid"), expr("transform(ps, p -> p.cx)").as("cv"))
+            .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+          centroids = centroids.indices
+            .map(i => means.getOrElse(i, centroids(i))).toArray
+        }
+        centDf(centroids).select("cid", "cv")
+          .coalesce(1).write.format("gpx").mode("overwrite").save(s"$dir/centroids")
+        assign(centroids)
+          .write.format("gpx").mode("overwrite")
+          .option("bucketBy", "cid").option("numBuckets", K.toString)
+          .save(s"$dir/clustered")
+        data.unpersist()
+      }
+      val cents = s.read.format("gpx").load(s"$dir/centroids")
+        .withColumn("cnorm", sqrt(expr(
+          "aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x)")))
+      val q = vecs(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      val wc = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))
+      val probes = q.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosine("qv", "qnorm", "cv", "cnorm"))
+        .withColumn("crank", row_number().over(wc))
+        .filter(col("crank") <= NProbe)
+        .select(col("q_id"), col("qv"), col("qnorm"), col("cid"))
+        .persist()
+      // the distinct probed cids are bounded by K — a literal IN list the
+      // scan bucket-prunes on (only the probed buckets' files are read)
+      val probeCids = probes.select("cid").distinct().collect().map(_.getInt(0))
+      val sub = s.read.format("gpx").load(s"$dir/clustered")
+        .filter(col("cid").isin(probeCids.map(Int.box).toSeq: _*))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+      probes.join(sub, "cid")
+        .withColumn("cos", cosine("qv", "qnorm", "nv", "nnorm"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    }, None),
+
     // Vector stats per label cluster — exact decimal aggregation of the
     // first component plus norms (sanity surface for the VECTOR type).
     GQuery("v04_vector_stats", (s, d) =>

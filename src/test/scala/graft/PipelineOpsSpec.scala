@@ -108,6 +108,24 @@ class VectorOpsSpec extends GraftSpec {
     info(s"v03 ivf recall@5 = $recall")
     assert(recall >= 0.6, s"recall=$recall")
   }
+
+  test("v06 persisted ivf index: recall@5 vs brute >= 0.6, bucket-pruned serve") {
+    val brute = run("v02_knn_brute").select("q_id", "n_id")
+    val ivf = run("v06_knn_ivf_indexed")
+    assert(ivf.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
+    val hits = brute.intersect(ivf.select("q_id", "n_id")).count().toDouble
+    val recall = hits / brute.count()
+    info(s"v06 indexed ivf recall@5 = $recall")
+    assert(recall >= 0.6, s"recall=$recall")
+    // the clustered table is bucketed by cid: a single-cid read plans
+    // fewer splits than the full table (bucket pruning on the IN list)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gpx" +
+      s"/v${graft.format.GpxFormat.FormatVersion}/ivf_${sf.replaceAll("[^a-zA-Z0-9]", "_")}/clustered"
+    val all = spark.read.format("gpx").load(dir)
+    val full = all.rdd.getNumPartitions
+    val one = all.filter(org.apache.spark.sql.functions.col("cid") === 0).rdd.getNumPartitions
+    assert(one < full, s"one=$one full=$full")
+  }
 }
 
 class TextOpsSpec extends GraftSpec {
