@@ -17,7 +17,11 @@ class FormatPropertySpec extends AnyFunSuite {
     StructField("rid", LongType, nullable = false),
     StructField("i", IntegerType), StructField("l", LongType),
     StructField("d", DoubleType), StructField("f", FloatType),
-    StructField("s", StringType), StructField("b", BooleanType)))
+    StructField("s", StringType), StructField("b", BooleanType),
+    // engineered to engage the delta (monotonic, range > FOR width) and
+    // Gorilla-XOR (runs of irrationals + nulls) encodings specifically
+    StructField("mono", LongType),
+    StructField("drift", DoubleType)))
 
   private def genRows(seed: Long, n: Int): Seq[Row] = {
     val r = new Random(seed)
@@ -35,7 +39,9 @@ class FormatPropertySpec extends AnyFunSuite {
         opt(r.nextFloat() * 2e9f - 1e9f),
         opt(if (r.nextInt(4) == 0) specialS(r.nextInt(specialS.length))
         else r.alphanumeric.take(r.nextInt(40)).mkString),
-        opt(r.nextBoolean()))
+        opt(r.nextBoolean()),
+        opt(1000000000000L + idx.toLong * 100000000L + r.nextInt(1000)),
+        opt(math.Pi * (1 + idx / 16)))
     }
   }
 
