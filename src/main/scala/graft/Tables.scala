@@ -41,6 +41,11 @@ object Tables {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // storage-partitioned joins over bucketed gpx layouts plan with
+      // zero Exchange only when v2 bucketing is on — the right default
+      // for an engine whose co-located-join story is the bucket layout
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
