@@ -97,8 +97,16 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     loadTableAt(ident, Some(timestamp))
 
   /** `FOR VERSION AS OF v`: v is a raw commitTs long (writer-stamped). */
-  override def loadTable(ident: Identifier, version: String): Table =
-    loadTableAt(ident, Some(java.lang.Long.parseLong(version)))
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val ts =
+      try java.lang.Long.parseLong(version)
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"gpx: FOR VERSION AS OF expects a numeric commitTs, got '$version'")
+      }
+    loadTableAt(ident, Some(ts))
+  }
 
   private def loadTableAt(ident: Identifier, snapshotTs: Option[Long]): Table = {
     val dir = tablePath(ident)

@@ -59,9 +59,10 @@ object GpxPointIndex {
   private def tableFingerprint(table: String, conf: Configuration): String = {
     val qroot = GpxTable.qualifiedRoot(table, conf)
     fingerprint(GpxTable.listFiles(Seq(table), conf).map { f =>
-      // mtime in the fingerprint: DELETE rewrites swap same-NAME files in
-      // place, and a coincidental same-length rewrite must still invalidate
-      // the index (a stale entry would hide the row from point lookups)
+      // mtime in the fingerprint: DELETE rewrites rename survivors to fresh
+      // d<uuid>- names (name churn alone invalidates), but mtime also guards
+      // any same-name rewrite path — a stale entry would hide rows from
+      // point lookups, so the fingerprint must be conservative
       val st = GpxFs.stat(f, conf)
       (relOf(f, qroot),
         st.map(_.len).getOrElse(-1L),

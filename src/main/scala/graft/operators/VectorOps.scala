@@ -38,6 +38,19 @@ object VectorOps {
   private def oCos(a: String, b: String) =
     s"list_dot_product($a.v, $b.v) / ($a.norm * $b.norm)"
 
+  /** Materialize `result` eagerly, release the intermediate cached frames,
+    * and return the rows as a local DataFrame. Queries must not pin
+    * executor storage after they return (a session-lifetime leak on a
+    * shared cluster); every caller's result is bounded — top-k per query
+    * or threshold-filtered near-dup pairs — so the collect is driver-safe
+    * at any corpus size. */
+  private def releasing(s: SparkSession, result: DataFrame,
+      cached: DataFrame*): DataFrame = {
+    val rows = result.collect()
+    cached.foreach(_.unpersist(blocking = false))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
   val queries: Seq[GQuery] = Seq(
 
     // Brute-force cosine near-dup pairs — the exactness baseline. The pair
@@ -149,12 +162,13 @@ object VectorOps {
         .filter(col("crank") <= NProbe)
         .select(col("q_id"), col("qv"), col("qnorm"), col("cid"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-      probes.join(clustered, "cid")
+      val result = probes.join(clustered, "cid")
         .withColumn("cos", cosine("qv", "qnorm", "nv", "nnorm"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("q_id", "rank")
+      releasing(s, result, data, clustered)
     }, None),
 
     // Random-hyperplane LSH near-dup pairs — the 100 TB scale path for
@@ -197,7 +211,7 @@ object VectorOps {
           col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
         .distinct()
-      candidates
+      val result = candidates
         .join(e.select(col("vec_id").as("a_id"), col("v").as("av")), "a_id")
         .join(e.select(col("vec_id").as("b_id"), col("v").as("bv")), "b_id")
         .withColumn("cos",
@@ -205,6 +219,7 @@ object VectorOps {
         .filter(col("cos") >= 0.4)
         .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("a_id", "b_id")
+      releasing(s, result, e, banded)
     }, None),
 
     // IVF as a PERSISTED gpx index — the production serve pattern: train
@@ -281,12 +296,13 @@ object VectorOps {
       val sub = s.read.format("gpx").load(s"$dir/clustered")
         .filter(col("cid").isin(probeCids.map(Int.box).toSeq: _*))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-      probes.join(sub, "cid")
+      val result = probes.join(sub, "cid")
         .withColumn("cos", cosine("qv", "qnorm", "nv", "nnorm"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("q_id", "rank")
+      releasing(s, result, probes)
     }, None),
 
     // Vector stats per label cluster — exact decimal aggregation of the
