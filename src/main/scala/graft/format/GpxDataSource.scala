@@ -244,7 +244,7 @@ class GpxTable(schema: StructType, roots: Seq[String],
     filters.forall(GpxDelete.translatable)
 
   override def deleteWhere(filters: Array[Filter]): Unit =
-    GpxDelete.run(schema, roots, filters, catalogManaged)
+    GpxDelete.run(schema, roots, filters)
 
   /** SQL UPDATE / MERGE INTO (and subquery deletes) — group-based
     * copy-on-write, see [[GpxRowLevelOperation]]. */
@@ -785,33 +785,83 @@ class GpxWriteBuilder(schema: StructType, path: String, rgRows: Int,
   }
 }
 
-/** Streaming sink write: one gpx file per (epoch, partition) micro-batch
-  * slice; epoch in the name makes retries overwrite their own partial
-  * output instead of duplicating it. */
+/** Streaming sink write with an epoch-level commit protocol: tasks stage
+  * their output under the underscore-hidden `_streaming/` dir with
+  * per-ATTEMPT unique names (taskId), so a zombie attempt and its retry
+  * can never interleave writes into one file; `commit(epochId)` on the
+  * driver then renames the winning attempts' files to their final
+  * `part-e<epoch>-<partition>.gpx` names. Readers never see task output
+  * that didn't commit, and a crash mid-epoch leaves footer-less partials
+  * only in staging (invisible to listFiles). Epoch REPLAY after a
+  * restart re-commits the same epoch: the final-name existence check
+  * makes that idempotent — the replayed duplicate is dropped, not
+  * appended. Aborted/zombie leftovers are swept from staging at each
+  * commit (they are never referenced by a commit message, so deleting
+  * them is always safe). */
 class GpxStreamingWrite(schema: StructType, path: String, rgRows: Int,
     pxRows: Int, commitTs: Long)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
+  private val staging = s"$path/_streaming"
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    GpxStreamingWriterFactory(schema, path, rgRows, pxRows, commitTs)
+    GpxStreamingWriterFactory(schema, staging, rgRows, pxRows, commitTs)
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val rootP = new Path(path)
+    val fs = rootP.getFileSystem(conf)
+    messages.foreach {
+      case GpxStreamCommit(file, partitionId) =>
+        val src = new Path(file)
+        val dest = new Path(rootP, s"part-e$epochId-$partitionId.gpx")
+        if (fs.exists(dest)) fs.delete(src, false) // replayed epoch: keep first
+        else if (fs.exists(src) && !fs.rename(src, dest))
+          throw new java.io.IOException(
+            s"gpx streaming commit rename failed: $src -> $dest")
+      case _ => ()
+    }
+    // sweep staged files of this and earlier epochs that no commit message
+    // referenced: aborted attempts, zombies, pre-crash leftovers
+    val stP = new Path(staging)
+    if (fs.exists(stP)) fs.listStatus(stP).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("e")) {
+        val ep = n.drop(1).takeWhile(_.isDigit)
+        if (ep.nonEmpty && ep.toLong <= epochId) fs.delete(st.getPath, false)
+      }
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val fs = new Path(staging).getFileSystem(conf)
+    messages.foreach {
+      case GpxStreamCommit(file, _) => fs.delete(new Path(file), false)
+      case _ => ()
+    }
+  }
 }
 
+final case class GpxStreamCommit(file: String, partitionId: Int)
+  extends WriterCommitMessage
+
 final case class GpxStreamingWriterFactory(
-    schema: StructType, path: String, rgRows: Int, pxRows: Int, commitTs: Long)
+    schema: StructType, staging: String, rgRows: Int, pxRows: Int, commitTs: Long)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
     val conf = new Configuration()
-    val file = s"$path/part-e$epochId-$partitionId.gpx"
+    // taskId is the task ATTEMPT id: concurrent attempts of one partition
+    // (speculation, zombie + retry) each write their own staged file
+    val file = s"$staging/e$epochId-p$partitionId-t$taskId.gpx"
     val w = new GpxFileWriter(file, schema, conf, rgRows, pxRows, commitTs)
     new DataWriter[InternalRow] {
       override def write(record: InternalRow): Unit = w.addRow(record)
-      override def commit(): WriterCommitMessage = { w.close(); GpxCommit(file) }
+      override def commit(): WriterCommitMessage =
+        { w.close(); GpxStreamCommit(file, partitionId) }
       override def abort(): Unit = w.abort()
       override def close(): Unit = ()
     }

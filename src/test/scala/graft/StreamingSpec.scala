@@ -142,6 +142,41 @@ class StreamingSpec extends GraftSpec {
       rows(0).getAs[Long]("n") == 2 && rows(0).getAs[Double]("v") == 3.0)
     assert(rows(1).getAs[String]("event_type") == "view" &&
       rows(1).getAs[Long]("n") == 1)
+    // epoch commit protocol: only committed, final-named files are visible;
+    // the staging dir holds no leftovers after the last epoch's commit
+    val visible = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.endsWith(".gpx"))
+    assert(visible.forall(_.matches("part-e\\d+-\\d+\\.gpx")), visible.toSeq)
+    val staged = new java.io.File(dir, "_streaming")
+    assert(!staged.exists() || staged.listFiles().isEmpty,
+      Option(staged.listFiles()).map(_.toSeq).toString)
+  }
+
+  test("gpx streaming sink: epoch replay and zombie attempts are idempotent") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("x", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("gpx_sink_replay").toString
+    val sw = new graft.format.GpxStreamingWrite(schema, dir, 1024, 256, -1L)
+    val factory = sw.createStreamingWriterFactory(null)
+    def runAttempt(taskId: Long): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = factory.createWriter(0, taskId, 7L)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(taskId))
+      w.commit()
+    }
+    // attempt 1 commits; a zombie attempt 2 of the SAME partition stages
+    // its own file and never reaches driver commit
+    val winner = runAttempt(1L)
+    val zombieWriter = factory.createWriter(0, 2L, 7L)
+    zombieWriter.write(org.apache.spark.sql.catalyst.InternalRow(99L))
+    zombieWriter.commit() // task-level commit, but its message is never delivered
+    sw.commit(7L, Array(winner))
+    // replay of the whole epoch after a restart: same partition, new attempt
+    val replay = runAttempt(3L)
+    sw.commit(7L, Array(replay))
+    val back = sp.read.format("gpx").load(dir).collect()
+    assert(back.length == 1 && back.head.getLong(0) == 1L, back.toSeq)
+    val staged = new java.io.File(dir, "_streaming")
+    assert(!staged.exists() || staged.listFiles().isEmpty)
   }
 
   test("streaming exact dedup: dropDuplicates with watermark drops replays") {
