@@ -221,16 +221,18 @@ class GpxTable(schema: StructType, roots: Seq[String],
     * the files that actually contain matches. Both are served as
     * per-split constants — zero I/O. */
   override def metadataColumns(): Array[MetadataColumn] = Array(
+    // nullable: in a MERGE's NOT-MATCHED insert branch the metadata
+    // attributes are null-filled (the inserted row has no source file)
     new MetadataColumn {
       override def name(): String = GpxTable.CommitTsCol
       override def dataType(): DataType = LongType
-      override def isNullable: Boolean = false
+      override def isNullable: Boolean = true
       override def comment(): String = "MVCC commit timestamp of the row group"
     },
     new MetadataColumn {
       override def name(): String = GpxTable.FileCol
       override def dataType(): DataType = StringType
-      override def isNullable: Boolean = false
+      override def isNullable: Boolean = true
       override def comment(): String = "gpx file the row came from"
     })
 

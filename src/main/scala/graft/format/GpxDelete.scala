@@ -51,8 +51,8 @@ object GpxDelete {
     case _ => None
   }
 
-  def run(schema: StructType, roots: Seq[String], filters: Array[Filter],
-      catalogManaged: Boolean): Unit = {
+  def run(schema: StructType, roots: Seq[String],
+      filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
     val conf = new Configuration()
     val pred = filters.flatMap(toColumn).reduceOption(_ && _).getOrElse(lit(true))
@@ -72,31 +72,49 @@ object GpxDelete {
       // underscore prefix keeps the scratch dir invisible to listFiles
       val tmp = new Path(path.getParent, s"_delete_tmp_${path.getName}")
       fs.delete(tmp, true)
+      // MVCC history for SURVIVORS: the rewrite re-stamps each kept row
+      // with its ORIGINAL row-group commitTs (one output file per distinct
+      // ts — almost always exactly one), so FOR TIMESTAMP AS OF a
+      // pre-delete time still sees every row the delete kept, regardless
+      // of which files the zone maps happened to touch. Rows the delete
+      // REMOVED are gone from history — the documented copy-on-write
+      // stance, same as compaction.
+      val footer = GpxFileReader.FooterCache.get(f, conf)
+      val tsValues = footer.rowGroups.map(_.commitTs).distinct
       // table-schema read: evolved files null-fill absent columns so the
       // predicate resolves; the rewrite upgrades the file to the current
-      // schema (nullable columns), which is the compaction contract too
-      val keep = spark.read.format("gpx").schema(dataSchema).load(f)
-        .filter(keepCond)
-      val commitTs =
-        if (catalogManaged) System.currentTimeMillis() * 1000L else -1L
-      keep.coalesce(1).write.format("gpx")
-        .option("commitTs", commitTs.toString)
-        .mode("overwrite").save(tmp.toString)
-      val produced = fs.listStatus(tmp).map(_.getPath)
-        .filter(_.getName.endsWith(".gpx"))
-      val survivors = produced.headOption.map(p =>
-        GpxFileReader.readFooter(p.toString, conf).rowGroups.map(_.numRows.toLong).sum)
-        .getOrElse(0L)
-      // crash-safe order: make the replacement visible FIRST (fresh name,
-      // original name kept as suffix so the -bN bucket tag stays last),
-      // then drop the original — a crash in between duplicates the kept
-      // rows instead of losing them
-      if (survivors > 0L) {
-        val dest = new Path(path.getParent,
-          s"d${java.util.UUID.randomUUID().toString.take(8)}-${path.getName}")
-        if (!fs.rename(produced.head, dest))
-          throw new java.io.IOException(s"delete rewrite rename failed: $f")
-      } // else: every row matched -> the file simply disappears
+      // schema (nullable columns), which is the compaction contract too.
+      // _commit_ts is served synthetically per row group, zero extra I/O.
+      val withTs = spark.read.format("gpx")
+        .schema(dataSchema.add(org.apache.spark.sql.types.StructField(
+          GpxTable.CommitTsCol, org.apache.spark.sql.types.LongType,
+          nullable = false)))
+        .load(f)
+      tsValues.zipWithIndex.foreach { case (ts, i) =>
+        val keep = withTs
+          .filter(col(GpxTable.CommitTsCol) === lit(ts))
+          .drop(GpxTable.CommitTsCol)
+          .filter(keepCond)
+        val sub = new Path(tmp, s"t$i")
+        keep.coalesce(1).write.format("gpx")
+          .option("commitTs", ts.toString)
+          .mode("overwrite").save(sub.toString)
+        val produced = fs.listStatus(sub).map(_.getPath)
+          .filter(_.getName.endsWith(".gpx"))
+        val survivors = produced.headOption.map(p =>
+          GpxFileReader.readFooter(p.toString, conf).rowGroups.map(_.numRows.toLong).sum)
+          .getOrElse(0L)
+        // crash-safe order: make the replacement visible FIRST (fresh name,
+        // original name kept as suffix so the -bN bucket tag stays last),
+        // then drop the original — a crash in between duplicates the kept
+        // rows instead of losing them
+        if (survivors > 0L) {
+          val dest = new Path(path.getParent,
+            s"d${java.util.UUID.randomUUID().toString.take(8)}-${path.getName}")
+          if (!fs.rename(produced.head, dest))
+            throw new java.io.IOException(s"delete rewrite rename failed: $f")
+        } // else: every row of this ts matched -> no replacement file
+      }
       fs.delete(path, false)
       fs.delete(tmp, true)
     }

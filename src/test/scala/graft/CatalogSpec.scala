@@ -186,6 +186,44 @@ class CatalogSpec extends GraftSpec {
       .head.getLong(0) == 2)
   }
 
+  test("FOR VERSION AS OF rejects non-numeric versions with a clear error") {
+    val wh = Files.createTempDirectory("gpx_ttv").toString
+    sp.conf.set("spark.sql.catalog.gttv", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gttv.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gttv.db")
+    sp.sql("CREATE TABLE gttv.db.t (id BIGINT) USING gpx")
+    val e = intercept[Exception] {
+      sp.sql("SELECT * FROM gttv.db.t FOR VERSION AS OF 'not-a-ts'").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not-a-ts")), msgs(e))
+  }
+
+  test("DELETE preserves surviving rows' commitTs for pre-delete time travel") {
+    val wh = Files.createTempDirectory("gpx_ttd").toString
+    sp.conf.set("spark.sql.catalog.gttd", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gttd.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gttd.db")
+    sp.sql("CREATE TABLE gttd.db.t (id BIGINT, v STRING) USING gpx")
+    sp.sql("INSERT INTO gttd.db.t SELECT id, concat('a', id) FROM range(0, 10)")
+    Thread.sleep(5)
+    val cut = java.time.Instant.now()
+    val cutMicros = cut.getEpochSecond * 1000000L + cut.getNano / 1000
+    Thread.sleep(5)
+    sp.sql("INSERT INTO gttd.db.t SELECT id, concat('b', id) FROM range(100, 110)")
+    // the delete touches only the first file; its SURVIVORS must stay
+    // visible at the pre-delete snapshot with their original commitTs
+    sp.sql("DELETE FROM gttd.db.t WHERE id = 5")
+    assert(sp.sql("SELECT count(*) FROM gttd.db.t").head.getLong(0) == 19)
+    val atCut = sp.sql(
+      s"SELECT id FROM gttd.db.t FOR VERSION AS OF $cutMicros ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    // 9 survivors of batch 1; the deleted row is gone from history (the
+    // documented copy-on-write stance); batch 2 is after the cut
+    assert(atCut == (0L until 10L).filterNot(_ == 5L), atCut)
+  }
+
   test("_commit_ts resolves as a metadata column in SQL") {
     val wh = Files.createTempDirectory("gpx_mc").toString
     sp.conf.set("spark.sql.catalog.gmc", "graft.format.GpxCatalog")

@@ -50,8 +50,7 @@ class PointIndexSpec extends GraftSpec {
     val victim = Tables.orders(sp, sf).limit(1).collect().head.getLong(0)
     graft.format.GpxDelete.run(
       sp.read.format("gpx").load(d).schema, Seq(d),
-      Array(org.apache.spark.sql.sources.EqualTo("o_orderkey", victim)),
-      catalogManaged = false)
+      Array(org.apache.spark.sql.sources.EqualTo("o_orderkey", victim)))
     // rewrite kept the file NAME; mtime (and length) changed -> stale
     assert(!GpxPointIndex.valid(d, "o_orderkey", conf))
     // post-delete reads are correct (index is bypassed, not consulted stale)
