@@ -2,6 +2,7 @@ package graft.format
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
@@ -60,7 +61,7 @@ class GpxRowLevelOperation(
       new GpxScanBuilder(schema, roots, None, fileGranular = Some(replacedFiles))
     else new GpxScanBuilder(schema, roots, None)
 
-  /** `_file` does double duty: (1) declaring a metadata attribute routes
+  /** `_file` does triple duty: (1) declaring a metadata attribute routes
     * Spark onto the PROJECTED write path (DataAndMetadataWritingSparkTask)
     * — with no metadata attrs, group-based writes receive the RAW query
     * rows still carrying the __row_operation column, a silent row-layout
@@ -68,19 +69,33 @@ class GpxRowLevelOperation(
     * uses to narrow the copy-on-write scan to `_file IN (files with
     * matches)` — for MERGE, where the target side has no static filters,
     * this is the difference between rewriting the whole table and
-    * rewriting only the touched files. Served split-constant, zero I/O. */
+    * rewriting only the touched files; (3) delivered per row to the
+    * replace writer, it lets commit() VERIFY the recorded replaced set
+    * against the files the written rows actually came from.
+    * `_commit_ts` rides along so the rewrite can re-stamp each row with
+    * its ORIGINAL commit timestamp — pass-through rows stay visible at
+    * pre-operation snapshots. Both served split-constant, zero I/O. */
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column(GpxTable.FileCol))
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(GpxTable.FileCol),
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(GpxTable.CommitTsCol))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val commitTs =
       if (catalogManaged) System.currentTimeMillis() * 1000L else -1L
+    // metadata row layout, resolved by NAME (never by assumed position)
+    val metaSchema = if (info.metadataSchema().isPresent)
+      info.metadataSchema().get() else new StructType()
+    val fileIdx = metaSchema.fieldNames.indexOf(GpxTable.FileCol)
+    val tsIdx = metaSchema.fieldNames.indexOf(GpxTable.CommitTsCol)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new GpxReplaceBatchWrite(
-          info.schema(), roots.head, commitTs, replacedFiles)
+          info.schema(), roots.head, commitTs, replacedFiles, cmd,
+          fileIdx, tsIdx)
       }
     }
   }
@@ -89,10 +104,32 @@ class GpxRowLevelOperation(
 }
 
 /** Replace-data write: stage into `<root>/_replace_<uuid>/`, then on commit
-  * delete the superseded files and move the staged files in. */
+  * delete the superseded files and move the staged files in.
+  *
+  * MVCC through the rewrite: each incoming row arrives with its source
+  * `_commit_ts` / `_file` metadata (write(meta, row), the projected write
+  * path). Rows are routed to one staged file per (original commitTs,
+  * bucket), stamped with that ORIGINAL ts — so rows the operation merely
+  * passed through remain visible at pre-operation snapshots. Rows a MERGE
+  * inserts carry null metadata and get the operation's fresh ts. The
+  * documented approximation: pre-op VALUES of rows the op modified are
+  * not retained (copy-on-write destroys them) — those rows time-travel
+  * with their original ts but current values.
+  *
+  * Safety: commit() cross-checks the recorded replaced set against the
+  * `_file` values the written rows actually carried. If the written data
+  * references a file the row scan did not record (a scan-role mix-up —
+  * e.g. a Spark version reordering GroupBasedRowLevelOperationScanPlanning
+  * vs the runtime group-filter subquery), the commit REFUSES instead of
+  * silently duplicating or dropping rows. For UPDATE (which never removes
+  * rows) the deletion set is exactly the files whose rows were written
+  * back — a replaced-but-unconsumed file is left in place rather than
+  * deleted, so a pruning scan can never translate into row loss. */
 class GpxReplaceBatchWrite(
     schema: StructType, root: String, commitTs: Long,
-    replacedFiles: java.util.Set[String]) extends BatchWrite {
+    replacedFiles: java.util.Set[String],
+    cmd: RowLevelOperation.Command,
+    fileIdx: Int, tsIdx: Int) extends BatchWrite {
 
   private val opId = java.util.UUID.randomUUID().toString.take(8)
   private val tmp = s"$root/_replace_$opId"
@@ -100,8 +137,8 @@ class GpxReplaceBatchWrite(
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = new Configuration()
     val bucket = GpxTable.readBucketSpec(root, conf)
-    GpxWriterFactory(schema, tmp, GpxFormat.DefaultRowGroupRows,
-      GpxFormat.DefaultPixelRows, commitTs, bucket)
+    GpxReplaceWriterFactory(schema, tmp, GpxFormat.DefaultRowGroupRows,
+      GpxFormat.DefaultPixelRows, commitTs, bucket, fileIdx, tsIdx)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -109,6 +146,17 @@ class GpxReplaceBatchWrite(
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(conf)
     val tmpP = new Path(tmp)
+    val consumed = messages.flatMap {
+      case GpxReplaceCommit(_, sourceFiles) => sourceFiles
+      case _ => Seq.empty
+    }.toSet
+    val recorded = new java.util.HashSet[String](replacedFiles)
+    val unrecorded = consumed.filterNot(recorded.contains)
+    if (unrecorded.nonEmpty)
+      throw new IllegalStateException(
+        s"gpx replace commit: written rows came from files the row scan " +
+        s"never recorded (${unrecorded.take(3).mkString(", ")}…) — " +
+        "scan-role mismatch, refusing to commit")
     // order matters for crash safety: stage the replacements IN first,
     // delete the superseded files after. A crash in between leaves
     // duplicates (recoverable, visible), never missing rows. Single-writer
@@ -126,12 +174,98 @@ class GpxReplaceBatchWrite(
         }
       fs.delete(tmpP, true)
     }
-    replacedFiles.forEach(f => fs.delete(new Path(f), false))
+    // UPDATE writes every row of every replaced file back: deleting only
+    // the files the written rows were CONSUMED from makes a (hypothetical)
+    // under-recording scan harmless. DELETE/MERGE can legitimately consume
+    // zero rows of a fully-deleted file, so the recorded set is the
+    // contract there. (fileIdx < 0 = no metadata projection arrived; fall
+    // back to the recorded contract rather than deleting nothing.)
+    val toDelete =
+      if (cmd == RowLevelOperation.Command.UPDATE && fileIdx >= 0) consumed
+      else recorded.asScalaSet
+    toDelete.foreach(f => fs.delete(new Path(f), false))
+  }
+
+  private implicit class JSet(s: java.util.Set[String]) {
+    def asScalaSet: Set[String] = {
+      val b = Set.newBuilder[String]
+      s.forEach(e => b += e)
+      b.result()
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
     val tmpP = new Path(tmp)
     tmpP.getFileSystem(conf).delete(tmpP, true)
+  }
+}
+
+final case class GpxReplaceCommit(files: Seq[String], sourceFiles: Seq[String])
+  extends WriterCommitMessage
+
+/** Writer for replace-data output: routes each row to a staged file keyed
+  * by (original commitTs from row metadata, bucket), so every staged file
+  * is stamped with a single coherent ts. Collects the distinct source
+  * `_file` values for the commit-time verification. */
+final case class GpxReplaceWriterFactory(
+    schema: StructType, staging: String, rgRows: Int, pxRows: Int,
+    newCommitTs: Long, bucket: Option[GpxTable.BucketSpec],
+    fileIdx: Int, tsIdx: Int) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val conf = new Configuration()
+    val keyIdx = bucket.map(b => schema.fieldIndex(b.column))
+    val keyDt = keyIdx.map(schema(_).dataType)
+    val writers =
+      scala.collection.mutable.LinkedHashMap.empty[(Long, Int), (String, GpxFileWriter)]
+    val sources = scala.collection.mutable.Set.empty[String]
+
+    def bucketOf(record: InternalRow): Int = keyIdx match {
+      case None => -1
+      case Some(ki) =>
+        val key: Long =
+          if (record.isNullAt(ki)) 0L
+          else keyDt.get match {
+            case org.apache.spark.sql.types.LongType => record.getLong(ki)
+            case org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.DateType => record.getInt(ki).toLong
+            case org.apache.spark.sql.types.ShortType => record.getShort(ki).toLong
+            case org.apache.spark.sql.types.ByteType => record.getByte(ki).toLong
+            case other =>
+              throw new IllegalArgumentException(s"bucketBy $other unsupported")
+          }
+        GpxTable.bucketOf(key, bucket.get.numBuckets)
+    }
+
+    def writerFor(ts: Long, bk: Int): GpxFileWriter =
+      writers.getOrElseUpdate((ts, bk), {
+        val tsTag = if (ts >= 0) s"-t$ts" else ""
+        val bkTag = if (bk >= 0) s"-b$bk" else ""
+        val file = s"$staging/part-$partitionId-$taskId$tsTag$bkTag.gpx"
+        (file, new GpxFileWriter(file, schema, conf, rgRows, pxRows, ts))
+      })._2
+
+    new DataWriter[InternalRow] {
+      // projected write path: metadata row first, data row second
+      override def write(meta: InternalRow, record: InternalRow): Unit = {
+        val ts =
+          if (meta == null || tsIdx < 0 || meta.isNullAt(tsIdx)) newCommitTs
+          else meta.getLong(tsIdx)
+        if (meta != null && fileIdx >= 0 && !meta.isNullAt(fileIdx))
+          sources += meta.getUTF8String(fileIdx).toString
+        writerFor(ts, bucketOf(record)).addRow(record)
+      }
+      // rows with no metadata (e.g. a MERGE insert branch delivered as a
+      // plain write): fresh rows, stamped with the operation's ts
+      override def write(record: InternalRow): Unit =
+        writerFor(newCommitTs, bucketOf(record)).addRow(record)
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_._2.close())
+        GpxReplaceCommit(writers.values.map(_._1).toSeq, sources.toSeq)
+      }
+      override def abort(): Unit = writers.values.foreach(_._2.abort())
+      override def close(): Unit = ()
+    }
   }
 }

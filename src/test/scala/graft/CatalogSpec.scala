@@ -224,6 +224,44 @@ class CatalogSpec extends GraftSpec {
     assert(atCut == (0L until 10L).filterNot(_ == 5L), atCut)
   }
 
+  test("UPDATE/MERGE preserve scanned rows' commitTs for pre-op time travel") {
+    val wh = Files.createTempDirectory("gpx_ttu").toString
+    sp.conf.set("spark.sql.catalog.gttu", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gttu.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gttu.db")
+    sp.sql("CREATE TABLE gttu.db.t (id BIGINT, v STRING) USING gpx")
+    sp.sql("INSERT INTO gttu.db.t SELECT id, concat('a', id) FROM range(0, 10)")
+    Thread.sleep(5)
+    val cutMicros = {
+      val i = java.time.Instant.now()
+      i.getEpochSecond * 1000000L + i.getNano / 1000
+    }
+    Thread.sleep(5)
+    // copy-on-write rewrite of the whole file: pass-through rows (and the
+    // updated row, with its CURRENT value — the documented approximation)
+    // must keep their original commitTs
+    sp.sql("UPDATE gttu.db.t SET v = 'x' WHERE id = 5")
+    assert(sp.sql(
+      s"SELECT count(*) FROM gttu.db.t FOR VERSION AS OF $cutMicros")
+      .head.getLong(0) == 10)
+    // MERGE: matched update + unmatched insert; the INSERTED row gets a
+    // fresh ts (invisible pre-op), every scanned row keeps its ts
+    sp.sql("CREATE TABLE gttu.db.src (id BIGINT, v STRING) USING gpx")
+    sp.sql("INSERT INTO gttu.db.src VALUES (3, 'm3'), (200, 'new')")
+    sp.sql(
+      """MERGE INTO gttu.db.t t USING gttu.db.src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    assert(sp.sql("SELECT count(*) FROM gttu.db.t").head.getLong(0) == 11)
+    val atCut = sp.sql(
+      s"SELECT id FROM gttu.db.t FOR VERSION AS OF $cutMicros ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(atCut == (0L until 10L), atCut)
+    val insertedTs = sp.sql(
+      "SELECT _commit_ts FROM gttu.db.t WHERE id = 200").head.getLong(0)
+    assert(insertedTs > cutMicros)
+  }
+
   test("_commit_ts resolves as a metadata column in SQL") {
     val wh = Files.createTempDirectory("gpx_mc").toString
     sp.conf.set("spark.sql.catalog.gmc", "graft.format.GpxCatalog")
