@@ -174,6 +174,90 @@ object EventOps {
       Some("""SELECT n_types, COUNT(*) AS n_users
              |FROM (SELECT user_id, COUNT(DISTINCT event_type) AS n_types
              |      FROM events GROUP BY user_id) t
-             |GROUP BY n_types ORDER BY n_types""".stripMargin))
+             |GROUP BY n_types ORDER BY n_types""".stripMargin)),
+
+    // AS-OF join: each click matched to the user's most recent view at or
+    // before it (the trades/quotes temporal-join shape). Spark has no ASOF
+    // operator; the scale-correct composition is union + tag + one
+    // per-user window with an ignore-nulls carry-forward — ONE shuffle on
+    // user_id, per-row O(1) state, no per-key loop, no theta join. Views
+    // are first deduped to one per (user, ts) with an explicit (max
+    // event_id) tie-break so the result is deterministic in both engines.
+    GQuery("e09_asof_join", (s, d) => {
+      val ev = events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts")
+        .agg(max(col("event_id")).as("v_event_id"),
+          max_by(col("value"), col("event_id")).as("v_value"))
+        .select(col("user_id"), col("ts"), lit(0).as("side"),
+          lit(null).cast(LongType).as("event_id"),
+          col("v_event_id"), col("v_value"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("side"),
+          col("event_id"),
+          lit(null).cast(LongType).as("v_event_id"),
+          lit(null).cast(DoubleType).as("v_value"))
+      // at equal ts the view (side 0) sorts first, so `ts >= view.ts`
+      // matches (ASOF inclusive semantics, same as DuckDB's >=)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      v.unionByName(c)
+        .withColumn("m_event_id", last(col("v_event_id"), ignoreNulls = true).over(w))
+        .withColumn("m_value", last(col("v_value"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("user_id"), col("event_id"),
+          col("m_event_id").as("asof_view_id"), col("m_value").as("asof_value"))
+        .orderBy("user_id", "event_id")
+    },
+      Some("""WITH v AS (
+             |  SELECT user_id, ts, MAX(event_id) AS v_event_id,
+             |         arg_max(value, event_id) AS v_value
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+             |c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click')
+             |SELECT c.user_id, c.event_id,
+             |       v.v_event_id AS asof_view_id, v.v_value AS asof_value
+             |FROM c ASOF LEFT JOIN v
+             |  ON c.user_id = v.user_id AND c.ts >= v.ts
+             |ORDER BY c.user_id, c.event_id""".stripMargin)),
+
+    // Range (interval) join: count the views inside each purchase's
+    // 30-minute attribution window, per user. The naive plan is a theta
+    // join (per-user cartesian); the scale path buckets time at the
+    // interval length so every interval overlaps at most TWO buckets —
+    // the join becomes an EQUALITY join on (user_id, bucket) Spark can
+    // hash-partition, with the exact range predicate as a residual
+    // filter. Work scales with matches, not with |purchases|x|views|.
+    GQuery("e10_range_join_bucketed", (s, d) => {
+      val WinNs = 1800L * NanosPerSec // 30 min, == the bucket width
+      val ev = events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("t0"), (col("ts") + WinNs).as("t1"))
+        // integer `div`, not `/`: epoch-nanos exceed double's 53-bit
+        // mantissa, float division would mis-bucket
+        .withColumn("bkt",
+          explode(sequence(expr(s"t0 div ${WinNs}L"), expr(s"t1 div ${WinNs}L"))))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("vts"),
+          col("event_id").as("v_id"))
+        .withColumn("bkt", expr(s"vts div ${WinNs}L"))
+      p.join(v,
+          p("user_id") === v("v_user") && p("bkt") === v("bkt") &&
+            col("vts") >= col("t0") && col("vts") <= col("t1"),
+          "left")
+        .groupBy(col("p_id"), col("user_id"))
+        .agg(countDistinct(col("v_id")).as("n_views"))
+        .orderBy("p_id")
+    },
+      Some("""SELECT p.event_id AS p_id, p.user_id,
+             |       COUNT(DISTINCT v.event_id) AS n_views
+             |FROM (SELECT user_id, event_id, epoch_ns(ts) AS t0,
+             |             epoch_ns(ts) + 1800000000000 AS t1
+             |      FROM events WHERE event_type = 'purchase') p
+             |LEFT JOIN (SELECT user_id, epoch_ns(ts) AS vts, event_id
+             |           FROM events WHERE event_type = 'view') v
+             |  ON p.user_id = v.user_id AND v.vts >= p.t0 AND v.vts <= p.t1
+             |GROUP BY 1, 2 ORDER BY p_id""".stripMargin))
   )
 }
