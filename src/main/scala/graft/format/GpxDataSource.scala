@@ -870,9 +870,22 @@ final case class GpxStreamingWriterFactory(
   }
 }
 
+/** Batch write with a task-commit protocol: every task attempt stages its
+  * files under the underscore-hidden `_batch_<opId>/` dir (names carry the
+  * attempt's taskId, so a zombie attempt and its retry never touch the
+  * same file), and the DRIVER's commit renames exactly the files named by
+  * the winning attempts' commit messages into the table dir. Consequences
+  * at scale: a multi-file INSERT becomes visible all-or-nothing (readers
+  * listing mid-write see none of it), a speculative duplicate attempt can
+  * never leave a duplicate row, and a crashed task can never leave a
+  * footer-less partial at a visible name. opId in the final file names
+  * keeps append batches from different writers/JVMs collision-free. */
 class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
     rgRows: Int, pxRows: Int, commitTs: Long, bucket: Option[GpxTable.BucketSpec])
   extends BatchWrite {
+
+  private val opId = java.util.UUID.randomUUID().toString.take(8)
+  private val staging = s"$path/_batch_$opId"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = new Configuration()
@@ -894,34 +907,58 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
       try out.write(s"${b.column}\n${b.numBuckets}".getBytes("UTF-8"))
       finally out.close()
     }
-    GpxWriterFactory(schema, path, rgRows, pxRows, commitTs, bucket)
+    GpxWriterFactory(schema, staging, opId, rgRows, pxRows, commitTs, bucket)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val rootP = new Path(path)
+    val fs = rootP.getFileSystem(conf)
+    messages.foreach {
+      case GpxCommit(files) => files.foreach { f =>
+        val src = new Path(f)
+        val dest = new Path(rootP, src.getName)
+        if (!fs.rename(src, dest))
+          throw new java.io.IOException(
+            s"gpx batch commit rename failed: $src -> $dest")
+      }
+      case _ => ()
+    }
+    fs.delete(new Path(staging), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    val stP = new Path(staging)
+    stP.getFileSystem(conf).delete(stP, true)
+  }
 }
 
-final case class GpxCommit(file: String) extends WriterCommitMessage
+final case class GpxCommit(files: Seq[String]) extends WriterCommitMessage
 
-final case class GpxWriterFactory(schema: StructType, path: String, rgRows: Int,
-    pxRows: Int, commitTs: Long, bucket: Option[GpxTable.BucketSpec])
+final case class GpxWriterFactory(schema: StructType, staging: String,
+    opId: String, rgRows: Int, pxRows: Int, commitTs: Long,
+    bucket: Option[GpxTable.BucketSpec])
   extends DataWriterFactory {
 
-  /** appended files must not collide with an earlier write's names: tag
-    * with commitTs when present (append-mode MVCC batches) */
+  /** final-name uniqueness: opId scopes this logical write (taskIds can
+    * repeat across JVMs appending to the same table), taskId scopes the
+    * attempt within it, and the commitTs tag keeps append-mode MVCC
+    * batches self-describing */
   private def fileName(partitionId: Int, taskId: Long, suffix: String): String =
-    if (commitTs >= 0) s"part-$partitionId-$taskId-t$commitTs$suffix.gpx"
-    else s"part-$partitionId-$taskId$suffix.gpx"
+    if (commitTs >= 0) s"part-$opId-$partitionId-$taskId-t$commitTs$suffix.gpx"
+    else s"part-$opId-$partitionId-$taskId$suffix.gpx"
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val conf = new Configuration()
     bucket match {
       case None =>
-        val file = s"$path/${fileName(partitionId, taskId, "")}"
+        val file = s"$staging/${fileName(partitionId, taskId, "")}"
         val w = new GpxFileWriter(file, schema, conf, rgRows, pxRows, commitTs)
         new DataWriter[InternalRow] {
           override def write(record: InternalRow): Unit = w.addRow(record)
-          override def commit(): WriterCommitMessage = { w.close(); GpxCommit(file) }
+          override def commit(): WriterCommitMessage =
+            { w.close(); GpxCommit(Seq(file)) }
           override def abort(): Unit = w.abort()
           override def close(): Unit = ()
         }
@@ -931,6 +968,7 @@ final case class GpxWriterFactory(schema: StructType, path: String, rgRows: Int,
         val keyIdx = schema.fieldIndex(b.column)
         val keyDt = schema(keyIdx).dataType
         val writers = new Array[GpxFileWriter](b.numBuckets)
+        val files = new Array[String](b.numBuckets)
         new DataWriter[InternalRow] {
           override def write(record: InternalRow): Unit = {
             val key: Long =
@@ -944,15 +982,16 @@ final case class GpxWriterFactory(schema: StructType, path: String, rgRows: Int,
                   throw new IllegalArgumentException(s"bucketBy $other unsupported")
               }
             val bk = GpxTable.bucketOf(key, b.numBuckets)
-            if (writers(bk) == null)
+            if (writers(bk) == null) {
+              files(bk) = s"$staging/${fileName(partitionId, taskId, s"-b$bk")}"
               writers(bk) = new GpxFileWriter(
-                s"$path/${fileName(partitionId, taskId, s"-b$bk")}",
-                schema, conf, rgRows, pxRows, commitTs)
+                files(bk), schema, conf, rgRows, pxRows, commitTs)
+            }
             writers(bk).addRow(record)
           }
           override def commit(): WriterCommitMessage = {
             writers.foreach(w => if (w != null) w.close())
-            GpxCommit(s"$path/part-$partitionId-$taskId")
+            GpxCommit(files.filter(_ != null).toSeq)
           }
           override def abort(): Unit =
             writers.foreach(w => if (w != null) w.abort())

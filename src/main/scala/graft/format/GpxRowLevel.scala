@@ -160,20 +160,22 @@ class GpxReplaceBatchWrite(
     // order matters for crash safety: stage the replacements IN first,
     // delete the superseded files after. A crash in between leaves
     // duplicates (recoverable, visible), never missing rows. Single-writer
-    // semantics, like every gpx write path.
-    if (fs.exists(tmpP)) {
-      fs.listStatus(tmpP).map(_.getPath)
-        .filter(_.getName.endsWith(".gpx"))
-        .foreach { p =>
-          // r<opId>- prefix avoids name collisions with any earlier write;
-          // the trailing -bN bucket suffix (if any) stays at the end, so
-          // bucket routing/pruning keep working on the rewritten files
-          val dest = new Path(rootP, s"r$opId-${p.getName}")
-          if (!fs.rename(p, dest))
-            throw new java.io.IOException(s"replace rename failed: $p -> $dest")
-        }
-      fs.delete(tmpP, true)
+    // semantics, like every gpx write path. Only files named by WINNING
+    // attempts' commit messages move in — a zombie attempt's staged
+    // leftovers are swept with the staging dir, never published.
+    messages.foreach {
+      case GpxReplaceCommit(files, _) => files.foreach { f =>
+        val p = new Path(f)
+        // r<opId>- prefix avoids name collisions with any earlier write;
+        // the trailing -bN bucket suffix (if any) stays at the end, so
+        // bucket routing/pruning keep working on the rewritten files
+        val dest = new Path(rootP, s"r$opId-${p.getName}")
+        if (!fs.rename(p, dest))
+          throw new java.io.IOException(s"replace rename failed: $p -> $dest")
+      }
+      case _ => ()
     }
+    fs.delete(tmpP, true)
     // UPDATE writes every row of every replaced file back: deleting only
     // the files the written rows were CONSUMED from makes a (hypothetical)
     // under-recording scan harmless. DELETE/MERGE can legitimately consume

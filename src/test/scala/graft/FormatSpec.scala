@@ -47,6 +47,30 @@ class FormatSpec extends GraftSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("batch commit protocol: zombie attempts and uncommitted output stay invisible") {
+    import graft.format.{GpxBatchWrite, GpxTable}
+    val schema = StructType(Seq(StructField("x", LongType)))
+    val dir = tmp()
+    val conf = new Configuration()
+    val bw = new GpxBatchWrite(schema, dir, false, 1024, 256, -1L, None)
+    val factory = bw.createBatchWriterFactory(null)
+    val w1 = factory.createWriter(0, 1L)
+    w1.write(org.apache.spark.sql.catalyst.InternalRow(1L))
+    val winner = w1.commit()
+    // a zombie attempt of the same partition: stages its own file, its
+    // task-level commit message is never delivered to the driver
+    val zombie = factory.createWriter(0, 2L)
+    zombie.write(org.apache.spark.sql.catalyst.InternalRow(99L))
+    zombie.commit()
+    // BEFORE driver commit: nothing visible (all-or-nothing batch)
+    assert(GpxTable.listFiles(Seq(dir), conf).isEmpty)
+    bw.commit(Array(winner))
+    val back = sp.read.format("gpx").load(dir).collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L), back.toSeq)
+    // staging swept, zombie output gone
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_batch_")))
+  }
+
   test("round-trip lineitem sf0.001 exactly (timestamp_ntz included)") {
     val li = Tables.lineitem(sp, sf)
     val dir = tmp()
