@@ -61,3 +61,25 @@ final case class GQuery(
     name: String,
     spark: (SparkSession, String) => DataFrame,
     oracle: Option[String])
+
+/** Registry for caches a query pins while its (lazy) result is computed.
+  * Queries whose OUTPUT is unbounded at scale (e.g. dedup pair sets)
+  * cannot eagerly materialize-and-unpersist like the bounded-top-k vector
+  * ops do — the consumer must drive the action. So: operators mark their
+  * reused intermediates with `.tracked`, and the consumer (Verify/Bench,
+  * or any embedding application) calls [[release]] after materializing
+  * each result. Executor storage is never pinned past the query that
+  * needed it — on a shared cluster, leaked persists are a session-lifetime
+  * memory leak (this repo's LEAKCHECK class). */
+object CacheScope {
+  private val frames =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  implicit class Trackable(private val df: DataFrame) extends AnyVal {
+    /** persist + register for release after the consuming action */
+    def tracked: DataFrame =
+      CacheScope.synchronized { frames += df; df.persist() }
+  }
+  def release(): Unit = synchronized {
+    frames.foreach(_.unpersist(blocking = false)); frames.clear()
+  }
+}

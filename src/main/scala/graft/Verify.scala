@@ -25,6 +25,7 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        finally CacheScope.release() // drop caches the query pinned
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

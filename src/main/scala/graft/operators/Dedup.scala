@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GQuery, Tables}
+import graft.CacheScope.Trackable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -105,7 +106,7 @@ object Dedup {
         .agg(min(col("doc_id")).as("rep_id"),
           first(col("toks")).as("toks"),
           collect_list(col("doc_id")).as("members"))
-        .persist() // reused by reps, the verify joins, and both expansions
+        .tracked // reused by reps, the verify joins, and both expansions
       val reps = groups.select(col("rep_id"), col("toks"))
       val exploded = reps.select(col("rep_id"), explode(col("toks")).as("tok"))
       // dictionary-encode tokens to ints: minhashing and the verify
@@ -124,7 +125,7 @@ object Dedup {
       // the lean 2-column int projection is what gets cached for the many
       // downstream passes
       val hashed = exploded.withColumn("tid", xxhash64(col("tok")))
-      val vocab = exploded.select(col("tok")).distinct().persist()
+      val vocab = exploded.select(col("tok")).distinct().tracked
       val vocabSize = vocab.count()
       val expInt = (if (vocabSize ==
           vocab.select(xxhash64(col("tok"))).distinct().count()) {
@@ -135,13 +136,13 @@ object Dedup {
             .map { case (t, i) => org.apache.spark.sql.Row(t, i + 1L) },
           new StructType().add("tok", StringType).add("tid", LongType))
         exploded.join(dense, "tok").select(col("rep_id"), col("tid"))
-      }).persist()
+      }).tracked
       // sort_array: one O(k log k) per representative buys the verify an
       // allocation-free sorted-merge jaccard per candidate pair (and makes
       // the collected arrays deterministic)
       val repsInt = expInt.groupBy("rep_id")
         .agg(sort_array(collect_list(col("tid"))).as("toks"))
-        .persist()
+        .tracked
       val sizes = repsInt.select(col("rep_id"), size(col("toks")).as("nt"))
       val mh = expInt.groupBy("rep_id").agg(
         min(xxhash64(lit(0), col("tid"))).as("mh0"),
@@ -155,7 +156,7 @@ object Dedup {
       // in the pipeline — without the cache it runs once per side
       val banded = mh.join(sizes, "rep_id")
         .select(col("rep_id"), col("nt"), explode(array(bandCols: _*)).as("bk"))
-        .persist()
+        .tracked
       // size-ratio bound applied INSIDE the band join: J>=0.8 forces
       // |A|/|B| in [0.8, 1.25], so dropping these rows before the distinct
       // cannot lose a true pair (verify applies the same bound)
@@ -236,7 +237,7 @@ object Dedup {
           array_distinct(expr(
             "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("s"))
         .withColumn("sz", size(col("s")))
-        .persist() // tokenized grams feed the prefix pass + 2 verify joins
+        .tracked // tokenized grams feed the prefix pass + 2 verify joins
       val grams = g.select(col("doc_id"), col("lang"), col("sz"),
         explode(col("s")).as("gram"))
       // dictionary-encode grams to ints: join keys and the verify
@@ -252,10 +253,10 @@ object Dedup {
       // check and all downstream consumers
       val hashedGrams = grams.join(freq, "gram")
         .withColumn("gid", xxhash64(col("gram")))
-        .persist()
+        .tracked
       // injectivity check over the distinct vocabulary (freq already holds
       // one row per gram — no Expand-doubled countDistinct pass needed)
-      val gvocab = freq.select(col("gram")).persist()
+      val gvocab = freq.select(col("gram")).tracked
       val vocabV = gvocab.count()
       val gidGrams = (if (vocabV ==
           gvocab.select(xxhash64(col("gram"))).distinct().count()) {
@@ -272,7 +273,7 @@ object Dedup {
       // can sorted-merge instead of hash-set per pair
       val gInt = gidGrams.groupBy(col("doc_id").as("gd"), col("lang"), col("sz"))
         .agg(sort_array(collect_list(col("gid"))).as("sids"))
-        .persist()
+        .tracked
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("df"), col("gid"))
       // persist: both sides of the prefix self-join consume this, and the
@@ -283,7 +284,7 @@ object Dedup {
         // the prefix) one too short — a silent false-negative source
         .filter(col("rn") <= col("sz") - ceil(col("sz") * t - 1e-9) + 1)
         .select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("rn"))
-        .persist()
+        .tracked
       // PPJoin positional filter: a gram matching at 1-based positions
       // (rnA, rnB) of the canonical rare-first order bounds the overlap by
       // 1 + min(szA-rnA, szB-rnB), which must reach the equivalent overlap
@@ -363,7 +364,7 @@ object Dedup {
     GQuery("d05_simhash_pairs", (s, d) => {
       // fingerprints are tiny (one long per doc) but cost a full corpus
       // pass — persist so the banded self-join doesn't recompute both sides
-      val fp = simhashDF(s, d).persist()
+      val fp = simhashDF(s, d).tracked
       val bandCols = (0 until 8).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("key"))
