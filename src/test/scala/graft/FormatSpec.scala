@@ -71,6 +71,28 @@ class FormatSpec extends GraftSpec {
     assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_batch_")))
   }
 
+  test("vacuum sweeps orphaned staging dirs, spares live ones and data") {
+    import graft.format.GpxMaintenance
+    val dir = tmp()
+    val sp2 = sp
+    import sp2.implicits._
+    Seq(1L, 2L).toDF("x").coalesce(1).write.format("gpx").mode("overwrite").save(dir)
+    // a crash leftover: staged file whose writer died before commit
+    val orphan = new java.io.File(dir, "_batch_deadbeef")
+    orphan.mkdirs()
+    val partial = new java.io.File(orphan, "part-0-1.gpx")
+    java.nio.file.Files.write(partial.toPath, Array[Byte](1, 2, 3))
+    partial.setLastModified(System.currentTimeMillis() - 3600_000)
+    orphan.setLastModified(System.currentTimeMillis() - 3600_000)
+    // a LIVE staging dir (fresh mtime) must be spared
+    val live = new java.io.File(dir, "_batch_cafebabe")
+    live.mkdirs()
+    val swept = GpxMaintenance.vacuum(dir, ttlMs = 600_000)
+    assert(swept.exists(_.endsWith("_batch_deadbeef")), swept)
+    assert(!orphan.exists() && live.exists())
+    assert(sp.read.format("gpx").load(dir).count() == 2)
+  }
+
   test("round-trip lineitem sf0.001 exactly (timestamp_ntz included)") {
     val li = Tables.lineitem(sp, sf)
     val dir = tmp()
