@@ -74,12 +74,19 @@ final case class GQuery(
 object CacheScope {
   private val frames =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val rdds =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
   implicit class Trackable(private val df: DataFrame) extends AnyVal {
     /** persist + register for release after the consuming action */
     def tracked: DataFrame =
       CacheScope.synchronized { frames += df; df.persist() }
   }
+  /** register an already-persisted RDD (iterative operators' plan-barrier
+    * frames) for release after the consuming action */
+  def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    synchronized { rdds += rdd }
   def release(): Unit = synchronized {
     frames.foreach(_.unpersist(blocking = false)); frames.clear()
+    rdds.foreach(_.unpersist(blocking = false)); rdds.clear()
   }
 }

@@ -66,6 +66,29 @@ object Dedup {
        |fp AS (SELECT doc_id, $fp AS simhash FROM bits)""".stripMargin
   }
 
+  /** SimHash near-dup pairs (hamming <= 6) via 8x4-bit banding — the edge
+    * set shared by d05 (pair listing) and d06 (cluster extraction). */
+  private def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    // fingerprints are tiny (one long per doc) but cost a full corpus
+    // pass — persist so the banded self-join doesn't recompute both sides
+    val fp = simhashDF(s, d).tracked
+    val bandCols = (0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("key"))
+    }
+    val banded = fp.select(col("doc_id"), col("simhash"),
+      explode(array(bandCols: _*)).as("bk"))
+    banded.as("x").join(banded.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.simhash").as("a_fp"), col("y.simhash").as("b_fp"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast(IntegerType))
+      .filter(col("hamming") <= 6)
+      .select("a_id", "b_id", "hamming")
+  }
+
   val queries: Seq[GQuery] = Seq(
 
     // Exact dedup: hash-groupBy on a content fingerprint. At scale this is
@@ -361,32 +384,112 @@ object Dedup {
     // SimHash near-dup pairs: hamming(a,b) <= 6 on the 32-bit fingerprint.
     // 8 bands x 4 bits: any pair with <= 7 differing bits shares at least
     // one clean band (pigeonhole) => banding has PROVABLY exact recall.
-    GQuery("d05_simhash_pairs", (s, d) => {
-      // fingerprints are tiny (one long per doc) but cost a full corpus
-      // pass — persist so the banded self-join doesn't recompute both sides
-      val fp = simhashDF(s, d).tracked
-      val bandCols = (0 until 8).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("key"))
-      }
-      val banded = fp.select(col("doc_id"), col("simhash"),
-        explode(array(bandCols: _*)).as("bk"))
-      banded.as("x").join(banded.as("y"),
-          col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-          col("x.simhash").as("a_fp"), col("y.simhash").as("b_fp"))
-        .distinct()
-        .withColumn("hamming",
-          bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast(IntegerType))
-        .filter(col("hamming") <= 6)
-        .select("a_id", "b_id", "hamming")
-        .orderBy("a_id", "b_id")
-    },
+    GQuery("d05_simhash_pairs", (s, d) =>
+      simhashPairs(s, d).orderBy("a_id", "b_id"),
       Some(s"""WITH $oSimhashCte
               |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
               |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
               |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-              |ORDER BY a_id, b_id""".stripMargin))
+              |ORDER BY a_id, b_id""".stripMargin)),
+
+    // Duplicate CLUSTERS — the op a training pipeline actually runs over a
+    // near-dup pair graph (keep ONE representative per transitive group;
+    // pairs alone under-remove: a~b, b~c must collapse {a,b,c} even when
+    // a!~c). Connected components by iterative min-label propagation with
+    // pointer jumping: per round, (1) every node takes the min label among
+    // itself and its neighbors (one equality-join shuffle + partial-agg
+    // min), then (2) label <- label(label) (one self-join) — the pointer
+    // jump halves chain depth so rounds are O(log diameter), not
+    // O(diameter). Labels only decrease, so sum(label) is a strictly
+    // decreasing monotone: one scalar aggregate per round detects the
+    // fixpoint with no driver-side graph state beyond that scalar (the
+    // GraphX-CC coordination shape). Each round rematerializes the labels
+    // as a persisted RDD-backed frame (plan barrier): the round's plan
+    // references `labels` three times, so composing DataFrames across
+    // rounds would grow the Catalyst tree exponentially; the barrier keeps
+    // every round's plan flat and lets the previous round's storage be
+    // released as soon as the next is materialized.
+    GQuery("d06_dup_clusters", (s, d) => {
+      val pairs = simhashPairs(s, d).select(col("a_id"), col("b_id"))
+      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .tracked
+      // populate the edge cache BEFORE the loop: each round's plan reads
+      // edges from two branches, and an unpopulated cache would run the
+      // whole LSH pipeline once per branch in round 1
+      edges.count()
+      val labelSchema = new StructType()
+        .add("node", LongType).add("label", LongType)
+      // decimal sum: immune to long overflow when node ids are dense at
+      // 100 TB row counts (1e12 ids sum past 2^63)
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+      var rdd = Tables.documents(s, d)
+        .select(col("doc_id").cast(LongType).as("node"),
+          col("doc_id").cast(LongType).as("label"))
+        .rdd.persist()
+      var labels = s.createDataFrame(rdd, labelSchema)
+      var last = labelSum(labels)
+      var converged = false
+      var round = 0
+      while (!converged && round < 40) {
+        round += 1
+        val t0 = System.nanoTime()
+        val nbrMin = edges.join(labels, col("src") === col("node"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+        // barrier before the pointer jump: the jump self-joins this frame,
+        // so without materialization its subtree would compute twice
+        val mergedRdd = labels.join(nbrMin, col("node") === col("dst"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          .rdd.persist()
+        val merged = s.createDataFrame(mergedRdd, labelSchema)
+        // pointer jump: label(v) <- label(label(v)); every label IS a node
+        // id (min over node-id-valued labels), so the lookup join hits
+        val jumped = merged.as("x")
+          .join(merged.select(col("node").as("pn"), col("label").as("pl")),
+            col("x.label") === col("pn"), "left")
+          .select(col("x.node").as("node"),
+            coalesce(col("pl"), col("x.label")).as("label"))
+        val nextRdd = jumped.rdd.persist()
+        val next = s.createDataFrame(nextRdd, labelSchema)
+        val now = labelSum(next) // materializes nextRdd
+        mergedRdd.unpersist(blocking = false)
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(s"[cc] round $round sum=$now ${(System.nanoTime() - t0) / 1e9}s")
+        converged = now.compareTo(last) == 0
+        last = now
+        rdd.unpersist(blocking = false)
+        rdd = nextRdd
+        labels = next
+      }
+      graft.CacheScope.trackRdd(rdd) // released after the consuming action
+      val sizes = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH RECURSIVE $oSimhashCte,
+              |pairs AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+              |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+              |edges AS (
+              |  SELECT a_id AS src, b_id AS dst FROM pairs
+              |  UNION ALL
+              |  SELECT b_id AS src, a_id AS dst FROM pairs),
+              |walk(node, label) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+              |cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+              |       FROM walk GROUP BY node)
+              |SELECT c.doc_id, c.cluster_id, s.cluster_size
+              |FROM cc c JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+              |                FROM cc GROUP BY cluster_id) s USING (cluster_id)
+              |ORDER BY c.doc_id""".stripMargin))
   )
 }

@@ -102,6 +102,51 @@ object Multimodal {
              |  CAST(MIN(16 + octet_length(encode(text)) % 640) AS INT) AS min_w,
              |  CAST(MAX(16 + (octet_length(encode(text)) * 7) % 480) AS INT) AS max_h
              |FROM documents
-             |GROUP BY 1 ORDER BY bucket""".stripMargin))
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Video frame sampling — the third multimodal plumbing shape after
+    // metadata-extract (m01) and batch-decode (m02): one input payload row
+    // fans out to N sampled-frame rows (1 frame per "second" of fake
+    // video). The expansion runs as a streaming flatMap inside
+    // mapPartitions (a real frame grabber would seek/decode per sample
+    // here): payload bytes never leave the executor, output rows stream
+    // without buffering a document's full frame list, and the fan-out
+    // factor is bounded by the sampling rate, not the video length.
+    // fps/frame-count/brightness are deterministic functions of the
+    // payload byte length, so the whole fan-out is oracle-checkable.
+    GQuery("m03_frame_sample", (s, d) => {
+      val in = payloads(s, d)
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("frame_idx", IntegerType),
+        StructField("ts_ms", LongType),
+        StructField("brightness", IntegerType)))
+      implicit val enc = RowEncoder.encoderFor(outSchema)
+      in.select("doc_id", "payload").mapPartitions { rows =>
+        // per-partition codec/frame-grabber init would go here
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val len = r.getAs[Array[Byte]](1).length
+          val fps = 1 + len % 24 // fake container metadata
+          val seconds = 1 + len % 10 // fake duration, 1 sample/second
+          (0 until seconds).iterator.map { k =>
+            val frameIdx = k * fps
+            Row(id, frameIdx, k * 1000L, len * (frameIdx + 1) % 256)
+          }
+        }
+      }.orderBy("doc_id", "frame_idx")
+    },
+      Some("""WITH p AS (
+             |  SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS len
+             |  FROM documents),
+             |f AS (SELECT doc_id, len, 1 + len % 24 AS fps,
+             |             1 + len % 10 AS n FROM p),
+             |k AS (SELECT doc_id, len, fps, unnest(range(0, n)) AS k FROM f)
+             |SELECT doc_id,
+             |  CAST(k * fps AS INT) AS frame_idx,
+             |  CAST(k * 1000 AS BIGINT) AS ts_ms,
+             |  CAST(len * (k * fps + 1) % 256 AS INT) AS brightness
+             |FROM k
+             |ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

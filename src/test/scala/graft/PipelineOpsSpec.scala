@@ -77,6 +77,25 @@ class DedupSpec extends GraftSpec {
       .count()
     assert(df.count() == brute)
   }
+
+  test("d06 clusters: every near-dup pair lands in one cluster, labels are min ids") {
+    val cc = run("d06_dup_clusters").cache()
+    val docs = Tables.documents(spark, sf).count()
+    assert(cc.count() == docs, "every doc gets a cluster row")
+    // transitivity contract: both endpoints of every d05 pair share a cluster
+    val pairs = run("d05_simhash_pairs")
+    val viol = pairs
+      .join(cc.select(col("doc_id").as("a_id"), col("cluster_id").as("ca")), "a_id")
+      .join(cc.select(col("doc_id").as("b_id"), col("cluster_id").as("cb")), "b_id")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(viol == 0, s"$viol pairs split across clusters")
+    // the label is the min doc_id of its component, and sizes add up
+    assert(cc.filter(col("cluster_id") > col("doc_id")).count() == 0)
+    val sizeSum = cc.select(col("cluster_id"), col("cluster_size")).distinct()
+      .agg(sum(col("cluster_size"))).head.getLong(0)
+    assert(sizeSum == docs)
+    cc.unpersist()
+  }
 }
 
 class VectorOpsSpec extends GraftSpec {
@@ -152,6 +171,23 @@ class MultimodalSpec extends GraftSpec {
   test("m02 mapPartitions decode aggregates per bucket") {
     val df = run("m02_multimodal_decode")
     assert(df.count() > 0 && df.count() <= 10)
+  }
+
+  test("m03 frame sampling: one row per sampled frame, deterministic layout") {
+    val frames = run("m03_frame_sample").cache()
+    val docs = Tables.documents(spark, sf)
+    // frame count per doc = 1 + byte_len % 10 (UTF-8 bytes, not chars)
+    val want = docs.select(
+      col("doc_id"),
+      (lit(1) + octet_length(encode(col("text"), "UTF-8")) % 10).as("n"))
+    val got = frames.groupBy("doc_id").count()
+    val bad = want.join(got, "doc_id")
+      .filter(col("n") =!= col("count")).count()
+    assert(bad == 0, s"$bad docs with wrong sampled-frame count")
+    // within a doc: ts strictly increasing, frame_idx = second * fps
+    assert(frames.filter(col("ts_ms") % 1000 =!= 0).count() == 0)
+    assert(frames.count() == want.agg(sum(col("n"))).head.getLong(0))
+    frames.unpersist()
   }
 }
 
