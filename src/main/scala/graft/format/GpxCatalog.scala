@@ -167,6 +167,17 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       try bout.write(s"${b.column}\n${b.numBuckets}".getBytes("UTF-8"))
       finally bout.close()
     }
+    // TBLPROPERTIES('sort_by'='c1,c2') -> ordered layout: INSERTs sort
+    // within partitions on these columns so zone maps stay selective
+    // (the reference's ordered table path, proto/pixels.proto layouts)
+    Option(properties.get("sort_by")).foreach { sb =>
+      val cols = sb.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      cols.foreach(c => require(schema.fieldNames.contains(c),
+        s"sort_by column $c not in schema"))
+      val sout = fs.create(new Path(dir, "_sortspec"), true)
+      try sout.write(cols.mkString("\n").getBytes("UTF-8"))
+      finally sout.close()
+    }
     new GpxTable(schema, Seq(dir.toString), catalogManaged = true)
   }
 

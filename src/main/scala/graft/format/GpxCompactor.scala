@@ -35,6 +35,14 @@ object GpxCompactor {
       try o.write(s"${b.column}\n${b.numBuckets}".getBytes("UTF-8"))
       finally o.close()
     }
+    // carry the sort-clustering sidecar: byte-copy compaction preserves
+    // row order, so the ordered layout (and future INSERTs' sorting) holds
+    val sortSpec = GpxTable.readSortSpec(inDir, conf)
+    if (sortSpec.nonEmpty) {
+      val o = fs.create(new Path(outPath, "_sortspec"), true)
+      try o.write(sortSpec.mkString("\n").getBytes("UTF-8"))
+      finally o.close()
+    }
 
     val schema = GpxFileReader.FooterCache.get(files.head, conf).schema
     var outIndex = 0

@@ -179,6 +179,25 @@ object GpxTable {
     }
   }
 
+  /** Sort-clustering sidecar (reference: the ORDERED layout path —
+    * pixels keeps an ordered and a compact path per table and its layout
+    * optimizer picks the write order; proto/pixels.proto layout fields).
+    * Data written under this spec is sorted WITHIN each task partition
+    * (no extra shuffle), which is what makes the per-row-group and
+    * per-pixel zone maps selective on the sort column at any scale.
+    * Format: one column name per line. */
+  def readSortSpec(root: String, conf: Configuration): Seq[String] = {
+    val p = new Path(root, "_sortspec")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.trim.split("\n").toSeq.filter(_.nonEmpty)
+    }
+  }
+
   /** engine-portable bucket id for a long key (documented hash; the same
     * function routes writes and prunes reads) */
   def bucketOf(key: Long, n: Int): Int = {
@@ -298,7 +317,14 @@ class GpxTable(schema: StructType, roots: Seq[String],
           GpxTable.readBucketSpec(_, new Configuration()))
       else None
     }
-    new GpxWriteBuilder(info.schema(), roots.head, rgRows, pxRows, commitTs, bucket)
+    // sort clustering: per-write option, or the table's persisted layout
+    val sortBy = Option(info.options.get("sortBy"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(roots.headOption
+        .map(GpxTable.readSortSpec(_, new Configuration()))
+        .getOrElse(Seq.empty))
+    new GpxWriteBuilder(info.schema(), roots.head, rgRows, pxRows, commitTs,
+      bucket, sortBy)
   }
 }
 
@@ -762,15 +788,36 @@ class GpxReaderFactory(required: StructType)
 // ---------------- write path ----------------
 
 class GpxWriteBuilder(schema: StructType, path: String, rgRows: Int,
-    pxRows: Int, commitTs: Long, bucket: Option[GpxTable.BucketSpec])
+    pxRows: Int, commitTs: Long, bucket: Option[GpxTable.BucketSpec],
+    sortBy: Seq[String] = Seq.empty)
   extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+    /** Sort clustering (ordered layout): declare the required write order
+      * and let SPARK insert the sort — the planner fuses/elides it when
+      * the incoming data is already ordered. Within-partition only: zone
+      * map selectivity needs local runs, not a global order, so no range
+      * shuffle is forced on the write. */
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      sortBy.map { c =>
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+      }.toArray
+
     override def toBatch: BatchWrite =
-      new GpxBatchWrite(schema, path, doTruncate, rgRows, pxRows, commitTs, bucket)
+      new GpxBatchWrite(schema, path, doTruncate, rgRows, pxRows, commitTs,
+        bucket, sortBy)
 
     /** Streaming sink (`writeStream.format("gpx")`): append one gpx file
       * per (epoch, partition) micro-batch slice — the streaming analog of
@@ -881,7 +928,8 @@ final case class GpxStreamingWriterFactory(
   * footer-less partial at a visible name. opId in the final file names
   * keeps append batches from different writers/JVMs collision-free. */
 class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
-    rgRows: Int, pxRows: Int, commitTs: Long, bucket: Option[GpxTable.BucketSpec])
+    rgRows: Int, pxRows: Int, commitTs: Long, bucket: Option[GpxTable.BucketSpec],
+    sortBy: Seq[String] = Seq.empty)
   extends BatchWrite {
 
   private val opId = java.util.UUID.randomUUID().toString.take(8)
@@ -905,6 +953,14 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
       fs.mkdirs(p)
       val out = fs.create(new Path(p, "_bucketspec"), true)
       try out.write(s"${b.column}\n${b.numBuckets}".getBytes("UTF-8"))
+      finally out.close()
+    }
+    if (sortBy.nonEmpty) {
+      sortBy.foreach(c => require(schema.fieldNames.contains(c),
+        s"sortBy column $c not in schema"))
+      fs.mkdirs(p)
+      val out = fs.create(new Path(p, "_sortspec"), true)
+      try out.write(sortBy.mkString("\n").getBytes("UTF-8"))
       finally out.close()
     }
     GpxWriterFactory(schema, staging, opId, rgRows, pxRows, commitTs, bucket)

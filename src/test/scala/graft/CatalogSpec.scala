@@ -142,6 +142,39 @@ class CatalogSpec extends GraftSpec {
     assert(e.getMessage.contains("bucket"))
   }
 
+  test("TBLPROPERTIES sort_by: SQL-declared ordered layout clusters INSERTs") {
+    val wh = Files.createTempDirectory("gpx_ddls").toString
+    sp.conf.set("spark.sql.catalog.gsrt", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gsrt.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gsrt.db")
+    sp.sql("""CREATE TABLE gsrt.db.t (id BIGINT, v STRING) USING gpx
+             |TBLPROPERTIES ('sort_by' = 'id')""".stripMargin)
+    // INSERT deliberately scrambled input; the table's ordered layout
+    // must sort it before the writer sees rows
+    sp.sql("""INSERT INTO gsrt.db.t
+             |SELECT (id * 48271) % 20011 AS id, CAST(id AS STRING) AS v
+             |FROM range(20011)""".stripMargin)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    assert(graft.format.GpxTable.readSortSpec(s"$wh/db/t", conf) == Seq("id"))
+    val files = graft.format.GpxTable.listFiles(Seq(s"$wh/db/t"), conf)
+    // every file is internally ordered: row-group min/max ranges on the
+    // sort column must not overlap within a file
+    files.foreach { f =>
+      val footer = graft.format.GpxFileReader.readFooter(f, conf)
+      val i = footer.schema.fieldIndex("id")
+      val ranges = footer.rowGroups.toSeq.map { rg =>
+        val st = rg.chunks(i).stats
+        (st.minLong, st.maxLong)
+      }
+      ranges.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) =>
+          assert(aMax <= bMin, s"row groups out of order in $f: $ranges")
+        case _ => ()
+      }
+    }
+    assert(sp.table("gsrt.db.t").count() == 20011)
+  }
+
   test("INSERT OVERWRITE keeps the catalog record and the bucket layout") {
     val wh = Files.createTempDirectory("gpx_ovw").toString
     sp.conf.set("spark.sql.catalog.govw", "graft.format.GpxCatalog")

@@ -316,6 +316,42 @@ class FormatSpec extends GraftSpec {
     info(s"runtime filter invocations: ${graft.format.GpxScan.runtimeFilterCalls.get() - before}")
   }
 
+  test("sortBy write clusters unsorted data so zone maps prune; spec persists") {
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = rnd.shuffle((0 until 10000).toVector)
+      .map(i => (i.toLong, s"v$i")).toDF("id", "s")
+    val dir = tmp()
+    // the INPUT is shuffled; the writer's required ordering must sort it
+    df.coalesce(1).write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "500").option("sortBy", "id").save(dir)
+    val conf = new Configuration()
+    val file = graft.format.GpxTable.listFiles(Seq(dir), conf).head
+    val footer = GpxFileReader.readFooter(file, conf)
+    assert(footer.rowGroups.length >= 20)
+    val hi = GreaterThan("id", 9000L)
+    val kept = footer.rowGroups.count(GpxFileReader.mayMatch(hi, footer.schema, _))
+    assert(kept <= 3, s"sortBy write left $kept of ${footer.rowGroups.length} " +
+      "row groups matching a 10% tail predicate — data not clustered")
+    // rows intact (same multiset), just reordered
+    val back = sp.read.format("gpx").load(dir)
+    assert(back.count() == 10000 &&
+      back.select(sum(col("id"))).head.getLong(0) == 10000L * 9999 / 2)
+    // the layout persists as table metadata: a later APPEND without the
+    // option is still sorted (one run per new file)
+    val more = rnd.shuffle((10000 until 12000).toVector)
+      .map(i => (i.toLong, s"v$i")).toDF("id", "s")
+    more.coalesce(1).write.format("gpx").mode("append")
+      .option("rowGroupRows", "500").save(dir)
+    val files2 = graft.format.GpxTable.listFiles(Seq(dir), conf)
+    assert(files2.length == 2)
+    val newFile = files2.filterNot(_ == file).head
+    val f2 = GpxFileReader.readFooter(newFile, conf)
+    val hi2 = GreaterThan("id", 11800L)
+    val kept2 = f2.rowGroups.count(GpxFileReader.mayMatch(hi2, f2.schema, _))
+    assert(kept2 <= 2, s"appended file not clustered: kept $kept2 of ${f2.rowGroups.length}")
+  }
+
   test("pixel-level zone maps skip sub-row-group ranges") {
     import sp.implicits._
     // ONE row group of 16384 rows, 16 pixels of 1024: a point filter must
