@@ -26,10 +26,17 @@ object Bench {
       finally CacheScope.release() // caches must not bleed across queries
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Driver stores only the last ~2000 chars of output: keep the whole
+    // JSON line short (id-prefix keys, 3-decimal seconds) so it survives
+    // intact and machine-parseable. Full name = id prefix of the entry
+    // in SparkEntry.queries (q42 -> q42_tpch_q21_waiting_supplier).
+    def s3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) =>
+      val short = k.takeWhile(_ != '_')
+      s""""$short":${s3(v)}"""
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
