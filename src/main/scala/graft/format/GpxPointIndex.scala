@@ -112,6 +112,14 @@ object GpxPointIndex {
   def stringKey(s: String): Long =
     stringKey(org.apache.spark.unsafe.types.UTF8String.fromString(s))
 
+  /** stable 64-bit index key for a binary value (the reference's index
+    * keys are arbitrary bytes, proto/index.proto:36-37 — this is the
+    * direct analog; same collision story as strings: the scan re-checks
+    * the real predicate above the index-pruned read). */
+  def bytesKey(b: Array[Byte]): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+
   /** indexable column value at position i -> index key (dates ride as
     * epoch days, exactly how the column is stored; strings hash) */
   private def keyAt(row: org.apache.spark.sql.catalyst.InternalRow, i: Int,
@@ -122,6 +130,7 @@ object GpxPointIndex {
     case ByteType => row.getByte(i).toLong
     case BooleanType => if (row.getBoolean(i)) 1L else 0L
     case StringType => stringKey(row.getUTF8String(i))
+    case BinaryType => bytesKey(row.getBinary(i))
     case other => throw new IllegalArgumentException(s"unindexable $other")
   }
 
@@ -143,12 +152,14 @@ object GpxPointIndex {
       Some(t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000)
     case s: String => Some(stringKey(s))
     case s: org.apache.spark.unsafe.types.UTF8String => Some(stringKey(s))
+    case b: Array[Byte] => Some(bytesKey(b))
     case _ => None
   }
 
   def indexable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DateType | ShortType | ByteType |
-         BooleanType | TimestampType | TimestampNTZType | StringType => true
+         BooleanType | TimestampType | TimestampNTZType | StringType |
+         BinaryType => true
     case _ => false
   }
 
@@ -268,7 +279,8 @@ object GpxPointIndex {
     * to a normal scan when the index can't serve. */
   def lookup(spark: SparkSession, table: String, column: String,
       keys: Set[Long], columns: Seq[String]): DataFrame =
-    lookupImpl(spark, table, column, keys, columns, exact = None)
+    lookupImpl(spark, table, column, keys, columns,
+      exact = None, fallback = keys.toSeq)
 
   /** String-key point lookup: probes the index with xxhash64 keys, then
     * verifies ACTUAL string equality row-level, so hash collisions can
@@ -276,14 +288,28 @@ object GpxPointIndex {
   def lookupString(spark: SparkSession, table: String, column: String,
       strKeys: Set[String], columns: Seq[String]): DataFrame =
     lookupImpl(spark, table, column, strKeys.map(stringKey), columns,
-      exact = Some(strKeys))
+      exact = Some((r, i) => strKeys.contains(r.getUTF8String(i).toString)),
+      fallback = strKeys.toSeq)
+
+  /** Binary-key point lookup (the reference's native key shape — index
+    * keys are arbitrary bytes, proto/index.proto:36-37): probes with
+    * xxhash64 keys, verifies actual byte equality row-level. */
+  def lookupBinary(spark: SparkSession, table: String, column: String,
+      binKeys: Set[Seq[Byte]], columns: Seq[String]): DataFrame = {
+    val arrs = binKeys.toSeq.map(_.toArray)
+    lookupImpl(spark, table, column, arrs.map(bytesKey).toSet, columns,
+      exact = Some((r, i) =>
+        arrs.exists(java.util.Arrays.equals(_, r.getBinary(i)))),
+      fallback = arrs)
+  }
 
   private def lookupImpl(spark: SparkSession, table: String, column: String,
       keys: Set[Long], columns: Seq[String],
-      exact: Option[Set[String]]): DataFrame = {
+      exact: Option[(org.apache.spark.sql.catalyst.InternalRow, Int) => Boolean],
+      fallback: Seq[Any]): DataFrame = {
     import org.apache.spark.sql.functions.col
     val conf = new Configuration()
-    def fallbackValues: Seq[Any] = exact.map(_.toSeq).getOrElse(keys.toSeq)
+    def fallbackValues: Seq[Any] = fallback
     entriesFor(table, column, keys, conf) match {
       case None =>
         spark.read.format("gpx").load(table)
@@ -326,7 +352,7 @@ object GpxPointIndex {
               while (it.hasNext) {
                 val r = it.next()
                 val hit = !r.isNullAt(kPos) && (exact match {
-                  case Some(ss) => ss.contains(r.getUTF8String(kPos).toString)
+                  case Some(chk) => chk(r, kPos)
                   case None => keys.contains(keyAt(r, kPos, keyDt))
                 })
                 if (hit)

@@ -189,6 +189,35 @@ class PointIndexSpec extends GraftSpec {
       Seq("doc_key")).collect().isEmpty)
   }
 
+  test("binary-keyed index: hashed keys, exact byte-level verification") {
+    val d = Files.createTempDirectory("gpx_idx_bin").toString
+    Tables.documents(sp, sf)
+      .withColumn("bkey", sha2(col("text"), 256).cast("binary"))
+      .repartition(4)
+      .write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "64").save(d)
+    GpxPointIndex.build(sp, d, "bkey", numBuckets = 4)
+    assert(GpxPointIndex.valid(d, "bkey", conf))
+    val keys: Set[Seq[Byte]] = sp.read.format("gpx").load(d).select("bkey")
+      .limit(3).collect().map(_.getAs[Array[Byte]](0).toSeq).toSet
+    val viaIndex = GpxPointIndex.lookupBinary(sp, d, "bkey", keys,
+      Seq("doc_id", "n_chars"))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val arrs = keys.toSeq.map(_.toArray)
+    val viaScan = sp.read.format("gpx").load(d)
+      .filter(col("bkey").isin(arrs: _*))
+      .select("doc_id", "n_chars")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(viaIndex.nonEmpty && viaIndex.toSeq == viaScan.toSeq)
+    // planning hook: pushed binary equality consults the index
+    val allowed = GpxPointIndex.allowedRowGroups(
+      d, Array[Filter](EqualTo("bkey", arrs.head)), conf)
+    assert(allowed.isDefined && allowed.get.nonEmpty)
+    // absent key -> empty, not an error
+    assert(GpxPointIndex.lookupBinary(sp, d, "bkey",
+      Set(Seq[Byte](1, 2, 3)), Seq("doc_id")).collect().isEmpty)
+  }
+
   test("equalityKeys intersects same-column conjuncts") {
     val fs: Array[Filter] = Array(
       In("k", Array(1, 2, 3)), EqualTo("k", 2), EqualTo("other", "x"))
