@@ -597,9 +597,12 @@ class GpxScan(
     filters.flatMap(filesOf).reduceOption(_ intersect _)
   }
 
-  private def computeKept(): (Array[GpxInputPartition], Long, Long) = {
+  private def computeKept(): (Array[GpxInputPartition], Long, Long, Array[ChunkStats]) = {
     GpxScan.pruningWalks.incrementAndGet()
     val conf = new Configuration()
+    // per-REQUIRED-column stats merged over kept row groups (feeds
+    // estimateStatistics().columnStats; null slot = nothing merged yet)
+    val colStats = new Array[ChunkStats](required.fields.length)
     val buckets = eligibleBuckets(conf)
     val allowedFiles = eligibleFiles
     // clear-then-record: the LAST walk before execution (after any runtime
@@ -681,12 +684,24 @@ class GpxScan(
               cols.foreach { c =>
                 totalBytes += (if (c == null) 8L * numRows else c.map(_.length.toLong).sum)
               }
+              // row-group-level column stats (conservative vs the pixel
+              // pruning above: may cover a few more rows than get read)
+              physIdx.zipWithIndex.foreach { case (ci, ri) =>
+                val st =
+                  if (ci == -1) ChunkStats.unreliable // synthetic constant
+                  else if (ci == -2) // absent in this file -> all nulls
+                    ChunkStats.empty.copy(nullCount = rg.numRows.toLong)
+                  else rg.chunks(ci).stats
+                colStats(ri) =
+                  if (colStats(ri) == null) st
+                  else ChunkStats.merge(colStats(ri), st)
+              }
             }
           }
         }
       }
     }
-    (parts.toArray, totalRows, math.max(totalBytes, 1L))
+    (parts.toArray, totalRows, math.max(totalBytes, 1L), colStats)
   }
 
   // One pruning walk per filter set: estimateStatistics runs on the
@@ -694,9 +709,9 @@ class GpxScan(
   // filters arrive. When none arrived in between, the filter set is
   // unchanged and the cached walk is reused — at 100k files the walk is
   // real driver CPU even with cache-served footers.
-  @volatile private var keptCache: (Seq[Filter], (Array[GpxInputPartition], Long, Long)) = null
+  @volatile private var keptCache: (Seq[Filter], (Array[GpxInputPartition], Long, Long, Array[ChunkStats])) = null
 
-  private def kept(): (Array[GpxInputPartition], Long, Long) = synchronized {
+  private def kept(): (Array[GpxInputPartition], Long, Long, Array[ChunkStats]) = synchronized {
     val fs = filters.toSeq
     val c = keptCache
     if (c != null && c._1 == fs) c._2
@@ -715,12 +730,58 @@ class GpxScan(
   /** Footer-derived stats AFTER zone-map pruning, sized to the pruned
     * column set — feeds CBO/AQE broadcast decisions with real numbers
     * (the reference's PlanOptimizer does the same from its metadata stats,
-    * PlanOptimizer.java:94-204). */
+    * PlanOptimizer.java:94-204). Per-column min/max/nullCount merged from
+    * the kept row groups' zone maps flow into Catalyst's attributeStats
+    * (transformV2Stats), so CBO filter/join estimation sees real ranges
+    * without an ANALYZE pass — the scan already walked the footers. */
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(statsSnapshot._3)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.of(statsSnapshot._2)
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      required.fields.zip(statsSnapshot._4).foreach { case (fd, st) =>
+        if (st != null && st.reliable) {
+          // min/max must arrive as the column's EXTERNAL Catalyst value
+          // class — estimation casts by dataType (EstimationUtils)
+          val (mn, mx): (Option[Object], Option[Object]) =
+            if (!st.hasValues) (None, None)
+            else fd.dataType match {
+              case LongType | TimestampType | TimestampNTZType =>
+                (Some(Long.box(st.minLong)), Some(Long.box(st.maxLong)))
+              case IntegerType | DateType =>
+                (Some(Int.box(st.minLong.toInt)), Some(Int.box(st.maxLong.toInt)))
+              case ShortType =>
+                (Some(Short.box(st.minLong.toShort)), Some(Short.box(st.maxLong.toShort)))
+              case ByteType =>
+                (Some(Byte.box(st.minLong.toByte)), Some(Byte.box(st.maxLong.toByte)))
+              case DoubleType if !st.minDouble.isNaN && !st.maxDouble.isNaN =>
+                (Some(Double.box(st.minDouble)), Some(Double.box(st.maxDouble)))
+              case FloatType if !st.minDouble.isNaN && !st.maxDouble.isNaN =>
+                (Some(Float.box(st.minDouble.toFloat)), Some(Float.box(st.maxDouble.toFloat)))
+              case _ => (None, None) // strings/decimals/bool: nullCount only
+            }
+          m.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(fd.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def nullCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(st.nullCount)
+              override def min(): java.util.Optional[Object] =
+                mn.map(java.util.Optional.of[Object])
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                mx.map(java.util.Optional.of[Object])
+                  .getOrElse(java.util.Optional.empty[Object]())
+            })
+        }
+      }
+      m
+    }
   }
 
   /** Bucketed layout + bucket column still in the output => key-grouped on

@@ -316,6 +316,33 @@ class FormatSpec extends GraftSpec {
     info(s"runtime filter invocations: ${graft.format.GpxScan.runtimeFilterCalls.get() - before}")
   }
 
+  test("footer column stats flow into Catalyst attributeStats for CBO") {
+    import sp.implicits._
+    val df = (0 until 5000)
+      .map(i => (i.toLong, i % 100, if (i % 10 == 3) null else s"v$i"))
+      .toDF("id", "grp", "s")
+    val dir = tmp()
+    df.coalesce(1).write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "1000").save(dir)
+    val q = sp.read.format("gpx").load(dir)
+    val rel = q.queryExecution.optimizedPlan
+    val stats = rel.stats
+    assert(stats.rowCount.contains(BigInt(5000)), s"rowCount=${stats.rowCount}")
+    val byName = stats.attributeStats.map { case (a, cs) => a.name -> cs }
+    assert(byName.contains("id") && byName.contains("grp"), byName.keys)
+    assert(byName("id").min.contains(0L) && byName("id").max.contains(4999L),
+      byName("id"))
+    assert(byName("grp").min.contains(0) && byName("grp").max.contains(99))
+    assert(byName("s").nullCount.contains(BigInt(500)), byName("s"))
+    // pruned scans report stats over the KEPT row groups only
+    val q2 = sp.read.format("gpx").load(dir).filter(col("id") >= 4000L)
+    val s2 = q2.queryExecution.optimizedPlan.collectLeaves().head.stats
+    assert(s2.rowCount.exists(_ <= BigInt(1000)), s2.rowCount)
+    val mn2 = s2.attributeStats.collectFirst {
+      case (a, cs) if a.name == "id" => cs.min }.flatten
+    assert(mn2.contains(4000L), mn2)
+  }
+
   test("sortBy write clusters unsorted data so zone maps prune; spec persists") {
     import sp.implicits._
     val rnd = new scala.util.Random(7)
