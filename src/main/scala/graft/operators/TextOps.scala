@@ -110,6 +110,43 @@ object TextOps {
              |FROM documents GROUP BY lang
              |ORDER BY lang""".stripMargin)),
 
+    // BPE-ish token counting: a GPT-2-style pre-tokenizer splits letter
+    // runs, digit runs, and punctuation runs into separate tokens before
+    // byte-pair merging; counting those runs approximates the BPE token
+    // count without a merges table. The alternation's branches are
+    // disjoint on their first character, so Java (Spark) and RE2 (DuckDB)
+    // tokenize identically — partition-local expression math, no shuffle
+    // until the per-language rollup.
+    GQuery("t06_bpe_tokens", (s, d) => {
+      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+      // "source:id text" framing: the corpus text is pure letters+spaces,
+      // so the header's digits/punctuation are what exercises run
+      // splitting (a web-crawl doc carries exactly this kind of framing)
+      Tables.documents(s, d)
+        .select(col("lang"),
+          concat(col("source"), lit(":"), col("doc_id"), lit(" "), col("text"))
+            .as("framed"))
+        .select(col("lang"),
+          size(split(col("framed"), " ")).as("ws_tokens"),
+          size(regexp_extract_all(col("framed"), lit(pat), lit(0))).as("bpe_tokens"))
+        .groupBy("lang")
+        .agg(sum(col("ws_tokens")).as("ws_total"),
+          sum(col("bpe_tokens")).as("bpe_total"),
+          max(col("bpe_tokens")).as("bpe_max"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+      Some("""WITH f AS (SELECT lang,
+             |    source || ':' || doc_id || ' ' || text AS framed
+             |  FROM documents)
+             |SELECT lang,
+             |  CAST(SUM(len(string_split(framed, ' '))) AS BIGINT) AS ws_total,
+             |  CAST(SUM(len(regexp_extract_all(framed, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))) AS BIGINT) AS bpe_total,
+             |  CAST(MAX(len(regexp_extract_all(framed, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+'))) AS INT) AS bpe_max,
+             |  COUNT(*) AS n_docs
+             |FROM f GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
     // PII-style scrubbing: mask digit runs and long tokens via portable
     // string surgery (translate digits to '#'), report scrub statistics.
     GQuery("t05_scrub", (s, d) =>
