@@ -1,0 +1,30 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Streaming exact deduplication — the continuous-ingestion form of the
+  * batch d01 operator: documents arrive on a stream and only the FIRST
+  * occurrence of each content fingerprint passes through.
+  *
+  * Scale: `dropDuplicatesWithinWatermark` keys state by the md5
+  * fingerprint (one shuffle), and the event-time watermark BOUNDS the
+  * state — a fingerprint older than the watermark horizon is evicted, so
+  * state is O(arrival rate x horizon), never O(corpus). That is the only
+  * state policy that survives an unbounded stream; global-forever dedup
+  * of 100 TB/day needs the batch d01/d06 pass over the stored table
+  * instead (both views exist here, like the reference's retina
+  * (streaming) vs storage (batch) split).
+  */
+object StreamDedup {
+
+  /** rows: (ts, text, meta...) with an event-time column `ts`.
+    * Emits the first-seen row per content fingerprint, with fingerprints
+    * forgotten once older than `horizon` (e.g. "10 minutes"). */
+  def firstSeen(rows: DataFrame, tsCol: String, textCol: String,
+      horizon: String): DataFrame =
+    rows
+      .withColumn("fp", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("fp")
+}

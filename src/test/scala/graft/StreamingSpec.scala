@@ -108,6 +108,41 @@ class StreamingSpec extends GraftSpec {
     assert(click.getAs[Long]("n") == 2)
   }
 
+  test("streaming exact dedup: first occurrence passes, state bounded by watermark") {
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val source = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = graft.streaming.StreamDedup.firstSeen(
+      source.toDF().toDF("ts", "doc_id", "text"), "ts", "text", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    source.addData(
+      (t("2024-01-01 00:01:00"), 1L, "alpha beta"),
+      (t("2024-01-01 00:02:00"), 2L, "alpha beta"), // dup of 1 -> dropped
+      (t("2024-01-01 00:03:00"), 3L, "gamma"))
+    q.processAllAvailable()
+    source.addData(
+      (t("2024-01-01 00:04:00"), 4L, "alpha beta"), // still within horizon
+      (t("2024-01-01 00:05:00"), 5L, "delta"))
+    q.processAllAvailable()
+    // advance the watermark far past the horizon: fingerprint state for
+    // the old rows is evicted, so the same text passes again
+    source.addData((t("2024-01-01 01:00:00"), 6L, "tick"))
+    q.processAllAvailable()
+    source.addData((t("2024-01-01 01:01:00"), 7L, "alpha beta"))
+    q.processAllAvailable()
+    val ids = sp.table("sdedup").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(ids.contains(1L) && ids.contains(3L) && ids.contains(5L),
+      s"first occurrences must pass: $ids")
+    assert(!ids.contains(2L) && !ids.contains(4L),
+      s"within-horizon duplicates must drop: $ids")
+    assert(ids.contains(7L),
+      s"post-eviction repeat must pass again (bounded state): $ids")
+  }
+
   test("gpx streaming sink: writeStream lands queryable gpx files per epoch") {
     import sp.implicits._
     import org.apache.spark.sql.functions._
