@@ -23,8 +23,11 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally CacheScope.release() // caches must not bleed across queries
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // BLOCKING release OUTSIDE the timed window: async eviction debt
+      // from one query's caches must not drain into the next one's number
+      CacheScope.release(blocking = true)
+      name -> dt
     }
     // Driver stores only the last ~2000 chars of output: keep the whole
     // JSON line short (id-prefix keys, 3-decimal seconds) so it survives

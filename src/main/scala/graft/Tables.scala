@@ -85,8 +85,8 @@ object CacheScope {
     * frames) for release after the consuming action */
   def trackRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
     synchronized { rdds += rdd }
-  def release(): Unit = synchronized {
-    frames.foreach(_.unpersist(blocking = false)); frames.clear()
-    rdds.foreach(_.unpersist(blocking = false)); rdds.clear()
+  def release(blocking: Boolean = false): Unit = synchronized {
+    frames.foreach(_.unpersist(blocking)); frames.clear()
+    rdds.foreach(_.unpersist(blocking)); rdds.clear()
   }
 }
