@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import scala.collection.mutable
+import scala.util.Random
+
+/** Differential fuzzing of the DML surface: a seeded random sequence of
+  * INSERT / DELETE / UPDATE / MERGE against a gpx catalog table, mirrored
+  * op-for-op on an in-memory model. After every op the table must equal
+  * the model. At the end, FOR VERSION AS OF each recorded checkpoint is
+  * held to the engine's DOCUMENTED time-travel contract: gpx keeps ONE
+  * storage copy (COW rewrites supersede files — rows a later op deleted
+  * or updated are not retained as old versions), but every row a later
+  * op did NOT touch must read back exactly as of the checkpoint — that
+  * untouched-rows guarantee is what the original-commitTs carry on
+  * rewritten survivors exists to protect, and it must hold even for rows
+  * that were merely CO-LOCATED in a file some later op rewrote.
+  */
+class DmlFuzzSpec extends GraftSpec {
+  private val sp = TestSpark.spark
+
+  test("random INSERT/DELETE/UPDATE/MERGE sequence matches a model, incl. time travel") {
+    val wh = Files.createTempDirectory("gpx_dmlfuzz").toString
+    sp.conf.set("spark.sql.catalog.gfz", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gfz.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gfz.db")
+    sp.sql("CREATE TABLE gfz.db.t (id BIGINT, v BIGINT, s STRING) USING gpx")
+
+    val rnd = new Random(42)
+    val model = mutable.Map.empty[Long, (Long, String)]
+    var nextId = 0L
+    // (micros timestamp AFTER the op, model state AFTER the op)
+    val checkpoints = mutable.ArrayBuffer.empty[(Long, Map[Long, (Long, String)])]
+    // ids each op touched (inserted/deleted/updated/merged), op-ordered
+    val touchedByOp = mutable.ArrayBuffer.empty[Set[Long]]
+
+    def tableState(): Map[Long, (Long, String)] =
+      sp.table("gfz.db.t").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+
+    def lit(s: String) = s"'${s}'"
+
+    for (op <- 0 until 16) {
+      val touched: Set[Long] = rnd.nextInt(4) match {
+        case 0 => // INSERT a batch of brand-new ids
+          val ids = (0 until 1 + rnd.nextInt(40)).map { _ =>
+            val id = nextId; nextId += 1
+            val v = rnd.nextInt(1000).toLong
+            val s = s"s${rnd.nextInt(5)}"
+            model(id) = (v, s)
+            id
+          }
+          val rows = ids.map(id =>
+            s"($id, ${model(id)._1}, ${lit(model(id)._2)})")
+          sp.sql(s"INSERT INTO gfz.db.t VALUES ${rows.mkString(", ")}")
+          ids.toSet
+        case 1 if model.nonEmpty => // predicate DELETE
+          val m = 2 + rnd.nextInt(5)
+          val r = rnd.nextInt(m)
+          val hit = model.keys.filter(_ % m == r).toSet
+          sp.sql(s"DELETE FROM gfz.db.t WHERE id % $m = $r")
+          model.filterInPlace((id, _) => id % m != r)
+          hit
+        case 2 if model.nonEmpty => // range UPDATE
+          val lo = rnd.nextLong(math.max(1L, nextId))
+          val hi = lo + rnd.nextInt(30)
+          val c = 1 + rnd.nextInt(9)
+          sp.sql(s"UPDATE gfz.db.t SET v = v + $c WHERE id BETWEEN $lo AND $hi")
+          model.mapValuesInPlace { case (id, (v, s)) =>
+            if (id >= lo && id <= hi) (v + c, s) else (v, s)
+          }
+          model.keys.filter(id => id >= lo && id <= hi).toSet
+        case _ => // MERGE: upsert a mix of existing and new ids
+          val ids = (0 until 1 + rnd.nextInt(20)).map { _ =>
+            if (model.nonEmpty && rnd.nextBoolean())
+              model.keys.toSeq(rnd.nextInt(model.size))
+            else { val id = nextId; nextId += 1; id }
+          }.distinct
+          val src = ids.map { id =>
+            val v = rnd.nextInt(1000).toLong
+            val s = s"m${rnd.nextInt(5)}"
+            if (model.contains(id)) model(id) = (v, model(id)._2)
+            else model(id) = (v, s)
+            s"($id, $v, ${lit(s)})"
+          }
+          sp.sql(
+            s"""MERGE INTO gfz.db.t t
+               |USING (SELECT * FROM (VALUES ${src.mkString(", ")})
+               |       AS x(id, v, s)) s
+               |ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET t.v = s.v
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          ids.toSet
+      }
+      touchedByOp += touched
+      val got = tableState()
+      assert(got == model.toMap,
+        s"op $op diverged: table=${got.size} rows model=${model.size}; " +
+          s"diff=${(got.toSet diff model.toSet).take(3)} / " +
+          s"${(model.toSet diff got.toSet).take(3)}")
+      Thread.sleep(2) // commitTs are epoch micros: keep checkpoints distinct
+      checkpoints += ((System.currentTimeMillis() * 1000L, model.toMap))
+      Thread.sleep(2)
+    }
+
+    // Time travel, per the single-storage-copy contract: restricted to
+    // ids NO LATER OP TOUCHED, each checkpoint must reproduce its
+    // recorded state exactly — presence, values, and absence. (Rows
+    // later ops deleted/updated are physically superseded and may
+    // legitimately be missing; inserted-later rows must not leak in,
+    // which the untouched restriction also asserts.)
+    checkpoints.zipWithIndex.foreach { case ((ts, want), i) =>
+      val touchedAfter: Set[Long] =
+        touchedByOp.drop(i + 1).foldLeft(Set.empty[Long])(_ union _)
+      val got = sp.sql(s"SELECT * FROM gfz.db.t FOR VERSION AS OF $ts")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+        .toMap
+      val gotU = got.filterNot { case (id, _) => touchedAfter(id) }
+      val wantU = want.filterNot { case (id, _) => touchedAfter(id) }
+      assert(gotU == wantU,
+        s"checkpoint $i (ts=$ts) diverged on untouched rows: " +
+          s"${(gotU.toSet diff wantU.toSet).take(3)} / " +
+          s"${(wantU.toSet diff gotU.toSet).take(3)}")
+    }
+  }
+}
