@@ -124,12 +124,19 @@ object WideOps {
       .selectExpr(sparkBase: _*)
       .selectExpr(cols.map { case (n, e) => s"$e AS $n" }: _*)
 
-  /** hits stored once per sf in gpx, sorted (counter_id, event_sec) like
-    * ClickBench's (CounterID, EventDate) physical order */
+  /** hits stored once per sf in gpx, clustered like ClickBench's
+    * (CounterID, EventDate) physical order — via the ORDERED-LAYOUT path:
+    * hash-partition on counter_id (co-locates each counter's rows without
+    * the range-boundary sampling pass a global orderBy needs), then the
+    * writer's persisted `sortBy` spec sorts (counter_id, event_sec)
+    * within each partition. Same zone-map selectivity on the filter
+    * columns, one exchange, and the layout is table metadata (_sortspec)
+    * so later INSERTs keep it. */
   def hitsGpx(s: SparkSession, d: String): DataFrame = {
-    val dir = FormatOps.cachedDir(d, "hits") { dir =>
-      hitsDf(s, d).orderBy("counter_id", "event_sec")
+    val dir = FormatOps.cachedDir(d, "hits_ordered") { dir =>
+      hitsDf(s, d).repartition(col("counter_id"))
         .write.format("gpx").mode("overwrite")
+        .option("sortBy", "counter_id,event_sec")
         .option("rowGroupRows", "8192").save(dir)
     }
     s.read.format("gpx").load(dir)
