@@ -9,12 +9,14 @@ import org.apache.hadoop.conf.Configuration
   *   LOAD <parquetPathOrDir> <gpxDir> [rowGroupRows]   parquet -> gpx
   *   COMPACT <inDir> <outDir> [targetMB]               ordered -> compact
   *   INDEX <gpxDir> <column> [numBuckets]              build point index
+  *   VACUUM <gpxDir> [ttlMinutes]                      sweep orphaned staging
   *   STAT <gpxDirOrFile>                               footer/zone-map dump
   *   QUERY <sql> [warehouseDir]                        SQL via graft catalog
   */
 object Cli {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: Cli LOAD|COMPACT|STAT|QUERY ...")
+    require(args.nonEmpty,
+      "usage: Cli LOAD|COMPACT|INDEX|VACUUM|STAT|QUERY ...")
     args(0).toUpperCase match {
       case "LOAD" =>
         val spark = Tables.localSession(8)
@@ -40,6 +42,13 @@ object Cli {
         println(s"INDEXED $entries entries on ${args(2)} -> ${args(1)}/_index/${args(2)}")
         spark.stop()
 
+      case "VACUUM" =>
+        // VACUUM <gpxDir> [ttlMinutes] — sweep orphaned write-staging dirs
+        val ttl = (if (args.length > 2) args(2).toLong else 60L) * 60 * 1000
+        val swept = format.GpxMaintenance.vacuum(args(1), ttl)
+        println(s"VACUUMED ${swept.length} staging dirs under ${args(1)}")
+        swept.foreach(p => println(s"  $p"))
+
       case "STAT" =>
         val conf = new Configuration()
         GpxTable.listFiles(Seq(args(1)), conf).foreach { f =>
@@ -52,7 +61,8 @@ object Cli {
               val name = footer.schema(ci).name
               val enc = c.encoding match {
                 case 0 => "plain"; case 1 => "rle"; case 2 => "dict"
-                case 3 => "for"; case 4 => "sdec"; case e => s"enc$e"
+                case 3 => "for"; case 4 => "sdec"; case 5 => "xor64"
+                case 6 => "xor32"; case 7 => "delta"; case e => s"enc$e"
               }
               s"$name=$enc"
             }.mkString(" ")

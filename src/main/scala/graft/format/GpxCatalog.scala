@@ -201,6 +201,18 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
         require(GpxFormat.supported(add.dataType()),
           s"unsupported gpx type ${add.dataType()}")
         schema = schema.add(add.fieldNames().head, add.dataType(), nullable = true)
+      // ALTER TABLE ... SET TBLPROPERTIES('sort_by'='c1,c2'): turn on (or
+      // change) the ordered layout for an EXISTING table — existing files
+      // keep their order; subsequent INSERTs sort. UNSET removes it.
+      case set: TableChange.SetProperty if set.property == "sort_by" =>
+        val cols = set.value.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"sort_by column $c not in schema"))
+        val sout = fs.create(new Path(dir, "_sortspec"), true)
+        try sout.write(cols.mkString("\n").getBytes("UTF-8"))
+        finally sout.close()
+      case unset: TableChange.RemoveProperty if unset.property == "sort_by" =>
+        fs.delete(new Path(dir, "_sortspec"), false)
       case other =>
         throw new UnsupportedOperationException(s"alterTable: $other")
     }

@@ -173,6 +173,27 @@ class CatalogSpec extends GraftSpec {
       }
     }
     assert(sp.table("gsrt.db.t").count() == 20011)
+
+    // ALTER ... SET TBLPROPERTIES turns the layout on for existing tables
+    sp.sql("""CREATE TABLE gsrt.db.u (id BIGINT, v STRING) USING gpx""")
+    sp.sql("ALTER TABLE gsrt.db.u SET TBLPROPERTIES ('sort_by' = 'id')")
+    assert(graft.format.GpxTable.readSortSpec(s"$wh/db/u", conf) == Seq("id"))
+    sp.sql("""INSERT INTO gsrt.db.u
+             |SELECT (id * 48271) % 4999 AS id, CAST(id AS STRING) AS v
+             |FROM range(4999)""".stripMargin)
+    val uf = graft.format.GpxTable.listFiles(Seq(s"$wh/db/u"), conf)
+    uf.foreach { f =>
+      val footer = graft.format.GpxFileReader.readFooter(f, conf)
+      val i = footer.schema.fieldIndex("id")
+      val rs = footer.rowGroups.toSeq.map(rg =>
+        (rg.chunks(i).stats.minLong, rg.chunks(i).stats.maxLong))
+      rs.sliding(2).foreach {
+        case Seq((_, aMax), (bMin, _)) => assert(aMax <= bMin, s"$f: $rs")
+        case _ => ()
+      }
+    }
+    sp.sql("ALTER TABLE gsrt.db.u UNSET TBLPROPERTIES ('sort_by')")
+    assert(graft.format.GpxTable.readSortSpec(s"$wh/db/u", conf).isEmpty)
   }
 
   test("INSERT OVERWRITE keeps the catalog record and the bucket layout") {

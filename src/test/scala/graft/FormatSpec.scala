@@ -379,6 +379,46 @@ class FormatSpec extends GraftSpec {
     assert(kept2 <= 2, s"appended file not clustered: kept $kept2 of ${f2.rowGroups.length}")
   }
 
+  test("z-order clustering prunes on BOTH dimensions; plain sort only on one") {
+    import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 40000)
+      .map(_ => (rnd.nextInt(10000).toLong, rnd.nextInt(10000).toLong))
+      .toDF("x", "y")
+
+    def keptFraction(dir: String, colName: String): Double = {
+      val conf = new Configuration()
+      val files = graft.format.GpxTable.listFiles(Seq(dir), conf)
+      val f = GreaterThan(colName, 9000L) // 10% tail in either dimension
+      var kept = 0; var total = 0
+      files.foreach { p =>
+        val ft = GpxFileReader.readFooter(p, conf)
+        total += ft.rowGroups.length
+        kept += ft.rowGroups.count(GpxFileReader.mayMatch(f, ft.schema, _))
+      }
+      kept.toDouble / total
+    }
+
+    val zDir = tmp()
+    graft.format.ZOrder.cluster(df, "x", "y", partitions = 4)
+      .write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "1000").save(zDir)
+    val sDir = tmp()
+    df.repartitionByRange(4, col("x")).sortWithinPartitions("x")
+      .write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "1000").save(sDir)
+
+    // plain x-sort: selective on x, blind on y
+    assert(keptFraction(sDir, "x") < 0.25, s"x-sorted x-prune ${keptFraction(sDir, "x")}")
+    assert(keptFraction(sDir, "y") > 0.9, s"x-sorted y-prune ${keptFraction(sDir, "y")}")
+    // z-order: selective on BOTH
+    assert(keptFraction(zDir, "x") < 0.5, s"zorder x-prune ${keptFraction(zDir, "x")}")
+    assert(keptFraction(zDir, "y") < 0.5, s"zorder y-prune ${keptFraction(zDir, "y")}")
+    // and the data is intact
+    assert(sp.read.format("gpx").load(zDir).agg(sum(col("x")), sum(col("y")))
+      .head().toSeq == df.agg(sum(col("x")), sum(col("y"))).head().toSeq)
+  }
+
   test("pixel-level zone maps skip sub-row-group ranges") {
     import sp.implicits._
     // ONE row group of 16384 rows, 16 pixels of 1024: a point filter must
