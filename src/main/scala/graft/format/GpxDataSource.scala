@@ -340,7 +340,8 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   /** schema of what's physically in the files (no synthetic columns) */
   private val fileSchema =
@@ -349,6 +350,22 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
   private var required: StructType = tableSchema
   private var filters: Array[Filter] = Array.empty
   private var pushedAgg: Option[Aggregation] = None
+  private var limit: Option[Int] = None
+
+  /** Limit pushdown: `SELECT ... LIMIT n` on a bare scan plans only
+    * enough row groups to cover n rows instead of the whole table — the
+    * difference between an interactive peek and a 100 TB scan. Spark
+    * only pushes when Limit sits directly on the scan (our filters stay
+    * above as Spark-evaluated), and `isPartiallyPushed` keeps Spark's
+    * exact Limit on top, so row-group-granular truncation is safe.
+    * COW row-level scans must never truncate (a skipped row would be a
+    * lost row). */
+  override def pushLimit(l: Int): Boolean = {
+    if (fileGranular.isDefined || filters.nonEmpty) return false
+    limit = Some(l)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     // keep every filter for zone-map skipping, but report none as fully
@@ -405,7 +422,8 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new GpxStatsScan(fileSchema, agg, roots, snapshotTs)
     case None =>
-      new GpxScan(fileSchema, required, filters, roots, snapshotTs, fileGranular)
+      new GpxScan(fileSchema, required, filters, roots, snapshotTs,
+        fileGranular, limit)
   }
 }
 
@@ -521,7 +539,8 @@ class GpxScan(
     planningFilters: Array[Filter],
     roots: Seq[String],
     snapshotTs: Option[Long],
-    fileGranular: Option[java.util.Set[String]] = None) extends Scan with Batch
+    fileGranular: Option[java.util.Set[String]] = None,
+    limit: Option[Int] = None) extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering
   with SupportsReportPartitioning {
 
@@ -620,7 +639,12 @@ class GpxScan(
     val parts = new ArrayBuffer[GpxInputPartition]
     var totalRows = 0L
     var totalBytes = 0L
-    GpxTable.listFiles(roots, conf).foreach { f =>
+    // pushed LIMIT: stop planning once the kept row groups cover it
+    // (only ever set on bare scans — no filters, no COW row recording).
+    // iterator: the predicate must see totalRows as the loop advances
+    def limitReached: Boolean = limit.exists(l => totalRows >= l)
+    GpxTable.listFiles(roots, conf).iterator
+      .takeWhile(_ => !limitReached).foreach { f =>
       // bucket pruning: skip whole files whose bucket can't hold the keys
       val bucketOk = ((buckets, GpxTable.bucketOfFile(f)) match {
         case (Some(elig), Some(b)) => elig.contains(b)
@@ -655,7 +679,8 @@ class GpxScan(
           if (any) fileGranular.get.add(f)
           any
         }
-        footer.rowGroups.zipWithIndex.foreach { case (rg, rgIdx) =>
+        footer.rowGroups.zipWithIndex.iterator
+          .takeWhile(_ => !limitReached).foreach { case (rg, rgIdx) =>
           if (keepWholeFile ||
             (fileGranular.isEmpty && allowedRgs.forall(_.contains(rgIdx)) &&
             GpxScan.visibleAt(rg, snapshotTs) &&

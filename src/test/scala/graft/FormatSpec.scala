@@ -379,6 +379,33 @@ class FormatSpec extends GraftSpec {
     assert(kept2 <= 2, s"appended file not clustered: kept $kept2 of ${f2.rowGroups.length}")
   }
 
+  test("pushed LIMIT plans only enough row groups; filters/COW never truncate") {
+    import sp.implicits._
+    val df = (0 until 20000).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+    val dir = tmp()
+    df.coalesce(1).write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "1000").save(dir)
+    val t = sp.read.format("gpx").load(dir)
+    // bare LIMIT: one or two row groups planned, not 20
+    val lim = t.limit(10)
+    val scans = lim.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.inputRDD.getNumPartitions <= 2,
+      s"LIMIT 10 planned ${scans.head.inputRDD.getNumPartitions} partitions")
+    assert(lim.count() == 10)
+    // correctness with larger limits crossing file boundaries
+    df.coalesce(1).write.format("gpx").mode("append")
+      .option("rowGroupRows", "1000").save(dir)
+    assert(sp.read.format("gpx").load(dir).limit(25000).count() == 25000)
+    // a filtered LIMIT must NOT truncate the planned row groups: rows
+    // surviving the filter come from anywhere in the table
+    val f = sp.read.format("gpx").load(dir).filter(col("id") >= 19990L).limit(10)
+    assert(f.count() == 10)
+    assert(f.select(min(col("id"))).head.getLong(0) == 19990L)
+  }
+
   test("z-order clustering prunes on BOTH dimensions; plain sort only on one") {
     import sp.implicits._
     val rnd = new scala.util.Random(11)
