@@ -411,13 +411,18 @@ object Dedup {
     // every round's plan flat and lets the previous round's storage be
     // released as soon as the next is materialized.
     GQuery("d06_dup_clusters", (s, d) => {
-      val pairs = simhashPairs(s, d).select(col("a_id"), col("b_id"))
-      val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      // both edge directions from ONE pass over the pair pipeline (a
+      // union of pairs with its reverse would recompute the whole LSH
+      // band join once per branch)
+      val edges = simhashPairs(s, d)
+        .select(explode(array(
+          struct(col("a_id").as("src"), col("b_id").as("dst")),
+          struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .tracked
       // populate the edge cache BEFORE the loop: each round's plan reads
-      // edges from two branches, and an unpopulated cache would run the
-      // whole LSH pipeline once per branch in round 1
+      // edges, and an unpopulated cache would re-run the LSH pipeline
+      // inside round 1's multi-branch plan
       edges.count()
       val labelSchema = new StructType()
         .add("node", LongType).add("label", LongType)
