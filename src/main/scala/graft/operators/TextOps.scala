@@ -147,6 +147,28 @@ object TextOps {
              |FROM f GROUP BY lang
              |ORDER BY lang""".stripMargin)),
 
+    // Stratified sampling — the curation op that balances a training mix:
+    // per-language keep rates applied via a DETERMINISTIC multiplicative
+    // hash of the document id (Knuth 2654435761), so the sample is
+    // reproducible across engines and runs, partition-local (no shuffle,
+    // no RNG state), and any stratum's rate is tunable per key. The
+    // filter is pure integer arithmetic => pushes down and oracle-matches
+    // exactly (sampling by rand() could do neither).
+    GQuery("t07_stratified_sample", (s, d) => {
+      val keep = "(doc_id * 2654435761) % 1000 < " +
+        "CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300 " +
+        "WHEN 'fr' THEN 300 ELSE 500 END"
+      Tables.documents(s, d)
+        .filter(expr(keep))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id, lang, source FROM documents
+             |WHERE (doc_id * 2654435761) % 1000 <
+             |  CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300
+             |    WHEN 'fr' THEN 300 ELSE 500 END
+             |ORDER BY doc_id""".stripMargin)),
+
     // PII-style scrubbing: mask digit runs and long tokens via portable
     // string surgery (translate digits to '#'), report scrub statistics.
     GQuery("t05_scrub", (s, d) =>

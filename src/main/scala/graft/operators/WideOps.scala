@@ -222,5 +222,17 @@ object WideOps {
         |    ROW_NUMBER() OVER (PARTITION BY region_id
         |      ORDER BY COUNT(*) DESC, title) AS rk
         |  FROM hits GROUP BY region_id, title) t
-        |WHERE rk <= 3 ORDER BY region_id, views DESC, title""".stripMargin))
+        |WHERE rk <= 3 ORDER BY region_id, views DESC, title""".stripMargin),
+
+    // exact median latency per dimension: `median` is the one exact
+    // interpolated quantile both engines name identically, and 0.5's
+    // interpolation factor is an exact binary fraction, so the doubles
+    // hash-match. (ClickBench's quantile queries use approx sketches;
+    // the exact form is the stronger correctness gate.)
+    wq("w11_wide_latency_median",
+      """SELECT os, CAST(median(load_time_ms) AS DOUBLE) AS med_load,
+        |  CAST(median(duration_ms) AS DOUBLE) AS med_dur,
+        |  COUNT(*) AS n
+        |FROM hits WHERE is_refresh = 0
+        |GROUP BY os ORDER BY os""".stripMargin))
 }
