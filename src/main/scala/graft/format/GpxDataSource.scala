@@ -641,8 +641,13 @@ class GpxScan(
     var totalBytes = 0L
     // pushed LIMIT: stop planning once the kept row groups cover it
     // (only ever set on bare scans — no filters, no COW row recording).
-    // iterator: the predicate must see totalRows as the loop advances
-    def limitReached: Boolean = limit.exists(l => totalRows >= l)
+    // iterator: the predicate must see totalRows as the loop advances.
+    // filters.isEmpty re-check: limit is only pushed on filterless scans
+    // and runtime filters can't inject below a Limit, but if one ever
+    // did, truncating pre-filter rows would under-return — never truncate
+    // when any filter is present
+    def limitReached: Boolean =
+      filters.isEmpty && limit.exists(l => totalRows >= l)
     GpxTable.listFiles(roots, conf).iterator
       .takeWhile(_ => !limitReached).foreach { f =>
       // bucket pruning: skip whole files whose bucket can't hold the keys
