@@ -152,8 +152,9 @@ object TextOps {
     // hash of the document id (Knuth 2654435761), so the sample is
     // reproducible across engines and runs, partition-local (no shuffle,
     // no RNG state), and any stratum's rate is tunable per key. The
-    // filter is pure integer arithmetic => pushes down and oracle-matches
-    // exactly (sampling by rand() could do neither).
+    // filter is pure integer arithmetic evaluated inside the scan stage
+    // (codegen'd, partition-local — no shuffle before the sample lands)
+    // and oracle-matches exactly; sampling by rand() could do neither.
     GQuery("t07_stratified_sample", (s, d) => {
       val keep = "(doc_id * 2654435761) % 1000 < " +
         "CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300 " +
