@@ -299,6 +299,42 @@ class StreamingSpec extends GraftSpec {
     assert(tailed == snap)
   }
 
+  test("continuous curation pipeline: cdc tail -> streaming dedup -> gpx sink") {
+    // the full streaming story composed end-to-end: documents upsert into
+    // a SnapshotStore (CDC ingest), gpx-cdc tails its manifest, the
+    // watermark-bounded dedup drops repeated content, and survivors land
+    // as queryable gpx files
+    val dir = Files.createTempDirectory("cur_store").toString
+    val outDir = Files.createTempDirectory("cur_out").toString
+    val ckpt = Files.createTempDirectory("cur_ckpt").toString
+    import sp.implicits._
+    val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts",
+      format = "gpx")
+    // commit BEFORE the stream starts (replayed as batch 0)
+    store.upsert(Seq(Ev(1, "alpha beta", 1000, 1.0)).toDF())
+    val incoming = sp.readStream.format("gpx-cdc").load(dir)
+      .withColumn("ets", timestamp_seconds(col("ts")))
+    val deduped = graft.streaming.StreamDedup
+      .firstSeen(incoming, "ets", "event_type", "10 minutes")
+      .drop("ets")
+    val q = deduped.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("gpx").start(outDir)
+    q.processAllAvailable()
+    // live commits: one repeated text (drop), one new (pass)
+    store.upsert(Seq(
+      Ev(2, "alpha beta", 1060, 2.0), // dup content within horizon
+      Ev(3, "gamma", 1120, 3.0)).toDF())
+    q.processAllAvailable()
+    q.stop()
+    val landed = sp.read.format("gpx").load(outDir)
+    val texts = landed.select("event_type").collect().map(_.getString(0)).sorted
+    assert(texts.toSeq == Seq("alpha beta", "gamma"),
+      s"curated output wrong: ${texts.toSeq}")
+    // the surviving rows carry their full payload + fingerprint
+    assert(landed.columns.contains("fp") && landed.count() == 2)
+  }
+
   test("streaming sessionization via flatMapGroupsWithState custom state") {
     import sp.implicits._
     import graft.streaming.Sessionize
