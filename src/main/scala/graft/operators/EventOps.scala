@@ -258,6 +258,56 @@ object EventOps {
              |LEFT JOIN (SELECT user_id, epoch_ns(ts) AS vts, event_id
              |           FROM events WHERE event_type = 'view') v
              |  ON p.user_id = v.user_id AND v.vts >= p.t0 AND v.vts <= p.t1
-             |GROUP BY 1, 2 ORDER BY p_id""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY p_id""".stripMargin)),
+
+    // Ordered funnel with per-stage deadlines: how far does each user get
+    // through view -> click-within-48h -> purchase-within-48h, where each
+    // stage must happen strictly AFTER the earliest reach of the previous
+    // one and inside its window? Three chained window minima over the
+    // SAME user partitioning — Catalyst reuses one Exchange for all
+    // three, so the whole funnel is a single shuffle, then a
+    // partial-aggregated rollup. The per-user funnel state is two
+    // timestamps, never an event list — the shape that survives users
+    // with millions of events.
+    GQuery("e11_funnel", (s, d) => {
+      val StageNs = 48L * 3600 * NanosPerSec
+      val w = Window.partitionBy(col("user_id"))
+      events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("tv",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("tc",
+          min(when(col("event_type") === "click" && col("ts") > col("tv") &&
+            col("ts") <= col("tv") + StageNs, col("ts"))).over(w))
+        .withColumn("tp",
+          min(when(col("event_type") === "purchase" && col("ts") > col("tc") &&
+            col("ts") <= col("tc") + StageNs, col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("tv")).as("tv"), max(col("tc")).as("tc"),
+          max(col("tp")).as("tp"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("tv")).as("reached_view"),
+          count(col("tc")).as("reached_click"),
+          count(col("tp")).as("converted"))
+    },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_type
+             |           FROM events),
+             |s1 AS (SELECT user_id, tsn, event_type,
+             |    MIN(CASE WHEN event_type = 'view' THEN tsn END)
+             |      OVER (PARTITION BY user_id) AS tv FROM e),
+             |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click'
+             |      AND tsn > tv AND tsn <= tv + 172800000000000 THEN tsn END)
+             |      OVER (PARTITION BY user_id) AS tc FROM s1),
+             |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase'
+             |      AND tsn > tc AND tsn <= tc + 172800000000000 THEN tsn END)
+             |      OVER (PARTITION BY user_id) AS tp FROM s2),
+             |u AS (SELECT user_id, MAX(tv) AS tv, MAX(tc) AS tc,
+             |             MAX(tp) AS tp FROM s3 GROUP BY user_id)
+             |SELECT COUNT(*) AS n_users,
+             |  COUNT(tv) AS reached_view,
+             |  COUNT(tc) AS reached_click,
+             |  COUNT(tp) AS converted
+             |FROM u""".stripMargin))
   )
 }
