@@ -89,6 +89,96 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  /** Connected components over the simhash near-dup pair graph:
+    * (doc_id, cluster_id, cluster_size), unordered — shared by d06
+    * (cluster listing) and d07 (best-of-cluster selection). See the d06
+    * comment for the algorithm and the plan-barrier rationale. */
+  private def dupClusters(s: SparkSession, d: String): DataFrame = {
+    // both edge directions from ONE pass over the pair pipeline (a
+    // union of pairs with its reverse would recompute the whole LSH
+    // band join once per branch)
+    val edges = simhashPairs(s, d)
+      .select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .tracked
+    // populate the edge cache BEFORE the loop: each round's plan reads
+    // edges, and an unpopulated cache would re-run the LSH pipeline
+    // inside round 1's multi-branch plan
+    edges.count()
+    val labelSchema = new StructType()
+      .add("node", LongType).add("label", LongType)
+    // decimal sum: immune to long overflow when node ids are dense at
+    // 100 TB row counts (1e12 ids sum past 2^63)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    var rdd = Tables.documents(s, d)
+      .select(col("doc_id").cast(LongType).as("node"),
+        col("doc_id").cast(LongType).as("label"))
+      .rdd.persist()
+    var labels = s.createDataFrame(rdd, labelSchema)
+    var last = labelSum(labels)
+    var converged = false
+    var round = 0
+    while (!converged && round < 40) {
+      round += 1
+      val t0 = System.nanoTime()
+      val nbrMin = edges.join(labels, col("src") === col("node"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nl"))
+      // barrier before the pointer jump: the jump self-joins this frame,
+      // so without materialization its subtree would compute twice
+      val mergedRdd = labels.join(nbrMin, col("node") === col("dst"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .rdd.persist()
+      val merged = s.createDataFrame(mergedRdd, labelSchema)
+      // pointer jump: label(v) <- label(label(v)); every label IS a node
+      // id (min over node-id-valued labels), so the lookup join hits
+      val jumped = merged.as("x")
+        .join(merged.select(col("node").as("pn"), col("label").as("pl")),
+          col("x.label") === col("pn"), "left")
+        .select(col("x.node").as("node"),
+          coalesce(col("pl"), col("x.label")).as("label"))
+      val nextRdd = jumped.rdd.persist()
+      val next = s.createDataFrame(nextRdd, labelSchema)
+      val now = labelSum(next) // materializes nextRdd
+      mergedRdd.unpersist(blocking = false)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $round sum=$now ${(System.nanoTime() - t0) / 1e9}s")
+      converged = now.compareTo(last) == 0
+      last = now
+      rdd.unpersist(blocking = false)
+      rdd = nextRdd
+      labels = next
+    }
+    graft.CacheScope.trackRdd(rdd) // released after the consuming action
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
+
+  /** The d06/d07 shared oracle prefix: simhash fingerprints -> pair graph
+    * -> WITH RECURSIVE reachability closure -> cc(doc_id, cluster_id). */
+  private def oCcCte: String =
+    s"""WITH RECURSIVE $oSimhashCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT b_id AS src, a_id AS dst FROM pairs),
+       |walk(node, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
+       |cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+       |       FROM walk GROUP BY node)""".stripMargin
+
   val queries: Seq[GQuery] = Seq(
 
     // Exact dedup: hash-groupBy on a content fingerprint. At scale this is
@@ -410,91 +500,43 @@ object Dedup {
     // rounds would grow the Catalyst tree exponentially; the barrier keeps
     // every round's plan flat and lets the previous round's storage be
     // released as soon as the next is materialized.
-    GQuery("d06_dup_clusters", (s, d) => {
-      // both edge directions from ONE pass over the pair pipeline (a
-      // union of pairs with its reverse would recompute the whole LSH
-      // band join once per branch)
-      val edges = simhashPairs(s, d)
-        .select(explode(array(
-          struct(col("a_id").as("src"), col("b_id").as("dst")),
-          struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .tracked
-      // populate the edge cache BEFORE the loop: each round's plan reads
-      // edges, and an unpopulated cache would re-run the LSH pipeline
-      // inside round 1's multi-branch plan
-      edges.count()
-      val labelSchema = new StructType()
-        .add("node", LongType).add("label", LongType)
-      // decimal sum: immune to long overflow when node ids are dense at
-      // 100 TB row counts (1e12 ids sum past 2^63)
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
-      var rdd = Tables.documents(s, d)
-        .select(col("doc_id").cast(LongType).as("node"),
-          col("doc_id").cast(LongType).as("label"))
-        .rdd.persist()
-      var labels = s.createDataFrame(rdd, labelSchema)
-      var last = labelSum(labels)
-      var converged = false
-      var round = 0
-      while (!converged && round < 40) {
-        round += 1
-        val t0 = System.nanoTime()
-        val nbrMin = edges.join(labels, col("src") === col("node"))
-          .groupBy(col("dst")).agg(min(col("label")).as("nl"))
-        // barrier before the pointer jump: the jump self-joins this frame,
-        // so without materialization its subtree would compute twice
-        val mergedRdd = labels.join(nbrMin, col("node") === col("dst"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-          .rdd.persist()
-        val merged = s.createDataFrame(mergedRdd, labelSchema)
-        // pointer jump: label(v) <- label(label(v)); every label IS a node
-        // id (min over node-id-valued labels), so the lookup join hits
-        val jumped = merged.as("x")
-          .join(merged.select(col("node").as("pn"), col("label").as("pl")),
-            col("x.label") === col("pn"), "left")
-          .select(col("x.node").as("node"),
-            coalesce(col("pl"), col("x.label")).as("label"))
-        val nextRdd = jumped.rdd.persist()
-        val next = s.createDataFrame(nextRdd, labelSchema)
-        val now = labelSum(next) // materializes nextRdd
-        mergedRdd.unpersist(blocking = false)
-        if (sys.env.contains("GRAFT_CC_DEBUG"))
-          println(s"[cc] round $round sum=$now ${(System.nanoTime() - t0) / 1e9}s")
-        converged = now.compareTo(last) == 0
-        last = now
-        rdd.unpersist(blocking = false)
-        rdd = nextRdd
-        labels = next
-      }
-      graft.CacheScope.trackRdd(rdd) // released after the consuming action
-      val sizes = labels.groupBy(col("label"))
-        .agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, "label")
-        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
-          col("cluster_size"))
-        .orderBy("doc_id")
-    },
-      Some(s"""WITH RECURSIVE $oSimhashCte,
-              |pairs AS (
-              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-              |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-              |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
-              |edges AS (
-              |  SELECT a_id AS src, b_id AS dst FROM pairs
-              |  UNION ALL
-              |  SELECT b_id AS src, a_id AS dst FROM pairs),
-              |walk(node, label) AS (
-              |  SELECT doc_id, doc_id FROM documents
-              |  UNION
-              |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),
-              |cc AS (SELECT node AS doc_id, MIN(label) AS cluster_id
-              |       FROM walk GROUP BY node)
+    GQuery("d06_dup_clusters", (s, d) =>
+      dupClusters(s, d).orderBy("doc_id"),
+      Some(s"""$oCcCte
               |SELECT c.doc_id, c.cluster_id, s.cluster_size
               |FROM cc c JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
               |                FROM cc GROUP BY cluster_id) s USING (cluster_id)
-              |ORDER BY c.doc_id""".stripMargin))
+              |ORDER BY c.doc_id""".stripMargin)),
+
+    // Best-of-cluster selection — the curation DECISION on top of d06:
+    // keep the LONGEST document of every duplicate cluster (ties to the
+    // lowest id), drop the rest. One argmax per cluster via max_by over a
+    // (n_chars, -doc_id) struct — a partial-aggregatable groupBy, not a
+    // window sort, so map-side combine applies and no per-cluster event
+    // list ever materializes.
+    GQuery("d07_dedup_keep_best", (s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      dupClusters(s, d).join(docs, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(
+          max_by(col("doc_id"),
+            struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("keep_id"),
+          max(col("n_chars")).as("keep_chars"),
+          count(lit(1)).as("cluster_size"))
+        .withColumn("n_dropped", col("cluster_size") - 1)
+        .select("cluster_id", "keep_id", "keep_chars", "cluster_size", "n_dropped")
+        .orderBy("cluster_id")
+    },
+      Some(s"""$oCcCte,
+              |j AS (SELECT c.cluster_id, dd.doc_id, dd.n_chars
+              |      FROM cc c JOIN documents dd USING (doc_id)),
+              |r AS (SELECT *,
+              |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+              |      ORDER BY n_chars DESC, doc_id) AS rk,
+              |    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              |  FROM j)
+              |SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_chars,
+              |  cluster_size, cluster_size - 1 AS n_dropped
+              |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin))
   )
 }
