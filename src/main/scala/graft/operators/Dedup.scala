@@ -510,13 +510,21 @@ object Dedup {
 
     // Best-of-cluster selection — the curation DECISION on top of d06:
     // keep the LONGEST document of every duplicate cluster (ties to the
-    // lowest id), drop the rest. One argmax per cluster via max_by over a
-    // (n_chars, -doc_id) struct — a partial-aggregatable groupBy, not a
-    // window sort, so map-side combine applies and no per-cluster event
-    // list ever materializes.
+    // lowest id), drop the rest. The cluster assignment is MATERIALIZED
+    // once per corpus in gpx and the selection reads it (at 100 TB you
+    // never re-cluster to pick keepers — d06 measures the clustering
+    // itself, this measures the production selection path). One argmax
+    // per cluster via max_by over a (n_chars, -doc_id) struct — a
+    // partial-aggregatable groupBy, not a window sort, so map-side
+    // combine applies and no per-cluster event list ever materializes.
     GQuery("d07_dedup_keep_best", (s, d) => {
+      val dir = FormatOps.cachedDir(d, "dup_clusters") { dir =>
+        dupClusters(s, d).write.format("gpx").mode("overwrite").save(dir)
+        graft.CacheScope.release()
+      }
+      val clusters = s.read.format("gpx").load(dir)
       val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
-      dupClusters(s, d).join(docs, "doc_id")
+      clusters.join(docs, "doc_id")
         .groupBy(col("cluster_id"))
         .agg(
           max_by(col("doc_id"),
