@@ -952,15 +952,38 @@ class GpxStreamingWrite(schema: StructType, path: String, rgRows: Int,
     val conf = new Configuration()
     val rootP = new Path(path)
     val fs = rootP.getFileSystem(conf)
-    messages.foreach {
-      case GpxStreamCommit(file, partitionId) =>
-        val src = new Path(file)
-        val dest = new Path(rootP, s"part-e$epochId-$partitionId.gpx")
-        if (fs.exists(dest)) fs.delete(src, false) // replayed epoch: keep first
-        else if (fs.exists(src) && !fs.rename(src, dest))
-          throw new java.io.IOException(
-            s"gpx streaming commit rename failed: $src -> $dest")
-      case _ => ()
+    // EPOCH-level idempotency marker (underscore name: invisible to the
+    // table listing). Per-partition existence checks are not enough: a
+    // replayed epoch can arrive with a DIFFERENT partition count, and the
+    // extra partitions' files would publish alongside the originals —
+    // duplicated rows. Marker present => the epoch fully committed once;
+    // drop the whole replay. Marker absent but epoch files present => a
+    // commit crashed mid-publish; delete those partials and re-publish
+    // this attempt's complete set.
+    val marker = new Path(rootP, s"_e$epochId.committed")
+    if (fs.exists(marker)) {
+      messages.foreach {
+        case GpxStreamCommit(file, _) => fs.delete(new Path(file), false)
+        case _ => ()
+      }
+    } else {
+      if (fs.exists(rootP))
+        fs.listStatus(rootP).foreach { st =>
+          if (st.getPath.getName.startsWith(s"part-e$epochId-"))
+            fs.delete(st.getPath, false)
+        }
+      messages.foreach {
+        case GpxStreamCommit(file, partitionId) =>
+          val src = new Path(file)
+          val dest = new Path(rootP, s"part-e$epochId-$partitionId.gpx")
+          // a missing staged file is DATA LOSS (external cleanup raced the
+          // commit) — fail the epoch so the checkpoint does not advance
+          if (!fs.exists(src) || !fs.rename(src, dest))
+            throw new java.io.IOException(
+              s"gpx streaming commit rename failed: $src -> $dest")
+        case _ => ()
+      }
+      fs.create(marker, true).close()
     }
     // sweep staged files of this and earlier epochs that no commit message
     // referenced: aborted attempts, zombies, pre-crash leftovers
@@ -970,6 +993,17 @@ class GpxStreamingWrite(schema: StructType, path: String, rgRows: Int,
       if (n.startsWith("e")) {
         val ep = n.drop(1).takeWhile(_.isDigit)
         if (ep.nonEmpty && ep.toLong <= epochId) fs.delete(st.getPath, false)
+      }
+    }
+    // markers are only consulted for REPLAYED epochs, which Spark's
+    // checkpoint recovery bounds to the most recent batches: keep a
+    // generous window, sweep the rest so they don't accumulate forever
+    if (fs.exists(rootP)) fs.listStatus(rootP).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("_e") && n.endsWith(".committed")) {
+        val ep = n.drop(2).takeWhile(_.isDigit)
+        if (ep.nonEmpty && ep.toLong < epochId - 100)
+          fs.delete(st.getPath, false)
       }
     }
   }
@@ -1026,50 +1060,77 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
   private val opId = java.util.UUID.randomUUID().toString.take(8)
   private val staging = s"$path/_batch_$opId"
 
+  /** OVERWRITE snapshot: the data files this commit supersedes, captured
+    * at factory creation (query start). Deletion happens in commit() —
+    * a failed/aborted overwrite JOB leaves the old table fully intact. */
+  @volatile private var supersededFiles: Seq[String] = Seq.empty
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = new Configuration()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    if (truncate) {
-      // truncate DATA, not catalog metadata: the _schema.ddl sidecar is
-      // the table's catalog record and must survive INSERT OVERWRITE
-      if (fs.exists(p))
-        fs.listStatus(p).foreach { st =>
-          if (st.getPath.getName != "_schema.ddl") fs.delete(st.getPath, true)
-        }
-      fs.mkdirs(p)
-    }
+    if (truncate && fs.exists(p))
+      supersededFiles = GpxTable.listFiles(Seq(path), conf)
+    bucket.foreach(b => require(schema.fieldNames.contains(b.column),
+      s"bucket column ${b.column}"))
+    sortBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"sortBy column $c not in schema"))
+    GpxWriterFactory(schema, staging, opId, rgRows, pxRows, commitTs, bucket)
+  }
+
+  private def writeSidecars(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Unit = {
+    fs.mkdirs(p)
     bucket.foreach { b =>
-      require(schema.fieldNames.contains(b.column), s"bucket column ${b.column}")
-      fs.mkdirs(p)
       val out = fs.create(new Path(p, "_bucketspec"), true)
       try out.write(s"${b.column}\n${b.numBuckets}".getBytes("UTF-8"))
       finally out.close()
     }
     if (sortBy.nonEmpty) {
-      sortBy.foreach(c => require(schema.fieldNames.contains(c),
-        s"sortBy column $c not in schema"))
-      fs.mkdirs(p)
       val out = fs.create(new Path(p, "_sortspec"), true)
       try out.write(sortBy.mkString("\n").getBytes("UTF-8"))
       finally out.close()
     }
-    GpxWriterFactory(schema, staging, opId, rgRows, pxRows, commitTs, bucket)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = new Configuration()
     val rootP = new Path(path)
     val fs = rootP.getFileSystem(conf)
-    messages.foreach {
-      case GpxCommit(files) => files.foreach { f =>
-        val src = new Path(f)
-        val dest = new Path(rootP, src.getName)
-        if (!fs.rename(src, dest))
-          throw new java.io.IOException(
-            s"gpx batch commit rename failed: $src -> $dest")
+    if (truncate) {
+      // delete superseded data + stale layout metadata FIRST, then write
+      // the new sidecars, then publish: readers never evaluate a fresh
+      // bucket/sort spec against the OLD files (which would mis-prune).
+      // The brief empty window is overwrite semantics; the crash exposure
+      // is only between these driver-side steps — task failures and job
+      // aborts no longer touch the old table at all.
+      supersededFiles.foreach(f => fs.delete(new Path(f), false))
+      Seq("_bucketspec", "_sortspec", "_index").foreach(n =>
+        fs.delete(new Path(rootP, n), true))
+    }
+    writeSidecars(fs, rootP)
+    // publish with best-effort rollback: without it, a rename failure
+    // mid-publish followed by Spark's abort() (which clears staging)
+    // would leave a permanently half-applied INSERT
+    val published = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    try {
+      messages.foreach {
+        case GpxCommit(files) => files.foreach { f =>
+          val src = new Path(f)
+          val dest = new Path(rootP, src.getName)
+          if (!fs.rename(src, dest))
+            throw new java.io.IOException(
+              s"gpx batch commit rename failed: $src -> $dest")
+          published += ((dest, src))
+        }
+        case _ => ()
       }
-      case _ => ()
+    } catch {
+      case e: Throwable =>
+        published.reverseIterator.foreach { case (dest, src) =>
+          try fs.rename(dest, src) catch { case _: Throwable => () }
+        }
+        throw e
     }
     fs.delete(new Path(staging), true)
   }

@@ -37,12 +37,16 @@ object GpxMaintenance {
     val root = new Path(table)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return Seq.empty
-    def newestMtime(p: Path): Long = {
-      val st = fs.getFileStatus(p)
-      if (!st.isDirectory) st.getModificationTime
-      else (st.getModificationTime +:
-        fs.listStatus(p).map(s => newestMtime(s.getPath)).toSeq).max
-    }
+    // a live writer's commit can delete its staging dir between our
+    // listStatus and this stat walk: a vanished path reads as "just
+    // modified" (never swept this run) instead of crashing the vacuum
+    def newestMtime(p: Path): Long =
+      try {
+        val st = fs.getFileStatus(p)
+        if (!st.isDirectory) st.getModificationTime
+        else (st.getModificationTime +:
+          fs.listStatus(p).map(s => newestMtime(s.getPath)).toSeq).max
+      } catch { case _: java.io.FileNotFoundException => now }
     // scan the root AND first-level subdirs (nested per-day layouts keep
     // their scratch next to the files being written)
     val candidates = fs.listStatus(root).flatMap { st =>

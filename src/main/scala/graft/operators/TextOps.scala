@@ -156,7 +156,10 @@ object TextOps {
     // (codegen'd, partition-local — no shuffle before the sample lands)
     // and oracle-matches exactly; sampling by rand() could do neither.
     GQuery("t07_stratified_sample", (s, d) => {
-      val keep = "(doc_id * 2654435761) % 1000 < " +
+      // doc_id is reduced mod a prime BEFORE the Knuth multiply: the
+      // product stays below 2^62 for ANY int64 id (no ANSI overflow, no
+      // engine-divergent wraparound at 100 TB id ranges)
+      val keep = "(doc_id % 1000003) * 2654435761 % 1000 < " +
         "CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300 " +
         "WHEN 'fr' THEN 300 ELSE 500 END"
       Tables.documents(s, d)
@@ -165,7 +168,7 @@ object TextOps {
         .orderBy("doc_id")
     },
       Some("""SELECT doc_id, lang, source FROM documents
-             |WHERE (doc_id * 2654435761) % 1000 <
+             |WHERE (doc_id % 1000003) * 2654435761 % 1000 <
              |  CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300
              |    WHEN 'fr' THEN 300 ELSE 500 END
              |ORDER BY doc_id""".stripMargin)),

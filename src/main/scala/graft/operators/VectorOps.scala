@@ -41,9 +41,9 @@ object VectorOps {
   /** Materialize `result` eagerly, release the intermediate cached frames,
     * and return the rows as a local DataFrame. Queries must not pin
     * executor storage after they return (a session-lifetime leak on a
-    * shared cluster); every caller's result is bounded — top-k per query
-    * or threshold-filtered near-dup pairs — so the collect is driver-safe
-    * at any corpus size. */
+    * shared cluster). ONLY for top-k-bounded results (v03/v06: k rows per
+    * query vector) — a threshold-filtered result like v05's pair set is
+    * unbounded at scale and must stay distributed (CacheScope.tracked). */
   private def releasing(s: SparkSession, result: DataFrame,
       cached: DataFrame*): DataFrame = {
     val rows = result.collect()
@@ -177,8 +177,9 @@ object VectorOps {
     // Precision is exact (every emitted pair passes the true threshold);
     // recall is probabilistic — rows-only gate, measured in VectorOpsSpec.
     GQuery("v05_cosine_pairs_lsh", (s, d) => {
+      import graft.CacheScope.Trackable
       val Tables_ = 16; val Dim = 64
-      val e = vecs(s, d).persist()
+      val e = vecs(s, d).tracked
       // signature width grows with corpus size so per-bucket occupancy
       // (and the quadratic within-bucket verify) stays bounded at scale:
       // target ~64 vectors per bucket, Bits = log2(n/64) clamped [8, 24].
@@ -206,12 +207,15 @@ object VectorOps {
       // corpus and the computed signatures are persisted so the 128
       // hyperplane cosines per vector run once, not once per join side.
       val banded = e.select(col("vec_id"),
-        explode(array(sigCols: _*)).as("bk")).persist()
+        explode(array(sigCols: _*)).as("bk")).tracked
       val candidates = banded.as("a").join(banded.as("b"),
           col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
         .distinct()
-      val result = candidates
+      // near-dup pair sets grow superlinearly with the corpus: the result
+      // stays DISTRIBUTED (no driver collect); the consumer releases the
+      // tracked caches after its action (CacheScope contract)
+      candidates
         .join(e.select(col("vec_id").as("a_id"), col("v").as("av")), "a_id")
         .join(e.select(col("vec_id").as("b_id"), col("v").as("bv")), "b_id")
         .withColumn("cos",
@@ -219,7 +223,6 @@ object VectorOps {
         .filter(col("cos") >= 0.4)
         .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("a_id", "b_id")
-      releasing(s, result, e, banded)
     }, None),
 
     // IVF as a PERSISTED gpx index — the production serve pattern: train

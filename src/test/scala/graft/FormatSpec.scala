@@ -343,6 +343,29 @@ class FormatSpec extends GraftSpec {
     assert(mn2.contains(4000L), mn2)
   }
 
+  test("failed INSERT OVERWRITE leaves the old table intact") {
+    import sp.implicits._
+    val dir = tmp()
+    (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .write.format("gpx").mode("overwrite").save(dir)
+    // an overwrite whose job fails mid-flight: truncation must not have
+    // happened yet (it moved to the driver's commit), so abort leaves
+    // every old row readable
+    val bad = sp.range(50).select(col("id"),
+      when(col("id") < 49, lit("x"))
+        .otherwise(expr("raise_error('boom')")).as("s"))
+    intercept[Exception] {
+      bad.write.format("gpx").mode("overwrite").save(dir)
+    }
+    val back = sp.read.format("gpx").load(dir)
+    assert(back.count() == 100, "old data must survive a failed overwrite")
+    assert(back.agg(sum(col("id"))).head.getLong(0) == 99L * 100 / 2)
+    // and a SUCCESSFUL overwrite still replaces everything
+    (0 until 7).map(i => (i.toLong, "n")).toDF("id", "s")
+      .write.format("gpx").mode("overwrite").save(dir)
+    assert(sp.read.format("gpx").load(dir).count() == 7)
+  }
+
   test("sortBy write clusters unsorted data so zone maps prune; spec persists") {
     import sp.implicits._
     val rnd = new scala.util.Random(7)
