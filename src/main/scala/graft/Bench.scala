@@ -22,24 +22,29 @@ object Bench {
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query must never bench as a fast success: record it as
+      // an explicit "err" marker instead of a timing
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // BLOCKING release OUTSIDE the timed window: async eviction debt
       // from one query's caches must not drain into the next one's number
       CacheScope.release(blocking = true)
-      name -> dt
+      (name, dt, ok)
     }
     // Driver stores only the last ~2000 chars of output: keep the whole
     // JSON line short (id-prefix keys, 3-decimal seconds) so it survives
     // intact and machine-parseable. Full name = id prefix of the entry
     // in SparkEntry.queries (q42 -> q42_tpch_q21_waiting_supplier).
     def s3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) =>
+    val qs = results.map { case (k, v, ok) =>
       val short = k.takeWhile(_ != '_')
-      s""""$short":${s3(v)}"""
+      if (ok) s""""$short":${s3(v)}""" else s""""$short":"err""""
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val errs = results.count(!_._3)
+    val errField = if (errs > 0) s""","errs":$errs""" else ""
+    println(s"""{"metric":"total","value":${s3(total)},"unit":"sec"$errField,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,6 +24,12 @@ object GpxCompactor {
       outDir: String,
       conf: Configuration,
       targetFileBytes: Long = 128L * 1024 * 1024): Result = {
+    // merge-on-read masks first: byte-copying a masked file would
+    // resurrect its deleted rows, so fold each file's bitmaps into a
+    // physical copy (row groups keep their commitTs), then byte-copy.
+    // Mask-free files — the steady state — take the zero-decode path.
+    GpxTable.listFiles(Seq(inDir), conf).foreach(f =>
+      GpxDeleteBitmap.foldFile(f, conf))
     val files = GpxTable.listFiles(Seq(inDir), conf).sorted
     require(files.nonEmpty, s"no gpx files under $inDir")
     val outPath = new Path(outDir)

@@ -125,9 +125,15 @@ object GpxTable {
   /** source-file metadata column (split-constant, zero I/O) */
   val FileCol = "_file"
 
+  /** absolute row position within the source file (0-based over every row
+    * of every row group in footer order) — the row half of the (file, pos)
+    * row id that merge-on-read delete bitmaps and delta writes key on;
+    * enumerated from split metadata, zero I/O */
+  val PosCol = "_pos"
+
   /** synthetic columns never present in file footers */
   def isSynthetic(name: String): Boolean =
-    name == CommitTsCol || name == FileCol
+    name == CommitTsCol || name == FileCol || name == PosCol
 
   def listFiles(roots: Seq[String], conf: Configuration): Seq[String] =
     roots.flatMap { r =>
@@ -253,6 +259,12 @@ class GpxTable(schema: StructType, roots: Seq[String],
       override def dataType(): DataType = StringType
       override def isNullable: Boolean = true
       override def comment(): String = "gpx file the row came from"
+    },
+    new MetadataColumn {
+      override def name(): String = GpxTable.PosCol
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = true
+      override def comment(): String = "absolute row position within the source file"
     })
 
   /** SQL DELETE (retina delete path, proto/retina.proto:34-50 analog):
@@ -265,7 +277,7 @@ class GpxTable(schema: StructType, roots: Seq[String],
     filters.forall(GpxDelete.translatable)
 
   override def deleteWhere(filters: Array[Filter]): Unit =
-    GpxDelete.run(schema, roots, filters)
+    GpxDelete.run(schema, roots, filters, catalogManaged)
 
   /** SQL UPDATE / MERGE INTO (and subquery deletes) — group-based
     * copy-on-write, see [[GpxRowLevelOperation]]. */
@@ -323,8 +335,11 @@ class GpxTable(schema: StructType, roots: Seq[String],
       .getOrElse(roots.headOption
         .map(GpxTable.readSortSpec(_, new Configuration()))
         .getOrElse(Seq.empty))
+    // per-row commit timestamps (multi-version rewrites): the named column
+    // must ride LAST in the written schema; files store the data fields
+    val tsColumn = Option(info.options.get("commitTsColumn"))
     new GpxWriteBuilder(info.schema(), roots.head, rgRows, pxRows, commitTs,
-      bucket, sortBy)
+      bucket, sortBy, tsColumn)
   }
 }
 
@@ -362,8 +377,18 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
     * lost row). */
   override def pushLimit(l: Int): Boolean = {
     if (fileGranular.isDefined || filters.nonEmpty) return false
+    // merge-on-read masks drop rows AFTER planning counts them: planned
+    // row groups may cover fewer live rows than the limit — never truncate
+    if (hasDeleteSidecars) return false
     limit = Some(l)
     true
+  }
+
+  /** any delete-bitmap sidecar under the table's file parents (cheap dir
+    * checks; computed once per builder) */
+  private lazy val hasDeleteSidecars: Boolean = {
+    val conf = new Configuration()
+    GpxDeleteBitmap.anyDeletes(GpxTable.listFiles(roots, conf), conf)
   }
   override def isPartiallyPushed(): Boolean = true
 
@@ -387,6 +412,8 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (fileGranular.isDefined) return false
     if (filters.nonEmpty || agg.groupByExpressions().nonEmpty) return false
+    // footer stats count/bound rows the merge-on-read masks have deleted
+    if (hasDeleteSidecars) return false
     // evolved tables (files with differing schemas) answer from the normal
     // scan's null-filling path — footer column ordinals differ per file
     val conf = new Configuration()
@@ -526,7 +553,11 @@ class GpxStatsReaderFactory(fileSchema: StructType, agg: Aggregation)
   * for storage-partitioned joins over the bucketed layout. */
 final case class GpxInputPartition(
     path: String, numRows: Int, commitTs: Long,
-    cols: Array[Array[PixelSlice]], bucketId: Int = -1)
+    cols: Array[Array[PixelSlice]], bucketId: Int = -1,
+    synth: Array[Byte] = null,
+    pixelStarts: Array[Long] = null,
+    pixelCounts: Array[Int] = null,
+    delWords: Array[Long] = null)
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -648,6 +679,9 @@ class GpxScan(
     // when any filter is present
     def limitReached: Boolean =
       filters.isEmpty && limit.exists(l => totalRows >= l)
+    // merge-on-read delete sidecars, listed once per distinct parent dir
+    val sidecarsByParent =
+      scala.collection.mutable.Map.empty[String, Map[String, Seq[GpxDeleteBitmap.Sidecar]]]
     GpxTable.listFiles(roots, conf).iterator
       .takeWhile(_ => !limitReached).foreach { f =>
       // bucket pruning: skip whole files whose bucket can't hold the keys
@@ -664,15 +698,30 @@ class GpxScan(
       if (bucketOk && allowedRgs.forall(_.nonEmpty)) {
         val footer = GpxFileReader.FooterCache.get(f, conf)
         val phys = footer.schema
-        // -1 = synthetic constant column (_commit_ts / _file, filled from
-        // the split); -2 = column absent from THIS file (schema
-        // evolution) -> filled with nulls
+        // union of the delete bitmaps applying at this snapshot, or null
+        val fPath = new Path(f)
+        val mask: java.util.BitSet = {
+          val byFile = sidecarsByParent.getOrElseUpdate(
+            fPath.getParent.toString,
+            GpxDeleteBitmap.sidecarsIn(fPath.getParent, conf))
+          byFile.get(fPath.getName) match {
+            case Some(scs) => GpxDeleteBitmap.maskFor(f, scs, snapshotTs, conf)
+            case None => null
+          }
+        }
+        // synthetic-kind per required column; physIdx >= 0 = data column
+        val synthKinds: Array[Byte] = required.fields.map { fd =>
+          fd.name match {
+            case GpxTable.CommitTsCol => GpxFileReader.SynthCommitTs
+            case GpxTable.FileCol => GpxFileReader.SynthFile
+            case GpxTable.PosCol => GpxFileReader.SynthPos
+            case n if phys.fieldNames.contains(n) => GpxFileReader.SynthData
+            case _ => GpxFileReader.SynthAbsent // evolved file: null-fill
+          }
+        }
         val physIdx: Array[Int] = required.fields.map { fd =>
           if (GpxTable.isSynthetic(fd.name)) -1
-          else phys.fieldNames.indexOf(fd.name) match {
-            case -1 => -2
-            case i => i
-          }
+          else phys.fieldNames.indexOf(fd.name)
         }
         // file-granular mode (copy-on-write rewrite): if ANY row group may
         // match, read the WHOLE file — skipped rows would be lost rows —
@@ -684,8 +733,14 @@ class GpxScan(
           if (any) fileGranular.get.add(f)
           any
         }
+        // absolute row offset of the current row group within the file —
+        // accumulated over ALL row groups (pruned ones included): delete
+        // bitmaps and _pos address the file's full row space
+        var fileRowOffset = 0L
         footer.rowGroups.zipWithIndex.iterator
           .takeWhile(_ => !limitReached).foreach { case (rg, rgIdx) =>
+          val rgStart = fileRowOffset
+          fileRowOffset += rg.numRows
           if (keepWholeFile ||
             (fileGranular.isEmpty && allowedRgs.forall(_.contains(rgIdx)) &&
             GpxScan.visibleAt(rg, snapshotTs) &&
@@ -697,19 +752,50 @@ class GpxScan(
               else (0 until nPix).filter(p =>
                 filters.forall(GpxFileReader.mayMatchPixel(_, phys, rg, p))).toArray
             if (keptPix.nonEmpty) {
-              val numRows = keptPix.map(rg.chunks.head.pixels(_).rows).sum
-              val cols: Array[Array[PixelSlice]] = physIdx.map { ci =>
-                if (ci == -1) null // synthetic commit-ts constant
-                else if (ci == -2) Array.empty[PixelSlice] // absent -> nulls
+              val pixRows = rg.chunks.head.pixels.map(_.rows)
+              // global first-row of each pixel in this row group
+              val pixStartAll = new Array[Long](nPix)
+              var acc = rgStart
+              var pi = 0
+              while (pi < nPix) { pixStartAll(pi) = acc; acc += pixRows(pi); pi += 1 }
+              val numRows = keptPix.map(pixRows(_)).sum
+              val pixelStarts = keptPix.map(pixStartAll(_))
+              val pixelCounts = keptPix.map(pixRows(_))
+              // local-row delete mask over the split's read rows
+              val delWords: Array[Long] =
+                if (mask == null) null
                 else {
-                  val ch = rg.chunks(ci)
-                  keptPix.map(p => PixelSlice(
-                    ch.offset + ch.pixels(p).relOffset, ch.pixelLength(p),
-                    ch.pixels(p).rows))
+                  val words = new Array[Long]((numRows + 63) >> 6)
+                  var any = false
+                  var lo = 0
+                  keptPix.foreach { p =>
+                    val s = pixStartAll(p).toInt
+                    val r = pixRows(p)
+                    var b = mask.nextSetBit(s)
+                    while (b >= 0 && b < s + r) {
+                      val li = lo + (b - s)
+                      words(li >> 6) |= 1L << (li & 63)
+                      any = true
+                      b = mask.nextSetBit(b + 1)
+                    }
+                    lo += r
+                  }
+                  if (any) words else null
                 }
+              val cols: Array[Array[PixelSlice]] = physIdx.zipWithIndex.map {
+                case (ci, ri) =>
+                  if (synthKinds(ri) != GpxFileReader.SynthData)
+                    null // synthetic/absent: filled from the split
+                  else {
+                    val ch = rg.chunks(ci)
+                    keptPix.map(p => PixelSlice(
+                      ch.offset + ch.pixels(p).relOffset, ch.pixelLength(p),
+                      ch.pixels(p).rows))
+                  }
               }
               parts += GpxInputPartition(f, numRows, rg.commitTs, cols,
-                GpxTable.bucketOfFile(f).getOrElse(-1))
+                GpxTable.bucketOfFile(f).getOrElse(-1),
+                synthKinds, pixelStarts, pixelCounts, delWords)
               totalRows += numRows
               cols.foreach { c =>
                 totalBytes += (if (c == null) 8L * numRows else c.map(_.length.toLong).sum)
@@ -718,9 +804,9 @@ class GpxScan(
               // pruning above: may cover a few more rows than get read)
               physIdx.zipWithIndex.foreach { case (ci, ri) =>
                 val st =
-                  if (ci == -1) ChunkStats.unreliable // synthetic constant
-                  else if (ci == -2) // absent in this file -> all nulls
+                  if (synthKinds(ri) == GpxFileReader.SynthAbsent)
                     ChunkStats.empty.copy(nullCount = rg.numRows.toLong)
+                  else if (ci < 0) ChunkStats.unreliable // synthetic constant
                   else rg.chunks(ci).stats
                 colStats(ri) =
                   if (colStats(ri) == null) st
@@ -799,8 +885,11 @@ class GpxScan(
           m.put(
             org.apache.spark.sql.connector.expressions.Expressions.column(fd.name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              // clamp: nullCount merges over full row-group stats while
+              // numRows() counts only kept pixels — an unclamped value
+              // can exceed rowCount and push CBO null-fraction past 1.0
               override def nullCount(): java.util.OptionalLong =
-                java.util.OptionalLong.of(st.nullCount)
+                java.util.OptionalLong.of(math.min(st.nullCount, statsSnapshot._2))
               override def min(): java.util.Optional[Object] =
                 mn.map(java.util.Optional.of[Object])
                   .getOrElse(java.util.Optional.empty[Object]())
@@ -835,7 +924,11 @@ class GpxScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GpxReaderFactory(required)
+    // Spark requires one batch/row mode for the WHOLE scan: any split
+    // with a merge-on-read mask forces the row-based path (rows feed a
+    // ColumnarToRow anyway; the mask skip rides the same iteration).
+    // Mask-free scans — the steady state — keep the columnar fast path.
+    new GpxReaderFactory(required, rowBased = kept()._1.exists(_.delWords != null))
 }
 
 object GpxScan {
@@ -849,13 +942,44 @@ object GpxScan {
     snapshotTs.forall(ts => rg.commitTs < 0 || rg.commitTs <= ts)
 }
 
-class GpxReaderFactory(required: StructType)
+class GpxReaderFactory(required: StructType, rowBased: Boolean = false)
   extends PartitionReaderFactory {
 
-  override def supportColumnarReads(p: InputPartition): Boolean = true
+  override def supportColumnarReads(p: InputPartition): Boolean = !rowBased
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    throw new UnsupportedOperationException("columnar only")
+  /** row-based path (only when the scan carries merge-on-read masks):
+    * materialize the split's ColumnarBatch once, then iterate it skipping
+    * masked rows — the reader-side replay of the reference's visibility
+    * bitmaps (RGVisibility.java:34-60) */
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[GpxInputPartition]
+    new PartitionReader[InternalRow] {
+      private var batch: ColumnarBatch = _
+      private var it: java.util.Iterator[InternalRow] = _
+      private var idx = -1
+      private var row: InternalRow = _
+      private def masked(i: Int): Boolean = {
+        val w = part.delWords
+        w != null && (w(i >> 6) & (1L << (i & 63))) != 0L
+      }
+      override def next(): Boolean = {
+        if (it == null) {
+          val conf = new Configuration()
+          batch = GpxFileReader.readSlices(part.path, conf, required,
+            part.cols, part.numRows, part.commitTs,
+            part.synth, part.pixelStarts, part.pixelCounts)
+          it = batch.rowIterator()
+        }
+        while (it.hasNext) {
+          row = it.next(); idx += 1
+          if (!masked(idx)) return true
+        }
+        false
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = if (batch != null) batch.close()
+    }
+  }
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
     val part = p.asInstanceOf[GpxInputPartition]
@@ -866,7 +990,8 @@ class GpxReaderFactory(required: StructType)
         if (consumed) return false
         val conf = new Configuration()
         batch = GpxFileReader.readSlices(part.path, conf, required,
-          part.cols, part.numRows, part.commitTs)
+          part.cols, part.numRows, part.commitTs,
+          part.synth, part.pixelStarts, part.pixelCounts)
         consumed = true
         true
       }
@@ -880,7 +1005,7 @@ class GpxReaderFactory(required: StructType)
 
 class GpxWriteBuilder(schema: StructType, path: String, rgRows: Int,
     pxRows: Int, commitTs: Long, bucket: Option[GpxTable.BucketSpec],
-    sortBy: Seq[String] = Seq.empty)
+    sortBy: Seq[String] = Seq.empty, tsColumn: Option[String] = None)
   extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -908,7 +1033,7 @@ class GpxWriteBuilder(schema: StructType, path: String, rgRows: Int,
 
     override def toBatch: BatchWrite =
       new GpxBatchWrite(schema, path, doTruncate, rgRows, pxRows, commitTs,
-        bucket, sortBy)
+        bucket, sortBy, tsColumn)
 
     /** Streaming sink (`writeStream.format("gpx")`): append one gpx file
       * per (epoch, partition) micro-batch slice — the streaming analog of
@@ -996,13 +1121,19 @@ class GpxStreamingWrite(schema: StructType, path: String, rgRows: Int,
       }
     }
     // markers are only consulted for REPLAYED epochs, which Spark's
-    // checkpoint recovery bounds to the most recent batches: keep a
-    // generous window, sweep the rest so they don't accumulate forever
+    // checkpoint recovery bounds to the most recent batches (at most the
+    // last two epochs per the WAL contract; the retention window is two
+    // orders of magnitude wider for safety). A replay OLDER than the
+    // window finds no marker — it then deletes that epoch's published
+    // files first and re-publishes its own complete set, so the outcome
+    // is replacement, not duplication; the window bounds marker-file
+    // accumulation, not correctness.
     if (fs.exists(rootP)) fs.listStatus(rootP).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("_e") && n.endsWith(".committed")) {
         val ep = n.drop(2).takeWhile(_.isDigit)
-        if (ep.nonEmpty && ep.toLong < epochId - 100)
+        if (ep.nonEmpty &&
+          ep.toLong < epochId - GpxStreamingWrite.CommittedMarkerRetentionEpochs)
           fs.delete(st.getPath, false)
       }
     }
@@ -1016,6 +1147,13 @@ class GpxStreamingWrite(schema: StructType, path: String, rgRows: Int,
       case _ => ()
     }
   }
+}
+
+object GpxStreamingWrite {
+  /** how many epochs behind the head committed-epoch markers are kept for
+    * replay idempotency before being swept (see commit() for why a
+    * beyond-window replay is still replacement-safe) */
+  val CommittedMarkerRetentionEpochs = 100
 }
 
 final case class GpxStreamCommit(file: String, partitionId: Int)
@@ -1054,7 +1192,7 @@ final case class GpxStreamingWriterFactory(
   * keeps append batches from different writers/JVMs collision-free. */
 class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
     rgRows: Int, pxRows: Int, commitTs: Long, bucket: Option[GpxTable.BucketSpec],
-    sortBy: Seq[String] = Seq.empty)
+    sortBy: Seq[String] = Seq.empty, tsColumn: Option[String] = None)
   extends BatchWrite {
 
   private val opId = java.util.UUID.randomUUID().toString.take(8)
@@ -1075,7 +1213,11 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
       s"bucket column ${b.column}"))
     sortBy.foreach(c => require(schema.fieldNames.contains(c),
       s"sortBy column $c not in schema"))
-    GpxWriterFactory(schema, staging, opId, rgRows, pxRows, commitTs, bucket)
+    tsColumn.foreach(c => require(schema.fields.lastOption.exists(_.name == c) &&
+      schema.fields.last.dataType == LongType,
+      s"commitTsColumn $c must be the LAST column and LongType, got ${schema.toDDL}"))
+    GpxWriterFactory(schema, staging, opId, rgRows, pxRows, commitTs, bucket,
+      tsFromLastColumn = tsColumn.isDefined)
   }
 
   private def writeSidecars(fs: org.apache.hadoop.fs.FileSystem,
@@ -1097,21 +1239,40 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
     val conf = new Configuration()
     val rootP = new Path(path)
     val fs = rootP.getFileSystem(conf)
+    // OVERWRITE: move superseded data + stale layout metadata into a
+    // per-op trash dir inside staging FIRST (not delete — a publish
+    // failure must be non-lossy), then write the new sidecars, then
+    // publish: readers never evaluate a fresh bucket/sort spec against
+    // the OLD files (which would mis-prune). The trash is deleted only
+    // after every publish rename succeeded; the rollback path restores
+    // it. The brief empty window is overwrite semantics; a JVM crash
+    // mid-commit leaves the old files recoverable under _batch_<opId>/_old
+    // instead of destroyed.
+    val trash = new Path(staging, "_old")
+    val trashed = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
     if (truncate) {
-      // delete superseded data + stale layout metadata FIRST, then write
-      // the new sidecars, then publish: readers never evaluate a fresh
-      // bucket/sort spec against the OLD files (which would mis-prune).
-      // The brief empty window is overwrite semantics; the crash exposure
-      // is only between these driver-side steps — task failures and job
-      // aborts no longer touch the old table at all.
-      supersededFiles.foreach(f => fs.delete(new Path(f), false))
+      fs.mkdirs(trash)
+      var seq = 0
+      def toTrash(p: Path): Unit = if (fs.exists(p)) {
+        val t = new Path(trash, s"$seq-${p.getName}"); seq += 1
+        if (!fs.rename(p, t))
+          throw new java.io.IOException(s"gpx overwrite trash move failed: $p")
+        trashed += ((p, t))
+      }
+      supersededFiles.foreach(f => toTrash(new Path(f)))
       Seq("_bucketspec", "_sortspec", "_index").foreach(n =>
-        fs.delete(new Path(rootP, n), true))
+        toTrash(new Path(rootP, n)))
+      // delete-bitmap sidecar dirs of superseded files' parents: the new
+      // layout starts with no masked rows (stale bitmaps keyed by dead
+      // file names must not linger)
+      (supersededFiles.map(f => new Path(f).getParent).distinct :+ rootP)
+        .distinct.foreach(par => toTrash(new Path(par, GpxDeleteBitmap.DelDir)))
     }
     writeSidecars(fs, rootP)
-    // publish with best-effort rollback: without it, a rename failure
-    // mid-publish followed by Spark's abort() (which clears staging)
-    // would leave a permanently half-applied INSERT
+    // publish with rollback: without it, a rename failure mid-publish
+    // followed by Spark's abort() (which clears staging, including the
+    // trash) would leave a permanently half-applied INSERT with the old
+    // data discarded
     val published = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
     try {
       messages.foreach {
@@ -1130,6 +1291,14 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
         published.reverseIterator.foreach { case (dest, src) =>
           try fs.rename(dest, src) catch { case _: Throwable => () }
         }
+        // restore the trashed originals (fresh same-name sidecars are
+        // removed first so the renames cannot collide)
+        trashed.reverseIterator.foreach { case (orig, t) =>
+          try {
+            if (fs.exists(orig)) fs.delete(orig, true)
+            fs.rename(t, orig)
+          } catch { case _: Throwable => () }
+        }
         throw e
     }
     fs.delete(new Path(staging), true)
@@ -1146,65 +1315,76 @@ final case class GpxCommit(files: Seq[String]) extends WriterCommitMessage
 
 final case class GpxWriterFactory(schema: StructType, staging: String,
     opId: String, rgRows: Int, pxRows: Int, commitTs: Long,
-    bucket: Option[GpxTable.BucketSpec])
+    bucket: Option[GpxTable.BucketSpec], tsFromLastColumn: Boolean = false)
   extends DataWriterFactory {
 
   /** final-name uniqueness: opId scopes this logical write (taskIds can
     * repeat across JVMs appending to the same table), taskId scopes the
     * attempt within it, and the commitTs tag keeps append-mode MVCC
-    * batches self-describing */
-  private def fileName(partitionId: Int, taskId: Long, suffix: String): String =
-    if (commitTs >= 0) s"part-$opId-$partitionId-$taskId-t$commitTs$suffix.gpx"
-    else s"part-$opId-$partitionId-$taskId$suffix.gpx"
+    * batches self-describing. Bucket suffix stays LAST (bucket routing
+    * parses the name tail). */
+  private def fileName(partitionId: Int, taskId: Long, ts: Long, bk: Int): String = {
+    val tsTag = if (ts >= 0) s"-t$ts" else ""
+    val bkTag = if (bk >= 0) s"-b$bk" else ""
+    s"part-$opId-$partitionId-$taskId$tsTag$bkTag.gpx"
+  }
+
+  /** file schema: with `tsFromLastColumn` (option("commitTsColumn", c)) the
+    * incoming rows carry the per-row commit ts as their LAST field; files
+    * store only the data fields, and each row routes to the writer of its
+    * own ts — ONE job rewrites a multi-version (compacted) file set with
+    * every row group keeping its original MVCC stamp. */
+  private val dataSchema: StructType =
+    if (tsFromLastColumn) StructType(schema.fields.dropRight(1)) else schema
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val conf = new Configuration()
-    bucket match {
-      case None =>
-        val file = s"$staging/${fileName(partitionId, taskId, "")}"
-        val w = new GpxFileWriter(file, schema, conf, rgRows, pxRows, commitTs)
-        new DataWriter[InternalRow] {
-          override def write(record: InternalRow): Unit = w.addRow(record)
-          override def commit(): WriterCommitMessage =
-            { w.close(); GpxCommit(Seq(file)) }
-          override def abort(): Unit = w.abort()
-          override def close(): Unit = ()
-        }
-      case Some(b) =>
-        // hash-partitioned write: route each row to a per-bucket file
-        // (reference PixelsWriterImpl.addRowBatch(batch, hashValue) :481)
-        val keyIdx = schema.fieldIndex(b.column)
-        val keyDt = schema(keyIdx).dataType
-        val writers = new Array[GpxFileWriter](b.numBuckets)
-        val files = new Array[String](b.numBuckets)
-        new DataWriter[InternalRow] {
-          override def write(record: InternalRow): Unit = {
-            val key: Long =
-              if (record.isNullAt(keyIdx)) 0L
-              else keyDt match {
-                case LongType => record.getLong(keyIdx)
-                case IntegerType | DateType => record.getInt(keyIdx).toLong
-                case ShortType => record.getShort(keyIdx).toLong
-                case ByteType => record.getByte(keyIdx).toLong
-                case other =>
-                  throw new IllegalArgumentException(s"bucketBy $other unsupported")
-              }
-            val bk = GpxTable.bucketOf(key, b.numBuckets)
-            if (writers(bk) == null) {
-              files(bk) = s"$staging/${fileName(partitionId, taskId, s"-b$bk")}"
-              writers(bk) = new GpxFileWriter(
-                files(bk), schema, conf, rgRows, pxRows, commitTs)
-            }
-            writers(bk).addRow(record)
+    val tsIdx = schema.length - 1 // only read when tsFromLastColumn
+    val keyIdx = bucket.map(b => dataSchema.fieldIndex(b.column))
+    val keyDt = keyIdx.map(dataSchema(_).dataType)
+    // routed writes: one writer per (commitTs, bucket) — a plain append
+    // has exactly one key, so the map degenerates to a single writer
+    val writers =
+      scala.collection.mutable.LinkedHashMap.empty[(Long, Int), (String, GpxFileWriter)]
+
+    def bucketOfRow(record: InternalRow): Int = keyIdx match {
+      case None => -1
+      case Some(ki) =>
+        val key: Long =
+          if (record.isNullAt(ki)) 0L
+          else keyDt.get match {
+            case LongType => record.getLong(ki)
+            case IntegerType | DateType => record.getInt(ki).toLong
+            case ShortType => record.getShort(ki).toLong
+            case ByteType => record.getByte(ki).toLong
+            case other =>
+              throw new IllegalArgumentException(s"bucketBy $other unsupported")
           }
-          override def commit(): WriterCommitMessage = {
-            writers.foreach(w => if (w != null) w.close())
-            GpxCommit(files.filter(_ != null).toSeq)
-          }
-          override def abort(): Unit =
-            writers.foreach(w => if (w != null) w.abort())
-          override def close(): Unit = ()
-        }
+        GpxTable.bucketOf(key, bucket.get.numBuckets)
+    }
+
+    def writerFor(ts: Long, bk: Int): GpxFileWriter =
+      writers.getOrElseUpdate((ts, bk), {
+        val file = s"$staging/${fileName(partitionId, taskId, ts, bk)}"
+        (file, new GpxFileWriter(file, dataSchema, conf, rgRows, pxRows, ts))
+      })._2
+
+    new DataWriter[InternalRow] {
+      override def write(record: InternalRow): Unit = {
+        val ts =
+          if (!tsFromLastColumn) commitTs
+          else if (record.isNullAt(tsIdx)) -1L
+          else record.getLong(tsIdx)
+        // dataSchema is a prefix of the row layout: addRow reads only the
+        // first dataSchema.length ordinals, so no projection is needed
+        writerFor(ts, bucketOfRow(record)).addRow(record)
+      }
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_._2.close())
+        GpxCommit(writers.values.map(_._1).toSeq)
+      }
+      override def abort(): Unit = writers.values.foreach(_._2.abort())
+      override def close(): Unit = ()
     }
   }
 }

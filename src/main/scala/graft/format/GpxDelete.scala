@@ -5,22 +5,37 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-/** SQL `DELETE FROM <gpx table> WHERE ...` (reference analog: retina's
-  * delete path, proto/retina.proto:34-50 — there deletes mask visibility;
-  * here affected files are compacted without the matching rows).
+/** SQL `DELETE FROM <gpx table> WHERE ...` — merge-on-read OR copy-on-write
+  * per affected file (reference analog: retina's delete path masks
+  * visibility bitmaps, pixels-retina RGVisibility.java:34-60,
+  * proto/retina.proto:84-108; COW compacts instead).
   *
-  * Scale shape: the footer zone maps select ONLY the files that may hold a
-  * matching row — a key-targeted delete on a sorted/bucketed layout
-  * rewrites a handful of files, not the table. Each affected file is
-  * rewritten by a Spark job (executor-side rows, no driver materialization)
-  * and swapped in under a fresh name that KEEPS the original as a suffix,
-  * so bucket-suffix routing (part-*-bN.gpx) survives. SQL semantics: rows
-  * where the predicate is NULL are kept (DELETE removes only TRUE rows). */
+  * Mode (`spark.graft.gpx.deleteMode`, default `auto`):
+  *  - `mor`: every affected file gets a [[GpxDeleteBitmap]] sidecar — the
+  *    delete is METADATA (a few KB per file), no data bytes move. Catalog
+  *    tables stamp the sidecar with a fresh commitTs, so pre-delete
+  *    snapshots still see the rows (true MVCC replay, beyond what COW can
+  *    offer); path-based sidecars carry ts = -1 and always apply.
+  *  - `cow`: affected files are rewritten without the matching rows in ONE
+  *    Spark job for the whole delete — survivors carry their ORIGINAL
+  *    row-group commitTs via the per-row `commitTsColumn` write routing,
+  *    so a compacted file folding 32 load batches still rewrites in the
+  *    same single job (the round-5 fan-out fix).
+  *  - `auto`: one counting job, then files whose matched fraction is at
+  *    most `spark.graft.gpx.morThreshold` (default 0.2) take the bitmap
+  *    path and the rest rewrite — point-deletes stay metadata-only while
+  *    mostly-deleted files get physically compacted.
+  *
+  * Scale shape: footer zone maps select ONLY the files that may hold a
+  * matching row; the delete runs a bounded number of Spark jobs (<= 3)
+  * regardless of file count or distinct commitTs values. SQL semantics:
+  * rows where the predicate is NULL are kept (DELETE removes TRUE rows).
+  */
 object GpxDelete {
 
-  /** refuse filters on synthetic metadata columns (_file/_commit_ts):
+  /** refuse filters on synthetic metadata columns (_file/_commit_ts/_pos):
     * the rewrite below reads files with the DATA schema, so they would
     * not resolve — Spark then routes the delete through the row-level
     * operation, whose scan serves metadata columns natively */
@@ -52,7 +67,7 @@ object GpxDelete {
   }
 
   def run(schema: StructType, roots: Seq[String],
-      filters: Array[Filter]): Unit = {
+      filters: Array[Filter], catalogManaged: Boolean = false): Unit = {
     val spark = SparkSession.active
     val conf = new Configuration()
     val pred = filters.flatMap(toColumn).reduceOption(_ && _).getOrElse(lit(true))
@@ -66,57 +81,91 @@ object GpxDelete {
       footer.rowGroups.exists(rg =>
         filters.forall(GpxFileReader.mayMatch(_, footer.schema, rg)))
     }
-    affected.foreach { f =>
-      val path = new Path(f)
-      val fs = path.getFileSystem(conf)
-      // underscore prefix keeps the scratch dir invisible to listFiles
-      val tmp = new Path(path.getParent, s"_delete_tmp_${path.getName}")
-      fs.delete(tmp, true)
-      // MVCC history for SURVIVORS: the rewrite re-stamps each kept row
-      // with its ORIGINAL row-group commitTs (one output file per distinct
-      // ts — almost always exactly one), so FOR TIMESTAMP AS OF a
-      // pre-delete time still sees every row the delete kept, regardless
-      // of which files the zone maps happened to touch. Rows the delete
-      // REMOVED are gone from history — the documented copy-on-write
-      // stance, same as compaction.
-      val footer = GpxFileReader.FooterCache.get(f, conf)
-      val tsValues = footer.rowGroups.map(_.commitTs).distinct
-      // table-schema read: evolved files null-fill absent columns so the
-      // predicate resolves; the rewrite upgrades the file to the current
-      // schema (nullable columns), which is the compaction contract too.
-      // _commit_ts is served synthetically per row group, zero extra I/O.
+    if (affected.isEmpty) return
+
+    val mode = spark.conf.getOption("spark.graft.gpx.deleteMode").getOrElse("auto")
+    val threshold = spark.conf.getOption("spark.graft.gpx.morThreshold")
+      .map(_.toDouble).getOrElse(GpxDeleteBitmap.DefaultMorThreshold)
+    // the delete's own commit ts: catalog tables keep MVCC history (the
+    // sidecar only applies at snapshots >= the delete); path-based tables
+    // mask unconditionally, matching the COW history-compaction stance
+    val deleteTs = if (catalogManaged) System.currentTimeMillis() * 1000L else -1L
+
+    def readFiles(files: Seq[String]) = spark.read.format("gpx")
+      .schema(dataSchema).load(files: _*)
+
+    val (morFiles, cowFiles): (Seq[String], Seq[String]) = mode match {
+      case "mor" => (affected, Seq.empty)
+      case "cow" => (Seq.empty, affected)
+      case _ =>
+        // auto: one counting job decides per file (existing masks apply
+        // in the read, so re-deleting already-masked rows counts nothing)
+        val counts = readFiles(affected)
+          .filter(pred <=> lit(true))
+          .groupBy(col(GpxTable.FileCol)).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val (mor, cow) = affected.partition { f =>
+          counts.get(f) match {
+            case None => true // nothing matched: neither job touches it
+            case Some(n) =>
+              val rows = GpxFileReader.FooterCache.get(f, conf)
+                .rowGroups.map(_.numRows.toLong).sum
+              n.toDouble / math.max(rows, 1L) <= threshold
+          }
+        }
+        (mor, cow)
+    }
+
+    // ---- merge-on-read: one job writes the bitmap sidecars ----
+    if (morFiles.nonEmpty) {
+      val matched = readFiles(morFiles)
+        .filter(pred <=> lit(true))
+        .select(col(GpxTable.FileCol).as("f"), col(GpxTable.PosCol).as("p"))
+        .repartition(col("f")) // all positions of one file in one task
+      // executor-side sidecar writes (publish = temp + rename; a retried
+      // task publishes a same-content duplicate that unions idempotently);
+      // collect() returns only the sidecar paths — bounded by file count
+      matched.queryExecution.toRdd.mapPartitions { it =>
+        val c = new Configuration()
+        val perFile = scala.collection.mutable.Map.empty[String, java.util.BitSet]
+        it.foreach { row =>
+          val f = row.getUTF8String(0).toString
+          perFile.getOrElseUpdate(f, new java.util.BitSet()).set(row.getLong(1).toInt)
+        }
+        perFile.iterator.map { case (f, bits) =>
+          GpxDeleteBitmap.write(new Path(f), deleteTs, bits, bits.length.toLong, c)
+        }
+      }.collect()
+    }
+
+    // ---- copy-on-write: ONE job rewrites every affected file ----
+    if (cowFiles.nonEmpty) {
+      // MVCC history for SURVIVORS: each kept row is re-stamped with its
+      // ORIGINAL row-group commitTs through the per-row commitTsColumn
+      // routing — one output file per (ts, bucket) per task, so FOR
+      // TIMESTAMP AS OF a pre-delete time still sees every kept row even
+      // across compacted multi-ts files. Rows the delete REMOVED are gone
+      // from history — the documented copy-on-write stance. Existing
+      // delete bitmaps are applied by the read and FOLDED into the copy.
       val withTs = spark.read.format("gpx")
-        .schema(dataSchema.add(org.apache.spark.sql.types.StructField(
-          GpxTable.CommitTsCol, org.apache.spark.sql.types.LongType,
-          nullable = false)))
-        .load(f)
-      tsValues.zipWithIndex.foreach { case (ts, i) =>
-        val keep = withTs
-          .filter(col(GpxTable.CommitTsCol) === lit(ts))
-          .drop(GpxTable.CommitTsCol)
-          .filter(keepCond)
-        val sub = new Path(tmp, s"t$i")
-        keep.coalesce(1).write.format("gpx")
-          .option("commitTs", ts.toString)
-          .mode("overwrite").save(sub.toString)
-        val produced = fs.listStatus(sub).map(_.getPath)
-          .filter(_.getName.endsWith(".gpx"))
-        val survivors = produced.headOption.map(p =>
-          GpxFileReader.readFooter(p.toString, conf).rowGroups.map(_.numRows.toLong).sum)
-          .getOrElse(0L)
-        // crash-safe order: make the replacement visible FIRST (fresh name,
-        // original name kept as suffix so the -bN bucket tag stays last),
-        // then drop the original — a crash in between duplicates the kept
-        // rows instead of losing them
-        if (survivors > 0L) {
-          val dest = new Path(path.getParent,
-            s"d${java.util.UUID.randomUUID().toString.take(8)}-${path.getName}")
-          if (!fs.rename(produced.head, dest))
-            throw new java.io.IOException(s"delete rewrite rename failed: $f")
-        } // else: every row of this ts matched -> no replacement file
+        .schema(dataSchema.add(StructField(
+          GpxTable.CommitTsCol, LongType, nullable = false)))
+        .load(cowFiles: _*)
+      val bucket = roots.headOption.flatMap(GpxTable.readBucketSpec(_, conf))
+      val writer = withTs.filter(keepCond)
+        .write.format("gpx").mode("append")
+        .option("commitTsColumn", GpxTable.CommitTsCol)
+      bucket.foreach(b => writer
+        .option("bucketBy", b.column).option("numBuckets", b.numBuckets.toString))
+      writer.save(roots.head)
+      // crash-safe order: replacements published first (visible), originals
+      // dropped after — a crash in between duplicates kept rows instead of
+      // losing them. Sidecars go with their files (folded by the rewrite).
+      cowFiles.foreach { f =>
+        val p = new Path(f)
+        p.getFileSystem(conf).delete(p, false)
+        GpxDeleteBitmap.dropSidecars(p, conf)
       }
-      fs.delete(path, false)
-      fs.delete(tmp, true)
     }
   }
 }

@@ -226,11 +226,20 @@ object GpxFileReader {
   /** One pixel segment to read: absolute file offset, byte length, rows. */
   final case class PixelSlice(offset: Long, length: Int, rows: Int)
 
+  /** synthetic-column kinds for [[readSlices]]' `synth` array */
+  val SynthData: Byte = 0
+  val SynthCommitTs: Byte = 1
+  val SynthFile: Byte = 2
+  val SynthPos: Byte = 3
+  val SynthAbsent: Byte = 4
+
   /** Materialize a self-contained split: for each output column either a
-    * run of pixel slices (in row order) or null => a synthetic constant
-    * column filled from the split itself — `constLong` (the hidden
-    * _commit_ts) for long columns, the file path (_file) for string
-    * columns. The executor touches ONLY the slice byte ranges — no footer
+    * run of pixel slices (in row order) or a synthetic column filled from
+    * the split itself — `constLong` (the hidden _commit_ts), the file path
+    * (_file), or the absolute file row position (_pos, enumerated from
+    * `pixelStarts`/`pixelCounts`). With `synth` null the legacy encoding
+    * applies: cols(i)==null => constant (by dtype), empty => absent-column
+    * nulls. The executor touches ONLY the slice byte ranges — no footer
     * access. */
   def readSlices(
       path: String,
@@ -238,7 +247,10 @@ object GpxFileReader {
       outSchema: StructType,
       cols: Array[Array[PixelSlice]],
       numRows: Int,
-      constLong: Long): ColumnarBatch = {
+      constLong: Long,
+      synth: Array[Byte] = null,
+      pixelStarts: Array[Long] = null,
+      pixelCounts: Array[Int] = null): ColumnarBatch = {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(conf)
     val in = fs.open(hPath)
@@ -247,16 +259,36 @@ object GpxFileReader {
       var oi = 0
       while (oi < cols.length) {
         val slices = cols(oi)
-        if (slices == null) {
-          if (outSchema(oi).dataType == StringType) {
-            val bytes = path.getBytes("UTF-8")
-            var k = 0
-            while (k < numRows) {
-              vectors(oi).putByteArray(k, bytes, 0, bytes.length)
-              k += 1
+        val kind: Byte =
+          if (synth != null) synth(oi)
+          else if (slices == null) {
+            if (outSchema(oi).dataType == StringType) SynthFile else SynthCommitTs
+          } else if (slices.isEmpty) SynthAbsent
+          else SynthData
+        if (kind == SynthFile) {
+          val bytes = path.getBytes("UTF-8")
+          var k = 0
+          while (k < numRows) {
+            vectors(oi).putByteArray(k, bytes, 0, bytes.length)
+            k += 1
+          }
+        } else if (kind == SynthCommitTs) {
+          vectors(oi).putLongs(0, numRows, constLong)
+        } else if (kind == SynthPos) {
+          // absolute row positions: one increasing run per kept pixel
+          var row = 0
+          var px = 0
+          while (px < pixelStarts.length) {
+            var j = 0
+            val start = pixelStarts(px)
+            val cnt = pixelCounts(px)
+            while (j < cnt) {
+              vectors(oi).putLong(row, start + j)
+              row += 1; j += 1
             }
-          } else vectors(oi).putLongs(0, numRows, constLong)
-        } else if (slices.isEmpty) {
+            px += 1
+          }
+        } else if (kind == SynthAbsent) {
           // column absent from this file (schema evolution): all nulls
           vectors(oi).putNulls(0, numRows)
         } else {

@@ -26,7 +26,13 @@ final class GpxFileWriter(
     conf: Configuration,
     rowGroupRows: Int = DefaultRowGroupRows,
     pixelRows: Int = DefaultPixelRows,
-    commitTs: Long = -1L) {
+    initialCommitTs: Long = -1L) {
+
+  /** ts stamped on row groups as they flush — mutable so multi-version
+    * rewrites (delete-bitmap folds, compaction of mixed-ts files) can
+    * stamp each row group with its ORIGINAL commit ts: set it, add the
+    * group's rows, then [[flushRowGroup]] before changing it again */
+  var commitTs: Long = initialCommitTs
 
   require(schema.fields.forall(f => supported(f.dataType)),
     s"unsupported gpx schema: $schema")
@@ -111,7 +117,9 @@ final class GpxFileWriter(
     if (bufRows >= rowGroupRows) flushRowGroup()
   }
 
-  private def flushRowGroup(): Unit = {
+  /** flush buffered rows as one row group stamped with the current
+    * [[commitTs]] (public for multi-version rewrites; no-op when empty) */
+  def flushRowGroup(): Unit = {
     if (bufRows == 0) return
     val chunks = new Array[ChunkMeta](n)
     var i = 0

@@ -297,9 +297,13 @@ object GpxPointIndex {
   def lookupBinary(spark: SparkSession, table: String, column: String,
       binKeys: Set[Seq[Byte]], columns: Seq[String]): DataFrame = {
     val arrs = binKeys.toSeq.map(_.toArray)
+    // O(1) membership per candidate row (hash set of wrapped bytes) —
+    // a per-row linear probe would go quadratic on large IN-sets
+    val keySet: Set[Seq[Byte]] = arrs.map(a =>
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a): Seq[Byte]).toSet
     lookupImpl(spark, table, column, arrs.map(bytesKey).toSet, columns,
-      exact = Some((r, i) =>
-        arrs.exists(java.util.Arrays.equals(_, r.getBinary(i)))),
+      exact = Some((r, i) => keySet.contains(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(r.getBinary(i)))),
       fallback = arrs)
   }
 
@@ -324,6 +328,14 @@ object GpxPointIndex {
           val f = s"$qroot/$rel"
           val footer = GpxFileReader.FooterCache.get(f, conf)
           val phys = footer.schema
+          // merge-on-read masks: this path reads pixel slices DIRECTLY
+          // (no GpxScan), so it must replay the file's delete bitmaps
+          // itself or it would serve deleted rows
+          val fPath = new org.apache.hadoop.fs.Path(f)
+          val delMask = GpxDeleteBitmap.maskFor(f,
+            GpxDeleteBitmap.sidecarsIn(fPath.getParent, conf)
+              .getOrElse(fPath.getName, Seq.empty), None, conf)
+          val rgStarts = footer.rowGroups.scanLeft(0L)(_ + _.numRows)
           val keyIdx = phys.fieldIndex(column)
           val keyDt = phys(keyIdx).dataType
           val outIdx = columns.map(phys.fieldIndex).toArray
@@ -335,6 +347,18 @@ object GpxPointIndex {
               GpxFileReader.mayMatchPixel(keyFilter, phys, rg, p)).toArray
             if (keptPix.nonEmpty) {
               val numRows = keptPix.map(rg.chunks.head.pixels(_).rows).sum
+              // absolute file position of each read row (mask addressing)
+              val absPos: Array[Long] = {
+                val pixRows = rg.chunks.head.pixels.map(_.rows)
+                val pixStart = pixRows.scanLeft(rgStarts(rgIdx))(_ + _)
+                val out = new Array[Long](numRows)
+                var o = 0
+                keptPix.foreach { p =>
+                  var j = 0
+                  while (j < pixRows(p)) { out(o) = pixStart(p) + j; o += 1; j += 1 }
+                }
+                out
+              }
               // read the key column alongside the requested ones
               val readIdx = (outIdx :+ keyIdx).distinct
               val readSchema = StructType(readIdx.map(phys(_)).toIndexedSeq)
@@ -349,9 +373,12 @@ object GpxPointIndex {
               val kPos = readIdx.indexOf(keyIdx)
               val outPos = outIdx.map(ci => readIdx.indexOf(ci))
               val it = batch.rowIterator()
+              var ri = 0
               while (it.hasNext) {
                 val r = it.next()
-                val hit = !r.isNullAt(kPos) && (exact match {
+                val masked = delMask != null && delMask.get(absPos(ri).toInt)
+                ri += 1
+                val hit = !masked && !r.isNullAt(kPos) && (exact match {
                   case Some(chk) => chk(r, kPos)
                   case None => keys.contains(keyAt(r, kPos, keyDt))
                 })

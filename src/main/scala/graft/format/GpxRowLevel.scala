@@ -185,7 +185,13 @@ class GpxReplaceBatchWrite(
     val toDelete =
       if (cmd == RowLevelOperation.Command.UPDATE && fileIdx >= 0) consumed
       else recorded.asScalaSet
-    toDelete.foreach(f => fs.delete(new Path(f), false))
+    toDelete.foreach { f =>
+      val p = new Path(f)
+      fs.delete(p, false)
+      // the rewrite's scan applied any merge-on-read masks, so the copy
+      // FOLDED them — their sidecars go with the superseded file
+      GpxDeleteBitmap.dropSidecars(p, conf)
+    }
   }
 
   private implicit class JSet(s: java.util.Set[String]) {

@@ -207,6 +207,49 @@ object FormatOps {
     },
       Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
              |FROM orders WHERE o_orderkey IN (42, 4242, 9999, 12345)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Merge-on-read DELETE bitmaps (reference RGVisibility.java:34-60,
+    // proto/retina.proto:84-108 — deletes as visibility metadata, not
+    // rewrites): two forced-`mor` deletes leave the data files untouched
+    // and publish bitmap sidecars; the masked scan (union of both bitmaps)
+    // must hash-match DuckDB computing the survivors from parquet.
+    GQuery("f10_gpx_mor_delete", (s, d) => {
+      val dir = cachedDir(d, "mor_orders") { dir =>
+        Tables.orders(s, d).write.format("gpx").mode("overwrite")
+          .option("rowGroupRows", "4096").save(dir)
+        val schema = s.read.format("gpx").load(dir).schema
+        val prev = s.conf.getOption("spark.graft.gpx.deleteMode")
+        s.conf.set("spark.graft.gpx.deleteMode", "mor")
+        try {
+          import org.apache.spark.sql.sources._
+          graft.format.GpxDelete.run(schema, Seq(dir), Array[Filter](
+            And(GreaterThanOrEqual("o_orderkey", 1000L),
+              LessThan("o_orderkey", 2000L))))
+          graft.format.GpxDelete.run(schema, Seq(dir), Array[Filter](
+            In("o_custkey", Array[Any](7L, 11L, 13L))))
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set("spark.graft.gpx.deleteMode", v)
+            case None => s.conf.unset("spark.graft.gpx.deleteMode")
+          }
+        }
+      }
+      s.read.format("gpx").load(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+              |  ${Det.o.dsum("o_totalprice")} AS sum_price,
+              |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+              |FROM orders
+              |WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 2000)
+              |  AND o_custkey NOT IN (7, 11, 13)
+              |GROUP BY o_orderstatus
+              |ORDER BY o_orderstatus""".stripMargin))
   )
 }

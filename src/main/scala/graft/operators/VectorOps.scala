@@ -29,6 +29,24 @@ object VectorOps {
   private def cosine(a: String, an: String, b: String, bn: String): Column =
     graft.functions.VectorFunctions.cos_sim(col(a), col(b))
 
+  /** Guardrail for the two documented O(n^2) oracle baselines: refuse to
+    * run them past a corpus bound instead of silently launching a
+    * cartesian join over a 10 B-row table. The bound is generous for
+    * oracle scales (sf0.1 embeddings ~6 k rows) and overridable for
+    * deliberate baseline runs. The scale-safe equivalents are the
+    * banded/clustered paths (v05 LSH pairs, v03/v06 IVF kNN). */
+  private def requireBaselineScale(s: SparkSession, e: DataFrame,
+      op: String, alt: String): DataFrame = {
+    val max = s.conf.getOption("spark.graft.bruteforce.maxRows")
+      .map(_.toLong).getOrElse(1000000L)
+    val n = e.count()
+    require(n <= max,
+      s"$op is an O(n^2) brute-force oracle baseline (corpus $n rows > " +
+      s"$max); use $alt at scale, or raise spark.graft.bruteforce.maxRows " +
+      "for a deliberate baseline run")
+    e
+  }
+
   /** DuckDB mirror: dot via list_dot_product on DOUBLE[] casts. */
   private val oVecs =
     """e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
@@ -57,7 +75,8 @@ object VectorOps {
     // space is bounded by a label-block only in v02; here it is the full
     // O(n^2) (kept as the documented baseline; do NOT run at 100 TB).
     GQuery("v01_cosine_pairs_brute", (s, d) => {
-      val e = vecs(s, d)
+      val e = requireBaselineScale(s, vecs(s, d),
+        "v01_cosine_pairs_brute", "v05_cosine_pairs_lsh")
       e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos", cosine("a.v", "a.norm", "b.v", "b.norm"))
         .filter(col("cos") >= 0.4)
@@ -74,7 +93,8 @@ object VectorOps {
 
     // Brute-force top-k cosine neighbors for a query set (ANN baseline).
     GQuery("v02_knn_brute", (s, d) => {
-      val e = vecs(s, d)
+      val e = requireBaselineScale(s, vecs(s, d),
+        "v02_knn_brute", "v03_knn_ivf / v06_knn_ivf_index")
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
       val w = Window.partitionBy(col("q_id"))

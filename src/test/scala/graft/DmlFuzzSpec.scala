@@ -55,13 +55,32 @@ class DmlFuzzSpec extends GraftSpec {
             s"($id, ${model(id)._1}, ${lit(model(id)._2)})")
           sp.sql(s"INSERT INTO gfz.db.t VALUES ${rows.mkString(", ")}")
           ids.toSet
-        case 1 if model.nonEmpty => // predicate DELETE
-          val m = 2 + rnd.nextInt(5)
-          val r = rnd.nextInt(m)
-          val hit = model.keys.filter(_ % m == r).toSet
-          sp.sql(s"DELETE FROM gfz.db.t WHERE id % $m = $r")
-          model.filterInPlace((id, _) => id % m != r)
-          hit
+        case 1 if model.nonEmpty => // predicate DELETE under a random mode
+          // (mor/cow/auto): current-state semantics are identical across
+          // modes, and the untouched-rows time-travel contract below holds
+          // for all three (mor retains MORE history than it requires).
+          // Translatable predicates (BETWEEN) exercise GpxDelete.run's
+          // bitmap/rewrite split; the modulo shape is untranslatable and
+          // exercises the row-level COW fallback over possibly-masked files.
+          val mode = Seq("cow", "mor", "auto")(rnd.nextInt(3))
+          sp.conf.set("spark.graft.gpx.deleteMode", mode)
+          try {
+            if (rnd.nextBoolean()) {
+              val lo = rnd.nextLong(math.max(1L, nextId))
+              val hi = lo + rnd.nextInt(40)
+              val hit = model.keys.filter(id => id >= lo && id <= hi).toSet
+              sp.sql(s"DELETE FROM gfz.db.t WHERE id BETWEEN $lo AND $hi")
+              model.filterInPlace((id, _) => id < lo || id > hi)
+              hit
+            } else {
+              val m = 2 + rnd.nextInt(5)
+              val r = rnd.nextInt(m)
+              val hit = model.keys.filter(_ % m == r).toSet
+              sp.sql(s"DELETE FROM gfz.db.t WHERE id % $m = $r")
+              model.filterInPlace((id, _) => id % m != r)
+              hit
+            }
+          } finally sp.conf.unset("spark.graft.gpx.deleteMode")
         case 2 if model.nonEmpty => // range UPDATE
           val lo = rnd.nextLong(math.max(1L, nextId))
           val hi = lo + rnd.nextInt(30)

@@ -1,0 +1,210 @@
+package graft
+
+import graft.format.{GpxDelete, GpxDeleteBitmap, GpxTable}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import java.nio.file.Files
+
+/** Merge-on-read delete bitmaps (reference RGVisibility / retina replay):
+  * sidecar masking, mode selection, MVCC interplay, fold-on-compact, and
+  * the bounded-job copy-on-write rewrite. */
+class MorDeleteSpec extends GraftSpec {
+  private val sp = TestSpark.spark
+  private val conf = new Configuration()
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeRange(dir: String, n: Int, mode: String = "overwrite",
+      ts: Long = -1L, rgRows: Int = 1000): Unit = {
+    val sp2 = sp
+    import sp2.implicits._
+    val w = (0 until n).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .coalesce(1).write.format("gpx").mode(mode)
+      .option("rowGroupRows", rgRows.toString)
+    (if (ts >= 0) w.option("commitTs", ts.toString) else w).save(dir)
+  }
+
+  private def del(dir: String, mode: String, filters: Filter*): Unit = {
+    val schema = sp.read.format("gpx").load(dir).schema
+    val prev = sp.conf.getOption("spark.graft.gpx.deleteMode")
+    sp.conf.set("spark.graft.gpx.deleteMode", mode)
+    try GpxDelete.run(schema, Seq(dir), filters.toArray)
+    finally prev match {
+      case Some(v) => sp.conf.set("spark.graft.gpx.deleteMode", v)
+      case None => sp.conf.unset("spark.graft.gpx.deleteMode")
+    }
+  }
+
+  private def dataFiles(dir: String): Seq[String] =
+    GpxTable.listFiles(Seq(dir), conf)
+
+  private def sidecarCount(dir: String): Int =
+    dataFiles(dir).map(f => new Path(f).getParent).distinct
+      .map(p => GpxDeleteBitmap.sidecarsIn(p, conf).values.map(_.size).sum).sum
+
+  test("mor delete masks rows without touching data files") {
+    val dir = freshDir("gpx_mor1")
+    writeRange(dir, 5000)
+    val before = dataFiles(dir)
+    del(dir, "mor", LessThan("id", 100L))
+    assert(dataFiles(dir) == before, "data files must be untouched")
+    assert(sidecarCount(dir) == 1)
+    val ids = sp.read.format("gpx").load(dir).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.length == 4900 && ids.head == 100L)
+    // second delete unions its bitmap with the first
+    del(dir, "mor", GreaterThanOrEqual("id", 4990L))
+    assert(sidecarCount(dir) == 2)
+    assert(sp.read.format("gpx").load(dir).count() == 4890)
+    // aggregates must NOT come from footer stats once masks exist
+    val row = sp.read.format("gpx").load(dir)
+      .agg(count(lit(1)), min(col("id")), max(col("id"))).collect().head
+    assert(row.getLong(0) == 4890 && row.getLong(1) == 100L && row.getLong(2) == 4989L)
+    // limit must not under-return either
+    assert(sp.read.format("gpx").load(dir).limit(4890).count() == 4890)
+  }
+
+  test("auto mode: point delete -> bitmap, bulk delete -> rewrite") {
+    val dir = freshDir("gpx_mor2")
+    writeRange(dir, 5000)
+    val before = dataFiles(dir)
+    del(dir, "auto", EqualTo("id", 7L)) // 1/5000 << threshold
+    assert(dataFiles(dir) == before && sidecarCount(dir) == 1,
+      "point delete must take the bitmap path")
+    del(dir, "auto", GreaterThan("id", 1000L)) // ~80% >> threshold
+    assert(dataFiles(dir) != before, "bulk delete must rewrite")
+    assert(sidecarCount(dir) == 0, "rewrite folds and drops sidecars")
+    val ids = sp.read.format("gpx").load(dir).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == ((0L until 1001L).filterNot(_ == 7L)))
+  }
+
+  test("catalog mor delete keeps MVCC history; path-based masks all history") {
+    // path-based: sidecar ts = -1 applies at every snapshot (cow stance)
+    val dir = freshDir("gpx_mor3")
+    writeRange(dir, 1000, ts = 100L)
+    del(dir, "mor", LessThan("id", 10L))
+    assert(sp.read.format("gpx").option("snapshotTs", "100")
+      .load(dir).count() == 990, "path-based mask applies to old snapshots")
+
+    // catalog: the delete stamps its own commitTs — pre-delete snapshots
+    // still see the rows (the reference's replay semantics)
+    val wh = freshDir("gpx_mor_wh")
+    sp.conf.set("spark.sql.catalog.gmor", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gmor.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gmor.db")
+    sp.sql("CREATE TABLE gmor.db.t (id BIGINT, s STRING) USING gpx")
+    sp.sql("INSERT INTO gmor.db.t SELECT id, CAST(id AS STRING) FROM range(1000)")
+    Thread.sleep(2)
+    val preDelete = System.currentTimeMillis() * 1000L
+    Thread.sleep(2)
+    val prev = sp.conf.getOption("spark.graft.gpx.deleteMode")
+    sp.conf.set("spark.graft.gpx.deleteMode", "mor")
+    try sp.sql("DELETE FROM gmor.db.t WHERE id < 10")
+    finally prev match {
+      case Some(v) => sp.conf.set("spark.graft.gpx.deleteMode", v)
+      case None => sp.conf.unset("spark.graft.gpx.deleteMode")
+    }
+    assert(sp.table("gmor.db.t").count() == 990)
+    assert(sp.sql(s"SELECT * FROM gmor.db.t FOR VERSION AS OF $preDelete")
+      .count() == 1000, "pre-delete snapshot must still see masked rows")
+  }
+
+  test("compaction folds bitmaps; row groups keep their commitTs") {
+    val dir = freshDir("gpx_mor4")
+    writeRange(dir, 3000, ts = 100L)
+    writeRange(dir, 3000, mode = "append", ts = 200L)
+    del(dir, "mor", In("id", Array[Any](5L, 1500L, 2999L)))
+    // masked read before compaction: 3000-3 distinct ids from ts=100 batch
+    // plus 3000 dups from ts=200 batch minus its 3 masked
+    assert(sp.read.format("gpx").load(dir).count() == 5994)
+    val out = freshDir("gpx_mor4_out")
+    graft.format.GpxCompactor.compact(dir, out, conf)
+    assert(sidecarCount(out) == 0)
+    assert(sp.read.format("gpx").load(out).count() == 5994,
+      "fold must not resurrect masked rows")
+    // commitTs survives the fold: snapshot at 100 sees only the first batch
+    assert(sp.read.format("gpx").option("snapshotTs", "100").load(out)
+      .count() == 2997)
+  }
+
+  test("cow delete over a compacted multi-ts store runs ONE rewrite job and keeps per-rg ts") {
+    val dir = freshDir("gpx_mor5")
+    writeRange(dir, 2000, ts = 100L, rgRows = 500)
+    writeRange(dir, 2000, mode = "append", ts = 200L, rgRows = 500)
+    writeRange(dir, 2000, mode = "append", ts = 300L, rgRows = 500)
+    // compact to mix the three commitTs into shared files
+    val cdir = freshDir("gpx_mor5_c")
+    graft.format.GpxCompactor.compact(dir, cdir, conf)
+    assert(dataFiles(cdir).size == 1, "compaction should produce one file")
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    sp.sparkContext.addSparkListener(listener)
+    try {
+      del(cdir, "cow", LessThan("id", 100L))
+      Thread.sleep(300) // let listener events drain
+    } finally sp.sparkContext.removeSparkListener(listener)
+    // the round-5 defect: one rewrite job PER distinct commitTs (3 here).
+    // The one-pass path reads+writes all survivors in a single job
+    // (AQE may add a zero-cost plan job; allow <= 2, reject >= 3)
+    assert(jobs.get() <= 2, s"multi-ts delete fanned out ${jobs.get()} jobs")
+
+    val df = sp.read.format("gpx").load(cdir)
+    assert(df.count() == 5700)
+    // survivors keep their ORIGINAL ts through the per-row routing
+    assert(sp.read.format("gpx").option("snapshotTs", "100").load(cdir)
+      .count() == 1900)
+    assert(sp.read.format("gpx").option("snapshotTs", "200").load(cdir)
+      .count() == 3800)
+  }
+
+  test("_pos metadata column enumerates absolute file row positions") {
+    val dir = freshDir("gpx_mor6")
+    writeRange(dir, 2500, rgRows = 1000) // 3 row groups in one file
+    val rows = sp.read.format("gpx").load(dir)
+      .select(col("id"), col(GpxTable.PosCol))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == 2500)
+    // coalesce(1) + ordered range => position == id
+    rows.foreach { case (id, pos) => assert(id == pos, s"id=$id pos=$pos") }
+    // selective scan keeps ABSOLUTE positions (zone maps prune leading
+    // row groups; _pos must not restart at 0)
+    val sel = sp.read.format("gpx").load(dir)
+      .filter(col("id") >= 2200L)
+      .select(col("id"), col(GpxTable.PosCol))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    sel.foreach { case (id, pos) => assert(id == pos, s"id=$id pos=$pos") }
+  }
+
+  test("update/merge over masked files folds the mask (no resurrection)") {
+    val wh = freshDir("gpx_mor7_wh")
+    sp.conf.set("spark.sql.catalog.gmor7", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gmor7.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gmor7.db")
+    sp.sql("CREATE TABLE gmor7.db.t (id BIGINT, v BIGINT) USING gpx")
+    sp.sql("INSERT INTO gmor7.db.t SELECT id, id * 10 FROM range(1000)")
+    val prev = sp.conf.getOption("spark.graft.gpx.deleteMode")
+    sp.conf.set("spark.graft.gpx.deleteMode", "mor")
+    try sp.sql("DELETE FROM gmor7.db.t WHERE id BETWEEN 100 AND 199")
+    finally prev match {
+      case Some(v) => sp.conf.set("spark.graft.gpx.deleteMode", v)
+      case None => sp.conf.unset("spark.graft.gpx.deleteMode")
+    }
+    assert(sp.table("gmor7.db.t").count() == 900)
+    // COW UPDATE rewrites the masked file: deleted rows must stay deleted
+    sp.sql("UPDATE gmor7.db.t SET v = v + 1 WHERE id < 300")
+    val got = sp.table("gmor7.db.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 900)
+    assert(!got.contains(150L), "masked row resurrected by UPDATE rewrite")
+    assert(got(50L) == 501L && got(250L) == 2501L && got(500L) == 5000L)
+  }
+}

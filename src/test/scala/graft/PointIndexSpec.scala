@@ -41,21 +41,37 @@ class PointIndexSpec extends GraftSpec {
     assert(got >= keys.distinct.length)
   }
 
-  test("DELETE's same-name file rewrite invalidates the index (mtime in fingerprint)") {
+  test("COW DELETE's file churn invalidates the index; MOR DELETE masks the lookup") {
     val d = Files.createTempDirectory("gpx_idx_del").toString
     Tables.orders(sp, sf).limit(1000).coalesce(1)
       .write.format("gpx").mode("overwrite").save(d)
     GpxPointIndex.build(sp, d, "o_orderkey", numBuckets = 2)
     assert(GpxPointIndex.valid(d, "o_orderkey", conf))
-    val victim = Tables.orders(sp, sf).limit(1).collect().head.getLong(0)
-    graft.format.GpxDelete.run(
+    val victims = Tables.orders(sp, sf).limit(2).collect().map(_.getLong(0))
+
+    // merge-on-read delete: files untouched, so the index STAYS valid —
+    // the driver-direct lookup must replay the delete bitmap itself
+    sp.conf.set("spark.graft.gpx.deleteMode", "mor")
+    try graft.format.GpxDelete.run(
       sp.read.format("gpx").load(d).schema, Seq(d),
-      Array(org.apache.spark.sql.sources.EqualTo("o_orderkey", victim)))
-    // rewrite kept the file NAME; mtime (and length) changed -> stale
+      Array(org.apache.spark.sql.sources.EqualTo("o_orderkey", victims(0))))
+    finally sp.conf.unset("spark.graft.gpx.deleteMode")
+    assert(GpxPointIndex.valid(d, "o_orderkey", conf),
+      "bitmap delete must not invalidate the index")
+    assert(GpxPointIndex.lookup(sp, d, "o_orderkey", Set(victims(0)),
+      Seq("o_orderkey")).count() == 0,
+      "index-served lookup returned a bitmap-deleted row")
+
+    // copy-on-write delete: survivors publish under new names -> stale
+    sp.conf.set("spark.graft.gpx.deleteMode", "cow")
+    try graft.format.GpxDelete.run(
+      sp.read.format("gpx").load(d).schema, Seq(d),
+      Array(org.apache.spark.sql.sources.EqualTo("o_orderkey", victims(1))))
+    finally sp.conf.unset("spark.graft.gpx.deleteMode")
     assert(!GpxPointIndex.valid(d, "o_orderkey", conf))
     // post-delete reads are correct (index is bypassed, not consulted stale)
     assert(sp.read.format("gpx").load(d)
-      .filter(col("o_orderkey") === victim).count() == 0)
+      .filter(col("o_orderkey").isin(victims.toSeq: _*)).count() == 0)
   }
 
   test("driver-direct lookup matches a full scan filter") {
