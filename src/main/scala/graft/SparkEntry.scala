@@ -21,7 +21,8 @@ object SparkEntry {
       VectorOps.queries ++
       Multimodal.queries ++
       FormatOps.queries ++
-      WideOps.queries
+      WideOps.queries ++
+      WideOps.approxQueries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: 3-way join + grouped agg + top-k. */

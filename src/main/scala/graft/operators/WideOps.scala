@@ -234,5 +234,106 @@ object WideOps {
         |  CAST(median(duration_ms) AS DOUBLE) AS med_dur,
         |  COUNT(*) AS n
         |FROM hits WHERE is_refresh = 0
-        |GROUP BY os ORDER BY os""".stripMargin))
+        |GROUP BY os ORDER BY os""".stripMargin),
+
+    // ClickBench's regex-extraction family (Q "top path segments"): pull
+    // the section out of every URL with regexp_extract — evaluated by
+    // BOTH engines, so semantics (group capture, no-match => '') must
+    // agree exactly. The scan still prunes to the referenced columns
+    // (WideSpec asserts the pixel counts).
+    wq("w12_wide_url_regex_sections",
+      """SELECT regexp_extract(url, 'https://[^/]+/(s[0-9]+)/', 1) AS section,
+        |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM hits GROUP BY regexp_extract(url, 'https://[^/]+/(s[0-9]+)/', 1)
+        |ORDER BY n DESC, section LIMIT 15""".stripMargin),
+
+    // regex REPLACE: normalize page ids out of URLs. The pattern is
+    // $-anchored so it matches at most once — DuckDB's first-match
+    // regexp_replace and Spark's replace-all then agree by construction.
+    wq("w13_wide_url_normalize",
+      """SELECT regexp_replace(url, '/page/[0-9]+$', '/page/_') AS page_class,
+        |  COUNT(*) AS views, COUNT(DISTINCT user_id) AS visitors
+        |FROM hits GROUP BY regexp_replace(url, '/page/[0-9]+$', '/page/_')
+        |ORDER BY views DESC, page_class LIMIT 20""".stripMargin),
+
+    // referer domain extraction incl. the empty-referer class ('' => no
+    // match => '' in both engines)
+    wq("w14_wide_referer_domains",
+      """SELECT regexp_extract(referer, '^https://([^/]+)', 1) AS domain,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM hits GROUP BY regexp_extract(referer, '^https://([^/]+)', 1)
+        |ORDER BY n DESC, domain""".stripMargin),
+
+    // ClickBench's IP-range family: /24 prefix grouping with pure integer
+    // arithmetic (no dialect-specific inet types), top networks by traffic
+    wq("w15_wide_ip_prefix24",
+      """SELECT client_ip - client_ip % 256 AS net24, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(is_bounce) AS BIGINT) AS bounces
+        |FROM hits GROUP BY client_ip - client_ip % 256
+        |ORDER BY n DESC, net24 LIMIT 15""".stripMargin),
+
+    // dotted-quad rendering via arithmetic only: every octet is an exact
+    // small integer, so the double division casts identically in both
+    // engines; groups by /16
+    wq("w16_wide_ip_dotted16",
+      """SELECT concat(
+        |    CAST(CAST((client_ip - client_ip % 16777216) / 16777216 AS BIGINT) AS STRING),
+        |    '.',
+        |    CAST(CAST((client_ip % 16777216 - client_ip % 65536) / 65536 AS BIGINT) AS STRING),
+        |    '.x.x') AS net16,
+        |  COUNT(*) AS n
+        |FROM hits GROUP BY concat(
+        |    CAST(CAST((client_ip - client_ip % 16777216) / 16777216 AS BIGINT) AS STRING),
+        |    '.',
+        |    CAST(CAST((client_ip % 16777216 - client_ip % 65536) / 65536 AS BIGINT) AS STRING),
+        |    '.x.x')
+        |ORDER BY n DESC, net16""".stripMargin),
+
+    // ClickBench's LIKE-heavy family: infix wildcards defeat zone maps by
+    // design — this is the full-string-scan stress shape (two infix
+    // patterns + a conjunction)
+    wq("w17_wide_like_scan",
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN title LIKE '%42%' THEN 1 ELSE 0 END) AS BIGINT) AS t42,
+        |  COUNT(DISTINCT counter_id) AS n_counters
+        |FROM hits
+        |WHERE url LIKE '%/page/7%' AND url NOT LIKE '%/page/77%'""".stripMargin),
+
+    // prefix LIKE over the mostly-empty search_phrase column: selective
+    // rows, ordered narrow projection of the wide row
+    wq("w18_wide_search_prefix",
+      """SELECT search_phrase, COUNT(*) AS n,
+        |  MIN(event_sec) AS first_sec, MAX(event_sec) AS last_sec
+        |FROM hits WHERE search_phrase LIKE 'query 1%'
+        |GROUP BY search_phrase ORDER BY n DESC, search_phrase
+        |LIMIT 25""".stripMargin),
+
+    // string-length analytics over the URL-ish columns (ClickBench's
+    // length/empty-ratio shapes) — pure scalar math, no regex
+    wq("w19_wide_url_lengths",
+      """SELECT os,
+        |  CAST(SUM(length(url)) AS BIGINT) AS url_chars,
+        |  CAST(SUM(length(title)) AS BIGINT) AS title_chars,
+        |  CAST(SUM(CASE WHEN referer = '' THEN 1 ELSE 0 END) AS BIGINT) AS no_ref,
+        |  COUNT(*) AS n
+        |FROM hits GROUP BY os ORDER BY os""".stripMargin))
+
+  /** Approximate-quantile family (ClickBench's quantile queries use
+    * sketches): Spark's percentile_approx and DuckDB's approx_quantile
+    * are DIFFERENT sketches with different answers, so this query is
+    * rows-only gated — WideSpec bounds it against the exact median and
+    * the column's range instead. Registered separately (no oracle). */
+  val approxQueries: Seq[GQuery] = Seq(
+    GQuery("w20_wide_approx_quantiles", (s, d) => {
+      hitsGpx(s, d).createOrReplaceTempView("hits")
+      s.sql(
+        """SELECT os,
+          |  CAST(approx_percentile(duration_ms, 0.5) AS DOUBLE) AS p50,
+          |  CAST(approx_percentile(duration_ms, 0.9) AS DOUBLE) AS p90,
+          |  CAST(approx_percentile(load_time_ms, 0.99) AS DOUBLE) AS p99_load,
+          |  COUNT(*) AS n
+          |FROM hits GROUP BY os ORDER BY os""".stripMargin)
+    }, None))
 }

@@ -60,6 +60,55 @@ class WideSpec extends GraftSpec {
       "wide schema premise: 2 columns are a small fraction of total chunks")
   }
 
+  test("regex extraction query still prunes to its referenced columns") {
+    // w12's shape: regexp_extract over url + distinct user_id — the regex
+    // runs ABOVE the scan, so the scan must decode exactly the url and
+    // user_id chunks, not the wide row
+    val hits = sp.read.format("gpx").load(smallDir)
+    val files = GpxTable.listFiles(Seq(smallDir), conf)
+    val footers = files.map(GpxFileReader.FooterCache.get(_, conf))
+    def pixelsOf(col: String): Long = footers.map { f =>
+      val i = f.schema.fieldNames.indexOf(col)
+      f.rowGroups.map(_.chunks(i).pixels.length.toLong).sum
+    }.sum
+    hits.createOrReplaceTempView("hits_prune")
+    val before = GpxFileReader.pixelsDecoded.get()
+    val rows = sp.sql(
+      """SELECT regexp_extract(url, 'https://[^/]+/(s[0-9]+)/', 1) AS section,
+        |  COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM hits_prune
+        |GROUP BY regexp_extract(url, 'https://[^/]+/(s[0-9]+)/', 1)""".stripMargin)
+      .collect()
+    val decoded = GpxFileReader.pixelsDecoded.get() - before
+    val expected = pixelsOf("url") + pixelsOf("user_id")
+    assert(rows.nonEmpty)
+    assert(decoded == expected,
+      s"regex query decoded $decoded pixels, expected url+user_id = $expected")
+  }
+
+  test("approx quantiles are bounded by the column range and near the exact median") {
+    val got = SparkEntry.queries("w20_wide_approx_quantiles")(sp, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(got.length == 5) // five os values
+    val exact = sp.sql(
+      """SELECT os, CAST(median(duration_ms) AS DOUBLE) AS med
+        |FROM hits GROUP BY os""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (os, p50, p90, p99l, n) =>
+      assert(n > 0)
+      assert(p50 >= 0 && p50 <= 60000, s"$os p50=$p50 outside duration range")
+      assert(p90 >= p50, s"$os p90 < p50")
+      assert(p99l >= 0 && p99l <= 3000, s"$os p99 load outside range")
+      // percentile_approx's default accuracy is far tighter than 15% at
+      // this row count; the bound just catches a wrong-column/wrong-math
+      // regression without coupling to sketch internals
+      val med = exact(os)
+      assert(math.abs(p50 - med) <= math.max(0.15 * med, 500.0),
+        s"$os approx p50=$p50 vs exact median=$med")
+    }
+  }
+
   test("selective wide query prunes row groups via the storage sort") {
     // hits is stored sorted by (counter_id, event_sec): an equality on
     // counter_id must zone-map-skip most row groups
