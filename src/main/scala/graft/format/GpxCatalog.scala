@@ -213,6 +213,22 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
         finally sout.close()
       case unset: TableChange.RemoveProperty if unset.property == "sort_by" =>
         fs.delete(new Path(dir, "_sortspec"), false)
+      // ALTER TABLE t SET TBLPROPERTIES('projection.<name>'='c1,c2'):
+      // materialize a column-subset projection layout (reference
+      // Projections.java) and route covered scans to it; UNSET drops it.
+      // The build runs as a Spark job on the active session.
+      case set: TableChange.SetProperty
+          if set.property.startsWith("projection.") =>
+        val pname = set.property.stripPrefix("projection.")
+        require(pname.nonEmpty && pname.matches("[A-Za-z0-9_]+"),
+          s"bad projection name '$pname'")
+        val cols = set.value.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        GpxProjection.build(org.apache.spark.sql.SparkSession.active,
+          dir.toString, pname, cols)
+      case unset: TableChange.RemoveProperty
+          if unset.property.startsWith("projection.") =>
+        GpxProjection.drop(dir.toString,
+          unset.property.stripPrefix("projection."), conf)
       case other =>
         throw new UnsupportedOperationException(s"alterTable: $other")
     }

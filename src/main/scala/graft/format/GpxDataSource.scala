@@ -449,8 +449,24 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new GpxStatsScan(fileSchema, agg, roots, snapshotTs)
     case None =>
-      new GpxScan(fileSchema, required, filters, roots, snapshotTs,
-        fileGranular, limit)
+      // projection-layout routing (reference Projections.java /
+      // OriginProjectionPattern.java): a CURRENT read covered by a valid
+      // materialized column-subset copy scans that narrow layout instead
+      // of the wide base. Synthetic columns pin the scan to the base
+      // (_file/_pos are base-file identities; _commit_ts values are not
+      // reproduced in the copy), as do time travel and COW row scans.
+      val routed: Option[Seq[String]] =
+        if (fileGranular.isDefined || snapshotTs.isDefined || roots.size != 1)
+          None
+        else {
+          val needed = required.fieldNames.toSet ++ filters.flatMap(_.references)
+          if (needed.exists(GpxTable.isSynthetic)) None
+          else if (needed.isEmpty) None
+          else GpxProjection.covering(roots.head, needed, new Configuration())
+            .map { case (dir, _) => Seq(dir) }
+        }
+      new GpxScan(fileSchema, required, filters, routed.getOrElse(roots),
+        snapshotTs, fileGranular, limit)
   }
 }
 
@@ -1260,8 +1276,8 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
         trashed += ((p, t))
       }
       supersededFiles.foreach(f => toTrash(new Path(f)))
-      Seq("_bucketspec", "_sortspec", "_index").foreach(n =>
-        toTrash(new Path(rootP, n)))
+      Seq("_bucketspec", "_sortspec", "_index", GpxProjection.ProjDir)
+        .foreach(n => toTrash(new Path(rootP, n)))
       // delete-bitmap sidecar dirs of superseded files' parents: the new
       // layout starts with no masked rows (stale bitmaps keyed by dead
       // file names must not linger)

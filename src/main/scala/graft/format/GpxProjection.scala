@@ -1,0 +1,175 @@
+package graft.format
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Projection layouts — the reference's materialized column-subset copies
+  * (pixels-common metadata/domain/Projections.java,
+  * OriginProjectionPattern.java: per-table narrow layouts that scans are
+  * routed to when they cover the query) as gpx sub-tables:
+  *
+  *   <table>/_proj/<name>/          the projection's own gpx files
+  *   <table>/_proj/<name>/_manifest the column list + the exact base
+  *                                  listing (data files AND delete
+  *                                  sidecars) the copy reflects
+  *
+  * Routing ([[GpxScanBuilder.build]]): a CURRENT read whose required +
+  * filter columns are covered by a VALID projection scans the projection's
+  * files instead of the wide base — on a 100-column table where every
+  * query touches 6, that is the difference between seeking 6 chunks per
+  * row group of a wide layout and streaming a purpose-built narrow one
+  * (fewer, larger, better-clustered chunks; its own zone maps). The
+  * NARROWEST covering projection wins.
+  *
+  * Validity is exact: the manifest records the base's (relpath, len,
+  * mtime) listing including `_del` sidecars; ANY divergence (insert,
+  * delete, rewrite, new bitmap) invalidates, and scans silently fall back
+  * to the base — never a stale answer. [[refresh]] re-validates: a pure
+  * append diff copies ONLY the new files' columns (maintenance cost is
+  * O(inserted data), the reference's projection-maintenance economics);
+  * anything else rebuilds.
+  *
+  * Time-travel reads are NEVER routed: a projection folds the base's
+  * delete bitmaps at build time, so only the current snapshot is
+  * reproducible from it. Snapshot scans read the base (documented).
+  */
+object GpxProjection {
+
+  val ProjDir = "_proj"
+
+  final case class Manifest(columns: Seq[String], covered: Seq[String])
+
+  def projPath(table: String, name: String): Path =
+    new Path(new Path(table, ProjDir), name)
+
+  /** base listing lines "rel|len|mtime" over data files AND delete
+    * sidecars, sorted — the exact-coverage token */
+  def baseListing(table: String, conf: Configuration): Seq[String] = {
+    val qroot = GpxTable.qualifiedRoot(table, conf)
+    def rel(full: String): String =
+      if (full.startsWith(qroot)) full.drop(qroot.length).stripPrefix("/") else full
+    val data = GpxTable.listFiles(Seq(table), conf)
+    val sidecars = GpxFs.listRecursive(table, conf).collect {
+      case (full, isFile) if isFile && full.endsWith(".del") &&
+        rel(full).split('/').contains(GpxDeleteBitmap.DelDir) => full
+    }
+    (data ++ sidecars).map { f =>
+      val st = GpxFs.stat(f, conf)
+      s"${rel(f)}|${st.map(_.len).getOrElse(-1L)}|${st.map(_.mtime).getOrElse(-1L)}"
+    }.sorted
+  }
+
+  private def manifestPath(table: String, name: String): Path =
+    new Path(projPath(table, name), "_manifest")
+
+  private def writeManifest(table: String, name: String, m: Manifest,
+      conf: Configuration): Unit = {
+    val p = manifestPath(table, name)
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write((m.columns.mkString(",") + "\n" + m.covered.mkString("\n"))
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readManifest(table: String, name: String,
+      conf: Configuration): Option[Manifest] = {
+    val p = manifestPath(table, name)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val lines = txt.split("\n").toSeq
+      Some(Manifest(lines.head.split(",").toSeq.filter(_.nonEmpty),
+        lines.tail.filter(_.nonEmpty)))
+    }
+  }
+
+  def listProjections(table: String, conf: Configuration): Seq[String] = {
+    val d = new Path(table, ProjDir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
+
+  def drop(table: String, name: String, conf: Configuration): Unit = {
+    val p = projPath(table, name)
+    p.getFileSystem(conf).delete(p, true)
+  }
+
+  /** carry the base's physical-layout hints that the projection can keep:
+    * bucket spec if the bucket column survives, sort columns restricted
+    * to the projected set */
+  private def layoutOptions(table: String, columns: Seq[String],
+      conf: Configuration): (Option[GpxTable.BucketSpec], Seq[String]) = {
+    val bucket = GpxTable.readBucketSpec(table, conf)
+      .filter(b => columns.contains(b.column))
+    val sort = GpxTable.readSortSpec(table, conf).filter(columns.contains)
+    (bucket, sort)
+  }
+
+  /** create or fully (re)build the projection: one Spark job reading only
+    * the projected columns of the base (masks applied, pruned scan) */
+  def build(spark: SparkSession, table: String, name: String,
+      columns: Seq[String]): Unit = {
+    val conf = new Configuration()
+    val base = spark.read.format("gpx").load(table)
+    columns.foreach(c => require(base.schema.fieldNames.contains(c),
+      s"projection column $c not in table schema"))
+    val listing = baseListing(table, conf)
+    val dir = projPath(table, name)
+    val (bucket, sort) = layoutOptions(table, columns, conf)
+    var w = base.selectExpr(columns: _*)
+      .write.format("gpx").mode("overwrite")
+    bucket.foreach(b => w = w.option("bucketBy", b.column)
+      .option("numBuckets", b.numBuckets.toString))
+    if (sort.nonEmpty) w = w.option("sortBy", sort.mkString(","))
+    w.save(dir.toString)
+    writeManifest(table, name, Manifest(columns, listing), conf)
+  }
+
+  /** bring the projection up to date: no-op when current, O(new data)
+    * append for pure inserts, full rebuild otherwise */
+  def refresh(spark: SparkSession, table: String, name: String): Unit = {
+    val conf = new Configuration()
+    val m = readManifest(table, name, conf).getOrElse(
+      throw new IllegalArgumentException(s"no projection $name on $table"))
+    val current = baseListing(table, conf)
+    if (current == m.covered) return
+    val covered = m.covered.toSet
+    val added = current.filterNot(covered)
+    val pureAppend = covered.subsetOf(current.toSet) &&
+      added.forall(l => !l.contains(s"${GpxDeleteBitmap.DelDir}/"))
+    if (pureAppend) {
+      val qroot = GpxTable.qualifiedRoot(table, conf)
+      val newFiles = added.map(l => s"$qroot/${l.split('|').head}")
+      val (bucket, sort) = layoutOptions(table, m.columns, conf)
+      var w = spark.read.format("gpx").load(newFiles: _*)
+        .selectExpr(m.columns: _*)
+        .write.format("gpx").mode("append")
+      bucket.foreach(b => w = w.option("bucketBy", b.column)
+        .option("numBuckets", b.numBuckets.toString))
+      if (sort.nonEmpty) w = w.option("sortBy", sort.mkString(","))
+      w.save(projPath(table, name).toString)
+      writeManifest(table, name, Manifest(m.columns, current), conf)
+    } else build(spark, table, name, m.columns)
+  }
+
+  /** the narrowest VALID projection covering `needed`, as
+    * (projection dir, its columns) — None falls back to the base scan */
+  def covering(table: String, needed: Set[String],
+      conf: Configuration): Option[(String, Seq[String])] = {
+    val names = listProjections(table, conf)
+    if (names.isEmpty) return None
+    val current = baseListing(table, conf)
+    names.flatMap { n =>
+      readManifest(table, n, conf) match {
+        case Some(m) if needed.subsetOf(m.columns.toSet) && m.covered == current =>
+          Some((projPath(table, n).toString, m.columns))
+        case _ => None
+      }
+    }.sortBy(_._2.length).headOption
+  }
+}
