@@ -45,6 +45,23 @@ object GpxPointIndex {
   def indexDir(table: String, column: String): String =
     s"$table/_index/$column"
 
+  /** compound indexes live under `_index/<colA>__<colB>` (reference:
+    * multi-column index keys, pixels-common metadata/domain/
+    * KeyColumns.java + proto/index.proto — a key is the tuple, not one
+    * column). `__` is unambiguous because gpx column names come from
+    * Spark schemas where `__` never appears in the generated corpora. */
+  def indexDirOf(table: String, columns: Seq[String]): String =
+    s"$table/_index/${columns.mkString("__")}"
+
+  /** order-sensitive combination of per-column keys into the single long
+    * keyspace the index table stores: h_0 = 42, h_i = xxh64(k_i, h_{i-1}).
+    * Single-column indexes store the RAW key (zone-map friendly ranges);
+    * compound indexes store the mix — collisions only cost false-positive
+    * row groups, exactly like hashed string keys. */
+  def combineKeys(ks: Seq[Long]): Long =
+    ks.foldLeft(42L)((h, k) =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(k, h))
+
   // ---------------- manifest / fingerprint ----------------
 
   /** order-insensitive digest of the table's (relative path, length,
@@ -165,42 +182,64 @@ object GpxPointIndex {
 
   // ---------------- build (distributed) ----------------
 
-  /** Build/rebuild the index for `column`: a Spark job reads ONLY the key
-    * column of every row group (vectorized pixel slices, no footer I/O
-    * beyond one cached parse per file) and writes the distinct
-    * (key, file, rg) entries as a key-bucketed gpx table. Returns the
-    * number of entries. */
+  /** Build/rebuild the single-column index (raw keys). */
   def build(spark: SparkSession, table: String, column: String,
-      numBuckets: Int = 16): Long = {
+      numBuckets: Int = 16): Long =
+    buildCols(spark, table, Seq(column), numBuckets)
+
+  /** Build/rebuild a COMPOUND index on an ordered column tuple (reference
+    * KeyColumns.java / proto/index.proto multi-column keys): entries store
+    * [[combineKeys]] of the per-column keys; a (tenant_id, doc_id) lookup
+    * probes one mixed key instead of scanning. Rows with ANY null key
+    * column are not indexed (tuple equality never matches null). */
+  def buildCompound(spark: SparkSession, table: String,
+      columns: Seq[String], numBuckets: Int = 16): Long = {
+    require(columns.size >= 2, "compound index needs >= 2 columns")
+    buildCols(spark, table, columns, numBuckets)
+  }
+
+  /** Shared build: a Spark job reads ONLY the key columns of every row
+    * group (vectorized pixel slices, no footer I/O beyond one cached
+    * parse per file) and writes the distinct (key, file, rg) entries as a
+    * key-bucketed gpx table. Returns the number of entries. */
+  private def buildCols(spark: SparkSession, table: String,
+      columns: Seq[String], numBuckets: Int): Long = {
     val conf = new Configuration()
     val qroot = GpxTable.qualifiedRoot(table, conf)
     val files = GpxTable.listFiles(Seq(table), conf)
     require(files.nonEmpty, s"no gpx files under $table")
     val rels = files.map(relOf(_, qroot))
+    val single = columns.size == 1
     val entries = spark.sparkContext
       .parallelize(rels, math.max(1, math.min(rels.size, 256)))
       .flatMap { r =>
         val c = new Configuration()
         val f = s"$qroot/$r"
         val footer = GpxFileReader.FooterCache.get(f, c)
-        val ci = footer.schema.fieldNames.indexOf(column)
-        if (ci < 0) Iterator.empty // evolved file without the column: nulls never equal
+        val cis = columns.map(footer.schema.fieldNames.indexOf(_))
+        if (cis.exists(_ < 0)) Iterator.empty // evolved file w/o a key col
         else {
-          val dt = footer.schema(ci).dataType
-          require(indexable(dt), s"cannot point-index $column: $dt")
-          val field = footer.schema(ci)
+          val dts = cis.map(footer.schema(_).dataType)
+          dts.zip(columns).foreach { case (dt, col) =>
+            require(indexable(dt), s"cannot point-index $col: $dt") }
+          val fields = cis.map(footer.schema(_))
           footer.rowGroups.iterator.zipWithIndex.flatMap { case (rg, rgIdx) =>
-            val ch = rg.chunks(ci)
-            val slices = ch.pixels.indices.map(p => PixelSlice(
-              ch.offset + ch.pixels(p).relOffset, ch.pixelLength(p),
-              ch.pixels(p).rows)).toArray
+            val slices: Array[Array[PixelSlice]] = cis.toArray.map { ci =>
+              val ch = rg.chunks(ci)
+              ch.pixels.indices.map(p => PixelSlice(
+                ch.offset + ch.pixels(p).relOffset, ch.pixelLength(p),
+                ch.pixels(p).rows)).toArray
+            }
             val batch = GpxFileReader.readSlices(
-              f, c, StructType(Seq(field)), Array(slices), rg.numRows, -1L)
+              f, c, StructType(fields), slices, rg.numRows, -1L)
             val keys = mutable.HashSet.empty[Long]
             val it = batch.rowIterator()
             while (it.hasNext) {
               val row = it.next()
-              if (!row.isNullAt(0)) keys += keyAt(row, 0, dt)
+              if (columns.indices.forall(i => !row.isNullAt(i))) {
+                val ks = columns.indices.map(i => keyAt(row, i, dts(i)))
+                keys += (if (single) ks.head else combineKeys(ks))
+              }
             }
             batch.close()
             keys.iterator.map(k => (k, r, rgIdx))
@@ -215,10 +254,11 @@ object GpxPointIndex {
     // exists to avoid
     val entryCount = spark.sparkContext.longAccumulator("gpxIndexEntries")
     val df = entries.map { e => entryCount.add(1L); e }.toDF("key", "file", "rg")
+    val name = columns.mkString("__")
     df.write.format("gpx").mode("overwrite")
       .option("bucketBy", "key").option("numBuckets", numBuckets.toString)
-      .save(indexDir(table, column))
-    writeManifest(table, column, tableFingerprint(table, conf), conf)
+      .save(indexDir(table, name))
+    writeManifest(table, name, tableFingerprint(table, conf), conf)
     entryCount.value
   }
 
@@ -305,6 +345,141 @@ object GpxPointIndex {
       exact = Some((r, i) => keySet.contains(
         scala.collection.immutable.ArraySeq.unsafeWrapArray(r.getBinary(i)))),
       fallback = arrs)
+  }
+
+  /** canonical comparable value for exact tuple verification (both the
+    * literal side and the row side land in Long | String | ArraySeq) */
+  private def canonLit(v: Any): Any = v match {
+    case b: Boolean => if (b) 1L else 0L
+    case b: Byte => b.toLong
+    case s: Short => s.toLong
+    case i: Int => i.toLong
+    case l: Long => l
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate => d.toEpochDay
+    case t: java.sql.Timestamp => t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    case t: java.time.Instant => t.getEpochSecond * 1000000L + t.getNano / 1000
+    case s: String => s
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case other => other
+  }
+
+  private def canonRow(r: org.apache.spark.sql.catalyst.InternalRow, i: Int,
+      dt: DataType): Any = dt match {
+    case LongType | TimestampType | TimestampNTZType => r.getLong(i)
+    case IntegerType | DateType => r.getInt(i).toLong
+    case ShortType => r.getShort(i).toLong
+    case ByteType => r.getByte(i).toLong
+    case BooleanType => if (r.getBoolean(i)) 1L else 0L
+    case StringType => r.getUTF8String(i).toString
+    case BinaryType =>
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(r.getBinary(i))
+    case other => throw new IllegalArgumentException(s"unindexable $other")
+  }
+
+  /** Compound-key point lookup served driver-direct (reference
+    * KeyColumns.java tuple keys): probes the compound index with mixed
+    * keys, then verifies the ACTUAL column tuple row-level, so neither
+    * per-column hash collisions nor mix collisions can surface. Falls
+    * back to a filtered scan when the index can't serve. */
+  def lookupCompound(spark: SparkSession, table: String,
+      columns: Seq[String], tuples: Set[Seq[Any]],
+      outCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(tuples.forall(_.length == columns.length),
+      s"each tuple must have ${columns.length} values")
+    val conf = new Configuration()
+    def fallback: DataFrame = {
+      val pred = tuples.toSeq.map(t =>
+        columns.zip(t).map { case (c, v) => col(c) === lit(v) }
+          .reduce(_ && _)).reduce(_ || _)
+      spark.read.format("gpx").load(table).filter(pred)
+        .select(outCols.map(col): _*)
+    }
+    val probeKeys: Option[Set[Long]] = {
+      val ks = tuples.map(t => t.map(literalKey))
+      if (ks.exists(_.exists(_.isEmpty))) None
+      else Some(ks.map(t => combineKeys(t.map(_.get))))
+    }
+    val canonTuples: Set[Seq[Any]] = tuples.map(_.map(canonLit))
+    probeKeys.flatMap(pk =>
+        entriesFor(table, columns.mkString("__"), pk, conf)) match {
+      case None => fallback
+      case Some(entries) =>
+        val qroot = GpxTable.qualifiedRoot(table, conf)
+        // per-column pixel pruning inside matched row groups
+        val pixFilter: Filter = columns.zip(columns.indices.map(i =>
+          tuples.map(_(i)).toArray)).map { case (c, vs) =>
+            In(c, vs): Filter
+          }.reduce(org.apache.spark.sql.sources.And(_, _))
+        val rows = mutable.ArrayBuffer.empty[Row]
+        var outSchema: StructType = null
+        entries.toSeq.sortBy(_._1).foreach { case (rel, rgs) =>
+          val f = s"$qroot/$rel"
+          val footer = GpxFileReader.FooterCache.get(f, conf)
+          val phys = footer.schema
+          val fPath = new Path(f)
+          val delMask = GpxDeleteBitmap.maskFor(f,
+            GpxDeleteBitmap.sidecarsIn(fPath.getParent, conf)
+              .getOrElse(fPath.getName, Seq.empty), None, conf)
+          val rgStarts = footer.rowGroups.scanLeft(0L)(_ + _.numRows)
+          val keyIdxs = columns.map(phys.fieldIndex)
+          val keyDts = keyIdxs.map(phys(_).dataType)
+          val outIdx = outCols.map(phys.fieldIndex).toArray
+          if (outSchema == null)
+            outSchema = StructType(outIdx.map(phys(_)).toIndexedSeq)
+          rgs.toSeq.sorted.foreach { rgIdx =>
+            val rg = footer.rowGroups(rgIdx)
+            val keptPix = rg.chunks.head.pixels.indices.filter(p =>
+              GpxFileReader.mayMatchPixel(pixFilter, phys, rg, p)).toArray
+            if (keptPix.nonEmpty) {
+              val pixRows = rg.chunks.head.pixels.map(_.rows)
+              val numRows = keptPix.map(pixRows(_)).sum
+              val pixStart = pixRows.scanLeft(rgStarts(rgIdx))(_ + _)
+              val readIdx = (outIdx ++ keyIdxs).distinct
+              val readSchema = StructType(readIdx.map(phys(_)).toIndexedSeq)
+              val cols = readIdx.map { ci =>
+                val ch = rg.chunks(ci)
+                keptPix.map(p => PixelSlice(
+                  ch.offset + ch.pixels(p).relOffset, ch.pixelLength(p),
+                  ch.pixels(p).rows))
+              }
+              val batch = GpxFileReader.readSlices(
+                f, conf, readSchema, cols, numRows, -1L)
+              val kPos = keyIdxs.map(readIdx.indexOf(_))
+              val outPos = outIdx.map(ci => readIdx.indexOf(ci))
+              val absPos: Array[Long] = {
+                val out = new Array[Long](numRows)
+                var o = 0
+                keptPix.foreach { p =>
+                  var j = 0
+                  while (j < pixRows(p)) { out(o) = pixStart(p) + j; o += 1; j += 1 }
+                }
+                out
+              }
+              val it = batch.rowIterator()
+              var ri = 0
+              while (it.hasNext) {
+                val r = it.next()
+                val masked = delMask != null && delMask.get(absPos(ri).toInt)
+                ri += 1
+                val hit = !masked && kPos.indices.forall(i =>
+                  !r.isNullAt(kPos(i))) && canonTuples.contains(
+                    kPos.indices.map(i => canonRow(r, kPos(i), keyDts(i))))
+                if (hit)
+                  rows += Row.fromSeq(outPos.toIndexedSeq.map(p =>
+                    external(r, p, readSchema(p).dataType)))
+              }
+              batch.close()
+            }
+          }
+        }
+        if (outSchema == null) fallback.limit(0)
+        else spark.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(rows.toSeq).asJava), outSchema)
+    }
   }
 
   private def lookupImpl(spark: SparkSession, table: String, column: String,
@@ -441,16 +616,47 @@ object GpxPointIndex {
   }
 
   /** Planning-time pruning: the (file -> rowGroups) allowed by the first
-    * valid index over a filtered-on column, or None when no index can
-    * serve. Files are RELATIVE to the table's qualified root. */
+    * valid index over the filtered-on columns, or None when no index can
+    * serve. Compound indexes serve when the filters pin EVERY indexed
+    * column by equality/IN (probe keys = the mixed cross product, capped
+    * at MaxKeys); the scan re-applies the real predicate above, so mix
+    * collisions only cost false-positive row groups. Files are RELATIVE
+    * to the table's qualified root. */
   def allowedRowGroups(table: String, filters: Array[Filter],
       conf: Configuration): Option[Map[String, Set[Int]]] = {
     val cands = equalityKeys(filters)
     if (cands.isEmpty) return None
-    // only probe columns that actually have an index directory
-    cands.toSeq.sortBy(_._1).iterator.flatMap { case (c, ks) =>
-      if (!GpxFs.exists(indexDir(table, c), conf)) None
-      else entriesFor(table, c, ks, conf)
-    }.nextOption()
+    // compound first (more selective when it applies), then single-column
+    val compound = listIndexes(table, conf).filter(_.size >= 2)
+      .sortBy(cs => (-cs.size, cs.mkString("__")))
+      .iterator.flatMap { cs =>
+        if (!cs.forall(cands.contains)) None
+        else {
+          val sets = cs.map(cands)
+          val product = sets.map(_.size.toLong).product
+          if (product == 0 || product > MaxKeys) None
+          else {
+            val mixed = sets.foldLeft(Set(Seq.empty[Long])) { (acc, s) =>
+              acc.flatMap(pre => s.map(pre :+ _))
+            }.map(combineKeys)
+            entriesFor(table, cs.mkString("__"), mixed, conf)
+          }
+        }
+      }
+    compound.nextOption().orElse {
+      cands.toSeq.sortBy(_._1).iterator.flatMap { case (c, ks) =>
+        if (!GpxFs.exists(indexDir(table, c), conf)) None
+        else entriesFor(table, c, ks, conf)
+      }.nextOption()
+    }
+  }
+
+  /** index subdirs present under `<table>/_index`, as column tuples */
+  def listIndexes(table: String, conf: Configuration): Seq[Seq[String]] = {
+    val d = new Path(table, "_index")
+    val fs = d.getFileSystem(conf)
+    if (!GpxFs.exists(d.toString, conf)) Seq.empty
+    else fs.listStatus(d).filter(_.isDirectory)
+      .map(_.getPath.getName.split("__").toSeq).toSeq
   }
 }

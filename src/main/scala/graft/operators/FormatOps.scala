@@ -250,6 +250,31 @@ object FormatOps {
               |WHERE NOT (o_orderkey >= 1000 AND o_orderkey < 2000)
               |  AND o_custkey NOT IN (7, 11, 13)
               |GROUP BY o_orderstatus
-              |ORDER BY o_orderstatus""".stripMargin))
+              |ORDER BY o_orderstatus""".stripMargin)),
+
+    // Compound-key point lookup (reference KeyColumns.java /
+    // proto/index.proto multi-column index keys): a (custkey, status)
+    // tuple probe served driver-direct from the compound index with
+    // row-level tuple verification — hash-mix collisions can never
+    // surface. The oracle recomputes the tuples from parquet.
+    GQuery("f11_compound_index", (s, d) => {
+      val dir = cachedDir(d, "cidx_orders") { dir =>
+        Tables.orders(s, d).repartition(8).write.format("gpx")
+          .mode("overwrite").option("rowGroupRows", "2048").save(dir)
+        graft.format.GpxPointIndex.buildCompound(
+          s, dir, Seq("o_custkey", "o_orderstatus"), numBuckets = 4)
+      }
+      graft.format.GpxPointIndex.lookupCompound(s, dir,
+        Seq("o_custkey", "o_orderstatus"),
+        Set(Seq[Any](1L, "O"), Seq[Any](5L, "F"), Seq[Any](10L, "P")),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |FROM orders
+             |WHERE (o_custkey = 1 AND o_orderstatus = 'O')
+             |   OR (o_custkey = 5 AND o_orderstatus = 'F')
+             |   OR (o_custkey = 10 AND o_orderstatus = 'P')
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -240,4 +240,69 @@ class PointIndexSpec extends GraftSpec {
     assert(GpxPointIndex.equalityKeys(fs) ==
       Map("k" -> Set(2L), "other" -> Set(GpxPointIndex.stringKey("x"))))
   }
+
+  test("compound (long, string) index: tuple lookup is index-served and exact") {
+    val d = Files.createTempDirectory("gpx_idx_comp").toString
+    Tables.orders(sp, sf).repartition(8)
+      .write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "256").save(d)
+    val n = GpxPointIndex.buildCompound(sp, d,
+      Seq("o_custkey", "o_orderstatus"), numBuckets = 4)
+    assert(n > 0)
+    assert(GpxPointIndex.valid(d, "o_custkey__o_orderstatus", conf))
+
+    val sample = Tables.orders(sp, sf)
+      .select("o_custkey", "o_orderstatus").distinct().limit(3)
+      .collect().map(r => Seq[Any](r.getLong(0), r.getString(1)))
+    val tuples = sample.toSet
+    val viaIndex = GpxPointIndex.lookupCompound(sp, d,
+      Seq("o_custkey", "o_orderstatus"), tuples,
+      Seq("o_orderkey", "o_custkey", "o_orderstatus"))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val pred = tuples.toSeq.map(t =>
+      col("o_custkey") === t.head && col("o_orderstatus") === t(1))
+      .reduce(_ || _)
+    val viaScan = sp.read.format("gpx").load(d).filter(pred)
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex.toSeq == viaScan.toSeq)
+    // a tuple whose PARTS exist but whose combination doesn't: the mixed
+    // key misses (or collides and is verified away) -> empty
+    val cust = sample.head.head
+    val status = "NO_SUCH_STATUS"
+    assert(GpxPointIndex.lookupCompound(sp, d,
+      Seq("o_custkey", "o_orderstatus"), Set(Seq[Any](cust, status)),
+      Seq("o_orderkey")).collect().isEmpty)
+  }
+
+  test("compound index serves scan planning when both columns are pinned") {
+    val d = Files.createTempDirectory("gpx_idx_comp2").toString
+    Tables.orders(sp, sf).repartition(8)
+      .write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "256").save(d)
+    GpxPointIndex.buildCompound(sp, d, Seq("o_custkey", "o_orderstatus"))
+    val r0 = Tables.orders(sp, sf).select("o_custkey", "o_orderstatus").head()
+    val (ck, st) = (r0.getLong(0), r0.getString(1))
+    val allowed = GpxPointIndex.allowedRowGroups(d,
+      Array(EqualTo("o_custkey", ck), EqualTo("o_orderstatus", st)), conf)
+    assert(allowed.isDefined && allowed.get.nonEmpty,
+      "compound index must serve fully-pinned planning")
+    val expectedRgs = allowed.get.values.map(_.size).sum
+    val df = sp.read.format("gpx").load(d)
+      .filter(col("o_custkey") === ck && col("o_orderstatus") === st)
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.inputRDD.getNumPartitions <= expectedRgs)
+    // correct rows despite hash-mixed probe keys (Spark re-filters)
+    val want = Tables.orders(sp, sf)
+      .filter(col("o_custkey") === ck && col("o_orderstatus") === st).count()
+    assert(df.count() == want)
+    // one pinned column alone cannot use the compound index -> no pruning
+    // claim, full fallback stays correct
+    val one = GpxPointIndex.allowedRowGroups(d,
+      Array(EqualTo("o_custkey", ck)), conf)
+    assert(one.isEmpty)
+  }
 }
