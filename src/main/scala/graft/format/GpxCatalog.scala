@@ -178,6 +178,20 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       try sout.write(cols.mkString("\n").getBytes("UTF-8"))
       finally sout.close()
     }
+    // TBLPROPERTIES('range_by'='col:b1,b2,...') -> range-partitioned
+    // layout: INSERTs route rows to per-range files by the declared split
+    // points, scans prune by range id from file names alone (reference
+    // Range.java / RangeIndex.java catalog-level range assignment)
+    Option(properties.get("range_by")).foreach { rb =>
+      val Array(c, bs) = rb.split(":", 2)
+      require(schema.fieldNames.contains(c.trim),
+        s"range_by column ${c.trim} not in schema")
+      val rout = fs.create(new Path(dir, "_rangespec"), true)
+      try rout.write(
+        s"${c.trim}\n${bs.split(",").map(_.trim).mkString(",")}"
+          .getBytes("UTF-8"))
+      finally rout.close()
+    }
     new GpxTable(schema, Seq(dir.toString), catalogManaged = true)
   }
 

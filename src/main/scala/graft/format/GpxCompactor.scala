@@ -41,6 +41,14 @@ object GpxCompactor {
       try o.write(s"${b.column}\n${b.numBuckets}".getBytes("UTF-8"))
       finally o.close()
     }
+    // carry the range-layout sidecar: compacted files lose their -rN name
+    // tags (they are conservatively un-pruned-by-name; zone maps still
+    // prune), but future INSERTs must keep routing by range
+    GpxTable.readRangeSpec(inDir, conf).foreach { r =>
+      val o = fs.create(new Path(outPath, "_rangespec"), true)
+      try o.write(s"${r.column}\n${r.bounds.mkString(",")}".getBytes("UTF-8"))
+      finally o.close()
+    }
     // carry the sort-clustering sidecar: byte-copy compaction preserves
     // row order, so the ordered layout (and future INSERTs' sorting) holds
     val sortSpec = GpxTable.readSortSpec(inDir, conf)

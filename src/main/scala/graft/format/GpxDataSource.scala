@@ -204,6 +204,44 @@ object GpxTable {
     }
   }
 
+  /** Range-layout sidecar (reference: catalog-level key-range assignment
+    * per file set, pixels-common metadata/domain/Range.java +
+    * RangeIndex.java — ingest-time routing by key range, not just
+    * post-hoc zone maps). `bounds` are ascending split points over the
+    * long-backed key: range id = number of bounds <= key, so N bounds
+    * define N+1 ranges. Format: "<column>\n<b1>,<b2>,...". */
+  case class RangeSpec(column: String, bounds: Seq[Long]) {
+    require(bounds.nonEmpty && bounds == bounds.sorted, s"bad bounds $bounds")
+  }
+
+  def readRangeSpec(root: String, conf: Configuration): Option[RangeSpec] = {
+    val p = new Path(root, "_rangespec")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val Array(c, bs) = txt.trim.split("\n")
+      Some(RangeSpec(c, bs.split(",").toSeq.map(_.trim.toLong)))
+    }
+  }
+
+  /** range id for a key: first range whose upper bound exceeds it (nulls
+    * route to range 0 — value predicates never prune them incorrectly
+    * because IsNull filters claim no range pruning) */
+  def rangeOf(key: Long, bounds: Seq[Long]): Int = {
+    var i = 0
+    while (i < bounds.length && key >= bounds(i)) i += 1
+    i
+  }
+
+  /** range id extracted from a range-routed file name part-*-rN.gpx */
+  def rangeOfFile(path: String): Option[Int] = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    "-r(\\d+)\\.gpx$".r.findFirstMatchIn(name).map(_.group(1).toInt)
+  }
+
   /** engine-portable bucket id for a long key (documented hash; the same
     * function routes writes and prunes reads) */
   def bucketOf(key: Long, n: Int): Int = {
@@ -254,16 +292,22 @@ class GpxTable(schema: StructType, roots: Seq[String],
       override def isNullable: Boolean = true
       override def comment(): String = "MVCC commit timestamp of the row group"
     },
+    // _file/_pos are declared NON-nullable: they are the delta operations'
+    // row id, and Spark refuses nullable row-id attributes. The COW MERGE
+    // insert branch still null-FILLS them at runtime (physical rows can
+    // carry null regardless of the declaration); every consumer checks
+    // isNullAt before reading, and DML plans never filter on them, so the
+    // declaration is safe there.
     new MetadataColumn {
       override def name(): String = GpxTable.FileCol
       override def dataType(): DataType = StringType
-      override def isNullable: Boolean = true
+      override def isNullable: Boolean = false
       override def comment(): String = "gpx file the row came from"
     },
     new MetadataColumn {
       override def name(): String = GpxTable.PosCol
       override def dataType(): DataType = LongType
-      override def isNullable: Boolean = true
+      override def isNullable: Boolean = false
       override def comment(): String = "absolute row position within the source file"
     })
 
@@ -279,14 +323,23 @@ class GpxTable(schema: StructType, roots: Seq[String],
   override def deleteWhere(filters: Array[Filter]): Unit =
     GpxDelete.run(schema, roots, filters, catalogManaged)
 
-  /** SQL UPDATE / MERGE INTO (and subquery deletes) — group-based
-    * copy-on-write, see [[GpxRowLevelOperation]]. */
+  /** SQL UPDATE / MERGE INTO (and subquery deletes): group-based
+    * copy-on-write by default ([[GpxRowLevelOperation]] — rewrite the
+    * touched files), or the DELTA merge-on-read path
+    * ([[GpxDeltaOperation]] — bitmap-delete + append, the reference's
+    * retina model) with `spark.graft.gpx.rowLevelMode=mor`. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new GpxRowLevelOperationBuilder(
-      StructType(schema.filterNot(f => GpxTable.isSynthetic(f.name))),
-      roots, catalogManaged, info)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val dataSchema =
+      StructType(schema.filterNot(f => GpxTable.isSynthetic(f.name)))
+    val mode = org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.gpx.rowLevelMode").getOrElse("cow")
+    if (mode == "mor")
+      () => new GpxDeltaOperation(dataSchema, roots, catalogManaged, info.command())
+    else
+      new GpxRowLevelOperationBuilder(dataSchema, roots, catalogManaged, info)
+  }
 
   /** Bucketed layouts advertise their bucket transform; with GpxCatalog's
     * FunctionCatalog resolving `bucket`, equi-joins on the bucket key
@@ -335,11 +388,24 @@ class GpxTable(schema: StructType, roots: Seq[String],
       .getOrElse(roots.headOption
         .map(GpxTable.readSortSpec(_, new Configuration()))
         .getOrElse(Seq.empty))
+    // range layout: per-write option, or (catalog tables) the persisted
+    // _rangespec — ingest-time key-range routing (Range.java analog)
+    val optRange = for {
+      c <- Option(info.options.get("rangeBy"))
+      bs <- Option(info.options.get("rangeBounds"))
+    } yield GpxTable.RangeSpec(c, bs.split(",").toSeq.map(_.trim.toLong))
+    val range = optRange.orElse {
+      if (catalogManaged)
+        roots.headOption.flatMap(GpxTable.readRangeSpec(_, new Configuration()))
+      else None
+    }
+    require(bucket.isEmpty || range.isEmpty,
+      "gpx: bucketBy and rangeBy are mutually exclusive layouts")
     // per-row commit timestamps (multi-version rewrites): the named column
     // must ride LAST in the written schema; files store the data fields
     val tsColumn = Option(info.options.get("commitTsColumn"))
     new GpxWriteBuilder(info.schema(), roots.head, rgRows, pxRows, commitTs,
-      bucket, sortBy, tsColumn)
+      bucket, sortBy, tsColumn, range)
   }
 }
 
@@ -640,10 +706,49 @@ class GpxScan(
         .map(_.map(GpxTable.bucketOf(_, spec.numBuckets)))
     }
 
-  /** Plan splits: bucket prune -> snapshot visibility -> row-group zone
-    * maps -> pixel zone maps; survivors become self-contained slice lists.
-    * Footers come from the driver-side cache — zero footer I/O on warm
-    * paths, zero ALWAYS on executors. */
+  /** eligible range ids when the table has a range layout and the filters
+    * bound the range column — file-name-level pruning that never opens a
+    * footer (the reference's RangeIndex routing, Range.java analog) */
+  private def eligibleRanges(conf: Configuration): Option[Set[Int]] =
+    roots.headOption.flatMap(GpxTable.readRangeSpec(_, conf)).flatMap { spec =>
+      val all = 0 to spec.bounds.length
+      def longOf(v: Any): Option[Long] = v match {
+        case n: Number => Some(n.longValue())
+        case _ => None
+      }
+      def rangesOf(f: Filter): Option[Set[Int]] = f match {
+        case org.apache.spark.sql.sources.EqualTo(c, v) if c == spec.column =>
+          longOf(v).map(k => Set(GpxTable.rangeOf(k, spec.bounds)))
+        case org.apache.spark.sql.sources.In(c, vs) if c == spec.column &&
+          vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+          Some(vs.map(v => GpxTable.rangeOf(
+            v.asInstanceOf[Number].longValue(), spec.bounds)).toSet)
+        case org.apache.spark.sql.sources.GreaterThan(c, v) if c == spec.column =>
+          longOf(v).map(k => (GpxTable.rangeOf(k, spec.bounds) to spec.bounds.length).toSet)
+        case org.apache.spark.sql.sources.GreaterThanOrEqual(c, v) if c == spec.column =>
+          longOf(v).map(k => (GpxTable.rangeOf(k, spec.bounds) to spec.bounds.length).toSet)
+        case org.apache.spark.sql.sources.LessThan(c, v) if c == spec.column =>
+          longOf(v).map(k => (0 to GpxTable.rangeOf(k, spec.bounds)).toSet)
+        case org.apache.spark.sql.sources.LessThanOrEqual(c, v) if c == spec.column =>
+          longOf(v).map(k => (0 to GpxTable.rangeOf(k, spec.bounds)).toSet)
+        case org.apache.spark.sql.sources.And(l, r) =>
+          (rangesOf(l), rangesOf(r)) match {
+            case (Some(a), Some(b)) => Some(a.intersect(b))
+            case (a, b) => a.orElse(b)
+          }
+        case org.apache.spark.sql.sources.Or(l, r) =>
+          for { a <- rangesOf(l); b <- rangesOf(r) } yield a.union(b)
+        case _ => None
+      }
+      val sets = filters.flatMap(rangesOf)
+      if (sets.isEmpty) None
+      else Some(sets.reduce(_ intersect _)).filter(_ != all.toSet)
+    }
+
+  /** Plan splits: bucket/range prune -> snapshot visibility -> row-group
+    * zone maps -> pixel zone maps; survivors become self-contained slice
+    * lists. Footers come from the driver-side cache — zero footer I/O on
+    * warm paths, zero ALWAYS on executors. */
   /** allowed file set when filters pin `_file` (Spark's runtime group
     * filtering for copy-on-write injects `_file IN (matched files)`). */
   private def eligibleFiles: Option[Set[String]] = {
@@ -670,6 +775,7 @@ class GpxScan(
     // estimateStatistics().columnStats; null slot = nothing merged yet)
     val colStats = new Array[ChunkStats](required.fields.length)
     val buckets = eligibleBuckets(conf)
+    val ranges = eligibleRanges(conf)
     val allowedFiles = eligibleFiles
     // clear-then-record: the LAST walk before execution (after any runtime
     // group filter arrived) defines the replaced-file set — accumulation
@@ -700,9 +806,14 @@ class GpxScan(
       scala.collection.mutable.Map.empty[String, Map[String, Seq[GpxDeleteBitmap.Sidecar]]]
     GpxTable.listFiles(roots, conf).iterator
       .takeWhile(_ => !limitReached).foreach { f =>
-      // bucket pruning: skip whole files whose bucket can't hold the keys
+      // bucket/range pruning: skip whole files whose routing id can't
+      // hold the keys (files without a routing tag — e.g. compacted —
+      // are conservatively kept)
       val bucketOk = ((buckets, GpxTable.bucketOfFile(f)) match {
         case (Some(elig), Some(b)) => elig.contains(b)
+        case _ => true
+      }) && ((ranges, GpxTable.rangeOfFile(f)) match {
+        case (Some(elig), Some(r)) => elig.contains(r)
         case _ => true
       }) && allowedFiles.forall(_.contains(f))
       val allowedRgs: Option[Set[Int]] = idxAllowed.map { m =>
@@ -1021,7 +1132,8 @@ class GpxReaderFactory(required: StructType, rowBased: Boolean = false)
 
 class GpxWriteBuilder(schema: StructType, path: String, rgRows: Int,
     pxRows: Int, commitTs: Long, bucket: Option[GpxTable.BucketSpec],
-    sortBy: Seq[String] = Seq.empty, tsColumn: Option[String] = None)
+    sortBy: Seq[String] = Seq.empty, tsColumn: Option[String] = None,
+    range: Option[GpxTable.RangeSpec] = None)
   extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -1049,7 +1161,7 @@ class GpxWriteBuilder(schema: StructType, path: String, rgRows: Int,
 
     override def toBatch: BatchWrite =
       new GpxBatchWrite(schema, path, doTruncate, rgRows, pxRows, commitTs,
-        bucket, sortBy, tsColumn)
+        bucket, sortBy, tsColumn, range)
 
     /** Streaming sink (`writeStream.format("gpx")`): append one gpx file
       * per (epoch, partition) micro-batch slice — the streaming analog of
@@ -1208,7 +1320,8 @@ final case class GpxStreamingWriterFactory(
   * keeps append batches from different writers/JVMs collision-free. */
 class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
     rgRows: Int, pxRows: Int, commitTs: Long, bucket: Option[GpxTable.BucketSpec],
-    sortBy: Seq[String] = Seq.empty, tsColumn: Option[String] = None)
+    sortBy: Seq[String] = Seq.empty, tsColumn: Option[String] = None,
+    range: Option[GpxTable.RangeSpec] = None)
   extends BatchWrite {
 
   private val opId = java.util.UUID.randomUUID().toString.take(8)
@@ -1232,8 +1345,12 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
     tsColumn.foreach(c => require(schema.fields.lastOption.exists(_.name == c) &&
       schema.fields.last.dataType == LongType,
       s"commitTsColumn $c must be the LAST column and LongType, got ${schema.toDDL}"))
+    range.foreach(r => require(schema.fieldNames.contains(r.column) &&
+      GpxTable.bucketableType(
+        schema(schema.fieldIndex(r.column)).dataType),
+      s"rangeBy column ${r.column} must be an integer-family schema column"))
     GpxWriterFactory(schema, staging, opId, rgRows, pxRows, commitTs, bucket,
-      tsFromLastColumn = tsColumn.isDefined)
+      tsFromLastColumn = tsColumn.isDefined, range = range)
   }
 
   private def writeSidecars(fs: org.apache.hadoop.fs.FileSystem,
@@ -1247,6 +1364,11 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
     if (sortBy.nonEmpty) {
       val out = fs.create(new Path(p, "_sortspec"), true)
       try out.write(sortBy.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    range.foreach { r =>
+      val out = fs.create(new Path(p, "_rangespec"), true)
+      try out.write(s"${r.column}\n${r.bounds.mkString(",")}".getBytes("UTF-8"))
       finally out.close()
     }
   }
@@ -1276,8 +1398,8 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
         trashed += ((p, t))
       }
       supersededFiles.foreach(f => toTrash(new Path(f)))
-      Seq("_bucketspec", "_sortspec", "_index", GpxProjection.ProjDir)
-        .foreach(n => toTrash(new Path(rootP, n)))
+      Seq("_bucketspec", "_sortspec", "_rangespec", "_index",
+        GpxProjection.ProjDir).foreach(n => toTrash(new Path(rootP, n)))
       // delete-bitmap sidecar dirs of superseded files' parents: the new
       // layout starts with no masked rows (stale bitmaps keyed by dead
       // file names must not linger)
@@ -1331,18 +1453,19 @@ final case class GpxCommit(files: Seq[String]) extends WriterCommitMessage
 
 final case class GpxWriterFactory(schema: StructType, staging: String,
     opId: String, rgRows: Int, pxRows: Int, commitTs: Long,
-    bucket: Option[GpxTable.BucketSpec], tsFromLastColumn: Boolean = false)
+    bucket: Option[GpxTable.BucketSpec], tsFromLastColumn: Boolean = false,
+    range: Option[GpxTable.RangeSpec] = None)
   extends DataWriterFactory {
 
   /** final-name uniqueness: opId scopes this logical write (taskIds can
     * repeat across JVMs appending to the same table), taskId scopes the
     * attempt within it, and the commitTs tag keeps append-mode MVCC
-    * batches self-describing. Bucket suffix stays LAST (bucket routing
-    * parses the name tail). */
+    * batches self-describing. The bucket (-bN) / range (-rN) routing
+    * suffix stays LAST (pruning parses the name tail). */
   private def fileName(partitionId: Int, taskId: Long, ts: Long, bk: Int): String = {
     val tsTag = if (ts >= 0) s"-t$ts" else ""
-    val bkTag = if (bk >= 0) s"-b$bk" else ""
-    s"part-$opId-$partitionId-$taskId$tsTag$bkTag.gpx"
+    val tag = if (bk < 0) "" else if (range.isDefined) s"-r$bk" else s"-b$bk"
+    s"part-$opId-$partitionId-$taskId$tsTag$tag.gpx"
   }
 
   /** file schema: with `tsFromLastColumn` (option("commitTsColumn", c)) the
@@ -1356,10 +1479,11 @@ final case class GpxWriterFactory(schema: StructType, staging: String,
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val conf = new Configuration()
     val tsIdx = schema.length - 1 // only read when tsFromLastColumn
-    val keyIdx = bucket.map(b => dataSchema.fieldIndex(b.column))
+    val routeCol = bucket.map(_.column).orElse(range.map(_.column))
+    val keyIdx = routeCol.map(dataSchema.fieldIndex)
     val keyDt = keyIdx.map(dataSchema(_).dataType)
-    // routed writes: one writer per (commitTs, bucket) — a plain append
-    // has exactly one key, so the map degenerates to a single writer
+    // routed writes: one writer per (commitTs, bucket-or-range id) — a
+    // plain append has exactly one key, so the map degenerates to one
     val writers =
       scala.collection.mutable.LinkedHashMap.empty[(Long, Int), (String, GpxFileWriter)]
 
@@ -1376,7 +1500,10 @@ final case class GpxWriterFactory(schema: StructType, staging: String,
             case other =>
               throw new IllegalArgumentException(s"bucketBy $other unsupported")
           }
-        GpxTable.bucketOf(key, bucket.get.numBuckets)
+        range match {
+          case Some(r) => GpxTable.rangeOf(key, r.bounds)
+          case None => GpxTable.bucketOf(key, bucket.get.numBuckets)
+        }
     }
 
     def writerFor(ts: Long, bk: Int): GpxFileWriter =

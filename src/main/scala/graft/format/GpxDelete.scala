@@ -152,11 +152,14 @@ object GpxDelete {
           GpxTable.CommitTsCol, LongType, nullable = false)))
         .load(cowFiles: _*)
       val bucket = roots.headOption.flatMap(GpxTable.readBucketSpec(_, conf))
+      val range = roots.headOption.flatMap(GpxTable.readRangeSpec(_, conf))
       val writer = withTs.filter(keepCond)
         .write.format("gpx").mode("append")
         .option("commitTsColumn", GpxTable.CommitTsCol)
       bucket.foreach(b => writer
         .option("bucketBy", b.column).option("numBuckets", b.numBuckets.toString))
+      range.foreach(r => writer
+        .option("rangeBy", r.column).option("rangeBounds", r.bounds.mkString(",")))
       writer.save(roots.head)
       // crash-safe order: replacements published first (visible), originals
       // dropped after — a crash in between duplicates kept rows instead of

@@ -275,6 +275,32 @@ object FormatOps {
              |WHERE (o_custkey = 1 AND o_orderstatus = 'O')
              |   OR (o_custkey = 5 AND o_orderstatus = 'F')
              |   OR (o_custkey = 10 AND o_orderstatus = 'P')
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Range-partitioned layout (reference Range.java / RangeIndex.java:
+    // catalog-level key ranges route ingest and prune scans by file name
+    // alone): orders written through rangeBy(o_orderkey) split points, a
+    // key-range query over the routed layout must hash-match parquet.
+    GQuery("f12_gpx_range_layout", (s, d) => {
+      val dir = cachedDir(d, "range_orders") { dir =>
+        val n = Tables.orders(s, d).count()
+        // split points at rough quartiles of the key space
+        val bounds = Seq(n / 2, n, 2 * n)
+        Tables.orders(s, d).write.format("gpx").mode("overwrite")
+          .option("rangeBy", "o_orderkey")
+          .option("rangeBounds", bounds.mkString(","))
+          .option("rowGroupRows", "4096").save(dir)
+      }
+      s.read.format("gpx").load(dir)
+        .filter(col("o_orderkey") >= 100 && col("o_orderkey") < 2000)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+              |  ${Det.o.dsum("o_totalprice")} AS sum_price
+              |FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 2000
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
   )
 }

@@ -81,11 +81,17 @@ class DmlFuzzSpec extends GraftSpec {
               hit
             }
           } finally sp.conf.unset("spark.graft.gpx.deleteMode")
-        case 2 if model.nonEmpty => // range UPDATE
+        case 2 if model.nonEmpty => // range UPDATE under a random row-level
+          // mode: group-based COW rewrite or the delta (bitmap + append)
+          // path — identical current-state semantics, and the delta path
+          // preserves strictly MORE history than the contract requires
           val lo = rnd.nextLong(math.max(1L, nextId))
           val hi = lo + rnd.nextInt(30)
           val c = 1 + rnd.nextInt(9)
-          sp.sql(s"UPDATE gfz.db.t SET v = v + $c WHERE id BETWEEN $lo AND $hi")
+          sp.conf.set("spark.graft.gpx.rowLevelMode",
+            if (rnd.nextBoolean()) "mor" else "cow")
+          try sp.sql(s"UPDATE gfz.db.t SET v = v + $c WHERE id BETWEEN $lo AND $hi")
+          finally sp.conf.unset("spark.graft.gpx.rowLevelMode")
           model.mapValuesInPlace { case (id, (v, s)) =>
             if (id >= lo && id <= hi) (v + c, s) else (v, s)
           }
@@ -103,13 +109,16 @@ class DmlFuzzSpec extends GraftSpec {
             else model(id) = (v, s)
             s"($id, $v, ${lit(s)})"
           }
-          sp.sql(
+          sp.conf.set("spark.graft.gpx.rowLevelMode",
+            if (rnd.nextBoolean()) "mor" else "cow")
+          try sp.sql(
             s"""MERGE INTO gfz.db.t t
                |USING (SELECT * FROM (VALUES ${src.mkString(", ")})
                |       AS x(id, v, s)) s
                |ON t.id = s.id
                |WHEN MATCHED THEN UPDATE SET t.v = s.v
                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          finally sp.conf.unset("spark.graft.gpx.rowLevelMode")
           ids.toSet
       }
       touchedByOp += touched

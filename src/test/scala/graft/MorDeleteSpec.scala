@@ -184,6 +184,58 @@ class MorDeleteSpec extends GraftSpec {
     sel.foreach { case (id, pos) => assert(id == pos, s"id=$id pos=$pos") }
   }
 
+  test("delta UPDATE (rowLevelMode=mor): bitmap-delete + append, history preserved") {
+    val wh = freshDir("gpx_delta_wh")
+    sp.conf.set("spark.sql.catalog.gdl", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gdl.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gdl.db")
+    sp.sql("CREATE TABLE gdl.db.t (id BIGINT, v BIGINT) USING gpx")
+    sp.sql("INSERT INTO gdl.db.t SELECT id, id * 10 FROM range(1000)")
+    val tdir = s"$wh/db/t"
+    val before = dataFiles(tdir).toSet
+    Thread.sleep(2)
+    val preUpdate = System.currentTimeMillis() * 1000L
+    Thread.sleep(2)
+    sp.conf.set("spark.graft.gpx.rowLevelMode", "mor")
+    try {
+      sp.sql("UPDATE gdl.db.t SET v = v + 1 WHERE id % 100 = 7")
+      // original files untouched: the update appended m*-files + sidecars
+      assert(before.subsetOf(dataFiles(tdir).toSet),
+        "delta update must not rewrite existing files")
+      assert(dataFiles(tdir).toSet.size > before.size)
+      assert(sidecarCount(tdir) >= 1)
+      val got = sp.table("gdl.db.t").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size == 1000)
+      assert(got(7L) == 71L && got(107L) == 1071L && got(8L) == 80L)
+      // THE delta-path win: the pre-update snapshot sees original VALUES
+      // of modified rows (copy-on-write physically destroys them)
+      val old = sp.sql(s"SELECT * FROM gdl.db.t FOR VERSION AS OF $preUpdate")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(old.size == 1000)
+      assert(old(7L) == 70L && old(107L) == 1070L,
+        "pre-update snapshot must show original values of updated rows")
+
+      // delta MERGE: matched update + not-matched insert
+      sp.sql(
+        """MERGE INTO gdl.db.t t
+          |USING (SELECT * FROM (VALUES (5, 555), (2000, 2222)) AS s(id, v)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET t.v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val m = sp.table("gdl.db.t").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m.size == 1001 && m(5L) == 555L && m(2000L) == 2222L)
+
+      // delta DELETE via subquery-shaped predicate (untranslatable ->
+      // row-level op): pure bitmaps, no rewrite
+      val files2 = dataFiles(tdir).toSet
+      sp.sql("DELETE FROM gdl.db.t WHERE id % 500 = 3")
+      assert(files2.subsetOf(dataFiles(tdir).toSet))
+      assert(sp.table("gdl.db.t").count() == 999)
+    } finally sp.conf.unset("spark.graft.gpx.rowLevelMode")
+  }
+
   test("update/merge over masked files folds the mask (no resurrection)") {
     val wh = freshDir("gpx_mor7_wh")
     sp.conf.set("spark.sql.catalog.gmor7", "graft.format.GpxCatalog")
