@@ -138,16 +138,20 @@ object EventOps {
     // Property extraction from the JSON-ish props column via portable
     // string surgery (props = '{"k": N}'): the reference has no native
     // JSON functions either (SURVEY §2.3) — the front-end engine does it.
+    // JSON property extraction via each engine's REAL json path function
+    // (Spark get_json_object, DuckDB json_extract) — survives arbitrary
+    // key order / whitespace / extra keys in props, unlike string surgery
+    // (the reference itself has no native JSON functions, SURVEY §2.3 —
+    // this is the beyond-reference robustness form).
     GQuery("e06_props_extract", (s, d) =>
       events(s, d)
-        .withColumn("k",
-          expr("cast(replace(replace(props, '{\"k\": ', ''), '}', '') as int)"))
+        .withColumn("k", expr("cast(get_json_object(props, '$.k') as int)"))
         .groupBy((col("k") % 10).as("k_bucket"))
         .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("k_bucket"),
       Some("""SELECT CAST(k % 10 AS INT) AS k_bucket, COUNT(*) AS n,
              |  MIN(k) AS min_k, MAX(k) AS max_k
-             |FROM (SELECT CAST(replace(replace(props, '{"k": ', ''), '}', '') AS INT) AS k
+             |FROM (SELECT CAST(json_extract(props, '$.k') AS INT) AS k
              |      FROM events) t
              |GROUP BY 1 ORDER BY k_bucket""".stripMargin)),
 
