@@ -1398,8 +1398,12 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
         trashed += ((p, t))
       }
       supersededFiles.foreach(f => toTrash(new Path(f)))
-      Seq("_bucketspec", "_sortspec", "_rangespec", "_index",
-        GpxProjection.ProjDir).foreach(n => toTrash(new Path(rootP, n)))
+      // _proj stays: overwrite makes every projection manifest STALE
+      // (exact coverage check), so none serves until refresh() rebuilds
+      // it — the projection DEFINITION survives the table reload, like
+      // the reference's layout metadata
+      Seq("_bucketspec", "_sortspec", "_rangespec", "_index")
+        .foreach(n => toTrash(new Path(rootP, n)))
       // delete-bitmap sidecar dirs of superseded files' parents: the new
       // layout starts with no masked rows (stale bitmaps keyed by dead
       // file names must not linger)
@@ -1440,6 +1444,20 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
         throw e
     }
     fs.delete(new Path(staging), true)
+    // projection maintenance (Projections.java economics): with
+    // spark.graft.gpx.projectionAutoRefresh=true, every committed write
+    // brings the table's projections up to date — O(inserted data) for
+    // appends, full rebuild after overwrite. Best-effort by design: a
+    // refresh failure leaves the projection stale, which the exact
+    // coverage check turns into a silent base-scan fallback, never a
+    // wrong answer.
+    val auto = try org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.gpx.projectionAutoRefresh").contains("true")
+    catch { case _: Throwable => false }
+    if (auto) GpxProjection.listProjections(path, conf).foreach { p =>
+      try GpxProjection.refresh(org.apache.spark.sql.SparkSession.active, path, p)
+      catch { case scala.util.control.NonFatal(_) => () } // stale = fallback
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

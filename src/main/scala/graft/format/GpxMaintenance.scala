@@ -26,7 +26,7 @@ import org.apache.hadoop.fs.Path
 object GpxMaintenance {
 
   private val ScratchPrefixes =
-    Seq("_batch_", "_replace_", "_delete_tmp_", "_streaming")
+    Seq("_batch_", "_replace_", "_delta_", "_delete_tmp_", "_streaming")
 
   /** Delete orphaned scratch dirs under `table` older than `ttlMs`.
     * Returns the swept paths. Driver-side only — one listing of the table
@@ -56,9 +56,25 @@ object GpxMaintenance {
       else Array(st)
     }.filter(st => st.isDirectory &&
       ScratchPrefixes.exists(st.getPath.getName.startsWith))
-    candidates.filter(st => now - newestMtime(st.getPath) > ttlMs).map { st =>
-      fs.delete(st.getPath, true)
-      st.getPath.toString
+    val sweptDirs =
+      candidates.filter(st => now - newestMtime(st.getPath) > ttlMs).map { st =>
+        fs.delete(st.getPath, true)
+        st.getPath.toString
+      }.toSeq
+    // crashed delete-sidecar writers leave ".tmp.*" files inside _del
+    // dirs (publish = rename, so a temp past the TTL is always dead)
+    val delDirs = fs.listStatus(root).flatMap { st =>
+      if (st.isDirectory && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        Array(new Path(st.getPath, GpxDeleteBitmap.DelDir))
+      else Array.empty[Path]
+    } :+ new Path(root, GpxDeleteBitmap.DelDir)
+    val sweptTmps = delDirs.filter(fs.exists(_)).flatMap { d =>
+      fs.listStatus(d).filter { st =>
+        st.getPath.getName.startsWith(".tmp.") &&
+          now - st.getModificationTime > ttlMs
+      }.map { st => fs.delete(st.getPath, false); st.getPath.toString }
     }.toSeq
+    sweptDirs ++ sweptTmps
   }
 }

@@ -87,9 +87,21 @@ class FormatSpec extends GraftSpec {
     // a LIVE staging dir (fresh mtime) must be spared
     val live = new java.io.File(dir, "_batch_cafebabe")
     live.mkdirs()
+    // a crashed delete-sidecar writer's temp (publish = rename, so any
+    // aged .tmp.* in _del is dead); a LIVE sidecar must be spared
+    val delDir = new java.io.File(dir, "_del")
+    delDir.mkdirs()
+    val tmpSidecar = new java.io.File(delDir, ".tmp.x.gpx.t-1.abcd1234.del")
+    java.nio.file.Files.write(tmpSidecar.toPath, Array[Byte](9))
+    tmpSidecar.setLastModified(System.currentTimeMillis() - 3600_000)
+    val liveSidecar = new java.io.File(delDir, "x.gpx.t-1.abcd1234.del")
+    java.nio.file.Files.write(liveSidecar.toPath, Array[Byte](9))
+    liveSidecar.setLastModified(System.currentTimeMillis() - 3600_000)
     val swept = GpxMaintenance.vacuum(dir, ttlMs = 600_000)
     assert(swept.exists(_.endsWith("_batch_deadbeef")), swept)
     assert(!orphan.exists() && live.exists())
+    assert(!tmpSidecar.exists(), "aged sidecar temp must be swept")
+    assert(liveSidecar.exists(), "published sidecars are never swept")
     assert(sp.read.format("gpx").load(dir).count() == 2)
   }
 

@@ -130,6 +130,27 @@ class ProjectionSpec extends GraftSpec {
       .forall(!_.contains("/_proj/")))
   }
 
+  test("projectionAutoRefresh: INSERT keeps projections current; OVERWRITE keeps definitions") {
+    val d = freshWide()
+    GpxProjection.build(sp, d, "p1", Seq("counter_id", "url"))
+    val q = () => sp.read.format("gpx").load(d).select("counter_id", "url")
+    sp.conf.set("spark.graft.gpx.projectionAutoRefresh", "true")
+    try {
+      graft.operators.WideOps.hitsDf(sp, sf).limit(64)
+        .coalesce(1).write.format("gpx").mode("append").save(d)
+      // the append's commit refreshed the projection: still routed
+      assert(scannedPaths(q()).forall(_.contains("/_proj/p1/")),
+        "auto-refresh must keep the projection serving after INSERT")
+      assert(q().count() == sp.read.format("gpx").load(d).count())
+      // OVERWRITE keeps the projection DEFINITION and rebuilds it
+      graft.operators.WideOps.hitsDf(sp, sf).limit(200)
+        .coalesce(1).write.format("gpx").mode("overwrite").save(d)
+      assert(GpxProjection.listProjections(d, conf) == Seq("p1"))
+      assert(scannedPaths(q()).forall(_.contains("/_proj/p1/")))
+      assert(q().count() == 200)
+    } finally sp.conf.unset("spark.graft.gpx.projectionAutoRefresh")
+  }
+
   test("catalog DDL creates and drops projections") {
     val wh = Files.createTempDirectory("gpx_projddl").toString
     sp.conf.set("spark.sql.catalog.gprj", "graft.format.GpxCatalog")
