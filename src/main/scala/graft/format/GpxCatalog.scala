@@ -183,13 +183,29 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     // points, scans prune by range id from file names alone (reference
     // Range.java / RangeIndex.java catalog-level range assignment)
     Option(properties.get("range_by")).foreach { rb =>
+      // validate EVERYTHING here — a bad spec persisted verbatim would
+      // brick every later scan/INSERT of an otherwise-created table
+      require(rb.contains(":"),
+        s"range_by must be 'col:b1,b2,...', got '$rb'")
       val Array(c, bs) = rb.split(":", 2)
-      require(schema.fieldNames.contains(c.trim),
-        s"range_by column ${c.trim} not in schema")
+      val col = c.trim
+      val i = schema.fieldNames.indexOf(col)
+      require(i >= 0, s"range_by column $col not in schema")
+      require(GpxTable.bucketableType(schema(i).dataType),
+        s"range_by column $col must be integer-family, got ${schema(i).dataType}")
+      require(bucket.isEmpty,
+        "range_by and PARTITIONED BY bucket(...) are mutually exclusive")
+      val bounds = bs.split(",").toSeq.map { b =>
+        try b.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"range_by bound '$b' is not a long")
+        }
+      }
+      require(bounds.nonEmpty && bounds == bounds.sorted &&
+        bounds.distinct == bounds,
+        s"range_by bounds must be ascending distinct longs, got $bounds")
       val rout = fs.create(new Path(dir, "_rangespec"), true)
-      try rout.write(
-        s"${c.trim}\n${bs.split(",").map(_.trim).mkString(",")}"
-          .getBytes("UTF-8"))
+      try rout.write(s"$col\n${bounds.mkString(",")}".getBytes("UTF-8"))
       finally rout.close()
     }
     new GpxTable(schema, Seq(dir.toString), catalogManaged = true)

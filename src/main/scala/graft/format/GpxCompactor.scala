@@ -25,11 +25,17 @@ object GpxCompactor {
       conf: Configuration,
       targetFileBytes: Long = 128L * 1024 * 1024): Result = {
     // merge-on-read masks first: byte-copying a masked file would
-    // resurrect its deleted rows, so fold each file's bitmaps into a
-    // physical copy (row groups keep their commitTs), then byte-copy.
-    // Mask-free files — the steady state — take the zero-decode path.
-    GpxTable.listFiles(Seq(inDir), conf).foreach(f =>
-      GpxDeleteBitmap.foldFile(f, conf))
+    // resurrect its deleted rows, so fold each MASKED file's bitmaps into
+    // a physical copy (row groups keep their commitTs), then byte-copy.
+    // One _del listing per parent dir; mask-free files — the steady
+    // state — take the zero-decode path untouched.
+    GpxTable.listFiles(Seq(inDir), conf)
+      .groupBy(f => new Path(f).getParent)
+      .foreach { case (parent, files) =>
+        val withSidecars = GpxDeleteBitmap.sidecarsIn(parent, conf).keySet
+        files.filter(f => withSidecars.contains(new Path(f).getName))
+          .foreach(f => GpxDeleteBitmap.foldFile(f, conf))
+      }
     val files = GpxTable.listFiles(Seq(inDir), conf).sorted
     require(files.nonEmpty, s"no gpx files under $inDir")
     val outPath = new Path(outDir)

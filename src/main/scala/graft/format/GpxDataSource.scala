@@ -450,12 +450,10 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
     true
   }
 
-  /** any delete-bitmap sidecar under the table's file parents (cheap dir
-    * checks; computed once per builder) */
-  private lazy val hasDeleteSidecars: Boolean = {
-    val conf = new Configuration()
-    GpxDeleteBitmap.anyDeletes(GpxTable.listFiles(roots, conf), conf)
-  }
+  /** any delete-bitmap sidecar under the table roots (one recursive
+    * listing, computed at most once per builder) */
+  private lazy val hasDeleteSidecars: Boolean =
+    GpxDeleteBitmap.anyDeletes(roots, new Configuration())
   override def isPartiallyPushed(): Boolean = true
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {

@@ -130,7 +130,10 @@ object GpxDelete {
         val perFile = scala.collection.mutable.Map.empty[String, java.util.BitSet]
         it.foreach { row =>
           val f = row.getUTF8String(0).toString
-          perFile.getOrElseUpdate(f, new java.util.BitSet()).set(row.getLong(1).toInt)
+          val p = row.getLong(1)
+          require(p <= Int.MaxValue, s"row position $p in $f exceeds the " +
+            "2^31-1 delete-bitmap addressing limit; compact into smaller files")
+          perFile.getOrElseUpdate(f, new java.util.BitSet()).set(p.toInt)
         }
         perFile.iterator.map { case (f, bits) =>
           GpxDeleteBitmap.write(new Path(f), deleteTs, bits, bits.length.toLong, c)

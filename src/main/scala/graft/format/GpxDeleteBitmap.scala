@@ -43,7 +43,9 @@ object GpxDeleteBitmap {
 
   final case class Sidecar(path: String, dataFileName: String, commitTs: Long)
 
-  private val NameRe = """^(.+\.gpx)\.t(-?\d+)\.[0-9a-f]+\.del$""".r
+  /** leading [^.] excludes dot-prefixed temp/scratch names even if one
+    * ever ends in `.del` (data file names never start with '.') */
+  private val NameRe = """^([^.].*\.gpx)\.t(-?\d+)\.[0-9a-f]+\.del$""".r
 
   def sidecarName(dataFileName: String, ts: Long): String =
     s"$dataFileName.t$ts.${java.util.UUID.randomUUID().toString.take(8).filter(_ != '-')}.del"
@@ -68,14 +70,31 @@ object GpxDeleteBitmap {
   def applies(s: Sidecar, snapshotTs: Option[Long]): Boolean =
     s.commitTs < 0 || snapshotTs.forall(s.commitTs <= _)
 
-  /** true when ANY listed data file has a delete sidecar — pushed
+  /** true when ANY data file under `roots` has a delete sidecar — pushed
     * aggregates (footer-stats COUNT/MIN/MAX) and limit truncation must
-    * then stay off: footer numbers include masked rows */
-  def anyDeletes(files: Seq[String], conf: Configuration): Boolean = {
-    files.map(f => new Path(f).getParent).distinct.exists { par =>
-      sidecarsIn(par, conf).nonEmpty
+    * then stay off: footer numbers include masked rows. ONE recursive
+    * walk per root (no per-file work, no footer reads) — this runs at
+    * pushdown time on every scan build, including the no-deletes steady
+    * state. */
+  def anyDeletes(roots: Seq[String], conf: Configuration): Boolean =
+    roots.exists { r =>
+      GpxFs.stat(r, conf) match {
+        case Some(st) if st.isFile =>
+          // a FILE root (explicit-file reads, e.g. the delete's own
+          // jobs) keeps its sidecars in the SIBLING _del dir — a walk
+          // of the file itself would miss them
+          val p = new Path(r)
+          sidecarsIn(p.getParent, conf).contains(p.getName)
+        case _ =>
+          GpxFs.listRecursive(r, conf).exists { case (full, isFile) =>
+            isFile && full.endsWith(".del") && {
+              val segs = full.split('/')
+              segs.length >= 2 && segs(segs.length - 2) == DelDir &&
+                !segs.last.startsWith(".")
+            }
+          }
+      }
     }
-  }
 
   // ---------------- bitmap IO ----------------
 
@@ -126,14 +145,18 @@ object GpxDeleteBitmap {
 
   /** Write a sidecar for `dataFile` atomically (temp under _del + rename).
     * Safe from executors: retried attempts publish distinct uuid names
-    * whose bitmaps union idempotently. Returns the sidecar path. */
+    * whose bitmaps union idempotently. The temp name carries NO `.del`
+    * suffix, so neither [[sidecarsIn]]'s NameRe nor any `*.del` listing
+    * (e.g. projection coverage) can ever observe an in-flight write.
+    * Returns the sidecar path. */
   def write(dataFile: Path, ts: Long, positions: java.util.BitSet,
       fileRows: Long, conf: Configuration): String = {
     val delP = new Path(dataFile.getParent, DelDir)
     val fs = delP.getFileSystem(conf)
     fs.mkdirs(delP)
     val name = sidecarName(dataFile.getName, ts)
-    val tmp = new Path(delP, s".tmp.$name")
+    val tmp = new Path(delP,
+      s".tmp.${java.util.UUID.randomUUID().toString.take(8)}.inprogress")
     val out = new DataOutputStream(fs.create(tmp, true))
     try {
       out.write(DelMagic)
@@ -186,7 +209,12 @@ object GpxDeleteBitmap {
       dropSidecars(p, conf)
       return None
     }
-    val w = new GpxFileWriter(dest.toString, footer.schema, conf,
+    // stage the rewrite under a dot-prefixed name (invisible to listFiles)
+    // and rename into place only when complete — a concurrent scan must
+    // never see a footer-less partial, and a crash mid-fold must not
+    // leave a corrupt visible .gpx
+    val tmpDest = new Path(p.getParent, s".fold-${dest.getName}")
+    val w = new GpxFileWriter(tmpDest.toString, footer.schema, conf,
       GpxFormat.DefaultRowGroupRows, GpxFormat.DefaultPixelRows, -1L)
     var base = 0L
     var kept = 0L
@@ -212,10 +240,15 @@ object GpxDeleteBitmap {
       w.flushRowGroup()
       base += rg.numRows
     }
-    if (kept > 0) w.close() else { w.abort() }
-    // crash-safe order: replacement visible first, originals dropped after
-    // (a crash in between duplicates kept rows, never loses them) — except
-    // the all-rows-masked case, where there is no replacement
+    // crash-safe order: complete replacement renamed visible FIRST,
+    // originals dropped after (a crash in between duplicates kept rows,
+    // never loses them) — except the all-rows-masked case, where there
+    // is no replacement
+    if (kept > 0) {
+      w.close()
+      if (!fs.rename(tmpDest, dest))
+        throw new java.io.IOException(s"fold publish failed: $tmpDest -> $dest")
+    } else w.abort()
     fs.delete(p, false)
     dropSidecars(p, conf)
     Some(if (kept > 0) dest.toString else "")

@@ -71,7 +71,24 @@ class GpxDeltaOperation(schema: StructType, roots: Seq[String],
 }
 
 class GpxDeltaWrite(dataSchema: StructType, rowIdSchema: StructType,
-    root: String, commitTs: Long) extends DeltaWrite {
+    root: String, commitTs: Long) extends DeltaWrite
+  with RequiresDistributionAndOrdering {
+
+  /** the insert half must keep the table's ordered layout: declare the
+    * persisted _sortspec ordering so Spark sorts within partitions
+    * before rows reach the writer (same contract as INSERT) */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    GpxTable.readSortSpec(root, new Configuration()).map { c =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    }.toArray
+
   override def toBatch: DeltaBatchWrite =
     new GpxDeltaBatchWrite(dataSchema, rowIdSchema, root, commitTs)
 }
@@ -87,7 +104,8 @@ class GpxDeltaBatchWrite(dataSchema: StructType, rowIdSchema: StructType,
     GpxDeltaWriterFactory(dataSchema, staging, opId,
       rowIdSchema.fieldNames.indexOf(GpxTable.FileCol),
       rowIdSchema.fieldNames.indexOf(GpxTable.PosCol),
-      commitTs, GpxTable.readBucketSpec(root, conf))
+      commitTs, GpxTable.readBucketSpec(root, conf),
+      GpxTable.readRangeSpec(root, conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -95,26 +113,47 @@ class GpxDeltaBatchWrite(dataSchema: StructType, rowIdSchema: StructType,
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(conf)
     val commits = messages.collect { case c: GpxDeltaCommit => c }
-    // 1) publish the staged insert files of WINNING attempts (m<opId>-
-    // prefix keeps names collision-free; the -bN bucket suffix stays last)
-    commits.flatMap(_.files).foreach { f =>
-      val p = new Path(f)
-      val dest = new Path(rootP, s"m$opId-${p.getName}")
-      if (!fs.rename(p, dest))
-        throw new java.io.IOException(s"delta publish failed: $p -> $dest")
-    }
-    // 2) merge per-task delete bitmaps per file, one sidecar per file
-    val merged = scala.collection.mutable.Map.empty[String, java.util.BitSet]
-    commits.foreach(_.deletes.foreach { case (file, words) =>
-      val bs = java.util.BitSet.valueOf(words)
-      merged.get(file) match {
-        case Some(acc) => acc.or(bs)
-        case None => merged(file) = bs
+    // Rollback-protected two-step publish: a failure ANYWHERE below
+    // un-publishes the already-renamed insert files and deletes the
+    // already-written sidecars before rethrowing — Spark's abort() then
+    // clears staging, and the table is exactly its pre-op self. Without
+    // this, a mid-commit failure would leave updated rows visible twice
+    // (published insert, no mask) forever.
+    val published = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    val sidecars = scala.collection.mutable.ArrayBuffer.empty[Path]
+    try {
+      // 1) publish the staged insert files of WINNING attempts (m<opId>-
+      // prefix keeps names collision-free; -bN/-rN routing suffix stays
+      // last). Inserts before masks: a crash in between shows transient
+      // duplicates, never missing rows.
+      commits.flatMap(_.files).foreach { f =>
+        val p = new Path(f)
+        val dest = new Path(rootP, s"m$opId-${p.getName}")
+        if (!fs.rename(p, dest))
+          throw new java.io.IOException(s"delta publish failed: $p -> $dest")
+        published += ((dest, p))
       }
-    })
-    merged.foreach { case (file, bits) =>
-      GpxDeleteBitmap.write(new Path(file), commitTs, bits,
-        bits.length.toLong, conf)
+      // 2) merge per-task delete bitmaps per file, one sidecar per file
+      val merged = scala.collection.mutable.Map.empty[String, java.util.BitSet]
+      commits.foreach(_.deletes.foreach { case (file, words) =>
+        val bs = java.util.BitSet.valueOf(words)
+        merged.get(file) match {
+          case Some(acc) => acc.or(bs)
+          case None => merged(file) = bs
+        }
+      })
+      merged.foreach { case (file, bits) =>
+        sidecars += new Path(GpxDeleteBitmap.write(new Path(file), commitTs,
+          bits, bits.length.toLong, conf))
+      }
+    } catch {
+      case e: Throwable =>
+        sidecars.foreach(s => try fs.delete(s, false)
+          catch { case _: Throwable => () })
+        published.reverseIterator.foreach { case (dest, src) =>
+          try fs.rename(dest, src) catch { case _: Throwable => () }
+        }
+        throw e
     }
     fs.delete(new Path(staging), true)
   }
@@ -132,22 +171,28 @@ final case class GpxDeltaCommit(files: Seq[String],
 
 final case class GpxDeltaWriterFactory(dataSchema: StructType,
     staging: String, opId: String, fileIdx: Int, posIdx: Int,
-    commitTs: Long, bucket: Option[GpxTable.BucketSpec])
+    commitTs: Long, bucket: Option[GpxTable.BucketSpec],
+    range: Option[GpxTable.RangeSpec] = None)
   extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
-    // inserts ride the ordinary routed writer (bucket suffixes, ts tag,
-    // per-attempt staged names) — same physical layout as an INSERT
+    // inserts ride the ordinary routed writer (bucket/range suffixes, ts
+    // tag, per-attempt staged names) — same physical layout as an INSERT
     val inner = GpxWriterFactory(dataSchema, staging, opId,
       GpxFormat.DefaultRowGroupRows, GpxFormat.DefaultPixelRows,
-      commitTs, bucket).createWriter(partitionId, taskId)
+      commitTs, bucket, range = range).createWriter(partitionId, taskId)
     val deletes = scala.collection.mutable.Map.empty[String, java.util.BitSet]
 
     new DeltaWriter[InternalRow] {
       override def delete(meta: InternalRow, id: InternalRow): Unit = {
         val file = id.getUTF8String(fileIdx).toString
-        deletes.getOrElseUpdate(file, new java.util.BitSet())
-          .set(id.getLong(posIdx).toInt)
+        val pos = id.getLong(posIdx)
+        // delete bitmaps address int row positions — a single gpx file
+        // holding 2^31+ rows cannot be bitmap-masked (fail fast rather
+        // than wrap; the writer's row-group sizing never produces one)
+        require(pos <= Int.MaxValue, s"row position $pos in $file exceeds " +
+          "the 2^31-1 delete-bitmap addressing limit; compact into smaller files")
+        deletes.getOrElseUpdate(file, new java.util.BitSet()).set(pos.toInt)
       }
       override def update(meta: InternalRow, id: InternalRow,
           row: InternalRow): Unit = {

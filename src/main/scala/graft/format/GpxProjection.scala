@@ -52,6 +52,7 @@ object GpxProjection {
     val data = GpxTable.listFiles(Seq(table), conf)
     val sidecars = GpxFs.listRecursive(table, conf).collect {
       case (full, isFile) if isFile && full.endsWith(".del") &&
+        !full.substring(full.lastIndexOf('/') + 1).startsWith(".") &&
         rel(full).split('/').contains(GpxDeleteBitmap.DelDir) => full
     }
     (data ++ sidecars).map { f =>

@@ -39,10 +39,12 @@ object VectorOps {
       op: String, alt: String): DataFrame = {
     val max = s.conf.getOption("spark.graft.bruteforce.maxRows")
       .map(_.toLong).getOrElse(1000000L)
-    val n = e.count()
-    require(n <= max,
-      s"$op is an O(n^2) brute-force oracle baseline (corpus $n rows > " +
-      s"$max); use $alt at scale, or raise spark.graft.bruteforce.maxRows " +
+    // bounded probe: scan at most max+1 rows to test the bound — the
+    // guard must not itself add a full corpus pass to the query's cost
+    val over = e.limit((max + 1).min(Int.MaxValue.toLong).toInt).count() > max
+    require(!over,
+      s"$op is an O(n^2) brute-force oracle baseline (corpus > $max rows);" +
+      s" use $alt at scale, or raise spark.graft.bruteforce.maxRows " +
       "for a deliberate baseline run")
     e
   }

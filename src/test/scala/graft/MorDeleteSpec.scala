@@ -67,6 +67,19 @@ class MorDeleteSpec extends GraftSpec {
     assert(sp.read.format("gpx").load(dir).limit(4890).count() == 4890)
   }
 
+  test("explicit-FILE reads see masks; pushed count stays correct") {
+    val dir = freshDir("gpx_morfile")
+    writeRange(dir, 3000)
+    del(dir, "mor", LessThan("id", 500L))
+    val file = dataFiles(dir).head
+    // loading the data FILE directly (not the dir): sidecars live in the
+    // sibling _del — the masked count must hold even for a bare agg that
+    // would otherwise push COUNT into footer stats
+    val n = sp.read.format("gpx").load(file)
+      .agg(count(lit(1))).collect().head.getLong(0)
+    assert(n == 2500, s"file-rooted pushed count ignored the mask: $n")
+  }
+
   test("auto mode: point delete -> bitmap, bulk delete -> rewrite") {
     val dir = freshDir("gpx_mor2")
     writeRange(dir, 5000)

@@ -63,6 +63,44 @@ class RangeLayoutSpec extends GraftSpec {
     assert(q3.count() == 2)
   }
 
+  test("delta (mor) update on a ranged table keeps routing tags on appended files") {
+    val wh = Files.createTempDirectory("gpx_range_mor").toString
+    sp.conf.set("spark.sql.catalog.grngm", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.grngm.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS grngm.db")
+    sp.sql("""CREATE TABLE grngm.db.t (id BIGINT, v BIGINT) USING gpx
+             |TBLPROPERTIES('range_by'='id:1000')""".stripMargin)
+    sp.sql("INSERT INTO grngm.db.t SELECT id, id FROM range(2000)")
+    val tdir = s"$wh/db/t"
+    sp.conf.set("spark.graft.gpx.rowLevelMode", "mor")
+    try sp.sql("UPDATE grngm.db.t SET v = v + 1 WHERE id % 250 = 0")
+    finally sp.conf.unset("spark.graft.gpx.rowLevelMode")
+    val files = GpxTable.listFiles(Seq(tdir), conf)
+    assert(files.flatMap(GpxTable.rangeOfFile).size == files.size,
+      s"every file (incl. delta-appended m*) must carry a range tag: $files")
+    val got = sp.table("grngm.db.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 2000 && got(250L) == 251L && got(1L) == 1L)
+  }
+
+  test("catalog rejects malformed range_by specs at CREATE") {
+    val wh = Files.createTempDirectory("gpx_range_bad").toString
+    sp.conf.set("spark.sql.catalog.grngb", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.grngb.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS grngb.db")
+    def bad(name: String, prop: String): Unit = {
+      val e = intercept[Exception](sp.sql(
+        s"""CREATE TABLE grngb.db.$name (id BIGINT, s STRING) USING gpx
+           |TBLPROPERTIES('range_by'='$prop')""".stripMargin))
+      assert(e.getMessage != null)
+    }
+    bad("t1", "id")            // no bounds
+    bad("t2", "id:9,3")        // unsorted
+    bad("t3", "id:x")          // non-numeric
+    bad("t4", "s:10")          // non-integer column
+    bad("t5", "missing:10")    // unknown column
+  }
+
   test("catalog range_by property: INSERT routes, DELETE keeps the layout") {
     val wh = Files.createTempDirectory("gpx_range_wh").toString
     sp.conf.set("spark.sql.catalog.grng", "graft.format.GpxCatalog")
