@@ -384,4 +384,39 @@ class StreamingSpec extends GraftSpec {
     assert(res.rows == 800)
     assert(res.outputFiles <= res.inputFiles && res.outputFiles >= 1)
   }
+
+  test("gpx-tail source: sink epochs stream back out as micro-batches") {
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("gpx_tail").toString
+    val ckpt1 = java.nio.file.Files.createTempDirectory("gpx_tail_c1").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("gpx_tail_c2").toString
+    // stage 1: plain append stream into the gpx sink (epoch-published)
+    val q1 = source.toDF().toDF("id", "s")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt1)
+      .format("gpx").start(dir)
+    source.addData((1L, "a"), (2L, "b"))
+    q1.processAllAvailable()
+    // stage 2: tail the sink table as a SOURCE into a memory sink
+    val tailed = sp.readStream.format("gpx-tail").load(dir)
+    val q2 = tailed.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt2)
+      .format("memory").queryName("gpx_tail_out").start()
+    q2.processAllAvailable()
+    val first = sp.table("gpx_tail_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(first == Set(1L -> "a", 2L -> "b"), first)
+    // a later epoch flows through as a NEW batch, without re-emitting old
+    source.addData((3L, "c"))
+    q1.processAllAvailable()
+    q2.processAllAvailable()
+    val all = sp.table("gpx_tail_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(all.size == 3 && all.toSet ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c"),
+      s"each epoch's rows must appear exactly once: $all")
+    q1.stop(); q2.stop()
+  }
 }
