@@ -21,13 +21,21 @@ class DmlFuzzSpec extends GraftSpec {
   private val sp = TestSpark.spark
 
   test("random INSERT/DELETE/UPDATE/MERGE sequence matches a model, incl. time travel") {
-    val wh = Files.createTempDirectory("gpx_dmlfuzz").toString
-    sp.conf.set("spark.sql.catalog.gfz", "graft.format.GpxCatalog")
-    sp.conf.set("spark.sql.catalog.gfz.warehouse", wh)
-    sp.sql("CREATE NAMESPACE IF NOT EXISTS gfz.db")
-    sp.sql("CREATE TABLE gfz.db.t (id BIGINT, v BIGINT, s STRING) USING gpx")
+    runFuzz(seed = 42, nOps = 16, cat = "gfz")
+  }
 
-    val rnd = new Random(42)
+  test("second seed, longer soak (MOR x COW interleavings)") {
+    runFuzz(seed = 1337, nOps = 24, cat = "gfz2")
+  }
+
+  private def runFuzz(seed: Int, nOps: Int, cat: String): Unit = {
+    val wh = Files.createTempDirectory(s"gpx_dmlfuzz_$cat").toString
+    sp.conf.set(s"spark.sql.catalog.$cat", "graft.format.GpxCatalog")
+    sp.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    sp.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    sp.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT, s STRING) USING gpx")
+
+    val rnd = new Random(seed)
     val model = mutable.Map.empty[Long, (Long, String)]
     var nextId = 0L
     // (micros timestamp AFTER the op, model state AFTER the op)
@@ -36,12 +44,12 @@ class DmlFuzzSpec extends GraftSpec {
     val touchedByOp = mutable.ArrayBuffer.empty[Set[Long]]
 
     def tableState(): Map[Long, (Long, String)] =
-      sp.table("gfz.db.t").collect()
+      sp.table(s"$cat.db.t").collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
 
     def lit(s: String) = s"'${s}'"
 
-    for (op <- 0 until 16) {
+    for (op <- 0 until nOps) {
       val touched: Set[Long] = rnd.nextInt(4) match {
         case 0 => // INSERT a batch of brand-new ids
           val ids = (0 until 1 + rnd.nextInt(40)).map { _ =>
@@ -53,7 +61,7 @@ class DmlFuzzSpec extends GraftSpec {
           }
           val rows = ids.map(id =>
             s"($id, ${model(id)._1}, ${lit(model(id)._2)})")
-          sp.sql(s"INSERT INTO gfz.db.t VALUES ${rows.mkString(", ")}")
+          sp.sql(s"INSERT INTO $cat.db.t VALUES ${rows.mkString(", ")}")
           ids.toSet
         case 1 if model.nonEmpty => // predicate DELETE under a random mode
           // (mor/cow/auto): current-state semantics are identical across
@@ -69,14 +77,14 @@ class DmlFuzzSpec extends GraftSpec {
               val lo = rnd.nextLong(math.max(1L, nextId))
               val hi = lo + rnd.nextInt(40)
               val hit = model.keys.filter(id => id >= lo && id <= hi).toSet
-              sp.sql(s"DELETE FROM gfz.db.t WHERE id BETWEEN $lo AND $hi")
+              sp.sql(s"DELETE FROM $cat.db.t WHERE id BETWEEN $lo AND $hi")
               model.filterInPlace((id, _) => id < lo || id > hi)
               hit
             } else {
               val m = 2 + rnd.nextInt(5)
               val r = rnd.nextInt(m)
               val hit = model.keys.filter(_ % m == r).toSet
-              sp.sql(s"DELETE FROM gfz.db.t WHERE id % $m = $r")
+              sp.sql(s"DELETE FROM $cat.db.t WHERE id % $m = $r")
               model.filterInPlace((id, _) => id % m != r)
               hit
             }
@@ -90,7 +98,7 @@ class DmlFuzzSpec extends GraftSpec {
           val c = 1 + rnd.nextInt(9)
           sp.conf.set("spark.graft.gpx.rowLevelMode",
             if (rnd.nextBoolean()) "mor" else "cow")
-          try sp.sql(s"UPDATE gfz.db.t SET v = v + $c WHERE id BETWEEN $lo AND $hi")
+          try sp.sql(s"UPDATE $cat.db.t SET v = v + $c WHERE id BETWEEN $lo AND $hi")
           finally sp.conf.unset("spark.graft.gpx.rowLevelMode")
           model.mapValuesInPlace { case (id, (v, s)) =>
             if (id >= lo && id <= hi) (v + c, s) else (v, s)
@@ -112,7 +120,7 @@ class DmlFuzzSpec extends GraftSpec {
           sp.conf.set("spark.graft.gpx.rowLevelMode",
             if (rnd.nextBoolean()) "mor" else "cow")
           try sp.sql(
-            s"""MERGE INTO gfz.db.t t
+            s"""MERGE INTO $cat.db.t t
                |USING (SELECT * FROM (VALUES ${src.mkString(", ")})
                |       AS x(id, v, s)) s
                |ON t.id = s.id
@@ -141,7 +149,7 @@ class DmlFuzzSpec extends GraftSpec {
     checkpoints.zipWithIndex.foreach { case ((ts, want), i) =>
       val touchedAfter: Set[Long] =
         touchedByOp.drop(i + 1).foldLeft(Set.empty[Long])(_ union _)
-      val got = sp.sql(s"SELECT * FROM gfz.db.t FOR VERSION AS OF $ts")
+      val got = sp.sql(s"SELECT * FROM $cat.db.t FOR VERSION AS OF $ts")
         .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
         .toMap
       val gotU = got.filterNot { case (id, _) => touchedAfter(id) }
