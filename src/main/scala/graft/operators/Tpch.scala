@@ -395,6 +395,149 @@ object Tpch {
              |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
              |GROUP BY s_name
              |ORDER BY numwait DESC, s_name
-             |LIMIT 50""".stripMargin))
+             |LIMIT 50""".stripMargin)),
+
+    // TPC-H Q2 shape (adapted: no partsupp — the per-(part,supplier)
+    // offer relation derives from lineitem as MIN extendedprice):
+    // region-scoped min-cost supplier per part. The correlated MIN
+    // decorrelates to one per-part aggregate joined back; the
+    // region-filtered offer relation is computed ONCE and feeds both the
+    // candidates and the minima (the oracle re-derives it per row).
+    // MIN of a double set is exact, so the cost equality is safe.
+    GQuery("q43_tpch_q2_min_cost_supplier", (s, d) => {
+      val offers = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("cost"))
+      val regionalSupp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d)
+              .filter(col("r_name") === "ASIA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_acctbal"), col("s_name"), col("n_name"))
+      val regional = offers
+        .join(regionalSupp, col("l_suppkey") === col("s_suppkey"))
+      val minCost = regional.groupBy(col("l_partkey").as("mc_pk"))
+        .agg(min(col("cost")).as("min_cost"))
+      regional
+        .join(minCost, col("l_partkey") === col("mc_pk") &&
+          col("cost") === col("min_cost"))
+        .join(Tables.part(s, d).filter(col("p_size") === 5)
+          .select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_brand"), col("cost"))
+        .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+        .limit(20)
+    },
+      Some("""WITH offers AS (
+             |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+             |  FROM lineitem GROUP BY 1, 2),
+             |regional AS (
+             |  SELECT l_partkey, cost, s_acctbal, s_name, n_name
+             |  FROM offers
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  JOIN region ON n_regionkey = r_regionkey
+             |  WHERE r_name = 'ASIA')
+             |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost
+             |FROM part JOIN regional ON p_partkey = l_partkey
+             |WHERE p_size = 5
+             |  AND cost = (SELECT MIN(r2.cost) FROM regional r2
+             |              WHERE r2.l_partkey = p_partkey)
+             |ORDER BY s_acctbal DESC, s_name, p_partkey
+             |LIMIT 20""".stripMargin)),
+
+    // TPC-H Q11 shape (adapted: part value := exact-decimal sum of
+    // lineitem extendedprice, scoped to one nation's suppliers):
+    // per-part value + HAVING against a global-scalar fraction of the
+    // SAME scoped relation — the scoped fact side is built once, the
+    // global total broadcast back as a scalar (vs q28's single-table
+    // form, this one scopes through a dim join on both sides).
+    GQuery("q44_tpch_q11_important_parts", (s, d) => {
+      val scoped = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)
+            .join(broadcast(Tables.nation(s, d)
+              .filter(col("n_name") === "NATION_3")),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"), col("l_extendedprice"))
+      val total = scoped.agg(dsum(col("l_extendedprice")).as("grand"))
+      scoped.groupBy(col("l_partkey"))
+        .agg(dsum(col("l_extendedprice")).as("part_value"))
+        .crossJoin(broadcast(total))
+        .filter(col("part_value") > col("grand") * 0.001)
+        .select(col("l_partkey"), col("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    },
+      Some(s"""WITH scoped AS (
+              |  SELECT l_partkey, l_extendedprice
+              |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              |  JOIN nation ON s_nationkey = n_nationkey
+              |  WHERE n_name = 'NATION_3')
+              |SELECT l_partkey, ${Det.o.dsum("l_extendedprice")} AS part_value
+              |FROM scoped
+              |GROUP BY l_partkey
+              |HAVING ${Det.o.dsum("l_extendedprice")} >
+              |  (SELECT ${Det.o.dsum("l_extendedprice")} FROM scoped) * 0.001
+              |ORDER BY part_value DESC, l_partkey""".stripMargin)),
+
+    // TPC-H Q16 shape (adapted: the part-supplier relation is lineitem's
+    // (part, supplier) pairs; the complaints exclusion becomes
+    // negative-balance suppliers): NOT IN over a provably tiny set ->
+    // broadcast anti join, then COUNT(DISTINCT) per group.
+    GQuery("q45_tpch_q16_supplier_cnt", (s, d) => {
+      val excluded = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(excluded),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(Tables.part(s, d).filter(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 3, 5, 7, 9))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+      Some("""SELECT p_brand, p_type, p_size,
+             |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#1'
+             |  AND p_size IN (1, 3, 5, 7, 9)
+             |  AND l_suppkey NOT IN
+             |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY p_brand, p_type, p_size
+             |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin)),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // avg threshold is rewritten EXACTLY — qty < 0.2 * avg(qty) <=>
+    // 5 * qty * cnt < sum(qty) in exact decimal arithmetic — so row
+    // membership is bit-identical across engines (a double avg could
+    // flip boundary rows). Decorrelated to a per-part agg + join.
+    GQuery("q46_tpch_q17_small_qty_revenue", (s, d) => {
+      val pstats = Tables.lineitem(s, d).groupBy(col("l_partkey").as("ps_pk"))
+        .agg(sum(dec(col("l_quantity"))).as("qty_sum"),
+          count(lit(1)).as("qty_cnt"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#23")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(pstats, col("l_partkey") === col("ps_pk"))
+        .filter(dec(col("l_quantity")) * lit(5) * col("qty_cnt") < col("qty_sum"))
+        .agg(dsum(col("l_extendedprice")).as("small_qty_revenue"))
+    },
+      Some(s"""SELECT ${Det.o.dsum("l_extendedprice")} AS small_qty_revenue
+              |FROM lineitem
+              |JOIN part ON l_partkey = p_partkey
+              |JOIN (SELECT l_partkey AS ps_pk,
+              |        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum,
+              |        COUNT(*) AS qty_cnt
+              |      FROM lineitem GROUP BY 1) ps ON ps_pk = p_partkey
+              |WHERE p_brand = 'Brand#23'
+              |  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * qty_cnt < qty_sum""".stripMargin))
   )
 }
