@@ -71,7 +71,13 @@ object Dedup {
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     // fingerprints are tiny (one long per doc) but cost a full corpus
     // pass — persist so the banded self-join doesn't recompute both sides
-    val fp = simhashDF(s, d).tracked
+    bandedPairs(simhashDF(s, d).tracked)
+  }
+
+  /** hamming<=6 pairs among the given (doc_id, simhash) rows, banded
+    * 8x4-bit — pigeonhole-exact (<=6 differing bits cannot touch all 8
+    * bands, so every true pair collides in some band). */
+  private def bandedPairs(fp: DataFrame): DataFrame = {
     val bandCols = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("key"))
@@ -94,69 +100,98 @@ object Dedup {
     * (cluster listing) and d07 (best-of-cluster selection). See the d06
     * comment for the algorithm and the plan-barrier rationale. */
   private def dupClusters(s: SparkSession, d: String): DataFrame = {
-    // both edge directions from ONE pass over the pair pipeline (a
-    // union of pairs with its reverse would recompute the whole LSH
-    // band join once per branch)
-    val edges = simhashPairs(s, d)
-      .select(explode(array(
-        struct(col("a_id").as("src"), col("b_id").as("dst")),
-        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .tracked
-    // populate the edge cache BEFORE the loop: each round's plan reads
-    // edges, and an unpopulated cache would re-run the LSH pipeline
-    // inside round 1's multi-branch plan
-    edges.count()
-    val labelSchema = new StructType()
-      .add("node", LongType).add("label", LongType)
-    // decimal sum: immune to long overflow when node ids are dense at
-    // 100 TB row counts (1e12 ids sum past 2^63)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head.getDecimal(0)
-    var rdd = Tables.documents(s, d)
-      .select(col("doc_id").cast(LongType).as("node"),
-        col("doc_id").cast(LongType).as("label"))
-      .rdd.persist()
-    var labels = s.createDataFrame(rdd, labelSchema)
+    // Fingerprint-representative collapse (the d02 trick, applied to
+    // connectivity): docs sharing a simhash are pairwise hamming-0
+    // duplicates, so component structure is fully determined by the
+    // graph over DISTINCT fingerprints. Run CC on one representative
+    // per fingerprint (the group's min doc_id) and let members inherit
+    // the rep's label — exact, not approximate: every rep is its
+    // group's minimum, so the component minimum over reps IS the
+    // component minimum over docs. At sf0.1 this shrinks the edge set
+    // 12x (8.0M member pairs -> 675k rep pairs) and the node set from
+    // the corpus to the distinct-fingerprint count; at 100 TB the win
+    // grows with duplication (the k^2 intra-group pair blowup never
+    // materializes).
+    val fp = simhashDF(s, d).tracked // (doc_id, simhash), one corpus pass
+    fp.count() // populate before the multi-branch plans below
+    val repFp = fp.groupBy(col("simhash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    // The iterative min-label/pointer-jump loop runs on co-partitioned
+    // RDDs, not DataFrames: per-round data is tiny relative to the
+    // corpus (the rep graph), so the cost driver is fixed plan/stage
+    // overhead, which an explicit HashPartitioner reduces to ONE job of
+    // three small shuffles per round (the edge join itself is narrow —
+    // both sides share the partitioner). RDDs also make the plan
+    // barrier implicit: persisted lineage per round, no exponential
+    // Catalyst tree growth. Parallelism is sized from the MEASURED edge
+    // count, so a 100 TB rep graph still fans out to the cluster while
+    // the sf0.1 graph stops paying 32-partition scheduling overhead
+    // for 2 k nodes.
+    val pairs = bandedPairs(repFp)
+      .select(col("a_id").cast(LongType), col("b_id").cast(LongType))
+      .rdd.map(r => (r.getLong(0), r.getLong(1))).persist()
+    val edgeCount = pairs.count() * 2
+    val ccParts = math.max(1, math.min(
+      s.sparkContext.defaultParallelism, (edgeCount / 500000L).toInt + 1))
+    val part = new org.apache.spark.HashPartitioner(ccParts)
+    // both directions, hash-partitioned by src ONCE — every round's
+    // edge-side join input is then narrow
+    val edgesBySrc = pairs
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part).persist()
+    edgesBySrc.count()
+    pairs.unpersist(blocking = false)
+    // BigInt label sum: exact convergence test, immune to long overflow
+    // when node ids are dense at 100 TB row counts (1e12 ids sum past
+    // 2^63). Labels only ever decrease, so an unchanged sum == fixpoint.
+    def labelSum(l: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
+      l.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
+    var labels = repFp.select(col("doc_id").cast(LongType)).rdd
+      .map { r => val id = r.getLong(0); (id, id) }
+      .partitionBy(part).persist()
     var last = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < 40) {
       round += 1
       val t0 = System.nanoTime()
-      val nbrMin = edges.join(labels, col("src") === col("node"))
-        .groupBy(col("dst")).agg(min(col("label")).as("nl"))
-      // barrier before the pointer jump: the jump self-joins this frame,
-      // so without materialization its subtree would compute twice
-      val mergedRdd = labels.join(nbrMin, col("node") === col("dst"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .rdd.persist()
-      val merged = s.createDataFrame(mergedRdd, labelSchema)
+      // min neighbor label per node (edge join is narrow: co-partitioned)
+      val nbrMin = edgesBySrc.join(labels)
+        .map { case (_, (dst, lab)) => (dst, lab) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val merged = labels.leftOuterJoin(nbrMin)
+        .mapValues { case (l, nl) => math.min(l, nl.getOrElse(l)) }
       // pointer jump: label(v) <- label(label(v)); every label IS a node
       // id (min over node-id-valued labels), so the lookup join hits
-      val jumped = merged.as("x")
-        .join(merged.select(col("node").as("pn"), col("label").as("pl")),
-          col("x.label") === col("pn"), "left")
-        .select(col("x.node").as("node"),
-          coalesce(col("pl"), col("x.label")).as("label"))
-      val nextRdd = jumped.rdd.persist()
-      val next = s.createDataFrame(nextRdd, labelSchema)
-      val now = labelSum(next) // materializes nextRdd
-      mergedRdd.unpersist(blocking = false)
+      val next = merged.map { case (n, l) => (l, n) }
+        .join(merged.partitionBy(part))
+        .map { case (_, (n, pl)) => (n, pl) }
+        .partitionBy(part).persist()
+      val now = labelSum(next) // materializes next
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] round $round sum=$now ${(System.nanoTime() - t0) / 1e9}s")
-      converged = now.compareTo(last) == 0
+      converged = now == last
       last = now
-      rdd.unpersist(blocking = false)
-      rdd = nextRdd
+      labels.unpersist(blocking = false)
       labels = next
     }
-    graft.CacheScope.trackRdd(rdd) // released after the consuming action
-    val sizes = labels.groupBy(col("label"))
+    edgesBySrc.unpersist(blocking = false)
+    graft.CacheScope.trackRdd(labels) // released after the consuming action
+    val labelSchema = new StructType()
+      .add("node", LongType).add("label", LongType)
+    val labelsDf = s.createDataFrame(
+      labels.map { case (n, l) => org.apache.spark.sql.Row(n, l) }, labelSchema)
+    // members inherit their representative's component label (exact:
+    // identical fingerprints are hamming-0 pairs, so the whole group is
+    // in the rep's component); cluster sizes count DOCS, not reps
+    val docLabels = fp
+      .join(repFp.select(col("simhash"), col("doc_id").as("rep")), "simhash")
+      .join(labelsDf.select(col("node").as("rep"), col("label")), "rep")
+      .select(col("doc_id"), col("label"))
+    val sizes = docLabels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+    docLabels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"))
   }
 
