@@ -23,7 +23,18 @@ object GpxCompactor {
       inDir: String,
       outDir: String,
       conf: Configuration,
-      targetFileBytes: Long = 128L * 1024 * 1024): Result = {
+      targetFileBytes: Long = 128L * 1024 * 1024): Result =
+    // mask folding rewrites files in place — a destructive mutation,
+    // serialized against concurrent DELETE/UPDATE/OVERWRITE on the table
+    GpxMutationLock.withLock(inDir, conf, "compaction") {
+      compactLocked(inDir, outDir, conf, targetFileBytes)
+    }
+
+  private def compactLocked(
+      inDir: String,
+      outDir: String,
+      conf: Configuration,
+      targetFileBytes: Long): Result = {
     // merge-on-read masks first: byte-copying a masked file would
     // resurrect its deleted rows, so fold each MASKED file's bitmaps into
     // a physical copy (row groups keep their commitTs), then byte-copy.

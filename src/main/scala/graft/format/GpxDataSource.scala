@@ -1375,6 +1375,17 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
     val conf = new Configuration()
     val rootP = new Path(path)
     val fs = rootP.getFileSystem(conf)
+    // plain appends are lock-free (op-unique names, commutative); only
+    // the destructive OVERWRITE serializes against other mutations
+    if (truncate)
+      GpxMutationLock.withLock(path, conf, "INSERT OVERWRITE commit") {
+        commitInner(messages, conf, rootP, fs)
+      }
+    else commitInner(messages, conf, rootP, fs)
+  }
+
+  private def commitInner(messages: Array[WriterCommitMessage],
+      conf: Configuration, rootP: Path, fs: org.apache.hadoop.fs.FileSystem): Unit = {
     // OVERWRITE: move superseded data + stale layout metadata into a
     // per-op trash dir inside staging FIRST (not delete — a publish
     // failure must be non-lossy), then write the new sidecars, then

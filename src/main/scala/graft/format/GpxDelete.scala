@@ -68,6 +68,18 @@ object GpxDelete {
 
   def run(schema: StructType, roots: Seq[String],
       filters: Array[Filter], catalogManaged: Boolean = false): Unit = {
+    val conf0 = new Configuration()
+    // destructive op: serialize against other mutations on this table
+    // for the WHOLE span (plan -> mask/rewrite -> retire) — see
+    // GpxMutationLock for the single-writer contract
+    GpxMutationLock.withLock(roots.head, conf0,
+      s"DELETE ${filters.mkString(" AND ")}") {
+      runLocked(schema, roots, filters, catalogManaged)
+    }
+  }
+
+  private def runLocked(schema: StructType, roots: Seq[String],
+      filters: Array[Filter], catalogManaged: Boolean): Unit = {
     val spark = SparkSession.active
     val conf = new Configuration()
     val pred = filters.flatMap(toColumn).reduceOption(_ && _).getOrElse(lit(true))

@@ -113,6 +113,12 @@ class GpxDeltaBatchWrite(dataSchema: StructType, rowIdSchema: StructType,
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(conf)
     val commits = messages.collect { case c: GpxDeltaCommit => c }
+    GpxMutationLock.withLock(root, conf, "delta (merge-on-read) commit") {
+    // the files this delta masks must still exist under the lock —
+    // a vanished one was rewritten concurrently; its positions no longer
+    // address the rows this op deleted
+    GpxMutationLock.verifyStillPresent(fs,
+      commits.flatMap(_.deletes.keys).distinct)
     // Rollback-protected two-step publish: a failure ANYWHERE below
     // un-publishes the already-renamed insert files and deletes the
     // already-written sidecars before rethrowing — Spark's abort() then
@@ -156,6 +162,7 @@ class GpxDeltaBatchWrite(dataSchema: StructType, rowIdSchema: StructType,
         throw e
     }
     fs.delete(new Path(staging), true)
+    } // mutation lock
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

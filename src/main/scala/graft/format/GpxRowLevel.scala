@@ -151,6 +151,11 @@ class GpxReplaceBatchWrite(
       case _ => Seq.empty
     }.toSet
     val recorded = new java.util.HashSet[String](replacedFiles)
+    GpxMutationLock.withLock(root, conf, s"${cmd} rewrite-commit") {
+    // under the lock, the files this rewrite consumed must still exist —
+    // a vanished one means a concurrent mutation (e.g. after a stale-lock
+    // steal) already rewrote it and publishing would duplicate its rows
+    GpxMutationLock.verifyStillPresent(fs, recorded.asScalaSet)
     val unrecorded = consumed.filterNot(recorded.contains)
     if (unrecorded.nonEmpty)
       throw new IllegalStateException(
@@ -192,6 +197,7 @@ class GpxReplaceBatchWrite(
       // FOLDED them — their sidecars go with the superseded file
       GpxDeleteBitmap.dropSidecars(p, conf)
     }
+    } // mutation lock
   }
 
   private implicit class JSet(s: java.util.Set[String]) {
