@@ -335,5 +335,20 @@ object WideOps {
           |  CAST(approx_percentile(load_time_ms, 0.99) AS DOUBLE) AS p99_load,
           |  COUNT(*) AS n
           |FROM hits GROUP BY os ORDER BY os""".stripMargin)
+    }, None),
+
+    // ClickBench "uniq" family: HLL approximate distinct-user counts per
+    // key — the 100 TB answer to COUNT(DISTINCT) when the exact
+    // per-group shuffle is the bottleneck. Spark's HLL++ and DuckDB's
+    // approx sketch differ numerically, so rows-only gated; WideSpec
+    // bounds the estimate against the EXACT distinct count (HLL++ at
+    // rsd=0.01 is far tighter than the 5% the spec allows).
+    GQuery("w21_wide_approx_distinct_users", (s, d) => {
+      hitsGpx(s, d).createOrReplaceTempView("hits")
+      s.sql(
+        """SELECT country,
+          |  approx_count_distinct(user_id, 0.01) AS approx_users,
+          |  COUNT(*) AS hits
+          |FROM hits GROUP BY country ORDER BY country""".stripMargin)
     }, None))
 }

@@ -109,6 +109,24 @@ class WideSpec extends GraftSpec {
     }
   }
 
+  test("approx distinct users lands within 5% of the exact per-group count") {
+    val got = SparkEntry.queries("w21_wide_approx_distinct_users")(sp, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 6) // six countries
+    val exact = sp.sql(
+      """SELECT country, COUNT(DISTINCT user_id) AS u
+        |FROM hits GROUP BY country""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (country, approx, hits) =>
+      val u = exact(country)
+      assert(hits >= u, s"$country: hits $hits < distinct users $u")
+      // HLL++ at rsd=0.01 is far tighter than 5% at this cardinality;
+      // the bound catches wrong-column/wrong-math, not sketch internals
+      assert(math.abs(approx - u) <= math.max(0.05 * u, 3.0),
+        s"$country approx=$approx vs exact=$u")
+    }
+  }
+
   test("selective wide query prunes row groups via the storage sort") {
     // hits is stored sorted by (counter_id, event_sec): an equality on
     // counter_id must zone-map-skip most row groups
