@@ -1325,17 +1325,8 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
   private val opId = java.util.UUID.randomUUID().toString.take(8)
   private val staging = s"$path/_batch_$opId"
 
-  /** OVERWRITE snapshot: the data files this commit supersedes, captured
-    * at factory creation (query start). Deletion happens in commit() —
-    * a failed/aborted overwrite JOB leaves the old table fully intact. */
-  @volatile private var supersededFiles: Seq[String] = Seq.empty
-
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = new Configuration()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    if (truncate && fs.exists(p))
-      supersededFiles = GpxTable.listFiles(Seq(path), conf)
     bucket.foreach(b => require(schema.fieldNames.contains(b.column),
       s"bucket column ${b.column}"))
     sortBy.foreach(c => require(schema.fieldNames.contains(c),
@@ -1406,6 +1397,13 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
           throw new java.io.IOException(s"gpx overwrite trash move failed: $p")
         trashed += ((p, t))
       }
+      // superseded files are listed HERE, under the mutation lock — a
+      // planning-time snapshot would miss files a concurrent op published
+      // between query start and commit (e.g. a COW delete's survivors),
+      // leaving them to pollute the freshly overwritten table
+      val supersededFiles =
+        if (fs.exists(rootP)) GpxTable.listFiles(Seq(path), conf)
+        else Seq.empty[String]
       supersededFiles.foreach(f => toTrash(new Path(f)))
       // _proj stays: overwrite makes every projection manifest STALE
       // (exact coverage check), so none serves until refresh() rebuilds

@@ -70,9 +70,10 @@ object GpxDelete {
       filters: Array[Filter], catalogManaged: Boolean = false): Unit = {
     val conf0 = new Configuration()
     // destructive op: serialize against other mutations on this table
-    // for the WHOLE span (plan -> mask/rewrite -> retire) — see
-    // GpxMutationLock for the single-writer contract
-    GpxMutationLock.withLock(roots.head, conf0,
+    // for the WHOLE span (plan -> mask/rewrite -> retire), on EVERY
+    // distinct root of a multi-root load — see GpxMutationLock for the
+    // single-writer contract
+    GpxMutationLock.withLocks(roots, conf0,
       s"DELETE ${filters.mkString(" AND ")}") {
       runLocked(schema, roots, filters, catalogManaged)
     }

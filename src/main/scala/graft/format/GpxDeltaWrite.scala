@@ -98,6 +98,12 @@ class GpxDeltaBatchWrite(dataSchema: StructType, rowIdSchema: StructType,
 
   private val opId = java.util.UUID.randomUUID().toString.take(8)
   private val staging = s"$root/_delta_$opId"
+  // delete-sidecar state at write planning: two concurrent delta UPDATEs
+  // of the same rows would each mask the original once and insert its own
+  // new copy — verifyStillPresent alone cannot catch that (merge-on-read
+  // never removes the file), the sidecar-state change does
+  private val sidecarsAtPlan =
+    GpxMutationLock.sidecarState(root, new Configuration())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val conf = new Configuration()
@@ -119,6 +125,9 @@ class GpxDeltaBatchWrite(dataSchema: StructType, rowIdSchema: StructType,
     // address the rows this op deleted
     GpxMutationLock.verifyStillPresent(fs,
       commits.flatMap(_.deletes.keys).distinct)
+    // ... and no concurrent op may have masked rows since this op's scan
+    GpxMutationLock.verifySidecarsUnchanged(root, conf, sidecarsAtPlan,
+      "delta commit")
     // Rollback-protected two-step publish: a failure ANYWHERE below
     // un-publishes the already-renamed insert files and deletes the
     // already-written sidecars before rethrowing — Spark's abort() then

@@ -35,7 +35,8 @@ object GpxMutationLock {
   val LockName = "_mutlock"
   val DefaultTtlMs: Long = 10 * 60 * 1000L
 
-  final case class Held(path: Path, token: String, fs: FileSystem)
+  final case class Held(path: Path, token: String, fs: FileSystem,
+      acquiredAtMs: Long, ttlAtAcquireMs: Long)
 
   private def ttlMs: Long =
     try org.apache.spark.sql.SparkSession.active.conf
@@ -55,6 +56,7 @@ object GpxMutationLock {
     val fs = dir.getFileSystem(conf)
     val p = new Path(dir, LockName)
     val token = java.util.UUID.randomUUID().toString
+    val ttl = ttlMs
     def tryCreate(): Boolean =
       try {
         // overwrite=false: atomic create-if-absent on HDFS-semantics
@@ -76,32 +78,92 @@ object GpxMutationLock {
           (lines.drop(1).headOption.getOrElse("?"),
             System.currentTimeMillis() - st.getModificationTime)
         } catch { case _: Throwable => ("?", 0L) } // racing release: treat as fresh
-      val stale = ageMs > ttlMs
-      if (!(stale && { fs.delete(p, false); tryCreate() }))
+      val stale = ageMs > ttl
+      // steal by RENAME, not delete-then-create: two stealers deleting
+      // concurrently would each remove the OTHER's freshly created lock.
+      // A rename is atomic, so exactly one stealer claims the stale file;
+      // the loser falls through to the conflict error, and brand-new
+      // acquirers keep arbitrating via create-if-absent
+      val stole = stale && {
+        val claimed = new Path(dir, s"$LockName.stale.$token")
+        (try fs.rename(p, claimed) catch { case _: Throwable => false }) && {
+          try fs.delete(claimed, false) catch { case _: Throwable => () }
+          tryCreate()
+        }
+      }
+      if (!stole)
         throw new java.util.ConcurrentModificationException(
           s"gpx table $dir has a concurrent mutation in progress " +
           s"($holderOp, held ${ageMs / 1000}s); this operation was refused " +
           "to prevent conflicting rewrites. Retry when it finishes, or if " +
           "its driver crashed the lock goes stale after " +
-          s"${ttlMs / 1000}s (spark.graft.gpx.mutationLockTtlMs).")
+          s"${ttl / 1000}s (spark.graft.gpx.mutationLockTtlMs).")
     }
-    Held(p, token, fs)
+    Held(p, token, fs, System.currentTimeMillis(), ttl)
   }
 
   /** release only if still ours — a TTL steal must not have its fresh
-    * lock deleted by the previous (slow, stolen-from) holder */
+    * lock deleted by the previous (slow, stolen-from) holder. The token
+    * read-then-delete is not atomic, so a holder whose hold EXCEEDED the
+    * TTL never deletes at all: its lock is either already stolen (a
+    * delete could race the thief) or will be treated as stale by the
+    * next acquirer — leaving the file is always safe, deleting is not. */
   def release(h: Held): Unit =
     try {
-      val in = h.fs.open(h.path)
-      val tok = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().nextOption().getOrElse("")
-      finally in.close()
-      if (tok == h.token) h.fs.delete(h.path, false)
+      if (System.currentTimeMillis() - h.acquiredAtMs >= h.ttlAtAcquireMs)
+        ()
+      else {
+        val in = h.fs.open(h.path)
+        val tok = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().nextOption().getOrElse("")
+        finally in.close()
+        if (tok == h.token) h.fs.delete(h.path, false)
+      }
     } catch { case _: Throwable => () }
 
   def withLock[T](root: String, conf: Configuration, op: String)(body: => T): T = {
     val h = acquire(root, conf, op)
     try body finally release(h)
+  }
+
+  /** lock EVERY distinct root of a multi-root table (sorted, so two
+    * multi-root ops contend on the same first lock instead of each
+    * grabbing one and failing on the other's) */
+  def withLocks[T](roots: Seq[String], conf: Configuration, op: String)(body: => T): T = {
+    val dirs = roots.map(r => lockDir(r).toString).distinct.sorted
+    def go(rem: List[String]): T = rem match {
+      case Nil => body
+      case h :: t => withLock(h, conf, op)(go(t))
+    }
+    go(dirs.toList)
+  }
+
+  /** Fingerprint of the table's delete-sidecar state: the set of sidecar
+    * paths under every data-file parent. Row-level rewrites capture it at
+    * write planning and re-check at commit (under the lock): ANY change —
+    * a sidecar added by a concurrent merge-on-read delete, or one folded
+    * away by a rewrite — means this op's scan may have read row versions
+    * that no longer reflect the table, so publishing could resurrect
+    * deleted rows. Conservative by design: a concurrent mask on rows this
+    * op never touched also aborts (with a retry message), never corrupts. */
+  def sidecarState(root: String, conf: Configuration): Set[String] = {
+    val parents = GpxTable.listFiles(Seq(root), conf)
+      .map(f => new Path(f).getParent) :+ lockDir(root)
+    parents.distinct.flatMap(par =>
+      GpxDeleteBitmap.sidecarsIn(par, conf).values.flatten.map(_.path)).toSet
+  }
+
+  def verifySidecarsUnchanged(root: String, conf: Configuration,
+      captured: Set[String], op: String): Unit = {
+    val now = sidecarState(root, conf)
+    if (now != captured) {
+      val delta = (now -- captured) ++ (captured -- now)
+      throw new java.util.ConcurrentModificationException(
+        s"gpx $op refused: the table's delete-bitmap sidecars changed " +
+        s"since this operation planned (${delta.take(3).mkString(", ")}…) " +
+        "— a concurrent mutation masked or folded rows; publishing could " +
+        "resurrect deleted rows. Retry the operation.")
+    }
   }
 
   /** defense-in-depth for commit paths: the files a rewrite consumed

@@ -133,6 +133,12 @@ class GpxReplaceBatchWrite(
 
   private val opId = java.util.UUID.randomUUID().toString.take(8)
   private val tmp = s"$root/_replace_$opId"
+  // delete-sidecar state at write planning (before any data task reads):
+  // re-checked at commit under the lock — a sidecar added by a concurrent
+  // merge-on-read delete would be FOLDED AWAY by this rewrite's
+  // dropSidecars, resurrecting the deleted rows
+  private val sidecarsAtPlan =
+    GpxMutationLock.sidecarState(root, new Configuration())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = new Configuration()
@@ -156,6 +162,9 @@ class GpxReplaceBatchWrite(
     // a vanished one means a concurrent mutation (e.g. after a stale-lock
     // steal) already rewrote it and publishing would duplicate its rows
     GpxMutationLock.verifyStillPresent(fs, recorded.asScalaSet)
+    // ... and the sidecar state must match what this op's scan saw
+    GpxMutationLock.verifySidecarsUnchanged(root, conf, sidecarsAtPlan,
+      s"$cmd rewrite-commit")
     val unrecorded = consumed.filterNot(recorded.contains)
     if (unrecorded.nonEmpty)
       throw new IllegalStateException(

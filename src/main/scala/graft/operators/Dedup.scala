@@ -114,8 +114,11 @@ object Dedup {
     // materializes).
     val fp = simhashDF(s, d).tracked // (doc_id, simhash), one corpus pass
     fp.count() // populate before the multi-branch plans below
+    // persisted: feeds the banded self-join (both sides), the label init,
+    // and the member-inheritance join — without it each consumer re-runs
+    // the groupBy-min shuffle over fp
     val repFp = fp.groupBy(col("simhash"))
-      .agg(min(col("doc_id")).as("doc_id"))
+      .agg(min(col("doc_id")).as("doc_id")).tracked
     // The iterative min-label/pointer-jump loop runs on co-partitioned
     // RDDs, not DataFrames: per-round data is tiny relative to the
     // corpus (the rep graph), so the cost driver is fixed plan/stage
@@ -183,11 +186,18 @@ object Dedup {
       labels.map { case (n, l) => org.apache.spark.sql.Row(n, l) }, labelSchema)
     // members inherit their representative's component label (exact:
     // identical fingerprints are hamming-0 pairs, so the whole group is
-    // in the rep's component); cluster sizes count DOCS, not reps
-    val docLabels = fp
+    // in the rep's component); cluster sizes count DOCS, not reps. The
+    // cluster universe is the DOCUMENTS table, not fp: a doc whose text
+    // tokenizes to nothing has no fingerprint, but is still its own
+    // singleton cluster (the oracle's walk seeds from documents too).
+    val memberLabels = fp
       .join(repFp.select(col("simhash"), col("doc_id").as("rep")), "simhash")
       .join(labelsDf.select(col("node").as("rep"), col("label")), "rep")
       .select(col("doc_id"), col("label"))
+    val docLabels = Tables.documents(s, d).select(col("doc_id"))
+      .join(memberLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("label"))
     val sizes = docLabels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     docLabels.join(sizes, "label")

@@ -67,4 +67,40 @@ class MutationLockSpec extends GraftSpec {
     GpxMutationLock.release(thief)
     assert(!fs.exists(thief.path))
   }
+
+  test("a holder past the TTL never deletes on release (steal race window)") {
+    val dir = java.nio.file.Files.createTempDirectory("mutlock4").toString
+    writeRange(dir, 10)
+    val fs = new Path(dir).getFileSystem(conf)
+    val h = GpxMutationLock.acquire(dir, conf, "slow-op")
+    // simulate the hold having outlived the TTL: release must leave the
+    // file (a thief may own it NOW, between our token read and delete)
+    val aged = h.copy(acquiredAtMs =
+      System.currentTimeMillis() - h.ttlAtAcquireMs - 1000L)
+    GpxMutationLock.release(aged)
+    assert(fs.exists(h.path), "TTL-expired release must not delete")
+    fs.delete(h.path, false) // cleanup
+  }
+
+  test("sidecar-state fingerprint detects a concurrent merge-on-read mask") {
+    val dir = java.nio.file.Files.createTempDirectory("mutlock5").toString
+    writeRange(dir, 100)
+    val captured = GpxMutationLock.sidecarState(dir, conf)
+    // a concurrent MOR delete lands after this op 'planned'
+    val schema = sp.read.format("gpx").load(dir).schema
+    val prev = sp.conf.getOption("spark.graft.gpx.deleteMode")
+    sp.conf.set("spark.graft.gpx.deleteMode", "mor")
+    try GpxDelete.run(schema, Seq(dir), Array(LessThan("id", 5L)))
+    finally prev match {
+      case Some(v) => sp.conf.set("spark.graft.gpx.deleteMode", v)
+      case None => sp.conf.unset("spark.graft.gpx.deleteMode")
+    }
+    val e = intercept[java.util.ConcurrentModificationException] {
+      GpxMutationLock.verifySidecarsUnchanged(dir, conf, captured, "test-op")
+    }
+    assert(e.getMessage.contains("sidecars changed"))
+    // a fresh capture reflects the new state and passes
+    GpxMutationLock.verifySidecarsUnchanged(dir, conf,
+      GpxMutationLock.sidecarState(dir, conf), "test-op")
+  }
 }
