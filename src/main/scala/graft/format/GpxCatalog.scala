@@ -259,6 +259,25 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
           if unset.property.startsWith("projection.") =>
         GpxProjection.drop(dir.toString,
           unset.property.stripPrefix("projection."), conf)
+      // ALTER TABLE t SET TBLPROPERTIES('index'='c1[,c2]'): build (or
+      // rebuild) the point index on the given key column(s) — the DDL
+      // face of GpxPointIndex (reference: index as first-class catalog
+      // metadata, KeyColumns.java). Staleness is self-managed: the index
+      // fingerprints the file listing and lookups fall back to scans
+      // when it no longer matches; re-run SET to rebuild after DML.
+      case set: TableChange.SetProperty if set.property == "index" =>
+        val cols = set.value.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        require(cols.nonEmpty, "index needs at least one column")
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"index column $c not in schema"))
+        val sp = org.apache.spark.sql.SparkSession.active
+        if (cols.length == 1)
+          GpxPointIndex.build(sp, dir.toString, cols.head)
+        else GpxPointIndex.buildCompound(sp, dir.toString, cols)
+      case unset: TableChange.RemoveProperty if unset.property == "index" =>
+        // drops EVERY index of the table (single and compound live under
+        // _index/<cols>)
+        fs.delete(new Path(dir, "_index"), true)
       case other =>
         throw new UnsupportedOperationException(s"alterTable: $other")
     }

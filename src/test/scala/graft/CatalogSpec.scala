@@ -593,4 +593,37 @@ class ExtensionsSpec extends GraftSpec {
       org.apache.spark.sql.SparkSession.setDefaultSession(old)
     }
   }
+
+  test("TBLPROPERTIES index: DDL-managed point index builds, serves, drops") {
+    val sp = spark
+    val wh = java.nio.file.Files.createTempDirectory("gpxidx").toString
+    sp.conf.set("spark.sql.catalog.gidx", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gidx.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gidx.db")
+    sp.sql("CREATE TABLE gidx.db.t (k BIGINT, g BIGINT, v STRING) USING gpx")
+    sp.sql("""INSERT INTO gidx.db.t
+             |SELECT id AS k, id % 7 AS g, CONCAT('v', id) AS v
+             |FROM range(5000)""".stripMargin)
+    val dir = s"$wh/db/t"
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // single-column index via DDL
+    sp.sql("ALTER TABLE gidx.db.t SET TBLPROPERTIES('index'='k')")
+    assert(graft.format.GpxPointIndex.valid(dir, "k", conf),
+      "DDL-built index must be valid for the current listing")
+    assert(sp.sql("SELECT v FROM gidx.db.t WHERE k = 4321").head.getString(0)
+      == "v4321")
+    // compound index via DDL
+    sp.sql("ALTER TABLE gidx.db.t SET TBLPROPERTIES('index'='g,k')")
+    assert(sp.sql("SELECT v FROM gidx.db.t WHERE g = 3 AND k = 3003")
+      .head.getString(0) == "v3003")
+    // unknown column is rejected
+    val e = intercept[Exception](
+      sp.sql("ALTER TABLE gidx.db.t SET TBLPROPERTIES('index'='nope')"))
+    assert(e.getMessage.contains("not in schema"))
+    // UNSET drops every index
+    sp.sql("ALTER TABLE gidx.db.t UNSET TBLPROPERTIES('index')")
+    assert(!graft.format.GpxPointIndex.valid(dir, "k", conf))
+    assert(sp.sql("SELECT count(*) FROM gidx.db.t WHERE k = 77").head.getLong(0)
+      == 1L, "dropped index must fall back to the scan, not lose rows")
+  }
 }
