@@ -637,7 +637,8 @@ final case class GpxInputPartition(
     synth: Array[Byte] = null,
     pixelStarts: Array[Long] = null,
     pixelCounts: Array[Int] = null,
-    delWords: Array[Long] = null)
+    delWords: Array[Long] = null,
+    constStr: String = null)
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -1092,7 +1093,7 @@ class GpxReaderFactory(required: StructType, rowBased: Boolean = false)
           val conf = new Configuration()
           batch = GpxFileReader.readSlices(part.path, conf, required,
             part.cols, part.numRows, part.commitTs,
-            part.synth, part.pixelStarts, part.pixelCounts)
+            part.synth, part.pixelStarts, part.pixelCounts, part.constStr)
           it = batch.rowIterator()
         }
         while (it.hasNext) {
@@ -1116,7 +1117,7 @@ class GpxReaderFactory(required: StructType, rowBased: Boolean = false)
         val conf = new Configuration()
         batch = GpxFileReader.readSlices(part.path, conf, required,
           part.cols, part.numRows, part.commitTs,
-          part.synth, part.pixelStarts, part.pixelCounts)
+          part.synth, part.pixelStarts, part.pixelCounts, part.constStr)
         consumed = true
         true
       }

@@ -41,14 +41,23 @@ object GpxDeleteBitmap {
     * (a mostly-deleted file should be rewritten, not masked) */
   val DefaultMorThreshold = 0.2
 
-  final case class Sidecar(path: String, dataFileName: String, commitTs: Long)
+  /** `createTs` is the sidecar's wall-clock creation time (ms), parsed
+    * from the optional `.c<ms>` name segment: purely informational —
+    * visibility is ALWAYS governed by commitTs — it exists so the
+    * change feed (gpx-tail withDeletes) can window deletes on path
+    * tables too, whose commitTs is -1 (mask-unconditionally). Old-format
+    * names parse with createTs = -1 (predate the feed, never windowed). */
+  final case class Sidecar(path: String, dataFileName: String,
+      commitTs: Long, createTs: Long = -1L)
 
   /** leading [^.] excludes dot-prefixed temp/scratch names even if one
     * ever ends in `.del` (data file names never start with '.') */
-  private val NameRe = """^([^.].*\.gpx)\.t(-?\d+)\.[0-9a-f]+\.del$""".r
+  private val NameRe =
+    """^([^.].*\.gpx)\.t(-?\d+)(?:\.c(\d+))?\.[0-9a-f]+\.del$""".r
 
   def sidecarName(dataFileName: String, ts: Long): String =
-    s"$dataFileName.t$ts.${java.util.UUID.randomUUID().toString.take(8).filter(_ != '-')}.del"
+    s"$dataFileName.t$ts.c${System.currentTimeMillis()}." +
+      s"${java.util.UUID.randomUUID().toString.take(8).filter(_ != '-')}.del"
 
   /** sidecars under `parent`/_del grouped by data file name; ts parsed
     * from the NAME so planning never opens sidecar bytes for invisible
@@ -59,8 +68,9 @@ object GpxDeleteBitmap {
     if (!fs.exists(delP)) Map.empty
     else fs.listStatus(delP).toSeq.flatMap { st =>
       st.getPath.getName match {
-        case NameRe(data, ts) =>
-          Some(Sidecar(st.getPath.toString, data, ts.toLong))
+        case NameRe(data, ts, c) =>
+          Some(Sidecar(st.getPath.toString, data, ts.toLong,
+            if (c == null) -1L else c.toLong))
         case _ => None // temp files of in-flight writes
       }
     }.groupBy(_.dataFileName)
@@ -179,7 +189,7 @@ object GpxDeleteBitmap {
     val fs = delP.getFileSystem(conf)
     if (fs.exists(delP)) fs.listStatus(delP).foreach { st =>
       st.getPath.getName match {
-        case NameRe(data, _) if data == dataFile.getName =>
+        case NameRe(data, _, _) if data == dataFile.getName =>
           fs.delete(st.getPath, false)
         case _ => ()
       }

@@ -232,6 +232,9 @@ object GpxFileReader {
   val SynthFile: Byte = 2
   val SynthPos: Byte = 3
   val SynthAbsent: Byte = 4
+  /** constant string filled from the split's `constStr` (e.g. the change
+    * feed's `_change_type`) */
+  val SynthConst: Byte = 5
 
   /** Materialize a self-contained split: for each output column either a
     * run of pixel slices (in row order) or a synthetic column filled from
@@ -250,7 +253,8 @@ object GpxFileReader {
       constLong: Long,
       synth: Array[Byte] = null,
       pixelStarts: Array[Long] = null,
-      pixelCounts: Array[Int] = null): ColumnarBatch = {
+      pixelCounts: Array[Int] = null,
+      constStr: String = null): ColumnarBatch = {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(conf)
     val in = fs.open(hPath)
@@ -265,8 +269,9 @@ object GpxFileReader {
             if (outSchema(oi).dataType == StringType) SynthFile else SynthCommitTs
           } else if (slices.isEmpty) SynthAbsent
           else SynthData
-        if (kind == SynthFile) {
-          val bytes = path.getBytes("UTF-8")
+        if (kind == SynthFile || kind == SynthConst) {
+          val bytes =
+            (if (kind == SynthFile) path else constStr).getBytes("UTF-8")
           var k = 0
           while (k < numRows) {
             vectors(oi).putByteArray(k, bytes, 0, bytes.length)

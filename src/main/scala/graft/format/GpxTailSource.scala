@@ -2,12 +2,13 @@ package graft.format
 
 import GpxFileReader.PixelSlice
 import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import java.util
 import scala.jdk.CollectionConverters._
@@ -27,14 +28,25 @@ import scala.jdk.CollectionConverters._
   * the unseen epochs — exactly-once with an idempotent sink, no seen-file
   * log to compact. Only epoch-published files are tailed (batch-append
   * part files have no replay-safe total order — read those with the
-  * batch source); that restriction is what keeps the offset a single
-  * monotone long at any table size.
+  * batch source); that restriction is what keeps the offset small and
+  * monotone at any table size.
   *
   * Splits are the same self-contained (file, row group, pixel-slice)
-  * units as the batch scan: executors never read a footer. Delete
-  * bitmaps do NOT rewrite history here — like the CDC source, the tail
-  * emits each appended row version once (snapshot reads are the
-  * delete-aware surface).
+  * units as the batch scan: executors never read a footer.
+  *
+  * **Change feed** (`option("withDeletes", "true")`): the stream becomes
+  * a CDC log — two extra columns, `_change_type` ('insert' | 'delete')
+  * and `_change_ts` (the row-group commitTs for inserts, the delete's
+  * commitTs for deletes) — and merge-on-read delete bitmaps are emitted
+  * as DELETE events carrying the full deleted rows (the bitmap names
+  * encode their commitTs, and the mutation lock serializes deletes, so
+  * sidecar timestamps are a monotone second offset dimension; the offset
+  * becomes `epoch:delTs`). Delete events replay exactly like epochs on
+  * recovery. Contract: keep the table on `deleteMode=mor` — a COW
+  * rewrite or compaction FOLDS bitmaps (and renames epoch files), which
+  * compacts replay history at the fold, same caveat as the plain tail.
+  * Without the option the tail emits appended row versions only
+  * (snapshot reads are the delete-aware surface).
   */
 class GpxTailSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "gpx-tail"
@@ -44,19 +56,33 @@ class GpxTailSource extends TableProvider with DataSourceRegister {
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("gpx-tail needs a table path"))
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new GpxDataSource().inferSchema(new CaseInsensitiveStringMap(
+  private def withDeletes(options: CaseInsensitiveStringMap): Boolean =
+    "true".equalsIgnoreCase(options.getOrDefault("withDeletes", "false"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = new GpxDataSource().inferSchema(new CaseInsensitiveStringMap(
       Map("path" -> path(options)).asJava))
+    if (withDeletes(options))
+      base.add(GpxTailSource.ChangeTypeCol, StringType, nullable = false)
+        .add(GpxTailSource.ChangeTsCol, LongType, nullable = false)
+    else base
+  }
 
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new GpxTailTable(schema,
-      path(new CaseInsensitiveStringMap(properties)))
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GpxTailTable(schema, path(opts), withDeletes(opts))
+  }
 }
 
-class GpxTailTable(schema: StructType, root: String)
+object GpxTailSource {
+  val ChangeTypeCol = "_change_type"
+  val ChangeTsCol = "_change_ts"
+}
+
+class GpxTailTable(schema: StructType, root: String, withDeletes: Boolean)
   extends Table with SupportsRead {
 
   override def name(): String = s"gpx-tail:$root"
@@ -69,13 +95,17 @@ class GpxTailTable(schema: StructType, root: String)
       override def readSchema(): StructType = schema
       override def description(): String = s"GpxTailScan[$root]"
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new GpxTailStream(root, schema)
+        new GpxTailStream(root, schema, withDeletes)
     }
 }
 
-/** highest fully-committed epoch as a streaming offset (-1 = nothing) */
-case class GpxTailOffset(epoch: Long) extends Offset {
-  override def json(): String = epoch.toString
+/** (highest fully-committed epoch, highest seen delete commitTs) as a
+  * streaming offset; -1 = nothing. Serializes as the plain epoch when
+  * the delete dimension is unused, so pre-change-feed checkpoints stay
+  * readable. */
+case class GpxTailOffset(epoch: Long, delTs: Long = -1L) extends Offset {
+  override def json(): String =
+    if (delTs < 0) epoch.toString else s"$epoch:$delTs"
 }
 
 object GpxTailStream {
@@ -86,60 +116,143 @@ object GpxTailStream {
     val name = path.substring(path.lastIndexOf('/') + 1)
     EpochRe.findFirstMatchIn(name).map(_.group(1).toLong)
   }
+
+  def parseOffset(json: String): GpxTailOffset = json.split(':') match {
+    case Array(e) => GpxTailOffset(e.toLong)
+    case Array(e, t) => GpxTailOffset(e.toLong, t.toLong)
+  }
 }
 
-class GpxTailStream(root: String, schema: StructType) extends MicroBatchStream {
+class GpxTailStream(root: String, schema: StructType, withDeletes: Boolean)
+  extends MicroBatchStream {
 
   private def epochFiles(conf: Configuration): Seq[(Long, String)] =
     GpxTable.listFiles(Seq(root), conf)
       .flatMap(f => GpxTailStream.epochOf(f).map(_ -> f))
 
-  override def initialOffset(): Offset = GpxTailOffset(-1L)
+  /** delete sidecars of epoch files, keyed by data file path */
+  private def epochSidecars(conf: Configuration)
+      : Seq[(String, GpxDeleteBitmap.Sidecar)] = {
+    val files = epochFiles(conf).map(_._2)
+    val byParent = files.groupBy(f => new Path(f).getParent)
+    byParent.toSeq.flatMap { case (parent, fs) =>
+      val names = fs.map(f => new Path(f).getName -> f).toMap
+      GpxDeleteBitmap.sidecarsIn(parent, conf).toSeq.flatMap {
+        case (dataName, scs) =>
+          names.get(dataName).toSeq.flatMap(df => scs.map(df -> _))
+      }
+    }
+  }
+
+  override def initialOffset(): Offset = GpxTailOffset(-1L, -1L)
 
   override def latestOffset(): Offset = {
     val conf = new Configuration()
-    GpxTailOffset(epochFiles(conf).map(_._1).maxOption.getOrElse(-1L))
+    val e = epochFiles(conf).map(_._1).maxOption.getOrElse(-1L)
+    val t =
+      if (!withDeletes) -1L
+      else epochSidecars(conf).map(_._2.createTs).maxOption.getOrElse(-1L)
+    GpxTailOffset(e, t)
   }
 
   override def deserializeOffset(json: String): Offset =
-    GpxTailOffset(json.toLong)
+    GpxTailStream.parseOffset(json)
+
+  /** synthetic-kind per output column: data columns read pixels, the
+    * change-feed columns fill from the split, absent columns null-fill */
+  private def synthFor(phys: StructType): Array[Byte] =
+    schema.fields.map { fd =>
+      if (withDeletes && fd.name == GpxTailSource.ChangeTypeCol)
+        GpxFileReader.SynthConst
+      else if (withDeletes && fd.name == GpxTailSource.ChangeTsCol)
+        GpxFileReader.SynthCommitTs
+      else if (phys.fieldNames.contains(fd.name)) GpxFileReader.SynthData
+      else GpxFileReader.SynthAbsent
+    }
+
+  private def dataCols(footer: GpxFormat.Footer,
+      rgIdx: Int, synth: Array[Byte]): Array[Array[PixelSlice]] = {
+    val phys = footer.schema
+    val rg = footer.rowGroups(rgIdx)
+    schema.fields.zipWithIndex.map { case (fd, ri) =>
+      if (synth(ri) != GpxFileReader.SynthData) null
+      else {
+        val ch = rg.chunks(phys.fieldNames.indexOf(fd.name))
+        ch.pixels.indices.toArray.map(p => PixelSlice(
+          ch.offset + ch.pixels(p).relOffset, ch.pixelLength(p),
+          ch.pixels(p).rows))
+      }
+    }
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[GpxTailOffset].epoch
-    val to = end.asInstanceOf[GpxTailOffset].epoch
+    val from = GpxTailStream.parseOffset(start.json())
+    val to = GpxTailStream.parseOffset(end.json())
     val conf = new Configuration()
-    epochFiles(conf)
-      .filter { case (e, _) => e > from && e <= to }
+    // INSERT events: the new epochs' rows, in epoch order
+    val inserts = epochFiles(conf)
+      .filter { case (e, _) => e > from.epoch && e <= to.epoch }
       .sortBy(_._1)
       .flatMap { case (_, file) =>
         val footer = GpxFileReader.FooterCache.get(file, conf)
-        val phys = footer.schema
-        // tolerant evolution like the batch scan: absent columns null-fill
-        val synth: Array[Byte] = schema.fields.map { fd =>
-          if (phys.fieldNames.contains(fd.name)) GpxFileReader.SynthData
-          else GpxFileReader.SynthAbsent
+        val synth = synthFor(footer.schema)
+        footer.rowGroups.indices.map { rgIdx =>
+          val rg = footer.rowGroups(rgIdx)
+          GpxInputPartition(file, rg.numRows, rg.commitTs,
+            dataCols(footer, rgIdx, synth), synth = synth,
+            constStr = if (withDeletes) "insert" else null): InputPartition
         }
-        val physIdx: Array[Int] =
-          schema.fields.map(fd => phys.fieldNames.indexOf(fd.name))
-        footer.rowGroups.map { rg =>
-          val cols: Array[Array[PixelSlice]] = physIdx.zipWithIndex.map {
-            case (ci, ri) =>
-              if (synth(ri) != GpxFileReader.SynthData) null
-              else {
-                val ch = rg.chunks(ci)
-                ch.pixels.indices.toArray.map(p => PixelSlice(
-                  ch.offset + ch.pixels(p).relOffset, ch.pixelLength(p),
-                  ch.pixels(p).rows))
+      }
+    // DELETE events: rows masked by sidecars whose CREATION ts lies in
+    // (from.delTs, to.delTs] (creation ts, not commitTs: path tables'
+    // mask-unconditionally sidecars carry commitTs=-1) — the delWords
+    // mask is INVERTED (drop all rows EXCEPT the deleted ones), so the
+    // batch carries the full deleted rows; one partition per
+    // (file, row group, creation ts). `_change_ts` reports the MVCC
+    // commitTs when the delete has one, else the creation ts.
+    val deletes =
+      if (!withDeletes) Seq.empty[InputPartition]
+      else epochSidecars(conf)
+        .filter { case (_, sc) =>
+          sc.createTs > from.delTs && sc.createTs <= to.delTs }
+        .groupBy { case (df, sc) => (df, sc.createTs) }
+        .toSeq.sortBy { case ((df, ts), _) => (ts, df) }
+        .flatMap { case ((file, cts), scs) =>
+          val ts = scs.map(_._2.commitTs).find(_ >= 0).getOrElse(cts)
+          val bits = new java.util.BitSet()
+          scs.foreach { case (_, sc) =>
+            bits.or(GpxDeleteBitmap.loadBitmap(sc.path, conf)) }
+          val footer = GpxFileReader.FooterCache.get(file, conf)
+          val synth = synthFor(footer.schema)
+          var rgStart = 0L
+          footer.rowGroups.indices.flatMap { rgIdx =>
+            val rg = footer.rowGroups(rgIdx)
+            val s = rgStart
+            rgStart += rg.numRows
+            val first = bits.nextSetBit(s.toInt)
+            if (first < 0 || first >= s + rg.numRows) None
+            else {
+              // keep ONLY masked rows: drop-bit set where NOT deleted
+              val words = new Array[Long]((rg.numRows + 63) >> 6)
+              var i = 0
+              while (i < rg.numRows) {
+                if (!bits.get(s.toInt + i)) words(i >> 6) |= 1L << (i & 63)
+                i += 1
               }
+              Some(GpxInputPartition(file, rg.numRows, ts,
+                dataCols(footer, rgIdx, synth), synth = synth,
+                delWords = words, constStr = "delete"): InputPartition)
+            }
           }
-          GpxInputPartition(file, rg.numRows, rg.commitTs, cols,
-            synth = synth): InputPartition
         }
-      }.toArray
+    (inserts ++ deletes).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GpxReaderFactory(schema)
+    // the change feed mixes masked (row-based) and plain splits, and a
+    // scan must be uniformly row-based or columnar — CDC reads are
+    // row-shaped anyway
+    new GpxReaderFactory(schema, rowBased = withDeletes)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

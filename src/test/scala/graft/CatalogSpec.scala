@@ -614,8 +614,8 @@ class ExtensionsSpec extends GraftSpec {
       == "v4321")
     // compound index via DDL
     sp.sql("ALTER TABLE gidx.db.t SET TBLPROPERTIES('index'='g,k')")
-    assert(sp.sql("SELECT v FROM gidx.db.t WHERE g = 3 AND k = 3003")
-      .head.getString(0) == "v3003")
+    assert(sp.sql("SELECT v FROM gidx.db.t WHERE g = 3 AND k = 3006")
+      .head.getString(0) == "v3006") // 3006 % 7 == 3: the tuple exists
     // unknown column is rejected
     val e = intercept[Exception](
       sp.sql("ALTER TABLE gidx.db.t SET TBLPROPERTIES('index'='nope')"))

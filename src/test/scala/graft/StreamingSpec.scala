@@ -419,4 +419,62 @@ class StreamingSpec extends GraftSpec {
       s"each epoch's rows must appear exactly once: $all")
     q1.stop(); q2.stop()
   }
+
+  test("gpx-tail change feed: merge-on-read deletes stream as DELETE events") {
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val dir = java.nio.file.Files.createTempDirectory("gpx_cf").toString
+    val ckpt1 = java.nio.file.Files.createTempDirectory("gpx_cf_c1").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("gpx_cf_c2").toString
+    val q1 = source.toDF().toDF("id", "s")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt1)
+      .format("gpx").start(dir)
+    source.addData((1L, "a"), (2L, "b"), (3L, "c"))
+    q1.processAllAvailable()
+    val feed = sp.readStream.format("gpx-tail")
+      .option("withDeletes", "true").load(dir)
+    assert(feed.columns.takeRight(2).toSeq ==
+      Seq("_change_type", "_change_ts"))
+    val q2 = feed.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt2)
+      .format("memory").queryName("gpx_cf_out").start()
+    q2.processAllAvailable()
+    def rows() = sp.table("gpx_cf_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows().toSet ==
+      Set((1L, "a", "insert"), (2L, "b", "insert"), (3L, "c", "insert")))
+    // a merge-on-read DELETE surfaces as delete events with the full rows
+    val schema = sp.read.format("gpx").load(dir).schema
+    val prev = sp.conf.getOption("spark.graft.gpx.deleteMode")
+    sp.conf.set("spark.graft.gpx.deleteMode", "mor")
+    try graft.format.GpxDelete.run(schema, Seq(dir),
+      Array(org.apache.spark.sql.sources.LessThan("id", 3L)))
+    finally prev match {
+      case Some(v) => sp.conf.set("spark.graft.gpx.deleteMode", v)
+      case None => sp.conf.unset("spark.graft.gpx.deleteMode")
+    }
+    q2.processAllAvailable()
+    val after = rows()
+    assert(after.count(_._3 == "delete") == 2, s"two delete events: $after")
+    assert(after.filter(_._3 == "delete").map(r => r._1 -> r._2).toSet ==
+      Set(1L -> "a", 2L -> "b"), s"delete events carry full rows: $after")
+    // no re-emission within the running query: draining again adds nothing
+    q2.processAllAvailable()
+    assert(rows().size == after.size, "no event may be emitted twice")
+    // replay safety: the committed offset is the composite epoch:delTs,
+    // so recovery resumes past the consumed delete window (the memory
+    // sink cannot itself recover, so assert on the checkpointed offset)
+    val offDir = new java.io.File(ckpt2, "offsets")
+    val last = offDir.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    val content = new String(
+      java.nio.file.Files.readAllBytes(last.toPath), "UTF-8")
+    val offLine = content.linesIterator.toSeq.last.trim
+    val off = graft.format.GpxTailStream.parseOffset(offLine)
+    assert(off.delTs > 0,
+      s"checkpointed offset must carry the delete watermark: $offLine")
+    q1.stop(); q2.stop()
+  }
 }
