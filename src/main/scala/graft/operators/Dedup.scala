@@ -590,6 +590,109 @@ object Dedup {
               |  FROM j)
               |SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_chars,
               |  cluster_size, cluster_size - 1 AS n_dropped
-              |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin))
+              |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin)),
+
+    // Incremental (batch-vs-corpus) near-dup screening — the nightly-ingest
+    // shape: an arriving batch (doc_id % 5 = 0 here) is checked against the
+    // existing corpus WITHOUT re-running corpus x corpus dedup. Candidates
+    // come from batch-side bands equality-joined to corpus-side bands only,
+    // so steady-state cost is O(|batch| signatures + matched buckets), never
+    // O(|corpus|^2); at scale the corpus side's banded signatures are a
+    // maintained table (the v06 persisted-index pattern) and only the batch
+    // side is computed per run. Exact duplicates shortcut through the
+    // token-set fingerprint (no banding needed); near-dups are LSH
+    // candidates exact-verified at J >= 0.8. Output: each batch doc that
+    // collides with the corpus, with its best (max) corpus jaccard.
+    GQuery("d08_incremental_dedup", (s, d) => {
+      val t = 0.8
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), array_sort(tokens).as("toks"))
+        .withColumn("fp", md5(concat_ws("", col("toks")).cast(BinaryType)))
+        .withColumn("is_new", col("doc_id") % 5 === 0)
+      // one group per distinct token set; members split by side (a token
+      // set present on both sides is an exact cross-side duplicate)
+      val groups = docs.groupBy(col("fp"))
+        .agg(first(col("toks")).as("toks"),
+          sort_array(collect_list(when(col("is_new"), col("doc_id"))))
+            .as("new_members"),
+          count(when(!col("is_new"), lit(1))).as("n_old"))
+        .tracked
+      // dictionary-encode tokens to ints exactly as d02 does (inline
+      // xxhash64 ids, injectivity verified over the distinct vocabulary,
+      // partition-parallel dense-id fallback on the astronomically
+      // unlikely collision)
+      val exploded = groups.select(col("fp"), explode(col("toks")).as("tok"))
+      val vocab = exploded.select(col("tok")).distinct().tracked
+      val vocabSize = vocab.count()
+      val expInt = (if (vocabSize ==
+          vocab.select(xxhash64(col("tok"))).distinct().count()) {
+        exploded.select(col("fp"), xxhash64(col("tok")).as("tid"))
+      } else {
+        val dense = s.createDataFrame(
+          vocab.rdd.map(_.getString(0)).zipWithIndex()
+            .map { case (tk, i) => org.apache.spark.sql.Row(tk, i + 1L) },
+          new StructType().add("tok", StringType).add("tid", LongType))
+        exploded.join(dense, "tok").select(col("fp"), col("tid"))
+      }).tracked
+      val repsInt = expInt.groupBy("fp")
+        .agg(sort_array(collect_list(col("tid"))).as("tids"))
+        .tracked
+      val mh = expInt.groupBy("fp").agg(
+        min(xxhash64(lit(0), col("tid"))).as("mh0"),
+        (1 until NumHashes).map(i => min(xxhash64(lit(i), col("tid"))).as(s"mh$i")): _*)
+      val bandCols = (0 until NumHashes / BandR).map { b =>
+        struct(lit(b).as("band") +:
+          (0 until BandR).map(r => col(s"mh${BandR * b + r}").as(s"h$r")): _*)
+      }
+      val sides = groups.select(col("fp"),
+        (size(col("new_members")) > 0).as("is_batch"),
+        (col("n_old") > 0).as("is_corpus"),
+        size(col("toks")).as("nt"))
+      val banded = mh.join(sides, "fp")
+        .select(col("fp"), col("is_batch"), col("is_corpus"), col("nt"),
+          explode(array(bandCols: _*)).as("bk"))
+        .tracked
+      // asymmetric band join: batch bands probe corpus bands (same-fp hits
+      // are the exact-dup shortcut below, so exclude them); size-ratio
+      // bound inside the join as in d02 (J>=0.8 forces |A|/|B| in
+      // [0.8, 1.25], so dropping these rows cannot lose a true pair)
+      val candidates = banded.filter(col("is_batch")).as("x")
+        .join(banded.filter(col("is_corpus")).as("y"),
+          col("x.bk") === col("y.bk") && col("x.fp") =!= col("y.fp") &&
+            col("x.nt") >= col("y.nt") * t - 0.5 &&
+            col("y.nt") >= col("x.nt") * t - 0.5)
+        .select(col("x.fp").as("fa"), col("y.fp").as("fb"))
+        .distinct()
+      val verified = candidates
+        .join(repsInt.select(col("fp").as("fa"), col("tids").as("ta")), "fa")
+        .join(repsInt.select(col("fp").as("fb"), col("tids").as("tb")), "fb")
+        .withColumn("j", graft.functions.VectorFunctions
+          .sorted_jaccard(col("ta"), col("tb")))
+        .filter(col("j") >= t)
+        .select(col("fa").as("fp"), col("j"))
+      // exact cross-side duplicate: identical token set => J = 1 exactly
+      val exact = groups
+        .filter(size(col("new_members")) > 0 && col("n_old") > 0)
+        .select(col("fp"), lit(1.0).as("j"))
+      val best = verified.unionByName(exact)
+        .groupBy("fp").agg(max(col("j")).as("best_jaccard"))
+      groups.filter(size(col("new_members")) > 0)
+        .select(col("fp"), explode(col("new_members")).as("doc_id"))
+        .join(best, "fp")
+        .select(col("doc_id"), col("best_jaccard"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_distinct(string_split(text, ' ')) s FROM documents),
+             |nw AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+             |corpus AS (SELECT * FROM toks WHERE doc_id % 5 <> 0)
+             |SELECT nw.doc_id AS doc_id,
+             |  MAX(CAST(len(list_intersect(nw.s, corpus.s)) AS DOUBLE) /
+             |      len(list_distinct(list_concat(nw.s, corpus.s)))) AS best_jaccard
+             |FROM nw JOIN corpus ON
+             |  CAST(len(list_intersect(nw.s, corpus.s)) AS DOUBLE) /
+             |      len(list_distinct(list_concat(nw.s, corpus.s))) >= 0.8
+             |GROUP BY nw.doc_id
+             |ORDER BY doc_id""".stripMargin))
   )
 }

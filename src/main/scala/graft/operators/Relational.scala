@@ -563,6 +563,29 @@ object Relational {
               |  AND NOT EXISTS (SELECT 1 FROM orders
               |                  WHERE o_custkey = c1.c_custkey AND o_totalprice > 300000.0)
               |GROUP BY 1
-              |ORDER BY code""".stripMargin))
+              |ORDER BY code""".stripMargin)),
+
+    // ROLLUP hierarchy aggregation (SURVEY §2.2 notes grouping sets are
+    // free in Spark; exercised here so the surface is verified, not just
+    // claimed). One Expand + one hash agg — Spark expands each input row
+    // into its grouping-set combinations before the shuffle, so partial
+    // aggregation still applies; no extra pass per grouping level. The
+    // grouping-id column disambiguates rolled-up NULLs from data NULLs
+    // and gives a total order without NULL-ordering dialect differences.
+    GQuery("q47_rollup_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast(IntegerType).as("gid"),
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "n_rows")
+        .orderBy("gid", "l_returnflag", "l_linestatus"),
+      Some(s"""SELECT CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid,
+              |  l_returnflag, l_linestatus,
+              |  ${Det.o.dsum("l_quantity")} AS sum_qty,
+              |  COUNT(*) AS n_rows
+              |FROM lineitem
+              |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin))
   )
 }

@@ -202,6 +202,59 @@ object TextOps {
       Some("""SELECT source, COUNT(*) AS n_docs,
              |  COUNT(DISTINCT md5(lower(trim(text)))) AS n_unique
              |FROM documents GROUP BY source
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // Repetition-based quality signals (the Gopher/C4 family): per document,
+    // the duplicate-token fraction, the most-frequent-token fraction, and
+    // the duplicate-bigram fraction. High values flag boilerplate/spam for
+    // corpus filtering. Token counts need one doc-local shuffle-free
+    // explode+groupBy (doc_id is the partition key of the count, so
+    // map-side partial agg collapses it); bigram stats are pure array
+    // expressions inside the scan stage. All ratios are exact
+    // integer-over-integer divisions evaluated in double.
+    GQuery("t08_repetition", (s, d) => {
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val cnts = tk.select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val tokAgg = cnts.groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"))
+      // guard size<2: Spark sequence(1, 0) would count DOWN, not be empty
+      val bg = tk.select(col("doc_id"),
+        when(size(col("tk")) >= 2,
+          lit(1.0) - size(array_distinct(expr(
+            "transform(sequence(1, size(tk) - 1), i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))")))
+            .cast(DoubleType) / (size(col("tk")) - 1))
+          .otherwise(lit(0.0)).as("dup_bigram_ratio"))
+      tokAgg.join(bg, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          (lit(1.0) - col("n_distinct").cast(DoubleType) / col("n_tokens"))
+            .as("dup_token_ratio"),
+          (col("top_cnt").cast(DoubleType) / col("n_tokens"))
+            .as("top_token_ratio"),
+          col("dup_bigram_ratio"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+             |cnts AS (SELECT doc_id, tok, COUNT(*) c
+             |  FROM (SELECT doc_id, unnest(l) AS tok FROM tk) u
+             |  GROUP BY doc_id, tok),
+             |ta AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) n_tokens,
+             |    COUNT(*) n_distinct, MAX(c) top_cnt
+             |  FROM cnts GROUP BY doc_id),
+             |bg AS (SELECT doc_id,
+             |    CASE WHEN len(l) >= 2 THEN
+             |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(l)),
+             |        i -> l[i] || ' ' || l[i+1]))) AS DOUBLE) / (len(l) - 1)
+             |    ELSE 0.0 END AS dup_bigram_ratio
+             |  FROM tk)
+             |SELECT ta.doc_id AS doc_id, n_tokens,
+             |  1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_ratio,
+             |  CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_ratio,
+             |  dup_bigram_ratio
+             |FROM ta JOIN bg ON ta.doc_id = bg.doc_id
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -96,6 +96,37 @@ class DedupSpec extends GraftSpec {
     assert(sizeSum == docs)
     cc.unpersist()
   }
+
+  test("d08 incremental dedup: exact vs brute-force batch x corpus screen") {
+    val got = run("d08_incremental_dedup").cache()
+    // every output doc is a batch doc with a qualifying best-match score
+    assert(got.filter(col("doc_id") % 5 =!= 0).count() == 0)
+    assert(got.filter(col("best_jaccard") < 0.8 || col("best_jaccard") > 1.0)
+      .count() == 0)
+    // brute-force reference (feasible at test scale only): max corpus
+    // jaccard per batch doc, thresholded
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("s"))
+    val bf = toks.filter(col("doc_id") % 5 === 0).as("n")
+      .crossJoin(toks.filter(col("doc_id") % 5 =!= 0).as("c"))
+      .withColumn("j", size(array_intersect(col("n.s"), col("c.s")))
+        .cast("double") / size(array_union(col("n.s"), col("c.s"))))
+      .filter(col("j") >= 0.8)
+      .groupBy(col("n.doc_id").as("doc_id"))
+      .agg(max(col("j")).as("best_jaccard"))
+    assert(got.exceptAll(bf).count() == 0 && bf.exceptAll(got).count() == 0,
+      "incremental LSH screen must equal the brute-force screen")
+    got.unpersist()
+    graft.CacheScope.release()
+  }
+
+  test("d08 plan: candidates come from equality joins, never a cross join") {
+    val plan = run("d08_incremental_dedup").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct"),
+      "d08 must not contain a cartesian join")
+    graft.CacheScope.release()
+  }
 }
 
 class VectorOpsSpec extends GraftSpec {
@@ -158,6 +189,20 @@ class TextOpsSpec extends GraftSpec {
     val df = run("t02_quality_score")
     assert(df.filter(col("n_tokens") <= 0).count() == 0)
     assert(df.filter(col("avg_token_len") <= 0).count() == 0)
+  }
+
+  test("t08 repetition: one row per doc, all ratios in [0,1], consistent") {
+    val df = run("t08_repetition").cache()
+    assert(df.count() == Tables.documents(spark, sf).count())
+    for (c <- Seq("dup_token_ratio", "top_token_ratio", "dup_bigram_ratio"))
+      assert(df.filter(col(c) < 0.0 || col(c) > 1.0).count() == 0, c)
+    // the modal token accounts for at least its uniform share, and a doc
+    // with zero duplicate tokens cannot have a duplicate bigram
+    assert(df.filter(col("top_token_ratio") * col("n_tokens") < 1.0)
+      .count() == 0)
+    assert(df.filter(col("dup_token_ratio") === 0.0 &&
+      col("dup_bigram_ratio") > 0.0).count() == 0)
+    df.unpersist()
   }
 }
 

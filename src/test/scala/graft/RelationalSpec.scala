@@ -78,4 +78,30 @@ class RelationalSpec extends GraftSpec {
     val df = run("q22_explode_posexplode")
     assert(df.groupBy("vec_id").count().filter(col("count") =!= 64).count() == 0)
   }
+
+  test("q47 rollup: levels reconcile and plan is one Expand + one agg pass") {
+    // logical shape first (before caching): rollup is ONE Expand feeding
+    // one partial+final agg chain, not a scan pass per grouping level
+    val nExpand = run("q47_rollup_agg").queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }.size
+    assert(nExpand == 1, s"expected one Expand, got $nExpand")
+    val rows = run("q47_rollup_agg").cache()
+    val detail = rows.filter(col("gid") === 0)
+    val byFlag = rows.filter(col("gid") === 1)
+    val total = rows.filter(col("gid") === 3).collect()
+    assert(total.length == 1, "exactly one grand-total row")
+    assert(rows.filter(col("gid") === 2).count() == 0,
+      "rollup (not cube) must not emit linestatus-only groups")
+    // each level sums to the same totals
+    val sumOf = (df: org.apache.spark.sql.DataFrame) =>
+      (df.agg(sum("sum_qty"), sum("n_rows")).head.getDouble(0),
+        df.agg(sum("n_rows")).head.getLong(0))
+    val (dq, dn) = sumOf(detail)
+    val (fq, fn) = sumOf(byFlag)
+    assert(math.abs(dq - fq) < 1e-6 && dn == fn)
+    assert(math.abs(dq - total.head.getAs[Double]("sum_qty")) < 1e-6)
+    assert(dn == total.head.getAs[Long]("n_rows"))
+    rows.unpersist()
+  }
 }
