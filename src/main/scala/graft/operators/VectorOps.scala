@@ -343,6 +343,66 @@ object VectorOps {
              |  CAST(MIN(len(embedding)) AS INT) AS min_dim,
              |  CAST(MAX(len(embedding)) AS INT) AS max_dim
              |FROM embeddings GROUP BY label
-             |ORDER BY label""".stripMargin))
+             |ORDER BY label""".stripMargin)),
+
+    // Scalar-quantized (SQ8) kNN with exact rerank — the memory-bandwidth
+    // scale path, complementary to IVF's candidate-pruning path: each
+    // corpus vector is affinely quantized to 8-bit codes (per-vector
+    // lo/scale), the full-corpus scan ranks by the cosine of the
+    // RECONSTRUCTED vectors (4x less data to read at scale; int codes in
+    // the hot loop), and only a short per-query candidate list is
+    // reranked against the full-precision vectors. Everything stays in
+    // codegen'd array expressions — no UDF, no collect; the quantized
+    // projection would live as a gpx column at scale (the v06 persisted
+    // pattern). Approximate shortlist -> rows-only gate; recall and a
+    // reconstruction-error bound are asserted in VectorOpsSpec.
+    GQuery("v07_knn_sq8", (s, d) => {
+      import graft.CacheScope.Trackable
+      val k = 5; val shortlist = 20
+      val e = vecs(s, d)
+      val data = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("n_id"), col("v").as("nv"))
+      // per-vector affine SQ8: code = round((x - lo) / scale), 0..255
+      val q8 = data
+        .withColumn("lo", array_min(col("nv")))
+        .withColumn("hi", array_max(col("nv")))
+        .withColumn("scale",
+          when(col("hi") > col("lo"), (col("hi") - col("lo")) / 255.0)
+            .otherwise(lit(1.0)))
+        .withColumn("qv", expr(
+          "transform(nv, x -> cast(round((x - lo) / scale) as int))"))
+        // reconstructed norm, precomputed once per corpus vector
+        .withColumn("rnorm", sqrt(expr(
+          "aggregate(qv, cast(0 as double), (acc, b) -> acc + (lo + b * scale) * (lo + b * scale))")))
+        .select(col("n_id"), col("qv"), col("lo"), col("scale"), col("rnorm"))
+        .tracked
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv_full"),
+          col("norm").as("qnorm"))
+      // pass 1: approximate cosine against reconstructed codes
+      val approx = q.crossJoin(q8)
+        .withColumn("rdot", expr(
+          "aggregate(zip_with(qv_full, qv, (a, b) -> a * (lo + b * scale)), cast(0 as double), (acc, x) -> acc + x)"))
+        .withColumn("acos", col("rdot") / (col("qnorm") * col("rnorm")))
+      val ws = Window.partitionBy(col("q_id"))
+        .orderBy(col("acos").desc, col("n_id"))
+      val cand = approx
+        .withColumn("srank", row_number().over(ws))
+        .filter(col("srank") <= shortlist)
+        .select(col("q_id"), col("qv_full"), col("qnorm"), col("n_id"))
+      // pass 2: exact rerank of the shortlist on full-precision vectors
+      val full = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("n_id"), col("v").as("nv"),
+          col("norm").as("nnorm"))
+      val wr = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      cand.join(full, "n_id")
+        .withColumn("cos", cosine("qv_full", "qnorm", "nv", "nnorm"))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("rank"), col("n_id"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy("q_id", "rank")
+    }, None)
   )
 }

@@ -27,4 +27,25 @@ object StreamDedup {
       .withColumn("fp", md5(col(textCol).cast("binary")))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming ingest screen against a PERSISTED corpus — the streaming
+    * form of the batch d08 incremental screen: an arriving doc is dropped
+    * when its content fingerprint already exists in the stored corpus
+    * table. Implemented as a stream-static LEFT ANTI join (stream side
+    * left, the only orientation Structured Streaming allows), so each
+    * micro-batch probes the corpus with a normal batch join plan:
+    * broadcast when the fingerprint projection is small, shuffled hash
+    * otherwise — and the static side re-resolves per micro-batch, picking
+    * up corpus compactions/appends between batches. No streaming state at
+    * all: the corpus table IS the state, which is the only form that
+    * survives a 100 TB corpus (watermark state cannot hold it).
+    *
+    * `corpus` must expose one `fp` column (md5 of text, the d01/t04
+    * fingerprint). Compose with [[firstSeen]] upstream to also drop
+    * within-stream duplicates that the corpus has not absorbed yet. */
+  def screenAgainstCorpus(rows: DataFrame, textCol: String,
+      corpus: DataFrame): DataFrame =
+    rows
+      .withColumn("fp", md5(col(textCol).cast("binary")))
+      .join(corpus.select(col("fp")), Seq("fp"), "left_anti")
 }

@@ -159,6 +159,26 @@ class VectorOpsSpec extends GraftSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("v07 sq8 knn: recall@5 vs brute >= 0.8, exact-reranked scores") {
+    val brute = run("v02_knn_brute").cache()
+    val sq = run("v07_knn_sq8").cache()
+    assert(sq.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
+    val hits = brute.select("q_id", "n_id")
+      .intersect(sq.select("q_id", "n_id")).count().toDouble
+    val recall = hits / brute.count()
+    info(s"v07 sq8 recall@5 = $recall")
+    assert(recall >= 0.8, s"recall=$recall")
+    // the rerank is exact: any (q,n) pair the two paths share must carry
+    // the identical full-precision score
+    val diff = brute.select(col("q_id"), col("n_id"), col("cos_sim").as("cb"))
+      .join(sq.select(col("q_id"), col("n_id"), col("cos_sim").as("cs")),
+        Seq("q_id", "n_id"))
+      .filter(col("cb") =!= col("cs")).count()
+    assert(diff == 0, "shared neighbors must have identical exact scores")
+    brute.unpersist(); sq.unpersist()
+    graft.CacheScope.release()
+  }
+
   test("v06 persisted ivf index: recall@5 vs brute >= 0.6, bucket-pruned serve") {
     val brute = run("v02_knn_brute").select("q_id", "n_id")
     val ivf = run("v06_knn_ivf_indexed")

@@ -143,6 +143,37 @@ class StreamingSpec extends GraftSpec {
       s"post-eviction repeat must pass again (bounded state): $ids")
   }
 
+  test("streaming corpus screen: stream-static anti join drops known docs, sees appends") {
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("scorpus").toString
+    // persisted corpus fingerprints (gpx), as d01/t04 would materialize
+    import org.apache.spark.sql.functions._
+    Seq("known one", "known two").toDF("text")
+      .select(md5(col("text").cast("binary")).as("fp"))
+      .write.format("gpx").mode("overwrite").save(dir)
+    val corpus = sp.read.format("gpx").load(dir)
+    val source = MemoryStream[(Long, String)]
+    val screened = graft.streaming.StreamDedup.screenAgainstCorpus(
+      source.toDF().toDF("doc_id", "text"), "text", corpus)
+    val q = screened.writeStream.outputMode("append")
+      .format("memory").queryName("sscreen").start()
+    source.addData((1L, "known one"), (2L, "fresh alpha"), (3L, "known two"))
+    q.processAllAvailable()
+    // corpus grows between micro-batches: the static side re-resolves,
+    // so a doc absorbed into the corpus screens out from then on
+    Seq("fresh alpha").toDF("text")
+      .select(md5(col("text").cast("binary")).as("fp"))
+      .write.format("gpx").mode("append").save(dir)
+    source.addData((4L, "fresh alpha"), (5L, "fresh beta"))
+    q.processAllAvailable()
+    val ids = sp.table("sscreen").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    q.stop()
+    assert(ids == Seq(2L, 5L),
+      s"corpus members must drop, novel docs pass, appends take effect: $ids")
+  }
+
   test("gpx streaming sink: writeStream lands queryable gpx files per epoch") {
     import sp.implicits._
     import org.apache.spark.sql.functions._
