@@ -316,6 +316,46 @@ object EventOps {
              |  COUNT(tv) AS reached_view,
              |  COUNT(tc) AS reached_click,
              |  COUNT(tp) AS converted
-             |FROM u""".stripMargin))
+             |FROM u""".stripMargin)),
+
+    // Cohort retention: users grouped by first-activity day; for each
+    // (cohort, day-offset) the distinct returning users and the retention
+    // rate against the cohort's size. Three partial-aggregatable shuffles
+    // (user-day distinct, per-user min, per-cohort count) — no window, no
+    // per-user event lists; cohort sizes come from the offset-0 rows of
+    // the same aggregate (self-join on the tiny cohort dimension, which
+    // Spark broadcasts), so the event table is scanned ONCE.
+    GQuery("e12_cohort_retention", (s, d) => {
+      val ev = events(s, d)
+        .withColumn("day", to_date(timestamp_seconds(expr("ts div 1000000000"))))
+        .select(col("user_id"), col("day")).distinct()
+      val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      val ret = ev.join(cohorts, "user_id")
+        .withColumn("offset_days",
+          datediff(col("day"), col("cohort_day")).cast(IntegerType))
+        .groupBy("cohort_day", "offset_days")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val sizes = ret.filter(col("offset_days") === 0)
+        .select(col("cohort_day"), col("n_users").as("cohort_size"))
+      ret.join(broadcast(sizes), "cohort_day")
+        .withColumn("retention",
+          col("n_users").cast(DoubleType) / col("cohort_size"))
+        .select("cohort_day", "offset_days", "n_users", "cohort_size", "retention")
+        .orderBy("cohort_day", "offset_days")
+    },
+      Some("""WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |fc AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+             |r AS (SELECT cohort_day,
+             |    CAST(date_diff('day', cohort_day, day) AS INT) AS offset_days,
+             |    COUNT(DISTINCT ev.user_id) AS n_users
+             |  FROM ev JOIN fc ON ev.user_id = fc.user_id
+             |  GROUP BY 1, 2),
+             |cs AS (SELECT cohort_day, n_users AS cohort_size FROM r
+             |  WHERE offset_days = 0)
+             |SELECT r.cohort_day AS cohort_day, offset_days, n_users,
+             |  cohort_size,
+             |  CAST(n_users AS DOUBLE) / cohort_size AS retention
+             |FROM r JOIN cs USING (cohort_day)
+             |ORDER BY cohort_day, offset_days""".stripMargin))
   )
 }

@@ -287,4 +287,20 @@ class EventOpsSpec extends GraftSpec {
   test("e04 snapshot is a subset of key space with older versions") {
     assert(run("e04_mvcc_snapshot").count() <= run("e03_cdc_upsert_latest").count())
   }
+
+  test("e12 cohort retention: offset-0 rate is 1, rates bounded, users conserved") {
+    val df = run("e12_cohort_retention").cache()
+    assert(df.filter(col("offset_days") === 0 && col("retention") =!= 1.0)
+      .count() == 0, "a cohort is fully present on its first day")
+    assert(df.filter(col("retention") <= 0.0 || col("retention") > 1.0)
+      .count() == 0)
+    assert(df.filter(col("offset_days") < 0).count() == 0)
+    // cohort sizes partition the user base
+    val cohortSum = df.filter(col("offset_days") === 0)
+      .agg(sum("cohort_size")).head.getLong(0)
+    val users = graft.operators.EventOps.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(cohortSum == users, s"cohorts must partition users: $cohortSum != $users")
+    df.unpersist()
+  }
 }
