@@ -26,6 +26,67 @@ object Dedup {
   // pairs (J~0.5) fire ~100x fewer bands than r=2 would — the candidate
   // set stays near the true pair set instead of exploding.
 
+  /** Content fingerprint of the sorted distinct token array `toks`. The
+    * separator matters: tokens come from splitting on spaces so they can
+    * never contain one, which makes the space-joined form INJECTIVE —
+    * concatenation without a separator would conflate e.g. ["ab","c"]
+    * with ["a","bc"] and fabricate an exact duplicate. */
+  private def tokenFp: Column = md5(concat_ws(" ", col("toks")).cast(BinaryType))
+
+  /** Shared d02/d08 signature core over token-set representatives
+    * `(idCol, toks)`. Dictionary-encodes tokens to int ids — inline
+    * xxhash64, computed per row and fully parallel (a global
+    * row_number().over(Window.orderBy(...)) would funnel the entire
+    * vocabulary through ONE partition, the textbook Spark scale-killer);
+    * injectivity (the bijection every jaccard count relies on) is
+    * verified with one vocabulary-sized aggregate, falling back to dense
+    * ids from partition-parallel RDD zipWithIndex on the astronomically
+    * unlikely 64-bit collision. The collision check runs over the
+    * DISTINCT vocabulary so the shuffle carries ~|V| tokens. Derives:
+    *  - expInt  (idCol, tid)          — d02's bitmask verify path
+    *  - repsInt (idCol, tids sorted)  — sorted-merge jaccard verify
+    *  - banded  (idCol, nt, bk)       — 32 bands x r=4 minhash keys;
+    *    persisted because both sides of a band join read it and the
+    *    128-min-agg signature pass above it is the pipeline's most
+    *    expensive stage
+    * All three are `.tracked` (the consumer drives the action and
+    * releases via CacheScope); also returns the vocabulary size for the
+    * bitmask-representation gate. */
+  private def tokenSignatures(s: SparkSession, reps: DataFrame,
+      idCol: String): (DataFrame, DataFrame, DataFrame, Long) = {
+    val exploded = reps.select(col(idCol), explode(col("toks")).as("tok"))
+    val vocab = exploded.select(col("tok")).distinct().tracked
+    val vocabSize = vocab.count()
+    val expInt = (if (vocabSize ==
+        vocab.select(xxhash64(col("tok"))).distinct().count()) {
+      exploded.select(col(idCol), xxhash64(col("tok")).as("tid"))
+    } else {
+      val dense = s.createDataFrame(
+        vocab.rdd.map(_.getString(0)).zipWithIndex()
+          .map { case (t, i) => org.apache.spark.sql.Row(t, i + 1L) },
+        new StructType().add("tok", StringType).add("tid", LongType))
+      exploded.join(dense, "tok").select(col(idCol), col("tid"))
+    }).tracked
+    // sort_array: one O(k log k) per representative buys the verify an
+    // allocation-free sorted-merge jaccard per candidate pair (and makes
+    // the collected arrays deterministic)
+    val repsInt = expInt.groupBy(idCol)
+      .agg(sort_array(collect_list(col("tid"))).as("tids"))
+      .tracked
+    val sizes = repsInt.select(col(idCol), size(col("tids")).as("nt"))
+    val mh = expInt.groupBy(idCol).agg(
+      min(xxhash64(lit(0), col("tid"))).as("mh0"),
+      (1 until NumHashes).map(i => min(xxhash64(lit(i), col("tid"))).as(s"mh$i")): _*)
+    val bandCols = (0 until NumHashes / BandR).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until BandR).map(r => col(s"mh${BandR * b + r}").as(s"h$r")): _*)
+    }
+    val banded = mh.join(sizes, idCol)
+      .select(col(idCol), col("nt"), explode(array(bandCols: _*)).as("bk"))
+      .tracked
+    (expInt, repsInt, banded, vocabSize)
+  }
+
   /** DuckDB brute-force token-set jaccard pair query (oracle side). */
   private def oJaccardPairs(threshold: Double): String =
     s"""WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) s FROM documents)
@@ -259,62 +320,15 @@ object Dedup {
     GQuery("d02_minhash_lsh", (s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), array_sort(tokens).as("toks"))
-        .withColumn("fp", md5(concat_ws("", col("toks")).cast(BinaryType)))
+        .withColumn("fp", tokenFp)
       val groups = docs.groupBy(col("fp"))
         .agg(min(col("doc_id")).as("rep_id"),
           first(col("toks")).as("toks"),
           collect_list(col("doc_id")).as("members"))
         .tracked // reused by reps, the verify joins, and both expansions
       val reps = groups.select(col("rep_id"), col("toks"))
-      val exploded = reps.select(col("rep_id"), explode(col("toks")).as("tok"))
-      // dictionary-encode tokens to ints: minhashing and the verify
-      // intersections run over ints instead of strings. Ids are xxhash64 —
-      // computed inline per row, fully parallel (a global
-      // row_number().over(Window.orderBy(...)) would funnel the entire
-      // vocabulary through ONE partition, the textbook Spark scale-killer).
-      // Injectivity (the bijection every jaccard count relies on) is
-      // verified with one vocabulary-sized aggregate; on the astronomically
-      // unlikely 64-bit collision we fall back to dense ids from RDD
-      // zipWithIndex, which is also partition-parallel.
-      // the collision check runs over the distinct vocabulary, not the
-      // exploded rows: distinct() partial-aggregates map-side so the
-      // shuffle carries ~|V| tokens (two countDistinct aggs in one pass
-      // would Expand the exploded data 2x through the shuffle instead);
-      // the lean 2-column int projection is what gets cached for the many
-      // downstream passes
-      val hashed = exploded.withColumn("tid", xxhash64(col("tok")))
-      val vocab = exploded.select(col("tok")).distinct().tracked
-      val vocabSize = vocab.count()
-      val expInt = (if (vocabSize ==
-          vocab.select(xxhash64(col("tok"))).distinct().count()) {
-        hashed.select(col("rep_id"), col("tid"))
-      } else {
-        val dense = s.createDataFrame(
-          vocab.rdd.map(_.getString(0)).zipWithIndex()
-            .map { case (t, i) => org.apache.spark.sql.Row(t, i + 1L) },
-          new StructType().add("tok", StringType).add("tid", LongType))
-        exploded.join(dense, "tok").select(col("rep_id"), col("tid"))
-      }).tracked
-      // sort_array: one O(k log k) per representative buys the verify an
-      // allocation-free sorted-merge jaccard per candidate pair (and makes
-      // the collected arrays deterministic)
-      val repsInt = expInt.groupBy("rep_id")
-        .agg(sort_array(collect_list(col("tid"))).as("toks"))
-        .tracked
-      val sizes = repsInt.select(col("rep_id"), size(col("toks")).as("nt"))
-      val mh = expInt.groupBy("rep_id").agg(
-        min(xxhash64(lit(0), col("tid"))).as("mh0"),
-        (1 until NumHashes).map(i => min(xxhash64(lit(i), col("tid"))).as(s"mh$i")): _*)
-      val bandCols = (0 until NumHashes / BandR).map { b =>
-        struct(lit(b).as("band") +:
-          (0 until BandR).map(r => col(s"mh${BandR * b + r}").as(s"h$r")): _*)
-      }
-      // persist: both sides of the band self-join read this, and the
-      // 128-min-agg signature pass above it is the most expensive stage
-      // in the pipeline — without the cache it runs once per side
-      val banded = mh.join(sizes, "rep_id")
-        .select(col("rep_id"), col("nt"), explode(array(bandCols: _*)).as("bk"))
-        .tracked
+      val (expInt, repsInt, banded, vocabSize) =
+        tokenSignatures(s, reps, "rep_id")
       // size-ratio bound applied INSIDE the band join: J>=0.8 forces
       // |A|/|B| in [0.8, 1.25], so dropping these rows before the distinct
       // cannot lose a true pair (verify applies the same bound)
@@ -352,8 +366,8 @@ object Dedup {
           .filter(col("jaccard") >= 0.8)
           .select(col("ra"), col("rb"), col("jaccard"))
       } else candidates
-        .join(repsInt.select(col("rep_id").as("ra"), col("toks").as("a_toks")), "ra")
-        .join(repsInt.select(col("rep_id").as("rb"), col("toks").as("b_toks")), "rb")
+        .join(repsInt.select(col("rep_id").as("ra"), col("tids").as("a_toks")), "ra")
+        .join(repsInt.select(col("rep_id").as("rb"), col("tids").as("b_toks")), "rb")
         .filter(size(col("a_toks")) >= size(col("b_toks")) * 0.8 - 0.5 &&
           size(col("b_toks")) >= size(col("a_toks")) * 0.8 - 0.5)
         // sorted-merge verify kernel: exact same |A∩B|/|A∪B| as the
@@ -607,7 +621,7 @@ object Dedup {
       val t = 0.8
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), array_sort(tokens).as("toks"))
-        .withColumn("fp", md5(concat_ws("", col("toks")).cast(BinaryType)))
+        .withColumn("fp", tokenFp)
         .withColumn("is_new", col("doc_id") % 5 === 0)
       // one group per distinct token set; members split by side (a token
       // set present on both sides is an exact cross-side duplicate)
@@ -617,41 +631,12 @@ object Dedup {
             .as("new_members"),
           count(when(!col("is_new"), lit(1))).as("n_old"))
         .tracked
-      // dictionary-encode tokens to ints exactly as d02 does (inline
-      // xxhash64 ids, injectivity verified over the distinct vocabulary,
-      // partition-parallel dense-id fallback on the astronomically
-      // unlikely collision)
-      val exploded = groups.select(col("fp"), explode(col("toks")).as("tok"))
-      val vocab = exploded.select(col("tok")).distinct().tracked
-      val vocabSize = vocab.count()
-      val expInt = (if (vocabSize ==
-          vocab.select(xxhash64(col("tok"))).distinct().count()) {
-        exploded.select(col("fp"), xxhash64(col("tok")).as("tid"))
-      } else {
-        val dense = s.createDataFrame(
-          vocab.rdd.map(_.getString(0)).zipWithIndex()
-            .map { case (tk, i) => org.apache.spark.sql.Row(tk, i + 1L) },
-          new StructType().add("tok", StringType).add("tid", LongType))
-        exploded.join(dense, "tok").select(col("fp"), col("tid"))
-      }).tracked
-      val repsInt = expInt.groupBy("fp")
-        .agg(sort_array(collect_list(col("tid"))).as("tids"))
-        .tracked
-      val mh = expInt.groupBy("fp").agg(
-        min(xxhash64(lit(0), col("tid"))).as("mh0"),
-        (1 until NumHashes).map(i => min(xxhash64(lit(i), col("tid"))).as(s"mh$i")): _*)
-      val bandCols = (0 until NumHashes / BandR).map { b =>
-        struct(lit(b).as("band") +:
-          (0 until BandR).map(r => col(s"mh${BandR * b + r}").as(s"h$r")): _*)
-      }
+      val (_, repsInt, bands, _) =
+        tokenSignatures(s, groups.select(col("fp"), col("toks")), "fp")
       val sides = groups.select(col("fp"),
         (size(col("new_members")) > 0).as("is_batch"),
-        (col("n_old") > 0).as("is_corpus"),
-        size(col("toks")).as("nt"))
-      val banded = mh.join(sides, "fp")
-        .select(col("fp"), col("is_batch"), col("is_corpus"), col("nt"),
-          explode(array(bandCols: _*)).as("bk"))
-        .tracked
+        (col("n_old") > 0).as("is_corpus"))
+      val banded = bands.join(sides, "fp")
       // asymmetric band join: batch bands probe corpus bands (same-fp hits
       // are the exact-dup shortcut below, so exclude them); size-ratio
       // bound inside the join as in d02 (J>=0.8 forces |A|/|B| in

@@ -586,6 +586,32 @@ object Relational {
               |  COUNT(*) AS n_rows
               |FROM lineitem
               |GROUP BY ROLLUP (l_returnflag, l_linestatus)
-              |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin))
+              |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
+
+    // Salted skew join (Skew.saltedJoin): the hot-key defense when one
+    // join key dominates a shuffle — the fact side scatters over
+    // saltFactor sub-keys, the dim side replicates to all of them, and
+    // the hot partition shrinks by saltFactor with identical semantics.
+    // Salt values are run-varying but the joined row SET is salt-invariant,
+    // so the aggregate is deterministic and oracle-checkable against the
+    // plain join.
+    GQuery("q48_skew_salted_join",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_suppkey").as("suppkey"),
+            col("l_quantity"), col("l_extendedprice"))
+        val sup = Tables.supplier(s, d)
+          .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+        Skew.saltedJoin(li, sup, "suppkey", 8)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n_items"),
+            Det.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("s_nationkey")
+      },
+      Some(s"""SELECT s_nationkey, COUNT(*) AS n_items,
+              |  ${Det.o.dsum("l_quantity")} AS sum_qty
+              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              |GROUP BY s_nationkey
+              |ORDER BY s_nationkey""".stripMargin))
   )
 }

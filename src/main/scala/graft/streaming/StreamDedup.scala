@@ -35,8 +35,12 @@ object StreamDedup {
     * left, the only orientation Structured Streaming allows), so each
     * micro-batch probes the corpus with a normal batch join plan:
     * broadcast when the fingerprint projection is small, shuffled hash
-    * otherwise — and the static side re-resolves per micro-batch, picking
-    * up corpus compactions/appends between batches. No streaming state at
+    * otherwise. With a DSv2 corpus source (gpx: latest-snapshot listing at
+    * planning time) the static side re-resolves per micro-batch, picking
+    * up corpus compactions/appends between batches; a DSv1 file relation
+    * (spark.read.parquet) pins its file listing when the DataFrame is
+    * created, so pass a gpx/DSv2 table — or re-create the corpus frame —
+    * when mid-stream appends must screen. No streaming state at
     * all: the corpus table IS the state, which is the only form that
     * survives a 100 TB corpus (watermark state cannot hold it).
     *

@@ -125,6 +125,11 @@ class DedupSpec extends GraftSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(!plan.contains("CartesianProduct"),
       "d08 must not contain a cartesian join")
+    // a regression dropping the band equality would lower to a nested-loop
+    // join at test scale (tiny broadcastable sides), not a cartesian —
+    // assert that shape away too
+    assert(!plan.contains("BroadcastNestedLoop"),
+      "d08 must not contain a nested-loop join")
     graft.CacheScope.release()
   }
 }
@@ -216,9 +221,10 @@ class TextOpsSpec extends GraftSpec {
     assert(df.count() == Tables.documents(spark, sf).count())
     for (c <- Seq("dup_token_ratio", "top_token_ratio", "dup_bigram_ratio"))
       assert(df.filter(col(c) < 0.0 || col(c) > 1.0).count() == 0, c)
-    // the modal token accounts for at least its uniform share, and a doc
+    // the modal token accounts for at least its uniform share (compare
+    // with a tolerance: (1.0/n)*n rounds below 1.0 for many n), and a doc
     // with zero duplicate tokens cannot have a duplicate bigram
-    assert(df.filter(col("top_token_ratio") * col("n_tokens") < 1.0)
+    assert(df.filter(col("top_token_ratio") * col("n_tokens") < 0.999999)
       .count() == 0)
     assert(df.filter(col("dup_token_ratio") === 0.0 &&
       col("dup_bigram_ratio") > 0.0).count() == 0)

@@ -93,10 +93,11 @@ class RelationalSpec extends GraftSpec {
     assert(total.length == 1, "exactly one grand-total row")
     assert(rows.filter(col("gid") === 2).count() == 0,
       "rollup (not cube) must not emit linestatus-only groups")
-    // each level sums to the same totals
-    val sumOf = (df: org.apache.spark.sql.DataFrame) =>
-      (df.agg(sum("sum_qty"), sum("n_rows")).head.getDouble(0),
-        df.agg(sum("n_rows")).head.getLong(0))
+    // each level sums to the same totals (one agg job per level)
+    val sumOf = (df: org.apache.spark.sql.DataFrame) => {
+      val r = df.agg(sum("sum_qty"), sum("n_rows")).head
+      (r.getDouble(0), r.getLong(1))
+    }
     val (dq, dn) = sumOf(detail)
     val (fq, fn) = sumOf(byFlag)
     assert(math.abs(dq - fq) < 1e-6 && dn == fn)
