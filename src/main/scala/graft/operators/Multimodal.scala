@@ -147,6 +147,36 @@ object Multimodal {
              |  CAST(k * 1000 AS BIGINT) AS ts_ms,
              |  CAST(len * (k * fps + 1) % 256 AS INT) AS brightness
              |FROM k
-             |ORDER BY doc_id, frame_idx""".stripMargin))
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Decode-then-dedup — the fourth multimodal plumbing shape: payloads
+    // are batch-decoded (mapPartitions, codec per partition), a compact
+    // perceptual signature is derived from the decoded features (here the
+    // deterministic fake (width, height) geometry + coarse size bucket —
+    // a real pHash would hash decoded pixels in the same slot), and docs
+    // collapse into signature groups with one shuffle (partial-agg
+    // groupBy, no window). Payload bytes never leave the executor; only
+    // the 3-int signature travels. The signature is length-derived, so
+    // the whole pipeline stays oracle-checkable.
+    GQuery("m04_phash_dedup", (s, d) => {
+      decoded(s, d)
+        .withColumn("sig",
+          (col("width").cast(LongType) * 480 + col("height")) * 16 +
+            (col("byte_len") % 16))
+        .groupBy("sig")
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("doc_id")).as("keep_id"))
+        .filter(col("n_copies") > 1)
+        .orderBy("sig")
+    },
+      Some("""WITH p AS (SELECT doc_id,
+             |    CAST(octet_length(encode(text)) AS INT) AS len FROM documents),
+             |s AS (SELECT doc_id,
+             |    (CAST(16 + len % 640 AS BIGINT) * 480 +
+             |     (16 + (len * 7) % 480)) * 16 + len % 16 AS sig
+             |  FROM p)
+             |SELECT sig, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+             |FROM s GROUP BY sig HAVING COUNT(*) > 1
+             |ORDER BY sig""".stripMargin))
   )
 }

@@ -612,6 +612,41 @@ object Relational {
               |  ${Det.o.dsum("l_quantity")} AS sum_qty
               |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               |GROUP BY s_nationkey
-              |ORDER BY s_nationkey""".stripMargin))
+              |ORDER BY s_nationkey""".stripMargin)),
+
+    // Window-function family beyond rank (q16): lag/lead offsets, ntile
+    // bucketing, percent_rank/cume_dist distribution ranks — one Exchange
+    // on the partition key serves all six functions (they share the same
+    // (partition, order) spec, so Catalyst plans a single Window operator;
+    // per-partition evaluation is sort-local, no extra shuffle per
+    // function). Ties broken by the unique order key for determinism.
+    GQuery("q49_window_family",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .filter(col("o_custkey") % 10 === 0)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("tile4", ntile(4).over(w))
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+          .withColumn("prank", percent_rank().over(w))
+          .withColumn("cdist", cume_dist().over(w))
+          .select("o_custkey", "o_orderkey", "rn", "tile4",
+            "prev_price", "next_price", "prank", "cdist")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  ROW_NUMBER() OVER w AS rn,
+             |  CAST(NTILE(4) OVER w AS INT) AS tile4,
+             |  LAG(o_totalprice, 1) OVER w AS prev_price,
+             |  LEAD(o_totalprice, 1) OVER w AS next_price,
+             |  PERCENT_RANK() OVER w AS prank,
+             |  CUME_DIST() OVER w AS cdist
+             |FROM orders
+             |WHERE o_custkey % 10 = 0
+             |WINDOW w AS (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, rn""".stripMargin))
   )
 }

@@ -260,6 +260,17 @@ class MultimodalSpec extends GraftSpec {
     assert(frames.count() == want.agg(sum(col("n"))).head.getLong(0))
     frames.unpersist()
   }
+
+  test("m04 phash dedup: only multi-copy groups, keep_id is a group member") {
+    val groups = run("m04_phash_dedup").cache()
+    assert(groups.filter(col("n_copies") < 2).count() == 0)
+    // group sizes account for every doc beyond the unique ones
+    val docs = Tables.documents(spark, sf).count()
+    val grouped = groups.agg(sum("n_copies")).head.getLong(0)
+    assert(grouped <= docs)
+    assert(groups.filter(col("keep_id") < 0).count() == 0)
+    groups.unpersist()
+  }
 }
 
 class TimeFunctionsSpec extends GraftSpec {

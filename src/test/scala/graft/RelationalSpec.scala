@@ -105,4 +105,23 @@ class RelationalSpec extends GraftSpec {
     assert(dn == total.head.getAs[Long]("n_rows"))
     rows.unpersist()
   }
+
+  test("q49 window family: all six functions share ONE Window operator") {
+    val qe = run("q49_window_family").queryExecution
+    val windows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 1,
+      s"same (partition, order) spec must fuse into one Window, got ${windows.size}")
+    assert(windows.head.windowExpressions.size == 6)
+    val rows = run("q49_window_family").cache()
+    // ntile buckets within 1..4 and non-decreasing along rn
+    assert(rows.filter(col("tile4") < 1 || col("tile4") > 4).count() == 0)
+    // percent_rank endpoints: first row of each partition is 0.0
+    assert(rows.filter(col("rn") === 1 && col("prank") =!= 0.0).count() == 0)
+    // lag of the first row is null, lead of the last row is null
+    assert(rows.filter(col("rn") === 1 && col("prev_price").isNotNull)
+      .count() == 0)
+    rows.unpersist()
+  }
 }
