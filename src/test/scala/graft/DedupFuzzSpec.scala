@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Differential fuzzing of the near-dup operators: random synthetic
+  * corpora with controlled exact-clone and one-token-mutation families,
+  * each LSH/prefix-filtered operator compared against an in-Spark brute
+  * force over the SAME corpus. This is the adversarial complement to the
+  * fixed-corpus oracle gate: corpus shape (clone-family sizes, mutation
+  * density, vocabulary pressure) varies per seed, so a filter that only
+  * happens to be complete on the driver corpus fails here.
+  *
+  * (d02's banding miss probability at J>=0.8 is < 4e-8 per pair — across
+  * these corpora the expected miss count is ~1e-3, so exact equality is
+  * the correct assertion, not a recall bound.)
+  */
+class DedupFuzzSpec extends GraftSpec {
+
+  /** Write a synthetic documents.parquet; returns its table dir. */
+  private def mkCorpus(seed: Int, nDocs: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector.tabulate(50)(i => s"w$i")
+    def fresh(): String =
+      Seq.fill(8 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    val base = Vector.fill(math.max(nDocs / 3, 1))(fresh())
+    val langs = Vector("en", "es")
+    val rows = (0 until nDocs).map { i =>
+      val text = (i % 3: @unchecked) match {
+        case 0 => base(rnd.nextInt(base.size)) // exact-clone family
+        case 1 => // near-dup: mutate one token of a base doc
+          val t = base(rnd.nextInt(base.size)).split(" ").toVector
+          t.updated(rnd.nextInt(t.size), vocab(rnd.nextInt(vocab.size)))
+            .mkString(" ")
+        case 2 => fresh()
+      }
+      (i.toLong, text, langs(rnd.nextInt(langs.size)), s"src$seed",
+        text.length.toLong)
+    }
+    val dir = java.nio.file.Files.createTempDirectory(s"dfuzz$seed").toString
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(2).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def at(name: String, dir: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+
+  private def tokSets(dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("s"))
+
+  private def assertSame(got: DataFrame, want: DataFrame, what: String): Unit = {
+    val missing = want.exceptAll(got).count()
+    val extra = got.exceptAll(want).count()
+    assert(missing == 0 && extra == 0,
+      s"$what: $missing missing / $extra extra rows vs brute force")
+  }
+
+  for (seed <- Seq(11, 42)) {
+    test(s"seed $seed: d02 minhash-lsh pairs equal brute force") {
+      val dir = mkCorpus(seed, 150)
+      val toks = tokSets(dir)
+      val brute = toks.as("a").join(toks.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jaccard", size(array_intersect(col("a.s"), col("b.s")))
+          .cast("double") / size(array_union(col("a.s"), col("b.s"))))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("jaccard"))
+      assertSame(at("d02_minhash_lsh", dir), brute, s"d02 seed $seed")
+      CacheScope.release()
+    }
+
+    test(s"seed $seed: d03 ngram-jaccard pairs equal brute force") {
+      val dir = mkCorpus(seed + 1000, 150)
+      val g = Tables.documents(spark, dir)
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"), array_distinct(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("s"))
+      val brute = g.as("a").join(g.as("b"),
+          col("a.lang") === col("b.lang") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jaccard", size(array_intersect(col("a.s"), col("b.s")))
+          .cast("double") / size(array_union(col("a.s"), col("b.s"))))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("jaccard"))
+      assertSame(at("d03_ngram_jaccard", dir), brute, s"d03 seed $seed")
+      CacheScope.release()
+    }
+
+    test(s"seed $seed: d08 incremental screen equals brute force") {
+      val dir = mkCorpus(seed + 2000, 150)
+      val toks = tokSets(dir)
+      val brute = toks.filter(col("doc_id") % 5 === 0).as("n")
+        .crossJoin(toks.filter(col("doc_id") % 5 =!= 0).as("c"))
+        .withColumn("j", size(array_intersect(col("n.s"), col("c.s")))
+          .cast("double") / size(array_union(col("n.s"), col("c.s"))))
+        .filter(col("j") >= 0.8)
+        .groupBy(col("n.doc_id").as("doc_id"))
+        .agg(max(col("j")).as("best_jaccard"))
+      assertSame(at("d08_incremental_dedup", dir), brute, s"d08 seed $seed")
+      CacheScope.release()
+    }
+  }
+}
