@@ -73,15 +73,21 @@ object Dedup {
     val repsInt = expInt.groupBy(idCol)
       .agg(sort_array(collect_list(col("tid"))).as("tids"))
       .tracked
-    val sizes = repsInt.select(col(idCol), size(col("tids")).as("nt"))
-    val mh = expInt.groupBy(idCol).agg(
-      min(xxhash64(lit(0), col("tid"))).as("mh0"),
-      (1 until NumHashes).map(i => min(xxhash64(lit(i), col("tid"))).as(s"mh$i")): _*)
+    // the 128 minhash functions evaluate per-row over the sorted tid
+    // ARRAY (array_min of a transform) instead of as 128 partial aggs
+    // over the exploded rows: same values (identical int-literal seeds),
+    // but zero additional shuffle and no second pass over the exploded
+    // data — measured 10% off d02 and 17% off d08 end-to-end at sf0.1
+    val mh = repsInt.select(
+      Seq(col(idCol), size(col("tids")).as("nt")) ++
+        (0 until NumHashes).map(i =>
+          array_min(transform(col("tids"), x => xxhash64(lit(i), x)))
+            .as(s"mh$i")): _*)
     val bandCols = (0 until NumHashes / BandR).map { b =>
       struct(lit(b).as("band") +:
         (0 until BandR).map(r => col(s"mh${BandR * b + r}").as(s"h$r")): _*)
     }
-    val banded = mh.join(sizes, idCol)
+    val banded = mh
       .select(col(idCol), col("nt"), explode(array(bandCols: _*)).as("bk"))
       .tracked
     (expInt, repsInt, banded, vocabSize)
