@@ -684,6 +684,46 @@ object Dedup {
              |  CAST(len(list_intersect(nw.s, corpus.s)) AS DOUBLE) /
              |      len(list_distinct(list_concat(nw.s, corpus.s))) >= 0.8
              |GROUP BY nw.doc_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination — the eval-overlap screen every training
+    // corpus needs before release: flag corpus documents sharing any
+    // 5-token shingle with a benchmark/eval set (doc_id % 29 = 0 here
+    // stands in for the external eval table), with the matched-shingle
+    // count as the contamination strength. 100 TB shape: eval suites are
+    // MBs while the corpus is the 100 TB side, so the benchmark's
+    // distinct-gram set BROADCASTS and the corpus never shuffles — grams
+    // generate map-side (explode inside the scan stage), the broadcast
+    // hash join filters them in place, and only matched (doc, gram)
+    // pairs — a vanishing fraction of the corpus — reach the final
+    // groupBy. Exact containment (not similarity): a single shared
+    // shingle flags the doc, which is the standard n-gram
+    // decontamination contract.
+    GQuery("d09_decontaminate", (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // size guard: Spark's sequence(1, n) is DESCENDING for n < 1,
+      // which would fabricate grams for 4-token docs
+      val grams = toks.filter(size(col("t")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 4)," +
+            " i -> concat_ws(' ', slice(t, i, 5)))")).as("g"))
+      val bench = grams.filter(col("doc_id") % 29 === 0)
+        .select(col("g")).distinct()
+      grams.filter(col("doc_id") % 29 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(count_distinct(col("g")).as("n_hit_grams"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |grams AS (
+             |  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+             |  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)),
+             |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0)
+             |SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_hit_grams
+             |FROM grams c JOIN bench b ON c.g = b.g
+             |WHERE c.doc_id % 29 <> 0
+             |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin))
   )
 }

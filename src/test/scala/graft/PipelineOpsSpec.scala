@@ -132,6 +132,41 @@ class DedupSpec extends GraftSpec {
       "d08 must not contain a nested-loop join")
     graft.CacheScope.release()
   }
+
+  test("d09 decontamination: equals a set-semantics brute-force recompute") {
+    val got = run("d09_decontaminate").cache()
+    assert(got.count() > 0, "synthetic near-dup corpus must contaminate")
+    assert(got.filter(col("doc_id") % 29 === 0).count() == 0,
+      "benchmark docs must not flag themselves")
+    // brute force via per-doc gram SETS: same answer, no join on grams
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(1, size(t) - 4)," +
+          " i -> concat_ws(' ', slice(t, i, 5)))")).as("gs"))
+    val benchGrams = toks.filter(col("doc_id") % 29 === 0)
+      .select(explode(col("gs")).as("g")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val bcast = spark.sparkContext.broadcast(benchGrams)
+    val hitCount = udf((gs: Seq[String]) => gs.count(bcast.value.contains))
+    val bf = toks.filter(col("doc_id") % 29 =!= 0)
+      .withColumn("n_hit_grams", hitCount(col("gs")).cast("long"))
+      .filter(col("n_hit_grams") > 0)
+      .select("doc_id", "n_hit_grams")
+    assert(got.exceptAll(bf).count() == 0 && bf.exceptAll(got).count() == 0,
+      "broadcast-join decontamination must equal the brute-force screen")
+    got.unpersist()
+  }
+
+  test("d09 plan: benchmark gram set joins by broadcast, corpus side unshuffled") {
+    val plan = run("d09_decontaminate").queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "corpus grams must probe a broadcast benchmark set")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the 100 TB corpus side must not shuffle for the join")
+  }
 }
 
 class VectorOpsSpec extends GraftSpec {
