@@ -14,4 +14,17 @@ object VectorFunctions {
     * (org.apache.spark.sql.graft.SortedJaccard). */
   def sorted_jaccard(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.sorted_jaccard(a, b)
+
+  /** Raw inner product of two array<double> columns — the MIPS scoring
+    * kernel, codegen'd (org.apache.spark.sql.graft.DotProduct). */
+  def dot_product(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.dot_product(a, b)
+
+  /** Exact partial-aggregatable top-k: the k highest-scored (score, id)
+    * pairs per group as array<struct<score,id>> best-first — map-side
+    * buffers hold at most k rows, so the exchange carries
+    * O(groups x partitions x k) rows instead of every candidate
+    * (org.apache.spark.sql.graft.TopKByScore). */
+  def topk_by_score(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.graft.TopKAggregate.topk_by_score(score, id, k)
 }

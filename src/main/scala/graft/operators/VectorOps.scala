@@ -403,6 +403,44 @@ object VectorOps {
         .select(col("q_id"), col("rank"), col("n_id"),
           round(col("cos"), 4).as("cos_sim"))
         .orderBy("q_id", "rank")
-    }, None)
+    }, None),
+
+    // Exact MIPS top-k (recommendation-style retrieval: rank by raw inner
+    // product, not cosine) in ONE linear pass with a bounded-heap
+    // aggregate. The query batch broadcasts; each corpus partition scores
+    // its rows against every query inside WholeStageCodegen (native
+    // DotProduct expression) and keeps only a k-slot heap per query
+    // (graft topk_by_score, a TypedImperativeAggregate), so the exchange
+    // moves O(queries x partitions x k) partial heaps — never the n x q
+    // scored candidate set that v02's window row_number() shuffles and
+    // sorts. Exact by construction (every corpus row is scored), which is
+    // the strongest claim a single-pass kNN can make; the sublinear path
+    // for 100 TB remains v03/v06 IVF.
+    GQuery("v08_mips_topk", (s, d) => {
+      val e = vecs(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val corpus = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("n_id"), col("v").as("nv"))
+      corpus.join(broadcast(q))
+        .withColumn("dot", graft.functions.VectorFunctions
+          .dot_product(col("qv"), col("nv")))
+        .groupBy("q_id")
+        .agg(graft.functions.VectorFunctions
+          .topk_by_score(col("dot"), col("n_id"), 5).as("tk"))
+        .select(col("q_id"), posexplode(col("tk")))
+        .select(col("q_id"), (col("pos") + 1).as("rank"),
+          col("col.id").as("n_id"), round(col("col.score"), 4).as("dot"))
+        .orderBy("q_id", "rank")
+    },
+      Some(s"""WITH $oVecs
+              |SELECT q_id, rank, n_id, dot FROM (
+              |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+              |    round(list_dot_product(a.v, b.v), 4) AS dot,
+              |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+              |      ORDER BY list_dot_product(a.v, b.v) DESC, b.vec_id) AS rank
+              |  FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id >= 10) t
+              |WHERE rank <= 5
+              |ORDER BY q_id, rank""".stripMargin))
   )
 }

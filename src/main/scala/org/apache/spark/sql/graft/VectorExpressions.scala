@@ -82,6 +82,57 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Raw inner product of two double arrays — the MIPS scoring kernel
+  * (recommendation-style retrieval ranks by unnormalized dot, not cosine).
+  * Same codegen shape as CosineSimilarity minus the norms; accumulates in
+  * array order so it bit-matches DuckDB's list_dot_product. Null on null
+  * input or length mismatch; empty arrays yield null (no 0-dim vectors).
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0 || b.numElements() != n) null
+    else {
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+      java.lang.Double.valueOf(dot)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0 || $b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $dot;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Exact Jaccard of two SORTED distinct long-id arrays in one merge pass —
   * the per-candidate verify kernel of the similarity self-joins (d02/d03).
   * Spark's `array_intersect`/`array_union` build a hash set per CALL with
@@ -156,5 +207,9 @@ object VectorExpressions {
 
   def sorted_jaccard(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedJaccard(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
