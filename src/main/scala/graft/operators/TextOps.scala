@@ -255,6 +255,46 @@ object TextOps {
              |  CAST(top_cnt AS DOUBLE) / n_tokens AS top_token_ratio,
              |  dup_bigram_ratio
              |FROM ta JOIN bg ON ta.doc_id = bg.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-order n-gram novelty — the dedup-aware curation signal:
+    // what fraction of each document's distinct 5-gram shingles appear
+    // for the FIRST time at that document (by doc_id order)? Boilerplate
+    // and near-dups score ~0, fresh content ~1; selecting by novelty is
+    // the streaming-corpus analog of d06/d07's cluster-then-keep-best.
+    // Scale shape: two partial-aggregatable shuffles (gram -> min doc to
+    // find first owners, then doc -> counts) and a doc-keyed join of two
+    // doc-sized aggregates; the gram-level rows never join back against
+    // themselves and nothing is driver-side.
+    GQuery("t09_ngram_novelty", (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+      // size guard: sequence(1, n) counts DOWN for n < 1
+      val grams = toks.filter(size(col("t")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, size(t) - 4)," +
+            " i -> concat_ws(' ', slice(t, i, 5)))"))).as("g"))
+      val num = grams.groupBy("g").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      val den = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      den.join(num, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          (coalesce(col("n_novel"), lit(0L)).cast(DoubleType) /
+            col("n_grams")).as("novelty"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |grams AS (
+             |  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+             |  FROM toks, UNNEST(range(1, len(t) - 3)) AS u(i)),
+             |firsts AS (SELECT g, MIN(doc_id) AS doc_id FROM grams GROUP BY g),
+             |num AS (SELECT doc_id, COUNT(*) AS n_novel FROM firsts GROUP BY doc_id),
+             |den AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id)
+             |SELECT den.doc_id AS doc_id, n_grams,
+             |  COALESCE(n_novel, 0) AS n_novel,
+             |  CAST(COALESCE(n_novel, 0) AS DOUBLE) / n_grams AS novelty
+             |FROM den LEFT JOIN num ON den.doc_id = num.doc_id
              |ORDER BY doc_id""".stripMargin))
   )
 }

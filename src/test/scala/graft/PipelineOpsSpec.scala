@@ -312,6 +312,30 @@ class TextOpsSpec extends GraftSpec {
       col("dup_bigram_ratio") > 0.0).count() == 0)
     df.unpersist()
   }
+
+  test("t09 ngram novelty: conservation, ranges, and first-doc ownership") {
+    val df = run("t09_ngram_novelty").cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("novelty") < 0.0 || col("novelty") > 1.0).count() == 0)
+    assert(df.filter(col("n_novel") > col("n_grams")).count() == 0)
+    // the earliest doc owns every one of its grams by definition
+    val first = df.orderBy("doc_id").limit(1).head
+    assert(first.getLong(2) == first.getLong(1), "first doc must be 100% novel")
+    // conservation: sum of per-doc novel grams = global distinct gram count
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(t) - 4)," +
+          " i -> concat_ws(' ', slice(t, i, 5)))"))).as("g"))
+    val distinctGrams = toks.select("g").distinct().count()
+    val sumNovel = df.agg(sum(col("n_novel"))).head.getLong(0)
+    assert(sumNovel == distinctGrams,
+      s"novel-gram sum $sumNovel != distinct grams $distinctGrams")
+    // the synthetic corpus is 64% near-dup: novelty must actually separate
+    assert(df.filter(col("novelty") < 0.5).count() > 0, "dup docs score low")
+    df.unpersist()
+  }
 }
 
 class MultimodalSpec extends GraftSpec {
