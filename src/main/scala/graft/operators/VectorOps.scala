@@ -58,6 +58,21 @@ object VectorOps {
   private def oCos(a: String, b: String) =
     s"list_dot_product($a.v, $b.v) / ($a.norm * $b.norm)"
 
+  /** Per-query exact top-k via the bounded-heap aggregate (topk_by_score):
+    * map-side partials keep at most k rows per (partition, query), so the
+    * exchange never carries the scored candidate set — the scale-correct
+    * replacement for row_number() over a per-query window, which shuffles
+    * AND sorts every candidate row. Emits (q_id, rank, idName, scoreName)
+    * best-first with the window's exact total order (score desc, id asc).
+    */
+  private def topkPerQuery(scored: DataFrame, score: Column, id: Column,
+      k: Int, idName: String, scoreName: String): DataFrame =
+    scored.groupBy("q_id")
+      .agg(graft.functions.VectorFunctions.topk_by_score(score, id, k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("col.id").as(idName), col("col.score").as(scoreName))
+
   /** Materialize `result` eagerly, release the intermediate cached frames,
     * and return the rows as a local DataFrame. Queries must not pin
     * executor storage after they return (a session-lifetime leak on a
@@ -94,18 +109,18 @@ object VectorOps {
               |ORDER BY a_id, b_id""".stripMargin)),
 
     // Brute-force top-k cosine neighbors for a query set (ANN baseline).
+    // Exact scoring is inherently a full pass; the ranking is the heap
+    // aggregate, so even the baseline never shuffles the scored n x q
+    // candidate set (only k-bounded partials cross the exchange).
     GQuery("v02_knn_brute", (s, d) => {
       val e = requireBaselineScale(s, vecs(s, d),
         "v02_knn_brute", "v03_knn_ivf / v06_knn_ivf_index")
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("n_id"))
-      q.join(e.filter(col("vec_id") >= 10)
+      val scored = q.join(e.filter(col("vec_id") >= 10)
           .select(col("vec_id").as("n_id"), col("v").as("nv"), col("norm").as("nnorm")))
         .withColumn("cos", cosine("qv", "qnorm", "nv", "nnorm"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
+      topkPerQuery(scored, col("cos"), col("n_id"), 5, "n_id", "cos")
         .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos_sim"))
         .orderBy("q_id", "rank")
     },
@@ -183,13 +198,13 @@ object VectorOps {
         .withColumn("crank", row_number().over(wc))
         .filter(col("crank") <= NProbe)
         .select(col("q_id"), col("qv"), col("qnorm"), col("cid"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-      val result = probes.join(clustered, "cid")
+      val scored = probes.join(clustered, "cid")
         .withColumn("cos", cosine("qv", "qnorm", "nv", "nnorm"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos_sim"))
-        .orderBy("q_id", "rank")
+      val result =
+        topkPerQuery(scored, col("cos"), col("n_id"), 5, "n_id", "cos")
+          .select(col("q_id"), col("rank"), col("n_id"),
+            round(col("cos"), 4).as("cos_sim"))
+          .orderBy("q_id", "rank")
       releasing(s, result, data, clustered)
     }, None),
 
@@ -320,13 +335,13 @@ object VectorOps {
       val probeCids = probes.select("cid").distinct().collect().map(_.getInt(0))
       val sub = s.read.format("gpx").load(s"$dir/clustered")
         .filter(col("cid").isin(probeCids.map(Int.box).toSeq: _*))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-      val result = probes.join(sub, "cid")
+      val scored = probes.join(sub, "cid")
         .withColumn("cos", cosine("qv", "qnorm", "nv", "nnorm"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos_sim"))
-        .orderBy("q_id", "rank")
+      val result =
+        topkPerQuery(scored, col("cos"), col("n_id"), 5, "n_id", "cos")
+          .select(col("q_id"), col("rank"), col("n_id"),
+            round(col("cos"), 4).as("cos_sim"))
+          .orderBy("q_id", "rank")
       releasing(s, result, probes)
     }, None),
 
@@ -384,22 +399,21 @@ object VectorOps {
         .withColumn("rdot", expr(
           "aggregate(zip_with(qv_full, qv, (a, b) -> a * (lo + b * scale)), cast(0 as double), (acc, x) -> acc + x)"))
         .withColumn("acos", col("rdot") / (col("qnorm") * col("rnorm")))
-      val ws = Window.partitionBy(col("q_id"))
-        .orderBy(col("acos").desc, col("n_id"))
-      val cand = approx
-        .withColumn("srank", row_number().over(ws))
-        .filter(col("srank") <= shortlist)
-        .select(col("q_id"), col("qv_full"), col("qnorm"), col("n_id"))
+      // shortlist via the heap aggregate (not a window: the approx pass
+      // scores the full n x q candidate set — only k-bounded partials may
+      // cross the exchange); query vectors rejoin by broadcast after
+      val cand = topkPerQuery(approx, col("acos"), col("n_id"), shortlist,
+          "n_id", "acos")
+        .select(col("q_id"), col("n_id"))
+        .join(broadcast(q.select(col("q_id"), col("qv_full"), col("qnorm"))),
+          "q_id")
       // pass 2: exact rerank of the shortlist on full-precision vectors
       val full = e.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("n_id"), col("v").as("nv"),
           col("norm").as("nnorm"))
-      val wr = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("n_id"))
-      cand.join(full, "n_id")
+      val reranked = cand.join(full, "n_id")
         .withColumn("cos", cosine("qv_full", "qnorm", "nv", "nnorm"))
-        .withColumn("rank", row_number().over(wr))
-        .filter(col("rank") <= k)
+      topkPerQuery(reranked, col("cos"), col("n_id"), k, "n_id", "cos")
         .select(col("q_id"), col("rank"), col("n_id"),
           round(col("cos"), 4).as("cos_sim"))
         .orderBy("q_id", "rank")
