@@ -108,5 +108,28 @@ class DedupFuzzSpec extends GraftSpec {
       assertSame(at("d08_incremental_dedup", dir), brute, s"d08 seed $seed")
       CacheScope.release()
     }
+
+    test(s"seed $seed: d09 decontamination screen equals brute force") {
+      val dir = mkCorpus(seed + 3000, 150)
+      // structurally different reference: per-doc gram SETS intersected
+      // against one collected benchmark array — no gram-keyed join at all
+      val sets = Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(1, size(t) - 4)," +
+            " i -> concat_ws(' ', slice(t, i, 5)))")).as("gs"))
+      val benchSet = sets.filter(col("doc_id") % 29 === 0)
+        .select(explode(col("gs")).as("g")).distinct()
+        .agg(collect_set(col("g")).as("bs"))
+      val brute = sets.filter(col("doc_id") % 29 =!= 0)
+        .crossJoin(benchSet)
+        .withColumn("n_hit_grams",
+          size(array_intersect(col("gs"), col("bs"))).cast("long"))
+        .filter(col("n_hit_grams") > 0)
+        .select("doc_id", "n_hit_grams")
+      assertSame(at("d09_decontaminate", dir), brute, s"d09 seed $seed")
+      CacheScope.release()
+    }
   }
 }
