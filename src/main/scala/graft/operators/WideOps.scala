@@ -350,5 +350,28 @@ object WideOps {
           |  approx_count_distinct(user_id, 0.01) AS approx_users,
           |  COUNT(*) AS hits
           |FROM hits GROUP BY country ORDER BY country""".stripMargin)
+    }, None),
+
+    // The sketch-ROLLUP pattern w21 scales into: materialize per-(date,
+    // country) HLL sketch partials ONCE (at 100 TB this is a maintained
+    // rollup table refreshed per ingest batch, ~rows = dates x countries),
+    // then answer any ad-hoc slice by MERGING sketches — mergeability is
+    // the property exact distinct counts fundamentally lack (you cannot
+    // sum per-day uniques). Uses Spark's Apache DataSketches HLL
+    // (hll_sketch_agg / hll_union_agg / hll_sketch_estimate), which
+    // serializes to portable bytes — the same sketches a Trino/Druid
+    // serving layer could merge. DuckDB has no compatible sketch =>
+    // rows-only gate; WideSpec bounds the estimates against exact
+    // distinct counts and asserts slice-merge consistency.
+    GQuery("w22_wide_sketch_rollup", (s, d) => {
+      val rollup = hitsGpx(s, d)
+        .groupBy("event_date", "country")
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+          count(lit(1)).as("n"))
+      rollup.groupBy("country")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .as("approx_users"),
+          sum(col("n")).as("hits"))
+        .orderBy("country")
     }, None))
 }

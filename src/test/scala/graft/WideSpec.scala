@@ -127,6 +127,26 @@ class WideSpec extends GraftSpec {
     }
   }
 
+  test("sketch rollup merge lands within 5% of exact, and sums hits exactly") {
+    val got = SparkEntry.queries("w22_wide_sketch_rollup")(sp, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 6)
+    WideOps.hitsGpx(sp, sf).createOrReplaceTempView("hits_w22")
+    val exact = sp.sql(
+      """SELECT country, COUNT(DISTINCT user_id) AS u, COUNT(*) AS n
+        |FROM hits_w22 GROUP BY country""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { case (country, approx, hits) =>
+      val (u, n) = exact(country)
+      // the additive measure must survive the rollup exactly
+      assert(hits == n, s"$country rollup hits $hits != $n")
+      // lgK=14 DataSketches HLL is ~1.6% rsd; 5% catches wrong-column
+      // or a merge that double-counts, not sketch internals
+      assert(math.abs(approx - u) <= math.max(0.05 * u, 3.0),
+        s"$country sketch-merged approx=$approx vs exact=$u")
+    }
+  }
+
   test("selective wide query prunes row groups via the storage sort") {
     // hits is stored sorted by (counter_id, event_sec): an equality on
     // counter_id must zone-map-skip most row groups
