@@ -207,11 +207,11 @@ object TextOps {
     // Repetition-based quality signals (the Gopher/C4 family): per document,
     // the duplicate-token fraction, the most-frequent-token fraction, and
     // the duplicate-bigram fraction. High values flag boilerplate/spam for
-    // corpus filtering. Token counts need one doc-local shuffle-free
-    // explode+groupBy (doc_id is the partition key of the count, so
-    // map-side partial agg collapses it); bigram stats are pure array
-    // expressions inside the scan stage. All ratios are exact
-    // integer-over-integer divisions evaluated in double.
+    // corpus filtering. Token counts take two partial-aggregatable
+    // shuffles — one on (doc_id, tok) for the per-token counts, one on
+    // doc_id for the rollup — with map-side partials collapsing both;
+    // bigram stats are pure array expressions inside the scan stage. All
+    // ratios are exact integer-over-integer divisions evaluated in double.
     GQuery("t08_repetition", (s, d) => {
       val tk = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))

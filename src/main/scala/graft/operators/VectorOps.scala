@@ -390,10 +390,15 @@ object VectorOps {
         .withColumn("rnorm", sqrt(expr(
           "aggregate(qv, cast(0 as double), (acc, b) -> acc + (lo + b * scale) * (lo + b * scale))")))
         .select(col("n_id"), col("qv"), col("lo"), col("scale"), col("rnorm"))
+        // an all-zero embedding reconstructs to rnorm = 0, making acos
+        // 0.0/0.0 = NaN — unrankable, and a NaN shortlist slot would mask a
+        // real candidate (same guard as the heap aggregate's NaN skip)
+        .filter(col("rnorm") > 0)
         .tracked
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv_full"),
           col("norm").as("qnorm"))
+        .filter(col("qnorm") > 0)
       // pass 1: approximate cosine against reconstructed codes
       val approx = q.crossJoin(q8)
         .withColumn("rdot", expr(

@@ -122,7 +122,10 @@ case class TopKByScore(
   override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
+    // NaN never compares "worse" under IEEE <, so a NaN admitted while the
+    // heap is under capacity could never be evicted and would permanently
+    // displace a real result — non-finite scores are unrankable, skip them
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double]))
       buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
     buffer
   }

@@ -38,7 +38,7 @@ class DedupFuzzSpec extends GraftSpec {
       (i.toLong, text, langs(rnd.nextInt(langs.size)), s"src$seed",
         text.length.toLong)
     }
-    val dir = java.nio.file.Files.createTempDirectory(s"dfuzz$seed").toString
+    val dir = TestSpark.tempDir(s"dfuzz$seed")
     val sp = spark
     import sp.implicits._
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -12,7 +12,7 @@ class StreamingSpec extends GraftSpec {
   private val sp = TestSpark.spark
 
   test("snapshot store: upsert + delete + time travel") {
-    val dir = Files.createTempDirectory("snap").toString
+    val dir = TestSpark.tempDir("snap")
     val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts")
     import sp.implicits._
 
@@ -40,7 +40,7 @@ class StreamingSpec extends GraftSpec {
   }
 
   test("upsert writes O(batch) bytes not O(table); compact folds deltas into a base") {
-    val dir = Files.createTempDirectory("snapdelta").toString
+    val dir = TestSpark.tempDir("snapdelta")
     val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts")
     import sp.implicits._
     // big initial load, then a 1-row micro-batch: the second commit must
@@ -65,8 +65,8 @@ class StreamingSpec extends GraftSpec {
   }
 
   test("structured streaming CDC: foreachBatch upsert reaches the store") {
-    val dir = Files.createTempDirectory("snapstream").toString
-    val ckpt = Files.createTempDirectory("ckpt").toString
+    val dir = TestSpark.tempDir("snapstream")
+    val ckpt = TestSpark.tempDir("ckpt")
     val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts")
     import sp.implicits._
 
@@ -146,7 +146,7 @@ class StreamingSpec extends GraftSpec {
   test("streaming corpus screen: stream-static anti join drops known docs, sees appends") {
     import sp.implicits._
     implicit val ctx = sp.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("scorpus").toString
+    val dir = TestSpark.tempDir("scorpus")
     // persisted corpus fingerprints (gpx), as d01/t04 would materialize
     import org.apache.spark.sql.functions._
     Seq("known one", "known two").toDF("text")
@@ -179,8 +179,8 @@ class StreamingSpec extends GraftSpec {
     import org.apache.spark.sql.functions._
     implicit val ctx = sp.sqlContext
     val source = MemoryStream[(java.sql.Timestamp, String, Double)]
-    val dir = java.nio.file.Files.createTempDirectory("gpx_sink").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("gpx_sink_ckpt").toString
+    val dir = TestSpark.tempDir("gpx_sink")
+    val ckpt = TestSpark.tempDir("gpx_sink_ckpt")
     // watermarked windowed agg -> APPEND into the gpx columnar sink: the
     // full streaming loop (gpx-cdc source exists on the read side)
     val q = source.toDF().toDF("ts", "event_type", "value")
@@ -221,7 +221,7 @@ class StreamingSpec extends GraftSpec {
   test("gpx streaming sink: epoch replay and zombie attempts are idempotent") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("x", LongType)))
-    val dir = java.nio.file.Files.createTempDirectory("gpx_sink_replay").toString
+    val dir = TestSpark.tempDir("gpx_sink_replay")
     val sw = new graft.format.GpxStreamingWrite(schema, dir, 1024, 256, -1L)
     val factory = sw.createStreamingWriterFactory(null)
     def runAttempt(taskId: Long): org.apache.spark.sql.connector.write.WriterCommitMessage = {
@@ -271,7 +271,7 @@ class StreamingSpec extends GraftSpec {
   }
 
   test("snapshot store over the gpx format: deltas carry format-level commit ts") {
-    val dir = Files.createTempDirectory("snapgpx").toString
+    val dir = TestSpark.tempDir("snapgpx")
     val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts",
       format = "gpx")
     import sp.implicits._
@@ -294,7 +294,7 @@ class StreamingSpec extends GraftSpec {
   }
 
   test("gpx-cdc streaming source tails the snapshot store manifest") {
-    val dir = Files.createTempDirectory("cdctail").toString
+    val dir = TestSpark.tempDir("cdctail")
     val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts",
       format = "gpx")
     import sp.implicits._
@@ -335,9 +335,9 @@ class StreamingSpec extends GraftSpec {
     // a SnapshotStore (CDC ingest), gpx-cdc tails its manifest, the
     // watermark-bounded dedup drops repeated content, and survivors land
     // as queryable gpx files
-    val dir = Files.createTempDirectory("cur_store").toString
-    val outDir = Files.createTempDirectory("cur_out").toString
-    val ckpt = Files.createTempDirectory("cur_ckpt").toString
+    val dir = TestSpark.tempDir("cur_store")
+    val outDir = TestSpark.tempDir("cur_out")
+    val ckpt = TestSpark.tempDir("cur_ckpt")
     import sp.implicits._
     val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts",
       format = "gpx")
@@ -403,14 +403,14 @@ class StreamingSpec extends GraftSpec {
   }
 
   test("compactor merges small files and preserves rows") {
-    val in = Files.createTempDirectory("ordered").toString
+    val in = TestSpark.tempDir("ordered")
     import sp.implicits._
     // simulate many small load batches
     (0 until 8).foreach { i =>
       Seq.tabulate(100)(j => (i * 100 + j, s"row$i-$j")).toDF("id", "s")
         .coalesce(1).write.mode("append").parquet(in)
     }
-    val out = Files.createTempDirectory("compact").toString
+    val out = TestSpark.tempDir("compact")
     val res = Compactor.compact(spark, in, out)
     assert(res.rows == 800)
     assert(res.outputFiles <= res.inputFiles && res.outputFiles >= 1)
@@ -420,9 +420,9 @@ class StreamingSpec extends GraftSpec {
     import sp.implicits._
     implicit val ctx = sp.sqlContext
     val source = MemoryStream[(Long, String)]
-    val dir = java.nio.file.Files.createTempDirectory("gpx_tail").toString
-    val ckpt1 = java.nio.file.Files.createTempDirectory("gpx_tail_c1").toString
-    val ckpt2 = java.nio.file.Files.createTempDirectory("gpx_tail_c2").toString
+    val dir = TestSpark.tempDir("gpx_tail")
+    val ckpt1 = TestSpark.tempDir("gpx_tail_c1")
+    val ckpt2 = TestSpark.tempDir("gpx_tail_c2")
     // stage 1: plain append stream into the gpx sink (epoch-published)
     val q1 = source.toDF().toDF("id", "s")
       .writeStream.outputMode("append")
@@ -455,9 +455,9 @@ class StreamingSpec extends GraftSpec {
     import sp.implicits._
     implicit val ctx = sp.sqlContext
     val source = MemoryStream[(Long, String)]
-    val dir = java.nio.file.Files.createTempDirectory("gpx_cf").toString
-    val ckpt1 = java.nio.file.Files.createTempDirectory("gpx_cf_c1").toString
-    val ckpt2 = java.nio.file.Files.createTempDirectory("gpx_cf_c2").toString
+    val dir = TestSpark.tempDir("gpx_cf")
+    val ckpt1 = TestSpark.tempDir("gpx_cf_c1")
+    val ckpt2 = TestSpark.tempDir("gpx_cf_c2")
     val q1 = source.toDF().toDF("id", "s")
       .writeStream.outputMode("append")
       .option("checkpointLocation", ckpt1)
