@@ -262,9 +262,11 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       // ALTER TABLE t SET TBLPROPERTIES('index'='c1[,c2]'): build (or
       // rebuild) the point index on the given key column(s) — the DDL
       // face of GpxPointIndex (reference: index as first-class catalog
-      // metadata, KeyColumns.java). Staleness is self-managed: the index
-      // fingerprints the file listing and lookups fall back to scans
-      // when it no longer matches; re-run SET to rebuild after DML.
+      // metadata, KeyColumns.java). Staleness is self-managed: validity
+      // is the table's layout-version token (GpxVersion) and lookups
+      // fall back to scans when it moved; GpxPointIndex.refresh (or
+      // spark.graft.gpx.indexAutoRefresh=true) re-serves after appends
+      // by indexing only the new files.
       case set: TableChange.SetProperty if set.property == "index" =>
         val cols = set.value.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
         require(cols.nonEmpty, "index needs at least one column")

@@ -47,6 +47,9 @@ object GpxCompactor {
         files.filter(f => withSidecars.contains(new Path(f).getName))
           .foreach(f => GpxDeleteBitmap.foldFile(f, conf))
       }
+    // folds rewrote masked files in place: exact marker + fresh token
+    // for the source table, still under this op's lock
+    GpxVersion.recomputeDeletes(inDir, conf)
     val files = GpxTable.listFiles(Seq(inDir), conf).sorted
     require(files.nonEmpty, s"no gpx files under $inDir")
     val outPath = new Path(outDir)
@@ -139,6 +142,7 @@ object GpxCompactor {
       } finally in.close()
     }
     closeOut()
+    GpxVersion.bump(outDir, conf) // fresh table contents under outDir
     Result(files.length, outFiles, totalRows)
   }
 }

@@ -1264,6 +1264,8 @@ class GpxStreamingWrite(schema: StructType, path: String, rgRows: Int,
           fs.delete(st.getPath, false)
       }
     }
+    // every epoch is an append commit: invalidate token-gated artifacts
+    GpxVersion.bump(path, conf)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -1452,6 +1454,12 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
         throw e
     }
     fs.delete(new Path(staging), true)
+    // layout-version token: invalidate token-gated artifacts (projection
+    // manifests, index manifests, the delete-marker fast path). OVERWRITE
+    // trashed the _del dirs, so its marker recomputes exactly (under the
+    // lock this branch holds); appends preserve the marker.
+    if (truncate) GpxVersion.recomputeDeletes(path, conf)
+    else GpxVersion.bump(path, conf)
     // projection maintenance (Projections.java economics): with
     // spark.graft.gpx.projectionAutoRefresh=true, every committed write
     // brings the table's projections up to date — O(inserted data) for
@@ -1466,6 +1474,15 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
       try GpxProjection.refresh(org.apache.spark.sql.SparkSession.active, path, p)
       catch { case scala.util.control.NonFatal(_) => () } // stale = fallback
     }
+    // same economics for point indexes: appends index only the new files
+    // (GpxPointIndex.refresh); overwrite rebuilds. Best-effort — a stale
+    // index fails its token check and lookups fall back to scans.
+    val idxAuto = try org.apache.spark.sql.SparkSession.active.conf
+      .getOption("spark.graft.gpx.indexAutoRefresh").contains("true")
+    catch { case _: Throwable => false }
+    if (idxAuto)
+      try GpxPointIndex.refreshAll(org.apache.spark.sql.SparkSession.active, path)
+      catch { case scala.util.control.NonFatal(_) => () }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -131,6 +131,10 @@ object GpxDelete {
 
     // ---- merge-on-read: one job writes the bitmap sidecars ----
     if (morFiles.nonEmpty) {
+      // delete marker BEFORE any sidecar exists (under this op's lock):
+      // a scan may over-report deletes transiently (skips a pushdown),
+      // never under-report
+      roots.foreach(GpxVersion.markDeletes(_, conf))
       val matched = readFiles(morFiles)
         .filter(pred <=> lit(true))
         .select(col(GpxTable.FileCol).as("f"), col(GpxTable.PosCol).as("p"))
@@ -186,5 +190,8 @@ object GpxDelete {
         GpxDeleteBitmap.dropSidecars(p, conf)
       }
     }
+    // exact marker + fresh layout token for every touched root, still
+    // under this op's lock (COW dropped sidecars; MOR added them)
+    roots.foreach(GpxVersion.recomputeDeletes(_, conf))
   }
 }

@@ -80,30 +80,39 @@ object GpxDeleteBitmap {
   def applies(s: Sidecar, snapshotTs: Option[Long]): Boolean =
     s.commitTs < 0 || snapshotTs.forall(s.commitTs <= _)
 
-  /** true when ANY data file under `roots` has a delete sidecar — pushed
-    * aggregates (footer-stats COUNT/MIN/MAX) and limit truncation must
-    * then stay off: footer numbers include masked rows. ONE recursive
-    * walk per root (no per-file work, no footer reads) — this runs at
-    * pushdown time on every scan build, including the no-deletes steady
-    * state. */
+  /** true when ANY data file under `roots` MAY have a delete sidecar —
+    * pushed aggregates (footer-stats COUNT/MIN/MAX) and limit truncation
+    * must then stay off: footer numbers include masked rows. Version-
+    * tracked tables answer from the [[GpxVersion]] delete marker (two
+    * tiny existence checks, O(1) at any file count); untracked tables
+    * take one recursive walk per root. This runs at pushdown time on
+    * every scan build, so the steady state must not pay O(files). */
   def anyDeletes(roots: Seq[String], conf: Configuration): Boolean =
     roots.exists { r =>
-      GpxFs.stat(r, conf) match {
-        case Some(st) if st.isFile =>
-          // a FILE root (explicit-file reads, e.g. the delete's own
-          // jobs) keeps its sidecars in the SIBLING _del dir — a walk
-          // of the file itself would miss them
-          val p = new Path(r)
-          sidecarsIn(p.getParent, conf).contains(p.getName)
-        case _ =>
-          GpxFs.listRecursive(r, conf).exists { case (full, isFile) =>
-            isFile && full.endsWith(".del") && {
-              val segs = full.split('/')
-              segs.length >= 2 && segs(segs.length - 2) == DelDir &&
-                !segs.last.startsWith(".")
-            }
-          }
+      GpxVersion.hasDeletes(r, conf) match {
+        case Some(b) => b
+        case None => walkForSidecars(r, conf)
       }
+    }
+
+  /** the exact (O(files) walk) form — seed/recompute paths and untracked
+    * tables only */
+  def walkForSidecars(r: String, conf: Configuration): Boolean =
+    GpxFs.stat(r, conf) match {
+      case Some(st) if st.isFile =>
+        // a FILE root (explicit-file reads, e.g. the delete's own
+        // jobs) keeps its sidecars in the SIBLING _del dir — a walk
+        // of the file itself would miss them
+        val p = new Path(r)
+        sidecarsIn(p.getParent, conf).contains(p.getName)
+      case _ =>
+        GpxFs.listRecursive(r, conf).exists { case (full, isFile) =>
+          isFile && full.endsWith(".del") && {
+            val segs = full.split('/')
+            segs.length >= 2 && segs(segs.length - 2) == DelDir &&
+              !segs.last.startsWith(".")
+          }
+        }
     }
 
   // ---------------- bitmap IO ----------------

@@ -157,6 +157,8 @@ class GpxDeltaBatchWrite(dataSchema: StructType, rowIdSchema: StructType,
           case None => merged(file) = bs
         }
       })
+      // delete marker BEFORE the first sidecar publishes (under the lock)
+      if (merged.nonEmpty) GpxVersion.markDeletes(root, conf)
       merged.foreach { case (file, bits) =>
         sidecars += new Path(GpxDeleteBitmap.write(new Path(file), commitTs,
           bits, bits.length.toLong, conf))
@@ -171,6 +173,8 @@ class GpxDeltaBatchWrite(dataSchema: StructType, rowIdSchema: StructType,
         throw e
     }
     fs.delete(new Path(staging), true)
+    // fresh layout token (inserts published; marker set above if masked)
+    GpxVersion.bump(root, conf)
     } // mutation lock
   }
 

@@ -147,6 +147,11 @@ object GpxMutationLock {
     * deleted rows. Conservative by design: a concurrent mask on rows this
     * op never touched also aborts (with a retry message), never corrupts. */
   def sidecarState(root: String, conf: Configuration): Set[String] = {
+    // version-tracked tables with no delete marker provably have no
+    // sidecars: the capture is the empty set with zero walking (any
+    // concurrent mutation that adds one marks the table first, so the
+    // commit-time re-check walks and sees the difference)
+    if (GpxVersion.hasDeletes(root, conf).contains(false)) return Set.empty
     val parents = GpxTable.listFiles(Seq(root), conf)
       .map(f => new Path(f).getParent) :+ lockDir(root)
     parents.distinct.flatMap(par =>

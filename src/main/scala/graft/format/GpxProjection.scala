@@ -38,7 +38,12 @@ object GpxProjection {
 
   val ProjDir = "_proj"
 
-  final case class Manifest(columns: Seq[String], covered: Seq[String])
+  /** `token`: the base's [[GpxVersion]] layout token read BEFORE the
+    * listing/copy was captured — the O(1) validity check. None on
+    * legacy manifests (validity then falls back to the exact listing
+    * comparison). */
+  final case class Manifest(columns: Seq[String], covered: Seq[String],
+      token: Option[String] = None)
 
   def projPath(table: String, name: String): Path =
     new Path(new Path(table, ProjDir), name)
@@ -68,8 +73,9 @@ object GpxProjection {
       conf: Configuration): Unit = {
     val p = manifestPath(table, name)
     val out = p.getFileSystem(conf).create(p, true)
-    try out.write((m.columns.mkString(",") + "\n" + m.covered.mkString("\n"))
-      .getBytes("UTF-8"))
+    val tokLine = m.token.map(t => s"token:$t\n").getOrElse("")
+    try out.write((m.columns.mkString(",") + "\n" + tokLine +
+      m.covered.mkString("\n")).getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -83,8 +89,11 @@ object GpxProjection {
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
       val lines = txt.split("\n").toSeq
+      val tok = lines.lift(1).filter(_.startsWith("token:"))
+        .map(_.stripPrefix("token:"))
+      val rest = if (tok.isDefined) lines.drop(2) else lines.tail
       Some(Manifest(lines.head.split(",").toSeq.filter(_.nonEmpty),
-        lines.tail.filter(_.nonEmpty)))
+        rest.filter(_.nonEmpty), tok))
     }
   }
 
@@ -119,6 +128,10 @@ object GpxProjection {
     val base = spark.read.format("gpx").load(table)
     columns.foreach(c => require(base.schema.fieldNames.contains(c),
       s"projection column $c not in table schema"))
+    // token read BEFORE the listing/copy: a commit racing this build
+    // changes the current token away from the recorded one, so the
+    // manifest conservatively invalidates instead of serving stale
+    val tok = GpxVersion.current(table, conf)
     val listing = baseListing(table, conf)
     val dir = projPath(table, name)
     val (bucket, sort) = layoutOptions(table, columns, conf)
@@ -128,7 +141,7 @@ object GpxProjection {
       .option("numBuckets", b.numBuckets.toString))
     if (sort.nonEmpty) w = w.option("sortBy", sort.mkString(","))
     w.save(dir.toString)
-    writeManifest(table, name, Manifest(columns, listing), conf)
+    writeManifest(table, name, Manifest(columns, listing, tok), conf)
   }
 
   /** bring the projection up to date: no-op when current, O(new data)
@@ -137,8 +150,15 @@ object GpxProjection {
     val conf = new Configuration()
     val m = readManifest(table, name, conf).getOrElse(
       throw new IllegalArgumentException(s"no projection $name on $table"))
+    // O(1) fast path: unchanged token = nothing to do, no listing walk
+    val tok = GpxVersion.current(table, conf)
+    if (tok.isDefined && m.token == tok) return
     val current = baseListing(table, conf)
-    if (current == m.covered) return
+    if (current == m.covered) {
+      // bytes unchanged, token moved (or legacy manifest): revalidate
+      writeManifest(table, name, Manifest(m.columns, current, tok), conf)
+      return
+    }
     val covered = m.covered.toSet
     val added = current.filterNot(covered)
     val pureAppend = covered.subsetOf(current.toSet) &&
@@ -154,21 +174,30 @@ object GpxProjection {
         .option("numBuckets", b.numBuckets.toString))
       if (sort.nonEmpty) w = w.option("sortBy", sort.mkString(","))
       w.save(projPath(table, name).toString)
-      writeManifest(table, name, Manifest(m.columns, current), conf)
+      writeManifest(table, name, Manifest(m.columns, current, tok), conf)
     } else build(spark, table, name, m.columns)
   }
 
   /** the narrowest VALID projection covering `needed`, as
-    * (projection dir, its columns) — None falls back to the base scan */
+    * (projection dir, its columns) — None falls back to the base scan.
+    *
+    * Validity at scan-build time is ONE tiny read: the current
+    * [[GpxVersion]] token must equal the token the manifest recorded
+    * (every commit path bumps it). Only legacy manifests/tables without
+    * tokens pay the exact O(files) listing comparison — the planning-time
+    * walk this token exists to retire. */
   def covering(table: String, needed: Set[String],
       conf: Configuration): Option[(String, Seq[String])] = {
     val names = listProjections(table, conf)
     if (names.isEmpty) return None
-    val current = baseListing(table, conf)
+    val curTok = GpxVersion.current(table, conf)
+    lazy val current = baseListing(table, conf) // only walked sans tokens
     names.flatMap { n =>
       readManifest(table, n, conf) match {
-        case Some(m) if needed.subsetOf(m.columns.toSet) && m.covered == current =>
-          Some((projPath(table, n).toString, m.columns))
+        case Some(m) if needed.subsetOf(m.columns.toSet) && {
+          if (m.token.isDefined && curTok.isDefined) m.token == curTok
+          else m.covered == current
+        } => Some((projPath(table, n).toString, m.columns))
         case _ => None
       }
     }.sortBy(_._2.length).headOption

@@ -206,6 +206,8 @@ class GpxReplaceBatchWrite(
       // FOLDED them — their sidecars go with the superseded file
       GpxDeleteBitmap.dropSidecars(p, conf)
     }
+    // exact delete marker + fresh layout token, still under the lock
+    GpxVersion.recomputeDeletes(root, conf)
     } // mutation lock
   }
 

@@ -1,0 +1,142 @@
+package graft.format
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Per-table layout-version token — the O(1) validity primitive that
+  * replaces per-scan O(files) listing walks.
+  *
+  * Problem shape: projection routing, point-index serving and the
+  * delete-sidecar probe each need "has this table changed since X?" at
+  * SCAN BUILD time. Comparing full (relpath|len|mtime) listings answers it
+  * exactly but costs recursive walks per query plan — a planning-time
+  * scale-killer on object storage with millions of files. (The reference
+  * answers the same question through its metadata service's table
+  * versions; gpx has no daemon, so the analog is a storage token.)
+  *
+  * Mechanism: every COMMITTING write path bumps `<table>/_version` to a
+  * fresh unique token (never a counter — counters lose concurrent updates
+  * and could revalidate a stale manifest; distinct random tokens can only
+  * INVALIDATE). A derived artifact (projection manifest, index manifest)
+  * records the token read BEFORE it captured its listing; validity is one
+  * tiny file read + string compare. A commit racing the build changes the
+  * token, so the artifact conservatively invalidates — never serves stale.
+  * Tables without a token file (legacy, or external writers) fall back to
+  * the exact listing comparison.
+  *
+  * Delete-sidecar presence rides the same mechanism as a MARKER file
+  * (`_hasdels`): present = the table MAY have merge-on-read sidecars
+  * (conservative — scans then skip footer-stats/limit pushdown and walk
+  * for real masks); absent (with `_version` present) = provably none.
+  * The marker is created BEFORE the first sidecar of a mutation is
+  * written (under the table's mutation lock) and removed only by
+  * recompute paths that verified zero sidecars remain — over-reporting
+  * is safe, under-reporting never happens. Lock-free appends never touch
+  * the marker, so they cannot race a masking mutation into a false
+  * negative. The first bump of a legacy table seeds the marker with one
+  * walk.
+  */
+object GpxVersion {
+
+  val VersionFile = "_version"
+  val DelMark = "_hasdels"
+
+  /** table dir for a root (explicit-file roots version their parent,
+    * matching the mutation lock's contention scope) */
+  private def dir(root: String): Path = {
+    val p = new Path(root)
+    if (root.endsWith(".gpx")) p.getParent else p
+  }
+
+  private def freshToken(): String =
+    s"${System.currentTimeMillis()}-${java.util.UUID.randomUUID().toString.take(12)}"
+
+  /** current token, or None when absent/unreadable (callers fall back to
+    * exact listing comparison) */
+  def current(root: String, conf: Configuration): Option[String] = {
+    val p = new Path(dir(root), VersionFile)
+    try {
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val t = txt.trim
+        if (t.nonEmpty) Some(t) else None
+      }
+    } catch { case _: Throwable => None } // racing overwrite: unknown
+  }
+
+  private def writeToken(fs: FileSystem, d: Path): Unit = {
+    val p = new Path(d, VersionFile)
+    val tmp = new Path(d, s".${VersionFile}.${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(freshToken().getBytes("UTF-8")) finally out.close()
+    // readers observing the brief absent window treat it as "unknown" and
+    // fall back to listing comparison — safe on every store. The rename is
+    // RETRIED on stores where rename-to-existing fails (HDFS semantics):
+    // dropping this bump after losing a race to a concurrent bump would
+    // leave the winner's token standing for a table that changed TWICE —
+    // a manifest recorded between the two could then serve stale.
+    var attempts = 3
+    var done = false
+    while (!done && attempts > 0) {
+      attempts -= 1
+      if (fs.exists(p)) { try fs.delete(p, false) catch { case _: Throwable => () } }
+      done = try fs.rename(tmp, p) catch { case _: Throwable => false }
+    }
+    if (!done) { try fs.delete(tmp, false) catch { case _: Throwable => () } }
+  }
+
+  /** invalidate every token-gated artifact of the table. On the FIRST bump
+    * of a table that predates version tracking, seed the delete marker
+    * with one sidecar walk so `hasDeletes` becomes authoritative. */
+  def bump(root: String, conf: Configuration): Unit =
+    try {
+      val d = dir(root)
+      val fs = d.getFileSystem(conf)
+      if (!fs.exists(d)) fs.mkdirs(d)
+      if (!fs.exists(new Path(d, VersionFile)) &&
+          GpxDeleteBitmap.walkForSidecars(d.toString, conf))
+        fs.create(new Path(d, DelMark), true).close()
+      writeToken(fs, d)
+    } catch { case _: Throwable => () } // best-effort: absent token = fallback
+
+  /** mark "this table may have delete sidecars" — MUST be called before
+    * the first sidecar of a mutation is published (idempotent) */
+  def markDeletes(root: String, conf: Configuration): Unit =
+    try {
+      val d = dir(root)
+      val fs = d.getFileSystem(conf)
+      fs.mkdirs(d)
+      fs.create(new Path(d, DelMark), true).close()
+      writeToken(fs, d)
+    } catch { case _: Throwable => () }
+
+  /** exact re-derivation after a mutation that REMOVED sidecars (fold,
+    * compaction, COW rewrite, overwrite): one walk, marker matches
+    * reality, token bumps. Call only under the table's mutation lock —
+    * the walk must not race a concurrent masking mutation. */
+  def recomputeDeletes(root: String, conf: Configuration): Unit =
+    try {
+      val d = dir(root)
+      val fs = d.getFileSystem(conf)
+      fs.mkdirs(d)
+      val any = GpxDeleteBitmap.walkForSidecars(d.toString, conf)
+      val mark = new Path(d, DelMark)
+      if (any) fs.create(mark, true).close()
+      else if (fs.exists(mark)) fs.delete(mark, false)
+      writeToken(fs, d)
+    } catch { case _: Throwable => () }
+
+  /** Some(mayHaveDeletes) when the token file exists (marker is then
+    * authoritative-or-conservative); None = untracked table, caller walks */
+  def hasDeletes(root: String, conf: Configuration): Option[Boolean] =
+    try {
+      val d = dir(root)
+      val fs = d.getFileSystem(conf)
+      if (!fs.exists(new Path(d, VersionFile))) None
+      else Some(fs.exists(new Path(d, DelMark)))
+    } catch { case _: Throwable => None }
+}
