@@ -368,7 +368,8 @@ class GpxTable(schema: StructType, roots: Seq[String],
     // writes keep the explicit-option contract (-1 = always visible)
     val commitTs = Option(info.options.get("commitTs"))
       .map(_.toLong)
-      .getOrElse(if (catalogManaged) System.currentTimeMillis() * 1000L else -1L)
+      .getOrElse(if (catalogManaged)
+        GpxTxn.stamp(roots.head, new Configuration()) else -1L)
     val optBucket = for {
       c <- Option(info.options.get("bucketBy"))
       n <- Option(info.options.get("numBuckets"))

@@ -102,7 +102,7 @@ object GpxDelete {
     // the delete's own commit ts: catalog tables keep MVCC history (the
     // sidecar only applies at snapshots >= the delete); path-based tables
     // mask unconditionally, matching the COW history-compaction stance
-    val deleteTs = if (catalogManaged) System.currentTimeMillis() * 1000L else -1L
+    val deleteTs = if (catalogManaged) GpxTxn.stamp(roots.head, conf) else -1L
 
     def readFiles(files: Seq[String]) = spark.read.format("gpx")
       .schema(dataSchema).load(files: _*)
@@ -190,8 +190,12 @@ object GpxDelete {
         GpxDeleteBitmap.dropSidecars(p, conf)
       }
     }
-    // exact marker + fresh layout token for every touched root, still
-    // under this op's lock (COW dropped sidecars; MOR added them)
-    roots.foreach(GpxVersion.recomputeDeletes(_, conf))
+    // COW changed data files (and dropped their sidecars): exact marker +
+    // fresh layout tokens, still under this op's lock. A MOR-only delete
+    // leaves data files untouched — markDeletes above already set the
+    // marker and bumped the delete-sensitive token; the data token must
+    // NOT move, so bitmap deletes don't invalidate the point index
+    // (lookups replay the bitmaps themselves).
+    if (cowFiles.nonEmpty) roots.foreach(GpxVersion.recomputeDeletes(_, conf))
   }
 }

@@ -60,8 +60,8 @@ class GpxDeltaOperation(schema: StructType, roots: Seq[String],
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = {
-        val ts =
-          if (catalogManaged) System.currentTimeMillis() * 1000L else -1L
+        val ts = if (catalogManaged)
+          GpxTxn.stamp(roots.head, new Configuration()) else -1L
         val rowIdSchema = info.rowIdSchema().orElse(new StructType())
         new GpxDeltaWrite(info.schema(), rowIdSchema, roots.head, ts)
       }

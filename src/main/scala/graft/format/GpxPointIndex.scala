@@ -150,7 +150,7 @@ object GpxPointIndex {
     * any file count; legacy manifests pay the exact fingerprint walk. */
   def valid(table: String, column: String, conf: Configuration): Boolean =
     readManifest(table, column, conf).exists { m =>
-      val cur = GpxVersion.current(table, conf)
+      val cur = GpxVersion.currentData(table, conf)
       if (m.token.isDefined && cur.isDefined) m.token == cur
       else m.fp == tableFingerprint(table, conf)
     }
@@ -248,7 +248,7 @@ object GpxPointIndex {
     // token read BEFORE the listing: a commit racing this build moves the
     // current token away from the recorded one, so the manifest
     // conservatively invalidates instead of serving stale
-    val tok = GpxVersion.current(table, conf)
+    val tok = GpxVersion.currentData(table, conf)
     val listing = tableListing(table, conf)
     require(listing.nonEmpty, s"no gpx files under $table")
     val n = writeEntries(spark, table, columns, listing.map(_._1),
@@ -333,7 +333,7 @@ object GpxPointIndex {
     val m = readManifest(table, name, conf).getOrElse(
       throw new IllegalArgumentException(s"no index $name on $table"))
     // O(1) fast path: unchanged token = nothing to do, no listing walk
-    val tok = GpxVersion.current(table, conf)
+    val tok = GpxVersion.currentData(table, conf)
     if (tok.isDefined && m.token == tok) return
     val current = tableListing(table, conf)
     val fp = fingerprint(current)

@@ -84,8 +84,8 @@ class GpxRowLevelOperation(
         .column(GpxTable.CommitTsCol))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val commitTs =
-      if (catalogManaged) System.currentTimeMillis() * 1000L else -1L
+    val commitTs = if (catalogManaged)
+      GpxTxn.stamp(roots.head, new Configuration()) else -1L
     // metadata row layout, resolved by NAME (never by assumed position)
     val metaSchema = if (info.metadataSchema().isPresent)
       info.metadataSchema().get() else new StructType()

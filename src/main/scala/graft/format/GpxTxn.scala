@@ -1,0 +1,141 @@
+package graft.format
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Warehouse-scoped commit-timestamp oracle — the cross-table MVCC
+  * primitive (reference: one global transaction timestamp per query,
+  * pixels-common transaction domain, proto/transaction.proto:33-48; there
+  * a daemon issues timestamps, here the warehouse's `_txn` counter file
+  * plays the oracle).
+  *
+  * Two problems it closes at once:
+  *
+  *  1. MONOTONICITY. Stamping commits from the wall clock lets clock skew
+  *     between two drivers produce out-of-order commitTs, making
+  *     `FOR TIMESTAMP AS OF` boundary-ambiguous. `allocate` issues
+  *     `max(wallClockMicros, last + 1)` under a lock and persists the high
+  *     water mark, so issued timestamps strictly increase across every
+  *     writer of the warehouse while still tracking real time (so
+  *     time-travel by human timestamps keeps working).
+  *
+  *  2. CROSS-TABLE SNAPSHOTS. A per-table snapshotTs cannot freeze a
+  *     multi-table query: each table pins independently and a commit
+  *     landing between two scans tears the snapshot. Because ALL tables of
+  *     a warehouse stamp from the same counter, one `currentToken` value
+  *     is a consistent "AS OF" for every table at once: any later commit —
+  *     to any table — allocates a strictly larger ts and is invisible at
+  *     the token. Pin per read (`option("asOfToken", t)`) or per session
+  *     (`spark.graft.gpx.asOfToken`), which covers every gpx table in the
+  *     query without touching each scan.
+  *
+  * Tables opt in by carrying a `_warehouse` marker (written by GpxCatalog
+  * at CREATE TABLE, or by [[bind]] for path-based tables); unbound tables
+  * keep the wall-clock stamping they had.
+  */
+object GpxTxn {
+
+  val CounterFile = "_txn"
+  val WarehouseMark = "_warehouse"
+
+  /** bind a table dir to a warehouse counter (idempotent) */
+  def bind(tableDir: String, warehouse: String, conf: Configuration): Unit = {
+    val p = new Path(tableDir, WarehouseMark)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(new Path(tableDir))
+    val out = fs.create(p, true)
+    try out.write(warehouse.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** the warehouse a table is bound to, if any */
+  def warehouseOf(tableDir: String, conf: Configuration): Option[String] = {
+    val p = new Path(tableDir, WarehouseMark)
+    try {
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        if (s.nonEmpty) Some(s) else None
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  /** issue the next commit timestamp for the warehouse: strictly greater
+    * than every previously issued one AND >= the current wall clock
+    * (epoch micros). Serialized by the warehouse's `_txnlock` mutation
+    * lock — commit-rate, not row-rate, so the lock is not a throughput
+    * concern; the reference pays the same round trip to its transaction
+    * service per commit. */
+  def allocate(warehouse: String, conf: Configuration): Long = {
+    // the table mutation lock REFUSES on contention (conflicting rewrites
+    // should fail loudly); timestamp allocation must instead QUEUE — two
+    // concurrent commits are not a conflict. Bounded retry with backoff.
+    var attempts = 200
+    while (true) {
+      try {
+        return GpxMutationLock.withLock(txnScope(warehouse), conf, "txn allocate") {
+          val next =
+            math.max(System.currentTimeMillis() * 1000L, read(warehouse, conf) + 1L)
+          write(warehouse, next, conf)
+          next
+        }
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts -= 1
+          if (attempts <= 0) throw e
+          Thread.sleep(10 + scala.util.Random.nextInt(40))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** a consistent cross-table snapshot token: everything committed so far
+    * (in ANY table of the warehouse) is visible at it, every later commit
+    * is not. Read-only — no lock, one tiny file read. */
+  def currentToken(warehouse: String, conf: Configuration): Long = {
+    val hwm = read(warehouse, conf)
+    if (hwm > 0) hwm else System.currentTimeMillis() * 1000L
+  }
+
+  /** commit stamp for a catalog-managed table: warehouse-monotone when the
+    * table is bound, wall clock otherwise (legacy behavior). */
+  def stamp(tableDir: String, conf: Configuration): Long =
+    warehouseOf(tableDir, conf) match {
+      case Some(w) => allocate(w, conf)
+      case None => System.currentTimeMillis() * 1000L
+    }
+
+  // the counter gets its own lock scope so table mutation locks (taken on
+  // the table dir) and txn allocation never contend
+  private def txnScope(warehouse: String): String =
+    new Path(warehouse, "_txnscope").toString
+
+  private def read(warehouse: String, conf: Configuration): Long = {
+    val p = new Path(warehouse, CounterFile)
+    try {
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) 0L
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        s.toLong
+      }
+    } catch { case _: Throwable => 0L }
+  }
+
+  private def write(warehouse: String, v: Long, conf: Configuration): Unit = {
+    val d = new Path(warehouse)
+    val fs = d.getFileSystem(conf)
+    fs.mkdirs(d)
+    val p = new Path(d, CounterFile)
+    val tmp = new Path(d, s".$CounterFile.${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"txn counter publish failed: $p")
+  }
+}

@@ -39,6 +39,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object GpxVersion {
 
   val VersionFile = "_version"
+
+  /** data-layout-only token: bumped when DATA FILES change (append,
+    * overwrite, COW rewrite, compaction, fold) but NOT when a
+    * merge-on-read delete publishes a bitmap sidecar. Artifacts that
+    * replay delete bitmaps themselves at serve time (the point index)
+    * validate against THIS token, so bitmap deletes — the whole point of
+    * merge-on-read — don't throw away their index. Artifacts that FOLD
+    * deletes at build time (projections) keep validating against the
+    * delete-sensitive `_version`. */
+  val DataVersionFile = "_vdata"
+
   val DelMark = "_hasdels"
 
   /** table dir for a root (explicit-file roots version their parent,
@@ -53,8 +64,17 @@ object GpxVersion {
 
   /** current token, or None when absent/unreadable (callers fall back to
     * exact listing comparison) */
-  def current(root: String, conf: Configuration): Option[String] = {
-    val p = new Path(dir(root), VersionFile)
+  def current(root: String, conf: Configuration): Option[String] =
+    read(root, VersionFile, conf)
+
+  /** current data-layout token (delete-sidecar changes excluded), or None
+    * when absent/unreadable */
+  def currentData(root: String, conf: Configuration): Option[String] =
+    read(root, DataVersionFile, conf)
+
+  private def read(root: String, file: String,
+      conf: Configuration): Option[String] = {
+    val p = new Path(dir(root), file)
     try {
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) None
@@ -68,9 +88,9 @@ object GpxVersion {
     } catch { case _: Throwable => None } // racing overwrite: unknown
   }
 
-  private def writeToken(fs: FileSystem, d: Path): Unit = {
-    val p = new Path(d, VersionFile)
-    val tmp = new Path(d, s".${VersionFile}.${java.util.UUID.randomUUID().toString.take(8)}")
+  private def writeToken(fs: FileSystem, d: Path, file: String = VersionFile): Unit = {
+    val p = new Path(d, file)
+    val tmp = new Path(d, s".${file}.${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(freshToken().getBytes("UTF-8")) finally out.close()
     // readers observing the brief absent window treat it as "unknown" and
@@ -101,10 +121,14 @@ object GpxVersion {
           GpxDeleteBitmap.walkForSidecars(d.toString, conf))
         fs.create(new Path(d, DelMark), true).close()
       writeToken(fs, d)
+      writeToken(fs, d, DataVersionFile)
     } catch { case _: Throwable => () } // best-effort: absent token = fallback
 
   /** mark "this table may have delete sidecars" — MUST be called before
-    * the first sidecar of a mutation is published (idempotent) */
+    * the first sidecar of a mutation is published (idempotent). Bumps the
+    * delete-sensitive `_version` only: data files are untouched, so
+    * data-layout-keyed artifacts (point index) stay valid and replay the
+    * new bitmap at serve time. */
   def markDeletes(root: String, conf: Configuration): Unit =
     try {
       val d = dir(root)
@@ -128,6 +152,7 @@ object GpxVersion {
       if (any) fs.create(mark, true).close()
       else if (fs.exists(mark)) fs.delete(mark, false)
       writeToken(fs, d)
+      writeToken(fs, d, DataVersionFile)
     } catch { case _: Throwable => () }
 
   /** Some(mayHaveDeletes) when the token file exists (marker is then

@@ -11,19 +11,33 @@ import org.apache.spark.sql.types._
   * and MVCC snapshot reads (reader option transTimestamp,
   * PixelsReaderOption.java:39).
   *
-  * The events table carries nanosecond parquet timestamps, which Spark's
-  * vectorized reader rejects; we read them as raw nanos longs
-  * (spark.sql.legacy.parquet.nanosAsLong) — the engine-portable epoch
-  * representation (DuckDB side: epoch_ns). The CDC/MVCC queries are the
-  * BATCH expression of the semantics; the streaming path (foreachBatch
-  * upsert) lives in graft.streaming and is exercised by CdcStreamSpec.
+  * The engine-portable epoch representation for events.ts is an epoch-nanos
+  * long (DuckDB side: epoch_ns, which is exact for any parquet timestamp
+  * unit). The physical parquet type is NOT under our control — the data
+  * generator has shipped both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) files
+  * — so ingestion is type-adaptive, the Spark analog of the reference's
+  * tolerant schema evolution (PixelsReaderOption.java:34,126): inspect the
+  * inferred type and normalize to the nanos-long contract. The CDC/MVCC
+  * queries are the BATCH expression of the semantics; the streaming path
+  * (foreachBatch upsert) lives in graft.streaming and is exercised by
+  * CdcStreamSpec.
   */
 object EventOps {
 
-  /** events with ts as epoch nanos (LongType). */
+  /** events with ts normalized to epoch nanos (LongType), whatever the
+    * physical parquet timestamp unit. Session TZ is UTC, so casting an
+    * NTZ wall-clock to timestamp is the identity epoch mapping — the same
+    * convention DuckDB's epoch_ns applies on the oracle side. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.t(s, d, "events")
+    val raw = Tables.t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw // already epoch nanos (legacy nanos files)
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other; expected long/timestamp")
+    }
   }
 
   private val NanosPerSec = 1000000000L

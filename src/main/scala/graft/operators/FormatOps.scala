@@ -12,17 +12,63 @@ import org.apache.spark.sql.functions._
   */
 object FormatOps {
 
-  /** per-sf cache dir built at most once per JVM (idempotent via marker). */
-  private[operators] def cachedDir(d: String, name: String)(build: String => Unit): String = {
+  /** Fingerprint of the source parquet under an sf dir: name+size+mtime of
+    * every parquet file, hashed. Part of the cache-validity key so a
+    * REGENERATED testdata dir (same path, new bytes) can never be served a
+    * stale gpx materialization — the content-keyed analog of the
+    * reference's layout-version checks (metadata.proto Layout.version). */
+  private[graft] def sourceFingerprint(d: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .sortBy(_.getName).flatMap(walk).toSeq
+      else Seq(f)
+    val files = walk(new java.io.File(d))
+      .filter(f => f.getName.endsWith(".parquet") || f.getParent.contains(".parquet"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    files.foreach { f =>
+      md.update(s"${f.getAbsolutePath}:${f.length}:${f.lastModified}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Per-sf cache dir built at most once per source-content generation.
+    * The `_done` marker stores the source fingerprint; a marker that is
+    * missing OR stale (testdata regenerated in place) triggers a clean
+    * rebuild. Per-dir locking keeps concurrent first-touch builds (test
+    * suites run in one JVM) single-writer without serializing distinct
+    * tables against each other. */
+  private[graft] def cachedDir(d: String, name: String)(build: String => Unit): String = {
     val key = d.replaceAll("[^a-zA-Z0-9]", "_")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gpx" +
       s"/v${graft.format.GpxFormat.FormatVersion}/${name}_$key"
-    val marker = new java.io.File(s"$dir/_done")
-    if (!marker.exists()) {
-      build(dir)
-      marker.createNewFile()
+    val lock = buildLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      val marker = new java.io.File(s"$dir/_done")
+      val fp = sourceFingerprint(d)
+      val stored =
+        if (marker.exists())
+          new String(java.nio.file.Files.readAllBytes(marker.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+        else null
+      if (stored != fp) {
+        deleteRecursively(new java.io.File(dir))
+        build(dir)
+        java.nio.file.Files.write(marker.toPath,
+          fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
     dir
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(deleteRecursively)
+    f.delete()
   }
 
   /** write `table` to a per-sf gpx dir once per JVM (idempotent). */

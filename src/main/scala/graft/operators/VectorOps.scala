@@ -209,24 +209,32 @@ object VectorOps {
     }, None),
 
     // Random-hyperplane LSH near-dup pairs — the 100 TB scale path for
-    // v01's semantics: T tables of B sign-bits bucket the vectors; only
-    // same-bucket pairs are exact-verified with the codegen'd cosine.
-    // Precision is exact (every emitted pair passes the true threshold);
-    // recall is probabilistic — rows-only gate, measured in VectorOpsSpec.
+    // v01's semantics: T tables of B sign-bits bucket the vectors, with
+    // Hamming-<=1 MULTI-PROBE (each table emits B keys, one per masked
+    // bit, so two signatures differing in at most one bit still land in a
+    // common bucket) — only bucket-mates are exact-verified with the
+    // codegen'd cosine. Multi-probe raises the worst-case per-table
+    // collision probability from p^B to p^B + B*p^(B-1)*(1-p) (~6x at
+    // B=8, p=0.63 for a threshold-grade pair) WITHOUT any extra
+    // hyperplane dot products — the expensive part of signing — at the
+    // cost of Bx more ids-only banding rows. Precision is exact (every
+    // emitted pair passes the true threshold); recall is probabilistic —
+    // gated >= 0.6 vs brute force in VectorOpsSpec.
     GQuery("v05_cosine_pairs_lsh", (s, d) => {
       import graft.CacheScope.Trackable
       val Tables_ = 16; val Dim = 64
       val e = vecs(s, d).tracked
       // signature width grows with corpus size so per-bucket occupancy
       // (and the quadratic within-bucket verify) stays bounded at scale:
-      // target ~64 vectors per bucket, Bits = log2(n/64) clamped [8, 24].
-      // The count is metadata-only (parquet row counts, no vector decode).
+      // masking a bit halves the bucket count, so target ~64 vectors per
+      // MASKED bucket: Bits = log2(n/64)+1 clamped [8, 24]. The count is
+      // metadata-only (parquet row counts, no vector decode).
       val n = Tables.embeddings(s, d).count()
       val Bits = math.min(24, math.max(8,
-        math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2)).toInt))
+        1 + math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2)).toInt))
       val rnd = new scala.util.Random(42)
       val planes = Array.fill(Tables_, Bits, Dim)(rnd.nextGaussian())
-      val sigCols = (0 until Tables_).map { t =>
+      val sigCols = (0 until Tables_).flatMap { t =>
         val sig = (0 until Bits).map { b =>
           // sign(dot(v, h)) == sign(cos(v, h)) — reuse the codegen'd
           // cosine expression instead of an interpreted lambda fold
@@ -234,7 +242,12 @@ object VectorOps {
           when(graft.functions.VectorFunctions.cos_sim(col("v"), h) > 0,
             1 << b).otherwise(0)
         }.reduce(_ + _)
-        struct(lit(t).as("t"), sig.as("sig"))
+        // multi-probe keys: signature with bit i masked out; two vectors
+        // agreeing on all bits but i share the (t, i, masked) key
+        (0 until Bits).map { i =>
+          struct(lit(t * Bits + i).as("t"),
+            bitwiseNOT(lit(1 << i)).bitwiseAND(sig).as("sig"))
+        }
       }
       // The band self-join shuffles IDS ONLY (16 bytes/row after column
       // pruning) — carrying the 64-dim vectors through the 16x-exploded

@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   * engines: Spark builds the gpx table with them, the DuckDB oracle
   * recomputes the same CTE from parquet, so the hash compare gates the
   * whole wide-row write/scan path. Only the `base` projection differs per
-  * dialect (nanos handling: Spark reads events.ts as raw nanos longs,
-  * DuckDB as TIMESTAMP_NS).
+  * dialect (nanos handling: EventOps.events normalizes ts to epoch-nanos
+  * longs whatever the parquet unit; DuckDB reads the timestamp natively
+  * and epoch_ns() lands on the same values).
   */
 object WideOps {
 
@@ -102,7 +103,8 @@ object WideOps {
     "to_date(timestamp_seconds(ts div 1000000000)) AS event_date",
     "event_type", "value", "props")
 
-  /** DuckDB base: events.ts is TIMESTAMP_NS */
+  /** DuckDB base: events.ts is a native timestamp (any unit); epoch_ns is
+    * exact for both nanos and micros files */
   private val duckBase: String =
     """SELECT event_id, user_id, epoch_ns(ts) AS tsn,
       |  epoch_ns(ts)//1000000000 AS sec,

@@ -811,4 +811,32 @@ class FormatSpec extends GraftSpec {
     assert(back.filter(col("nl") > 0).count() == 0)
     assert(back.filter(col("s") === "").count() == 1)
   }
+
+  test("cachedDir is content-keyed: a rewritten source triggers a rebuild") {
+    import sp.implicits._
+    // a fake "sf dir" whose single parquet table we regenerate in place
+    val src = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$src/fake.parquet")
+    var builds = 0
+    def touch(): String = graft.operators.FormatOps.cachedDir(src, "fsspec") {
+      dir => builds += 1
+        sp.read.parquet(s"$src/fake.parquet")
+          .write.format("gpx").mode("overwrite").save(dir)
+    }
+    val d1 = touch()
+    assert(builds == 1)
+    assert(sp.read.format("gpx").load(d1).count() == 2)
+    touch() // same source bytes: served from cache
+    assert(builds == 1)
+    // regenerate the source IN PLACE (same path, new content) — the stale
+    // materialization must be discarded, not served (round-7 hazard: the
+    // driver regenerates /root/testdata between rounds)
+    Thread.sleep(1100) // mtime granularity can be 1s on some filesystems
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$src/fake.parquet")
+    val d3 = touch()
+    assert(builds == 2, "regenerated source must force a rebuild")
+    assert(sp.read.format("gpx").load(d3).count() == 3)
+  }
 }

@@ -187,7 +187,7 @@ class VectorOpsSpec extends GraftSpec {
     assert(lsh.exceptAll(brute).count() == 0)
     val recall = lsh.count().toDouble / math.max(1, brute.count())
     info(s"v05 recall vs brute = $recall")
-    assert(recall >= 0.2, s"recall=$recall")
+    assert(recall >= 0.6, s"recall=$recall")
   }
 
   test("v03 knn ivf: learned k-means centroids, recall@5 vs brute >= 0.6") {
