@@ -162,6 +162,10 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     fs.mkdirs(dir)
     val out = fs.create(new Path(dir, "_schema.ddl"), true)
     try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    // bind to the warehouse commit-timestamp oracle: every table of this
+    // catalog stamps from ONE monotone counter, so a single GpxTxn token
+    // is a consistent cross-table snapshot (transaction.proto:33-48 analog)
+    GpxTxn.bind(dir.toString, warehouse.toString, conf)
     bucket.foreach { b =>
       val bout = fs.create(new Path(dir, "_bucketspec"), true)
       try bout.write(s"${b.column}\n${b.numBuckets}".getBytes("UTF-8"))

@@ -353,8 +353,20 @@ class GpxTable(schema: StructType, roots: Seq[String],
       .getOrElse(Array.empty)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // Snapshot precedence: explicit per-read snapshotTs, then the
+    // cross-table asOfToken (per-read option or session conf — one
+    // GpxTxn.currentToken value pins EVERY gpx table of a query to the
+    // same warehouse-consistent snapshot, the analog of the reference's
+    // per-query transaction timestamp, proto/transaction.proto:33-48),
+    // then SQL time travel (FOR TIMESTAMP/VERSION AS OF).
+    val sessionToken =
+      try org.apache.spark.sql.SparkSession.active.conf
+        .getOption("spark.graft.gpx.asOfToken").map(_.toLong)
+      catch { case _: Throwable => None }
     val snapshotTs = Option(options.get("snapshotTs")).map(_.toLong)
-      .orElse(defaultSnapshotTs) // SQL time travel (FOR TIMESTAMP/VERSION AS OF)
+      .orElse(Option(options.get("asOfToken")).map(_.toLong))
+      .orElse(defaultSnapshotTs)
+      .orElse(sessionToken)
     new GpxScanBuilder(schema, roots, snapshotTs)
   }
 

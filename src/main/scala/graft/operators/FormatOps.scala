@@ -347,6 +347,53 @@ object FormatOps {
       Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
               |  ${Det.o.dsum("o_totalprice")} AS sum_price
               |FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 2000
-              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Cross-table consistent snapshot (reference: ONE transaction
+    // timestamp per query across all tables, proto/transaction.proto:
+    // 33-48): orders and customer live in one warehouse whose GpxTxn
+    // counter issues every commitTs; five interleaved commits land across
+    // the two tables with a token frozen after the third. A two-table
+    // join pinned to that ONE token must see exactly commits 1-3 — the
+    // per-table form (independent snapshotTs) cannot express this without
+    // tearing. The oracle recomputes the frozen prefix from parquet.
+    GQuery("f13_warehouse_snapshot", (s, d) => {
+      val wh = cachedDir(d, "txn_wh") { wh =>
+        val conf = s.sparkContext.hadoopConfiguration
+        import graft.format.GpxTxn
+        val oDir = s"$wh/orders"; val cDir = s"$wh/customer"
+        GpxTxn.bind(oDir, wh, conf); GpxTxn.bind(cDir, wh, conf)
+        val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+        def commit(df: DataFrame, dir: String, mode: String): Unit =
+          df.write.format("gpx").mode(mode)
+            .option("commitTs", GpxTxn.allocate(wh, conf).toString).save(dir)
+        commit(o.filter(col("o_orderkey") % 3 === 0), oDir, "overwrite")
+        commit(c.filter(col("c_custkey") % 2 === 0), cDir, "overwrite")
+        commit(o.filter(col("o_orderkey") % 3 === 1), oDir, "append")
+        val frozen = GpxTxn.currentToken(wh, conf)
+        java.nio.file.Files.write(java.nio.file.Paths.get(wh, "_frozen"),
+          frozen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // post-token commits: invisible at the frozen snapshot
+        commit(o.filter(col("o_orderkey") % 3 === 2), oDir, "append")
+        commit(c.filter(col("c_custkey") % 2 === 1), cDir, "append")
+      }
+      val frozen = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(wh, "_frozen")),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val o = s.read.format("gpx").option("asOfToken", frozen).load(s"$wh/orders")
+      val c = s.read.format("gpx").option("asOfToken", frozen).load(s"$wh/customer")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("c_custkey")).as("n_cust"))
+        .orderBy("c_mktsegment")
+    },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n,
+              |  ${Det.o.dsum("o_totalprice")} AS sum_price,
+              |  COUNT(DISTINCT c_custkey) AS n_cust
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |WHERE o_orderkey % 3 <= 1 AND c_custkey % 2 = 0
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

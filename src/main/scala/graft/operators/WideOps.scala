@@ -320,7 +320,147 @@ object WideOps {
         |  CAST(SUM(length(title)) AS BIGINT) AS title_chars,
         |  CAST(SUM(CASE WHEN referer = '' THEN 1 ELSE 0 END) AS BIGINT) AS no_ref,
         |  COUNT(*) AS n
-        |FROM hits GROUP BY os ORDER BY os""".stripMargin))
+        |FROM hits GROUP BY os ORDER BY os""".stripMargin),
+
+    // ---- residual ClickBench shapes (reference ClickbenchQuery.java
+    // Q1-Q42; w01-w19 cover the rest of the suite) ----
+
+    // Q1/Q2: bare COUNT(*) and a filtered count over a flag-ish column —
+    // the footer-stats fast path vs a one-column scan
+    wq("w23_wide_plain_counts",
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN ad_id <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ads
+        |FROM hits""".stripMargin),
+
+    // Q3/Q4/Q5/Q6: global SUM/AVG/COUNT-DISTINCT mix (avg over an int
+    // column is an exact int64 sum / count, identical doubles both sides)
+    wq("w24_wide_global_aggs",
+      """SELECT CAST(SUM(ad_id) AS BIGINT) AS sum_ad, COUNT(*) AS n,
+        |  CAST(AVG(resolution_w) AS DOUBLE) AS avg_w,
+        |  CAST(AVG(user_id) AS DOUBLE) AS avg_uid,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(DISTINCT search_phrase) AS n_phrases
+        |FROM hits""".stripMargin),
+
+    // Q7: global min/max over the date and time columns
+    wq("w25_wide_date_minmax",
+      """SELECT MIN(event_date) AS min_d, MAX(event_date) AS max_d,
+        |  MIN(event_sec) AS min_s, MAX(event_sec) AS max_s
+        |FROM hits""".stripMargin),
+
+    // Q8: engaged dimension ranked by traffic (advengineid analog)
+    wq("w26_wide_ad_engines",
+      """SELECT ad_id % 50 AS engine, COUNT(*) AS n
+        |FROM hits WHERE ad_id <> 0
+        |GROUP BY ad_id % 50 ORDER BY n DESC, engine LIMIT 10""".stripMargin),
+
+    // Q9/Q10: region rollup with distinct visitors AND an avg measure
+    wq("w27_wide_region_rollup",
+      """SELECT region_id, CAST(SUM(ad_id) AS BIGINT) AS sum_ad,
+        |  COUNT(*) AS c, CAST(AVG(resolution_w) AS DOUBLE) AS avg_w,
+        |  COUNT(DISTINCT user_id) AS u
+        |FROM hits GROUP BY region_id
+        |ORDER BY c DESC, region_id LIMIT 10""".stripMargin),
+
+    // Q11/Q12: mobile-model family over a mostly-empty string dimension
+    wq("w28_wide_phone_models",
+      """SELECT os, phone_model, COUNT(DISTINCT user_id) AS u, COUNT(*) AS n
+        |FROM hits WHERE phone_model <> ''
+        |GROUP BY os, phone_model
+        |ORDER BY u DESC, os, phone_model LIMIT 10""".stripMargin),
+
+    // Q15: (engine, phrase) two-level drill on the selective phrase rows
+    wq("w29_wide_source_phrases",
+      """SELECT utm_source, search_phrase, COUNT(*) AS c
+        |FROM hits WHERE search_phrase <> ''
+        |GROUP BY utm_source, search_phrase
+        |ORDER BY c DESC, utm_source, search_phrase LIMIT 10""".stripMargin),
+
+    // Q16/Q17: user-grain group-by — the HIGH-cardinality aggregation
+    // stress (one group per user x phrase); partial agg + a bounded top-k
+    wq("w30_wide_user_phrase_topk",
+      """SELECT user_id, search_phrase, COUNT(*) AS c
+        |FROM hits GROUP BY user_id, search_phrase
+        |ORDER BY c DESC, user_id, search_phrase LIMIT 10""".stripMargin),
+
+    // Q19: EXTRACT-minute grain added to the user drill
+    wq("w31_wide_user_minute_phrase",
+      """SELECT user_id, minute_of_hour AS m, search_phrase, COUNT(*) AS c
+        |FROM hits GROUP BY user_id, minute_of_hour, search_phrase
+        |ORDER BY c DESC, user_id, m, search_phrase LIMIT 10""".stripMargin),
+
+    // Q20: point filter on the user key (zone-map/point-lookup shape)
+    wq("w32_wide_user_point",
+      """SELECT user_id, watch_id FROM hits WHERE user_id = 42
+        |ORDER BY watch_id""".stripMargin),
+
+    // Q24: SELECT * top-k — the full 43-column row materialized for a
+    // LIKE-selected slice, ordered by time (wide-row top-k economics)
+    wq("w33_wide_star_topk",
+      """SELECT * FROM hits WHERE url LIKE '%/page/12%'
+        |ORDER BY event_sec, watch_id LIMIT 10""".stripMargin),
+
+    // Q25/Q26/Q27: single-column ORDER BY variants over the phrase rows
+    // (ties at the limit boundary carry identical projected values, so
+    // the result multiset is deterministic)
+    wq("w34_wide_phrase_by_time",
+      """SELECT search_phrase FROM hits WHERE search_phrase <> ''
+        |ORDER BY event_sec, search_phrase LIMIT 10""".stripMargin),
+    wq("w35_wide_phrase_by_phrase",
+      """SELECT search_phrase FROM hits WHERE search_phrase <> ''
+        |ORDER BY search_phrase LIMIT 10""".stripMargin),
+
+    // Q30: the wide SUM fan-out (90 sum expressions in the reference; 30
+    // here carries the same plan shape — one scan, many parallel
+    // aggregates, no groups)
+    wq("w36_wide_sum_fanout",
+      "SELECT " + (0 until 30).map(k =>
+        s"CAST(SUM(resolution_w + $k) AS BIGINT) AS s$k").mkString(", ") +
+        " FROM hits"),
+
+    // Q33/Q36: near-unique two-column group keys (+ arithmetic variants
+    // of the same key — Q36's shape) — the worst-case aggregation
+    // cardinality, bounded only by the top-k
+    wq("w37_wide_watch_ip_groups",
+      """SELECT watch_id, client_ip, client_ip - 1 AS ip1, client_ip - 2 AS ip2,
+        |  COUNT(*) AS c, CAST(SUM(is_refresh) AS BIGINT) AS refr,
+        |  CAST(AVG(resolution_w) AS DOUBLE) AS avg_w
+        |FROM hits WHERE search_phrase <> ''
+        |GROUP BY watch_id, client_ip, client_ip - 1, client_ip - 2
+        |ORDER BY c DESC, watch_id LIMIT 10""".stripMargin),
+
+    // Q37/Q38: the "one counter, one month" pageview family — selective
+    // conjunctive filter + URL/title ranking
+    wq("w38_wide_counter_month_urls",
+      """SELECT url, COUNT(*) AS pageviews
+        |FROM hits
+        |WHERE counter_id = 62 AND event_date >= DATE '2024-01-05'
+        |  AND event_date <= DATE '2024-01-20' AND is_refresh = 0 AND url <> ''
+        |GROUP BY url ORDER BY pageviews DESC, url LIMIT 10""".stripMargin),
+
+    // Q39/Q41: same family with OFFSET pagination (deep page fetch)
+    wq("w39_wide_counter_paged",
+      """SELECT title, COUNT(*) AS pageviews
+        |FROM hits
+        |WHERE counter_id % 10 = 2 AND event_date >= DATE '2024-01-05'
+        |  AND event_date <= DATE '2024-01-25' AND is_refresh = 0
+        |GROUP BY title ORDER BY pageviews DESC, title
+        |LIMIT 10 OFFSET 100""".stripMargin),
+
+    // Q40/Q42: traffic-source attribution with a CASE group key and the
+    // resolution matrix, paged
+    wq("w40_wide_src_dst_paged",
+      """SELECT utm_source,
+        |  CASE WHEN utm_source = '' THEN referer ELSE '' END AS src,
+        |  url AS dst, resolution_w, resolution_h, COUNT(*) AS pageviews
+        |FROM hits
+        |WHERE event_date >= DATE '2024-01-05' AND event_date <= DATE '2024-01-25'
+        |  AND is_refresh = 0
+        |GROUP BY utm_source,
+        |  CASE WHEN utm_source = '' THEN referer ELSE '' END,
+        |  url, resolution_w, resolution_h
+        |ORDER BY pageviews DESC, utm_source, src, dst, resolution_w, resolution_h
+        |LIMIT 10 OFFSET 50""".stripMargin))
 
   /** Approximate-quantile family (ClickBench's quantile queries use
     * sketches): Spark's percentile_approx and DuckDB's approx_quantile

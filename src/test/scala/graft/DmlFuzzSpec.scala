@@ -160,4 +160,79 @@ class DmlFuzzSpec extends GraftSpec {
           s"${(wantU.toSet diff gotU.toSet).take(3)}")
     }
   }
+
+  test("cross-table snapshot tokens: one GpxTxn token freezes BOTH tables consistently") {
+    import graft.format.GpxTxn
+    val conf = sp.sparkContext.hadoopConfiguration
+    val wh = Files.createTempDirectory("gpx_txnfuzz").toString
+    val cat = "gtx"
+    sp.conf.set(s"spark.sql.catalog.$cat", "graft.format.GpxCatalog")
+    sp.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    sp.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    sp.sql(s"CREATE TABLE $cat.db.a (id BIGINT, v BIGINT) USING gpx")
+    sp.sql(s"CREATE TABLE $cat.db.b (id BIGINT, v BIGINT) USING gpx")
+    val whA = s"$wh/db/a"; val whB = s"$wh/db/b"
+    assert(GpxTxn.warehouseOf(whA, conf).contains(wh),
+      "catalog tables must bind to the warehouse txn counter")
+
+    val rnd = new Random(7)
+    val modelA = mutable.Map.empty[Long, Long]
+    val modelB = mutable.Map.empty[Long, Long]
+    var nextId = 0L
+    // (token AFTER the op, state of A, state of B) — history-preserving
+    // ops only (INSERT + merge-on-read DELETE), so every snapshot is
+    // exactly reproducible, not just on untouched rows
+    val snaps = mutable.ArrayBuffer.empty[(Long, Map[Long, Long], Map[Long, Long])]
+    for (_ <- 0 until 10) {
+      val (t, model) =
+        if (rnd.nextBoolean()) ("a", modelA) else ("b", modelB)
+      if (model.nonEmpty && rnd.nextInt(4) == 0) {
+        // translatable predicate -> GpxDelete.run's merge-on-read sidecar
+        // path, which RETAINS history (the sidecar applies only at
+        // snapshots >= its deleteTs); a non-translatable predicate would
+        // fall back to the COW row-level rewrite, whose documented
+        // contract destroys superseded history
+        val lo = rnd.nextLong(math.max(1L, nextId))
+        val hi = lo + rnd.nextInt(20)
+        sp.conf.set("spark.graft.gpx.deleteMode", "mor")
+        try sp.sql(s"DELETE FROM $cat.db.$t WHERE id BETWEEN $lo AND $hi")
+        finally sp.conf.unset("spark.graft.gpx.deleteMode")
+        model.filterInPlace((id, _) => id < lo || id > hi)
+      } else {
+        val rows = (0 until 1 + rnd.nextInt(15)).map { _ =>
+          val id = nextId; nextId += 1
+          val v = rnd.nextInt(1000).toLong
+          model(id) = v
+          s"($id, $v)"
+        }
+        sp.sql(s"INSERT INTO $cat.db.$t VALUES ${rows.mkString(", ")}")
+      }
+      snaps += ((GpxTxn.currentToken(wh, conf), modelA.toMap, modelB.toMap))
+    }
+    // issued timestamps must be strictly monotone across BOTH tables
+    assert(snaps.map(_._1).toSeq == snaps.map(_._1).toSeq.sorted.distinct ||
+      snaps.map(_._1).toSeq.sliding(2).forall(p => p.head <= p.last),
+      s"tokens must be non-decreasing: ${snaps.map(_._1)}")
+    // every token reproduces the exact two-table state it froze, through
+    // the SESSION pin (the per-query form: one conf covers all gpx scans)
+    snaps.zipWithIndex.foreach { case ((tok, wa, wb), i) =>
+      sp.conf.set("spark.graft.gpx.asOfToken", tok.toString)
+      try {
+        val ga = sp.table(s"$cat.db.a").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val gb = sp.table(s"$cat.db.b").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(ga == wa, s"snap $i: table a diverged at token $tok: " +
+          s"${(ga.toSet diff wa.toSet).take(3)} / ${(wa.toSet diff ga.toSet).take(3)}")
+        assert(gb == wb, s"snap $i: table b diverged at token $tok")
+        // and the cross-table JOIN at the token is the joined frozen state
+        val j = sp.sql(
+          s"SELECT a.id FROM $cat.db.a a JOIN $cat.db.b b ON a.id % 5 = b.id % 5")
+          .count()
+        val wantJ = wa.keys.toSeq.map(_ % 5)
+          .map(k => wb.keys.count(_ % 5 == k).toLong).sum
+        assert(j == wantJ, s"snap $i: cross-table join diverged at token $tok")
+      } finally sp.conf.unset("spark.graft.gpx.asOfToken")
+    }
+  }
 }
