@@ -47,6 +47,17 @@ import scala.jdk.CollectionConverters._
   * compacts replay history at the fold, same caveat as the plain tail.
   * Without the option the tail emits appended row versions only
   * (snapshot reads are the delete-aware surface).
+  *
+  * **Freshness model** (vs the reference's ~10 ms MemTable serve path,
+  * pixels-retina MemTable.java:31-75): an epoch is readable the moment
+  * its files publish — the sink flushes AT commit, there is no unflushed
+  * buffer to serve — so end-to-end visibility is sink trigger latency +
+  * tail poll cadence. With default triggers both are tens of ms
+  * (micro-batches run back-to-back; the no-data poll is ~10 ms), giving
+  * measured sub-second commit->visibility end to end (StreamingSpec
+  * "tail freshness"). The reference's remaining edge is serving rows
+  * BEFORE durable commit from daemon memory — a trade (reads from
+  * uncommitted state) a storage-token design deliberately doesn't make.
   */
 class GpxTailSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "gpx-tail"

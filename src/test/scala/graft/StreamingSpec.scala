@@ -451,6 +451,44 @@ class StreamingSpec extends GraftSpec {
     q1.stop(); q2.stop()
   }
 
+  test("tail freshness: sink commit -> tail visibility is sub-second") {
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val dir = TestSpark.tempDir("gpx_fresh")
+    val q1 = source.toDF().toDF("id", "s")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", TestSpark.tempDir("gpx_fresh_c1"))
+      .format("gpx").start(dir)
+    source.addData((0L, "warm"))
+    q1.processAllAvailable()
+    // default trigger: micro-batches run back-to-back and the no-data
+    // poll cadence is ~10 ms, so pickup latency is poll + one tiny batch
+    val q2 = sp.readStream.format("gpx-tail").load(dir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", TestSpark.tempDir("gpx_fresh_c2"))
+      .format("memory").queryName("gpx_fresh_out").start()
+    q2.processAllAvailable() // consume the warmup epoch
+    def visible(id: Long): Boolean =
+      sp.table("gpx_fresh_out").filter($"id" === id).count() == 1
+    // measure commit -> visibility WITHOUT forcing the tail (no
+    // processAllAvailable on q2): this is the freshness a live consumer
+    // sees. Best of 3 to ride out hypervisor stalls on this host.
+    val latencies = (1L to 3L).map { id =>
+      source.addData((id, s"r$id"))
+      q1.processAllAvailable() // sink epoch committed HERE
+      val t0 = System.nanoTime()
+      val deadline = t0 + 30L * 1000 * 1000 * 1000
+      while (!visible(id) && System.nanoTime() < deadline) Thread.sleep(5)
+      assert(visible(id), s"row $id never became visible in the tail")
+      (System.nanoTime() - t0) / 1e9
+    }
+    info(f"tail freshness (3 runs): ${latencies.map(l => f"$l%.3f").mkString(", ")} s")
+    assert(latencies.min < 1.0,
+      s"end-to-end sink->tail visibility must be sub-second: $latencies")
+    q1.stop(); q2.stop()
+  }
+
   test("gpx-tail change feed: merge-on-read deletes stream as DELETE events") {
     import sp.implicits._
     implicit val ctx = sp.sqlContext
