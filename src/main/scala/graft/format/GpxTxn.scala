@@ -68,27 +68,38 @@ object GpxTxn {
     * lock — commit-rate, not row-rate, so the lock is not a throughput
     * concern; the reference pays the same round trip to its transaction
     * service per commit. */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def allocate(warehouse: String, conf: Configuration): Long = {
-    // the table mutation lock REFUSES on contention (conflicting rewrites
-    // should fail loudly); timestamp allocation must instead QUEUE — two
-    // concurrent commits are not a conflict. Bounded retry with backoff.
-    var attempts = 200
-    while (true) {
-      try {
-        return GpxMutationLock.withLock(txnScope(warehouse), conf, "txn allocate") {
-          val next =
-            math.max(System.currentTimeMillis() * 1000L, read(warehouse, conf) + 1L)
-          write(warehouse, next, conf)
-          next
+    // Two exclusion layers: a per-warehouse JVM monitor serializes the
+    // threads of ONE driver (the create-if-absent file lock is not atomic
+    // on local filesystems, and same-JVM contention is the common case —
+    // many concurrent commits of one Spark app), and the advisory file
+    // lock excludes OTHER drivers. The table mutation lock REFUSES on
+    // contention (conflicting rewrites should fail loudly); timestamp
+    // allocation must instead QUEUE — two concurrent commits are not a
+    // conflict — hence the bounded retry with backoff on the file lock.
+    val mon = jvmLocks.computeIfAbsent(warehouse, _ => new Object)
+    mon.synchronized {
+      var attempts = 200
+      while (true) {
+        try {
+          return GpxMutationLock.withLock(txnScope(warehouse), conf, "txn allocate") {
+            val next =
+              math.max(System.currentTimeMillis() * 1000L, read(warehouse, conf) + 1L)
+            write(warehouse, next, conf)
+            next
+          }
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            attempts -= 1
+            if (attempts <= 0) throw e
+            Thread.sleep(10 + scala.util.Random.nextInt(40))
         }
-      } catch {
-        case e: java.util.ConcurrentModificationException =>
-          attempts -= 1
-          if (attempts <= 0) throw e
-          Thread.sleep(10 + scala.util.Random.nextInt(40))
       }
+      throw new IllegalStateException("unreachable")
     }
-    throw new IllegalStateException("unreachable")
   }
 
   /** a consistent cross-table snapshot token: everything committed so far

@@ -161,6 +161,32 @@ class DmlFuzzSpec extends GraftSpec {
     }
   }
 
+  test("GpxTxn.allocate: concurrent allocations are unique, monotone, and wall-clock-tracking") {
+    import graft.format.GpxTxn
+    val conf = sp.sparkContext.hadoopConfiguration
+    val wh = Files.createTempDirectory("gpx_txnalloc").toString
+    val n = 6; val per = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val wallBefore = System.currentTimeMillis() * 1000L
+    val results = try {
+      val futures = (0 until n).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+          override def call(): Seq[Long] =
+            (0 until per).map(_ => GpxTxn.allocate(wh, conf))
+        })
+      }
+      futures.flatMap(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    // every allocation unique (the counter never hands out a ts twice,
+    // even under contention — the queue-retry path, not the refuse path)
+    assert(results.distinct.size == n * per,
+      s"duplicate commit timestamps issued: ${results.sorted}")
+    // wall-clock tracking: all at or after the clock when we started
+    assert(results.min >= wallBefore)
+    // the persisted high-water mark is the max issued
+    assert(GpxTxn.currentToken(wh, conf) == results.max)
+  }
+
   test("cross-table snapshot tokens: one GpxTxn token freezes BOTH tables consistently") {
     import graft.format.GpxTxn
     val conf = sp.sparkContext.hadoopConfiguration

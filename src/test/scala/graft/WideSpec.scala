@@ -147,6 +147,27 @@ class WideSpec extends GraftSpec {
     }
   }
 
+  test("w36 SUM fan-out decodes a single column's pixels, not the wide row") {
+    // 30 parallel SUM(resolution_w + k) aggregates reference ONE column:
+    // the scan must decode exactly resolution_w's chunks of the 43-col row
+    val hits = sp.read.format("gpx").load(smallDir)
+    val files = GpxTable.listFiles(Seq(smallDir), conf)
+    val footers = files.map(GpxFileReader.FooterCache.get(_, conf))
+    val oneCol = footers.map { f =>
+      val i = f.schema.fieldNames.indexOf("resolution_w")
+      f.rowGroups.map(_.chunks(i).pixels.length.toLong).sum
+    }.sum
+    hits.createOrReplaceTempView("hits_fanout")
+    val before = GpxFileReader.pixelsDecoded.get()
+    val row = sp.sql("SELECT " + (0 until 30).map(k =>
+      s"CAST(SUM(resolution_w + $k) AS BIGINT) AS s$k").mkString(", ") +
+      " FROM hits_fanout").collect()
+    val decoded = GpxFileReader.pixelsDecoded.get() - before
+    assert(row.length == 1)
+    assert(decoded == oneCol,
+      s"fan-out decoded $decoded pixels, expected resolution_w only = $oneCol")
+  }
+
   test("selective wide query prunes row groups via the storage sort") {
     // hits is stored sorted by (counter_id, event_sec): an equality on
     // counter_id must zone-map-skip most row groups
