@@ -234,7 +234,64 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
           "added columns must be nullable (existing files read them as null)")
         require(GpxFormat.supported(add.dataType()),
           s"unsupported gpx type ${add.dataType()}")
+        // a re-added name would resurface the DROPPED column's stale bytes
+        // from pre-drop files (they read by physical name) — refuse
+        require(!droppedNames(dir).contains(add.fieldNames().head),
+          s"column name ${add.fieldNames().head} was previously dropped; " +
+            "existing files still carry its old data — use a fresh name")
         schema = schema.add(add.fieldNames().head, add.dataType(), nullable = true)
+      // DROP COLUMN: catalog-record-only (tolerant evolution) — existing
+      // files keep the bytes, scans simply never request the name again.
+      // Refused while a layout/index references the column: silently
+      // breaking the table's routing metadata would brick later INSERTs.
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "gpx supports only top-level DROP COLUMN")
+        val name = del.fieldNames().head
+        require(schema.fieldNames.contains(name), s"no column $name")
+        val refs = layoutRefs(dir)
+        require(!refs.contains(name),
+          s"column $name is referenced by a sort/bucket/range layout or " +
+            "index; drop that first")
+        schema = StructType(schema.filterNot(_.name == name))
+        val tombstones = (droppedNames(dir) + name).toSeq.sorted
+        val dout = fs.create(new Path(dir, "_dropped"), true)
+        try dout.write(tombstones.mkString("\n").getBytes("UTF-8"))
+        finally dout.close()
+      // RENAME COLUMN: the catalog record renames; existing FILES keep the
+      // old physical name, so the table's `_renames` sidecar records the
+      // alias chain and scans resolve requested names through it
+      // (per-file, planning time). Layout spec files referencing the old
+      // name are rewritten; point indexes keyed by the old name are
+      // dropped (their dir name no longer matches any lookup).
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "gpx supports only top-level RENAME COLUMN")
+        val from = ren.fieldNames().head
+        val to = ren.newName()
+        require(schema.fieldNames.contains(from), s"no column $from")
+        require(!schema.fieldNames.contains(to), s"column $to already exists")
+        val aliases = GpxTable.readRenames(dir.toString, conf)
+        // the new name must not collide with any HISTORICAL physical name
+        // (dropped or renamed-away): files still carrying it would serve
+        // their stale bytes under the new catalog name
+        val historical = droppedNames(dir) ++ aliases.values.flatten
+        require(!historical.contains(to),
+          s"column name $to was used before (dropped or renamed away); " +
+            "existing files still carry its old data — use a fresh name")
+        schema = StructType(schema.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+        val chain = to +: (from +: aliases.getOrElse(from, Seq.empty))
+        val updated = (aliases - from) + (to -> chain.tail)
+        GpxTable.writeRenames(dir.toString, updated, conf)
+        renameInSpec(dir, "_sortspec", from, to)
+        renameInSpec(dir, "_bucketspec", from, to)
+        renameInSpec(dir, "_rangespec", from, to)
+        val idxRoot = new Path(dir, "_index")
+        if (fs.exists(idxRoot))
+          fs.listStatus(idxRoot).map(_.getPath)
+            .filter(_.getName.split("__").contains(from))
+            .foreach(p => fs.delete(p, true))
       // ALTER TABLE ... SET TBLPROPERTIES('sort_by'='c1,c2'): turn on (or
       // change) the ordered layout for an EXISTING table — existing files
       // keep their order; subsequent INSERTs sort. UNSET removes it.
@@ -290,6 +347,64 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     val out = fs.create(ddlFile, true)
     try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
     new GpxTable(schema, Seq(dir.toString), catalogManaged = true)
+  }
+
+  /** names of previously dropped columns (ADD COLUMN tombstones) */
+  private def droppedNames(dir: Path): Set[String] = {
+    val p = new Path(dir, "_dropped")
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  /** every column name referenced by the table's layout metadata */
+  private def layoutRefs(dir: Path): Set[String] = {
+    def firstLine(name: String): Option[String] = {
+      val p = new Path(dir, name)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().nextOption()
+        finally in.close()
+      }
+    }
+    val specs = Seq("_bucketspec", "_rangespec").flatMap(firstLine).toSet
+    val sorts: Set[String] = {
+      val p = new Path(dir, "_sortspec")
+      if (!fs.exists(p)) Set.empty
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().map(_.trim).filter(_.nonEmpty).toSet
+        finally in.close()
+      }
+    }
+    val idx: Set[String] = {
+      val p = new Path(dir, "_index")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).flatMap(_.getPath.getName.split("__")).toSet
+    }
+    specs ++ sorts ++ idx
+  }
+
+  /** rewrite `from` -> `to` wherever a spec file names the column */
+  private def renameInSpec(dir: Path, name: String, from: String, to: String): Unit = {
+    val p = new Path(dir, name)
+    if (!fs.exists(p)) return
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = txt.split("\n", -1)
+    val out = lines.map(l => if (l.trim == from) l.replace(from, to) else l)
+    if (!out.sameElements(lines)) {
+      val o = fs.create(p, true)
+      try o.write(out.mkString("\n").getBytes("UTF-8")) finally o.close()
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean =

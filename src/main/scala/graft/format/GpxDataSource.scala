@@ -227,6 +227,50 @@ object GpxTable {
     }
   }
 
+  /** Rename-alias sidecar (tolerant schema evolution, the RENAME COLUMN
+    * half: PixelsReaderOption.java:34,126 analog): existing files keep
+    * the old PHYSICAL column name; `_renames` maps each current catalog
+    * name to its older aliases (newest first), and scan planning resolves
+    * a requested name to whichever alias the file actually carries.
+    * Format: one line per renamed column, "current|older1|older2". */
+  def readRenames(root: String, conf: Configuration): Map[String, Seq[String]] = {
+    val dir = { val p = new Path(root)
+      if (root.endsWith(".gpx")) p.getParent else p }
+    val p = new Path(dir, "_renames")
+    try {
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Map.empty
+      else {
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        txt.split("\n").toSeq.map(_.trim).filter(_.contains('|')).map { l =>
+          val parts = l.split('|').toSeq
+          parts.head -> parts.tail.filter(_.nonEmpty)
+        }.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+  }
+
+  def writeRenames(root: String, m: Map[String, Seq[String]],
+      conf: Configuration): Unit = {
+    val p = new Path(root, "_renames")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(m.toSeq.sortBy(_._1)
+      .map { case (cur, olds) => (cur +: olds).mkString("|") }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** resolve a requested catalog column to the name `phys` (a file's own
+    * schema) actually carries: itself, or the newest alias present */
+  def physNameOf(phys: StructType, name: String,
+      renames: Map[String, Seq[String]]): String =
+    if (renames.isEmpty || phys.fieldNames.contains(name)) name
+    else renames.getOrElse(name, Seq.empty)
+      .find(phys.fieldNames.contains).getOrElse(name)
+
   /** range id for a key: first range whose upper bound exceeds it (nulls
     * route to range 0 — value predicates never prune them incorrectly
     * because IsNull filters claim no range pruning) */
@@ -801,6 +845,10 @@ class GpxScan(
         GpxPointIndex.allowedRowGroups(roots.head, filters, conf)
       else None
     val qroot = roots.headOption.map(GpxTable.qualifiedRoot(_, conf))
+    // RENAME COLUMN aliases: files written before a rename keep the old
+    // physical name; resolution happens here, per file, at planning time
+    val renames = roots.headOption
+      .map(GpxTable.readRenames(_, conf)).getOrElse(Map.empty)
     val parts = new ArrayBuffer[GpxInputPartition]
     var totalRows = 0L
     var totalBytes = 0L
@@ -848,19 +896,23 @@ class GpxScan(
             case None => null
           }
         }
-        // synthetic-kind per required column; physIdx >= 0 = data column
+        // synthetic-kind per required column; physIdx >= 0 = data column.
+        // Requested names resolve through the rename-alias chain, so a
+        // file predating RENAME COLUMN still serves its old physical name.
         val synthKinds: Array[Byte] = required.fields.map { fd =>
           fd.name match {
             case GpxTable.CommitTsCol => GpxFileReader.SynthCommitTs
             case GpxTable.FileCol => GpxFileReader.SynthFile
             case GpxTable.PosCol => GpxFileReader.SynthPos
-            case n if phys.fieldNames.contains(n) => GpxFileReader.SynthData
+            case n if phys.fieldNames.contains(
+              GpxTable.physNameOf(phys, n, renames)) => GpxFileReader.SynthData
             case _ => GpxFileReader.SynthAbsent // evolved file: null-fill
           }
         }
         val physIdx: Array[Int] = required.fields.map { fd =>
           if (GpxTable.isSynthetic(fd.name)) -1
-          else phys.fieldNames.indexOf(fd.name)
+          else phys.fieldNames.indexOf(
+            GpxTable.physNameOf(phys, fd.name, renames))
         }
         // file-granular mode (copy-on-write rewrite): if ANY row group may
         // match, read the WHOLE file — skipped rows would be lost rows —

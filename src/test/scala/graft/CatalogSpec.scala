@@ -550,6 +550,64 @@ class CatalogSpec extends GraftSpec {
       .head.getLong(0) == 0)
   }
 
+  test("schema evolution: DROP COLUMN and RENAME COLUMN across existing files") {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val wh = Files.createTempDirectory("gpx_whse").toString
+    sp.conf.set("spark.sql.catalog.gse", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gse.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gse.db")
+    sp.sql("CREATE TABLE gse.db.t (id BIGINT, v BIGINT, junk STRING) USING gpx")
+    sp.sql("INSERT INTO gse.db.t VALUES (1, 10, 'x'), (2, 20, 'y')")
+
+    // RENAME: files written BEFORE the rename serve the new name through
+    // the alias chain; files written AFTER carry the new physical name
+    sp.sql("ALTER TABLE gse.db.t RENAME COLUMN v TO val")
+    sp.sql("INSERT INTO gse.db.t VALUES (3, 30, 'z')")
+    val rows = sp.sql("SELECT id, val FROM gse.db.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((1L, 10L), (2L, 20L), (3L, 30L)),
+      s"renamed column must read across old and new files: ${rows.toSeq}")
+    // filters on the renamed column stay correct over old files (zone
+    // maps are conservatively bypassed there, never wrong)
+    assert(sp.sql("SELECT count(*) FROM gse.db.t WHERE val >= 20")
+      .head.getLong(0) == 2)
+
+    // chained rename: a second rename still reaches the ORIGINAL files
+    sp.sql("ALTER TABLE gse.db.t RENAME COLUMN val TO amount")
+    assert(sp.sql("SELECT sum(amount) FROM gse.db.t").head.getLong(0) == 60)
+
+    // DROP: the column disappears from reads; old files keep their bytes
+    sp.sql("ALTER TABLE gse.db.t DROP COLUMN junk")
+    assert(!sp.table("gse.db.t").columns.contains("junk"))
+    assert(sp.sql("SELECT * FROM gse.db.t").columns.toSeq ==
+      Seq("id", "amount"))
+
+    // re-adding a dropped name is refused: pre-drop files would serve the
+    // stale bytes under the resurrected name
+    val e1 = intercept[Exception](
+      sp.sql("ALTER TABLE gse.db.t ADD COLUMN junk STRING"))
+    assert(e1.getMessage.contains("previously dropped"), e1.getMessage)
+    // renaming TO a historical physical name is refused for the same reason
+    val e2 = intercept[Exception](
+      sp.sql("ALTER TABLE gse.db.t RENAME COLUMN amount TO v"))
+    assert(e2.getMessage.contains("used before"), e2.getMessage)
+    // a genuinely fresh name is fine, and old files null-fill it
+    sp.sql("ALTER TABLE gse.db.t ADD COLUMN note STRING")
+    assert(sp.sql("SELECT count(*) FROM gse.db.t WHERE note IS NULL")
+      .head.getLong(0) == 3)
+
+    // layout protection: dropping/renaming a layout column is refused
+    sp.sql("CREATE TABLE gse.db.s (k BIGINT, v BIGINT) USING gpx " +
+      "TBLPROPERTIES ('sort_by' = 'k')")
+    val e3 = intercept[Exception](sp.sql("ALTER TABLE gse.db.s DROP COLUMN k"))
+    assert(e3.getMessage.contains("layout"), e3.getMessage)
+    // renaming a sort column rewrites the spec so later INSERTs still sort
+    sp.sql("ALTER TABLE gse.db.s RENAME COLUMN k TO key")
+    sp.sql("INSERT INTO gse.db.s VALUES (5, 1), (3, 2), (4, 3)")
+    assert(graft.format.GpxTable.readSortSpec(s"$wh/db/s", conf) == Seq("key"))
+    assert(sp.sql("SELECT sum(key) FROM gse.db.s").head.getLong(0) == 12)
+  }
+
   test("saveAsTable / spark.table round-trip via catalog") {
     val wh = Files.createTempDirectory("gpx_wh2").toString
     sp.conf.set("spark.sql.catalog.graft2", "graft.format.GpxCatalog")
