@@ -161,6 +161,54 @@ class DmlFuzzSpec extends GraftSpec {
     }
   }
 
+  test("rename evolution fuzz: random INSERT/UPDATE/DELETE/RENAME sequence matches a model") {
+    val wh = Files.createTempDirectory("gpx_renfuzz").toString
+    val cat = "grf"
+    sp.conf.set(s"spark.sql.catalog.$cat", "graft.format.GpxCatalog")
+    sp.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    sp.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    sp.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING gpx")
+    val rnd = new Random(99)
+    val model = mutable.Map.empty[Long, Long]
+    var nextId = 0L
+    var vCol = "v" // current name of the value column
+    var gen = 0
+    for (op <- 0 until 18) {
+      rnd.nextInt(5) match {
+        case 0 | 1 => // INSERT through the CURRENT schema
+          val rows = (0 until 1 + rnd.nextInt(12)).map { _ =>
+            val id = nextId; nextId += 1
+            val v = rnd.nextInt(1000).toLong
+            model(id) = v
+            s"($id, $v)"
+          }
+          sp.sql(s"INSERT INTO $cat.db.t VALUES ${rows.mkString(", ")}")
+        case 2 if model.nonEmpty => // UPDATE referencing the renamed column
+          val lo = rnd.nextLong(math.max(1L, nextId)); val hi = lo + rnd.nextInt(20)
+          val c = 1 + rnd.nextInt(9)
+          sp.sql(s"UPDATE $cat.db.t SET $vCol = $vCol + $c WHERE id BETWEEN $lo AND $hi")
+          model.mapValuesInPlace { case (id, v) =>
+            if (id >= lo && id <= hi) v + c else v }
+        case 3 if model.nonEmpty => // DELETE filtering on the renamed column
+          val cut = rnd.nextInt(1000)
+          sp.sql(s"DELETE FROM $cat.db.t WHERE $vCol < $cut AND $vCol % 2 = 0")
+          model.filterInPlace((_, v) => !(v < cut && v % 2 == 0))
+        case _ => // RENAME the value column (files so far keep the old name)
+          gen += 1
+          val next = s"v$gen"
+          sp.sql(s"ALTER TABLE $cat.db.t RENAME COLUMN $vCol TO $next")
+          vCol = next
+      }
+      val got = sp.table(s"$cat.db.t").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == model.toMap,
+        s"op $op (${vCol}) diverged: ${(got.toSet diff model.toSet).take(3)} / " +
+          s"${(model.toSet diff got.toSet).take(3)}")
+      assert(sp.table(s"$cat.db.t").columns.toSeq == Seq("id", vCol))
+    }
+    assert(gen >= 1, "seed must have exercised at least one rename")
+  }
+
   test("GpxTxn.allocate: concurrent allocations are unique, monotone, and wall-clock-tracking") {
     import graft.format.GpxTxn
     val conf = sp.sparkContext.hadoopConfiguration
