@@ -56,19 +56,33 @@ object GpxFs {
   def exists(path: String, conf: Configuration): Boolean =
     stat(path, conf).isDefined
 
-  /** recursive file listing rendered as qualified path strings (Hadoop
-    * convention), in no particular order */
+  /** Recursive file listing rendered as qualified path strings (Hadoop
+    * convention), in no particular order.
+    *
+    * MUST tolerate entries vanishing mid-walk: version-token bumps and
+    * lock handoffs publish via tmp-file + rename, so a concurrent lister
+    * can see `._version.<uuid>` in the directory listing and find it gone
+    * by the stat — `Files.walk` then kills the whole walk with an
+    * UncheckedIOException (observed killing a streaming tail query).
+    * `walkFileTree` with a CONTINUE-on-failure visitor skips exactly the
+    * vanished entry instead. */
   def listRecursive(root: String, conf: Configuration): Seq[(String, Boolean)] =
     local(root) match {
       case Some(jp) =>
         if (!Files.exists(jp)) Seq.empty
         else {
           val out = Seq.newBuilder[(String, Boolean)]
-          val stream = Files.walk(jp)
-          try {
-            stream.forEach(p =>
-              if (!Files.isDirectory(p)) out += ((qualify(p), true)))
-          } finally stream.close()
+          Files.walkFileTree(jp, new java.nio.file.SimpleFileVisitor[JPath] {
+            override def visitFile(p: JPath,
+                attrs: java.nio.file.attribute.BasicFileAttributes)
+                : java.nio.file.FileVisitResult = {
+              if (!attrs.isDirectory) out += ((qualify(p), true))
+              java.nio.file.FileVisitResult.CONTINUE
+            }
+            override def visitFileFailed(p: JPath, e: java.io.IOException)
+                : java.nio.file.FileVisitResult =
+              java.nio.file.FileVisitResult.CONTINUE // vanished mid-walk
+          })
           out.result()
         }
       case None =>
@@ -76,13 +90,25 @@ object GpxFs {
         val fs = hp.getFileSystem(conf)
         if (!fs.exists(hp)) Seq.empty
         else {
-          val it = fs.listFiles(hp, true)
-          val out = Seq.newBuilder[(String, Boolean)]
-          while (it.hasNext) {
-            val s = it.next()
-            out += ((s.getPath.toString, s.isFile))
+          // remote listings can also race a rename (FileNotFound from a
+          // paged list) — retry the whole walk a couple of times
+          var attempts = 3
+          while (true) {
+            try {
+              val it = fs.listFiles(hp, true)
+              val out = Seq.newBuilder[(String, Boolean)]
+              while (it.hasNext) {
+                val s = it.next()
+                out += ((s.getPath.toString, s.isFile))
+              }
+              return out.result()
+            } catch {
+              case e: java.io.FileNotFoundException =>
+                attempts -= 1
+                if (attempts <= 0) throw e
+            }
           }
-          out.result()
+          Seq.empty // unreachable
         }
     }
 }

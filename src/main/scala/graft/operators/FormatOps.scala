@@ -394,6 +394,54 @@ object FormatOps {
               |  COUNT(DISTINCT c_custkey) AS n_cust
               |FROM orders JOIN customer ON o_custkey = c_custkey
               |WHERE o_orderkey % 3 <= 1 AND c_custkey % 2 = 0
-              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Tolerant schema evolution under real data (reference:
+    // tolerantSchemaEvolution, PixelsReaderOption.java:34,126): a catalog
+    // table ingests half of orders, then RENAME COLUMN + DROP COLUMN,
+    // then ingests the rest — so the table's files span two schema
+    // generations (the old ones physically carry the pre-rename name AND
+    // the dropped column's bytes). The aggregate over the CURRENT schema
+    // must hash-match DuckDB computing the same thing from parquet:
+    // alias-chain resolution, null-free reads across generations, and
+    // dropped-column invisibility all gate here.
+    GQuery("f14_rename_evolution", (s, d) => {
+      // catalog name is sf-keyed: Spark caches catalog INSTANCES by name,
+      // so a fixed name would pin the first sf's warehouse for the JVM
+      val cat = "gevo_" + d.replaceAll("[^a-zA-Z0-9]", "_")
+      def bindCat(wh: String): Unit = {
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.format.GpxCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      }
+      val wh = cachedDir(d, "evo_wh") { wh =>
+        bindCat(wh)
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+        s.sql(s"""CREATE TABLE $cat.db.ord (
+                 |  o_orderkey BIGINT, o_custkey BIGINT,
+                 |  price DOUBLE, status STRING) USING gpx""".stripMargin)
+        Tables.orders(s, d).filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+          .writeTo(s"$cat.db.ord").append()
+        s.sql(s"ALTER TABLE $cat.db.ord RENAME COLUMN price TO total_price")
+        s.sql(s"ALTER TABLE $cat.db.ord DROP COLUMN status")
+        Tables.orders(s, d).filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").as("total_price"))
+          .writeTo(s"$cat.db.ord").append()
+      }
+      bindCat(wh)
+      s.table(s"$cat.db.ord")
+        .groupBy((col("o_custkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("total_price")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy("bucket")
+    },
+      Some(s"""SELECT o_custkey % 10 AS bucket, COUNT(*) AS n,
+              |  ${Det.o.dsum("o_totalprice")} AS sum_price,
+              |  MIN(o_orderkey) AS min_key
+              |FROM orders GROUP BY o_custkey % 10
+              |ORDER BY bucket""".stripMargin))
   )
 }
