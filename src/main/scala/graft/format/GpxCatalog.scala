@@ -292,6 +292,13 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
           fs.listStatus(idxRoot).map(_.getPath)
             .filter(_.getName.split("__").contains(from))
             .foreach(p => fs.delete(p, true))
+        // projections storing the old column name can never cover a query
+        // again (covering() matches requested names) — drop, don't leak
+        GpxProjection.listProjections(dir.toString, conf).foreach { pn =>
+          if (GpxProjection.readManifest(dir.toString, pn, conf)
+              .exists(_.columns.contains(from)))
+            GpxProjection.drop(dir.toString, pn, conf)
+        }
       // ALTER TABLE ... SET TBLPROPERTIES('sort_by'='c1,c2'): turn on (or
       // change) the ordered layout for an EXISTING table — existing files
       // keep their order; subsequent INSERTs sort. UNSET removes it.
