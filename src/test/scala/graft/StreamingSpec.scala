@@ -451,6 +451,37 @@ class StreamingSpec extends GraftSpec {
     q1.stop(); q2.stop()
   }
 
+  test("stream-stream interval join: clicks attribute to views inside the window") {
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val views = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val joined = graft.streaming.Attribution.attribute(
+      views.toDF().toDF("vts", "user_id", "view_id"),
+      clicks.toDF().toDF("cts", "c_user", "click_id"),
+      windowMinutes = 30, horizon = "1 hour")
+    val q = joined.select("click_id", "view_id")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", tempDir("ssj_ck"))
+      .format("memory").queryName("ssj_out").start()
+    views.addData((ts(0), 1L, 100L), (ts(5), 2L, 101L))
+    clicks.addData(
+      (ts(10), 1L, 200L),  // 10 min after view 100: attributed
+      (ts(50), 1L, 201L),  // 50 min after view 100: outside the window
+      (ts(20), 2L, 202L),  // 15 min after view 101: attributed
+      (ts(12), 3L, 203L))  // no view for user 3
+    q.processAllAvailable()
+    // a second view inside the window attributes the SAME click again
+    // (pair semantics, like the batch e10 range join)
+    views.addData((ts(8), 1L, 102L))
+    q.processAllAvailable()
+    val got = sp.table("ssj_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(got == Set(200L -> 100L, 202L -> 101L, 200L -> 102L), got)
+    q.stop()
+  }
+
   test("tail freshness: sink commit -> tail visibility is sub-second") {
     import sp.implicits._
     implicit val ctx = sp.sqlContext
