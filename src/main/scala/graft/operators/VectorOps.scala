@@ -244,6 +244,8 @@ object VectorOps {
         }.reduce(_ + _)
         // multi-probe keys: signature with bit i masked out; two vectors
         // agreeing on all bits but i share the (t, i, masked) key
+        // (measured: packing the key into one long instead of this
+        // struct changes nothing — the join is not key-width-bound)
         (0 until Bits).map { i =>
           struct(lit(t * Bits + i).as("t"),
             bitwiseNOT(lit(1 << i)).bitwiseAND(sig).as("sig"))
