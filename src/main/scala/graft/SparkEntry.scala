@@ -17,6 +17,7 @@ object SparkEntry {
       Tpch.queries ++
       EventOps.queries ++
       TextOps.queries ++
+      Pipeline.queries ++
       Dedup.queries ++
       VectorOps.queries ++
       Multimodal.queries ++

@@ -19,16 +19,16 @@ object TextOps {
   /** Occurrence count of word w in text via the padded replace trick:
     * identical semantics in Spark SQL and DuckDB (both non-overlapping
     * left-to-right replace). */
-  private def cnt(w: String): Column =
+  private[operators] def cnt(w: String): Column =
     ((length(concat(lit(" "), col("text"), lit(" "))) -
       length(expr(s"replace(concat(' ', text, ' '), ' $w ', '')"))) /
       lit(w.length + 2)).cast(IntegerType)
 
-  private def oCnt(w: String): String =
+  private[operators] def oCnt(w: String): String =
     s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $w ', ''))) / ${w.length + 2} AS INT)"
 
   // language -> marker stopwords (simple n-gram/stopword heuristic)
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  private[operators] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of"),
     "es" -> Seq("el", "la", "de"),
     "de" -> Seq("der", "und", "die"),
