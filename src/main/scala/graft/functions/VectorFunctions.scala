@@ -20,6 +20,15 @@ object VectorFunctions {
   def dot_product(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.dot_product(a, b)
 
+  /** All random-hyperplane LSH signatures of an array<double> vector in
+    * one codegen'd pass: `tables` ints of `bits` sign-bits over a flat
+    * row-major (tables*bits) x dim plane matrix
+    * (org.apache.spark.sql.graft.HyperplaneSigs). */
+  def hyperplane_sigs(v: Column, planes: Array[Double],
+      tables: Int, bits: Int): Column =
+    org.apache.spark.sql.graft.VectorExpressions
+      .hyperplane_sigs(v, planes, tables, bits)
+
   /** Exact partial-aggregatable top-k: the k highest-scored (score, id)
     * pairs per group as array<struct<score,id>> best-first — map-side
     * buffers hold at most k rows, so the exchange carries

@@ -224,31 +224,39 @@ object VectorOps {
       import graft.CacheScope.Trackable
       val Tables_ = 16; val Dim = 64
       val e = vecs(s, d).tracked
-      // signature width grows with corpus size so per-bucket occupancy
-      // (and the quadratic within-bucket verify) stays bounded at scale:
-      // masking a bit halves the bucket count, so target ~64 vectors per
-      // MASKED bucket: Bits = log2(n/64)+1 clamped [8, 24]. The count is
-      // metadata-only (parquet row counts, no vector decode).
+      // signature width grows with corpus size so the candidate set (and
+      // the per-pair exact verify behind it) stays bounded at scale:
+      // Bits = log2(n/4)+1 clamped [8, 24]. A RANDOM pair collides in one
+      // table with prob ~(1+B)/2^B (multi-probe), so candidates/corpus-pair
+      // ~16*(1+B)/2^B — at B=10 that's 1.6%, vs 43% at the old B=8 floor
+      // (measured 900 k candidates for 856 true pairs at n=2000); a
+      // threshold-grade pair (cos 0.4, p_bit=0.63) still reaches recall
+      // >= ~0.67 across the 16 tables, and typical near-dup pairs
+      // (cos >= 0.6) reach >= 0.95. The count is metadata-only (parquet
+      // row counts, no vector decode).
       val n = Tables.embeddings(s, d).count()
       val Bits = math.min(24, math.max(8,
-        1 + math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2)).toInt))
+        1 + math.ceil(math.log(math.max(1.0, n / 4.0)) / math.log(2)).toInt))
       val rnd = new scala.util.Random(42)
       val planes = Array.fill(Tables_, Bits, Dim)(rnd.nextGaussian())
-      val sigCols = (0 until Tables_).flatMap { t =>
-        val sig = (0 until Bits).map { b =>
-          // sign(dot(v, h)) == sign(cos(v, h)) — reuse the codegen'd
-          // cosine expression instead of an interpreted lambda fold
-          val h = typedlit(planes(t)(b).toSeq)
-          when(graft.functions.VectorFunctions.cos_sim(col("v"), h) > 0,
-            1 << b).otherwise(0)
-        }.reduce(_ + _)
-        // multi-probe keys: signature with bit i masked out; two vectors
-        // agreeing on all bits but i share the (t, i, masked) key
-        // (measured: packing the key into one long instead of this
-        // struct changes nothing — the join is not key-width-bound)
+      // all Tables_*Bits sign-bits in ONE native codegen'd loop
+      // (HyperplaneSigs): composing tables*bits separate dot expressions
+      // made the signing projection's generated code O(tables*bits*dim)
+      // — Janino compile alone was ~4.5 s of the query. The signatures
+      // are materialized behind a persist BARRIER before the masked keys
+      // reference them, so the signing pass runs once, not once per key
+      // (sign(dot(v, h)) == sign(cos(v, h)), so no norm work either).
+      val sigs = e.select(col("vec_id"),
+        graft.functions.VectorFunctions.hyperplane_sigs(col("v"),
+          planes.flatten.flatten, Tables_, Bits).as("ss")).tracked
+      // multi-probe keys: signature with bit i masked out; two vectors
+      // agreeing on all bits but i share the (t, i, masked) key
+      // (measured: packing the key into one long instead of this
+      // struct changes nothing — the join is not key-width-bound)
+      val keyCols = (0 until Tables_).flatMap { t =>
         (0 until Bits).map { i =>
           struct(lit(t * Bits + i).as("t"),
-            bitwiseNOT(lit(1 << i)).bitwiseAND(sig).as("sig"))
+            bitwiseNOT(lit(1 << i)).bitwiseAND(col("ss")(t)).as("sig"))
         }
       }
       // The band self-join shuffles IDS ONLY (16 bytes/row after column
@@ -258,8 +266,8 @@ object VectorOps {
       // the DEDUPED candidate pairs from the cached corpus; both the
       // corpus and the computed signatures are persisted so the 128
       // hyperplane cosines per vector run once, not once per join side.
-      val banded = e.select(col("vec_id"),
-        explode(array(sigCols: _*)).as("bk")).tracked
+      val banded = sigs.select(col("vec_id"),
+        explode(array(keyCols: _*)).as("bk")).tracked
       val candidates = banded.as("a").join(banded.as("b"),
           col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
@@ -392,13 +400,20 @@ object VectorOps {
       val e = vecs(s, d)
       val data = e.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("n_id"), col("v").as("nv"))
-      // per-vector affine SQ8: code = round((x - lo) / scale), 0..255
-      val q8 = data
+      // per-vector affine SQ8: code = round((x - lo) / scale), 0..255.
+      // lo/hi/scale are materialized behind a persist BARRIER before any
+      // lambda references them: higher-order functions evaluate
+      // interpreted, and CollapseProject would otherwise inline
+      // array_min/array_max(nv) into the per-ELEMENT lambda bodies —
+      // measured 64x per-row blowup (7.4 s -> 0.6 s on the quantize pass).
+      val q8base = data
         .withColumn("lo", array_min(col("nv")))
         .withColumn("hi", array_max(col("nv")))
         .withColumn("scale",
           when(col("hi") > col("lo"), (col("hi") - col("lo")) / 255.0)
             .otherwise(lit(1.0)))
+        .tracked
+      val q8 = q8base
         .withColumn("qv", expr(
           "transform(nv, x -> cast(round((x - lo) / scale) as int))"))
         // reconstructed norm, precomputed once per corpus vector

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -200,6 +200,90 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All random-hyperplane LSH signatures of one vector in a single pass —
+  * `tables` signatures of `bits` sign-bits each, over a flat row-major
+  * plane matrix ((t * bits + b) * dim + i). One compact generated loop
+  * replaces tables*bits separate DotProduct instances in the signing
+  * projection: the per-plan codegen size (and Janino compile time) stays
+  * O(1) in tables*bits, and the plane matrix rides along as a single
+  * reference object instead of tables*bits array literals.
+  * Null on null input; mismatched dimensions (vector length vs matrix
+  * size) yield null rather than a partial signature.
+  */
+case class HyperplaneSigs(child: Expression, planes: Array[Double],
+    tables: Int, bits: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(tables > 0 && bits > 0 && bits <= 30 &&
+    planes.length % (tables * bits) == 0,
+    "planes must be a flat (tables*bits) x dim matrix")
+
+  private val dim = planes.length / (tables * bits)
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) null
+    else {
+      val out = new Array[Int](tables)
+      var t = 0
+      while (t < tables) {
+        var sig = 0
+        var b = 0
+        while (b < bits) {
+          val off = (t * bits + b) * dim
+          var dot = 0.0
+          var i = 0
+          while (i < dim) { dot += v.getDouble(i) * planes(off + i); i += 1 }
+          if (dot > 0) sig |= (1 << b)
+          b += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val p = ctx.addReferenceObj("planes", planes, "double[]")
+      val out = ctx.freshName("sigs")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val dot = ctx.freshName("dot")
+      val sig = ctx.freshName("sig")
+      s"""
+         |if ($v.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $out = new int[$tables];
+         |  for (int $t = 0; $t < $tables; $t++) {
+         |    int $sig = 0;
+         |    for (int $b = 0; $b < $bits; $b++) {
+         |      int $off = ($t * $bits + $b) * $dim;
+         |      double $dot = 0.0;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        $dot += $v.getDouble($i) * $p[$off + $i];
+         |      }
+         |      if ($dot > 0) $sig |= (1 << $b);
+         |    }
+         |    $out[$t] = $sig;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def cos_sim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(
@@ -212,4 +296,9 @@ object VectorExpressions {
   def dot_product(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def hyperplane_sigs(v: Column, planes: Array[Double],
+      tables: Int, bits: Int): Column =
+    ExpressionUtils.column(HyperplaneSigs(
+      ExpressionUtils.expression(v), planes, tables, bits))
 }
