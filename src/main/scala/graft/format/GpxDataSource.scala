@@ -479,7 +479,8 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates
-  with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   /** schema of what's physically in the files (no synthetic columns) */
   private val fileSchema =
@@ -489,6 +490,7 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
   private var filters: Array[Filter] = Array.empty
   private var pushedAgg: Option[Aggregation] = None
   private var limit: Option[Int] = None
+  private var topN: Option[GpxScan.TopN] = None
 
   /** Limit pushdown: `SELECT ... LIMIT n` on a bare scan plans only
     * enough row groups to cover n rows instead of the whole table — the
@@ -512,6 +514,46 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
   private lazy val hasDeleteSidecars: Boolean =
     GpxDeleteBitmap.anyDeletes(roots, new Configuration())
   override def isPartiallyPushed(): Boolean = true
+
+  /** Top-N pushdown (`ORDER BY col LIMIT n` directly over the scan):
+    * planning keeps only the row groups that can contribute to the first
+    * n rows, bounding the n-th value from the zone maps (GpxScan.topNKeep).
+    * Purely stats-based — NO sorted layout is assumed; a sorted layout
+    * just makes the zone maps disjoint so the prune converges to
+    * ~ceil(n/rowGroupRows) groups instead of a full scan. Partial by
+    * contract (isPartiallyPushed=true): Spark's TakeOrderedAndProject
+    * still runs above, so pruning only ever has to keep a SUPERSET of the
+    * top-n rows. Only the default direction/null pairings are pruned
+    * (ASC NULLS FIRST / DESC NULLS LAST — the two whose null placement
+    * the zone-map argument covers); merge-on-read deletes and COW row
+    * scans never truncate (same reasoning as pushLimit). */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    if (fileGranular.isDefined || filters.nonEmpty || n <= 0) return false
+    if (hasDeleteSidecars) return false
+    if (orders.isEmpty) return false
+    // pruning by the FIRST key alone is sound regardless of tie-breaking
+    // keys: with >= n rows at first-key values <= T, any row whose first
+    // key sorts strictly after T is out of the top n under ANY tie-break
+    val first = orders.head
+    val col = first.expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+        fileSchema.fieldNames.contains(nr.fieldNames.head) =>
+        nr.fieldNames.head
+      case _ => return false
+    }
+    if (!GpxFormat.isLongBacked(fileSchema(fileSchema.fieldIndex(col)).dataType))
+      return false
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    val desc = (first.direction, first.nullOrdering) match {
+      case (SortDirection.ASCENDING, NullOrdering.NULLS_FIRST) => false
+      case (SortDirection.DESCENDING, NullOrdering.NULLS_LAST) => true
+      case _ => return false
+    }
+    topN = Some(GpxScan.TopN(col, desc, n))
+    true
+  }
 
   override def pushFilters(fs: Array[Filter]): Array[Filter] = {
     // keep every filter for zone-map skipping, but report none as fully
@@ -587,7 +629,7 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
             .map { case (dir, _) => Seq(dir) }
         }
       new GpxScan(fileSchema, required, filters, routed.getOrElse(roots),
-        snapshotTs, fileGranular, limit)
+        snapshotTs, fileGranular, limit, topN)
   }
 }
 
@@ -709,7 +751,8 @@ class GpxScan(
     roots: Seq[String],
     snapshotTs: Option[Long],
     fileGranular: Option[java.util.Set[String]] = None,
-    limit: Option[Int] = None) extends Scan with Batch
+    limit: Option[Int] = None,
+    topN: Option[GpxScan.TopN] = None) extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering
   with SupportsReportPartitioning {
 
@@ -721,7 +764,9 @@ class GpxScan(
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GpxScan[${required.fieldNames.mkString(",")}] filters=${filters.mkString(";")}"
+    s"GpxScan[${required.fieldNames.mkString(",")}] filters=${filters.mkString(";")}" +
+      topN.map(t => s" topN=${t.n} by ${t.column}" +
+        (if (t.desc) " desc" else "")).getOrElse("")
 
   override def filterAttributes(): Array[NamedReference] =
     // must reference only the scan's OUTPUT columns (Spark resolves these
@@ -850,6 +895,9 @@ class GpxScan(
     val renames = roots.headOption
       .map(GpxTable.readRenames(_, conf)).getOrElse(Map.empty)
     val parts = new ArrayBuffer[GpxInputPartition]
+    // sort-column zone map per added part (null = column absent in that
+    // file), parallel to `parts` — feeds the top-N post-prune
+    val topStats = new ArrayBuffer[ChunkStats]
     var totalRows = 0L
     var totalBytes = 0L
     // pushed LIMIT: stop planning once the kept row groups cover it
@@ -914,6 +962,10 @@ class GpxScan(
           else phys.fieldNames.indexOf(
             GpxTable.physNameOf(phys, fd.name, renames))
         }
+        // this file's physical ordinal of the pushed top-N sort column
+        // (-1 = absent in this evolved file -> all rows null)
+        val topCi: Int = topN.map(t => phys.fieldNames.indexOf(
+          GpxTable.physNameOf(phys, t.column, renames))).getOrElse(-1)
         // file-granular mode (copy-on-write rewrite): if ANY row group may
         // match, read the WHOLE file — skipped rows would be lost rows —
         // and record the path as superseded by the replace-commit
@@ -987,6 +1039,8 @@ class GpxScan(
               parts += GpxInputPartition(f, numRows, rg.commitTs, cols,
                 GpxTable.bucketOfFile(f).getOrElse(-1),
                 synthKinds, pixelStarts, pixelCounts, delWords)
+              if (topN.isDefined)
+                topStats += (if (topCi < 0) null else rg.chunks(topCi).stats)
               totalRows += numRows
               cols.foreach { c =>
                 totalBytes += (if (c == null) 8L * numRows else c.map(_.length.toLong).sum)
@@ -1008,7 +1062,26 @@ class GpxScan(
         }
       }
     }
-    (parts.toArray, totalRows, math.max(totalBytes, 1L), colStats)
+    topN match {
+      // filters.isEmpty re-check: top-N is only pushed on filterless
+      // scans, but a runtime (DPP) filter injected later would make the
+      // coverage counting overcount (kept groups' rows may not all pass
+      // the filter) and over-prune — never top-N-prune a filtered walk
+      case Some(spec) if parts.nonEmpty && filters.isEmpty =>
+        // zone-map top-N prune: keep only row groups that can hold one of
+        // the first n rows under the pushed order. colStats stay merged
+        // over the PRE-prune set — a conservative superset, same contract
+        // as the pixel-pruning note above.
+        val keepMask = GpxScan.topNKeep(
+          topStats.toArray, parts.map(_.numRows).toArray, spec.desc, spec.n)
+        val keptParts = parts.indices.filter(i => keepMask(i)).map(parts).toArray
+        val rows = keptParts.map(_.numRows.toLong).sum
+        val bytes = keptParts.map(p => p.cols.map(c =>
+          if (c == null) 8L * p.numRows else c.map(_.length.toLong).sum).sum).sum
+        (keptParts, rows, math.max(bytes, 1L), colStats)
+      case _ =>
+        (parts.toArray, totalRows, math.max(totalBytes, 1L), colStats)
+    }
   }
 
   // One pruning walk per filter set: estimateStatistics runs on the
@@ -1131,6 +1204,107 @@ object GpxScan {
   /** MVCC visibility: row groups without a commit ts are always visible. */
   def visibleAt(rg: RowGroupMeta, snapshotTs: Option[Long]): Boolean =
     snapshotTs.forall(ts => rg.commitTs < 0 || rg.commitTs <= ts)
+
+  /** pushed `ORDER BY column [DESC] LIMIT n` (first sort key only) */
+  final case class TopN(column: String, desc: Boolean, n: Int)
+
+  /** observability hook for tests: row groups skipped by top-N pruning */
+  val topNSkipped = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  // extended value domain for zone-map bounds: -inf < any long < +inf,
+  // encoded as (rank, long) compared lexicographically — a Double proxy
+  // would lose precision above 2^53 and could mis-prune
+  private final val NegInf = (-1, 0L)
+  private final val PosInf = (1, 0L)
+  private def le(a: (Int, Long), b: (Int, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)
+
+  /** Which row groups can contribute to the top n?
+    *
+    * `stats(i)` is group i's sort-column zone map (null = the column is
+    * absent in that evolved file, i.e. all rows null); `rows(i)` its row
+    * count. Argument, ASC NULLS FIRST (DESC NULLS LAST is the mirror):
+    * pick the cheapest set S of reliable groups whose row counts sum to
+    * >= n, minimizing T = max over S of the group's upper bound (nulls
+    * sort below T by definition; non-null rows are bounded by maxLong).
+    * Then >= n rows sort at or below T, so any group whose LOWER bound —
+    * -inf if the group holds a null — exceeds T cannot hold a top-n row.
+    * Unreliable stats (NaN floats, statless types) are never skipped and
+    * never enter S. Returns the keep mask; always a superset of the true
+    * top n, for ANY physical row order. */
+  def topNKeep(stats: Array[ChunkStats], rows: Array[Int], desc: Boolean,
+      n: Int): Array[Boolean] = {
+    val m = stats.length
+    val keep = Array.fill(m)(true)
+    // (bound used for T-selection, coverage rows, index) of reliable groups
+    val eligible = (0 until m).filter(i => stats(i) == null || stats(i).reliable)
+    if (!desc) {
+      // upper bound of ALL rows in the group (nulls included): all-null
+      // groups bound at -inf, otherwise the non-null max
+      def upper(i: Int): (Int, Long) = stats(i) match {
+        case null => NegInf
+        case st if !st.hasValues => NegInf
+        case st => (0, st.maxLong)
+      }
+      val byUpper = eligible.sortBy(upper)(Ordering.Tuple2[Int, Long])
+      var covered = 0L
+      var t: (Int, Long) = PosInf
+      var chosen = false
+      val it = byUpper.iterator
+      while (it.hasNext && !chosen) {
+        val i = it.next()
+        covered += rows(i)
+        if (covered >= n) { t = upper(i); chosen = true }
+      }
+      if (chosen) {
+        def lower(i: Int): (Int, Long) = stats(i) match {
+          case null => NegInf
+          case st if !st.hasValues || st.nullCount > 0 => NegInf
+          case st => (0, st.minLong)
+        }
+        eligible.foreach { i =>
+          if (!le(lower(i), t)) { keep(i) = false; topNSkipped.incrementAndGet() }
+        }
+      }
+    } else {
+      // DESC NULLS LAST: only non-null rows cover (nulls sort after
+      // everything), bounded below by the non-null min
+      def lowerNN(i: Int): (Int, Long) = stats(i) match {
+        case null => PosInf // no non-null rows
+        case st if !st.hasValues => PosInf
+        case st => (0, st.minLong)
+      }
+      def coverage(i: Int): Long = stats(i) match {
+        case null => 0L
+        case st if !st.hasValues => 0L
+        case st => math.max(0L, rows(i).toLong - st.nullCount)
+      }
+      val byLower = eligible.sortBy(i => lowerNN(i))(
+        Ordering.Tuple2[Int, Long].reverse)
+      var covered = 0L
+      var t: (Int, Long) = NegInf
+      var chosen = false
+      val it = byLower.iterator
+      while (it.hasNext && !chosen) {
+        val i = it.next()
+        covered += coverage(i)
+        if (covered >= n) { t = lowerNN(i); chosen = true }
+      }
+      if (chosen) {
+        // group's upper bound over non-null rows; all-null groups sort
+        // entirely after the covered non-null rows -> skippable
+        def upperNN(i: Int): (Int, Long) = stats(i) match {
+          case null => NegInf
+          case st if !st.hasValues => NegInf
+          case st => (0, st.maxLong)
+        }
+        eligible.foreach { i =>
+          if (!le(t, upperNN(i))) { keep(i) = false; topNSkipped.incrementAndGet() }
+        }
+      }
+    }
+    keep
+  }
 }
 
 class GpxReaderFactory(required: StructType, rowBased: Boolean = false)

@@ -26,7 +26,8 @@ final class GpxFileWriter(
     conf: Configuration,
     rowGroupRows: Int = DefaultRowGroupRows,
     pixelRows: Int = DefaultPixelRows,
-    initialCommitTs: Long = -1L) {
+    initialCommitTs: Long = -1L,
+    sortedBy: Seq[String] = Nil) {
 
   /** ts stamped on row groups as they flush — mutable so multi-version
     * rewrites (delete-bitmap folds, compaction of mixed-ts files) can
@@ -473,7 +474,7 @@ final class GpxFileWriter(
     flushRowGroup()
     val fBytes = new ByteArrayOutputStream(8192)
     val fd = new DataOutputStream(fBytes)
-    GpxFormat.writeFooter(fd, Footer(schema, rowGroups.toArray))
+    GpxFormat.writeFooter(fd, Footer(schema, rowGroups.toArray, sortedBy))
     fd.flush()
     val arr = fBytes.toByteArray
     write(arr)

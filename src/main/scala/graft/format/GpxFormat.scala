@@ -59,7 +59,7 @@ object GpxFormat {
 
   /** bumped on any footer/encoding layout change; cache dirs embed it so
     * files written by an older writer are never misread */
-  val FormatVersion: Int = 6
+  val FormatVersion: Int = 7
 
   // encodings
   val EncPlain: Byte = 0
@@ -150,7 +150,17 @@ object GpxFormat {
   final case class RowGroupMeta(
       numRows: Int, chunks: Array[ChunkMeta], commitTs: Long = -1L)
 
-  final case class Footer(schema: StructType, rowGroups: Array[RowGroupMeta])
+  /** `sortedBy`: every ROW GROUP in this file is internally sorted
+    * ascending-nulls-first by this (physical-name) column prefix — stamped
+    * by the batch writer when a sort clustering was in effect (Spark
+    * inserts the sort via RequiresDistributionAndOrdering, so the claim is
+    * writer-enforced, not caller-trusted), propagated through byte-copy
+    * compaction (common prefix of the inputs) and delete folds. Per-FILE
+    * truth, unlike the table-level `_sortspec` intent: files written
+    * before the spec existed simply carry an empty list, so scan-time
+    * ordering claims can never cover an unsorted legacy file. */
+  final case class Footer(schema: StructType, rowGroups: Array[RowGroupMeta],
+      sortedBy: Seq[String] = Nil)
 
   /** Types the format materializes natively. Decimals come in two widths
     * like the reference (TypeDescription.java:60-61): p<=18 rides in a
@@ -217,6 +227,8 @@ object GpxFormat {
         }
       }
     }
+    out.writeInt(f.sortedBy.length)
+    f.sortedBy.foreach(out.writeUTF)
   }
 
   def readFooter(in: DataInputStream): Footer = {
@@ -238,6 +250,11 @@ object GpxFormat {
       }
       RowGroupMeta(numRows, chunks, commitTs)
     }
-    Footer(schema, rgs)
+    // sortedBy rides at the tail; a footer serialized before the field
+    // existed simply ends here (EOF => no sort clustering recorded)
+    val sortedBy =
+      try Seq.fill(in.readInt())(in.readUTF())
+      catch { case _: java.io.EOFException => Nil }
+    Footer(schema, rgs, sortedBy)
   }
 }

@@ -442,6 +442,19 @@ object FormatOps {
               |  ${Det.o.dsum("o_totalprice")} AS sum_price,
               |  MIN(o_orderkey) AS min_key
               |FROM orders GROUP BY o_custkey % 10
-              |ORDER BY bucket""".stripMargin))
+              |ORDER BY bucket""".stripMargin)),
+
+    // Pushed ORDER BY ... LIMIT n (SupportsPushDownTopN): zone-map top-N
+    // pruning keeps only the row groups that can hold a top-n row — over
+    // the o_orderkey-sorted layout that is ~1 group instead of the whole
+    // table (S13 top-k + S3 zone maps in one plan; at 100 TB the
+    // difference between an interactive peek and a full scan).
+    GQuery("f15_topn_pushdown", (s, d) =>
+      gpx(s, d, "orders", sortCol = Some("o_orderkey"), rgRows = 4096)
+        .orderBy(col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_orderkey LIMIT 100""".stripMargin))
   )
 }

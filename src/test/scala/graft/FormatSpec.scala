@@ -441,6 +441,59 @@ class FormatSpec extends GraftSpec {
     assert(f.select(min(col("id"))).head.getLong(0) == 19990L)
   }
 
+  test("pushed top-N prunes row groups via zone maps, both directions, nulls exact") {
+    import sp.implicits._
+    def scanParts(q: org.apache.spark.sql.DataFrame): Int =
+      q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head.inputRDD.getNumPartitions
+    // sorted layout: 20 row groups, top-10 should plan ~1
+    val dir = tmp()
+    (0 until 20000).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .coalesce(1).orderBy("id").write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "1000").save(dir)
+    val t = sp.read.format("gpx").load(dir)
+    val asc = t.orderBy(col("id")).limit(10)
+    assert(asc.collect().map(_.getLong(0)).toSeq == (0L until 10L))
+    assert(scanParts(asc) <= 2, s"ASC top-10 planned ${scanParts(asc)} of 20 groups")
+    val desc = t.orderBy(col("id").desc).limit(10)
+    assert(desc.collect().map(_.getLong(0)).toSeq == (19999L to 19990L by -1L))
+    assert(scanParts(desc) <= 2, s"DESC top-10 planned ${scanParts(desc)} of 20 groups")
+    // secondary sort keys don't break first-key pruning
+    val two = t.orderBy(col("id"), col("s").desc).limit(7)
+    assert(two.collect().map(_.getLong(0)).toSeq == (0L until 7L))
+    // UNSORTED layout: pruning may keep everything, results stay exact
+    val dir2 = tmp()
+    val rnd = new scala.util.Random(7)
+    rnd.shuffle((0 until 20000).toVector).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "s").coalesce(1).write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "1000").save(dir2)
+    val t2 = sp.read.format("gpx").load(dir2)
+    assert(t2.orderBy(col("id")).limit(5).collect().map(_.getLong(0)).toSeq
+      == (0L until 5L))
+    // nulls: group 1 = 1000..1999, group 2 = all null, group 3 = 0..999
+    val dir3 = tmp()
+    val rows: Seq[(Option[Long], String)] =
+      (1000 until 2000).map(i => (Some(i.toLong), "a")) ++
+        (0 until 1000).map(_ => (Option.empty[Long], "n")) ++
+        (0 until 1000).map(i => (Some(i.toLong), "b"))
+    rows.toDF("id", "s").coalesce(1).write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "1000").save(dir3)
+    val t3 = sp.read.format("gpx").load(dir3)
+    // ASC NULLS FIRST (default): the all-null group IS the top — never skip it
+    val ascN = t3.orderBy(col("id")).limit(10)
+    assert(ascN.collect().forall(_.isNullAt(0)))
+    // DESC NULLS LAST (default): nulls sort last; one group covers, two skip
+    val descN = t3.orderBy(col("id").desc).limit(5)
+    assert(descN.collect().map(_.getLong(0)).toSeq == (1999L to 1995L by -1L))
+    assert(scanParts(descN) == 1,
+      s"DESC top-5 planned ${scanParts(descN)} of 3 groups")
+    // non-default null ordering: NOT pushed (all groups planned), exact anyway
+    val nl = t3.orderBy(col("id").asc_nulls_last).limit(5)
+    assert(nl.collect().map(_.getLong(0)).toSeq == (0L until 5L))
+    assert(scanParts(nl) == 3, "asc_nulls_last must not be top-N pruned")
+  }
+
   test("z-order clustering prunes on BOTH dimensions; plain sort only on one") {
     import sp.implicits._
     val rnd = new scala.util.Random(11)
