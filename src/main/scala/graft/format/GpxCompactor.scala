@@ -79,6 +79,14 @@ object GpxCompactor {
     }
 
     val schema = GpxFileReader.FooterCache.get(files.head, conf).schema
+    // per-file sortedBy claim for the compacted outputs: row groups are
+    // byte-copied, so each keeps its internal order — the merged file's
+    // claim is the longest prefix every INPUT file can vouch for
+    val sortedBy: Seq[String] = files
+      .map(f => GpxFileReader.FooterCache.get(f, conf).sortedBy)
+      .reduceOption((a, b) => a.zip(b).takeWhile { case (x, y) => x == y }
+        .map(_._1))
+      .getOrElse(Nil)
     var outIndex = 0
     var out: java.io.DataOutputStream = null
     var pos = 0L
@@ -97,7 +105,7 @@ object GpxCompactor {
       if (out == null) return
       val fBytes = new ByteArrayOutputStream(8192)
       val fd = new DataOutputStream(fBytes)
-      GpxFormat.writeFooter(fd, Footer(schema, rgs.result().toArray))
+      GpxFormat.writeFooter(fd, Footer(schema, rgs.result().toArray, sortedBy))
       fd.flush()
       val arr = fBytes.toByteArray
       out.write(arr)

@@ -754,7 +754,8 @@ class GpxScan(
     limit: Option[Int] = None,
     topN: Option[GpxScan.TopN] = None) extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering
-  with SupportsReportPartitioning {
+  with SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   /** planning-time filters plus any runtime (DPP-style) filters Spark
     * injects after build sides materialize — the v2 analog of dynamic
@@ -1187,6 +1188,44 @@ class GpxScan(
     }
   }
 
+  /** Per-partition output ordering (ordered layout, reference
+    * Ordered.java / docs/TPC-H.md ordered-vs-compact): each input
+    * partition is ONE row group, and a row group from a sort-clustered
+    * write is internally sorted — the footer's per-file `sortedBy` claim
+    * is writer-enforced truth, so files written BEFORE the table's
+    * `_sortspec` existed (empty claim) disable the report rather than
+    * corrupt it. The claim survives pixel pruning, merge-on-read masks
+    * and fold/compaction rewrites (all order-preserving). Spark then
+    * elides per-partition SortExecs above the scan — with a bucketed
+    * layout's KeyGroupedPartitioning, an equi-join on (bucket, sort)
+    * columns plans with NEITHER Exchange NOR Sort. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    if (fileGranular.isDefined || roots.size != 1) return Array.empty
+    val parts = kept()._1
+    if (parts.isEmpty) return Array.empty
+    val conf = new Configuration()
+    val spec = GpxTable.readSortSpec(roots.head, conf)
+      .takeWhile(required.fieldNames.contains) // must reference scan output
+    if (spec.isEmpty) return Array.empty
+    val renames = GpxTable.readRenames(roots.head, conf)
+    // longest prefix of the table's (logical) sort spec that EVERY kept
+    // file's footer vouches for under its own physical names
+    val n = parts.map(_.path).distinct.foldLeft(spec.length) { (acc, f) =>
+      val footer = GpxFileReader.FooterCache.get(f, conf)
+      val phys = footer.schema
+      math.min(acc, spec.take(acc).zipWithIndex.takeWhile { case (c, i) =>
+        footer.sortedBy.lift(i)
+          .contains(GpxTable.physNameOf(phys, c, renames))
+      }.length)
+    }
+    spec.take(n).map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    ).toArray
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     // Spark requires one batch/row mode for the WHOLE scan: any split
     // with a merge-on-read mask forces the row-based path (rows feed a
@@ -1581,7 +1620,7 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
         schema(schema.fieldIndex(r.column)).dataType),
       s"rangeBy column ${r.column} must be an integer-family schema column"))
     GpxWriterFactory(schema, staging, opId, rgRows, pxRows, commitTs, bucket,
-      tsFromLastColumn = tsColumn.isDefined, range = range)
+      tsFromLastColumn = tsColumn.isDefined, range = range, sortBy = sortBy)
   }
 
   private def writeSidecars(fs: org.apache.hadoop.fs.FileSystem,
@@ -1736,7 +1775,8 @@ final case class GpxCommit(files: Seq[String]) extends WriterCommitMessage
 final case class GpxWriterFactory(schema: StructType, staging: String,
     opId: String, rgRows: Int, pxRows: Int, commitTs: Long,
     bucket: Option[GpxTable.BucketSpec], tsFromLastColumn: Boolean = false,
-    range: Option[GpxTable.RangeSpec] = None)
+    range: Option[GpxTable.RangeSpec] = None,
+    sortBy: Seq[String] = Nil)
   extends DataWriterFactory {
 
   /** final-name uniqueness: opId scopes this logical write (taskIds can
@@ -1791,7 +1831,11 @@ final case class GpxWriterFactory(schema: StructType, staging: String,
     def writerFor(ts: Long, bk: Int): GpxFileWriter =
       writers.getOrElseUpdate((ts, bk), {
         val file = s"$staging/${fileName(partitionId, taskId, ts, bk)}"
-        (file, new GpxFileWriter(file, dataSchema, conf, rgRows, pxRows, ts))
+        // sort clustering in effect => the task's rows arrive sorted
+        // (Spark inserts the sort for requiredOrdering) and every routed
+        // writer sees an ordered subsequence — stamp the footer claim
+        (file, new GpxFileWriter(file, dataSchema, conf, rgRows, pxRows, ts,
+          sortedBy = sortBy))
       })._2
 
     new DataWriter[InternalRow] {

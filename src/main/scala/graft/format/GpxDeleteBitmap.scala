@@ -233,8 +233,11 @@ object GpxDeleteBitmap {
     // never see a footer-less partial, and a crash mid-fold must not
     // leave a corrupt visible .gpx
     val tmpDest = new Path(p.getParent, s".fold-${dest.getName}")
+    // mask-fold copies rows in file order, so the source's per-row-group
+    // sort claim survives the rewrite
     val w = new GpxFileWriter(tmpDest.toString, footer.schema, conf,
-      GpxFormat.DefaultRowGroupRows, GpxFormat.DefaultPixelRows, -1L)
+      GpxFormat.DefaultRowGroupRows, GpxFormat.DefaultPixelRows, -1L,
+      sortedBy = footer.sortedBy)
     var base = 0L
     var kept = 0L
     footer.rowGroups.foreach { rg =>

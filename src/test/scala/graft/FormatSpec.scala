@@ -494,6 +494,41 @@ class FormatSpec extends GraftSpec {
     assert(scanParts(nl) == 3, "asc_nulls_last must not be top-N pruned")
   }
 
+  test("reported per-partition ordering: sorted layouts elide SortExec, legacy files veto") {
+    import sp.implicits._
+    def sortExecs(q: org.apache.spark.sql.DataFrame): Int =
+      q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }.length
+    val dir = tmp()
+    (0L until 20000L).map(i => (i, s"v$i")).toDF("id", "s")
+      .coalesce(2).write.format("gpx").mode("overwrite")
+      .option("sortBy", "id").option("rowGroupRows", "1000").save(dir)
+    val t = sp.read.format("gpx").load(dir)
+    // writer-enforced footer claim => per-partition sorts are elided
+    assert(sortExecs(t.sortWithinPartitions("id")) == 0,
+      "sorted layout must elide the per-partition sort")
+    // ... and the claim is true: every partition is internally ordered
+    val unordered = t.select(col("id")).rdd
+      .mapPartitions(it => Iterator.single(
+        it.map(_.getLong(0)).foldLeft((Long.MinValue, true)) {
+          case ((prev, ok), v) => (v, ok && v >= prev) }._2))
+      .collect()
+    assert(unordered.forall(identity))
+    // a file written BEFORE the sort spec existed vetoes the claim: the
+    // per-file footer check reports no ordering, and Spark keeps the sort
+    val dir2 = tmp()
+    val rnd = new scala.util.Random(3)
+    rnd.shuffle((0L until 5000L).toVector).map(i => (i, "x")).toDF("id", "s")
+      .coalesce(1).write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "1000").save(dir2)
+    (5000L until 10000L).map(i => (i, "y")).toDF("id", "s")
+      .coalesce(1).write.format("gpx").mode("append")
+      .option("sortBy", "id").option("rowGroupRows", "1000").save(dir2)
+    val t2 = sp.read.format("gpx").load(dir2)
+    assert(sortExecs(t2.sortWithinPartitions("id")) == 1,
+      "a legacy unsorted file must veto the ordering claim")
+  }
+
   test("z-order clustering prunes on BOTH dimensions; plain sort only on one") {
     import sp.implicits._
     val rnd = new scala.util.Random(11)
