@@ -204,6 +204,36 @@ object GpxTable {
     }
   }
 
+  /** Column-cardinality sidecar written by [[GpxMaintenance.analyze]]
+    * (the reference's STAT command path: collected cardinalities land in
+    * metadata and feed PlanOptimizer selectivity). Served ONLY while the
+    * stamped version token matches the table's current token — stats that
+    * went stale under a mutation are dropped, never silently wrong.
+    * Format: token line, row-count line, then "<urlenc-name>\t<ndv>". */
+  def readColStats(root: String, conf: Configuration): Map[String, Long] = {
+    val p = new Path(root, "_colstats")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Map.empty
+    val txt = try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    } catch { case _: java.io.IOException => return Map.empty }
+    txt.split("\n").toSeq.filter(_.nonEmpty) match {
+      case token +: _ +: cols
+        if GpxVersion.current(root, conf).contains(token.trim) =>
+        cols.flatMap { line =>
+          line.split("\t", 2) match {
+            case Array(n, v) =>
+              try Some(java.net.URLDecoder.decode(n, "UTF-8") -> v.trim.toLong)
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap
+      case _ => Map.empty
+    }
+  }
+
   /** Range-layout sidecar (reference: catalog-level key-range assignment
     * per file set, pixels-common metadata/domain/Range.java +
     * RangeIndex.java — ingest-time routing by key range, not just
@@ -1126,7 +1156,15 @@ class GpxScan(
       val m = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      // ANALYZE overlay (GpxMaintenance.analyze): per-column NDV served
+      // only while its version-token stamp matches — see readColStats.
+      // Clamped to the pruned row count (a zone-pruned scan can't have
+      // more distinct values than rows).
+      val ndvByName: Map[String, Long] = roots.headOption
+        .map(GpxTable.readColStats(_, new Configuration()))
+        .getOrElse(Map.empty)
       required.fields.zip(statsSnapshot._4).foreach { case (fd, st) =>
+        val ndv = ndvByName.get(fd.name).map(v => math.min(v, statsSnapshot._2))
         if (st != null && st.reliable) {
           // min/max must arrive as the column's EXTERNAL Catalyst value
           // class — estimation casts by dataType (EstimationUtils)
@@ -1161,6 +1199,18 @@ class GpxScan(
               override def max(): java.util.Optional[Object] =
                 mx.map(java.util.Optional.of[Object])
                   .getOrElse(java.util.Optional.empty[Object]())
+              override def distinctCount(): java.util.OptionalLong =
+                ndv.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+            })
+        } else if (ndv.isDefined) {
+          // no reliable zone maps (NaN floats, statless types) — the
+          // ANALYZE cardinality still stands on its own
+          m.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(fd.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(ndv.get)
             })
         }
       }

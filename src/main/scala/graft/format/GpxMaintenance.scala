@@ -77,4 +77,51 @@ object GpxMaintenance {
     }.toSeq
     sweptDirs ++ sweptTmps
   }
+
+  /** STAT-command analog (reference pixels-cli STAT in the
+    * LOAD→COMPACT→STAT flow, docs/TPC-H.md:116-143: collected column
+    * cardinalities land in the metadata service and feed PlanOptimizer
+    * selectivity, PlanOptimizer.java:364). One distributed aggregation
+    * pass computes per-column approximate NDV (HLL, 2% rsd) plus the
+    * exact row count and publishes them as a `_colstats` sidecar stamped
+    * with the table's current version token. The scan overlays
+    * distinctCount onto its footer-derived CBO statistics only while the
+    * stamp still matches — after ANY mutation the stats silently drop
+    * out instead of feeding the optimizer stale cardinalities. At 100 TB
+    * this is the same one-pass, partial-aggregated shape as any group-by;
+    * re-run it like the reference re-runs STAT. */
+  def analyze(spark: org.apache.spark.sql.SparkSession, table: String,
+      conf: Configuration = new Configuration()): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    if (GpxVersion.current(table, conf).isEmpty) GpxVersion.bump(table, conf)
+    val token = GpxVersion.current(table, conf).getOrElse(
+      throw new IllegalStateException(s"no version token for $table"))
+    val df = spark.read.format("gpx").load(table)
+    val cols = df.schema.fields.toSeq
+    val aggs = count(lit(1)) +:
+      cols.map(f => approx_count_distinct(col(f.name), 0.02))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = row.getLong(0)
+    val ndv = cols.zipWithIndex.map { case (f, i) =>
+      f.name -> row.getLong(i + 1)
+    }.toMap
+    val lines = Seq(token, rows.toString) ++ ndv.toSeq.sortBy(_._1).map {
+      case (n, v) => s"${java.net.URLEncoder.encode(n, "UTF-8")}\t$v"
+    }
+    // tmp + rename publish (same protocol as version tokens): readers see
+    // the old stats or the new ones, never a torn file
+    val rootP = new Path(table)
+    val fs = rootP.getFileSystem(conf)
+    val tmp = new Path(rootP,
+      s"._colstats.${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val dest = new Path(rootP, "_colstats")
+    if (fs.exists(dest)) { try fs.delete(dest, false) catch { case _: Throwable => () } }
+    if (!fs.rename(tmp, dest)) {
+      try fs.delete(tmp, false) catch { case _: Throwable => () }
+      throw new java.io.IOException(s"colstats publish failed for $table")
+    }
+    ndv
+  }
 }

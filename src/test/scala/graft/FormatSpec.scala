@@ -355,6 +355,37 @@ class FormatSpec extends GraftSpec {
     assert(mn2.contains(4000L), mn2)
   }
 
+  test("ANALYZE (STAT analog): NDV flows to CBO, mutations drop it, never stale") {
+    import sp.implicits._
+    val dir = tmp()
+    (0 until 10000).map(i => (i.toLong, (i % 137).toLong, s"v${i % 50}"))
+      .toDF("id", "grp", "s")
+      .coalesce(1).write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "1000").save(dir)
+    val ndv = graft.format.GpxMaintenance.analyze(sp, dir,
+      sp.sparkContext.hadoopConfiguration)
+    // approximate NDV (2% rsd) — sanity bands, not exact equality
+    assert(math.abs(ndv("id") - 10000) <= 400, ndv)
+    assert(math.abs(ndv("grp") - 137) <= 10, ndv)
+    assert(math.abs(ndv("s") - 50) <= 5, ndv)
+    def distinctOf(colName: String): Option[BigInt] = {
+      val stats = sp.read.format("gpx").load(dir)
+        .queryExecution.optimizedPlan.stats
+      stats.attributeStats.collectFirst {
+        case (a, cs) if a.name == colName => cs }.flatMap(_.distinctCount)
+    }
+    val got = distinctOf("grp")
+    assert(got.exists(v => (v - 137).abs <= 10), s"grp NDV via CBO: $got")
+    // any mutation invalidates the stamp: stats drop out, never serve stale
+    (10000 until 11000).map(i => (i.toLong, 999L, "w")).toDF("id", "grp", "s")
+      .coalesce(1).write.format("gpx").mode("append").save(dir)
+    assert(distinctOf("grp").isEmpty, "stale NDV must not be served")
+    // re-analyze restores service under the new token
+    graft.format.GpxMaintenance.analyze(sp, dir,
+      sp.sparkContext.hadoopConfiguration)
+    assert(distinctOf("grp").exists(v => (v - 138).abs <= 10))
+  }
+
   test("failed INSERT OVERWRITE leaves the old table intact") {
     import sp.implicits._
     val dir = tmp()
