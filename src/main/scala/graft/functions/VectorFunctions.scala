@@ -15,6 +15,9 @@ object VectorFunctions {
   def sorted_jaccard(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.sorted_jaccard(a, b)
 
+  def trigram_ids(s: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.trigram_ids(s)
+
   /** Raw inner product of two array<double> columns — the MIPS scoring
     * kernel, codegen'd (org.apache.spark.sql.graft.DotProduct). */
   def dot_product(a: Column, b: Column): Column =

@@ -409,49 +409,32 @@ object Dedup {
     // (J>=t => |A|/|B| in [t, 1/t]). Identical output to brute force.
     GQuery("d03_ngram_jaccard", (s, d) => {
       val t = 0.6
+      // packed-codepoint trigram ids straight off the text (native
+      // TrigramIds expression): each id packs the trigram's 3 code points
+      // into 63 bits — injective BY CONSTRUCTION, so the old dictionary-
+      // encoding join, xxhash64 collision check and dense-id fallback all
+      // disappear, along with every per-gram string allocation. The id
+      // arrays are born sorted+distinct per document, so the verify-side
+      // sorted-merge input (gInt) is free.
       val g = Tables.documents(s, d)
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"),
-          array_distinct(expr(
-            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("s"))
-        .withColumn("sz", size(col("s")))
-        .tracked // tokenized grams feed the prefix pass + 2 verify joins
+          graft.functions.VectorFunctions.trigram_ids(col("text")).as("sids"))
+        .withColumn("sz", size(col("sids")))
+        .tracked // feeds the prefix pass, the df counts and the verify joins
+      val gInt = g.select(col("doc_id").as("gd"), col("lang"), col("sz"),
+        col("sids"))
       val grams = g.select(col("doc_id"), col("lang"), col("sz"),
-        explode(col("s")).as("gram"))
-      // dictionary-encode grams to ints: join keys and the verify
-      // intersections then run over int arrays instead of strings (a
-      // bijection, so every count/jaccard is unchanged). Ids are xxhash64 —
-      // inline, fully parallel (NOT a global row_number window, which would
-      // be a single-partition stage), injectivity checked below with a
-      // dense-id fallback. The df join carries no broadcast hint: the
-      // vocabulary of a 100 TB corpus doesn't fit in a broadcast; AQE
-      // promotes it to broadcast when it actually is small.
-      val freq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-      // persist BEFORE the collision check: the df join runs once for the
-      // check and all downstream consumers
-      val hashedGrams = grams.join(freq, "gram")
-        .withColumn("gid", xxhash64(col("gram")))
-        .tracked
-      // injectivity check over the distinct vocabulary (freq already holds
-      // one row per gram — no Expand-doubled countDistinct pass needed)
-      val gvocab = freq.select(col("gram")).tracked
-      val vocabV = gvocab.count()
-      val gidGrams = (if (vocabV ==
-          gvocab.select(xxhash64(col("gram"))).distinct().count()) {
-        hashedGrams.select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("df"))
-      } else {
-        val dense = s.createDataFrame(
-          gvocab.rdd.map(_.getString(0)).zipWithIndex()
-            .map { case (t, i) => org.apache.spark.sql.Row(t, i + 1L) },
-          new StructType().add("gram", StringType).add("gid", LongType))
-        grams.join(freq, "gram").join(dense, "gram")
-          .select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("df"))
-      }) // projection over the persisted hashedGrams — no second cache
-      // sorted once per document so the huge-vocabulary fallback verify
-      // can sorted-merge instead of hash-set per pair
-      val gInt = gidGrams.groupBy(col("doc_id").as("gd"), col("lang"), col("sz"))
-        .agg(sort_array(collect_list(col("gid"))).as("sids"))
-        .tracked
+        explode(col("sids")).as("gid"))
+      // document frequency drives the canonical rare-first prefix order
+      // (ANY total order is correct for PPJoin completeness; rare-first
+      // minimizes candidates). The df join carries no broadcast hint: a
+      // 100 TB corpus vocabulary needn't fit in a broadcast — AQE
+      // promotes the join when it actually is small.
+      val freq = grams.groupBy("gid").agg(count(lit(1)).as("df")).tracked
+      val vocabV = freq.count()
+      val gidGrams = grams.join(freq, "gid")
+        .select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("df"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("df"), col("gid"))
       // persist: both sides of the prefix self-join consume this, and the
@@ -487,8 +470,9 @@ object Dedup {
         if (nWords <= 32) {
           // dense bit positions for the <=2048 sparse gids via a collected,
           // sorted table — bounded by the nWords gate, so the collect and
-          // broadcast are provably tiny at any corpus size
-          val gids = gidGrams.select(col("gid")).distinct().orderBy(col("gid"))
+          // broadcast are provably tiny at any corpus size (freq already
+          // holds exactly one row per gid)
+          val gids = freq.select(col("gid")).orderBy(col("gid"))
             .collect().map(_.getLong(0))
           val posDf = broadcast(s.createDataFrame(
             s.sparkContext.parallelize(gids.zipWithIndex.toSeq.map {

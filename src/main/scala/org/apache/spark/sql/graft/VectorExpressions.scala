@@ -284,10 +284,79 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
     copy(child = newChild)
 }
 
+/** Distinct, ascending, PACKED character-trigram ids of a string: each id
+  * packs the trigram's three Unicode code points into 63 bits
+  * ((c1<<42)|(c2<<21)|c3 — code points < 2^21), an INJECTIVE encoding of
+  * `substring(s, i, 3)`. Set algebra over the ids is therefore exactly
+  * set algebra over the trigram strings — no dictionary-encoding join, no
+  * hash-collision check, no per-gram string allocation. Equivalent to
+  * `array_distinct(transform(sequence(1, length(s)-2), i ->
+  * substring(s, i, 3)))` up to element order (ascending here), operating
+  * on code points exactly as Spark's `substring`/`length` do. Strings
+  * with fewer than 3 code points yield an empty array. */
+case class TrigramIds(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TrigramIds.ids(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  // one static call keeps the surrounding operators inside
+  // WholeStageCodegen (the helper itself is branchy scalar code that the
+  // JIT handles fine; what matters is not breaking the codegen span)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.sql.graft.TrigramIds.ids($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TrigramIds {
+  def ids(u: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = u.toString
+    val sl = s.length
+    // code points (what Spark's substring/length count)
+    var n = 0
+    var i = 0
+    while (i < sl) { i += Character.charCount(s.codePointAt(i)); n += 1 }
+    if (n < 3)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val cps = new Array[Int](n)
+    i = 0
+    var k = 0
+    while (i < sl) {
+      val cp = s.codePointAt(i); cps(k) = cp; k += 1; i += Character.charCount(cp)
+    }
+    val ids = new Array[Long](n - 2)
+    var j = 0
+    while (j < n - 2) {
+      ids(j) = (cps(j).toLong << 42) | (cps(j + 1).toLong << 21) | cps(j + 2).toLong
+      j += 1
+    }
+    java.util.Arrays.sort(ids)
+    var m = 0
+    var p = 0
+    while (p < ids.length) {
+      if (m == 0 || ids(m - 1) != ids(p)) { ids(m) = ids(p); m += 1 }
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (m == ids.length) ids else java.util.Arrays.copyOf(ids, m))
+  }
+}
+
 object VectorExpressions {
   def cos_sim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def trigram_ids(s: Column): Column =
+    ExpressionUtils.column(TrigramIds(ExpressionUtils.expression(s)))
 
   def sorted_jaccard(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedJaccard(
