@@ -573,15 +573,16 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
         nr.fieldNames.head
       case _ => return false
     }
-    if (!GpxFormat.isLongBacked(fileSchema(fileSchema.fieldIndex(col)).dataType))
-      return false
+    val dt = fileSchema(fileSchema.fieldIndex(col)).dataType
+    val isFloat = dt == DoubleType || dt == FloatType
+    if (!GpxFormat.isLongBacked(dt) && !isFloat) return false
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
     val desc = (first.direction, first.nullOrdering) match {
       case (SortDirection.ASCENDING, NullOrdering.NULLS_FIRST) => false
       case (SortDirection.DESCENDING, NullOrdering.NULLS_LAST) => true
       case _ => return false
     }
-    topN = Some(GpxScan.TopN(col, desc, n))
+    topN = Some(GpxScan.TopN(col, desc, n, isFloat))
     true
   }
 
@@ -1104,7 +1105,8 @@ class GpxScan(
         // over the PRE-prune set — a conservative superset, same contract
         // as the pixel-pruning note above.
         val keepMask = GpxScan.topNKeep(
-          topStats.toArray, parts.map(_.numRows).toArray, spec.desc, spec.n)
+          topStats.toArray, parts.map(_.numRows).toArray, spec.desc, spec.n,
+          spec.isFloat)
         val keptParts = parts.indices.filter(i => keepMask(i)).map(parts).toArray
         val rows = keptParts.map(_.numRows.toLong).sum
         val bytes = keptParts.map(p => p.cols.map(c =>
@@ -1294,8 +1296,22 @@ object GpxScan {
   def visibleAt(rg: RowGroupMeta, snapshotTs: Option[Long]): Boolean =
     snapshotTs.forall(ts => rg.commitTs < 0 || rg.commitTs <= ts)
 
-  /** pushed `ORDER BY column [DESC] LIMIT n` (first sort key only) */
-  final case class TopN(column: String, desc: Boolean, n: Int)
+  /** pushed `ORDER BY column [DESC] LIMIT n` (first sort key only).
+    * `isFloat`: the column is float/double — zone-map bounds then ride
+    * through the IEEE sortable-long map (NaN chunks are `reliable=false`
+    * and never participate, so the map is total and monotone). */
+  final case class TopN(column: String, desc: Boolean, n: Int,
+      isFloat: Boolean = false)
+
+  /** monotone (non-NaN) double -> signed long: positive bit patterns are
+    * already value-ordered; negative ones flip their magnitude bits so
+    * more-negative values map lower, and every negative long sorts below
+    * every positive one. -0.0 maps just below +0.0 — bounds stay
+    * conservative either way Spark orders the two. */
+  private def sortableLong(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(d)
+    if (b >= 0) b else b ^ 0x7FFFFFFFFFFFFFFFL
+  }
 
   /** observability hook for tests: row groups skipped by top-N pruning */
   val topNSkipped = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -1322,7 +1338,13 @@ object GpxScan {
     * never enter S. Returns the keep mask; always a superset of the true
     * top n, for ANY physical row order. */
   def topNKeep(stats: Array[ChunkStats], rows: Array[Int], desc: Boolean,
-      n: Int): Array[Boolean] = {
+      n: Int, isFloat: Boolean = false): Array[Boolean] = {
+    // typed zone-map bounds in one sortable-long domain; NaN-bearing
+    // float chunks never reach these (reliable=false filters them)
+    def mnOf(st: ChunkStats): Long =
+      if (isFloat) sortableLong(st.minDouble) else st.minLong
+    def mxOf(st: ChunkStats): Long =
+      if (isFloat) sortableLong(st.maxDouble) else st.maxLong
     val m = stats.length
     val keep = Array.fill(m)(true)
     // (bound used for T-selection, coverage rows, index) of reliable groups
@@ -1333,7 +1355,7 @@ object GpxScan {
       def upper(i: Int): (Int, Long) = stats(i) match {
         case null => NegInf
         case st if !st.hasValues => NegInf
-        case st => (0, st.maxLong)
+        case st => (0, mxOf(st))
       }
       val byUpper = eligible.sortBy(upper)(Ordering.Tuple2[Int, Long])
       var covered = 0L
@@ -1349,7 +1371,7 @@ object GpxScan {
         def lower(i: Int): (Int, Long) = stats(i) match {
           case null => NegInf
           case st if !st.hasValues || st.nullCount > 0 => NegInf
-          case st => (0, st.minLong)
+          case st => (0, mnOf(st))
         }
         eligible.foreach { i =>
           if (!le(lower(i), t)) { keep(i) = false; topNSkipped.incrementAndGet() }
@@ -1361,7 +1383,7 @@ object GpxScan {
       def lowerNN(i: Int): (Int, Long) = stats(i) match {
         case null => PosInf // no non-null rows
         case st if !st.hasValues => PosInf
-        case st => (0, st.minLong)
+        case st => (0, mnOf(st))
       }
       def coverage(i: Int): Long = stats(i) match {
         case null => 0L
@@ -1385,7 +1407,7 @@ object GpxScan {
         def upperNN(i: Int): (Int, Long) = stats(i) match {
           case null => NegInf
           case st if !st.hasValues => NegInf
-          case st => (0, st.maxLong)
+          case st => (0, mxOf(st))
         }
         eligible.foreach { i =>
           if (!le(t, upperNN(i))) { keep(i) = false; topNSkipped.incrementAndGet() }

@@ -355,6 +355,45 @@ class FormatSpec extends GraftSpec {
     assert(mn2.contains(4000L), mn2)
   }
 
+  test("compaction propagates the footer sort claim; mixed inputs clear it") {
+    import sp.implicits._
+    val conf = new Configuration()
+    def sortedByOf(dir: String): Seq[Seq[String]] =
+      graft.format.GpxTable.listFiles(Seq(dir), conf)
+        .map(f => GpxFileReader.readFooter(f, conf).sortedBy)
+    val dir = tmp()
+    (0 until 5000).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .coalesce(1).write.format("gpx").mode("overwrite")
+      .option("sortBy", "id").option("rowGroupRows", "500").save(dir)
+    (5000 until 9000).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+      .coalesce(1).write.format("gpx").mode("append")
+      .option("rowGroupRows", "500").save(dir) // spec persisted: still sorted
+    assert(sortedByOf(dir) == Seq(Seq("id"), Seq("id")))
+    val out = tmp()
+    graft.format.GpxCompactor.compact(dir, out, conf)
+    assert(sortedByOf(out).nonEmpty && sortedByOf(out).forall(_ == Seq("id")),
+      s"compacted claim: ${sortedByOf(out)}")
+    // every compacted row group is still internally ordered
+    val ordered = sp.read.format("gpx").load(out).select(col("id")).rdd
+      .mapPartitions(it => Iterator.single(
+        it.map(_.getLong(0)).foldLeft((Long.MinValue, true)) {
+          case ((prev, ok), v) => (v, ok && v >= prev) }._2))
+      .collect()
+    assert(ordered.forall(identity))
+    // a claimless (pre-spec) file in the mix clears the compacted claim
+    val dir2 = tmp()
+    (0 until 2000).map(i => (i.toLong, "x")).toDF("id", "s")
+      .coalesce(1).write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "500").save(dir2) // no sort spec yet
+    (2000 until 4000).map(i => (i.toLong, "y")).toDF("id", "s")
+      .coalesce(1).write.format("gpx").mode("append")
+      .option("sortBy", "id").option("rowGroupRows", "500").save(dir2)
+    val out2 = tmp()
+    graft.format.GpxCompactor.compact(dir2, out2, conf)
+    assert(sortedByOf(out2).forall(_.isEmpty),
+      s"mixed-input compaction must not claim order: ${sortedByOf(out2)}")
+  }
+
   test("ANALYZE (STAT analog): NDV flows to CBO, mutations drop it, never stale") {
     import sp.implicits._
     val dir = tmp()
@@ -523,6 +562,27 @@ class FormatSpec extends GraftSpec {
     val nl = t3.orderBy(col("id").asc_nulls_last).limit(5)
     assert(nl.collect().map(_.getLong(0)).toSeq == (0L until 5L))
     assert(scanParts(nl) == 3, "asc_nulls_last must not be top-N pruned")
+    // DOUBLE sort key (the 100 TB curation shape: ORDER BY score DESC
+    // LIMIT k): float bounds ride the sortable-long map; NaN groups are
+    // unreliable => never pruned, and NaN sorts above +Inf in DESC
+    val dir4 = tmp()
+    val scores: Seq[Double] =
+      (0 until 1000).map(_ / 1000.0) ++
+        (0 until 1000).map(i => if (i < 10) Double.NaN else 2.0 + i / 1000.0) ++
+        (0 until 1000).map(i => -5.0 + i / 1000.0)
+    scores.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "score")
+      .coalesce(1).write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "1000").save(dir4)
+    val t4 = sp.read.format("gpx").load(dir4)
+    val topD = t4.orderBy(col("score").desc).limit(5)
+    assert(topD.collect().forall(r => r.getDouble(1).isNaN),
+      "DESC top-5 must be the NaNs (NaN > +Inf)")
+    assert(scanParts(topD) <= 2,
+      s"clean low group not pruned: ${scanParts(topD)}")
+    val lowD = t4.orderBy(col("score")).limit(5)
+    assert(lowD.collect().map(_.getDouble(1)).toSeq ==
+      (0 until 5).map(i => -5.0 + i / 1000.0))
+    assert(scanParts(lowD) <= 2, s"ASC double top-5: ${scanParts(lowD)}")
   }
 
   test("reported per-partition ordering: sorted layouts elide SortExec, legacy files veto") {
