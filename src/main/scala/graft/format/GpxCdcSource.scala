@@ -5,7 +5,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,12 +48,19 @@ class GpxCdcSource extends TableProvider with DataSourceRegister {
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new GpxCdcTable(schema,
-      path(new CaseInsensitiveStringMap(properties)))
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val maxV = Option(opts.get("maxVersionsPerTrigger")).map { v =>
+      val m = v.toLong
+      require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
+      m
+    }
+    new GpxCdcTable(schema, path(opts), maxV)
+  }
 }
 
-class GpxCdcTable(schema: StructType, root: String)
+class GpxCdcTable(schema: StructType, root: String,
+    maxVersions: Option[Long] = None)
   extends Table with SupportsRead {
 
   override def name(): String = s"gpx-cdc:$root"
@@ -66,7 +73,7 @@ class GpxCdcTable(schema: StructType, root: String)
       override def readSchema(): StructType = schema
       override def description(): String = s"GpxCdcScan[$root]"
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new GpxCdcStream(root, schema)
+        new GpxCdcStream(root, schema, maxVersions)
     }
 }
 
@@ -75,7 +82,9 @@ case class GpxCdcOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
-class GpxCdcStream(root: String, schema: StructType) extends MicroBatchStream {
+class GpxCdcStream(root: String, schema: StructType,
+    maxVersions: Option[Long] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private def currentVersion: Long = {
     val f = Paths.get(root).resolve("_CURRENT")
@@ -85,6 +94,23 @@ class GpxCdcStream(root: String, schema: StructType) extends MicroBatchStream {
 
   override def initialOffset(): Offset = GpxCdcOffset(-1L)
   override def latestOffset(): Offset = GpxCdcOffset(currentVersion)
+
+  /** Admission control (`option("maxVersionsPerTrigger", n)`): a tail
+    * subscribing to (or restarting behind) a long-lived store drains the
+    * version backlog as bounded n-version micro-batches instead of one
+    * giant catch-up batch. Store versions are contiguous, so the cap is
+    * a plain min. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = currentVersion
+    maxVersions match {
+      case None => GpxCdcOffset(cur)
+      case Some(m) =>
+        val s = Option(start).map(_.asInstanceOf[GpxCdcOffset].v).getOrElse(-1L)
+        GpxCdcOffset(math.min(cur, s + m))
+    }
+  }
   override def deserializeOffset(json: String): Offset =
     GpxCdcOffset(json.toLong)
 

@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -70,6 +70,13 @@ class GpxTailSource extends TableProvider with DataSourceRegister {
   private def withDeletes(options: CaseInsensitiveStringMap): Boolean =
     "true".equalsIgnoreCase(options.getOrDefault("withDeletes", "false"))
 
+  private def maxEpochs(options: CaseInsensitiveStringMap): Option[Long] =
+    Option(options.get("maxEpochsPerTrigger")).map { v =>
+      val m = v.toLong
+      require(m > 0, s"maxEpochsPerTrigger must be positive, got $m")
+      m
+    }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val base = new GpxDataSource().inferSchema(new CaseInsensitiveStringMap(
       Map("path" -> path(options)).asJava))
@@ -84,7 +91,7 @@ class GpxTailSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new GpxTailTable(schema, path(opts), withDeletes(opts))
+    new GpxTailTable(schema, path(opts), withDeletes(opts), maxEpochs(opts))
   }
 }
 
@@ -93,7 +100,8 @@ object GpxTailSource {
   val ChangeTsCol = "_change_ts"
 }
 
-class GpxTailTable(schema: StructType, root: String, withDeletes: Boolean)
+class GpxTailTable(schema: StructType, root: String, withDeletes: Boolean,
+    maxEpochs: Option[Long] = None)
   extends Table with SupportsRead {
 
   override def name(): String = s"gpx-tail:$root"
@@ -106,7 +114,7 @@ class GpxTailTable(schema: StructType, root: String, withDeletes: Boolean)
       override def readSchema(): StructType = schema
       override def description(): String = s"GpxTailScan[$root]"
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new GpxTailStream(root, schema, withDeletes)
+        new GpxTailStream(root, schema, withDeletes, maxEpochs)
     }
 }
 
@@ -134,8 +142,9 @@ object GpxTailStream {
   }
 }
 
-class GpxTailStream(root: String, schema: StructType, withDeletes: Boolean)
-  extends MicroBatchStream {
+class GpxTailStream(root: String, schema: StructType, withDeletes: Boolean,
+    maxEpochs: Option[Long] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private def epochFiles(conf: Configuration): Seq[(Long, String)] =
     GpxTable.listFiles(Seq(root), conf)
@@ -164,6 +173,31 @@ class GpxTailStream(root: String, schema: StructType, withDeletes: Boolean)
       if (!withDeletes) -1L
       else epochSidecars(conf).map(_._2.createTs).maxOption.getOrElse(-1L)
     GpxTailOffset(e, t)
+  }
+
+  /** Admission control (`option("maxEpochsPerTrigger", n)`): bound each
+    * micro-batch to n sink epochs so a restarted or freshly-subscribed
+    * stream DRAINS a large table as n-epoch batches instead of planning
+    * one giant catch-up batch — the knob every production tail needs at
+    * scale (the analog of file-source maxFilesPerTrigger). The epoch cap
+    * is computed from the epochs that actually exist (sparse epoch ids
+    * can't stall progress). While the epoch backlog drains, the
+    * delete-ts dimension holds at the start offset — a DELETE event must
+    * never stream before its base rows' epoch has been emitted. */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val full = latestOffset().asInstanceOf[GpxTailOffset]
+    maxEpochs match {
+      case None => full
+      case Some(m) =>
+        val s = Option(start).map(_.asInstanceOf[GpxTailOffset])
+          .getOrElse(GpxTailOffset(-1L, -1L))
+        val pending = epochFiles(new Configuration())
+          .map(_._1).filter(_ > s.epoch).distinct.sorted
+        if (pending.length <= m) full
+        else GpxTailOffset(pending(m.toInt - 1), s.delTs)
+    }
   }
 
   override def deserializeOffset(json: String): Offset =

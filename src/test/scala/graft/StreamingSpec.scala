@@ -330,6 +330,29 @@ class StreamingSpec extends GraftSpec {
     assert(tailed == snap)
   }
 
+  test("gpx-cdc admission control: maxVersionsPerTrigger bounds catch-up batches") {
+    val dir = TestSpark.tempDir("cdcac")
+    val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts",
+      format = "gpx")
+    import sp.implicits._
+    // four commits of one row each BEFORE any subscriber
+    (0 until 4).foreach { i =>
+      store.upsert(Seq(Ev(i, "e", 100 + i, i.toDouble)).toDF())
+    }
+    val q = sp.readStream.format("gpx-cdc")
+      .option("maxVersionsPerTrigger", "1").load(dir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdc_ac").start()
+    q.processAllAvailable()
+    assert(sp.table("cdc_ac").count() == 4)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 4,
+      s"expected 4 one-version batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows == 1),
+      batches.map(_.numInputRows).toSeq)
+    q.stop()
+  }
+
   test("continuous curation pipeline: cdc tail -> streaming dedup -> gpx sink") {
     // the full streaming story composed end-to-end: documents upsert into
     // a SnapshotStore (CDC ingest), gpx-cdc tails its manifest, the
@@ -448,6 +471,41 @@ class StreamingSpec extends GraftSpec {
     assert(all.size == 3 && all.toSet ==
       Set(1L -> "a", 2L -> "b", 3L -> "c"),
       s"each epoch's rows must appear exactly once: $all")
+    q1.stop(); q2.stop()
+  }
+
+  test("gpx-tail admission control: maxEpochsPerTrigger drains a backlog in bounded batches") {
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val dir = TestSpark.tempDir("gpx_tailac")
+    val ckpt1 = TestSpark.tempDir("gpx_tailac_c1")
+    val ckpt2 = TestSpark.tempDir("gpx_tailac_c2")
+    val q1 = source.toDF().toDF("id", "s")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt1)
+      .format("gpx").start(dir)
+    // build a FIVE-epoch backlog before any tail reader exists
+    (0 until 5).foreach { e =>
+      source.addData((e.toLong, s"v$e")); q1.processAllAvailable()
+    }
+    val tailed = sp.readStream.format("gpx-tail")
+      .option("maxEpochsPerTrigger", "2").load(dir)
+    val q2 = tailed.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt2)
+      .format("memory").queryName("gpx_tailac_out").start()
+    q2.processAllAvailable()
+    // everything drained, exactly once
+    val all = sp.table("gpx_tailac_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(all.size == 5 &&
+      all.toSet == (0 until 5).map(e => e.toLong -> s"v$e").toSet, all)
+    // ... and it took ceil(5/2)=3 bounded batches, not one giant one
+    val batches = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3,
+      s"expected >=3 capped catch-up batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows <= 2),
+      s"a batch exceeded the 2-epoch cap: ${batches.map(_.numInputRows).toSeq}")
     q1.stop(); q2.stop()
   }
 
