@@ -1,85 +1,89 @@
 package graft
 
-import graft.format.{GpxFileReader, GpxTable}
-import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
 
-/** Command-line driver — the analog of pixels-cli's LOAD / COMPACT / STAT /
-  * QUERY commands (pixels-cli, docs/TPC-H.md:38-115), spark-submit-able.
+/** Operational CLI — the reference's pixels-cli workflow (LOAD → COMPACT →
+  * STAT → QUERY, docs/TPC-H.md:38-143; commands in pixels-cli/.../executor/)
+  * re-expressed as one spark-submit driver over the engine's public APIs:
   *
-  *   LOAD <parquetPathOrDir> <gpxDir> [rowGroupRows]   parquet -> gpx
-  *   COMPACT <inDir> <outDir> [targetMB]               ordered -> compact
-  *   INDEX <gpxDir> <column> [numBuckets]              build point index
-  *   VACUUM <gpxDir> [ttlMinutes]                      sweep orphaned staging
-  *   STAT <gpxDirOrFile>                               footer/zone-map dump
-  *   QUERY <sql> [warehouseDir]                        SQL via graft catalog
+  *   LOAD    <parquet-src> <gpx-dest> [--sortBy c[,c2]] [--bucketBy c
+  *           --numBuckets n] [--rangeBy c --rangeBounds b1,b2,...]
+  *           [--rowGroupRows n] [--overwrite]
+  *   COMPACT <gpx-src> <gpx-dest>          ordered → compact layout merge
+  *   STAT    <gpx-table>                   ANALYZE: NDV sidecar for CBO
+  *   VACUUM  <gpx-table> [ttlMs]           sweep crash-orphaned staging
+  *   QUERY   <sql> --table name=path ...   each path (gpx dir or .parquet)
+  *                                         is registered as a temp view
+  *
+  * Everything here is a thin shell: the heavy lifting is the same DSv2
+  * write/scan paths every API user gets, so the CLI adds no second code
+  * path to keep correct.
   */
 object Cli {
+
+  private def opt(args: Seq[String], name: String): Option[String] =
+    args.sliding(2).collectFirst { case Seq(`name`, v) => v }
+
+  private def usage(): Nothing = {
+    System.err.println(
+      "usage: Cli LOAD|COMPACT|STAT|VACUUM|QUERY ... (see scaladoc)")
+    sys.exit(2)
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty,
-      "usage: Cli LOAD|COMPACT|INDEX|VACUUM|STAT|QUERY ...")
-    args(0).toUpperCase match {
+    if (args.isEmpty) usage()
+    val spark = SparkSession.builder()
+      .appName(s"graft-cli-${args.head.toLowerCase}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try run(spark, args.toSeq) finally spark.stop()
+  }
+
+  /** separated from main for in-JVM tests (no sys.exit on success path) */
+  def run(spark: SparkSession, args: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    args.head.toUpperCase match {
       case "LOAD" =>
-        val spark = Tables.localSession(8)
-        val rg = if (args.length > 3) args(3).toInt else format.GpxFormat.DefaultRowGroupRows
-        spark.read.parquet(args(1)).write.format("gpx")
-          .option("rowGroupRows", rg.toString).mode("overwrite").save(args(2))
-        val n = spark.read.format("gpx").load(args(2)).count()
-        println(s"LOADED $n rows -> ${args(2)}")
-        spark.stop()
-
+        val Seq(src, dest) = args.slice(1, 3)
+        var w = spark.read.parquet(src).write.format("gpx")
+          .mode(if (args.contains("--overwrite")) "overwrite" else "append")
+        opt(args, "--sortBy").foreach(v => w = w.option("sortBy", v))
+        opt(args, "--bucketBy").foreach(v => w = w.option("bucketBy", v))
+        opt(args, "--numBuckets").foreach(v => w = w.option("numBuckets", v))
+        opt(args, "--rangeBy").foreach(v => w = w.option("rangeBy", v))
+        opt(args, "--rangeBounds").foreach(v => w = w.option("rangeBounds", v))
+        opt(args, "--rowGroupRows").foreach(v => w = w.option("rowGroupRows", v))
+        w.save(dest)
+        println(s"LOAD ok: $src -> $dest")
       case "COMPACT" =>
-        val spark = Tables.localSession(8)
-        val target = if (args.length > 3) args(3).toLong * 1024 * 1024 else 128L * 1024 * 1024
-        val res = Compactor.compact(spark, args(1), args(2), target)
-        println(s"COMPACTED ${res.inputFiles} files -> ${res.outputFiles} (${res.rows} rows)")
-        spark.stop()
-
-      case "INDEX" =>
-        // INDEX <gpxDir> <column> [numBuckets] — build the S20 point index
-        val spark = Tables.localSession(8)
-        val n = if (args.length > 3) args(3).toInt else 16
-        val entries = format.GpxPointIndex.build(spark, args(1), args(2), n)
-        println(s"INDEXED $entries entries on ${args(2)} -> ${args(1)}/_index/${args(2)}")
-        spark.stop()
-
-      case "VACUUM" =>
-        // VACUUM <gpxDir> [ttlMinutes] — sweep orphaned write-staging dirs
-        val ttl = (if (args.length > 2) args(2).toLong else 60L) * 60 * 1000
-        val swept = format.GpxMaintenance.vacuum(args(1), ttl)
-        println(s"VACUUMED ${swept.length} staging dirs under ${args(1)}")
-        swept.foreach(p => println(s"  $p"))
-
+        val Seq(src, dest) = args.slice(1, 3)
+        graft.format.GpxCompactor.compact(src, dest, conf)
+        println(s"COMPACT ok: $src -> $dest")
       case "STAT" =>
-        val conf = new Configuration()
-        GpxTable.listFiles(Seq(args(1)), conf).foreach { f =>
-          val footer = GpxFileReader.readFooter(f, conf)
-          val rows = footer.rowGroups.map(_.numRows.toLong).sum
-          println(s"$f: ${footer.rowGroups.length} row groups, $rows rows")
-          println(s"  schema: ${footer.schema.toDDL}")
-          footer.rowGroups.zipWithIndex.take(3).foreach { case (rg, i) =>
-            val encs = rg.chunks.zipWithIndex.map { case (c, ci) =>
-              val name = footer.schema(ci).name
-              val enc = c.encoding match {
-                case 0 => "plain"; case 1 => "rle"; case 2 => "dict"
-                case 3 => "for"; case 4 => "sdec"; case 5 => "xor64"
-                case 6 => "xor32"; case 7 => "delta"; case e => s"enc$e"
-              }
-              s"$name=$enc"
-            }.mkString(" ")
-            println(s"  rg$i (${rg.numRows} rows): $encs")
-          }
-        }
-
+        val table = args(1)
+        val ndv = graft.format.GpxMaintenance.analyze(spark, table, conf)
+        ndv.toSeq.sortBy(_._1).foreach { case (c, v) => println(s"STAT $c ndv=$v") }
+      case "VACUUM" =>
+        val table = args(1)
+        val ttl = args.lift(2).map(_.toLong).getOrElse(24L * 3600 * 1000)
+        val swept = graft.format.GpxMaintenance.vacuum(table, ttl, conf)
+        swept.foreach(p => println(s"VACUUM swept $p"))
+        println(s"VACUUM ok: ${swept.size} paths")
       case "QUERY" =>
-        val spark = Tables.localSession(8)
-        if (args.length > 2) {
-          spark.conf.set("spark.sql.catalog.graft", "graft.format.GpxCatalog")
-          spark.conf.set("spark.sql.catalog.graft.warehouse", args(2))
+        val sql = args(1)
+        args.drop(2).sliding(2).foreach {
+          case Seq("--table", nv) => nv.split("=", 2) match {
+            case Array(n, p) =>
+              val df =
+                if (p.endsWith(".parquet")) spark.read.parquet(p)
+                else spark.read.format("gpx").load(p)
+              df.createOrReplaceTempView(n)
+            case _ => usage()
+          }
+          case _ => ()
         }
-        spark.sql(args(1)).show(50, false)
-        spark.stop()
-
-      case other => sys.error(s"unknown command $other")
+        spark.sql(sql).show(100, truncate = false)
+      case _ => usage()
     }
   }
 }
