@@ -130,4 +130,74 @@ class GpxFuzzSpec extends GraftSpec {
             .find(t => t._1 != t._2)}")
     }
   }
+
+  test("fuzz: pushed top-N sort-key multiset equals the unpruned sort") {
+    import sp.implicits._
+    val rnd = new Random(20260814)
+    for (iter <- 0 until 6) {
+      val n = 2000 + rnd.nextInt(8000)
+      val useDouble = iter % 2 == 1
+      // heavy duplicates, negatives, nulls; doubles add NaN and ±0.0
+      val longs: Seq[Option[Long]] = (0 until n).map { _ =>
+        if (rnd.nextInt(10) == 0) None
+        else Some(rnd.nextInt(40).toLong - 20L)
+      }
+      val dbls: Seq[Option[Double]] = (0 until n).map { _ =>
+        rnd.nextInt(12) match {
+          case 0 => None
+          case 1 => Some(Double.NaN)
+          case 2 => Some(if (rnd.nextBoolean()) 0.0 else -0.0)
+          case _ => Some((rnd.nextInt(40) - 20) / 4.0)
+        }
+      }
+      val dir = Files.createTempDirectory("gpx_topn_fuzz").toString
+      val df =
+        if (useDouble) dbls.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("rid", "k")
+        else longs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("rid", "k")
+      val maybeSorted = if (rnd.nextBoolean()) df.orderBy("k") else df
+      var w = maybeSorted.coalesce(1 + rnd.nextInt(3))
+        .write.format("gpx").mode("overwrite")
+        .option("rowGroupRows", (200 + rnd.nextInt(800)).toString)
+      if (rnd.nextBoolean()) w = w.option("sortBy", "k")
+      w.save(dir)
+      val t = sp.read.format("gpx").load(dir)
+      val k = 1 + rnd.nextInt(50)
+      val desc = rnd.nextBoolean()
+      val got = (if (desc) t.orderBy(col("k").desc) else t.orderBy(col("k")))
+        .limit(k).select(col("k")).collect()
+        .map(r => if (r.isNullAt(0)) null else r.get(0)).toSeq
+      // ties make row identity non-deterministic: compare the KEY
+      // multiset of the top k against ground truth computed in Scala
+      // with Spark's ordering (nulls first ASC / last DESC via reverse;
+      // NaN > +Inf; ±0.0 normalized below since Spark treats them equal)
+      val all: Seq[Any] =
+        if (useDouble) dbls.map(_.map(java.lang.Double.valueOf).orNull)
+        else longs.map(_.map(java.lang.Long.valueOf).orNull)
+      val cmp: Ordering[Any] = new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = (a, b) match {
+          case (null, null) => 0
+          case (null, _) => -1 // null smallest (ASC nulls first)
+          case (_, null) => 1
+          case (x: java.lang.Double, y: java.lang.Double) =>
+            java.lang.Double.compare(x, y) // NaN largest, -0.0 < 0.0
+          case (x: java.lang.Long, y: java.lang.Long) =>
+            java.lang.Long.compare(x, y)
+          case _ => 0
+        }
+      }
+      val sortedAll = all.sorted(cmp)
+      val want = (if (desc) sortedAll.reverse else sortedAll).take(k)
+      def keyList(s: Seq[Any]): Seq[String] = s.map {
+        case null => "null"
+        case d: java.lang.Double if d.isNaN => "NaN"
+        case d: java.lang.Double if d == 0.0 => "0" // ±0.0: Spark orders them equal
+        case v => v.toString
+      }
+      assert(keyList(got) == keyList(want),
+        s"topN fuzz iter $iter diverged (double=$useDouble desc=$desc k=$k): " +
+          s"got=${keyList(got)} want=${keyList(want)}")
+    }
+  }
 }
