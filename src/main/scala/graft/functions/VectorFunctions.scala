@@ -18,6 +18,12 @@ object VectorFunctions {
   def trigram_ids(s: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.trigram_ids(s)
 
+  def minhash_sigs(a: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.VectorExpressions.minhash_sigs(a, numHashes)
+
+  def simhash32(a: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.simhash32(a)
+
   /** Raw inner product of two array<double> columns — the MIPS scoring
     * kernel, codegen'd (org.apache.spark.sql.graft.DotProduct). */
   def dot_product(a: Column, b: Column): Column =

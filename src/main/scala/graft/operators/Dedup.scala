@@ -74,18 +74,17 @@ object Dedup {
       .agg(sort_array(collect_list(col("tid"))).as("tids"))
       .tracked
     // the 128 minhash functions evaluate per-row over the sorted tid
-    // ARRAY (array_min of a transform) instead of as 128 partial aggs
-    // over the exploded rows: same values (identical int-literal seeds),
-    // but zero additional shuffle and no second pass over the exploded
-    // data — measured 10% off d02 and 17% off d08 end-to-end at sf0.1
-    val mh = repsInt.select(
-      Seq(col(idCol), size(col("tids")).as("nt")) ++
-        (0 until NumHashes).map(i =>
-          array_min(transform(col("tids"), x => xxhash64(lit(i), x)))
-            .as(s"mh$i")): _*)
+    // ARRAY in ONE native pass (MinHashSigs) — bit-identical values to
+    // the array_min(transform(tids, x -> xxhash64(lit(i), x))) formula
+    // (same int-literal seed folding), but without 128 transform-array
+    // allocations per representative and with zero additional shuffle
+    val mh = repsInt.select(col(idCol), size(col("tids")).as("nt"),
+      graft.functions.VectorFunctions
+        .minhash_sigs(col("tids"), NumHashes).as("mhs"))
     val bandCols = (0 until NumHashes / BandR).map { b =>
       struct(lit(b).as("band") +:
-        (0 until BandR).map(r => col(s"mh${BandR * b + r}").as(s"h$r")): _*)
+        (0 until BandR).map(r =>
+          col("mhs").getItem(BandR * b + r).as(s"h$r")): _*)
     }
     val banded = mh
       .select(col(idCol), col("nt"), explode(array(bandCols: _*)).as("bk"))
@@ -105,18 +104,21 @@ object Dedup {
   /** 32-bit SimHash from the high bit of each md5 hex nibble of each
     * distinct token: bit_k = majority over tokens of (hexchar_k >= '8').
     * Pure string/integer ops => identical in Spark and DuckDB. */
-  private def simhashDF(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens).as("tok"))
-      .withColumn("h", md5(col("tok").cast(BinaryType)))
-    val sums = (1 to 32).map(k =>
-      sum(when(substring(col("h"), k, 1) >= "8", 1).otherwise(-1)).as(s"s$k"))
-    val fp = (1 to 32).map(k =>
-      when(col(s"s$k") > 0, lit(1L << (k - 1))).otherwise(lit(0L)))
-      .reduce(_ + _)
-    toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
-  }
+  private def simhashDF(s: SparkSession, d: String): DataFrame =
+    // one-pass native Simhash32 over the token array — bit-identical to
+    // the md5-nibble voting formula the oracle CTE mirrors, but per-row:
+    // no token explode, no 32-column aggregation. The repartition
+    // spreads the digest work when the input arrives as few splits
+    // (one local parquet file = one task); it moves each doc ONCE —
+    // strictly less data than the exploded-token shuffle it replaced —
+    // and on a many-file corpus the exchange coalesces away under AQE.
+    // The isNotNull filter matches the old groupBy formulation, which
+    // simply had no row for a (theoretical) token-less document.
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.simhash32(tokens).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Shared oracle CTE computing the same 32-bit simhash in DuckDB. */
   private def oSimhashCte: String = {
@@ -417,6 +419,9 @@ object Dedup {
       // arrays are born sorted+distinct per document, so the verify-side
       // sorted-merge input (gInt) is free.
       val g = Tables.documents(s, d)
+        // spread the trigram pass when the input arrives as few splits
+        // (one doc moved once; a many-file corpus coalesces under AQE)
+        .repartition(s.sparkContext.defaultParallelism)
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"),
           graft.functions.VectorFunctions.trigram_ids(col("text")).as("sids"))

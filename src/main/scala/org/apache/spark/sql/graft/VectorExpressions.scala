@@ -350,13 +350,142 @@ object TrigramIds {
   }
 }
 
+/** All `n` MinHash signatures of a token-id array in ONE pass: for each
+  * hash function i, the minimum over elements x of Spark's
+  * `xxhash64(lit(i), x)` — BIT-IDENTICAL to the
+  * `array_min(transform(tids, x -> xxhash64(lit(i), x)))` formula (the
+  * per-function seed prefix `XXH64.hashInt(i, 42)` is precomputed once),
+  * but without n transform-array allocations per row. Null on empty
+  * input, matching array_min-of-empty. */
+case class MinHashSigs(child: Expression, numHashes: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSigs.eval(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |${ev.value} = org.apache.spark.sql.graft.MinHashSigs.eval($a, $numHashes);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSigs {
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+
+  /** per-function seed prefix: Spark's XxHash64 over (int literal i, x)
+    * folds i into the 42L seed first — precompute that fold once */
+  private def seeds(n: Int): Array[Long] =
+    seedCache.computeIfAbsent(n, _ => Array.tabulate(n)(i =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L)))
+
+  def eval(arr: ArrayData, n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val m = arr.numElements()
+    if (m == 0) return null // array_min of an empty transform is null
+    val s = seeds(n)
+    val out = Array.fill(n)(Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      val x = arr.getLong(j)
+      var i = 0
+      while (i < n) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(x, s(i))
+        if (h < out(i)) out(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** 32-bit SimHash of a token array in one pass, BIT-IDENTICAL to the
+  * engine-portable SQL formula both sides of the oracle compute
+  * (per token: md5 hex of the UTF-8 bytes; hex char k >= '8' — i.e. the
+  * nibble's high bit — votes +1 on bit k-1, else -1; bit set iff the vote
+  * sum is positive; null tokens vote -1 everywhere, matching
+  * `when(null >= "8", 1).otherwise(-1)`). Replaces an explode + 32-column
+  * aggregation (a full shuffle of the token stream) with a per-row
+  * expression. Null on an empty array — the groupBy formulation simply
+  * has no row there, so callers filter nulls to match. */
+case class Simhash32(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    Simhash32.eval(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |java.lang.Long r = org.apache.spark.sql.graft.Simhash32.eval($a);
+      |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Simhash32 {
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def eval(arr: ArrayData): java.lang.Long = {
+    val m = arr.numElements()
+    if (m == 0) return null
+    val votes = new Array[Int](32)
+    val md = mdPool.get()
+    var j = 0
+    while (j < m) {
+      if (arr.isNullAt(j)) {
+        var k = 0
+        while (k < 32) { votes(k) -= 1; k += 1 }
+      } else {
+        md.reset()
+        val dg = md.digest(arr.getUTF8String(j).getBytes)
+        var k = 0
+        while (k < 32) {
+          val b = dg(k >> 1) & 0xFF
+          val nib = if ((k & 1) == 0) b >>> 4 else b & 0xF
+          if (nib >= 8) votes(k) += 1 else votes(k) -= 1
+          k += 1
+        }
+      }
+      j += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 32) { if (votes(k) > 0) fp |= 1L << k; k += 1 }
+    java.lang.Long.valueOf(fp)
+  }
+}
+
 object VectorExpressions {
   def cos_sim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  def simhash32(a: Column): Column =
+    ExpressionUtils.column(Simhash32(ExpressionUtils.expression(a)))
+
   def trigram_ids(s: Column): Column =
     ExpressionUtils.column(TrigramIds(ExpressionUtils.expression(s)))
+
+  def minhash_sigs(a: Column, numHashes: Int): Column =
+    ExpressionUtils.column(MinHashSigs(ExpressionUtils.expression(a), numHashes))
 
   def sorted_jaccard(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedJaccard(

@@ -132,4 +132,50 @@ class DedupFuzzSpec extends GraftSpec {
       CacheScope.release()
     }
   }
+
+  test("MinHashSigs is bit-identical to the array_min/transform formula") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(99)
+    val n = 64
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong()).distinct.sorted)
+    }
+    val df = rows.toDF("id", "tids")
+    val native = df.select(col("id"), graft.functions.VectorFunctions
+      .minhash_sigs(col("tids"), n).as("m"))
+    val formula = df.select(Seq(col("id")) ++ (0 until n).map(i =>
+      array_min(transform(col("tids"), x => xxhash64(lit(i), x))).as(s"mh$i")): _*)
+    val a = native.collect().map(r => r.getLong(0) ->
+      r.getSeq[Long](1).toVector).toMap
+    val b = formula.collect().map(r => r.getLong(0) ->
+      (1 to n).map(r.getLong(_)).toVector).toMap
+    assert(a == b, "native minhash diverged from the Catalyst formula")
+  }
+
+  test("Simhash32 is bit-identical to the md5-nibble voting formula") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(77)
+    val vocab = Vector.tabulate(60)(i => s"tok$i") ++
+      Vector("", "äöü", "漢字", "a b") // empty + unicode edges
+    val rows = (0 until 400).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))))
+    }
+    val df = rows.toDF("id", "toks")
+    val native = df.select(col("id"), graft.functions.VectorFunctions
+      .simhash32(col("toks")).as("fp"))
+    val exploded = df.select(col("id"), explode(col("toks")).as("tok"))
+      .withColumn("h", md5(col("tok").cast(org.apache.spark.sql.types.BinaryType)))
+    val sums = (1 to 32).map(k =>
+      sum(when(substring(col("h"), k, 1) >= "8", 1).otherwise(-1)).as(s"s$k"))
+    val fp = (1 to 32).map(k =>
+      when(col(s"s$k") > 0, lit(1L << (k - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val formulaFp = exploded.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"), fp.as("fp"))
+    val a = native.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = formulaFp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "native simhash diverged from the md5-nibble formula")
+  }
 }
