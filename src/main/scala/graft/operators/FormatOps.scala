@@ -455,6 +455,28 @@ object FormatOps {
         .limit(100)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-             |ORDER BY o_orderkey LIMIT 100""".stripMargin))
+             |ORDER BY o_orderkey LIMIT 100""".stripMargin)),
+
+    // Float-key top-N pushdown — the curation shape (ORDER BY score DESC
+    // LIMIT k): double zone maps ride the IEEE sortable-long map, so the
+    // score-sorted layout plans ~1 row group. The score is a pure-IEEE
+    // product of the unique doc_id (deterministic and tie-free on both
+    // engines), so the top-k row set is exact.
+    GQuery("f16_topn_score", (s, d) => {
+      val dir = cachedDir(d, "doc_score") { dir =>
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            (col("doc_id").cast("double") * 0.618).as("score"), col("lang"))
+          .write.format("gpx").mode("overwrite")
+          .option("sortBy", "score")
+          .option("rowGroupRows", "4096").save(dir)
+      }
+      s.read.format("gpx").load(dir)
+        .orderBy(col("score").desc)
+        .limit(50)
+        .select(col("doc_id"), col("score"), col("lang"))
+    },
+      Some("""SELECT doc_id, CAST(doc_id AS DOUBLE) * 0.618 AS score, lang
+             |FROM documents ORDER BY score DESC LIMIT 50""".stripMargin))
   )
 }
