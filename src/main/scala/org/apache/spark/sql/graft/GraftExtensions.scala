@@ -68,6 +68,16 @@ object GraftFunctions {
       case other => throw new IllegalArgumentException(
         "minhash_sigs expects (array<bigint>, <int literal>), got " +
           other.map(_.sql).mkString(", "))
+    }),
+    ("topk_by_score", info("topk_by_score",
+      "topk_by_score(score, id, k): exact top-k (score,id) pairs per " +
+        "group with a bounded map-side partial"), {
+      // raw AggregateFunction: the analyzer wraps it in an
+      // AggregateExpression exactly as for the built-in aggregates
+      case Seq(s, i, Literal(k: Int, IntegerType)) => TopKByScore(s, i, k)
+      case other => throw new IllegalArgumentException(
+        "topk_by_score expects (double, bigint, <int literal>), got " +
+          other.map(_.sql).mkString(", "))
     }))
 
   /** imperative registration on an existing session (same builders the

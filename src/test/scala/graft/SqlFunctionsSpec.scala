@@ -32,6 +32,17 @@ class SqlFunctionsSpec extends GraftSpec {
     val mh = sp.sql("SELECT minhash_sigs(array(7L, 9L), 16)")
       .head.getSeq[Long](0)
     assert(mh.length == 16)
+    // the bounded-heap aggregate works as a SQL aggregate, grouped
+    val tk = sp.sql(
+      """SELECT g, topk_by_score(s, i, 2) AS top FROM VALUES
+        |  (1, 0.5d, 10L), (1, 0.9d, 11L), (1, 0.7d, 12L),
+        |  (2, 0.1d, 20L) AS t(g, s, i)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    val g1 = tk(0).getSeq[org.apache.spark.sql.Row](1).map(r =>
+      (r.getDouble(0), r.getLong(1)))
+    assert(g1 == Seq((0.9, 11L), (0.7, 12L)), g1)
+    assert(tk(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(_.getLong(1)) == Seq(20L))
     // the extensions class injects the same builders without error
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new org.apache.spark.sql.graft.GraftExtensions().apply(ext)
