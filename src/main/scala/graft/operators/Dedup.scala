@@ -33,6 +33,14 @@ object Dedup {
     * with ["a","bc"] and fabricate an exact duplicate. */
   private def tokenFp: Column = md5(concat_ws(" ", col("toks")).cast(BinaryType))
 
+  /** documents with the scan spread before heavy per-row token/digest
+    * expressions: a single local parquet file plans one task, which would
+    * serialize the tokenize+md5 map work. One doc moves once — strictly
+    * less data than the downstream token-level shuffles — and on a
+    * many-file corpus the exchange coalesces away under AQE. */
+  private def docsSpread(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
   /** Shared d02/d08 signature core over token-set representatives
     * `(idCol, toks)`. Dictionary-encodes tokens to int ids — inline
     * xxhash64, computed per row and fully parallel (a global
@@ -114,8 +122,7 @@ object Dedup {
     // and on a many-file corpus the exchange coalesces away under AQE.
     // The isNotNull filter matches the old groupBy formulation, which
     // simply had no row for a (theoretical) token-less document.
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+    docsSpread(s, d)
       .select(col("doc_id"),
         graft.functions.VectorFunctions.simhash32(tokens).as("simhash"))
       .filter(col("simhash").isNotNull)
@@ -326,6 +333,9 @@ object Dedup {
     //     representative pairs back to doc pairs.
     // Everything is equality-join bounded — no cross join at any step.
     GQuery("d02_minhash_lsh", (s, d) => {
+      // no docsSpread here: the per-doc prep (sort + one md5) is light and
+      // the fp groupBy shuffles immediately after — measured neutral-to-
+      // negative, unlike the heavy-loop trigram/simhash passes
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), array_sort(tokens).as("toks"))
         .withColumn("fp", tokenFp)
@@ -418,10 +428,7 @@ object Dedup {
       // disappear, along with every per-gram string allocation. The id
       // arrays are born sorted+distinct per document, so the verify-side
       // sorted-merge input (gInt) is free.
-      val g = Tables.documents(s, d)
-        // spread the trigram pass when the input arrives as few splits
-        // (one doc moved once; a many-file corpus coalesces under AQE)
-        .repartition(s.sparkContext.defaultParallelism)
+      val g = docsSpread(s, d)
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"),
           graft.functions.VectorFunctions.trigram_ids(col("text")).as("sids"))
@@ -614,6 +621,7 @@ object Dedup {
     // collides with the corpus, with its best (max) corpus jaccard.
     GQuery("d08_incremental_dedup", (s, d) => {
       val t = 0.8
+      // light prep + immediate fp groupBy: docsSpread measured neutral here
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), array_sort(tokens).as("toks"))
         .withColumn("fp", tokenFp)
