@@ -5,7 +5,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -84,7 +84,15 @@ case class GpxCdcOffset(v: Long) extends Offset {
 
 class GpxCdcStream(root: String, schema: StructType,
     maxVersions: Option[Long] = None)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow: drain exactly the versions that existed at
+    * query start (admission-bounded), then terminate. */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(currentVersion)
 
   private def currentVersion: Long = {
     val f = Paths.get(root).resolve("_CURRENT")
@@ -103,7 +111,7 @@ class GpxCdcStream(root: String, schema: StructType,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val cur = currentVersion
+    val cur = availableNowTarget.getOrElse(currentVersion)
     maxVersions match {
       case None => GpxCdcOffset(cur)
       case Some(m) =>

@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -144,7 +144,17 @@ object GpxTailStream {
 
 class GpxTailStream(root: String, schema: StructType, withDeletes: Boolean,
     maxEpochs: Option[Long] = None)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsAdmissionControl
+  with SupportsTriggerAvailableNow {
+
+  /** Trigger.AvailableNow: the offset frontier is FROZEN here, so the
+    * query drains exactly the work that existed at start (in
+    * admission-bounded batches) and terminates — late-arriving epochs
+    * wait for the next run. */
+  @volatile private var availableNowTarget: Option[GpxTailOffset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestOffset().asInstanceOf[GpxTailOffset])
 
   private def epochFiles(conf: Configuration): Seq[(Long, String)] =
     GpxTable.listFiles(Seq(root), conf)
@@ -187,14 +197,17 @@ class GpxTailStream(root: String, schema: StructType, withDeletes: Boolean,
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val full = latestOffset().asInstanceOf[GpxTailOffset]
+    // AvailableNow clamps to the frozen frontier; otherwise live latest
+    val full = availableNowTarget.getOrElse(
+      latestOffset().asInstanceOf[GpxTailOffset])
     maxEpochs match {
       case None => full
       case Some(m) =>
         val s = Option(start).map(_.asInstanceOf[GpxTailOffset])
           .getOrElse(GpxTailOffset(-1L, -1L))
         val pending = epochFiles(new Configuration())
-          .map(_._1).filter(_ > s.epoch).distinct.sorted
+          .map(_._1).filter(e => e > s.epoch && e <= full.epoch)
+          .distinct.sorted
         if (pending.length <= m) full
         else GpxTailOffset(pending(m.toInt - 1), s.delTs)
     }

@@ -330,6 +330,35 @@ class StreamingSpec extends GraftSpec {
     assert(tailed == snap)
   }
 
+  test("gpx-tail Trigger.AvailableNow: drains the frozen frontier in capped batches, then stops") {
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val dir = TestSpark.tempDir("gpx_tailan")
+    val q1 = source.toDF().toDF("id", "s")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", TestSpark.tempDir("gpx_tailan_c1"))
+      .format("gpx").start(dir)
+    (0 until 4).foreach { e =>
+      source.addData((e.toLong, s"v$e")); q1.processAllAvailable()
+    }
+    val q2 = sp.readStream.format("gpx-tail")
+      .option("maxEpochsPerTrigger", "2").load(dir)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", TestSpark.tempDir("gpx_tailan_c2"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("gpx_tailan_out").start()
+    assert(q2.awaitTermination(120000), "AvailableNow query must terminate")
+    val all = sp.table("gpx_tailan_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(all.size == 4 &&
+      all.toSet == (0 until 4).map(e => e.toLong -> s"v$e").toSet, all)
+    val batches = q2.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 2 && batches.forall(_.numInputRows <= 2),
+      s"capped drain expected: ${batches.map(_.numInputRows).toSeq}")
+    q1.stop()
+  }
+
   test("gpx-cdc admission control: maxVersionsPerTrigger bounds catch-up batches") {
     val dir = TestSpark.tempDir("cdcac")
     val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts",
