@@ -382,6 +382,26 @@ class StreamingSpec extends GraftSpec {
     q.stop()
   }
 
+  test("gpx-cdc Trigger.AvailableNow: drains the frozen version frontier and stops") {
+    val dir = TestSpark.tempDir("cdcan")
+    val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts",
+      format = "gpx")
+    import sp.implicits._
+    (0 until 3).foreach { i =>
+      store.upsert(Seq(Ev(i, "e", 100 + i, i.toDouble)).toDF())
+    }
+    val q = sp.readStream.format("gpx-cdc")
+      .option("maxVersionsPerTrigger", "1").load(dir)
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("cdc_an").start()
+    assert(q.awaitTermination(120000), "AvailableNow query must terminate")
+    assert(sp.table("cdc_an").count() == 3)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3 && batches.forall(_.numInputRows == 1),
+      batches.map(_.numInputRows).toSeq)
+  }
+
   test("continuous curation pipeline: cdc tail -> streaming dedup -> gpx sink") {
     // the full streaming story composed end-to-end: documents upsert into
     // a SnapshotStore (CDC ingest), gpx-cdc tails its manifest, the
