@@ -65,6 +65,15 @@ class MorDeleteSpec extends GraftSpec {
     assert(row.getLong(0) == 4890 && row.getLong(1) == 100L && row.getLong(2) == 4989L)
     // limit must not under-return either
     assert(sp.read.format("gpx").load(dir).limit(4890).count() == 4890)
+    // ... and pushed top-N must refuse to prune: masked rows would make
+    // the zone-map coverage counting overcount, so with sidecars present
+    // the sort falls back to a full scan and stays exact
+    val top = sp.read.format("gpx").load(dir)
+      .orderBy(col("id")).limit(5).collect().map(_.getLong(0)).toSeq
+    assert(top == (100L until 105L), top)
+    val bot = sp.read.format("gpx").load(dir)
+      .orderBy(col("id").desc).limit(5).collect().map(_.getLong(0)).toSeq
+    assert(bot == (4989L to 4985L by -1L), bot)
   }
 
   test("explicit-FILE reads see masks; pushed count stays correct") {
