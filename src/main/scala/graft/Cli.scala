@@ -11,6 +11,8 @@ import org.apache.spark.sql.SparkSession
   *           [--rowGroupRows n] [--overwrite]
   *   COMPACT <gpx-src> <gpx-dest>          ordered → compact layout merge
   *   STAT    <gpx-table>                   ANALYZE: NDV sidecar for CBO
+  *   INDEX   <gpx-table> <col[,col2]>      build a point index (compound
+  *                                         when 2+ columns)
   *   VACUUM  <gpx-table> [ttlMs]           sweep crash-orphaned staging
   *   QUERY   <sql> --table name=path ...   each path (gpx dir or .parquet)
   *                                         is registered as a temp view
@@ -63,6 +65,14 @@ object Cli {
         val table = args(1)
         val ndv = graft.format.GpxMaintenance.analyze(spark, table, conf)
         ndv.toSeq.sortBy(_._1).foreach { case (c, v) => println(s"STAT $c ndv=$v") }
+      case "INDEX" =>
+        val Seq(table, cols) = args.slice(1, 3)
+        val parts = cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val n = if (parts.size == 1)
+          graft.format.GpxPointIndex.build(spark, table, parts.head)
+        else
+          graft.format.GpxPointIndex.buildCompound(spark, table, parts)
+        println(s"INDEX ok: $table(${parts.mkString(",")}) $n keys")
       case "VACUUM" =>
         val table = args(1)
         val ttl = args.lift(2).map(_.toLong).getOrElse(24L * 3600 * 1000)

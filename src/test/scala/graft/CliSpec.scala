@@ -35,6 +35,12 @@ class CliSpec extends GraftSpec {
       "SELECT count(*) AS n FROM ord WHERE o_orderkey <= 100",
       "--table", s"ord=$t2"))
 
+    Cli.run(sp, Seq("INDEX", t2, "o_orderkey"))
+    val someKey = want.select(min(col("o_orderkey"))).head.getLong(0)
+    val hit = graft.format.GpxPointIndex.lookup(sp, t2, "o_orderkey",
+      Set(someKey), Seq("o_orderkey", "o_custkey"))
+    assert(hit.count() == 1, s"indexed point lookup must find key $someKey")
+
     Cli.run(sp, Seq("VACUUM", t2, "0"))
     // vacuum with ttl 0 on a clean table sweeps nothing visible
     assert(sp.read.format("gpx").load(t2).count() == want.count())

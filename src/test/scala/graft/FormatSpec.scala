@@ -718,6 +718,12 @@ class FormatSpec extends GraftSpec {
     val exposed = sp.read.format("gpx").option("exposeCommitTs", "true").load(dir)
     assert(exposed.filter(col("_commit_ts") === 200L).count() == 100)
     assert(exposed.groupBy("_commit_ts").count().count() == 3)
+    // pushed top-N composes with the snapshot: only VISIBLE row groups
+    // enter the coverage counting, so DESC top-5 at ts=200 is the tail
+    // of the second commit, never rows from the invisible third
+    val snapTop = sp.read.format("gpx").option("snapshotTs", "200").load(dir)
+      .orderBy(col("id").desc).limit(5).collect().map(_.getLong(0)).toSeq
+    assert(snapTop == (199L to 195L by -1L), snapTop)
   }
 
   test("native gpx compaction copies chunks verbatim and preserves results") {
