@@ -100,6 +100,50 @@ object Dedup {
     (expInt, repsInt, banded, vocabSize)
   }
 
+  /** Band keys as a PURE function of the token set — tids are xxhash64 of
+    * the token string unconditionally (no dense-id fallback): a persisted
+    * signature index and a later batch signing MUST derive identical band
+    * keys from identical token sets across runs, which a per-run fallback
+    * dictionary cannot guarantee. Collisions only conflate tokens inside
+    * the candidate GENERATION (verification is exact over token strings),
+    * and a lost candidate would fail the oracle hash — accepted at
+    * ~|V|^2 / 2^64. Emits flat (fp, nt, band, h0..h3) rows, equality-join
+    * and columnar-storage ready. */
+  private def pureBands(reps: DataFrame, idCol: String): DataFrame = {
+    val tids = reps.select(col(idCol), explode(col("toks")).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("tid"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(col("tid"))).as("tids"))
+    val mh = tids.select(col(idCol), size(col("tids")).as("nt"),
+      graft.functions.VectorFunctions
+        .minhash_sigs(col("tids"), NumHashes).as("mhs"))
+    val bandCols = (0 until NumHashes / BandR).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until BandR).map(r =>
+          col("mhs").getItem(BandR * b + r).as(s"h$r")): _*)
+    }
+    mh.select(col(idCol), col("nt"), explode(array(bandCols: _*)).as("bk"))
+      .select(Seq(col(idCol), col("nt"), col("bk.band").as("band")) ++
+        (0 until BandR).map(r => col(s"bk.h$r").as(s"h$r")): _*)
+  }
+
+  /** Shared d08/d10 oracle: brute-force best-match of each new doc
+    * against the corpus side (DuckDB computes the quadratic join; both
+    * Spark formulations must hash-match it exactly). */
+  private val oIncremental: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) s FROM documents),
+      |nw AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+      |corpus AS (SELECT * FROM toks WHERE doc_id % 5 <> 0)
+      |SELECT nw.doc_id AS doc_id,
+      |  MAX(CAST(len(list_intersect(nw.s, corpus.s)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(nw.s, corpus.s)))) AS best_jaccard
+      |FROM nw JOIN corpus ON
+      |  CAST(len(list_intersect(nw.s, corpus.s)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(nw.s, corpus.s))) >= 0.8
+      |GROUP BY nw.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** DuckDB brute-force token-set jaccard pair query (oracle side). */
   private def oJaccardPairs(threshold: Double): String =
     s"""WITH toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) s FROM documents)
@@ -670,18 +714,83 @@ object Dedup {
         .select(col("doc_id"), col("best_jaccard"))
         .orderBy("doc_id")
     },
-      Some("""WITH toks AS (
-             |  SELECT doc_id, list_distinct(string_split(text, ' ')) s FROM documents),
-             |nw AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
-             |corpus AS (SELECT * FROM toks WHERE doc_id % 5 <> 0)
-             |SELECT nw.doc_id AS doc_id,
-             |  MAX(CAST(len(list_intersect(nw.s, corpus.s)) AS DOUBLE) /
-             |      len(list_distinct(list_concat(nw.s, corpus.s)))) AS best_jaccard
-             |FROM nw JOIN corpus ON
-             |  CAST(len(list_intersect(nw.s, corpus.s)) AS DOUBLE) /
-             |      len(list_distinct(list_concat(nw.s, corpus.s))) >= 0.8
-             |GROUP BY nw.doc_id
-             |ORDER BY doc_id""".stripMargin)),
+      Some(oIncremental)),
+
+    // The STEADY STATE of incremental dedup: the corpus signatures live
+    // in PERSISTED gpx tables (content-keyed like every cachedDir
+    // materialization) and each batch signs only ITSELF, probes the
+    // stored band index with an equality join, and exactly verifies the
+    // few candidates over stored token strings — v06's persisted-IVF
+    // pattern applied to text dedup. At 100 TB the difference vs d08 is
+    // the whole point: the corpus is never re-tokenized, re-hashed or
+    // re-shuffled per batch; batch cost is O(batch + candidates).
+    // Same result set and SAME ORACLE as d08.
+    GQuery("d10_indexed_incremental_dedup", (s, d) => {
+      val t = 0.8
+      val idx = FormatOps.cachedDir(d, "dedup_sigidx") { dir =>
+        val corpus = Tables.documents(s, d)
+          .filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), array_sort(tokens).as("toks"))
+          .withColumn("fp", tokenFp)
+        val cgroups = corpus.groupBy(col("fp"))
+          .agg(first(col("toks")).as("toks"))
+          .tracked
+        pureBands(cgroups, "fp")
+          .write.format("gpx").mode("overwrite").save(s"$dir/banded")
+        cgroups.select(col("fp"), explode(col("toks")).as("tok"))
+          .write.format("gpx").mode("overwrite").save(s"$dir/tokens")
+        cgroups.select(col("fp"))
+          .write.format("gpx").mode("overwrite").save(s"$dir/reps")
+      }
+      val corpusBanded = s.read.format("gpx").load(s"$idx/banded")
+      val corpusTokens = s.read.format("gpx").load(s"$idx/tokens")
+      val corpusReps = s.read.format("gpx").load(s"$idx/reps")
+      // batch side, signed fresh (it is the only thing signed)
+      val bgroups = docsSpread(s, d)
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), array_sort(tokens).as("toks"))
+        .withColumn("fp", tokenFp)
+        .groupBy(col("fp"))
+        .agg(first(col("toks")).as("toks"),
+          sort_array(collect_list(col("doc_id"))).as("members"))
+        .tracked
+      val bband = pureBands(bgroups.select(col("fp"), col("toks")), "fp")
+      val hEq = (0 until BandR)
+        .map(r => col(s"x.h$r") === col(s"y.h$r")).reduce(_ && _)
+      val cand = bband.as("x").join(corpusBanded.as("y"),
+          col("x.band") === col("y.band") && hEq &&
+            col("x.fp") =!= col("y.fp") &&
+            col("x.nt") >= col("y.nt") * t - 0.5 &&
+            col("y.nt") >= col("x.nt") * t - 0.5)
+        .select(col("x.fp").as("fa"), col("y.fp").as("fb"))
+        .distinct()
+        .tracked
+      // exact verification over stored token STRINGS, bounded by the
+      // candidate set (only candidate reps are regrouped)
+      val ctoks = corpusTokens
+        .join(cand.select(col("fb").as("fp")).distinct(), "fp")
+        .groupBy(col("fp"))
+        .agg(sort_array(collect_list(col("tok"))).as("ctoks"))
+      val verified = cand
+        .join(bgroups.select(col("fp").as("fa"), col("toks").as("btoks")), "fa")
+        .join(ctoks.select(col("fp").as("fb"), col("ctoks")), "fb")
+        .withColumn("j",
+          size(array_intersect(col("btoks"), col("ctoks"))).cast(DoubleType) /
+            size(array_union(col("btoks"), col("ctoks"))))
+        .filter(col("j") >= t)
+        .select(col("fa").as("fp"), col("j"))
+      // identical token set present in the index => exact dup, J = 1
+      val exact = bgroups.join(corpusReps, Seq("fp"), "leftsemi")
+        .select(col("fp"), lit(1.0).as("j"))
+      val best = verified.unionByName(exact)
+        .groupBy("fp").agg(max(col("j")).as("best_jaccard"))
+      bgroups
+        .select(col("fp"), explode(col("members")).as("doc_id"))
+        .join(best, "fp")
+        .select(col("doc_id"), col("best_jaccard"))
+        .orderBy("doc_id")
+    },
+      Some(oIncremental)),
 
     // Benchmark decontamination — the eval-overlap screen every training
     // corpus needs before release: flag corpus documents sharing any

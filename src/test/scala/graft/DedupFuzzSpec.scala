@@ -106,6 +106,9 @@ class DedupFuzzSpec extends GraftSpec {
         .groupBy(col("n.doc_id").as("doc_id"))
         .agg(max(col("j")).as("best_jaccard"))
       assertSame(at("d08_incremental_dedup", dir), brute, s"d08 seed $seed")
+      // the persisted-index formulation must reach the identical result
+      assertSame(at("d10_indexed_incremental_dedup", dir), brute,
+        s"d10 seed $seed")
       CacheScope.release()
     }
 
