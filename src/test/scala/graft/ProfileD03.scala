@@ -1,10 +1,14 @@
 package graft
 
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** scratch phase profiler for d03 (not part of the suite) */
+/** Phase timer for the d03 PPJoin as SHIPPED (packed-codepoint trigram
+  * ids via the native TrigramIds expression — no dictionary join, no
+  * collision check): spread scan -> trigram ids -> df counts -> prefix
+  * window -> candidate join -> bitset/array verify. Run ad hoc:
+  *   sbt 'Test/runMain graft.ProfileD03 /root/testdata/sf0.1' */
 object ProfileD03 {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -15,27 +19,19 @@ object ProfileD03 {
     }
     val t = 0.6
     val g = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"),
-        array_distinct(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")).as("s"))
-      .withColumn("sz", size(col("s")))
+        graft.functions.VectorFunctions.trigram_ids(col("text")).as("sids"))
+      .withColumn("sz", size(col("sids")))
       .persist()
-    time("g")(g.count())
-    val grams = g.select(col("doc_id"), col("lang"), col("sz"), explode(col("s")).as("gram"))
-    val freq = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-    val hashedGrams = grams.join(freq, "gram")
-      .withColumn("gid", xxhash64(col("gram")))
-      .persist()
-    time("hashedGrams")(hashedGrams.count())
-    val gvocab = freq.select(col("gram")).persist()
-    val vocabV = time("vocab")(gvocab.count())
-    time("vocabHash")(gvocab.select(xxhash64(col("gram"))).distinct().count())
-    val gidGrams = hashedGrams.select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("df"))
-    val gInt = gidGrams.groupBy(col("doc_id").as("gd"), col("lang"), col("sz"))
-      .agg(collect_list(col("gid")).as("sids"))
-      .persist()
-    time("gInt")(gInt.count())
+    time("g (trigram ids)")(g.count())
+    val grams = g.select(col("doc_id"), col("lang"), col("sz"),
+      explode(col("sids")).as("gid"))
+    val freq = grams.groupBy("gid").agg(count(lit(1)).as("df")).persist()
+    val vocabV = time("freq/vocab")(freq.count())
+    val gidGrams = grams.join(freq, "gid")
+      .select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gid"))
     val prefix = gidGrams
       .withColumn("rn", row_number().over(w))
@@ -54,14 +50,14 @@ object ProfileD03 {
       .distinct().persist()
     val nCand = time("candidates")(candidates.count())
     println(s"vocab=$vocabV candidates=$nCand")
-    val jaccard = size(array_intersect(col("a_s"), col("b_s"))).cast(DoubleType) /
-      size(array_union(col("a_s"), col("b_s")))
+    val gInt = g.select(col("doc_id").as("gd"), col("sids"))
     val verify = candidates
       .join(gInt.select(col("gd").as("a_id"), col("sids").as("a_s")), "a_id")
       .join(gInt.select(col("gd").as("b_id"), col("sids").as("b_s")), "b_id")
-      .withColumn("jaccard", jaccard)
+      .withColumn("jaccard", graft.functions.VectorFunctions
+        .sorted_jaccard(col("a_s"), col("b_s")))
       .filter(col("jaccard") >= t)
-    time("verify")(verify.count())
+    time("verify (sorted-merge)")(verify.count())
     s.stop()
   }
 }
