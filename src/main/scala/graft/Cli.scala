@@ -26,27 +26,50 @@ object Cli {
   private def opt(args: Seq[String], name: String): Option[String] =
     args.sliding(2).collectFirst { case Seq(`name`, v) => v }
 
-  private def usage(): Nothing = {
-    System.err.println(
-      "usage: Cli LOAD|COMPACT|STAT|VACUUM|QUERY ... (see scaladoc)")
-    sys.exit(2)
+  /** every command-line shape error routes here; main() prints the
+    * usage text and exits 2, in-JVM callers (tests) catch it */
+  final class UsageException extends RuntimeException("bad command line")
+
+  private def usage(): Nothing = throw new UsageException
+
+  val usageText: String =
+    """usage: Cli <command> ...
+      |  LOAD    <parquet-src> <gpx-dest> [--sortBy c] [--bucketBy c
+      |          --numBuckets n] [--rangeBy c --rangeBounds b1,b2,...]
+      |          [--rowGroupRows n] [--overwrite]
+      |  COMPACT <gpx-src> <gpx-dest>
+      |  STAT    <gpx-table>
+      |  INDEX   <gpx-table> <col[,col2]>
+      |  VACUUM  <gpx-table> [ttlMs]
+      |  QUERY   <sql> --table name=path [--table name=path ...]""".stripMargin
+
+  /** exactly n positional operands after the command, or usage() */
+  private def operands(args: Seq[String], n: Int): Seq[String] = {
+    val got = args.drop(1).take(n)
+    if (got.size < n || got.exists(_.startsWith("--"))) usage() else got
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.isEmpty) usage()
+    if (args.isEmpty) { System.err.println(usageText); sys.exit(2) }
     val spark = SparkSession.builder()
       .appName(s"graft-cli-${args.head.toLowerCase}")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try run(spark, args.toSeq) finally spark.stop()
+    try run(spark, args.toSeq)
+    catch {
+      case _: UsageException =>
+        System.err.println(usageText)
+        spark.stop()
+        sys.exit(2)
+    } finally spark.stop()
   }
 
-  /** separated from main for in-JVM tests (no sys.exit on success path) */
+  /** separated from main for in-JVM tests (no sys.exit) */
   def run(spark: SparkSession, args: Seq[String]): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     args.head.toUpperCase match {
       case "LOAD" =>
-        val Seq(src, dest) = args.slice(1, 3)
+        val Seq(src, dest) = operands(args, 2)
         var w = spark.read.parquet(src).write.format("gpx")
           .mode(if (args.contains("--overwrite")) "overwrite" else "append")
         opt(args, "--sortBy").foreach(v => w = w.option("sortBy", v))
@@ -58,30 +81,35 @@ object Cli {
         w.save(dest)
         println(s"LOAD ok: $src -> $dest")
       case "COMPACT" =>
-        val Seq(src, dest) = args.slice(1, 3)
+        val Seq(src, dest) = operands(args, 2)
         graft.format.GpxCompactor.compact(src, dest, conf)
         println(s"COMPACT ok: $src -> $dest")
       case "STAT" =>
-        val table = args(1)
+        val Seq(table) = operands(args, 1)
         val ndv = graft.format.GpxMaintenance.analyze(spark, table, conf)
         ndv.toSeq.sortBy(_._1).foreach { case (c, v) => println(s"STAT $c ndv=$v") }
       case "INDEX" =>
-        val Seq(table, cols) = args.slice(1, 3)
+        val Seq(table, cols) = operands(args, 2)
         val parts = cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        if (parts.isEmpty) usage()
         val n = if (parts.size == 1)
           graft.format.GpxPointIndex.build(spark, table, parts.head)
         else
           graft.format.GpxPointIndex.buildCompound(spark, table, parts)
         println(s"INDEX ok: $table(${parts.mkString(",")}) $n keys")
       case "VACUUM" =>
-        val table = args(1)
-        val ttl = args.lift(2).map(_.toLong).getOrElse(24L * 3600 * 1000)
+        val Seq(table) = operands(args, 1)
+        val ttl = args.lift(2).map(a =>
+          try a.toLong catch { case _: NumberFormatException => usage() })
+          .getOrElse(24L * 3600 * 1000)
         val swept = graft.format.GpxMaintenance.vacuum(table, ttl, conf)
         swept.foreach(p => println(s"VACUUM swept $p"))
         println(s"VACUUM ok: ${swept.size} paths")
       case "QUERY" =>
-        val sql = args(1)
-        args.drop(2).sliding(2).foreach {
+        val sql = operands(args, 1).head
+        // non-overlapping pairs: a dangling --table (or any stray
+        // operand) is a shape error, not silently dropped
+        args.drop(2).grouped(2).foreach {
           case Seq("--table", nv) => nv.split("=", 2) match {
             case Array(n, p) =>
               val df =
@@ -90,7 +118,7 @@ object Cli {
               df.createOrReplaceTempView(n)
             case _ => usage()
           }
-          case _ => ()
+          case _ => usage()
         }
         spark.sql(sql).show(100, truncate = false)
       case _ => usage()

@@ -207,32 +207,46 @@ object GpxTable {
   /** Column-cardinality sidecar written by [[GpxMaintenance.analyze]]
     * (the reference's STAT command path: collected cardinalities land in
     * metadata and feed PlanOptimizer selectivity). Served ONLY while the
-    * stamped version token matches the table's current token — stats that
-    * went stale under a mutation are dropped, never silently wrong.
-    * Format: token line, row-count line, then "<urlenc-name>\t<ndv>". */
+    * stamped validity proof still holds — a version token match for
+    * token-disciplined tables, an exact listing-digest match
+    * (`listing:<sha>`) for token-less ones — so stats that went stale
+    * under a mutation are dropped, never silently wrong. A corrupt or
+    * hand-edited sidecar degrades to no stats (planning must never crash
+    * on a malformed sidecar). Format: stamp line, row-count line, then
+    * "<urlenc-name>\t<ndv>". */
   def readColStats(root: String, conf: Configuration): Map[String, Long] = {
     val p = new Path(root, "_colstats")
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return Map.empty
-    val txt = try {
+    try {
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return Map.empty
       val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    } catch { case _: java.io.IOException => return Map.empty }
-    txt.split("\n").toSeq.filter(_.nonEmpty) match {
-      case token +: _ +: cols
-        if GpxVersion.current(root, conf).contains(token.trim) =>
-        cols.flatMap { line =>
-          line.split("\t", 2) match {
-            case Array(n, v) =>
-              try Some(java.net.URLDecoder.decode(n, "UTF-8") -> v.trim.toLong)
-              catch { case _: NumberFormatException => None }
-            case _ => None
-          }
-        }.toMap
-      case _ => Map.empty
-    }
+      txt.split("\n").toSeq.filter(_.nonEmpty) match {
+        case stamp +: _ +: cols if statsStampValid(root, stamp.trim, conf) =>
+          cols.flatMap { line =>
+            line.split("\t", 2) match {
+              case Array(n, v) =>
+                try Some(java.net.URLDecoder.decode(n, "UTF-8") -> v.trim.toLong)
+                catch { case scala.util.control.NonFatal(_) => None }
+              case _ => None
+            }
+          }.toMap
+        case _ => Map.empty
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
   }
+
+  /** `listing:`-prefixed stamps revalidate by recomputing the exact
+    * listing digest (token-less tables must not be opted into token-gated
+    * validity — an external writer never bumps tokens, so a seeded token
+    * would serve stale stats forever). Plain stamps compare to the
+    * current version token. */
+  private def statsStampValid(root: String, stamp: String,
+      conf: Configuration): Boolean =
+    if (stamp.startsWith("listing:"))
+      stamp.stripPrefix("listing:") == GpxVersion.listingDigest(root, conf)
+    else GpxVersion.current(root, conf).contains(stamp)
 
   /** Range-layout sidecar (reference: catalog-level key-range assignment
     * per file set, pixels-common metadata/domain/Range.java +
@@ -1306,10 +1320,13 @@ object GpxScan {
   /** monotone (non-NaN) double -> signed long: positive bit patterns are
     * already value-ordered; negative ones flip their magnitude bits so
     * more-negative values map lower, and every negative long sorts below
-    * every positive one. -0.0 maps just below +0.0 — bounds stay
-    * conservative either way Spark orders the two. */
+    * every positive one. ±0.0 share one code: Spark's SQL ordering treats
+    * them as equal, so if they encoded apart a coverage threshold landing
+    * on -0.0 could prune a +0.0 group whose rows TIE with the covering
+    * rows (wrong under a secondary sort key). */
   private def sortableLong(d: Double): Long = {
-    val b = java.lang.Double.doubleToLongBits(d)
+    val v = if (d == 0.0) 0.0 else d
+    val b = java.lang.Double.doubleToLongBits(v)
     if (b >= 0) b else b ^ 0x7FFFFFFFFFFFFFFFL
   }
 

@@ -93,9 +93,13 @@ object GpxMaintenance {
   def analyze(spark: org.apache.spark.sql.SparkSession, table: String,
       conf: Configuration = new Configuration()): Map[String, Long] = {
     import org.apache.spark.sql.functions._
-    if (GpxVersion.current(table, conf).isEmpty) GpxVersion.bump(table, conf)
+    // Token-less tables (legacy / external writers) are NOT opted into
+    // token-gated validity as a side effect of STAT — an external
+    // mutation would never bump a seeded token and the sidecar would
+    // serve stale forever. They get a `listing:` digest stamp instead;
+    // readColStats revalidates it by recomputing the digest.
     val token = GpxVersion.current(table, conf).getOrElse(
-      throw new IllegalStateException(s"no version token for $table"))
+      "listing:" + GpxVersion.listingDigest(table, conf))
     val df = spark.read.format("gpx").load(table)
     val cols = df.schema.fields.toSeq
     val aggs = count(lit(1)) +:

@@ -155,6 +155,17 @@ object GpxVersion {
       writeToken(fs, d, DataVersionFile)
     } catch { case _: Throwable => () }
 
+  /** sha-256 digest of the table's exact listing (data files + delete
+    * sidecars) — the validity stamp for tables WITHOUT a token discipline
+    * (legacy / external writers). Recomputing it costs one O(files) walk,
+    * the same price every other fallback path on untracked tables pays. */
+  def listingDigest(root: String, conf: Configuration): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    GpxProjection.baseListing(root, conf)
+      .foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString.take(32)
+  }
+
   /** Some(mayHaveDeletes) when the token file exists (marker is then
     * authoritative-or-conservative); None = untracked table, caller walks */
   def hasDeletes(root: String, conf: Configuration): Option[Boolean] =

@@ -45,4 +45,19 @@ class CliSpec extends GraftSpec {
     // vacuum with ttl 0 on a clean table sweeps nothing visible
     assert(sp.read.format("gpx").load(t2).count() == want.count())
   }
+
+  test("malformed command lines raise UsageException, not MatchError") {
+    def bad(args: String*): Unit =
+      intercept[Cli.UsageException](Cli.run(sp, args.toSeq))
+    bad("LOAD", "/only/one/operand")
+    bad("COMPACT", "/src/only")
+    bad("STAT")
+    bad("INDEX", "/tbl") // missing column list
+    bad("INDEX", "/tbl", ",") // empty column list
+    bad("VACUUM")
+    bad("VACUUM", "/tbl", "not-a-number")
+    bad("QUERY", "SELECT 1", "--table") // dangling --table
+    bad("QUERY", "SELECT 1", "--table", "noequals")
+    bad("NOSUCH")
+  }
 }

@@ -425,6 +425,44 @@ class FormatSpec extends GraftSpec {
     assert(distinctOf("grp").exists(v => (v - 138).abs <= 10))
   }
 
+  test("STAT on a token-less table: listing-stamped, external edits drop it") {
+    import sp.implicits._
+    import org.apache.hadoop.fs.Path
+    val dir = tmp()
+    val conf = sp.sparkContext.hadoopConfiguration
+    (0 until 5000).map(i => (i.toLong, (i % 41).toLong)).toDF("id", "grp")
+      .coalesce(1).write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "1000").save(dir)
+    // simulate a legacy / externally-written table: strip version tokens
+    val fs = new Path(dir).getFileSystem(conf)
+    Seq("_version", "_vdata").foreach { f =>
+      val p = new Path(dir, f); if (fs.exists(p)) fs.delete(p, false)
+    }
+    graft.format.GpxMaintenance.analyze(sp, dir, conf)
+    // STAT must NOT have opted the table into token discipline
+    assert(!fs.exists(new Path(dir, "_version")),
+      "STAT must not seed a version token on a token-less table")
+    def grpNdv(): Option[BigInt] =
+      sp.read.format("gpx").load(dir)
+        .queryExecution.optimizedPlan.stats.attributeStats.collectFirst {
+          case (a, cs) if a.name == "grp" => cs }.flatMap(_.distinctCount)
+    assert(grpNdv().exists(v => (v - 41).abs <= 5), s"listing-stamped NDV: ${grpNdv()}")
+    // an EXTERNAL mutation (no token bump, file added behind gpx's back)
+    // changes the listing: the digest mismatches and stats drop out
+    val victim = fs.listStatus(new Path(dir))
+      .find(_.getPath.getName.endsWith(".gpx")).get.getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, victim, fs,
+      new Path(dir, "external_copy.gpx"), false, conf)
+    assert(grpNdv().isEmpty, "stale listing-stamped NDV must not be served")
+    // a corrupt sidecar degrades to no stats, never a planning crash
+    val cs = new Path(dir, "_colstats")
+    val out = fs.create(cs, true)
+    out.write("listing:deadbeef\n5000\n%zz-bad-escape\t41\n".getBytes("UTF-8"))
+    out.close()
+    assert(grpNdv().isEmpty)
+    sp.read.format("gpx").load(dir).count() // planning survives
+  }
+
   test("failed INSERT OVERWRITE leaves the old table intact") {
     import sp.implicits._
     val dir = tmp()

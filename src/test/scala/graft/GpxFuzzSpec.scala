@@ -200,4 +200,29 @@ class GpxFuzzSpec extends GraftSpec {
           s"got=${keyList(got)} want=${keyList(want)}")
     }
   }
+
+  test("top-N prune keeps +0.0 groups tying a -0.0 threshold (tie-break key)") {
+    import sp.implicits._
+    // Row group 1 holds four -0.0 rows (rids 4-7), row group 2 four +0.0
+    // rows (rids 0-3). Under ORDER BY k, rid LIMIT 2 the true answer is
+    // rids 0,1 from group 2: Spark orders -0.0 == +0.0, so the rid
+    // tie-break decides. An encoding that splits ±0.0 lets the coverage
+    // threshold land on -0.0 and prune group 2 — returning rids 4,5.
+    val rows = Seq(
+      (4L, -0.0), (5L, -0.0), (6L, -0.0), (7L, -0.0),
+      (0L, 0.0), (1L, 0.0), (2L, 0.0), (3L, 0.0),
+      (8L, 1.0), (9L, 1.0), (10L, 2.0), (11L, 2.0))
+    val dir = Files.createTempDirectory("gpx_topn_zero").toString
+    rows.toDF("rid", "k").coalesce(1)
+      .write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "4").save(dir)
+    val t = sp.read.format("gpx").load(dir)
+    val got = t.orderBy(col("k"), col("rid")).limit(2)
+      .select("rid").as[Long].collect().toSeq
+    assert(got == Seq(0L, 1L), s"±0.0 tie-break prune returned rids $got")
+    // mirror: DESC NULLS LAST with a -0.0 group above the +0.0 threshold
+    val gotDesc = t.orderBy(col("k").desc, col("rid")).limit(2)
+      .select("rid").as[Long].collect().toSeq
+    assert(gotDesc == Seq(10L, 11L), s"desc ±0.0 prune returned $gotDesc")
+  }
 }
