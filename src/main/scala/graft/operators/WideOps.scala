@@ -464,20 +464,36 @@ object WideOps {
 
   /** Approximate-quantile family (ClickBench's quantile queries use
     * sketches): Spark's percentile_approx and DuckDB's approx_quantile
-    * are DIFFERENT sketches with different answers, so this query is
-    * rows-only gated — WideSpec bounds it against the exact median and
-    * the column's range instead. Registered separately (no oracle). */
+    * are DIFFERENT sketches with different answers, so the sketch VALUES
+    * cannot hash-match an oracle. Instead each query is registered as
+    * its own ERROR AUDIT: the approximate answer is bounded against the
+    * exact answer computed in the same query, and only the (exactly
+    * reproducible) group keys/counts plus the pass/fail bits reach the
+    * driver — an estimator regression flips a bit to 0 and the hash
+    * mismatches. The sketch value itself stays spec-gated in WideSpec. */
   val approxQueries: Seq[GQuery] = Seq(
+    // approx_percentile's contract is a RANK guarantee (±n/accuracy, so
+    // ±0.0001n at the default 10000): the returned element's rank lies
+    // well inside [q-0.01, q+0.01], hence its VALUE lies between the
+    // exact interpolated percentiles at those ranks.
     GQuery("w20_wide_approx_quantiles", (s, d) => {
       hitsGpx(s, d).createOrReplaceTempView("hits")
       s.sql(
-        """SELECT os,
-          |  CAST(approx_percentile(duration_ms, 0.5) AS DOUBLE) AS p50,
-          |  CAST(approx_percentile(duration_ms, 0.9) AS DOUBLE) AS p90,
-          |  CAST(approx_percentile(load_time_ms, 0.99) AS DOUBLE) AS p99_load,
-          |  COUNT(*) AS n
+        """SELECT os, COUNT(*) AS n,
+          |  CAST(approx_percentile(duration_ms, 0.5) BETWEEN
+          |    percentile(duration_ms, 0.49) AND percentile(duration_ms, 0.51)
+          |    AS INT) AS p50_ok,
+          |  CAST(approx_percentile(duration_ms, 0.9) BETWEEN
+          |    percentile(duration_ms, 0.89) AND percentile(duration_ms, 0.91)
+          |    AS INT) AS p90_ok,
+          |  CAST(approx_percentile(load_time_ms, 0.99) BETWEEN
+          |    percentile(load_time_ms, 0.98) AND percentile(load_time_ms, 1.0)
+          |    AS INT) AS p99_ok
           |FROM hits GROUP BY os ORDER BY os""".stripMargin)
-    }, None),
+    },
+      Some(s"""$duckCte
+              |SELECT os, COUNT(*) AS n, 1 AS p50_ok, 1 AS p90_ok, 1 AS p99_ok
+              |FROM hits GROUP BY os ORDER BY os""".stripMargin)),
 
     // ClickBench "uniq" family: HLL approximate distinct-user counts per
     // key — the 100 TB answer to COUNT(DISTINCT) when the exact
@@ -487,12 +503,18 @@ object WideOps {
     // rsd=0.01 is far tighter than the 5% the spec allows).
     GQuery("w21_wide_approx_distinct_users", (s, d) => {
       hitsGpx(s, d).createOrReplaceTempView("hits")
+      // HLL++ at rsd=0.01 against the exact distinct count, gated at 5x
+      // the configured error — the same bound WideSpec asserts
       s.sql(
-        """SELECT country,
-          |  approx_count_distinct(user_id, 0.01) AS approx_users,
-          |  COUNT(*) AS hits
+        """SELECT country, COUNT(*) AS hits,
+          |  CAST(abs(approx_count_distinct(user_id, 0.01)
+          |      - COUNT(DISTINCT user_id))
+          |    <= 0.05 * COUNT(DISTINCT user_id) AS INT) AS users_ok
           |FROM hits GROUP BY country ORDER BY country""".stripMargin)
-    }, None),
+    },
+      Some(s"""$duckCte
+              |SELECT country, COUNT(*) AS hits, 1 AS users_ok
+              |FROM hits GROUP BY country ORDER BY country""".stripMargin)),
 
     // The sketch-ROLLUP pattern w21 scales into: materialize per-(date,
     // country) HLL sketch partials ONCE (at 100 TB this is a maintained
@@ -506,14 +528,27 @@ object WideOps {
     // rows-only gate; WideSpec bounds the estimates against exact
     // distinct counts and asserts slice-merge consistency.
     GQuery("w22_wide_sketch_rollup", (s, d) => {
-      val rollup = hitsGpx(s, d)
+      val h = hitsGpx(s, d)
+      val rollup = h
         .groupBy("event_date", "country")
         .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
           count(lit(1)).as("n"))
-      rollup.groupBy("country")
+      val merged = rollup.groupBy("country")
         .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
             .as("approx_users"),
           sum(col("n")).as("hits"))
+      // the audit side (exact distinct per country) exists to gate the
+      // MERGED estimate — at 100 TB the rollup replaces this scan; here
+      // it proves sketch-merge ≈ direct count within the lgK=14 error
+      val exact = h.groupBy("country")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.join(exact, "country")
+        .select(col("country"), col("hits"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.05).cast("int").as("users_ok"))
         .orderBy("country")
-    }, None))
+    },
+      Some(s"""$duckCte
+              |SELECT country, COUNT(*) AS hits, 1 AS users_ok
+              |FROM hits GROUP BY country ORDER BY country""".stripMargin)))
 }

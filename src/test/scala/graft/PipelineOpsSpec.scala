@@ -182,7 +182,8 @@ class VectorOpsSpec extends GraftSpec {
 
   test("v05 lsh pairs: exact precision vs brute force, recall measured") {
     val brute = run("v01_cosine_pairs_brute").select("a_id", "b_id").cache()
-    val lsh = run("v05_cosine_pairs_lsh").select("a_id", "b_id").cache()
+    val lsh = graft.operators.VectorOps.cosinePairsLsh(spark, sf)
+      .select("a_id", "b_id").cache()
     // precision must be exact: every LSH pair passes the true threshold
     assert(lsh.exceptAll(brute).count() == 0)
     val recall = lsh.count().toDouble / math.max(1, brute.count())
@@ -192,7 +193,7 @@ class VectorOpsSpec extends GraftSpec {
 
   test("v03 knn ivf: learned k-means centroids, recall@5 vs brute >= 0.6") {
     val brute = run("v02_knn_brute").select("q_id", "n_id")
-    val ivf = run("v03_knn_ivf").select("q_id", "n_id")
+    val ivf = graft.operators.VectorOps.knnIvf(spark, sf).select("q_id", "n_id")
     val hits = brute.intersect(ivf).count().toDouble
     val recall = hits / brute.count()
     info(s"v03 ivf recall@5 = $recall")
@@ -201,7 +202,7 @@ class VectorOpsSpec extends GraftSpec {
 
   test("v07 sq8 knn: recall@5 vs brute >= 0.8, exact-reranked scores") {
     val brute = run("v02_knn_brute").cache()
-    val sq = run("v07_knn_sq8").cache()
+    val sq = graft.operators.VectorOps.knnSq8(spark, sf).cache()
     assert(sq.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
     val hits = brute.select("q_id", "n_id")
       .intersect(sq.select("q_id", "n_id")).count().toDouble
@@ -221,7 +222,7 @@ class VectorOpsSpec extends GraftSpec {
 
   test("v06 persisted ivf index: recall@5 vs brute >= 0.6, bucket-pruned serve") {
     val brute = run("v02_knn_brute").select("q_id", "n_id")
-    val ivf = run("v06_knn_ivf_indexed")
+    val ivf = graft.operators.VectorOps.knnIvfIndexed(spark, sf)
     assert(ivf.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
     val hits = brute.intersect(ivf.select("q_id", "n_id")).count().toDouble
     val recall = hits / brute.count()
@@ -282,6 +283,24 @@ class VectorOpsSpec extends GraftSpec {
     assert(got.groupBy(_.getLong(0)).forall(_._2.size == 5))
     assert(got.forall(r => r.getInt(1) >= 1 && r.getInt(1) <= 5))
     assert(ref.nonEmpty)
+  }
+
+  test("registered ANN audits emit recall_ok=1 (the driver-checkable gate)") {
+    // the registered v03/v05/v06/v07 queries are recall audits whose one
+    // row the DuckDB oracle reproduces; a recall regression flips
+    // recall_ok to 0 and both this test and the driver gate go red
+    Seq("v03_knn_ivf", "v06_knn_ivf_indexed", "v07_knn_sq8").foreach { q =>
+      val row = run(q).collect()
+      assert(row.length == 1, s"$q audit must emit one row")
+      assert(row.head.getAs[Int]("recall_ok") == 1, s"$q recall gate failed")
+      assert(row.head.getAs[Long]("n_queries") > 0, s"$q n_queries")
+      graft.CacheScope.release()
+    }
+    val v05 = run("v05_cosine_pairs_lsh").collect()
+    assert(v05.length == 1 && v05.head.getAs[Int]("recall_ok") == 1,
+      s"v05 audit: ${v05.mkString}")
+    assert(v05.head.getAs[Long]("true_pairs") > 0)
+    graft.CacheScope.release()
   }
 }
 

@@ -86,64 +86,49 @@ class WideSpec extends GraftSpec {
       s"regex query decoded $decoded pixels, expected url+user_id = $expected")
   }
 
-  test("approx quantiles are bounded by the column range and near the exact median") {
+  // The w20-w22 registered queries are self-auditing (approx vs exact in
+  // the same query, only group keys/counts plus pass bits reach the
+  // driver). The specs assert every audit bit is 1 — a sketch regression
+  // (wrong column, broken merge, blown error) flips a bit — plus the
+  // shape/measure facts the audit doesn't cover.
+
+  test("approx quantile audit: every os group passes its rank-window gate") {
     val got = SparkEntry.queries("w20_wide_approx_quantiles")(sp, sf)
-      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
-        r.getDouble(3), r.getLong(4)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
     assert(got.length == 5) // five os values
-    val exact = sp.sql(
-      """SELECT os, CAST(median(duration_ms) AS DOUBLE) AS med
-        |FROM hits GROUP BY os""".stripMargin)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    got.foreach { case (os, p50, p90, p99l, n) =>
+    got.foreach { case (os, n, p50ok, p90ok, p99ok) =>
       assert(n > 0)
-      assert(p50 >= 0 && p50 <= 60000, s"$os p50=$p50 outside duration range")
-      assert(p90 >= p50, s"$os p90 < p50")
-      assert(p99l >= 0 && p99l <= 3000, s"$os p99 load outside range")
-      // percentile_approx's default accuracy is far tighter than 15% at
-      // this row count; the bound just catches a wrong-column/wrong-math
-      // regression without coupling to sketch internals
-      val med = exact(os)
-      assert(math.abs(p50 - med) <= math.max(0.15 * med, 500.0),
-        s"$os approx p50=$p50 vs exact median=$med")
+      assert(p50ok == 1 && p90ok == 1 && p99ok == 1,
+        s"$os quantile audit bits: p50=$p50ok p90=$p90ok p99=$p99ok")
     }
   }
 
-  test("approx distinct users lands within 5% of the exact per-group count") {
+  test("approx distinct audit: every country within 5% of exact") {
     val got = SparkEntry.queries("w21_wide_approx_distinct_users")(sp, sf)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
     assert(got.length == 6) // six countries
-    val exact = sp.sql(
-      """SELECT country, COUNT(DISTINCT user_id) AS u
-        |FROM hits GROUP BY country""".stripMargin)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    got.foreach { case (country, approx, hits) =>
-      val u = exact(country)
-      assert(hits >= u, s"$country: hits $hits < distinct users $u")
-      // HLL++ at rsd=0.01 is far tighter than 5% at this cardinality;
-      // the bound catches wrong-column/wrong-math, not sketch internals
-      assert(math.abs(approx - u) <= math.max(0.05 * u, 3.0),
-        s"$country approx=$approx vs exact=$u")
+    got.foreach { case (country, hits, ok) =>
+      assert(hits > 0)
+      assert(ok == 1, s"$country HLL++ estimate outside the 5% gate")
     }
   }
 
-  test("sketch rollup merge lands within 5% of exact, and sums hits exactly") {
+  test("sketch rollup audit: merged estimate within 5%, hits sum exactly") {
     val got = SparkEntry.queries("w22_wide_sketch_rollup")(sp, sf)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
     assert(got.length == 6)
     WideOps.hitsGpx(sp, sf).createOrReplaceTempView("hits_w22")
-    val exact = sp.sql(
-      """SELECT country, COUNT(DISTINCT user_id) AS u, COUNT(*) AS n
+    val exactN = sp.sql(
+      """SELECT country, COUNT(*) AS n
         |FROM hits_w22 GROUP BY country""".stripMargin)
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    got.foreach { case (country, approx, hits) =>
-      val (u, n) = exact(country)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (country, hits, ok) =>
       // the additive measure must survive the rollup exactly
-      assert(hits == n, s"$country rollup hits $hits != $n")
-      // lgK=14 DataSketches HLL is ~1.6% rsd; 5% catches wrong-column
-      // or a merge that double-counts, not sketch internals
-      assert(math.abs(approx - u) <= math.max(0.05 * u, 3.0),
-        s"$country sketch-merged approx=$approx vs exact=$u")
+      assert(hits == exactN(country), s"$country rollup hits $hits")
+      // lgK=14 DataSketches HLL is ~1.6% rsd; the 5% audit gate catches
+      // wrong-column or a merge that double-counts, not sketch internals
+      assert(ok == 1, s"$country sketch-merge audit failed")
     }
   }
 
