@@ -212,6 +212,15 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       try rout.write(s"$col\n${bounds.mkString(",")}".getBytes("UTF-8"))
       finally rout.close()
     }
+    // TBLPROPERTIES('commit_protocol'='manifest') -> the object-store-safe
+    // conditional-put commit log (GpxCommitLog): v1 seeds from the (empty)
+    // table, embedding the layout specs written above; every later write
+    // commits through the log and readers resolve it instead of listing
+    Option(properties.get("commit_protocol")).foreach { p =>
+      require(p == "manifest" || p == "rename",
+        s"commit_protocol must be 'manifest' or 'rename', got '$p'")
+      if (p == "manifest") GpxCommitLog.enable(dir.toString, conf)
+    }
     new GpxTable(schema, Seq(dir.toString), catalogManaged = true)
   }
 

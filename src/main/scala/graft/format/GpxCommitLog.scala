@@ -1,0 +1,478 @@
+package graft.format
+
+import GpxFormat.ChunkStats
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Object-store-safe commit protocol: a conditional-put manifest log.
+  *
+  * The default ("rename") protocol publishes state through directory
+  * listings — staged files rename into the table dir, superseded files are
+  * deleted, and the listing IS the table. That is correct exactly where
+  * rename is atomic and create-if-absent is exclusive (local FS, HDFS). On
+  * an object store neither holds: rename is copy+delete, create is
+  * last-writer-wins, and the reference solves it with daemon services
+  * (pixels-daemon + etcd; proto/transaction.proto:33-48,
+  * proto/metadata.proto:74 AtomicSwapFiles). gpx has no daemon, so the
+  * analog is this LOG: table state lives in `_commits/v<N>.mf` manifest
+  * files, and a commit claims version N+1 with ONE conditional put
+  * (put-if-absent). Every modern object store exposes that primitive
+  * (S3 `If-None-Match: *`, GCS `x-goog-if-generation-match: 0`, Azure
+  * `If-None-Match: *`); on HDFS-semantics stores exclusive create is the
+  * same thing. Nothing else in the protocol needs atomicity:
+  *
+  *  - data files are written under op+task-unique names and are INVISIBLE
+  *    until a manifest names them — a half-copied rename, a zombie task, a
+  *    crashed writer can never corrupt a read because readers never list;
+  *  - the manifest itself is checksummed, so a reader that catches a
+  *    non-atomic store mid-write rejects the bytes and retries;
+  *  - concurrent commits race on the SAME version slot and exactly one
+  *    conditional put wins; the loser re-reads the head and either rebases
+  *    (appends and removals of still-live files commute) or refuses loudly
+  *    (`ConcurrentModificationException`) when the head rewrote one of the
+  *    files it consumed — never a silent lost or duplicated row;
+  *  - superseded files are RETIRED (dropped from the manifest), not
+  *    deleted: readers pinned to an older manifest keep working, and
+  *    [[vacuum]] reclaims bytes once no retained manifest references them.
+  *
+  * The manifest doubles as the table's planning metadata (the reference's
+  * metadata-service stats / CostBasedSplitsIndex role): each entry carries
+  * the file's length, row count, commitTs span, and per-column zone maps,
+  * so scan planning prunes files from ONE manifest read and only opens the
+  * footers of files that survive — O(matching files), not O(table files),
+  * metadata reads per query at any table size.
+  */
+object GpxCommitLog {
+
+  val LogDir = "_commits"
+
+  /** conditional-put capability: a FileSystem that can atomically create a
+    * key only-if-absent with all-or-nothing content visibility (the S3
+    * `If-None-Match` / GCS generation-match primitive). FileSystems that
+    * do not implement it fall back to exclusive create, which is atomic on
+    * HDFS-semantics stores. */
+  trait ConditionalPut {
+    def putIfAbsent(path: Path, bytes: Array[Byte]): Boolean
+  }
+
+  final case class FileEntry(
+      relPath: String, len: Long, numRows: Long,
+      minTs: Long, maxTs: Long,
+      stats: Map[String, ChunkStats])
+
+  final case class Snapshot(
+      version: Long,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      bucket: Option[GpxTable.BucketSpec],
+      sort: Seq[String],
+      range: Option[GpxTable.RangeSpec],
+      live: Vector[FileEntry]) {
+    def relPaths: Set[String] = live.iterator.map(_.relPath).toSet
+  }
+
+  /** observability: manifest head resolutions / manifest file parses —
+    * specs assert planning costs one log read, not an O(files) walk */
+  val headReads = new AtomicLong(0)
+  val manifestParses = new AtomicLong(0)
+
+  // parsed manifests are immutable once committed: cache by (dir, version)
+  private val parseCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long), Snapshot](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Snapshot]): Boolean =
+        size() > 1024
+    })
+
+  private def dirOf(root: String): Path = {
+    val p = new Path(root)
+    if (root.endsWith(".gpx")) p.getParent else p
+  }
+
+  private def logPath(root: String): Path = new Path(dirOf(root), LogDir)
+
+  def isLogTable(root: String, conf: Configuration): Boolean =
+    try {
+      val p = logPath(root)
+      p.getFileSystem(conf).exists(p)
+    } catch { case _: Throwable => false }
+
+  // ---------------- serialization ----------------
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def serialize(s: Snapshot): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("gpxlog1\n")
+    sb.append(s"v ${s.version}\n")
+    s.schema.foreach(sc => sb.append(s"schema ${enc(sc.json)}\n"))
+    s.bucket.foreach(b => sb.append(s"bucket ${enc(b.column)} ${b.numBuckets}\n"))
+    if (s.sort.nonEmpty) sb.append(s"sort ${s.sort.map(enc).mkString(",")}\n")
+    s.range.foreach(r =>
+      sb.append(s"range ${enc(r.column)} ${r.bounds.mkString(",")}\n"))
+    s.live.foreach { e =>
+      sb.append(s"f ${enc(e.relPath)} ${e.len} ${e.numRows} ${e.minTs} ${e.maxTs}\n")
+      e.stats.foreach { case (c, st) =>
+        sb.append(s"c ${enc(c)} ${st.hasValues} ${st.minLong} ${st.maxLong} " +
+          s"${java.lang.Double.doubleToRawLongBits(st.minDouble)} " +
+          s"${java.lang.Double.doubleToRawLongBits(st.maxDouble)} " +
+          s"${enc(st.minString)} ${enc(st.maxString)} ${st.nullCount} ${st.reliable}\n")
+      }
+    }
+    val body = sb.toString
+    val sha = digest(body)
+    (body + s"end $sha\n").getBytes("UTF-8")
+  }
+
+  private def digest(body: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(32)
+  }
+
+  /** None = corrupt/partial bytes (non-atomic store caught mid-write) */
+  private def parse(bytes: Array[Byte]): Option[Snapshot] =
+    try {
+      manifestParses.incrementAndGet()
+      val txt = new String(bytes, "UTF-8")
+      val endIdx = txt.lastIndexOf("end ")
+      if (endIdx < 0 || !txt.endsWith("\n")) return None
+      val body = txt.substring(0, endIdx)
+      val sha = txt.substring(endIdx + 4).trim
+      if (digest(body) != sha) return None
+      var version = -1L
+      var schema: Option[org.apache.spark.sql.types.StructType] = None
+      var bucket: Option[GpxTable.BucketSpec] = None
+      var sort: Seq[String] = Nil
+      var range: Option[GpxTable.RangeSpec] = None
+      val live = Vector.newBuilder[FileEntry]
+      var cur: FileEntry = null
+      def flush(): Unit = if (cur != null) { live += cur; cur = null }
+      body.split("\n").foreach { line =>
+        val t = line.split(" ")
+        t(0) match {
+          case "gpxlog1" => ()
+          case "v" => version = t(1).toLong
+          case "schema" => schema = Some(
+            org.apache.spark.sql.types.DataType.fromJson(dec(t(1)))
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+          case "bucket" => bucket = Some(GpxTable.BucketSpec(dec(t(1)), t(2).toInt))
+          case "sort" => sort = t(1).split(",").toSeq.map(dec)
+          case "range" => range = Some(
+            GpxTable.RangeSpec(dec(t(1)), t(2).split(",").toSeq.map(_.toLong)))
+          case "f" =>
+            flush()
+            cur = FileEntry(dec(t(1)), t(2).toLong, t(3).toLong,
+              t(4).toLong, t(5).toLong, Map.empty)
+          case "c" =>
+            val st = ChunkStats(t(2).toBoolean, t(3).toLong, t(4).toLong,
+              java.lang.Double.longBitsToDouble(t(5).toLong),
+              java.lang.Double.longBitsToDouble(t(6).toLong),
+              dec(t(7)), dec(t(8)), t(9).toLong, t(10).toBoolean)
+            cur = cur.copy(stats = cur.stats + (dec(t(1)) -> st))
+          case _ => ()
+        }
+      }
+      flush()
+      if (version < 0) None
+      else Some(Snapshot(version, schema, bucket, sort, range, live.result()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".mf"))
+      name.stripPrefix("v").stripSuffix(".mf").toLongOption.filter(_ > 0)
+    else None
+
+  private def manifestName(v: Long): String = f"v$v%019d.mf"
+
+  // ---------------- read side ----------------
+
+  private def readBytes(fs: FileSystem, p: Path): Option[Array[Byte]] =
+    try {
+      val in = fs.open(p)
+      try {
+        val out = new java.io.ByteArrayOutputStream(1 << 16)
+        val buf = new Array[Byte](1 << 16)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        Some(out.toByteArray)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def listVersions(fs: FileSystem, lp: Path): Seq[Long] =
+    try {
+      if (!fs.exists(lp)) Seq.empty
+      else fs.listStatus(lp).toSeq.flatMap(st => versionOf(st.getPath.getName))
+    } catch { case _: java.io.FileNotFoundException => Seq.empty }
+
+  private def readVersion(fs: FileSystem, lp: Path, v: Long,
+      dirKey: String): Option[Snapshot] = {
+    val key = (dirKey, v)
+    val cached = parseCache.get(key)
+    if (cached != null) return Some(cached)
+    // a freshly-claimed slot on a non-atomic store can be momentarily
+    // partial: retry briefly (the winner's write is a few KB), then give
+    // up and let the caller fall back to the previous version
+    var attempts = 40
+    while (attempts > 0) {
+      readBytes(fs, new Path(lp, manifestName(v))).flatMap(parse) match {
+        case Some(s) if s.version == v =>
+          parseCache.put(key, s)
+          return Some(s)
+        case _ =>
+          attempts -= 1
+          if (attempts > 0) Thread.sleep(5)
+      }
+    }
+    None
+  }
+
+  /** current committed snapshot: one listing of `_commits/` + (cache-miss
+    * only) one manifest read. None = not a log table / empty log. */
+  def head(root: String, conf: Configuration): Option[Snapshot] = {
+    headReads.incrementAndGet()
+    val lp = logPath(root)
+    val fs = lp.getFileSystem(conf)
+    val dirKey = dirOf(root).toString
+    // newest first; a corrupt head (killed writer that claimed a slot but
+    // never finished the bytes on a non-atomic store) falls back one —
+    // that slot stays claimed and dead, later commits build past it
+    listVersions(fs, lp).sorted(Ordering[Long].reverse).iterator
+      .flatMap(v => readVersion(fs, lp, v, dirKey))
+      .nextOption()
+  }
+
+  /** snapshot at an exact version (time travel); None = never committed
+    * or vacuumed away */
+  def snapshotAt(root: String, version: Long,
+      conf: Configuration): Option[Snapshot] = {
+    val lp = logPath(root)
+    readVersion(lp.getFileSystem(conf), lp, version, dirOf(root).toString)
+  }
+
+  /** head's live files as (absolute path, entry) — the log-mode listing
+    * plus the per-file planning metadata */
+  def liveEntries(root: String, conf: Configuration): Seq[(String, FileEntry)] = {
+    val d = dirOf(root)
+    val fs = d.getFileSystem(conf)
+    val qd = fs.makeQualified(d).toString
+    head(root, conf).map(_.live.map(e => (s"$qd/${e.relPath}", e)))
+      .getOrElse(Seq.empty)
+  }
+
+  /** absolute paths of the head's live files (the log-mode listing) */
+  def liveFiles(root: String, conf: Configuration): Seq[String] =
+    liveEntries(root, conf).map(_._1)
+
+  // ---------------- commit side ----------------
+
+  private def putIfAbsent(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean =
+    fs match {
+      case cp: ConditionalPut => cp.putIfAbsent(p, bytes)
+      case _ =>
+        // HDFS-semantics stores: exclusive create IS a conditional put
+        try {
+          val out = fs.create(p, false)
+          try out.write(bytes) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+    }
+
+  /** relative path of an absolute file under the table dir */
+  def relOf(root: String, absPath: String, conf: Configuration): String = {
+    val qd = GpxTable.qualifiedRoot(dirOf(root).toString, conf)
+    val q = new Path(absPath).getFileSystem(conf)
+      .makeQualified(new Path(absPath)).toString
+    if (q.startsWith(qd)) q.drop(qd.length).stripPrefix("/") else q
+  }
+
+  /** manifest entry for a just-written data file, enriched with the
+    * file-level zone maps merged from its footer (one cached footer read
+    * per ADDED file — O(commit size), not O(table size)) */
+  def entryFor(root: String, absPath: String, conf: Configuration): FileEntry = {
+    val footer = GpxFileReader.FooterCache.get(absPath, conf)
+    val len = GpxFs.stat(absPath, conf)
+      .getOrElse(throw new java.io.FileNotFoundException(absPath)).len
+    val rows = footer.rowGroups.map(_.numRows.toLong).sum
+    val tss = footer.rowGroups.map(_.commitTs)
+    val stats: Map[String, ChunkStats] =
+      footer.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+        n -> footer.rowGroups.foldLeft(null: ChunkStats) { (acc, rg) =>
+          val st = if (i < rg.chunks.length) rg.chunks(i).stats
+            else ChunkStats.unreliable
+          if (acc == null) st else ChunkStats.merge(acc, st)
+        }
+      }.filter(_._2 != null).toMap
+    FileEntry(relOf(root, absPath, conf), len, rows,
+      if (tss.isEmpty) -1L else tss.min, if (tss.isEmpty) -1L else tss.max,
+      stats)
+  }
+
+  sealed trait Change
+  /** plain append: commutes with everything, always rebases on conflict.
+    * The optional specs only ever FILL an absent layout (first write to a
+    * fresh log table); an established layout is never changed by append.
+    * `schema` is the write's file schema — unioned into the table schema
+    * under the tolerant-evolution rules (GpxTable.unionSchemas). */
+  final case class Append(add: Seq[FileEntry],
+      bucket: Option[GpxTable.BucketSpec] = None, sort: Seq[String] = Nil,
+      range: Option[GpxTable.RangeSpec] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None) extends Change
+  /** rewrite: adds replace the named still-live files; refuses loudly if a
+    * concurrent commit already retired/rewrote any of them */
+  final case class Replace(add: Seq[FileEntry], removeRel: Set[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None) extends Change
+  /** overwrite: the new live set is exactly `add` (all current files
+    * retire); layout specs and schema are REPLACED by the given ones */
+  final case class Overwrite(add: Seq[FileEntry],
+      bucket: Option[GpxTable.BucketSpec], sort: Seq[String],
+      range: Option[GpxTable.RangeSpec],
+      schema: Option[org.apache.spark.sql.types.StructType] = None) extends Change
+
+  private def mergeSchemas(
+      a: Option[org.apache.spark.sql.types.StructType],
+      b: Option[org.apache.spark.sql.types.StructType])
+      : Option[org.apache.spark.sql.types.StructType] = (a, b) match {
+    case (Some(x), Some(y)) => Some(GpxTable.unionSchemas(x, y))
+    case _ => a.orElse(b)
+  }
+
+  /** Commit a change: claim the next version slot with one conditional
+    * put. Lost races re-read the head and rebase (appends, replaces whose
+    * sources are still live) or throw `ConcurrentModificationException`
+    * (replace sources rewritten underneath — retrying would duplicate or
+    * lose rows). Returns the committed version. */
+  def commit(root: String, conf: Configuration, change: Change): Long = {
+    val lp = logPath(root)
+    val fs = lp.getFileSystem(conf)
+    if (!fs.exists(lp)) fs.mkdirs(lp)
+    var attempts = 200
+    while (attempts > 0) {
+      attempts -= 1
+      val h = head(root, conf)
+      val base = h.map(_.version).getOrElse(0L)
+      val next = change match {
+        case Append(add, b, s, r, sc) =>
+          val prev = h.getOrElse(Snapshot(0L, None, None, Nil, None, Vector.empty))
+          prev.copy(version = base + 1, live = prev.live ++ add,
+            bucket = prev.bucket.orElse(b),
+            sort = if (prev.sort.nonEmpty) prev.sort else s,
+            range = prev.range.orElse(r),
+            schema = mergeSchemas(prev.schema, sc))
+        case Replace(add, removeRel, sc) =>
+          val prev = h.getOrElse(Snapshot(0L, None, None, Nil, None, Vector.empty))
+          val liveSet = prev.relPaths
+          val gone = removeRel.filterNot(liveSet.contains)
+          if (gone.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"gpx log commit refused: ${gone.size} source file(s) this " +
+              s"rewrite consumed are no longer live at version $base " +
+              s"(${gone.take(3).mkString(", ")}…) — a concurrent mutation " +
+              "rewrote them; committing would duplicate or lose rows. " +
+              "Retry the operation.")
+          prev.copy(version = base + 1,
+            live = prev.live.filterNot(e => removeRel.contains(e.relPath)) ++ add,
+            schema = mergeSchemas(prev.schema, sc))
+        case Overwrite(add, b, s, r, sc) =>
+          Snapshot(base + 1, sc, b, s, r, add.toVector)
+      }
+      if (putIfAbsent(fs, new Path(lp, manifestName(next.version)),
+          serialize(next))) {
+        parseCache.put((dirOf(root).toString, next.version), next)
+        return next.version
+      }
+      // lost the slot: back off a touch and rebase on the new head
+      Thread.sleep(2 + scala.util.Random.nextInt(8))
+    }
+    throw new java.io.IOException(
+      s"gpx log commit: could not claim a version slot after 200 attempts " +
+      s"under $lp — pathological contention or a store that fails " +
+      "conditional puts; no state was changed")
+  }
+
+  /** Opt a table into the log protocol: seed v1 from the current
+    * listing-visible state (idempotent — an existing log is left alone).
+    * From then on, listings stop being authoritative; writers commit
+    * through the log and readers resolve it. */
+  def enable(root: String, conf: Configuration): Long = {
+    val lp = logPath(root)
+    val fs = lp.getFileSystem(conf)
+    if (fs.exists(lp)) return head(root, conf).map(_.version).getOrElse(0L)
+    val d = dirOf(root)
+    if (!fs.exists(d)) fs.mkdirs(d)
+    val files = GpxTable.listFiles(Seq(root), conf)
+    val entries = files.map(f => entryFor(root, f, conf))
+    val schema = files.sorted
+      .map(GpxFileReader.FooterCache.get(_, conf).schema)
+      .reduceOption(GpxTable.unionSchemas)
+    commit(root, conf, Overwrite(entries,
+      GpxTable.readBucketSpec(d.toString, conf),
+      GpxTable.readSortSpec(d.toString, conf),
+      GpxTable.readRangeSpec(d.toString, conf),
+      schema))
+  }
+
+  /** Reclaim retired bytes: delete data files referenced by NO manifest
+    * among the newest `keepVersions`, then drop the older manifests.
+    * Readers of retained versions are unaffected; readers pinned further
+    * back fail loudly (file not found), the documented retention trade. */
+  def vacuum(root: String, conf: Configuration,
+      keepVersions: Int = 2): (Int, Int) = {
+    require(keepVersions >= 1, "must keep at least the head")
+    val lp = logPath(root)
+    val fs = lp.getFileSystem(conf)
+    val versions = listVersions(fs, lp).sorted(Ordering[Long].reverse)
+    if (versions.isEmpty) return (0, 0)
+    val dirKey = dirOf(root).toString
+    val keep = versions.take(keepVersions)
+    val reachable: Set[String] = keep.flatMap(v =>
+      readVersion(fs, lp, v, dirKey).toSeq.flatMap(_.relPaths)).toSet
+    val d = dirOf(root)
+    val qd = fs.makeQualified(d).toString
+    // physical .gpx files under the table dir not reachable from any
+    // retained manifest — orphans from aborted/lost commits included
+    val all = GpxFs.listRecursive(d.toString, conf).collect {
+      case (full, true) if full.endsWith(".gpx") &&
+        !full.drop(qd.length).stripPrefix("/").split('/')
+          .exists(s => s.startsWith("_") || s.startsWith(".")) => full
+    }
+    var dataDeleted = 0
+    all.foreach { f =>
+      val rel = if (f.startsWith(qd)) f.drop(qd.length).stripPrefix("/") else f
+      if (!reachable.contains(rel)) {
+        if (try fs.delete(new Path(f), false) catch { case _: Throwable => false })
+          dataDeleted += 1
+      }
+    }
+    var mfDeleted = 0
+    versions.drop(keepVersions).foreach { v =>
+      if (try fs.delete(new Path(lp, manifestName(v)), false)
+        catch { case _: Throwable => false }) mfDeleted += 1
+    }
+    (dataDeleted, mfDeleted)
+  }
+
+  // -------- deferred commits (compound ops: rewrite = append + retire) --
+
+  /** A compound mutation (COW DELETE: append survivors THEN retire
+    * originals) must land as ONE manifest commit, or readers between the
+    * two would see duplicated rows. The inner append defers: it registers
+    * its files here under a caller-chosen token instead of committing, and
+    * the outer operation drains the token into its single Replace. */
+  private val pending = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
+
+  def deferAdd(token: String, absPaths: Seq[String]): Unit = {
+    val q = pending.computeIfAbsent(token,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+    absPaths.foreach(q.add)
+  }
+
+  def drainDeferred(token: String): Seq[String] = {
+    val q = pending.remove(token)
+    if (q == null) Seq.empty
+    else { val b = Seq.newBuilder[String]; q.forEach(p => b += p); b.result() }
+  }
+}

@@ -58,53 +58,23 @@ class GpxDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val conf = new Configuration()
-    val files = GpxTable.listFiles(paths(options), conf)
-    require(files.nonEmpty, s"no gpx files under ${paths(options)}")
-    // tolerant schema evolution (PixelsReaderOption.tolerantSchemaEvolution
-    // analog): the table schema is the by-name union across files in sorted
-    // order. A column absent from ANY file is null-filled at read time, so
-    // it must be nullable in the table schema no matter which file
-    // contributed it first — otherwise Catalyst could eliminate IsNotNull
-    // filters against rows that are in fact null.
-    val schemas = files.sorted.map(GpxFileReader.FooterCache.get(_, conf).schema)
-    // Type widening across evolved files (tolerantSchemaEvolution's
-    // compatible-widening half, PixelsReaderOption.java:34,126): safe
-    // exactly within the long-backed integer family (and same-scale narrow
-    // decimals) because gpx stores every such value as a long — plain
-    // 8-byte, RLE, or FOR — so the physical bytes are identical whichever
-    // logical width the footer declares; the widened table type only
-    // changes which putInt/putLong the decoder calls.
-    def widen(a: DataType, b: DataType): Option[DataType] = {
-      def rank(dt: DataType): Int = dt match {
-        case ByteType => 1; case ShortType => 2
-        case IntegerType => 3; case LongType => 4
-        case _ => 0
-      }
-      if (a == b) Some(a)
-      else (a, b) match {
-        case _ if rank(a) > 0 && rank(b) > 0 =>
-          Some(if (rank(a) >= rank(b)) a else b)
-        case (x: DecimalType, y: DecimalType)
-            if x.scale == y.scale && x.precision <= 18 && y.precision <= 18 =>
-          Some(if (x.precision >= y.precision) x else y)
-        case _ => None
-      }
+    // commit-log tables: the manifest carries the committed union schema —
+    // schema resolution is one (cached) manifest read, not an O(files)
+    // footer walk
+    val logSchema = paths(options) match {
+      case Seq(r) if GpxCommitLog.isLogTable(r, conf) =>
+        GpxCommitLog.head(r, conf).flatMap(_.schema)
+      case _ => None
     }
-    val seen = scala.collection.mutable.LinkedHashMap.empty[String, (StructField, Int)]
-    schemas.foreach(_.foreach { f =>
-      seen.get(f.name) match {
-        case None => seen(f.name) = (f, 1)
-        case Some((g, n)) =>
-          val w = widen(g.dataType, f.dataType).getOrElse(throw
-            new IllegalArgumentException(
-              s"column ${f.name} has incompatible types: ${g.dataType} vs ${f.dataType}"))
-          seen(f.name) =
-            (g.copy(dataType = w, nullable = g.nullable || f.nullable), n + 1)
-      }
-    })
-    val base = StructType(seen.values.map { case (f, n) =>
-      if (n < schemas.size) f.copy(nullable = true) else f
-    }.toSeq)
+    val base = logSchema.getOrElse {
+      val files = GpxTable.listFiles(paths(options), conf)
+      require(files.nonEmpty, s"no gpx files under ${paths(options)}")
+      // tolerant schema evolution (PixelsReaderOption.tolerantSchemaEvolution
+      // analog): the table schema is the by-name union across files in sorted
+      // order — see GpxTable.unionSchemas for the widening/nullability rules.
+      files.sorted.map(GpxFileReader.FooterCache.get(_, conf).schema)
+        .reduce(GpxTable.unionSchemas)
+    }
     if (options.getBoolean("exposeCommitTs", false))
       base.add(StructField(GpxTable.CommitTsCol, LongType, nullable = false))
     else base
@@ -137,7 +107,11 @@ object GpxTable {
 
   def listFiles(roots: Seq[String], conf: Configuration): Seq[String] =
     roots.flatMap { r =>
-      GpxFs.stat(r, conf) match {
+      // commit-log tables: the manifest head — NOT the listing — is the
+      // table (GpxCommitLog). Staged, orphaned and retired files share the
+      // directory with live ones by design; only the log says which is which.
+      if (GpxCommitLog.isLogTable(r, conf)) GpxCommitLog.liveFiles(r, conf)
+      else GpxFs.stat(r, conf) match {
         case None => Seq.empty
         case Some(st) if st.isFile => Seq(new Path(r).toString)
         case Some(_) =>
@@ -173,6 +147,12 @@ object GpxTable {
   case class BucketSpec(column: String, numBuckets: Int)
 
   def readBucketSpec(root: String, conf: Configuration): Option[BucketSpec] = {
+    // commit-log tables carry their layout specs IN the manifest: spec and
+    // file set always change together atomically (a sidecar updated apart
+    // from its files could mis-prune during an overwrite on a store with
+    // non-atomic replace)
+    if (GpxCommitLog.isLogTable(root, conf))
+      return GpxCommitLog.head(root, conf).flatMap(_.bucket)
     val p = new Path(root, "_bucketspec")
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) None
@@ -193,6 +173,8 @@ object GpxTable {
     * per-pixel zone maps selective on the sort column at any scale.
     * Format: one column name per line. */
   def readSortSpec(root: String, conf: Configuration): Seq[String] = {
+    if (GpxCommitLog.isLogTable(root, conf))
+      return GpxCommitLog.head(root, conf).map(_.sort).getOrElse(Seq.empty)
     val p = new Path(root, "_sortspec")
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Seq.empty
@@ -259,6 +241,8 @@ object GpxTable {
   }
 
   def readRangeSpec(root: String, conf: Configuration): Option[RangeSpec] = {
+    if (GpxCommitLog.isLogTable(root, conf))
+      return GpxCommitLog.head(root, conf).flatMap(_.range)
     val p = new Path(root, "_rangespec")
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) None
@@ -349,6 +333,48 @@ object GpxTable {
     case LongType | IntegerType | DateType | ShortType | ByteType => true
     case _ => false
   }
+
+  /** By-name union of two evolved file schemas. A column absent from
+    * either side is null-filled at read time, so it must come out nullable
+    * no matter which file contributed it — otherwise Catalyst could
+    * eliminate IsNotNull filters against rows that are in fact null.
+    * Type widening (tolerantSchemaEvolution's compatible-widening half,
+    * PixelsReaderOption.java:34,126) is safe exactly within the
+    * long-backed integer family (and same-scale narrow decimals) because
+    * gpx stores every such value as a long — the physical bytes are
+    * identical whichever logical width the footer declares. Associative,
+    * so folding over any file order yields the same table schema. */
+  def unionSchemas(a: StructType, b: StructType): StructType = {
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2
+      case IntegerType => 3; case LongType => 4
+      case _ => 0
+    }
+    def widen(x: DataType, y: DataType): Option[DataType] =
+      if (x == y) Some(x)
+      else (x, y) match {
+        case _ if rank(x) > 0 && rank(y) > 0 =>
+          Some(if (rank(x) >= rank(y)) x else y)
+        case (p: DecimalType, q: DecimalType)
+            if p.scale == q.scale && p.precision <= 18 && q.precision <= 18 =>
+          Some(if (p.precision >= q.precision) p else q)
+        case _ => None
+      }
+    val aNames = a.fieldNames.toSet
+    val fromA = a.map { f =>
+      b.find(_.name == f.name) match {
+        case None => f.copy(nullable = true)
+        case Some(g) =>
+          val w = widen(f.dataType, g.dataType).getOrElse(throw
+            new IllegalArgumentException(
+              s"column ${f.name} has incompatible types: ${f.dataType} vs ${g.dataType}"))
+          f.copy(dataType = w, nullable = f.nullable || g.nullable)
+      }
+    }
+    val fromB = b.filterNot(f => aNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    StructType((fromA ++ fromB).toArray)
+  }
 }
 
 class GpxTable(schema: StructType, roots: Seq[String],
@@ -423,7 +449,11 @@ class GpxTable(schema: StructType, roots: Seq[String],
       StructType(schema.filterNot(f => GpxTable.isSynthetic(f.name)))
     val mode = org.apache.spark.sql.SparkSession.active.conf
       .getOption("spark.graft.gpx.rowLevelMode").getOrElse("cow")
-    if (mode == "mor")
+    // commit-log tables always take the copy-on-write path: the delta
+    // (bitmap + append) publish is listing-visible per file, which the
+    // log protocol's atomicity story explicitly excludes (GpxDelete doc)
+    if (mode == "mor" &&
+      !roots.headOption.exists(GpxCommitLog.isLogTable(_, new Configuration())))
       () => new GpxDeltaOperation(dataSchema, roots, catalogManaged, info.command())
     else
       new GpxRowLevelOperationBuilder(dataSchema, roots, catalogManaged, info)
@@ -505,8 +535,14 @@ class GpxTable(schema: StructType, roots: Seq[String],
     // per-row commit timestamps (multi-version rewrites): the named column
     // must ride LAST in the written schema; files store the data fields
     val tsColumn = Option(info.options.get("commitTsColumn"))
+    // commit-log protocol: option("commitProtocol","manifest") opts the
+    // table into the conditional-put log on this write (idempotent once
+    // enabled); "logDefer" makes a compound operation's inner append
+    // register its files instead of committing (see GpxCommitLog.deferAdd)
+    val wantLog = Option(info.options.get("commitProtocol")).contains("manifest")
+    val logDefer = Option(info.options.get("logDefer"))
     new GpxWriteBuilder(info.schema(), roots.head, rgRows, pxRows, commitTs,
-      bucket, sortBy, tsColumn, range)
+      bucket, sortBy, tsColumn, range, wantLog, logDefer)
   }
 }
 
@@ -958,6 +994,28 @@ class GpxScan(
     // merge-on-read delete sidecars, listed once per distinct parent dir
     val sidecarsByParent =
       scala.collection.mutable.Map.empty[String, Map[String, Seq[GpxDeleteBitmap.Sidecar]]]
+    // commit-log tables: the manifest already carries each live file's
+    // row count, commitTs span and FILE-level zone maps — prune whole
+    // files from the ONE manifest read and open footers only for
+    // survivors. At 100k files a selective predicate plans with O(matching
+    // files) metadata reads instead of O(table files) footer walks (the
+    // reference's CostBasedSplitsIndex / metadata-stats role).
+    val logEntries: Map[String, GpxCommitLog.FileEntry] =
+      if (roots.size == 1 && GpxCommitLog.isLogTable(roots.head, conf))
+        GpxCommitLog.liveEntries(roots.head, conf).toMap
+      else Map.empty
+    def logFileMayMatch(f: String): Boolean = logEntries.get(f) match {
+      case None => true // not a log table (or an unlisted path): footer path
+      case Some(e) =>
+        // file-level snapshot visibility: minTs > ts means every row group
+        // is invisible at the snapshot (-1 anywhere makes minTs = -1)
+        snapshotTs.forall(ts => e.minTs < 0 || e.minTs <= ts) &&
+          filters.forall { fl =>
+            GpxFileReader.mayMatchNamed(fl, fileSchema, e.numRows, c =>
+              (c +: renames.getOrElse(c, Seq.empty)).iterator
+                .flatMap(e.stats.get).nextOption())
+          }
+    }
     GpxTable.listFiles(roots, conf).iterator
       .takeWhile(_ => !limitReached).foreach { f =>
       // bucket/range pruning: skip whole files whose routing id can't
@@ -976,7 +1034,7 @@ class GpxScan(
           .getOrElse(f)
         m.getOrElse(rel, Set.empty)
       }
-      if (bucketOk && allowedRgs.forall(_.nonEmpty)) {
+      if (bucketOk && allowedRgs.forall(_.nonEmpty) && logFileMayMatch(f)) {
         val footer = GpxFileReader.FooterCache.get(f, conf)
         val phys = footer.schema
         // union of the delete bitmaps applying at this snapshot, or null
@@ -1499,7 +1557,8 @@ class GpxReaderFactory(required: StructType, rowBased: Boolean = false)
 class GpxWriteBuilder(schema: StructType, path: String, rgRows: Int,
     pxRows: Int, commitTs: Long, bucket: Option[GpxTable.BucketSpec],
     sortBy: Seq[String] = Seq.empty, tsColumn: Option[String] = None,
-    range: Option[GpxTable.RangeSpec] = None)
+    range: Option[GpxTable.RangeSpec] = None,
+    wantLog: Boolean = false, logDefer: Option[String] = None)
   extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
@@ -1527,7 +1586,7 @@ class GpxWriteBuilder(schema: StructType, path: String, rgRows: Int,
 
     override def toBatch: BatchWrite =
       new GpxBatchWrite(schema, path, doTruncate, rgRows, pxRows, commitTs,
-        bucket, sortBy, tsColumn, range)
+        bucket, sortBy, tsColumn, range, wantLog, logDefer)
 
     /** Streaming sink (`writeStream.format("gpx")`): append one gpx file
       * per (epoch, partition) micro-batch slice — the streaming analog of
@@ -1591,6 +1650,7 @@ class GpxStreamingWrite(schema: StructType, path: String, rgRows: Int,
           if (st.getPath.getName.startsWith(s"part-e$epochId-"))
             fs.delete(st.getPath, false)
         }
+      val dests = scala.collection.mutable.ArrayBuffer.empty[String]
       messages.foreach {
         case GpxStreamCommit(file, partitionId) =>
           val src = new Path(file)
@@ -1600,7 +1660,20 @@ class GpxStreamingWrite(schema: StructType, path: String, rgRows: Int,
           if (!fs.exists(src) || !fs.rename(src, dest))
             throw new java.io.IOException(
               s"gpx streaming commit rename failed: $src -> $dest")
+          dests += dest.toString
         case _ => ()
+      }
+      // commit-log sink table: one manifest commit per epoch, BEFORE the
+      // idempotency marker — a crash in between replays the epoch, whose
+      // Replace (drop any already-live files of this epoch, add this
+      // attempt's set) converges to the same state
+      if (GpxCommitLog.isLogTable(path, conf)) {
+        val prevEpoch = GpxCommitLog.head(path, conf).toSeq
+          .flatMap(_.live.map(_.relPath))
+          .filter(_.startsWith(s"part-e$epochId-")).toSet
+        val entries = dests.toSeq.map(GpxCommitLog.entryFor(path, _, conf))
+        GpxCommitLog.commit(path, conf,
+          GpxCommitLog.Replace(entries, prevEpoch, Some(schema)))
       }
       fs.create(marker, true).close()
     }
@@ -1689,7 +1762,8 @@ final case class GpxStreamingWriterFactory(
 class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
     rgRows: Int, pxRows: Int, commitTs: Long, bucket: Option[GpxTable.BucketSpec],
     sortBy: Seq[String] = Seq.empty, tsColumn: Option[String] = None,
-    range: Option[GpxTable.RangeSpec] = None)
+    range: Option[GpxTable.RangeSpec] = None,
+    wantLog: Boolean = false, logDefer: Option[String] = None)
   extends BatchWrite {
 
   private val opId = java.util.UUID.randomUUID().toString.take(8)
@@ -1756,9 +1830,19 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
     // it. The brief empty window is overwrite semantics; a JVM crash
     // mid-commit leaves the old files recoverable under _batch_<opId>/_old
     // instead of destroyed.
+    // commit-log mode: visibility is manifest-gated (GpxCommitLog), so the
+    // publish below needs NO atomic rename and NO trash dance — staged
+    // files rename (or copy) into the table dir invisibly and ONE
+    // conditional-put manifest commit flips the table state; superseded
+    // files retire in the manifest and are reclaimed by vacuum, keeping
+    // readers pinned to older versions alive. This is the object-store
+    // protocol; the listing-based branch below stays the default where
+    // rename IS atomic.
+    val logMode = wantLog || GpxCommitLog.isLogTable(path, conf)
+    if (logMode) GpxCommitLog.enable(path, conf)
     val trash = new Path(staging, "_old")
     val trashed = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
-    if (truncate) {
+    if (truncate && !logMode) {
       fs.mkdirs(trash)
       var seq = 0
       def toTrash(p: Path): Unit = if (fs.exists(p)) {
@@ -1820,12 +1904,35 @@ class GpxBatchWrite(schema: StructType, path: String, truncate: Boolean,
         }
         throw e
     }
+    if (logMode) {
+      val destFiles = published.map(_._1.toString).toSeq
+      logDefer match {
+        case Some(token) =>
+          // compound operation (COW rewrite): the outer op folds these
+          // files into its single Replace commit — no state change here
+          GpxCommitLog.deferAdd(token, destFiles)
+        case None =>
+          val entries = destFiles.map(GpxCommitLog.entryFor(path, _, conf))
+          // the schema the FILES physically carry (commitTsColumn routing
+          // strips the trailing ts column before the writers see rows)
+          val fileSchema = if (tsColumn.isDefined)
+            StructType(schema.fields.dropRight(1)) else schema
+          if (truncate)
+            GpxCommitLog.commit(path, conf,
+              GpxCommitLog.Overwrite(entries, bucket, sortBy, range,
+                Some(fileSchema)))
+          else
+            GpxCommitLog.commit(path, conf,
+              GpxCommitLog.Append(entries, bucket, sortBy, range,
+                Some(fileSchema)))
+      }
+    }
     fs.delete(new Path(staging), true)
     // layout-version token: invalidate token-gated artifacts (projection
     // manifests, index manifests, the delete-marker fast path). OVERWRITE
     // trashed the _del dirs, so its marker recomputes exactly (under the
     // lock this branch holds); appends preserve the marker.
-    if (truncate) GpxVersion.recomputeDeletes(path, conf)
+    if (truncate && !logMode) GpxVersion.recomputeDeletes(path, conf)
     else GpxVersion.bump(path, conf)
     // projection maintenance (Projections.java economics): with
     // spark.graft.gpx.projectionAutoRefresh=true, every committed write

@@ -96,7 +96,17 @@ object GpxDelete {
     }
     if (affected.isEmpty) return
 
-    val mode = spark.conf.getOption("spark.graft.gpx.deleteMode").getOrElse("auto")
+    // commit-log tables route every delete through copy-on-write: the
+    // merge-on-read sidecar publish (tmp + rename per file, listing-
+    // visible) is exactly the primitive the log protocol exists to avoid —
+    // a half-copied sidecar on a non-atomic store would silently mask the
+    // wrong rows. COW lands as ONE conditional-put manifest commit below.
+    val logTable = GpxCommitLog.isLogTable(roots.head, conf)
+    if (logTable) require(roots.size == 1,
+      "gpx: DELETE over a multi-root load is not supported on commit-log tables")
+    val mode =
+      if (logTable) "cow"
+      else spark.conf.getOption("spark.graft.gpx.deleteMode").getOrElse("auto")
     val threshold = spark.conf.getOption("spark.graft.gpx.morThreshold")
       .map(_.toDouble).getOrElse(GpxDeleteBitmap.DefaultMorThreshold)
     // the delete's own commit ts: catalog tables keep MVCC history (the
@@ -180,14 +190,30 @@ object GpxDelete {
         .option("bucketBy", b.column).option("numBuckets", b.numBuckets.toString))
       range.foreach(r => writer
         .option("rangeBy", r.column).option("rangeBounds", r.bounds.mkString(",")))
+      // commit-log table: the inner append DEFERS its manifest commit so
+      // survivors + retirements land as ONE atomic swap (no reader ever
+      // sees the duplicated intermediate state)
+      val deferToken =
+        if (logTable) Some(java.util.UUID.randomUUID().toString) else None
+      deferToken.foreach(writer.option("logDefer", _))
       writer.save(roots.head)
-      // crash-safe order: replacements published first (visible), originals
-      // dropped after — a crash in between duplicates kept rows instead of
-      // losing them. Sidecars go with their files (folded by the rewrite).
-      cowFiles.foreach { f =>
-        val p = new Path(f)
-        p.getFileSystem(conf).delete(p, false)
-        GpxDeleteBitmap.dropSidecars(p, conf)
+      deferToken match {
+        case Some(token) =>
+          val added = GpxCommitLog.drainDeferred(token)
+          val entries = added.map(GpxCommitLog.entryFor(roots.head, _, conf))
+          GpxCommitLog.commit(roots.head, conf, GpxCommitLog.Replace(entries,
+            cowFiles.map(GpxCommitLog.relOf(roots.head, _, conf)).toSet,
+            Some(dataSchema)))
+        case None =>
+          // crash-safe order: replacements published first (visible),
+          // originals dropped after — a crash in between duplicates kept
+          // rows instead of losing them. Sidecars go with their files
+          // (folded by the rewrite).
+          cowFiles.foreach { f =>
+            val p = new Path(f)
+            p.getFileSystem(conf).delete(p, false)
+            GpxDeleteBitmap.dropSidecars(p, conf)
+          }
       }
     }
     // COW changed data files (and dropped their sidecars): exact marker +
@@ -196,6 +222,9 @@ object GpxDelete {
     // marker and bumped the delete-sensitive token; the data token must
     // NOT move, so bitmap deletes don't invalidate the point index
     // (lookups replay the bitmaps themselves).
-    if (cowFiles.nonEmpty) roots.foreach(GpxVersion.recomputeDeletes(_, conf))
+    if (cowFiles.nonEmpty) {
+      if (logTable) GpxVersion.bump(roots.head, conf)
+      else roots.foreach(GpxVersion.recomputeDeletes(_, conf))
+    }
   }
 }

@@ -140,13 +140,30 @@ object GpxFileReader {
       filter: Filter,
       schema: StructType,
       numRows: Int,
-      statsAt: Int => Option[ChunkStats]): Boolean = {
-    def statsOf(col: String): Option[(ChunkStats, DataType)] = {
+      statsAt: Int => Option[ChunkStats]): Boolean =
+    mayMatchBy(filter, numRows.toLong, col => {
       // columns absent from the file schema (e.g. the synthetic
       // _commit_ts) have no stats: conservative keep
       val i = schema.fieldNames.indexOf(col)
       if (i < 0) None else statsAt(i).map((_, schema(i).dataType))
-    }
+    })
+
+  /** FILE-level zone-map check over NAME-keyed stats (commit-log manifest
+    * entries): data types resolve from the table schema — safe because
+    * manifest stats are written from footers whose physical storage class
+    * (long-backed / double / string) matches any widened table type. */
+  def mayMatchNamed(filter: Filter, tableSchema: StructType, numRows: Long,
+      stats: String => Option[ChunkStats]): Boolean =
+    mayMatchBy(filter, numRows, col => for {
+      st <- stats(col)
+      i = tableSchema.fieldNames.indexOf(col)
+      if i >= 0
+    } yield (st, tableSchema(i).dataType))
+
+  private def mayMatchBy(
+      filter: Filter,
+      numRows: Long,
+      statsOf: String => Option[(ChunkStats, DataType)]): Boolean = {
     def cmpBounds(col: String, v: Any)(test: (Int, Int) => Boolean): Boolean =
       statsOf(col) match {
         case Some((s, _)) if !s.reliable => true // stats unusable: keep
@@ -172,10 +189,10 @@ object GpxFileReader {
       case IsNull(c) => statsOf(c).forall(_._1.nullCount > 0)
       case IsNotNull(c) => statsOf(c).forall { case (s, _) =>
         s.hasValues || s.nullCount < numRows }
-      case And(l, r) => mayMatchStats(l, schema, numRows, statsAt) &&
-        mayMatchStats(r, schema, numRows, statsAt)
-      case Or(l, r) => mayMatchStats(l, schema, numRows, statsAt) ||
-        mayMatchStats(r, schema, numRows, statsAt)
+      case And(l, r) => mayMatchBy(l, numRows, statsOf) &&
+        mayMatchBy(r, numRows, statsOf)
+      case Or(l, r) => mayMatchBy(l, numRows, statsOf) ||
+        mayMatchBy(r, numRows, statsOf)
       case _ => true
     }
   }

@@ -177,6 +177,7 @@ class GpxReplaceBatchWrite(
     // semantics, like every gpx write path. Only files named by WINNING
     // attempts' commit messages move in — a zombie attempt's staged
     // leftovers are swept with the staging dir, never published.
+    val publishedDests = scala.collection.mutable.ArrayBuffer.empty[String]
     messages.foreach {
       case GpxReplaceCommit(files, _) => files.foreach { f =>
         val p = new Path(f)
@@ -186,6 +187,7 @@ class GpxReplaceBatchWrite(
         val dest = new Path(rootP, s"r$opId-${p.getName}")
         if (!fs.rename(p, dest))
           throw new java.io.IOException(s"replace rename failed: $p -> $dest")
+        publishedDests += dest.toString
       }
       case _ => ()
     }
@@ -199,15 +201,30 @@ class GpxReplaceBatchWrite(
     val toDelete =
       if (cmd == RowLevelOperation.Command.UPDATE && fileIdx >= 0) consumed
       else recorded.asScalaSet
-    toDelete.foreach { f =>
-      val p = new Path(f)
-      fs.delete(p, false)
-      // the rewrite's scan applied any merge-on-read masks, so the copy
-      // FOLDED them — their sidecars go with the superseded file
-      GpxDeleteBitmap.dropSidecars(p, conf)
+    if (GpxCommitLog.isLogTable(root, conf)) {
+      // commit-log table: additions + retirements land as ONE conditional-
+      // put manifest commit (readers never see the intermediate duplicate
+      // state); superseded bytes stay for pinned readers until vacuum. A
+      // concurrent rewrite of any consumed file makes the commit REFUSE
+      // (ConcurrentModificationException) instead of duplicating rows —
+      // the optimistic-concurrency analog of the lock + verifyStillPresent
+      // defense above, and the one that holds on stores where exclusive
+      // create is last-writer-wins.
+      val entries = publishedDests.toSeq.map(GpxCommitLog.entryFor(root, _, conf))
+      GpxCommitLog.commit(root, conf, GpxCommitLog.Replace(entries,
+        toDelete.map(GpxCommitLog.relOf(root, _, conf)), Some(schema)))
+      GpxVersion.bump(root, conf)
+    } else {
+      toDelete.foreach { f =>
+        val p = new Path(f)
+        fs.delete(p, false)
+        // the rewrite's scan applied any merge-on-read masks, so the copy
+        // FOLDED them — their sidecars go with the superseded file
+        GpxDeleteBitmap.dropSidecars(p, conf)
+      }
+      // exact delete marker + fresh layout token, still under the lock
+      GpxVersion.recomputeDeletes(root, conf)
     }
-    // exact delete marker + fresh layout token, still under the lock
-    GpxVersion.recomputeDeletes(root, conf)
     } // mutation lock
   }
 

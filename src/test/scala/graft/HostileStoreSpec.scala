@@ -1,0 +1,205 @@
+package graft
+
+import graft.format.{GpxCommitLog, HostileFileSystem}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import scala.collection.mutable
+import scala.util.Random
+
+/** The commit-log protocol on OBJECT-STORE semantics: every test here runs
+  * on `hostile://` ([[graft.format.HostileFileSystem]]), whose rename is
+  * copy+delete and whose exclusive create silently last-writer-wins — the
+  * two primitives the default rename protocol leans on. The conditional-put
+  * log must keep every row exactly-once (or refuse loudly) anyway, because
+  * its only atomic dependency is putIfAbsent. */
+class HostileStoreSpec extends GraftSpec {
+  private val conf = new Configuration()
+
+  private def hostileDir(prefix: String): String =
+    "hostile://" + tempDir(prefix)
+
+  test("the shim is genuinely hostile: exclusive create and rename atomicity do not hold") {
+    val dir = hostileDir("gpx_hostile_sanity")
+    val p = new Path(dir, "probe")
+    val fs = p.getFileSystem(conf)
+    assert(fs.isInstanceOf[HostileFileSystem])
+    // create(overwrite = false) twice: BOTH succeed — no exclusivity
+    val a = fs.create(p, false); a.write(1); a.close()
+    val b = fs.create(p, false); b.write(2); b.close() // would throw on HDFS
+    // but the conditional put IS atomic: second claim refused
+    val q = new Path(dir, "claimed")
+    assert(GpxCommitLog.isLogTable(dir, conf) == false)
+    val hfs = fs.asInstanceOf[HostileFileSystem]
+    assert(hfs.putIfAbsent(q, Array[Byte](1)))
+    assert(!hfs.putIfAbsent(q, Array[Byte](2)))
+  }
+
+  test("append/read/overwrite/vacuum round-trip on the hostile store") {
+    val dir = hostileDir("gpx_hostile_rt")
+    spark.range(0, 200).selectExpr("id", "id * 3 as v")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    spark.range(200, 300).selectExpr("id", "id * 3 as v")
+      .write.format("gpx").mode("append").save(dir)
+    val df = spark.read.format("gpx").load(dir)
+    assert(df.count() == 300)
+    assert(df.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) ==
+      (0L until 300L).map(_ * 3).sum)
+    spark.range(0, 7).selectExpr("id", "id as v")
+      .write.format("gpx").mode("overwrite").save(dir)
+    assert(spark.read.format("gpx").load(dir).count() == 7)
+    val (gone, _) = GpxCommitLog.vacuum(dir, conf, keepVersions = 1)
+    assert(gone > 0)
+    assert(spark.read.format("gpx").load(dir).count() == 7)
+  }
+
+  test("concurrent appends from racing writers: every row exactly once") {
+    val dir = hostileDir("gpx_hostile_app")
+    // seed the log (concurrent enable() of a fresh table is not the
+    // interleaving under test — concurrent COMMITS are)
+    spark.range(0, 1).selectExpr("id", "id as v")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    val nThreads = 6; val perThread = 4; val batch = 100
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    try {
+      val futures = (0 until nThreads).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            (0 until perThread).foreach { k =>
+              val lo = 1000L + (t * perThread + k) * batch
+              spark.range(lo, lo + batch).selectExpr("id", "id as v")
+                .write.format("gpx").mode("append").save(dir)
+            }
+        })
+      }
+      futures.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val ids = spark.read.format("gpx").load(dir)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.size == 1 + nThreads * perThread * batch,
+      s"row count ${ids.size}")
+    assert(ids.distinct.size == ids.size, "duplicated rows under racing appends")
+    assert(GpxCommitLog.head(dir, conf).get.version >=
+      1 + nThreads * perThread, "every append must have claimed its own slot")
+  }
+
+  test("concurrent COW updates: lost races refuse and retry, no update is lost") {
+    val wh = hostileDir("gpx_hostile_upd")
+    val cat = "ghup"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.format.GpxCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING gpx " +
+      "TBLPROPERTIES('commit_protocol'='manifest')")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, 0 FROM range(0, 60)")
+    // each thread adds a distinct power of two to an overlapping range,
+    // retrying on refusal: additions commute, so the final value exposes
+    // any lost update exactly
+    val nThreads = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    try {
+      val futures = (0 until nThreads).map { t =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val inc = 1L << t
+            var done = false
+            var attempts = 0
+            while (!done) {
+              try {
+                spark.sql(
+                  s"UPDATE $cat.db.t SET v = v + $inc WHERE id < 40")
+                done = true
+              } catch {
+                case e: Throwable
+                  if causeChain(e).exists(
+                    _.isInstanceOf[java.util.ConcurrentModificationException]) =>
+                  attempts += 1
+                  if (attempts > 50) throw e
+                  Thread.sleep(20)
+              }
+            }
+          }
+        })
+      }
+      futures.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val want = (1L << nThreads) - 1 // sum of all increments
+    val got = spark.table(s"$cat.db.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 60)
+    (0L until 40L).foreach(id => assert(got(id) == want,
+      s"id $id: lost update — v=${got(id)}, want $want"))
+    (40L until 60L).foreach(id => assert(got(id) == 0L))
+  }
+
+  test("DML fuzz on the hostile store: random INSERT/DELETE/UPDATE/MERGE matches a model") {
+    val wh = hostileDir("gpx_hostile_fuzz")
+    val cat = "ghfz"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.format.GpxCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT, s STRING) USING gpx " +
+      "TBLPROPERTIES('commit_protocol'='manifest')")
+    val rnd = new Random(2024)
+    val model = mutable.Map.empty[Long, (Long, String)]
+    var nextId = 0L
+    for (op <- 0 until 14) {
+      rnd.nextInt(4) match {
+        case 0 =>
+          val ids = (0 until 1 + rnd.nextInt(30)).map { _ =>
+            val id = nextId; nextId += 1
+            model(id) = (rnd.nextInt(1000).toLong, s"s${rnd.nextInt(5)}")
+            id
+          }
+          val rows = ids.map(id =>
+            s"($id, ${model(id)._1}, '${model(id)._2}')")
+          spark.sql(s"INSERT INTO $cat.db.t VALUES ${rows.mkString(", ")}")
+        case 1 if model.nonEmpty =>
+          val lo = rnd.nextLong(math.max(1L, nextId)); val hi = lo + rnd.nextInt(30)
+          spark.sql(s"DELETE FROM $cat.db.t WHERE id BETWEEN $lo AND $hi")
+          model.filterInPlace((id, _) => id < lo || id > hi)
+        case 2 if model.nonEmpty =>
+          val lo = rnd.nextLong(math.max(1L, nextId)); val hi = lo + rnd.nextInt(25)
+          val c = 1 + rnd.nextInt(9)
+          spark.sql(s"UPDATE $cat.db.t SET v = v + $c WHERE id BETWEEN $lo AND $hi")
+          model.mapValuesInPlace { case (id, (v, s)) =>
+            if (id >= lo && id <= hi) (v + c, s) else (v, s) }
+        case _ =>
+          val ids = (0 until 1 + rnd.nextInt(15)).map { _ =>
+            if (model.nonEmpty && rnd.nextBoolean())
+              model.keys.toSeq(rnd.nextInt(model.size))
+            else { val id = nextId; nextId += 1; id }
+          }.distinct
+          val src = ids.map { id =>
+            val v = rnd.nextInt(1000).toLong
+            val s = s"m${rnd.nextInt(5)}"
+            if (model.contains(id)) model(id) = (v, model(id)._2)
+            else model(id) = (v, s)
+            s"($id, $v, '$s')"
+          }
+          spark.sql(
+            s"""MERGE INTO $cat.db.t t
+               |USING (SELECT * FROM (VALUES ${src.mkString(", ")})
+               |       AS x(id, v, s)) s
+               |ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET t.v = s.v
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      val got = spark.table(s"$cat.db.t").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+      assert(got == model.toMap,
+        s"op $op diverged on hostile store: table=${got.size} model=${model.size} " +
+          s"diff=${(got.toSet diff model.toSet).take(3)} / " +
+          s"${(model.toSet diff got.toSet).take(3)}")
+    }
+  }
+
+  private def causeChain(e: Throwable): Seq[Throwable] = {
+    val b = Seq.newBuilder[Throwable]
+    var cur = e
+    var depth = 0
+    while (cur != null && depth < 20) { b += cur; cur = cur.getCause; depth += 1 }
+    b.result()
+  }
+}

@@ -1,0 +1,170 @@
+package graft
+
+import graft.format.{GpxCommitLog, GpxFileReader}
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+
+/** The conditional-put commit log on a well-behaved (local) filesystem:
+  * append/overwrite/COW semantics, manifest-gated visibility, file-level
+  * manifest pruning, conflict refusal, vacuum. The hostile-store half of
+  * the contract lives in [[HostileStoreSpec]]. */
+class ManifestSpec extends GraftSpec {
+  private val conf = new Configuration()
+
+  private def gpxFilesOnDisk(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    d.listFiles().toSeq.map(_.getName).filter(n =>
+      n.endsWith(".gpx") && !n.startsWith("_") && !n.startsWith("."))
+  }
+
+  test("append and overwrite commit through the log; retired bytes live until vacuum") {
+    val dir = tempDir("gpx_log_aov")
+    spark.range(0, 100).selectExpr("id", "id * 2 as v")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    assert(GpxCommitLog.isLogTable(dir, conf))
+    assert(spark.read.format("gpx").load(dir).count() == 100)
+
+    // second append: rebased manifest version, both batches visible
+    spark.range(100, 150).selectExpr("id", "id * 2 as v")
+      .write.format("gpx").mode("append").save(dir)
+    val afterAppend = spark.read.format("gpx").load(dir)
+    assert(afterAppend.count() == 150)
+    assert(afterAppend.agg(sum("v")).head.getLong(0) == (0L until 150).map(_ * 2).sum)
+
+    // overwrite: only the new rows visible, but the OLD bytes still exist
+    // on disk (retired, reclaimable) — manifest-gated visibility
+    val liveBefore = gpxFilesOnDisk(dir).size
+    spark.range(0, 10).selectExpr("id", "id as v")
+      .write.format("gpx").mode("overwrite").save(dir)
+    assert(spark.read.format("gpx").load(dir).count() == 10)
+    assert(gpxFilesOnDisk(dir).size > gpxFilesOnDisk(dir).size - liveBefore,
+      "retired files must remain on disk until vacuum")
+    val headLive = GpxCommitLog.head(dir, conf).get.live.size
+    assert(gpxFilesOnDisk(dir).size > headLive)
+
+    // vacuum to the head only: disk converges to the live set, reads intact
+    val (dataGone, mfGone) = GpxCommitLog.vacuum(dir, conf, keepVersions = 1)
+    assert(dataGone > 0)
+    assert(mfGone > 0)
+    assert(gpxFilesOnDisk(dir).size == headLive)
+    assert(spark.read.format("gpx").load(dir).count() == 10)
+  }
+
+  test("schema rides in the manifest: inferSchema without any footer read") {
+    val dir = tempDir("gpx_log_schema")
+    spark.range(0, 50).selectExpr("id", "cast(id as int) as small", "'x' as s")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    // evolved append: small widens to long, extra column appears
+    spark.range(50, 60)
+      .selectExpr("id", "id as small", "'y' as s", "id * 1.5 as extra")
+      .write.format("gpx").mode("append").save(dir)
+    GpxFileReader.FooterCache.clear()
+    val before = GpxFileReader.footerReads.get()
+    val df = spark.read.format("gpx").load(dir)
+    val fields = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(fields("small") == "bigint", s"widened union schema, got $fields")
+    assert(fields.contains("extra"))
+    assert(GpxFileReader.footerReads.get() == before,
+      "log-table schema resolution must not open footers")
+    // extra is null for the first batch (nullable union)
+    assert(df.filter("extra is null").count() == 50)
+  }
+
+  test("manifest file-level zone maps prune files before any footer access") {
+    val dir = tempDir("gpx_log_prune")
+    (0 until 20).foreach { i =>
+      spark.range(i * 1000L, (i + 1) * 1000L)
+        .selectExpr("id", "id as v", s"'b$i' as tag")
+        .coalesce(1).write.format("gpx").mode("append")
+        .option("commitProtocol", "manifest").save(dir)
+    }
+    GpxFileReader.FooterCache.clear()
+    val before = GpxFileReader.footerReads.get()
+    val got = spark.read.format("gpx").load(dir)
+      .filter("v >= 5200 and v < 5300").agg(count("*"), sum("id")).head
+    assert(got.getLong(0) == 100)
+    assert(got.getLong(1) == (5200L until 5300L).sum)
+    val delta = GpxFileReader.footerReads.get() - before
+    // one matching file of 20: only its footer opens (the manifest prunes
+    // the rest file-level). Small slack for incidental planning reads.
+    assert(delta <= 3, s"expected ~1 footer read for 1 matching file, got $delta")
+  }
+
+  test("a replace whose consumed files were rewritten refuses loudly") {
+    val dir = tempDir("gpx_log_conflict")
+    spark.range(0, 100).selectExpr("id", "id as v")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    val h = GpxCommitLog.head(dir, conf).get
+    val victim = h.live.head.relPath
+    // a concurrent mutation retires the file first...
+    GpxCommitLog.commit(dir, conf, GpxCommitLog.Replace(Seq.empty, Set(victim)))
+    // ...so a rewrite that consumed it must refuse, not duplicate/lose
+    intercept[java.util.ConcurrentModificationException] {
+      GpxCommitLog.commit(dir, conf,
+        GpxCommitLog.Replace(Seq.empty, Set(victim)))
+    }
+  }
+
+  test("catalog table with commit_protocol=manifest: INSERT/UPDATE/DELETE/MERGE match a model") {
+    val wh = tempDir("gpx_log_cat")
+    val cat = "glog"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.format.GpxCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING gpx " +
+      "TBLPROPERTIES('commit_protocol'='manifest')")
+    assert(GpxCommitLog.isLogTable(s"$wh/db/t", conf))
+
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, id * 10 FROM range(0, 50)")
+    spark.sql(s"UPDATE $cat.db.t SET v = v + 1 WHERE id < 10")
+    spark.sql(s"DELETE FROM $cat.db.t WHERE id BETWEEN 40 AND 44")
+    spark.sql(
+      s"""MERGE INTO $cat.db.t t
+         |USING (SELECT id, id AS v FROM range(45, 55)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET t.v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    val model = ((0L until 10L).map(i => i -> (i * 10 + 1)) ++
+      (10L until 40L).map(i => i -> i * 10) ++
+      (45L until 55L).map(i => i -> i)).toMap
+    val got = spark.table(s"$cat.db.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == model, s"diff: ${(got.toSet diff model.toSet).take(5)} / " +
+      s"${(model.toSet diff got.toSet).take(5)}")
+
+    // merge-on-read requests route to COW on log tables (no sidecars ever)
+    spark.conf.set("spark.graft.gpx.rowLevelMode", "mor")
+    spark.conf.set("spark.graft.gpx.deleteMode", "mor")
+    try {
+      spark.sql(s"UPDATE $cat.db.t SET v = 0 WHERE id = 20")
+      spark.sql(s"DELETE FROM $cat.db.t WHERE id = 21")
+    } finally {
+      spark.conf.unset("spark.graft.gpx.rowLevelMode")
+      spark.conf.unset("spark.graft.gpx.deleteMode")
+    }
+    assert(spark.table(s"$cat.db.t").filter("id = 20").head.getLong(1) == 0L)
+    assert(spark.table(s"$cat.db.t").filter("id = 21").count() == 0)
+    val delDirs = new java.io.File(s"$wh/db/t").listFiles()
+      .filter(f => f.isDirectory && f.getName == "_del")
+    assert(delDirs.isEmpty, "log tables must never grow MOR sidecars")
+  }
+
+  test("enable() migrates an existing rename-mode table in place") {
+    val dir = tempDir("gpx_log_migrate")
+    spark.range(0, 80).selectExpr("id", "id % 7 as v")
+      .write.format("gpx").mode("append").save(dir)
+    assert(!GpxCommitLog.isLogTable(dir, conf))
+    GpxCommitLog.enable(dir, conf)
+    assert(GpxCommitLog.isLogTable(dir, conf))
+    assert(spark.read.format("gpx").load(dir).count() == 80)
+    // post-migration writes commit through the log
+    spark.range(80, 90).selectExpr("id", "id % 7 as v")
+      .write.format("gpx").mode("append").save(dir)
+    assert(GpxCommitLog.head(dir, conf).get.version >= 2)
+    assert(spark.read.format("gpx").load(dir).count() == 90)
+  }
+}
