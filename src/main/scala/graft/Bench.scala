@@ -36,9 +36,20 @@ object Bench {
     // CONSTRUCTED, so constructing each query once (no action) touches
     // them all. Timed rows then measure scans, not one-time table builds
     // arbitrarily charged to whichever query touched the dir first.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try { fn(spark, sfDir); () } catch { case _: Throwable => () }
+    // a warmup failure is not fatal (the timed pass will surface it as an
+    // "err" row) but must not vanish silently: count and report one line
+    var warmupErrs = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try { fn(spark, sfDir); () } catch {
+        case e: Throwable =>
+          warmupErrs += 1
+          System.err.println(
+            s"bench warmup: $name failed (${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").take(120)})")
+      }
     }
+    if (warmupErrs > 0)
+      System.err.println(s"bench warmup: $warmupErrs construction failure(s)")
     CacheScope.release(blocking = true)
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
@@ -59,13 +70,17 @@ object Bench {
     }
     // Host-steal defense: this VM shows hypervisor stalls that can inflate
     // a single timing 10-20x (identical code measured 9 s and 178 s
-    // back-to-back in round 5). Re-time the slowest queries once and keep
-    // the MIN — a one-shot artifact should record the engine, not the
-    // noisiest scheduling window it happened to hit.
+    // back-to-back in round 5). Re-time the slowest queries twice and keep
+    // the MEDIAN of the three samples — robust against a single stolen
+    // window without the flattering low bias of min-of-two.
     val retimed = firstPass.filter(_._3).sortBy(-_._2).take(5)
       .map { case (name, dt, _) =>
-        val (dt2, ok2) = timeOne(name, SparkEntry.queries(name))
-        name -> (if (ok2) math.min(dt, dt2) else dt)
+        val extra = (1 to 2).map { _ =>
+          val (dtN, okN) = timeOne(name, SparkEntry.queries(name))
+          if (okN) Some(dtN) else None
+        }.flatten
+        val samples = (dt +: extra).sorted
+        name -> samples(samples.length / 2)
       }.toMap
     val results = firstPass.map { case (name, dt, ok) =>
       (name, retimed.getOrElse(name, dt), ok)

@@ -111,11 +111,23 @@ object GpxTxn {
   }
 
   /** commit stamp for a catalog-managed table: warehouse-monotone when the
-    * table is bound, wall clock otherwise (legacy behavior). */
+    * table is bound. An UNBOUND table (legacy, or external location) binds
+    * to ITSELF on first stamp — its own dir becomes its counter scope —
+    * so monotone commitTs is the default and clock skew between two
+    * drivers can no longer issue out-of-order stamps whose `FOR TIMESTAMP
+    * AS OF` boundaries are ambiguous. Opt out (restoring raw wall-clock
+    * stamping) with spark.graft.gpx.autoBindWarehouse=false. */
   def stamp(tableDir: String, conf: Configuration): Long =
     warehouseOf(tableDir, conf) match {
       case Some(w) => allocate(w, conf)
-      case None => System.currentTimeMillis() * 1000L
+      case None =>
+        val autoBind = try org.apache.spark.sql.SparkSession.active.conf
+          .getOption("spark.graft.gpx.autoBindWarehouse").forall(_ != "false")
+        catch { case _: Throwable => true }
+        if (autoBind) {
+          try { bind(tableDir, tableDir, conf); allocate(tableDir, conf) }
+          catch { case _: Throwable => System.currentTimeMillis() * 1000L }
+        } else System.currentTimeMillis() * 1000L
     }
 
   // the counter gets its own lock scope so table mutation locks (taken on

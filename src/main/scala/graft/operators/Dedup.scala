@@ -727,7 +727,7 @@ object Dedup {
     // Same result set and SAME ORACLE as d08.
     GQuery("d10_indexed_incremental_dedup", (s, d) => {
       val t = 0.8
-      val idx = FormatOps.cachedDir(d, "dedup_sigidx") { dir =>
+      val idx = FormatOps.cachedDir(d, "dedup_sigidx2") { dir =>
         val corpus = Tables.documents(s, d)
           .filter(col("doc_id") % 5 =!= 0)
           .select(col("doc_id"), array_sort(tokens).as("toks"))
@@ -737,7 +737,13 @@ object Dedup {
           .tracked
         pureBands(cgroups, "fp")
           .write.format("gpx").mode("overwrite").save(s"$dir/banded")
-        cgroups.select(col("fp"), explode(col("toks")).as("tok"))
+        // token sets PRE-AGGREGATED into the index: one row per fp with
+        // the sorted tokens joined on  (tokens come from splitting
+        // on spaces, so the separator cannot occur). The steady-state
+        // probe then verifies candidates with a split — no per-run
+        // collect_list regroup, no shuffle of the corpus token stream.
+        cgroups.select(col("fp"),
+          concat_ws("", col("toks")).as("toks_s"))
           .write.format("gpx").mode("overwrite").save(s"$dir/tokens")
         cgroups.select(col("fp"))
           .write.format("gpx").mode("overwrite").save(s"$dir/reps")
@@ -765,12 +771,15 @@ object Dedup {
         .select(col("x.fp").as("fa"), col("y.fp").as("fb"))
         .distinct()
         .tracked
-      // exact verification over stored token STRINGS, bounded by the
-      // candidate set (only candidate reps are regrouped)
+      // exact verification over stored token strings, bounded by the
+      // candidate set — a semi-join + split per candidate row, zero
+      // aggregation (the index stores each fp's sorted token set as one
+      // joined string; an empty set round-trips as an empty array)
       val ctoks = corpusTokens
         .join(cand.select(col("fb").as("fp")).distinct(), "fp")
-        .groupBy(col("fp"))
-        .agg(sort_array(collect_list(col("tok"))).as("ctoks"))
+        .select(col("fp"),
+          when(col("toks_s") === "", array().cast("array<string>"))
+            .otherwise(split(col("toks_s"), "\u0001")).as("ctoks"))
       val verified = cand
         .join(bgroups.select(col("fp").as("fa"), col("toks").as("btoks")), "fa")
         .join(ctoks.select(col("fp").as("fb"), col("ctoks")), "fb")

@@ -365,11 +365,15 @@ case class MinHashSigs(child: Expression, numHashes: Int)
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    MinHashSigs.eval(input.asInstanceOf[ArrayData], numHashes)
+    MinHashKernel.eval(input.asInstanceOf[ArrayData], numHashes)
 
+  // the kernel lives in a standalone object (NOT the companion): scalac
+  // skips the static forwarder when the companion class inherits a method
+  // of the same name (Expression.eval), and Janino then cannot resolve the
+  // call — the whole stage silently falls back to interpreted execution
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => s"""
-      |${ev.value} = org.apache.spark.sql.graft.MinHashSigs.eval($a, $numHashes);
+      |${ev.value} = org.apache.spark.sql.graft.MinHashKernel.eval($a, $numHashes);
       |if (${ev.value} == null) { ${ev.isNull} = true; }
       |""".stripMargin)
 
@@ -377,7 +381,7 @@ case class MinHashSigs(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
-object MinHashSigs {
+object MinHashKernel {
   private val seedCache =
     new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
 
@@ -425,11 +429,12 @@ case class Simhash32(child: Expression)
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    Simhash32.eval(input.asInstanceOf[ArrayData])
+    SimhashKernel.eval(input.asInstanceOf[ArrayData])
 
+  // standalone kernel object for the same forwarder reason as MinHashKernel
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => s"""
-      |java.lang.Long r = org.apache.spark.sql.graft.Simhash32.eval($a);
+      |java.lang.Long r = org.apache.spark.sql.graft.SimhashKernel.eval($a);
       |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
       |""".stripMargin)
 
@@ -437,7 +442,7 @@ case class Simhash32(child: Expression)
     copy(child = newChild)
 }
 
-object Simhash32 {
+object SimhashKernel {
   private val mdPool = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

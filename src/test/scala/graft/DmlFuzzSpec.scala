@@ -235,6 +235,27 @@ class DmlFuzzSpec extends GraftSpec {
     assert(GpxTxn.currentToken(wh, conf) == results.max)
   }
 
+  test("unbound tables auto-bind on first stamp: commitTs monotone with no explicit bind") {
+    import graft.format.GpxTxn
+    val conf = sp.sparkContext.hadoopConfiguration
+    val dir = Files.createTempDirectory("gpx_autobind").toString
+    assert(GpxTxn.warehouseOf(dir, conf).isEmpty)
+    // stamps on a never-bound dir must still be strictly monotone (the
+    // first one binds the table to itself as its counter scope)
+    val stamps = (0 until 5).map(_ => GpxTxn.stamp(dir, conf))
+    assert(stamps == stamps.sorted && stamps.distinct.size == stamps.size,
+      s"auto-bound stamps must strictly increase: $stamps")
+    assert(GpxTxn.warehouseOf(dir, conf).contains(dir),
+      "first stamp must bind the table to itself")
+    // opt-out restores wall-clock stamping and never binds
+    val dir2 = Files.createTempDirectory("gpx_autobind_off").toString
+    sp.conf.set("spark.graft.gpx.autoBindWarehouse", "false")
+    try {
+      GpxTxn.stamp(dir2, conf)
+      assert(GpxTxn.warehouseOf(dir2, conf).isEmpty)
+    } finally sp.conf.unset("spark.graft.gpx.autoBindWarehouse")
+  }
+
   test("cross-table snapshot tokens: one GpxTxn token freezes BOTH tables consistently") {
     import graft.format.GpxTxn
     val conf = sp.sparkContext.hadoopConfiguration

@@ -92,6 +92,38 @@ class ManifestSpec extends GraftSpec {
     assert(delta <= 3, s"expected ~1 footer read for 1 matching file, got $delta")
   }
 
+  test("1000+ files: selective planning costs O(matching files) metadata reads, not O(table)") {
+    val dir = tempDir("gpx_log_1k")
+    // one commit, 1024 range-routed files with disjoint id spans
+    spark.range(0, 102400)
+      .repartitionByRange(1024, col("id"))
+      .selectExpr("id", "id as v")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    val conf = new Configuration()
+    val h = GpxCommitLog.head(dir, conf).get
+    assert(h.live.size >= 1024, s"expected 1024+ files, got ${h.live.size}")
+    // cold planner state: no cached footers, no parsed manifests
+    GpxFileReader.FooterCache.clear()
+    val footersBefore = GpxFileReader.footerReads.get()
+    val n = spark.read.format("gpx").load(dir)
+      .filter("v >= 50000 and v < 50050").count()
+    assert(n == 50)
+    val footerDelta = GpxFileReader.footerReads.get() - footersBefore
+    // ~1 matching file of 1024: the manifest's file-level zone maps prune
+    // the rest before ANY footer is opened. Slack covers a span straddling
+    // a range boundary.
+    assert(footerDelta <= 4,
+      s"selective plan over 1024 files opened $footerDelta footers " +
+        "(manifest pruning regressed to an O(table) walk)")
+    // warm re-plan: zero footer reads at all
+    val footersWarm = GpxFileReader.footerReads.get()
+    assert(spark.read.format("gpx").load(dir)
+      .filter("v >= 50000 and v < 50050").count() == 50)
+    assert(GpxFileReader.footerReads.get() == footersWarm,
+      "warm planning must serve footers from cache")
+  }
+
   test("a replace whose consumed files were rewritten refuses loudly") {
     val dir = tempDir("gpx_log_conflict")
     spark.range(0, 100).selectExpr("id", "id as v")
