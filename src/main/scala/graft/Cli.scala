@@ -13,7 +13,12 @@ import org.apache.spark.sql.SparkSession
   *   STAT    <gpx-table>                   ANALYZE: NDV sidecar for CBO
   *   INDEX   <gpx-table> <col[,col2]>      build a point index (compound
   *                                         when 2+ columns)
-  *   VACUUM  <gpx-table> [ttlMs]           sweep crash-orphaned staging
+  *   VACUUM  <gpx-table> [ttlMs]           sweep crash-orphaned staging;
+  *                                         on commit-log tables also
+  *                                         reclaims retired data files
+  *   LOG     <gpx-table>                   opt the table into the
+  *                                         object-store-safe commit log
+  *                                         (GpxCommitLog manifests)
   *   QUERY   <sql> --table name=path ...   each path (gpx dir or .parquet)
   *                                         is registered as a temp view
   *
@@ -41,6 +46,7 @@ object Cli {
       |  STAT    <gpx-table>
       |  INDEX   <gpx-table> <col[,col2]>
       |  VACUUM  <gpx-table> [ttlMs]
+      |  LOG     <gpx-table>
       |  QUERY   <sql> --table name=path [--table name=path ...]""".stripMargin
 
   /** exactly n positional operands after the command, or usage() */
@@ -104,7 +110,19 @@ object Cli {
           .getOrElse(24L * 3600 * 1000)
         val swept = graft.format.GpxMaintenance.vacuum(table, ttl, conf)
         swept.foreach(p => println(s"VACUUM swept $p"))
+        // commit-log tables: also reclaim data files retired from the
+        // manifest (keeping the head + one version for pinned readers)
+        if (graft.format.GpxCommitLog.isLogTable(table, conf)) {
+          val (dataGone, mfGone) =
+            graft.format.GpxCommitLog.vacuum(table, conf, keepVersions = 2)
+          println(s"VACUUM log: $dataGone retired data file(s), " +
+            s"$mfGone old manifest(s)")
+        }
         println(s"VACUUM ok: ${swept.size} paths")
+      case "LOG" =>
+        val Seq(table) = operands(args, 1)
+        val v = graft.format.GpxCommitLog.enable(table, conf)
+        println(s"LOG ok: $table at manifest version $v")
       case "QUERY" =>
         val sql = operands(args, 1).head
         // non-overlapping pairs: a dangling --table (or any stray

@@ -207,6 +207,12 @@ object GpxCommitLog {
       else fs.listStatus(lp).toSeq.flatMap(st => versionOf(st.getPath.getName))
     } catch { case _: java.io.FileNotFoundException => Seq.empty }
 
+  // slots whose bytes already failed a full retry round: later reads make
+  // ONE attempt instead of re-paying the patience window (a dead claim
+  // would otherwise tax every head() resolution ~200 ms forever)
+  private val knownBad =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
+
   private def readVersion(fs: FileSystem, lp: Path, v: Long,
       dirKey: String): Option[Snapshot] = {
     val key = (dirKey, v)
@@ -215,17 +221,19 @@ object GpxCommitLog {
     // a freshly-claimed slot on a non-atomic store can be momentarily
     // partial: retry briefly (the winner's write is a few KB), then give
     // up and let the caller fall back to the previous version
-    var attempts = 40
+    var attempts = if (knownBad.contains(key)) 1 else 40
     while (attempts > 0) {
       readBytes(fs, new Path(lp, manifestName(v))).flatMap(parse) match {
         case Some(s) if s.version == v =>
           parseCache.put(key, s)
+          knownBad.remove(key)
           return Some(s)
         case _ =>
           attempts -= 1
           if (attempts > 0) Thread.sleep(5)
       }
     }
+    knownBad.add(key)
     None
   }
 
@@ -349,10 +357,17 @@ object GpxCommitLog {
     val fs = lp.getFileSystem(conf)
     if (!fs.exists(lp)) fs.mkdirs(lp)
     var attempts = 200
+    var lastBase = -1L
+    var sameBase = 0
     while (attempts > 0) {
       attempts -= 1
       val h = head(root, conf)
       val base = h.map(_.version).getOrElse(0L)
+      // a head that does not advance while our claims keep losing means
+      // the next slot is claimed by unreadable bytes — a dead (or stalled)
+      // writer. Stop burning the retry budget and refuse with the repair.
+      if (base == lastBase) { sameBase += 1; if (sameBase >= 10) attempts = 0 }
+      else { lastBase = base; sameBase = 0 }
       val next = change match {
         case Append(add, b, s, r, sc) =>
           val prev = h.getOrElse(Snapshot(0L, None, None, Nil, None, Vector.empty))
@@ -386,10 +401,26 @@ object GpxCommitLog {
       // lost the slot: back off a touch and rebase on the new head
       Thread.sleep(2 + scala.util.Random.nextInt(8))
     }
+    // Attempts exhausted. Distinguish livelock-by-contention from a DEAD
+    // CLAIM: a writer that claimed the next slot and died before its bytes
+    // became readable. We deliberately never skip past such a slot — on
+    // the exclusive-create fallback (local/HDFS) the claim and its content
+    // are two steps, so a stalled-but-alive writer could still complete
+    // it, and building past it would erase its commit. Refusing loudly
+    // with the repair path is the safe floor; true conditional-put stores
+    // (S3/GCS/Azure) make claim+content one atomic PUT, so a dead claim
+    // is a COMPLETE manifest there and this branch cannot trigger.
+    val headV = head(root, conf).map(_.version).getOrElse(0L)
+    val blocked = new Path(lp, manifestName(headV + 1))
+    val deadClaim = try fs.exists(blocked) catch { case _: Throwable => false }
     throw new java.io.IOException(
-      s"gpx log commit: could not claim a version slot after 200 attempts " +
-      s"under $lp — pathological contention or a store that fails " +
-      "conditional puts; no state was changed")
+      if (deadClaim)
+        s"gpx log commit: version slot ${headV + 1} under $lp is claimed " +
+        "but unreadable (a writer died mid-commit). No state was changed. " +
+        s"Repair: verify no writer is alive, then delete $blocked and retry."
+      else
+        s"gpx log commit: could not claim a version slot after 200 attempts " +
+        s"under $lp — pathological contention; no state was changed")
   }
 
   /** Opt a table into the log protocol: seed v1 from the current
@@ -417,9 +448,14 @@ object GpxCommitLog {
   /** Reclaim retired bytes: delete data files referenced by NO manifest
     * among the newest `keepVersions`, then drop the older manifests.
     * Readers of retained versions are unaffected; readers pinned further
-    * back fail loudly (file not found), the documented retention trade. */
+    * back fail loudly (file not found), the documented retention trade.
+    * `minAgeMs` protects IN-FLIGHT commits: a writer that has published
+    * its data files but not yet claimed its manifest slot looks exactly
+    * like an orphan — only files older than the window are reclaimed
+    * (no batch write publishes for an hour; raise it if yours do). */
   def vacuum(root: String, conf: Configuration,
-      keepVersions: Int = 2): (Int, Int) = {
+      keepVersions: Int = 2,
+      minAgeMs: Long = 60L * 60 * 1000): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the head")
     val lp = logPath(root)
     val fs = lp.getFileSystem(conf)
@@ -438,10 +474,12 @@ object GpxCommitLog {
         !full.drop(qd.length).stripPrefix("/").split('/')
           .exists(s => s.startsWith("_") || s.startsWith(".")) => full
     }
+    val cutoff = System.currentTimeMillis() - minAgeMs
     var dataDeleted = 0
     all.foreach { f =>
       val rel = if (f.startsWith(qd)) f.drop(qd.length).stripPrefix("/") else f
-      if (!reachable.contains(rel)) {
+      if (!reachable.contains(rel) &&
+        GpxFs.stat(f, conf).forall(_.mtime <= cutoff)) {
         if (try fs.delete(new Path(f), false) catch { case _: Throwable => false })
           dataDeleted += 1
       }

@@ -109,8 +109,13 @@ object GpxTable {
     roots.flatMap { r =>
       // commit-log tables: the manifest head — NOT the listing — is the
       // table (GpxCommitLog). Staged, orphaned and retired files share the
-      // directory with live ones by design; only the log says which is which.
-      if (GpxCommitLog.isLogTable(r, conf)) GpxCommitLog.liveFiles(r, conf)
+      // directory with live ones by design; only the log says which is
+      // which. EXPLICIT-FILE roots bypass the manifest on purpose: the
+      // internal mutation reads (COW delete re-reading exactly its
+      // affected files) pick their file sets from an already-resolved
+      // table listing and must read those files, not the whole table.
+      if (!r.endsWith(".gpx") && GpxCommitLog.isLogTable(r, conf))
+        GpxCommitLog.liveFiles(r, conf)
       else GpxFs.stat(r, conf) match {
         case None => Seq.empty
         case Some(st) if st.isFile => Seq(new Path(r).toString)
@@ -485,7 +490,11 @@ class GpxTable(schema: StructType, roots: Seq[String],
       .orElse(Option(options.get("asOfToken")).map(_.toLong))
       .orElse(defaultSnapshotTs)
       .orElse(sessionToken)
-    new GpxScanBuilder(schema, roots, snapshotTs)
+    // commit-log version pin: read exactly the file set manifest version N
+    // named (time travel by manifest version — retired files must still be
+    // on disk, i.e. not vacuumed past N)
+    val logVersion = Option(options.get("atVersion")).map(_.toLong)
+    new GpxScanBuilder(schema, roots, snapshotTs, logVersion = logVersion)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -554,7 +563,8 @@ class GpxTable(schema: StructType, roots: Seq[String],
   * the replace-commit knows exactly which files the written data supersedes. */
 class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
     snapshotTs: Option[Long],
-    fileGranular: Option[java.util.Set[String]] = None)
+    fileGranular: Option[java.util.Set[String]] = None,
+    logVersion: Option[Long] = None)
   extends ScanBuilder
   with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns
@@ -655,6 +665,9 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
     * aggregation over the per-row-group partials. */
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (fileGranular.isDefined) return false
+    // a manifest-version-pinned read must not take the stats scan: it
+    // resolves files via listFiles (the HEAD), not the pinned snapshot
+    if (logVersion.isDefined) return false
     if (filters.nonEmpty || agg.groupByExpressions().nonEmpty) return false
     // footer stats count/bound rows the merge-on-read masks have deleted
     if (hasDeleteSidecars) return false
@@ -710,7 +723,7 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
             .map { case (dir, _) => Seq(dir) }
         }
       new GpxScan(fileSchema, required, filters, routed.getOrElse(roots),
-        snapshotTs, fileGranular, limit, topN)
+        snapshotTs, fileGranular, limit, topN, logVersion)
   }
 }
 
@@ -833,7 +846,8 @@ class GpxScan(
     snapshotTs: Option[Long],
     fileGranular: Option[java.util.Set[String]] = None,
     limit: Option[Int] = None,
-    topN: Option[GpxScan.TopN] = None) extends Scan with Batch
+    topN: Option[GpxScan.TopN] = None,
+    logVersion: Option[Long] = None) extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering
   with SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1000,10 +1014,22 @@ class GpxScan(
     // survivors. At 100k files a selective predicate plans with O(matching
     // files) metadata reads instead of O(table files) footer walks (the
     // reference's CostBasedSplitsIndex / metadata-stats role).
-    val logEntries: Map[String, GpxCommitLog.FileEntry] =
-      if (roots.size == 1 && GpxCommitLog.isLogTable(roots.head, conf))
-        GpxCommitLog.liveEntries(roots.head, conf).toMap
-      else Map.empty
+    val logSnap: Option[GpxCommitLog.Snapshot] =
+      if (roots.size == 1 && !roots.head.endsWith(".gpx") &&
+          GpxCommitLog.isLogTable(roots.head, conf))
+        logVersion match {
+          case Some(v) =>
+            Some(GpxCommitLog.snapshotAt(roots.head, v, conf).getOrElse(
+              throw new IllegalArgumentException(
+                s"gpx atVersion=$v: no such manifest version under " +
+                s"${roots.head} (never committed, or vacuumed away)")))
+          case None => GpxCommitLog.head(roots.head, conf)
+        }
+      else None
+    val logEntries: Map[String, GpxCommitLog.FileEntry] = logSnap.map { sn =>
+      val qd = GpxTable.qualifiedRoot(roots.head, conf)
+      sn.live.iterator.map(e => (s"$qd/${e.relPath}", e)).toMap
+    }.getOrElse(Map.empty)
     def logFileMayMatch(f: String): Boolean = logEntries.get(f) match {
       case None => true // not a log table (or an unlisted path): footer path
       case Some(e) =>
@@ -1016,7 +1042,13 @@ class GpxScan(
                 .flatMap(e.stats.get).nextOption())
           }
     }
-    GpxTable.listFiles(roots, conf).iterator
+    val walkFiles: Seq[String] = logSnap match {
+      case Some(sn) =>
+        val qd = GpxTable.qualifiedRoot(roots.head, conf)
+        sn.live.map(e => s"$qd/${e.relPath}")
+      case None => GpxTable.listFiles(roots, conf)
+    }
+    walkFiles.iterator
       .takeWhile(_ => !limitReached).foreach { f =>
       // bucket/range pruning: skip whole files whose routing id can't
       // hold the keys (files without a routing tag — e.g. compacted —
@@ -1035,7 +1067,12 @@ class GpxScan(
         m.getOrElse(rel, Set.empty)
       }
       if (bucketOk && allowedRgs.forall(_.nonEmpty) && logFileMayMatch(f)) {
-        val footer = GpxFileReader.FooterCache.get(f, conf)
+        // log tables: the manifest pins the immutable file's length, so a
+        // warm cache serves the footer with zero filesystem calls
+        val footer = logEntries.get(f) match {
+          case Some(e) => GpxFileReader.FooterCache.getImmutable(f, e.len, conf)
+          case None => GpxFileReader.FooterCache.get(f, conf)
+        }
         val phys = footer.schema
         // union of the delete bitmaps applying at this snapshot, or null
         val fPath = new Path(f)

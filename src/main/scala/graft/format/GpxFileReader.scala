@@ -119,6 +119,19 @@ object GpxFileReader {
       cache.put(path, Entry(st.len, st.mtime, fileId, System.currentTimeMillis(), footer))
       footer
     }
+
+    /** Footer of an IMMUTABLE file whose expected length the caller
+      * already knows (a commit-log manifest entry: log-mode files are
+      * never rewritten in place — every mutation writes a NEW name and a
+      * new manifest). A cached entry matching the manifest's length serves
+      * with ZERO filesystem calls — no stat, no tail check — which is what
+      * makes warm planning O(manifest) instead of O(files) metadata
+      * round-trips on an object store. */
+    def getImmutable(path: String, len: Long, conf: Configuration): Footer = {
+      val cached = cache.get(path)
+      if (cached != null && cached.len == len) cached.footer
+      else get(path, conf)
+    }
   }
 
   /** Zone-map check at row-group granularity (chunk stats). */

@@ -472,10 +472,27 @@ object Dedup {
       // disappear, along with every per-gram string allocation. The id
       // arrays are born sorted+distinct per document, so the verify-side
       // sorted-merge input (gInt) is free.
-      val g = docsSpread(s, d)
+      val docs3 = docsSpread(s, d)
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"),
           graft.functions.VectorFunctions.trigram_ids(col("text")).as("sids"))
+      // identical-trigram-SET collapse (the d02 rep trick, sf1-stretch
+      // motivated): a cluster of k docs with one gram set would inject
+      // k^2/2 pairs into every prefix bucket AND k^2/2 verify rows; reps
+      // make candidate volume scale with DISTINCT sets, and the cluster's
+      // own pairs are J=1 by construction. The fingerprint is the
+      // comma-joined id list — injective, ids are decimal longs.
+      val groups3 = docs3
+        .withColumn("fp", md5(expr(
+          "concat_ws(',', transform(sids, x -> cast(x as string)))")
+          .cast(BinaryType)))
+        .groupBy(col("lang"), col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          first(col("sids")).as("sids"),
+          sort_array(collect_list(col("doc_id"))).as("members"))
+        .tracked
+      val g = groups3
+        .select(col("doc_id"), col("lang"), col("sids"))
         .withColumn("sz", size(col("sids")))
         .tracked // feeds the prefix pass, the df counts and the verify joins
       val gInt = g.select(col("doc_id").as("gd"), col("lang"), col("sz"),
@@ -523,7 +540,17 @@ object Dedup {
       // candidate pair. Falls back to array jaccard for huge vocabularies.
       val nWords = ((vocabV + 63) / 64).toInt
       val verify =
-        if (nWords <= 32) {
+        // Dense-mask verify while the corpus vocabulary stays small
+        // (<= 4096 grams, 64 words): per-pair cost is nWords AND/popcount
+        // word ops and the mask shuffle is fixed-width — both cheaper
+        // than the sorted-merge array path whenever sets are dense in the
+        // vocabulary (char-level corpora: OCR text, code, CJK). The sf1
+        // stretch showed the gate itself is the scaling cliff: crossing
+        // it flips EVERY pair onto the ~10x-costlier array verify, so
+        // the gate is sized to the aggregate width codegen tolerates,
+        // not lower. Past it (real word-level corpora at any scale),
+        // the array path is the honest representation.
+        if (nWords <= 64) {
           // dense bit positions for the <=2048 sparse gids via a collected,
           // sorted table — bounded by the nWords gate, so the collect and
           // broadcast are provably tiny at any corpus size (freq already
@@ -556,9 +583,23 @@ object Dedup {
           .join(gInt.select(col("gd").as("b_id"), col("sids").as("b_s")), "b_id")
           .withColumn("jaccard", graft.functions.VectorFunctions
             .sorted_jaccard(col("a_s"), col("b_s")))
-      verify
+      val repPairs = verify
         .filter(col("jaccard") >= t)
-        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .select(col("a_id").as("ra"), col("b_id").as("rb"), col("jaccard"))
+      // expand representative pairs back to doc pairs; within-group pairs
+      // (identical trigram sets) are J = 1 by construction
+      val mem3 = groups3.select(col("doc_id").as("rep_id"),
+        explode(col("members")).as("m"))
+      val crossPairs = repPairs
+        .join(mem3.select(col("rep_id").as("ra"), col("m").as("ma")), "ra")
+        .join(mem3.select(col("rep_id").as("rb"), col("m").as("mb")), "rb")
+        .select(least(col("ma"), col("mb")).as("a_id"),
+          greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
+      val withinPairs = mem3.as("p").join(mem3.as("q"),
+          col("p.rep_id") === col("q.rep_id") && col("p.m") < col("q.m"))
+        .select(col("p.m").as("a_id"), col("q.m").as("b_id"),
+          lit(1.0).as("jaccard"))
+      crossPairs.unionByName(withinPairs)
         .orderBy("a_id", "b_id")
     },
       Some("""WITH g AS (SELECT doc_id, lang,

@@ -48,7 +48,7 @@ class HostileStoreSpec extends GraftSpec {
     spark.range(0, 7).selectExpr("id", "id as v")
       .write.format("gpx").mode("overwrite").save(dir)
     assert(spark.read.format("gpx").load(dir).count() == 7)
-    val (gone, _) = GpxCommitLog.vacuum(dir, conf, keepVersions = 1)
+    val (gone, _) = GpxCommitLog.vacuum(dir, conf, keepVersions = 1, minAgeMs = 0)
     assert(gone > 0)
     assert(spark.read.format("gpx").load(dir).count() == 7)
   }

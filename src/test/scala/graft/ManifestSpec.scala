@@ -44,7 +44,7 @@ class ManifestSpec extends GraftSpec {
     assert(gpxFilesOnDisk(dir).size > headLive)
 
     // vacuum to the head only: disk converges to the live set, reads intact
-    val (dataGone, mfGone) = GpxCommitLog.vacuum(dir, conf, keepVersions = 1)
+    val (dataGone, mfGone) = GpxCommitLog.vacuum(dir, conf, keepVersions = 1, minAgeMs = 0)
     assert(dataGone > 0)
     assert(mfGone > 0)
     assert(gpxFilesOnDisk(dir).size == headLive)
@@ -124,6 +124,36 @@ class ManifestSpec extends GraftSpec {
       "warm planning must serve footers from cache")
   }
 
+  test("atVersion: manifest-version time travel reads exactly the pinned file set") {
+    val dir = tempDir("gpx_log_tt")
+    spark.range(0, 50).selectExpr("id", "id as v")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir) // v2 (v1 = enable seed)
+    spark.range(50, 80).selectExpr("id", "id as v")
+      .write.format("gpx").mode("append").save(dir) // v3
+    spark.range(0, 5).selectExpr("id", "id as v")
+      .write.format("gpx").mode("overwrite").save(dir) // v4
+    val head = GpxCommitLog.head(dir, conf).get.version
+    def countAt(v: Long): Long = spark.read.format("gpx")
+      .option("atVersion", v.toString).load(dir).count()
+    assert(countAt(head) == 5)
+    assert(countAt(head - 1) == 80, "pre-overwrite version must read both appends")
+    assert(countAt(head - 2) == 50)
+    // unknown version: loud, names the table
+    val e = intercept[Exception] {
+      spark.read.format("gpx").option("atVersion", "99").load(dir).count()
+    }
+    assert(e.getMessage != null)
+    // vacuum to the head retires old manifests; the pinned read then fails
+    // loudly rather than returning a torn state
+    GpxCommitLog.vacuum(dir, conf, keepVersions = 1, minAgeMs = 0)
+    intercept[Exception] {
+      spark.read.format("gpx").option("atVersion", (head - 1).toString)
+        .load(dir).count()
+    }
+    assert(spark.read.format("gpx").load(dir).count() == 5)
+  }
+
   test("a replace whose consumed files were rewritten refuses loudly") {
     val dir = tempDir("gpx_log_conflict")
     spark.range(0, 100).selectExpr("id", "id as v")
@@ -183,6 +213,34 @@ class ManifestSpec extends GraftSpec {
     val delDirs = new java.io.File(s"$wh/db/t").listFiles()
       .filter(f => f.isDirectory && f.getName == "_del")
     assert(delDirs.isEmpty, "log tables must never grow MOR sidecars")
+  }
+
+  test("a dead half-written slot claim: reads fall back, commits refuse with the repair path") {
+    val dir = tempDir("gpx_log_dead")
+    spark.range(0, 30).selectExpr("id", "id as v")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    val head = GpxCommitLog.head(dir, conf).get
+    // simulate a writer that claimed the next slot and died mid-write
+    val dead = new java.io.File(
+      s"$dir/${GpxCommitLog.LogDir}/v${"%019d".format(head.version + 1)}.mf")
+    val w = new java.io.FileWriter(dead)
+    w.write("gpxlog1\nv 999\ntrunca"); w.close()
+    // reads fall back to the last parseable version — never a torn state
+    assert(spark.read.format("gpx").load(dir).count() == 30)
+    assert(GpxCommitLog.head(dir, conf).get.version == head.version)
+    // a commit must NOT build past the claimed slot (the claimant could
+    // still complete it on an exclusive-create store): refuse loudly,
+    // naming the slot to repair
+    val e = intercept[java.io.IOException] {
+      GpxCommitLog.commit(dir, conf, GpxCommitLog.Append(Seq.empty))
+    }
+    assert(e.getMessage.contains("claimed but unreadable"), e.getMessage)
+    // operator repairs (deletes the dead claim) -> commits flow again
+    assert(dead.delete())
+    spark.range(30, 40).selectExpr("id", "id as v")
+      .write.format("gpx").mode("append").save(dir)
+    assert(spark.read.format("gpx").load(dir).count() == 40)
   }
 
   test("enable() migrates an existing rename-mode table in place") {
