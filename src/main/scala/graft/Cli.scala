@@ -10,6 +10,8 @@ import org.apache.spark.sql.SparkSession
   *           --numBuckets n] [--rangeBy c --rangeBounds b1,b2,...]
   *           [--rowGroupRows n] [--overwrite]
   *   COMPACT <gpx-src> <gpx-dest>          ordered → compact layout merge
+  *   COMPACT <gpx-log-table>               IN-PLACE (commit-log tables:
+  *                                         one atomic manifest swap)
   *   STAT    <gpx-table>                   ANALYZE: NDV sidecar for CBO
   *   INDEX   <gpx-table> <col[,col2]>      build a point index (compound
   *                                         when 2+ columns)
@@ -42,7 +44,7 @@ object Cli {
       |  LOAD    <parquet-src> <gpx-dest> [--sortBy c] [--bucketBy c
       |          --numBuckets n] [--rangeBy c --rangeBounds b1,b2,...]
       |          [--rowGroupRows n] [--overwrite]
-      |  COMPACT <gpx-src> <gpx-dest>
+      |  COMPACT <gpx-src> <gpx-dest>   (or: COMPACT <gpx-log-table> in place)
       |  STAT    <gpx-table>
       |  INDEX   <gpx-table> <col[,col2]>
       |  VACUUM  <gpx-table> [ttlMs]
@@ -87,9 +89,19 @@ object Cli {
         w.save(dest)
         println(s"LOAD ok: $src -> $dest")
       case "COMPACT" =>
-        val Seq(src, dest) = operands(args, 2)
-        graft.format.GpxCompactor.compact(src, dest, conf)
-        println(s"COMPACT ok: $src -> $dest")
+        // two operands: copy-compact into a new dir; one operand: in-place
+        // atomic compaction of a commit-log table
+        val ops = args.drop(1).takeWhile(!_.startsWith("--"))
+        ops match {
+          case Seq(src, dest) =>
+            graft.format.GpxCompactor.compact(src, dest, conf)
+            println(s"COMPACT ok: $src -> $dest")
+          case Seq(table) =>
+            val r = graft.format.GpxCompactor.compactInPlace(table, conf)
+            println(s"COMPACT ok: $table in place " +
+              s"(${r.inputFiles} -> ${r.outputFiles} files, ${r.rows} rows)")
+          case _ => usage()
+        }
       case "STAT" =>
         val Seq(table) = operands(args, 1)
         val ndv = graft.format.GpxMaintenance.analyze(spark, table, conf)

@@ -94,19 +94,26 @@ object StretchBench {
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     copies(docs) { (df, i) =>
-      // per-copy Caesar rotation of letters: WORD tokens and CHARACTER
+      // per-copy random letter PERMUTATION: WORD tokens and CHARACTER
       // trigrams are both (near-)disjoint across copies, so token-level
       // (d02/d08) and char-gram (d03) pair densities scale exactly
       // linearly — the honest 10x. Lengths are preserved (n_chars,
-      // quality ratios unchanged). A token suffix is NOT enough: suffixed
-      // words still share most character trigrams with their originals,
-      // which inflated d03's candidate set ~10x beyond natural scaling.
+      // quality ratios unchanged). Neither a token suffix nor a Caesar
+      // ROTATION is enough: suffixed words share most trigrams with
+      // their originals, and rotation preserves letter DIFFERENCES, so
+      // rotated trigram images collide across copies (measured: vocab
+      // 1903 of a possible 3770, candidates 125M instead of ~10x) —
+      // both inflate d03's candidate set beyond natural scaling.
       val lower = "abcdefghijklmnopqrstuvwxyz"
-      def rot(a: String, k: Int) = a.drop(k % 26) + a.take(k % 26)
+      def perm(k: Int): String = {
+        val rnd = new scala.util.Random(k * 7919 + 13)
+        rnd.shuffle(lower.toSeq).mkString
+      }
+      val p = perm(i)
       val text = if (i == 0) col("text")
         else translate(col("text"),
           lower + lower.toUpperCase,
-          rot(lower, i * 7) + rot(lower.toUpperCase, i * 7))
+          p + p.toUpperCase)
       df.select((col("doc_id") + i * Shift).as("doc_id"), text.as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.write.mode("overwrite").parquet(s"$out/documents.parquet")

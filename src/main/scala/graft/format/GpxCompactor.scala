@@ -78,6 +78,19 @@ object GpxCompactor {
       finally o.close()
     }
 
+    val r = byteCopy(files, outPath,
+      i => new Path(outPath, f"compact-$i%05d.gpx"), conf, targetFileBytes)
+    GpxVersion.bump(outDir, conf) // fresh table contents under outDir
+    r
+  }
+
+  /** The zero-decode core: concatenate the inputs' row groups into files
+    * named by `namer`, preserving stats/encodings/commitTs and the common
+    * sortedBy claim prefix. */
+  private def byteCopy(files: Seq[String], outPath: Path,
+      namer: Int => Path, conf: Configuration,
+      targetFileBytes: Long): Result = {
+    val fs = outPath.getFileSystem(conf)
     val schema = GpxFileReader.FooterCache.get(files.head, conf).schema
     // per-file sortedBy claim for the compacted outputs: row groups are
     // byte-copied, so each keeps its internal order — the merged file's
@@ -96,7 +109,7 @@ object GpxCompactor {
 
     def openOut(): Unit = {
       out = new DataOutputStream(new java.io.BufferedOutputStream(
-        fs.create(new Path(outPath, f"compact-$outIndex%05d.gpx"), true), 1 << 20))
+        fs.create(namer(outIndex), true), 1 << 20))
       out.write(Magic); pos = Magic.length.toLong
       rgs = List.newBuilder[RowGroupMeta]
       outFiles += 1
@@ -150,7 +163,39 @@ object GpxCompactor {
       } finally in.close()
     }
     closeOut()
-    GpxVersion.bump(outDir, conf) // fresh table contents under outDir
     Result(files.length, outFiles, totalRows)
+  }
+
+  /** IN-PLACE compaction of a commit-log table — the object-store
+    * small-files answer: the head's live files byte-copy into few large
+    * files written directly under the table dir (invisible: log tables
+    * are manifest-gated), and ONE Replace commit swaps them in.
+    * Superseded files retire for vacuum; a concurrent mutation that
+    * rewrote any input makes the commit refuse loudly instead of
+    * resurrecting its rows. No rename, no trash dir, no listing
+    * dependency — the protocol the rename-based compact-to-a-new-dir
+    * path cannot offer on an object store. */
+  def compactInPlace(
+      dir: String,
+      conf: Configuration,
+      targetFileBytes: Long = 128L * 1024 * 1024): Result = {
+    require(GpxCommitLog.isLogTable(dir, conf),
+      s"compactInPlace requires a commit-log table (Cli LOG $dir); " +
+        "rename-protocol tables compact into a new directory")
+    val files = GpxCommitLog.liveFiles(dir, conf).sorted
+    require(files.nonEmpty, s"no live gpx files in the manifest of $dir")
+    val dirP = new Path(dir)
+    val opId = java.util.UUID.randomUUID().toString.take(8)
+    val outNames = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val r = byteCopy(files, dirP,
+      i => { val p = new Path(dirP, f"compact-$opId-$i%05d.gpx")
+        outNames += p; p },
+      conf, targetFileBytes)
+    val entries = outNames.toSeq.map(p =>
+      GpxCommitLog.entryFor(dir, p.toString, conf))
+    GpxCommitLog.commit(dir, conf, GpxCommitLog.Replace(entries,
+      files.map(GpxCommitLog.relOf(dir, _, conf)).toSet))
+    GpxVersion.bump(dir, conf)
+    r
   }
 }

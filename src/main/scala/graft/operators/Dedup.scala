@@ -804,7 +804,12 @@ object Dedup {
       val bband = pureBands(bgroups.select(col("fp"), col("toks")), "fp")
       val hEq = (0 until BandR)
         .map(r => col(s"x.h$r") === col(s"y.h$r")).reduce(_ && _)
-      val cand = bband.as("x").join(corpusBanded.as("y"),
+      // the BATCH side broadcasts by definition of the steady state (a
+      // nightly batch is orders of magnitude smaller than the corpus):
+      // the persisted band index streams through a broadcast hash join —
+      // the corpus is never shuffled, the probe's exchange carries only
+      // the batch signatures + matched candidates
+      val cand = broadcast(bband).as("x").join(corpusBanded.as("y"),
           col("x.band") === col("y.band") && hEq &&
             col("x.fp") =!= col("y.fp") &&
             col("x.nt") >= col("y.nt") * t - 0.5 &&
@@ -817,7 +822,7 @@ object Dedup {
       // aggregation (the index stores each fp's sorted token set as one
       // joined string; an empty set round-trips as an empty array)
       val ctoks = corpusTokens
-        .join(cand.select(col("fb").as("fp")).distinct(), "fp")
+        .join(broadcast(cand.select(col("fb").as("fp")).distinct()), "fp")
         .select(col("fp"),
           when(col("toks_s") === "", array().cast("array<string>"))
             .otherwise(split(col("toks_s"), "\u0001")).as("ctoks"))

@@ -50,7 +50,10 @@ class CliSpec extends GraftSpec {
     def bad(args: String*): Unit =
       intercept[Cli.UsageException](Cli.run(sp, args.toSeq))
     bad("LOAD", "/only/one/operand")
-    bad("COMPACT", "/src/only")
+    bad("COMPACT") // zero operands; ONE operand is the in-place form,
+    // which is a semantic (not usage) error on a non-log table:
+    intercept[IllegalArgumentException](
+      Cli.run(sp, Seq("COMPACT", "/src/only")))
     bad("STAT")
     bad("INDEX", "/tbl") // missing column list
     bad("INDEX", "/tbl", ",") // empty column list

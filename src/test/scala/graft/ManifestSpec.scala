@@ -215,6 +215,35 @@ class ManifestSpec extends GraftSpec {
     assert(delDirs.isEmpty, "log tables must never grow MOR sidecars")
   }
 
+  test("in-place compaction: one atomic manifest swap, MVCC stamps survive the byte-copy") {
+    val dir = tempDir("gpx_log_compact")
+    // many small commits with distinct commitTs (MVCC history to preserve)
+    (0 until 6).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L).selectExpr("id", "id * 2 as v")
+        .coalesce(1).write.format("gpx").mode("append")
+        .option("commitProtocol", "manifest")
+        .option("commitTs", ((i + 1) * 1000L).toString).save(dir)
+    }
+    val liveBefore = GpxCommitLog.head(dir, conf).get.live.size
+    assert(liveBefore >= 6)
+    val r = graft.format.GpxCompactor.compactInPlace(dir, conf)
+    assert(r.inputFiles == liveBefore && r.outputFiles < liveBefore)
+    val liveAfter = GpxCommitLog.head(dir, conf).get.live
+    assert(liveAfter.size == r.outputFiles)
+    // data intact through the swap
+    val df = spark.read.format("gpx").load(dir)
+    assert(df.count() == 600)
+    assert(df.agg(sum("v")).head.getLong(0) == (0L until 600).map(_ * 2).sum)
+    // row-group commitTs survived the byte-copy: time travel still works
+    assert(spark.read.format("gpx").option("snapshotTs", "3000").load(dir)
+      .count() == 300)
+    // superseded originals retire (still on disk) until vacuum
+    assert(gpxFilesOnDisk(dir).size > liveAfter.size)
+    GpxCommitLog.vacuum(dir, conf, keepVersions = 1, minAgeMs = 0)
+    assert(gpxFilesOnDisk(dir).size == liveAfter.size)
+    assert(spark.read.format("gpx").load(dir).count() == 600)
+  }
+
   test("a dead half-written slot claim: reads fall back, commits refuse with the repair path") {
     val dir = tempDir("gpx_log_dead")
     spark.range(0, 30).selectExpr("id", "id as v")
