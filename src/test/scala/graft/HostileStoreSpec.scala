@@ -133,6 +133,47 @@ class HostileStoreSpec extends GraftSpec {
     (40L until 60L).foreach(id => assert(got(id) == 0L))
   }
 
+  test("in-place compaction racing appends on the hostile store: no row lost or duplicated") {
+    val dir = hostileDir("gpx_hostile_cmp")
+    (0 until 4).foreach { i =>
+      spark.range(i * 50L, (i + 1) * 50L).selectExpr("id", "id as v")
+        .coalesce(1).write.format("gpx").mode("append")
+        .option("commitProtocol", "manifest").save(dir)
+    }
+    // appends race the compaction; the compactor's Replace either wins
+    // (appends rebase on top) or refuses loudly on a lost input — retry
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val appender = pool.submit(new Runnable {
+        override def run(): Unit = (4 until 10).foreach { i =>
+          spark.range(i * 50L, (i + 1) * 50L).selectExpr("id", "id as v")
+            .coalesce(1).write.format("gpx").mode("append").save(dir)
+        }
+      })
+      val compactor = pool.submit(new Runnable {
+        override def run(): Unit = {
+          var done = false
+          var tries = 0
+          while (!done) {
+            try { graft.format.GpxCompactor.compactInPlace(dir, conf); done = true }
+            catch {
+              case _: java.util.ConcurrentModificationException =>
+                tries += 1; if (tries > 30) throw new IllegalStateException(
+                  "compaction starved"); Thread.sleep(30)
+            }
+          }
+        }
+      })
+      appender.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      compactor.get(300, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    val ids = spark.read.format("gpx").load(dir)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.size == 500, s"got ${ids.size} rows")
+    assert(ids.distinct.size == 500, "duplicated rows after compaction race")
+    assert(ids.min == 0 && ids.max == 499)
+  }
+
   test("DML fuzz on the hostile store: random INSERT/DELETE/UPDATE/MERGE matches a model") {
     val wh = hostileDir("gpx_hostile_fuzz")
     val cat = "ghfz"

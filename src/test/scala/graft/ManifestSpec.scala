@@ -215,6 +215,40 @@ class ManifestSpec extends GraftSpec {
     assert(delDirs.isEmpty, "log tables must never grow MOR sidecars")
   }
 
+  test("streaming sink into a commit-log table: one manifest commit per epoch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val dir = tempDir("gpx_log_stream")
+    GpxCommitLog.enable(dir, conf)
+    val v0 = GpxCommitLog.head(dir, conf).get.version
+    val ckpt = tempDir("gpx_log_stream_ckpt")
+    val source = MemoryStream[(Long, String)]
+    val q = source.toDF().toDF("id", "s")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("gpx").start(dir)
+    source.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    source.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    // every epoch advanced the manifest; reads resolve the log, not the
+    // listing (an orphan file planted in the dir stays invisible)
+    assert(GpxCommitLog.head(dir, conf).get.version >= v0 + 2)
+    assert(spark.read.format("gpx").load(dir).count() == 3)
+    val orphan = new java.io.File(dir, "part-e999-0.gpx")
+    java.nio.file.Files.copy(
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".gpx"))
+        .head.toPath, orphan.toPath)
+    // listing-visible but manifest-unknown: must not be read
+    assert(spark.read.format("gpx").load(dir).count() == 3)
+    GpxCommitLog.vacuum(dir, conf, keepVersions = 1, minAgeMs = 0)
+    assert(!orphan.exists(), "vacuum must reclaim the orphan")
+    assert(spark.read.format("gpx").load(dir).count() == 3)
+  }
+
   test("in-place compaction: one atomic manifest swap, MVCC stamps survive the byte-copy") {
     val dir = tempDir("gpx_log_compact")
     // many small commits with distinct commitTs (MVCC history to preserve)
