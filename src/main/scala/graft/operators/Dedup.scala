@@ -480,15 +480,12 @@ object Dedup {
       // motivated): a cluster of k docs with one gram set would inject
       // k^2/2 pairs into every prefix bucket AND k^2/2 verify rows; reps
       // make candidate volume scale with DISTINCT sets, and the cluster's
-      // own pairs are J=1 by construction. The fingerprint is the
-      // comma-joined id list — injective, ids are decimal longs.
+      // own pairs are J=1 by construction. The sorted id array IS the
+      // group key (exact, no digest): the shuffle carries each doc's ids
+      // once — the same bytes the exploded-gram stages below move anyway.
       val groups3 = docs3
-        .withColumn("fp", md5(expr(
-          "concat_ws(',', transform(sids, x -> cast(x as string)))")
-          .cast(BinaryType)))
-        .groupBy(col("lang"), col("fp"))
+        .groupBy(col("lang"), col("sids"))
         .agg(min(col("doc_id")).as("doc_id"),
-          first(col("sids")).as("sids"),
           sort_array(collect_list(col("doc_id"))).as("members"))
         .tracked
       val g = groups3

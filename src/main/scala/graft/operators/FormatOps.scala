@@ -477,6 +477,70 @@ object FormatOps {
         .select(col("doc_id"), col("score"), col("lang"))
     },
       Some("""SELECT doc_id, CAST(doc_id AS DOUBLE) * 0.618 AS score, lang
-             |FROM documents ORDER BY score DESC LIMIT 50""".stripMargin))
+             |FROM documents ORDER BY score DESC LIMIT 50""".stripMargin)),
+
+    // The conditional-put commit log, end to end (GpxCommitLog — the
+    // object-store-safe protocol): a manifest-mode table built by two
+    // appends, a copy-on-write DELETE (one atomic Replace), and an
+    // in-place compaction (another Replace), then aggregated. Every
+    // state transition the oracle must reproduce went through a
+    // put-if-absent manifest claim; the deterministic manifest version
+    // sequence (1 seed, 2-3 appends, 4 delete, 5 compact) also feeds
+    // f18's version-pinned read.
+    GQuery("f17_commit_log", (s, d) => {
+      val dir = logTableDir(s, d)
+      s.read.format("gpx").load(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("o_orderstatus")
+    },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+              |  ${Det.o.dsum("o_totalprice")} AS sum_price,
+              |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+              |FROM orders
+              |WHERE o_orderkey % 3 <= 1 AND NOT (o_custkey < 100)
+              |GROUP BY o_orderstatus
+              |ORDER BY o_orderstatus""".stripMargin)),
+
+    // Manifest-version time travel (option("atVersion", n)): version 3 of
+    // f17's table is the pre-DELETE, pre-compaction state — both appends,
+    // nothing removed. Retired files stay on disk (vacuum not run), so
+    // the pinned read reconstructs it exactly.
+    GQuery("f18_commit_log_time_travel", (s, d) => {
+      val dir = logTableDir(s, d)
+      s.read.format("gpx").option("atVersion", "3").load(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+              |  ${Det.o.dsum("o_totalprice")} AS sum_price
+              |FROM orders WHERE o_orderkey % 3 <= 1
+              |GROUP BY o_orderstatus
+              |ORDER BY o_orderstatus""".stripMargin))
   )
+
+  /** f17/f18 shared build: a commit-log table with a deterministic
+    * manifest history — v1 enable seed, v2/v3 appends, v4 COW DELETE
+    * (log tables force copy-on-write: one atomic Replace), v5 in-place
+    * compaction (another Replace). */
+  private def logTableDir(s: SparkSession, d: String): String =
+    cachedDir(d, "log_orders") { dir =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 3 === 0).write.format("gpx")
+        .mode("append").option("commitProtocol", "manifest")
+        .option("rowGroupRows", "4096").save(dir) // v1 (seed) + v2
+      o.filter(col("o_orderkey") % 3 === 1).write.format("gpx")
+        .mode("append").option("rowGroupRows", "4096").save(dir) // v3
+      val schema = s.read.format("gpx").load(dir).schema
+      graft.format.GpxDelete.run(schema, Seq(dir),
+        Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.LessThan("o_custkey", 100L))) // v4
+      graft.format.GpxCompactor.compactInPlace(dir, conf) // v5
+    }
 }
