@@ -63,14 +63,28 @@ object GpxVersion {
     s"${System.currentTimeMillis()}-${java.util.UUID.randomUUID().toString.take(12)}"
 
   /** current token, or None when absent/unreadable (callers fall back to
-    * exact listing comparison) */
+    * exact listing comparison). Commit-log tables derive the token from
+    * the manifest head version — EXACT (every state change is a new
+    * version) and atomic on any store, where the token-file publish
+    * (delete + rename) is merely best-effort; this is what keeps
+    * token-gated artifacts (ANALYZE stats, projection manifests, point
+    * indexes) correctly validated on object stores. */
   def current(root: String, conf: Configuration): Option[String] =
-    read(root, VersionFile, conf)
+    logToken(root, conf).orElse(read(root, VersionFile, conf))
 
   /** current data-layout token (delete-sidecar changes excluded), or None
-    * when absent/unreadable */
+    * when absent/unreadable. Log tables never grow merge-on-read sidecars
+    * (GpxDelete routes them to COW), so the manifest version covers the
+    * data layout exactly. */
   def currentData(root: String, conf: Configuration): Option[String] =
-    read(root, DataVersionFile, conf)
+    logToken(root, conf).orElse(read(root, DataVersionFile, conf))
+
+  private def logToken(root: String, conf: Configuration): Option[String] =
+    try {
+      if (GpxCommitLog.isLogTable(root, conf))
+        GpxCommitLog.head(root, conf).map(s => s"mf:${s.version}")
+      else None
+    } catch { case _: Throwable => None }
 
   private def read(root: String, file: String,
       conf: Configuration): Option[String] = {

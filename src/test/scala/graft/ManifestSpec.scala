@@ -306,6 +306,26 @@ class ManifestSpec extends GraftSpec {
     assert(spark.read.format("gpx").load(dir).count() == 40)
   }
 
+  test("token-gated artifacts stamp against the manifest version on log tables") {
+    val dir = tempDir("gpx_log_stats")
+    spark.range(0, 500).selectExpr("id", "id % 37 as v")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    // manifest-derived version token: exact, atomic, no token-file rename
+    val tok = graft.format.GpxVersion.current(dir, conf)
+    assert(tok.exists(_.startsWith("mf:")), s"got $tok")
+    // ANALYZE publishes NDV stamped with it; served while valid
+    val ndv = graft.format.GpxMaintenance.analyze(spark, dir, conf)
+    assert(ndv("v") == 37)
+    assert(graft.format.GpxTable.readColStats(dir, conf)("v") == 37)
+    // any commit advances the manifest version -> stats stop serving
+    spark.range(500, 600).selectExpr("id", "id % 37 as v")
+      .write.format("gpx").mode("append").save(dir)
+    assert(graft.format.GpxVersion.current(dir, conf) != tok)
+    assert(graft.format.GpxTable.readColStats(dir, conf).isEmpty,
+      "stale NDV must not be served after a manifest commit")
+  }
+
   test("enable() migrates an existing rename-mode table in place") {
     val dir = tempDir("gpx_log_migrate")
     spark.range(0, 80).selectExpr("id", "id % 7 as v")
