@@ -91,11 +91,45 @@ object GpxCommitLog {
 
   private def logPath(root: String): Path = new Path(dirOf(root), LogDir)
 
-  def isLogTable(root: String, conf: Configuration): Boolean =
-    try {
+  /** isLogTable is probed on every planning path (listFiles, layout-spec
+    * reads, row-level builders, version tokens) — several fs.exists RPCs
+    * per query on exactly the high-latency object stores the log targets.
+    * Cache per table dir: a positive answer is sticky (a log, once
+    * enabled, never reverts in place — dropTable invalidates), a negative
+    * answer expires quickly so a cross-JVM enable() is observed within
+    * the TTL. */
+  private val NegativeTtlNanos = 3_000_000_000L // 3 s
+  private val logTableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def isLogTable(root: String, conf: Configuration): Boolean = {
+    val key = dirOf(root).toString
+    val v = logTableCache.get(key)
+    if (v != null) {
+      if (v.longValue() == Long.MaxValue) return true
+      if (System.nanoTime() < v.longValue()) return false
+    }
+    val exists = try {
       val p = logPath(root)
       p.getFileSystem(conf).exists(p)
     } catch { case _: Throwable => false }
+    logTableCache.put(key,
+      if (exists) Long.MaxValue else System.nanoTime() + NegativeTtlNanos)
+    exists
+  }
+
+  /** Drop every cached fact about a table dir (the log-presence answer,
+    * parsed manifests, dead-slot marks). Called when the table itself is
+    * deleted/recreated — a recreated table at the same path must re-probe. */
+  def invalidateCaches(root: String): Unit = {
+    val key = dirOf(root).toString
+    logTableCache.remove(key)
+    parseCache.synchronized {
+      val it = parseCache.keySet().iterator()
+      while (it.hasNext) if (it.next()._1 == key) it.remove()
+    }
+    knownBad.removeIf(_._1 == key)
+  }
 
   // ---------------- serialization ----------------
 
@@ -356,6 +390,8 @@ object GpxCommitLog {
     val lp = logPath(root)
     val fs = lp.getFileSystem(conf)
     if (!fs.exists(lp)) fs.mkdirs(lp)
+    // the log dir now exists: the presence answer is positively sticky
+    logTableCache.put(dirOf(root).toString, Long.MaxValue)
     var attempts = 200
     var lastBase = -1L
     var sameBase = 0
@@ -487,7 +523,14 @@ object GpxCommitLog {
     var mfDeleted = 0
     versions.drop(keepVersions).foreach { v =>
       if (try fs.delete(new Path(lp, manifestName(v)), false)
-        catch { case _: Throwable => false }) mfDeleted += 1
+        catch { case _: Throwable => false }) {
+        mfDeleted += 1
+        // a vacuumed version must fail loudly ("no such manifest
+        // version") in THIS JVM too — a warm parseCache hit would serve
+        // the snapshot until its data files 404 with a confusing error
+        parseCache.remove((dirKey, v))
+        knownBad.remove((dirKey, v))
+      }
     }
     (dataDeleted, mfDeleted)
   }

@@ -821,7 +821,11 @@ object Dedup {
       val ctoks = corpusTokens
         .join(broadcast(cand.select(col("fb").as("fp")).distinct()), "fp")
         .select(col("fp"),
-          when(col("toks_s") === "", array().cast("array<string>"))
+          // split-on-space yields >= 1 element, so the EMPTY set is
+          // unreachable; the only set serializing to "" is [""] — decode
+          // it back exactly (an empty array here would diverge from the
+          // batch side's [""] and skew the jaccard for empty-token docs)
+          when(col("toks_s") === "", array(lit("")))
             .otherwise(split(col("toks_s"), "\u0001")).as("ctoks"))
       val verified = cand
         .join(bgroups.select(col("fp").as("fa"), col("toks").as("btoks")), "fa")
