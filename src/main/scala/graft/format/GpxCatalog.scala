@@ -215,12 +215,14 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     // TBLPROPERTIES('commit_protocol'='manifest') -> the object-store-safe
     // conditional-put commit log (GpxCommitLog): v1 seeds from the (empty)
     // table, embedding the layout specs written above; every later write
-    // commits through the log and readers resolve it instead of listing
-    Option(properties.get("commit_protocol")).foreach { p =>
-      require(p == "manifest" || p == "rename",
-        s"commit_protocol must be 'manifest' or 'rename', got '$p'")
-      if (p == "manifest") GpxCommitLog.enable(dir.toString, conf)
-    }
+    // commits through the log and readers resolve it instead of listing.
+    // With no explicit property, the protocol routes by filesystem
+    // capability: a warehouse on a scheme without atomic rename (s3a, gs,
+    // abfs, wasb, hostile...) gets the manifest log by DEFAULT — the same
+    // safe-by-default rule as path-based writes (GpxCommitLog.routeWantLog).
+    val explicitProto = Option(properties.get("commit_protocol"))
+    if (GpxCommitLog.routeWantLog(dir.toString, conf, explicitProto))
+      GpxCommitLog.enable(dir.toString, conf)
     new GpxTable(schema, Seq(dir.toString), catalogManaged = true)
   }
 
@@ -423,13 +425,18 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     }
   }
 
-  override def dropTable(ident: Identifier): Boolean =
+  override def dropTable(ident: Identifier): Boolean = {
+    // a table recreated at this path must re-probe its protocol/manifests
+    GpxCommitLog.invalidateCaches(tablePath(ident).toString)
     tableExists(ident) && fs.delete(tablePath(ident), true)
+  }
 
   override def renameTable(old: Identifier, next: Identifier): Unit = {
     if (!tableExists(old)) throw new NoSuchTableException(old)
     if (tableExists(next)) throw new TableAlreadyExistsException(next)
     fs.mkdirs(nsPath(next.namespace()))
+    GpxCommitLog.invalidateCaches(tablePath(old).toString)
+    GpxCommitLog.invalidateCaches(tablePath(next).toString)
     fs.rename(tablePath(old), tablePath(next))
   }
 

@@ -118,12 +118,71 @@ object GpxCommitLog {
     exists
   }
 
+  /** Filesystem schemes where the rename protocol's two load-bearing
+    * primitives do NOT hold (rename is copy+delete and/or exclusive create
+    * is last-writer-wins). On these, the conditional-put log is the
+    * DEFAULT: a user pointing a plain write at s3a:// must get the safe
+    * protocol without knowing it exists — the reference is safe-by-default
+    * because every table commits through its daemon (reference
+    * proto/transaction.proto:33-48). `hostile` is the test shim with the
+    * same semantics. Local paths (null scheme), file:// and HDFS keep the
+    * rename protocol; an explicit commitProtocol option always wins. */
+  private val NonRenameAtomicSchemes = Set(
+    "s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+    "oss", "cos", "cosn", "obs", "swift", "hostile")
+
+  def schemeUnsafeForRename(root: String): Boolean =
+    (try Option(new Path(root).toUri.getScheme) catch { case _: Throwable => None })
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+      .exists(NonRenameAtomicSchemes.contains)
+
+  // one loud line per table dir per JVM when routing decides the protocol
+  private val routeLogged =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Protocol routing for a write: explicit option > existing log > scheme
+    * capability. Returns true when this write must commit through the
+    * manifest log. Logs the decision once per table so an operator can see
+    * which protocol a table landed on without reading the code. */
+  def routeWantLog(root: String, conf: Configuration,
+      explicit: Option[String]): Boolean = {
+    explicit.foreach(p => require(p == "manifest" || p == "rename",
+      s"commitProtocol must be 'manifest' or 'rename', got '$p'"))
+    val unsafeScheme = schemeUnsafeForRename(root)
+    val want = explicit match {
+      case Some("manifest") => true
+      case Some("rename") => false
+      case _ => unsafeScheme || isLogTable(root, conf)
+    }
+    val dirKey = dirOf(root).toString
+    if (routeLogged.add(dirKey)) {
+      val why = explicit match {
+        case Some(p) => s"explicit commitProtocol=$p"
+        case None if unsafeScheme =>
+          "scheme without atomic rename -> conditional-put manifest log"
+        case None if want => "existing _commits log"
+        case None => "rename-atomic filesystem"
+      }
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"gpx commit protocol for $dirKey: " +
+          s"${if (want) "manifest" else "rename"} ($why)")
+      if (!want && unsafeScheme)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"gpx: commitProtocol=rename forced on $dirKey, whose " +
+            "scheme lacks atomic rename — concurrent writers can lose " +
+            "updates or tear a publish; this is unsafe unless writes are " +
+            "externally serialized")
+    }
+    want
+  }
+
   /** Drop every cached fact about a table dir (the log-presence answer,
     * parsed manifests, dead-slot marks). Called when the table itself is
     * deleted/recreated — a recreated table at the same path must re-probe. */
   def invalidateCaches(root: String): Unit = {
     val key = dirOf(root).toString
     logTableCache.remove(key)
+    routeLogged.remove(key)
     parseCache.synchronized {
       val it = parseCache.keySet().iterator()
       while (it.hasNext) if (it.next()._1 == key) it.remove()

@@ -544,11 +544,15 @@ class GpxTable(schema: StructType, roots: Seq[String],
     // per-row commit timestamps (multi-version rewrites): the named column
     // must ride LAST in the written schema; files store the data fields
     val tsColumn = Option(info.options.get("commitTsColumn"))
-    // commit-log protocol: option("commitProtocol","manifest") opts the
-    // table into the conditional-put log on this write (idempotent once
-    // enabled); "logDefer" makes a compound operation's inner append
-    // register its files instead of committing (see GpxCommitLog.deferAdd)
-    val wantLog = Option(info.options.get("commitProtocol")).contains("manifest")
+    // commit-log protocol routing: explicit option("commitProtocol",...)
+    // wins; otherwise schemes without atomic rename (s3a/gs/abfs/wasb and
+    // the hostile test shim) default to the conditional-put log — the
+    // rename protocol is silently unsafe there — and rename-atomic stores
+    // (local/HDFS) keep the rename default. "logDefer" makes a compound
+    // operation's inner append register its files instead of committing
+    // (see GpxCommitLog.deferAdd).
+    val wantLog = GpxCommitLog.routeWantLog(roots.head, new Configuration(),
+      Option(info.options.get("commitProtocol")))
     val logDefer = Option(info.options.get("logDefer"))
     new GpxWriteBuilder(info.schema(), roots.head, rgRows, pxRows, commitTs,
       bucket, sortBy, tsColumn, range, wantLog, logDefer)
@@ -1682,16 +1686,32 @@ class GpxStreamingWrite(schema: StructType, path: String, rgRows: Int,
         case _ => ()
       }
     } else {
-      if (fs.exists(rootP))
+      // protocol routing, same capability rule as the batch path: an
+      // unsafe-rename scheme defaults the sink to the manifest log
+      val logMode = GpxCommitLog.isLogTable(path, conf) ||
+        GpxCommitLog.schemeUnsafeForRename(path)
+      if (logMode) GpxCommitLog.enable(path, conf)
+      if (!logMode && fs.exists(rootP))
         fs.listStatus(rootP).foreach { st =>
           if (st.getPath.getName.startsWith(s"part-e$epochId-"))
             fs.delete(st.getPath, false)
         }
+      // log tables publish under ATTEMPT-unique names and NEVER pre-delete:
+      // the committed head manifest still references the prior attempt's
+      // files, and deleting or rewriting them in place (deterministic
+      // names + non-atomic rename) would 404 a concurrent reader or serve
+      // half-copied bytes under a cached footer. The epoch's Replace
+      // retires the prior attempt's names atomically; vacuum reclaims
+      // the bytes.
+      val attemptTag =
+        if (logMode) s"-a${java.util.UUID.randomUUID().toString.take(8)}"
+        else ""
       val dests = scala.collection.mutable.ArrayBuffer.empty[String]
       messages.foreach {
         case GpxStreamCommit(file, partitionId) =>
           val src = new Path(file)
-          val dest = new Path(rootP, s"part-e$epochId-$partitionId.gpx")
+          val dest = new Path(rootP,
+            s"part-e$epochId-$partitionId$attemptTag.gpx")
           // a missing staged file is DATA LOSS (external cleanup raced the
           // commit) — fail the epoch so the checkpoint does not advance
           if (!fs.exists(src) || !fs.rename(src, dest))
@@ -1704,7 +1724,7 @@ class GpxStreamingWrite(schema: StructType, path: String, rgRows: Int,
       // idempotency marker — a crash in between replays the epoch, whose
       // Replace (drop any already-live files of this epoch, add this
       // attempt's set) converges to the same state
-      if (GpxCommitLog.isLogTable(path, conf)) {
+      if (logMode) {
         val prevEpoch = GpxCommitLog.head(path, conf).toSeq
           .flatMap(_.live.map(_.relPath))
           .filter(_.startsWith(s"part-e$epochId-")).toSet

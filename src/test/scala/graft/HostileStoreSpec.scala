@@ -36,9 +36,13 @@ class HostileStoreSpec extends GraftSpec {
 
   test("append/read/overwrite/vacuum round-trip on the hostile store") {
     val dir = hostileDir("gpx_hostile_rt")
+    // NO commitProtocol option anywhere in this spec: the hostile://
+    // scheme lacks atomic rename, so routing must pick the manifest
+    // protocol on its own (safe-by-default)
     spark.range(0, 200).selectExpr("id", "id * 3 as v")
-      .write.format("gpx").mode("append")
-      .option("commitProtocol", "manifest").save(dir)
+      .write.format("gpx").mode("append").save(dir)
+    assert(GpxCommitLog.isLogTable(dir, conf),
+      "unsafe scheme must auto-route to the manifest protocol")
     spark.range(200, 300).selectExpr("id", "id * 3 as v")
       .write.format("gpx").mode("append").save(dir)
     val df = spark.read.format("gpx").load(dir)
@@ -55,11 +59,12 @@ class HostileStoreSpec extends GraftSpec {
 
   test("concurrent appends from racing writers: every row exactly once") {
     val dir = hostileDir("gpx_hostile_app")
-    // seed the log (concurrent enable() of a fresh table is not the
-    // interleaving under test — concurrent COMMITS are)
+    // seed the table first (concurrent enable() of a fresh table is not
+    // the interleaving under test — concurrent COMMITS are); scheme
+    // routing alone must put it on the log protocol
     spark.range(0, 1).selectExpr("id", "id as v")
-      .write.format("gpx").mode("append")
-      .option("commitProtocol", "manifest").save(dir)
+      .write.format("gpx").mode("append").save(dir)
+    assert(GpxCommitLog.isLogTable(dir, conf))
     val nThreads = 6; val perThread = 4; val batch = 100
     val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
     try {
@@ -90,8 +95,9 @@ class HostileStoreSpec extends GraftSpec {
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.format.GpxCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING gpx " +
-      "TBLPROPERTIES('commit_protocol'='manifest')")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING gpx")
+    assert(GpxCommitLog.isLogTable(s"$wh/db/t", conf),
+      "hostile warehouse must route CREATE TABLE to the manifest protocol")
     spark.sql(s"INSERT INTO $cat.db.t SELECT id, 0 FROM range(0, 60)")
     // each thread adds a distinct power of two to an overlapping range,
     // retrying on refusal: additions commute, so the final value exposes
@@ -137,8 +143,7 @@ class HostileStoreSpec extends GraftSpec {
     val dir = hostileDir("gpx_hostile_cmp")
     (0 until 4).foreach { i =>
       spark.range(i * 50L, (i + 1) * 50L).selectExpr("id", "id as v")
-        .coalesce(1).write.format("gpx").mode("append")
-        .option("commitProtocol", "manifest").save(dir)
+        .coalesce(1).write.format("gpx").mode("append").save(dir)
     }
     // appends race the compaction; the compactor's Replace either wins
     // (appends rebase on top) or refuses loudly on a lost input — retry
@@ -180,8 +185,7 @@ class HostileStoreSpec extends GraftSpec {
     spark.conf.set(s"spark.sql.catalog.$cat", "graft.format.GpxCatalog")
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
-    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT, s STRING) USING gpx " +
-      "TBLPROPERTIES('commit_protocol'='manifest')")
+    spark.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT, s STRING) USING gpx")
     val rnd = new Random(2024)
     val model = mutable.Map.empty[Long, (Long, String)]
     var nextId = 0L
@@ -234,6 +238,35 @@ class HostileStoreSpec extends GraftSpec {
           s"diff=${(got.toSet diff model.toSet).take(3)} / " +
           s"${(model.toSet diff got.toSet).take(3)}")
     }
+  }
+
+  test("protocol routing: unsafe scheme defaults to manifest, local to rename, explicit option wins") {
+    // hostile scheme, no option: the manifest log must appear on its own
+    val h = hostileDir("gpx_route_auto")
+    spark.range(0, 10).selectExpr("id", "id as v")
+      .write.format("gpx").mode("append").save(h)
+    assert(GpxCommitLog.isLogTable(h, conf),
+      "scheme without atomic rename must default to the manifest protocol")
+    assert(spark.read.format("gpx").load(h).count() == 10)
+    // local path: rename stays the default — no _commits dir materializes
+    val l = tempDir("gpx_route_local")
+    spark.range(0, 10).selectExpr("id", "id as v")
+      .write.format("gpx").mode("append").save(l)
+    assert(!GpxCommitLog.isLogTable(l, conf),
+      "rename-atomic filesystems must keep the rename protocol by default")
+    // explicit option always wins, in both directions
+    val h2 = hostileDir("gpx_route_explicit_rename")
+    spark.range(0, 10).selectExpr("id", "id as v")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "rename").save(h2)
+    assert(!GpxCommitLog.isLogTable(h2, conf),
+      "an explicit rename request must override scheme routing")
+    val l2 = tempDir("gpx_route_explicit_manifest")
+    spark.range(0, 10).selectExpr("id", "id as v")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(l2)
+    assert(GpxCommitLog.isLogTable(l2, conf),
+      "an explicit manifest request must apply on any filesystem")
   }
 
   private def causeChain(e: Throwable): Seq[Throwable] = {

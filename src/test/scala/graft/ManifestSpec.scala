@@ -249,6 +249,46 @@ class ManifestSpec extends GraftSpec {
     assert(spark.read.format("gpx").load(dir).count() == 3)
   }
 
+  test("streaming epoch replay on a log table never deletes or rewrites manifest-live files in place") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.connector.write.WriterCommitMessage
+    val dir = tempDir("gpx_log_replay")
+    GpxCommitLog.enable(dir, conf)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    def stage(name: String, lo: Long, hi: Long): String = {
+      val f = s"$dir/_streaming/$name"
+      val w = new graft.format.GpxFileWriter(f, schema, conf, 1024, 256, -1L)
+      (lo until hi).foreach(i => w.addRow(InternalRow(i)))
+      w.close()
+      f
+    }
+    val sw = new graft.format.GpxStreamingWrite(schema, dir, 1024, 256, -1L)
+    sw.commit(5, Array[WriterCommitMessage](
+      graft.format.GpxStreamCommit(stage("e5-p0-t1.gpx", 0, 10), 0)))
+    val firstAttempt = GpxCommitLog.head(dir, conf).get.live.map(_.relPath)
+    assert(firstAttempt.nonEmpty)
+    // crash window: the manifest Replace committed but the idempotency
+    // marker did not — the engine then REPLAYS the epoch (possibly with a
+    // different partition count/attempt)
+    assert(new java.io.File(dir, "_e5.committed").delete())
+    sw.commit(5, Array[WriterCommitMessage](
+      graft.format.GpxStreamCommit(stage("e5-p0-t2.gpx", 0, 10), 0)))
+    // the prior attempt's files were NEVER deleted or rewritten in place:
+    // a reader pinned to the pre-replay manifest still finds its bytes
+    firstAttempt.foreach(rel => assert(new java.io.File(dir, rel).exists(),
+      s"$rel was deleted in place during epoch replay"))
+    // names are attempt-unique and the replay's Replace retired the old set
+    val secondAttempt = GpxCommitLog.head(dir, conf).get.live.map(_.relPath)
+    assert(secondAttempt.nonEmpty)
+    assert(secondAttempt.toSet.intersect(firstAttempt.toSet).isEmpty,
+      "replay must publish fresh names, not reuse the prior attempt's")
+    // exactly one attempt's rows visible (replay converged, no duplication)
+    assert(spark.read.format("gpx").load(dir).count() == 10)
+    GpxCommitLog.vacuum(dir, conf, keepVersions = 1, minAgeMs = 0)
+    assert(spark.read.format("gpx").load(dir).count() == 10)
+  }
+
   test("in-place compaction: one atomic manifest swap, MVCC stamps survive the byte-copy") {
     val dir = tempDir("gpx_log_compact")
     // many small commits with distinct commitTs (MVCC history to preserve)
