@@ -71,10 +71,25 @@ object GpxCommitLog {
     def relPaths: Set[String] = live.iterator.map(_.relPath).toSet
   }
 
-  /** observability: manifest head resolutions / manifest file parses —
-    * specs assert planning costs one log read, not an O(files) walk */
+  /** observability: manifest head resolutions / manifest file parses /
+    * manifest bytes written — specs assert planning costs one log read
+    * (not an O(files) walk) and commits cost O(commit size) bytes (not an
+    * O(live set) snapshot rewrite per append) */
   val headReads = new AtomicLong(0)
   val manifestParses = new AtomicLong(0)
+  val manifestBytesWritten = new AtomicLong(0)
+
+  /** Every CheckpointInterval-th version is a self-contained full
+    * snapshot; versions in between serialize only their CHANGE (adds,
+    * removes, spec/schema updates) — O(commit size) bytes per append or
+    * streaming epoch instead of an O(live files) full-table rewrite (at
+    * 100k files x ~10 stat'd columns a full snapshot is multi-MB; an
+    * append delta stays KBs at any table size). Head resolution reads at
+    * most one checkpoint + (CheckpointInterval - 1) deltas cold, and one
+    * cached snapshot + nothing warm. Overwrites are always written full
+    * (their change IS the whole live set), which also makes v1 (the
+    * enable() seed) self-contained. */
+  val CheckpointInterval = 16
 
   // parsed manifests are immutable once committed: cache by (dir, version)
   private val parseCache = java.util.Collections.synchronizedMap(
@@ -197,6 +212,47 @@ object GpxCommitLog {
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
+  /** an incremental manifest entry: the CHANGE one commit applied on top
+    * of its predecessor version (never persisted for overwrites — those
+    * serialize as self-contained full snapshots) */
+  private final case class Delta(
+      version: Long, isReplace: Boolean,
+      add: Vector[FileEntry], removeRel: Set[String],
+      bucket: Option[GpxTable.BucketSpec], sort: Seq[String],
+      range: Option[GpxTable.RangeSpec],
+      schema: Option[org.apache.spark.sql.types.StructType])
+
+  /** deterministic replay of a committed delta. The committer validated
+    * the change against exactly this predecessor before winning the slot
+    * (conditional put serializes versions), so apply never conflicts —
+    * it mirrors commit()'s Append/Replace builders. */
+  private def applyDelta(prev: Snapshot, d: Delta): Snapshot =
+    if (d.isReplace)
+      prev.copy(version = d.version,
+        live = prev.live.filterNot(e => d.removeRel.contains(e.relPath)) ++ d.add,
+        schema = mergeSchemas(prev.schema, d.schema))
+    else
+      prev.copy(version = d.version, live = prev.live ++ d.add,
+        bucket = prev.bucket.orElse(d.bucket),
+        sort = if (prev.sort.nonEmpty) prev.sort else d.sort,
+        range = prev.range.orElse(d.range),
+        schema = mergeSchemas(prev.schema, d.schema))
+
+  private def appendFileLines(sb: StringBuilder, e: FileEntry): Unit = {
+    sb.append(s"f ${enc(e.relPath)} ${e.len} ${e.numRows} ${e.minTs} ${e.maxTs}\n")
+    e.stats.foreach { case (c, st) =>
+      sb.append(s"c ${enc(c)} ${st.hasValues} ${st.minLong} ${st.maxLong} " +
+        s"${java.lang.Double.doubleToRawLongBits(st.minDouble)} " +
+        s"${java.lang.Double.doubleToRawLongBits(st.maxDouble)} " +
+        s"${enc(st.minString)} ${enc(st.maxString)} ${st.nullCount} ${st.reliable}\n")
+    }
+  }
+
+  private def seal(sb: StringBuilder): Array[Byte] = {
+    val body = sb.toString
+    (body + s"end ${digest(body)}\n").getBytes("UTF-8")
+  }
+
   private def serialize(s: Snapshot): Array[Byte] = {
     val sb = new StringBuilder
     sb.append("gpxlog1\n")
@@ -206,18 +262,23 @@ object GpxCommitLog {
     if (s.sort.nonEmpty) sb.append(s"sort ${s.sort.map(enc).mkString(",")}\n")
     s.range.foreach(r =>
       sb.append(s"range ${enc(r.column)} ${r.bounds.mkString(",")}\n"))
-    s.live.foreach { e =>
-      sb.append(s"f ${enc(e.relPath)} ${e.len} ${e.numRows} ${e.minTs} ${e.maxTs}\n")
-      e.stats.foreach { case (c, st) =>
-        sb.append(s"c ${enc(c)} ${st.hasValues} ${st.minLong} ${st.maxLong} " +
-          s"${java.lang.Double.doubleToRawLongBits(st.minDouble)} " +
-          s"${java.lang.Double.doubleToRawLongBits(st.maxDouble)} " +
-          s"${enc(st.minString)} ${enc(st.maxString)} ${st.nullCount} ${st.reliable}\n")
-      }
-    }
-    val body = sb.toString
-    val sha = digest(body)
-    (body + s"end $sha\n").getBytes("UTF-8")
+    s.live.foreach(appendFileLines(sb, _))
+    seal(sb)
+  }
+
+  private def serializeDelta(d: Delta): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("gpxdelta1\n")
+    sb.append(s"v ${d.version}\n")
+    sb.append(s"kind ${if (d.isReplace) "replace" else "append"}\n")
+    d.schema.foreach(sc => sb.append(s"schema ${enc(sc.json)}\n"))
+    d.bucket.foreach(b => sb.append(s"bucket ${enc(b.column)} ${b.numBuckets}\n"))
+    if (d.sort.nonEmpty) sb.append(s"sort ${d.sort.map(enc).mkString(",")}\n")
+    d.range.foreach(r =>
+      sb.append(s"range ${enc(r.column)} ${r.bounds.mkString(",")}\n"))
+    d.removeRel.toSeq.sorted.foreach(r => sb.append(s"rm ${enc(r)}\n"))
+    d.add.foreach(appendFileLines(sb, _))
+    seal(sb)
   }
 
   private def digest(body: String): String = {
@@ -225,8 +286,9 @@ object GpxCommitLog {
     md.digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(32)
   }
 
-  /** None = corrupt/partial bytes (non-atomic store caught mid-write) */
-  private def parse(bytes: Array[Byte]): Option[Snapshot] =
+  /** None = corrupt/partial bytes (non-atomic store caught mid-write);
+    * Left = self-contained snapshot, Right = incremental delta */
+  private def parse(bytes: Array[Byte]): Option[Either[Snapshot, Delta]] =
     try {
       manifestParses.incrementAndGet()
       val txt = new String(bytes, "UTF-8")
@@ -235,11 +297,14 @@ object GpxCommitLog {
       val body = txt.substring(0, endIdx)
       val sha = txt.substring(endIdx + 4).trim
       if (digest(body) != sha) return None
+      var isDelta = false
+      var isReplace = false
       var version = -1L
       var schema: Option[org.apache.spark.sql.types.StructType] = None
       var bucket: Option[GpxTable.BucketSpec] = None
       var sort: Seq[String] = Nil
       var range: Option[GpxTable.RangeSpec] = None
+      val removes = Set.newBuilder[String]
       val live = Vector.newBuilder[FileEntry]
       var cur: FileEntry = null
       def flush(): Unit = if (cur != null) { live += cur; cur = null }
@@ -247,6 +312,8 @@ object GpxCommitLog {
         val t = line.split(" ")
         t(0) match {
           case "gpxlog1" => ()
+          case "gpxdelta1" => isDelta = true
+          case "kind" => isReplace = t(1) == "replace"
           case "v" => version = t(1).toLong
           case "schema" => schema = Some(
             org.apache.spark.sql.types.DataType.fromJson(dec(t(1)))
@@ -255,6 +322,7 @@ object GpxCommitLog {
           case "sort" => sort = t(1).split(",").toSeq.map(dec)
           case "range" => range = Some(
             GpxTable.RangeSpec(dec(t(1)), t(2).split(",").toSeq.map(_.toLong)))
+          case "rm" => removes += dec(t(1))
           case "f" =>
             flush()
             cur = FileEntry(dec(t(1)), t(2).toLong, t(3).toLong,
@@ -270,7 +338,10 @@ object GpxCommitLog {
       }
       flush()
       if (version < 0) None
-      else Some(Snapshot(version, schema, bucket, sort, range, live.result()))
+      else if (isDelta)
+        Some(Right(Delta(version, isReplace, live.result(), removes.result(),
+          bucket, sort, range, schema)))
+      else Some(Left(Snapshot(version, schema, bucket, sort, range, live.result())))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def versionOf(name: String): Option[Long] =
@@ -306,6 +377,11 @@ object GpxCommitLog {
   private val knownBad =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
 
+  /** Materialize the snapshot at version v: read v's manifest; a full
+    * snapshot returns directly, a delta recurses to its predecessor and
+    * replays (recursion depth bounded by CheckpointInterval — every K-th
+    * version and every overwrite is self-contained). Cold cost: one
+    * checkpoint + <= K-1 delta parses; warm cost: one cache hit. */
   private def readVersion(fs: FileSystem, lp: Path, v: Long,
       dirKey: String): Option[Snapshot] = {
     val key = (dirKey, v)
@@ -317,10 +393,21 @@ object GpxCommitLog {
     var attempts = if (knownBad.contains(key)) 1 else 40
     while (attempts > 0) {
       readBytes(fs, new Path(lp, manifestName(v))).flatMap(parse) match {
-        case Some(s) if s.version == v =>
+        case Some(Left(s)) if s.version == v =>
           parseCache.put(key, s)
           knownBad.remove(key)
           return Some(s)
+        case Some(Right(d)) if d.version == v =>
+          // valid delta bytes; resolution now depends on the predecessor
+          // chain. An unresolvable predecessor (vacuumed away, or a dead
+          // claim below us) is NOT this slot's fault — return without
+          // marking the slot bad so a later repair resolves it.
+          knownBad.remove(key)
+          return readVersion(fs, lp, v - 1, dirKey).map { prev =>
+            val s = applyDelta(prev, d)
+            parseCache.put(key, s)
+            s
+          }
         case _ =>
           attempts -= 1
           if (attempts > 0) Thread.sleep(5)
@@ -445,7 +532,8 @@ object GpxCommitLog {
     * sources are still live) or throw `ConcurrentModificationException`
     * (replace sources rewritten underneath — retrying would duplicate or
     * lose rows). Returns the committed version. */
-  def commit(root: String, conf: Configuration, change: Change): Long = {
+  def commit(root: String, conf: Configuration, change: Change,
+      forceFull: Boolean = false): Long = {
     val lp = logPath(root)
     val fs = lp.getFileSystem(conf)
     if (!fs.exists(lp)) fs.mkdirs(lp)
@@ -488,8 +576,23 @@ object GpxCommitLog {
         case Overwrite(add, b, s, r, sc) =>
           Snapshot(base + 1, sc, b, s, r, add.toVector)
       }
-      if (putIfAbsent(fs, new Path(lp, manifestName(next.version)),
-          serialize(next))) {
+      // O(commit) manifest bytes: appends/replaces persist only their
+      // CHANGE; overwrites and every CheckpointInterval-th version write
+      // the full self-contained snapshot (the periodic checkpoint that
+      // bounds cold head resolution)
+      val bytes = change match {
+        case _: Overwrite => serialize(next)
+        case _ if forceFull => serialize(next)
+        case _ if next.version % CheckpointInterval == 0 => serialize(next)
+        case Append(add, b, s, r, sc) =>
+          serializeDelta(Delta(next.version, isReplace = false,
+            add.toVector, Set.empty, b, s, r, sc))
+        case Replace(add, removeRel, sc) =>
+          serializeDelta(Delta(next.version, isReplace = true,
+            add.toVector, removeRel, None, Nil, None, sc))
+      }
+      if (putIfAbsent(fs, new Path(lp, manifestName(next.version)), bytes)) {
+        manifestBytesWritten.addAndGet(bytes.length.toLong)
         parseCache.put((dirOf(root).toString, next.version), next)
         return next.version
       }
@@ -554,10 +657,43 @@ object GpxCommitLog {
     require(keepVersions >= 1, "must keep at least the head")
     val lp = logPath(root)
     val fs = lp.getFileSystem(conf)
+    def isSelfContained(v: Long): Boolean =
+      readBytes(fs, new Path(lp, manifestName(v))).flatMap(parse) match {
+        case Some(Left(_)) => true
+        case _ => false
+      }
+    // make the newest retained version self-contained first: without a
+    // checkpoint at (or near) the head, the keep-set would have to extend
+    // down to the last full snapshot and the sweep could not converge the
+    // disk to the live set. Best-effort — a blocked commit (dead claim)
+    // falls back to the extension rule below, which retains more but
+    // stays correct.
+    head(root, conf).foreach { h =>
+      if (!isSelfContained(h.version))
+        try { commit(root, conf, Append(Seq.empty), forceFull = true); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
     val versions = listVersions(fs, lp).sorted(Ordering[Long].reverse)
     if (versions.isEmpty) return (0, 0)
     val dirKey = dirOf(root).toString
-    val keep = versions.take(keepVersions)
+    val keep0 = versions.take(keepVersions)
+    // a retained DELTA version only materializes through its predecessor
+    // chain: extend the keep-set below the oldest retained version down
+    // to (and including) the nearest self-contained full snapshot, so
+    // every retained version stays resolvable after the sweep. Bounded by
+    // CheckpointInterval extra manifests.
+    val extra = Vector.newBuilder[Long]
+    if (keep0.nonEmpty && !isSelfContained(keep0.last)) {
+      val it = versions.drop(keepVersions).iterator
+      var done = false
+      while (it.hasNext && !done) {
+        val v = it.next()
+        extra += v
+        if (isSelfContained(v)) done = true
+      }
+    }
+    val keep = keep0 ++ extra.result()
+    val keepSet = keep.toSet
     val reachable: Set[String] = keep.flatMap(v =>
       readVersion(fs, lp, v, dirKey).toSeq.flatMap(_.relPaths)).toSet
     val d = dirOf(root)
@@ -580,7 +716,7 @@ object GpxCommitLog {
       }
     }
     var mfDeleted = 0
-    versions.drop(keepVersions).foreach { v =>
+    versions.filterNot(keepSet.contains).foreach { v =>
       if (try fs.delete(new Path(lp, manifestName(v)), false)
         catch { case _: Throwable => false }) {
         mfDeleted += 1

@@ -366,6 +366,66 @@ class ManifestSpec extends GraftSpec {
       "stale NDV must not be served after a manifest commit")
   }
 
+  test("commits cost O(commit size) manifest bytes at a 10k-file table; checkpoints bound cold resolution") {
+    import graft.format.GpxFormat.ChunkStats
+    val dir = tempDir("gpx_log_bytes")
+    def entry(i: Int): GpxCommitLog.FileEntry =
+      GpxCommitLog.FileEntry(s"part-x$i.gpx", 4096L, 1000L, -1L, -1L,
+        Map(
+          "id" -> ChunkStats(true, i * 1000L, i * 1000L + 999L, 0.0, 0.0, "", "", 0L, true),
+          "v" -> ChunkStats(true, 0L, 999L, 0.0, 999.0, "", "", 0L, true),
+          "s" -> ChunkStats(true, 0L, 0L, 0.0, 0.0, s"a$i", s"z$i", 3L, true)))
+    GpxCommitLog.enable(dir, conf) // v1
+    // seed a 10k-file live set in one overwrite (synthetic entries — the
+    // log layer never opens data files on commit)
+    GpxCommitLog.commit(dir, conf, GpxCommitLog.Overwrite(
+      (0 until 10000).map(entry), None, Nil, None, None)) // v2, full
+    assert(GpxCommitLog.head(dir, conf).get.live.size == 10000)
+
+    // small appends at non-checkpoint versions: bytes written must track
+    // the COMMIT size, not the 10k-file live set (a full snapshot of this
+    // table is ~1.5 MB; an append delta must stay in the low KBs)
+    (0 until 5).foreach { k =>
+      val before = GpxCommitLog.manifestBytesWritten.get()
+      val v = GpxCommitLog.commit(dir, conf,
+        GpxCommitLog.Append(Seq(entry(20000 + k))))
+      val written = GpxCommitLog.manifestBytesWritten.get() - before
+      assert(v % GpxCommitLog.CheckpointInterval != 0,
+        s"test landed on a checkpoint version $v — adjust the seed count")
+      assert(written < 10 * 1024,
+        s"append at a 10k-file table wrote $written manifest bytes " +
+          "(O(live set) snapshot rewrite regressed the commit path)")
+    }
+    // the streaming-epoch shape (replace: add 1, retire 1) is O(commit) too
+    val beforeR = GpxCommitLog.manifestBytesWritten.get()
+    GpxCommitLog.commit(dir, conf, GpxCommitLog.Replace(
+      Seq(entry(30000)), Set("part-x20000.gpx")))
+    assert(GpxCommitLog.manifestBytesWritten.get() - beforeR < 10 * 1024)
+
+    // drive past the next checkpoint boundary: exactly one commit in the
+    // window writes the full snapshot (> 1 MB at 10k files)
+    val byteSizes = (0 until GpxCommitLog.CheckpointInterval).map { k =>
+      val before = GpxCommitLog.manifestBytesWritten.get()
+      GpxCommitLog.commit(dir, conf, GpxCommitLog.Append(Seq(entry(40000 + k))))
+      GpxCommitLog.manifestBytesWritten.get() - before
+    }
+    assert(byteSizes.count(_ > 1024 * 1024) == 1,
+      s"expected exactly one checkpoint in a $${GpxCommitLog.CheckpointInterval}-commit window, sizes=$byteSizes")
+
+    // cold head resolution: one checkpoint + <= K-1 deltas, never O(versions)
+    GpxCommitLog.invalidateCaches(dir)
+    val parsesBefore = GpxCommitLog.manifestParses.get()
+    val h = GpxCommitLog.head(dir, conf).get
+    val parses = GpxCommitLog.manifestParses.get() - parsesBefore
+    assert(parses <= GpxCommitLog.CheckpointInterval.toLong,
+      s"cold head resolution parsed $parses manifests")
+    // and the incremental state materializes exactly
+    assert(h.live.size == 10000 + 5 + 1 - 1 + GpxCommitLog.CheckpointInterval)
+    assert(!h.relPaths.contains("part-x20000.gpx"), "replace must retire")
+    assert(h.relPaths.contains("part-x30000.gpx"))
+    assert(h.relPaths.contains("part-x0.gpx"))
+  }
+
   test("enable() migrates an existing rename-mode table in place") {
     val dir = tempDir("gpx_log_migrate")
     spark.range(0, 80).selectExpr("id", "id % 7 as v")
