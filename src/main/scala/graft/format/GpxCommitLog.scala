@@ -214,13 +214,16 @@ object GpxCommitLog {
 
   /** an incremental manifest entry: the CHANGE one commit applied on top
     * of its predecessor version (never persisted for overwrites — those
-    * serialize as self-contained full snapshots) */
+    * serialize as self-contained full snapshots). `txn` marks a
+    * multi-table transaction member: (txnId, fate-file URI) — the delta
+    * applies only if that fate resolves "committed" (see resolveFate). */
   private final case class Delta(
       version: Long, isReplace: Boolean,
       add: Vector[FileEntry], removeRel: Set[String],
       bucket: Option[GpxTable.BucketSpec], sort: Seq[String],
       range: Option[GpxTable.RangeSpec],
-      schema: Option[org.apache.spark.sql.types.StructType])
+      schema: Option[org.apache.spark.sql.types.StructType],
+      txn: Option[(String, String)] = None)
 
   /** deterministic replay of a committed delta. The committer validated
     * the change against exactly this predecessor before winning the slot
@@ -271,6 +274,7 @@ object GpxCommitLog {
     sb.append("gpxdelta1\n")
     sb.append(s"v ${d.version}\n")
     sb.append(s"kind ${if (d.isReplace) "replace" else "append"}\n")
+    d.txn.foreach { case (id, uri) => sb.append(s"txn ${enc(id)} ${enc(uri)}\n") }
     d.schema.foreach(sc => sb.append(s"schema ${enc(sc.json)}\n"))
     d.bucket.foreach(b => sb.append(s"bucket ${enc(b.column)} ${b.numBuckets}\n"))
     if (d.sort.nonEmpty) sb.append(s"sort ${d.sort.map(enc).mkString(",")}\n")
@@ -299,6 +303,7 @@ object GpxCommitLog {
       if (digest(body) != sha) return None
       var isDelta = false
       var isReplace = false
+      var txn: Option[(String, String)] = None
       var version = -1L
       var schema: Option[org.apache.spark.sql.types.StructType] = None
       var bucket: Option[GpxTable.BucketSpec] = None
@@ -314,6 +319,7 @@ object GpxCommitLog {
           case "gpxlog1" => ()
           case "gpxdelta1" => isDelta = true
           case "kind" => isReplace = t(1) == "replace"
+          case "txn" => txn = Some((dec(t(1)), dec(t(2))))
           case "v" => version = t(1).toLong
           case "schema" => schema = Some(
             org.apache.spark.sql.types.DataType.fromJson(dec(t(1)))
@@ -340,7 +346,7 @@ object GpxCommitLog {
       if (version < 0) None
       else if (isDelta)
         Some(Right(Delta(version, isReplace, live.result(), removes.result(),
-          bucket, sort, range, schema)))
+          bucket, sort, range, schema, txn)))
       else Some(Left(Snapshot(version, schema, bucket, sort, range, live.result())))
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -377,11 +383,60 @@ object GpxCommitLog {
   private val knownBad =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long)]()
 
+  /** Patience before a reader declares an in-flight multi-table
+    * transaction dead and claims its abort. Must comfortably exceed the
+    * committer's window between its first table commit and the fate put
+    * (a handful of RPCs); tests shrink it. */
+  @volatile var TxnResolveWaitMs: Long = 10000L
+
+  // decided fates are immutable (written once via conditional put)
+  private val fateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Resolve a multi-table transaction's fate; true = committed. Forces a
+    * decision: a missing fate file is in-doubt — wait out the patience
+    * window, then claim the abort with the same conditional put the
+    * committer uses for "committed". Exactly one claim wins, so every
+    * reader and every later writer converges on one answer, and a crash
+    * between two table commits is never observable (the fate only flips
+    * to committed AFTER every member manifest landed). */
+  private def resolveFate(fateUri: String, conf: Configuration): Boolean = {
+    val cached = fateCache.get(fateUri)
+    if (cached != null) return cached.booleanValue()
+    val p = new Path(fateUri)
+    val ffs = p.getFileSystem(conf)
+    def readFate(): Option[Boolean] =
+      readBytes(ffs, p).map(b => new String(b, "UTF-8")) match {
+        case Some("committed") => Some(true)
+        case Some("aborted") => Some(false)
+        case _ => None // missing, or partial bytes mid-create — retry
+      }
+    val deadline = System.nanoTime() + TxnResolveWaitMs * 1000000L
+    var decided: Option[Boolean] = readFate()
+    while (decided.isEmpty && System.nanoTime() < deadline) {
+      Thread.sleep(20)
+      decided = readFate()
+    }
+    // in-doubt past the window: the committer is presumed dead — claim
+    // the abort. Losing the claim means SOMEONE decided; read them.
+    while (decided.isEmpty) {
+      if (putIfAbsent(ffs, p, "aborted".getBytes("UTF-8"))) decided = Some(false)
+      else {
+        decided = readFate()
+        if (decided.isEmpty) Thread.sleep(20) // claimed, bytes in flight
+      }
+    }
+    fateCache.put(fateUri, java.lang.Boolean.valueOf(decided.get))
+    decided.get
+  }
+
   /** Materialize the snapshot at version v: read v's manifest; a full
     * snapshot returns directly, a delta recurses to its predecessor and
     * replays (recursion depth bounded by CheckpointInterval — every K-th
-    * version and every overwrite is self-contained). Cold cost: one
-    * checkpoint + <= K-1 delta parses; warm cost: one cache hit. */
+    * version and every overwrite is self-contained). A delta carrying a
+    * txn marker applies only if its fate resolves committed; an aborted
+    * member becomes a no-op version. Cold cost: one checkpoint + <= K-1
+    * delta parses; warm cost: one cache hit. */
   private def readVersion(fs: FileSystem, lp: Path, v: Long,
       dirKey: String): Option[Snapshot] = {
     val key = (dirKey, v)
@@ -404,7 +459,10 @@ object GpxCommitLog {
           // marking the slot bad so a later repair resolves it.
           knownBad.remove(key)
           return readVersion(fs, lp, v - 1, dirKey).map { prev =>
-            val s = applyDelta(prev, d)
+            val applies = d.txn.forall { case (_, fateUri) =>
+              resolveFate(fateUri, fs.getConf) }
+            val s = if (applies) applyDelta(prev, d)
+              else prev.copy(version = d.version) // aborted txn: no-op slot
             parseCache.put(key, s)
             s
           }
@@ -533,7 +591,11 @@ object GpxCommitLog {
     * (replace sources rewritten underneath — retrying would duplicate or
     * lose rows). Returns the committed version. */
   def commit(root: String, conf: Configuration, change: Change,
-      forceFull: Boolean = false): Long = {
+      forceFull: Boolean = false,
+      txn: Option[(String, String)] = None): Long = {
+    require(txn.isEmpty || !change.isInstanceOf[Overwrite],
+      "multi-table transactions support Append/Replace members only " +
+        "(an overwrite would serialize as an unconditional full snapshot)")
     val lp = logPath(root)
     val fs = lp.getFileSystem(conf)
     if (!fs.exists(lp)) fs.mkdirs(lp)
@@ -580,8 +642,20 @@ object GpxCommitLog {
       // CHANGE; overwrites and every CheckpointInterval-th version write
       // the full self-contained snapshot (the periodic checkpoint that
       // bounds cold head resolution)
+      // txn members must stay CONDITIONAL deltas (a full snapshot would
+      // bake the pending change in unconditionally), so they skip the
+      // checkpoint cadence; the next plain commit checkpoints instead
       val bytes = change match {
         case _: Overwrite => serialize(next)
+        case _ if txn.isDefined =>
+          serializeDelta(change match {
+            case Append(add, b, s, r, sc) => Delta(next.version,
+              isReplace = false, add.toVector, Set.empty, b, s, r, sc, txn)
+            case Replace(add, removeRel, sc) => Delta(next.version,
+              isReplace = true, add.toVector, removeRel, None, Nil, None,
+              sc, txn)
+            case _: Overwrite => throw new IllegalStateException("unreachable")
+          })
         case _ if forceFull => serialize(next)
         case _ if next.version % CheckpointInterval == 0 => serialize(next)
         case Append(add, b, s, r, sc) =>
@@ -593,7 +667,10 @@ object GpxCommitLog {
       }
       if (putIfAbsent(fs, new Path(lp, manifestName(next.version)), bytes)) {
         manifestBytesWritten.addAndGet(bytes.length.toLong)
-        parseCache.put((dirOf(root).toString, next.version), next)
+        // a pending txn member must NOT cache its applied state — readers
+        // (this JVM included) materialize it through fate resolution
+        if (txn.isEmpty)
+          parseCache.put((dirOf(root).toString, next.version), next)
         return next.version
       }
       // lost the slot: back off a touch and rebase on the new head
@@ -641,6 +718,64 @@ object GpxCommitLog {
       GpxTable.readSortSpec(d.toString, conf),
       GpxTable.readRangeSpec(d.toString, conf),
       schema))
+  }
+
+  /** Commit N tables' changes ATOMICALLY: a reader can observe all
+    * members or none, never a subset — the reference's central commit
+    * timestamp for cross-table writes (proto/transaction.proto:33-48)
+    * rebuilt on the conditional-put primitive, no daemon required.
+    *
+    * Protocol: (1) each member commits its manifest delta carrying a
+    * pending `txn` marker — invisible, because materialization applies a
+    * pending delta only after resolving the txn's FATE file; (2) once
+    * every member manifest landed, ONE conditional put writes the fate
+    * ("committed"). A crash anywhere before the fate put leaves the txn
+    * in-doubt; the first reader/writer that needs the state waits out
+    * [[TxnResolveWaitMs]] and claims the abort with the same conditional
+    * put — exactly one of {committer, aborter} wins the slot, so every
+    * observer converges. Aborted members become no-op versions; their
+    * data files are orphans for vacuum.
+    *
+    * A member whose Replace sources were rewritten concurrently refuses
+    * (ConcurrentModificationException); the whole transaction then aborts
+    * via the fate file before rethrowing — members already committed are
+    * never left in doubt. Fate files are small, immutable once decided,
+    * and NEVER garbage-collected (a live manifest may reference one
+    * indefinitely; resurrecting a deleted fate as "aborted" would flip
+    * history). Returns the txn id. */
+  def commitAtomic(conf: Configuration,
+      members: Seq[(String, Change)]): String = {
+    require(members.nonEmpty, "empty transaction")
+    require(members.map(m => dirOf(m._1).toString).distinct.size == members.size,
+      "one member per table")
+    val id = java.util.UUID.randomUUID().toString
+    val fateP0 = new Path(logPath(members.head._1), s"_txn_$id.fate")
+    val ffs = fateP0.getFileSystem(conf)
+    val fateP = ffs.makeQualified(fateP0)
+    val fateUri = fateP.toString
+    if (!ffs.exists(fateP.getParent)) ffs.mkdirs(fateP.getParent)
+    try {
+      members.foreach { case (root, change) =>
+        commit(root, conf, change, txn = Some((id, fateUri)))
+      }
+    } catch {
+      case e: Throwable =>
+        // decide the fate DOWN before surfacing: members already
+        // committed must die now, not linger in doubt for readers
+        try { putIfAbsent(ffs, fateP, "aborted".getBytes("UTF-8")); () }
+        catch { case _: Throwable => () }
+        fateCache.put(fateUri, java.lang.Boolean.FALSE)
+        throw e
+    }
+    if (!putIfAbsent(ffs, fateP, "committed".getBytes("UTF-8"))) {
+      fateCache.put(fateUri, java.lang.Boolean.FALSE)
+      throw new java.util.ConcurrentModificationException(
+        s"gpx txn $id aborted: a concurrent reader declared it dead " +
+          s"before the fate was sealed (patience $TxnResolveWaitMs ms) — " +
+          "no member change is visible. Retry the transaction.")
+    }
+    fateCache.put(fateUri, java.lang.Boolean.TRUE)
+    id
   }
 
   /** Reclaim retired bytes: delete data files referenced by NO manifest
