@@ -672,6 +672,8 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
     // a manifest-version-pinned read must not take the stats scan: it
     // resolves files via listFiles (the HEAD), not the pinned snapshot
     if (logVersion.isDefined) return false
+    // an active MemTable tail has rows no footer stat covers
+    if (roots.size == 1 && GpxMemTable.buffered(roots.head) > 0) return false
     if (filters.nonEmpty || agg.groupByExpressions().nonEmpty) return false
     // footer stats count/bound rows the merge-on-read masks have deleted
     if (hasDeleteSidecars) return false
@@ -716,8 +718,19 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
       // of the wide base. Synthetic columns pin the scan to the base
       // (_file/_pos are base-file identities; _commit_ts values are not
       // reproduced in the copy), as do time travel and COW row scans.
+      // MemTable serve tail (CURRENT reads only — snapshot/version pins
+      // and COW row scans serve committed state): capture the buffered
+      // rows and the manifest head version ATOMICALLY; the file side then
+      // pins that version so flush races can't double- or zero-count
+      val memCap: Option[(Array[Array[Byte]], Long)] =
+        if (fileGranular.isEmpty && snapshotTs.isEmpty &&
+            logVersion.isEmpty && roots.size == 1 &&
+            GpxMemTable.buffered(roots.head) > 0)
+          GpxMemTable.capture(roots.head, required, new Configuration())
+        else None
       val routed: Option[Seq[String]] =
-        if (fileGranular.isDefined || snapshotTs.isDefined || roots.size != 1)
+        if (fileGranular.isDefined || snapshotTs.isDefined ||
+            roots.size != 1 || memCap.isDefined)
           None
         else {
           val needed = required.fieldNames.toSet ++ filters.flatMap(_.references)
@@ -727,7 +740,8 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
             .map { case (dir, _) => Seq(dir) }
         }
       new GpxScan(fileSchema, required, filters, routed.getOrElse(roots),
-        snapshotTs, fileGranular, limit, topN, logVersion)
+        snapshotTs, fileGranular, limit, topN,
+        memCap.map(_._2).orElse(logVersion), memCap.map(_._1))
   }
 }
 
@@ -851,7 +865,8 @@ class GpxScan(
     fileGranular: Option[java.util.Set[String]] = None,
     limit: Option[Int] = None,
     topN: Option[GpxScan.TopN] = None,
-    logVersion: Option[Long] = None) extends Scan with Batch
+    logVersion: Option[Long] = None,
+    memRows: Option[Array[Array[Byte]]] = None) extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering
   with SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1250,8 +1265,17 @@ class GpxScan(
 
   private def statsSnapshot = kept()
 
-  override def planInputPartitions(): Array[InputPartition] =
-    kept()._1.toArray[InputPartition]
+  override def planInputPartitions(): Array[InputPartition] = {
+    val base = kept()._1.toArray[InputPartition]
+    // the MemTable serve tail rides as one extra partition; the file side
+    // is PINNED at the capture's manifest version (logVersion), so every
+    // row is served exactly once across the flush boundary (GpxMemTable)
+    memRows match {
+      case Some(rows) if rows.nonEmpty =>
+        base :+ GpxMemPartition(rows, required.length)
+      case _ => base
+    }
+  }
 
   /** Footer-derived stats AFTER zone-map pruning, sized to the pruned
     * column set — feeds CBO/AQE broadcast decisions with real numbers
@@ -1342,7 +1366,8 @@ class GpxScan(
       .flatMap(GpxTable.readBucketSpec(_, new Configuration()))
     spec match {
       case Some(b) if required.fieldNames.contains(b.column) &&
-        statsSnapshot._1.forall(_.bucketId >= 0) && statsSnapshot._1.nonEmpty =>
+        statsSnapshot._1.forall(_.bucketId >= 0) && statsSnapshot._1.nonEmpty &&
+        memRows.forall(_.isEmpty) => // a mem tail is not key-grouped
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
             b.numBuckets, b.column)),
@@ -1367,6 +1392,7 @@ class GpxScan(
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     if (fileGranular.isDefined || roots.size != 1) return Array.empty
+    if (memRows.exists(_.nonEmpty)) return Array.empty // tail is unsorted
     val parts = kept()._1
     if (parts.isEmpty) return Array.empty
     val conf = new Configuration()
@@ -1394,9 +1420,12 @@ class GpxScan(
   override def createReaderFactory(): PartitionReaderFactory =
     // Spark requires one batch/row mode for the WHOLE scan: any split
     // with a merge-on-read mask forces the row-based path (rows feed a
-    // ColumnarToRow anyway; the mask skip rides the same iteration).
+    // ColumnarToRow anyway; the mask skip rides the same iteration), as
+    // does an active MemTable tail (its rows arrive as UnsafeRows).
     // Mask-free scans — the steady state — keep the columnar fast path.
-    new GpxReaderFactory(required, rowBased = kept()._1.exists(_.delWords != null))
+    new GpxReaderFactory(required,
+      rowBased = kept()._1.exists(_.delWords != null) ||
+        memRows.exists(_.nonEmpty))
 }
 
 object GpxScan {
@@ -1534,16 +1563,38 @@ object GpxScan {
   }
 }
 
+/** the MemTable serve tail: freshly-ingested rows captured at planning,
+  * shipped to the executor as serialized UnsafeRows in the scan's
+  * required schema (GpxMemTable.capture — bounded by the memtable cap) */
+final case class GpxMemPartition(rows: Array[Array[Byte]], numFields: Int)
+  extends InputPartition
+
 class GpxReaderFactory(required: StructType, rowBased: Boolean = false)
   extends PartitionReaderFactory {
 
-  override def supportColumnarReads(p: InputPartition): Boolean = !rowBased
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    !rowBased && !p.isInstanceOf[GpxMemPartition]
 
   /** row-based path (only when the scan carries merge-on-read masks):
     * materialize the split's ColumnarBatch once, then iterate it skipping
     * masked rows — the reader-side replay of the reference's visibility
     * bitmaps (RGVisibility.java:34-60) */
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    p match {
+      case GpxMemPartition(rows, numFields) =>
+        return new PartitionReader[InternalRow] {
+          private var i = -1
+          private val row =
+            new org.apache.spark.sql.catalyst.expressions.UnsafeRow(numFields)
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow = {
+            row.pointTo(rows(i), rows(i).length)
+            row
+          }
+          override def close(): Unit = ()
+        }
+      case _ => ()
+    }
     val part = p.asInstanceOf[GpxInputPartition]
     new PartitionReader[InternalRow] {
       private var batch: ColumnarBatch = _

@@ -684,4 +684,95 @@ class StreamingSpec extends GraftSpec {
       s"checkpointed offset must carry the delete watermark: $offLine")
     q1.stop(); q2.stop()
   }
+
+  test("memtable serve path: read-after-write freshness under 50 ms, exactly-once across flush") {
+    import graft.format.GpxMemTable
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val conf = new Configuration()
+    val dir = tempDir("gpx_memtable")
+    spark.range(0, 100).selectExpr("id", "id * 2 as v")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    assert(spark.read.format("gpx").load(dir).count() == 100) // warm path
+    // freshness = write-to-queryable latency = the synchronous ingest
+    // call itself (the retina MemTable contract: a row is servable the
+    // moment ingestion acknowledges — README.md:36-39's ~10 ms headline)
+    val lat = (0 until 20).map { i =>
+      val t0 = System.nanoTime()
+      GpxMemTable.ingest(dir, schema, Seq(Row(1000L + i, i * 10L)), conf)
+      (System.nanoTime() - t0) / 1e6
+    }.sorted
+    assert(lat(lat.length / 2) < 50.0,
+      s"median ingest-to-queryable latency ${lat(lat.length / 2)} ms")
+    // a read STARTED after ingest returned sees every ingested row
+    // (count() exercises the aggregate-pushdown guard: footer stats
+    // cannot answer for the in-memory tail)
+    assert(spark.read.format("gpx").load(dir).count() == 120)
+    assert(spark.read.format("gpx").load(dir)
+      .filter("id >= 1000").count() == 20)
+    // filters + projection evaluate over the tail like any other rows
+    assert(spark.read.format("gpx").load(dir)
+      .filter("id = 1005").select("v").head.getLong(0) == 50L)
+    // flush: rows land in committed files, buffer drains, nothing is
+    // duplicated or lost across the boundary
+    assert(GpxMemTable.flush(dir, conf) == 20)
+    assert(GpxMemTable.buffered(dir) == 0)
+    val after = spark.read.format("gpx").load(dir)
+    assert(after.count() == 120)
+    assert(after.select("id").distinct().count() == 120)
+    GpxMemTable.clear(dir)
+  }
+
+  test("memtable flush racing readers: every observed state is exactly-once") {
+    import graft.format.GpxMemTable
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val conf = new Configuration()
+    val dir = tempDir("gpx_memtable_race")
+    spark.range(0, 50).selectExpr("id").write.format("gpx")
+      .mode("append").option("commitProtocol", "manifest").save(dir)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      val reader = pool.submit(new Runnable {
+        override def run(): Unit =
+          while (!stop.get()) {
+            val df = spark.read.format("gpx").load(dir).select("id")
+            val rows = df.collect().map(_.getLong(0))
+            if (rows.length != rows.distinct.length)
+              violations.add(s"duplicates in a ${rows.length}-row read")
+            if (rows.length < 50)
+              violations.add(s"lost rows: ${rows.length} < 50")
+          }
+      })
+      val flusher = pool.submit(new Runnable {
+        override def run(): Unit =
+          while (!stop.get()) {
+            GpxMemTable.flush(dir, conf)
+            Thread.sleep(5)
+          }
+      })
+      (0 until 40).foreach { i =>
+        GpxMemTable.ingest(dir, schema,
+          (0 until 25).map(j => Row(1000L + i * 25 + j)), conf)
+      }
+      Thread.sleep(100)
+      stop.set(true)
+      reader.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      flusher.get(60, java.util.concurrent.TimeUnit.SECONDS)
+    } finally { stop.set(true); pool.shutdown() }
+    assert(violations.isEmpty, s"exactly-once violated: ${violations.peek()}")
+    GpxMemTable.flush(dir, conf)
+    val fin = spark.read.format("gpx").load(dir).select("id").collect().map(_.getLong(0))
+    assert(fin.length == 50 + 40 * 25)
+    assert(fin.distinct.length == fin.length)
+    GpxMemTable.clear(dir)
+  }
 }
