@@ -31,7 +31,10 @@ object StretchBench {
     "d08_incremental_dedup", "d10_indexed_incremental_dedup",
     "v03_knn_ivf", "v05_cosine_pairs_lsh",
     "q42_tpch_q21_waiting_supplier", "q43_tpch_q2_min_cost_supplier",
-    "p01_curation_pipeline")
+    "p01_curation_pipeline",
+    // the w-family heavy hitters (VERDICT r9 #8): the ordered gpx hits
+    // layout + high-cardinality group-bys at 10x the rows
+    "w04_wide_url_traffic", "w07_wide_date_region", "w22_wide_sketch_rollup")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,7 +89,9 @@ object StretchBench {
 
   /** derive the 10x dataset (idempotent: skipped when the marker exists) */
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
-    val ready = new java.io.File(s"$out/_READY_$factor")
+    // v2: events replicate too (w-family stretch rows);
+    // v3: per-copy word sentinels (boundary-trigram disjointness)
+    val ready = new java.io.File(s"$out/_READY_v3_$factor")
     if (ready.exists()) return
     new java.io.File(out).mkdirs()
     def copies(df: DataFrame)(tx: (DataFrame, Int) => DataFrame): DataFrame =
@@ -94,16 +99,24 @@ object StretchBench {
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     copies(docs) { (df, i) =>
-      // per-copy random letter PERMUTATION: WORD tokens and CHARACTER
-      // trigrams are both (near-)disjoint across copies, so token-level
-      // (d02/d08) and char-gram (d03) pair densities scale exactly
-      // linearly — the honest 10x. Lengths are preserved (n_chars,
-      // quality ratios unchanged). Neither a token suffix nor a Caesar
-      // ROTATION is enough: suffixed words share most trigrams with
-      // their originals, and rotation preserves letter DIFFERENCES, so
-      // rotated trigram images collide across copies (measured: vocab
-      // 1903 of a possible 3770, candidates 125M instead of ~10x) —
-      // both inflate d03's candidate set beyond natural scaling.
+      // per-copy random letter PERMUTATION + per-copy word SENTINEL:
+      // WORD tokens and CHARACTER trigrams are both (near-)disjoint
+      // across copies, so token-level (d02/d08) and char-gram (d03) pair
+      // densities scale exactly linearly — the honest 10x. Neither a
+      // token suffix nor a Caesar ROTATION is enough: suffixed words
+      // share most trigrams with their originals, and rotation preserves
+      // letter DIFFERENCES, so rotated trigram images collide across
+      // copies (measured: vocab 1903 of a possible 3770, candidates 125M
+      // instead of ~10x). The permutation ALONE is not enough either on
+      // a small-alphabet corpus: word-BOUNDARY trigrams (letter-letter-
+      // space) live in a ~676-element universe, and ten random ~100-
+      // element images of it collide heavily (measured round 10: union
+      // vocab 1863 instead of ~3770, candidates 119M = 59x instead of
+      // 10x, d03 stretch ratio 2.8). Wrapping every word with a
+      // copy-unique UPPERCASE sentinel letter puts every boundary
+      // trigram in a per-copy-disjoint class while interior trigrams
+      // stay in the big 26^3 universe where permutation images are
+      // near-disjoint; tokens remain distinct per copy.
       val lower = "abcdefghijklmnopqrstuvwxyz"
       def perm(k: Int): String = {
         val rnd = new scala.util.Random(k * 7919 + 13)
@@ -111,9 +124,13 @@ object StretchBench {
       }
       val p = perm(i)
       val text = if (i == 0) col("text")
-        else translate(col("text"),
-          lower + lower.toUpperCase,
-          p + p.toUpperCase)
+        else {
+          val sentinel = ('A' + (i - 1)).toChar.toString
+          regexp_replace(
+            translate(col("text"), lower + lower.toUpperCase,
+              p + p.toUpperCase),
+            "([a-zA-Z]+)", s"$sentinel$$1$sentinel")
+        }
       df.select((col("doc_id") + i * Shift).as("doc_id"), text.as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.write.mode("overwrite").parquet(s"$out/documents.parquet")
@@ -140,9 +157,14 @@ object StretchBench {
     shiftCols("supplier", Seq("s_suppkey"))
     shiftCols("part", Seq("p_partkey"))
     shiftCols("customer", Seq("c_custkey"))
-    // dimensions and the event stream stay single-copy (no top-10 query
-    // reads events; nation/region are genuine dimensions)
-    Seq("nation", "region", "events").foreach { t =>
+    // events: 10x the traffic in the SAME time range (each copy shifts
+    // event/user ids; the wide-table columns derive from id moduli, so a
+    // uniform shift keeps every per-copy distribution — group counts and
+    // filter selectivities scale linearly, which is the honest 10x for
+    // the w-family's high-cardinality group-bys)
+    shiftCols("events", Seq("event_id", "user_id"))
+    // dimensions stay single-copy (nation/region are genuine dimensions)
+    Seq("nation", "region").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
     }

@@ -426,8 +426,10 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    // a table recreated at this path must re-probe its protocol/manifests
+    // a table recreated at this path must re-probe its protocol/manifests,
+    // and a buffered MemTable tail must not outlive its table
     GpxCommitLog.invalidateCaches(tablePath(ident).toString)
+    GpxMemTable.clear(tablePath(ident).toString)
     tableExists(ident) && fs.delete(tablePath(ident), true)
   }
 

@@ -721,21 +721,37 @@ object Dedup {
       val sides = groups.select(col("fp"),
         (size(col("new_members")) > 0).as("is_batch"),
         (col("n_old") > 0).as("is_corpus"))
+      // Candidate generation runs over COMPACT 64-bit group ids
+      // (xxhash64 of the fp), not the 32-char md5 strings: the band
+      // join's pre-distinct output is ~10 pair rows per true candidate
+      // (similar docs share many bands), and profiling at 10x scale put
+      // 19x growth in the distinct's shuffle of string pairs — the one
+      // superlinear phase (STRETCH_r9 d08 1.395). Long pairs shrink that
+      // shuffle ~8x. EXACTNESS IS PRESERVED: a gid collision only ADDS
+      // candidate rows, every candidate is exact-verified over the real
+      // token arrays below, and the join carries no identity exclusion —
+      // a same-gid pair can only be an fp present on BOTH sides, whose
+      // (fp, 1.0) row the exact-dup shortcut emits anyway (groupBy-max
+      // dedupes), or a cross-fp collision that verification settles.
       val banded = bands.join(sides, "fp")
-      // asymmetric band join: batch bands probe corpus bands (same-fp hits
-      // are the exact-dup shortcut below, so exclude them); size-ratio
+        .select(xxhash64(col("fp")).as("gid"), col("bk"), col("nt"),
+          col("is_batch"), col("is_corpus"))
+      // asymmetric band join: batch bands probe corpus bands; size-ratio
       // bound inside the join as in d02 (J>=0.8 forces |A|/|B| in
       // [0.8, 1.25], so dropping these rows cannot lose a true pair)
       val candidates = banded.filter(col("is_batch")).as("x")
         .join(banded.filter(col("is_corpus")).as("y"),
-          col("x.bk") === col("y.bk") && col("x.fp") =!= col("y.fp") &&
+          col("x.bk") === col("y.bk") &&
             col("x.nt") >= col("y.nt") * t - 0.5 &&
             col("y.nt") >= col("x.nt") * t - 0.5)
-        .select(col("x.fp").as("fa"), col("y.fp").as("fb"))
+        .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
         .distinct()
+      val gidReps = repsInt.select(xxhash64(col("fp")).as("gid"),
+        col("fp"), col("tids"))
       val verified = candidates
-        .join(repsInt.select(col("fp").as("fa"), col("tids").as("ta")), "fa")
-        .join(repsInt.select(col("fp").as("fb"), col("tids").as("tb")), "fb")
+        .join(gidReps.select(col("gid").as("ga"), col("fp").as("fa"),
+          col("tids").as("ta")), "ga")
+        .join(gidReps.select(col("gid").as("gb"), col("tids").as("tb")), "gb")
         .withColumn("j", graft.functions.VectorFunctions
           .sorted_jaccard(col("ta"), col("tb")))
         .filter(col("j") >= t)
