@@ -521,8 +521,127 @@ object FormatOps {
               |  ${Det.o.dsum("o_totalprice")} AS sum_price
               |FROM orders WHERE o_orderkey % 3 <= 1
               |GROUP BY o_orderstatus
+              |ORDER BY o_orderstatus""".stripMargin)),
+
+    // Multi-table ATOMIC commit under the oracle (GpxCommitLog
+    // .commitAtomic — the conditional-put fate protocol): two log tables
+    // split orders by parity, then one transaction MOVES every
+    // o_orderkey % 10 = 0 row from a to b — a Replace on a and an Append
+    // on b deciding under ONE fate file. The oracle recomputes both
+    // sides from parquet: a row lost, duplicated, or half-moved by the
+    // transaction machinery hash-mismatches.
+    GQuery("f19_atomic_transfer", (s, d) => {
+      val base = txnTablesDir(s, d)
+      val a = s.read.format("gpx").load(s"$base/a").withColumn("side", lit("a"))
+      val b = s.read.format("gpx").load(s"$base/b").withColumn("side", lit("b"))
+      a.unionByName(b)
+        .groupBy("side")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy("side")
+    },
+      Some(s"""SELECT side, COUNT(*) AS n,
+              |  ${Det.o.dsum("o_totalprice")} AS sum_price,
+              |  MIN(o_orderkey) AS min_key
+              |FROM (SELECT CASE WHEN o_orderkey % 2 = 0
+              |                   AND o_orderkey % 10 <> 0
+              |        THEN 'a' ELSE 'b' END AS side, o_orderkey, o_totalprice
+              |      FROM orders)
+              |GROUP BY side ORDER BY side""".stripMargin)),
+
+    // The MemTable serve path under the oracle (GpxMemTable — the retina
+    // MemTable analog): the query re-ingests a fixed 25-row tail into a
+    // seeded log table's JVM-local buffer (clear+ingest at planning;
+    // nothing is ever flushed, so the table itself never mutates and the
+    // query is idempotent across warmup/timed/verify runs) and
+    // aggregates committed files + in-memory tail together. The oracle
+    // reproduces the tail as a VALUES union — a lost or double-served
+    // tail row hash-mismatches.
+    GQuery("f20_memtable_read", (s, d) => {
+      val dir = memTableDir(s, d)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      graft.format.GpxMemTable.clear(dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_orderstatus",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType)))
+      graft.format.GpxMemTable.ingest(dir, schema,
+        (1 to 25).map(i => org.apache.spark.sql.Row(
+          9000000L + i, "M", i * 1.5)), conf)
+      s.read.format("gpx").load(dir)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+      Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+              |  ${Det.o.dsum("o_totalprice")} AS sum_price
+              |FROM (SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE)
+              |        AS o_totalprice
+              |      FROM orders WHERE o_orderkey % 7 = 0
+              |      UNION ALL
+              |      SELECT 'M' AS o_orderstatus, CAST(i * 1.5 AS DOUBLE)
+              |        AS o_totalprice
+              |      FROM range(1, 26) t(i))
+              |GROUP BY o_orderstatus
               |ORDER BY o_orderstatus""".stripMargin))
   )
+
+  /** f19 build: two commit-log tables seeded by orders parity, then one
+    * ATOMIC transaction moving every o_orderkey % 10 = 0 row from a to b
+    * (data staged invisibly via logDefer, then a Replace on a + an
+    * Append on b committed under one conditional-put fate file). */
+  private def txnTablesDir(s: SparkSession, d: String): String =
+    cachedDir(d, "txn_transfer") { dir =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val a = s"$dir/a"; val b = s"$dir/b"
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      o.filter(col("o_orderkey") % 2 === 0).write.format("gpx")
+        .mode("append").option("commitProtocol", "manifest")
+        .option("rowGroupRows", "4096").save(a)
+      o.filter(col("o_orderkey") % 2 === 1).write.format("gpx")
+        .mode("append").option("commitProtocol", "manifest")
+        .option("rowGroupRows", "4096").save(b)
+      import graft.format.GpxCommitLog
+      val ha = GpxCommitLog.head(a, conf).get
+      val tokA = java.util.UUID.randomUUID().toString
+      val tokB = java.util.UUID.randomUUID().toString
+      // a's replacement content (moved rows dropped) and b's new rows,
+      // both staged INVISIBLY — the fate decides them together
+      s.read.format("gpx").load(a).filter(col("o_orderkey") % 10 =!= 0)
+        .write.format("gpx").mode("append")
+        .option("logDefer", tokA).option("rowGroupRows", "4096").save(a)
+      s.read.format("gpx").load(a).filter(col("o_orderkey") % 10 === 0)
+        .write.format("gpx").mode("append")
+        .option("logDefer", tokB).option("rowGroupRows", "4096").save(b)
+      val ea = GpxCommitLog.drainDeferred(tokA)
+        .map(GpxCommitLog.entryFor(a, _, conf))
+      val eb = GpxCommitLog.drainDeferred(tokB)
+        .map(GpxCommitLog.entryFor(b, _, conf))
+      GpxCommitLog.commitAtomic(conf, Seq(
+        a -> GpxCommitLog.Replace(ea, ha.relPaths),
+        b -> GpxCommitLog.Append(eb)))
+      ()
+    }
+
+  /** f20 build: a thin seeded commit-log table the MemTable query
+    * layers its in-memory tail over (the table itself never mutates —
+    * the query re-ingests its tail at planning, flushes nothing). */
+  private def memTableDir(s: SparkSession, d: String): String =
+    cachedDir(d, "memtable_seed") { dir =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .write.format("gpx").mode("append")
+        .option("commitProtocol", "manifest")
+        .option("rowGroupRows", "4096").save(dir)
+    }
 
   /** f17/f18 shared build: a commit-log table with a deterministic
     * manifest history — v1 enable seed, v2/v3 appends, v4 COW DELETE
