@@ -1,0 +1,242 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue, CountDownLatch, TimeUnit}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+/** SLA-tiered query front-end — the Spark-native analog of the
+  * reference's query manager (pixels-server/.../controller/
+  * QueryManager.java:53-220 and ExecutionHint.java:28-30): pending
+  * queues per SLA class, admission by slot availability, execution-hint
+  * routing, trace-token status tracking, and result collection with
+  * pop semantics.
+  *
+  * Hint semantics (matching the reference's contract):
+  *  - IMMEDIATE: submitted for execution right away, never queued behind
+  *    slot checks (the reference enables its cloud-function burst for
+  *    these; the Spark analog routes them to a dedicated high-weight
+  *    scheduler pool so FAIR scheduling preempts capacity for them).
+  *  - RELAXED: may be postponed while the cluster is busy (no free MPP
+  *    slots in the reference; here: running-query count at the slot
+  *    cap), but never beyond maxPostponeMs — a query about to exceed it
+  *    is submitted regardless (the reference's 2nd pending queue +
+  *    forced submit, QueryManager.java:191-220).
+  *  - BEST_EFFORT: runs only when NOTHING else is running
+  *    (QueryManager.java:225-250's mppConcurrency == 0 check).
+  *
+  * Every query executes under its own Spark job group (the trace
+  * token), so cancel(token) aborts its running jobs; worker threads tag
+  * themselves with a per-hint scheduler pool, which a deployment with
+  * spark.scheduler.mode=FAIR maps to weighted pools (local test
+  * sessions run FIFO; the tag is still set and asserted). Results are
+  * retained until popped or until resultTtlMs expires (the reference's
+  * queryResultClearService), so an abandoned client cannot leak the
+  * driver's memory. */
+object QueryService {
+
+  sealed trait ExecutionHint { def pool: String }
+  case object Immediate extends ExecutionHint { val pool = "graft-immediate" }
+  case object Relaxed extends ExecutionHint { val pool = "graft-relaxed" }
+  case object BestEffort extends ExecutionHint { val pool = "graft-besteffort" }
+
+  sealed trait Status
+  case object Pending extends Status
+  case object Running extends Status
+  case object Finished extends Status
+  final case class Failed(reason: String) extends Status
+  case object Cancelled extends Status
+
+  final case class QueryResult(token: String, rows: Array[Row],
+      columns: Array[String], pendingMs: Long, execMs: Long)
+
+  private final class Entry(
+      val token: String, val sql: String, val hint: ExecutionHint,
+      val receivedMs: Long) {
+    @volatile var status: Status = Pending
+    @volatile var result: QueryResult = null
+    val done = new CountDownLatch(1)
+  }
+
+  /** One manager per SparkSession. `slots` bounds how many queries may
+    * run at once before RELAXED submissions start queueing; `queueCap`
+    * bounds the pending queues (submissions beyond it are REJECTED
+    * loudly — admission control, not silent unbounded buffering). */
+  final class Manager(spark: SparkSession, slots: Int = 4,
+      queueCap: Int = 64, maxPostponeMs: Long = 60000L,
+      resultTtlMs: Long = 10 * 60 * 1000L) extends AutoCloseable {
+
+    require(slots >= 1 && queueCap >= 1)
+    private val seq = new AtomicLong(0)
+    private val queries = new ConcurrentHashMap[String, Entry]()
+    private val pendingRelaxed = new ConcurrentLinkedQueue[Entry]()
+    private val pendingBestEffort = new ConcurrentLinkedQueue[Entry]()
+    private val pendingCount = new AtomicInteger(0)
+    private val runningCount = new AtomicInteger(0)
+    @volatile private var running = true
+
+    // one executor for query bodies (each blocks a thread for its
+    // duration, like the reference's cached executeService) + one
+    // scheduler draining the SLA queues
+    private val exec = java.util.concurrent.Executors.newCachedThreadPool()
+    private val scheduler = new Thread(() => {
+      while (running) {
+        try {
+          drainOnce()
+          Thread.sleep(10)
+        } catch { case _: InterruptedException => () }
+      }
+    }, "graft-query-scheduler")
+    scheduler.setDaemon(true)
+    scheduler.start()
+
+    /** Submit a query under an SLA hint; returns the trace token.
+      * Throws IllegalStateException when the pending queues are full. */
+    def submit(sql: String, hint: ExecutionHint): String = {
+      require(running, "query service is closed")
+      val token = s"q${seq.incrementAndGet()}-${Integer.toHexString(sql.hashCode)}"
+      val e = new Entry(token, sql, hint, System.currentTimeMillis())
+      queries.put(token, e)
+      hint match {
+        case Immediate =>
+          // never queued: immediate queries get capacity now (FAIR pool
+          // weighting at deployment; locally they just start)
+          execute(e)
+        case Relaxed =>
+          if (pendingCount.incrementAndGet() > queueCap) {
+            pendingCount.decrementAndGet()
+            queries.remove(token)
+            throw new IllegalStateException(
+              s"query service: relaxed pending queue full ($queueCap) — rejected")
+          }
+          pendingRelaxed.add(e)
+        case BestEffort =>
+          if (pendingCount.incrementAndGet() > queueCap) {
+            pendingCount.decrementAndGet()
+            queries.remove(token)
+            throw new IllegalStateException(
+              s"query service: best-effort pending queue full ($queueCap) — rejected")
+          }
+          pendingBestEffort.add(e)
+      }
+      token
+    }
+
+    /** status of a known token; None = unknown/expired */
+    def status(token: String): Option[Status] =
+      Option(queries.get(token)).map(_.status)
+
+    /** block until the query finishes, then return its status */
+    def await(token: String, timeoutMs: Long = 300000L): Option[Status] =
+      Option(queries.get(token)).map { e =>
+        e.done.await(timeoutMs, TimeUnit.MILLISECONDS)
+        e.status
+      }
+
+    /** POP the result: returns it and frees the retained rows (the
+      * reference's popQueryResult). None until finished, or after an
+      * earlier pop. */
+    def popResult(token: String): Option[QueryResult] =
+      Option(queries.get(token)).flatMap { e =>
+        val r = e.result
+        if (r != null) { e.result = null; Some(r) } else None
+      }
+
+    /** cancel a pending or running query: pending entries never start;
+      * running entries get their Spark job group killed */
+    def cancel(token: String): Boolean =
+      Option(queries.get(token)).exists { e =>
+        e.synchronized {
+          e.status match {
+            case Pending =>
+              e.status = Cancelled; e.done.countDown(); true
+            case Running =>
+              spark.sparkContext.cancelJobGroup(token); true
+            case _ => false
+          }
+        }
+      }
+
+    private def drainOnce(): Unit = {
+      // RELAXED: submit while slots are free; force-submit anything
+      // that would exceed its postpone budget even when saturated
+      var continue = true
+      while (continue) {
+        val head = pendingRelaxed.peek()
+        continue = head != null && {
+          val overdue =
+            System.currentTimeMillis() - head.receivedMs >= maxPostponeMs
+          if (runningCount.get() < slots || overdue) {
+            val e = pendingRelaxed.poll()
+            if (e != null) { pendingCount.decrementAndGet(); execute(e) }
+            e != null
+          } else false
+        }
+      }
+      // BEST_EFFORT: only when nothing at all is running
+      if (runningCount.get() == 0) {
+        val e = pendingBestEffort.poll()
+        if (e != null) { pendingCount.decrementAndGet(); execute(e) }
+      }
+      // result retention: expire rows an abandoned client never popped
+      val cutoff = System.currentTimeMillis() - resultTtlMs
+      queries.forEach { (_, e) =>
+        if (e.result != null && e.receivedMs < cutoff) e.result = null
+      }
+    }
+
+    private def execute(e: Entry): Unit = {
+      e.synchronized {
+        if (e.status != Pending) return // cancelled while queued
+        e.status = Running
+      }
+      runningCount.incrementAndGet()
+      exec.submit(new Runnable {
+        override def run(): Unit = {
+          val started = System.currentTimeMillis()
+          try {
+            // job group = trace token (cancellation handle); pool tag =
+            // the hint's scheduler pool (FAIR-weighted at deployment)
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", e.hint.pool)
+            spark.sparkContext.setJobGroup(e.token,
+              s"graft query ${e.token} (${e.hint.pool})", interruptOnCancel = true)
+            val df: DataFrame = spark.sql(e.sql)
+            val rows = df.collect()
+            val finished = System.currentTimeMillis()
+            e.result = QueryResult(e.token, rows, df.columns,
+              pendingMs = started - e.receivedMs, execMs = finished - started)
+            e.status = Finished
+          } catch {
+            case t: Throwable =>
+              val cancelled = e.status == Cancelled ||
+                causeChain(t).exists { c =>
+                  c.isInstanceOf[InterruptedException] ||
+                    Option(c.getMessage).exists(_.contains("cancelled"))
+                }
+              e.status = if (cancelled) Cancelled
+                else Failed(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}")
+          } finally {
+            spark.sparkContext.clearJobGroup()
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+            runningCount.decrementAndGet()
+            e.done.countDown()
+          }
+        }
+      })
+      ()
+    }
+
+    private def causeChain(t: Throwable): Seq[Throwable] = {
+      val b = Seq.newBuilder[Throwable]
+      var cur = t; var depth = 0
+      while (cur != null && depth < 20) { b += cur; cur = cur.getCause; depth += 1 }
+      b.result()
+    }
+
+    override def close(): Unit = {
+      running = false
+      scheduler.interrupt()
+      exec.shutdownNow()
+      ()
+    }
+  }
+}

@@ -23,7 +23,8 @@ object SparkEntry {
       Multimodal.queries ++
       FormatOps.queries ++
       WideOps.queries ++
-      WideOps.approxQueries
+      WideOps.approxQueries ++
+      Offload.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: 3-way join + grouped agg + top-k. */
