@@ -108,4 +108,74 @@ class OffloadSpec extends GraftSpec {
     val a03 = run("a03_offload_join_onprem").collect()
     assert(a03.nonEmpty && a03.forall(!_.getAs[Boolean]("in_cloud")))
   }
+
+  // ---------------------------------------------------------------------
+  // Cache planning (reference cache_algorithm.py strategies)
+
+  test("columnSizes: every orders column priced from the footers, positive") {
+    val sizes = columnSizes(spark, sf, Seq("orders"))
+    val cols = sizes.keys.map(_._2).toSet
+    assert(cols == Set("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"))
+    assert(sizes.values.forall(_ > 0))
+    // a missing table prices nothing instead of throwing
+    assert(columnSizes(spark, sf, Seq("no_such_table")).isEmpty)
+  }
+
+  test("planCache MostCoverage: exact optimum under a zero-slack budget, weighted tie-break") {
+    val w0 = "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1"
+    val w1 = "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1"
+    val w2 =
+      """SELECT c_mktsegment, max(o_totalprice) AS m
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin
+    val budget = planBytes(spark, sf, Seq(w0, w2))
+    val plan = planCache(spark, sf, Seq(w0, w1, w2), budget,
+      CacheStrategy.MostCoverage, weights = Seq(1.0, 0.1, 1.0))
+    assert(plan.covered == Seq(0, 2), s"covered ${plan.covered}")
+    assert(plan.bytes <= budget)
+    assert(plan.columns("orders").toSet ==
+      Set("o_orderpriority", "o_totalprice", "o_custkey"))
+    assert(plan.columns("customer").toSet == Set("c_custkey", "c_mktsegment"))
+    // the planned peer really covers what the plan claims
+    val peer = plan.toPeer("planned", "/nowhere")
+    assert(!decideInCloud(requiredColumns(spark, w0), peer))
+    assert(decideInCloud(requiredColumns(spark, w1), peer))
+    assert(!decideInCloud(requiredColumns(spark, w2), peer))
+  }
+
+  test("planCache: coverage dominates the greedy strategies; budgets respected") {
+    val workload = Seq(
+      "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1",
+      "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1",
+      """SELECT c_mktsegment, max(o_totalprice) AS m
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+      "SELECT count(*) AS n FROM nation")
+    val budget = planBytes(spark, sf, workload) // covers everything
+    for (b <- Seq(budget, budget / 2, budget / 8, 1L)) {
+      val exact = planCache(spark, sf, workload, b, CacheStrategy.MostCoverage)
+      assert(exact.bytes <= b)
+      for (s <- Seq(CacheStrategy.MostColumns, CacheStrategy.MostFrequent,
+          CacheStrategy.RateGreedy)) {
+        val g = planCache(spark, sf, workload, b, s)
+        assert(g.bytes <= b, s"$s over budget $b")
+        assert(exact.covered.size >= g.covered.size,
+          s"$s covered ${g.covered.size} > exact ${exact.covered.size} at $b")
+      }
+    }
+    // the full budget covers the full workload, count(*)-only table included
+    val full = planCache(spark, sf, workload, budget)
+    assert(full.covered == Seq(0, 1, 2, 3))
+    assert(full.columns.contains("nation"),
+      "presence-only table needs at least one cached column")
+    // a 1-byte budget covers nothing and caches nothing
+    val none = planCache(spark, sf, workload, 1L)
+    assert(none.covered.isEmpty && none.bytes <= 1)
+  }
+
+  test("planned cache end-to-end: a04 downloads the planned columns and routes on-prem") {
+    val a04 = run("a04_offload_planned").collect()
+    assert(a04.nonEmpty && a04.forall(!_.getAs[Boolean]("in_cloud")))
+  }
 }
