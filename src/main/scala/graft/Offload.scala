@@ -130,23 +130,36 @@ object Offload {
         tableDf(spark, s"$baseDir/$n.parquet").createOrReplaceTempView(n)
     }
 
+  /** Temp views are session-global: the swap-to-peer / resolve / restore
+    * sequence must not interleave with another routed execution on the
+    * same session, and a resolution failure must not strand the base
+    * names pointing at partial-column copies. */
+  private val routeLocks =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Object]()
+
   /** Decide and run: returns (result, inCloud). On-prem queries have their
     * referenced tables re-pointed at the peer's partial copies before
     * resolution, so the executed plan scans the narrow parquet — the
     * routed DataFrame's inputFiles live under `peer.dir`. */
   def execute(spark: SparkSession, sql: String, baseDir: String,
       peer: Peer): (DataFrame, Boolean) = {
-    registerBase(spark, baseDir)
-    val required = requiredColumns(spark, sql)
-    val inCloud = decideInCloud(required, peer)
-    if (!inCloud) required.keys.foreach { t =>
-      tableDf(spark, s"${peer.dir}/$t.parquet").createOrReplaceTempView(t)
+    val lock = routeLocks.computeIfAbsent(
+      System.identityHashCode(spark), _ => new Object)
+    lock.synchronized {
+      registerBase(spark, baseDir)
+      val required = requiredColumns(spark, sql)
+      val inCloud = decideInCloud(required, peer)
+      if (inCloud) (spark.sql(sql), true)
+      else {
+        required.keys.foreach { t =>
+          tableDf(spark, s"${peer.dir}/$t.parquet").createOrReplaceTempView(t)
+        }
+        try (spark.sql(sql), false)
+        finally required.keys.foreach { t => // restore for later callers
+          tableDf(spark, s"$baseDir/$t.parquet").createOrReplaceTempView(t)
+        }
+      }
     }
-    val df = spark.sql(sql)
-    if (!inCloud) required.keys.foreach { t => // restore for later callers
-      tableDf(spark, s"$baseDir/$t.parquet").createOrReplaceTempView(t)
-    }
-    (df, inCloud)
   }
 
   // -------------------------------------------------------------------
@@ -246,8 +259,10 @@ object Offload {
       else Set(candidates.minBy(k => (sizes(k), k._2)))
     }
     val all = required ++ presence
+    // missing columns (table not on disk) price high enough that any
+    // feasible set wins, low enough that summing many cannot overflow
     val bytes = all.toSeq.map(k =>
-      sizes.getOrElse(k, Long.MaxValue / 4)).sum
+      sizes.getOrElse(k, Long.MaxValue / (1 << 20))).sum
     (all, bytes)
   }
 
@@ -284,16 +299,19 @@ object Offload {
       }
       out.result()
     }
+    // a workload column with no parquet footprint under baseDir cannot be
+    // downloaded: the greedy strategies skip it (MostCoverage prices the
+    // query containing it as infeasible instead)
+    val priced = freq.keySet.filter(sizes.contains)
 
     val chosen: Set[(String, String)] = strategy match {
       case CacheStrategy.MostColumns =>
         greedyPick(sizes.toSeq.sortBy { case (k, b) => (b, k) }.map(_._1))
       case CacheStrategy.MostFrequent =>
-        greedyPick(freq.toSeq.sortBy { case (k, f) => (-f, sizes(k), k) }
-          .map(_._1))
+        greedyPick(priced.toSeq.sortBy(k => (-freq(k), sizes(k), k)))
       case CacheStrategy.RateGreedy =>
-        greedyPick(freq.toSeq
-          .sortBy { case (k, f) => (-f.toDouble / sizes(k), k) }.map(_._1))
+        greedyPick(priced.toSeq
+          .sortBy(k => (-freq(k).toDouble / sizes(k), k)))
       case CacheStrategy.MostCoverage =>
         bestCoverage(reqs, sizes, w, budgetBytes)
     }

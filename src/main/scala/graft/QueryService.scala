@@ -54,6 +54,19 @@ object QueryService {
       val receivedMs: Long) {
     @volatile var status: Status = Pending
     @volatile var result: QueryResult = null
+    /** terminal timestamp (Finished/Failed/Cancelled) — result TTL and
+      * entry eviction are measured from completion, never submission: a
+      * query that queued or ran long must still be poppable for the full
+      * TTL after it produced its rows. */
+    @volatile var finishedMs: Long = 0L
+    /** a cancel that lands while no Spark job is active (analysis, between
+      * AQE stages) has nothing to kill — the worker re-checks this flag
+      * after the action and discards the result instead of reporting
+      * Finished for a query the caller was told was cancelled. */
+    @volatile var cancelRequested: Boolean = false
+    /** exactly-once pendingCount release for queued entries, whoever
+      * dequeues first (scheduler poll vs cancel's queue removal). */
+    val dequeued = new java.util.concurrent.atomic.AtomicBoolean(false)
     val done = new CountDownLatch(1)
   }
 
@@ -100,6 +113,7 @@ object QueryService {
         case Immediate =>
           // never queued: immediate queries get capacity now (FAIR pool
           // weighting at deployment; locally they just start)
+          e.dequeued.set(true) // holds no queue capacity to release
           execute(e)
         case Relaxed =>
           if (pendingCount.incrementAndGet() > queueCap) {
@@ -134,22 +148,34 @@ object QueryService {
 
     /** POP the result: returns it and frees the retained rows (the
       * reference's popQueryResult). None until finished, or after an
-      * earlier pop. */
+      * earlier pop. Atomic: concurrent pops get at most one winner. */
     def popResult(token: String): Option[QueryResult] =
       Option(queries.get(token)).flatMap { e =>
-        val r = e.result
-        if (r != null) { e.result = null; Some(r) } else None
+        e.synchronized {
+          val r = e.result
+          if (r != null) { e.result = null; Some(r) } else None
+        }
       }
 
-    /** cancel a pending or running query: pending entries never start;
-      * running entries get their Spark job group killed */
+    /** cancel a pending or running query: pending entries never start
+      * (and immediately release their admission-queue capacity); running
+      * entries get their Spark job group killed, and a cancel that lands
+      * between jobs still wins — the worker discards the result. */
     def cancel(token: String): Boolean =
       Option(queries.get(token)).exists { e =>
         e.synchronized {
           e.status match {
             case Pending =>
-              e.status = Cancelled; e.done.countDown(); true
+              e.status = Cancelled
+              e.finishedMs = System.currentTimeMillis()
+              e.done.countDown()
+              pendingRelaxed.remove(e)
+              pendingBestEffort.remove(e)
+              if (e.dequeued.compareAndSet(false, true))
+                pendingCount.decrementAndGet()
+              true
             case Running =>
+              e.cancelRequested = true
               spark.sparkContext.cancelJobGroup(token); true
             case _ => false
           }
@@ -167,7 +193,11 @@ object QueryService {
             System.currentTimeMillis() - head.receivedMs >= maxPostponeMs
           if (runningCount.get() < slots || overdue) {
             val e = pendingRelaxed.poll()
-            if (e != null) { pendingCount.decrementAndGet(); execute(e) }
+            if (e != null) {
+              if (e.dequeued.compareAndSet(false, true))
+                pendingCount.decrementAndGet()
+              execute(e)
+            }
             e != null
           } else false
         }
@@ -175,12 +205,22 @@ object QueryService {
       // BEST_EFFORT: only when nothing at all is running
       if (runningCount.get() == 0) {
         val e = pendingBestEffort.poll()
-        if (e != null) { pendingCount.decrementAndGet(); execute(e) }
+        if (e != null) {
+          if (e.dequeued.compareAndSet(false, true))
+            pendingCount.decrementAndGet()
+          execute(e)
+        }
       }
-      // result retention: expire rows an abandoned client never popped
+      // result retention: expire rows an abandoned client never popped —
+      // TTL runs from COMPLETION; once expired the whole entry is evicted
+      // (token/SQL strings must not accumulate for the manager's lifetime)
       val cutoff = System.currentTimeMillis() - resultTtlMs
-      queries.forEach { (_, e) =>
-        if (e.result != null && e.receivedMs < cutoff) e.result = null
+      queries.forEach { (token, e) =>
+        if (e.finishedMs > 0 && e.finishedMs < cutoff &&
+            e.done.getCount == 0) {
+          e.synchronized { e.result = null }
+          queries.remove(token)
+        }
       }
     }
 
@@ -199,15 +239,22 @@ object QueryService {
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", e.hint.pool)
             spark.sparkContext.setJobGroup(e.token,
               s"graft query ${e.token} (${e.hint.pool})", interruptOnCancel = true)
+            if (e.cancelRequested) throw new InterruptedException("cancelled")
             val df: DataFrame = spark.sql(e.sql)
             val rows = df.collect()
             val finished = System.currentTimeMillis()
-            e.result = QueryResult(e.token, rows, df.columns,
-              pendingMs = started - e.receivedMs, execMs = finished - started)
-            e.status = Finished
+            // a cancel that landed while no job was active (analysis,
+            // between AQE jobs) found nothing to kill: honor it here —
+            // the caller was told the query was cancelled
+            if (e.cancelRequested) { e.status = Cancelled }
+            else {
+              e.result = QueryResult(e.token, rows, df.columns,
+                pendingMs = started - e.receivedMs, execMs = finished - started)
+              e.status = Finished
+            }
           } catch {
             case t: Throwable =>
-              val cancelled = e.status == Cancelled ||
+              val cancelled = e.cancelRequested || e.status == Cancelled ||
                 causeChain(t).exists { c =>
                   c.isInstanceOf[InterruptedException] ||
                     Option(c.getMessage).exists(_.contains("cancelled"))
@@ -217,6 +264,7 @@ object QueryService {
           } finally {
             spark.sparkContext.clearJobGroup()
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+            e.finishedMs = System.currentTimeMillis()
             runningCount.decrementAndGet()
             e.done.countDown()
           }

@@ -426,6 +426,10 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    // txn fates this table hosts must outlive its dir: re-home them to
+    // each member first, or a committed cross-table txn would later be
+    // abort-claimed at the dangling fate URI
+    GpxCommitLog.sealHostedFates(tablePath(ident).toString, conf)
     // a table recreated at this path must re-probe its protocol/manifests,
     // and a buffered MemTable tail must not outlive its table
     GpxCommitLog.invalidateCaches(tablePath(ident).toString)
@@ -437,6 +441,11 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     if (!tableExists(old)) throw new NoSuchTableException(old)
     if (tableExists(next)) throw new TableAlreadyExistsException(next)
     fs.mkdirs(nsPath(next.namespace()))
+    // same fate re-homing as dropTable (the URI records the OLD path),
+    // and a buffered MemTable tail must not leak into a table later
+    // created at the vacated path
+    GpxCommitLog.sealHostedFates(tablePath(old).toString, conf)
+    GpxMemTable.clear(tablePath(old).toString)
     GpxCommitLog.invalidateCaches(tablePath(old).toString)
     GpxCommitLog.invalidateCaches(tablePath(next).toString)
     fs.rename(tablePath(old), tablePath(next))

@@ -67,7 +67,14 @@ object GpxCommitLog {
       bucket: Option[GpxTable.BucketSpec],
       sort: Seq[String],
       range: Option[GpxTable.RangeSpec],
-      live: Vector[FileEntry]) {
+      live: Vector[FileEntry],
+      /** in-memory only (never serialized): number of delta manifests
+        * between this version and its nearest full snapshot. Plain
+        * commits checkpoint when this reaches CheckpointInterval even if
+        * the version number is off-cadence — txn member commits must stay
+        * conditional deltas, so a txn-heavy table would otherwise grow an
+        * unbounded delta chain between vacuums. */
+      chainDepth: Int = 0) {
     def relPaths: Set[String] = live.iterator.map(_.relPath).toSet
   }
 
@@ -203,6 +210,10 @@ object GpxCommitLog {
       while (it.hasNext) if (it.next()._1 == key) it.remove()
     }
     knownBad.removeIf(_._1 == key)
+    // fate/seal cache entries are keyed by file URI under this dir; decided
+    // fates are immutable so dropping them only forces a re-read (txn ids
+    // are UUIDs, so a recreated table can never collide on a stale entry)
+    fateCache.keySet.removeIf(_.contains(key))
   }
 
   // ---------------- serialization ----------------
@@ -405,10 +416,13 @@ object GpxCommitLog {
     if (cached != null) return cached.booleanValue()
     val p = new Path(fateUri)
     val ffs = p.getFileSystem(conf)
+    // prefix match: decided fates carry the member log dirs after the
+    // verdict line (so table lifecycle ops can re-home them — see
+    // sealHostedFates); abort claims and old-format fates are bare
     def readFate(): Option[Boolean] =
       readBytes(ffs, p).map(b => new String(b, "UTF-8")) match {
-        case Some("committed") => Some(true)
-        case Some("aborted") => Some(false)
+        case Some(s) if s.startsWith("committed") => Some(true)
+        case Some(s) if s.startsWith("aborted") => Some(false)
         case _ => None // missing, or partial bytes mid-create — retry
       }
     val deadline = System.nanoTime() + TxnResolveWaitMs * 1000000L
@@ -428,6 +442,75 @@ object GpxCommitLog {
     }
     fateCache.put(fateUri, java.lang.Boolean.valueOf(decided.get))
     decided.get
+  }
+
+  /** A member-LOCAL copy of a txn's decided fate (`_txn_<id>.seal` in the
+    * member's own log dir): the fate file proper lives in ONE member's
+    * dir, and without a local copy a DROP/RENAME of that table would
+    * dangle every other member's fate URI — a later cold reader would
+    * wait out the patience window and abort-claim a transaction that
+    * committed, flipping history. Seals are written by the committer
+    * right after the fate is decided and by any reader that resolves a
+    * fate (self-healing); a decision is unique per txn, so losing the
+    * putIfAbsent race is benign. */
+  private def sealLocal(fs: FileSystem, lp: Path, id: String,
+      committed: Boolean): Unit = {
+    val bytes = (if (committed) "committed" else "aborted").getBytes("UTF-8")
+    try { putIfAbsent(fs, new Path(lp, s"_txn_$id.seal"), bytes); () }
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Resolve a member delta's txn marker: the member's own seal first
+    * (survives the fate-hosting table's lifecycle), then the shared fate
+    * file — and persist the answer as a local seal on the way out. */
+  private def resolveFateFor(fs: FileSystem, lp: Path, id: String,
+      fateUri: String): Boolean = {
+    val sealP = new Path(lp, s"_txn_$id.seal")
+    val sealKey = sealP.toString
+    val cached = fateCache.get(sealKey)
+    if (cached != null) return cached.booleanValue()
+    val decided =
+      readBytes(fs, sealP).map(b => new String(b, "UTF-8")) match {
+        case Some(s) if s.startsWith("committed") => true
+        case Some(s) if s.startsWith("aborted") => false
+        case _ =>
+          val viaFate = resolveFate(fateUri, fs.getConf)
+          sealLocal(fs, lp, id, viaFate)
+          viaFate
+      }
+    fateCache.put(sealKey, java.lang.Boolean.valueOf(decided))
+    decided
+  }
+
+  /** Before a table dir is dropped or renamed, copy every DECIDED fate it
+    * hosts to each member's own log dir as a local seal, so transactions
+    * whose fate file lived here stay resolvable afterwards. Best-effort
+    * per member (a member already dropped has no readers to protect). */
+  def sealHostedFates(root: String, conf: Configuration): Unit = {
+    val lp = logPath(root)
+    val fs = lp.getFileSystem(conf)
+    val hosted =
+      try {
+        if (!fs.exists(lp)) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else fs.listStatus(lp).filter { s =>
+          val n = s.getPath.getName
+          n.startsWith("_txn_") && n.endsWith(".fate")
+        }
+      } catch { case scala.util.control.NonFatal(_) => return }
+    hosted.foreach { st =>
+      val id = st.getPath.getName
+        .stripPrefix("_txn_").stripSuffix(".fate")
+      readBytes(fs, st.getPath).map(b => new String(b, "UTF-8")).foreach {
+        txt =>
+          val lines = txt.split("\n", -1)
+          val committed = lines.head.startsWith("committed")
+          lines.tail.filter(_.nonEmpty).foreach { memberLogDir =>
+            val mp = new Path(memberLogDir)
+            try sealLocal(mp.getFileSystem(conf), mp, id, committed)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+      }
+    }
   }
 
   /** Materialize the snapshot at version v: read v's manifest; a full
@@ -459,10 +542,11 @@ object GpxCommitLog {
           // marking the slot bad so a later repair resolves it.
           knownBad.remove(key)
           return readVersion(fs, lp, v - 1, dirKey).map { prev =>
-            val applies = d.txn.forall { case (_, fateUri) =>
-              resolveFate(fateUri, fs.getConf) }
-            val s = if (applies) applyDelta(prev, d)
-              else prev.copy(version = d.version) // aborted txn: no-op slot
+            val applies = d.txn.forall { case (tid, fateUri) =>
+              resolveFateFor(fs, lp, tid, fateUri) }
+            val s = (if (applies) applyDelta(prev, d)
+              else prev.copy(version = d.version)) // aborted txn: no-op slot
+              .copy(chainDepth = prev.chainDepth + 1)
             parseCache.put(key, s)
             s
           }
@@ -639,12 +723,17 @@ object GpxCommitLog {
           Snapshot(base + 1, sc, b, s, r, add.toVector)
       }
       // O(commit) manifest bytes: appends/replaces persist only their
-      // CHANGE; overwrites and every CheckpointInterval-th version write
-      // the full self-contained snapshot (the periodic checkpoint that
-      // bounds cold head resolution)
+      // CHANGE; overwrites, every CheckpointInterval-th version, and any
+      // commit whose predecessor chain has grown to CheckpointInterval
+      // deltas (txn members skip the cadence, so version % K alone would
+      // never fire on a txn-heavy table) write the full self-contained
+      // snapshot that bounds cold head resolution
       // txn members must stay CONDITIONAL deltas (a full snapshot would
-      // bake the pending change in unconditionally), so they skip the
-      // checkpoint cadence; the next plain commit checkpoints instead
+      // bake the pending change in unconditionally); commitAtomic
+      // checkpoints them AFTER the fate is decided
+      val plainFull = forceFull ||
+        next.version % CheckpointInterval == 0 ||
+        h.exists(_.chainDepth >= CheckpointInterval - 1)
       val bytes = change match {
         case _: Overwrite => serialize(next)
         case _ if txn.isDefined =>
@@ -656,8 +745,7 @@ object GpxCommitLog {
               sc, txn)
             case _: Overwrite => throw new IllegalStateException("unreachable")
           })
-        case _ if forceFull => serialize(next)
-        case _ if next.version % CheckpointInterval == 0 => serialize(next)
+        case _ if plainFull => serialize(next)
         case Append(add, b, s, r, sc) =>
           serializeDelta(Delta(next.version, isReplace = false,
             add.toVector, Set.empty, b, s, r, sc))
@@ -669,8 +757,12 @@ object GpxCommitLog {
         manifestBytesWritten.addAndGet(bytes.length.toLong)
         // a pending txn member must NOT cache its applied state — readers
         // (this JVM included) materialize it through fate resolution
-        if (txn.isEmpty)
-          parseCache.put((dirOf(root).toString, next.version), next)
+        if (txn.isEmpty) {
+          val isFull = change.isInstanceOf[Overwrite] || plainFull
+          parseCache.put((dirOf(root).toString, next.version),
+            next.copy(chainDepth =
+              if (isFull) 0 else h.map(_.chainDepth).getOrElse(0) + 1))
+        }
         return next.version
       }
       // lost the slot: back off a touch and rebase on the new head
@@ -754,6 +846,12 @@ object GpxCommitLog {
     val fateP = ffs.makeQualified(fateP0)
     val fateUri = fateP.toString
     if (!ffs.exists(fateP.getParent)) ffs.mkdirs(fateP.getParent)
+    // the verdict line is followed by every member's log dir, so a later
+    // DROP/RENAME of the fate-hosting table can re-home the decision
+    // (sealHostedFates) instead of dangling the other members' fate URIs
+    val memberDirs = members.map(m => logPath(m._1).toString)
+    def fateBody(verdict: String): Array[Byte] =
+      (verdict + "\n" + memberDirs.mkString("\n")).getBytes("UTF-8")
     try {
       members.foreach { case (root, change) =>
         commit(root, conf, change, txn = Some((id, fateUri)))
@@ -762,21 +860,45 @@ object GpxCommitLog {
       case e: Throwable =>
         // decide the fate DOWN before surfacing: members already
         // committed must die now, not linger in doubt for readers
-        try { putIfAbsent(ffs, fateP, "aborted".getBytes("UTF-8")); () }
+        try { putIfAbsent(ffs, fateP, fateBody("aborted")); () }
         catch { case _: Throwable => () }
         fateCache.put(fateUri, java.lang.Boolean.FALSE)
+        sealMembers(conf, memberDirs, id, committed = false)
         throw e
     }
-    if (!putIfAbsent(ffs, fateP, "committed".getBytes("UTF-8"))) {
+    if (!putIfAbsent(ffs, fateP, fateBody("committed"))) {
       fateCache.put(fateUri, java.lang.Boolean.FALSE)
+      sealMembers(conf, memberDirs, id, committed = false)
       throw new java.util.ConcurrentModificationException(
         s"gpx txn $id aborted: a concurrent reader declared it dead " +
           s"before the fate was sealed (patience $TxnResolveWaitMs ms) — " +
           "no member change is visible. Retry the transaction.")
     }
     fateCache.put(fateUri, java.lang.Boolean.TRUE)
+    // eagerly close the fate's single-point-of-failure window: every
+    // member gets its local seal NOW, not at first read
+    sealMembers(conf, memberDirs, id, committed = true)
+    // txn members skip the checkpoint cadence (a full snapshot would bake
+    // the undecided change in unconditionally) — so a txn-heavy table
+    // checkpoints HERE, after the fate is decided, once its delta chain
+    // is due. Best-effort: readers stay correct either way, just slower.
+    members.foreach { case (root, _) =>
+      try head(root, conf).foreach { h =>
+        if (h.chainDepth >= CheckpointInterval) {
+          commit(root, conf, Append(Seq.empty), forceFull = true); ()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     id
   }
+
+  private def sealMembers(conf: Configuration, memberLogDirs: Seq[String],
+      id: String, committed: Boolean): Unit =
+    memberLogDirs.foreach { d =>
+      val p = new Path(d)
+      try sealLocal(p.getFileSystem(conf), p, id, committed)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   /** Reclaim retired bytes: delete data files referenced by NO manifest
     * among the newest `keepVersions`, then drop the older manifests.

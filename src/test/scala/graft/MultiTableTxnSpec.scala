@@ -81,6 +81,77 @@ class MultiTableTxnSpec extends GraftSpec {
       .option("commitProtocol", "manifest").save(dir)
   }
 
+  test("dropping or renaming the fate-hosting table cannot flip a committed txn") {
+    val a = hostileDir("gpx_txn_dr_a"); val b = hostileDir("gpx_txn_dr_b")
+    seed(a, 100); seed(b, 0)
+    val la = GpxCommitLog.head(a, conf).get.relPaths
+    val lb = GpxCommitLog.head(b, conf).get.relPaths
+    val ea = stageAmount(a, 60); val eb = stageAmount(b, 40)
+    // the fate file lives in the FIRST member's (a's) log dir
+    GpxCommitLog.commitAtomic(conf, Seq(
+      a -> GpxCommitLog.Replace(ea, la),
+      b -> GpxCommitLog.Replace(eb, lb)))
+    // table lifecycle: re-home hosted fates (what dropTable/renameTable
+    // do), then destroy a's dir entirely
+    GpxCommitLog.sealHostedFates(a, conf)
+    val ap = new Path(a)
+    ap.getFileSystem(conf).delete(ap, true)
+    // cold JVM: every cached decision for both tables is gone
+    GpxCommitLog.invalidateCaches(a)
+    GpxCommitLog.invalidateCaches(b)
+    // b must still read 40 — with the fate gone, only b's local seal can
+    // prove the txn committed; abort-claiming it would flip history
+    val prevWait = GpxCommitLog.TxnResolveWaitMs
+    GpxCommitLog.TxnResolveWaitMs = 500 // an abort claim would be quick
+    try assert(spark.read.format("gpx").load(b)
+      .agg(sum("amount")).head.getLong(0) == 40L)
+    finally GpxCommitLog.TxnResolveWaitMs = prevWait
+  }
+
+  test("committer seals members eagerly: the fate decision survives even before any read") {
+    val a = hostileDir("gpx_txn_seal_a"); val b = hostileDir("gpx_txn_seal_b")
+    seed(a, 10); seed(b, 0)
+    val ea = stageAmount(a, 5); val eb = stageAmount(b, 5)
+    GpxCommitLog.commitAtomic(conf, Seq(
+      a -> GpxCommitLog.Replace(ea, GpxCommitLog.head(a, conf).get.relPaths),
+      b -> GpxCommitLog.Replace(eb, GpxCommitLog.head(b, conf).get.relPaths)))
+    // both members carry a local seal immediately after commitAtomic
+    for (d <- Seq(a, b)) {
+      val lp = new Path(new Path(d), "_commits")
+      val fs = lp.getFileSystem(conf)
+      val seals = fs.listStatus(lp)
+        .filter(_.getPath.getName.endsWith(".seal"))
+      assert(seals.nonEmpty, s"no local seal under $d")
+    }
+  }
+
+  test("a txn-only workload keeps cold head resolution bounded by the checkpoint interval") {
+    val a = tempDir("gpx_txn_ck_a"); val b = tempDir("gpx_txn_ck_b")
+    seedLocal(a, 1000); seedLocal(b, 0)
+    // 40 transactions: without txn-aware checkpointing the delta chain
+    // would be 40+ manifests deep and cold resolution O(chain)
+    (1 to 40).foreach { i =>
+      val (ha, hb) = (GpxCommitLog.head(a, conf).get, GpxCommitLog.head(b, conf).get)
+      val sa = sumAt(a, ha.version); val sb = sumAt(b, hb.version)
+      val ea = stageAmount(a, sa - 1); val eb = stageAmount(b, sb + 1)
+      GpxCommitLog.commitAtomic(conf, Seq(
+        a -> GpxCommitLog.Replace(ea, ha.relPaths),
+        b -> GpxCommitLog.Replace(eb, hb.relPaths)))
+    }
+    for (d <- Seq(a, b)) {
+      GpxCommitLog.invalidateCaches(d)
+      val parses0 = GpxCommitLog.manifestParses.get()
+      val h = GpxCommitLog.head(d, conf)
+      assert(h.isDefined)
+      val parses = GpxCommitLog.manifestParses.get() - parses0
+      assert(parses <= GpxCommitLog.CheckpointInterval + 4,
+        s"cold head resolution of $d read $parses manifests — " +
+          "the txn delta chain is not being checkpointed")
+    }
+    assert(spark.read.format("gpx").load(a).agg(sum("amount")).head.getLong(0) == 960L)
+    assert(spark.read.format("gpx").load(b).agg(sum("amount")).head.getLong(0) == 40L)
+  }
+
   test("transfer fuzz on the hostile store: cross-table sum conserved under racing txns and readers") {
     val a = hostileDir("gpx_txn_fz_a"); val b = hostileDir("gpx_txn_fz_b")
     seed(a, 1000); seed(b, 0)

@@ -115,4 +115,98 @@ class QueryServiceSpec extends GraftSpec {
       assert(m.popResult(ok).get.rows.head.getInt(0) == 7)
     } finally m.close()
   }
+
+  test("cancel of a pending query releases its admission-queue capacity immediately") {
+    val m = new Manager(spark, slots = 1, queueCap = 2, maxPostponeMs = 120000L)
+    try {
+      val hog = m.submit(slowSql(40000000000L), Immediate)
+      Thread.sleep(300)
+      val q1 = m.submit("SELECT 1", Relaxed)
+      val q2 = m.submit("SELECT 2", Relaxed)
+      intercept[IllegalStateException] { m.submit("SELECT 3", Relaxed) }
+      // cancelling the queued entries must free their capacity NOW, not
+      // when the scheduler would have reached them behind the hog
+      assert(m.cancel(q1) && m.cancel(q2))
+      val q3 = m.submit("SELECT 3 AS v", Relaxed)
+      val q4 = m.submit("SELECT 4 AS v", Relaxed)
+      assert(m.await(hog).contains(Finished))
+      assert(m.await(q3).contains(Finished) && m.await(q4).contains(Finished))
+      assert(m.status(q1).contains(Cancelled) && m.status(q2).contains(Cancelled))
+    } finally m.close()
+  }
+
+  test("result TTL runs from completion and expiry evicts the whole entry") {
+    val m = new Manager(spark, slots = 2, resultTtlMs = 400L)
+    try {
+      // a query that takes longer than the TTL to produce its result must
+      // still be poppable right after it finishes (TTL from completion,
+      // not submission)
+      val slow = m.submit(slowSql(3000000000L), Immediate) // ~hundreds of ms
+      assert(m.await(slow, 60000).contains(Finished))
+      assert(m.popResult(slow).isDefined,
+        "a result must be poppable immediately after finishing, however " +
+          "long the query queued or ran")
+      // an abandoned result expires AND its entry is evicted (no
+      // unbounded token/sql accumulation for the manager's lifetime)
+      val gone = m.submit("SELECT 5 AS v", Immediate)
+      assert(m.await(gone).contains(Finished))
+      Thread.sleep(900)
+      assert(m.popResult(gone).isEmpty, "expired result must be dropped")
+      assert(m.status(gone).isEmpty, "expired entry must be evicted")
+    } finally m.close()
+  }
+
+  test("pop-once holds under concurrent pops: exactly one winner") {
+    val m = new Manager(spark, slots = 2)
+    try {
+      (0 until 5).foreach { i =>
+        val t = m.submit(s"SELECT $i AS v", Immediate)
+        assert(m.await(t).contains(Finished))
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val futs = (0 until 8).map { _ =>
+          pool.submit(new Runnable {
+            override def run(): Unit = {
+              start.await()
+              if (m.popResult(t).isDefined) hits.incrementAndGet()
+              ()
+            }
+          })
+        }
+        start.countDown()
+        futs.foreach(_.get())
+        pool.shutdown()
+        assert(hits.get() == 1, s"pop-once violated: ${hits.get()} winners")
+      }
+    } finally m.close()
+  }
+
+  test("a cancel that lands while no Spark job is active still wins") {
+    val m = new Manager(spark, slots = 2)
+    try {
+      // cancel immediately after submit: the worker may not have started
+      // any job yet (analysis), so cancelJobGroup alone would be a no-op —
+      // the flag must still carry the cancellation through
+      var sawCancel = false
+      var attempts = 0
+      while (!sawCancel && attempts < 20) {
+        attempts += 1
+        val t = m.submit(slowSql(2000000000L), Immediate)
+        if (m.cancel(t)) {
+          val s = m.await(t, 60000)
+          if (s.contains(Cancelled)) sawCancel = true
+          else assert(s.contains(Cancelled) || s.contains(Finished) ||
+            s.exists(_.isInstanceOf[Failed]), s"unexpected terminal $s")
+        }
+        m.popResult(t)
+      }
+      assert(sawCancel,
+        "cancel-before-first-job never produced a Cancelled terminal in 20 tries")
+      // the flagged entry must not expose its rows even if collect finished
+      val t2 = m.submit("SELECT 11 AS v", Immediate)
+      assert(m.await(t2).contains(Finished))
+      assert(m.popResult(t2).isDefined)
+    } finally m.close()
+  }
 }
