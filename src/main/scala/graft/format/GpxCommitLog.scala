@@ -134,7 +134,18 @@ object GpxCommitLog {
     val exists = try {
       val p = logPath(root)
       p.getFileSystem(conf).exists(p)
-    } catch { case _: Throwable => false }
+    } catch {
+      case _: java.io.FileNotFoundException => false
+      // a TRANSIENT probe failure must not be cached as "not a log
+      // table": that would route this write to the rename protocol and
+      // publish files no log reader ever sees (vacuum fodder). Refuse
+      // loudly; the caller retries when the store recovers.
+      case scala.util.control.NonFatal(e) =>
+        throw new java.io.IOException(
+          s"gpx: cannot determine the commit protocol for $root (the " +
+            "_commits probe failed) — refusing to guess, a wrong guess " +
+            "publishes invisible files", e)
+    }
     logTableCache.put(key,
       if (exists) Long.MaxValue else System.nanoTime() + NegativeTtlNanos)
     exists
@@ -212,8 +223,9 @@ object GpxCommitLog {
     knownBad.removeIf(_._1 == key)
     // fate/seal cache entries are keyed by file URI under this dir; decided
     // fates are immutable so dropping them only forces a re-read (txn ids
-    // are UUIDs, so a recreated table can never collide on a stale entry)
-    fateCache.keySet.removeIf(_.contains(key))
+    // are UUIDs, so a recreated table can never collide on a stale entry).
+    // Match on "<dir>/" so /data/t does not also evict /data/t2's entries.
+    fateCache.keySet.removeIf(_.contains(key + "/"))
   }
 
   // ---------------- serialization ----------------
@@ -432,12 +444,27 @@ object GpxCommitLog {
       decided = readFate()
     }
     // in-doubt past the window: the committer is presumed dead — claim
-    // the abort. Losing the claim means SOMEONE decided; read them.
+    // the abort. Losing the claim means SOMEONE decided; read them. A
+    // claim whose bytes never become readable (a claimant died between
+    // create and write on the exclusive-create fallback) must not spin
+    // forever: after a second patience window, refuse loudly with the
+    // repair (same stance as the dead manifest-slot claim).
+    var tornSpins = 0L
+    val tornCap = math.max(50L, TxnResolveWaitMs / 20L)
     while (decided.isEmpty) {
       if (putIfAbsent(ffs, p, "aborted".getBytes("UTF-8"))) decided = Some(false)
       else {
         decided = readFate()
-        if (decided.isEmpty) Thread.sleep(20) // claimed, bytes in flight
+        if (decided.isEmpty) {
+          tornSpins += 1
+          if (tornSpins > tornCap)
+            throw new java.io.IOException(
+              s"gpx txn fate $fateUri is claimed but unreadable (a " +
+                "claimant died mid-write). No state was changed. Repair: " +
+                s"verify no committer is alive, then delete $fateUri and " +
+                "retry the read.")
+          Thread.sleep(20) // claimed, bytes in flight
+        }
       }
     }
     fateCache.put(fateUri, java.lang.Boolean.valueOf(decided.get))
@@ -601,8 +628,26 @@ object GpxCommitLog {
   private def putIfAbsent(fs: FileSystem, p: Path, bytes: Array[Byte]): Boolean =
     fs match {
       case cp: ConditionalPut => cp.putIfAbsent(p, bytes)
+      case _ if fs.getScheme == "file" =>
+        // RawLocalFileSystem.create(overwrite=false) is check-then-act —
+        // two local committers could both "win" a slot. Claim with a
+        // POSIX O_EXCL create instead (atomic), then write the bytes:
+        // the same claim/content split HDFS has, but the claim itself
+        // can no longer be won twice.
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        try {
+          val parent = local.getParent
+          if (parent != null) java.nio.file.Files.createDirectories(parent)
+          java.nio.file.Files.createFile(local) // atomic exclusive claim
+          java.nio.file.Files.write(local, bytes)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
       case _ =>
         // HDFS-semantics stores: exclusive create IS a conditional put
+        // (the namenode arbitrates the create atomically)
         try {
           val out = fs.create(p, false)
           try out.write(bytes) finally out.close()
@@ -695,7 +740,10 @@ object GpxCommitLog {
       // a head that does not advance while our claims keep losing means
       // the next slot is claimed by unreadable bytes — a dead (or stalled)
       // writer. Stop burning the retry budget and refuse with the repair.
-      if (base == lastBase) { sameBase += 1; if (sameBase >= 10) attempts = 0 }
+      // generous threshold: a SLOW writer mid-upload looks identical to a
+      // dead one from here, and the refusal message advises deleting its
+      // slot — misdiagnosing an alive writer must be hard to do
+      if (base == lastBase) { sameBase += 1; if (sameBase >= 25) attempts = 0 }
       else { lastBase = base; sameBase = 0 }
       val next = change match {
         case Append(add, b, s, r, sc) =>
@@ -763,6 +811,11 @@ object GpxCommitLog {
             next.copy(chainDepth =
               if (isFull) 0 else h.map(_.chainDepth).getOrElse(0) + 1))
         }
+        // an OVERWRITE replaces the table's contents — a buffered
+        // memtable tail is part of those contents and must die with
+        // them (it would otherwise be re-served on top of the truncated
+        // table and APPENDED back by the next flush)
+        if (change.isInstanceOf[Overwrite]) GpxMemTable.clear(root)
         return next.version
       }
       // lost the slot: back off a touch and rebase on the new head
@@ -838,8 +891,11 @@ object GpxCommitLog {
   def commitAtomic(conf: Configuration,
       members: Seq[(String, Change)]): String = {
     require(members.nonEmpty, "empty transaction")
-    require(members.map(m => dirOf(m._1).toString).distinct.size == members.size,
-      "one member per table")
+    // dedupe on QUALIFIED dirs: "/data/t" and "file:/data/t" are one
+    // table, and a double member would apply its delta twice
+    require(members.map(m =>
+      GpxTable.qualifiedRoot(dirOf(m._1).toString, conf)).distinct.size ==
+      members.size, "one member per table")
     val id = java.util.UUID.randomUUID().toString
     val fateP0 = new Path(logPath(members.head._1), s"_txn_$id.fate")
     val ffs = fateP0.getFileSystem(conf)

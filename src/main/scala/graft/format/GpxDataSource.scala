@@ -439,8 +439,16 @@ class GpxTable(schema: StructType, roots: Seq[String],
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(GpxDelete.translatable)
 
-  override def deleteWhere(filters: Array[Filter]): Unit =
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    // a buffered memtable tail is invisible to the file-granular delete:
+    // flush it into committed files first so the predicate applies to
+    // those rows too (they are queryable, so they must be deletable)
+    roots.foreach { r =>
+      if (GpxMemTable.buffered(r) > 0)
+        GpxMemTable.flush(r, new Configuration())
+    }
     GpxDelete.run(schema, roots, filters, catalogManaged)
+  }
 
   /** SQL UPDATE / MERGE INTO (and subquery deletes): group-based
     * copy-on-write by default ([[GpxRowLevelOperation]] — rewrite the
@@ -450,6 +458,12 @@ class GpxTable(schema: StructType, roots: Seq[String],
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    // same contract as deleteWhere: queryable tail rows must be visible
+    // to UPDATE/MERGE/DELETE — flush them into files the operation scans
+    roots.foreach { r =>
+      if (GpxMemTable.buffered(r) > 0)
+        GpxMemTable.flush(r, new Configuration())
+    }
     val dataSchema =
       StructType(schema.filterNot(f => GpxTable.isSynthetic(f.name)))
     val mode = org.apache.spark.sql.SparkSession.active.conf

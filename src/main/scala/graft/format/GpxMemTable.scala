@@ -36,14 +36,20 @@ object GpxMemTable {
 
   final class Table(val dir: String, val schema: StructType) {
     private[GpxMemTable] val rows = new ArrayBuffer[InternalRow]()
-    private[GpxMemTable] var ingested = 0L
   }
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, Table]()
 
+  // buffered() runs on every scan build: memoize the qualified-root key
+  // so the hot planning path pays a map hit, not a Configuration +
+  // FileSystem resolution per query
+  private val keyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def key(dir: String): String =
-    GpxTable.qualifiedRoot(dir, new Configuration())
+    keyCache.computeIfAbsent(dir,
+      d => GpxTable.qualifiedRoot(d, new Configuration()))
 
   /** rows buffered for a dir right now (0 = no active memtable) */
   def buffered(dir: String): Int = {
@@ -70,7 +76,6 @@ object GpxMemTable {
     val converted = batch.map(r => conv(r).asInstanceOf[InternalRow])
     t.synchronized {
       t.rows ++= converted
-      t.ingested += converted.length
       if (t.rows.length >= maxRows) flushLocked(t, conf)
     }
   }
@@ -121,7 +126,20 @@ object GpxMemTable {
       }
       val srcType = srcIdx.map(i =>
         if (i >= 0) t.schema.fields(i).dataType else null)
-      val proj = UnsafeProjection.create(required)
+      // the REQUIRED type can be wider than the memtable's bound type
+      // (a concurrent batch append widened the manifest schema): project
+      // through an explicit Cast per mismatched column, or the unsafe
+      // projection would getLong an Integer and crash the scan
+      val exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        required.fields.zipWithIndex.map { case (f, i) =>
+          import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast}
+          if (srcIdx(i) >= 0) {
+            val br = BoundReference(i, srcType(i), nullable = true)
+            if (srcType(i) == f.dataType) br
+            else Cast(br, f.dataType, Some("UTC"))
+          } else BoundReference(i, f.dataType, nullable = true)
+        }.toSeq
+      val proj = UnsafeProjection.create(exprs)
       val out = t.rows.iterator.map { row =>
         val vals = new Array[Any](required.length)
         var i = 0

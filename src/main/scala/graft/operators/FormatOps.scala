@@ -588,7 +588,40 @@ object FormatOps {
               |        AS o_totalprice
               |      FROM range(1, 26) t(i))
               |GROUP BY o_orderstatus
-              |ORDER BY o_orderstatus""".stripMargin))
+              |ORDER BY o_orderstatus""".stripMargin)),
+
+    // f21: the columnar cache (S21, reference pixels-cache). The pruned
+    // relation is persisted (Spark's in-memory COLUMNAR store — the
+    // cache-read analog of pixels-cache serving column chunks from shared
+    // memory) and the aggregation is plan-gated in-query to scan the
+    // InMemoryRelation, not parquet. Values must still hash-match the
+    // parquet oracle, so a cache that corrupted, dropped, or duplicated
+    // batches fails the driver compare; only deterministic values reach
+    // the driver. The consumer's CacheScope.release unpins afterwards.
+    GQuery("f21_columnar_cache", (s, d) => {
+      import graft.CacheScope.Trackable
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice")).tracked
+      li.count() // materialize the columnar cache before the gated pass
+      val agg = li.groupBy("l_returnflag")
+        .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+      val usesCache = agg.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation])
+      require(usesCache,
+        "f21 must be served by the columnar cache, not the parquet source")
+      agg
+    },
+      Some(s"""SELECT l_returnflag,
+              |  ${Det.o.dsum("l_quantity")} AS sum_qty,
+              |  ${Det.o.davg("l_extendedprice")} AS avg_price,
+              |  COUNT(*) AS n
+              |FROM lineitem
+              |GROUP BY l_returnflag
+              |ORDER BY l_returnflag""".stripMargin))
   )
 
   /** f19 build: two commit-log tables seeded by orders parity, then one

@@ -125,6 +125,35 @@ class MultiTableTxnSpec extends GraftSpec {
     }
   }
 
+  test("concurrent LOCAL committers never lose a commit (exclusive slot claims)") {
+    // RawLocalFileSystem.create(overwrite=false) is check-then-act; the
+    // log claims local slots via an O_EXCL create instead. 8 threads
+    // racing appends must land 8 distinct versions with all 8 files live.
+    val dir = tempDir("gpx_conc_commit")
+    seedLocal(dir, 0)
+    val staged = (0 until 8).map(i => stageAmount(dir, 100L + i))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val base = GpxCommitLog.head(dir, conf).get.version
+      val futs = staged.map { entries =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            GpxCommitLog.commit(dir, conf, GpxCommitLog.Append(entries))
+        })
+      }
+      val versions = futs.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.distinct.size == 8, s"duplicate slots: $versions")
+      val h = GpxCommitLog.head(dir, conf).get
+      assert(h.version == base + 8)
+      val expected = staged.flatten.map(_.relPath).toSet
+      assert(expected.subsetOf(h.relPaths),
+        s"lost commit: ${expected -- h.relPaths}")
+      // every staged row is served exactly once
+      assert(spark.read.format("gpx").load(dir)
+        .agg(sum("amount")).head.getLong(0) == (0 until 8).map(100L + _).sum)
+    } finally pool.shutdown()
+  }
+
   test("a txn-only workload keeps cold head resolution bounded by the checkpoint interval") {
     val a = tempDir("gpx_txn_ck_a"); val b = tempDir("gpx_txn_ck_b")
     seedLocal(a, 1000); seedLocal(b, 0)

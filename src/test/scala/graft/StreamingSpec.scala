@@ -727,6 +727,74 @@ class StreamingSpec extends GraftSpec {
     GpxMemTable.clear(dir)
   }
 
+  test("memtable tail dies with INSERT OVERWRITE and is visible to DELETE") {
+    import graft.format.GpxMemTable
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val conf = new Configuration()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    // --- overwrite: the tail is part of the replaced contents ---
+    val d1 = tempDir("gpx_mt_ow")
+    spark.range(0, 50).selectExpr("id", "id * 2 as v")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(d1)
+    GpxMemTable.ingest(d1, schema, Seq(Row(900L, 1L), Row(901L, 2L)), conf)
+    assert(spark.read.format("gpx").load(d1).count() == 52)
+    spark.range(0, 10).selectExpr("id", "id as v")
+      .write.format("gpx").mode("overwrite").save(d1)
+    assert(GpxMemTable.buffered(d1) == 0,
+      "a buffered tail must not survive INSERT OVERWRITE")
+    assert(spark.read.format("gpx").load(d1).count() == 10)
+    // a later flush must not resurrect the pre-overwrite rows
+    assert(GpxMemTable.flush(d1, conf) == 0)
+    assert(spark.read.format("gpx").load(d1).count() == 10)
+    // --- delete: queryable tail rows must be deletable ---
+    val wh = tempDir("gpx_mt_del_wh")
+    spark.conf.set("spark.sql.catalog.gmtd", "graft.format.GpxCatalog")
+    spark.conf.set("spark.sql.catalog.gmtd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmtd.db")
+    spark.sql("CREATE TABLE gmtd.db.t (id BIGINT, v BIGINT) USING gpx " +
+      "TBLPROPERTIES('commit_protocol'='manifest')")
+    spark.sql("INSERT INTO gmtd.db.t SELECT id, id * 2 FROM range(0, 50)")
+    val dir = s"$wh/db/t"
+    GpxMemTable.ingest(dir, schema, Seq(Row(900L, 1L), Row(901L, 2L)), conf)
+    assert(spark.sql("SELECT count(*) FROM gmtd.db.t WHERE id >= 900")
+      .head.getLong(0) == 2)
+    spark.sql("DELETE FROM gmtd.db.t WHERE id >= 900")
+    assert(spark.sql("SELECT count(*) FROM gmtd.db.t WHERE id >= 900")
+      .head.getLong(0) == 0,
+      "tail rows are queryable, so DELETE must reach them")
+    assert(spark.sql("SELECT count(*) FROM gmtd.db.t").head.getLong(0) == 50)
+    GpxMemTable.clear(dir)
+  }
+
+  test("memtable tail serves through a widened manifest schema") {
+    import graft.format.GpxMemTable
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    val conf = new Configuration()
+    val dir = tempDir("gpx_mt_widen")
+    spark.range(0, 10).selectExpr("CAST(id AS INT) as id")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    val narrow = StructType(Seq(StructField("id", IntegerType)))
+    GpxMemTable.ingest(dir, narrow, Seq(Row(100), Row(101)), conf)
+    // a batch append widens the manifest schema to BIGINT; the scan's
+    // required type is now LongType while the tail is bound at Integer —
+    // capture must cast, not crash
+    spark.range(200, 205).selectExpr("id")
+      .write.format("gpx").mode("append").save(dir)
+    val df = spark.read.format("gpx").load(dir)
+    assert(df.schema("id").dataType == LongType)
+    assert(df.count() == 17)
+    assert(df.filter("id IN (100, 101)").count() == 2,
+      "tail rows must serve as the widened type")
+    GpxMemTable.clear(dir)
+  }
+
   test("memtable flush racing readers: every observed state is exactly-once") {
     import graft.format.GpxMemTable
     import org.apache.hadoop.conf.Configuration
