@@ -97,7 +97,15 @@ class GpxCdcStream(root: String, schema: StructType,
   private def currentVersion: Long = {
     val f = Paths.get(root).resolve("_CURRENT")
     if (!Files.exists(f)) -1L
-    else Try(new String(Files.readAllBytes(f)).trim.toLong).getOrElse(-1L)
+    else Try(new String(Files.readAllBytes(f)).trim.toLong).getOrElse {
+      // _CURRENT is ATOMIC_MOVE-swapped, so a present pointer is never
+      // partial: a failed read is a transient store error. Returning -1
+      // would REGRESS the offset below the checkpoint and replay the
+      // whole history when the store recovers — fail the trigger instead.
+      throw new java.io.IOException(
+        s"gpx-cdc: cannot read $f — failing this trigger rather than " +
+          "regressing the offset")
+    }
   }
 
   override def initialOffset(): Offset = GpxCdcOffset(-1L)

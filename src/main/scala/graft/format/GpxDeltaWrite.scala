@@ -42,6 +42,16 @@ class GpxDeltaOperation(schema: StructType, roots: Seq[String],
     catalogManaged: Boolean, cmd: RowLevelOperation.Command)
   extends RowLevelOperation with SupportsDelta {
 
+  // delete-sidecar fingerprint taken at OPERATION CONSTRUCTION — before
+  // Spark builds the scan, so it can never postdate the scan's cached
+  // mask walk. A sidecar committed between here and the scan walk makes
+  // the commit-time comparison fail SPURIOUSLY (safe: retry succeeds);
+  // capturing later (at write exec) had the unsafe direction — a mask
+  // the scan never applied could pass the check and resurrect
+  // concurrently-deleted rows.
+  private val sidecarsAtPlan =
+    GpxMutationLock.sidecarState(roots.head, new Configuration())
+
   override def command(): RowLevelOperation.Command = cmd
 
   /** plain pruned scan — matched rows only, masks applied */
@@ -63,7 +73,8 @@ class GpxDeltaOperation(schema: StructType, roots: Seq[String],
         val ts = if (catalogManaged)
           GpxTxn.stamp(roots.head, new Configuration()) else -1L
         val rowIdSchema = info.rowIdSchema().orElse(new StructType())
-        new GpxDeltaWrite(info.schema(), rowIdSchema, roots.head, ts)
+        new GpxDeltaWrite(info.schema(), rowIdSchema, roots.head, ts,
+          sidecarsAtPlan)
       }
     }
 
@@ -71,7 +82,8 @@ class GpxDeltaOperation(schema: StructType, roots: Seq[String],
 }
 
 class GpxDeltaWrite(dataSchema: StructType, rowIdSchema: StructType,
-    root: String, commitTs: Long) extends DeltaWrite
+    root: String, commitTs: Long,
+    sidecarsAtPlan: Set[String]) extends DeltaWrite
   with RequiresDistributionAndOrdering {
 
   /** the insert half must keep the table's ordered layout: declare the
@@ -90,20 +102,21 @@ class GpxDeltaWrite(dataSchema: StructType, rowIdSchema: StructType,
     }.toArray
 
   override def toBatch: DeltaBatchWrite =
-    new GpxDeltaBatchWrite(dataSchema, rowIdSchema, root, commitTs)
+    new GpxDeltaBatchWrite(dataSchema, rowIdSchema, root, commitTs,
+      sidecarsAtPlan)
 }
 
 class GpxDeltaBatchWrite(dataSchema: StructType, rowIdSchema: StructType,
-    root: String, commitTs: Long) extends DeltaBatchWrite {
+    root: String, commitTs: Long,
+    // delete-sidecar state fingerprinted at OPERATION construction (see
+    // GpxDeltaOperation): two concurrent delta UPDATEs of the same rows
+    // would each mask the original once and insert its own new copy —
+    // verifyStillPresent alone cannot catch that (merge-on-read never
+    // removes the file), the sidecar-state change does
+    sidecarsAtPlan: Set[String]) extends DeltaBatchWrite {
 
   private val opId = java.util.UUID.randomUUID().toString.take(8)
   private val staging = s"$root/_delta_$opId"
-  // delete-sidecar state at write planning: two concurrent delta UPDATEs
-  // of the same rows would each mask the original once and insert its own
-  // new copy — verifyStillPresent alone cannot catch that (merge-on-read
-  // never removes the file), the sidecar-state change does
-  private val sidecarsAtPlan =
-    GpxMutationLock.sidecarState(root, new Configuration())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val conf = new Configuration()

@@ -129,6 +129,16 @@ case class GpxTailOffset(epoch: Long, delTs: Long = -1L) extends Offset {
 
 object GpxTailStream {
   private val EpochRe = """^part-e(\d+)-.*\.gpx$""".r
+  private[format] val MarkerRe = """^_e(\d+)\.committed$""".r
+
+  /** Sidecar creation timestamps are claimed only once they are at least
+    * this old: stamps are millisecond-resolution and assigned BEFORE the
+    * sidecar publishes, so a strict `> offset.delTs` filter would
+    * permanently drop a sidecar stamped in the same millisecond as the
+    * offset's max but published just after the listing. The lag is
+    * orders of magnitude above the stamp-to-visible window (one small
+    * file create). */
+  private[format] val DeleteClaimLagMs = 100L
 
   /** epoch of a sink-published file name, if it is one */
   def epochOf(path: String): Option[Long] = {
@@ -160,16 +170,41 @@ class GpxTailStream(root: String, schema: StructType, withDeletes: Boolean,
     GpxTable.listFiles(Seq(root), conf)
       .flatMap(f => GpxTailStream.epochOf(f).map(_ -> f))
 
+  /** Highest epoch whose publish is PROVEN complete. The sink publishes
+    * an epoch's part files one rename at a time and writes the
+    * `_e<N>.committed` marker last (log-mode tables additionally commit
+    * the manifest first), so a bare part-file listing can catch an epoch
+    * mid-publish — advancing the offset there would emit a partial epoch
+    * and permanently skip its remaining files. Epochs commit strictly in
+    * order, so everything at or below the newest marker is complete; so
+    * is everything below the newest part file's epoch (its publisher had
+    * finished the previous epoch). */
+  private def committedFrontier(conf: Configuration,
+      files: Seq[(Long, String)]): Long = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(conf)
+    val markerMax =
+      try {
+        if (!fs.exists(p)) -1L
+        else fs.listStatus(p).toSeq.flatMap { st =>
+          GpxTailStream.MarkerRe.findFirstMatchIn(st.getPath.getName)
+            .map(_.group(1).toLong)
+        }.maxOption.getOrElse(-1L)
+      } catch { case _: java.io.FileNotFoundException => -1L }
+    val partMax = files.map(_._1).maxOption.getOrElse(-1L)
+    math.max(markerMax, partMax - 1)
+  }
+
   /** delete sidecars of epoch files, keyed by data file path */
-  private def epochSidecars(conf: Configuration)
-      : Seq[(String, GpxDeleteBitmap.Sidecar)] = {
-    val files = epochFiles(conf).map(_._2)
-    val byParent = files.groupBy(f => new Path(f).getParent)
+  private def epochSidecars(conf: Configuration,
+      files: Seq[(Long, String)]): Seq[(Long, String, GpxDeleteBitmap.Sidecar)] = {
+    val byParent = files.groupBy { case (_, f) => new Path(f).getParent }
     byParent.toSeq.flatMap { case (parent, fs) =>
-      val names = fs.map(f => new Path(f).getName -> f).toMap
+      val names = fs.map { case (e, f) => new Path(f).getName -> (e, f) }.toMap
       GpxDeleteBitmap.sidecarsIn(parent, conf).toSeq.flatMap {
         case (dataName, scs) =>
-          names.get(dataName).toSeq.flatMap(df => scs.map(df -> _))
+          names.get(dataName).toSeq.flatMap { case (e, df) =>
+            scs.map(sc => (e, df, sc)) }
       }
     }
   }
@@ -178,10 +213,25 @@ class GpxTailStream(root: String, schema: StructType, withDeletes: Boolean,
 
   override def latestOffset(): Offset = {
     val conf = new Configuration()
-    val e = epochFiles(conf).map(_._1).maxOption.getOrElse(-1L)
+    val files = epochFiles(conf)
+    val e = committedFrontier(conf, files)
     val t =
       if (!withDeletes) -1L
-      else epochSidecars(conf).map(_._2.createTs).maxOption.getOrElse(-1L)
+      else {
+        // claim only sidecars whose base rows' epoch is claimable too (a
+        // DELETE must never stream before its INSERTs); never advance
+        // past a NOT-yet-claimable sidecar's stamp (when its epoch
+        // commits, its createTs must still be above the offset); and
+        // hold back the claim-lag window so a same-millisecond straggler
+        // published after this listing is still claimed next batch
+        val sidecars = epochSidecars(conf, files)
+        val claimable = sidecars.filter { case (fe, _, _) => fe <= e }
+          .map(_._3.createTs).maxOption.getOrElse(-1L)
+        val heldBack = sidecars.filter { case (fe, _, _) => fe > e }
+          .map(_._3.createTs - 1).minOption.getOrElse(Long.MaxValue)
+        math.min(math.min(claimable, heldBack),
+          System.currentTimeMillis() - GpxTailStream.DeleteClaimLagMs)
+      }
     GpxTailOffset(e, t)
   }
 
@@ -200,15 +250,18 @@ class GpxTailStream(root: String, schema: StructType, withDeletes: Boolean,
     // AvailableNow clamps to the frozen frontier; otherwise live latest
     val full = availableNowTarget.getOrElse(
       latestOffset().asInstanceOf[GpxTailOffset])
+    val s = Option(start).map(_.asInstanceOf[GpxTailOffset])
+      .getOrElse(GpxTailOffset(-1L, -1L))
     maxEpochs match {
-      case None => full
+      case None =>
+        // the claim-lag clamp must never regress the checkpointed offset
+        GpxTailOffset(full.epoch, math.max(full.delTs, s.delTs))
       case Some(m) =>
-        val s = Option(start).map(_.asInstanceOf[GpxTailOffset])
-          .getOrElse(GpxTailOffset(-1L, -1L))
         val pending = epochFiles(new Configuration())
           .map(_._1).filter(e => e > s.epoch && e <= full.epoch)
           .distinct.sorted
-        if (pending.length <= m) full
+        if (pending.length <= m)
+          GpxTailOffset(full.epoch, math.max(full.delTs, s.delTs))
         else GpxTailOffset(pending(m.toInt - 1), s.delTs)
     }
   }
@@ -270,15 +323,18 @@ class GpxTailStream(root: String, schema: StructType, withDeletes: Boolean,
     // commitTs when the delete has one, else the creation ts.
     val deletes =
       if (!withDeletes) Seq.empty[InputPartition]
-      else epochSidecars(conf)
-        .filter { case (_, sc) =>
-          sc.createTs > from.delTs && sc.createTs <= to.delTs }
-        .groupBy { case (df, sc) => (df, sc.createTs) }
+      else epochSidecars(conf, epochFiles(conf))
+        .filter { case (fe, _, sc) =>
+          // epoch gate: a DELETE event must never stream before its base
+          // rows' epoch has been emitted, whatever the sidecar's stamp
+          fe <= to.epoch &&
+            sc.createTs > from.delTs && sc.createTs <= to.delTs }
+        .groupBy { case (_, df, sc) => (df, sc.createTs) }
         .toSeq.sortBy { case ((df, ts), _) => (ts, df) }
         .flatMap { case ((file, cts), scs) =>
-          val ts = scs.map(_._2.commitTs).find(_ >= 0).getOrElse(cts)
+          val ts = scs.map(_._3.commitTs).find(_ >= 0).getOrElse(cts)
           val bits = new java.util.BitSet()
-          scs.foreach { case (_, sc) =>
+          scs.foreach { case (_, _, sc) =>
             bits.or(GpxDeleteBitmap.loadBitmap(sc.path, conf)) }
           val footer = GpxFileReader.FooterCache.get(file, conf)
           val synth = synthFor(footer.schema)

@@ -143,14 +143,19 @@ object GpxVersion {
     * delete-sensitive `_version` only: data files are untouched, so
     * data-layout-keyed artifacts (point index) stay valid and replay the
     * new bitmap at serve time. */
-  def markDeletes(root: String, conf: Configuration): Unit =
-    try {
-      val d = dir(root)
-      val fs = d.getFileSystem(conf)
-      fs.mkdirs(d)
-      fs.create(new Path(d, DelMark), true).close()
-      writeToken(fs, d)
-    } catch { case _: Throwable => () }
+  /** STRICT: both callers run under the mutation lock BEFORE the first
+    * sidecar publishes, and the contract (scans may over-report deletes
+    * transiently, never under-report) depends on the marker preceding
+    * every sidecar — a failed marker write must abort the operation, not
+    * leave live sidecars that anyDeletes() answers false for (pushed
+    * footer counts would then count masked rows). */
+  def markDeletes(root: String, conf: Configuration): Unit = {
+    val d = dir(root)
+    val fs = d.getFileSystem(conf)
+    fs.mkdirs(d)
+    fs.create(new Path(d, DelMark), true).close()
+    writeToken(fs, d)
+  }
 
   /** exact re-derivation after a mutation that REMOVED sidecars (fold,
     * compaction, COW rewrite, overwrite): one walk, marker matches

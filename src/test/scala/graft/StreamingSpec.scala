@@ -359,6 +359,45 @@ class StreamingSpec extends GraftSpec {
     q1.stop()
   }
 
+  test("gpx-tail skips a mid-publish epoch until its marker lands, then emits it whole") {
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val dir = TestSpark.tempDir("gpx_tailmp")
+    val q1 = source.toDF().toDF("id", "s")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", TestSpark.tempDir("gpx_tailmp_c1"))
+      .format("gpx").start(dir)
+    (0 until 3).foreach { e =>
+      source.addData((e.toLong, s"v$e")); q1.processAllAvailable()
+    }
+    q1.stop()
+    // simulate a sink crash mid-publish of epoch 9: one part file is
+    // visible, the _e9.committed marker is not (the sink writes it LAST)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val existing = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).find(_.getName.matches("part-e0-.*\\.gpx")).get
+    org.apache.hadoop.fs.FileUtil.copy(fs, existing, fs,
+      new org.apache.hadoop.fs.Path(dir, "part-e9-0.gpx"), false,
+      new org.apache.hadoop.conf.Configuration())
+    def drain(name: String): Seq[Long] = {
+      val q = sp.readStream.format("gpx-tail").load(dir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", TestSpark.tempDir(s"gpx_tailmp_$name"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("memory").queryName(name).start()
+      assert(q.awaitTermination(120000))
+      sp.table(name).collect().map(_.getLong(0)).toSeq
+    }
+    // the unmarked epoch must NOT be claimed — emitting it now would
+    // permanently skip any of its part files still being published
+    assert(drain("gpx_tailmp_a").sorted == Seq(0L, 1L, 2L))
+    // the marker lands (publish completed): the epoch now streams whole
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_e9.committed"), true).close()
+    assert(drain("gpx_tailmp_b").sorted == Seq(0L, 0L, 1L, 2L))
+  }
+
   test("gpx-cdc admission control: maxVersionsPerTrigger bounds catch-up batches") {
     val dir = TestSpark.tempDir("cdcac")
     val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts",
