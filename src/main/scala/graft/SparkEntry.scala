@@ -24,7 +24,8 @@ object SparkEntry {
       FormatOps.queries ++
       WideOps.queries ++
       WideOps.approxQueries ++
-      Offload.queries
+      Offload.queries ++
+      ExchangeOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: 3-way join + grouped agg + top-k. */
