@@ -55,6 +55,31 @@ object GpxCompactor {
     val outPath = new Path(outDir)
     val fs = outPath.getFileSystem(conf)
     fs.mkdirs(outPath)
+    // outputs are named compact-NNNNN by index: leftovers from an earlier
+    // (larger) compaction into the same dir would survive past this run's
+    // highest index and be listed as table data — refuse, don't resurrect
+    val leftovers = GpxTable.listFiles(Seq(outDir), conf)
+    require(leftovers.isEmpty,
+      s"compaction output dir $outDir already holds ${leftovers.size} gpx " +
+        "file(s) — compact into an empty directory")
+    // carry the rename-alias and dropped-column sidecars: byte-copied
+    // footers keep their OLD physical column names, so without _renames a
+    // scan of the compacted copy silently nulls every renamed column (and
+    // without _dropped, a dropped column's still-present bytes resurface)
+    Seq("_renames", "_dropped").foreach { side =>
+      val src = new Path(inDir, side)
+      val sfs = src.getFileSystem(conf)
+      if (sfs.exists(src)) {
+        val in = sfs.open(src)
+        val bytes = try {
+          val b = new ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, b, 8192, false)
+          b.toByteArray
+        } finally in.close()
+        val o = fs.create(new Path(outPath, side), true)
+        try o.write(bytes) finally o.close()
+      }
+    }
     // carry the bucket-layout sidecar so bucket pruning keeps working
     GpxTable.readBucketSpec(inDir, conf).foreach { b =>
       val o = fs.create(new Path(outPath, "_bucketspec"), true)

@@ -16,11 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object ExchangeOps {
 
-  /** producer-task cap leaves slots for the consumer stage (see
-    * PipelinedExchange.produce) */
+  /** producer-task cap leaves slots for the consumer stage */
   private def probeParts(s: org.apache.spark.sql.SparkSession): Int =
-    math.max(1, s.sparkContext.defaultParallelism -
-      math.max(1, s.sparkContext.defaultParallelism / 4))
+    PipelinedExchange.maxProducerTasks(s)
 
   val queries: Seq[GQuery] = Seq(
 
@@ -49,7 +47,9 @@ object ExchangeOps {
     // hash-pure row groups and join the materialized customer build side
     // micro-batch by micro-batch (the reference's
     // PartitionedJoinStreamOperator: populate small table, stream the
-    // large side).
+    // large side). Partitioned mode here exercises the channel-level
+    // "row group = hash partition" contract under the oracle — the SQL
+    // consumer still plans its own shuffle (see PipelinedExchange doc).
     GQuery("x02_exchange_join", (s, d) => {
       val probe = Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
       val build = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))

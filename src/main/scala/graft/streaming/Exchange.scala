@@ -41,9 +41,16 @@ import scala.jdk.CollectionConverters._
   *     they are appended, so downstream aggregation/join work overlaps the
   *     producer's scan — the reference's operator pipelining;
   *   - `partitioned` mode preserves the reference's "row group = hash
-  *     partition" contract: the producer is hash-repartitioned and every
-  *     pushed batch carries its partition id, so partition-local consumers
-  *     (partitioned hash join build/probe) need no further shuffle;
+  *     partition" contract AT THE CHANNEL LEVEL: the producer is
+  *     hash-repartitioned and every pushed row group carries its
+  *     partition id (gated hash-pure in ExchangeSpec), so a
+  *     partition-local consumer — a partitioned writer, a per-partition
+  *     state machine, a cluster transport routing row groups to
+  *     per-partition workers — can rely on it. NOTE a consumer that is
+  *     itself a Spark SQL query does NOT see this partitioning (the
+  *     micro-batch scan reports none), so Catalyst still plans its own
+  *     shuffle for joins/aggs; use partitioned mode for its semantics,
+  *     not as a consumer-side shuffle elision;
   *   - the consumer joining each arriving batch against a materialized
   *     build side (stream-static join) is exactly the reference's
   *     PartitionedJoinStreamOperator shape: populate the small table, then
@@ -330,6 +337,21 @@ object GpxExchangeReaderFactory extends PartitionReaderFactory {
   * through an [[ExchangeChannel]] and run them CONCURRENTLY. */
 object PipelinedExchange {
 
+  /** LIVENESS: backpressured producer tasks BLOCK while holding their
+    * task slots. Producer and consumer stages share the same executors
+    * (the reference runs them on separate workers), so the producer's
+    * concurrency must stay below the slot count or a full channel
+    * deadlocks the exchange — cap it and leave ≥1/4 of slots (min 1)
+    * for the consumer's micro-batches. A single-slot context cannot
+    * host both stages at all, so it is refused up front. */
+  def maxProducerTasks(spark: SparkSession): Int = {
+    val slots = spark.sparkContext.defaultParallelism
+    require(slots >= 2,
+      s"pipelined exchange needs >= 2 executor slots (producer AND " +
+        s"consumer stages run concurrently), got $slots")
+    math.max(1, slots - math.max(1, slots / 4))
+  }
+
   /** Start the producer stage: runs `df` as a batch job whose tasks push
     * `rowsPerBatch`-row groups into channel `name`. Returns the channel
     * and the producer's completion handle.
@@ -344,28 +366,23 @@ object PipelinedExchange {
       numPartitions: Int = 0, interBatchDelayMs: Long = 0L):
       (ExchangeChannel.Channel, java.util.concurrent.CompletableFuture[Void]) = {
     require(rowsPerBatch > 0, s"rowsPerBatch must be positive: $rowsPerBatch")
-    // LIVENESS: backpressured producer tasks BLOCK while holding their task
-    // slots. Producer and consumer stages share the same executors (the
-    // reference runs them on separate workers), so the producer's
-    // concurrency must stay below the slot count or a full channel
-    // deadlocks the exchange — cap it and leave ≥1/4 of slots (min 1) for
-    // the consumer's micro-batches.
-    val slots = df.sparkSession.sparkContext.defaultParallelism
-    val maxProducerTasks = math.max(1, slots - math.max(1, slots / 4))
+    val cap = maxProducerTasks(df.sparkSession)
     val shaped =
       if (partitionKeys.nonEmpty) {
-        require(numPartitions > 0 && numPartitions <= maxProducerTasks,
-          s"partitioned exchange needs 0 < numPartitions <= $maxProducerTasks " +
-            s"($slots slots minus the consumer-stage reserve), got $numPartitions")
+        require(numPartitions > 0 && numPartitions <= cap,
+          s"partitioned exchange needs 0 < numPartitions <= $cap " +
+            s"(slots minus the consumer-stage reserve), got $numPartitions")
         df.repartition(numPartitions, partitionKeys: _*)
       } else df
     val schema = shaped.schema
-    val ch = ExchangeChannel.open(name, schema, capacity)
+    // build the producer plan BEFORE registering the channel: an
+    // analysis/planning failure here must not leak a registry entry
     val rdd0 = shaped.queryExecution.toRdd
     val rdd =
-      if (partitionKeys.isEmpty && rdd0.getNumPartitions > maxProducerTasks)
-        rdd0.coalesce(maxProducerTasks)
+      if (partitionKeys.isEmpty && rdd0.getNumPartitions > cap)
+        rdd0.coalesce(cap)
       else rdd0
+    val ch = ExchangeChannel.open(name, schema, capacity)
     val fut = java.util.concurrent.CompletableFuture.runAsync(() => {
       rdd.foreachPartition { (rows: Iterator[InternalRow]) =>
         // Executor side. In local[n] the channel registry is this JVM; on
@@ -410,66 +427,90 @@ object PipelinedExchange {
     * commit PER state partition, so size this to the aggregate's key
     * cardinality, not the scan width — a 6-group rollup under the
     * session default of 32 spends more time in state commits than in
-    * aggregation. */
+    * aggregation.
+    *
+    * `producerStallSec`: watchdog for a producer that stopped making
+    * progress (the stall detector, NOT a runtime budget — size it to the
+    * longest healthy producer stage). */
   def consume(spark: SparkSession, name: String,
       build: DataFrame => DataFrame, outputMode: String = "complete",
       statePartitions: Option[Int] = None,
-      minGroupsPerTrigger: Int = 1): DataFrame = {
+      minGroupsPerTrigger: Int = 1,
+      producerStallSec: Long = 600L): DataFrame = {
     val ch = ExchangeChannel.get(name)
-    require(minGroupsPerTrigger <= ch.capacity,
-      s"minGroupsPerTrigger=$minGroupsPerTrigger exceeds channel capacity " +
-        s"${ch.capacity} — the producer could never fill a trigger")
-    val sinkName = name.replaceAll("[^a-zA-Z0-9_]", "_")
-    // the channel is ephemeral — a restored checkpoint from an earlier
-    // exchange would alias this one's offsets into a dead channel's
-    // history, so the checkpoint must be unique per exchange run
-    val ckpt = java.nio.file.Files.createTempDirectory(s"gpx_exchange_$sinkName")
-      .toString
-    val session = statePartitions match {
-      case Some(n) =>
-        val ss = spark.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", n.toString)
-        ss
-      case None => spark
-    }
-    val src = session.readStream.format("gpx-exchange")
-      .option("channel", name)
-      .option("minGroupsPerTrigger", minGroupsPerTrigger.toString)
-      .load()
-    val q = build(src).writeStream
-      .format("memory").queryName(sinkName)
-      .outputMode(outputMode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.ProcessingTime(0L))
-      .start()
+    // EVERY failure from here on must poison the channel: a consumer
+    // that dies (including during its own setup — a bad build() plan, a
+    // failed query start) leaves backpressured producer tasks blocked in
+    // append() holding executor slots otherwise.
     try {
-      // Wait for end-of-stream (producer close), then drain what was
-      // appended. NOTE the engine never commits the FINAL batch back to
-      // the source (a source commit rides on the NEXT batch's
-      // construction), so drain-completion cannot be keyed on channel
-      // commits — processAllAvailable is the authoritative "all appended
-      // row groups processed and in the sink" barrier.
-      val deadlineNs = System.nanoTime() + 600L * 1000 * 1000 * 1000
-      while (!ch.isClosed) {
-        if (q.exception.isDefined) {
-          val e = q.exception.get
-          throw Option(e.cause).getOrElse(e)
-        }
-        if (System.nanoTime() > deadlineNs)
-          throw new IllegalStateException(
-            s"exchange $name: producer still running after 600s")
-        Thread.sleep(2)
+      require(minGroupsPerTrigger <= ch.capacity,
+        s"minGroupsPerTrigger=$minGroupsPerTrigger exceeds channel capacity " +
+          s"${ch.capacity} — the producer could never fill a trigger")
+      val sinkName = name.replaceAll("[^a-zA-Z0-9_]", "_")
+      // the channel is ephemeral — a restored checkpoint from an earlier
+      // exchange would alias this one's offsets into a dead channel's
+      // history, so the checkpoint must be unique per exchange run
+      val ckpt = java.nio.file.Files.createTempDirectory(s"gpx_exchange_$sinkName")
+        .toString
+      val session = statePartitions match {
+        case Some(n) =>
+          val ss = spark.newSession()
+          ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+          ss
+        case None => spark
       }
-      q.processAllAvailable()
-      session.table(sinkName)
+      val src = session.readStream.format("gpx-exchange")
+        .option("channel", name)
+        .option("minGroupsPerTrigger", minGroupsPerTrigger.toString)
+        .load()
+      val q = build(src).writeStream
+        .format("memory").queryName(sinkName)
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0L))
+        .start()
+      try {
+        // Wait for end-of-stream (producer close), then drain what was
+        // appended. NOTE the engine never commits the FINAL batch back to
+        // the source (a source commit rides on the NEXT batch's
+        // construction), so drain-completion cannot be keyed on channel
+        // commits — processAllAvailable is the authoritative "all appended
+        // row groups processed and in the sink" barrier.
+        var lastSeen = ch.latest
+        var stallDeadlineNs =
+          System.nanoTime() + producerStallSec * 1000L * 1000 * 1000
+        while (!ch.isClosed) {
+          if (q.exception.isDefined) {
+            val e = q.exception.get
+            throw Option(e.cause).getOrElse(e)
+          }
+          val seen = ch.latest
+          if (seen != lastSeen) { // progress resets the stall watchdog
+            lastSeen = seen
+            stallDeadlineNs =
+              System.nanoTime() + producerStallSec * 1000L * 1000 * 1000
+          } else if (System.nanoTime() > stallDeadlineNs)
+            throw new IllegalStateException(
+              s"exchange $name: producer made no progress for " +
+                s"${producerStallSec}s (appended=${seen + 1} row groups)")
+          Thread.sleep(2)
+        }
+        q.processAllAvailable()
+        val out = session.table(sinkName)
+        // the result DataFrame holds the resolved sink relation; drop the
+        // catalog entry so finished exchanges don't pin their results in
+        // the session for the process lifetime
+        session.catalog.dropTempView(sinkName)
+        out
+      } finally {
+        try q.stop() catch { case _: Throwable => () }
+        deleteDir(new java.io.File(ckpt))
+      }
     } catch {
       case t: Throwable =>
         // a dead consumer must not leave producer tasks blocked in append
         ch.fail(t)
         throw t
-    } finally {
-      try q.stop() catch { case _: Throwable => () }
-      deleteDir(new java.io.File(ckpt))
     }
   }
 
@@ -490,9 +531,9 @@ object PipelinedExchange {
       statePartitions: Option[Int] = None,
       minGroupsPerTrigger: Int = 1): DataFrame = {
     val name = ExchangeChannel.freshName(namePrefix)
-    val (ch, fut) = produce(df, name, rowsPerBatch, capacity,
-      partitionKeys, numPartitions)
     try {
+      val (_, fut) = produce(df, name, rowsPerBatch, capacity,
+        partitionKeys, numPartitions)
       val out = consume(spark, name, build, outputMode, statePartitions,
         minGroupsPerTrigger)
       fut.join() // surface producer-side failures even if consumer won

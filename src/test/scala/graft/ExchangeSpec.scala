@@ -120,6 +120,24 @@ class ExchangeSpec extends GraftSpec {
     }
   }
 
+  test("consumer SETUP failure (bad plan) releases blocked producer tasks") {
+    val df = sp.range(0, 5000).repartition(1).select(col("id").as("v"))
+    val name = ExchangeChannel.freshName("xspec-setupfail")
+    val (ch, fut) = PipelinedExchange.produce(df, name,
+      rowsPerBatch = 100, capacity = 1)
+    try {
+      // build() references a nonexistent column: the consumer dies before
+      // its query ever starts — the channel must still be poisoned or the
+      // backpressured producer tasks hold their slots forever
+      intercept[Exception] {
+        PipelinedExchange.consume(sp, name,
+          src => src.select(col("no_such_column")))
+      }
+      intercept[Exception] { fut.join() }
+      assert(ch.failed.isDefined)
+    } finally ExchangeChannel.remove(name)
+  }
+
   test("dead consumer releases blocked producer tasks") {
     val df = sp.range(0, 5000).repartition(1).select(col("id").as("v"))
     val name = ExchangeChannel.freshName("xspec-release")

@@ -790,6 +790,36 @@ class FormatSpec extends GraftSpec {
       o.filter(col("o_orderkey") === 42L).count())
   }
 
+  test("compaction carries rename aliases and refuses a dirty output dir") {
+    import sp.implicits._
+    val conf = new Configuration()
+    val dir = tmp()
+    // files written with physical column name "v"
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      .write.format("gpx").mode("overwrite").save(dir)
+    // RENAME COLUMN v -> val: existing files keep "v"; the alias sidecar
+    // resolves the current name against them
+    graft.format.GpxTable.writeRenames(dir, Map("val" -> Seq("v")), conf)
+    val cur = StructType(Seq(StructField("id", LongType),
+      StructField("val", LongType)))
+    def read(d: String) = sp.read.format("gpx").schema(cur).load(d)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(read(dir) == Seq((1L, 10L), (2L, 20L)))
+
+    // the compacted copy must serve the renamed column identically —
+    // byte-copied footers still carry "v", so _renames must travel
+    val out = tmp() + "/c"
+    graft.format.GpxCompactor.compact(dir, out, conf)
+    assert(read(out) == Seq((1L, 10L), (2L, 20L)),
+      "rename alias lost in compaction: renamed column nulled")
+
+    // compacting into a dir that already holds gpx files is refused —
+    // stale compact-NNNNN leftovers would be listed as table data
+    val e = intercept[IllegalArgumentException](
+      graft.format.GpxCompactor.compact(dir, out, conf))
+    assert(e.getMessage.contains("empty directory"), e.getMessage)
+  }
+
   test("schema evolution: old files read new columns as null") {
     import sp.implicits._
     val dir = tmp()
