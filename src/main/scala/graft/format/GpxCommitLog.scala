@@ -131,9 +131,16 @@ object GpxCommitLog {
       if (v.longValue() == Long.MaxValue) return true
       if (System.nanoTime() < v.longValue()) return false
     }
+    // a table is on the log protocol iff `_commits` holds at least one
+    // manifest — a bare empty dir (a writer that crashed between creating
+    // the dir and winning its first version slot) must NOT flip the
+    // protocol: it has no head, so counting it as a log table would make
+    // every pre-existing file invisible and vacuum-eligible. An empty dir
+    // reads as "not a log table"; the next log-routed write seeds it
+    // through enable() and the listing-visible files carry over.
     val exists = try {
       val p = logPath(root)
-      p.getFileSystem(conf).exists(p)
+      listVersions(p.getFileSystem(conf), p).nonEmpty
     } catch {
       case _: java.io.FileNotFoundException => false
       // a TRANSIENT probe failure must not be cached as "not a log
@@ -182,6 +189,20 @@ object GpxCommitLog {
     explicit.foreach(p => require(p == "manifest" || p == "rename",
       s"commitProtocol must be 'manifest' or 'rename', got '$p'"))
     val unsafeScheme = schemeUnsafeForRename(root)
+    // an EXISTING log table cannot be demoted by option: its readers
+    // resolve the manifest, so a rename-protocol write would publish
+    // files no reader ever sees (silent data loss, not a preference).
+    // Refuse loudly rather than silently overriding the explicit option —
+    // the commit path enforces the same floor, and a log line that says
+    // "rename" while the commit goes through the manifest would make
+    // protocol debugging actively misleading.
+    if (explicit.contains("rename") && isLogTable(root, conf))
+      throw new IllegalArgumentException(
+        s"commitProtocol=rename requested for ${dirOf(root)}, which is an " +
+          "existing commit-log table — log-table readers resolve the " +
+          "manifest, so rename-published files would be invisible " +
+          "(and vacuum-eligible). Remove the option; there is no demotion " +
+          "path from the manifest protocol.")
     val want = explicit match {
       case Some("manifest") => true
       case Some("rename") => false
@@ -728,14 +749,38 @@ object GpxCommitLog {
     val lp = logPath(root)
     val fs = lp.getFileSystem(conf)
     if (!fs.exists(lp)) fs.mkdirs(lp)
-    // the log dir now exists: the presence answer is positively sticky
-    logTableCache.put(dirOf(root).toString, Long.MaxValue)
+    // NOTE: the positive logTableCache mark happens only after a slot is
+    // WON (below) — a bare dir with no manifest is not a log table yet,
+    // and marking it early would let a crash between here and the first
+    // win flip the protocol with an empty head (every pre-existing file
+    // invisible and vacuum-eligible, with enable() unable to re-seed)
     var attempts = 200
     var lastBase = -1L
     var sameBase = 0
+    var guardedSeed = false
     while (attempts > 0) {
       attempts -= 1
       val h = head(root, conf)
+      // a non-Overwrite FIRST commit on a dir that already holds data
+      // files would orphan them (v1 would be built from an empty
+      // predecessor): every internal path seeds via enable() first, so
+      // this only fires on a protocol bug or a crashed half-enabled
+      // state — refuse with the repair rather than silently losing files
+      if (h.isEmpty && !change.isInstanceOf[Overwrite] && !guardedSeed) {
+        guardedSeed = true
+        val d = dirOf(root)
+        val preExisting = try {
+          fs.exists(d) && fs.listStatus(d).exists { st =>
+            val n = st.getPath.getName
+            n.endsWith(".gpx") && !n.startsWith("_") && !n.startsWith(".")
+          }
+        } catch { case scala.util.control.NonFatal(_) => false }
+        if (preExisting) throw new IllegalStateException(
+          s"gpx log commit refused: first manifest for $d would be an " +
+            "append/replace, but the directory already holds data files " +
+            "that a delta-seeded log would orphan. Seed the log first " +
+            "(GpxCommitLog.enable) so the existing files carry over.")
+      }
       val base = h.map(_.version).getOrElse(0L)
       // a head that does not advance while our claims keep losing means
       // the next slot is claimed by unreadable bytes — a dead (or stalled)
@@ -779,9 +824,16 @@ object GpxCommitLog {
       // txn members must stay CONDITIONAL deltas (a full snapshot would
       // bake the pending change in unconditionally); commitAtomic
       // checkpoints them AFTER the fate is decided
-      val plainFull = forceFull ||
+      // h.isEmpty: the FIRST manifest must be self-contained — a v1 delta
+      // has no predecessor to replay onto and can never materialize
+      val plainFull = forceFull || h.isEmpty ||
         next.version % CheckpointInterval == 0 ||
         h.exists(_.chainDepth >= CheckpointInterval - 1)
+      if (txn.isDefined && h.isEmpty)
+        throw new IllegalStateException(
+          s"gpx txn member $root has no committed head — a v1 txn delta " +
+            "would be unmaterializable; seed the log first " +
+            "(commitAtomic enables members before committing)")
       val bytes = change match {
         case _: Overwrite => serialize(next)
         case _ if txn.isDefined =>
@@ -803,6 +855,8 @@ object GpxCommitLog {
       }
       if (putIfAbsent(fs, new Path(lp, manifestName(next.version)), bytes)) {
         manifestBytesWritten.addAndGet(bytes.length.toLong)
+        // the log now has a committed manifest: presence is positively sticky
+        logTableCache.put(dirOf(root).toString, Long.MaxValue)
         // a pending txn member must NOT cache its applied state — readers
         // (this JVM included) materialize it through fate resolution
         if (txn.isEmpty) {
@@ -850,7 +904,16 @@ object GpxCommitLog {
   def enable(root: String, conf: Configuration): Long = {
     val lp = logPath(root)
     val fs = lp.getFileSystem(conf)
-    if (fs.exists(lp)) return head(root, conf).map(_.version).getOrElse(0L)
+    if (fs.exists(lp)) {
+      // a dir WITH a committed head is an enabled log — leave it alone.
+      // A bare dir with no manifest (a writer crashed between creating
+      // the dir and winning its first slot) is NOT: fall through and
+      // seed it, or the table would stay half-enabled forever.
+      head(root, conf) match {
+        case Some(h) => return h.version
+        case None => ()
+      }
+    }
     val d = dirOf(root)
     if (!fs.exists(d)) fs.mkdirs(d)
     val files = GpxTable.listFiles(Seq(root), conf)
@@ -896,6 +959,9 @@ object GpxCommitLog {
     require(members.map(m =>
       GpxTable.qualifiedRoot(dirOf(m._1).toString, conf)).distinct.size ==
       members.size, "one member per table")
+    // seed any never-written member now (idempotent): its txn delta needs
+    // a committed predecessor to replay onto
+    members.foreach(m => enable(m._1, conf))
     val id = java.util.UUID.randomUUID().toString
     val fateP0 = new Path(logPath(members.head._1), s"_txn_$id.fate")
     val ffs = fateP0.getFileSystem(conf)

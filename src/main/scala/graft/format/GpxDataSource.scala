@@ -66,7 +66,14 @@ class GpxDataSource extends TableProvider with DataSourceRegister {
         GpxCommitLog.head(r, conf).flatMap(_.schema)
       case _ => None
     }
-    val base = logSchema.getOrElse {
+    // a just-enabled table can hold queryable rows ONLY in its memtable
+    // tail (no committed schema, no files yet) — its bound schema is the
+    // table schema then
+    val memSchema = logSchema.orElse(paths(options) match {
+      case Seq(r) => GpxMemTable.boundSchema(r)
+      case _ => None
+    })
+    val base = memSchema.getOrElse {
       val files = GpxTable.listFiles(paths(options), conf)
       require(files.nonEmpty, s"no gpx files under ${paths(options)}")
       // tolerant schema evolution (PixelsReaderOption.tolerantSchemaEvolution
@@ -691,11 +698,28 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
     if (filters.nonEmpty || agg.groupByExpressions().nonEmpty) return false
     // footer stats count/bound rows the merge-on-read masks have deleted
     if (hasDeleteSidecars) return false
+    val conf = new Configuration()
+    // Commit-log tables answer the WHOLE aggregate from the manifest's
+    // per-file stats: one cached manifest read merged to a single partial
+    // row at planning — zero footer reads, zero data pages, O(1) RPCs at
+    // any table size (the footer path below costs O(table files) cold
+    // footer reads, defeating the manifest's O(matching files) planning
+    // contract on exactly the high-latency stores it targets). Manifest
+    // entries record each file's OWN columns, so schema evolution is
+    // handled exactly: a file without the column contributes count 0 and
+    // no min/max (its values are all-null in the union view). Pinned at a
+    // timestamp: file-level minTs/maxTs cannot split a mixed-visibility
+    // file, so snapshot reads keep the per-row-group footer path.
+    val manifestEntries: Option[Vector[GpxCommitLog.FileEntry]] =
+      if (roots.size == 1 && snapshotTs.isEmpty &&
+          GpxCommitLog.isLogTable(roots.head, conf))
+        GpxCommitLog.head(roots.head, conf).map(_.live)
+      else None
     // evolved tables (files with differing schemas) answer from the normal
     // scan's null-filling path — footer column ordinals differ per file
-    val conf = new Configuration()
-    val uniform = GpxTable.listFiles(roots, conf).forall(f =>
-      GpxFileReader.FooterCache.get(f, conf).schema == fileSchema)
+    val uniform = manifestEntries.isDefined ||
+      GpxTable.listFiles(roots, conf).forall(f =>
+        GpxFileReader.FooterCache.get(f, conf).schema == fileSchema)
     if (!uniform) return false
     def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
@@ -710,7 +734,12 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
       // integer family only: always NaN-free and exact. Strings are
       // truncated; float/double chunks may carry NaN (stats then marked
       // unreliable, which planning time can't see) — not pushed.
-      GpxFormat.isLongBacked(dt)
+      GpxFormat.isLongBacked(dt) &&
+        // manifest path: every entry carrying the column must have
+        // reliable file-level stats (in-memory check over the already-
+        // read manifest, no RPC)
+        manifestEntries.forall(_.forall(
+          _.stats.get(name).forall(_.reliable)))
     }
     val ok = agg.aggregateExpressions().forall {
       case _: CountStar => true
@@ -719,12 +748,18 @@ class GpxScanBuilder(tableSchema: StructType, roots: Seq[String],
       case m: Max => colName(m.column).exists(statsUsable)
       case _ => false
     }
-    if (ok) pushedAgg = Some(agg)
+    if (ok) { pushedAgg = Some(agg); manifestAggEntries = manifestEntries }
     ok
   }
 
+  private var manifestAggEntries: Option[Vector[GpxCommitLog.FileEntry]] = None
+
   override def build(): Scan = pushedAgg match {
-    case Some(agg) => new GpxStatsScan(fileSchema, agg, roots, snapshotTs)
+    case Some(agg) => manifestAggEntries match {
+      case Some(entries) =>
+        new GpxManifestStatsScan(fileSchema, agg, entries)
+      case None => new GpxStatsScan(fileSchema, agg, roots, snapshotTs)
+    }
     case None =>
       // projection-layout routing (reference Projections.java /
       // OriginProjectionPattern.java): a CURRENT read covered by a valid
@@ -766,18 +801,8 @@ class GpxStatsScan(fileSchema: StructType, agg: Aggregation, roots: Seq[String],
     snapshotTs: Option[Long])
   extends Scan with Batch {
 
-  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): StructField =
-    fileSchema(fileSchema.fieldIndex(
-      e.asInstanceOf[NamedReference].fieldNames.head))
-
-  override def readSchema(): StructType = StructType(
-    agg.aggregateExpressions().zipWithIndex.map {
-      case (_: CountStar, i) => StructField(s"count_star_$i", LongType, nullable = false)
-      case (c: Count, i) => StructField(s"count_$i", LongType, nullable = false)
-      case (m: Min, i) => StructField(s"min_$i", fieldOf(m.column).dataType)
-      case (m: Max, i) => StructField(s"max_$i", fieldOf(m.column).dataType)
-      case (other, _) => throw new IllegalStateException(other.toString)
-    })
+  override def readSchema(): StructType =
+    GpxStatsScan.outputSchema(fileSchema, agg)
 
   override def toBatch: Batch = this
   override def description(): String =
@@ -794,6 +819,103 @@ class GpxStatsScan(fileSchema: StructType, agg: Aggregation, roots: Seq[String],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GpxStatsReaderFactory(fileSchema, agg)
+}
+
+object GpxStatsScan {
+  /** partial-aggregate output schema shared by the footer-stats and
+    * manifest-stats scans (Spark final-aggregates over these rows) */
+  def outputSchema(fileSchema: StructType, agg: Aggregation): StructType = {
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): StructField =
+      fileSchema(fileSchema.fieldIndex(
+        e.asInstanceOf[NamedReference].fieldNames.head))
+    StructType(agg.aggregateExpressions().zipWithIndex.map {
+      case (_: CountStar, i) => StructField(s"count_star_$i", LongType, nullable = false)
+      case (_: Count, i) => StructField(s"count_$i", LongType, nullable = false)
+      case (m: Min, i) => StructField(s"min_$i", fieldOf(m.column).dataType)
+      case (m: Max, i) => StructField(s"max_$i", fieldOf(m.column).dataType)
+      case (other, _) => throw new IllegalStateException(other.toString)
+    })
+  }
+}
+
+/** Pushed-aggregate scan for commit-log tables: the partials come from the
+  * head manifest's per-file stats, merged to ONE row at PLANNING time — no
+  * footer access, no data pages, O(1) metadata RPCs at any table size
+  * (reference S12 economics with the metadata-service stats standing in
+  * for footers). Evolution-exact: each entry records its file's OWN
+  * columns, so a file predating a column contributes count 0 and no bound
+  * (its values are all-null in the union view). */
+class GpxManifestStatsScan(fileSchema: StructType, agg: Aggregation,
+    entries: Vector[GpxCommitLog.FileEntry])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    GpxStatsScan.outputSchema(fileSchema, agg)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GpxManifestStatsScan[${agg.aggregateExpressions().mkString(",")}; " +
+      s"files=${entries.size}]"
+
+  private def nameOf(e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e.asInstanceOf[NamedReference].fieldNames.head
+
+  // long-backed types only reach here (statsUsable gates the pushdown)
+  private def longToTyped(v: Long, dt: DataType): Any = dt match {
+    case BooleanType => v != 0L
+    case ByteType => v.toByte
+    case ShortType => v.toShort
+    case IntegerType | DateType => v.toInt
+    case LongType | TimestampType | TimestampNTZType => v
+    case dec: DecimalType =>
+      org.apache.spark.sql.types.Decimal.createUnsafe(v, dec.precision, dec.scale)
+    case other => throw new IllegalStateException(other.toString)
+  }
+
+  private def merged(): Array[Any] = agg.aggregateExpressions().map {
+    case _: CountStar =>
+      entries.iterator.map(_.numRows).sum: java.lang.Long
+    case c: Count =>
+      val n = nameOf(c.column)
+      (entries.iterator.map(e =>
+        e.stats.get(n).map(st => e.numRows - st.nullCount).getOrElse(0L))
+        .sum): java.lang.Long
+    case m: Min =>
+      val n = nameOf(m.column)
+      val dt = fileSchema(fileSchema.fieldIndex(n)).dataType
+      val vals = entries.iterator.flatMap(_.stats.get(n))
+        .filter(_.hasValues).map(_.minLong).toSeq
+      if (vals.isEmpty) null else longToTyped(vals.min, dt)
+    case m: Max =>
+      val n = nameOf(m.column)
+      val dt = fileSchema(fileSchema.fieldIndex(n)).dataType
+      val vals = entries.iterator.flatMap(_.stats.get(n))
+        .filter(_.hasValues).map(_.maxLong).toSeq
+      if (vals.isEmpty) null else longToTyped(vals.max, dt)
+    case other => throw new IllegalStateException(other.toString)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GpxPrecomputedAggPartition(merged()))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GpxPrecomputedAggReaderFactory
+}
+
+/** the single pre-merged partial row travels with the split */
+final case class GpxPrecomputedAggPartition(values: Array[Any])
+  extends InputPartition
+
+object GpxPrecomputedAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val vals = p.asInstanceOf[GpxPrecomputedAggPartition].values
+    new PartitionReader[InternalRow] {
+      private var done = false
+      override def next(): Boolean = { val r = !done; done = true; r }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Stats split: the row-group metadata travels with the partition. */
@@ -1704,7 +1826,7 @@ class GpxWriteBuilder(schema: StructType, path: String, rgRows: Int,
       // implemented, and silently appending would duplicate every epoch
       require(!doTruncate,
         "gpx streaming sink supports outputMode(\"append\") only")
-      new GpxStreamingWrite(schema, path, rgRows, pxRows, commitTs)
+      new GpxStreamingWrite(schema, path, rgRows, pxRows, commitTs, wantLog)
     }
   }
 }
@@ -1723,7 +1845,7 @@ class GpxWriteBuilder(schema: StructType, path: String, rgRows: Int,
   * commit (they are never referenced by a commit message, so deleting
   * them is always safe). */
 class GpxStreamingWrite(schema: StructType, path: String, rgRows: Int,
-    pxRows: Int, commitTs: Long)
+    pxRows: Int, commitTs: Long, wantLog: Boolean = false)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val staging = s"$path/_streaming"
@@ -1751,10 +1873,12 @@ class GpxStreamingWrite(schema: StructType, path: String, rgRows: Int,
         case _ => ()
       }
     } else {
-      // protocol routing, same capability rule as the batch path: an
-      // unsafe-rename scheme defaults the sink to the manifest log
-      val logMode = GpxCommitLog.isLogTable(path, conf) ||
-        GpxCommitLog.schemeUnsafeForRename(path)
+      // protocol routing: honor the routeWantLog decision captured at
+      // builder time (explicit commitProtocol option > scheme capability),
+      // re-checking isLogTable so a table another writer promoted to the
+      // log mid-stream is not written through renames (safe direction
+      // only — routeWantLog already refuses an explicit rename demotion)
+      val logMode = wantLog || GpxCommitLog.isLogTable(path, conf)
       if (logMode) GpxCommitLog.enable(path, conf)
       if (!logMode && fs.exists(rootP))
         fs.listStatus(rootP).foreach { st =>

@@ -57,42 +57,87 @@ object GpxMemTable {
     if (t == null) 0 else t.synchronized(t.rows.length)
   }
 
+  /** the serve schema bound by the first ingest, if a memtable is active —
+    * schema inference consults this when a freshly-enabled table has no
+    * committed schema and no files yet but DOES have queryable tail rows */
+  def boundSchema(dir: String): Option[StructType] =
+    Option(registry.get(key(dir))).map(_.schema)
+
   /** Ingest rows: queryable the moment this returns. First ingest binds
     * the serve schema and requires (enables) the commit-log protocol.
-    * Synchronously flushes when the buffer passes maxRows. */
+    * Synchronously flushes when the buffer passes maxRows.
+    *
+    * Registration discipline: enable() runs OUTSIDE the registry map
+    * update — its seeding Overwrite commit calls [[clear]] on this same
+    * key, and a registry.remove inside a computeIfAbsent mapping function
+    * is a recursive ConcurrentHashMap update (IllegalStateException on
+    * first ingest of a fresh table). The append then re-checks
+    * registration INSIDE the table lock: [[clear]] also takes the table
+    * lock before removing, so a table observed registered under its own
+    * lock cannot be orphaned mid-append — without the check, a concurrent
+    * INSERT OVERWRITE's clear() could strand the batch in an unreachable
+    * buffer (ingest returns success, rows neither queryable nor ever
+    * flushed). */
   def ingest(dir: String, schema: StructType,
       batch: Seq[org.apache.spark.sql.Row], conf: Configuration,
       maxRows: Int = 100000): Unit = {
     require(batch.nonEmpty, "empty ingest batch")
     val k = key(dir)
-    val t = registry.computeIfAbsent(k, { _ =>
-      GpxCommitLog.enable(dir, conf) // serve path requires the version pin
-      new Table(dir, schema)
-    })
-    require(t.schema == schema,
-      s"memtable schema mismatch for $dir: bound ${t.schema.toDDL}, " +
-        s"got ${schema.toDDL}")
     val conv = CatalystTypeConverters.createToCatalystConverter(schema)
     val converted = batch.map(r => conv(r).asInstanceOf[InternalRow])
-    t.synchronized {
-      t.rows ++= converted
-      if (t.rows.length >= maxRows) flushLocked(t, conf)
+    var attempts = 100
+    while (attempts > 0) {
+      attempts -= 1
+      var t = registry.get(k)
+      if (t == null) {
+        GpxCommitLog.enable(dir, conf) // serve path requires the version pin
+        val fresh = new Table(dir, schema)
+        val raced = registry.putIfAbsent(k, fresh)
+        t = if (raced == null) fresh else raced
+      }
+      require(t.schema == schema,
+        s"memtable schema mismatch for $dir: bound ${t.schema.toDDL}, " +
+          s"got ${schema.toDDL}")
+      val appended = t.synchronized {
+        if (registry.get(k) ne t) false // cleared underneath: retry
+        else {
+          t.rows ++= converted
+          if (t.rows.length >= maxRows) flushLocked(t, conf)
+          true
+        }
+      }
+      if (appended) return
     }
+    throw new IllegalStateException(
+      s"gpx memtable ingest for $dir could not register a live buffer " +
+        "after 100 attempts (continuous concurrent clears)")
   }
 
   /** Persist the buffer as one gpx file + manifest commit; returns rows
     * flushed. Readers pinned at pre-flush versions are unaffected. */
   def flush(dir: String, conf: Configuration): Int = {
-    val t = registry.get(key(dir))
-    if (t == null) 0 else t.synchronized(flushLocked(t, conf))
+    val k = key(dir)
+    val t = registry.get(k)
+    if (t == null) 0
+    else t.synchronized {
+      // an orphaned buffer (concurrent clear) must not flush: its rows
+      // were part of replaced table contents — committing them would
+      // resurrect overwritten data
+      if (registry.get(k) ne t) 0 else flushLocked(t, conf)
+    }
   }
 
   private def flushLocked(t: Table, conf: Configuration): Int = {
     if (t.rows.isEmpty) return 0
     val file =
       s"${t.dir}/part-mem-${java.util.UUID.randomUUID().toString.take(12)}.gpx"
+    // flushed files carry a REAL commit timestamp: the buffer itself is
+    // always-visible by contract (CURRENT reads only), but once persisted
+    // the rows are committed state — stamping -1 would make them visible
+    // at every historical snapshot, including ones taken before the ingest
+    val ts = GpxTxn.stamp(t.dir, conf)
     val w = new GpxFileWriter(file, t.schema, conf,
-      GpxFormat.DefaultRowGroupRows, GpxFormat.DefaultPixelRows, -1L)
+      GpxFormat.DefaultRowGroupRows, GpxFormat.DefaultPixelRows, ts)
     try {
       t.rows.foreach(w.addRow)
       w.close()
@@ -156,6 +201,14 @@ object GpxMemTable {
     }
   }
 
-  /** drop a table's buffer and registration (tests / table drop) */
-  def clear(dir: String): Unit = registry.remove(key(dir))
+  /** Drop a table's buffer and registration (table drop/rename, INSERT
+    * OVERWRITE). Takes the table lock before removing so ingest's
+    * registered-check under the same lock is race-free: once a thread has
+    * observed its table registered inside the lock, this clear blocks
+    * until that append completes. */
+  def clear(dir: String): Unit = {
+    val k = key(dir)
+    val t = registry.get(k)
+    if (t != null) t.synchronized { registry.remove(k, t) }
+  }
 }

@@ -116,7 +116,15 @@ object GpxTxn {
     * so monotone commitTs is the default and clock skew between two
     * drivers can no longer issue out-of-order stamps whose `FOR TIMESTAMP
     * AS OF` boundaries are ambiguous. Opt out (restoring raw wall-clock
-    * stamping) with spark.graft.gpx.autoBindWarehouse=false. */
+    * stamping) with spark.graft.gpx.autoBindWarehouse=false.
+    *
+    * Only a failed BIND falls back to the wall clock (a read-only or
+    * foreign location genuinely cannot host a counter, and no prior stamp
+    * of this table went through one). Once a table IS bound — here or in
+    * any earlier commit — an allocate failure must propagate: silently
+    * stamping raw wall clock on a bound table can issue a timestamp the
+    * counter never saw, so a later allocate could re-issue a smaller one
+    * and invert commitTs order across the two commits. */
   def stamp(tableDir: String, conf: Configuration): Long =
     warehouseOf(tableDir, conf) match {
       case Some(w) => allocate(w, conf)
@@ -125,8 +133,11 @@ object GpxTxn {
           .getOption("spark.graft.gpx.autoBindWarehouse").forall(_ != "false")
         catch { case _: Throwable => true }
         if (autoBind) {
-          try { bind(tableDir, tableDir, conf); allocate(tableDir, conf) }
-          catch { case _: Throwable => System.currentTimeMillis() * 1000L }
+          val bound =
+            try { bind(tableDir, tableDir, conf); true }
+            catch { case scala.util.control.NonFatal(_) => false }
+          if (bound) allocate(tableDir, conf)
+          else System.currentTimeMillis() * 1000L
         } else System.currentTimeMillis() * 1000L
     }
 
@@ -135,30 +146,67 @@ object GpxTxn {
   private def txnScope(warehouse: String): String =
     new Path(warehouse, "_txnscope").toString
 
+  /** The high-water mark is published as VALUE-NAMED files
+    * (`_txncounter/<zero-padded value>`): write() creates the new value's
+    * file FIRST, then deletes smaller ones; read() lists the counter dir
+    * and takes the max. At no instant is the counter unreadable, so the
+    * lockless currentToken/read path can never observe a missing-file
+    * window and fall back below the high-water mark (the previous
+    * delete-then-rename publish of one `_txn` file had exactly that
+    * window, and a crash inside it permanently regressed the counter). A
+    * crash between create and cleanup leaves two files — max wins, no
+    * regression. The counter dir holds 1–2 entries, so the read stays one
+    * listing of a tiny dir (never the table root). The legacy single
+    * `_txn` file is still read (max'd in) for tables written by older
+    * builds. */
+  val CounterDir = "_txncounter"
+
   private def read(warehouse: String, conf: Configuration): Long = {
-    val p = new Path(warehouse, CounterFile)
+    val d = new Path(warehouse)
     try {
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) 0L
-      else {
-        val in = fs.open(p)
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-        s.toLong
-      }
+      val fs = d.getFileSystem(conf)
+      val cd = new Path(d, CounterDir)
+      // legacy FIRST, then the counter dir: the migrating writer creates
+      // the value-named file before deleting the legacy file, so a reader
+      // that misses the legacy file is guaranteed to see the new one
+      val legacy: Long = try {
+        val p = new Path(d, CounterFile)
+        if (!fs.exists(p)) 0L
+        else {
+          val in = fs.open(p)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+          s.toLong
+        }
+      } catch { case _: Throwable => 0L }
+      val named: Long =
+        (try fs.listStatus(cd)
+         catch { case _: Throwable => Array.empty[org.apache.hadoop.fs.FileStatus] })
+          .iterator.map(_.getPath.getName)
+          .flatMap(n => scala.util.Try(n.toLong).toOption)
+          .foldLeft(0L)(math.max)
+      math.max(named, legacy)
     } catch { case _: Throwable => 0L }
   }
 
   private def write(warehouse: String, v: Long, conf: Configuration): Unit = {
-    val d = new Path(warehouse)
-    val fs = d.getFileSystem(conf)
-    fs.mkdirs(d)
-    val p = new Path(d, CounterFile)
-    val tmp = new Path(d, s".$CounterFile.${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
+    val cd = new Path(new Path(warehouse), CounterDir)
+    val fs = cd.getFileSystem(conf)
+    fs.mkdirs(cd)
+    val p = new Path(cd, f"$v%020d")
+    val out = fs.create(p, true)
+    try out.write(Array.empty[Byte]) finally out.close()
+    if (!fs.exists(p))
       throw new java.io.IOException(s"txn counter publish failed: $p")
+    // cleanup strictly AFTER the new value is visible (all under the
+    // allocate lock — only readers race, and they take the max)
+    try {
+      fs.listStatus(cd).foreach { st =>
+        scala.util.Try(st.getPath.getName.toLong).toOption
+          .filter(_ < v).foreach(_ => fs.delete(st.getPath, false))
+      }
+      val legacy = new Path(new Path(warehouse), CounterFile)
+      if (fs.exists(legacy)) fs.delete(legacy, false)
+    } catch { case _: Throwable => () } // stale smaller files are harmless
   }
 }

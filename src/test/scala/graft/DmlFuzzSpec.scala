@@ -235,6 +235,65 @@ class DmlFuzzSpec extends GraftSpec {
     assert(GpxTxn.currentToken(wh, conf) == results.max)
   }
 
+  test("GpxTxn counter is readable at every instant: lockless tokens never regress under racing allocates") {
+    import graft.format.GpxTxn
+    val conf = sp.sparkContext.hadoopConfiguration
+    val wh = Files.createTempDirectory("gpx_txnread").toString
+    val first = GpxTxn.allocate(wh, conf)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val floor = new java.util.concurrent.atomic.AtomicLong(first)
+    val regressions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      // two lockless readers race the writer: a token below an already-
+      // RETURNED allocation violates "everything committed so far is
+      // visible at the token" (the old delete-then-rename publish had a
+      // missing-file window where exactly that happened)
+      val readers = (0 until 2).map(_ => pool.submit(new Runnable {
+        override def run(): Unit =
+          while (!stop.get()) {
+            val f = floor.get() // read the floor BEFORE the token
+            if (GpxTxn.currentToken(wh, conf) < f) {
+              regressions.incrementAndGet(); ()
+            }
+          }
+      }))
+      (0 until 300).foreach { _ =>
+        floor.set(GpxTxn.allocate(wh, conf))
+      }
+      stop.set(true)
+      readers.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(regressions.get() == 0,
+      s"${regressions.get()} token reads fell below the allocated floor")
+  }
+
+  test("GpxTxn legacy single-file counter migrates in place; a crash mid-publish never regresses") {
+    import graft.format.GpxTxn
+    import org.apache.hadoop.fs.Path
+    val conf = sp.sparkContext.hadoopConfiguration
+    val wh = Files.createTempDirectory("gpx_txnlegacy").toString
+    // a counter written by an older build: one `_txn` file with the value
+    val legacyVal = System.currentTimeMillis() * 1000L + 5_000_000L // ahead of wall
+    val p = new Path(wh, "_txn")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(legacyVal.toString.getBytes("UTF-8")) finally out.close()
+    assert(GpxTxn.currentToken(wh, conf) == legacyVal)
+    // the next allocation continues ABOVE the legacy high-water mark and
+    // migrates to the value-named scheme
+    val next = GpxTxn.allocate(wh, conf)
+    assert(next > legacyVal, s"$next must exceed legacy $legacyVal")
+    assert(GpxTxn.currentToken(wh, conf) == next)
+    // crash-mid-cleanup simulation: plant a STALE smaller value-named file
+    // alongside — readers take the max, no regression
+    val cd = new Path(wh, GpxTxn.CounterDir)
+    fs.create(new Path(cd, f"${next - 1000L}%020d"), true).close()
+    assert(GpxTxn.currentToken(wh, conf) == next)
+    val after = GpxTxn.allocate(wh, conf)
+    assert(after > next)
+  }
+
   test("unbound tables auto-bind on first stamp: commitTs monotone with no explicit bind") {
     import graft.format.GpxTxn
     val conf = sp.sparkContext.hadoopConfiguration

@@ -440,4 +440,103 @@ class ManifestSpec extends GraftSpec {
     assert(GpxCommitLog.head(dir, conf).get.version >= 2)
     assert(spark.read.format("gpx").load(dir).count() == 90)
   }
+
+  test("a bare empty _commits dir (crashed first commit) does not flip the protocol; next log write heals it") {
+    val dir = tempDir("gpx_log_halfenable")
+    // a rename-protocol table with data
+    spark.range(0, 50).selectExpr("id", "id * 3 as v")
+      .write.format("gpx").mode("append").save(dir)
+    // simulate a writer that created the log dir and died before winning
+    // its first version slot
+    new java.io.File(dir, "_commits").mkdirs()
+    GpxCommitLog.invalidateCaches(dir)
+    // the empty dir must NOT count as a log: the head would be empty and
+    // every pre-existing file invisible + vacuum-eligible
+    assert(!GpxCommitLog.isLogTable(dir, conf))
+    assert(spark.read.format("gpx").load(dir).count() == 50,
+      "pre-existing files must stay visible through the listing path")
+    // the next log-routed write seeds v1 from the listing and carries
+    // the existing files over
+    spark.range(50, 60).selectExpr("id", "id * 3 as v")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    assert(GpxCommitLog.isLogTable(dir, conf))
+    val df = spark.read.format("gpx").load(dir)
+    assert(df.count() == 60)
+    assert(df.agg(sum("v")).head.getLong(0) == (0L until 60).map(_ * 3).sum)
+  }
+
+  test("explicit commitProtocol=rename on an existing log table refuses loudly") {
+    val dir = tempDir("gpx_log_demote")
+    spark.range(0, 20).selectExpr("id")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    assert(GpxCommitLog.isLogTable(dir, conf))
+    val e = intercept[Exception] {
+      spark.range(20, 30).selectExpr("id")
+        .write.format("gpx").mode("append")
+        .option("commitProtocol", "rename").save(dir)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("no demotion path")),
+      s"refusal must explain the demotion hazard, got: ${msgs(e)}")
+    // nothing was published outside the log's control
+    assert(spark.read.format("gpx").load(dir).count() == 20)
+  }
+
+  test("pushed aggregates on a log table answer from the manifest: zero footer reads, evolution-exact") {
+    val dir = tempDir("gpx_log_mfagg")
+    spark.range(0, 100).selectExpr("id", "id * 2 as v")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    // evolved append: new column w appears (older file lacks it)
+    spark.range(100, 150).selectExpr("id", "id * 2 as v", "id + 7 as w")
+      .write.format("gpx").mode("append").save(dir)
+    val agg = spark.read.format("gpx").load(dir)
+      .agg(count(lit(1)).as("n"), count(col("w")).as("nw"),
+        min("v").as("minv"), max("w").as("maxw"))
+    // the plan must carry the manifest-stats scan (single pre-merged
+    // partial row), not the footer-stats scan
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("GpxManifestStatsScan"),
+      s"expected the manifest-stats scan in:\n$plan")
+    GpxFileReader.FooterCache.clear()
+    val before = GpxFileReader.footerReads.get()
+    val row = agg.head
+    assert(GpxFileReader.footerReads.get() == before,
+      "a manifest-answered aggregate must read zero footers")
+    assert(row.getLong(0) == 150)
+    assert(row.getLong(1) == 50, "count(w) counts only files carrying w")
+    assert(row.getLong(2) == 0L)
+    assert(row.getLong(3) == 149L + 7L)
+    // correctness cross-check against the unpushed plan
+    val full = spark.read.format("gpx").load(dir)
+      .selectExpr("count(1) n", "count(w) nw", "min(v) minv", "max(w) maxw").head
+    assert(row == full)
+  }
+
+  test("streaming sink honors explicit commitProtocol=manifest on a rename-atomic filesystem") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val dir = tempDir("gpx_log_stream_opt")
+    val ckpt = tempDir("gpx_log_stream_opt_ckpt")
+    val source = MemoryStream[(Long, String)]
+    // NO pre-enabled log, local path (rename-atomic): only the explicit
+    // option routes this sink to the manifest protocol
+    val q = source.toDF().toDF("id", "s")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .option("commitProtocol", "manifest")
+      .format("gpx").start(dir)
+    source.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    assert(GpxCommitLog.isLogTable(dir, conf),
+      "the sink must commit through the manifest the user asked for")
+    assert(GpxCommitLog.head(dir, conf).exists(_.live.nonEmpty))
+    assert(spark.read.format("gpx").load(dir).count() == 2)
+  }
 }

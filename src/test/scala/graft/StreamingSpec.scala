@@ -882,4 +882,105 @@ class StreamingSpec extends GraftSpec {
     assert(fin.distinct.length == fin.length)
     GpxMemTable.clear(dir)
   }
+
+  test("first ingest on a fresh table enables the log and serves (schema from the memtable)") {
+    import graft.format.{GpxCommitLog, GpxMemTable}
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val conf = new Configuration()
+    val dir = tempDir("gpx_memtable_fresh")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    // NO prior write, no _commits log: the first ingest must enable the
+    // protocol itself (this path used to die in a recursive
+    // ConcurrentHashMap update) and the rows must be queryable although
+    // the table has no files and no committed schema — inference comes
+    // from the memtable's bound schema
+    GpxMemTable.ingest(dir, schema, Seq(Row(1L, 10L), Row(2L, 20L)), conf)
+    assert(GpxCommitLog.isLogTable(dir, conf))
+    val df = spark.read.format("gpx").load(dir)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(df.count() == 2)
+    assert(df.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) == 30L)
+    assert(GpxMemTable.flush(dir, conf) == 2)
+    assert(spark.read.format("gpx").load(dir).count() == 2)
+    GpxMemTable.clear(dir)
+  }
+
+  test("flushed memtable rows carry a real commitTs: invisible at pre-ingest snapshots") {
+    import graft.format.GpxMemTable
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val conf = new Configuration()
+    val dir = tempDir("gpx_memtable_snapts")
+    spark.range(0, 30).selectExpr("id").write.format("gpx")
+      .mode("append").option("commitProtocol", "manifest").save(dir)
+    Thread.sleep(10)
+    val preIngest = System.currentTimeMillis() * 1000L
+    Thread.sleep(10)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    GpxMemTable.ingest(dir, schema, (0 until 5).map(j => Row(100L + j)), conf)
+    assert(GpxMemTable.flush(dir, conf) == 5)
+    // current read: everything
+    assert(spark.read.format("gpx").load(dir).count() == 35)
+    // a snapshot taken BEFORE the ingest must not see the flushed rows —
+    // stamping them always-visible (-1) would rewrite history
+    val snap = spark.read.format("gpx")
+      .option("snapshotTs", preIngest).load(dir)
+    assert(snap.count() == 30,
+      s"pre-ingest snapshot must exclude flushed memtable rows, saw ${snap.count()}")
+    GpxMemTable.clear(dir)
+  }
+
+  test("ingest racing clear: acknowledged rows are never stranded in an orphaned buffer") {
+    import graft.format.GpxMemTable
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val conf = new Configuration()
+    val dir = tempDir("gpx_memtable_orphan")
+    spark.range(0, 10).selectExpr("id").write.format("gpx")
+      .mode("append").option("commitProtocol", "manifest").save(dir)
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      // chaos: clear() concurrently with ingests — clear drops buffered
+      // rows by design (overwrite semantics), but an ingest that RETURNS
+      // after a clear must have its rows in the live registered buffer,
+      // never in the removed orphan
+      val chaos = pool.submit(new Runnable {
+        override def run(): Unit = (0 until 200).foreach { _ =>
+          GpxMemTable.clear(dir); Thread.sleep(1)
+        }
+      })
+      // ingest continuously WHILE chaos clears: none of these may crash
+      // (recursive-update / re-registration) even when every batch lands
+      // in a buffer that is cleared moments later
+      var i = 0
+      while (!chaos.isDone) {
+        GpxMemTable.ingest(dir, schema, Seq(Row(100L + i)), conf)
+        i += 1
+      }
+      chaos.get(60, java.util.concurrent.TimeUnit.SECONDS)
+    } finally pool.shutdown()
+    // deterministic tail: interleave ingests with explicit clears, then
+    // assert the final ingests (after the last clear) are all queryable
+    (0 until 50).foreach { i =>
+      GpxMemTable.ingest(dir, schema, Seq(Row(1000L + i)), conf)
+      if (i % 7 == 0) GpxMemTable.clear(dir)
+    }
+    GpxMemTable.clear(dir)
+    (0 until 20).foreach { i =>
+      GpxMemTable.ingest(dir, schema, Seq(Row(5000L + i)), conf)
+    }
+    // every acknowledged post-clear row is queryable (tail) and flushable
+    assert(spark.read.format("gpx").load(dir)
+      .filter("id >= 5000").count() == 20)
+    assert(GpxMemTable.flush(dir, conf) == 20)
+    assert(spark.read.format("gpx").load(dir)
+      .filter("id >= 5000").count() == 20)
+    GpxMemTable.clear(dir)
+  }
 }
