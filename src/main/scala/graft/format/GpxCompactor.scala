@@ -13,8 +13,14 @@ import java.io.{ByteArrayOutputStream, DataOutputStream}
   * over its physical layout).
   *
   * All stats, pixel zone maps, encodings and per-row-group commit
-  * timestamps are preserved, so pruning and MVCC time travel behave
-  * identically on the compacted layout. Inputs must share one schema.
+  * timestamps are preserved, so pruning and MVCC time travel over the
+  * SURVIVING rows behave identically on the compacted layout. The one
+  * documented approximation (shared with every copy-on-write fold,
+  * GpxDeleteBitmap.foldFile): merge-on-read delete masks — including
+  * ts-stamped ones whose deletes are younger than some live snapshots —
+  * are folded INTO the copy, so time travel to a pre-delete timestamp no
+  * longer resurrects the masked rows. Compact when that history can go.
+  * Inputs must share one schema.
   */
 object GpxCompactor {
   final case class Result(inputFiles: Int, outputFiles: Int, rows: Long)

@@ -473,6 +473,14 @@ class GpxTable(schema: StructType, roots: Seq[String],
     }
     val dataSchema =
       StructType(schema.filterNot(f => GpxTable.isSynthetic(f.name)))
+    // UPDATE/MERGE over a multi-path load has no defined home for
+    // rewritten or inserted rows (the replace write would migrate every
+    // survivor into the first root, under the first root's layout specs,
+    // and the sidecar fingerprint would cover only the first root) —
+    // refuse rather than silently relocate rows between roots
+    require(roots.size == 1,
+      "gpx: UPDATE/MERGE require a single-root table; a multi-path load " +
+        s"is a read-only view (got ${roots.size} roots)")
     val mode = org.apache.spark.sql.SparkSession.active.conf
       .getOption("spark.graft.gpx.rowLevelMode").getOrElse("cow")
     // commit-log tables always take the copy-on-write path: the delta

@@ -168,8 +168,25 @@ object GpxDelete {
       }.collect()
     }
 
-    // ---- copy-on-write: ONE job rewrites every affected file ----
+    // ---- copy-on-write: one job PER ROOT rewrites its affected files ----
+    // (survivors must stay under the root that owned their file, written
+    // under THAT root's layout specs — a single write into roots.head
+    // would silently migrate every kept row of the other roots into the
+    // first, leaving a later single-root load of those roots missing them)
     if (cowFiles.nonEmpty) {
+      // normalize explicit-file roots (load("t/a.gpx")) to their table dir
+      val rootDirs = roots.map { r =>
+        if (r.endsWith(".gpx")) new Path(r).getParent.toString else r
+      }
+      val qroots = rootDirs.map(GpxTable.qualifiedRoot(_, conf))
+      def ownerOf(f: String): String = {
+        val q = new Path(f).getFileSystem(conf)
+          .makeQualified(new Path(f)).toString
+        rootDirs.zip(qroots).collectFirst {
+          case (r, qr) if q == qr || q.startsWith(qr + "/") => r
+        }.getOrElse(rootDirs.head)
+      }
+      cowFiles.groupBy(ownerOf).foreach { case (owner, ownedFiles) =>
       // MVCC history for SURVIVORS: each kept row is re-stamped with its
       // ORIGINAL row-group commitTs through the per-row commitTsColumn
       // routing — one output file per (ts, bucket) per task, so FOR
@@ -180,9 +197,9 @@ object GpxDelete {
       val withTs = spark.read.format("gpx")
         .schema(dataSchema.add(StructField(
           GpxTable.CommitTsCol, LongType, nullable = false)))
-        .load(cowFiles: _*)
-      val bucket = roots.headOption.flatMap(GpxTable.readBucketSpec(_, conf))
-      val range = roots.headOption.flatMap(GpxTable.readRangeSpec(_, conf))
+        .load(ownedFiles: _*)
+      val bucket = GpxTable.readBucketSpec(owner, conf)
+      val range = GpxTable.readRangeSpec(owner, conf)
       val writer = withTs.filter(keepCond)
         .write.format("gpx").mode("append")
         .option("commitTsColumn", GpxTable.CommitTsCol)
@@ -196,24 +213,25 @@ object GpxDelete {
       val deferToken =
         if (logTable) Some(java.util.UUID.randomUUID().toString) else None
       deferToken.foreach(writer.option("logDefer", _))
-      writer.save(roots.head)
+      writer.save(owner)
       deferToken match {
         case Some(token) =>
           val added = GpxCommitLog.drainDeferred(token)
-          val entries = added.map(GpxCommitLog.entryFor(roots.head, _, conf))
-          GpxCommitLog.commit(roots.head, conf, GpxCommitLog.Replace(entries,
-            cowFiles.map(GpxCommitLog.relOf(roots.head, _, conf)).toSet,
+          val entries = added.map(GpxCommitLog.entryFor(owner, _, conf))
+          GpxCommitLog.commit(owner, conf, GpxCommitLog.Replace(entries,
+            ownedFiles.map(GpxCommitLog.relOf(owner, _, conf)).toSet,
             Some(dataSchema)))
         case None =>
           // crash-safe order: replacements published first (visible),
           // originals dropped after — a crash in between duplicates kept
           // rows instead of losing them. Sidecars go with their files
           // (folded by the rewrite).
-          cowFiles.foreach { f =>
+          ownedFiles.foreach { f =>
             val p = new Path(f)
             p.getFileSystem(conf).delete(p, false)
             GpxDeleteBitmap.dropSidecars(p, conf)
           }
+      }
       }
     }
     // COW changed data files (and dropped their sidecars): exact marker +

@@ -186,8 +186,13 @@ class GpxDeltaBatchWrite(dataSchema: StructType, rowIdSchema: StructType,
         throw e
     }
     fs.delete(new Path(staging), true)
-    // fresh layout token (inserts published; marker set above if masked)
-    GpxVersion.bump(root, conf)
+    // fresh DATA-layout token only when insert files were published — a
+    // mask-only commit (e.g. a MERGE whose matched branches only delete)
+    // leaves data files untouched: markDeletes above already bumped the
+    // delete-sensitive token, and moving the data token too would
+    // needlessly invalidate every point index and projection (lookups
+    // replay bitmaps themselves, same stance as GpxDelete's MOR path)
+    if (published.nonEmpty) GpxVersion.bump(root, conf)
     } // mutation lock
   }
 

@@ -266,13 +266,19 @@ object GpxPointIndex {
     val conf = new Configuration()
     val qroot = GpxTable.qualifiedRoot(table, conf)
     val single = columns.size == 1
+    // RENAME COLUMN evolution: files written before a rename carry the OLD
+    // physical name — resolve per file like the scan path does, or every
+    // pre-rename file would silently contribute zero entries and index-
+    // served scans would prune its row groups (losing its rows)
+    val renames = GpxTable.readRenames(table, conf)
     val entries = spark.sparkContext
       .parallelize(rels, math.max(1, math.min(rels.size, 256)))
       .flatMap { r =>
         val c = new Configuration()
         val f = s"$qroot/$r"
         val footer = GpxFileReader.FooterCache.get(f, c)
-        val cis = columns.map(footer.schema.fieldNames.indexOf(_))
+        val cis = columns.map(col => footer.schema.fieldNames.indexOf(
+          GpxTable.physNameOf(footer.schema, col, renames)))
         if (cis.exists(_ < 0)) Iterator.empty // evolved file w/o a key col
         else {
           val dts = cis.map(footer.schema(_).dataType)
@@ -427,7 +433,10 @@ object GpxPointIndex {
       strKeys: Set[String], columns: Seq[String]): DataFrame =
     lookupImpl(spark, table, column, strKeys.map(stringKey), columns,
       exact = Some((r, i) => strKeys.contains(r.getUTF8String(i).toString)),
-      fallback = strKeys.toSeq)
+      fallback = strKeys.toSeq,
+      // pixel zone maps hold STRING bounds: prune with the real keys
+      // (the hashed probe longs would never match and keep every pixel)
+      pruneVals = Some(strKeys.toArray.map(_.asInstanceOf[Any])))
 
   /** Binary-key point lookup (the reference's native key shape — index
     * keys are arbitrary bytes, proto/index.proto:36-37): probes with
@@ -506,14 +515,13 @@ object GpxPointIndex {
       case None => fallback
       case Some(entries) =>
         val qroot = GpxTable.qualifiedRoot(table, conf)
-        // per-column pixel pruning inside matched row groups
-        val pixFilter: Filter = columns.zip(columns.indices.map(i =>
-          tuples.map(_(i)).toArray)).map { case (c, vs) =>
-            In(c, vs): Filter
-          }.reduce(org.apache.spark.sql.sources.And(_, _))
-        val rows = mutable.ArrayBuffer.empty[Row]
-        var outSchema: StructType = null
+        // pre-rename files carry old physical names: resolve per file
+        val renames = GpxTable.readRenames(table, conf)
+        val outFields = new Array[StructField](outCols.length)
+        val rows = mutable.ArrayBuffer.empty[Array[Any]]
+        var bail = false
         entries.toSeq.sortBy(_._1).foreach { case (rel, rgs) =>
+          if (!bail) {
           val f = s"$qroot/$rel"
           val footer = GpxFileReader.FooterCache.get(f, conf)
           val phys = footer.schema
@@ -522,11 +530,32 @@ object GpxPointIndex {
             GpxDeleteBitmap.sidecarsIn(fPath.getParent, conf)
               .getOrElse(fPath.getName, Seq.empty), None, conf)
           val rgStarts = footer.rowGroups.scanLeft(0L)(_ + _.numRows)
-          val keyIdxs = columns.map(phys.fieldIndex)
+          val keyNames = columns.map(GpxTable.physNameOf(phys, _, renames))
+          val keyIdxs = keyNames.map(phys.fieldNames.indexOf(_))
+          if (keyIdxs.exists(_ < 0)) bail = true
+          else {
           val keyDts = keyIdxs.map(phys(_).dataType)
-          val outIdx = outCols.map(phys.fieldIndex).toArray
-          if (outSchema == null)
-            outSchema = StructType(outIdx.map(phys(_)).toIndexedSeq)
+          val outIdx: Array[Int] = outCols.map(cn =>
+            phys.fieldNames.indexOf(GpxTable.physNameOf(phys, cn, renames)))
+            .toArray
+          var oi = 0
+          while (oi < outIdx.length && !bail) {
+            if (outIdx(oi) >= 0) {
+              val dt = phys(outIdx(oi)).dataType
+              if (outFields(oi) == null)
+                outFields(oi) = StructField(outCols(oi), dt, nullable = true)
+              else if (outFields(oi).dataType != dt) bail = true
+            }
+            oi += 1
+          }
+          if (!bail) {
+          // per-column pixel pruning inside matched row groups, addressed
+          // to the file's physical names (real values, so string bounds
+          // prune too)
+          val pixFilter: Filter = keyNames.zip(columns.indices.map(i =>
+            tuples.map(_(i)).toArray)).map { case (c, vs) =>
+              In(c, vs): Filter
+            }.reduce(org.apache.spark.sql.sources.And(_, _))
           rgs.toSeq.sorted.foreach { rgIdx =>
             val rg = footer.rowGroups(rgIdx)
             val keptPix = rg.chunks.head.pixels.indices.filter(p =>
@@ -535,7 +564,7 @@ object GpxPointIndex {
               val pixRows = rg.chunks.head.pixels.map(_.rows)
               val numRows = keptPix.map(pixRows(_)).sum
               val pixStart = pixRows.scanLeft(rgStarts(rgIdx))(_ + _)
-              val readIdx = (outIdx ++ keyIdxs).distinct
+              val readIdx = (outIdx.filter(_ >= 0) ++ keyIdxs).distinct
               val readSchema = StructType(readIdx.map(phys(_)).toIndexedSeq)
               val cols = readIdx.map { ci =>
                 val ch = rg.chunks(ci)
@@ -546,7 +575,7 @@ object GpxPointIndex {
               val batch = GpxFileReader.readSlices(
                 f, conf, readSchema, cols, numRows, -1L)
               val kPos = keyIdxs.map(readIdx.indexOf(_))
-              val outPos = outIdx.map(ci => readIdx.indexOf(ci))
+              val outPos = outIdx.map(ci => if (ci >= 0) readIdx.indexOf(ci) else -1)
               val absPos: Array[Long] = {
                 val out = new Array[Long](numRows)
                 var o = 0
@@ -566,38 +595,56 @@ object GpxPointIndex {
                   !r.isNullAt(kPos(i))) && canonTuples.contains(
                     kPos.indices.map(i => canonRow(r, kPos(i), keyDts(i))))
                 if (hit)
-                  rows += Row.fromSeq(outPos.toIndexedSeq.map(p =>
-                    external(r, p, readSchema(p).dataType)))
+                  rows += outPos.map(p =>
+                    if (p >= 0) external(r, p, readSchema(p).dataType)
+                    else null)
               }
               batch.close()
             }
           }
+          }
+          }
+          }
         }
-        if (outSchema == null) fallback.limit(0)
+        if (bail || (rows.nonEmpty && outFields.exists(_ == null))) fallback
+        else if (rows.isEmpty) fallback.limit(0)
         else spark.createDataFrame(
           new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-            .SeqHasAsJava(rows.toSeq).asJava), outSchema)
+            .SeqHasAsJava(rows.toSeq.map(vs =>
+              Row.fromSeq(scala.collection.immutable.ArraySeq
+                .unsafeWrapArray(vs)))).asJava),
+          StructType(outFields.toIndexedSeq))
     }
   }
 
   private def lookupImpl(spark: SparkSession, table: String, column: String,
       keys: Set[Long], columns: Seq[String],
       exact: Option[(org.apache.spark.sql.catalyst.InternalRow, Int) => Boolean],
-      fallback: Seq[Any]): DataFrame = {
+      fallback: Seq[Any],
+      pruneVals: Option[Array[Any]] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val conf = new Configuration()
     def fallbackValues: Seq[Any] = fallback
+    def fallbackDf: DataFrame =
+      spark.read.format("gpx").load(table)
+        .filter(col(column).isin(fallbackValues: _*))
+        .select(columns.map(col): _*)
     entriesFor(table, column, keys, conf) match {
-      case None =>
-        spark.read.format("gpx").load(table)
-          .filter(col(column).isin(fallbackValues: _*))
-          .select(columns.map(col): _*)
+      case None => fallbackDf
       case Some(entries) =>
         val qroot = GpxTable.qualifiedRoot(table, conf)
-        val keyFilter: Filter = In(column, keys.toArray.map(_.asInstanceOf[Any]))
-        val rows = mutable.ArrayBuffer.empty[Row]
-        var outSchema: StructType = null
+        // pre-rename files carry old physical names: resolve per file
+        val renames = GpxTable.readRenames(table, conf)
+        // output fields typed lazily from the first file carrying each
+        // column (requested NAMES, not the file's physical names);
+        // nullable — an evolved file missing the column null-fills
+        val outFields = new Array[StructField](columns.length)
+        val rows = mutable.ArrayBuffer.empty[Array[Any]]
+        // cross-file type widening or an unresolvable key column: the
+        // driver-direct path cannot type one Row set — serve via scan
+        var bail = false
         entries.toSeq.sortBy(_._1).foreach { case (rel, rgs) =>
+          if (!bail) {
           val f = s"$qroot/$rel"
           val footer = GpxFileReader.FooterCache.get(f, conf)
           val phys = footer.schema
@@ -609,11 +656,31 @@ object GpxPointIndex {
             GpxDeleteBitmap.sidecarsIn(fPath.getParent, conf)
               .getOrElse(fPath.getName, Seq.empty), None, conf)
           val rgStarts = footer.rowGroups.scanLeft(0L)(_ + _.numRows)
-          val keyIdx = phys.fieldIndex(column)
+          val keyName = GpxTable.physNameOf(phys, column, renames)
+          val keyIdx = phys.fieldNames.indexOf(keyName)
+          if (keyIdx < 0) bail = true
+          else {
           val keyDt = phys(keyIdx).dataType
-          val outIdx = columns.map(phys.fieldIndex).toArray
-          if (outSchema == null)
-            outSchema = StructType(outIdx.map(phys(_)).toIndexedSeq)
+          val outIdx: Array[Int] = columns.map(cn =>
+            phys.fieldNames.indexOf(GpxTable.physNameOf(phys, cn, renames)))
+            .toArray
+          var ci = 0
+          while (ci < outIdx.length && !bail) {
+            if (outIdx(ci) >= 0) {
+              val dt = phys(outIdx(ci)).dataType
+              if (outFields(ci) == null)
+                outFields(ci) = StructField(columns(ci), dt, nullable = true)
+              else if (outFields(ci).dataType != dt) bail = true
+            }
+            ci += 1
+          }
+          if (!bail) {
+          // pixel pruning needs the ACTUAL key values (hash keys of
+          // string/binary lookups never match string zone maps — the
+          // bounds check would keep every pixel), addressed to the
+          // file's physical column name
+          val keyFilter: Filter = In(keyName,
+            pruneVals.getOrElse(keys.toArray.map(_.asInstanceOf[Any])))
           rgs.toSeq.sorted.foreach { rgIdx =>
             val rg = footer.rowGroups(rgIdx)
             val keptPix = rg.chunks.head.pixels.indices.filter(p =>
@@ -632,8 +699,8 @@ object GpxPointIndex {
                 }
                 out
               }
-              // read the key column alongside the requested ones
-              val readIdx = (outIdx :+ keyIdx).distinct
+              // read the key column alongside the requested PRESENT ones
+              val readIdx = (outIdx.filter(_ >= 0) :+ keyIdx).distinct
               val readSchema = StructType(readIdx.map(phys(_)).toIndexedSeq)
               val cols = readIdx.map { ci =>
                 val ch = rg.chunks(ci)
@@ -644,7 +711,7 @@ object GpxPointIndex {
               val batch = GpxFileReader.readSlices(
                 f, conf, readSchema, cols, numRows, -1L)
               val kPos = readIdx.indexOf(keyIdx)
-              val outPos = outIdx.map(ci => readIdx.indexOf(ci))
+              val outPos = outIdx.map(ci => if (ci >= 0) readIdx.indexOf(ci) else -1)
               val it = batch.rowIterator()
               var ri = 0
               while (it.hasNext) {
@@ -656,22 +723,32 @@ object GpxPointIndex {
                   case None => keys.contains(keyAt(r, kPos, keyDt))
                 })
                 if (hit)
-                  rows += Row.fromSeq(outPos.toIndexedSeq.map(p =>
-                    external(r, p, readSchema(p).dataType)))
+                  rows += outPos.map(p =>
+                    if (p >= 0) external(r, p, readSchema(p).dataType)
+                    else null)
               }
               batch.close()
             }
           }
+          }
+          }
+          }
         }
-        if (outSchema == null)
-          // no entries: empty result with the requested shape
-          spark.read.format("gpx").load(table)
-            .filter(col(column).isin(fallbackValues: _*))
-            .select(columns.map(col): _*).limit(0)
+        // a column no matched file carries cannot be typed from footers:
+        // with hits present the scan path must serve (its values would be
+        // all-null but the TYPE is the table's business, not this path's)
+        if (bail || (rows.nonEmpty && outFields.exists(_ == null)))
+          fallbackDf
+        else if (rows.isEmpty)
+          // no hits: empty result with the requested shape
+          fallbackDf.limit(0)
         else
           spark.createDataFrame(
             new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-              .SeqHasAsJava(rows.toSeq).asJava), outSchema)
+              .SeqHasAsJava(rows.toSeq.map(vs =>
+                Row.fromSeq(scala.collection.immutable.ArraySeq
+                  .unsafeWrapArray(vs)))).asJava),
+            StructType(outFields.toIndexedSeq))
     }
   }
 
@@ -694,6 +771,14 @@ object GpxPointIndex {
       case TimestampType => java.sql.Timestamp.from(
         java.time.Instant.EPOCH.plus(r.getLong(i),
           java.time.temporal.ChronoUnit.MICROS))
+      case TimestampNTZType =>
+        // indexable() admits NTZ columns, so lookups must externalize
+        // them (LocalDateTime is Spark's external NTZ type)
+        val micros = r.getLong(i)
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
       case d: DecimalType => r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
       case other => throw new IllegalArgumentException(s"lookup: $other")
     }

@@ -44,6 +44,17 @@ class GpxRowLevelOperation(
   val replacedFiles: java.util.Set[String] =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // delete-sidecar fingerprint taken at OPERATION CONSTRUCTION — strictly
+  // before Spark builds any scan, so it can never postdate the scan's
+  // cached mask walk (same discipline as GpxDeltaOperation). Capturing at
+  // toBatch had the unsafe direction: a merge-on-read delete committing
+  // between the scan's mask walk and toBatch would pass the commit-time
+  // comparison, and this rewrite's dropSidecars would fold its mask away,
+  // resurrecting the concurrently-deleted rows. Captured here, that race
+  // flips to a safe spurious abort (retry sees the mask).
+  private[format] val sidecarsAtPlan =
+    GpxMutationLock.sidecarState(roots.head, new Configuration())
+
   override def command(): RowLevelOperation.Command = cmd
 
   private val mainScanBuilt = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -95,7 +106,7 @@ class GpxRowLevelOperation(
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new GpxReplaceBatchWrite(
           info.schema(), roots.head, commitTs, replacedFiles, cmd,
-          fileIdx, tsIdx)
+          fileIdx, tsIdx, sidecarsAtPlan)
       }
     }
   }
@@ -129,16 +140,15 @@ class GpxReplaceBatchWrite(
     schema: StructType, root: String, commitTs: Long,
     replacedFiles: java.util.Set[String],
     cmd: RowLevelOperation.Command,
-    fileIdx: Int, tsIdx: Int) extends BatchWrite {
+    fileIdx: Int, tsIdx: Int,
+    // delete-sidecar state captured at OPERATION construction (see
+    // GpxRowLevelOperation) — re-checked at commit under the lock: a
+    // sidecar added by a concurrent merge-on-read delete would be FOLDED
+    // AWAY by this rewrite's dropSidecars, resurrecting the deleted rows
+    sidecarsAtPlan: Set[String]) extends BatchWrite {
 
   private val opId = java.util.UUID.randomUUID().toString.take(8)
   private val tmp = s"$root/_replace_$opId"
-  // delete-sidecar state at write planning (before any data task reads):
-  // re-checked at commit under the lock — a sidecar added by a concurrent
-  // merge-on-read delete would be FOLDED AWAY by this rewrite's
-  // dropSidecars, resurrecting the deleted rows
-  private val sidecarsAtPlan =
-    GpxMutationLock.sidecarState(root, new Configuration())
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = new Configuration()
@@ -177,19 +187,34 @@ class GpxReplaceBatchWrite(
     // semantics, like every gpx write path. Only files named by WINNING
     // attempts' commit messages move in — a zombie attempt's staged
     // leftovers are swept with the staging dir, never published.
+    // rollback-protected publish: a mid-loop rename failure un-publishes
+    // the already-landed replacements before rethrowing — without it,
+    // Spark's abort() only sweeps staging, and the orphaned r<opId>- files
+    // (listing-visible, originals still in place) would double every one
+    // of their rows forever (same failure class GpxDeltaBatchWrite guards)
     val publishedDests = scala.collection.mutable.ArrayBuffer.empty[String]
-    messages.foreach {
-      case GpxReplaceCommit(files, _) => files.foreach { f =>
-        val p = new Path(f)
-        // r<opId>- prefix avoids name collisions with any earlier write;
-        // the trailing -bN bucket suffix (if any) stays at the end, so
-        // bucket routing/pruning keep working on the rewritten files
-        val dest = new Path(rootP, s"r$opId-${p.getName}")
-        if (!fs.rename(p, dest))
-          throw new java.io.IOException(s"replace rename failed: $p -> $dest")
-        publishedDests += dest.toString
+    val publishedPairs = scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
+    try {
+      messages.foreach {
+        case GpxReplaceCommit(files, _) => files.foreach { f =>
+          val p = new Path(f)
+          // r<opId>- prefix avoids name collisions with any earlier write;
+          // the trailing -bN bucket suffix (if any) stays at the end, so
+          // bucket routing/pruning keep working on the rewritten files
+          val dest = new Path(rootP, s"r$opId-${p.getName}")
+          if (!fs.rename(p, dest))
+            throw new java.io.IOException(s"replace rename failed: $p -> $dest")
+          publishedDests += dest.toString
+          publishedPairs += ((dest, p))
+        }
+        case _ => ()
       }
-      case _ => ()
+    } catch {
+      case e: Throwable =>
+        publishedPairs.reverseIterator.foreach { case (dest, src) =>
+          try fs.rename(dest, src) catch { case _: Throwable => () }
+        }
+        throw e
     }
     fs.delete(tmpP, true)
     // UPDATE writes every row of every replaced file back: deleting only

@@ -281,4 +281,34 @@ class MorDeleteSpec extends GraftSpec {
     assert(!got.contains(150L), "masked row resurrected by UPDATE rewrite")
     assert(got(50L) == 501L && got(250L) == 2501L && got(500L) == 5000L)
   }
+
+  test("multi-root cow delete keeps every survivor under its own root") {
+    val sp2 = sp
+    import sp2.implicits._
+    val d1 = freshDir("gpx_mroot1")
+    val d2 = freshDir("gpx_mroot2")
+    writeRange(d1, 1000) // ids 0-999 under d1
+    (1000 until 2000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .coalesce(1).write.format("gpx").mode("overwrite").save(d2)
+    val schema = sp.read.format("gpx").load(d1, d2).schema
+    // bulk delete spanning BOTH roots on the cow path: each root's file is
+    // rewritten, and the survivors must land back under THEIR root — not
+    // migrate into the first
+    val prev = sp.conf.getOption("spark.graft.gpx.deleteMode")
+    sp.conf.set("spark.graft.gpx.deleteMode", "cow")
+    try GpxDelete.run(schema, Seq(d1, d2),
+      Array(GreaterThanOrEqual("id", 500L), LessThan("id", 1500L)))
+    finally prev match {
+      case Some(v) => sp.conf.set("spark.graft.gpx.deleteMode", v)
+      case None => sp.conf.unset("spark.graft.gpx.deleteMode")
+    }
+    val ids1 = sp.read.format("gpx").load(d1).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = sp.read.format("gpx").load(d2).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == (0L until 500L),
+      s"d1 must keep exactly its own survivors, got ${ids1.take(3)}…${ids1.size} rows")
+    assert(ids2 == (1500L until 2000L),
+      s"d2's survivors must stay under d2, got ${ids2.take(3)}…${ids2.size} rows")
+  }
 }

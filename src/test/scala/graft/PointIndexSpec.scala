@@ -305,4 +305,63 @@ class PointIndexSpec extends GraftSpec {
       Array(EqualTo("o_custkey", ck)), conf)
     assert(one.isEmpty)
   }
+
+  test("index build and lookups resolve RENAME COLUMN aliases per file") {
+    val sp2 = sp
+    import sp2.implicits._
+    val d = Files.createTempDirectory("gpx_idx_ren").toString
+    // file written BEFORE the rename: physical column name "a"
+    (0L until 100L).map(i => (i, i * 10L)).toDF("id", "a")
+      .coalesce(1).write.format("gpx").mode("overwrite").save(d)
+    // RENAME COLUMN a -> b, then a post-rename append carrying "b"
+    GpxTable.writeRenames(d, Map("b" -> Seq("a")), conf)
+    (100L until 150L).map(i => (i, i * 10L)).toDF("id", "b")
+      .coalesce(1).write.format("gpx").mode("append").save(d)
+    GpxPointIndex.build(sp, d, "b", numBuckets = 2)
+    // keys living ONLY in the pre-rename file must be indexed and served
+    val got = GpxPointIndex.lookup(sp, d, "b", Set(50L, 1200L), Seq("id", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((5L, 50L), (120L, 1200L)),
+      s"lookup must span pre- and post-rename files, got $got")
+    // planning-hook pruning must not drop the pre-rename file's row groups
+    val allowed = GpxPointIndex.allowedRowGroups(d,
+      Array(EqualTo("b", 50L)), conf)
+    assert(allowed.isDefined && allowed.get.values.exists(_.nonEmpty))
+    val viaScan = sp.read.format("gpx").load(d)
+      .filter(col("b") === 50L).select("id").collect().map(_.getLong(0)).toSeq
+    assert(viaScan == Seq(5L),
+      s"index-pruned scan lost the pre-rename file's row: $viaScan")
+  }
+
+  test("lookup null-fills output columns an evolved file never carried") {
+    val sp2 = sp
+    import sp2.implicits._
+    val d = Files.createTempDirectory("gpx_idx_evo").toString
+    // old file: (id, v); new file adds w
+    (0L until 50L).map(i => (i, i * 2L)).toDF("id", "v")
+      .coalesce(1).write.format("gpx").mode("overwrite").save(d)
+    (50L until 80L).map(i => (i, i * 2L, i + 7L)).toDF("id", "v", "w")
+      .coalesce(1).write.format("gpx").mode("append").save(d)
+    GpxPointIndex.build(sp, d, "id", numBuckets = 2)
+    val got = GpxPointIndex.lookup(sp, d, "id", Set(10L, 60L), Seq("id", "w"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+    assert(got == Seq((10L, -1L), (60L, 67L)),
+      s"old file's missing column must serve null, got $got")
+  }
+
+  test("TimestampNTZ columns are indexable AND servable driver-direct") {
+    val d = Files.createTempDirectory("gpx_idx_ntz").toString
+    sp.sql(
+      """select id, timestamp_ntz '2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) as t
+        |from range(0, 100)""".stripMargin)
+      .coalesce(1).write.format("gpx").mode("overwrite").save(d)
+    GpxPointIndex.build(sp, d, "id", numBuckets = 2)
+    // the NTZ column in the OUTPUT exercises external()'s NTZ branch
+    val rows = GpxPointIndex.lookup(sp, d, "id", Set(42L), Seq("id", "t"))
+      .collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[java.time.LocalDateTime]("t") ==
+      java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 42))
+  }
 }
