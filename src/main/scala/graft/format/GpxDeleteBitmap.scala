@@ -57,7 +57,7 @@ object GpxDeleteBitmap {
 
   def sidecarName(dataFileName: String, ts: Long): String =
     s"$dataFileName.t$ts.c${System.currentTimeMillis()}." +
-      s"${java.util.UUID.randomUUID().toString.take(8).filter(_ != '-')}.del"
+      s"${java.util.UUID.randomUUID().toString.take(8)}.del"
 
   /** sidecars under `parent`/_del grouped by data file name; ts parsed
     * from the NAME so planning never opens sidecar bytes for invisible
@@ -178,18 +178,26 @@ object GpxDeleteBitmap {
       s".tmp.${java.util.UUID.randomUUID().toString.take(8)}.inprogress")
     val out = new DataOutputStream(fs.create(tmp, true))
     try {
-      out.write(DelMagic)
-      out.writeInt(Version)
-      out.writeLong(ts)
-      out.writeLong(fileRows)
-      val words = positions.toLongArray
-      out.writeInt(words.length)
-      words.foreach(out.writeLong)
-    } finally out.close()
-    val dest = new Path(delP, name)
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"delete sidecar publish failed: $dest")
-    dest.toString
+      try {
+        out.write(DelMagic)
+        out.writeInt(Version)
+        out.writeLong(ts)
+        out.writeLong(fileRows)
+        val words = positions.toLongArray
+        out.writeInt(words.length)
+        words.foreach(out.writeLong)
+      } finally out.close()
+      val dest = new Path(delP, name)
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(s"delete sidecar publish failed: $dest")
+      dest.toString
+    } catch {
+      case e: Throwable =>
+        // a failed write/publish must not leak its temp file: no vacuum
+        // path ever matches .tmp.*.inprogress names
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** drop every sidecar of `dataFile` (after a rewrite folded them) */
@@ -253,6 +261,11 @@ object GpxDeleteBitmap {
         file, conf, footer.schema, slices, rg.numRows, rg.commitTs)
       val it = batch.rowIterator()
       var k = 0
+      // bitmap positions are int-addressed: fail fast (with the remedy)
+      // instead of wrapping negative past 2^31 rows
+      require(base + rg.numRows - 1 <= Int.MaxValue,
+        s"$file holds more than 2^31-1 rows — beyond the delete-bitmap " +
+          "addressing limit; compact into smaller files before folding")
       while (it.hasNext) {
         val row = it.next()
         if (!mask.get((base + k).toInt)) { w.addRow(row); kept += 1 }

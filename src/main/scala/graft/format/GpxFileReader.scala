@@ -53,14 +53,24 @@ object GpxFileReader {
     val fs = hPath.getFileSystem(conf)
     val len = GpxFs.stat(path, conf)
       .getOrElse(throw new java.io.FileNotFoundException(path)).len
-    val tail = readTail(path, conf, len)
+    // ONE open for trailer + footer (two seeks on the same stream): a
+    // second open per cache miss doubles cold-planning round trips on
+    // object stores, where open is a HEAD/GET-class request
     val in = fs.open(hPath)
     try {
-      in.seek(len - TrailerLen - tail.footerLen)
-      val fb = new Array[Byte](tail.footerLen)
+      in.seek(len - TrailerLen)
+      val tailBytes = new Array[Byte](TrailerLen)
+      in.readFully(tailBytes)
+      val td = new DataInputStream(new ByteArrayInputStream(tailBytes))
+      val footerLen = td.readInt()
+      val fileId = td.readLong()
+      val magic = new Array[Byte](4); td.readFully(magic)
+      require(java.util.Arrays.equals(magic, Magic), s"not a gpx file: $path")
+      in.seek(len - TrailerLen - footerLen)
+      val fb = new Array[Byte](footerLen)
       in.readFully(fb)
       (GpxFormat.readFooter(new DataInputStream(new ByteArrayInputStream(fb))),
-        tail.fileId)
+        fileId)
     } finally in.close()
   }
 
@@ -153,25 +163,32 @@ object GpxFileReader {
       filter: Filter,
       schema: StructType,
       numRows: Int,
-      statsAt: Int => Option[ChunkStats]): Boolean =
+      statsAt: Int => Option[ChunkStats]): Boolean = {
+    // hoisted: StructType.fieldNames allocates a fresh array per call,
+    // and statsOf runs once per filter node per value — on the driver's
+    // planning hot path at large file counts
+    val names = schema.fieldNames
     mayMatchBy(filter, numRows.toLong, col => {
       // columns absent from the file schema (e.g. the synthetic
       // _commit_ts) have no stats: conservative keep
-      val i = schema.fieldNames.indexOf(col)
+      val i = names.indexOf(col)
       if (i < 0) None else statsAt(i).map((_, schema(i).dataType))
     })
+  }
 
   /** FILE-level zone-map check over NAME-keyed stats (commit-log manifest
     * entries): data types resolve from the table schema — safe because
     * manifest stats are written from footers whose physical storage class
     * (long-backed / double / string) matches any widened table type. */
   def mayMatchNamed(filter: Filter, tableSchema: StructType, numRows: Long,
-      stats: String => Option[ChunkStats]): Boolean =
+      stats: String => Option[ChunkStats]): Boolean = {
+    val names = tableSchema.fieldNames // hoisted: fresh array per call
     mayMatchBy(filter, numRows, col => for {
       st <- stats(col)
-      i = tableSchema.fieldNames.indexOf(col)
+      i = names.indexOf(col)
       if i >= 0
     } yield (st, tableSchema(i).dataType))
+  }
 
   private def mayMatchBy(
       filter: Filter,
@@ -246,7 +263,13 @@ object GpxFileReader {
           // string stats are truncated to 64 chars at write; only trust
           // them when they are short enough to be exact
           case str: String if s.minString.length < 64 && s.maxString.length < 64 =>
-            Some((s.minString.compareTo(str).sign, s.maxString.compareTo(str).sign))
+            // UTF-8 binary order — the order Spark compares strings in
+            // and the order the writer computed these bounds in
+            val q = org.apache.spark.unsafe.types.UTF8String.fromString(str)
+            Some((org.apache.spark.unsafe.types.UTF8String
+                .fromString(s.minString).compareTo(q).sign,
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(s.maxString).compareTo(q).sign))
           case _ => None
         }
       case _ => None

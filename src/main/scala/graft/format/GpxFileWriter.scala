@@ -155,7 +155,9 @@ final class GpxFileWriter(
       merged = if (merged == null) st else ChunkStats.merge(merged, st)
       p += 1
     }
-    write(body.toByteArray)
+    // stream the chunk payload out without materializing a second copy
+    body.writeTo(out)
+    pos += body.size()
     ChunkMeta(offset, pos - offset, firstEncoding, merged, pixels)
   }
 
@@ -351,17 +353,23 @@ final class GpxFileWriter(
           encoding = EncScaledDouble
           val p = math.pow(10, scale)
           val longsV = new Array[Long](rows)
+          // base/range over NON-NULL values only: a 0L placeholder far
+          // from the data's range would otherwise drag the base to 0 and
+          // inflate the packed width up to 8x for one null
           var k2 = 0
           var lmn = Long.MaxValue
+          var lmx = Long.MinValue
           while (k2 < rows) {
-            longsV(k2) = if (nullArr(from + k2)) 0L else Math.rint(vals(from + k2) * p).toLong
-            if (longsV(k2) < lmn) lmn = longsV(k2)
+            if (!nullArr(from + k2)) {
+              val lv = Math.rint(vals(from + k2) * p).toLong
+              longsV(k2) = lv
+              if (lv < lmn) lmn = lv
+              if (lv > lmx) lmx = lv
+            }
             k2 += 1
           }
-          var lmx = Long.MinValue
-          k2 = 0
-          while (k2 < rows) { if (longsV(k2) > lmx) lmx = longsV(k2); k2 += 1 }
-          // rewrite null placeholders to the base so deltas stay >= 0
+          if (lmn == Long.MaxValue) { lmn = 0L; lmx = 0L } // all-null segment
+          // null placeholders sit AT the base so deltas stay >= 0
           k2 = 0
           while (k2 < rows) { if (nullArr(from + k2)) longsV(k2) = lmn; k2 += 1 }
           val range = lmx - lmn
@@ -402,29 +410,41 @@ final class GpxFileWriter(
         // never be skipped on (absent) stats
         if (bdt != StringType) stats = stats.copy(reliable = false)
         if (dt == StringType) {
-          var mn: String = null; var mx: String = null
+          // min/max in UTF-8 BINARY order (UTF8String.compareTo), the
+          // order Spark evaluates string predicates in — Java String
+          // (UTF-16) order disagrees for supplementary-plane characters
+          // (U+10000+ sort below U+E000..U+FFFF in UTF-16 but above them
+          // in UTF-8), and a bound computed in the wrong order lets the
+          // reader prune pixels that contain matching rows
+          var mn: UTF8String = null; var mx: UTF8String = null
           k = from
           while (k < until) {
             if (!nullArr(k)) {
-              val s = UTF8String.fromBytes(vals(k)).toString
-              if (mn == null || s < mn) mn = s
-              if (mx == null || s > mx) mx = s
+              val s = UTF8String.fromBytes(vals(k))
+              if (mn == null || s.compareTo(mn) < 0) mn = s
+              if (mx == null || s.compareTo(mx) > 0) mx = s
             }
             k += 1
           }
           if (mn != null)
-            stats = stats.copy(hasValues = true, minString = mn, maxString = mx)
+            stats = stats.copy(hasValues = true,
+              minString = mn.toString, maxString = mx.toString)
         }
         // dictionary probe (strings only): bail out early once the
         // dictionary clearly doesn't pay; only a COMPLETE scan that stayed
         // under the cardinality bound enables DICT.
         val distinct = scala.collection.mutable.LinkedHashMap[Seq[Byte], Int]()
+        // ids recorded DURING the probe: the emit pass below then writes
+        // them directly instead of re-wrapping and re-hashing every value
+        // a second time (this runs per string segment on the write path)
+        val dictIds = if (dt == StringType) new Array[Int](rows) else null
         var dictComplete = false
         if (dt == StringType) {
           k = from
           while (k < until && distinct.size <= rows / 2) {
-            val key = vals(k).toSeq
-            if (!distinct.contains(key)) distinct(key) = distinct.size
+            val key: Seq[Byte] =
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(vals(k))
+            dictIds(k - from) = distinct.getOrElseUpdate(key, distinct.size)
             k += 1
           }
           dictComplete = k == until && distinct.size <= rows / 2
@@ -437,7 +457,7 @@ final class GpxFileWriter(
             d.writeInt(arr.length); d.write(arr)
           }
           k = from
-          while (k < until) { d.writeInt(distinct(vals(k).toSeq)); k += 1 }
+          while (k < until) { d.writeInt(dictIds(k - from)); k += 1 }
         } else {
           k = from
           while (k < until) {
@@ -464,7 +484,7 @@ final class GpxFileWriter(
       seg.write(bm)
     }
     seg.writeInt(body.size())
-    seg.write(body.toByteArray)
+    body.writeTo(seg) // stream, no second full-segment copy
     seg.flush()
     (encoding, stats)
   }

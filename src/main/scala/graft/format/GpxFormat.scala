@@ -115,7 +115,12 @@ object GpxFormat {
         if (a.hasValues && b.hasValues) f(av, bv) else if (a.hasValues) av else bv
       def pickS(av: String, bv: String, lo: Boolean): String =
         if (a.hasValues && b.hasValues) {
-          if ((av <= bv) == lo) av else bv
+          // UTF-8 binary order, matching the writer's min/max and the
+          // reader's predicate compare (UTF-16 order disagrees for
+          // supplementary-plane characters)
+          val c = org.apache.spark.unsafe.types.UTF8String.fromString(av)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(bv))
+          if ((c <= 0) == lo) av else bv
         } else if (a.hasValues) av else bv
       ChunkStats(
         a.hasValues || b.hasValues,

@@ -1092,4 +1092,27 @@ class FormatSpec extends GraftSpec {
     assert(builds == 2, "regenerated source must force a rebuild")
     assert(sp.read.format("gpx").load(d3).count() == 3)
   }
+
+  test("string zone maps compare in UTF-8 binary order (supplementary plane)") {
+    val sp2 = sp
+    import sp2.implicits._
+    val d = java.nio.file.Files.createTempDirectory("gpx_utf8ord").toString
+    // U+1F600 sorts BELOW U+FFFF in UTF-16 (surrogate 0xD83D) but ABOVE
+    // it in UTF-8 (F0 9F 98 80 > EF BF BF) — a max bound computed in
+    // UTF-16 order would record "￿" and let the reader prune the
+    // pixel that holds the matching emoji row
+    val emoji = new String(Character.toChars(0x1F600))
+    Seq("￿", emoji, "apple").toDF("s")
+      .coalesce(1).write.format("gpx").mode("overwrite").save(d)
+    val gt = sp.read.format("gpx").load(d)
+      .filter(col("s") > "￿").collect().map(_.getString(0)).toSeq
+    assert(gt == Seq(emoji),
+      s"zone-map pruning dropped the supplementary-plane row: $gt")
+    val lt = sp.read.format("gpx").load(d)
+      .filter(col("s") < "apple ").collect().map(_.getString(0)).toSeq
+    assert(lt == Seq("apple"))
+    // equality across the same boundary
+    assert(sp.read.format("gpx").load(d)
+      .filter(col("s") === emoji).count() == 1)
+  }
 }
