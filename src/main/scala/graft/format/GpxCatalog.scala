@@ -152,12 +152,57 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // ---- validate EVERYTHING before the first byte is written: a
+    // failed require after _schema.ddl landed would leave a half-created
+    // table (tableExists=true), making the corrected retry throw
+    // TableAlreadyExists until the user hand-deletes warehouse files ----
     val bucket = bucketSpecOf(partitions, schema)
     val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
     require(provider.forall(_.equalsIgnoreCase("gpx")),
       s"graft catalog only stores gpx tables, got $provider")
     require(schema.fields.forall(f => GpxFormat.supported(f.dataType)),
       s"unsupported gpx schema: $schema")
+    // TBLPROPERTIES('sort_by'='c1,c2') -> ordered layout: INSERTs sort
+    // within partitions on these columns so zone maps stay selective
+    // (the reference's ordered table path, proto/pixels.proto layouts)
+    val sortCols: Option[Seq[String]] =
+      Option(properties.get("sort_by")).map { sb =>
+        val cols = sb.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        cols.foreach(c => require(schema.fieldNames.contains(c),
+          s"sort_by column $c not in schema"))
+        cols
+      }
+    // TBLPROPERTIES('range_by'='col:b1,b2,...') -> range-partitioned
+    // layout: INSERTs route rows to per-range files by the declared split
+    // points, scans prune by range id from file names alone (reference
+    // Range.java / RangeIndex.java catalog-level range assignment)
+    val rangeSpec: Option[(String, Seq[Long])] =
+      Option(properties.get("range_by")).map { rb =>
+        require(rb.contains(":"),
+          s"range_by must be 'col:b1,b2,...', got '$rb'")
+        val Array(c, bs) = rb.split(":", 2)
+        val col = c.trim
+        val i = schema.fieldNames.indexOf(col)
+        require(i >= 0, s"range_by column $col not in schema")
+        require(GpxTable.bucketableType(schema(i).dataType),
+          s"range_by column $col must be integer-family, got ${schema(i).dataType}")
+        require(bucket.isEmpty,
+          "range_by and PARTITIONED BY bucket(...) are mutually exclusive")
+        val bounds = bs.split(",").toSeq.map { b =>
+          try b.trim.toLong catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"range_by bound '$b' is not a long")
+          }
+        }
+        require(bounds.nonEmpty && bounds == bounds.sorted &&
+          bounds.distinct == bounds,
+          s"range_by bounds must be ascending distinct longs, got $bounds")
+        (col, bounds)
+      }
+    val explicitProtoV = Option(properties.get("commit_protocol"))
+    explicitProtoV.foreach(p => require(p == "manifest" || p == "rename",
+      s"commit_protocol must be 'manifest' or 'rename', got '$p'"))
+    // ---- all inputs validated: persist ----
     val dir = tablePath(ident)
     fs.mkdirs(dir)
     val out = fs.create(new Path(dir, "_schema.ddl"), true)
@@ -171,43 +216,12 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       try bout.write(s"${b.column}\n${b.numBuckets}".getBytes("UTF-8"))
       finally bout.close()
     }
-    // TBLPROPERTIES('sort_by'='c1,c2') -> ordered layout: INSERTs sort
-    // within partitions on these columns so zone maps stay selective
-    // (the reference's ordered table path, proto/pixels.proto layouts)
-    Option(properties.get("sort_by")).foreach { sb =>
-      val cols = sb.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-      cols.foreach(c => require(schema.fieldNames.contains(c),
-        s"sort_by column $c not in schema"))
+    sortCols.foreach { cols =>
       val sout = fs.create(new Path(dir, "_sortspec"), true)
       try sout.write(cols.mkString("\n").getBytes("UTF-8"))
       finally sout.close()
     }
-    // TBLPROPERTIES('range_by'='col:b1,b2,...') -> range-partitioned
-    // layout: INSERTs route rows to per-range files by the declared split
-    // points, scans prune by range id from file names alone (reference
-    // Range.java / RangeIndex.java catalog-level range assignment)
-    Option(properties.get("range_by")).foreach { rb =>
-      // validate EVERYTHING here — a bad spec persisted verbatim would
-      // brick every later scan/INSERT of an otherwise-created table
-      require(rb.contains(":"),
-        s"range_by must be 'col:b1,b2,...', got '$rb'")
-      val Array(c, bs) = rb.split(":", 2)
-      val col = c.trim
-      val i = schema.fieldNames.indexOf(col)
-      require(i >= 0, s"range_by column $col not in schema")
-      require(GpxTable.bucketableType(schema(i).dataType),
-        s"range_by column $col must be integer-family, got ${schema(i).dataType}")
-      require(bucket.isEmpty,
-        "range_by and PARTITIONED BY bucket(...) are mutually exclusive")
-      val bounds = bs.split(",").toSeq.map { b =>
-        try b.trim.toLong catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"range_by bound '$b' is not a long")
-        }
-      }
-      require(bounds.nonEmpty && bounds == bounds.sorted &&
-        bounds.distinct == bounds,
-        s"range_by bounds must be ascending distinct longs, got $bounds")
+    rangeSpec.foreach { case (col, bounds) =>
       val rout = fs.create(new Path(dir, "_rangespec"), true)
       try rout.write(s"$col\n${bounds.mkString(",")}".getBytes("UTF-8"))
       finally rout.close()
@@ -220,8 +234,7 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     // capability: a warehouse on a scheme without atomic rename (s3a, gs,
     // abfs, wasb, hostile...) gets the manifest log by DEFAULT — the same
     // safe-by-default rule as path-based writes (GpxCommitLog.routeWantLog).
-    val explicitProto = Option(properties.get("commit_protocol"))
-    if (GpxCommitLog.routeWantLog(dir.toString, conf, explicitProto))
+    if (GpxCommitLog.routeWantLog(dir.toString, conf, explicitProtoV))
       GpxCommitLog.enable(dir.toString, conf)
     new GpxTable(schema, Seq(dir.toString), catalogManaged = true)
   }
@@ -233,6 +246,12 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     val dir = tablePath(ident)
     val ddlFile = new Path(dir, "_schema.ddl")
     if (!fs.exists(ddlFile)) throw new NoSuchTableException(ident)
+    // serialized against DML and other ALTERs: spec rewrites + _renames +
+    // artifact drops + the ddl write are several files — a concurrent
+    // INSERT reading specs mid-alter would see a half-applied layout.
+    // (A crash mid-alter can still leave sidecars ahead of the ddl — the
+    // lock bounds live interleavings, not crash atomicity.)
+    GpxMutationLock.withLock(dir.toString, conf, s"ALTER TABLE $ident") {
     val in = fs.open(ddlFile)
     val ddl = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
@@ -245,12 +264,21 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
           "added columns must be nullable (existing files read them as null)")
         require(GpxFormat.supported(add.dataType()),
           s"unsupported gpx type ${add.dataType()}")
-        // a re-added name would resurface the DROPPED column's stale bytes
-        // from pre-drop files (they read by physical name) — refuse
-        require(!droppedNames(dir).contains(add.fieldNames().head),
-          s"column name ${add.fieldNames().head} was previously dropped; " +
+        // a re-added name would resurface stale bytes from files that
+        // still physically carry it — either a DROPPED column's bytes or
+        // a RENAMED-AWAY physical alias (physNameOf resolves by the
+        // file's own names, so pre-rename files would serve the old
+        // column's data under the re-added name) — refuse both
+        val addName = add.fieldNames().head
+        require(!droppedNames(dir).contains(addName),
+          s"column name $addName was previously dropped; " +
             "existing files still carry its old data — use a fresh name")
-        schema = schema.add(add.fieldNames().head, add.dataType(), nullable = true)
+        require(!GpxTable.readRenames(dir.toString, conf)
+            .values.flatten.toSet.contains(addName),
+          s"column name $addName is a renamed-away physical name; " +
+            "existing files still carry the renamed column's data under " +
+            "it — use a fresh name")
+        schema = schema.add(addName, add.dataType(), nullable = true)
       // DROP COLUMN: catalog-record-only (tolerant evolution) — existing
       // files keep the bytes, scans simply never request the name again.
       // Refused while a layout/index references the column: silently
@@ -265,10 +293,27 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
           s"column $name is referenced by a sort/bucket/range layout or " +
             "index; drop that first")
         schema = StructType(schema.filterNot(_.name == name))
-        val tombstones = (droppedNames(dir) + name).toSeq.sorted
+        // tombstone the CURRENT name and every physical alias it rode
+        // under (a rename-then-drop leaves files carrying the old
+        // physical name — re-adding that alias would resurrect them)
+        val aliasChain = GpxTable.readRenames(dir.toString, conf)
+        val tombstones = (droppedNames(dir) + name ++
+          aliasChain.getOrElse(name, Seq.empty)).toSeq.sorted
         val dout = fs.create(new Path(dir, "_dropped"), true)
         try dout.write(tombstones.mkString("\n").getBytes("UTF-8"))
         finally dout.close()
+        // the alias entry served the dropped name; retire it
+        if (aliasChain.contains(name))
+          GpxTable.writeRenames(dir.toString, aliasChain - name, conf)
+        // projections storing the dropped column can never be rebuilt
+        // (their selectExpr would reference a gone column — autoRefresh
+        // would then swallow the failure and leak a permanently-stale
+        // copy) — drop them now, mirroring the RENAME branch
+        GpxProjection.listProjections(dir.toString, conf).foreach { pn =>
+          if (GpxProjection.readManifest(dir.toString, pn, conf)
+              .exists(_.columns.contains(name)))
+            GpxProjection.drop(dir.toString, pn, conf)
+        }
       // RENAME COLUMN: the catalog record renames; existing FILES keep the
       // old physical name, so the table's `_renames` sidecar records the
       // alias chain and scans resolve requested names through it
@@ -362,9 +407,17 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       case other =>
         throw new UnsupportedOperationException(s"alterTable: $other")
     }
-    val out = fs.create(ddlFile, true)
+    // atomic ddl publish (temp + rename): a torn in-place overwrite would
+    // corrupt the authoritative catalog record
+    val ddlTmp = new Path(dir,
+      s"._schema.ddl.${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(ddlTmp, true)
     try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(ddlFile)) fs.delete(ddlFile, false)
+    if (!fs.rename(ddlTmp, ddlFile))
+      throw new java.io.IOException(s"ALTER TABLE: ddl publish failed: $ddlFile")
     new GpxTable(schema, Seq(dir.toString), catalogManaged = true)
+    } // mutation lock
   }
 
   /** names of previously dropped columns (ADD COLUMN tombstones) */

@@ -48,8 +48,18 @@ object GpxMaintenance {
           fs.listStatus(p).map(s => newestMtime(s.getPath)).toSeq).max
       } catch { case _: java.io.FileNotFoundException => now }
     // scan the root AND first-level subdirs (nested per-day layouts keep
-    // their scratch next to the files being written)
-    val candidates = fs.listStatus(root).flatMap { st =>
+    // their scratch next to the files being written), PLUS the two
+    // artifact stores that are themselves gpx save targets — a crashed
+    // projection/index build leaves its _batch_<opId> staging under
+    // _proj/<name>/ or _index/<cols>/, which the underscore skip below
+    // would otherwise shelter forever
+    val artifactDirs = Seq("_proj", "_index").map(new Path(root, _))
+      .filter(p => try fs.exists(p) catch { case _: Throwable => false })
+      .flatMap(p => try fs.listStatus(p).toSeq.filter(_.isDirectory)
+        catch { case _: Throwable => Seq.empty })
+    val candidates = (fs.listStatus(root) ++ artifactDirs.flatMap(st =>
+      try fs.listStatus(st.getPath).toSeq
+      catch { case _: Throwable => Seq.empty })).flatMap { st =>
       if (st.isDirectory && !st.getPath.getName.startsWith("_") &&
           !st.getPath.getName.startsWith("."))
         st +: fs.listStatus(st.getPath)
@@ -75,7 +85,16 @@ object GpxMaintenance {
           now - st.getModificationTime > ttlMs
       }.map { st => fs.delete(st.getPath, false); st.getPath.toString }
     }.toSeq
-    sweptDirs ++ sweptTmps
+    // crashed sidecar-token publishes leave root-level dot-temps
+    // (._colstats.<uuid>, ._version.<uuid>, ._vdata.<uuid>, ._txn.<uuid>):
+    // published names never carry a second dot-uuid suffix, so a dot-file
+    // with one past the TTL is always dead
+    val dotTempRe = """^\._[A-Za-z]+\.[0-9a-f]{8}.*$""".r
+    val sweptDots = fs.listStatus(root).filter { st =>
+      !st.isDirectory && dotTempRe.matches(st.getPath.getName) &&
+        now - st.getModificationTime > ttlMs
+    }.map { st => fs.delete(st.getPath, false); st.getPath.toString }.toSeq
+    sweptDirs ++ sweptTmps ++ sweptDots
   }
 
   /** STAT-command analog (reference pixels-cli STAT in the

@@ -58,7 +58,24 @@ object GpxMutationLock {
     val token = java.util.UUID.randomUUID().toString
     val ttl = ttlMs
     def tryCreate(): Boolean =
-      try {
+      if (fs.getScheme == "file") {
+        // RawLocalFileSystem.create(overwrite=false) is check-then-act:
+        // two same-JVM (or same-host) acquirers can both "win". Claim
+        // with an atomic POSIX O_EXCL create instead, then write the
+        // holder info (same discipline as GpxCommitLog.putIfAbsent).
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        try {
+          val parent = local.getParent
+          if (parent != null) java.nio.file.Files.createDirectories(parent)
+          java.nio.file.Files.createFile(local) // atomic exclusive claim
+          java.nio.file.Files.write(local,
+            s"$token\n$op\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: java.io.IOException => false
+        }
+      } else try {
         // overwrite=false: atomic create-if-absent on HDFS-semantics
         // stores — exactly one concurrent caller succeeds
         val out = fs.create(p, false)
@@ -77,7 +94,16 @@ object GpxMutationLock {
             finally in.close()
           (lines.drop(1).headOption.getOrElse("?"),
             System.currentTimeMillis() - st.getModificationTime)
-        } catch { case _: Throwable => ("?", 0L) } // racing release: treat as fresh
+        } catch {
+          case _: java.io.FileNotFoundException =>
+            // the holder RELEASED between our failed create and this
+            // read: the table is free — retry the create instead of
+            // refusing a phantom in-progress mutation
+            if (tryCreate())
+              return Held(p, token, fs, System.currentTimeMillis(), ttl)
+            ("?", 0L)
+          case _: Throwable => ("?", 0L) // racing release: treat as fresh
+        }
       val stale = ageMs > ttl
       // steal by RENAME, not delete-then-create: two stealers deleting
       // concurrently would each remove the OTHER's freshly created lock.

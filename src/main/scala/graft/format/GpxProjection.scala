@@ -145,9 +145,32 @@ object GpxProjection {
   }
 
   /** bring the projection up to date: no-op when current, O(new data)
-    * append for pure inserts, full rebuild otherwise */
+    * append for pure inserts, full rebuild otherwise.
+    *
+    * Serialized per projection (a mutation lock scoped to the projection
+    * dir, NOT the table — refreshes must never contend with table DML):
+    * two concurrent refreshes after two lock-free appends would BOTH read
+    * the pre-refresh manifest, both take the pure-append path, and each
+    * append the same new files — a projection that serves every new row
+    * twice while its manifest validates. The loser of this lock simply
+    * skips: the winner re-reads the manifest inside the lock and covers
+    * the same commits, and a skipped refresh only leaves the projection
+    * stale (coverage check then falls back to the base scan — never
+    * wrong). */
   def refresh(spark: SparkSession, table: String, name: String): Unit = {
     val conf = new Configuration()
+    // refresh-scoped lock path (NOT the projection dir itself: the full-
+    // rebuild branch runs an INSERT OVERWRITE into that dir, whose commit
+    // takes the dir's own mutation lock — same-scope locking would make
+    // every rebuild refuse against its own refresh)
+    val scope = new Path(projPath(table, name), "_refreshscope").toString
+    try GpxMutationLock.withLock(scope, conf,
+      s"projection refresh $name") { refreshLocked(spark, table, name, conf) }
+    catch { case _: java.util.ConcurrentModificationException => () }
+  }
+
+  private def refreshLocked(spark: SparkSession, table: String, name: String,
+      conf: Configuration): Unit = {
     val m = readManifest(table, name, conf).getOrElse(
       throw new IllegalArgumentException(s"no projection $name on $table"))
     // O(1) fast path: unchanged token = nothing to do, no listing walk

@@ -120,7 +120,15 @@ object GpxVersion {
       if (fs.exists(p)) { try fs.delete(p, false) catch { case _: Throwable => () } }
       done = try fs.rename(tmp, p) catch { case _: Throwable => false }
     }
-    if (!done) { try fs.delete(tmp, false) catch { case _: Throwable => () } }
+    if (!done) {
+      try fs.delete(tmp, false) catch { case _: Throwable => () }
+      // a failed bump must not leave the PREVIOUS token standing: a
+      // present stale token VALIDATES pre-mutation artifacts (the point
+      // index would then prune scans to deleted files), while an ABSENT
+      // token makes every consumer fall back to the exact listing
+      // comparison — delete it so failure degrades safe, not wrong
+      try fs.delete(p, false) catch { case _: Throwable => () }
+    }
   }
 
   /** invalidate every token-gated artifact of the table. On the FIRST bump

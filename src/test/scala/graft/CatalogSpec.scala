@@ -684,4 +684,71 @@ class ExtensionsSpec extends GraftSpec {
     assert(sp.sql("SELECT count(*) FROM gidx.db.t WHERE k = 77").head.getLong(0)
       == 1L, "dropped index must fall back to the scan, not lose rows")
   }
+
+  test("historical physical names can never be re-added (rename and rename-then-drop)") {
+    val sp = spark
+    val wh = java.nio.file.Files.createTempDirectory("gpx_wh_hist").toString
+    sp.conf.set("spark.sql.catalog.ghist", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.ghist.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS ghist.db")
+    sp.sql("CREATE TABLE ghist.db.t (id BIGINT, a BIGINT) USING gpx")
+    sp.sql("INSERT INTO ghist.db.t VALUES (1, 100), (2, 200)")
+    sp.sql("ALTER TABLE ghist.db.t RENAME COLUMN a TO b")
+    // pre-rename files physically carry 'a' (the old bytes of b):
+    // re-adding 'a' would serve b's stale data under the new name
+    val e1 = intercept[Exception](
+      sp.sql("ALTER TABLE ghist.db.t ADD COLUMN a BIGINT"))
+    assert(e1.getMessage.contains("renamed-away"), e1.getMessage)
+    // rename-then-drop: the tombstone must cover the ALIAS too
+    sp.sql("ALTER TABLE ghist.db.t DROP COLUMN b")
+    val e2 = intercept[Exception](
+      sp.sql("ALTER TABLE ghist.db.t ADD COLUMN a BIGINT"))
+    assert(e2.getMessage != null, "re-adding the dropped column's old " +
+      "physical alias must refuse")
+    // a genuinely fresh name is fine, and reads null over old files
+    sp.sql("ALTER TABLE ghist.db.t ADD COLUMN c BIGINT")
+    val rows = sp.sql("SELECT id, c FROM ghist.db.t ORDER BY id").collect()
+    assert(rows.length == 2 && rows.forall(_.isNullAt(1)))
+  }
+
+  test("DROP COLUMN drops projections that stored the column") {
+    val sp = spark
+    val wh = java.nio.file.Files.createTempDirectory("gpx_wh_dropproj").toString
+    sp.conf.set("spark.sql.catalog.gdpj", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gdpj.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gdpj.db")
+    sp.sql("CREATE TABLE gdpj.db.t (a BIGINT, b BIGINT, c BIGINT) USING gpx")
+    sp.sql("INSERT INTO gdpj.db.t VALUES (1, 10, 100), (2, 20, 200)")
+    sp.sql("ALTER TABLE gdpj.db.t SET TBLPROPERTIES('projection.p'='a,c')")
+    val dir = s"$wh/db/t"
+    val conf = new org.apache.hadoop.conf.Configuration()
+    assert(graft.format.GpxProjection
+      .listProjections(dir, conf).contains("p"))
+    sp.sql("ALTER TABLE gdpj.db.t DROP COLUMN c")
+    assert(!graft.format.GpxProjection.listProjections(dir, conf)
+      .contains("p"),
+      "a projection storing the dropped column can never rebuild — it " +
+        "must be dropped, not leak as a permanently-stale copy")
+    assert(sp.sql("SELECT sum(a) FROM gdpj.db.t").head.getLong(0) == 3L)
+  }
+
+  test("a failed CREATE TABLE leaves no half-created table behind") {
+    val sp = spark
+    val wh = java.nio.file.Files.createTempDirectory("gpx_wh_halfct").toString
+    sp.conf.set("spark.sql.catalog.ghalf", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.ghalf.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS ghalf.db")
+    // range_by + bucket are mutually exclusive: this CREATE must fail ...
+    intercept[Exception](sp.sql(
+      """CREATE TABLE ghalf.db.t (k BIGINT, v BIGINT) USING gpx
+        |PARTITIONED BY (bucket(4, k))
+        |TBLPROPERTIES('range_by'='k:10,20')""".stripMargin))
+    // ... WITHOUT persisting _schema.ddl first — the corrected retry
+    // must succeed, not die on TableAlreadyExists
+    sp.sql(
+      """CREATE TABLE ghalf.db.t (k BIGINT, v BIGINT) USING gpx
+        |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    sp.sql("INSERT INTO ghalf.db.t VALUES (1, 10)")
+    assert(sp.sql("SELECT count(*) FROM ghalf.db.t").head.getLong(0) == 1L)
+  }
 }

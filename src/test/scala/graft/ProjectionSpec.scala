@@ -168,4 +168,38 @@ class ProjectionSpec extends GraftSpec {
     sp.sql("ALTER TABLE gprj.db.t UNSET TBLPROPERTIES('projection.pa')")
     assert(GpxProjection.listProjections(tdir, conf).isEmpty)
   }
+
+  test("concurrent refreshes never double-append: projection rows stay exact") {
+    val sp2 = sp
+    import sp2.implicits._
+    val d = Files.createTempDirectory("gpx_proj_conc").toString
+    (0L until 500L).map(i => (i, i * 2L, s"r$i")).toDF("a", "b", "c")
+      .coalesce(1).write.format("gpx").mode("overwrite").save(d)
+    GpxProjection.build(sp, d, "p", Seq("a", "b"))
+    // one lock-free append, then N racing refreshes — without per-
+    // projection serialization, two refreshers both take the pure-append
+    // path and the projection serves every new row twice forever
+    (500L until 600L).map(i => (i, i * 2L, s"r$i")).toDF("a", "b", "c")
+      .coalesce(1).write.format("gpx").mode("append").save(d)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    try {
+      val fs = (0 until 4).map(_ => pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          GpxProjection.refresh(sp, d, "p")
+        }
+      }))
+      start.countDown()
+      fs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    // at least one refresh won the projection lock; stale losers skipped.
+    // Refresh once more (now uncontended) to guarantee currency, then
+    // the projection must hold exactly one copy of every row
+    GpxProjection.refresh(sp, d, "p")
+    val projDf = sp.read.format("gpx").load(s"$d/_proj/p")
+    assert(projDf.count() == 600L,
+      s"projection must hold exactly 600 rows, got ${projDf.count()}")
+    assert(projDf.select("a").distinct().count() == 600L)
+  }
 }
