@@ -45,8 +45,15 @@ object Offload {
     * re-reads footers for schema inference every call — caching the
     * DataFrame keeps the routed-execution path O(plan) driver metadata
     * work instead of O(tables) footer I/O per query. */
-  private val dfCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // LRU-bounded: each cached DataFrame strongly retains its SparkSession
+  // and analyzed plan, so an unbounded map in a long-lived driver that
+  // churns short-lived sessions (tests, per-tenant sessions) would keep
+  // every stopped session reachable forever — old entries age out instead
+  private val dfCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, DataFrame](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean = size() > 256
+    })
 
   private def tableDf(spark: SparkSession, path: String): DataFrame = {
     val key = System.identityHashCode(spark) + "|" + path
@@ -113,6 +120,12 @@ object Offload {
       val src = spark.read.parquet(s"$baseDir/$t.parquet")
       src.selectExpr(cols: _*)
         .write.mode("overwrite").parquet(s"${peer.dir}/$t.parquet")
+      // the overwrite replaced the copy's part files: a DataFrame cached
+      // for this path is pinned to the DELETED listing and would 404 at
+      // collect (or silently serve the old column subset) — evict it
+      dfCache.synchronized {
+        dfCache.keySet.removeIf(_.endsWith(s"|${peer.dir}/$t.parquet")); ()
+      }
       // read-back integrity check: the partial copy must carry every row
       // (the reference worker trusts its gRPC stream; a filesystem copy
       // needs the explicit verify). Counts are parquet-metadata-cheap.
@@ -259,10 +272,15 @@ object Offload {
       else Set(candidates.minBy(k => (sizes(k), k._2)))
     }
     val all = required ++ presence
-    // missing columns (table not on disk) price high enough that any
-    // feasible set wins, low enough that summing many cannot overflow
+    // a missing column (table not on disk) makes the set INFEASIBLE at
+    // any budget: price it at Long.MaxValue/1024 — far above any real
+    // byte budget (the old /2^20 sentinel was ~8.8 TB, which a 10 TB+
+    // budget would happily "afford", planning an undownloadable query as
+    // covered) — while still summing a few thousand terms without
+    // overflow (capped below)
     val bytes = all.toSeq.map(k =>
-      sizes.getOrElse(k, Long.MaxValue / (1 << 20))).sum
+      sizes.getOrElse(k, Long.MaxValue / 1024))
+      .foldLeft(0L)((a, b) => if (a > Long.MaxValue - b) Long.MaxValue else a + b)
     (all, bytes)
   }
 

@@ -96,7 +96,15 @@ object QueryService {
         try {
           drainOnce()
           Thread.sleep(10)
-        } catch { case _: InterruptedException => () }
+        } catch {
+          case _: InterruptedException => ()
+          // anything else (a submit racing close, an unexpected state)
+          // must not kill the scheduler thread: that would strand every
+          // queued query Pending forever while submissions still succeed
+          case scala.util.control.NonFatal(t) =>
+            org.slf4j.LoggerFactory.getLogger(getClass)
+              .warn(s"query scheduler: drain failed, continuing", t)
+        }
       }
     }, "graft-query-scheduler")
     scheduler.setDaemon(true)
@@ -245,15 +253,20 @@ object QueryService {
             val finished = System.currentTimeMillis()
             // a cancel that landed while no job was active (analysis,
             // between AQE jobs) found nothing to kill: honor it here —
-            // the caller was told the query was cancelled
-            if (e.cancelRequested) { e.status = Cancelled }
-            else {
-              e.result = QueryResult(e.token, rows, df.columns,
-                pendingMs = started - e.receivedMs, execMs = finished - started)
-              e.status = Finished
+            // the caller was told the query was cancelled. The re-check
+            // and the publication are ONE critical section: without the
+            // monitor, cancel() could return true between this check and
+            // the status write and the query would still finish poppable.
+            e.synchronized {
+              if (e.cancelRequested) { e.status = Cancelled }
+              else {
+                e.result = QueryResult(e.token, rows, df.columns,
+                  pendingMs = started - e.receivedMs, execMs = finished - started)
+                e.status = Finished
+              }
             }
           } catch {
-            case t: Throwable =>
+            case t: Throwable => e.synchronized {
               val cancelled = e.cancelRequested || e.status == Cancelled ||
                 causeChain(t).exists { c =>
                   c.isInstanceOf[InterruptedException] ||
@@ -261,6 +274,7 @@ object QueryService {
                 }
               e.status = if (cancelled) Cancelled
                 else Failed(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("")}")
+            }
           } finally {
             spark.sparkContext.clearJobGroup()
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
@@ -284,6 +298,22 @@ object QueryService {
       running = false
       scheduler.interrupt()
       exec.shutdownNow()
+      // fail every still-pending entry NOW: their done latches would
+      // otherwise never count down — clients blocked in await() would
+      // ride out their full timeout and the entries (plus SQL strings)
+      // would be retained for the JVM's lifetime
+      queries.forEach { (_, e) =>
+        e.synchronized {
+          if (e.status == Pending) {
+            e.status = Cancelled
+            e.finishedMs = System.currentTimeMillis()
+            e.done.countDown()
+          }
+        }
+      }
+      pendingRelaxed.clear()
+      pendingBestEffort.clear()
+      pendingCount.set(0)
       ()
     }
   }

@@ -130,14 +130,32 @@ class GpxCdcStream(root: String, schema: StructType,
   override def deserializeOffset(json: String): Offset =
     GpxCdcOffset(json.toLong)
 
+  /** member dir names of a committed version's manifest (empty when the
+    * manifest is gone, e.g. aged out) */
+  private def manifestMembers(v: Long): Set[String] = {
+    if (v < 0) return Set.empty
+    val mf = Paths.get(root).resolve(f"m_$v%06d.txt")
+    if (!Files.exists(mf)) Set.empty
+    else new String(Files.readAllBytes(mf)).split("\n")
+      .iterator.map(_.trim).filter(_.nonEmpty).toSet
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[GpxCdcOffset].v
     val to = end.asInstanceOf[GpxCdcOffset].v
     val conf = new Configuration()
     ((from + 1) to to).flatMap { v =>
-      val delta = Paths.get(root).resolve(f"d_$v%06d")
-      if (!Files.exists(delta)) Seq.empty // compaction version: no new rows
-      else GpxTable.listFiles(Seq(delta.toString), conf).flatMap { file =>
+      // version v's NEW deltas = manifest(v) minus manifest(v-1): delta
+      // names carry attempt-unique suffixes and a lost version claim
+      // leaves an orphaned same-version dir on disk, so resolving by NAME
+      // would either miss the committed dir or emit the orphan's rows
+      // (duplicates — the loser re-commits them under the next version).
+      // A compaction version adds only a b_ member: no new rows.
+      val added = (manifestMembers(v) -- manifestMembers(v - 1))
+        .filter(_.startsWith("d_")).toSeq.sorted
+      added.flatMap(name =>
+        GpxTable.listFiles(
+          Seq(Paths.get(root).resolve(name).toString), conf)).flatMap { file =>
         val footer = GpxFileReader.FooterCache.get(file, conf)
         val phys = footer.schema
         val physIdx: Array[Int] = schema.fields.map { fd =>

@@ -32,7 +32,12 @@ object Sessionize {
     events.toSeq.sortBy(_.tsSec).foreach { e =>
       open match {
         case Some(s) if e.tsSec - s.lastSec <= gapSeconds =>
-          open = Some(OpenSession(s.startSec, e.tsSec, s.nEvents + 1,
+          // bounds via min/max: a LATE cross-batch event (tsSec below the
+          // open session's lastSec) joins the session without dragging
+          // lastSec backwards — which would spuriously split the session
+          // on the next on-time event and emit endSec < startSec
+          open = Some(OpenSession(math.min(s.startSec, e.tsSec),
+            math.max(s.lastSec, e.tsSec), s.nEvents + 1,
             s.sumValue + e.value))
         case Some(s) =>
           out += SessionOut(userId, s.startSec, s.lastSec, s.nEvents, s.sumValue)

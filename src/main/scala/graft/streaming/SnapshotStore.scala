@@ -5,7 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
-import scala.util.Try
 
 /** Log-structured versioned snapshot store with atomic metadata swap — the
   * Spark-native equivalent of the reference's Retina write path + MVCC
@@ -38,13 +37,30 @@ class SnapshotStore(
   private def root = Paths.get(path)
   private def currentFile = root.resolve("_CURRENT")
 
+  /** Current committed version, -1 for an empty store. An UNREADABLE
+    * pointer propagates instead of reading as -1: the pointer is only
+    * ever ATOMIC_MOVE-swapped (never partial), so a read failure is a
+    * transient store error — and conflating it with "empty table" would
+    * make the next upsert restart at version 0, clobbering d_000000 and
+    * silently truncating the table's history. */
   def currentVersion: Long = {
     if (!Files.exists(currentFile)) -1L
-    else Try(new String(Files.readAllBytes(currentFile)).trim.toLong).getOrElse(-1L)
+    else {
+      val txt = new String(Files.readAllBytes(currentFile)).trim
+      try txt.toLong catch {
+        case e: NumberFormatException => throw new java.io.IOException(
+          s"snapshot store $path: corrupt _CURRENT pointer '$txt'", e)
+      }
+    }
   }
 
-  private def deltaDir(v: Long) = root.resolve(f"d_$v%06d")
-  private def baseDir(v: Long) = root.resolve(f"b_$v%06d")
+  // delta/base dir names carry an attempt-unique suffix: two racing
+  // committers claiming the same version must never overwrite each
+  // other's directory bytes before the manifest claim arbitrates
+  private def newDeltaDir(v: Long) =
+    root.resolve(f"d_$v%06d-${java.util.UUID.randomUUID().toString.take(8)}")
+  private def newBaseDir(v: Long) =
+    root.resolve(f"b_$v%06d-${java.util.UUID.randomUUID().toString.take(8)}")
   private def manifestFile(v: Long) = root.resolve(f"m_$v%06d.txt")
 
   /** Directory names making up version v (immutable once written). */
@@ -96,19 +112,28 @@ class SnapshotStore(
     val withDel =
       if (batch.columns.contains("_deleted")) batch
       else batch.withColumn("_deleted", lit(false))
-    val cur = currentVersion
-    val next = cur + 1
-    withDel.dropDuplicates(keyCols :+ versionCol)
-      .write.mode(SaveMode.Overwrite).format(format)
-      // gpx deltas also carry the table version as the format-level MVCC
-      // commit ts (option is ignored by parquet)
-      .option("commitTs", next.toString)
-      .save(deltaDir(next).toString)
-    val members =
-      (if (cur < 0) Seq.empty else manifest(cur)) :+ deltaDir(next).getFileName.toString
-    writeManifest(next, members)
-    commit(next)
-    next
+    val deduped = withDel.dropDuplicates(keyCols :+ versionCol)
+    var attempts = 50
+    while (true) {
+      attempts -= 1
+      val cur = currentVersion
+      val next = cur + 1
+      val delta = newDeltaDir(next)
+      deduped.write.mode(SaveMode.Overwrite).format(format)
+        // gpx deltas also carry the table version as the format-level MVCC
+        // commit ts (option is ignored by parquet)
+        .option("commitTs", next.toString)
+        .save(delta.toString)
+      val members =
+        (if (cur < 0) Seq.empty else manifest(cur)) :+ delta.getFileName.toString
+      if (claimManifest(next, members)) { commit(next); return next }
+      // lost the version slot (a concurrent upsert/compact claimed it):
+      // rebase on the new head and retry; the orphaned delta dir is
+      // unreferenced garbage, never wrong data
+      if (attempts <= 0) throw new java.io.IOException(
+        s"snapshot store $path: could not claim a version after 50 attempts")
+    }
+    -1L // unreachable
   }
 
   /** Fold every member of the current version into one base directory and
@@ -116,37 +141,70 @@ class SnapshotStore(
     * [[readAsOf]] time travel still works within the compacted base); older
     * table versions keep referencing their original directories. Bounded
     * read fan-in without blocking writers: the fold reads an immutable
-    * version while new deltas keep committing on top. */
+    * version while new deltas keep committing on top — if one lands while
+    * the fold runs, the manifest claim is lost and the fold RETRIES over
+    * the new head (writers never wait; the compactor pays the re-fold). */
   def compact(): Long = {
-    val cur = currentVersion
-    require(cur >= 0, "nothing to compact")
-    val next = cur + 1
-    readVersion(cur).write.mode(SaveMode.Overwrite).format(format)
-      .option("commitTs", next.toString)
-      .save(baseDir(next).toString)
-    writeManifest(next, Seq(baseDir(next).getFileName.toString))
-    commit(next)
-    next
+    var attempts = 10
+    while (true) {
+      attempts -= 1
+      val cur = currentVersion
+      require(cur >= 0, "nothing to compact")
+      val next = cur + 1
+      val base = newBaseDir(next)
+      readVersion(cur).write.mode(SaveMode.Overwrite).format(format)
+        .option("commitTs", next.toString)
+        .save(base.toString)
+      if (claimManifest(next, Seq(base.getFileName.toString))) {
+        commit(next); return next
+      }
+      if (attempts <= 0) throw new java.io.IOException(
+        s"snapshot store $path: compaction lost every version claim to " +
+          "concurrent writers after 10 folds")
+    }
+    -1L // unreachable
   }
 
   /** Total bytes under one member directory (test/ops instrumentation). */
   def dirBytes(member: String): Long = {
     val p = root.resolve(member)
     if (!Files.exists(p)) 0L
-    else Files.walk(p).iterator().asScala
-      .filter(Files.isRegularFile(_)).map(Files.size).sum
+    else {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala
+        .filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally walk.close() // the stream holds open directory handles
+    }
   }
 
-  private def writeManifest(v: Long, members: Seq[String]): Unit = {
+  /** Claim version v with an atomic O_EXCL create of a claim marker:
+    * exactly one committer per version slot — a racing upsert and compact
+    * can no longer both write m_v, which silently dropped the loser's
+    * rows from the head. (ATOMIC_MOVE is NOT exclusive: POSIX rename
+    * replaces an existing target.) The manifest itself is then published
+    * via ATOMIC_MOVE, so readers — who only resolve manifests at or below
+    * the committed pointer — never observe a partial one. */
+  private def claimManifest(v: Long, members: Seq[String]): Boolean = {
     Files.createDirectories(root)
-    val tmp = root.resolve(s"_m.tmp.$v")
+    val claim = root.resolve(f"m_$v%06d.claim")
+    try Files.createFile(claim)
+    catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+    val tmp = root.resolve(
+      s"_m.tmp.$v.${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, members.mkString("\n").getBytes)
     Files.move(tmp, manifestFile(v), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    true
   }
 
-  /** Atomic pointer swap: write tmp, then ATOMIC_MOVE over _CURRENT. */
-  private def commit(v: Long): Unit = {
+  // pointer swaps serialized in-JVM and monotone: a slow committer of v
+  // must not move _CURRENT backwards over a later committed version
+  // (single-driver usage: one streaming query + ops threads share this JVM)
+  private val pointerLock = new Object
+
+  /** Atomic pointer advance: write tmp, then ATOMIC_MOVE over _CURRENT. */
+  private def commit(v: Long): Unit = pointerLock.synchronized {
+    if (currentVersion >= v) return // a later commit already advanced
     Files.createDirectories(root)
     val tmp = root.resolve(s"_CURRENT.tmp.$v")
     Files.write(tmp, v.toString.getBytes)

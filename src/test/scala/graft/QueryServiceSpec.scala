@@ -209,4 +209,24 @@ class QueryServiceSpec extends GraftSpec {
       assert(m.popResult(t2).isDefined)
     } finally m.close()
   }
+
+  test("close() fails every still-pending entry: awaiters unblock, nothing leaks") {
+    import graft.QueryService._
+    val m = new Manager(spark, slots = 1)
+    // saturate the one slot so the relaxed submissions stay queued
+    val blocker = m.submit(
+      "SELECT count(*) FROM (SELECT java_method('java.lang.Thread','sleep',2000L))",
+      Immediate)
+    Thread.sleep(100)
+    val queued = (1 to 5).map(_ => m.submit("SELECT 1", Relaxed))
+    m.close()
+    // a client blocked in await must return promptly with a terminal
+    // status, not ride out its full timeout stuck at Pending
+    queued.foreach { t =>
+      val st = m.await(t, timeoutMs = 2000)
+      assert(st.contains(Cancelled),
+        s"pending entry after close must be Cancelled, got $st")
+    }
+    assert(blocker != null)
+  }
 }
