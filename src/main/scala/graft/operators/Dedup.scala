@@ -81,12 +81,22 @@ object Dedup {
     val repsInt = expInt.groupBy(idCol)
       .agg(sort_array(collect_list(col("tid"))).as("tids"))
       .tracked
-    // the 128 minhash functions evaluate per-row over the sorted tid
-    // ARRAY in ONE native pass (MinHashSigs) — bit-identical values to
-    // the array_min(transform(tids, x -> xxhash64(lit(i), x))) formula
-    // (same int-literal seed folding), but without 128 transform-array
-    // allocations per representative and with zero additional shuffle
-    val mh = repsInt.select(col(idCol), size(col("tids")).as("nt"),
+    val banded = bandRows(repsInt, idCol).tracked
+    (expInt, repsInt, banded, vocabSize)
+  }
+
+  /** (id, tids) -> flat banded rows (id, nt, bk): the 128 minhash
+    * functions evaluate per-row over the sorted tid ARRAY in ONE native
+    * pass (MinHashSigs) — bit-identical to the
+    * array_min(transform(tids, x -> xxhash64(lit(i), x))) formula (same
+    * int-literal seed folding), but without 128 transform-array
+    * allocations per representative and with zero additional shuffle.
+    * This is the ONE place the band layout (NumHashes x BandR, struct
+    * fields band,h0..h3) is defined: the in-run signatures
+    * (tokenSignatures) and the persisted-index signatures (pureBands)
+    * derive band keys here and so can never drift apart. */
+  private def bandRows(tids: DataFrame, idCol: String): DataFrame = {
+    val mh = tids.select(col(idCol), size(col("tids")).as("nt"),
       graft.functions.VectorFunctions
         .minhash_sigs(col("tids"), NumHashes).as("mhs"))
     val bandCols = (0 until NumHashes / BandR).map { b =>
@@ -94,10 +104,7 @@ object Dedup {
         (0 until BandR).map(r =>
           col("mhs").getItem(BandR * b + r).as(s"h$r")): _*)
     }
-    val banded = mh
-      .select(col(idCol), col("nt"), explode(array(bandCols: _*)).as("bk"))
-      .tracked
-    (expInt, repsInt, banded, vocabSize)
+    mh.select(col(idCol), col("nt"), explode(array(bandCols: _*)).as("bk"))
   }
 
   /** Band keys as a PURE function of the token set — tids are xxhash64 of
@@ -114,15 +121,7 @@ object Dedup {
       .select(col(idCol), xxhash64(col("tok")).as("tid"))
       .groupBy(idCol)
       .agg(sort_array(collect_list(col("tid"))).as("tids"))
-    val mh = tids.select(col(idCol), size(col("tids")).as("nt"),
-      graft.functions.VectorFunctions
-        .minhash_sigs(col("tids"), NumHashes).as("mhs"))
-    val bandCols = (0 until NumHashes / BandR).map { b =>
-      struct(lit(b).as("band") +:
-        (0 until BandR).map(r =>
-          col("mhs").getItem(BandR * b + r).as(s"h$r")): _*)
-    }
-    mh.select(col(idCol), col("nt"), explode(array(bandCols: _*)).as("bk"))
+    bandRows(tids, idCol)
       .select(Seq(col(idCol), col("nt"), col("bk.band").as("band")) ++
         (0 until BandR).map(r => col(s"bk.h$r").as(s"h$r")): _*)
   }
@@ -548,7 +547,7 @@ object Dedup {
         // not lower. Past it (real word-level corpora at any scale),
         // the array path is the honest representation.
         if (nWords <= 64) {
-          // dense bit positions for the <=2048 sparse gids via a collected,
+          // dense bit positions for the <=4096 sparse gids via a collected,
           // sorted table — bounded by the nWords gate, so the collect and
           // broadcast are provably tiny at any corpus size (freq already
           // holds exactly one row per gid)
@@ -746,12 +745,21 @@ object Dedup {
             col("y.nt") >= col("x.nt") * t - 0.5)
         .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
         .distinct()
-      val gidReps = repsInt.select(xxhash64(col("fp")).as("gid"),
-        col("fp"), col("tids"))
+      // side-restricted rep resolution: ga resolves against BATCH reps
+      // and gb against CORPUS reps only. Without the gb restriction, a
+      // 64-bit gid collision between a corpus fp and a batch-only fp
+      // would score a batch-batch jaccard as a corpus best_jaccard —
+      // a collision class exact verification cannot settle, because it
+      // checks the similarity value, not side membership.
+      val gidReps = repsInt.join(sides, "fp")
+        .select(xxhash64(col("fp")).as("gid"), col("fp"), col("tids"),
+          col("is_batch"), col("is_corpus"))
       val verified = candidates
-        .join(gidReps.select(col("gid").as("ga"), col("fp").as("fa"),
-          col("tids").as("ta")), "ga")
-        .join(gidReps.select(col("gid").as("gb"), col("tids").as("tb")), "gb")
+        .join(gidReps.filter(col("is_batch"))
+          .select(col("gid").as("ga"), col("fp").as("fa"),
+            col("tids").as("ta")), "ga")
+        .join(gidReps.filter(col("is_corpus"))
+          .select(col("gid").as("gb"), col("tids").as("tb")), "gb")
         .withColumn("j", graft.functions.VectorFunctions
           .sorted_jaccard(col("ta"), col("tb")))
         .filter(col("j") >= t)
@@ -868,15 +876,18 @@ object Dedup {
     // corpus needs before release: flag corpus documents sharing any
     // 5-token shingle with a benchmark/eval set (doc_id % 29 = 0 here
     // stands in for the external eval table), with the matched-shingle
-    // count as the contamination strength. 100 TB shape: eval suites are
-    // MBs while the corpus is the 100 TB side, so the benchmark's
-    // distinct-gram set BROADCASTS and the corpus never shuffles — grams
-    // generate map-side (explode inside the scan stage), the broadcast
-    // hash join filters them in place, and only matched (doc, gram)
-    // pairs — a vanishing fraction of the corpus — reach the final
-    // groupBy. Exact containment (not similarity): a single shared
-    // shingle flags the doc, which is the standard n-gram
-    // decontamination contract.
+    // count as the contamination strength. 100 TB shape: a REAL eval
+    // suite is a fixed few MBs, so its distinct-gram set auto-broadcasts
+    // and the corpus never shuffles — grams generate map-side (explode
+    // inside the scan stage), the broadcast hash join filters them in
+    // place, and only matched (doc, gram) pairs — a vanishing fraction
+    // of the corpus — reach the final groupBy. The broadcast is left to
+    // the optimizer (NOT a forced hint): this stand-in bench side grows
+    // with the corpus, and forcing it past autoBroadcastJoinThreshold
+    // would OOM the driver at stretch scale; a fixed-size production
+    // suite broadcasts automatically. Exact containment (not
+    // similarity): a single shared shingle flags the doc, which is the
+    // standard n-gram decontamination contract.
     GQuery("d09_decontaminate", (s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -889,7 +900,7 @@ object Dedup {
       val bench = grams.filter(col("doc_id") % 29 === 0)
         .select(col("g")).distinct()
       grams.filter(col("doc_id") % 29 =!= 0)
-        .join(broadcast(bench), "g")
+        .join(bench, "g")
         .groupBy("doc_id")
         .agg(count_distinct(col("g")).as("n_hit_grams"))
         .orderBy("doc_id")

@@ -95,51 +95,61 @@ object VectorOps {
   // driver — the same coordination shape as MLlib's KMeans.
   // Approximate by construction -> rows-only gate; recall vs v02 is
   // asserted in VectorOpsSpec.
+  /** K-means(cosine) trainer shared by v03 (in-memory serve) and v06
+    * (persisted index) — ONE implementation so empty-cluster handling,
+    * tie-breaks and iteration semantics can never drift between the two
+    * IVF paths. Returns (final centroids, centDf, assign) where:
+    *  - centDf(c): the broadcastable centroid frame (cid, cv, cnorm);
+    *  - assign(c): nearest-centroid assignment — an n x K broadcast pass,
+    *    argmax by (cosine, lowest cid) via max_by: a PARTIAL-aggregatable
+    *    groupBy (map-side combine), not a full window sort per iteration.
+    * Deterministic init: the K lowest ids (bounded collect); empty
+    * clusters keep their previous centroid. */
+  private def trainIvf(s: SparkSession, data: DataFrame, K: Int, Iters: Int)
+      : (Array[Seq[Double]],
+         Array[Seq[Double]] => DataFrame,
+         Array[Seq[Double]] => DataFrame) = {
+    def centDf(cent: Array[Seq[Double]]): DataFrame =
+      broadcast(s.createDataFrame(
+        s.sparkContext.parallelize(
+          cent.zipWithIndex.toSeq.map { case (v, i) =>
+            org.apache.spark.sql.Row(i, v)
+          }, 1),
+        StructType(Seq(StructField("cid", IntegerType),
+          StructField("cv", ArrayType(DoubleType)))))
+        .withColumn("cnorm", sqrt(expr(
+          "aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x)"))))
+    def assign(cent: Array[Seq[Double]]): DataFrame =
+      data.crossJoin(centDf(cent))
+        .withColumn("ccos", cosine("nv", "nnorm", "cv", "cnorm"))
+        .groupBy("n_id")
+        .agg(max_by(struct(col("nv"), col("nnorm"), col("cid")),
+          struct(col("ccos"), (-col("cid")).as("nc"))).as("m"))
+        .select(col("n_id"), col("m.nv").as("nv"),
+          col("m.nnorm").as("nnorm"), col("m.cid").as("cid"))
+    var centroids: Array[Seq[Double]] = data.orderBy("n_id").limit(K)
+      .select("nv").collect().map(_.getSeq[Double](0))
+    for (_ <- 0 until Iters) {
+      val means = assign(centroids)
+        .select(col("cid"), posexplode(col("nv")).as(Seq("i", "x")))
+        .groupBy("cid", "i").agg(avg(col("x")).as("cx"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("ps"))
+        .select(col("cid"), expr("transform(ps, p -> p.cx)").as("cv"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      centroids = centroids.indices
+        .map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    (centroids, centDf, assign)
+  }
+
   def knnIvf(s: SparkSession, d: String): DataFrame = {
       val K = 8; val NProbe = 4; val Iters = 4
       val e = vecs(s, d)
       val data = e.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("n_id"), col("v").as("nv"), col("norm").as("nnorm"))
         .persist()
-
-      def centDf(cent: Array[Seq[Double]]): DataFrame =
-        broadcast(s.createDataFrame(
-          s.sparkContext.parallelize(
-            cent.zipWithIndex.toSeq.map { case (v, i) =>
-              org.apache.spark.sql.Row(i, v)
-            }, 1),
-          StructType(Seq(StructField("cid", IntegerType),
-            StructField("cv", ArrayType(DoubleType)))))
-          .withColumn("cnorm", sqrt(expr(
-            "aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x)"))))
-
-      /** nearest-centroid assignment: n x K broadcast pass, argmax by
-        * (cosine, lowest cid) via max_by — a PARTIAL-aggregatable groupBy
-        * (map-side combine), not a full window sort per iteration */
-      def assign(cent: Array[Seq[Double]]): DataFrame =
-        data.crossJoin(centDf(cent))
-          .withColumn("ccos", cosine("nv", "nnorm", "cv", "cnorm"))
-          .groupBy("n_id")
-          .agg(max_by(struct(col("nv"), col("nnorm"), col("cid")),
-            struct(col("ccos"), (-col("cid")).as("nc"))).as("m"))
-          .select(col("n_id"), col("m.nv").as("nv"),
-            col("m.nnorm").as("nnorm"), col("m.cid").as("cid"))
-
-      // deterministic init: the K lowest ids (bounded collect)
-      var centroids: Array[Seq[Double]] = data.orderBy("n_id").limit(K)
-        .select("nv").collect().map(_.getSeq[Double](0))
-      for (_ <- 0 until Iters) {
-        val means = assign(centroids)
-          .select(col("cid"), posexplode(col("nv")).as(Seq("i", "x")))
-          .groupBy("cid", "i").agg(avg(col("x")).as("cx"))
-          .groupBy("cid")
-          .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("ps"))
-          .select(col("cid"), expr("transform(ps, p -> p.cx)").as("cv"))
-          .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-        // empty clusters keep their previous centroid
-        centroids = centroids.indices
-          .map(i => means.getOrElse(i, centroids(i))).toArray
-      }
+      val (centroids, centDf, assign) = trainIvf(s, data, K, Iters)
       val clustered = assign(centroids).persist()
 
       val q = e.filter(col("vec_id") < 10)
@@ -254,37 +264,7 @@ object VectorOps {
         val data = e.filter(col("vec_id") >= 10)
           .select(col("vec_id").as("n_id"), col("v").as("nv"), col("norm").as("nnorm"))
           .persist()
-        def centDf(cent: Array[Seq[Double]]): DataFrame =
-          broadcast(s.createDataFrame(
-            s.sparkContext.parallelize(
-              cent.zipWithIndex.toSeq.map { case (v, i) =>
-                org.apache.spark.sql.Row(i, v)
-              }, 1),
-            StructType(Seq(StructField("cid", IntegerType),
-              StructField("cv", ArrayType(DoubleType)))))
-            .withColumn("cnorm", sqrt(expr(
-              "aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x)"))))
-        def assign(cent: Array[Seq[Double]]): DataFrame =
-          data.crossJoin(centDf(cent))
-            .withColumn("ccos", cosine("nv", "nnorm", "cv", "cnorm"))
-            .groupBy("n_id")
-            .agg(max_by(struct(col("nv"), col("nnorm"), col("cid")),
-              struct(col("ccos"), (-col("cid")).as("nc"))).as("m"))
-            .select(col("n_id"), col("m.nv").as("nv"),
-              col("m.nnorm").as("nnorm"), col("m.cid").as("cid"))
-        var centroids: Array[Seq[Double]] = data.orderBy("n_id").limit(K)
-          .select("nv").collect().map(_.getSeq[Double](0))
-        for (_ <- 0 until Iters) {
-          val means = assign(centroids)
-            .select(col("cid"), posexplode(col("nv")).as(Seq("i", "x")))
-            .groupBy("cid", "i").agg(avg(col("x")).as("cx"))
-            .groupBy("cid")
-            .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("ps"))
-            .select(col("cid"), expr("transform(ps, p -> p.cx)").as("cv"))
-            .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-          centroids = centroids.indices
-            .map(i => means.getOrElse(i, centroids(i))).toArray
-        }
+        val (centroids, centDf, assign) = trainIvf(s, data, K, Iters)
         centDf(centroids).select("cid", "cv")
           .coalesce(1).write.format("gpx").mode("overwrite").save(s"$dir/centroids")
         assign(centroids)
@@ -484,9 +464,13 @@ object VectorOps {
     // registered query needs a driver-checkable oracle; an approximate
     // path's correct check IS its recall vs the exact answer, computed
     // in the same query). The serving shape is the knnIvf core.
+    // Zero-norm query vectors are unrankable under cosine (cos_sim
+    // yields NULL, the exact side would emit no rows for them) and are
+    // excluded on BOTH sides, like v07.
     GQuery("v03_knn_ivf",
-      (s, d) => knnRecallGate(s, d, knnIvf(s, d), 5, 60),
-      Some(knnGateOracle())),
+      (s, d) => knnRecallGate(s, d, knnIvf(s, d), 5, 60, posNormOnly = true),
+      Some(knnGateOracle(
+        "\n  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"))),
 
     // v05 registered as its recall audit vs the in-query brute-force
     // truth side (guard-railed: at production scale the audit is a
@@ -513,13 +497,17 @@ object VectorOps {
               |FROM e a JOIN e b ON a.vec_id < b.vec_id
               |WHERE ${oCos("a", "b")} >= 0.4""".stripMargin)),
 
-    // v06 registered as its recall audit (serving shape: knnIvfIndexed)
+    // v06 registered as its recall audit (serving shape: knnIvfIndexed);
+    // zero-norm queries excluded on both sides, like v03/v07
     GQuery("v06_knn_ivf_indexed",
-      (s, d) => knnRecallGate(s, d, knnIvfIndexed(s, d), 5, 60),
-      Some(knnGateOracle())),
+      (s, d) => knnRecallGate(s, d, knnIvfIndexed(s, d), 5, 60,
+        posNormOnly = true),
+      Some(knnGateOracle(
+        "\n  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"))),
 
-    // Vector stats per label cluster — exact decimal aggregation of the
-    // first component plus norms (sanity surface for the VECTOR type).
+    // Vector stats per label cluster — row counts and dimension bounds
+    // (sanity surface for the VECTOR type; component VALUES are covered
+    // by v01/v02/v08's cosine/dot oracles).
     GQuery("v04_vector_stats", (s, d) =>
       vecs(s, d)
         .groupBy("label")
