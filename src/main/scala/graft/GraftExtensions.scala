@@ -2,8 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{CosineSimilarity, SortedJaccard}
 
 /** SparkSessionExtensions hook registering graft's native Catalyst
   * expressions as SQL functions:
@@ -17,28 +15,16 @@ import org.apache.spark.sql.graft.{CosineSimilarity, SortedJaccard}
   * SQL-only user of the engine gets the identical plan (the reference's
   * equivalent is registering UDFs with the attached engine's catalog;
   * here the functions run inside WholeStageCodegen instead).
-  */
+  *
+  * Thin delegate over [[org.apache.spark.sql.graft.GraftFunctions.all]]
+  * — the ONE builder list both this hook and the richer
+  * org.apache.spark.sql.graft.GraftExtensions (functions + SQL command
+  * extensions) register from, so the two entry points can never drift
+  * apart in function coverage. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-
-  private def info(clazz: Class[_], name: String, usage: String) =
-    new ExpressionInfo(clazz.getName, null, name, usage, "", "", "", "", "", "", "built-in")
-
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("cos_sim"),
-      info(classOf[CosineSimilarity], "cos_sim",
-        "cos_sim(a, b) - cosine similarity of two array<double> vectors"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "cos_sim takes exactly 2 arguments")
-        CosineSimilarity(args.head, args(1))
-      }))
-    e.injectFunction((
-      FunctionIdentifier("sorted_jaccard"),
-      info(classOf[SortedJaccard], "sorted_jaccard",
-        "sorted_jaccard(a, b) - exact Jaccard of two sorted distinct array<bigint> sets"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "sorted_jaccard takes exactly 2 arguments")
-        SortedJaccard(args.head, args(1))
-      }))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    org.apache.spark.sql.graft.GraftFunctions.all.foreach {
+      case (name, inf, builder) =>
+        e.injectFunction((FunctionIdentifier(name), inf, builder))
+    }
 }

@@ -12,10 +12,13 @@ import org.apache.spark.sql.types.IntegerType
   */
 object TimeFunctions {
 
-  /** millis-since-midnight from a timestamp column */
+  /** millis-since-midnight from a timestamp column. The sub-second part
+    * comes from unix_micros arithmetic (timezone-invariant: offsets are
+    * whole minutes), not a per-row date_format("SSS") string round-trip —
+    * this is a conversion helper meant for large scans. */
   def time_of_day_millis(ts: Column): Column =
     ((hour(ts) * 3600L + minute(ts) * 60L + second(ts)) * 1000L +
-      date_format(ts, "SSS").cast("long")).cast(IntegerType)
+      pmod(unix_micros(ts), lit(1000000L)) / 1000L).cast(IntegerType)
 
   /** 'HH:mm:ss' string from a millis-since-midnight int column */
   def time_to_string(millis: Column): Column = {

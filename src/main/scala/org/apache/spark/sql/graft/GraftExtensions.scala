@@ -80,13 +80,14 @@ object GraftFunctions {
           other.map(_.sql).mkString(", "))
     }))
 
-  /** imperative registration on an existing session (same builders the
-    * extensions inject; createOrReplace so re-registration is idempotent) */
+  /** imperative registration on an existing session (same builders AND
+    * the same ExpressionInfo the extensions inject, so DESCRIBE FUNCTION
+    * shows usage text on both paths; registerFunction overwrites an
+    * existing entry, keeping re-registration idempotent) */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, inf, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
-      val _ = inf
+      reg.registerFunction(FunctionIdentifier(name), inf, builder)
     }
   }
 }

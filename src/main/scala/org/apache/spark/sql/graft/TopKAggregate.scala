@@ -25,7 +25,14 @@ final class TopKHeap(val k: Int) {
   @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
     sa < sb || (sa == sb && ia > ib)
 
-  def insert(s: Double, id: Long): Unit = {
+  def insert(s0: Double, id: Long): Unit = {
+    // normalize -0.0 to 0.0 on entry: the heap's IEEE comparator treats
+    // the two as equal (id tie-break) while sortedDesc's total ordering
+    // ranks 0.0 above -0.0 — at the top-k boundary the kept id could
+    // then diverge from the `ORDER BY score DESC, id` oracle order.
+    // Spark itself normalizes -0.0 for sort/group keys
+    // (NormalizeFloatingNumbers), so this matches the engine contract.
+    val s = if (s0 == 0.0) 0.0 else s0
     if (n < k) {
       var i = n; scores(i) = s; ids(i) = id; n += 1
       while (i > 0 && worse(scores(i), ids(i), scores((i - 1) / 2), ids((i - 1) / 2))) {

@@ -23,6 +23,21 @@ import org.apache.spark.sql.types._
   * dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))), accumulated in array
   * order. Null on null input, length mismatch, empty or zero-norm input.
   */
+/** Shared element-level null scan: ExpectsInputTypes admits
+  * array<double> columns whose ELEMENTS are nullable (acceptsType ignores
+  * containsNull), and ArrayData.getDouble/getLong silently reads a null
+  * slot as 0 — every numeric kernel below must therefore null-propagate
+  * explicitly or it would compute with phantom zeros. Standalone object
+  * (not a companion) so Janino resolves the static call. */
+object VectorKernels {
+  def anyNull(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
+    false
+  }
+}
+
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression with ExpectsInputTypes {
 
@@ -35,7 +50,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
-    if (n == 0 || b.numElements() != n) null
+    if (n == 0 || b.numElements() != n ||
+      VectorKernels.anyNull(a) || VectorKernels.anyNull(b)) null
     else {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -61,7 +77,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val denom = ctx.freshName("denom")
       s"""
          |int $n = $a.numElements();
-         |if ($n == 0 || $b.numElements() != $n) {
+         |if ($n == 0 || $b.numElements() != $n ||
+         |    org.apache.spark.sql.graft.VectorKernels.anyNull($a) ||
+         |    org.apache.spark.sql.graft.VectorKernels.anyNull($b)) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
@@ -100,7 +118,8 @@ case class DotProduct(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
-    if (n == 0 || b.numElements() != n) null
+    if (n == 0 || b.numElements() != n ||
+      VectorKernels.anyNull(a) || VectorKernels.anyNull(b)) null
     else {
       var dot = 0.0
       var i = 0
@@ -116,7 +135,9 @@ case class DotProduct(left: Expression, right: Expression)
       val dot = ctx.freshName("dot")
       s"""
          |int $n = $a.numElements();
-         |if ($n == 0 || $b.numElements() != $n) {
+         |if ($n == 0 || $b.numElements() != $n ||
+         |    org.apache.spark.sql.graft.VectorKernels.anyNull($a) ||
+         |    org.apache.spark.sql.graft.VectorKernels.anyNull($b)) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0;
@@ -156,6 +177,7 @@ case class SortedJaccard(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (VectorKernels.anyNull(a) || VectorKernels.anyNull(b)) return null
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var inter = 0L
     while (i < na && j < nb) {
@@ -179,6 +201,10 @@ case class SortedJaccard(left: Expression, right: Expression)
       val inter = ctx.freshName("inter")
       val union = ctx.freshName("union")
       s"""
+         |if (org.apache.spark.sql.graft.VectorKernels.anyNull($a) ||
+         |    org.apache.spark.sql.graft.VectorKernels.anyNull($b)) {
+         |  ${ev.isNull} = true;
+         |} else {
          |int $na = $a.numElements();
          |int $nb = $b.numElements();
          |int $i = 0, $j = 0;
@@ -192,6 +218,7 @@ case class SortedJaccard(left: Expression, right: Expression)
          |long $union = (long) $na + (long) $nb - $inter;
          |if ($union == 0L) { ${ev.isNull} = true; }
          |else { ${ev.value} = (double) $inter / (double) $union; }
+         |}
        """.stripMargin
     })
 
@@ -214,9 +241,10 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
     tables: Int, bits: Int)
   extends UnaryExpression with ExpectsInputTypes {
 
-  require(tables > 0 && bits > 0 && bits <= 30 &&
+  require(tables > 0 && bits > 0 && bits <= 30 && planes.nonEmpty &&
     planes.length % (tables * bits) == 0,
-    "planes must be a flat (tables*bits) x dim matrix")
+    "planes must be a non-empty flat (tables*bits) x dim matrix " +
+      "(dim = 0 would map every vector to colliding all-zero signatures)")
 
   private val dim = planes.length / (tables * bits)
 
@@ -226,7 +254,7 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    if (v.numElements() != dim) null
+    if (v.numElements() != dim || VectorKernels.anyNull(v)) null
     else {
       val out = new Array[Int](tables)
       var t = 0
@@ -259,7 +287,8 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
       val dot = ctx.freshName("dot")
       val sig = ctx.freshName("sig")
       s"""
-         |if ($v.numElements() != $dim) {
+         |if ($v.numElements() != $dim ||
+         |    org.apache.spark.sql.graft.VectorKernels.anyNull($v)) {
          |  ${ev.isNull} = true;
          |} else {
          |  int[] $out = new int[$tables];
@@ -360,6 +389,9 @@ object TrigramIds {
 case class MinHashSigs(child: Expression, numHashes: Int)
   extends UnaryExpression with ExpectsInputTypes {
 
+  require(numHashes > 0,
+    s"minhash_sigs needs a positive hash count, got $numHashes")
+
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -395,6 +427,11 @@ object MinHashKernel {
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val m = arr.numElements()
     if (m == 0) return null // array_min of an empty transform is null
+    // a null tid is not a token id: null-propagate rather than hashing a
+    // phantom 0L (callers never produce null tids — xxhash64/dense ids
+    // over non-null tokens — so this is API defensiveness, not a path
+    // the dedup operators take)
+    if (VectorKernels.anyNull(arr)) return null
     val s = seeds(n)
     val out = Array.fill(n)(Long.MaxValue)
     var j = 0
@@ -433,10 +470,18 @@ case class Simhash32(child: Expression)
 
   // standalone kernel object for the same forwarder reason as MinHashKernel
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => s"""
-      |java.lang.Long r = org.apache.spark.sql.graft.SimhashKernel.eval($a);
-      |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
-      |""".stripMargin)
+    nullSafeCodeGen(ctx, ev, a => {
+      // freshName, not a hard-coded local: with a non-nullable child the
+      // emitted code lands unwrapped at method scope, and two simhash32
+      // calls in one projection would declare the same variable twice —
+      // a Janino compile error that silently falls the whole stage back
+      // to interpreted execution
+      val r = ctx.freshName("sh")
+      s"""
+      |java.lang.Long $r = org.apache.spark.sql.graft.SimhashKernel.eval($a);
+      |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+      |""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

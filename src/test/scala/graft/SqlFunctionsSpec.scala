@@ -46,5 +46,62 @@ class SqlFunctionsSpec extends GraftSpec {
     // the extensions class injects the same builders without error
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new org.apache.spark.sql.graft.GraftExtensions().apply(ext)
+    // the legacy graft.GraftExtensions entry point delegates to the same
+    // list (it used to hand-roll 2 of the 7 functions)
+    val ext2 = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext2)
+  }
+
+  test("vector kernels null-propagate on null ELEMENTS instead of reading 0") {
+    org.apache.spark.sql.graft.GraftFunctions.registerAll(sp)
+    // array<double> with nullable elements passes analysis
+    // (ExpectsInputTypes ignores containsNull) — a null slot must yield
+    // NULL, not a similarity computed with a phantom 0.0
+    assert(sp.sql(
+      "SELECT cos_sim(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D))")
+      .head.isNullAt(0))
+    assert(sp.sql(
+      "SELECT dot_product(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D))")
+      .head.isNullAt(0))
+    assert(sp.sql(
+      "SELECT sorted_jaccard(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L))")
+      .head.isNullAt(0))
+    assert(sp.sql(
+      "SELECT minhash_sigs(array(1L, CAST(NULL AS BIGINT)), 4)")
+      .head.isNullAt(0))
+    // non-null inputs unaffected
+    assert(math.abs(sp.sql(
+      "SELECT cos_sim(array(1.0D, 0.0D), array(1.0D, 0.0D))")
+      .head.getDouble(0) - 1.0) < 1e-12)
+  }
+
+  test("two simhash32 calls share one codegen scope without colliding") {
+    org.apache.spark.sql.graft.GraftFunctions.registerAll(sp)
+    val prev = sp.conf.getOption("spark.sql.codegen.fallback")
+    // fail on codegen errors instead of silently interpreting: the
+    // hard-coded local in the old doGenCode compiled `r` twice when two
+    // non-nullable-child simhash32 calls landed in one projection
+    sp.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = sp.sql(
+        "SELECT simhash32(array('a','b')) AS x, simhash32(array('c')) AS y " +
+          "FROM range(3)").collect()
+      assert(r.length == 3 && r.forall(row => !row.isNullAt(0) && !row.isNullAt(1)))
+    } finally prev match {
+      case Some(v) => sp.conf.set("spark.sql.codegen.fallback", v)
+      case None => sp.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("topk heap normalizes -0.0: boundary id matches ORDER BY score DESC, id") {
+    val h = new org.apache.spark.sql.graft.TopKHeap(1)
+    h.insert(-0.0, 1L)
+    h.insert(0.0, 2L)
+    val (s, id) = h.sortedDesc.head
+    // equal scores tie-break by smaller id, and the stored score is +0.0
+    // (raw bits zero), matching Spark's normalized sort and the oracle
+    assert(id == 1L)
+    assert(java.lang.Double.doubleToRawLongBits(s) == 0L,
+      "heap must store the normalized +0.0")
   }
 }
