@@ -38,9 +38,14 @@ object FormatOps {
   /** Per-sf cache dir built at most once per source-content generation.
     * The `_done` marker stores the source fingerprint; a marker that is
     * missing OR stale (testdata regenerated in place) triggers a clean
-    * rebuild. Per-dir locking keeps concurrent first-touch builds (test
-    * suites run in one JVM) single-writer without serializing distinct
-    * tables against each other. */
+    * rebuild. Per-dir JVM locking keeps concurrent first-touch builds
+    * within one JVM single-writer; a sibling `.lock` file (atomic O_EXCL
+    * create) arbitrates ACROSS JVMs — the cache dir lives in the
+    * machine-global tmpdir, and two mains launched in parallel (Bench +
+    * Verify) would otherwise delete/build the same dir concurrently and
+    * stamp whichever corrupt interleaving finished last as valid. The
+    * loser waits for the winner's marker; a lock older than the patience
+    * window (dead builder) is stolen. */
   private[graft] def cachedDir(d: String, name: String)(build: String => Unit): String = {
     val key = d.replaceAll("[^a-zA-Z0-9]", "_")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gpx" +
@@ -49,16 +54,40 @@ object FormatOps {
     lock.synchronized {
       val marker = new java.io.File(s"$dir/_done")
       val fp = sourceFingerprint(d)
-      val stored =
-        if (marker.exists())
-          new String(java.nio.file.Files.readAllBytes(marker.toPath),
-            java.nio.charset.StandardCharsets.UTF_8).trim
-        else null
-      if (stored != fp) {
-        deleteRecursively(new java.io.File(dir))
-        build(dir)
-        java.nio.file.Files.write(marker.toPath,
-          fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      def fresh(): Boolean = marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim == fp
+      if (!fresh()) {
+        val lockFile = java.nio.file.Paths.get(s"$dir.lock")
+        java.nio.file.Files.createDirectories(lockFile.getParent)
+        val StaleLockMs = 10 * 60 * 1000L
+        var claimed = false
+        while (!fresh() && !claimed) {
+          try { java.nio.file.Files.createFile(lockFile); claimed = true }
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              val age = System.currentTimeMillis() -
+                (try java.nio.file.Files.getLastModifiedTime(lockFile).toMillis
+                 catch { case _: Throwable => System.currentTimeMillis() })
+              if (age > StaleLockMs) {
+                try { java.nio.file.Files.deleteIfExists(lockFile); () }
+                catch { case _: Throwable => () }
+              } else Thread.sleep(200)
+          }
+        }
+        if (claimed) {
+          try {
+            if (!fresh()) {
+              deleteRecursively(new java.io.File(dir))
+              build(dir)
+              java.nio.file.Files.write(marker.toPath,
+                fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          } finally {
+            try { java.nio.file.Files.deleteIfExists(lockFile); () }
+            catch { case _: Throwable => () }
+          }
+        }
       }
     }
     dir
@@ -71,10 +100,17 @@ object FormatOps {
     f.delete()
   }
 
-  /** write `table` to a per-sf gpx dir once per JVM (idempotent). */
+  /** write `table` to a per-sf gpx dir once per JVM (idempotent). The
+    * cache key carries the LAYOUT options too: a future caller asking for
+    * the same table under a different sort/row-group layout must get its
+    * own materialization, not whichever layout happened to build first
+    * (answers would stay correct, but the pruning behavior the query was
+    * written to exercise would silently not be what runs). */
   private def gpx(s: SparkSession, d: String, table: String,
       sortCol: Option[String] = None, rgRows: Int = 8192): DataFrame = {
-    val dir = cachedDir(d, table) { dir =>
+    val layoutKey =
+      s"$table${sortCol.map(c => s"__s_$c").getOrElse("")}__r$rgRows"
+    val dir = cachedDir(d, layoutKey) { dir =>
       val src = Tables.t(s, d, table)
       val sorted = sortCol.map(c => src.orderBy(c)).getOrElse(src)
       sorted.write.format("gpx").mode("overwrite")

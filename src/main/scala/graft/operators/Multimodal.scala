@@ -56,8 +56,14 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val payload = r.getAs[Array[Byte]](1)
-        val (w, h, b) = fakeDecode(payload)
-        Row(id, payload.length, w, h, b)
+        // null payload -> null decoded fields (matches the oracle's
+        // octet_length(NULL)/derived-NULL behavior; an NPE here would
+        // kill the task instead of degrading the row)
+        if (payload == null) Row(id, null, null, null, null)
+        else {
+          val (w, h, b) = fakeDecode(payload)
+          Row(id, payload.length, w, h, b)
+        }
       }
     }
   }
@@ -126,12 +132,21 @@ object Multimodal {
         // per-partition codec/frame-grabber init would go here
         rows.flatMap { r =>
           val id = r.getLong(0)
-          val len = r.getAs[Array[Byte]](1).length
-          val fps = 1 + len % 24 // fake container metadata
-          val seconds = 1 + len % 10 // fake duration, 1 sample/second
-          (0 until seconds).iterator.map { k =>
-            val frameIdx = k * fps
-            Row(id, frameIdx, k * 1000L, len * (frameIdx + 1) % 256)
+          val payload = r.getAs[Array[Byte]](1)
+          // a null payload has no frames (the oracle's range(0, NULL)
+          // unnests to zero rows)
+          if (payload == null) Iterator.empty
+          else {
+            val len = payload.length
+            val fps = 1 + len % 24 // fake container metadata
+            val seconds = 1 + len % 10 // fake duration, 1 sample/second
+            (0 until seconds).iterator.map { k =>
+              val frameIdx = k * fps
+              // 64-bit product: DuckDB promotes len * BIGINT k, and an
+              // Int wrap past ~9.9 MB payloads would go negative here
+              Row(id, frameIdx, k * 1000L,
+                ((len.toLong * (frameIdx + 1)) % 256L).toInt)
+            }
           }
         }
       }.orderBy("doc_id", "frame_idx")
