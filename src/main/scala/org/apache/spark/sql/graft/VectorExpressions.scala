@@ -36,6 +36,17 @@ object VectorKernels {
     while (i < n) { if (a.isNullAt(i)) return true; i += 1 }
     false
   }
+
+  /** can this (resolved) array-typed child carry null ELEMENTS? False
+    * lets the kernels drop the per-row null scan statically — e.g.
+    * collect_list/array() outputs prove containsNull=false. Unresolved
+    * or non-array children answer true (scan — always safe). */
+  def elemsNullable(e: Expression): Boolean =
+    if (!e.resolved) true
+    else e.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => true
+    }
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)
@@ -46,16 +57,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  // static gate: when the RESOLVED element types prove no nulls exist,
+  // the hot loop carries zero per-element null checks (this kernel is
+  // pure mults — a null scan would roughly double it on brute paths)
+  private lazy val mayHaveNullElems =
+    VectorKernels.elemsNullable(left) || VectorKernels.elemsNullable(right)
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
-    if (n == 0 || b.numElements() != n ||
-      VectorKernels.anyNull(a) || VectorKernels.anyNull(b)) null
+    if (n == 0 || b.numElements() != n) null
     else {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
+        // fused null check (one pass, only when the type allows nulls):
+        // a null element null-propagates the whole similarity
+        if (mayHaveNullElems && (a.isNullAt(i) || b.isNullAt(i))) return null
         val x = a.getDouble(i); val y = b.getDouble(i)
         dot += x * y; na += x * x; nb += y * y
         i += 1
@@ -75,23 +94,28 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       val denom = ctx.freshName("denom")
+      val bad = ctx.freshName("bad")
+      // fused per-element null check, emitted ONLY when the resolved type
+      // allows null elements — the proven-non-null hot paths keep the
+      // branch-free multiply loop
+      val nullCheck = if (mayHaveNullElems)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }"
+      else ""
       s"""
          |int $n = $a.numElements();
-         |if ($n == 0 || $b.numElements() != $n ||
-         |    org.apache.spark.sql.graft.VectorKernels.anyNull($a) ||
-         |    org.apache.spark.sql.graft.VectorKernels.anyNull($b)) {
-         |  ${ev.isNull} = true;
-         |} else {
+         |boolean $bad = ($n == 0 || $b.numElements() != $n);
+         |if (!$bad) {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    double $x = $a.getDouble($i);
          |    double $y = $b.getDouble($i);
          |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  if ($denom == 0.0) { ${ev.isNull} = true; }
+         |  if ($bad || $denom == 0.0) { ${ev.isNull} = true; }
          |  else { ${ev.value} = $dot / $denom; }
-         |}
+         |} else { ${ev.isNull} = true; }
        """.stripMargin
     })
 
@@ -114,16 +138,21 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  private lazy val mayHaveNullElems =
+    VectorKernels.elemsNullable(left) || VectorKernels.elemsNullable(right)
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val n = a.numElements()
-    if (n == 0 || b.numElements() != n ||
-      VectorKernels.anyNull(a) || VectorKernels.anyNull(b)) null
+    if (n == 0 || b.numElements() != n) null
     else {
       var dot = 0.0
       var i = 0
-      while (i < n) { dot += a.getDouble(i) * b.getDouble(i); i += 1 }
+      while (i < n) {
+        if (mayHaveNullElems && (a.isNullAt(i) || b.isNullAt(i))) return null
+        dot += a.getDouble(i) * b.getDouble(i); i += 1
+      }
       java.lang.Double.valueOf(dot)
     }
   }
@@ -133,19 +162,22 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      val bad = ctx.freshName("bad")
+      val nullCheck = if (mayHaveNullElems)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }"
+      else ""
       s"""
          |int $n = $a.numElements();
-         |if ($n == 0 || $b.numElements() != $n ||
-         |    org.apache.spark.sql.graft.VectorKernels.anyNull($a) ||
-         |    org.apache.spark.sql.graft.VectorKernels.anyNull($b)) {
-         |  ${ev.isNull} = true;
-         |} else {
+         |boolean $bad = ($n == 0 || $b.numElements() != $n);
+         |if (!$bad) {
          |  double $dot = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
          |    $dot += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $dot;
-         |}
+         |  if ($bad) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot; }
+         |} else { ${ev.isNull} = true; }
        """.stripMargin
     })
 
@@ -174,10 +206,14 @@ case class SortedJaccard(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  private lazy val mayHaveNullElems =
+    VectorKernels.elemsNullable(left) || VectorKernels.elemsNullable(right)
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    if (VectorKernels.anyNull(a) || VectorKernels.anyNull(b)) return null
+    if (mayHaveNullElems &&
+      (VectorKernels.anyNull(a) || VectorKernels.anyNull(b))) return null
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var inter = 0L
     while (i < na && j < nb) {
@@ -200,9 +236,12 @@ case class SortedJaccard(left: Expression, right: Expression)
       val y = ctx.freshName("y")
       val inter = ctx.freshName("inter")
       val union = ctx.freshName("union")
+      val nullCheck = if (mayHaveNullElems)
+        s"""org.apache.spark.sql.graft.VectorKernels.anyNull($a) ||
+           |    org.apache.spark.sql.graft.VectorKernels.anyNull($b)""".stripMargin
+      else "false"
       s"""
-         |if (org.apache.spark.sql.graft.VectorKernels.anyNull($a) ||
-         |    org.apache.spark.sql.graft.VectorKernels.anyNull($b)) {
+         |if ($nullCheck) {
          |  ${ev.isNull} = true;
          |} else {
          |int $na = $a.numElements();
@@ -252,9 +291,12 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
 
+  private lazy val mayHaveNullElems = VectorKernels.elemsNullable(child)
+
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    if (v.numElements() != dim || VectorKernels.anyNull(v)) null
+    if (v.numElements() != dim ||
+      (mayHaveNullElems && VectorKernels.anyNull(v))) null
     else {
       val out = new Array[Int](tables)
       var t = 0
@@ -286,9 +328,11 @@ case class HyperplaneSigs(child: Expression, planes: Array[Double],
       val off = ctx.freshName("off")
       val dot = ctx.freshName("dot")
       val sig = ctx.freshName("sig")
+      val nullCheck = if (mayHaveNullElems)
+        s" ||\n    org.apache.spark.sql.graft.VectorKernels.anyNull($v)"
+      else ""
       s"""
-         |if ($v.numElements() != $dim ||
-         |    org.apache.spark.sql.graft.VectorKernels.anyNull($v)) {
+         |if ($v.numElements() != $dim$nullCheck) {
          |  ${ev.isNull} = true;
          |} else {
          |  int[] $out = new int[$tables];
@@ -396,8 +440,11 @@ case class MinHashSigs(child: Expression, numHashes: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
+  private lazy val mayHaveNullElems = VectorKernels.elemsNullable(child)
+
   override def nullSafeEval(input: Any): Any =
-    MinHashKernel.eval(input.asInstanceOf[ArrayData], numHashes)
+    MinHashKernel.eval(input.asInstanceOf[ArrayData], numHashes,
+      mayHaveNullElems)
 
   // the kernel lives in a standalone object (NOT the companion): scalac
   // skips the static forwarder when the companion class inherits a method
@@ -405,7 +452,7 @@ case class MinHashSigs(child: Expression, numHashes: Int)
   // call — the whole stage silently falls back to interpreted execution
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => s"""
-      |${ev.value} = org.apache.spark.sql.graft.MinHashKernel.eval($a, $numHashes);
+      |${ev.value} = org.apache.spark.sql.graft.MinHashKernel.eval($a, $numHashes, $mayHaveNullElems);
       |if (${ev.value} == null) { ${ev.isNull} = true; }
       |""".stripMargin)
 
@@ -423,15 +470,15 @@ object MinHashKernel {
     seedCache.computeIfAbsent(n, _ => Array.tabulate(n)(i =>
       org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, 42L)))
 
-  def eval(arr: ArrayData, n: Int)
+  def eval(arr: ArrayData, n: Int, checkNulls: Boolean)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val m = arr.numElements()
     if (m == 0) return null // array_min of an empty transform is null
     // a null tid is not a token id: null-propagate rather than hashing a
     // phantom 0L (callers never produce null tids — xxhash64/dense ids
-    // over non-null tokens — so this is API defensiveness, not a path
-    // the dedup operators take)
-    if (VectorKernels.anyNull(arr)) return null
+    // over non-null tokens carry containsNull=false, so the hot paths
+    // skip this scan statically; checkNulls covers API users)
+    if (checkNulls && VectorKernels.anyNull(arr)) return null
     val s = seeds(n)
     val out = Array.fill(n)(Long.MaxValue)
     var j = 0
