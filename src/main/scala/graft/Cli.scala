@@ -31,7 +31,15 @@ import org.apache.spark.sql.SparkSession
 object Cli {
 
   private def opt(args: Seq[String], name: String): Option[String] =
-    args.sliding(2).collectFirst { case Seq(`name`, v) => v }
+    args.sliding(2).collectFirst { case Seq(`name`, v) => v } match {
+      // a flag present with NO value (end of line, or the next token is
+      // another flag) must be a usage error — silently dropping it writes
+      // an unsorted/appended table the user asked to sort/overwrite, and
+      // consuming the next flag as the value corrupts both options
+      case Some(v) if v.startsWith("--") => usage()
+      case None if args.contains(name) => usage()
+      case other => other
+    }
 
   /** every command-line shape error routes here; main() prints the
     * usage text and exits 2, in-JVM callers (tests) catch it */

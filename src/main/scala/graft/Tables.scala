@@ -70,7 +70,14 @@ final case class GQuery(
   * or any embedding application) calls [[release]] after materializing
   * each result. Executor storage is never pinned past the query that
   * needed it — on a shared cluster, leaked persists are a session-lifetime
-  * memory leak (this repo's LEAKCHECK class). */
+  * memory leak (this repo's LEAKCHECK class).
+  *
+  * SCOPE: the registry is process-global, sized for the one-query-at-a-
+  * time harness contract (Bench/Verify run queries sequentially). An
+  * embedder running tracked graft operators CONCURRENTLY on one session
+  * must serialize release() with query completion — releasing from one
+  * query's consumer unpersists frames a concurrent query still reuses
+  * (correct results, but its multi-consumer intermediates recompute). */
 object CacheScope {
   private val frames =
     scala.collection.mutable.ArrayBuffer.empty[DataFrame]

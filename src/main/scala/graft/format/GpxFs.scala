@@ -25,12 +25,23 @@ object GpxFs {
   final case class Stat(len: Long, mtime: Long, isFile: Boolean)
 
   /** local java.nio path for `file:`/schemeless strings; None for real
-    * remote schemes (falls back to Hadoop) */
+    * remote schemes (falls back to Hadoop). `file://host/p` carries an
+    * AUTHORITY: naive prefix-stripping would resolve `host/p` relative to
+    * the cwd and silently report an existing table absent — only an
+    * empty/localhost authority is local; anything else goes to Hadoop. */
   private def local(s: String): Option[JPath] =
     try {
       if (s.startsWith("file:")) {
-        val p = s.stripPrefix("file:")
-        Some(Paths.get(if (p.startsWith("//")) p.stripPrefix("//") else p))
+        val rest = s.stripPrefix("file:")
+        if (!rest.startsWith("//")) Some(Paths.get(rest))
+        else {
+          val body = rest.stripPrefix("//")
+          val slash = body.indexOf('/')
+          val authority = if (slash < 0) body else body.substring(0, slash)
+          if (authority.isEmpty || authority == "localhost")
+            Some(Paths.get(if (slash < 0) "/" else body.substring(slash)))
+          else None // foreign authority: let Hadoop resolve it
+        }
       } else if (!s.contains(":")) Some(Paths.get(s))
       else None
     } catch { case _: Exception => None }
@@ -40,17 +51,29 @@ object GpxFs {
   def stat(path: String, conf: Configuration): Option[Stat] =
     local(path) match {
       case Some(jp) =>
-        if (!Files.exists(jp)) None
-        else Some(Stat(if (Files.isDirectory(jp)) 0L else Files.size(jp),
-          Files.getLastModifiedTime(jp).toMillis, Files.isRegularFile(jp)))
+        // ONE readAttributes call, vanish-tolerant: exists-then-size has
+        // a TOCTOU window (tmp+rename publishes and vacuums delete files
+        // concurrently with list-then-stat walks), and it also collapses
+        // several syscalls per stat on this metadata fast path
+        try {
+          val attrs = Files.readAttributes(jp,
+            classOf[java.nio.file.attribute.BasicFileAttributes])
+          Some(Stat(if (attrs.isDirectory) 0L else attrs.size(),
+            attrs.lastModifiedTime().toMillis, attrs.isRegularFile))
+        } catch {
+          // FileSystemException covers NoSuchFile, NotDirectory (a probe
+          // like <data.gpx>/_index where a path component is a FILE) and
+          // AccessDenied — all of which Files.exists reported as absent
+          case _: java.nio.file.FileSystemException => None
+          case _: java.io.FileNotFoundException => None
+        }
       case None =>
         val hp = new Path(path)
         val fs = hp.getFileSystem(conf)
-        if (!fs.exists(hp)) None
-        else {
-          val st = fs.getFileStatus(hp)
+        try {
+          val st = fs.getFileStatus(hp) // one RPC; FNFE = absent
           Some(Stat(st.getLen, st.getModificationTime, st.isFile))
-        }
+        } catch { case _: java.io.FileNotFoundException => None }
     }
 
   def exists(path: String, conf: Configuration): Boolean =

@@ -20,8 +20,12 @@ object GpxBucketFunction extends UnboundFunction {
   override def description(): String = "bucket(numBuckets, key): gpx hash bucket id"
 
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.fields.length == 2,
-      s"bucket expects (numBuckets, key), got $inputType")
+    // the FunctionCatalog bind contract signals unbindable input with
+    // UnsupportedOperationException (clean AnalysisException), not
+    // require's IllegalArgumentException (internal-error style)
+    if (inputType.fields.length != 2)
+      throw new UnsupportedOperationException(
+        s"bucket expects (numBuckets, key), got $inputType")
     inputType.fields(1).dataType match {
       case kt @ (LongType | IntegerType | ShortType | ByteType | DateType) =>
         BoundBucket(kt)

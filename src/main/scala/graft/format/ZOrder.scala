@@ -48,10 +48,13 @@ object ZOrder {
     val z = interleave(
       norm(col(c1), lit(b.getDouble(0)), lit(b.getDouble(1))),
       norm(col(c2), lit(b.getDouble(2)), lit(b.getDouble(3))))
-    val zed = df.withColumn("_z", z)
+    // collision-proof temp column: a user column named "_z" would be
+    // silently overwritten and then dropped
+    val zc = s"_z_${java.util.UUID.randomUUID().toString.take(8)}"
+    val zed = df.withColumn(zc, z)
     val parted =
-      if (partitions > 0) zed.repartitionByRange(partitions, col("_z"))
-      else zed.repartitionByRange(col("_z"))
-    parted.sortWithinPartitions("_z").drop("_z")
+      if (partitions > 0) zed.repartitionByRange(partitions, col(zc))
+      else zed.repartitionByRange(col(zc))
+    parted.sortWithinPartitions(zc).drop(zc)
   }
 }

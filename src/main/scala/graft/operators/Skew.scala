@@ -24,15 +24,20 @@ object Skew {
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
-    val salted = large.withColumn("_salt",
+    // collision-proof temp columns: user columns named "_salt"/"_rkey"
+    // would be silently overwritten and dropped
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val saltC = s"_salt_$tag"
+    val rkeyC = s"_rkey_$tag"
+    val salted = large.withColumn(saltC,
       pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
     val replicated = small
-      .withColumn("_salt", explode(array((0 until saltFactor).map(lit): _*)))
-      .withColumnRenamed(key, "_rkey")
+      .withColumn(saltC, explode(array((0 until saltFactor).map(lit): _*)))
+      .withColumnRenamed(key, rkeyC)
     salted.join(replicated,
-        salted(key) === replicated("_rkey") && salted("_salt") === replicated("_salt"),
+        salted(key) === replicated(rkeyC) && salted(saltC) === replicated(saltC),
         joinType)
-      .drop(replicated("_salt"))
-      .drop("_salt", "_rkey")
+      .drop(replicated(saltC))
+      .drop(saltC, rkeyC)
   }
 }
