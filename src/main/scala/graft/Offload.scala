@@ -164,12 +164,32 @@ object Offload {
       val inCloud = decideInCloud(required, peer)
       if (inCloud) (spark.sql(sql), true)
       else {
-        required.keys.foreach { t =>
-          tableDf(spark, s"${peer.dir}/$t.parquet").createOrReplaceTempView(t)
-        }
-        try (spark.sql(sql), false)
-        finally required.keys.foreach { t => // restore for later callers
-          tableDf(spark, s"$baseDir/$t.parquet").createOrReplaceTempView(t)
+        // the swap loop sits INSIDE the try: an exception while swapping
+        // (e.g. a missing peer copy) must still restore whatever tables
+        // were already re-pointed. The restore is exception-tolerant per
+        // table — every name is restored even if one path is bad, so a
+        // single failure cannot strand OTHER names at partial-column
+        // copies for later callers on the same session.
+        var body: Throwable = null
+        try {
+          required.keys.foreach { t =>
+            tableDf(spark, s"${peer.dir}/$t.parquet").createOrReplaceTempView(t)
+          }
+          (spark.sql(sql), false)
+        } catch { case e: Throwable => body = e; throw e }
+        finally {
+          var restoreFail: Throwable = null
+          required.keys.foreach { t =>
+            try tableDf(spark, s"$baseDir/$t.parquet").createOrReplaceTempView(t)
+            catch { case e: Throwable =>
+              if (restoreFail == null) restoreFail = e
+              else restoreFail.addSuppressed(e)
+            }
+          }
+          if (restoreFail != null) {
+            if (body != null) body.addSuppressed(restoreFail)
+            else throw restoreFail
+          }
         }
       }
     }

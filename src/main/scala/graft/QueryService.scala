@@ -110,9 +110,16 @@ object QueryService {
     scheduler.setDaemon(true)
     scheduler.start()
 
+    /** serializes submit's admit-and-enqueue against close's sweep: a
+      * submit that passed the `running` check while close() swept the
+      * pending entries could otherwise insert AFTER the sweep — its done
+      * latch never counts down (await rides the full timeout), its
+      * pendingCount slot leaks, and the token/SQL are retained forever. */
+    private val closeLock = new Object
+
     /** Submit a query under an SLA hint; returns the trace token.
       * Throws IllegalStateException when the pending queues are full. */
-    def submit(sql: String, hint: ExecutionHint): String = {
+    def submit(sql: String, hint: ExecutionHint): String = closeLock.synchronized {
       require(running, "query service is closed")
       val token = s"q${seq.incrementAndGet()}-${Integer.toHexString(sql.hashCode)}"
       val e = new Entry(token, sql, hint, System.currentTimeMillis())
@@ -238,7 +245,7 @@ object QueryService {
         e.status = Running
       }
       runningCount.incrementAndGet()
-      exec.submit(new Runnable {
+      try exec.submit(new Runnable {
         override def run(): Unit = {
           val started = System.currentTimeMillis()
           try {
@@ -284,6 +291,18 @@ object QueryService {
           }
         }
       })
+      catch {
+        // close() shut the executor down between our admission and here
+        // (an Immediate submit racing close): terminate the entry so the
+        // latch counts down and the running slot is released
+        case _: java.util.concurrent.RejectedExecutionException =>
+          runningCount.decrementAndGet()
+          e.synchronized {
+            e.status = Cancelled
+            e.finishedMs = System.currentTimeMillis()
+          }
+          e.done.countDown()
+      }
       ()
     }
 
@@ -301,19 +320,22 @@ object QueryService {
       // fail every still-pending entry NOW: their done latches would
       // otherwise never count down — clients blocked in await() would
       // ride out their full timeout and the entries (plus SQL strings)
-      // would be retained for the JVM's lifetime
-      queries.forEach { (_, e) =>
-        e.synchronized {
-          if (e.status == Pending) {
-            e.status = Cancelled
-            e.finishedMs = System.currentTimeMillis()
-            e.done.countDown()
+      // would be retained for the JVM's lifetime. Under closeLock so a
+      // concurrent submit cannot slip an entry in AFTER this sweep.
+      closeLock.synchronized {
+        queries.forEach { (_, e) =>
+          e.synchronized {
+            if (e.status == Pending) {
+              e.status = Cancelled
+              e.finishedMs = System.currentTimeMillis()
+              e.done.countDown()
+            }
           }
         }
+        pendingRelaxed.clear()
+        pendingBestEffort.clear()
+        pendingCount.set(0)
       }
-      pendingRelaxed.clear()
-      pendingBestEffort.clear()
-      pendingCount.set(0)
       ()
     }
   }

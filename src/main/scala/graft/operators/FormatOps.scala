@@ -70,8 +70,22 @@ object FormatOps {
                 (try java.nio.file.Files.getLastModifiedTime(lockFile).toMillis
                  catch { case _: Throwable => System.currentTimeMillis() })
               if (age > StaleLockMs) {
-                try { java.nio.file.Files.deleteIfExists(lockFile); () }
-                catch { case _: Throwable => () }
+                // steal by rename, never delete-then-create: two stealers
+                // doing deleteIfExists+createFile can each delete the
+                // other's freshly created lock and both run the
+                // delete+build concurrently — exactly the corruption this
+                // lock prevents. ATOMIC_MOVE to a unique tombstone lets
+                // exactly one stealer win; losers loop back and contend on
+                // the (now re-creatable) lock normally
+                // (GpxMutationLock's steal-by-rename discipline).
+                val tomb = lockFile.resolveSibling(
+                  s"${lockFile.getFileName}.dead." +
+                    java.util.UUID.randomUUID().toString.take(8))
+                try {
+                  java.nio.file.Files.move(lockFile, tomb,
+                    java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                  java.nio.file.Files.deleteIfExists(tomb); ()
+                } catch { case _: Throwable => () } // lost the steal
               } else Thread.sleep(200)
           }
         }

@@ -32,7 +32,8 @@ class SnapshotStore(
     path: String,
     keyCols: Seq[String],
     versionCol: String,
-    format: String = "parquet") {
+    format: String = "parquet",
+    deadClaimTtlMs: Long = 30000L) {
 
   private def root = Paths.get(path)
   private def currentFile = root.resolve("_CURRENT")
@@ -131,7 +132,10 @@ class SnapshotStore(
       // rebase on the new head and retry; the orphaned delta dir is
       // unreferenced garbage, never wrong data
       if (attempts <= 0) throw new java.io.IOException(
-        s"snapshot store $path: could not claim a version after 50 attempts")
+        s"snapshot store $path: could not claim a version after 50 attempts; " +
+          "if an m_NNNNNN.claim exists without a matching m_NNNNNN.txt, its " +
+          "committer died mid-publish — dead claims are auto-reclaimed after " +
+          s"$deadClaimTtlMs ms, or delete the stale .claim to repair now")
     }
     -1L // unreachable
   }
@@ -160,7 +164,10 @@ class SnapshotStore(
       }
       if (attempts <= 0) throw new java.io.IOException(
         s"snapshot store $path: compaction lost every version claim to " +
-          "concurrent writers after 10 folds")
+          "concurrent writers after 10 folds; if an m_NNNNNN.claim exists " +
+          "without a matching m_NNNNNN.txt, its committer died mid-publish — " +
+          s"dead claims are auto-reclaimed after $deadClaimTtlMs ms, or " +
+          "delete the stale .claim to repair now")
     }
     -1L // unreachable
   }
@@ -187,14 +194,53 @@ class SnapshotStore(
   private def claimManifest(v: Long, members: Seq[String]): Boolean = {
     Files.createDirectories(root)
     val claim = root.resolve(f"m_$v%06d.claim")
-    try Files.createFile(claim)
-    catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+    // the claim carries an owner nonce so a committer that stalls past the
+    // dead-claim TTL (and gets its slot stolen by a recoverer) can detect
+    // the theft and abort instead of clobbering the stealer's manifest
+    val nonce = java.util.UUID.randomUUID().toString
+    try Files.write(claim, nonce.getBytes,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        recoverDeadClaim(v, claim); return false
+    }
     val tmp = root.resolve(
       s"_m.tmp.$v.${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, members.mkString("\n").getBytes)
+    // publish only while the claim is still ours: a recoverer may have
+    // declared this claim dead (TTL) and re-claimed the slot while we
+    // stalled between the claim and here
+    val stillOurs =
+      try new String(Files.readAllBytes(claim)) == nonce
+      catch { case _: java.io.IOException => false }
+    if (!stillOurs) { Files.deleteIfExists(tmp); return false }
     Files.move(tmp, manifestFile(v), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
     true
+  }
+
+  /** Crash repair for an orphaned claim at v (a committer that died between
+    * claiming the slot and swapping `_CURRENT`). Two cases:
+    *  - its manifest WAS published: finish the dead committer's work by
+    *    rolling `_CURRENT` forward to v (commit is monotone and race-free),
+    *    so the caller's retry rebases on the recovered head;
+    *  - no manifest and the claim is older than [[deadClaimTtlMs]]: steal
+    *    the slot by ATOMIC_MOVE-ing the claim to a uniquely-named tombstone
+    *    — exactly one recoverer wins the rename; the winner's retry loop
+    *    re-runs the exclusive claim create and makes progress.
+    * A claim younger than the TTL may belong to a live slow committer, so
+    * it is left alone (the caller retries / eventually reports the repair). */
+  private def recoverDeadClaim(v: Long, claim: java.nio.file.Path): Unit = {
+    if (Files.exists(manifestFile(v))) { commit(v); return }
+    val age =
+      try System.currentTimeMillis() - Files.getLastModifiedTime(claim).toMillis
+      catch { case _: java.io.IOException => return } // claim vanished: owner
+        // finished or another recoverer already stole it — just retry
+    if (age < deadClaimTtlMs) return // possibly a live slow committer
+    val tomb = root.resolve(
+      s"${claim.getFileName}.dead.${java.util.UUID.randomUUID().toString.take(8)}")
+    try Files.move(claim, tomb, StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.io.IOException => () } // lost the steal — fine
   }
 
   // pointer swaps serialized in-JVM and monotone: a slow committer of v

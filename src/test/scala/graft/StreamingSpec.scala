@@ -66,6 +66,41 @@ class StreamingSpec extends GraftSpec {
     assert(store.readVersion(0).count() == 500)
   }
 
+  test("snapshot store: crashed commit (manifest published, pointer not swapped) rolls forward") {
+    val dir = TestSpark.tempDir("snapcrash1")
+    val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts")
+    import sp.implicits._
+    store.upsert(Seq(Ev(1, "click", 100, 1.0)).toDF())
+    store.upsert(Seq(Ev(2, "click", 200, 2.0)).toDF())
+    assert(store.currentVersion == 1)
+    // simulate a committer that died between publishing m_000001.txt and
+    // swapping _CURRENT: roll the pointer back to 0, leaving the claim
+    // and manifest for v1 orphaned on disk
+    Files.write(java.nio.file.Paths.get(dir, "_CURRENT"), "0".getBytes)
+    assert(store.currentVersion == 0)
+    // the next upsert computes next=1, loses the claim, detects the
+    // published manifest, rolls _CURRENT forward, and commits at v2 —
+    // previously this threw after 50 lost claims (write-wedged store)
+    store.upsert(Seq(Ev(3, "view", 300, 3.0)).toDF())
+    assert(store.currentVersion == 2)
+    val head = store.read().get
+    assert(head.count() == 3)
+    assert(head.filter($"user_id" === 2).count() == 1) // recovered commit's rows visible
+  }
+
+  test("snapshot store: dead claim with no manifest is reclaimed after the TTL") {
+    val dir = TestSpark.tempDir("snapcrash2")
+    val store = new SnapshotStore(spark, dir, Seq("user_id", "event_type"), "ts",
+      deadClaimTtlMs = 0L) // any orphaned claim is immediately past the TTL
+    import sp.implicits._
+    store.upsert(Seq(Ev(1, "click", 100, 1.0)).toDF())
+    // simulate a committer that died right after claiming v1 (no manifest)
+    Files.write(java.nio.file.Paths.get(dir, "m_000001.claim"), "dead".getBytes)
+    store.upsert(Seq(Ev(2, "click", 200, 2.0)).toDF())
+    assert(store.currentVersion == 1)
+    assert(store.read().get.count() == 2)
+  }
+
   test("structured streaming CDC: foreachBatch upsert reaches the store") {
     val dir = TestSpark.tempDir("snapstream")
     val ckpt = TestSpark.tempDir("ckpt")
