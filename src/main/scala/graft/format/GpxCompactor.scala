@@ -131,6 +131,11 @@ object GpxCompactor {
       .reduceOption((a, b) => a.zip(b).takeWhile { case (x, y) => x == y }
         .map(_._1))
       .getOrElse(Nil)
+    // element-null-free claims survive a byte copy iff EVERY input file
+    // can vouch for the column (set intersection, order-independent)
+    val noNullElemCols: Seq[String] = files
+      .map(f => GpxFileReader.FooterCache.get(f, conf).noNullElemCols.toSet)
+      .reduceOption(_ intersect _).getOrElse(Set.empty[String]).toSeq.sorted
     var outIndex = 0
     var out: java.io.DataOutputStream = null
     var pos = 0L
@@ -149,7 +154,8 @@ object GpxCompactor {
       if (out == null) return
       val fBytes = new ByteArrayOutputStream(8192)
       val fd = new DataOutputStream(fBytes)
-      GpxFormat.writeFooter(fd, Footer(schema, rgs.result().toArray, sortedBy))
+      GpxFormat.writeFooter(fd,
+        Footer(schema, rgs.result().toArray, sortedBy, noNullElemCols))
       fd.flush()
       val arr = fBytes.toByteArray
       out.write(arr)

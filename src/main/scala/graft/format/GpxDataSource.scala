@@ -79,8 +79,23 @@ class GpxDataSource extends TableProvider with DataSourceRegister {
       // tolerant schema evolution (PixelsReaderOption.tolerantSchemaEvolution
       // analog): the table schema is the by-name union across files in sorted
       // order — see GpxTable.unionSchemas for the widening/nullability rules.
-      files.sorted.map(GpxFileReader.FooterCache.get(_, conf).schema)
-        .reduce(GpxTable.unionSchemas)
+      val footers = files.sorted.map(GpxFileReader.FooterCache.get(_, conf))
+      val union = footers.map(_.schema).reduce(GpxTable.unionSchemas)
+      // footer-proven element non-nullness: when EVERY file claims a
+      // VECTOR column holds no null elements, report containsNull=false —
+      // the vector kernels' static null-gate (VectorKernels.elemsNullable)
+      // then elides the per-element scan on the serve paths. Intersection
+      // across files, so one file with (or predating) no claim keeps the
+      // column conservatively nullable. Log/memtable tables skip this
+      // (their schema comes from the manifest, not an O(files) footer walk).
+      val claims = footers.map(_.noNullElemCols.toSet).reduce(_ intersect _)
+      if (claims.isEmpty) union
+      else StructType(union.map {
+        case f @ StructField(_, ArrayType(et, true), _, _)
+            if claims.contains(f.name) =>
+          f.copy(dataType = ArrayType(et, containsNull = false))
+        case f => f
+      }.toArray)
     }
     if (options.getBoolean("exposeCommitTs", false))
       base.add(StructField(GpxTable.CommitTsCol, LongType, nullable = false))
@@ -370,6 +385,10 @@ object GpxTable {
         case (p: DecimalType, q: DecimalType)
             if p.scale == q.scale && p.precision <= 18 && q.precision <= 18 =>
           Some(if (p.precision >= q.precision) p else q)
+        // arrays differing only in element nullability: a file with null
+        // elements forces containsNull on the union (OR semantics)
+        case (ArrayType(e1, n1), ArrayType(e2, n2)) if e1 == e2 =>
+          Some(ArrayType(e1, n1 || n2))
         case _ => None
       }
     val aNames = a.fieldNames.toSet

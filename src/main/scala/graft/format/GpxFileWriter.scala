@@ -56,6 +56,11 @@ final class GpxFileWriter(
   private val nulls = Array.fill(n)(new ArrayBuffer[Boolean](1024))
   private var bufRows = 0
   private val rowGroups = new ArrayBuffer[RowGroupMeta]
+  // per-column "no array value in this file holds a null ELEMENT" claim,
+  // recorded into the footer so readers can narrow containsNull=false and
+  // the vector kernels' static null-gate engages (row-level null arrays
+  // do not void it — row nullability is tracked by the row bitmap)
+  private val elemNullFree = Array.fill(n)(true)
 
   def addRow(row: InternalRow): Unit = {
     var i = 0
@@ -94,7 +99,10 @@ final class GpxFileWriter(
             bb.putInt(n2)
             var j = 0
             while (j < n2) {
-              if (ad.isNullAt(j)) bm(j >> 3) = (bm(j >> 3) | (1 << (j & 7))).toByte
+              if (ad.isNullAt(j)) {
+                bm(j >> 3) = (bm(j >> 3) | (1 << (j & 7))).toByte
+                elemNullFree(i) = false
+              }
               j += 1
             }
             bb.put(bm)
@@ -494,7 +502,11 @@ final class GpxFileWriter(
     flushRowGroup()
     val fBytes = new ByteArrayOutputStream(8192)
     val fd = new DataOutputStream(fBytes)
-    GpxFormat.writeFooter(fd, Footer(schema, rowGroups.toArray, sortedBy))
+    val claims = schema.fields.zipWithIndex.collect {
+      case (f, i) if isNumericArray(f.dataType) && elemNullFree(i) => f.name
+    }.toSeq
+    GpxFormat.writeFooter(fd,
+      Footer(schema, rowGroups.toArray, sortedBy, claims))
     fd.flush()
     val arr = fBytes.toByteArray
     write(arr)

@@ -58,8 +58,11 @@ object GpxFormat {
   }
 
   /** bumped on any footer/encoding layout change; cache dirs embed it so
-    * files written by an older writer are never misread */
-  val FormatVersion: Int = 7
+    * files written by an older writer are never misread (v8: footer tail
+    * gained the noNullElemCols claim — old files READ fine, but cached
+    * materializations must rebuild to gain the claim and its
+    * containsNull=false narrowing) */
+  val FormatVersion: Int = 8
 
   // encodings
   val EncPlain: Byte = 0
@@ -164,8 +167,18 @@ object GpxFormat {
     * truth, unlike the table-level `_sortspec` intent: files written
     * before the spec existed simply carry an empty list, so scan-time
     * ordering claims can never cover an unsorted legacy file. */
+  /** `noNullElemCols`: numeric-array (VECTOR) columns of THIS FILE whose
+    * every stored array provably contains no null elements — recorded by
+    * the writer from the element bitmaps it emits, intersected across
+    * files by byte-copy compaction. Schema inference narrows the table
+    * schema to `containsNull=false` when EVERY file claims a column, which
+    * lets the vector kernels' static null-gate (VectorKernels.elemsNullable)
+    * drop the per-element null scan on the serve paths. A row-level null
+    * array does not void the claim (row nullability is tracked separately).
+    * Tail-serialized with EOF tolerance like `sortedBy`: older footers
+    * simply carry no claims (never narrowed — always safe). */
   final case class Footer(schema: StructType, rowGroups: Array[RowGroupMeta],
-      sortedBy: Seq[String] = Nil)
+      sortedBy: Seq[String] = Nil, noNullElemCols: Seq[String] = Nil)
 
   /** Types the format materializes natively. Decimals come in two widths
     * like the reference (TypeDescription.java:60-61): p<=18 rides in a
@@ -234,6 +247,8 @@ object GpxFormat {
     }
     out.writeInt(f.sortedBy.length)
     f.sortedBy.foreach(out.writeUTF)
+    out.writeInt(f.noNullElemCols.length)
+    f.noNullElemCols.foreach(out.writeUTF)
   }
 
   def readFooter(in: DataInputStream): Footer = {
@@ -255,11 +270,14 @@ object GpxFormat {
       }
       RowGroupMeta(numRows, chunks, commitTs)
     }
-    // sortedBy rides at the tail; a footer serialized before the field
-    // existed simply ends here (EOF => no sort clustering recorded)
+    // sortedBy/noNullElemCols ride at the tail; a footer serialized before
+    // either field existed simply ends here (EOF => no claim recorded)
     val sortedBy =
       try Seq.fill(in.readInt())(in.readUTF())
       catch { case _: java.io.EOFException => Nil }
-    Footer(schema, rgs, sortedBy)
+    val noNullElemCols =
+      try Seq.fill(in.readInt())(in.readUTF())
+      catch { case _: java.io.EOFException => Nil }
+    Footer(schema, rgs, sortedBy, noNullElemCols)
   }
 }

@@ -194,6 +194,69 @@ class FormatSpec extends GraftSpec {
     assert(back2.exceptAll(emb).count() == 0)
   }
 
+  test("footer-proven containsNull=false narrows VECTOR reads; null elements keep it nullable") {
+    import sp.implicits._
+    val conf = new Configuration()
+    // 1) no null elements anywhere: the footer claims the column, the
+    //    inferred schema narrows to containsNull=false, and the vector
+    //    kernels' STATIC null-gate engages on the scan's resolved output
+    val clean = Seq((0, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0))).toDF("id", "vec")
+    val dir = tmp()
+    clean.coalesce(1).write.format("gpx").mode("overwrite").save(dir)
+    val file = graft.format.GpxTable.listFiles(Seq(dir), conf).head
+    assert(GpxFileReader.readFooter(file, conf).noNullElemCols == Seq("vec"))
+    val back = sp.read.format("gpx").load(dir)
+    assert(back.schema("vec").dataType ==
+      ArrayType(DoubleType, containsNull = false))
+    val attr = back.queryExecution.analyzed.output.find(_.name == "vec").get
+    assert(!org.apache.spark.sql.graft.VectorKernels.elemsNullable(attr),
+      "static null-gate must engage on a claimed gpx-read array")
+    assert(back.select(graft.functions.VectorFunctions
+        .cos_sim(col("vec"), col("vec")).as("c"))
+      .collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+
+    // 2) a null ELEMENT voids the claim: schema stays nullable and the
+    //    kernel still null-propagates (correctness not given back)
+    val dirty = Seq((0, Seq[Option[Double]](Some(1.0), None)),
+      (1, Seq[Option[Double]](Some(2.0), Some(3.0)))).toDF("id", "vec")
+    val dir2 = tmp()
+    dirty.coalesce(1).write.format("gpx").mode("overwrite").save(dir2)
+    val file2 = graft.format.GpxTable.listFiles(Seq(dir2), conf).head
+    assert(GpxFileReader.readFooter(file2, conf).noNullElemCols.isEmpty)
+    val back2 = sp.read.format("gpx").load(dir2)
+    assert(back2.schema("vec").dataType ==
+      ArrayType(DoubleType, containsNull = true))
+    val sims = back2.orderBy("id").select(graft.functions.VectorFunctions
+      .cos_sim(col("vec"), col("vec")).as("c")).collect()
+    assert(sims(0).isNullAt(0), "null element must null-propagate")
+    assert(math.abs(sims(1).getDouble(0) - 1.0) < 1e-12)
+
+    // 3) a table mixing a claimed file with an unclaimed one stays
+    //    conservatively nullable (claims intersect across files)
+    val mixed = tmp()
+    clean.coalesce(1).write.format("gpx").mode("overwrite").save(mixed)
+    val src = new java.io.File(graft.format.GpxTable
+      .listFiles(Seq(dir2), conf).head.stripPrefix("file:"))
+    java.nio.file.Files.copy(src.toPath,
+      java.nio.file.Paths.get(mixed, "extra-dirty.gpx"))
+    val back3 = sp.read.format("gpx").load(mixed)
+    assert(back3.schema("vec").dataType ==
+      ArrayType(DoubleType, containsNull = true))
+    assert(back3.count() == 4)
+
+    // 4) byte-copy compaction carries the claim through (intersection)
+    val two = tmp()
+    (0 until 100).map(i => (i, Seq(i.toDouble, i + 0.5))).toDF("id", "vec")
+      .repartition(2).write.format("gpx").mode("overwrite").save(two)
+    assert(graft.format.GpxTable.listFiles(Seq(two), conf).size >= 2)
+    val cdir = tmp()
+    graft.format.GpxCompactor.compact(two, cdir, conf)
+    val cfile = graft.format.GpxTable.listFiles(Seq(cdir), conf).head
+    assert(GpxFileReader.readFooter(cfile, conf).noNullElemCols == Seq("vec"))
+    assert(sp.read.format("gpx").load(cdir).schema("vec").dataType ==
+      ArrayType(DoubleType, containsNull = false))
+  }
+
   test("wide Decimal(38,10) round-trips (Int128 analog)") {
     import sp.implicits._
     val df = Seq(
