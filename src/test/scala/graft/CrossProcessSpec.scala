@@ -1,0 +1,151 @@
+package graft
+
+import graft.format.GpxCommitLog
+import graft.streaming.{ExchangeChannel, ExchangeServer, PipelinedExchange}
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Cross-PROCESS proofs: the commit protocol's O_EXCL slot claims and
+  * conditional puts, and the exchange's transport seam, exercised by real
+  * forked JVMs — the primitives whose cross-process semantics in-JVM
+  * thread fuzz (HostileStoreSpec / MultiTableTxnSpec / ExchangeSpec)
+  * cannot reach. The reference's equivalents are daemon-mediated
+  * (proto/transaction.proto:33-48) or HTTP streams (proto/stream.proto);
+  * ours must hold on the filesystem/socket primitives alone. */
+class CrossProcessSpec extends GraftSpec {
+  private val conf = new Configuration()
+
+  test("racing appends from three processes (plus a vacuum process): zero lost commits") {
+    val dir = tempDir("xproc_append")
+    // seed the log table from the parent process
+    spark.sql("SELECT CAST(-1 AS BIGINT) AS amount")
+      .coalesce(1).write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    assert(GpxCommitLog.isLogTable(dir, conf))
+    val v0 = GpxCommitLog.head(dir, conf).get.version
+
+    val writers = (0 until 3).map { id =>
+      ForkedJvm.start("graft.CrossProcessMain",
+        Seq("append", dir, id.toString, "15"))
+    }
+    val sweeper = ForkedJvm.start("graft.CrossProcessMain",
+      Seq("vacuum", dir, "80", "3000"))
+    writers.foreach(_.awaitOk())
+    sweeper.awaitOk()
+
+    // zero lost commits: every version slot was claimed by exactly one
+    // committer — the head advanced by AT LEAST the number of appends
+    // (vacuum's head checkpoints may claim extra slots of their own)
+    val head = GpxCommitLog.head(dir, conf).get
+    assert(head.version >= v0 + 45,
+      s"head at v${head.version}, expected >= v${v0 + 45} — a commit was lost")
+    // every appended row visible exactly once
+    val got = spark.read.format("gpx").load(dir)
+      .select("amount").collect().map(_.getLong(0)).sorted.toSeq
+    val want = (-1L +: (for {
+      id <- 0 until 3; i <- 0 until 15
+    } yield id * 100000L + i)).sorted
+    assert(got == want)
+  }
+
+  test("racing atomic transfers from two processes conserve the cross-table sum") {
+    val a = tempDir("xproc_txn_a"); val b = tempDir("xproc_txn_b")
+    def seed(dir: String, amount: Long): Unit = {
+      spark.sql(s"SELECT CAST($amount AS BIGINT) AS amount")
+        .coalesce(1).write.format("gpx").mode("append")
+        .option("commitProtocol", "manifest").save(dir)
+    }
+    seed(a, 1000); seed(b, 0)
+
+    val t1 = ForkedJvm.start("graft.CrossProcessMain",
+      Seq("transfer", a, b, "5", "10"))   // a->b: 10..14 (60 total)
+    val t2 = ForkedJvm.start("graft.CrossProcessMain",
+      Seq("transfer", b, a, "5", "100"))  // b->a: 100..104 (510 total)
+
+    // parent-side snapshot readers during the run: the pinned-pair sum
+    // must hold in every observable state (double-read-of-A protocol,
+    // same as MultiTableTxnSpec.stablePair)
+    def sumAt(dir: String, v: Long): Long =
+      spark.read.format("gpx").option("atVersion", v.toString)
+        .load(dir).agg(sum("amount")).head.getLong(0)
+    var checks = 0
+    while (t1.process.isAlive || t2.process.isAlive) {
+      var pinned: Option[(GpxCommitLog.Snapshot, GpxCommitLog.Snapshot)] = None
+      var guard = 0
+      while (pinned.isEmpty && guard < 1000) {
+        guard += 1
+        val ha = GpxCommitLog.head(a, conf).get
+        val hb = GpxCommitLog.head(b, conf).get
+        val ha2 = GpxCommitLog.head(a, conf).get
+        if (ha2.version == ha.version) pinned = Some((ha, hb))
+      }
+      pinned.foreach { case (ha, hb) =>
+        val s = sumAt(a, ha.version) + sumAt(b, hb.version)
+        assert(s == 1000,
+          s"conservation violated: $s at (a v${ha.version}, b v${hb.version})")
+        checks += 1
+      }
+    }
+    t1.awaitOk(); t2.awaitOk()
+    assert(checks > 0, "no mid-run snapshot was ever checked")
+
+    val sa = spark.read.format("gpx").load(a).agg(sum("amount")).head.getLong(0)
+    val sb = spark.read.format("gpx").load(b).agg(sum("amount")).head.getLong(0)
+    assert(sa + sb == 1000)
+    assert(sa == 1000L - 60 + 510, s"a=$sa")
+    assert(sb == 60L - 510, s"b=$sb")
+  }
+
+  test("cross-JVM pipelined exchange: forked producer JVM streams into this JVM's consumer") {
+    val name = ExchangeChannel.freshName("xjvm")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    ExchangeChannel.open(name, schema, capacity = 4)
+    val server = ExchangeServer.start()
+    try {
+      val nGroups = 20; val rowsPerGroup = 500
+      val producer = ForkedJvm.start("graft.CrossProcessMain", Seq(
+        "exproduce", "127.0.0.1", server.port.toString, name,
+        nGroups.toString, rowsPerGroup.toString))
+      // capacity 4 < 20 row groups: the remote producer MUST be
+      // backpressured over the socket while the consumer drains
+      val out = PipelinedExchange.consume(spark, name,
+        df => df.groupBy().agg(count(lit(1)).as("n"), sum("v").as("s")),
+        producerStallSec = 120L)
+      producer.awaitOk()
+      val row = out.head()
+      val total = nGroups.toLong * rowsPerGroup
+      assert(row.getLong(0) == total)
+      assert(row.getLong(1) == (0L until total).map(_ * 2).sum)
+    } finally {
+      server.stop()
+      ExchangeChannel.remove(name)
+    }
+  }
+
+  test("a producer JVM that crashes mid-stream fails the consumer loudly") {
+    val name = ExchangeChannel.freshName("xjvmcrash")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    ExchangeChannel.open(name, schema, capacity = 8)
+    val server = ExchangeServer.start()
+    try {
+      val producer = ForkedJvm.start("graft.CrossProcessMain", Seq(
+        "excrash", "127.0.0.1", server.port.toString, name, "3", "100"))
+      val e = intercept[Exception] {
+        PipelinedExchange.consume(spark, name,
+          df => df.groupBy().agg(count(lit(1)).as("n")),
+          producerStallSec = 60L)
+      }
+      producer.process.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+      val msg = Option(e.getMessage).getOrElse("") +
+        Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+      assert(msg.contains("dropped") || msg.contains("failed"),
+        s"expected a dropped-producer failure, got: $e")
+    } finally {
+      server.stop()
+      ExchangeChannel.remove(name)
+    }
+  }
+}
