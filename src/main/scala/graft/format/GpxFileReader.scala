@@ -23,6 +23,90 @@ object GpxFileReader {
   val footerReads = new AtomicLong(0)
   val pixelsDecoded = new AtomicLong(0)
   val dictColumnsFilled = new AtomicLong(0)
+  /** actual data-page bytes read from the filesystem (chunk-cache misses
+    * and uncached reads) — the warm-rescan gate asserts this stays flat */
+  val dataBytesRead = new AtomicLong(0)
+
+  /** Executor-local column-chunk cache: bounded byte-LRU over ENCODED
+    * pixel-segment byte ranges keyed (path, offset, length) — the
+    * Spark-idiomatic analog of the reference's shared-memory chunk cache
+    * keyed (file, rowGroup, column) with its radix index
+    * (pixels-cache/.../PixelsCacheReader.java). A repeated interactive
+    * query over a gpx table serves its data pages from here with ZERO
+    * filesystem data reads, without the user persisting a DataFrame.
+    *
+    * Validity mirrors FooterCache's discipline: one stat per readSlices
+    * call; a (len, mtime) change purges the file's entries. Files still
+    * inside their mtime tick (now - mtime < RaceWindowMs) are never
+    * cached — an in-place same-length rewrite within the tick would be
+    * undetectable; once the tick is past, any rewrite bumps (len, mtime).
+    * Entries larger than 1/8 of the budget bypass the cache (one wide
+    * binary chunk must not evict the whole working set). Sized by
+    * -Dgraft.gpx.chunkCacheBytes (0 disables; default 128 MiB per JVM —
+    * an executor-local working set, not a query-scoped buffer). */
+  object ChunkCache {
+    private val RaceWindowMs = 2000L
+    @volatile var budgetBytes: Long =
+      sys.props.get("graft.gpx.chunkCacheBytes").map(_.toLong)
+        .getOrElse(128L << 20)
+    val hits = new AtomicLong(0)
+    val misses = new AtomicLong(0)
+
+    private final case class Validity(len: Long, mtime: Long)
+    private val valid =
+      new java.util.concurrent.ConcurrentHashMap[String, Validity]
+    private val lock = new Object
+    private var totalBytes = 0L
+    private val entries =
+      new java.util.LinkedHashMap[(String, Long, Int), Array[Byte]](
+        1024, 0.75f, true)
+
+    def clear(): Unit = lock.synchronized {
+      entries.clear(); totalBytes = 0L; valid.clear()
+    }
+
+    private[graft] def retainedBytes: Long = lock.synchronized(totalBytes)
+
+    /** May `path`'s segments be served from / inserted into the cache?
+      * Purges stale entries as a side effect of a (len, mtime) change. */
+    def validate(path: String, len: Long, mtime: Long): Boolean = {
+      if (budgetBytes <= 0) return false
+      val v = valid.get(path)
+      if (v != null && v.len == len && v.mtime == mtime) return true
+      if (v != null) purge(path)
+      if (System.currentTimeMillis() - mtime < RaceWindowMs) return false
+      valid.put(path, Validity(len, mtime))
+      true
+    }
+
+    private def purge(path: String): Unit = lock.synchronized {
+      val it = entries.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 == path) { totalBytes -= e.getValue.length; it.remove() }
+      }
+      valid.remove(path)
+      ()
+    }
+
+    def get(path: String, offset: Long, length: Int): Array[Byte] =
+      lock.synchronized(entries.get((path, offset, length)))
+
+    def put(path: String, offset: Long, length: Int, bytes: Array[Byte]): Unit =
+      lock.synchronized {
+        if (bytes.length > budgetBytes / 8) return
+        val k = (path, offset, length)
+        if (entries.containsKey(k)) return
+        entries.put(k, bytes)
+        totalBytes += bytes.length
+        val it = entries.entrySet().iterator()
+        while (totalBytes > budgetBytes && it.hasNext) {
+          val e = it.next()
+          totalBytes -= e.getValue.length
+          it.remove()
+        }
+      }
+  }
 
   /** trailer of a gpx file: serialized-footer length + its content id */
   final case class Tail(footerLen: Int, fileId: Long)
@@ -310,7 +394,19 @@ object GpxFileReader {
       constStr: String = null): ColumnarBatch = {
     val hPath = new Path(path)
     val fs = hPath.getFileSystem(conf)
-    val in = fs.open(hPath)
+    // chunk-cache validity: one stat per split read; a fully-cached split
+    // never opens the file at all (the zero-data-read warm path)
+    val cacheable = ChunkCache.budgetBytes > 0 && {
+      GpxFs.stat(path, conf) match {
+        case Some(st) => ChunkCache.validate(path, st.len, st.mtime)
+        case None => false
+      }
+    }
+    var in: org.apache.hadoop.fs.FSDataInputStream = null
+    def stream(): org.apache.hadoop.fs.FSDataInputStream = {
+      if (in == null) in = fs.open(hPath)
+      in
+    }
     try {
       val vectors = OnHeapColumnVector.allocateColumns(numRows, outSchema)
       var oi = 0
@@ -350,29 +446,47 @@ object GpxFileReader {
           // column absent from this file (schema evolution): all nulls
           vectors(oi).putNulls(0, numRows)
         } else {
-          // gather per-segment buffers with coalesced reads
+          // gather per-segment buffers: cache-served where valid, the
+          // misses with coalesced reads (adjacent UNCACHED slices only)
           val segBufs = new Array[Array[Byte]](slices.length)
+          var anyMiss = false
+          if (cacheable) {
+            var ci = 0
+            while (ci < slices.length) {
+              val b = ChunkCache.get(path, slices(ci).offset, slices(ci).length)
+              if (b != null) { segBufs(ci) = b; ChunkCache.hits.incrementAndGet() }
+              else { anyMiss = true; ChunkCache.misses.incrementAndGet() }
+              ci += 1
+            }
+          } else anyMiss = true
           var si = 0
-          while (si < slices.length) {
-            // coalesce adjacent slices into one read
-            var sj = si
-            var runLen = 0L
-            while (sj < slices.length &&
-              slices(sj).offset == slices(si).offset + runLen) {
-              runLen += slices(sj).length
-              sj += 1
+          while (anyMiss && si < slices.length) {
+            if (segBufs(si) != null) si += 1
+            else {
+              // coalesce adjacent uncached slices into one read
+              var sj = si
+              var runLen = 0L
+              while (sj < slices.length && segBufs(sj) == null &&
+                slices(sj).offset == slices(si).offset + runLen) {
+                runLen += slices(sj).length
+                sj += 1
+              }
+              val buf = new Array[Byte](runLen.toInt)
+              stream().seek(slices(si).offset)
+              stream().readFully(buf)
+              GpxFileReader.dataBytesRead.addAndGet(runLen)
+              var off = 0
+              var sk = si
+              while (sk < sj) {
+                segBufs(sk) = java.util.Arrays.copyOfRange(buf, off, off + slices(sk).length)
+                if (cacheable)
+                  ChunkCache.put(path, slices(sk).offset, slices(sk).length,
+                    segBufs(sk))
+                off += slices(sk).length
+                sk += 1
+              }
+              si = sj
             }
-            val buf = new Array[Byte](runLen.toInt)
-            in.seek(slices(si).offset)
-            in.readFully(buf)
-            var off = 0
-            var sk = si
-            while (sk < sj) {
-              segBufs(sk) = java.util.Arrays.copyOfRange(buf, off, off + slices(sk).length)
-              off += slices(sk).length
-              sk += 1
-            }
-            si = sj
           }
           val dt = outSchema(oi).dataType
           // encoded-vector fast path (enableEncodedColumnVector analog,
@@ -401,7 +515,7 @@ object GpxFileReader {
       new ColumnarBatch(
         vectors.asInstanceOf[Array[org.apache.spark.sql.vectorized.ColumnVector]],
         numRows)
-    } finally in.close()
+    } finally if (in != null) in.close()
   }
 
   /** Dictionary entries of all of one column's dict segments, combined

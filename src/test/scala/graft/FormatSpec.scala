@@ -257,6 +257,64 @@ class FormatSpec extends GraftSpec {
       ArrayType(DoubleType, containsNull = false))
   }
 
+  test("chunk cache: warm re-scan reads zero data bytes; a rewrite purges; memory stays bounded") {
+    import sp.implicits._
+    val CC = GpxFileReader.ChunkCache
+    val conf = new Configuration()
+    val oldBudget = CC.budgetBytes
+    try {
+      val dir = tmp()
+      (0 until 20000).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+        .coalesce(1).write.format("gpx").mode("overwrite").save(dir)
+      val fileUri = graft.format.GpxTable.listFiles(Seq(dir), conf).head
+      val filePath = java.nio.file.Paths.get(fileUri.stripPrefix("file:"))
+      def age(ms: Long): Unit = java.nio.file.Files.setLastModifiedTime(filePath,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - ms))
+      age(10000) // out of the mtime tick -> segments become cacheable
+      CC.clear()
+      def scan(): Double =
+        sp.read.format("gpx").load(dir).agg(sum("v")).head.getDouble(0)
+      val cold = scan()
+      val bytesAfterCold = GpxFileReader.dataBytesRead.get()
+      assert(bytesAfterCold > 0)
+      val hits0 = CC.hits.get()
+      val warm = scan()
+      assert(warm == cold)
+      assert(GpxFileReader.dataBytesRead.get() == bytesAfterCold,
+        "warm re-scan performed filesystem data reads")
+      assert(CC.hits.get() > hits0)
+
+      // an in-place rewrite (new len/mtime) must purge, not serve stale
+      val w = new graft.format.GpxFileWriter(fileUri, StructType(Seq(
+        StructField("id", LongType), StructField("v", DoubleType))), conf)
+      (0 until 100).foreach(i => w.addRow(
+        org.apache.spark.sql.catalyst.InternalRow(i.toLong, i * 3.0)))
+      w.close()
+      age(5000)
+      graft.format.GpxFileReader.FooterCache.clear() // planning sees the rewrite
+      assert(scan() == (0 until 100).map(_ * 3.0).sum)
+
+      // bounded memory under a stress loop: far more data than budget
+      CC.budgetBytes = 256 * 1024
+      CC.clear()
+      val big = tmp()
+      (0 until 20000).map(i => (i.toLong, "x" * 100 + i)).toDF("id", "s")
+        .coalesce(1).write.format("gpx").mode("overwrite").save(big)
+      val bigFile = java.nio.file.Paths.get(graft.format.GpxTable
+        .listFiles(Seq(big), conf).head.stripPrefix("file:"))
+      java.nio.file.Files.setLastModifiedTime(bigFile,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 10000))
+      (0 until 3).foreach { _ =>
+        sp.read.format("gpx").load(big).agg(count(lit(1))).head
+      }
+      assert(CC.retainedBytes <= 256 * 1024,
+        s"chunk cache holds ${CC.retainedBytes} bytes over the 256 KiB budget")
+    } finally {
+      CC.budgetBytes = oldBudget
+      CC.clear()
+    }
+  }
+
   test("wide Decimal(38,10) round-trips (Int128 analog)") {
     import sp.implicits._
     val df = Seq(
