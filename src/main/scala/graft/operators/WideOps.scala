@@ -460,7 +460,39 @@ object WideOps {
         |  CASE WHEN utm_source = '' THEN referer ELSE '' END,
         |  url, resolution_w, resolution_h
         |ORDER BY pageviews DESC, utm_source, src, dst, resolution_w, resolution_h
-        |LIMIT 10 OFFSET 50""".stripMargin))
+        |LIMIT 10 OFFSET 50""".stripMargin),
+
+    // Q22/Q23: conjunctive LIKE + NOT LIKE with MIN-string aggregates and
+    // a per-phrase distinct-user count — the infix wildcards defeat zone
+    // maps, so this is the wide-scan + string-min aggregation shape
+    wq("w41_wide_phrase_like_minurl",
+      """SELECT search_phrase, MIN(url) AS min_url, MIN(title) AS min_title,
+        |  COUNT(*) AS c, COUNT(DISTINCT user_id) AS n_users
+        |FROM hits
+        |WHERE title LIKE '%Title 1%' AND url NOT LIKE '%/page/11%'
+        |  AND search_phrase <> ''
+        |GROUP BY search_phrase ORDER BY c DESC, search_phrase LIMIT 10""".stripMargin),
+
+    // Q34/Q35: the bare near-unique URL ranking (with Q35's constant
+    // group key) — highest-cardinality single-string aggregation, bounded
+    // only by the top-k
+    wq("w42_wide_url_rank",
+      """SELECT 1 AS one, url, COUNT(*) AS c
+        |FROM hits GROUP BY one, url
+        |ORDER BY c DESC, url LIMIT 10""".stripMargin),
+
+    // Q43 (the suite's last query): minute-truncated time series over a
+    // date-range slice, ordered by the minute bucket and paged — the
+    // dashboard-refresh shape (dialect-neutral minute truncation via
+    // event_sec arithmetic)
+    wq("w43_wide_minute_series_paged",
+      """SELECT event_sec - (event_sec % 60) AS minute_bucket,
+        |  COUNT(*) AS pageviews
+        |FROM hits
+        |WHERE counter_id % 5 = 2 AND event_date >= DATE '2024-01-03'
+        |  AND event_date <= DATE '2024-01-28'
+        |GROUP BY event_sec - (event_sec % 60)
+        |ORDER BY minute_bucket LIMIT 10 OFFSET 100""".stripMargin))
 
   /** Approximate-quantile family (ClickBench's quantile queries use
     * sketches): Spark's percentile_approx and DuckDB's approx_quantile
