@@ -79,44 +79,58 @@ object StretchBench {
       val ratio = t1 / (factor * t01)
       (name.takeWhile(_ != '_'), t01, t1, ratio)
     }
-    val qjson = rows.map { case (k, t01, t1, r) =>
+    // d03 additionally at a corpus built to STRADDLE the old 4096-gram
+    // mask gate (sf0.1 vocab is ~377, so 12 near-disjoint copies land at
+    // ~4500 > 4096): under the pre-r11 tiering this flipped every pair
+    // onto the ~10x array verify at once; the unified mask tier must
+    // degrade linearly instead. Denominator is factor-scaled like every
+    // other row.
+    val straddle = queries.find(_._1.startsWith("d03")).map { case (_, fn) =>
+      val xf = 12
+      val xdir = s"${out}_straddle$xf"
+      val ready = new java.io.File(s"$xdir/_READY_v1_$xf")
+      if (!ready.exists()) {
+        new java.io.File(xdir).mkdirs()
+        writeDocCopies(spark, src, xdir, xf)
+        ready.createNewFile()
+      }
+      val t01 = rows.find(_._1 == "d03").map(_._2)
+        .getOrElse(timeAt(src, fn))
+      val tx = timeAt(xdir, fn)
+      ("d03x", t01, tx, tx / (xf * t01))
+    }
+    val allRows = rows ++ straddle
+    val qjson = allRows.map { case (k, t01, t1, r) =>
       s""""$k":{"sf01":${s3(t01)},"sf1":${s3(t1)},"ratio":${s3(r)}}"""
     }.mkString("{", ",", "}")
-    val worst = rows.map(_._4).max
+    val worst = allRows.map(_._4).max
     println(s"""{"metric":"stretch","factor":$factor,"worst_ratio":${s3(worst)},"queries":$qjson,"src":"$src"}""")
     spark.stop()
   }
 
-  /** derive the 10x dataset (idempotent: skipped when the marker exists) */
-  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
-    // v2: events replicate too (w-family stretch rows);
-    // v3: per-copy word sentinels (boundary-trigram disjointness)
-    val ready = new java.io.File(s"$out/_READY_v3_$factor")
-    if (ready.exists()) return
-    new java.io.File(out).mkdirs()
-    def copies(df: DataFrame)(tx: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until factor).map(i => tx(df, i)).reduce(_ unionByName _)
-
+  /** factor-x replicated documents table under `out` — per-copy random
+    * letter PERMUTATION + per-copy word SENTINEL:
+    * WORD tokens and CHARACTER trigrams are both (near-)disjoint
+    * across copies, so token-level (d02/d08) and char-gram (d03) pair
+    * densities scale exactly linearly — the honest 10x. Neither a
+    * token suffix nor a Caesar ROTATION is enough: suffixed words
+    * share most trigrams with their originals, and rotation preserves
+    * letter DIFFERENCES, so rotated trigram images collide across
+    * copies (measured: vocab 1903 of a possible 3770, candidates 125M
+    * instead of ~10x). The permutation ALONE is not enough either on
+    * a small-alphabet corpus: word-BOUNDARY trigrams (letter-letter-
+    * space) live in a ~676-element universe, and ten random ~100-
+    * element images of it collide heavily (measured round 10: union
+    * vocab 1863 instead of ~3770, candidates 119M = 59x instead of
+    * 10x, d03 stretch ratio 2.8). Wrapping every word with a
+    * copy-unique UPPERCASE sentinel letter puts every boundary
+    * trigram in a per-copy-disjoint class while interior trigrams
+    * stay in the big 26^3 universe where permutation images are
+    * near-disjoint; tokens remain distinct per copy. */
+  def writeDocCopies(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
-    copies(docs) { (df, i) =>
-      // per-copy random letter PERMUTATION + per-copy word SENTINEL:
-      // WORD tokens and CHARACTER trigrams are both (near-)disjoint
-      // across copies, so token-level (d02/d08) and char-gram (d03) pair
-      // densities scale exactly linearly — the honest 10x. Neither a
-      // token suffix nor a Caesar ROTATION is enough: suffixed words
-      // share most trigrams with their originals, and rotation preserves
-      // letter DIFFERENCES, so rotated trigram images collide across
-      // copies (measured: vocab 1903 of a possible 3770, candidates 125M
-      // instead of ~10x). The permutation ALONE is not enough either on
-      // a small-alphabet corpus: word-BOUNDARY trigrams (letter-letter-
-      // space) live in a ~676-element universe, and ten random ~100-
-      // element images of it collide heavily (measured round 10: union
-      // vocab 1863 instead of ~3770, candidates 119M = 59x instead of
-      // 10x, d03 stretch ratio 2.8). Wrapping every word with a
-      // copy-unique UPPERCASE sentinel letter puts every boundary
-      // trigram in a per-copy-disjoint class while interior trigrams
-      // stay in the big 26^3 universe where permutation images are
-      // near-disjoint; tokens remain distinct per copy.
+    (0 until factor).map { i =>
       val lower = "abcdefghijklmnopqrstuvwxyz"
       def perm(k: Int): String = {
         val rnd = new scala.util.Random(k * 7919 + 13)
@@ -131,9 +145,23 @@ object StretchBench {
               p + p.toUpperCase),
             "([a-zA-Z]+)", s"$sentinel$$1$sentinel")
         }
-      df.select((col("doc_id") + i * Shift).as("doc_id"), text.as("text"),
+      docs.select((col("doc_id") + i * Shift).as("doc_id"), text.as("text"),
         col("lang"), col("source"), col("n_chars"))
-    }.write.mode("overwrite").parquet(s"$out/documents.parquet")
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  /** derive the 10x dataset (idempotent: skipped when the marker exists) */
+  def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    // v2: events replicate too (w-family stretch rows);
+    // v3: per-copy word sentinels (boundary-trigram disjointness)
+    val ready = new java.io.File(s"$out/_READY_v3_$factor")
+    if (ready.exists()) return
+    new java.io.File(out).mkdirs()
+    def copies(df: DataFrame)(tx: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => tx(df, i)).reduce(_ unionByName _)
+
+    writeDocCopies(spark, src, out, factor)
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     copies(emb) { (df, i) =>

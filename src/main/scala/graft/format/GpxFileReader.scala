@@ -52,7 +52,7 @@ object GpxFileReader {
     val hits = new AtomicLong(0)
     val misses = new AtomicLong(0)
 
-    private final case class Validity(len: Long, mtime: Long)
+    final case class Validity(len: Long, mtime: Long)
     private val valid =
       new java.util.concurrent.ConcurrentHashMap[String, Validity]
     private val lock = new Object
@@ -68,18 +68,25 @@ object GpxFileReader {
     private[graft] def retainedBytes: Long = lock.synchronized(totalBytes)
 
     /** May `path`'s segments be served from / inserted into the cache?
+      * Returns the file's validity TOKEN (null = not cacheable), which
+      * `put` requires so a reader that validated BEFORE an in-place
+      * rewrite cannot insert its stale bytes AFTER the rewrite's purge
+      * (validate -> rewrite+purge -> put is the TOCTOU this closes).
       * Purges stale entries as a side effect of a (len, mtime) change. */
-    def validate(path: String, len: Long, mtime: Long): Boolean = {
-      if (budgetBytes <= 0) return false
-      val v = valid.get(path)
-      if (v != null && v.len == len && v.mtime == mtime) return true
-      if (v != null) purge(path)
-      if (System.currentTimeMillis() - mtime < RaceWindowMs) return false
-      valid.put(path, Validity(len, mtime))
-      true
+    def validate(path: String, len: Long, mtime: Long): Validity = {
+      if (budgetBytes <= 0) return null
+      lock.synchronized {
+        val v = valid.get(path)
+        if (v != null && v.len == len && v.mtime == mtime) return v
+        if (v != null) purgeLocked(path)
+        if (System.currentTimeMillis() - mtime < RaceWindowMs) return null
+        val nv = Validity(len, mtime)
+        valid.put(path, nv)
+        nv
+      }
     }
 
-    private def purge(path: String): Unit = lock.synchronized {
+    private def purgeLocked(path: String): Unit = {
       val it = entries.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
@@ -92,8 +99,12 @@ object GpxFileReader {
     def get(path: String, offset: Long, length: Int): Array[Byte] =
       lock.synchronized(entries.get((path, offset, length)))
 
-    def put(path: String, offset: Long, length: Int, bytes: Array[Byte]): Unit =
+    def put(path: String, offset: Long, length: Int, bytes: Array[Byte],
+        tok: Validity): Unit =
       lock.synchronized {
+        // the file was purged or re-validated under a different (len,
+        // mtime) since this reader's validate: its bytes are stale
+        if (tok == null || valid.get(path) != tok) return
         if (bytes.length > budgetBytes / 8) return
         val k = (path, offset, length)
         if (entries.containsKey(k)) return
@@ -396,12 +407,13 @@ object GpxFileReader {
     val fs = hPath.getFileSystem(conf)
     // chunk-cache validity: one stat per split read; a fully-cached split
     // never opens the file at all (the zero-data-read warm path)
-    val cacheable = ChunkCache.budgetBytes > 0 && {
-      GpxFs.stat(path, conf) match {
+    val cacheTok: ChunkCache.Validity =
+      if (ChunkCache.budgetBytes <= 0) null
+      else GpxFs.stat(path, conf) match {
         case Some(st) => ChunkCache.validate(path, st.len, st.mtime)
-        case None => false
+        case None => null
       }
-    }
+    val cacheable = cacheTok != null
     var in: org.apache.hadoop.fs.FSDataInputStream = null
     def stream(): org.apache.hadoop.fs.FSDataInputStream = {
       if (in == null) in = fs.open(hPath)
@@ -481,7 +493,7 @@ object GpxFileReader {
                 segBufs(sk) = java.util.Arrays.copyOfRange(buf, off, off + slices(sk).length)
                 if (cacheable)
                   ChunkCache.put(path, slices(sk).offset, slices(sk).length,
-                    segBufs(sk))
+                    segBufs(sk), cacheTok)
                 off += slices(sk).length
                 sk += 1
               }

@@ -18,6 +18,17 @@ object VectorFunctions {
   def trigram_ids(s: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.trigram_ids(s)
 
+  /** Exact Jaccard of two fixed-width array<long> bitmasks —
+    * popcount(AND)/popcount(OR) in one fused codegen'd pass
+    * (org.apache.spark.sql.graft.MaskJaccard). */
+  def mask_jaccard(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.mask_jaccard(a, b)
+
+  /** Fixed-width array<long> bitmask from 1-based bit positions
+    * (org.apache.spark.sql.graft.PositionsToMask). */
+  def positions_to_mask(ps: Column, nWords: Int): Column =
+    org.apache.spark.sql.graft.VectorExpressions.positions_to_mask(ps, nWords)
+
   def minhash_sigs(a: Column, numHashes: Int): Column =
     org.apache.spark.sql.graft.VectorExpressions.minhash_sigs(a, numHashes)
 

@@ -533,24 +533,28 @@ object Dedup {
       // multi-word bitset verify: with a dictionary of V grams, each set is
       // ceil(V/64) longs; |A&B| / |A|B| are word-wise popcounts — identical
       // integer ratios to the array intersect/union, ~2 orders cheaper per
-      // candidate pair. Falls back to array jaccard for huge vocabularies.
+      // candidate pair WHEN sets are dense in the vocabulary (char-level
+      // corpora: OCR text, code, CJK). Falls back to array jaccard when
+      // the masks would be mostly-zero padding.
       val nWords = ((vocabV + 63) / 64).toInt
+      // density decides the tier: mask verify costs ~nWords word ops per
+      // pair, sorted-merge ~|A|+|B| branchy steps per pair — masks win
+      // while V stays within ~256x the average set size (word ops are
+      // ~4x cheaper than merge steps and the mask width is V/64). The
+      // old <=64-word gate was a CLIFF: crossing 4096 grams flipped
+      // every pair onto the ~10x-costlier array path at once. Now the
+      // per-pair cost grows linearly in nWords up to the 1024-word
+      // (8 KiB/doc) shuffle-width bound, and past THAT the corpus is a
+      // real word-level vocabulary whose sparse sets the array path
+      // represents honestly. The <=64-word tier is kept unconditional
+      // (previous behavior: tiny masks beat everything).
+      val avgSz = g.agg(avg(col("sz"))).head.getDouble(0)
       val verify =
-        // Dense-mask verify while the corpus vocabulary stays small
-        // (<= 4096 grams, 64 words): per-pair cost is nWords AND/popcount
-        // word ops and the mask shuffle is fixed-width — both cheaper
-        // than the sorted-merge array path whenever sets are dense in the
-        // vocabulary (char-level corpora: OCR text, code, CJK). The sf1
-        // stretch showed the gate itself is the scaling cliff: crossing
-        // it flips EVERY pair onto the ~10x-costlier array verify, so
-        // the gate is sized to the aggregate width codegen tolerates,
-        // not lower. Past it (real word-level corpora at any scale),
-        // the array path is the honest representation.
-        if (nWords <= 64) {
-          // dense bit positions for the <=4096 sparse gids via a collected,
-          // sorted table — bounded by the nWords gate, so the collect and
-          // broadcast are provably tiny at any corpus size (freq already
-          // holds exactly one row per gid)
+        if (nWords <= 64 || (nWords <= 1024 && vocabV <= 256 * avgSz)) {
+          // dense bit positions for the <=65536 sparse gids via a
+          // collected, sorted table — bounded by the nWords gate, so the
+          // collect and broadcast are provably tiny at any corpus size
+          // (freq already holds exactly one row per gid)
           val gids = freq.select(col("gid")).orderBy(col("gid"))
             .collect().map(_.getLong(0))
           val posDf = broadcast(s.createDataFrame(
@@ -558,22 +562,18 @@ object Dedup {
               case (t, i) => org.apache.spark.sql.Row(t, i + 1)
             }, 1),
             new StructType().add("gid", LongType).add("pos", IntegerType)))
-          val wordCols = (0 until nWords).map { w =>
-            sum(when(((col("pos") - 1) / 64).cast("int") === w,
-              expr("shiftleft(cast(1 as bigint), (pos - 1) % 64)"))
-              .otherwise(0L)).as(s"w$w")
-          }
+          // O(|set| + nWords) native mask build from the rank list — no
+          // aggregate-width codegen cliff (the old 64-column pivot capped
+          // the tier at 64 words)
           val masks = gidGrams.join(posDf, "gid").groupBy(col("doc_id"))
-            .agg(wordCols.head, wordCols.tail: _*)
-            .select(col("doc_id"), array((0 until nWords).map(w => col(s"w$w")): _*).as("m"))
-          val inter = expr(
-            "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x & y)), 0, (acc, v) -> acc + v)")
-          val uni = expr(
-            "aggregate(zip_with(ma, mb, (x, y) -> bit_count(x | y)), 0, (acc, v) -> acc + v)")
+            .agg(collect_list(col("pos")).as("ps"))
+            .select(col("doc_id"), graft.functions.VectorFunctions
+              .positions_to_mask(col("ps"), nWords).as("m"))
           candidates
             .join(masks.select(col("doc_id").as("a_id"), col("m").as("ma")), "a_id")
             .join(masks.select(col("doc_id").as("b_id"), col("m").as("mb")), "b_id")
-            .withColumn("jaccard", inter.cast(DoubleType) / uni)
+            .withColumn("jaccard", graft.functions.VectorFunctions
+              .mask_jaccard(col("ma"), col("mb")))
         } else candidates
           .join(gInt.select(col("gd").as("a_id"), col("sids").as("a_s")), "a_id")
           .join(gInt.select(col("gd").as("b_id"), col("sids").as("b_s")), "b_id")

@@ -56,6 +56,18 @@ object GraftFunctions {
     ("sorted_jaccard", info("sorted_jaccard",
       "sorted_jaccard(a, b): jaccard of SORTED distinct long arrays"),
       two("sorted_jaccard", SortedJaccard)),
+    ("mask_jaccard", info("mask_jaccard",
+      "mask_jaccard(a, b): jaccard of fixed-width long bitmasks " +
+        "(popcount AND / popcount OR)"),
+      two("mask_jaccard", MaskJaccard)),
+    ("positions_to_mask", info("positions_to_mask",
+      "positions_to_mask(ps, n): n-word long bitmask from 1-based bit " +
+        "positions"), {
+      case Seq(a, Literal(n: Int, IntegerType)) => PositionsToMask(a, n)
+      case other => throw new IllegalArgumentException(
+        "positions_to_mask expects (array<int>, <int literal>), got " +
+          other.map(_.sql).mkString(", "))
+    }),
     ("trigram_ids", info("trigram_ids",
       "trigram_ids(s): distinct character trigrams as packed codepoint ids"),
       one("trigram_ids", TrigramIds)),

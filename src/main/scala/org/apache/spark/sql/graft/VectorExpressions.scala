@@ -266,6 +266,151 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact Jaccard over two fixed-width Long bitmasks:
+  * popcount(AND) / popcount(OR), one fused pass — the per-pair kernel of
+  * the dedup verify's mask tiers (d03). Words past the shorter mask's end
+  * contribute to the union only (masks are built same-width by the
+  * caller; the general formula keeps a width mismatch correct rather
+  * than silently wrong). Null on null input or an empty union (0/0,
+  * matching SortedJaccard).
+  */
+case class MaskJaccard(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private lazy val mayHaveNullElems =
+    VectorKernels.elemsNullable(left) || VectorKernels.elemsNullable(right)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (mayHaveNullElems &&
+      (VectorKernels.anyNull(a) || VectorKernels.anyNull(b))) return null
+    val na = a.numElements(); val nb = b.numElements()
+    val n = math.min(na, nb)
+    var i = 0; var inter = 0L; var union = 0L
+    while (i < n) {
+      val x = a.getLong(i); val y = b.getLong(i)
+      inter += java.lang.Long.bitCount(x & y)
+      union += java.lang.Long.bitCount(x | y)
+      i += 1
+    }
+    while (i < na) { union += java.lang.Long.bitCount(a.getLong(i)); i += 1 }
+    while (i < nb) { union += java.lang.Long.bitCount(b.getLong(i)); i += 1 }
+    if (union == 0L) null else java.lang.Double.valueOf(inter.toDouble / union)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val n = ctx.freshName("n")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val inter = ctx.freshName("inter")
+      val union = ctx.freshName("union")
+      val nullCheck = if (mayHaveNullElems)
+        s"""org.apache.spark.sql.graft.VectorKernels.anyNull($a) ||
+           |    org.apache.spark.sql.graft.VectorKernels.anyNull($b)""".stripMargin
+      else "false"
+      s"""
+         |if ($nullCheck) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $n = $na < $nb ? $na : $nb;
+         |long $inter = 0L;
+         |long $union = 0L;
+         |int $i = 0;
+         |while ($i < $n) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($i);
+         |  $inter += java.lang.Long.bitCount($x & $y);
+         |  $union += java.lang.Long.bitCount($x | $y);
+         |  $i++;
+         |}
+         |while ($i < $na) { $union += java.lang.Long.bitCount($a.getLong($i)); $i++; }
+         |while ($i < $nb) { $union += java.lang.Long.bitCount($b.getLong($i)); $i++; }
+         |if ($union == 0L) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (double) $inter / (double) $union; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fixed-width Long bitmask from a list of 1-based bit positions
+  * (`collect_list` of dictionary ranks, any order, duplicates fine) —
+  * the O(|set| + nWords) mask builder that replaced d03's 64-column
+  * pivot aggregate and lets the mask tier extend past 64 words without
+  * the aggregate-width codegen cliff. Positions outside
+  * [1, nWords * 64] are ignored (the caller's dictionary bounds them by
+  * construction; dropping beats throwing mid-stage on a corrupt rank).
+  * Null on null input; output elements are never null.
+  */
+case class PositionsToMask(child: Expression, nWords: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(nWords > 0, "nWords must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(IntegerType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private lazy val mayHaveNullElems = VectorKernels.elemsNullable(child)
+
+  override def nullSafeEval(v: Any): Any = {
+    val ps = v.asInstanceOf[ArrayData]
+    val words = new Array[Long](nWords)
+    val n = ps.numElements()
+    var i = 0
+    while (i < n) {
+      if (!(mayHaveNullElems && ps.isNullAt(i))) {
+        val p = ps.getInt(i) - 1
+        if (p >= 0 && p < nWords * 64) words(p >> 6) |= 1L << (p & 63)
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(words)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val words = ctx.freshName("words")
+      val skipNull = if (mayHaveNullElems) s"$a.isNullAt($i)" else "false"
+      s"""
+         |long[] $words = new long[$nWords];
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!($skipNull)) {
+         |    int $p = $a.getInt($i) - 1;
+         |    if ($p >= 0 && $p < ${nWords * 64}) {
+         |      $words[$p >> 6] |= 1L << ($p & 63);
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($words);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All random-hyperplane LSH signatures of one vector in a single pass —
   * `tables` signatures of `bits` sign-bits each, over a flat row-major
   * plane matrix ((t * bits + b) * dim + i). One compact generated loop
@@ -587,6 +732,14 @@ object VectorExpressions {
   def sorted_jaccard(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedJaccard(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def mask_jaccard(a: Column, b: Column): Column =
+    ExpressionUtils.column(MaskJaccard(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def positions_to_mask(ps: Column, nWords: Int): Column =
+    ExpressionUtils.column(PositionsToMask(
+      ExpressionUtils.expression(ps), nWords))
 
   def dot_product(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(

@@ -136,6 +136,86 @@ class DedupFuzzSpec extends GraftSpec {
     }
   }
 
+  /** d03 brute force over an arbitrary documents table dir. */
+  private def d03Brute(dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), array_distinct(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("s"))
+    g.as("a").join(g.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jaccard", size(array_intersect(col("a.s"), col("b.s")))
+        .cast("double") / size(array_union(col("a.s"), col("b.s"))))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("jaccard"))
+  }
+
+  /** Corpus whose token vocabulary is built to hit a target trigram
+    * diversity: clone/mutation families over `wordChars`-alphabet words. */
+  private def mkDiverseCorpus(seed: Int, nDocs: Int, nWordsVocab: Int,
+      tokensPerDoc: Int, alphabet: String): String = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector.fill(nWordsVocab)(
+      (0 until 6).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    def fresh(): String =
+      Seq.fill(2 + rnd.nextInt(tokensPerDoc))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    val base = Vector.fill(math.max(nDocs / 3, 1))(fresh())
+    val rows = (0 until nDocs).map { i =>
+      val text = (i % 3: @unchecked) match {
+        case 0 => base(rnd.nextInt(base.size))
+        case 1 =>
+          val t = base(rnd.nextInt(base.size)).split(" ").toVector
+          t.updated(rnd.nextInt(t.size), vocab(rnd.nextInt(vocab.size)))
+            .mkString(" ")
+        case 2 => fresh()
+      }
+      (i.toLong, text, "en", s"src$seed", text.length.toLong)
+    }
+    val dir = TestSpark.tempDir(s"dfuzzv$seed")
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(2).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def trigramVocab(dir: String): Long =
+    Tables.documents(spark, dir).filter(length(col("text")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+        .as("g")).distinct().count()
+
+  test("d03 with a vocabulary past the old 64-word gate (middle mask tier) equals brute force") {
+    // 6-char words over a 36-char alphabet: trigram vocabulary lands in
+    // (4096, 65536) — the range the old gate dumped onto the 10x array
+    // path wholesale and the unified mask tier now serves gradually
+    val dir = mkDiverseCorpus(7001, 240, 2000, 25,
+      "abcdefghijklmnopqrstuvwxyz0123456789")
+    val v = trigramVocab(dir)
+    assert(v > 4096, s"corpus built too small to straddle the gate: $v grams")
+    assertSame(at("d03_ngram_jaccard", dir), d03Brute(dir), "d03 straddle")
+    CacheScope.release()
+  }
+
+  test("d03 with a sparse vocabulary (array tier) equals brute force") {
+    // tiny docs over a wide unicode alphabet: vocabulary large relative
+    // to 256x the average set size, so the density rule picks the
+    // sorted-merge array verify — the honest representation for sparse
+    // sets
+    val dir = mkDiverseCorpus(7002, 700, 6000, 2,
+      "一丁丂七丄丅丆万丈三" +
+        "上下丌不与丏丐丑丒专" +
+        "abcdefghijklmnopqrstuvwxyz0123456789")
+    assert(trigramVocab(dir) > 4096, "corpus too small to leave tier 1")
+    assertSame(at("d03_ngram_jaccard", dir), d03Brute(dir), "d03 sparse")
+    CacheScope.release()
+  }
+
   test("MinHashSigs is bit-identical to the array_min/transform formula") {
     val sp = spark
     import sp.implicits._

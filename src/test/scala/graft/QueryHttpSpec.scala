@@ -1,0 +1,119 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** The HTTP facade contract (reference QueryController surface): route
+  * mapping, hint parsing, pop-once result rendering, cancellation, and
+  * the error statuses (400 bad input / 404 unknown / 429 queue full).
+  * The SLA semantics themselves are QueryServiceSpec's job — here each
+  * route must faithfully relay them over a real loopback socket. */
+class QueryHttpSpec extends GraftSpec {
+
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(5)).build()
+
+  private def post(url: String, body: String = ""): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .timeout(Duration.ofSeconds(30)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(url: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(url)).GET()
+      .timeout(Duration.ofSeconds(30)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def field(json: String, name: String): Option[String] =
+    (s""""$name":"([^"]*)"""".r.findFirstMatchIn(json)).map(_.group(1))
+
+  test("submit/status/result round-trip over a real socket") {
+    val m = new QueryService.Manager(spark, slots = 2)
+    val http = new QueryHttp(m)
+    try {
+      val base = s"http://127.0.0.1:${http.boundPort}"
+      val sub = post(s"$base/query?hint=immediate",
+        "SELECT 21 * 2 AS v, 'a\"b' AS s, CAST(NULL AS INT) AS n")
+      assert(sub.statusCode() == 200, sub.body())
+      val token = field(sub.body(), "token").get
+
+      // await via the manager (the facade is stateless), then status
+      assert(m.await(token).contains(QueryService.Finished))
+      val st = get(s"$base/query/status?token=$token")
+      assert(st.statusCode() == 200)
+      assert(field(st.body(), "status").contains("finished"))
+
+      // pop renders columns + typed cells (number, escaped string, null)
+      val res = get(s"$base/query/result?token=$token")
+      assert(res.statusCode() == 200, res.body())
+      assert(res.body().contains(""""columns":["v","s","n"]"""))
+      assert(res.body().contains("""[42,"a\"b",null]"""), res.body())
+      // pop-once: a second fetch 404s
+      assert(get(s"$base/query/result?token=$token").statusCode() == 404)
+    } finally { http.close(); m.close() }
+  }
+
+  test("error statuses: bad hint, empty body, unknown token, failed query") {
+    val m = new QueryService.Manager(spark)
+    val http = new QueryHttp(m)
+    try {
+      val base = s"http://127.0.0.1:${http.boundPort}"
+      assert(post(s"$base/query?hint=bogus", "SELECT 1").statusCode() == 400)
+      assert(post(s"$base/query", "  ").statusCode() == 400)
+      assert(get(s"$base/query/status?token=zzz").statusCode() == 404)
+      assert(get(s"$base/query/result?token=zzz").statusCode() == 404)
+      assert(post(s"$base/query/cancel").statusCode() == 400)
+      assert(get(s"$base/nope").statusCode() == 404)
+
+      // a failing query reports failed + reason through the facade
+      val bad = field(post(s"$base/query?hint=immediate",
+        "SELECT * FROM no_such_table_xyz").body(), "token").get
+      m.await(bad)
+      val st = get(s"$base/query/status?token=$bad")
+      assert(field(st.body(), "status").contains("failed"))
+      assert(st.body().contains("reason"))
+    } finally { http.close(); m.close() }
+  }
+
+  test("cancel over http: a queued query never runs") {
+    // slots=1 with a hog keeps a relaxed submission Pending long enough
+    // to cancel it deterministically
+    val m = new QueryService.Manager(spark, slots = 1,
+      maxPostponeMs = 120000L)
+    val http = new QueryHttp(m)
+    try {
+      val base = s"http://127.0.0.1:${http.boundPort}"
+      val hog = field(post(s"$base/query?hint=immediate",
+        "SELECT count(*) AS s FROM range(40000000000) WHERE id % 1000000007 = 3")
+        .body(), "token").get
+      Thread.sleep(300)
+      val t = field(post(s"$base/query?hint=relaxed", "SELECT 1").body(),
+        "token").get
+      val c = post(s"$base/query/cancel?token=$t")
+      assert(c.statusCode() == 200 && c.body().contains("true"), c.body())
+      assert(field(get(s"$base/query/status?token=$t").body(), "status")
+        .contains("cancelled"))
+      post(s"$base/query/cancel?token=$hog")
+      m.await(hog)
+    } finally { http.close(); m.close() }
+  }
+
+  test("queue-full admission maps to 429") {
+    val m = new QueryService.Manager(spark, slots = 1, queueCap = 1,
+      maxPostponeMs = 120000L)
+    val http = new QueryHttp(m)
+    try {
+      val base = s"http://127.0.0.1:${http.boundPort}"
+      val hog = field(post(s"$base/query?hint=immediate",
+        "SELECT count(*) AS s FROM range(40000000000) WHERE id % 1000000007 = 3")
+        .body(), "token").get
+      Thread.sleep(300)
+      assert(post(s"$base/query?hint=relaxed", "SELECT 1").statusCode() == 200)
+      val full = post(s"$base/query?hint=relaxed", "SELECT 2")
+      assert(full.statusCode() == 429, s"${full.statusCode()} ${full.body()}")
+      post(s"$base/query/cancel?token=$hog")
+      m.await(hog)
+    } finally { http.close(); m.close() }
+  }
+}

@@ -15,6 +15,21 @@ class SqlFunctionsSpec extends GraftSpec {
     assert(sp.sql(
       "SELECT sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L))")
       .head.getDouble(0) == 0.5)
+    // mask jaccard: {bits 1,2} vs {bits 2,65} -> |AND|=1, |OR|=3
+    assert(sp.sql(
+      "SELECT mask_jaccard(array(3L, 0L), array(2L, 1L))")
+      .head.getDouble(0) == 1.0 / 3)
+    // width mismatch: extra words count toward the union only
+    assert(sp.sql("SELECT mask_jaccard(array(1L), array(1L, 7L))")
+      .head.getDouble(0) == 0.25)
+    // positions_to_mask: bits 1, 64, 65 -> words (1 | 1<<63, 1)
+    assert(sp.sql("SELECT positions_to_mask(array(1, 64, 65), 2)")
+      .head.getSeq[Long](0) == Seq(1L | (1L << 63), 1L))
+    // round trip: mask of positions vs mask of same positions = J 1.0
+    assert(sp.sql(
+      """SELECT mask_jaccard(positions_to_mask(array(5, 70), 2),
+        |  positions_to_mask(array(70, 5, 5), 2))""".stripMargin)
+      .head.getDouble(0) == 1.0)
     // trigram_ids('abcd') = {abc, bcd} as packed codepoint ids
     val tg = sp.sql("SELECT trigram_ids('abcd')").head.getSeq[Long](0)
     def pack(a: Char, b: Char, c: Char): Long =
