@@ -86,24 +86,38 @@ object StretchBench {
     // degrade linearly instead. Denominator is factor-scaled like every
     // other row.
     val straddle = queries.find(_._1.startsWith("d03")).map { case (_, fn) =>
-      val xf = 12
+      val xf = 27
       val xdir = s"${out}_straddle$xf"
-      val ready = new java.io.File(s"$xdir/_READY_v1_$xf")
+      val ready = new java.io.File(s"$xdir/_READY_v3_$xf")
       if (!ready.exists()) {
         new java.io.File(xdir).mkdirs()
-        writeDocCopies(spark, src, xdir, xf)
+        writeDocCopies(spark, src, xdir, xf, wide = true)
         ready.createNewFile()
       }
+      // the straddle is only a straddle if the corpus vocabulary
+      // measurably crossed the old 4096-gram gate — record it in the
+      // artifact rather than trusting the generator (a 12-copy narrow
+      // variant measured 2145: sentinel boundary grams collapse
+      // cross-word diversity to O(words))
+      val vocab = spark.read.parquet(s"$xdir/documents.parquet")
+        .filter(length(col("text")) >= 3)
+        .select(explode(graft.functions.VectorFunctions
+          .trigram_ids(col("text"))).as("g"))
+        .distinct().count()
+      require(vocab > 4096,
+        s"straddle corpus failed to cross the 4096-gram gate: $vocab")
       val t01 = rows.find(_._1 == "d03").map(_._2)
         .getOrElse(timeAt(src, fn))
       val tx = timeAt(xdir, fn)
-      ("d03x", t01, tx, tx / (xf * t01))
+      ("d03x", t01, tx, tx / (xf * t01), vocab, xf)
     }
-    val allRows = rows ++ straddle
-    val qjson = allRows.map { case (k, t01, t1, r) =>
+    val qjson = (rows.map { case (k, t01, t1, r) =>
       s""""$k":{"sf01":${s3(t01)},"sf1":${s3(t1)},"ratio":${s3(r)}}"""
-    }.mkString("{", ",", "}")
-    val worst = allRows.map(_._4).max
+    } ++ straddle.map { case (k, t01, t1, r, vocab, xf) =>
+      s""""$k":{"sf01":${s3(t01)},"sf1":${s3(t1)},"ratio":${s3(r)},""" +
+        s""""factor":$xf,"vocab":$vocab}"""
+    }).mkString("{", ",", "}")
+    val worst = (rows.map(_._4) ++ straddle.map(_._4)).max
     println(s"""{"metric":"stretch","factor":$factor,"worst_ratio":${s3(worst)},"queries":$qjson,"src":"$src"}""")
     spark.stop()
   }
@@ -126,21 +140,41 @@ object StretchBench {
     * copy-unique UPPERCASE sentinel letter puts every boundary
     * trigram in a per-copy-disjoint class while interior trigrams
     * stay in the big 26^3 universe where permutation images are
-    * near-disjoint; tokens remain distinct per copy. */
+    * near-disjoint; tokens remain distinct per copy.
+    *
+    * `wide` widens each copy's permutation TARGET from [a-z] to a random
+    * 26-subset of [a-z0-9], applied AFTER the sentinel wrap (wrap first
+    * so the word regex sees the original lowercase words; then translate
+    * only lowercase letters, leaving the uppercase sentinels untouched):
+    * images land in the 36^3 universe, the map is injective (26 distinct
+    * targets), and interior grams can never collide with any copy's
+    * uppercase sentinel class. The straddle corpus needs ~27 copies to
+    * cross the 4096-gram mask gate (sentinel boundary grams scale with
+    * WORDS, not word pairs, so per-copy vocabulary is only ~170; see the
+    * d03x row). Uppercase sentinels cap `factor` at 27 in wide mode
+    * (copy 0 is untransformed; copies 1..26 use 'A'..'Z'). */
   def writeDocCopies(spark: SparkSession, src: String, out: String,
-      factor: Int): Unit = {
+      factor: Int, wide: Boolean = false): Unit = {
+    require(!wide || factor <= 27,
+      "wide doc replication has 26 sentinel letters (copies 1..26)")
     val docs = spark.read.parquet(s"$src/documents.parquet")
     (0 until factor).map { i =>
       val lower = "abcdefghijklmnopqrstuvwxyz"
       def perm(k: Int): String = {
         val rnd = new scala.util.Random(k * 7919 + 13)
-        rnd.shuffle(lower.toSeq).mkString
+        val target = if (wide)
+          rnd.shuffle((('a' to 'z') ++ ('0' to '9')).toSeq).take(26)
+        else rnd.shuffle(lower.toSeq)
+        target.mkString
       }
       val p = perm(i)
       val text = if (i == 0) col("text")
         else {
           val sentinel = ('A' + (i - 1)).toChar.toString
-          regexp_replace(
+          val wrapped = regexp_replace(col("text"),
+            "([a-zA-Z]+)", s"$sentinel$$1$sentinel")
+          if (wide) translate(wrapped, lower, p)
+          else regexp_replace(
             translate(col("text"), lower + lower.toUpperCase,
               p + p.toUpperCase),
             "([a-zA-Z]+)", s"$sentinel$$1$sentinel")

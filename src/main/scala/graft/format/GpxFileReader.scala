@@ -80,6 +80,19 @@ object GpxFileReader {
         if (v != null && v.len == len && v.mtime == mtime) return v
         if (v != null) purgeLocked(path)
         if (System.currentTimeMillis() - mtime < RaceWindowMs) return null
+        // validity tokens are NOT evicted with their byte entries (purge
+        // is keyed on rewrite, eviction on budget), so a long-lived
+        // executor streaming over ever-new immutable files would grow
+        // `valid` without bound: sweep tokens whose paths hold no bytes
+        // once the map outnumbers the cached path set substantially. A
+        // swept token only costs its in-flight readers their put (token
+        // mismatch), never correctness.
+        if (valid.size > 1024) {
+          val live = new java.util.HashSet[String]()
+          entries.keySet.forEach(k => { live.add(k._1); () })
+          if (valid.size > 2 * live.size + 1024)
+            valid.keySet.removeIf(p => !live.contains(p))
+        }
         val nv = Validity(len, mtime)
         valid.put(path, nv)
         nv

@@ -29,6 +29,12 @@ object VectorFunctions {
   def positions_to_mask(ps: Column, nWords: Int): Column =
     org.apache.spark.sql.graft.VectorExpressions.positions_to_mask(ps, nWords)
 
+  /** Fixed-width array<long> bitmask from a sorted-distinct id array and
+    * a sorted dictionary, computed map-side with zero joins
+    * (org.apache.spark.sql.graft.SortedIdsToMask). */
+  def sorted_ids_to_mask(ids: Column, dict: Array[Long]): Column =
+    org.apache.spark.sql.graft.VectorExpressions.sorted_ids_to_mask(ids, dict)
+
   def minhash_sigs(a: Column, numHashes: Int): Column =
     org.apache.spark.sql.graft.VectorExpressions.minhash_sigs(a, numHashes)
 

@@ -536,7 +536,9 @@ object Dedup {
       // candidate pair WHEN sets are dense in the vocabulary (char-level
       // corpora: OCR text, code, CJK). Falls back to array jaccard when
       // the masks would be mostly-zero padding.
-      val nWords = ((vocabV + 63) / 64).toInt
+      // max(1, _): an empty corpus must not build a 0-word mask
+      // expression (the pipeline is empty end-to-end anyway)
+      val nWords = math.max(1L, (vocabV + 63) / 64).toInt
       // density decides the tier: mask verify costs ~nWords word ops per
       // pair, sorted-merge ~|A|+|B| branchy steps per pair — masks win
       // while V stays within ~256x the average set size (word ops are
@@ -548,27 +550,23 @@ object Dedup {
       // real word-level vocabulary whose sparse sets the array path
       // represents honestly. The <=64-word tier is kept unconditional
       // (previous behavior: tiny masks beat everything).
-      val avgSz = g.agg(avg(col("sz"))).head.getDouble(0)
+      // lazy: the common <=64-word case never pays this extra job, and an
+      // empty corpus (avg = NULL) reads as density 0 -> array tier
+      lazy val avgSz = Option(g.agg(avg(col("sz"))).head.get(0))
+        .map(_.asInstanceOf[Double]).getOrElse(0.0)
       val verify =
         if (nWords <= 64 || (nWords <= 1024 && vocabV <= 256 * avgSz)) {
-          // dense bit positions for the <=65536 sparse gids via a
-          // collected, sorted table — bounded by the nWords gate, so the
-          // collect and broadcast are provably tiny at any corpus size
-          // (freq already holds exactly one row per gid)
+          // the sorted <=65536-gid dictionary — bounded by the nWords
+          // gate, so the collect is provably tiny at any corpus size
+          // (freq already holds exactly one row per gid). Masks build
+          // MAP-SIDE from each representative's already-persisted sorted
+          // id array with the dictionary riding as one expression
+          // reference (no rank join, no per-gram shuffle, no re-group —
+          // the old pivot aggregate moved every gram instance again).
           val gids = freq.select(col("gid")).orderBy(col("gid"))
             .collect().map(_.getLong(0))
-          val posDf = broadcast(s.createDataFrame(
-            s.sparkContext.parallelize(gids.zipWithIndex.toSeq.map {
-              case (t, i) => org.apache.spark.sql.Row(t, i + 1)
-            }, 1),
-            new StructType().add("gid", LongType).add("pos", IntegerType)))
-          // O(|set| + nWords) native mask build from the rank list — no
-          // aggregate-width codegen cliff (the old 64-column pivot capped
-          // the tier at 64 words)
-          val masks = gidGrams.join(posDf, "gid").groupBy(col("doc_id"))
-            .agg(collect_list(col("pos")).as("ps"))
-            .select(col("doc_id"), graft.functions.VectorFunctions
-              .positions_to_mask(col("ps"), nWords).as("m"))
+          val masks = g.select(col("doc_id"), graft.functions.VectorFunctions
+            .sorted_ids_to_mask(col("sids"), gids).as("m"))
           candidates
             .join(masks.select(col("doc_id").as("a_id"), col("m").as("ma")), "a_id")
             .join(masks.select(col("doc_id").as("b_id"), col("m").as("mb")), "b_id")

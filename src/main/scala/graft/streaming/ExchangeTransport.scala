@@ -60,7 +60,10 @@ object ExchangeServer {
           t.setDaemon(true)
           t.start()
         } catch {
-          case _: IOException => () // server closed -> loop exits on flag
+          // server closed -> loop exits on flag; a persistent accept
+          // failure while still running (fd exhaustion under load) must
+          // not hot-spin a core — back off before retrying
+          case _: IOException => if (!stopped.get()) Thread.sleep(100)
         }
       }
     }, "gpx-exchange-server")

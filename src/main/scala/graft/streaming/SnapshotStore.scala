@@ -214,9 +214,28 @@ class SnapshotStore(
       try new String(Files.readAllBytes(claim)) == nonce
       catch { case _: java.io.IOException => false }
     if (!stillOurs) { Files.deleteIfExists(tmp); return false }
-    Files.move(tmp, manifestFile(v), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    true
+    // PUT-IF-ABSENT publish, not rename: the ownership check above still
+    // leaves a window (check -> TTL steal -> stealer publishes -> our
+    // rename) in which ATOMIC_MOVE+REPLACE would clobber the stealer's
+    // manifest and silently lose its acknowledged delta. link(2) fails
+    // with EEXIST atomically, so exactly one publisher for v ever wins;
+    // the loser rebases like any lost race. Filesystems without hard
+    // links fall back to an existence-checked move (best effort — the
+    // same window the link exists to close, kept only as a fallback).
+    try {
+      Files.createLink(manifestFile(v), tmp)
+      Files.deleteIfExists(tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+      case _: UnsupportedOperationException =>
+        if (Files.exists(manifestFile(v))) { Files.deleteIfExists(tmp); false }
+        else {
+          Files.move(tmp, manifestFile(v), StandardCopyOption.ATOMIC_MOVE)
+          true
+        }
+    }
   }
 
   /** Crash repair for an orphaned claim at v (a committer that died between

@@ -411,6 +411,75 @@ case class PositionsToMask(child: Expression, nWords: Int)
     copy(child = newChild)
 }
 
+/** Fixed-width Long bitmask straight from a document's sorted-distinct id
+  * array and a sorted dictionary (bit i-1 set iff dict(i-1) present) —
+  * the zero-shuffle mask builder: where PositionsToMask needs the ids
+  * joined against a rank table and re-grouped per document, this computes
+  * the same mask map-side from the already-persisted id arrays with the
+  * dictionary riding along as one reference object (the HyperplaneSigs
+  * packaging). Binary search per element: O(|set| log V) per row. Ids not
+  * in the dictionary are ignored (the caller builds the dictionary FROM
+  * the corpus, so misses mean a stale dictionary — dropping beats a wrong
+  * bit). Null on null input; output elements are never null.
+  */
+case class SortedIdsToMask(child: Expression, dict: Array[Long])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(dict.nonEmpty, "empty dictionary")
+
+  private def nWords: Int = (dict.length + 63) / 64
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private lazy val mayHaveNullElems = VectorKernels.elemsNullable(child)
+
+  override def nullSafeEval(v: Any): Any = {
+    val ids = v.asInstanceOf[ArrayData]
+    val words = new Array[Long](nWords)
+    val n = ids.numElements()
+    var i = 0
+    while (i < n) {
+      if (!(mayHaveNullElems && ids.isNullAt(i))) {
+        val p = java.util.Arrays.binarySearch(dict, ids.getLong(i))
+        if (p >= 0) words(p >> 6) |= 1L << (p & 63)
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(words)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("dict", dict, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val words = ctx.freshName("words")
+      val skipNull = if (mayHaveNullElems) s"$a.isNullAt($i)" else "false"
+      s"""
+         |long[] $words = new long[$nWords];
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!($skipNull)) {
+         |    int $p = java.util.Arrays.binarySearch($dictRef, $a.getLong($i));
+         |    if ($p >= 0) {
+         |      $words[$p >> 6] |= 1L << ($p & 63);
+         |    }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray($words);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** All random-hyperplane LSH signatures of one vector in a single pass —
   * `tables` signatures of `bits` sign-bits each, over a flat row-major
   * plane matrix ((t * bits + b) * dim + i). One compact generated loop
@@ -740,6 +809,10 @@ object VectorExpressions {
   def positions_to_mask(ps: Column, nWords: Int): Column =
     ExpressionUtils.column(PositionsToMask(
       ExpressionUtils.expression(ps), nWords))
+
+  def sorted_ids_to_mask(ids: Column, dict: Array[Long]): Column =
+    ExpressionUtils.column(SortedIdsToMask(
+      ExpressionUtils.expression(ids), dict))
 
   def dot_product(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(

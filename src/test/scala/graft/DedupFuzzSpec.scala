@@ -78,20 +78,7 @@ class DedupFuzzSpec extends GraftSpec {
 
     test(s"seed $seed: d03 ngram-jaccard pairs equal brute force") {
       val dir = mkCorpus(seed + 1000, 150)
-      val g = Tables.documents(spark, dir)
-        .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), col("lang"), array_distinct(expr(
-          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
-          .as("s"))
-      val brute = g.as("a").join(g.as("b"),
-          col("a.lang") === col("b.lang") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .withColumn("jaccard", size(array_intersect(col("a.s"), col("b.s")))
-          .cast("double") / size(array_union(col("a.s"), col("b.s"))))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("jaccard"))
-      assertSame(at("d03_ngram_jaccard", dir), brute, s"d03 seed $seed")
+      assertSame(at("d03_ngram_jaccard", dir), d03Brute(dir), s"d03 seed $seed")
       CacheScope.release()
     }
 
@@ -214,6 +201,33 @@ class DedupFuzzSpec extends GraftSpec {
     assert(trigramVocab(dir) > 4096, "corpus too small to leave tier 1")
     assertSame(at("d03_ngram_jaccard", dir), d03Brute(dir), "d03 sparse")
     CacheScope.release()
+  }
+
+  test("SortedIdsToMask is bit-identical to positions_to_mask over the rank table") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(31)
+    val dict = Seq.fill(5000)(rnd.nextLong()).distinct.sorted.toArray
+    val rows = (0 until 300).map { i =>
+      // mix of in-dictionary ids and (rare) misses
+      val ids = (Seq.fill(1 + rnd.nextInt(60))(dict(rnd.nextInt(dict.length))) ++
+        (if (i % 7 == 0) Seq(rnd.nextLong()) else Nil)).distinct.sorted
+      (i.toLong, ids)
+    }
+    val df = rows.toDF("id", "ids")
+    val direct = df.select(col("id"), graft.functions.VectorFunctions
+      .sorted_ids_to_mask(col("ids"), dict).as("m"))
+    val rank = dict.zipWithIndex.map { case (g, p) => (g, p + 1) }
+      .toSeq.toDF("gid", "pos")
+    val nWords = (dict.length + 63) / 64
+    val viaRanks = df.select(col("id"), explode(col("ids")).as("gid"))
+      .join(rank, "gid") // inner: misses drop, matching the direct skip
+      .groupBy("id").agg(collect_list(col("pos")).as("ps"))
+      .select(col("id"), graft.functions.VectorFunctions
+        .positions_to_mask(col("ps"), nWords).as("m"))
+    val a = direct.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = viaRanks.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a == b, "map-side mask diverged from the rank-join mask")
   }
 
   test("MinHashSigs is bit-identical to the array_min/transform formula") {

@@ -257,6 +257,32 @@ class FormatSpec extends GraftSpec {
       ArrayType(DoubleType, containsNull = false))
   }
 
+  test("a narrowed (containsNull=false) table still accepts ordinary nullable-element appends") {
+    import sp.implicits._
+    val dir = tmp()
+    Seq((0, Seq(1.0, 2.0))).toDF("id", "vec")
+      .write.format("gpx").mode("overwrite").save(dir)
+    assert(sp.read.format("gpx").load(dir).schema("vec").dataType ==
+      ArrayType(DoubleType, containsNull = false))
+    // the appended df carries the DEFAULT containsNull=true schema even
+    // though it holds no null elements — the overwhelmingly common case
+    Seq((1, Seq(3.0, 4.0))).toDF("id", "vec")
+      .write.format("gpx").mode("append").save(dir)
+    assert(sp.read.format("gpx").load(dir).orderBy("id")
+      .collect().map(_.getSeq[Double](1)).toSeq == Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    // still narrowed after the clean append
+    assert(sp.read.format("gpx").load(dir).schema("vec").dataType ==
+      ArrayType(DoubleType, containsNull = false))
+    // an append that DOES hold a null element must both succeed and
+    // flip the inferred schema back to nullable
+    Seq((2, Seq[Option[Double]](Some(5.0), None))).toDF("id", "vec")
+      .write.format("gpx").mode("append").save(dir)
+    val back = sp.read.format("gpx").load(dir)
+    assert(back.schema("vec").dataType ==
+      ArrayType(DoubleType, containsNull = true))
+    assert(back.count() == 3)
+  }
+
   test("chunk cache: warm re-scan reads zero data bytes; a rewrite purges; memory stays bounded") {
     import sp.implicits._
     val CC = GpxFileReader.ChunkCache
