@@ -41,6 +41,22 @@ object GpxCompactor {
       outDir: String,
       conf: Configuration,
       targetFileBytes: Long): Result = {
+    // EVERY refusal check runs before the mask-fold pre-pass: the fold is
+    // destructive (it collapses MVCC pre-delete visibility into the
+    // files), so a compaction that is going to be refused must be refused
+    // side-effect-free — not after the source table's history is gone
+    require(GpxTable.listFiles(Seq(inDir), conf).nonEmpty,
+      s"no gpx files under $inDir")
+    val outPath = new Path(outDir)
+    val fs = outPath.getFileSystem(conf)
+    fs.mkdirs(outPath)
+    // outputs are named compact-NNNNN by index: leftovers from an earlier
+    // (larger) compaction into the same dir would survive past this run's
+    // highest index and be listed as table data — refuse, don't resurrect
+    val leftovers = GpxTable.listFiles(Seq(outDir), conf)
+    require(leftovers.isEmpty,
+      s"compaction output dir $outDir already holds ${leftovers.size} gpx " +
+        "file(s) — compact into an empty directory")
     // merge-on-read masks first: byte-copying a masked file would
     // resurrect its deleted rows, so fold each MASKED file's bitmaps into
     // a physical copy (row groups keep their commitTs), then byte-copy.
@@ -57,17 +73,6 @@ object GpxCompactor {
     // for the source table, still under this op's lock
     GpxVersion.recomputeDeletes(inDir, conf)
     val files = GpxTable.listFiles(Seq(inDir), conf).sorted
-    require(files.nonEmpty, s"no gpx files under $inDir")
-    val outPath = new Path(outDir)
-    val fs = outPath.getFileSystem(conf)
-    fs.mkdirs(outPath)
-    // outputs are named compact-NNNNN by index: leftovers from an earlier
-    // (larger) compaction into the same dir would survive past this run's
-    // highest index and be listed as table data — refuse, don't resurrect
-    val leftovers = GpxTable.listFiles(Seq(outDir), conf)
-    require(leftovers.isEmpty,
-      s"compaction output dir $outDir already holds ${leftovers.size} gpx " +
-        "file(s) — compact into an empty directory")
     // carry the rename-alias and dropped-column sidecars: byte-copied
     // footers keep their OLD physical column names, so without _renames a
     // scan of the compacted copy silently nulls every renamed column (and
@@ -219,8 +224,22 @@ object GpxCompactor {
     require(GpxCommitLog.isLogTable(dir, conf),
       s"compactInPlace requires a commit-log table (Cli LOG $dir); " +
         "rename-protocol tables compact into a new directory")
-    val files = GpxCommitLog.liveFiles(dir, conf).sorted
-    require(files.nonEmpty, s"no live gpx files in the manifest of $dir")
+    val allLive = GpxCommitLog.liveFiles(dir, conf).sorted
+    require(allLive.nonEmpty, s"no live gpx files in the manifest of $dir")
+    // merge-on-read masks: a table enabled() onto the log protocol can
+    // still carry pre-conversion _del sidecars, and byte-copying a masked
+    // file would resurrect its deleted rows under a compact-<opId> name no
+    // sidecar is keyed to. Unlike compact(), folding here would mutate
+    // bytes a manifest entry already describes — so masked files are
+    // SKIPPED: they stay live (and masked) in the manifest, only the
+    // clean files compact. Fold or COW-delete them first to reclaim them.
+    val maskedByParent = allLive.map(f => new Path(f).getParent).distinct
+      .map(p => p -> GpxDeleteBitmap.sidecarsIn(p, conf).keySet).toMap
+    val files = allLive.filterNot { f =>
+      val p = new Path(f)
+      maskedByParent(p.getParent).contains(p.getName)
+    }
+    if (files.isEmpty) return Result(0, 0, 0L)
     val dirP = new Path(dir)
     val opId = java.util.UUID.randomUUID().toString.take(8)
     val outNames = scala.collection.mutable.ArrayBuffer.empty[Path]

@@ -348,6 +348,35 @@ object GpxTable {
     ((h % n) + n) % n
   }
 
+  /** Route id of one row under the table's bucket-or-range layout
+    * (-1 = unrouted): THE single row→route function — every writing path
+    * (INSERT, delta insert, COW replace) must route through here or the
+    * layouts silently drift apart (null keys route to 0L in both
+    * layouts, matching the read-side pruning contract). `keyIdx`/`keyDt`
+    * are the pre-resolved routing column's ordinal and type in the
+    * record layout. */
+  def routeOfRow(record: org.apache.spark.sql.catalyst.InternalRow,
+      keyIdx: Option[Int], keyDt: Option[DataType],
+      bucket: Option[BucketSpec], range: Option[RangeSpec]): Int =
+    keyIdx match {
+      case None => -1
+      case Some(ki) =>
+        val key: Long =
+          if (record.isNullAt(ki)) 0L
+          else keyDt.get match {
+            case LongType => record.getLong(ki)
+            case IntegerType | DateType => record.getInt(ki).toLong
+            case ShortType => record.getShort(ki).toLong
+            case ByteType => record.getByte(ki).toLong
+            case other =>
+              throw new IllegalArgumentException(s"bucketBy $other unsupported")
+          }
+        range match {
+          case Some(r) => rangeOf(key, r.bounds)
+          case None => bucketOf(key, bucket.get.numBuckets)
+        }
+    }
+
   /** bucket id extracted from a bucketed file name part-*-bN.gpx */
   def bucketOfFile(path: String): Option[Int] = {
     val name = path.substring(path.lastIndexOf('/') + 1)
@@ -2278,24 +2307,8 @@ final case class GpxWriterFactory(schema: StructType, staging: String,
     val writers =
       scala.collection.mutable.LinkedHashMap.empty[(Long, Int), (String, GpxFileWriter)]
 
-    def bucketOfRow(record: InternalRow): Int = keyIdx match {
-      case None => -1
-      case Some(ki) =>
-        val key: Long =
-          if (record.isNullAt(ki)) 0L
-          else keyDt.get match {
-            case LongType => record.getLong(ki)
-            case IntegerType | DateType => record.getInt(ki).toLong
-            case ShortType => record.getShort(ki).toLong
-            case ByteType => record.getByte(ki).toLong
-            case other =>
-              throw new IllegalArgumentException(s"bucketBy $other unsupported")
-          }
-        range match {
-          case Some(r) => GpxTable.rangeOf(key, r.bounds)
-          case None => GpxTable.bucketOf(key, bucket.get.numBuckets)
-        }
-    }
+    def bucketOfRow(record: InternalRow): Int =
+      GpxTable.routeOfRow(record, keyIdx, keyDt, bucket, range)
 
     def writerFor(ts: Long, bk: Int): GpxFileWriter =
       writers.getOrElseUpdate((ts, bk), {

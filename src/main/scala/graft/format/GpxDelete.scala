@@ -101,7 +101,11 @@ object GpxDelete {
     // visible) is exactly the primitive the log protocol exists to avoid —
     // a half-copied sidecar on a non-atomic store would silently mask the
     // wrong rows. COW lands as ONE conditional-put manifest commit below.
-    val logTable = GpxCommitLog.isLogTable(roots.head, conf)
+    // checked across EVERY root: with a log table at a non-head position
+    // a head-only probe would route its files through the rename-based
+    // mor/cow paths — sidecars the protocol excludes, plus raw
+    // fs.delete of files a manifest still lists as live
+    val logTable = roots.exists(GpxCommitLog.isLogTable(_, conf))
     if (logTable) require(roots.size == 1,
       "gpx: DELETE over a multi-root load is not supported on commit-log tables")
     val mode =

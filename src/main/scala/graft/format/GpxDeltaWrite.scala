@@ -120,11 +120,18 @@ class GpxDeltaBatchWrite(dataSchema: StructType, rowIdSchema: StructType,
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     val conf = new Configuration()
-    GpxDeltaWriterFactory(dataSchema, staging, opId,
-      rowIdSchema.fieldNames.indexOf(GpxTable.FileCol),
-      rowIdSchema.fieldNames.indexOf(GpxTable.PosCol),
+    val fileIdx = rowIdSchema.fieldNames.indexOf(GpxTable.FileCol)
+    val posIdx = rowIdSchema.fieldNames.indexOf(GpxTable.PosCol)
+    // fail fast on the driver: a planning path that delivers no (or a
+    // partial) row-id projection would otherwise surface as a getLong(-1)
+    // ArrayIndexOutOfBounds deep in an executor task after the scan ran
+    require(fileIdx >= 0 && posIdx >= 0,
+      s"gpx delta write needs (${GpxTable.FileCol}, ${GpxTable.PosCol}) in " +
+        s"the row-id schema, got: ${rowIdSchema.fieldNames.mkString(", ")}")
+    GpxDeltaWriterFactory(dataSchema, staging, opId, fileIdx, posIdx,
       commitTs, GpxTable.readBucketSpec(root, conf),
-      GpxTable.readRangeSpec(root, conf))
+      GpxTable.readRangeSpec(root, conf),
+      sortBy = GpxTable.readSortSpec(root, conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -178,11 +185,22 @@ class GpxDeltaBatchWrite(dataSchema: StructType, rowIdSchema: StructType,
       }
     } catch {
       case e: Throwable =>
-        sidecars.foreach(s => try fs.delete(s, false)
-          catch { case _: Throwable => () })
-        published.reverseIterator.foreach { case (dest, src) =>
-          try fs.rename(dest, src) catch { case _: Throwable => () }
+        // rollback ORDER matters: un-publishing an insert file is only
+        // safe once every sidecar that masks its predecessor rows is
+        // verifiably gone. If any sidecar delete fails, the inserts MUST
+        // stay published — masked originals plus live replacements are
+        // transient duplicates; masked originals with destroyed
+        // replacements are missing rows, the one state this path
+        // promises never to produce.
+        var sidecarStuck = false
+        sidecars.foreach { s =>
+          try { if (!fs.delete(s, false) && fs.exists(s)) sidecarStuck = true }
+          catch { case _: Throwable => sidecarStuck = true }
         }
+        if (!sidecarStuck)
+          published.reverseIterator.foreach { case (dest, src) =>
+            try fs.rename(dest, src) catch { case _: Throwable => () }
+          }
         throw e
     }
     fs.delete(new Path(staging), true)
@@ -210,15 +228,20 @@ final case class GpxDeltaCommit(files: Seq[String],
 final case class GpxDeltaWriterFactory(dataSchema: StructType,
     staging: String, opId: String, fileIdx: Int, posIdx: Int,
     commitTs: Long, bucket: Option[GpxTable.BucketSpec],
-    range: Option[GpxTable.RangeSpec] = None)
+    range: Option[GpxTable.RangeSpec] = None,
+    sortBy: Seq[String] = Nil)
   extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
     // inserts ride the ordinary routed writer (bucket/range suffixes, ts
-    // tag, per-attempt staged names) — same physical layout as an INSERT
+    // tag, per-attempt staged names, sortedBy footer claim — Spark
+    // already sorted the rows per requiredOrdering; without the claim
+    // the whole table's reported ordering collapses to the per-file
+    // minimum prefix, Nil) — same physical layout as an INSERT
     val inner = GpxWriterFactory(dataSchema, staging, opId,
       GpxFormat.DefaultRowGroupRows, GpxFormat.DefaultPixelRows,
-      commitTs, bucket, range = range).createWriter(partitionId, taskId)
+      commitTs, bucket, range = range, sortBy = sortBy)
+      .createWriter(partitionId, taskId)
     val deletes = scala.collection.mutable.Map.empty[String, java.util.BitSet]
 
     new DeltaWriter[InternalRow] {

@@ -103,7 +103,24 @@ class GpxRowLevelOperation(
     val fileIdx = metaSchema.fieldNames.indexOf(GpxTable.FileCol)
     val tsIdx = metaSchema.fieldNames.indexOf(GpxTable.CommitTsCol)
     new WriteBuilder {
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        // the rewrite must keep the table's ordered layout, exactly like
+        // INSERT and the delta insert half: declare the persisted
+        // _sortspec ordering so Spark sorts the replacement rows before
+        // they reach the writer (elided when already ordered)
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions
+            .unspecified()
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          GpxTable.readSortSpec(roots.head, new Configuration()).map { c =>
+            org.apache.spark.sql.connector.expressions.Expressions.sort(
+              org.apache.spark.sql.connector.expressions.Expressions.column(c),
+              org.apache.spark.sql.connector.expressions.SortDirection
+                .ASCENDING)
+          }.toArray
         override def toBatch: BatchWrite = new GpxReplaceBatchWrite(
           info.schema(), roots.head, commitTs, replacedFiles, cmd,
           fileIdx, tsIdx, sidecarsAtPlan)
@@ -152,9 +169,15 @@ class GpxReplaceBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = new Configuration()
-    val bucket = GpxTable.readBucketSpec(root, conf)
+    // the rewrite preserves the FULL physical layout: bucket AND range
+    // routing (rewritten files keep their -bN/-rN pruning tags) and the
+    // sortedBy footer claim (Spark sorted per requiredOrdering) — a COW
+    // update must not erode what INSERT and compaction maintain
     GpxReplaceWriterFactory(schema, tmp, GpxFormat.DefaultRowGroupRows,
-      GpxFormat.DefaultPixelRows, commitTs, bucket, fileIdx, tsIdx)
+      GpxFormat.DefaultPixelRows, commitTs,
+      GpxTable.readBucketSpec(root, conf), fileIdx, tsIdx,
+      range = GpxTable.readRangeSpec(root, conf),
+      sortBy = GpxTable.readSortSpec(root, conf))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -278,39 +301,31 @@ final case class GpxReplaceCommit(files: Seq[String], sourceFiles: Seq[String])
 final case class GpxReplaceWriterFactory(
     schema: StructType, staging: String, rgRows: Int, pxRows: Int,
     newCommitTs: Long, bucket: Option[GpxTable.BucketSpec],
-    fileIdx: Int, tsIdx: Int) extends DataWriterFactory {
+    fileIdx: Int, tsIdx: Int,
+    range: Option[GpxTable.RangeSpec] = None,
+    sortBy: Seq[String] = Nil) extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val conf = new Configuration()
-    val keyIdx = bucket.map(b => schema.fieldIndex(b.column))
+    val routeCol = bucket.map(_.column).orElse(range.map(_.column))
+    val keyIdx = routeCol.map(schema.fieldIndex)
     val keyDt = keyIdx.map(schema(_).dataType)
     val writers =
       scala.collection.mutable.LinkedHashMap.empty[(Long, Int), (String, GpxFileWriter)]
     val sources = scala.collection.mutable.Set.empty[String]
 
-    def bucketOf(record: InternalRow): Int = keyIdx match {
-      case None => -1
-      case Some(ki) =>
-        val key: Long =
-          if (record.isNullAt(ki)) 0L
-          else keyDt.get match {
-            case org.apache.spark.sql.types.LongType => record.getLong(ki)
-            case org.apache.spark.sql.types.IntegerType |
-                 org.apache.spark.sql.types.DateType => record.getInt(ki).toLong
-            case org.apache.spark.sql.types.ShortType => record.getShort(ki).toLong
-            case org.apache.spark.sql.types.ByteType => record.getByte(ki).toLong
-            case other =>
-              throw new IllegalArgumentException(s"bucketBy $other unsupported")
-          }
-        GpxTable.bucketOf(key, bucket.get.numBuckets)
-    }
+    // THE shared row→route function (GpxTable.routeOfRow) — this factory
+    // used to carry a drifted copy that silently dropped range routing
+    def bucketOf(record: InternalRow): Int =
+      GpxTable.routeOfRow(record, keyIdx, keyDt, bucket, range)
 
     def writerFor(ts: Long, bk: Int): GpxFileWriter =
       writers.getOrElseUpdate((ts, bk), {
         val tsTag = if (ts >= 0) s"-t$ts" else ""
-        val bkTag = if (bk >= 0) s"-b$bk" else ""
-        val file = s"$staging/part-$partitionId-$taskId$tsTag$bkTag.gpx"
-        (file, new GpxFileWriter(file, schema, conf, rgRows, pxRows, ts))
+        val tag = if (bk < 0) "" else if (range.isDefined) s"-r$bk" else s"-b$bk"
+        val file = s"$staging/part-$partitionId-$taskId$tsTag$tag.gpx"
+        (file, new GpxFileWriter(file, schema, conf, rgRows, pxRows, ts,
+          sortedBy = sortBy))
       })._2
 
     new DataWriter[InternalRow] {

@@ -289,6 +289,35 @@ class ManifestSpec extends GraftSpec {
     assert(spark.read.format("gpx").load(dir).count() == 10)
   }
 
+  test("in-place compaction skips masked files instead of resurrecting their deleted rows") {
+    val dir = tempDir("gpx_log_compact_mask")
+    // a rename-protocol table accumulates a merge-on-read sidecar...
+    spark.range(0, 300).selectExpr("id", "id * 2 as v")
+      .coalesce(1).write.format("gpx").mode("overwrite").save(dir)
+    spark.range(300, 600).selectExpr("id", "id * 2 as v")
+      .coalesce(1).write.format("gpx").mode("append").save(dir)
+    val prev = spark.conf.getOption("spark.graft.gpx.deleteMode")
+    spark.conf.set("spark.graft.gpx.deleteMode", "mor")
+    try graft.format.GpxDelete.run(
+      spark.read.format("gpx").load(dir).schema, Seq(dir),
+      Array(org.apache.spark.sql.sources.EqualTo("id", 7L)))
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.gpx.deleteMode", v)
+      case None => spark.conf.unset("spark.graft.gpx.deleteMode")
+    }
+    assert(spark.read.format("gpx").load(dir).count() == 599)
+    // ...then converts to the commit-log protocol with the sidecar live
+    GpxCommitLog.enable(dir, conf)
+    val r = graft.format.GpxCompactor.compactInPlace(dir, conf)
+    // the masked file was skipped (stays live and masked); the clean file
+    // compacted; and the deleted row MUST NOT come back
+    assert(r.inputFiles == 1, s"only the unmasked file may byte-copy: $r")
+    val after = spark.read.format("gpx").load(dir)
+    assert(after.count() == 599, "compactInPlace resurrected a masked row")
+    assert(after.filter(col("id") === 7L).count() == 0)
+    assert(GpxCommitLog.head(dir, conf).get.live.size == 1 + r.outputFiles)
+  }
+
   test("in-place compaction: one atomic manifest swap, MVCC stamps survive the byte-copy") {
     val dir = tempDir("gpx_log_compact")
     // many small commits with distinct commitTs (MVCC history to preserve)

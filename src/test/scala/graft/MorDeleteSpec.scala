@@ -311,4 +311,27 @@ class MorDeleteSpec extends GraftSpec {
     assert(ids2 == (1500L until 2000L),
       s"d2's survivors must stay under d2, got ${ids2.take(3)}…${ids2.size} rows")
   }
+
+  test("multi-root delete refuses when a commit-log table sits at ANY root position") {
+    val plain = freshDir("gpx_mroot_plain")
+    val logd = freshDir("gpx_mroot_log")
+    writeRange(plain, 100)
+    val sp2 = sp
+    import sp2.implicits._
+    (100 until 200).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .coalesce(1).write.format("gpx").mode("overwrite")
+      .option("commitProtocol", "manifest").save(logd)
+    val schema = sp.read.format("gpx").load(plain, logd).schema
+    // the log table at the NON-HEAD position must still be detected: a
+    // head-only probe would route its files through rename-based
+    // mor/cow paths and raw deletes the manifest still lists as live
+    val e = intercept[IllegalArgumentException] {
+      GpxDelete.run(schema, Seq(plain, logd),
+        Array(EqualTo("id", 150L)))
+    }
+    assert(e.getMessage.contains("multi-root"), e.getMessage)
+    // both tables untouched
+    assert(sp.read.format("gpx").load(plain).count() == 100)
+    assert(sp.read.format("gpx").load(logd).count() == 100)
+  }
 }

@@ -83,6 +83,54 @@ class RangeLayoutSpec extends GraftSpec {
     assert(got.size == 2000 && got(250L) == 251L && got(1L) == 1L)
   }
 
+  test("cow UPDATE on a ranged sort-clustered table keeps range tags and the sortedBy claim") {
+    val wh = Files.createTempDirectory("gpx_range_cow").toString
+    sp.conf.set("spark.sql.catalog.grngc", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.grngc.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS grngc.db")
+    sp.sql("""CREATE TABLE grngc.db.t (id BIGINT, v BIGINT) USING gpx
+             |TBLPROPERTIES('range_by'='id:1000', 'sort_by'='id')""".stripMargin)
+    sp.sql("INSERT INTO grngc.db.t SELECT id, id FROM range(2000)")
+    val tdir = s"$wh/db/t"
+    // default rowLevelMode = cow: the whole matched file set rewrites
+    sp.sql("UPDATE grngc.db.t SET v = v + 1 WHERE id % 250 = 0")
+    val files = GpxTable.listFiles(Seq(tdir), conf)
+    assert(files.flatMap(GpxTable.rangeOfFile).size == files.size,
+      s"every file (incl. cow-rewritten r*) must carry a range tag: $files")
+    // the rewrite must not erode the ordered layout's footer claim
+    files.foreach { f =>
+      assert(graft.format.GpxFileReader.FooterCache.get(f, conf)
+        .sortedBy == Seq("id"),
+        s"cow rewrite dropped the sortedBy claim on $f")
+    }
+    val got = sp.table("grngc.db.t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 2000 && got(250L) == 251L && got(1L) == 1L)
+  }
+
+  test("delta (mor) update on a sort-clustered table stamps sortedBy on its insert files") {
+    val wh = Files.createTempDirectory("gpx_sort_mor").toString
+    sp.conf.set("spark.sql.catalog.gsrtm", "graft.format.GpxCatalog")
+    sp.conf.set("spark.sql.catalog.gsrtm.warehouse", wh)
+    sp.sql("CREATE NAMESPACE IF NOT EXISTS gsrtm.db")
+    sp.sql("""CREATE TABLE gsrtm.db.t (id BIGINT, v BIGINT) USING gpx
+             |TBLPROPERTIES('sort_by'='id')""".stripMargin)
+    sp.sql("INSERT INTO gsrtm.db.t SELECT id, id FROM range(2000)")
+    val tdir = s"$wh/db/t"
+    sp.conf.set("spark.graft.gpx.rowLevelMode", "mor")
+    try sp.sql("UPDATE gsrtm.db.t SET v = v + 1 WHERE id % 250 = 0")
+    finally sp.conf.unset("spark.graft.gpx.rowLevelMode")
+    val mFiles = GpxTable.listFiles(Seq(tdir), conf)
+      .filter(f => new org.apache.hadoop.fs.Path(f).getName.startsWith("m"))
+    assert(mFiles.nonEmpty, "expected delta insert files")
+    mFiles.foreach { f =>
+      assert(graft.format.GpxFileReader.FooterCache.get(f, conf)
+        .sortedBy == Seq("id"),
+        s"delta insert file lost the sortedBy claim: $f")
+    }
+    assert(sp.table("gsrtm.db.t").count() == 2000)
+  }
+
   test("catalog rejects malformed range_by specs at CREATE") {
     val wh = Files.createTempDirectory("gpx_range_bad").toString
     sp.conf.set("spark.sql.catalog.grngb", "graft.format.GpxCatalog")
