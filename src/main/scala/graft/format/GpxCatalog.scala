@@ -205,8 +205,6 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     // ---- all inputs validated: persist ----
     val dir = tablePath(ident)
     fs.mkdirs(dir)
-    val out = fs.create(new Path(dir, "_schema.ddl"), true)
-    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
     // bind to the warehouse commit-timestamp oracle: every table of this
     // catalog stamps from ONE monotone counter, so a single GpxTxn token
     // is a consistent cross-table snapshot (transaction.proto:33-48 analog)
@@ -236,7 +234,38 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     // safe-by-default rule as path-based writes (GpxCommitLog.routeWantLog).
     if (GpxCommitLog.routeWantLog(dir.toString, conf, explicitProtoV))
       GpxCommitLog.enable(dir.toString, conf)
+    // _schema.ddl LAST, via tmp + rename: its presence IS tableExists, so
+    // publishing it after every other metadata file makes table creation
+    // atomic at the catalog level — a crash anywhere above leaves
+    // tableExists=false and a clean retry (the partial sidecars are
+    // overwritten), instead of a half-initialized record that throws
+    // TableAlreadyExistsException on retry and breaks loadTable
+    publishSmallFile(new Path(dir, "_schema.ddl"), schema.toDDL)
     new GpxTable(schema, Seq(dir.toString), catalogManaged = true)
+  }
+
+  /** Atomic small-file publish: write a temp sibling, then rename ONTO
+    * the destination with FileContext's OVERWRITE rename (atomic on
+    * posix/HDFS). Falls back to delete+rename only where FileContext is
+    * unsupported — still never a torn in-place write. */
+  private def publishSmallFile(dest: Path, content: String): Unit = {
+    val tmp = new Path(dest.getParent,
+      s".${dest.getName}.${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val fc =
+      try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+        dest.toUri, conf))
+      catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        None }
+    fc match {
+      case Some(c) =>
+        c.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      case None =>
+        if (fs.exists(dest)) fs.delete(dest, false)
+        if (!fs.rename(tmp, dest))
+          throw new java.io.IOException(s"publish failed: $tmp -> $dest")
+    }
   }
 
   /** Schema evolution: ADD COLUMN appends a nullable column to the catalog
@@ -407,15 +436,11 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       case other =>
         throw new UnsupportedOperationException(s"alterTable: $other")
     }
-    // atomic ddl publish (temp + rename): a torn in-place overwrite would
-    // corrupt the authoritative catalog record
-    val ddlTmp = new Path(dir,
-      s"._schema.ddl.${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(ddlTmp, true)
-    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(ddlFile)) fs.delete(ddlFile, false)
-    if (!fs.rename(ddlTmp, ddlFile))
-      throw new java.io.IOException(s"ALTER TABLE: ddl publish failed: $ddlFile")
+    // atomic ddl publish: OVERWRITE rename onto the live record — the
+    // previous delete-then-rename left a window (crash between the two)
+    // with NO _schema.ddl at all, i.e. a destroyed catalog record and
+    // spurious NoSuchTableException for concurrent readers
+    publishSmallFile(ddlFile, schema.toDDL)
     new GpxTable(schema, Seq(dir.toString), catalogManaged = true)
     } // mutation lock
   }
@@ -501,7 +526,10 @@ class GpxCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     GpxMemTable.clear(tablePath(old).toString)
     GpxCommitLog.invalidateCaches(tablePath(old).toString)
     GpxCommitLog.invalidateCaches(tablePath(next).toString)
-    fs.rename(tablePath(old), tablePath(next))
+    if (!fs.rename(tablePath(old), tablePath(next)))
+      throw new java.io.IOException(
+        s"ALTER TABLE RENAME: filesystem refused ${tablePath(old)} -> " +
+          s"${tablePath(next)} — the table still lives at the old path")
   }
 
   // ---- functions (storage-partitioned joins need the bucket function

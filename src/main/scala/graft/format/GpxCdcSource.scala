@@ -130,13 +130,25 @@ class GpxCdcStream(root: String, schema: StructType,
   override def deserializeOffset(json: String): Offset =
     GpxCdcOffset(json.toLong)
 
-  /** member dir names of a committed version's manifest (empty when the
-    * manifest is gone, e.g. aged out) */
+  /** member dir names of a committed version's manifest. A MISSING
+    * manifest in the requested range fails LOUDLY (same stance as
+    * currentVersion's never-regress throw): silently treating it as
+    * empty would either re-emit the store's entire retained history as
+    * "added" (m_{v-1} aged out: every member of m_v diffs as new —
+    * duplicates at an exactly-once sink) or silently skip a version's
+    * rows (m_v aged out). v < 0 is the legitimate before-first-version
+    * empty set. */
   private def manifestMembers(v: Long): Set[String] = {
     if (v < 0) return Set.empty
     val mf = Paths.get(root).resolve(f"m_$v%06d.txt")
-    if (!Files.exists(mf)) Set.empty
-    else new String(Files.readAllBytes(mf)).split("\n")
+    if (!Files.exists(mf))
+      throw new IllegalStateException(
+        s"gpx-cdc: manifest $mf is missing but version $v is inside the " +
+          "requested batch range — it was vacuumed/aged out past this " +
+          "stream's checkpoint. Restart the stream from a fresh " +
+          "checkpoint (full resync); continuing would emit duplicate or " +
+          "missing change rows.")
+    new String(Files.readAllBytes(mf)).split("\n")
       .iterator.map(_.trim).filter(_.nonEmpty).toSet
   }
 

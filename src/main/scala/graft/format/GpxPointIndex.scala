@@ -310,17 +310,21 @@ object GpxPointIndex {
       }
     val sp = spark
     import sp.implicits._
-    // count entries IN the write pass (accumulator) — a post-write
-    // df.count() would re-execute the whole lineage, i.e. read every
-    // file's key column a second time, the exact O(table) pass the index
-    // exists to avoid
-    val entryCount = spark.sparkContext.longAccumulator("gpxIndexEntries")
-    val df = entries.map { e => entryCount.add(1L); e }.toDF("key", "file", "rg")
+    val df = entries.toDF("key", "file", "rg")
     val name = columns.mkString("__")
     df.write.format("gpx").mode(if (append) "append" else "overwrite")
       .option("bucketBy", "key").option("numBuckets", numBuckets.toString)
       .save(indexDir(table, name))
-    entryCount.value
+    // exact count by reading back the WRITTEN index (narrow, key-only,
+    // orders of magnitude smaller than the base): a map-side accumulator
+    // here double-counts under task retries/speculation (exactly-once
+    // accumulator semantics hold only inside actions), and a post-write
+    // count() on the lineage would re-read every base file's key column
+    // — the O(table) pass the index exists to avoid. Append passes
+    // return 0 (their callers ignore the count; an exact per-pass count
+    // would need the commit messages).
+    if (append) 0L
+    else spark.read.format("gpx").load(indexDir(table, name)).count()
   }
 
   /** Bring an index up to date after table commits — the O(new data) path
@@ -336,6 +340,23 @@ object GpxPointIndex {
       columns: Seq[String]): Unit = {
     val conf = new Configuration()
     val name = columns.mkString("__")
+    // serialized per index (sub-scope lock, mirroring
+    // GpxProjection.refresh — the rebuild branch's own INSERT OVERWRITE
+    // takes the index dir's lock, so same-scope locking would self-
+    // refuse): two interleaved refreshes — one append, one rebuild —
+    // could otherwise land append entries naming files the rebuild's
+    // listing no longer covers, under a manifest that validates; lookups
+    // would then FileNotFound instead of degrading to scans. The loser
+    // skips: a skipped refresh only leaves the index stale (valid()
+    // fails, lookups fall back — never wrong).
+    val scope = new Path(indexDir(table, name), "_refreshscope").toString
+    try GpxMutationLock.withLock(scope, conf, s"index refresh $name") {
+      refreshLocked(spark, table, columns, name, conf)
+    } catch { case _: java.util.ConcurrentModificationException => () }
+  }
+
+  private def refreshLocked(spark: SparkSession, table: String,
+      columns: Seq[String], name: String, conf: Configuration): Unit = {
     val m = readManifest(table, name, conf).getOrElse(
       throw new IllegalArgumentException(s"no index $name on $table"))
     // O(1) fast path: unchanged token = nothing to do, no listing walk

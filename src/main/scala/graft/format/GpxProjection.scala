@@ -125,14 +125,30 @@ object GpxProjection {
   def build(spark: SparkSession, table: String, name: String,
       columns: Seq[String]): Unit = {
     val conf = new Configuration()
-    val base = spark.read.format("gpx").load(table)
-    columns.foreach(c => require(base.schema.fieldNames.contains(c),
+    columns.foreach(c => require(spark.read.format("gpx").load(table)
+      .schema.fieldNames.contains(c),
       s"projection column $c not in table schema"))
     // token read BEFORE the listing/copy: a commit racing this build
     // changes the current token away from the recorded one, so the
     // manifest conservatively invalidates instead of serving stale
     val tok = GpxVersion.current(table, conf)
     val listing = baseListing(table, conf)
+    // the copy reads the CAPTURED listing's data files explicitly, never
+    // the live table path: a scan of the live dir lists at EXECUTION
+    // time, so a file committed mid-build would be copied in while
+    // absent from `covered` — the next refresh would take the
+    // pure-append path and copy it AGAIN, after which the manifest
+    // validates and the projection serves its rows twice (the
+    // token-invalidation above cannot catch that: the refresh re-stamps
+    // the current token over the doubled contents). Same discipline as
+    // GpxPointIndex.buildCols.
+    val qroot = GpxTable.qualifiedRoot(table, conf)
+    val dataFiles = listing.map(_.split('|').head)
+      .filterNot(_.split('/').contains(GpxDeleteBitmap.DelDir))
+      .map(r => s"$qroot/$r")
+    val base =
+      if (dataFiles.nonEmpty) spark.read.format("gpx").load(dataFiles: _*)
+      else spark.read.format("gpx").load(table) // empty table: nothing to race
     val dir = projPath(table, name)
     val (bucket, sort) = layoutOptions(table, columns, conf)
     var w = base.selectExpr(columns: _*)

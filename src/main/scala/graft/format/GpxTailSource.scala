@@ -77,6 +77,13 @@ class GpxTailSource extends TableProvider with DataSourceRegister {
       m
     }
 
+  private def claimLag(options: CaseInsensitiveStringMap): Long =
+    Option(options.get("deleteClaimLagMs")).map { v =>
+      val m = v.toLong
+      require(m >= 0, s"deleteClaimLagMs must be >= 0, got $m")
+      m
+    }.getOrElse(GpxTailStream.DeleteClaimLagMs)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val base = new GpxDataSource().inferSchema(new CaseInsensitiveStringMap(
       Map("path" -> path(options)).asJava))
@@ -91,7 +98,8 @@ class GpxTailSource extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new GpxTailTable(schema, path(opts), withDeletes(opts), maxEpochs(opts))
+    new GpxTailTable(schema, path(opts), withDeletes(opts), maxEpochs(opts),
+      claimLag(opts))
   }
 }
 
@@ -101,7 +109,8 @@ object GpxTailSource {
 }
 
 class GpxTailTable(schema: StructType, root: String, withDeletes: Boolean,
-    maxEpochs: Option[Long] = None)
+    maxEpochs: Option[Long] = None,
+    claimLagMs: Long = GpxTailStream.DeleteClaimLagMs)
   extends Table with SupportsRead {
 
   override def name(): String = s"gpx-tail:$root"
@@ -114,7 +123,7 @@ class GpxTailTable(schema: StructType, root: String, withDeletes: Boolean,
       override def readSchema(): StructType = schema
       override def description(): String = s"GpxTailScan[$root]"
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new GpxTailStream(root, schema, withDeletes, maxEpochs)
+        new GpxTailStream(root, schema, withDeletes, maxEpochs, claimLagMs)
     }
 }
 
@@ -135,9 +144,17 @@ object GpxTailStream {
     * this old: stamps are millisecond-resolution and assigned BEFORE the
     * sidecar publishes, so a strict `> offset.delTs` filter would
     * permanently drop a sidecar stamped in the same millisecond as the
-    * offset's max but published just after the listing. The lag is
-    * orders of magnitude above the stamp-to-visible window (one small
-    * file create). */
+    * offset's max but published just after the listing.
+    *
+    * THE BOUND THIS DEFAULT ASSUMES: stamp-to-visible publish latency
+    * PLUS any clock skew between the stamping process and the driver
+    * stays under the lag. That holds in-JVM and on a single host (the
+    * local-mode deployment); a multi-node deployment on an object store
+    * — slow renames, executor clocks disciplined only by NTP — should
+    * raise it via `option("deleteClaimLagMs", ...)`: a sidecar that
+    * becomes visible AFTER the offset passed its stamp is permanently
+    * dropped from the change feed. The price of raising it is delete-
+    * event latency, never correctness. */
   private[format] val DeleteClaimLagMs = 100L
 
   /** epoch of a sink-published file name, if it is one */
@@ -153,7 +170,8 @@ object GpxTailStream {
 }
 
 class GpxTailStream(root: String, schema: StructType, withDeletes: Boolean,
-    maxEpochs: Option[Long] = None)
+    maxEpochs: Option[Long] = None,
+    claimLagMs: Long = GpxTailStream.DeleteClaimLagMs)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -230,7 +248,7 @@ class GpxTailStream(root: String, schema: StructType, withDeletes: Boolean,
         val heldBack = sidecars.filter { case (fe, _, _) => fe > e }
           .map(_._3.createTs - 1).minOption.getOrElse(Long.MaxValue)
         math.min(math.min(claimable, heldBack),
-          System.currentTimeMillis() - GpxTailStream.DeleteClaimLagMs)
+          System.currentTimeMillis() - claimLagMs)
       }
     GpxTailOffset(e, t)
   }
@@ -270,25 +288,34 @@ class GpxTailStream(root: String, schema: StructType, withDeletes: Boolean,
     GpxTailStream.parseOffset(json)
 
   /** synthetic-kind per output column: data columns read pixels, the
-    * change-feed columns fill from the split, absent columns null-fill */
-  private def synthFor(phys: StructType): Array[Byte] =
+    * change-feed columns fill from the split, absent columns null-fill.
+    * Stream-schema names resolve against each file's PHYSICAL names
+    * through the table's _renames sidecar (GpxTable.physNameOf), exactly
+    * like the batch scan — without it, epoch files written before an
+    * ALTER TABLE RENAME COLUMN would silently stream nulls for the
+    * renamed column. */
+  private def synthFor(phys: StructType,
+      renames: Map[String, Seq[String]]): Array[Byte] =
     schema.fields.map { fd =>
       if (withDeletes && fd.name == GpxTailSource.ChangeTypeCol)
         GpxFileReader.SynthConst
       else if (withDeletes && fd.name == GpxTailSource.ChangeTsCol)
         GpxFileReader.SynthCommitTs
-      else if (phys.fieldNames.contains(fd.name)) GpxFileReader.SynthData
+      else if (phys.fieldNames.contains(
+        GpxTable.physNameOf(phys, fd.name, renames))) GpxFileReader.SynthData
       else GpxFileReader.SynthAbsent
     }
 
-  private def dataCols(footer: GpxFormat.Footer,
-      rgIdx: Int, synth: Array[Byte]): Array[Array[PixelSlice]] = {
+  private def dataCols(footer: GpxFormat.Footer, rgIdx: Int,
+      synth: Array[Byte],
+      renames: Map[String, Seq[String]]): Array[Array[PixelSlice]] = {
     val phys = footer.schema
     val rg = footer.rowGroups(rgIdx)
     schema.fields.zipWithIndex.map { case (fd, ri) =>
       if (synth(ri) != GpxFileReader.SynthData) null
       else {
-        val ch = rg.chunks(phys.fieldNames.indexOf(fd.name))
+        val ch = rg.chunks(phys.fieldNames.indexOf(
+          GpxTable.physNameOf(phys, fd.name, renames)))
         ch.pixels.indices.toArray.map(p => PixelSlice(
           ch.offset + ch.pixels(p).relOffset, ch.pixelLength(p),
           ch.pixels(p).rows))
@@ -300,17 +327,23 @@ class GpxTailStream(root: String, schema: StructType, withDeletes: Boolean,
     val from = GpxTailStream.parseOffset(start.json())
     val to = GpxTailStream.parseOffset(end.json())
     val conf = new Configuration()
+    // ONE table listing (and one renames read) serves both event kinds:
+    // the recursive walk dominates streaming-plan latency on object
+    // stores, so listing again for the delete side doubled per-trigger
+    // planning I/O for no behavioral difference
+    val files = epochFiles(conf)
+    val renames = GpxTable.readRenames(root, conf)
     // INSERT events: the new epochs' rows, in epoch order
-    val inserts = epochFiles(conf)
+    val inserts = files
       .filter { case (e, _) => e > from.epoch && e <= to.epoch }
       .sortBy(_._1)
       .flatMap { case (_, file) =>
         val footer = GpxFileReader.FooterCache.get(file, conf)
-        val synth = synthFor(footer.schema)
+        val synth = synthFor(footer.schema, renames)
         footer.rowGroups.indices.map { rgIdx =>
           val rg = footer.rowGroups(rgIdx)
           GpxInputPartition(file, rg.numRows, rg.commitTs,
-            dataCols(footer, rgIdx, synth), synth = synth,
+            dataCols(footer, rgIdx, synth, renames), synth = synth,
             constStr = if (withDeletes) "insert" else null): InputPartition
         }
       }
@@ -323,7 +356,7 @@ class GpxTailStream(root: String, schema: StructType, withDeletes: Boolean,
     // commitTs when the delete has one, else the creation ts.
     val deletes =
       if (!withDeletes) Seq.empty[InputPartition]
-      else epochSidecars(conf, epochFiles(conf))
+      else epochSidecars(conf, files)
         .filter { case (fe, _, sc) =>
           // epoch gate: a DELETE event must never stream before its base
           // rows' epoch has been emitted, whatever the sidecar's stamp
@@ -337,7 +370,7 @@ class GpxTailStream(root: String, schema: StructType, withDeletes: Boolean,
           scs.foreach { case (_, _, sc) =>
             bits.or(GpxDeleteBitmap.loadBitmap(sc.path, conf)) }
           val footer = GpxFileReader.FooterCache.get(file, conf)
-          val synth = synthFor(footer.schema)
+          val synth = synthFor(footer.schema, renames)
           var rgStart = 0L
           footer.rowGroups.indices.flatMap { rgIdx =>
             val rg = footer.rowGroups(rgIdx)
@@ -354,7 +387,7 @@ class GpxTailStream(root: String, schema: StructType, withDeletes: Boolean,
                 i += 1
               }
               Some(GpxInputPartition(file, rg.numRows, ts,
-                dataCols(footer, rgIdx, synth), synth = synth,
+                dataCols(footer, rgIdx, synth, renames), synth = synth,
                 delWords = words, constStr = "delete"): InputPartition)
             }
           }

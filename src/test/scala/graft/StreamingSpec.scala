@@ -669,6 +669,40 @@ class StreamingSpec extends GraftSpec {
     q1.stop(); q2.stop()
   }
 
+  test("gpx-tail resolves renamed columns against pre-rename epoch files") {
+    import sp.implicits._
+    implicit val ctx = sp.sqlContext
+    val source = MemoryStream[(Long, String)]
+    val dir = TestSpark.tempDir("gpx_tail_ren")
+    val ckpt1 = TestSpark.tempDir("gpx_tail_ren_c1")
+    val ckpt2 = TestSpark.tempDir("gpx_tail_ren_c2")
+    val q1 = source.toDF().toDF("id", "s")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt1)
+      .format("gpx").start(dir)
+    source.addData((1L, "a"), (2L, "b"))
+    q1.processAllAvailable()
+    q1.stop()
+    // the catalog's RENAME COLUMN s -> s2 writes a _renames sidecar; the
+    // epoch files published above physically still carry "s"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_renames"),
+      "s2|s\n".getBytes("UTF-8"))
+    val tailed = sp.readStream.format("gpx-tail")
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType)
+        .add("s2", org.apache.spark.sql.types.StringType))
+      .load(dir)
+    val q2 = tailed.writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt2)
+      .format("memory").queryName("gpx_tail_ren_out").start()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = sp.table("gpx_tail_ren_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got == Set(1L -> "a", 2L -> "b"),
+      s"pre-rename epochs must stream the renamed column's values, not nulls: $got")
+  }
+
   test("gpx-tail admission control: maxEpochsPerTrigger drains a backlog in bounded batches") {
     import sp.implicits._
     implicit val ctx = sp.sqlContext
