@@ -56,7 +56,18 @@ object Offload {
     })
 
   private def tableDf(spark: SparkSession, path: String): DataFrame = {
-    val key = System.identityHashCode(spark) + "|" + path
+    // the (len, mtime) fingerprint keys out in-place regeneration: a DSv1
+    // parquet relation PINS its file listing at creation, so a cached
+    // frame over re-generated base data would 404 on deleted part files
+    // (or silently serve the old table) — the same hazard this file
+    // already evicts peer-dir entries for after a download
+    val fp = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(
+        new org.apache.hadoop.conf.Configuration()).getFileStatus(p)
+      s"${st.getLen}:${st.getModificationTime}"
+    } catch { case _: java.io.IOException => "?" }
+    val key = System.identityHashCode(spark) + "|" + path + "|" + fp
     val cached = dfCache.get(key)
     if (cached != null && (cached.sparkSession eq spark)) cached
     else {
@@ -280,7 +291,7 @@ object Offload {
     * columns plus, per presence-only table (count(*) shapes), its
     * cheapest column. Missing columns (table not on disk) cost Long.Max/4
     * so infeasible sets lose to any feasible one. */
-  private def unionCost(reqs: Seq[Map[String, Set[String]]],
+  private[graft] def unionCost(reqs: Seq[Map[String, Set[String]]],
       sizes: Map[(String, String), Long]): (Set[(String, String)], Long) = {
     val required = reqs.flatMap(_.toSeq.flatMap { case (t, cs) =>
       cs.map(t -> _) }).toSet
@@ -380,20 +391,96 @@ object Offload {
     var best = List.empty[Int]
     var nodes = 0L
     val cap = 2000000L
-    def dfs(j: Int, taken: List[Int], curW: Double): Unit = {
+    // INCREMENTAL cost state (persistent structures: backtracking is
+    // free): recomputing unionCost over the whole taken set at every DFS
+    // node was O(queries x columns) per node — minutes of driver CPU at
+    // the node cap. CoverageAcc extends the union with one query in
+    // O(|its columns|), with bytes identical to unionCost (differential-
+    // gated in OffloadSpec).
+    def dfs(j: Int, taken: List[Int], acc: CoverageAcc, curW: Double): Unit = {
       nodes += 1
       if (nodes > cap) return
       if (curW > bestW) { bestW = curW; best = taken }
       if (j >= order.size || curW + remWeight(j) <= bestW) return
       val i = order(j)
-      val withI = i :: taken
-      if (unionCost(withI.map(reqs(_)), sizes)._2 <= budgetBytes)
-        dfs(j + 1, withI, curW + w(i))
-      dfs(j + 1, taken, curW)
+      val withAcc = acc.add(reqs(i), sizes)
+      if (withAcc.bytes <= budgetBytes)
+        dfs(j + 1, i :: taken, withAcc, curW + w(i))
+      dfs(j + 1, taken, acc, curW)
     }
-    dfs(0, Nil, 0.0)
+    dfs(0, Nil, CoverageAcc.empty, 0.0)
+    if (nodes > cap)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"planCache MostCoverage: branch-and-bound hit the $cap-node cap " +
+          s"— the incumbent (weight $bestW) may be sub-optimal")
     unionCost(best.map(reqs(_)), sizes)._1
       .filterNot(_._2 == "!missing")
+  }
+
+  /** Incremental [[unionCost]]: the accumulated (table, column) set and
+    * its byte cost, extendable by one query at a time with bytes always
+    * equal to `unionCost(queries so far)._2`. Presence-only bookkeeping
+    * mirrors unionCost exactly: a table with no required column anywhere
+    * in the accumulated set carries its cheapest column as a surcharge
+    * (dropped the moment any query requires a real column of it), and a
+    * surcharge column that coincides with an already-required pair costs
+    * nothing extra (unionCost dedups them through one Set). */
+  private[graft] final case class CoverageAcc(
+      pairs: Set[(String, String)], // required pairs
+      reqTables: Set[String],
+      presence: Map[String, (String, Long)], // table -> (cheapest col, cost)
+      bytes: Long) {
+
+    private def sat(a: Long, b: Long): Long =
+      if (a > Long.MaxValue - b) Long.MaxValue else a + b
+
+    def add(q: Map[String, Set[String]],
+        sizes: Map[(String, String), Long]): CoverageAcc = {
+      var p = pairs; var rt = reqTables; var pres = presence; var by = bytes
+      q.foreach { case (t, cs) =>
+        cs.foreach { c =>
+          val k = (t, c)
+          if (!p.contains(k)) {
+            p += k
+            // a pair currently serving as t's presence surcharge is
+            // already paid for
+            if (!pres.get(t).exists(_._1 == c))
+              by = sat(by, sizes.getOrElse(k, Long.MaxValue / 1024))
+          }
+        }
+        if (cs.nonEmpty && !rt.contains(t)) {
+          rt += t
+          pres.get(t).foreach { case (c, cost) =>
+            // drop the surcharge — unless its column just became (or
+            // already was) a required pair, in which case its bytes are
+            // legitimately in the union
+            if (!p.contains((t, c))) by -= cost
+            pres -= t
+          }
+        }
+      }
+      // presence-only tables of q (no required column in q AND none
+      // accumulated): cheapest stored column, or the !missing sentinel
+      q.foreach { case (t, cs) =>
+        if (cs.isEmpty && !rt.contains(t) && !pres.contains(t)) {
+          val candidates = sizes.keys.filter(_._1 == t)
+          val (col, cost) =
+            if (candidates.isEmpty) ("!missing", Long.MaxValue / 1024)
+            else {
+              val k = candidates.minBy(k => (sizes(k), k._2))
+              (k._2, sizes(k))
+            }
+          pres += t -> ((col, cost))
+          if (!p.contains((t, col))) by = sat(by, cost)
+        }
+      }
+      CoverageAcc(p, rt, pres, by)
+    }
+  }
+
+  private[graft] object CoverageAcc {
+    val empty: CoverageAcc =
+      CoverageAcc(Set.empty, Set.empty, Map.empty, 0L)
   }
 
   // -------------------------------------------------------------------

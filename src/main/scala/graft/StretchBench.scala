@@ -118,7 +118,19 @@ object StretchBench {
         s""""factor":$xf,"vocab":$vocab}"""
     }).mkString("{", ",", "}")
     val worst = (rows.map(_._4) ++ straddle.map(_._4)).max
-    println(s"""{"metric":"stretch","factor":$factor,"worst_ratio":${s3(worst)},"queries":$qjson,"src":"$src"}""")
+    // loadavg in the artifact + a file copy (the Bench discipline): host
+    // load regularly fabricates 3-10x row inflation, and a stretch
+    // artifact recorded under load must be identifiable as such
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    val line =
+      s"""{"metric":"stretch","factor":$factor,"worst_ratio":${s3(worst)},""" +
+        s""""loadavg":${s3(load)},"queries":$qjson,"src":"$src"}"""
+    println(line)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${System.getProperty("java.io.tmpdir")}/graft_stretch.json"),
+      line.getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
     spark.stop()
   }
 

@@ -42,12 +42,20 @@ object EventOps {
 
   private val NanosPerSec = 1000000000L
 
+  /** FLOOR division SQL fragment: Spark's `div` truncates toward zero
+    * while the DuckDB oracle's `//` (and CAST(ts AS DATE)) floor — a
+    * pre-1970 (negative-epoch) event would land one second/day/window
+    * off under truncation. pmod is non-negative, so subtracting it
+    * always rounds DOWN to the multiple. */
+  private def fdiv(a: String, b: Long): String =
+    s"((($a) - pmod($a, ${b}L)) div ${b}L)"
+
   val queries: Seq[GQuery] = Seq(
 
     // ClickBench-shape aggregation: by event type and day.
     GQuery("e01_events_daily_agg", (s, d) =>
       events(s, d)
-        .withColumn("day", to_date(timestamp_seconds(expr("ts div 1000000000"))))
+        .withColumn("day", to_date(timestamp_seconds(expr(fdiv("ts", NanosPerSec)))))
         .groupBy("event_type", "day")
         .agg(count(lit(1)).as("n"),
           Det.dsum(col("value")).as("sum_value"),
@@ -67,7 +75,7 @@ object EventOps {
     GQuery("e02_sessionize", (s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       events(s, d)
-        .withColumn("sec", expr("ts div 1000000000"))
+        .withColumn("sec", expr(fdiv("ts", NanosPerSec)))
         .withColumn("prev_sec", lag(col("sec"), 1).over(w))
         .withColumn("new_session",
           when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1).otherwise(0))
@@ -140,7 +148,7 @@ object EventOps {
     GQuery("e05_tumbling_window", (s, d) =>
       events(s, d)
         .withColumn("win_start",
-          expr("(ts div 1000000000) div 21600 * 21600"))
+          expr(s"(${fdiv("ts", NanosPerSec)} - pmod(${fdiv("ts", NanosPerSec)}, 21600L))"))
         .groupBy("win_start", "event_type")
         .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
         .orderBy("win_start", "event_type"),
@@ -341,7 +349,7 @@ object EventOps {
     // Spark broadcasts), so the event table is scanned ONCE.
     GQuery("e12_cohort_retention", (s, d) => {
       val ev = events(s, d)
-        .withColumn("day", to_date(timestamp_seconds(expr("ts div 1000000000"))))
+        .withColumn("day", to_date(timestamp_seconds(expr(fdiv("ts", NanosPerSec)))))
         .select(col("user_id"), col("day")).distinct()
       val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
       val ret = ev.join(cohorts, "user_id")

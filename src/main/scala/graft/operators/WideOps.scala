@@ -94,14 +94,21 @@ object WideOps {
       " WHEN value < 200 THEN 'mid' ELSE 'high' END"),
     "props_len" -> "CAST(length(props) AS BIGINT)")
 
-  /** Spark base: events.ts arrives as raw epoch nanos (LongType) */
-  private val sparkBase: Seq[String] = Seq(
-    "event_id", "user_id", "ts AS tsn",
-    "ts div 1000000000 AS sec",
-    "(ts div 1000000000) div 3600 AS hr_abs",
-    "(ts div 1000000000) div 60 AS min_abs",
-    "to_date(timestamp_seconds(ts div 1000000000)) AS event_date",
-    "event_type", "value", "props")
+  /** Spark base: events.ts arrives as raw epoch nanos (LongType).
+    * FLOOR division throughout ((x - pmod(x, b)) div b): Spark's `div`
+    * truncates toward zero where the DuckDB oracle's `//` floors, so a
+    * negative-epoch event would land one second/hour/day off. */
+  private val sparkBase: Seq[String] = {
+    def fdiv(a: String, b: Long) = s"((($a) - pmod($a, ${b}L)) div ${b}L)"
+    val sec = fdiv("ts", 1000000000L)
+    Seq(
+      "event_id", "user_id", "ts AS tsn",
+      s"$sec AS sec",
+      s"${fdiv(sec, 3600L)} AS hr_abs",
+      s"${fdiv(sec, 60L)} AS min_abs",
+      s"to_date(timestamp_seconds($sec)) AS event_date",
+      "event_type", "value", "props")
+  }
 
   /** DuckDB base: events.ts is a native timestamp (any unit); epoch_ns is
     * exact for both nanos and micros files */

@@ -31,17 +31,32 @@ object Sessionize {
     val out = Seq.newBuilder[SessionOut]
     events.toSeq.sortBy(_.tsSec).foreach { e =>
       open match {
-        case Some(s) if e.tsSec - s.lastSec <= gapSeconds =>
-          // bounds via min/max: a LATE cross-batch event (tsSec below the
-          // open session's lastSec) joins the session without dragging
-          // lastSec backwards — which would spuriously split the session
-          // on the next on-time event and emit endSec < startSec
+        // membership is two-sided: within gap of the session's LAST
+        // event, or (a LATE cross-batch event) within gap of its START.
+        // The late event joins via min/max bounds without dragging
+        // lastSec backwards — which would spuriously split the session
+        // on the next on-time event and emit endSec < startSec. An event
+        // MORE than a gap before startSec belongs to a DIFFERENT (older)
+        // session: merging it (the old one-sided `e.tsSec - s.lastSec <=
+        // gap`, always true for late events) produced sessions with
+        // internal gaps far beyond gapSeconds, diverging from the batch
+        // e02 ground truth.
+        case Some(s) if e.tsSec >= s.startSec - gapSeconds &&
+            e.tsSec <= s.lastSec + gapSeconds =>
           open = Some(OpenSession(math.min(s.startSec, e.tsSec),
             math.max(s.lastSec, e.tsSec), s.nEvents + 1,
             s.sumValue + e.value))
-        case Some(s) =>
+        case Some(s) if e.tsSec > s.lastSec + gapSeconds =>
           out += SessionOut(userId, s.startSec, s.lastSec, s.nEvents, s.sumValue)
           open = Some(OpenSession(e.tsSec, e.tsSec, 1, e.value))
+        case Some(s) =>
+          // too old to join the open session (more than a gap before its
+          // start) and everything between has already been observed: the
+          // straggler is its own already-closed session, emitted now.
+          // (One state slot per key: holding two open sessions would need
+          // a different state model for an event this late.)
+          out += SessionOut(userId, e.tsSec, e.tsSec, 1, e.value)
+          open = Some(s)
         case None =>
           open = Some(OpenSession(e.tsSec, e.tsSec, 1, e.value))
       }

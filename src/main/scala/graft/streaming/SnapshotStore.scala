@@ -43,8 +43,27 @@ class SnapshotStore(
     * ever ATOMIC_MOVE-swapped (never partial), so a read failure is a
     * transient store error — and conflating it with "empty table" would
     * make the next upsert restart at version 0, clobbering d_000000 and
-    * silently truncating the table's history. */
+    * silently truncating the table's history.
+    *
+    * The pointer is a CACHE of "highest published manifest", not the
+    * source of truth: manifest publication is claim-arbitrated
+    * put-if-absent, so a published m_{v+1} IS committed, and this walk
+    * rolls the pointer forward over it. That heals both a committer that
+    * crashed between publish and pointer swap AND the cross-process
+    * pointer REGRESSION the in-JVM pointerLock cannot prevent (process A
+    * passes its monotone check, process B advances, A's stale
+    * ATOMIC_MOVE lands) — every subsequent currentVersion call from any
+    * process reads through the regression. Steady-state cost: one
+    * negative Files.exists probe. */
   def currentVersion: Long = {
+    val raw = rawPointer()
+    var v = raw
+    while (Files.exists(manifestFile(v + 1))) v += 1
+    if (v > raw) advancePointer(v)
+    v
+  }
+
+  private def rawPointer(): Long = {
     if (!Files.exists(currentFile)) -1L
     else {
       val txt = new String(Files.readAllBytes(currentFile)).trim
@@ -72,11 +91,23 @@ class SnapshotStore(
   /** All retained row versions visible at table version v: the union of the
     * manifest's member directories. At-least-once redelivery can land the
     * same (key, commit-ts) row in two deltas, so the union dedupes on
-    * key+ts — idempotent by construction. */
+    * key+ts — idempotent by construction. The dedup is DETERMINISTIC
+    * (dropDuplicates keeps a plan-dependent arbitrary row): when the same
+    * (key, version) carries CONFLICTING payloads — e.g. an upsert and a
+    * tombstone replayed with one coarse commit ts — the tombstone wins,
+    * and remaining ties break on a content hash, so two reads of the same
+    * version always agree and compact() bakes in the same resolution a
+    * pre-compaction read served. */
   def readVersion(v: Long): DataFrame = {
     val dirs = manifest(v).map(n => root.resolve(n).toString)
-    spark.read.format(format).option("mergeSchema", "true").load(dirs: _*)
-      .dropDuplicates(keyCols :+ versionCol)
+    val df = spark.read.format(format).option("mergeSchema", "true")
+      .load(dirs: _*)
+    val w = Window.partitionBy((keyCols :+ versionCol).map(col): _*)
+      .orderBy(col("_deleted").desc,
+        xxhash64(df.columns.map(col): _*).desc)
+    df.withColumn("_dup_rn", row_number().over(w))
+      .filter(col("_dup_rn") === 1)
+      .drop("_dup_rn")
   }
 
   /** Read the current snapshot: latest visible row per key, excluding
@@ -130,7 +161,11 @@ class SnapshotStore(
       if (claimManifest(next, members)) { commit(next); return next }
       // lost the version slot (a concurrent upsert/compact claimed it):
       // rebase on the new head and retry; the orphaned delta dir is
-      // unreferenced garbage, never wrong data
+      // unreferenced garbage (vacuum reclaims it), never wrong data.
+      // Small jittered backoff: each retry re-runs a full delta write,
+      // and a stuck claim would otherwise burn all 50 attempts in a
+      // tight loop well inside the dead-claim TTL
+      Thread.sleep(25L + scala.util.Random.nextInt(50))
       if (attempts <= 0) throw new java.io.IOException(
         s"snapshot store $path: could not claim a version after 50 attempts; " +
           "if an m_NNNNNN.claim exists without a matching m_NNNNNN.txt, its " +
@@ -160,8 +195,13 @@ class SnapshotStore(
         .option("commitTs", next.toString)
         .save(base.toString)
       if (claimManifest(next, Seq(base.getFileName.toString))) {
-        commit(next); return next
+        commit(next)
+        // the natural GC point: lost-race debris and dead tombstones
+        // accumulate without bound otherwise (nothing else reclaims them)
+        vacuum()
+        return next
       }
+      Thread.sleep(25L + scala.util.Random.nextInt(50))
       if (attempts <= 0) throw new java.io.IOException(
         s"snapshot store $path: compaction lost every version claim to " +
           "concurrent writers after 10 folds; if an m_NNNNNN.claim exists " +
@@ -206,7 +246,13 @@ class SnapshotStore(
     }
     val tmp = root.resolve(
       s"_m.tmp.$v.${java.util.UUID.randomUUID().toString.take(8)}")
-    Files.write(tmp, members.mkString("\n").getBytes)
+    // any failure between claim create and publish must RELEASE the claim
+    // (while still ours) before propagating: an orphaned claim with no
+    // manifest blocks every committer on this slot for the full
+    // dead-claim TTL (ENOSPC on the tmp write was enough to wedge the
+    // store for 30 s per incident)
+    try Files.write(tmp, members.mkString("\n").getBytes)
+    catch { case e: Throwable => releaseOwnClaim(claim, nonce); throw e }
     // publish only while the claim is still ours: a recoverer may have
     // declared this claim dead (TTL) and re-claimed the slot while we
     // stalled between the claim and here
@@ -232,11 +278,25 @@ class SnapshotStore(
       case _: UnsupportedOperationException =>
         if (Files.exists(manifestFile(v))) { Files.deleteIfExists(tmp); false }
         else {
-          Files.move(tmp, manifestFile(v), StandardCopyOption.ATOMIC_MOVE)
+          try Files.move(tmp, manifestFile(v), StandardCopyOption.ATOMIC_MOVE)
+          catch { case e: Throwable => releaseOwnClaim(claim, nonce); throw e }
           true
         }
+      case e: Throwable => // link failed for a non-EEXIST reason
+        releaseOwnClaim(claim, nonce)
+        Files.deleteIfExists(tmp)
+        throw e
     }
   }
+
+  /** drop a claim if (and only if) it still carries our nonce — never
+    * another committer's claim */
+  private def releaseOwnClaim(claim: java.nio.file.Path, nonce: String): Unit =
+    try {
+      if (new String(Files.readAllBytes(claim)) == nonce)
+        Files.deleteIfExists(claim)
+      ()
+    } catch { case _: java.io.IOException => () }
 
   /** Crash repair for an orphaned claim at v (a committer that died between
     * claiming the slot and swapping `_CURRENT`). Two cases:
@@ -262,19 +322,66 @@ class SnapshotStore(
     catch { case _: java.io.IOException => () } // lost the steal — fine
   }
 
-  // pointer swaps serialized in-JVM and monotone: a slow committer of v
-  // must not move _CURRENT backwards over a later committed version
-  // (single-driver usage: one streaming query + ops threads share this JVM)
+  // pointer swaps serialized in-JVM and monotone; CROSS-process, a stale
+  // swap can still land after another process advanced — currentVersion's
+  // published-manifest walk reads through (and repairs) that regression,
+  // so the raw pointer value is never trusted on its own
   private val pointerLock = new Object
 
+  private def commit(v: Long): Unit = advancePointer(v)
+
   /** Atomic pointer advance: write tmp, then ATOMIC_MOVE over _CURRENT. */
-  private def commit(v: Long): Unit = pointerLock.synchronized {
-    if (currentVersion >= v) return // a later commit already advanced
+  private def advancePointer(v: Long): Unit = pointerLock.synchronized {
+    if (rawPointer() >= v) return // a later commit already advanced
     Files.createDirectories(root)
     val tmp = root.resolve(s"_CURRENT.tmp.$v")
     Files.write(tmp, v.toString.getBytes)
     Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Garbage collection (run by [[compact]]; callable ad hoc): deletes
+    * member directories referenced by NO on-disk manifest, claim
+    * tombstones, and orphaned tmp files — the debris lost races and dead
+    * committers leave behind, which nothing else ever reclaims. Only
+    * items older than [[deadClaimTtlMs]] go (an in-flight committer's
+    * fresh delta is always younger than the TTL when it publishes), so a
+    * racing upsert can never lose its directory. Retained manifests keep
+    * their members, so time travel over retained versions is unaffected. */
+  def vacuum(): Unit = {
+    if (!Files.exists(root)) return
+    val listing = Files.list(root)
+    val names = try listing.iterator().asScala.map(_.getFileName.toString).toVector
+    finally listing.close()
+    val referenced: Set[String] = names
+      .filter(n => n.startsWith("m_") && n.endsWith(".txt"))
+      .flatMap { n =>
+        try new String(Files.readAllBytes(root.resolve(n)))
+          .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+        catch { case _: java.io.IOException => Iterator.empty }
+      }.toSet
+    val cutoff = System.currentTimeMillis() - deadClaimTtlMs
+    def oldEnough(p: java.nio.file.Path): Boolean =
+      try Files.getLastModifiedTime(p).toMillis < cutoff
+      catch { case _: java.io.IOException => false }
+    names.foreach { n =>
+      val p = root.resolve(n)
+      val orphanDir = (n.startsWith("d_") || n.startsWith("b_")) &&
+        !referenced.contains(n)
+      val debris = n.contains(".claim.dead.") ||
+        n.startsWith("_m.tmp.") || n.startsWith("_CURRENT.tmp.")
+      if ((orphanDir || debris) && oldEnough(p)) {
+        try {
+          if (Files.isDirectory(p)) {
+            val walk = Files.walk(p)
+            try walk.iterator().asScala.toVector.reverseIterator
+              .foreach(Files.deleteIfExists(_))
+            finally walk.close()
+          } else Files.deleteIfExists(p)
+          ()
+        } catch { case _: java.io.IOException => () } // next vacuum retries
+      }
+    }
   }
 }
 

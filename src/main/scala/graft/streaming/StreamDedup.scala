@@ -18,13 +18,27 @@ import org.apache.spark.sql.functions._
   */
 object StreamDedup {
 
+  /** NULL-text rule shared by both operators: a null document is NEVER a
+    * duplicate of anything (there is no content to equal). Without the
+    * rule the two paths were silently wrong in OPPOSITE directions:
+    * dropDuplicates treats NULL keys as equal (firstSeen kept one
+    * null-text row and discarded every later one), while an anti join
+    * never matches NULL (screen passed them all). firstSeen realizes the
+    * rule with a per-row unique surrogate fingerprint for null text, so
+    * the state store never equates two null rows. */
+  private def fingerprint(textCol: String) =
+    coalesce(md5(col(textCol).cast("binary")),
+      concat(lit("null-"), expr("uuid()")))
+
   /** rows: (ts, text, meta...) with an event-time column `ts`.
     * Emits the first-seen row per content fingerprint, with fingerprints
-    * forgotten once older than `horizon` (e.g. "10 minutes"). */
+    * forgotten once older than `horizon` (e.g. "10 minutes"). The output
+    * carries the internal `fp` column; callers with their own `fp`
+    * column must rename theirs first (documented clobber). */
   def firstSeen(rows: DataFrame, tsCol: String, textCol: String,
       horizon: String): DataFrame =
     rows
-      .withColumn("fp", md5(col(textCol).cast("binary")))
+      .withColumn("fp", fingerprint(textCol))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fp")
 
@@ -50,6 +64,8 @@ object StreamDedup {
   def screenAgainstCorpus(rows: DataFrame, textCol: String,
       corpus: DataFrame): DataFrame =
     rows
+      // plain md5 here: a NULL fp never matches an anti-join key, which
+      // already realizes the shared null-text rule (never a duplicate)
       .withColumn("fp", md5(col(textCol).cast("binary")))
       .join(corpus.select(col("fp")), Seq("fp"), "left_anti")
 }

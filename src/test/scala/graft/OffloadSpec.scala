@@ -178,4 +178,35 @@ class OffloadSpec extends GraftSpec {
     val a04 = run("a04_offload_planned").collect()
     assert(a04.nonEmpty && a04.forall(!_.getAs[Boolean]("in_cloud")))
   }
+
+  test("CoverageAcc incremental bytes equal unionCost on random workloads") {
+    // the branch-and-bound's incremental cost state must agree with the
+    // batch formula at EVERY prefix, including presence-only tables,
+    // missing columns, and surcharge/required-pair collisions
+    val rnd = new scala.util.Random(4242)
+    val tables = Vector("t0", "t1", "t2", "t3")
+    (0 until 200).foreach { trial =>
+      val sizes: Map[(String, String), Long] = (for {
+        t <- tables
+        c <- 0 until 4
+        if rnd.nextInt(10) > 0 // some columns missing from disk
+      } yield (t, s"c$c") -> (1L + rnd.nextInt(1000))).toMap
+      val reqs: Seq[Map[String, Set[String]]] = (0 until 6).map { _ =>
+        tables.filter(_ => rnd.nextBoolean()).map { t =>
+          // sometimes presence-only (count(*) shape): empty column set
+          val cs = (0 until 4).filter(_ => rnd.nextInt(3) == 0)
+            .map(c => s"c$c").toSet
+          t -> (if (rnd.nextInt(4) == 0) Set.empty[String] else cs)
+        }.toMap
+      }
+      var acc = graft.Offload.CoverageAcc.empty
+      reqs.zipWithIndex.foreach { case (q, i) =>
+        acc = acc.add(q, sizes)
+        val want = graft.Offload.unionCost(reqs.take(i + 1), sizes)._2
+        assert(acc.bytes == want,
+          s"trial $trial prefix ${i + 1}: incremental ${acc.bytes} != " +
+            s"unionCost $want\nreqs=${reqs.take(i + 1)}\nsizes=$sizes")
+      }
+    }
+  }
 }

@@ -74,13 +74,16 @@ class StreamingSpec extends GraftSpec {
     store.upsert(Seq(Ev(2, "click", 200, 2.0)).toDF())
     assert(store.currentVersion == 1)
     // simulate a committer that died between publishing m_000001.txt and
-    // swapping _CURRENT: roll the pointer back to 0, leaving the claim
-    // and manifest for v1 orphaned on disk
+    // swapping _CURRENT (equivalently: a stale cross-process pointer
+    // swap landing after a later advance): roll the pointer back to 0,
+    // leaving the claim and manifest for v1 orphaned on disk
     Files.write(java.nio.file.Paths.get(dir, "_CURRENT"), "0".getBytes)
-    assert(store.currentVersion == 0)
-    // the next upsert computes next=1, loses the claim, detects the
-    // published manifest, rolls _CURRENT forward, and commits at v2 —
-    // previously this threw after 50 lost claims (write-wedged store)
+    // readers read THROUGH the regression: the published manifest IS the
+    // committed truth, and the very next currentVersion heals the pointer
+    assert(store.currentVersion == 1)
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_CURRENT"))).trim == "1",
+      "currentVersion must repair the regressed pointer on disk")
     store.upsert(Seq(Ev(3, "view", 300, 3.0)).toDF())
     assert(store.currentVersion == 2)
     val head = store.read().get
