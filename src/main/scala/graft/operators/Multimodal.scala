@@ -19,7 +19,12 @@ object Multimodal {
 
   /** Deterministic FAKE decoder (stands in for an image codec): derives
     * pseudo width/height/brightness from payload bytes. Replace the body
-    * with a real codec when libraries are available. */
+    * with a real codec when libraries are available.
+    *
+    * The per-byte brightness scan is DELIBERATE even where no consumer
+    * reads the column: it is the stand-in for real codec cost (a decode
+    * that touched no payload bytes would make the m02/m04 batch-decode
+    * timings meaninglessly cheap relative to a real deployment). */
   def fakeDecode(payload: Array[Byte]): (Int, Int, Double) = {
     val len = payload.length
     var sum = 0L

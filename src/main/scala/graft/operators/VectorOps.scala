@@ -23,11 +23,21 @@ object VectorOps {
       .withColumn("norm", sqrt(expr(
         "aggregate(v, cast(0 as double), (acc, x) -> acc + x * x)")))
 
-  /** cosine via the native codegen'd Catalyst expression
-    * (graft.functions.CosineSimilarity) — same accumulation order and
-    * formula as the DuckDB oracle, but fused into WholeStageCodegen. */
-  private def cosine(a: String, an: String, b: String, bn: String): Column =
-    graft.functions.VectorFunctions.cos_sim(col(a), col(b))
+  /** cosine from the PRECOMPUTED norms: one native dot product per pair,
+    * divided by the norm product — the reason every serve path carries a
+    * norm column (the previous body called cos_sim, which recomputes
+    * both norms per pair, so the carried norms were dead weight and each
+    * pair paid 3 accumulations instead of 1). Bit-identical to cos_sim
+    * AND to the DuckDB oracle's list_dot_product(a,b)/(a.norm*b.norm):
+    * the norm columns are built with the same accumulation order the
+    * kernel uses. A zero norm product yields NULL (unrankable), matching
+    * cos_sim's zero-norm semantics — plain division would produce
+    * NaN/Infinity and poison the top-k heap ordering. */
+  private def cosine(a: String, an: String, b: String, bn: String): Column = {
+    val denom = col(an) * col(bn)
+    when(denom =!= 0.0,
+      graft.functions.VectorFunctions.dot_product(col(a), col(b)) / denom)
+  }
 
   /** Guardrail for the two documented O(n^2) oracle baselines: refuse to
     * run them past a corpus bound instead of silently launching a
@@ -40,8 +50,13 @@ object VectorOps {
     val max = s.conf.getOption("spark.graft.bruteforce.maxRows")
       .map(_.toLong).getOrElse(1000000L)
     // bounded probe: scan at most max+1 rows to test the bound — the
-    // guard must not itself add a full corpus pass to the query's cost
-    val over = e.limit((max + 1).min(Int.MaxValue.toLong).toInt).count() > max
+    // guard must not itself add a full corpus pass to the query's cost.
+    // limit() takes an Int, so a bound at/above Int.MaxValue probes by
+    // full count instead (the old Int-cap silently DISABLED the guard
+    // for any larger bound: the capped probe could never exceed max)
+    val over =
+      if (max >= Int.MaxValue) e.count() > max
+      else e.limit(max.toInt + 1).count() > max
     require(!over,
       s"$op is an O(n^2) brute-force oracle baseline (corpus > $max rows);" +
       s" use $alt at scale, or raise spark.graft.bruteforce.maxRows " +
@@ -184,8 +199,14 @@ object VectorOps {
   // gated >= 0.6 vs brute force in VectorOpsSpec.
   def cosinePairsLsh(s: SparkSession, d: String): DataFrame = {
       import graft.CacheScope.Trackable
-      val Tables_ = 16; val Dim = 64
+      val Tables_ = 16
       val e = vecs(s, d).tracked
+      // embedding dimension from the DATA (one head row), never a
+      // constant: HyperplaneSigs nulls every signature on a dimension
+      // mismatch, so a hard-coded 64 against a different-dim table would
+      // silently emit ZERO candidate pairs (every bucket key NULL) and
+      // blame the LSH recall gate for a shape-coupling bug
+      val Dim = e.select(size(col("v"))).head.getInt(0)
       // signature width grows with corpus size so the candidate set (and
       // the per-pair exact verify behind it) stays bounded at scale:
       // Bits = log2(n/4)+1 clamped [8, 24]. A RANDOM pair collides in one
@@ -380,10 +401,13 @@ object VectorOps {
     * integer hit counts (hits*100 >= total*gatePct), so the gate is
     * deterministic under any execution/summation order. */
   private def knnRecallGate(s: SparkSession, d: String, approx: DataFrame,
-      k: Int, gatePct: Int, posNormOnly: Boolean = false): DataFrame = {
+      k: Int, gatePct: Int): DataFrame = {
     val e = vecs(s, d)
-    val q0 = e.filter(col("vec_id") < 10)
-    val q = (if (posNormOnly) q0.filter(col("norm") > 0) else q0)
+    // zero-norm queries unconditionally excluded (they are unrankable
+    // under cosine; every oracle filters them too) — the old optional
+    // flag was passed true by every caller, leaving an untested false
+    // path that would reintroduce the zero-norm divergence
+    val q = e.filter(col("vec_id") < 10 && col("norm") > 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("norm").as("qnorm"))
     val corpus = e.filter(col("vec_id") >= 10)
@@ -441,7 +465,12 @@ object VectorOps {
     GQuery("v02_knn_brute", (s, d) => {
       val e = requireBaselineScale(s, vecs(s, d),
         "v02_knn_brute", "v03_knn_ivf / v06_knn_ivf_index")
-      val q = e.filter(col("vec_id") < 10)
+      // zero-norm queries are unrankable under cosine and are excluded on
+      // BOTH sides (the v03/v07 discipline): without the guard Spark's
+      // heap silently emits 0 rows for such a query while the oracle's
+      // ROW_NUMBER still ranks k NULL-score rows — a hash mismatch the
+      // moment a zero vector lands in the query slice
+      val q = e.filter(col("vec_id") < 10 && col("norm") > 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
       val scored = q.join(e.filter(col("vec_id") >= 10)
           .select(col("vec_id").as("n_id"), col("v").as("nv"), col("norm").as("nnorm")))
@@ -456,7 +485,8 @@ object VectorOps {
               |    round(${oCos("a", "b")}, 4) AS cos_sim,
               |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
               |      ORDER BY ${oCos("a", "b")} DESC, b.vec_id) AS rank
-              |  FROM e a JOIN e b ON a.vec_id < 10 AND b.vec_id >= 10) t
+              |  FROM e a JOIN e b ON a.vec_id < 10 AND a.norm > 0
+              |    AND b.vec_id >= 10) t
               |WHERE rank <= 5
               |ORDER BY q_id, rank""".stripMargin)),
 
@@ -468,7 +498,7 @@ object VectorOps {
     // yields NULL, the exact side would emit no rows for them) and are
     // excluded on BOTH sides, like v07.
     GQuery("v03_knn_ivf",
-      (s, d) => knnRecallGate(s, d, knnIvf(s, d), 5, 60, posNormOnly = true),
+      (s, d) => knnRecallGate(s, d, knnIvf(s, d), 5, 60),
       Some(knnGateOracle(
         "\n  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"))),
 
@@ -500,8 +530,7 @@ object VectorOps {
     // v06 registered as its recall audit (serving shape: knnIvfIndexed);
     // zero-norm queries excluded on both sides, like v03/v07
     GQuery("v06_knn_ivf_indexed",
-      (s, d) => knnRecallGate(s, d, knnIvfIndexed(s, d), 5, 60,
-        posNormOnly = true),
+      (s, d) => knnRecallGate(s, d, knnIvfIndexed(s, d), 5, 60),
       Some(knnGateOracle(
         "\n  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"))),
 
@@ -525,7 +554,7 @@ object VectorOps {
     // tighter 80% gate reflects the exact rerank). Zero-norm query
     // vectors are unrankable under cosine and excluded on BOTH sides.
     GQuery("v07_knn_sq8",
-      (s, d) => knnRecallGate(s, d, knnSq8(s, d), 5, 80, posNormOnly = true),
+      (s, d) => knnRecallGate(s, d, knnSq8(s, d), 5, 80),
       Some(knnGateOracle(
         "\n  AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"))),
 
@@ -546,15 +575,12 @@ object VectorOps {
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       val corpus = e.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("n_id"), col("v").as("nv"))
-      corpus.join(broadcast(q))
+      val scored = corpus.join(broadcast(q))
         .withColumn("dot", graft.functions.VectorFunctions
           .dot_product(col("qv"), col("nv")))
-        .groupBy("q_id")
-        .agg(graft.functions.VectorFunctions
-          .topk_by_score(col("dot"), col("n_id"), 5).as("tk"))
-        .select(col("q_id"), posexplode(col("tk")))
-        .select(col("q_id"), (col("pos") + 1).as("rank"),
-          col("col.id").as("n_id"), round(col("col.score"), 4).as("dot"))
+      topkPerQuery(scored, col("dot"), col("n_id"), 5, "n_id", "dot")
+        .select(col("q_id"), col("rank"), col("n_id"),
+          round(col("dot"), 4).as("dot"))
         .orderBy("q_id", "rank")
     },
       Some(s"""WITH $oVecs
