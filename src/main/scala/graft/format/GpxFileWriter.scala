@@ -38,6 +38,7 @@ final class GpxFileWriter(
   require(schema.fields.forall(f => supported(f.dataType)),
     s"unsupported gpx schema: $schema")
   require(pixelRows > 0, "pixelRows must be positive")
+  require(rowGroupRows > 0, "rowGroupRows must be positive")
 
   private val hPath = new Path(path)
   private val fs = hPath.getFileSystem(conf)
@@ -302,7 +303,9 @@ final class GpxFileWriter(
           k += 1
         }
         if (sawNaN) stats = stats.copy(reliable = false)
-        else if (any) stats = stats.copy(hasValues = true, minDouble = mn, maxDouble = mx)
+        else if (any) stats = stats.copy(hasValues = true,
+          minDouble = if (mn == 0.0) -0.0 else mn,
+          maxDouble = if (mx == 0.0) 0.0 else mx)
         // XOR (Gorilla) probe: bit-exact, wins on repeated / slowly-varying
         // sensor values; random payloads come out larger -> stay PLAIN
         val xorBytes = XorCodec.encode(
@@ -329,9 +332,17 @@ final class GpxFileWriter(
           k += 1
         }
         // NaN sorts ABOVE +Inf in Spark: finite min/max would wrongly
-        // prune range predicates that NaN rows satisfy
+        // prune range predicates that NaN rows satisfy.
+        // Zero bounds widen to cover BOTH zeros (-0.0 as min, +0.0 as
+        // max): the primitive <,> above conflate -0.0 and 0.0, but the
+        // reader prunes under Double.compare's total order where
+        // -0.0 < 0.0 — a file of {-5.0, -0.0} would record max = -0.0
+        // and a `>= 0.0` predicate (true for -0.0 under Spark's IEEE
+        // evaluation) would prune the row group: silent row loss
         if (sawNaN) stats = stats.copy(reliable = false)
-        else if (any) stats = stats.copy(hasValues = true, minDouble = mn, maxDouble = mx)
+        else if (any) stats = stats.copy(hasValues = true,
+          minDouble = if (mn == 0.0) -0.0 else mn,
+          maxDouble = if (mx == 0.0) 0.0 else mx)
 
         // scaled-decimal probe: many real-world measure columns are
         // fixed-point (money, ratings). If every value is bit-exactly
@@ -515,7 +526,12 @@ final class GpxFileWriter(
   }
 
   def abort(): Unit = {
-    out.close()
+    // best-effort close: aborts fire exactly when the stream is broken
+    // (disk full, task kill), and a throwing close() must not skip the
+    // delete — a footer-less partial .gpx under the final name fails
+    // every later scan of the directory with "not a gpx file"
+    try out.close() catch { case _: Throwable => () }
     fs.delete(hPath, false)
+    ()
   }
 }

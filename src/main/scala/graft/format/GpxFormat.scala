@@ -229,7 +229,7 @@ object GpxFormat {
       in.readUTF(), in.readUTF(), in.readLong(), in.readBoolean())
 
   def writeFooter(out: DataOutputStream, f: Footer): Unit = {
-    out.writeUTF(f.schema.toDDL)
+    writeSchemaDDL(out, f.schema.toDDL)
     out.writeInt(f.rowGroups.length)
     f.rowGroups.foreach { rg =>
       out.writeInt(rg.numRows)
@@ -251,8 +251,45 @@ object GpxFormat {
     f.noNullElemCols.foreach(out.writeUTF)
   }
 
+  /** Schema DDL framing: writeUTF's 2-byte length caps a DDL at 65535
+    * modified-UTF-8 bytes — a ~2000-column schema would write every data
+    * byte and then fail UNRECOVERABLY in close() (UTFDataFormatException,
+    * and no retry can ever succeed for that schema). Wide DDLs use a
+    * 0-length sentinel (impossible for a real schema: DDL is never
+    * empty) followed by int-length raw UTF-8; narrow DDLs keep the
+    * writeUTF byte layout, so existing files read unchanged. */
+  private def writeSchemaDDL(out: DataOutputStream, ddl: String): Unit =
+    // 3 bytes/char is modified-UTF-8's BMP worst case (surrogate pairs:
+    // 2 chars x 3 bytes), so length <= 21845 always fits writeUTF
+    if (ddl.length <= 21845) out.writeUTF(ddl)
+    else {
+      val bytes = ddl.getBytes("UTF-8")
+      out.writeShort(0)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+
+  private def readSchemaDDL(in: DataInputStream): String = {
+    val len = in.readUnsignedShort()
+    if (len == 0) {
+      val n = in.readInt()
+      val b = new Array[Byte](n)
+      in.readFully(b)
+      new String(b, "UTF-8")
+    } else {
+      // short form: reconstruct writeUTF's frame so the MODIFIED-UTF-8
+      // payload decodes exactly as readUTF would
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      val buf = java.nio.ByteBuffer.allocate(2 + len)
+      buf.putShort(len.toShort).put(b)
+      new DataInputStream(
+        new java.io.ByteArrayInputStream(buf.array())).readUTF()
+    }
+  }
+
   def readFooter(in: DataInputStream): Footer = {
-    val schema = StructType.fromDDL(in.readUTF())
+    val schema = StructType.fromDDL(readSchemaDDL(in))
     val nRg = in.readInt()
     val rgs = Array.fill(nRg) {
       val numRows = in.readInt()

@@ -257,6 +257,52 @@ class FormatSpec extends GraftSpec {
       ArrayType(DoubleType, containsNull = false))
   }
 
+  test("negative zero never prunes wrongly: zero bounds cover both zeros") {
+    import sp.implicits._
+    val dir = tmp()
+    // max of the segment is -0.0 under primitive comparison; the reader
+    // prunes with Double.compare's total order (-0.0 < 0.0), so an
+    // unnormalized bound would prune `>= 0.0` — which -0.0 satisfies
+    // under Spark's IEEE predicate evaluation
+    Seq(-5.0, -0.0).toDF("v").coalesce(1)
+      .write.format("gpx").mode("overwrite").save(dir)
+    val t = sp.read.format("gpx").load(dir)
+    assert(t.filter(col("v") >= 0.0).count() == 1,
+      "-0.0 row lost to zone-map pruning")
+    assert(t.filter(col("v") === 0.0).count() == 1)
+    // and the mirror: min = +0.0 stored as -0.0 must not break <= -0.0
+    val dir2 = tmp()
+    Seq(0.0, 5.0).toDF("v").coalesce(1)
+      .write.format("gpx").mode("overwrite").save(dir2)
+    assert(sp.read.format("gpx").load(dir2)
+      .filter(col("v") <= -0.0).count() == 1)
+    // float path gets the same normalization
+    val dir3 = tmp()
+    Seq(-5.0f, -0.0f).toDF("v").coalesce(1)
+      .write.format("gpx").mode("overwrite").save(dir3)
+    assert(sp.read.format("gpx").load(dir3)
+      .filter(col("v") >= 0.0f).count() == 1)
+  }
+
+  test("a schema whose DDL exceeds the writeUTF cap round-trips (wide-table footer)") {
+    val conf = new Configuration()
+    val wide = StructType((0 until 2500).map(i =>
+      StructField(s"really_quite_a_long_column_name_number_$i", LongType)))
+    assert(wide.toDDL.length > 65535, "fixture must exceed the cap")
+    val dir = tmp()
+    val file = s"$dir/wide.gpx"
+    val w = new graft.format.GpxFileWriter(file, wide, conf)
+    w.addRow(org.apache.spark.sql.catalyst.InternalRow(
+      (0 until 2500).map(_.toLong): _*))
+    w.close()
+    val footer = GpxFileReader.readFooter("file:" + file, conf)
+    assert(footer.schema == wide)
+    val back = sp.read.format("gpx").load(dir)
+    assert(back.count() == 1)
+    assert(back.select("really_quite_a_long_column_name_number_2499")
+      .head.getLong(0) == 2499L)
+  }
+
   test("a narrowed (containsNull=false) table still accepts ordinary nullable-element appends") {
     import sp.implicits._
     val dir = tmp()
