@@ -189,8 +189,13 @@ object Dedup {
     * set shared by d05 (pair listing) and d06 (cluster extraction). */
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     // fingerprints are tiny (one long per doc) but cost a full corpus
-    // pass — persist so the banded self-join doesn't recompute both sides
-    bandedPairs(simhashDF(s, d).tracked)
+    // pass — persist AND materialize before the banded self-join
+    // consumes both sides: without the count() barrier the x and y scan
+    // stages race to populate the cache and can each run the per-doc
+    // simhash digest pass (the d06 populate-before-branching discipline)
+    val fp = simhashDF(s, d).tracked
+    fp.count()
+    bandedPairs(fp)
   }
 
   /** hamming<=6 pairs among the given (doc_id, simhash) rows, banded
@@ -787,7 +792,7 @@ object Dedup {
     // Same result set and SAME ORACLE as d08.
     GQuery("d10_indexed_incremental_dedup", (s, d) => {
       val t = 0.8
-      val idx = FormatOps.cachedDir(d, "dedup_sigidx2") { dir =>
+      val idx = FormatOps.cachedDir(d, "dedup_sigidx3") { dir =>
         val corpus = Tables.documents(s, d)
           .filter(col("doc_id") % 5 =!= 0)
           .select(col("doc_id"), array_sort(tokens).as("toks"))
@@ -798,12 +803,14 @@ object Dedup {
         pureBands(cgroups, "fp")
           .write.format("gpx").mode("overwrite").save(s"$dir/banded")
         // token sets PRE-AGGREGATED into the index: one row per fp with
-        // the sorted tokens joined on  (tokens come from splitting
-        // on spaces, so the separator cannot occur). The steady-state
+        // the sorted tokens joined on a SPACE, the one injective separator
+        // (tokens come from splitting on spaces, so no token contains
+        // one; any OTHER byte can occur inside a token and would decode
+        // to a different set, skewing the jaccard). The steady-state
         // probe then verifies candidates with a split — no per-run
         // collect_list regroup, no shuffle of the corpus token stream.
         cgroups.select(col("fp"),
-          concat_ws("", col("toks")).as("toks_s"))
+          concat_ws(" ", col("toks")).as("toks_s"))
           .write.format("gpx").mode("overwrite").save(s"$dir/tokens")
         cgroups.select(col("fp"))
           .write.format("gpx").mode("overwrite").save(s"$dir/reps")
@@ -848,7 +855,7 @@ object Dedup {
           // it back exactly (an empty array here would diverge from the
           // batch side's [""] and skew the jaccard for empty-token docs)
           when(col("toks_s") === "", array(lit("")))
-            .otherwise(split(col("toks_s"), "\u0001")).as("ctoks"))
+            .otherwise(split(col("toks_s"), " ")).as("ctoks"))
       val verified = cand
         .join(bgroups.select(col("fp").as("fa"), col("toks").as("btoks")), "fa")
         .join(ctoks.select(col("fp").as("fb"), col("ctoks")), "fb")

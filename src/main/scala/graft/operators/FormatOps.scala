@@ -54,9 +54,14 @@ object FormatOps {
     lock.synchronized {
       val marker = new java.io.File(s"$dir/_done")
       val fp = sourceFingerprint(d)
-      def fresh(): Boolean = marker.exists() &&
-        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+      // the exists/read pair can race a concurrent JVM's rebuild
+      // (deleteRecursively between the two calls): a vanished marker
+      // means NOT fresh — wait for the rebuilder — never a crash
+      def fresh(): Boolean = marker.exists() && {
+        try new String(java.nio.file.Files.readAllBytes(marker.toPath),
           java.nio.charset.StandardCharsets.UTF_8).trim == fp
+        catch { case _: java.io.IOException => false }
+      }
       if (!fresh()) {
         val lockFile = java.nio.file.Paths.get(s"$dir.lock")
         java.nio.file.Files.createDirectories(lockFile.getParent)
@@ -90,6 +95,26 @@ object FormatOps {
           }
         }
         if (claimed) {
+          // HEARTBEAT while building: the stale-lock steal is keyed on
+          // the lock file's mtime, and a live build longer than the
+          // 10-min window would otherwise get its lock stolen MID-BUILD
+          // (the stealer deletes the dir under the running builder and
+          // both build concurrently — the corruption this lock exists to
+          // prevent). A daemon thread re-touches the lock well inside
+          // the window for as long as the build runs.
+          val beating = new java.util.concurrent.atomic.AtomicBoolean(true)
+          val heart = new Thread(() => {
+            while (beating.get()) {
+              try java.nio.file.Files.setLastModifiedTime(lockFile,
+                java.nio.file.attribute.FileTime.fromMillis(
+                  System.currentTimeMillis()))
+              catch { case _: Throwable => () } // lock stolen/FS hiccup
+              try Thread.sleep(StaleLockMs / 5)
+              catch { case _: InterruptedException => beating.set(false) }
+            }
+          }, "gpx-cache-build-heartbeat")
+          heart.setDaemon(true)
+          heart.start()
           try {
             if (!fresh()) {
               deleteRecursively(new java.io.File(dir))
@@ -98,6 +123,8 @@ object FormatOps {
                 fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             }
           } finally {
+            beating.set(false)
+            heart.interrupt()
             try { java.nio.file.Files.deleteIfExists(lockFile); () }
             catch { case _: Throwable => () }
           }

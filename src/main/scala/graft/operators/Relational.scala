@@ -347,9 +347,15 @@ object Relational {
     GQuery("q20_correlated_subquery",
       (s, d) => {
         val li = Tables.lineitem(s, d)
+        // NO broadcast hint: avg_qty has |part| cardinality (millions of
+        // rows per sf) — forcing it past autoBroadcastJoinThreshold would
+        // collect a multi-GB aggregate to the driver at scale. AQE
+        // promotes the join when the aggregate actually is small; at
+        // large sf the shuffled hash join on l_partkey is the plan a
+        // decorrelated Q17 wants anyway.
         val avgQty = li.groupBy(col("l_partkey").as("ap_partkey"))
           .agg((sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"))
-        li.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+        li.join(avgQty, col("l_partkey") === col("ap_partkey"))
           .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
           .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
             count(lit(1)).as("n"))
