@@ -135,7 +135,10 @@ object Offload {
       // for this path is pinned to the DELETED listing and would 404 at
       // collect (or silently serve the old column subset) — evict it
       dfCache.synchronized {
-        dfCache.keySet.removeIf(_.endsWith(s"|${peer.dir}/$t.parquet")); ()
+        // keys are "<session>|<path>|<len:mtime>" — match the path
+        // segment (an endsWith on the path stopped matching when the
+        // fingerprint suffix was added, making the eviction dead code)
+        dfCache.keySet.removeIf(_.contains(s"|${peer.dir}/$t.parquet|")); ()
       }
       // read-back integrity check: the partial copy must carry every row
       // (the reference worker trusts its gRPC stream; a filesystem copy

@@ -32,12 +32,18 @@ import java.nio.charset.StandardCharsets
   * those types and as escaped strings for everything else — a transport
   * for humans and tests, not a wire protocol for BI tools.
   */
-final class QueryHttp(mgr: QueryService.Manager, port: Int = 0)
+final class QueryHttp(mgr: QueryService.Manager, port: Int = 0,
+    bindAddr: java.net.InetAddress = java.net.InetAddress.getLoopbackAddress)
   extends AutoCloseable {
 
   import QueryHttp._
 
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  // loopback by default (matching ExchangeServer.start): this endpoint
+  // executes arbitrary SQL on the session — a wildcard bind would expose
+  // that, unauthenticated, to the whole network. Deployments that front
+  // it with their own auth pass an explicit bindAddr.
+  private val server =
+    HttpServer.create(new InetSocketAddress(bindAddr, port), 0)
   server.createContext("/query", new HttpHandler {
     override def handle(x: HttpExchange): Unit = route(x)
   })

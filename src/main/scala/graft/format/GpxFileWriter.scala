@@ -35,6 +35,11 @@ final class GpxFileWriter(
     * group's rows, then [[flushRowGroup]] before changing it again */
   var commitTs: Long = initialCommitTs
 
+  // nonEmpty first: the footer's wide-DDL framing uses a 0-length
+  // writeUTF sentinel, which a zero-field schema's empty DDL would
+  // collide with (readSchemaDDL would consume the row-group count as a
+  // byte length) — and the forall check below passes vacuously for it
+  require(schema.fields.nonEmpty, "gpx schema must have at least one field")
   require(schema.fields.forall(f => supported(f.dataType)),
     s"unsupported gpx schema: $schema")
   require(pixelRows > 0, "pixelRows must be positive")

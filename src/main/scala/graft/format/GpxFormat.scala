@@ -258,7 +258,11 @@ object GpxFormat {
     * 0-length sentinel (impossible for a real schema: DDL is never
     * empty) followed by int-length raw UTF-8; narrow DDLs keep the
     * writeUTF byte layout, so existing files read unchanged. */
-  private def writeSchemaDDL(out: DataOutputStream, ddl: String): Unit =
+  private def writeSchemaDDL(out: DataOutputStream, ddl: String): Unit = {
+    // GpxFileWriter rejects zero-field schemas, making this provably
+    // unreachable — but guard here too so no future caller can emit the
+    // ambiguous 2-zero-byte frame (writeUTF("") IS the wide sentinel)
+    require(ddl.nonEmpty, "schema DDL must be non-empty")
     // 3 bytes/char is modified-UTF-8's BMP worst case (surrogate pairs:
     // 2 chars x 3 bytes), so length <= 21845 always fits writeUTF
     if (ddl.length <= 21845) out.writeUTF(ddl)
@@ -268,6 +272,7 @@ object GpxFormat {
       out.writeInt(bytes.length)
       out.write(bytes)
     }
+  }
 
   private def readSchemaDDL(in: DataInputStream): String = {
     val len = in.readUnsignedShort()

@@ -185,17 +185,54 @@ object Dedup {
        |fp AS (SELECT doc_id, $fp AS simhash FROM bits)""".stripMargin
   }
 
-  /** SimHash near-dup pairs (hamming <= 6) via 8x4-bit banding — the edge
-    * set shared by d05 (pair listing) and d06 (cluster extraction). */
+  /** SimHash near-dup pairs (hamming <= 6) via 8x4-bit banding over
+    * DISTINCT fingerprints, then output-proportional member expansion.
+    *
+    * Banding the raw corpus is the textbook skew scale-killer: the
+    * (band, key) space has only 8x16 = 128 values, so a full-corpus
+    * banded self-join shuffles EVERY doc onto <=128 keys and the
+    * within-group join is quadratic in N/16. Instead, docs sharing a
+    * simhash are pairwise hamming-0 duplicates (the d06 rep-collapse
+    * trick), so the candidate structure is fully determined by the
+    * graph over DISTINCT fingerprints: band those (bounded by 2^32 and
+    * in practice by corpus entropy, NOT corpus size), take the exact
+    * hamming<=6 fingerprint pairs, then expand to member pairs with two
+    * high-cardinality equality joins on the fingerprint — candidate
+    * work scales with distinct fingerprints, expansion with output
+    * size. Exactness is unchanged: old output = all doc pairs with
+    * hamming<=6 = (same-fp pairs, hamming 0) ∪ (members of fp pairs
+    * with 1<=hamming<=6), and pigeonhole recall applies to the
+    * distinct-fp banding identically. */
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     // fingerprints are tiny (one long per doc) but cost a full corpus
-    // pass — persist AND materialize before the banded self-join
-    // consumes both sides: without the count() barrier the x and y scan
-    // stages race to populate the cache and can each run the per-doc
-    // simhash digest pass (the d06 populate-before-branching discipline)
+    // pass — persist AND materialize before the multi-consumer plans
+    // below (banding input, both expansion joins, the intra self-join)
     val fp = simhashDF(s, d).tracked
     fp.count()
-    bandedPairs(fp)
+    // fingerprint-level candidate pairs: reuse bandedPairs with the
+    // fingerprint itself as the ordering id (simhash32 is non-negative,
+    // so `<` on the long is a total order over distinct values)
+    val fpPairs = bandedPairs(
+        fp.select(col("simhash").as("doc_id"), col("simhash")).distinct())
+      .select(col("a_id").as("a_fp"), col("b_id").as("b_fp"), col("hamming"))
+    // cross-fingerprint member pairs: each join keys on the full 32-bit
+    // fingerprint (high cardinality — no 128-key pile-up)
+    val cross = fpPairs
+      .join(fp.as("ma"), col("a_fp") === col("ma.simhash"))
+      .join(fp.as("mb"), col("b_fp") === col("mb.simhash"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("a_id"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("b_id"),
+        col("hamming"))
+    // intra-fingerprint pairs (hamming 0): equality self-join on the
+    // fingerprint — output-proportional (the k^2 blowup is the answer
+    // itself, not shuffle or candidate work)
+    val intra = fp.as("x").join(fp.as("y"),
+        col("x.simhash") === col("y.simhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        lit(0).cast(IntegerType).as("hamming"))
+    cross.unionByName(intra)
   }
 
   /** hamming<=6 pairs among the given (doc_id, simhash) rows, banded

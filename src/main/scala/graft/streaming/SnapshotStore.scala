@@ -33,7 +33,18 @@ class SnapshotStore(
     keyCols: Seq[String],
     versionCol: String,
     format: String = "parquet",
-    deadClaimTtlMs: Long = 30000L) {
+    deadClaimTtlMs: Long = 30000L,
+    vacuumGraceMs: Long = 600000L) {
+
+  // vacuum grace is a SEPARATE, much larger knob than the dead-claim
+  // TTL: 30 s suits claim-steal recovery (a claim is one tiny file
+  // written instants before the manifest), but a committer's delta DIR
+  // and manifest tmp exist for the whole data-write window, and a
+  // committer stalled >30 s between finishing its delta write and
+  // publishing (GC pause, CPU starvation) must not have its in-flight
+  // artifacts reclaimed by a concurrent compact's vacuum
+  require(vacuumGraceMs >= deadClaimTtlMs,
+    "vacuumGraceMs must be at least deadClaimTtlMs")
 
   private def root = Paths.get(path)
   private def currentFile = root.resolve("_CURRENT")
@@ -59,7 +70,14 @@ class SnapshotStore(
     val raw = rawPointer()
     var v = raw
     while (Files.exists(manifestFile(v + 1))) v += 1
-    if (v > raw) advancePointer(v)
+    // best-effort heal: the walked-forward version is already correct in
+    // memory; persisting the pointer only saves future walks. A pure
+    // reader (read-only mount, no write permission) must not throw on
+    // what is otherwise a read path.
+    if (v > raw) {
+      try advancePointer(v)
+      catch { case _: java.io.IOException | _: SecurityException => }
+    }
     v
   }
 
@@ -344,9 +362,11 @@ class SnapshotStore(
     * member directories referenced by NO on-disk manifest, claim
     * tombstones, and orphaned tmp files — the debris lost races and dead
     * committers leave behind, which nothing else ever reclaims. Only
-    * items older than [[deadClaimTtlMs]] go (an in-flight committer's
-    * fresh delta is always younger than the TTL when it publishes), so a
-    * racing upsert can never lose its directory. Retained manifests keep
+    * items older than [[vacuumGraceMs]] go (an in-flight committer's
+    * delta is always younger than the grace when it publishes — the
+    * grace is sized in minutes precisely so a GC-stalled committer's
+    * write window fits inside it), so a racing upsert can never lose
+    * its directory. Retained manifests keep
     * their members, so time travel over retained versions is unaffected. */
   def vacuum(): Unit = {
     if (!Files.exists(root)) return
@@ -360,7 +380,7 @@ class SnapshotStore(
           .split("\n").iterator.map(_.trim).filter(_.nonEmpty)
         catch { case _: java.io.IOException => Iterator.empty }
       }.toSet
-    val cutoff = System.currentTimeMillis() - deadClaimTtlMs
+    val cutoff = System.currentTimeMillis() - vacuumGraceMs
     def oldEnough(p: java.nio.file.Path): Boolean =
       try Files.getLastModifiedTime(p).toMillis < cutoff
       catch { case _: java.io.IOException => false }
