@@ -22,6 +22,7 @@ import java.nio.charset.StandardCharsets
   *   GET  /query/result?token=T    (POP semantics: second call 404s)
   *     -> 200 {"token":T,"columns":[...],"rows":[[...],...],
   *             "pendingMs":n,"execMs":n} | 404 not finished / popped
+  *        | 413 result exceeded the Manager's maxResultRows budget
   *   POST /query/cancel?token=T
   *     -> 200 {"cancelled":true|false}
   *
@@ -112,15 +113,28 @@ final class QueryHttp(mgr: QueryService.Manager, port: Int = 0,
     }
 
   private def result(x: HttpExchange): Unit =
-    param(x, "token").flatMap(mgr.popResult) match {
+    param(x, "token") match {
       case None => send(x, 404, """{"error":"no poppable result"}""")
-      case Some(r) =>
-        val cols = r.columns.map(jstr).mkString("[", ",", "]")
-        val rows = r.rows.map(row =>
-          (0 until row.length).map(i => jval(row.get(i)))
-            .mkString("[", ",", "]")).mkString("[", ",", "]")
-        send(x, 200, s"""{"token":${jstr(r.token)},"columns":$cols,""" +
-          s""""rows":$rows,"pendingMs":${r.pendingMs},"execMs":${r.execMs}}""")
+      case Some(t) => mgr.popResult(t) match {
+        case Some(r) =>
+          val cols = r.columns.map(jstr).mkString("[", ",", "]")
+          val rows = r.rows.map(row =>
+            (0 until row.length).map(i => jval(row.get(i)))
+              .mkString("[", ",", "]")).mkString("[", ",", "]")
+          send(x, 200, s"""{"token":${jstr(r.token)},"columns":$cols,""" +
+            s""""rows":$rows,"pendingMs":${r.pendingMs},"execMs":${r.execMs}}""")
+        case None => mgr.status(t) match {
+          // the one failure a RESULT request should explain with its own
+          // HTTP class: the query ran fine but its result blew the
+          // manager's driver-buffer budget — 413 tells the client to
+          // page (LIMIT/OFFSET) or write to a sink, where a generic 404
+          // would read as "expired/popped"
+          case Some(QueryService.Failed(reason))
+              if reason.startsWith("ResultTooLargeException") =>
+            send(x, 413, s"""{"error":${jstr(reason)}}""")
+          case _ => send(x, 404, """{"error":"no poppable result"}""")
+        }
+      }
     }
 
   private def cancel(x: HttpExchange): Unit =

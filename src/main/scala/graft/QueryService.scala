@@ -39,6 +39,11 @@ object QueryService {
   case object Relaxed extends ExecutionHint { val pool = "graft-relaxed" }
   case object BestEffort extends ExecutionHint { val pool = "graft-besteffort" }
 
+  /** a query whose result exceeded the manager's maxResultRows budget —
+    * surfaces as Failed("ResultTooLargeException: ...") so transports can
+    * map it to a 413-class rejection (QueryHttp does) */
+  final class ResultTooLargeException(msg: String) extends RuntimeException(msg)
+
   sealed trait Status
   case object Pending extends Status
   case object Running extends Status
@@ -76,9 +81,10 @@ object QueryService {
     * loudly — admission control, not silent unbounded buffering). */
   final class Manager(spark: SparkSession, slots: Int = 4,
       queueCap: Int = 64, maxPostponeMs: Long = 60000L,
-      resultTtlMs: Long = 10 * 60 * 1000L) extends AutoCloseable {
+      resultTtlMs: Long = 10 * 60 * 1000L,
+      maxResultRows: Int = 1 << 20) extends AutoCloseable {
 
-    require(slots >= 1 && queueCap >= 1)
+    require(slots >= 1 && queueCap >= 1 && maxResultRows >= 1)
     private val seq = new AtomicLong(0)
     private val queries = new ConcurrentHashMap[String, Entry]()
     private val pendingRelaxed = new ConcurrentLinkedQueue[Entry]()
@@ -256,8 +262,22 @@ object QueryService {
               s"graft query ${e.token} (${e.hint.pool})", interruptOnCancel = true)
             if (e.cancelRequested) throw new InterruptedException("cancelled")
             val df: DataFrame = spark.sql(e.sql)
-            val rows = df.collect()
+            // result-size admission control: the pop-once contract
+            // buffers the full result on the driver, so an unbounded
+            // collect is the service's availability hazard — one
+            // SELECT * over a big table would OOM the driver and take
+            // every tenant with it. Collect at most max+1 rows
+            // (CollectLimitExec pulls partitions incrementally, so the
+            // executors never even ship the excess) and REJECT above
+            // the budget rather than silently truncate: a client that
+            // wants big results pages with LIMIT/OFFSET or writes to a
+            // sink, as with the reference's JDBC-buffered result path.
+            val rows = df.limit(maxResultRows + 1).collect()
             val finished = System.currentTimeMillis()
+            if (rows.length > maxResultRows)
+              throw new ResultTooLargeException(
+                s"result exceeds maxResultRows=$maxResultRows — rejected; " +
+                  "page with LIMIT/OFFSET or write to a sink")
             // a cancel that landed while no job was active (analysis,
             // between AQE jobs) found nothing to kill: honor it here —
             // the caller was told the query was cancelled. The re-check

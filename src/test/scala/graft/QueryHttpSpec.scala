@@ -76,6 +76,24 @@ class QueryHttpSpec extends GraftSpec {
     } finally { http.close(); m.close() }
   }
 
+  test("over-budget result maps to 413, not a generic 404") {
+    val m = new QueryService.Manager(spark, slots = 2, maxResultRows = 10)
+    val http = new QueryHttp(m)
+    try {
+      val base = s"http://127.0.0.1:${http.boundPort}"
+      val t = field(post(s"$base/query?hint=immediate",
+        "SELECT id FROM range(100000000)").body(), "token").get
+      m.await(t)
+      val st = get(s"$base/query/status?token=$t")
+      assert(field(st.body(), "status").contains("failed"), st.body())
+      val res = get(s"$base/query/result?token=$t")
+      assert(res.statusCode() == 413, s"${res.statusCode()} ${res.body()}")
+      assert(res.body().contains("maxResultRows"), res.body())
+      // an unknown token still 404s (413 is reserved for the rejection)
+      assert(get(s"$base/query/result?token=zzz").statusCode() == 404)
+    } finally { http.close(); m.close() }
+  }
+
   test("cancel over http: a queued query never runs") {
     // slots=1 with a hog keeps a relaxed submission Pending long enough
     // to cancel it deterministically

@@ -135,6 +135,27 @@ class QueryServiceSpec extends GraftSpec {
     } finally m.close()
   }
 
+  test("maxResultRows: an over-budget result is rejected, at-budget passes") {
+    val m = new Manager(spark, slots = 2, maxResultRows = 10)
+    try {
+      // exactly at the budget: fine
+      val ok = m.submit("SELECT id FROM range(10)", Immediate)
+      assert(m.await(ok).contains(Finished))
+      assert(m.popResult(ok).get.rows.length == 10)
+      // one over: REJECTED loudly (never buffered) — the driver only ever
+      // collects max+1 rows, so a SELECT * over a huge table cannot OOM
+      // the service
+      val big = m.submit("SELECT id FROM range(100000000)", Immediate)
+      m.await(big) match {
+        case Some(Failed(reason)) =>
+          assert(reason.startsWith("ResultTooLargeException"), reason)
+          assert(reason.contains("maxResultRows=10"), reason)
+        case other => fail(s"expected Failed(ResultTooLarge...), got $other")
+      }
+      assert(m.popResult(big).isEmpty, "a rejected result must not be poppable")
+    } finally m.close()
+  }
+
   test("result TTL runs from completion and expiry evicts the whole entry") {
     val m = new Manager(spark, slots = 2, resultTtlMs = 400L)
     try {
