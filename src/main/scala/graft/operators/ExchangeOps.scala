@@ -66,6 +66,64 @@ object ExchangeOps {
               |  ${Det.o.dsum("o_totalprice")} AS sum_price,
               |  COUNT(*) AS n
               |FROM orders JOIN customer ON o_custkey = c_custkey
-              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // CROSS-JVM exchange: a forked, Spark-session-free scan worker reads
+    // the gpx materialization of lineitem and streams its row groups over
+    // the socket transport (ExchangeServer/RemoteExchangeProducer — the
+    // stream.proto framing seam) into this JVM's consumer. Same
+    // aggregation and oracle as x01, so any row lost, duplicated, or torn
+    // crossing the PROCESS boundary fails the hash compare — the
+    // reference's disjoint producer/consumer worker fleets, end to end.
+    GQuery("x03_exchange_remote_agg", (s, d) => {
+      import graft.streaming.{ExchangeChannel, ExchangeServer, RemoteScanWorker}
+      val dir = FormatOps.gpxDir(s, d, "lineitem")
+      val files = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.endsWith(".gpx")).map(_.getAbsolutePath).sorted.toSeq
+      require(files.nonEmpty, s"no gpx files under $dir")
+      val cols = Seq("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice")
+      // channel schema = the gpx footer's physical types for the
+      // projected columns, in stream order (both sides resolve by name)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fileSchema = graft.format.GpxFileReader.readFooter(files.head, conf).schema
+      val schema = org.apache.spark.sql.types.StructType(
+        cols.map(c => fileSchema(fileSchema.fieldNames.indexOf(c))))
+      val name = ExchangeChannel.freshName("x03")
+      ExchangeChannel.open(name, schema, capacity = 8)
+      val server = ExchangeServer.start() // loopback
+      try {
+        val worker = RemoteScanWorker.fork(
+          "127.0.0.1", server.port, name, cols, files)
+        try {
+          val out = PipelinedExchange.consume(s, name,
+            src => src.groupBy("l_returnflag", "l_linestatus")
+              .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
+                Det.dsum(col("l_extendedprice")).as("sum_price"),
+                count(lit(1)).as("n")),
+            statePartitions = Some(8), minGroupsPerTrigger = 8)
+            .orderBy("l_returnflag", "l_linestatus")
+          // the channel closed cleanly, but still assert the worker's
+          // exit so a failure AFTER close (bad exit path) cannot hide
+          val done = worker.process.waitFor(
+            120, java.util.concurrent.TimeUnit.SECONDS)
+          require(done && worker.process.exitValue() == 0,
+            s"remote scan worker failed; log tail:\n${worker.logTail}")
+          out
+        } finally {
+          if (worker.process.isAlive) worker.process.destroyForcibly()
+        }
+      } finally {
+        server.stop()
+        ExchangeChannel.remove(name)
+      }
+    },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${Det.o.dsum("l_quantity")} AS sum_qty,
+              |  ${Det.o.dsum("l_extendedprice")} AS sum_price,
+              |  COUNT(*) AS n
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin))
   )
 }

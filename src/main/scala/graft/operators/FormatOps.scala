@@ -147,18 +147,21 @@ object FormatOps {
     * own materialization, not whichever layout happened to build first
     * (answers would stay correct, but the pruning behavior the query was
     * written to exercise would silently not be what runs). */
-  private def gpx(s: SparkSession, d: String, table: String,
-      sortCol: Option[String] = None, rgRows: Int = 8192): DataFrame = {
+  private[operators] def gpxDir(s: SparkSession, d: String, table: String,
+      sortCol: Option[String] = None, rgRows: Int = 8192): String = {
     val layoutKey =
       s"$table${sortCol.map(c => s"__s_$c").getOrElse("")}__r$rgRows"
-    val dir = cachedDir(d, layoutKey) { dir =>
+    cachedDir(d, layoutKey) { dir =>
       val src = Tables.t(s, d, table)
       val sorted = sortCol.map(c => src.orderBy(c)).getOrElse(src)
       sorted.write.format("gpx").mode("overwrite")
         .option("rowGroupRows", rgRows.toString).save(dir)
     }
-    s.read.format("gpx").load(dir)
   }
+
+  private def gpx(s: SparkSession, d: String, table: String,
+      sortCol: Option[String] = None, rgRows: Int = 8192): DataFrame =
+    s.read.format("gpx").load(gpxDir(s, d, table, sortCol, rgRows))
 
   val queries: Seq[GQuery] = Seq(
 
