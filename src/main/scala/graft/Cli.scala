@@ -9,6 +9,13 @@ import org.apache.spark.sql.SparkSession
   *   LOAD    <parquet-src> <gpx-dest> [--sortBy c[,c2]] [--bucketBy c
   *           --numBuckets n] [--rangeBy c --rangeBounds b1,b2,...]
   *           [--rowGroupRows n] [--overwrite]
+  *   IMPORT  <gpx-file[,f2..]|dir> <gpx-table>  register pre-existing gpx
+  *                                         files into a table (footer
+  *                                         validation + schema-union
+  *                                         check; manifest append on log
+  *                                         tables, adoption + token bump
+  *                                         on plain tables) — no row
+  *                                         re-read through Spark
   *   COMPACT <gpx-src> <gpx-dest>          ordered → compact layout merge
   *   COMPACT <gpx-log-table>               IN-PLACE (commit-log tables:
   *                                         one atomic manifest swap)
@@ -52,6 +59,7 @@ object Cli {
       |  LOAD    <parquet-src> <gpx-dest> [--sortBy c] [--bucketBy c
       |          --numBuckets n] [--rangeBy c --rangeBounds b1,b2,...]
       |          [--rowGroupRows n] [--overwrite]
+      |  IMPORT  <gpx-file[,f2..]|dir> <gpx-table>
       |  COMPACT <gpx-src> <gpx-dest>   (or: COMPACT <gpx-log-table> in place)
       |  STAT    <gpx-table>
       |  INDEX   <gpx-table> <col[,col2]>
@@ -96,6 +104,22 @@ object Cli {
         opt(args, "--rowGroupRows").foreach(v => w = w.option("rowGroupRows", v))
         w.save(dest)
         println(s"LOAD ok: $src -> $dest")
+      case "IMPORT" =>
+        val Seq(src, table) = operands(args, 2)
+        // src: one gpx file, a comma list, or a directory of gpx files
+        val srcP = new org.apache.hadoop.fs.Path(src)
+        val fs = srcP.getFileSystem(conf)
+        val files =
+          if (fs.exists(srcP) && fs.getFileStatus(srcP).isDirectory)
+            fs.listStatus(srcP).toSeq.filter(st => !st.isDirectory &&
+              st.getPath.getName.endsWith(".gpx") &&
+              !st.getPath.getName.startsWith("_") &&
+              !st.getPath.getName.startsWith("."))
+              .map(_.getPath.toString).sorted
+          else src.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        if (files.isEmpty) usage()
+        val (n, rows) = graft.format.GpxMaintenance.importFiles(table, files, conf)
+        println(s"IMPORT ok: $n file(s), $rows rows -> $table")
       case "COMPACT" =>
         // two operands: copy-compact into a new dir; one operand: in-place
         // atomic compaction of a commit-log table
@@ -114,6 +138,17 @@ object Cli {
         val Seq(table) = operands(args, 1)
         val ndv = graft.format.GpxMaintenance.analyze(spark, table, conf)
         ndv.toSeq.sortBy(_._1).foreach { case (c, v) => println(s"STAT $c ndv=$v") }
+        // read-path observability (this JVM's counters — in local mode
+        // the ANALYZE pass above just exercised them): cache efficacy is
+        // invisible in query output, so STAT is where a regression in the
+        // chunk-cache path (validation, purge, byte accounting) surfaces
+        val r = graft.format.GpxFileReader
+        println(s"STAT cache chunkHits=${r.ChunkCache.hits.get} " +
+          s"chunkMisses=${r.ChunkCache.misses.get} " +
+          s"chunkRetainedBytes=${r.ChunkCache.retainedBytes} " +
+          s"dataBytesRead=${r.dataBytesRead.get} " +
+          s"footerReads=${r.footerReads.get} " +
+          s"pixelsDecoded=${r.pixelsDecoded.get}")
       case "INDEX" =>
         val Seq(table, cols) = operands(args, 2)
         val parts = cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty)

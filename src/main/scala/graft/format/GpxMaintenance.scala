@@ -97,6 +97,72 @@ object GpxMaintenance {
     sweptDirs ++ sweptTmps ++ sweptDots
   }
 
+  /** IMPORT-command analog (reference pixels-cli IMPORT,
+    * pixels-cli/.../cli/Main.java:139,336: ETL-import pre-existing files
+    * into a table with metadata registration): register already-written
+    * gpx files — a vacuumed job's output, a cross-cluster copy — into a
+    * table root WITHOUT re-reading their rows through Spark.
+    *
+    * Validation first, mutation second: every source footer must parse
+    * (proves magic/footer integrity) and the by-name schema union across
+    * the sources AND the table's current schema must succeed — the same
+    * tolerant-evolution rule the read path applies, so an importable file
+    * is by construction a readable one. Files are copied in under fresh
+    * names via a dot-hidden temp + rename (readers see each file
+    * all-or-nothing; a crashed temp matches vacuum()'s dot-temp sweep).
+    * Publish: commit-log tables get ONE manifest Append (all-or-nothing
+    * import, O(commit) like any write); plain tables become visible
+    * per-file at the rename and get a version-token bump so token-stamped
+    * sidecars (colstats, point indexes) drop out instead of serving stale.
+    *
+    * Returns (files imported, total rows). */
+  def importFiles(table: String, sources: Seq[String],
+      conf: Configuration = new Configuration()): (Int, Long) = {
+    require(sources.nonEmpty, "IMPORT needs at least one source file")
+    val rootP = new Path(table)
+    val fs = rootP.getFileSystem(conf)
+    val footers = sources.map { src =>
+      require(GpxFs.stat(src, conf).isDefined, s"no such file: $src")
+      src -> GpxFileReader.readFooter(src, conf)
+    }
+    val importSchema = footers.map(_._2.schema).reduce(GpxTable.unionSchemas)
+    val exists = fs.exists(rootP)
+    val logTable = exists && GpxCommitLog.isLogTable(table, conf)
+    val tableSchema: Option[org.apache.spark.sql.types.StructType] =
+      if (logTable) GpxCommitLog.head(table, conf).flatMap(_.schema)
+      else if (exists) {
+        val files = GpxTable.listFiles(Seq(table), conf)
+        if (files.isEmpty) None
+        else Some(files.sorted.map(GpxFileReader.FooterCache.get(_, conf).schema)
+          .reduce(GpxTable.unionSchemas))
+      } else None
+    // compatibility = the union the readers would compute must exist;
+    // throws (before any copy) when a column's types cannot widen
+    tableSchema.foreach(ts => GpxTable.unionSchemas(ts, importSchema))
+    fs.mkdirs(rootP)
+    val copied = footers.map { case (src, footer) =>
+      val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+      val tmp = new Path(rootP, s"._imp.$id")
+      val srcP = new Path(src)
+      val srcFs = srcP.getFileSystem(conf)
+      if (!org.apache.hadoop.fs.FileUtil.copy(srcFs, srcP, fs, tmp,
+          false, true, conf))
+        throw new java.io.IOException(s"IMPORT copy failed: $src")
+      val dest = new Path(rootP, s"imp_$id.gpx")
+      if (!fs.rename(tmp, dest)) {
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw new java.io.IOException(s"IMPORT publish failed: $src")
+      }
+      (dest.toString, footer)
+    }
+    if (logTable)
+      GpxCommitLog.commit(table, conf, GpxCommitLog.Append(
+        copied.map { case (p, _) => GpxCommitLog.entryFor(table, p, conf) },
+        schema = Some(importSchema)))
+    else GpxVersion.bump(table, conf)
+    (copied.size, copied.map(_._2.rowGroups.map(_.numRows.toLong).sum).sum)
+  }
+
   /** STAT-command analog (reference pixels-cli STAT in the
     * LOAD→COMPACT→STAT flow, docs/TPC-H.md:116-143: collected column
     * cardinalities land in the metadata service and feed PlanOptimizer

@@ -147,7 +147,7 @@ object FormatOps {
     * own materialization, not whichever layout happened to build first
     * (answers would stay correct, but the pruning behavior the query was
     * written to exercise would silently not be what runs). */
-  private[operators] def gpxDir(s: SparkSession, d: String, table: String,
+  private[graft] def gpxDir(s: SparkSession, d: String, table: String,
       sortCol: Option[String] = None, rgRows: Int = 8192): String = {
     val layoutKey =
       s"$table${sortCol.map(c => s"__s_$c").getOrElse("")}__r$rgRows"

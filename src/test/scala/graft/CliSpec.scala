@@ -46,6 +46,58 @@ class CliSpec extends GraftSpec {
     assert(sp.read.format("gpx").load(t2).count() == want.count())
   }
 
+  test("IMPORT registers pre-existing gpx files: plain dir and log table") {
+    val sf = "/root/testdata/sf0.001"
+    // pre-existing files: written by the normal writer API into a
+    // STAGING dir that is not (and never becomes) the table
+    val staging = TestSpark.tempDir("cli_import_src")
+    sp.read.parquet(s"$sf/nation.parquet").write.format("gpx")
+      .mode("overwrite").save(staging)
+    val want = sp.read.parquet(s"$sf/nation.parquet")
+
+    // plain-table adoption: IMPORT the whole staging dir
+    val plain = TestSpark.tempDir("cli_import_plain")
+    Cli.run(sp, Seq("IMPORT", staging, plain))
+    val got = sp.read.format("gpx").load(plain)
+    assert(got.count() == want.count())
+    assert(got.agg(sum(col("n_nationkey"))).head.getLong(0) ==
+      want.agg(sum(col("n_nationkey"))).head.getLong(0))
+    // second import of the same files appends (fresh names, no clobber)
+    Cli.run(sp, Seq("IMPORT", staging, plain))
+    assert(sp.read.format("gpx").load(plain).count() == 2 * want.count())
+
+    // log-table registration: one manifest append, atomically visible
+    val log = TestSpark.tempDir("cli_import_log")
+    sp.read.parquet(s"$sf/region.parquet").write.format("gpx")
+      .mode("overwrite").option("commitProtocol", "manifest").save(log)
+    val conf = sp.sparkContext.hadoopConfiguration
+    assert(graft.format.GpxCommitLog.isLogTable(log, conf))
+    val v0 = graft.format.GpxCommitLog.head(log, conf).get.version
+    val regionStaging = TestSpark.tempDir("cli_import_src2")
+    sp.read.parquet(s"$sf/region.parquet").write.format("gpx")
+      .mode("overwrite").save(regionStaging)
+    Cli.run(sp, Seq("IMPORT", regionStaging, log))
+    assert(graft.format.GpxCommitLog.head(log, conf).get.version == v0 + 1,
+      "import must publish as exactly one manifest commit")
+    assert(sp.read.format("gpx").load(log).count() ==
+      2 * sp.read.parquet(s"$sf/region.parquet").count())
+
+    // schema-incompatible import is refused BEFORE any copy
+    val otherStaging = TestSpark.tempDir("cli_import_bad")
+    sp.range(5).selectExpr("CAST(id AS STRING) AS n_nationkey")
+      .write.format("gpx").mode("overwrite").save(otherStaging)
+    val before = sp.read.format("gpx").load(plain).inputFiles.length
+    intercept[Exception](Cli.run(sp, Seq("IMPORT", otherStaging, plain)))
+    assert(sp.read.format("gpx").load(plain).inputFiles.length == before,
+      "a refused import must not leave adopted files behind")
+
+    // a non-gpx source fails footer validation
+    val junk = new java.io.File(TestSpark.tempDir("cli_import_junk"), "x.gpx")
+    java.nio.file.Files.write(junk.toPath, "not a gpx file".getBytes)
+    intercept[Exception](
+      Cli.run(sp, Seq("IMPORT", junk.getAbsolutePath, plain)))
+  }
+
   test("malformed command lines raise UsageException, not MatchError") {
     def bad(args: String*): Unit =
       intercept[Cli.UsageException](Cli.run(sp, args.toSeq))
