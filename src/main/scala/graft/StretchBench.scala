@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** sf1 stretch bench (VERDICT r8 #7): runs the top-10 most expensive
-  * queries at 10x the per-round benchmark scale to surface skew, spill and
+/** sf1 stretch bench (VERDICT r8 #7): runs every expensive query at 10x
+  * the per-round benchmark scale to surface skew, spill and
   * candidate-blowup behavior that sf0.1 cannot (the AQE skew-join and
   * salted paths only matter when partitions actually get heavy).
   *
@@ -26,15 +26,31 @@ object StretchBench {
   /** divisible by every modulus the query suite filters on (lcm(1..30)) */
   private val Shift = 2329089562800L
 
+  /** every bench row >1 s at sf0.1, plus the near-1 s rows the round-11
+    * verdict called out (v06/v07, q33/q39) — the policy is "no heavy row
+    * without a stretch witness". The x-rows carry ~1 s of FIXED
+    * streaming-engine setup in both numerator and denominator
+    * (unsubtracted — it only pushes the ratio DOWN, so a passing ratio
+    * is conservative); x03 additionally forks its producer JVM per run.
+    * d05 runs over the replicated documents corpus, which is
+    * duplicate-heavy by construction (each copy carries the source's
+    * full near-dup cluster structure), so its banded-distinct-
+    * fingerprint path is exercised at 10x the cluster mass. */
   private val TopQueries = Seq(
-    "d02_minhash_lsh", "d03_ngram_jaccard", "d06_dup_clusters",
+    "d02_minhash_lsh", "d03_ngram_jaccard", "d05_simhash_pairs",
+    "d06_dup_clusters",
     "d08_incremental_dedup", "d10_indexed_incremental_dedup",
-    "v03_knn_ivf", "v05_cosine_pairs_lsh",
+    "v03_knn_ivf", "v05_cosine_pairs_lsh", "v06_knn_ivf_indexed",
+    "v07_knn_sq8",
+    "q33_tpch_q8_market_share", "q39_tpch_q18_large_volume",
     "q42_tpch_q21_waiting_supplier", "q43_tpch_q2_min_cost_supplier",
     "p01_curation_pipeline",
     // the w-family heavy hitters (VERDICT r9 #8): the ordered gpx hits
     // layout + high-cardinality group-bys at 10x the rows
-    "w04_wide_url_traffic", "w07_wide_date_region", "w22_wide_sketch_rollup")
+    "w04_wide_url_traffic", "w07_wide_date_region", "w22_wide_sketch_rollup",
+    // the pipelined-exchange family: producer/consumer overlap under 10x
+    // the streamed row groups (x03 = the cross-JVM socket path)
+    "x01_exchange_agg", "x02_exchange_join", "x03_exchange_remote_agg")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -91,18 +91,32 @@ object ExchangeOps {
       val schema = org.apache.spark.sql.types.StructType(
         cols.map(c => fileSchema(fileSchema.fieldNames.indexOf(c))))
       val name = ExchangeChannel.freshName("x03")
-      ExchangeChannel.open(name, schema, capacity = 8)
-      val server = ExchangeServer.start() // loopback
+      // capacity 16 (vs x01's 8): the remote worker ships ~10 groups of
+      // 64k rows for sf0.1 lineitem, so this lets it scan ahead of the
+      // consumer's ~1 s streaming-engine startup, close, and exit — the
+      // child is never paced by trigger latency. Retention stays bounded
+      // (<= 2 x capacity x 64k-row groups) whatever the input size.
+      ExchangeChannel.open(name, schema, capacity = 16)
+      // from here on EVERY exit must remove the channel (and stop the
+      // server once started): a leaked registry entry pins its retained
+      // row groups for the JVM's lifetime
+      var server: ExchangeServer.Running = null
       try {
+        server = ExchangeServer.start() // loopback
         val worker = RemoteScanWorker.fork(
-          "127.0.0.1", server.port, name, cols, files)
+          "127.0.0.1", server.port, name, cols, schema, files)
         try {
+          // statePartitions sized to the 6-group output (a state-store
+          // commit is paid PER partition PER micro-batch); minGroups =
+          // capacity coalesces the whole ~10-group stream into one or
+          // two triggers — the engine overhead, not the aggregation, is
+          // the marginal cost at this scale
           val out = PipelinedExchange.consume(s, name,
             src => src.groupBy("l_returnflag", "l_linestatus")
               .agg(Det.dsum(col("l_quantity")).as("sum_qty"),
                 Det.dsum(col("l_extendedprice")).as("sum_price"),
                 count(lit(1)).as("n")),
-            statePartitions = Some(8), minGroupsPerTrigger = 8)
+            statePartitions = Some(4), minGroupsPerTrigger = 16)
             .orderBy("l_returnflag", "l_linestatus")
           // the channel closed cleanly, but still assert the worker's
           // exit so a failure AFTER close (bad exit path) cannot hide
@@ -115,7 +129,7 @@ object ExchangeOps {
           if (worker.process.isAlive) worker.process.destroyForcibly()
         }
       } finally {
-        server.stop()
+        if (server != null) server.stop()
         ExchangeChannel.remove(name)
       }
     },

@@ -14,12 +14,23 @@ import java.io.File
   * storage and push framed row groups to consumers over the wire
   * (proto/stream.proto:33-70; pixels-worker scan stream operators). The
   * worker JVM links Spark's catalyst/row classes for the UnsafeRow wire
-  * image but never builds a SparkSession, so it starts in ~1 s; one
-  * streamed row group per gpx row group preserves the "row group is the
-  * transfer unit" framing end-to-end.
+  * image but never builds a SparkSession, so it starts fast; file row
+  * groups COALESCE up to a ~64k-row transfer unit — the writer sized
+  * them for scan locality, but the exchange's per-group cost is a
+  * consumer micro-batch share plus a socket round trip, so shipping
+  * 8k-row file groups one-by-one wastes ~4x wall clock in consumer
+  * engine overhead (the reference's stream writer likewise sizes its
+  * OWN rowGroupData frames).
+  *
+  * Startup is latency-engineered for a fork-per-query caller: the three
+  * serial init costs — socket connect, Hadoop FileSystem init (pinned to
+  * LocalFileSystem for file: paths so the ServiceLoader never scans the
+  * full jar classpath), and UnsafeProjection codegen (built from the
+  * schema DDL the parent passes, not from the first footer) — all run
+  * CONCURRENTLY before the first byte is decoded.
   *
   * Runs as a forked child of an engine JVM (see [[fork]]) or standalone:
-  *   RemoteScanWorker host port channel col1,col2,... file1 [file2 ...]
+  *   RemoteScanWorker host port channel col1,col2,... schemaDDL file...
   * Exits 0 after a clean channel close; on any failure it FAILs the
   * channel (or lets the dropped-connection contract do it) and exits 1.
   */
@@ -27,10 +38,10 @@ object RemoteScanWorker {
 
   def main(args: Array[String]): Unit =
     try {
-      require(args.length >= 5,
-        "usage: RemoteScanWorker host port channel cols file...")
+      require(args.length >= 6,
+        "usage: RemoteScanWorker host port channel cols schemaDDL file...")
       stream(args(0), args(1).toInt, args(2),
-        args(3).split(',').toSeq, args.drop(4).toSeq)
+        args(3).split(',').toSeq, args(4), args.drop(5).toSeq)
       System.exit(0)
     } catch {
       case t: Throwable =>
@@ -38,12 +49,51 @@ object RemoteScanWorker {
         System.exit(1)
     }
 
-  /** scan `columns` of each gpx file and append one exchange row group
-    * per file row group; close the channel on success, fail it on error */
+  /** scan `columns` of each gpx file and stream the rows as exchange row
+    * groups of ~`rowsPerGroup` rows. `schemaDDL` is the channel schema
+    * (the parent derives it from the same footers); every file's
+    * projected columns must match it exactly — the UnsafeRow wire image
+    * is layout-typed, so a mismatch must fail loudly, never reinterpret.
+    * Close the channel on success, fail it on error. Worker memory stays
+    * bounded at one transfer unit. */
   def stream(host: String, port: Int, channel: String,
-      columns: Seq[String], files: Seq[String]): Unit = {
-    val conf = new Configuration()
+      columns: Seq[String], schemaDDL: String, files: Seq[String],
+      rowsPerGroup: Int = 65536): Unit = {
+    val t0 = System.nanoTime()
+    def mark(what: String): Unit = // child-log-only phase timing
+      System.err.println(f"[scan-worker] $what +${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    // overlap the three independent init costs (measured ~0.5s connect,
+    // ~1.1s cold Hadoop FS init, ~0.5s projection codegen — serial they
+    // dominate a fork-per-query run)
+    val confF = pool.submit(() => {
+      val c = new Configuration()
+      // pin the local scheme so FileSystem.getFileSystemClass answers
+      // from config instead of ServiceLoader-scanning every jar
+      c.set("fs.file.impl", "org.apache.hadoop.fs.LocalFileSystem")
+      files.headOption.foreach(f =>
+        new org.apache.hadoop.fs.Path(f).getFileSystem(c))
+      c
+    })
+    val outSchema = StructType.fromDDL(schemaDDL)
+    require(outSchema.fieldNames.sameElements(columns),
+      s"schema DDL fields ${outSchema.fieldNames.toSeq} != columns $columns")
+    val projF = pool.submit(() => UnsafeProjection.create(outSchema))
     val client = new RemoteExchangeProducer(host, port)
+    mark("connected")
+    val conf = confF.get()
+    val proj = projF.get()
+    pool.shutdown()
+    mark("init ready")
+    val buf = new scala.collection.mutable.ArrayBuffer[Array[Byte]](rowsPerGroup)
+    var groupIdx = 0
+    def flush(): Unit = if (buf.nonEmpty) {
+      // backpressure crosses the wire: this blocks while the consumer
+      // channel is at capacity (TCP window, see ExchangeServer doc)
+      client.append(channel, groupIdx, buf.toArray)
+      groupIdx += 1
+      buf.clear()
+    }
     try {
       try {
         files.foreach { f =>
@@ -53,9 +103,10 @@ object RemoteScanWorker {
             require(i >= 0, s"column $c not in gpx schema of $f")
             i
           }
-          val outSchema = StructType(cis.map(footer.schema(_)))
-          val proj = UnsafeProjection.create(outSchema)
-          footer.rowGroups.zipWithIndex.foreach { case (rg, rgIdx) =>
+          require(StructType(cis.map(footer.schema(_))) == outSchema,
+            s"$f: projected schema does not match the channel schema " +
+              s"$schemaDDL — refusing to stream a reinterpreted layout")
+          footer.rowGroups.foreach { rg =>
             val slices = cis.toArray.map { ci =>
               val ch = rg.chunks(ci)
               ch.pixels.indices.map(p => GpxFileReader.PixelSlice(
@@ -64,21 +115,18 @@ object RemoteScanWorker {
             }
             val batch = GpxFileReader.readSlices(
               f, conf, outSchema, slices, rg.numRows, -1L)
-            val rows = new Array[Array[Byte]](rg.numRows)
             val it = batch.rowIterator()
-            var i = 0
             while (it.hasNext) {
-              rows(i) = proj(it.next()).copy().getBytes
-              i += 1
+              buf += proj(it.next()).copy().getBytes
+              if (buf.length >= rowsPerGroup) flush()
             }
             batch.close()
-            // backpressure crosses the wire: this blocks while the
-            // consumer channel is at capacity (TCP window, see
-            // ExchangeServer doc) — worker memory stays one row group
-            client.append(channel, rgIdx, rows)
           }
+          mark(s"streamed $f")
         }
+        flush()
         client.closeChannel(channel)
+        mark("closed")
       } catch {
         case t: Throwable =>
           // poison the channel loudly; the consumer must not wait out
@@ -114,14 +162,15 @@ object RemoteScanWorker {
     * parent — java.class.path must be the real application classpath,
     * which spark-submit and sbt's fork-mode runners both guarantee) */
   def fork(host: String, port: Int, channel: String,
-      columns: Seq[String], files: Seq[String]): Worker = {
+      columns: Seq[String], schema: StructType, files: Seq[String]): Worker = {
     val java = new File(new File(System.getProperty("java.home"), "bin"),
       "java").getAbsolutePath
     val log = File.createTempFile("gpx-scan-worker-", ".log")
     val cmd = (Seq(java) ++ addOpens ++ Seq("-Xmx1g", "-cp",
       System.getProperty("java.class.path"),
       "graft.streaming.RemoteScanWorker",
-      host, port.toString, channel, columns.mkString(","))) ++ files
+      host, port.toString, channel, columns.mkString(","),
+      schema.toDDL)) ++ files
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     // a temp log file, never a pipe: a chatty child must not block on a
