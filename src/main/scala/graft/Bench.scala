@@ -128,11 +128,18 @@ object Bench {
           ()
         }
         scan() // warm plans/codegen; cache state is reset explicitly below
-        format.GpxFileReader.ChunkCache.clear()
-        val t0 = System.nanoTime(); scan()
-        val cold = (System.nanoTime() - t0) / 1e9
-        val t1 = System.nanoTime(); scan()
-        val warm = (System.nanoTime() - t1) / 1e9
+        // min-of-2 per leg, same discipline as timeOne: one stolen
+        // hypervisor window during a single warm run would fabricate
+        // exactly the warm-creeping-toward-cold regression signal this
+        // pair exists to detect
+        def leg(pre: () => Unit): Double =
+          (0 until 2).map { _ =>
+            pre()
+            val t0 = System.nanoTime(); scan()
+            (System.nanoTime() - t0) / 1e9
+          }.min
+        val cold = leg(() => format.GpxFileReader.ChunkCache.clear())
+        val warm = leg(() => ())
         Seq(("gpxcold_scan", cold, true), ("gpxwarm_scan", warm, true))
       } catch {
         case _: Throwable =>

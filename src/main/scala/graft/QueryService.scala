@@ -272,7 +272,12 @@ object QueryService {
             // the budget rather than silently truncate: a client that
             // wants big results pages with LIMIT/OFFSET or writes to a
             // sink, as with the reference's JDBC-buffered result path.
-            val rows = df.limit(maxResultRows + 1).collect()
+            // saturating +1: maxResultRows = Int.MaxValue is the natural
+            // opt-out and must not wrap to a negative limit
+            val lim =
+              if (maxResultRows >= Int.MaxValue) Int.MaxValue
+              else maxResultRows + 1
+            val rows = df.limit(lim).collect()
             val finished = System.currentTimeMillis()
             if (rows.length > maxResultRows)
               throw new ResultTooLargeException(

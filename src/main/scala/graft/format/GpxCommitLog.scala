@@ -98,6 +98,12 @@ object GpxCommitLog {
     * enable() seed) self-contained. */
   val CheckpointInterval = 16
 
+  /** how long a vacuumed manifest slot stays a 0-byte tombstone before
+    * the inode is reclaimed — the bound on how stale an in-flight
+    * committer's resolved base may be without risking a reopened-slot
+    * win (see the tombstone comment in [[vacuum]]) */
+  val TombstoneGraceMs: Long = 60L * 60 * 1000
+
   // parsed manifests are immutable once committed: cache by (dir, version)
   private val parseCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[(String, Long), Snapshot](256, 0.75f, true) {
@@ -616,10 +622,33 @@ object GpxCommitLog {
     val dirKey = dirOf(root).toString
     // newest first; a corrupt head (killed writer that claimed a slot but
     // never finished the bytes on a non-atomic store) falls back one —
-    // that slot stays claimed and dead, later commits build past it
-    listVersions(fs, lp).sorted(Ordering[Long].reverse).iterator
-      .flatMap(v => readVersion(fs, lp, v, dirKey))
-      .nextOption()
+    // that slot stays claimed and dead, later commits build past it.
+    //
+    // An unresolvable NON-EMPTY listing must be RE-LISTED, not concluded
+    // empty: a concurrent vacuum (racing appends advance the head, the
+    // sweep keeps only versions committed AFTER we listed) can delete
+    // every version of a stale listing, and treating that as "empty log"
+    // reads a live table as EMPTY (silent row loss) and refuses first
+    // commits (caught once by CrossProcessSpec's append+vacuum fuzz).
+    // Convergence: resolved, or two consecutive IDENTICAL listings that
+    // still resolve nothing (a genuinely dead/empty log — the pre-existing
+    // fallback semantics); the iteration cap only backstops an adversarial
+    // writer churning the listing forever.
+    var prev: Seq[Long] = null
+    var out: Option[Snapshot] = None
+    var stable = false
+    var guard = 0
+    while (out.isEmpty && !stable && guard < 20) {
+      guard += 1
+      val vs = listVersions(fs, lp).sorted(Ordering[Long].reverse)
+      out = vs.iterator.flatMap(v => readVersion(fs, lp, v, dirKey))
+        .nextOption()
+      // an EMPTY listing is conclusive (vacuum always retains the head,
+      // so the race can never empty the dir) — no second listing
+      stable = vs.isEmpty || (prev != null && vs == prev)
+      prev = vs
+    }
+    out
   }
 
   /** snapshot at an exact version (time travel); None = never committed
@@ -1090,14 +1119,46 @@ object GpxCommitLog {
       val rel = if (f.startsWith(qd)) f.drop(qd.length).stripPrefix("/") else f
       if (!reachable.contains(rel) &&
         GpxFs.stat(f, conf).forall(_.mtime <= cutoff)) {
-        if (try fs.delete(new Path(f), false) catch { case _: Throwable => false })
+        if (try fs.delete(new Path(f), false) catch { case _: Throwable => false }) {
           dataDeleted += 1
+          if (sys.props.contains("graft.debug.vacuum"))
+            System.err.println(s"[vacuum] deleted data $f keep=$keep " +
+              s"t=${System.currentTimeMillis()}")
+        }
       }
     }
     var mfDeleted = 0
     versions.filterNot(keepSet.contains).foreach { v =>
-      if (try fs.delete(new Path(lp, manifestName(v)), false)
-        catch { case _: Throwable => false }) {
+      val mp = new Path(lp, manifestName(v))
+      // TOMBSTONE, do not delete: a deleted slot file REOPENS the slot
+      // for putIfAbsent, and a committer holding a stale resolved head
+      // (a cold first head() under contention takes seconds) can then
+      // WIN the reopened slot and commit into a version below the keep
+      // horizon that no reader will ever materialize — a silently lost
+      // commit (caught live by CrossProcessSpec's append+vacuum fuzz:
+      // writer A committed v4, vacuum deleted v4's manifest 176 ms
+      // later, writer B "won" slot 4 with a base of 3 while the head
+      // was at 16). A 0-byte truncate keeps the claim occupied forever
+      // — the stale committer's exclusive create fails and it rebases
+      // onto the real head — while readers treat it exactly like a
+      // vacuumed version (unparseable -> "vacuumed away"). Tombstones
+      // are reclaimed fully only once older than a 1 h grace: a
+      // committer stalled longer than that between resolving its base
+      // and claiming is the same liveness boundary the mutation-lock
+      // and claim-steal TTLs already assume.
+      val swept = GpxFs.stat(mp.toString, conf) match {
+        case Some(st) if st.len == 0 =>
+          // already a tombstone: reclaim after the grace, never recount
+          if (System.currentTimeMillis() - st.mtime > TombstoneGraceMs) {
+            try { fs.delete(mp, false); () } catch { case _: Throwable => () }
+          }
+          false
+        case Some(_) =>
+          try { fs.create(mp, true).close(); true }
+          catch { case _: Throwable => false }
+        case None => false
+      }
+      if (swept) {
         mfDeleted += 1
         // a vacuumed version must fail loudly ("no such manifest
         // version") in THIS JVM too — a warm parseCache hit would serve

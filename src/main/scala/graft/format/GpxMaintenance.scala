@@ -140,27 +140,51 @@ object GpxMaintenance {
     // throws (before any copy) when a column's types cannot widen
     tableSchema.foreach(ts => GpxTable.unionSchemas(ts, importSchema))
     fs.mkdirs(rootP)
-    val copied = footers.map { case (src, footer) =>
-      val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
-      val tmp = new Path(rootP, s"._imp.$id")
-      val srcP = new Path(src)
-      val srcFs = srcP.getFileSystem(conf)
-      if (!org.apache.hadoop.fs.FileUtil.copy(srcFs, srcP, fs, tmp,
-          false, true, conf))
-        throw new java.io.IOException(s"IMPORT copy failed: $src")
-      val dest = new Path(rootP, s"imp_$id.gpx")
-      if (!fs.rename(tmp, dest)) {
-        try fs.delete(tmp, false) catch { case _: Throwable => () }
-        throw new java.io.IOException(s"IMPORT publish failed: $src")
+    val copied = Vector.newBuilder[(String, GpxFormat.Footer)]
+    var renamed = 0
+    try {
+      footers.foreach { case (src, footer) =>
+        val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+        val tmp = new Path(rootP, s"._imp.$id")
+        val srcP = new Path(src)
+        val srcFs = srcP.getFileSystem(conf)
+        if (!org.apache.hadoop.fs.FileUtil.copy(srcFs, srcP, fs, tmp,
+            false, true, conf))
+          throw new java.io.IOException(s"IMPORT copy failed: $src")
+        val dest = new Path(rootP, s"imp_$id.gpx")
+        if (!fs.rename(tmp, dest)) {
+          try fs.delete(tmp, false) catch { case _: Throwable => () }
+          throw new java.io.IOException(s"IMPORT publish failed: $src")
+        }
+        renamed += 1
+        copied += ((dest.toString, footer))
       }
-      (dest.toString, footer)
+      val out = copied.result()
+      if (logTable) {
+        try GpxCommitLog.commit(table, conf, GpxCommitLog.Append(
+          out.map { case (p, _) => GpxCommitLog.entryFor(table, p, conf) },
+          schema = Some(importSchema)))
+        catch {
+          case t: Throwable =>
+            // unreferenced imp_*.gpx files are invisible to log-table
+            // readers but reclaimed by NO sweep (they carry visible
+            // names) — a failed commit must take its copies with it
+            out.foreach { case (p, _) =>
+              try fs.delete(new Path(p), false)
+              catch { case _: Throwable => () }
+            }
+            throw t
+        }
+      }
+      (out.size, out.map(_._2.rowGroups.map(_.numRows.toLong).sum).sum)
+    } finally {
+      // plain tables: renamed files are reader-visible IMMEDIATELY, so
+      // the version token must move even when a later copy in the batch
+      // failed — a stale token would keep validating point-index/colstats
+      // sidecars that miss the adopted rows (scans would see them,
+      // indexed lookups wouldn't: inconsistent answers, no error)
+      if (!logTable && renamed > 0) GpxVersion.bump(table, conf)
     }
-    if (logTable)
-      GpxCommitLog.commit(table, conf, GpxCommitLog.Append(
-        copied.map { case (p, _) => GpxCommitLog.entryFor(table, p, conf) },
-        schema = Some(importSchema)))
-    else GpxVersion.bump(table, conf)
-    (copied.size, copied.map(_._2.rowGroups.map(_.numRows.toLong).sum).sum)
   }
 
   /** STAT-command analog (reference pixels-cli STAT in the

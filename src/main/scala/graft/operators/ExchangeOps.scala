@@ -124,6 +124,8 @@ object ExchangeOps {
             120, java.util.concurrent.TimeUnit.SECONDS)
           require(done && worker.process.exitValue() == 0,
             s"remote scan worker failed; log tail:\n${worker.logTail}")
+          // keep the temp log only on failure (logTail captured it above)
+          worker.log.delete()
           out
         } finally {
           if (worker.process.isAlive) worker.process.destroyForcibly()

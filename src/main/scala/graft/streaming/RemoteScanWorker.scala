@@ -79,11 +79,15 @@ object RemoteScanWorker {
     require(outSchema.fieldNames.sameElements(columns),
       s"schema DDL fields ${outSchema.fieldNames.toSeq} != columns $columns")
     val projF = pool.submit(() => UnsafeProjection.create(outSchema))
+    // shutdown NOW, not after the gets: submitted tasks still run and
+    // get() still works, but a failure anywhere below (connect refused,
+    // a future threw) can no longer leak two non-daemon threads that pin
+    // an in-process caller's JVM
+    pool.shutdown()
     val client = new RemoteExchangeProducer(host, port)
     mark("connected")
     val conf = confF.get()
     val proj = projF.get()
-    pool.shutdown()
     mark("init ready")
     val buf = new scala.collection.mutable.ArrayBuffer[Array[Byte]](rowsPerGroup)
     var groupIdx = 0

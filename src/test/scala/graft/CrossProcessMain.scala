@@ -35,10 +35,15 @@ object CrossProcessMain {
       case "append" =>
         val dir = args(1); val id = args(2).toInt; val n = args(3).toInt
         (0 until n).foreach { i =>
-          val f = writeAmountFile(dir, id * 100000L + i, conf)
-          GpxCommitLog.commit(dir, conf,
+          val amount = id * 100000L + i
+          val f = writeAmountFile(dir, amount, conf)
+          System.err.println(s"[append] staged amount=$amount file=$f " +
+            s"t=${System.currentTimeMillis()}")
+          val v = GpxCommitLog.commit(dir, conf,
             GpxCommitLog.Append(Seq(GpxCommitLog.entryFor(dir, f, conf)),
               schema = Some(amountSchema)))
+          System.err.println(s"[append] committed amount=$amount v=$v " +
+            s"t=${System.currentTimeMillis()}")
         }
 
       // transfer <a> <b> <iters> <base>: atomic append-pair transfers of
@@ -77,6 +82,10 @@ object CrossProcessMain {
       // default is 1 h for exactly this reason), so the fuzz passes a
       // window the racing appends comfortably fit inside
       case "vacuum" =>
+        // child-log-only deletion trace: when the fuzz fails, the sweeper
+        // log says exactly which files vacuum reclaimed and under which
+        // keep-set (how the round-12 lost-commit slot-reopen was found)
+        sys.props("graft.debug.vacuum") = "1"
         val dir = args(1); val iters = args(2).toInt; val minAge = args(3).toLong
         (0 until iters).foreach { _ =>
           if (GpxCommitLog.isLogTable(dir, conf)) {

@@ -46,6 +46,20 @@ class CrossProcessSpec extends GraftSpec {
     val want = (-1L +: (for {
       id <- 0 until 3; i <- 0 until 15
     } yield id * 100000L + i)).sorted
+    if (got != want) { // preserve evidence: the table dir and every
+      // child's log survive the tempdir cleanup, so a rare fuzz failure
+      // is diagnosable post-hoc (graft.LogDump dumps the copied chain)
+      val dest = s"/tmp/xproc_evidence_${System.currentTimeMillis()}"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(dir), new java.io.File(dest))
+      (writers.zipWithIndex.map { case (w, i) => s"writer$i" -> w } :+
+        ("sweeper" -> sweeper)).foreach { case (n, h) =>
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dest/_childlog_$n.txt"), h.logText)
+      }
+      System.err.println(s"[evidence] copied $dir -> $dest; " +
+        s"missing=${want.diff(got)} extra=${got.diff(want)}")
+    }
     assert(got == want)
   }
 

@@ -49,6 +49,29 @@ class ManifestSpec extends GraftSpec {
     assert(mfGone > 0)
     assert(gpxFilesOnDisk(dir).size == headLive)
     assert(spark.read.format("gpx").load(dir).count() == 10)
+
+    // swept manifest slots become 0-byte TOMBSTONES, never deletions: a
+    // deleted slot file would reopen the slot for putIfAbsent, and a
+    // committer with a stale resolved base could then WIN it and commit
+    // into a version no reader materializes — a silently lost commit
+    // (the CrossProcessSpec append+vacuum fuzz caught exactly this)
+    val commits = new java.io.File(s"$dir/_commits").listFiles()
+      .filter(_.getName.endsWith(".mf"))
+    val tombs = commits.filter(_.length == 0)
+    assert(tombs.nonEmpty, "vacuum must leave tombstones for swept slots")
+    // a tombstoned version reads as vacuumed away
+    val tv = tombs.map(_.getName.replaceAll("[^0-9]", "").toLong).min
+    assert(GpxCommitLog.snapshotAt(dir, tv, conf).isEmpty)
+    // a second vacuum is idempotent: tombstones are not re-counted (and,
+    // inside the grace window, not reclaimed)
+    val (_, mfGone2) = GpxCommitLog.vacuum(dir, conf, keepVersions = 1, minAgeMs = 0)
+    assert(mfGone2 == 0, s"tombstones recounted: $mfGone2")
+    assert(new java.io.File(s"$dir/_commits").listFiles()
+      .count(_.length == 0) == tombs.length)
+    // and commits still land normally after sweeps
+    spark.range(150, 160).selectExpr("id", "id as v")
+      .write.format("gpx").mode("append").save(dir)
+    assert(spark.read.format("gpx").load(dir).count() == 20)
   }
 
   test("schema rides in the manifest: inferSchema without any footer read") {
