@@ -235,23 +235,55 @@ object Dedup {
     cross.unionByName(intra)
   }
 
-  /** hamming<=6 pairs among the given (doc_id, simhash) rows, banded
-    * 8x4-bit — pigeonhole-exact (<=6 differing bits cannot touch all 8
-    * bands, so every true pair collides in some band). */
+  /** hamming<=6 pairs among the given (doc_id, simhash) rows, via 4
+    * 8-bit blocks with Hamming<=1 multi-probe (the v05 sketch-join
+    * trick) — pigeonhole-exact: if every block differed in >=2 bits the
+    * total would be >=8 > 6, so some block differs in <=1 bit, and the
+    * probe side's 9 keys per block (exact + each single-bit flip) cover
+    * exactly that block.
+    *
+    * Why not the classic 8x4-bit equality banding: its (band, key)
+    * space has 128 values, so candidate count is ~F²/4 over F distinct
+    * fingerprints and the join parallelism is capped at 128 reducers.
+    * The 8-bit blocks give a 1024-value key space (~3.5x fewer
+    * candidates, 8x the parallelism) at the cost of a 36-rows-per-
+    * fingerprint probe side — fingerprint rows are two longs, so the
+    * probe explosion is bytes-cheap while the candidate reduction is
+    * quadratic-cheap.
+    *
+    * First-match-block dedup: each pair is emitted ONLY at its first
+    * block with block-hamming <= 1 (a per-row expression on the
+    * fingerprint XOR), so the join output needs no distinct() — the
+    * de-duplicating shuffle would move more rows than there are
+    * candidates. Within a block a pair matches exactly one probe row
+    * (the 9 probe keys are distinct; the build key equals the one whose
+    * flip is the differing bit). */
   private def bandedPairs(fp: DataFrame): DataFrame = {
-    val bandCols = (0 until 8).map { b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(col("simhash"), 4 * b).bitwiseAND(lit(15L)).as("key"))
+    val buildCols = (0 until 4).map { b =>
+      struct(lit(b).as("b"),
+        shiftrightunsigned(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("key"))
     }
-    val banded = fp.select(col("doc_id"), col("simhash"),
-      explode(array(bandCols: _*)).as("bk"))
-    banded.as("x").join(banded.as("y"),
-        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+    val probeCols = (0 until 4).flatMap { b =>
+      val key = shiftrightunsigned(col("simhash"), 8 * b).bitwiseAND(lit(255L))
+      key +: (0 until 8).map(bit => key.bitwiseXOR(lit(1L << bit)))
+    }.zipWithIndex.map { case (k, i) =>
+      struct(lit(i / 9).as("b"), k.as("key"))
+    }
+    val build = fp.select(col("doc_id"), col("simhash"),
+      explode(array(buildCols: _*)).as("bk"))
+    val probe = fp.select(col("doc_id"), col("simhash"),
+      explode(array(probeCols: _*)).as("bk"))
+    val xor = col("x.simhash").bitwiseXOR(col("y.simhash"))
+    def blockHamming(b: Int) =
+      bit_count(shiftrightunsigned(xor, 8 * b).bitwiseAND(lit(255L)))
+    val firstBlock = (3 to 0 by -1).foldLeft(lit(-1)) { (acc, b) =>
+      when(blockHamming(b) <= 1, lit(b)).otherwise(acc)
+    }
+    build.as("x").join(probe.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id") &&
+          col("x.bk.b") === firstBlock)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        col("x.simhash").as("a_fp"), col("y.simhash").as("b_fp"))
-      .distinct()
-      .withColumn("hamming",
-        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast(IntegerType))
+        bit_count(xor).cast(IntegerType).as("hamming"))
       .filter(col("hamming") <= 6)
       .select("a_id", "b_id", "hamming")
   }
