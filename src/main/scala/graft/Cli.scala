@@ -110,30 +110,15 @@ object Cli {
         val srcP = new org.apache.hadoop.fs.Path(src)
         val fs = srcP.getFileSystem(conf)
         val files =
-          if (fs.exists(srcP) && fs.getFileStatus(srcP).isDirectory) {
+          if (fs.exists(srcP) && fs.getFileStatus(srcP).isDirectory)
             // a directory source is read as a TABLE, not a raw listing:
             // on a commit-log source only the head's live files are the
             // table — the dir also holds retired/staged/orphaned files
             // by design (compaction retires in place), and adopting
-            // those would resurrect compacted-away rows twice
-            val live = graft.format.GpxTable.listFiles(Seq(src), conf)
-            // delete SIDECARS don't travel with the data files they
-            // mask: importing the files alone would resurrect deleted
-            // rows — refuse and point at COMPACT (which folds bitmaps
-            // into clean files). _del dirs sit beside the data files
-            // (root or one nested layout level), same walk as VACUUM's.
-            val delName = graft.format.GpxDeleteBitmap.DelDir
-            val hasDel = fs.exists(new org.apache.hadoop.fs.Path(srcP, delName)) ||
-              fs.listStatus(srcP).exists(st => st.isDirectory &&
-                !st.getPath.getName.startsWith("_") &&
-                !st.getPath.getName.startsWith(".") &&
-                fs.exists(new org.apache.hadoop.fs.Path(st.getPath, delName)))
-            if (hasDel) throw new IllegalStateException(
-              s"IMPORT refused: $src carries delete sidecars ($delName) " +
-                "that do not travel with its data files — importing would " +
-                "resurrect deleted rows. COMPACT the source first.")
-            live.sorted
-          }
+            // those would resurrect compacted-away rows twice.
+            // (Delete-sidecar refusal happens per file inside
+            // importFiles, covering every entry point at any depth.)
+            graft.format.GpxTable.listFiles(Seq(src), conf).sorted
           else src.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
         if (files.isEmpty) usage()
         val (n, rows) = graft.format.GpxMaintenance.importFiles(table, files, conf)

@@ -581,8 +581,14 @@ object GpxCommitLog {
     if (cached != null) return Some(cached)
     // a freshly-claimed slot on a non-atomic store can be momentarily
     // partial: retry briefly (the winner's write is a few KB), then give
-    // up and let the caller fall back to the previous version
+    // up and let the caller fall back to the previous version.
+    // EXCEPTION: a 0-byte slot past the fresh-claim window is a vacuum
+    // TOMBSTONE — permanent by contract — so burning the patience loop
+    // on it (~200 ms, re-paid per JVM since vacuum re-arms knownBad)
+    // just stalls snapshotAt/time-travel/stale-listing recovery. One
+    // stat on the first failure decides which case this is.
     var attempts = if (knownBad.contains(key)) 1 else 40
+    var statted = false
     while (attempts > 0) {
       readBytes(fs, new Path(lp, manifestName(v))).flatMap(parse) match {
         case Some(Left(s)) if s.version == v =>
@@ -606,6 +612,15 @@ object GpxCommitLog {
           }
         case _ =>
           attempts -= 1
+          if (!statted) {
+            statted = true
+            try {
+              val st = fs.getFileStatus(new Path(lp, manifestName(v)))
+              if (st.getLen == 0 &&
+                  System.currentTimeMillis() - st.getModificationTime > 10000L)
+                attempts = 0 // conclusive tombstone, not an in-flight claim
+            } catch { case _: java.io.IOException => () } // gone/hiccup: retry
+          }
           if (attempts > 0) Thread.sleep(5)
       }
     }
@@ -1162,9 +1177,13 @@ object GpxCommitLog {
         mfDeleted += 1
         // a vacuumed version must fail loudly ("no such manifest
         // version") in THIS JVM too — a warm parseCache hit would serve
-        // the snapshot until its data files 404 with a confusing error
+        // the snapshot until its data files 404 with a confusing error.
+        // knownBad is ADDED, not cleared: a tombstone is permanently
+        // unreadable, so later readVersion calls should pay one attempt,
+        // not the fresh-claim patience loop.
         parseCache.remove((dirKey, v))
-        knownBad.remove((dirKey, v))
+        knownBad.add((dirKey, v))
+        ()
       }
     }
     (dataDeleted, mfDeleted)

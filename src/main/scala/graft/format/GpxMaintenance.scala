@@ -123,6 +123,15 @@ object GpxMaintenance {
     val fs = rootP.getFileSystem(conf)
     val footers = sources.map { src =>
       require(GpxFs.stat(src, conf).isDefined, s"no such file: $src")
+      // delete SIDECARS do not travel with the data files they mask:
+      // adopting a masked file without its bitmap would resurrect its
+      // deleted rows silently. walkForSidecars' FILE-root branch checks
+      // the sibling _del dir, so every IMPORT entry point (dir listing,
+      // comma list, API call) is covered at any nesting depth.
+      require(!GpxDeleteBitmap.walkForSidecars(src, conf),
+        s"IMPORT refused: $src is masked by delete sidecars that do not " +
+          "travel with the file — importing would resurrect deleted rows. " +
+          "COMPACT the source first.")
       src -> GpxFileReader.readFooter(src, conf)
     }
     val importSchema = footers.map(_._2.schema).reduce(GpxTable.unionSchemas)
@@ -176,14 +185,21 @@ object GpxMaintenance {
             throw t
         }
       }
+      if (!logTable) GpxVersion.bump(table, conf)
       (out.size, out.map(_._2.rowGroups.map(_.numRows.toLong).sum).sum)
-    } finally {
-      // plain tables: renamed files are reader-visible IMMEDIATELY, so
-      // the version token must move even when a later copy in the batch
-      // failed — a stale token would keep validating point-index/colstats
-      // sidecars that miss the adopted rows (scans would see them,
-      // indexed lookups wouldn't: inconsistent answers, no error)
-      if (!logTable && renamed > 0) GpxVersion.bump(table, conf)
+    } catch {
+      case t: Throwable =>
+        // plain tables: renamed files are reader-visible IMMEDIATELY, so
+        // the version token must move even when a later copy in the
+        // batch failed — a stale token would keep validating point-index/
+        // colstats sidecars that miss the adopted rows (scans would see
+        // them, indexed lookups wouldn't: inconsistent answers, no
+        // error). Best-effort here: a bump failure must not MASK the
+        // import failure the operator actually needs to see.
+        if (!logTable && renamed > 0)
+          try GpxVersion.bump(table, conf)
+          catch { case b: Throwable => t.addSuppressed(b) }
+        throw t
     }
   }
 

@@ -96,6 +96,31 @@ class CliSpec extends GraftSpec {
     java.nio.file.Files.write(junk.toPath, "not a gpx file".getBytes)
     intercept[Exception](
       Cli.run(sp, Seq("IMPORT", junk.getAbsolutePath, plain)))
+
+    // a source masked by delete SIDECARS is refused: the bitmap does not
+    // travel with the data file, so adoption would resurrect the deleted
+    // rows — and the refusal must hit the explicit-file form too
+    val masked = TestSpark.tempDir("cli_import_masked")
+    sp.range(0, 100).selectExpr("id", "id * 2 AS v")
+      .coalesce(1).write.format("gpx").mode("overwrite").save(masked)
+    val maskedSchema = sp.read.format("gpx").load(masked).schema
+    val prevMode = sp.conf.getOption("spark.graft.gpx.deleteMode")
+    sp.conf.set("spark.graft.gpx.deleteMode", "mor")
+    try graft.format.GpxDelete.run(maskedSchema, Seq(masked),
+      Array(org.apache.spark.sql.sources.LessThan("id", 10L): org.apache.spark.sql.sources.Filter))
+    finally prevMode match {
+      case Some(v) => sp.conf.set("spark.graft.gpx.deleteMode", v)
+      case None => sp.conf.unset("spark.graft.gpx.deleteMode")
+    }
+    assert(sp.read.format("gpx").load(masked).count() == 90)
+    val dest2 = TestSpark.tempDir("cli_import_masked_dest")
+    val eDir = intercept[Exception](Cli.run(sp, Seq("IMPORT", masked, dest2)))
+    assert(eDir.getMessage.contains("sidecars"), eDir.getMessage)
+    val maskedFile = graft.format.GpxTable.listFiles(Seq(masked),
+      sp.sparkContext.hadoopConfiguration).head
+    val eFile = intercept[Exception](
+      Cli.run(sp, Seq("IMPORT", maskedFile, dest2)))
+    assert(eFile.getMessage.contains("sidecars"), eFile.getMessage)
   }
 
   test("malformed command lines raise UsageException, not MatchError") {
