@@ -3,6 +3,7 @@ package graft.format
 import GpxFormat._
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types.StructType
 import java.io.{ByteArrayOutputStream, DataOutputStream}
 
 /** Native gpx compaction: concatenates the row groups of many small gpx
@@ -127,7 +128,22 @@ object GpxCompactor {
       namer: Int => Path, conf: Configuration,
       targetFileBytes: Long): Result = {
     val fs = outPath.getFileSystem(conf)
-    val schema = GpxFileReader.FooterCache.get(files.head, conf).schema
+    // output footer schema: inputs may legitimately differ in NULLABILITY
+    // alone (a Spark batch write claims NOT NULL for literal columns where
+    // the row-level writer defaults nullable — natural on any log table
+    // seeded one way and appended the other). Pixel segments self-describe
+    // their nulls (encoding | nullCount | bitmap | data), so byte-copied
+    // chunks read identically under the widened schema; names, types and
+    // order must still match exactly — a byte copy cannot reorder or cast.
+    def shape(s: StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
+      s.fields.toSeq.map(f => (f.name, f.dataType))
+    val schema = files.map(f => GpxFileReader.FooterCache.get(f, conf).schema)
+      .reduce { (a, b) =>
+        require(shape(a) == shape(b),
+          s"schema mismatch across compaction inputs: ${a.toDDL} vs ${b.toDDL}")
+        StructType(a.fields.zip(b.fields).map { case (x, y) =>
+          x.copy(nullable = x.nullable || y.nullable) })
+      }
     // per-file sortedBy claim for the compacted outputs: row groups are
     // byte-copied, so each keeps its internal order — the merged file's
     // claim is the longest prefix every INPUT file can vouch for
@@ -174,7 +190,7 @@ object GpxCompactor {
     val buf = new Array[Byte](8 << 20)
     files.foreach { f =>
       val footer = GpxFileReader.FooterCache.get(f, conf)
-      require(footer.schema == schema,
+      require(shape(footer.schema) == shape(schema),
         s"schema mismatch: $f has ${footer.schema.toDDL}, expected ${schema.toDDL}")
       val inPath = new Path(f)
       val in = inPath.getFileSystem(conf).open(inPath)

@@ -75,6 +75,26 @@ object CrossProcessMain {
           }
         }
 
+      // compact <dir> <iters>: repeated IN-PLACE compactions racing the
+      // other children. A lost Replace race (a concurrent commit retired
+      // or rewrote an input) is a legitimate loss — skip and retry next
+      // iteration. Anything else (a dead-claim refusal, a missing staged
+      // file) is a real protocol failure and must exit 1.
+      case "compact" =>
+        val dir = args(1); val iters = args(2).toInt
+        (0 until iters).foreach { _ =>
+          try {
+            if (GpxCommitLog.isLogTable(dir, conf) &&
+                GpxCommitLog.head(dir, conf).exists(_.live.nonEmpty)) {
+              graft.format.GpxCompactor.compactInPlace(dir, conf)
+              ()
+            }
+          } catch {
+            case _: java.util.ConcurrentModificationException => ()
+          }
+          Thread.sleep(30)
+        }
+
       // vacuum <dir> <iters> <minAgeMs>: repeated vacuums racing the
       // other children. minAgeMs is the STAGING GRACE window — a vacuum
       // with minAgeMs below the writers' stage-to-commit latency deletes

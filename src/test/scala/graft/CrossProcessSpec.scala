@@ -63,6 +63,54 @@ class CrossProcessSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("in-place compaction racing appends and a vacuum across processes: no lost or duplicated rows") {
+    val dir = tempDir("xproc_compact")
+    spark.sql("SELECT CAST(-1 AS BIGINT) AS amount")
+      .coalesce(1).write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    assert(GpxCommitLog.isLogTable(dir, conf))
+
+    val writers = (0 until 2).map { id =>
+      ForkedJvm.start("graft.CrossProcessMain",
+        Seq("append", dir, id.toString, "15"))
+    }
+    val compactor = ForkedJvm.start("graft.CrossProcessMain",
+      Seq("compact", dir, "12"))
+    val sweeper = ForkedJvm.start("graft.CrossProcessMain",
+      Seq("vacuum", dir, "60", "3000"))
+    writers.foreach(_.awaitOk())
+    compactor.awaitOk()
+    sweeper.awaitOk()
+
+    // the byte-copy Replace must never lose an appended row (its inputs
+    // retire only when the swap commits) nor resurrect a retired one
+    // (a concurrent rewrite of its inputs refuses the commit)
+    val got = spark.read.format("gpx").load(dir)
+      .select("amount").collect().map(_.getLong(0)).sorted.toSeq
+    val want = (-1L +: (for {
+      id <- 0 until 2; i <- 0 until 15
+    } yield id * 100000L + i)).sorted
+    if (got != want) { // preserve evidence (see the racing-appends test)
+      val dest = s"/tmp/xproc_compact_evidence_${System.currentTimeMillis()}"
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(dir), new java.io.File(dest))
+      (writers.zipWithIndex.map { case (w, i) => s"writer$i" -> w } :+
+        ("compactor" -> compactor) :+ ("sweeper" -> sweeper)).foreach {
+        case (n, h) => java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dest/_childlog_$n.txt"), h.logText)
+      }
+      System.err.println(s"[evidence] copied $dir -> $dest; " +
+        s"missing=${want.diff(got)} extra=${got.diff(want)}")
+    }
+    assert(got == want)
+    // and a final quiet-state compaction converges to few files
+    val r = graft.format.GpxCompactor.compactInPlace(dir, conf)
+    assert(r.rows == want.length,
+      s"final compaction saw ${r.rows} rows, expected ${want.length}")
+    assert(spark.read.format("gpx").load(dir)
+      .select("amount").collect().map(_.getLong(0)).sorted.toSeq == want)
+  }
+
   test("racing atomic transfers from two processes conserve the cross-table sum") {
     val a = tempDir("xproc_txn_a"); val b = tempDir("xproc_txn_b")
     def seed(dir: String, amount: Long): Unit = {
