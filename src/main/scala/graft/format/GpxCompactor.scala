@@ -233,10 +233,16 @@ object GpxCompactor {
     * resurrecting its rows. No rename, no trash dir, no listing
     * dependency — the protocol the rename-based compact-to-a-new-dir
     * path cannot offer on an object store. */
+  /** `beforeSwap` is a test seam: it runs after the byte copy staged its
+    * outputs and before the locked swap — the window a concurrent
+    * merge-on-read delete can land in (microseconds on toy tables,
+    * minutes on real ones), which probabilistic fuzz cannot hit
+    * deterministically. */
   def compactInPlace(
       dir: String,
       conf: Configuration,
-      targetFileBytes: Long = 128L * 1024 * 1024): Result = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      beforeSwap: () => Unit = () => ()): Result = {
     require(GpxCommitLog.isLogTable(dir, conf),
       s"compactInPlace requires a commit-log table (Cli LOG $dir); " +
         "rename-protocol tables compact into a new directory")
@@ -263,10 +269,45 @@ object GpxCompactor {
       i => { val p = new Path(dirP, f"compact-$opId-$i%05d.gpx")
         outNames += p; p },
       conf, targetFileBytes)
-    val entries = outNames.toSeq.map(p =>
-      GpxCommitLog.entryFor(dir, p.toString, conf))
-    GpxCommitLog.commit(dir, conf, GpxCommitLog.Replace(entries,
-      files.map(GpxCommitLog.relOf(dir, _, conf)).toSet))
+    // SWAP under the mutation lock, with a mask recheck first. The byte
+    // copy above runs lock-free (it can take minutes and holds no
+    // manifest state). Deletes that land while it runs are already safe
+    // on the PRIMARY path: log tables route row-level deletes to
+    // copy-on-write (sidecar publishes are listing-visible — what the
+    // log exists to avoid), the rewrite RETIRES the inputs, and the
+    // Replace below refuses consumed-no-longer-live sources
+    // (MorDeleteSpec gates that interleave deterministically). The
+    // recheck closes the residual channel: a sidecar keyed to an input
+    // file's NAME appearing OUT-OF-BAND (a raw GpxDeleteBitmap write, a
+    // pre-conversion-style sidecar) leaves the input live, and swapping
+    // in the unmasked copies would resurrect its masked rows under
+    // compact-* names no sidecar is keyed to, silently. A refused swap
+    // cleans up its staged copies and asks to be re-run.
+    def cleanupStaged(): Unit = outNames.foreach { p =>
+      try { dirP.getFileSystem(conf).delete(p, false); () }
+      catch { case _: Throwable => () }
+    }
+    try {
+      beforeSwap()
+      GpxMutationLock.withLock(dir, conf, "compaction") {
+        val regained = files.filter { f =>
+          val p = new Path(f)
+          GpxDeleteBitmap.sidecarsIn(p.getParent, conf).contains(p.getName)
+        }
+        if (regained.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"gpx compactInPlace($dir): ${regained.size} input file(s) " +
+              "gained delete sidecars while the byte copy ran — swapping " +
+              "in the unmasked copies would resurrect their deleted rows. " +
+              "Re-run the compaction (the fresh plan will skip them).")
+        val entries = outNames.toSeq.map(p =>
+          GpxCommitLog.entryFor(dir, p.toString, conf))
+        GpxCommitLog.commit(dir, conf, GpxCommitLog.Replace(entries,
+          files.map(GpxCommitLog.relOf(dir, _, conf)).toSet))
+      }
+    } catch {
+      case t: Throwable => cleanupStaged(); throw t
+    }
     GpxVersion.bump(dir, conf)
     r
   }

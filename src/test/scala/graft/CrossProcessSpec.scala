@@ -111,6 +111,60 @@ class CrossProcessSpec extends GraftSpec {
       .select("amount").collect().map(_.getLong(0)).sorted.toSeq == want)
   }
 
+  test("merge-on-read deletes racing in-place compaction across processes never resurrect rows") {
+    val dir = tempDir("xproc_mordel")
+    spark.range(0, 1000).selectExpr("id", "id * 3 AS v").repartition(8)
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    val schema = spark.read.format("gpx").load(dir).schema
+    val compactor = ForkedJvm.start("graft.CrossProcessMain",
+      Seq("compact", dir, "10"))
+    val sweeper = ForkedJvm.start("graft.CrossProcessMain",
+      Seq("vacuum", dir, "40", "3000"))
+    val prev = spark.conf.getOption("spark.graft.gpx.deleteMode")
+    spark.conf.set("spark.graft.gpx.deleteMode", "mor")
+    try {
+      (0 until 10).foreach { k =>
+        val lo = k * 50L; val hi = lo + 25L
+        var done = false; var tries = 0
+        while (!done) {
+          try {
+            graft.format.GpxDelete.run(schema, Seq(dir), Array(
+              org.apache.spark.sql.sources.And(
+                org.apache.spark.sql.sources.GreaterThanOrEqual("id", lo),
+                org.apache.spark.sql.sources.LessThan("id", hi))
+                : org.apache.spark.sql.sources.Filter))
+            done = true
+          } catch {
+            case _: java.util.ConcurrentModificationException =>
+              // lost to the compactor's locked swap (or its Replace
+              // consumed a file this delete planned against): retry
+              tries += 1
+              if (tries > 200)
+                throw new IllegalStateException("mor delete starved")
+              Thread.sleep(20)
+          }
+        }
+        // THE gate: a compaction swap that byte-copied past a racing
+        // sidecar would resurrect the masked rows under compact-* names
+        val n = spark.read.format("gpx").load(dir).count()
+        assert(n == 1000 - 25 * (k + 1),
+          s"after deleting [$lo,$hi): count $n, expected ${1000 - 25 * (k + 1)}" +
+            " — deleted rows resurrected by a concurrent compaction swap")
+        Thread.sleep(30)
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.graft.gpx.deleteMode", v)
+      case None => spark.conf.unset("spark.graft.gpx.deleteMode")
+    }
+    compactor.awaitOk()
+    sweeper.awaitOk()
+    val ids = spark.read.format("gpx").load(dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = (0L until 1000L).filterNot(id => id < 500 && id % 50 < 25)
+    assert(ids == want)
+  }
+
   test("racing atomic transfers from two processes conserve the cross-table sum") {
     val a = tempDir("xproc_txn_a"); val b = tempDir("xproc_txn_b")
     def seed(dir: String, amount: Long): Unit = {

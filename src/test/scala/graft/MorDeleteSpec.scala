@@ -334,4 +334,71 @@ class MorDeleteSpec extends GraftSpec {
     assert(sp.read.format("gpx").load(plain).count() == 100)
     assert(sp.read.format("gpx").load(logd).count() == 100)
   }
+
+  test("a mor delete landing in the byte-copy window refuses the in-place swap (no resurrection)") {
+    val dir = freshDir("gpx_swaprace")
+    val sp2 = sp
+    import sp2.implicits._
+    (0 until 100).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartition(4).write.format("gpx").mode("overwrite")
+      .option("commitProtocol", "manifest").save(dir)
+    // the race, DETERMINISTICALLY: compactInPlace staged its copies,
+    // then a delete lands before the swap — the interleave whose silent
+    // outcome would be the deleted rows resurrected under compact-*
+    // names. On log tables mor routes to COPY-ON-WRITE (the rewrite
+    // retires the inputs), so the swap must refuse on consumed-sources
+    // liveness; out-of-band sidecars are covered by the swap's own mask
+    // recheck. Either guard throws ConcurrentModificationException.
+    val e = intercept[java.util.ConcurrentModificationException] {
+      graft.format.GpxCompactor.compactInPlace(dir, conf,
+        beforeSwap = () => del(dir, "mor", LessThan("id", 10L)))
+    }
+    assert(e.getMessage.contains("no longer live") ||
+      e.getMessage.contains("delete sidecars"), e.getMessage)
+    // the delete held; nothing resurrected; the staged copies are gone
+    assert(sp.read.format("gpx").load(dir).count() == 90)
+    // raw listing, not the manifest view: a leaked staged copy is
+    // manifest-invisible by design, so only the directory itself can
+    // prove the cleanup ran
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("compact-")),
+      "refused swap must clean up its staged copies")
+    // a fresh run skips the masked files (nothing unmasked to compact)
+    // and the table still reads exactly the surviving rows
+    graft.format.GpxCompactor.compactInPlace(dir, conf)
+    val ids = sp.read.format("gpx").load(dir)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == (10L until 100L).toSeq)
+  }
+
+  test("an out-of-band sidecar landing in the byte-copy window trips the swap's mask recheck") {
+    val dir = freshDir("gpx_swaprace_oob")
+    val sp2 = sp
+    import sp2.implicits._
+    (0 until 100).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .coalesce(1).write.format("gpx").mode("overwrite")
+      .option("commitProtocol", "manifest").save(dir)
+    // the residual channel: a sidecar written RAW (no COW rewrite, so
+    // the input stays live and the consumed-sources guard cannot fire) —
+    // only the swap's own recheck stands between this and resurrection
+    val e = intercept[java.util.ConcurrentModificationException] {
+      graft.format.GpxCompactor.compactInPlace(dir, conf,
+        beforeSwap = () => {
+          val live = graft.format.GpxCommitLog.liveFiles(dir, conf)
+          val bits = new java.util.BitSet(); (0 until 10).foreach(bits.set)
+          // the raw publish protocol: marker first (the O(1) existence
+          // gate scans consult), then the sidecar — same order as
+          // GpxDelete's own mor path
+          graft.format.GpxVersion.markDeletes(dir, conf)
+          GpxDeleteBitmap.write(new Path(live.head),
+            graft.format.GpxTxn.stamp(dir, conf), bits, 100L, conf)
+          ()
+        })
+    }
+    assert(e.getMessage.contains("delete sidecars"), e.getMessage)
+    // the mask applies; no staged copies leaked
+    assert(sp.read.format("gpx").load(dir).count() == 90)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("compact-")))
+  }
 }
