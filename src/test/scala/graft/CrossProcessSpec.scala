@@ -111,6 +111,63 @@ class CrossProcessSpec extends GraftSpec {
       .select("amount").collect().map(_.getLong(0)).sorted.toSeq == want)
   }
 
+  test("point lookups stay exact while other processes append and compact (stale index falls back)") {
+    val dir = tempDir("xproc_ptidx")
+    val sp2 = spark
+    import sp2.implicits._
+    (0L until 500L).map(i => Tuple1(i)).toDF("amount")
+      .coalesce(2).write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    graft.format.GpxPointIndex.build(spark, dir, "amount")
+    // warm lookup against the fresh index
+    assert(graft.format.GpxPointIndex.lookup(spark, dir, "amount",
+      Set(42L), Seq("amount")).count() == 1)
+
+    // another PROCESS appends keyed rows and compacts: the parent's index
+    // is immediately stale (its manifest token was read pre-append), and
+    // compaction even retires the files its entries point at — every
+    // lookup from here must either fall back or refresh, NEVER serve the
+    // stale pruning (a miss on a committed key, or a vanished old key,
+    // is silent wrong data)
+    val writer = ForkedJvm.start("graft.CrossProcessMain",
+      Seq("append", dir, "7", "15")) // amounts 700000..700014
+    val compactor = ForkedJvm.start("graft.CrossProcessMain",
+      Seq("compact", dir, "6"))
+    val newKeys = (0 until 15).map(i => 700000L + i)
+    var found = Set.empty[Long]
+    var rounds = 0
+    while ((writer.process.isAlive || found.size < newKeys.size) &&
+        rounds < 500) {
+      rounds += 1
+      newKeys.filterNot(found.contains).foreach { k =>
+        val rows = graft.format.GpxPointIndex.lookup(spark, dir, "amount",
+          Set(k), Seq("amount")).collect()
+        if (rows.nonEmpty) {
+          assert(rows.length == 1 && rows.head.getLong(0) == k)
+          found += k
+        }
+      }
+      // keys found once must stay found (no regression to a stale prune)
+      found.foreach { k =>
+        assert(graft.format.GpxPointIndex.lookup(spark, dir, "amount",
+          Set(k), Seq("amount")).count() == 1,
+          s"committed key $k vanished from lookups")
+      }
+      // a pre-existing key survives every interleave
+      assert(graft.format.GpxPointIndex.lookup(spark, dir, "amount",
+        Set(42L), Seq("amount")).count() == 1)
+    }
+    writer.awaitOk(); compactor.awaitOk()
+    assert(found == newKeys.toSet,
+      s"committed keys never became visible: ${newKeys.toSet -- found}")
+    // rebuild over the settled table: index-served lookups exact again
+    graft.format.GpxPointIndex.build(spark, dir, "amount")
+    newKeys.foreach { k =>
+      assert(graft.format.GpxPointIndex.lookup(spark, dir, "amount",
+        Set(k), Seq("amount")).count() == 1)
+    }
+  }
+
   test("merge-on-read deletes racing in-place compaction across processes never resurrect rows") {
     val dir = tempDir("xproc_mordel")
     spark.range(0, 1000).selectExpr("id", "id * 3 AS v").repartition(8)
