@@ -1180,8 +1180,13 @@ object GpxCommitLog {
         // the snapshot until its data files 404 with a confusing error.
         // knownBad is ADDED, not cleared: a tombstone is permanently
         // unreadable, so later readVersion calls should pay one attempt,
-        // not the fresh-claim patience loop.
+        // not the fresh-claim patience loop. BOUNDED: a long-lived JVM
+        // vacuuming a busy table would otherwise add one entry per swept
+        // version forever — past the cap, clear and let genuinely-bad
+        // slots re-pay one patience loop each (correctness never depends
+        // on the marker; the tombstone stat fast-path caps the cost too).
         parseCache.remove((dirKey, v))
+        if (knownBad.size > 4096) knownBad.clear()
         knownBad.add((dirKey, v))
         ()
       }

@@ -129,20 +129,40 @@ object GpxCompactor {
       targetFileBytes: Long): Result = {
     val fs = outPath.getFileSystem(conf)
     // output footer schema: inputs may legitimately differ in NULLABILITY
-    // alone (a Spark batch write claims NOT NULL for literal columns where
-    // the row-level writer defaults nullable — natural on any log table
-    // seeded one way and appended the other). Pixel segments self-describe
-    // their nulls (encoding | nullCount | bitmap | data), so byte-copied
-    // chunks read identically under the widened schema; names, types and
-    // order must still match exactly — a byte copy cannot reorder or cast.
+    // alone — top-level AND nested (a Spark batch write claims NOT NULL
+    // for literal columns and containsNull=false for literal arrays,
+    // where the row-level writer defaults both nullable — natural on any
+    // log table seeded one way and appended the other). Pixel segments
+    // self-describe their nulls (encoding | nullCount | bitmap | data),
+    // so byte-copied chunks read identically under the widened schema;
+    // names, types and order must still match exactly up to nullability
+    // — a byte copy cannot reorder or cast. `erased` drops every
+    // nullability bit for the shape compare; unionType re-merges the
+    // bits (gpx stores scalars and arrays, so ArrayType containsNull is
+    // the only nested bit).
+    def erased(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        org.apache.spark.sql.types.ArrayType(erased(et), containsNull = true)
+      case other => other
+    }
     def shape(s: StructType): Seq[(String, org.apache.spark.sql.types.DataType)] =
-      s.fields.toSeq.map(f => (f.name, f.dataType))
+      s.fields.toSeq.map(f => (f.name, erased(f.dataType)))
+    def unionType(a: org.apache.spark.sql.types.DataType,
+        b: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+      (a, b) match {
+        case (org.apache.spark.sql.types.ArrayType(ae, an),
+              org.apache.spark.sql.types.ArrayType(be, bn)) =>
+          org.apache.spark.sql.types.ArrayType(unionType(ae, be), an || bn)
+        case _ => a // scalars: shape equality already proved a == b
+      }
     val schema = files.map(f => GpxFileReader.FooterCache.get(f, conf).schema)
       .reduce { (a, b) =>
         require(shape(a) == shape(b),
           s"schema mismatch across compaction inputs: ${a.toDDL} vs ${b.toDDL}")
         StructType(a.fields.zip(b.fields).map { case (x, y) =>
-          x.copy(nullable = x.nullable || y.nullable) })
+          x.copy(nullable = x.nullable || y.nullable,
+            dataType = unionType(x.dataType, y.dataType)) })
       }
     // per-file sortedBy claim for the compacted outputs: row groups are
     // byte-copied, so each keeps its internal order — the merged file's
@@ -189,9 +209,9 @@ object GpxCompactor {
     openOut()
     val buf = new Array[Byte](8 << 20)
     files.foreach { f =>
+      // shape equality across inputs was already established by the
+      // schema reduce above (same FooterCache entries) — no re-check
       val footer = GpxFileReader.FooterCache.get(f, conf)
-      require(shape(footer.schema) == shape(schema),
-        s"schema mismatch: $f has ${footer.schema.toDDL}, expected ${schema.toDDL}")
       val inPath = new Path(f)
       val in = inPath.getFileSystem(conf).open(inPath)
       try {
@@ -265,49 +285,63 @@ object GpxCompactor {
     val dirP = new Path(dir)
     val opId = java.util.UUID.randomUUID().toString.take(8)
     val outNames = scala.collection.mutable.ArrayBuffer.empty[Path]
-    val r = byteCopy(files, dirP,
-      i => { val p = new Path(dirP, f"compact-$opId-$i%05d.gpx")
-        outNames += p; p },
-      conf, targetFileBytes)
-    // SWAP under the mutation lock, with a mask recheck first. The byte
-    // copy above runs lock-free (it can take minutes and holds no
-    // manifest state). Deletes that land while it runs are already safe
-    // on the PRIMARY path: log tables route row-level deletes to
-    // copy-on-write (sidecar publishes are listing-visible — what the
-    // log exists to avoid), the rewrite RETIRES the inputs, and the
-    // Replace below refuses consumed-no-longer-live sources
-    // (MorDeleteSpec gates that interleave deterministically). The
-    // recheck closes the residual channel: a sidecar keyed to an input
-    // file's NAME appearing OUT-OF-BAND (a raw GpxDeleteBitmap write, a
-    // pre-conversion-style sidecar) leaves the input live, and swapping
-    // in the unmasked copies would resurrect its masked rows under
-    // compact-* names no sidecar is keyed to, silently. A refused swap
-    // cleans up its staged copies and asks to be re-run.
+    // EVERY failure from here on must remove the staged compact-* files:
+    // they carry visible names but no manifest references them, so
+    // nothing but a vacuum's minAge sweep would ever reclaim a leak —
+    // and a mid-copy abort additionally leaves a footerless partial.
     def cleanupStaged(): Unit = outNames.foreach { p =>
       try { dirP.getFileSystem(conf).delete(p, false); () }
       catch { case _: Throwable => () }
     }
-    try {
-      beforeSwap()
-      GpxMutationLock.withLock(dir, conf, "compaction") {
-        val regained = files.filter { f =>
-          val p = new Path(f)
-          GpxDeleteBitmap.sidecarsIn(p.getParent, conf).contains(p.getName)
+    val r =
+      try {
+        val copied = byteCopy(files, dirP,
+          i => { val p = new Path(dirP, f"compact-$opId-$i%05d.gpx")
+            outNames += p; p },
+          conf, targetFileBytes)
+        beforeSwap()
+        // SWAP under the mutation lock, with a mask recheck first. The
+        // byte copy runs lock-free (it can take minutes and holds no
+        // manifest state). Deletes that land while it runs are already
+        // safe on the PRIMARY path: log tables route row-level deletes
+        // to copy-on-write (sidecar publishes are listing-visible — what
+        // the log exists to avoid), the rewrite RETIRES the inputs, and
+        // the Replace below refuses consumed-no-longer-live sources
+        // (MorDeleteSpec gates that interleave deterministically). The
+        // recheck NARROWS the residual channel to its minimum: a sidecar
+        // keyed to an input file's NAME appearing OUT-OF-BAND (a raw
+        // GpxDeleteBitmap write that ignores the mutation lock) leaves
+        // the input live, and swapping in the unmasked copies would
+        // resurrect its masked rows silently. In-product sidecar writers
+        // all hold the lock (or route to COW), so for them the recheck
+        // is airtight; a lockless external writer can still land in the
+        // recheck-to-commit window — the sidecar protocol requires the
+        // lock for exactly this reason.
+        GpxMutationLock.withLock(dir, conf, "compaction") {
+          // one _del listing per distinct parent, not per file — this
+          // runs while HOLDING the table's mutation lock
+          val sidecarsByParent = files.map(f => new Path(f).getParent)
+            .distinct.map(p => p -> GpxDeleteBitmap.sidecarsIn(p, conf))
+            .toMap
+          val regained = files.filter { f =>
+            val p = new Path(f)
+            sidecarsByParent(p.getParent).contains(p.getName)
+          }
+          if (regained.nonEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"gpx compactInPlace($dir): ${regained.size} input file(s) " +
+                "gained delete sidecars while the byte copy ran — swapping " +
+                "in the unmasked copies would resurrect their deleted rows. " +
+                "Re-run the compaction (the fresh plan will skip them).")
+          val entries = outNames.toSeq.map(p =>
+            GpxCommitLog.entryFor(dir, p.toString, conf))
+          GpxCommitLog.commit(dir, conf, GpxCommitLog.Replace(entries,
+            files.map(GpxCommitLog.relOf(dir, _, conf)).toSet))
         }
-        if (regained.nonEmpty)
-          throw new java.util.ConcurrentModificationException(
-            s"gpx compactInPlace($dir): ${regained.size} input file(s) " +
-              "gained delete sidecars while the byte copy ran — swapping " +
-              "in the unmasked copies would resurrect their deleted rows. " +
-              "Re-run the compaction (the fresh plan will skip them).")
-        val entries = outNames.toSeq.map(p =>
-          GpxCommitLog.entryFor(dir, p.toString, conf))
-        GpxCommitLog.commit(dir, conf, GpxCommitLog.Replace(entries,
-          files.map(GpxCommitLog.relOf(dir, _, conf)).toSet))
+        copied
+      } catch {
+        case t: Throwable => cleanupStaged(); throw t
       }
-    } catch {
-      case t: Throwable => cleanupStaged(); throw t
-    }
     GpxVersion.bump(dir, conf)
     r
   }

@@ -167,7 +167,13 @@ object GpxDeleteBitmap {
     * whose bitmaps union idempotently. The temp name carries NO `.del`
     * suffix, so neither [[sidecarsIn]]'s NameRe nor any `*.del` listing
     * (e.g. projection coverage) can ever observe an in-flight write.
-    * Returns the sidecar path. */
+    * Returns the sidecar path.
+    *
+    * PROTOCOL: the OPERATION publishing sidecars must hold the table's
+    * [[GpxMutationLock]] (and mark deletes first — GpxDelete's order).
+    * Compaction's swap rechecks input masks under that same lock; a
+    * lockless writer can slip a sidecar into the recheck-to-commit
+    * window and have it orphaned when the swap retires its file. */
   def write(dataFile: Path, ts: Long, positions: java.util.BitSet,
       fileRows: Long, conf: Configuration): String = {
     val delP = new Path(dataFile.getParent, DelDir)

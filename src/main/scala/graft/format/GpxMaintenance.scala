@@ -121,14 +121,18 @@ object GpxMaintenance {
     require(sources.nonEmpty, "IMPORT needs at least one source file")
     val rootP = new Path(table)
     val fs = rootP.getFileSystem(conf)
+    // delete SIDECARS do not travel with the data files they mask:
+    // adopting a masked file without its bitmap would resurrect its
+    // deleted rows silently. Sidecars live in the sibling _del dir, so
+    // one listing per DISTINCT parent covers every IMPORT entry point
+    // (dir listing, comma list, API call) without re-listing the same
+    // _del path once per file.
+    val sidecarsByParent = sources.map(s => new Path(s).getParent)
+      .distinct.map(p => p -> GpxDeleteBitmap.sidecarsIn(p, conf)).toMap
     val footers = sources.map { src =>
       require(GpxFs.stat(src, conf).isDefined, s"no such file: $src")
-      // delete SIDECARS do not travel with the data files they mask:
-      // adopting a masked file without its bitmap would resurrect its
-      // deleted rows silently. walkForSidecars' FILE-root branch checks
-      // the sibling _del dir, so every IMPORT entry point (dir listing,
-      // comma list, API call) is covered at any nesting depth.
-      require(!GpxDeleteBitmap.walkForSidecars(src, conf),
+      val p = new Path(src)
+      require(!sidecarsByParent(p.getParent).contains(p.getName),
         s"IMPORT refused: $src is masked by delete sidecars that do not " +
           "travel with the file — importing would resurrect deleted rows. " +
           "COMPACT the source first.")

@@ -91,6 +91,12 @@ object CrossProcessMain {
             }
           } catch {
             case _: java.util.ConcurrentModificationException => ()
+            // a COW delete can retire an input AND the racing vacuum can
+            // reclaim it mid-byte-copy (a retired file's mtime predates
+            // the grace window): a clean loss, not a protocol failure —
+            // the compactor aborts loudly, cleans its staging, and the
+            // next iteration replans from the fresh head
+            case _: java.io.FileNotFoundException => ()
           }
           Thread.sleep(30)
         }
