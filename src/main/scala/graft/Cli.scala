@@ -152,6 +152,10 @@ object Cli {
           s"dataBytesRead=${r.dataBytesRead.get} " +
           s"footerReads=${r.footerReads.get} " +
           s"pixelsDecoded=${r.pixelsDecoded.get}")
+        val mi = graft.format.GpxPointIndex.MemoryMirror
+        println(s"STAT index memoryMirrors=${mi.mirrorCount} " +
+          s"mirrorEntries=${mi.entryCount} mirrorHits=${mi.hits.get} " +
+          s"mirrorLoads=${mi.loads.get} mirrorRefusals=${mi.refusals.get}")
       case "INDEX" =>
         val Seq(table, cols) = operands(args, 2)
         val parts = cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty)

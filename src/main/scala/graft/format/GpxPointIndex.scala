@@ -116,6 +116,9 @@ object GpxPointIndex {
       .mkString("\n")
     try out.write(s"$column\n${m.fp}\n$tokLine$covLines"
       .getBytes("UTF-8")) finally out.close()
+    // a rebuild/refresh in THIS process can drop its own stale mirror
+    // eagerly; other processes converge through the fp check on serve
+    MemoryMirror.invalidate(indexDir(table, column))
   }
 
   private def readManifest(table: String, column: String,
@@ -387,17 +390,216 @@ object GpxPointIndex {
     listIndexes(table, new Configuration()).foreach(cs =>
       refresh(spark, table, cs))
 
+  // ---------------- serving backends (schemes) ----------------
+
+  /** Serving-backend schemes — the analog of the reference's pluggable
+    * single-point-index backends (pixels-common index/
+    * SinglePointIndex.java:41-46 Scheme = rocksdb|rockset|memory|mapdb,
+    * instantiated per scheme by SinglePointIndexFactory.java):
+    *   - `gpx` (default): entries served from the key-bucketed gpx index
+    *     table on shared storage — the persistent role rocksdb/mapdb play
+    *     in the reference, except the "store" is the table format itself
+    *     so it scales/compacts like any gpx table and needs no daemon.
+    *   - `memory`: a process-local mirror of the entries, loaded once
+    *     from the gpx table then served from a hash map with zero file
+    *     I/O (the reference's `memory` scheme / pixels-index-memory). The
+    *     gpx table stays the source of truth; the mirror serves ONLY
+    *     while its load-time fingerprint matches the table's current
+    *     manifest, so a commit invalidates it the same instant it
+    *     invalidates the index (the staleness contract CrossProcessSpec
+    *     proves). Oversized indexes refuse to mirror and fall back.
+    * rockset/sqlite have no analog on purpose (SURVEY §7.5): a Spark
+    * deployment has no long-lived daemon to host a cloud-rocksdb or
+    * sqlite instance; shared state belongs in storage. */
+  val SchemeGpx = "gpx"
+  val SchemeMemory = "memory"
+
+  /** resolve the serving scheme: Hadoop conf `graft.index.scheme`, then
+    * the active session's `spark.graft.index.scheme`, default `gpx` */
+  def scheme(conf: Configuration): String = {
+    val raw = Option(conf.get("graft.index.scheme"))
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(_.conf.getOption("spark.graft.index.scheme")))
+      .getOrElse(SchemeGpx).toLowerCase(java.util.Locale.ROOT)
+    raw match {
+      case SchemeGpx | SchemeMemory => raw
+      case other => throw new IllegalArgumentException(
+        s"unknown point-index scheme '$other' (expected gpx|memory)")
+    }
+  }
+
+  /** The `memory` scheme: per-index-dir mirrors of the (key, file, rg)
+    * entries, keyed by the manifest fingerprint they were loaded under.
+    * Load reads the full index table driver-direct (every bucket file,
+    * footer-cached); serving is then a pure hash-map probe. Memory is
+    * bounded twice: per-mirror by `graft.index.memory.maxEntries`
+    * (default 4M entries ≈ tens of MB; larger indexes refuse and the gpx
+    * backend serves), and process-wide by [[MaxMirrors]] (oldest evicted).
+    * A refused (dir, fp) is remembered so every lookup doesn't re-walk
+    * the index footers just to re-refuse. */
+  object MemoryMirror {
+    val DefaultMaxEntries: Long = 4L << 20
+    val MaxMirrors = 8
+    private val MaxRefusals = 1024
+
+    final case class Mirror(fp: String, files: Array[String],
+        map: java.util.HashMap[Long, Array[Long]], loadedAt: Long)
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Mirror]()
+    private val refused =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val hits = new java.util.concurrent.atomic.AtomicLong
+    val loads = new java.util.concurrent.atomic.AtomicLong
+    val refusals = new java.util.concurrent.atomic.AtomicLong
+
+    def mirrorCount: Int = cache.size
+    def entryCount: Long = {
+      var n = 0L
+      cache.forEach((_, m) => n += m.map.size.toLong)
+      n
+    }
+    def invalidate(idxDir: String): Unit = {
+      cache.remove(idxDir)
+      refused.removeIf(_.startsWith(idxDir + "|"))
+    }
+    /** test hook: drop all mirrors and counters */
+    def reset(): Unit = {
+      cache.clear(); refused.clear()
+      hits.set(0); loads.set(0); refusals.set(0)
+    }
+
+    private def maxEntries(conf: Configuration): Long = {
+      val c = conf.get("graft.index.memory.maxEntries")
+      if (c != null) c.toLong
+      else org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(_.conf.getOption("spark.graft.index.memory.maxEntries"))
+        .map(_.toLong).getOrElse(DefaultMaxEntries)
+    }
+
+    /** serve `keys` from the mirror loaded under manifest fingerprint
+      * `fp` (the caller validated the index against the TABLE a moment
+      * ago), loading it on first use. None = this scheme refuses (too
+      * big, empty dir, or a load raced a rebuild) — caller serves via
+      * the gpx backend, never fails. */
+    def serve(idxDir: String, fp: String, keys: Set[Long],
+        conf: Configuration): Option[Map[String, Set[Int]]] = {
+      val cur = cache.get(idxDir)
+      val mirror =
+        if (cur != null && cur.fp == fp) { hits.incrementAndGet(); cur }
+        else if (refused.contains(s"$idxDir|$fp")) {
+          refusals.incrementAndGet(); return None
+        } else load(idxDir, fp, conf) match {
+          case Some(l) =>
+            cache.put(idxDir, l)
+            evictOver()
+            l
+          case None =>
+            if (refused.size >= MaxRefusals) refused.clear()
+            refused.add(s"$idxDir|$fp")
+            refusals.incrementAndGet()
+            return None
+        }
+      val out = mutable.Map.empty[String, mutable.Set[Int]]
+      keys.foreach { k =>
+        val packed = mirror.map.get(k)
+        if (packed != null) packed.foreach { p =>
+          out.getOrElseUpdate(mirror.files((p >>> 32).toInt),
+            mutable.Set.empty) += (p & 0xffffffffL).toInt
+        }
+      }
+      Some(out.view.mapValues(_.toSet).toMap)
+    }
+
+    /** full driver-direct read of the index table into a hash map. The
+      * mirror is tagged with the fingerprint read BEFORE the file walk:
+      * a refresh racing this load can only make the tag STALER than the
+      * loaded bytes (superset entries under an old tag — next serve
+      * sees the moved fp and reloads), never fresher than them. Any
+      * read error (rebuild deleted a bucket mid-walk) refuses cleanly. */
+    private def load(idxDir: String, fp: String,
+        conf: Configuration): Option[Mirror] = try {
+      val files = GpxTable.listFiles(Seq(idxDir), conf)
+      if (files.isEmpty) return None
+      val cap = maxEntries(conf)
+      var total = 0L
+      val footers = files.map { f =>
+        val ft = GpxFileReader.FooterCache.get(f, conf)
+        total += ft.rowGroups.map(_.numRows.toLong).sum
+        f -> ft
+      }
+      if (total > cap) return None
+      val fileIds = mutable.HashMap.empty[String, Int]
+      val fileArr = mutable.ArrayBuffer.empty[String]
+      val acc = new java.util.HashMap[Long, mutable.ArrayBuffer[Long]]()
+      footers.foreach { case (f, footer) =>
+        val schema = footer.schema // (key, file, rg)
+        footer.rowGroups.foreach { rg =>
+          val cols = schema.fields.indices.toArray.map { ci =>
+            val ch = rg.chunks(ci)
+            ch.pixels.indices.map(p => PixelSlice(
+              ch.offset + ch.pixels(p).relOffset, ch.pixelLength(p),
+              ch.pixels(p).rows)).toArray
+          }
+          val batch = GpxFileReader.readSlices(
+            f, conf, schema, cols, rg.numRows, -1L)
+          val it = batch.rowIterator()
+          while (it.hasNext) {
+            val row = it.next()
+            val k = row.getLong(0)
+            val rel = row.getUTF8String(1).toString
+            val rgIdx = row.getInt(2)
+            val fi = fileIds.getOrElseUpdate(rel,
+              { fileArr += rel; fileArr.length - 1 })
+            var buf = acc.get(k)
+            if (buf == null) {
+              buf = mutable.ArrayBuffer.empty[Long]; acc.put(k, buf)
+            }
+            buf += ((fi.toLong << 32) | (rgIdx.toLong & 0xffffffffL))
+          }
+          batch.close()
+        }
+      }
+      val map = new java.util.HashMap[Long, Array[Long]](
+        math.max(16, acc.size * 2))
+      acc.forEach((k, v) => map.put(k, v.toArray))
+      loads.incrementAndGet()
+      Some(Mirror(fp, fileArr.toArray, map, System.nanoTime()))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    private def evictOver(): Unit =
+      while (cache.size > MaxMirrors) {
+        var oldest: String = null
+        var at = Long.MaxValue
+        cache.forEach((d, m) => if (m.loadedAt < at) { at = m.loadedAt; oldest = d })
+        if (oldest == null) return
+        cache.remove(oldest)
+      }
+  }
+
   // ---------------- serve (driver-direct, no Spark job) ----------------
 
   /** (file -> row-group ids) that may contain any of `keys`, or None when
     * the index is missing/stale/oversized-request (caller falls back to
-    * zone-map planning). Touches only the index bucket files the keys hash
-    * to; entry reads are themselves zone-map pruned. */
+    * zone-map planning). Served by the configured [[scheme]]: `memory`
+    * probes the process-local mirror (zero file I/O once loaded); `gpx`
+    * (and any memory refusal) touches only the index bucket files the
+    * keys hash to, with entry reads themselves zone-map pruned. */
   def entriesFor(table: String, column: String, keys: Set[Long],
       conf: Configuration): Option[Map[String, Set[Int]]] = {
     if (keys.isEmpty || keys.size > MaxKeys) return None
     if (!valid(table, column, conf)) return None
     val idx = indexDir(table, column)
+    if (scheme(conf) == SchemeMemory) {
+      // fingerprint as of now (the table validity held a moment ago): a
+      // commit in the gap moves the manifest and the mirror refuses or
+      // reloads — it can never serve entries for a fp it wasn't built on
+      readManifest(table, column, conf).foreach { m =>
+        MemoryMirror.serve(idx, m.fp, keys, conf) match {
+          case Some(res) => return Some(res)
+          case None => () // refused — persistent gpx backend serves below
+        }
+      }
+    }
     val spec = GpxTable.readBucketSpec(idx, conf).getOrElse(return None)
     val eligible = keys.map(GpxTable.bucketOf(_, spec.numBuckets))
     val out = mutable.Map.empty[String, mutable.Set[Int]]

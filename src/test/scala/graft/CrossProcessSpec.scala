@@ -112,7 +112,25 @@ class CrossProcessSpec extends GraftSpec {
   }
 
   test("point lookups stay exact while other processes append and compact (stale index falls back)") {
-    val dir = tempDir("xproc_ptidx")
+    pointLookupFuzz("xproc_ptidx", memoryScheme = false)
+  }
+
+  test("memory-scheme point lookups stay exact under cross-process mutation (mirror never serves stale)") {
+    // same contract, served through the process-local mirror: the mirror
+    // may only answer while its load fingerprint matches the table's
+    // manifest, so every cross-process commit must flip it to fallback
+    // (or to a reload over the rebuilt index) — never a stale hash-map
+    // hit. Mid-race rebuilds force reloads WHILE mutators run, covering
+    // the load-vs-rebuild races (fp tagged before the file walk, read
+    // errors refuse cleanly).
+    graft.format.GpxPointIndex.MemoryMirror.reset()
+    spark.conf.set("spark.graft.index.scheme", "memory")
+    try pointLookupFuzz("xproc_ptidx_mem", memoryScheme = true)
+    finally spark.conf.unset("spark.graft.index.scheme")
+  }
+
+  private def pointLookupFuzz(tag: String, memoryScheme: Boolean): Unit = {
+    val dir = tempDir(tag)
     val sp2 = spark
     import sp2.implicits._
     (0L until 500L).map(i => Tuple1(i)).toDF("amount")
@@ -139,6 +157,14 @@ class CrossProcessSpec extends GraftSpec {
     while ((writer.process.isAlive || found.size < newKeys.size) &&
         rounds < 500) {
       rounds += 1
+      if (memoryScheme && rounds % 25 == 0) {
+        // rebuild WHILE mutators run: the next lookup must reload the
+        // mirror (or refuse if the rebuild raced a commit) — a racing
+        // file retirement may fail the build itself, which is fine; it
+        // must only never publish a manifest that validates stale
+        try graft.format.GpxPointIndex.build(spark, dir, "amount")
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       newKeys.filterNot(found.contains).foreach { k =>
         val rows = graft.format.GpxPointIndex.lookup(spark, dir, "amount",
           Set(k), Seq("amount")).collect()
@@ -165,6 +191,11 @@ class CrossProcessSpec extends GraftSpec {
     newKeys.foreach { k =>
       assert(graft.format.GpxPointIndex.lookup(spark, dir, "amount",
         Set(k), Seq("amount")).count() == 1)
+    }
+    if (memoryScheme) {
+      // the settled-table lookups above went through the mirror
+      assert(graft.format.GpxPointIndex.MemoryMirror.loads.get >= 1,
+        "memory scheme was never actually exercised")
     }
   }
 

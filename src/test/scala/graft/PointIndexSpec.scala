@@ -364,4 +364,100 @@ class PointIndexSpec extends GraftSpec {
     assert(rows.head.getAs[java.time.LocalDateTime]("t") ==
       java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 42))
   }
+
+  test("memory scheme: identical results, zero data I/O warm, commit-invalidated") {
+    val d = Files.createTempDirectory("gpx_idx_mem").toString
+    Tables.orders(sp, sf).repartition(4)
+      .write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "256").save(d)
+    GpxPointIndex.build(sp, d, "o_orderkey", numBuckets = 4)
+    val keys = Tables.orders(sp, sf).limit(3).collect()
+      .map(_.getLong(0)).toSet
+    val viaGpx = GpxPointIndex.entriesFor(d, "o_orderkey", keys, conf)
+    assert(viaGpx.isDefined && viaGpx.get.nonEmpty)
+    GpxPointIndex.MemoryMirror.reset()
+    sp.conf.set("spark.graft.index.scheme", "memory")
+    try {
+      // first probe loads the mirror; entries identical to the gpx backend
+      val viaMem = GpxPointIndex.entriesFor(d, "o_orderkey", keys, conf)
+      assert(viaMem == viaGpx, "memory scheme must serve identical entries")
+      assert(GpxPointIndex.MemoryMirror.loads.get == 1)
+      // warm probe: pure hash-map hit — no data bytes leave the filesystem
+      val before = GpxFileReader.dataBytesRead.get()
+      val warm = GpxPointIndex.entriesFor(d, "o_orderkey", keys, conf)
+      assert(warm == viaGpx)
+      assert(GpxFileReader.dataBytesRead.get() == before,
+        "mirror-served probe must read zero data bytes")
+      assert(GpxPointIndex.MemoryMirror.hits.get >= 1)
+      // full lookup result matches a scan
+      val viaLookup = GpxPointIndex.lookup(sp, d, "o_orderkey", keys,
+        Seq("o_orderkey", "o_totalprice"))
+        .collect().map(_.toSeq).sortBy(_.head.toString).toSeq
+      val viaScan = sp.read.format("gpx").load(d)
+        .filter(col("o_orderkey").isin(keys.toSeq: _*))
+        .select("o_orderkey", "o_totalprice")
+        .collect().map(_.toSeq).sortBy(_.head.toString).toSeq
+      assert(viaLookup == viaScan)
+      // a table commit invalidates: the stale mirror must NOT serve
+      Tables.orders(sp, sf).limit(5).coalesce(1)
+        .write.format("gpx").mode("append").save(d)
+      assert(GpxPointIndex.entriesFor(d, "o_orderkey", keys, conf).isEmpty,
+        "stale index must refuse under the memory scheme too")
+      // rebuild -> mirror reloads under the new fingerprint and serves
+      GpxPointIndex.build(sp, d, "o_orderkey", numBuckets = 4)
+      val after = GpxPointIndex.entriesFor(d, "o_orderkey", keys, conf)
+      assert(after.isDefined && after.get.nonEmpty)
+      assert(GpxPointIndex.MemoryMirror.loads.get == 2,
+        "rebuild must force a mirror reload, not serve the stale map")
+    } finally sp.conf.unset("spark.graft.index.scheme")
+  }
+
+  test("memory scheme: over-cap indexes refuse once and fall back to gpx") {
+    val d = Files.createTempDirectory("gpx_idx_mem_cap").toString
+    Tables.orders(sp, sf).repartition(2)
+      .write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "512").save(d)
+    GpxPointIndex.build(sp, d, "o_orderkey", numBuckets = 2)
+    val keys = Tables.orders(sp, sf).limit(2).collect()
+      .map(_.getLong(0)).toSet
+    GpxPointIndex.MemoryMirror.reset()
+    sp.conf.set("spark.graft.index.scheme", "memory")
+    sp.conf.set("spark.graft.index.memory.maxEntries", "1")
+    try {
+      val got = GpxPointIndex.entriesFor(d, "o_orderkey", keys, conf)
+      assert(got.isDefined && got.get.nonEmpty,
+        "refused mirror must fall back to the gpx backend, not fail")
+      assert(GpxPointIndex.MemoryMirror.loads.get == 0)
+      assert(GpxPointIndex.MemoryMirror.refusals.get >= 1)
+      // the refusal is remembered: a second probe doesn't re-walk footers
+      val r1 = GpxPointIndex.MemoryMirror.refusals.get
+      GpxPointIndex.entriesFor(d, "o_orderkey", keys, conf)
+      assert(GpxPointIndex.MemoryMirror.refusals.get > r1)
+    } finally {
+      sp.conf.unset("spark.graft.index.scheme")
+      sp.conf.unset("spark.graft.index.memory.maxEntries")
+    }
+  }
+
+  test("memory scheme serves scan planning; unknown schemes are rejected") {
+    val d = Files.createTempDirectory("gpx_idx_mem_plan").toString
+    Tables.orders(sp, sf).repartition(4)
+      .write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "256").save(d)
+    GpxPointIndex.build(sp, d, "o_orderkey", numBuckets = 4)
+    val key = Tables.orders(sp, sf).select("o_orderkey").head().getLong(0)
+    GpxPointIndex.MemoryMirror.reset()
+    sp.conf.set("spark.graft.index.scheme", "memory")
+    try {
+      val df = sp.read.format("gpx").load(d)
+        .filter(col("o_orderkey") === key)
+      assert(df.count() == 1)
+      assert(GpxPointIndex.MemoryMirror.loads.get +
+        GpxPointIndex.MemoryMirror.hits.get >= 1,
+        "planning must have consulted the mirror")
+    } finally sp.conf.unset("spark.graft.index.scheme")
+    val bad = new Configuration()
+    bad.set("graft.index.scheme", "rocksdb")
+    intercept[IllegalArgumentException](GpxPointIndex.scheme(bad))
+  }
 }
