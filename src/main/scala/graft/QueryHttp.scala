@@ -14,8 +14,12 @@ import java.nio.charset.StandardCharsets
   * Spark deployments will front with their own gateway anyway.
   *
   * Routes (token is the Manager's trace token):
-  *   POST /query?hint=immediate|relaxed|besteffort   body = SQL text
+  *   POST /query?hint=immediate|relaxed|besteffort[&paged=true]
+  *     body = SQL text
   *     -> 200 {"token":"..."} | 429 queue full | 503 closed
+  *     paged=true routes the result through the Manager's spill file
+  *     (driver memory stays bounded however big the result): fetch with
+  *     page=N below, free early with /query/release.
   *   GET  /query/status?token=T
   *     -> 200 {"token":T,"status":"pending|running|finished|cancelled"}
   *        or {"status":"failed","reason":"..."} | 404 unknown/expired
@@ -23,6 +27,13 @@ import java.nio.charset.StandardCharsets
   *     -> 200 {"token":T,"columns":[...],"rows":[[...],...],
   *             "pendingMs":n,"execMs":n} | 404 not finished / popped
   *        | 413 result exceeded the Manager's maxResultRows budget
+  *        | 400 the result is PAGED (body carries "pages" — use page=N)
+  *   GET  /query/result?token=T&page=N   (paged results; re-readable)
+  *     -> 200 {"token":T,"page":N,"pages":P,"rowCount":n,
+  *             "columns":[...],"rows":[[...],...],"pendingMs":n,"execMs":n}
+  *        | 404 unknown/unfinished/released token or page out of range
+  *   POST /query/release?token=T   (free a paged result's spill early)
+  *     -> 200 {"released":true|false}
   *   POST /query/cancel?token=T
   *     -> 200 {"cancelled":true|false}
   *
@@ -66,6 +77,7 @@ final class QueryHttp(mgr: QueryService.Manager, port: Int = 0,
         case ("POST", "/query") => submit(x)
         case ("GET", "/query/status") => status(x)
         case ("GET", "/query/result") => result(x)
+        case ("POST", "/query/release") => release(x)
         case ("POST", "/query/cancel") => cancel(x)
         case _ => send(x, 404, """{"error":"not found"}""")
       }
@@ -89,7 +101,8 @@ final class QueryHttp(mgr: QueryService.Manager, port: Int = 0,
         send(x, 400, s"""{"error":${jstr(s"unknown hint: $other")}}""")
         return
     }
-    try send(x, 200, s"""{"token":${jstr(mgr.submit(sql, hint))}}""")
+    val paged = param(x, "paged").contains("true")
+    try send(x, 200, s"""{"token":${jstr(mgr.submit(sql, hint, paged))}}""")
     catch {
       case e: IllegalStateException if e.getMessage != null &&
           e.getMessage.contains("queue full") =>
@@ -113,9 +126,32 @@ final class QueryHttp(mgr: QueryService.Manager, port: Int = 0,
     }
 
   private def result(x: HttpExchange): Unit =
-    param(x, "token") match {
-      case None => send(x, 404, """{"error":"no poppable result"}""")
-      case Some(t) => mgr.popResult(t) match {
+    (param(x, "token"), param(x, "page")) match {
+      case (None, _) => send(x, 404, """{"error":"no poppable result"}""")
+      case (Some(t), Some(pStr)) =>
+        pStr.toIntOption match {
+          case None =>
+            send(x, 400, """{"error":"page must be an integer"}""")
+          case Some(p) => mgr.resultPage(t, p) match {
+            case Some(pg) =>
+              val cols = pg.columns.map(jstr).mkString("[", ",", "]")
+              val rows = pg.rows.map(row =>
+                (0 until row.length).map(i => jval(row.get(i)))
+                  .mkString("[", ",", "]")).mkString("[", ",", "]")
+              send(x, 200,
+                s"""{"token":${jstr(pg.token)},"page":${pg.page},""" +
+                s""""pages":${pg.pages},"rowCount":${pg.rowCount},""" +
+                s""""columns":$cols,"rows":$rows,""" +
+                s""""pendingMs":${pg.pendingMs},"execMs":${pg.execMs}}""")
+            case None => mgr.pageCount(t) match {
+              case Some(n) => send(x, 404,
+                s"""{"error":"page out of range","pages":$n}""")
+              case None =>
+                send(x, 404, """{"error":"no paged result for token"}""")
+            }
+          }
+        }
+      case (Some(t), None) => mgr.popResult(t) match {
         case Some(r) =>
           val cols = r.columns.map(jstr).mkString("[", ",", "]")
           val rows = r.rows.map(row =>
@@ -123,18 +159,30 @@ final class QueryHttp(mgr: QueryService.Manager, port: Int = 0,
               .mkString("[", ",", "]")).mkString("[", ",", "]")
           send(x, 200, s"""{"token":${jstr(r.token)},"columns":$cols,""" +
             s""""rows":$rows,"pendingMs":${r.pendingMs},"execMs":${r.execMs}}""")
-        case None => mgr.status(t) match {
-          // the one failure a RESULT request should explain with its own
-          // HTTP class: the query ran fine but its result blew the
-          // manager's driver-buffer budget — 413 tells the client to
-          // page (LIMIT/OFFSET) or write to a sink, where a generic 404
-          // would read as "expired/popped"
-          case Some(QueryService.Failed(reason))
-              if reason.startsWith("ResultTooLargeException") =>
-            send(x, 413, s"""{"error":${jstr(reason)}}""")
-          case _ => send(x, 404, """{"error":"no poppable result"}""")
+        case None => mgr.pageCount(t) match {
+          // paged result addressed without page=N: tell the client how
+          // to fetch it instead of a misleading "expired/popped" 404
+          case Some(n) => send(x, 400,
+            s"""{"error":"result is paged: pass page=N","pages":$n}""")
+          case None => mgr.status(t) match {
+            // the one failure a RESULT request should explain with its
+            // own HTTP class: the query ran fine but its result blew the
+            // manager's driver-buffer budget — 413 tells the client to
+            // page (paged=true, LIMIT/OFFSET) or write to a sink, where
+            // a generic 404 would read as "expired/popped"
+            case Some(QueryService.Failed(reason))
+                if reason.startsWith("ResultTooLargeException") =>
+              send(x, 413, s"""{"error":${jstr(reason)}}""")
+            case _ => send(x, 404, """{"error":"no poppable result"}""")
+          }
         }
       }
+    }
+
+  private def release(x: HttpExchange): Unit =
+    param(x, "token") match {
+      case None => send(x, 400, """{"error":"token required"}""")
+      case Some(t) => send(x, 200, s"""{"released":${mgr.releaseResult(t)}}""")
     }
 
   private def cancel(x: HttpExchange): Unit =

@@ -54,11 +54,26 @@ object QueryService {
   final case class QueryResult(token: String, rows: Array[Row],
       columns: Array[String], pendingMs: Long, execMs: Long)
 
+  /** a paged result's spill descriptor: block `i` of the serialized rows
+    * occupies file bytes [offsets(i), offsets(i+1)) */
+  final case class Spill(file: java.io.File, offsets: Array[Long],
+      columns: Array[String], rowCount: Long, pendingMs: Long,
+      execMs: Long) {
+    def pages: Int = offsets.length - 1
+  }
+
+  /** one page of a paged result (re-readable until released/expired) */
+  final case class Page(token: String, page: Int, pages: Int,
+      rows: Array[Row], columns: Array[String], rowCount: Long,
+      pendingMs: Long, execMs: Long)
+
   private final class Entry(
       val token: String, val sql: String, val hint: ExecutionHint,
-      val receivedMs: Long) {
+      val receivedMs: Long, val paged: Boolean) {
     @volatile var status: Status = Pending
     @volatile var result: QueryResult = null
+    /** paged results live here instead of `result` (disk, not heap) */
+    @volatile var spill: Spill = null
     /** terminal timestamp (Finished/Failed/Cancelled) — result TTL and
       * entry eviction are measured from completion, never submission: a
       * query that queued or ran long must still be poppable for the full
@@ -82,9 +97,12 @@ object QueryService {
   final class Manager(spark: SparkSession, slots: Int = 4,
       queueCap: Int = 64, maxPostponeMs: Long = 60000L,
       resultTtlMs: Long = 10 * 60 * 1000L,
-      maxResultRows: Int = 1 << 20) extends AutoCloseable {
+      maxResultRows: Int = 1 << 20,
+      pageRows: Int = 10000,
+      maxSpillBytes: Long = 1L << 30) extends AutoCloseable {
 
-    require(slots >= 1 && queueCap >= 1 && maxResultRows >= 1)
+    require(slots >= 1 && queueCap >= 1 && maxResultRows >= 1 &&
+      pageRows >= 1 && maxSpillBytes >= 1)
     private val seq = new AtomicLong(0)
     private val queries = new ConcurrentHashMap[String, Entry]()
     private val pendingRelaxed = new ConcurrentLinkedQueue[Entry]()
@@ -124,11 +142,24 @@ object QueryService {
     private val closeLock = new Object
 
     /** Submit a query under an SLA hint; returns the trace token.
-      * Throws IllegalStateException when the pending queues are full. */
-    def submit(sql: String, hint: ExecutionHint): String = closeLock.synchronized {
+      * Throws IllegalStateException when the pending queues are full.
+      *
+      * `paged = true` opts into the SPILL-BACKED result path for large
+      * results: the worker streams the rows through `toLocalIterator`
+      * into a local spill file (driver memory bounded by one partition +
+      * one page), and the result is then served page by page via
+      * [[resultPage]] — re-readable until [[releaseResult]] or the TTL,
+      * bounded by `maxSpillBytes` on disk instead of `maxResultRows` on
+      * heap. [[popResult]] returns None for paged queries. This is the
+      * page-or-sink side of the admission contract the in-heap path
+      * rejects oversize results toward (the reference buffers results
+      * driver-side unconditionally, QueryManager.java:120-144 — at scale
+      * that is the availability hazard the budget + spill split avoids). */
+    def submit(sql: String, hint: ExecutionHint,
+        paged: Boolean = false): String = closeLock.synchronized {
       require(running, "query service is closed")
       val token = s"q${seq.incrementAndGet()}-${Integer.toHexString(sql.hashCode)}"
-      val e = new Entry(token, sql, hint, System.currentTimeMillis())
+      val e = new Entry(token, sql, hint, System.currentTimeMillis(), paged)
       queries.put(token, e)
       hint match {
         case Immediate =>
@@ -175,6 +206,48 @@ object QueryService {
         e.synchronized {
           val r = e.result
           if (r != null) { e.result = null; Some(r) } else None
+        }
+      }
+
+    /** page count of a finished PAGED result; None = unknown token, not
+      * finished, not paged, or already released */
+    def pageCount(token: String): Option[Int] =
+      Option(queries.get(token)).flatMap(e => Option(e.spill)).map(_.pages)
+
+    /** Read one page of a paged result (NOT pop-once: pages stay
+      * re-readable until [[releaseResult]] or the result TTL, so a
+      * client can retry a lost page). None = unknown/unfinished/
+      * released token or out-of-range page. */
+    def resultPage(token: String, page: Int): Option[Page] =
+      Option(queries.get(token)).flatMap { e =>
+        e.synchronized {
+          val s = e.spill
+          if (s == null || page < 0 || page >= s.pages) None
+          else {
+            val raf = new java.io.RandomAccessFile(s.file, "r")
+            try {
+              raf.seek(s.offsets(page))
+              val len = (s.offsets(page + 1) - s.offsets(page)).toInt
+              val bytes = new Array[Byte](len)
+              raf.readFully(bytes)
+              val rows = new java.io.ObjectInputStream(
+                new java.io.ByteArrayInputStream(bytes)).readObject()
+                .asInstanceOf[Array[Row]]
+              Some(Page(token, page, s.pages, rows, s.columns,
+                s.rowCount, s.pendingMs, s.execMs))
+            } finally raf.close()
+          }
+        }
+      }
+
+    /** free a paged result's spill file early (the paged analog of the
+      * pop); idempotent — returns false once released */
+    def releaseResult(token: String): Boolean =
+      Option(queries.get(token)).exists { e =>
+        e.synchronized {
+          val s = e.spill
+          if (s == null) false
+          else { e.spill = null; s.file.delete(); true }
         }
       }
 
@@ -239,7 +312,12 @@ object QueryService {
       queries.forEach { (token, e) =>
         if (e.finishedMs > 0 && e.finishedMs < cutoff &&
             e.done.getCount == 0) {
-          e.synchronized { e.result = null }
+          e.synchronized {
+            e.result = null
+            // paged results hold a spill FILE — TTL expiry must free the
+            // disk too, or abandoned paged clients leak the tmpdir
+            if (e.spill != null) { e.spill.file.delete(); e.spill = null }
+          }
           queries.remove(token)
         }
       }
@@ -262,6 +340,25 @@ object QueryService {
               s"graft query ${e.token} (${e.hint.pool})", interruptOnCancel = true)
             if (e.cancelRequested) throw new InterruptedException("cancelled")
             val df: DataFrame = spark.sql(e.sql)
+            if (e.paged) {
+              // spill path: toLocalIterator pulls partitions one at a
+              // time (driver holds one partition + one page buffer, not
+              // the result), each page serialized as one independent
+              // block so serving reads exactly one block per request
+              val spill = spillWrite(e, df)
+              val finished = System.currentTimeMillis()
+              var keep = false
+              e.synchronized {
+                keep = !e.cancelRequested && running
+                if (keep) {
+                  e.spill = spill.copy(
+                    pendingMs = started - e.receivedMs,
+                    execMs = finished - started)
+                  e.status = Finished
+                } else e.status = Cancelled
+              }
+              if (!keep) spill.file.delete()
+            } else {
             // result-size admission control: the pop-once contract
             // buffers the full result on the driver, so an unbounded
             // collect is the service's availability hazard — one
@@ -297,6 +394,7 @@ object QueryService {
                 e.status = Finished
               }
             }
+            }
           } catch {
             case t: Throwable => e.synchronized {
               val cancelled = e.cancelRequested || e.status == Cancelled ||
@@ -331,6 +429,54 @@ object QueryService {
       ()
     }
 
+    /** stream the result into a spill file of independently-readable
+      * serialized row blocks (one per page). Bounded on disk by
+      * `maxSpillBytes` (overflow rejects with ResultTooLargeException,
+      * same contract/transport mapping as the heap budget); the spill
+      * file is deleted on ANY failure and deleteOnExit-backstopped. */
+    private def spillWrite(e: Entry, df: DataFrame): Spill = {
+      val file = java.io.File.createTempFile("graft_qspill_", ".bin")
+      file.deleteOnExit()
+      val out = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(file))
+      try {
+        val offsets = scala.collection.mutable.ArrayBuffer(0L)
+        var written = 0L
+        var rowCount = 0L
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        def flush(): Unit = if (buf.nonEmpty) {
+          val bos = new java.io.ByteArrayOutputStream()
+          val oos = new java.io.ObjectOutputStream(bos)
+          oos.writeObject(buf.toArray)
+          oos.close()
+          val bytes = bos.toByteArray
+          out.write(bytes)
+          written += bytes.length
+          if (written > maxSpillBytes)
+            throw new ResultTooLargeException(
+              s"paged result spill exceeds maxSpillBytes=$maxSpillBytes " +
+                "— rejected; add a LIMIT or write to a sink")
+          offsets += written
+          buf.clear()
+        }
+        val it = df.toLocalIterator()
+        while (it.hasNext) {
+          if (e.cancelRequested) throw new InterruptedException("cancelled")
+          buf += it.next()
+          rowCount += 1
+          if (buf.length >= pageRows) flush()
+        }
+        flush()
+        out.close()
+        Spill(file, offsets.toArray, df.columns, rowCount, 0L, 0L)
+      } catch {
+        case t: Throwable =>
+          try out.close() catch { case _: Throwable => () }
+          file.delete()
+          throw t
+      }
+    }
+
     private def causeChain(t: Throwable): Seq[Throwable] = {
       val b = Seq.newBuilder[Throwable]
       var cur = t; var depth = 0
@@ -355,6 +501,10 @@ object QueryService {
               e.finishedMs = System.currentTimeMillis()
               e.done.countDown()
             }
+            // the TTL sweep dies with the scheduler: free paged spills
+            // now (a worker publishing after this sweep deletes its own
+            // file via the !running check; deleteOnExit backstops)
+            if (e.spill != null) { e.spill.file.delete(); e.spill = null }
           }
         }
         pendingRelaxed.clear()

@@ -101,6 +101,27 @@ object CrossProcessMain {
           Thread.sleep(30)
         }
 
+      // import <dir> <writerId> <n>: n IMPORTs, each registering a
+      // one-row gpx file staged OUTSIDE the table (a private tmp dir)
+      // through GpxMaintenance.importFiles — copy + one manifest Append
+      // racing sibling appends/compactions/vacuums. The copies carry
+      // visible imp_*.gpx names, so the window between copy and commit
+      // is exactly where a sweep or a Replace could lose or duplicate
+      // the registration.
+      case "import" =>
+        val dir = args(1); val id = args(2).toInt; val n = args(3).toInt
+        val tmp = java.nio.file.Files
+          .createTempDirectory("xproc_impsrc").toString
+        (0 until n).foreach { i =>
+          val amount = id * 100000L + i
+          val src = writeAmountFile(tmp, amount, conf)
+          val (files, rows) =
+            graft.format.GpxMaintenance.importFiles(dir, Seq(src), conf)
+          require(files == 1 && rows == 1L, s"import returned ($files, $rows)")
+          System.err.println(s"[import] committed amount=$amount " +
+            s"t=${System.currentTimeMillis()}")
+        }
+
       // vacuum <dir> <iters> <minAgeMs>: repeated vacuums racing the
       // other children. minAgeMs is the STAGING GRACE window — a vacuum
       // with minAgeMs below the writers' stage-to-commit latency deletes

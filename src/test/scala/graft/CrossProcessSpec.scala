@@ -199,6 +199,39 @@ class CrossProcessSpec extends GraftSpec {
     }
   }
 
+  test("IMPORT races appends, compaction, and vacuum across processes: every registration lands exactly once") {
+    val dir = tempDir("xproc_import")
+    spark.sql("SELECT CAST(-1 AS BIGINT) AS amount")
+      .coalesce(1).write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    assert(GpxCommitLog.isLogTable(dir, conf))
+    // two importers adopt externally-staged files while an appender, an
+    // in-place compactor, and a vacuum churn the same manifest chain:
+    // IMPORT's copy-then-Append must neither lose a registration (sweep
+    // or Replace eating the copy) nor double one (a retried commit
+    // re-adopting)
+    val importers = (0 until 2).map { k =>
+      ForkedJvm.start("graft.CrossProcessMain",
+        Seq("import", dir, (3 + k).toString, "10"))
+    }
+    val appender = ForkedJvm.start("graft.CrossProcessMain",
+      Seq("append", dir, "7", "10"))
+    val compactor = ForkedJvm.start("graft.CrossProcessMain",
+      Seq("compact", dir, "6"))
+    val sweeper = ForkedJvm.start("graft.CrossProcessMain",
+      Seq("vacuum", dir, "40", "3000"))
+    importers.foreach(_.awaitOk())
+    appender.awaitOk(); compactor.awaitOk(); sweeper.awaitOk()
+    val want = (-1L +: (for {
+      id <- Seq(3, 4, 7); i <- 0 until 10
+    } yield id * 100000L + i)).sorted
+    val got = spark.read.format("gpx").load(dir)
+      .select("amount").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want,
+      s"IMPORT fuzz mismatch: missing=${want.toSet -- got.toSet} " +
+        s"extra=${got.toSet -- want.toSet}")
+  }
+
   test("merge-on-read deletes racing in-place compaction across processes never resurrect rows") {
     val dir = tempDir("xproc_mordel")
     spark.range(0, 1000).selectExpr("id", "id * 3 AS v").repartition(8)

@@ -134,4 +134,51 @@ class QueryHttpSpec extends GraftSpec {
       m.await(hog)
     } finally { http.close(); m.close() }
   }
+
+  test("paged results over http: page fetch, bounds, hint-to-page, release") {
+    val m = new QueryService.Manager(spark, slots = 2, pageRows = 7)
+    val http = new QueryHttp(m)
+    try {
+      val base = s"http://127.0.0.1:${http.boundPort}"
+      val sub = post(s"$base/query?hint=immediate&paged=true",
+        "SELECT id FROM range(20) ORDER BY id")
+      assert(sub.statusCode() == 200, sub.body())
+      val token = field(sub.body(), "token").get
+      assert(m.await(token).contains(QueryService.Finished))
+
+      // page 0: rows + paging metadata
+      val p0 = get(s"$base/query/result?token=$token&page=0")
+      assert(p0.statusCode() == 200, p0.body())
+      assert(p0.body().contains(""""page":0"""), p0.body())
+      assert(p0.body().contains(""""pages":3"""), p0.body())
+      assert(p0.body().contains(""""rowCount":20"""), p0.body())
+      assert(p0.body().contains(""""rows":[[0],[1],[2],[3],[4],[5],[6]]"""),
+        p0.body())
+      // last page is short; pages are RE-readable (retry-safe)
+      val p2 = get(s"$base/query/result?token=$token&page=2")
+      assert(p2.body().contains(""""rows":[[14],[15],[16],[17],[18],[19]]"""),
+        p2.body())
+      assert(get(s"$base/query/result?token=$token&page=2").statusCode() == 200)
+      // bounds and bad input
+      val oob = get(s"$base/query/result?token=$token&page=3")
+      assert(oob.statusCode() == 404 && oob.body().contains(""""pages":3"""),
+        s"${oob.statusCode()} ${oob.body()}")
+      assert(get(s"$base/query/result?token=$token&page=x").statusCode() == 400)
+      // a paged result fetched without page=N is told how to page
+      val noPage = get(s"$base/query/result?token=$token")
+      assert(noPage.statusCode() == 400 &&
+        noPage.body().contains(""""pages":3"""), noPage.body())
+      // release frees the spill; later pages 404, release is idempotent
+      val rel = post(s"$base/query/release?token=$token")
+      assert(rel.statusCode() == 200 && rel.body().contains("true"))
+      assert(get(s"$base/query/result?token=$token&page=0").statusCode() == 404)
+      assert(post(s"$base/query/release?token=$token").body().contains("false"))
+      // page=N against a NON-paged result: 404 with the no-paged error
+      val plain = field(post(s"$base/query?hint=immediate",
+        "SELECT 1 AS v").body(), "token").get
+      m.await(plain)
+      assert(get(s"$base/query/result?token=$plain&page=0").statusCode() == 404)
+      assert(get(s"$base/query/result?token=$plain").statusCode() == 200)
+    } finally { http.close(); m.close() }
+  }
 }

@@ -177,6 +177,78 @@ class QueryServiceSpec extends GraftSpec {
     } finally m.close()
   }
 
+  test("paged results: spill-served pages concatenate exactly, re-readable, released") {
+    val m = new Manager(spark, slots = 2, pageRows = 7)
+    try {
+      val t = m.submit("SELECT id, id * 2 AS v FROM range(40) ORDER BY id",
+        Immediate, paged = true)
+      assert(m.await(t).contains(Finished))
+      assert(m.popResult(t).isEmpty,
+        "paged results must not serve through the pop path")
+      assert(m.pageCount(t).contains(6)) // ceil(40 / 7)
+      val got = (0 until 6).flatMap(i => m.resultPage(t, i).get.rows)
+      assert(got.map(_.getLong(0)) == (0L until 40L))
+      assert(got.map(_.getLong(1)) == (0L until 40L).map(_ * 2))
+      val p0 = m.resultPage(t, 0).get
+      assert(p0.pages == 6 && p0.rowCount == 40 &&
+        p0.columns.sameElements(Array("id", "v")))
+      // re-readable (a client can retry a lost page), bounds are None
+      assert(m.resultPage(t, 0).get.rows.length == 7)
+      assert(m.resultPage(t, 5).get.rows.length == 5)
+      assert(m.resultPage(t, 6).isEmpty && m.resultPage(t, -1).isEmpty)
+      // release frees the spill exactly once; pages stop serving
+      assert(m.releaseResult(t))
+      assert(!m.releaseResult(t))
+      assert(m.resultPage(t, 0).isEmpty && m.pageCount(t).isEmpty)
+    } finally m.close()
+  }
+
+  test("paged results: spill cap rejects, empty pages to zero, TTL/cancel free the file") {
+    def spillFiles: Set[String] =
+      Option(new java.io.File(System.getProperty("java.io.tmpdir"))
+        .listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_qspill_")).map(_.getName).toSet
+    val m = new Manager(spark, slots = 2, pageRows = 100,
+      maxSpillBytes = 2048, resultTtlMs = 500L)
+    try {
+      // disk overflow rejects with the transport-mappable failure (413)
+      val big = m.submit("SELECT id, uuid() AS u FROM range(100000)",
+        Immediate, paged = true)
+      m.await(big) match {
+        case Some(Failed(reason)) =>
+          assert(reason.startsWith("ResultTooLargeException"), reason)
+        case other => fail(s"expected spill overflow rejection, got $other")
+      }
+      // empty result: Finished with zero pages, not an error
+      val empty = m.submit("SELECT id FROM range(10) WHERE id < 0",
+        Immediate, paged = true)
+      assert(m.await(empty).contains(Finished))
+      assert(m.pageCount(empty).contains(0))
+      assert(m.resultPage(empty, 0).isEmpty)
+      // TTL expiry evicts the entry AND deletes the spill file
+      val before = spillFiles
+      val t = m.submit("SELECT id FROM range(5)", Immediate, paged = true)
+      assert(m.await(t).contains(Finished))
+      val added = spillFiles -- before
+      assert(added.size == 1, s"expected one new spill file, got $added")
+      Thread.sleep(1100)
+      assert(m.pageCount(t).isEmpty, "expired paged entry must be evicted")
+      assert(!spillFiles.contains(added.head),
+        "TTL expiry must delete the spill file")
+      // cancel mid-spill: the partial file is cleaned up
+      val pre = spillFiles
+      val c = m.submit(
+        "SELECT id, java_method('java.lang.Thread','sleep',100L) AS s " +
+          "FROM range(100)", Immediate, paged = true)
+      Thread.sleep(400)
+      m.cancel(c)
+      assert(m.await(c, 60000).contains(Cancelled))
+      Thread.sleep(200) // let the worker's cleanup land
+      assert((spillFiles -- pre).isEmpty,
+        "a cancelled paged query must leave no spill file behind")
+    } finally m.close()
+  }
+
   test("pop-once holds under concurrent pops: exactly one winner") {
     val m = new Manager(spark, slots = 2)
     try {
