@@ -28,10 +28,12 @@ import java.nio.charset.StandardCharsets
   *             "pendingMs":n,"execMs":n} | 404 not finished / popped
   *        | 413 result exceeded the Manager's maxResultRows budget
   *        | 400 the result is PAGED (body carries "pages" — use page=N)
-  *   GET  /query/result?token=T&page=N   (paged results; re-readable)
+  *   GET  /query/result?token=T&page=N   (paged results; re-readable;
+  *     an empty result has ONE zero-row page so metadata stays fetchable)
   *     -> 200 {"token":T,"page":N,"pages":P,"rowCount":n,
   *             "columns":[...],"rows":[[...],...],"pendingMs":n,"execMs":n}
   *        | 404 unknown/unfinished/released token or page out of range
+  *        | 413 the spill exceeded maxSpillBytes/maxTotalSpillBytes
   *   POST /query/release?token=T   (free a paged result's spill early)
   *     -> 200 {"released":true|false}
   *   POST /query/cancel?token=T
@@ -146,8 +148,16 @@ final class QueryHttp(mgr: QueryService.Manager, port: Int = 0,
             case None => mgr.pageCount(t) match {
               case Some(n) => send(x, 404,
                 s"""{"error":"page out of range","pages":$n}""")
-              case None =>
-                send(x, 404, """{"error":"no paged result for token"}""")
+              // a paged client naturally retries page=0 after a failure:
+              // a spill-overflow rejection must surface as 413 here too,
+              // not a 404 that reads as "expired/popped"
+              case None => mgr.status(t) match {
+                case Some(QueryService.Failed(reason))
+                    if reason.startsWith("ResultTooLargeException") =>
+                  send(x, 413, s"""{"error":${jstr(reason)}}""")
+                case _ =>
+                  send(x, 404, """{"error":"no paged result for token"}""")
+              }
             }
           }
         }

@@ -54,11 +54,13 @@ object QueryService {
   final case class QueryResult(token: String, rows: Array[Row],
       columns: Array[String], pendingMs: Long, execMs: Long)
 
-  /** a paged result's spill descriptor: block `i` of the serialized rows
-    * occupies file bytes [offsets(i), offsets(i+1)) */
+  /** a paged result's spill descriptor: page `i` is an independent
+    * serialization segment of `pageRows(i)` rows occupying file bytes
+    * [offsets(i), offsets(i+1)). Always >= 1 page — an empty result has
+    * one zero-row page so clients can still fetch columns/metadata. */
   final case class Spill(file: java.io.File, offsets: Array[Long],
-      columns: Array[String], rowCount: Long, pendingMs: Long,
-      execMs: Long) {
+      pageRows: Array[Int], columns: Array[String], rowCount: Long,
+      bytes: Long, pendingMs: Long, execMs: Long) {
     def pages: Int = offsets.length - 1
   }
 
@@ -66,6 +68,32 @@ object QueryService {
   final case class Page(token: String, page: Int, pages: Int,
       rows: Array[Row], columns: Array[String], rowCount: Long,
       pendingMs: Long, execMs: Long)
+
+  /** soft per-page byte bound: a page closes once it crosses this, so
+    * page READS are memory-bounded too (one page ≈ this + one row) */
+  private val PageSoftBytes: Long = 4L << 20
+
+  private final class CountingOutputStream(u: java.io.OutputStream)
+    extends java.io.FilterOutputStream(u) {
+    var count = 0L
+    override def write(b: Int): Unit = { out.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      out.write(b, off, len); count += len
+    }
+  }
+
+  /** process-wide spill directory with ONE shutdown hook reclaiming it —
+    * per-file deleteOnExit would grow the JVM's delete-on-exit set by one
+    * path per paged query for the process lifetime */
+  private[graft] lazy val spillRoot: java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("graft_qspill_").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      Option(d.listFiles()).foreach(_.foreach { f => f.delete(); () })
+      d.delete()
+      ()
+    }, "graft-qspill-cleanup"))
+    d
+  }
 
   private final class Entry(
       val token: String, val sql: String, val hint: ExecutionHint,
@@ -99,10 +127,32 @@ object QueryService {
       resultTtlMs: Long = 10 * 60 * 1000L,
       maxResultRows: Int = 1 << 20,
       pageRows: Int = 10000,
-      maxSpillBytes: Long = 1L << 30) extends AutoCloseable {
+      maxSpillBytes: Long = 1L << 30,
+      maxTotalSpillBytes: Long = 8L << 30) extends AutoCloseable {
 
     require(slots >= 1 && queueCap >= 1 && maxResultRows >= 1 &&
-      pageRows >= 1 && maxSpillBytes >= 1)
+      pageRows >= 1 && maxSpillBytes >= 1 && maxTotalSpillBytes >= 1)
+
+    /** spill bytes currently RETAINED by finished paged results —
+      * `maxSpillBytes` bounds one query, this bounds the service: without
+      * it, N clients each just under the per-query cap hold N GiB of
+      * tmpdir (RAM again when /tmp is tmpfs) until their TTLs. A finish
+      * that would exceed it is rejected like an oversize result. In-flight
+      * writes are outside this ledger, so the true peak is retained +
+      * (concurrent writers x maxSpillBytes). */
+    private val retainedSpill = new AtomicLong(0)
+
+    /** every spill-deletion path goes through here so the ledger can
+      * never drift from the files actually on disk */
+    private def freeSpill(s: Spill): Unit = {
+      s.file.delete()
+      retainedSpill.addAndGet(-s.bytes)
+      ()
+    }
+
+    /** spill bytes currently retained by finished paged results
+      * (observability + the service-budget gate's test surface) */
+    def retainedSpillBytes: Long = retainedSpill.get
     private val seq = new AtomicLong(0)
     private val queries = new ConcurrentHashMap[String, Entry]()
     private val pendingRelaxed = new ConcurrentLinkedQueue[Entry]()
@@ -217,26 +267,31 @@ object QueryService {
     /** Read one page of a paged result (NOT pop-once: pages stay
       * re-readable until [[releaseResult]] or the result TTL, so a
       * client can retry a lost page). None = unknown/unfinished/
-      * released token or out-of-range page. */
+      * released token or out-of-range page. The disk read runs OUTSIDE
+      * the entry monitor (only the Spill ref is captured under it), so
+      * page fetches never block cancel/status/the scheduler sweep; a
+      * release racing the read surfaces as the file vanishing -> None,
+      * same answer the client would have gotten a moment later. */
     def resultPage(token: String, page: Int): Option[Page] =
       Option(queries.get(token)).flatMap { e =>
-        e.synchronized {
-          val s = e.spill
-          if (s == null || page < 0 || page >= s.pages) None
-          else {
-            val raf = new java.io.RandomAccessFile(s.file, "r")
-            try {
-              raf.seek(s.offsets(page))
-              val len = (s.offsets(page + 1) - s.offsets(page)).toInt
-              val bytes = new Array[Byte](len)
-              raf.readFully(bytes)
-              val rows = new java.io.ObjectInputStream(
-                new java.io.ByteArrayInputStream(bytes)).readObject()
-                .asInstanceOf[Array[Row]]
-              Some(Page(token, page, s.pages, rows, s.columns,
-                s.rowCount, s.pendingMs, s.execMs))
-            } finally raf.close()
-          }
+        val s = e.synchronized(e.spill)
+        if (s == null || page < 0 || page >= s.pages) None
+        else try {
+          val raf = new java.io.RandomAccessFile(s.file, "r")
+          try {
+            raf.seek(s.offsets(page))
+            val len = (s.offsets(page + 1) - s.offsets(page)).toInt
+            val bytes = new Array[Byte](len)
+            raf.readFully(bytes)
+            val ois = new java.io.ObjectInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val rows = Array.fill(s.pageRows(page))(
+              ois.readObject().asInstanceOf[Row])
+            Some(Page(token, page, s.pages, rows, s.columns,
+              s.rowCount, s.pendingMs, s.execMs))
+          } finally raf.close()
+        } catch {
+          case _: java.io.FileNotFoundException => None
         }
       }
 
@@ -247,7 +302,7 @@ object QueryService {
         e.synchronized {
           val s = e.spill
           if (s == null) false
-          else { e.spill = null; s.file.delete(); true }
+          else { e.spill = null; freeSpill(s); true }
         }
       }
 
@@ -316,7 +371,7 @@ object QueryService {
             e.result = null
             // paged results hold a spill FILE — TTL expiry must free the
             // disk too, or abandoned paged clients leak the tmpdir
-            if (e.spill != null) { e.spill.file.delete(); e.spill = null }
+            if (e.spill != null) { freeSpill(e.spill); e.spill = null }
           }
           queries.remove(token)
         }
@@ -346,6 +401,18 @@ object QueryService {
               // the result), each page serialized as one independent
               // block so serving reads exactly one block per request
               val spill = spillWrite(e, df)
+              // service-wide retention admission BEFORE publication: a
+              // finish that would push retained spill past the budget is
+              // rejected exactly like an oversize result (the transient
+              // ledger add is reverted on the rejection path)
+              if (retainedSpill.addAndGet(spill.bytes) > maxTotalSpillBytes) {
+                retainedSpill.addAndGet(-spill.bytes)
+                spill.file.delete()
+                throw new ResultTooLargeException(
+                  s"service spill budget exceeded (maxTotalSpillBytes=" +
+                    s"$maxTotalSpillBytes) — pop/release earlier paged " +
+                    "results or write to a sink")
+              }
               val finished = System.currentTimeMillis()
               var keep = false
               e.synchronized {
@@ -357,7 +424,7 @@ object QueryService {
                   e.status = Finished
                 } else e.status = Cancelled
               }
-              if (!keep) spill.file.delete()
+              if (!keep) freeSpill(spill)
             } else {
             // result-size admission control: the pop-once contract
             // buffers the full result on the driver, so an unbounded
@@ -429,49 +496,70 @@ object QueryService {
       ()
     }
 
-    /** stream the result into a spill file of independently-readable
-      * serialized row blocks (one per page). Bounded on disk by
-      * `maxSpillBytes` (overflow rejects with ResultTooLargeException,
-      * same contract/transport mapping as the heap budget); the spill
-      * file is deleted on ANY failure and deleteOnExit-backstopped. */
+    /** Stream the result into a spill file of independently-readable
+      * serialization segments (one per page). Rows serialize STRAIGHT to
+      * the file — the driver never holds a page in heap, so wide rows
+      * cannot defeat the bounded-memory contract (a page closes at
+      * `pageRows` rows OR ~[[PageSoftBytes]], whichever first). Disk is
+      * bounded by `maxSpillBytes`, checked per row against the counted
+      * bytes (overflow rejects with ResultTooLargeException, same
+      * contract/transport mapping as the heap budget; overshoot is at
+      * most one flush interval). The spill file is deleted on ANY
+      * failure; orphans are reclaimed by the process-wide [[spillRoot]]
+      * shutdown hook. */
     private def spillWrite(e: Entry, df: DataFrame): Spill = {
-      val file = java.io.File.createTempFile("graft_qspill_", ".bin")
-      file.deleteOnExit()
-      val out = new java.io.BufferedOutputStream(
-        new java.io.FileOutputStream(file))
+      val file = java.io.File.createTempFile("spill_", ".bin", spillRoot)
+      val counting = new CountingOutputStream(new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(file)))
+      // each page is its own ObjectOutputStream (own header + reference
+      // table) over a close-ignoring view, so pages deserialize
+      // independently by byte range
+      val noClose = new java.io.FilterOutputStream(counting) {
+        override def write(b: Array[Byte], off: Int, len: Int): Unit =
+          counting.write(b, off, len)
+        override def close(): Unit = flush()
+      }
       try {
         val offsets = scala.collection.mutable.ArrayBuffer(0L)
-        var written = 0L
+        val perPage = scala.collection.mutable.ArrayBuffer.empty[Int]
         var rowCount = 0L
-        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-        def flush(): Unit = if (buf.nonEmpty) {
-          val bos = new java.io.ByteArrayOutputStream()
-          val oos = new java.io.ObjectOutputStream(bos)
-          oos.writeObject(buf.toArray)
-          oos.close()
-          val bytes = bos.toByteArray
-          out.write(bytes)
-          written += bytes.length
-          if (written > maxSpillBytes)
-            throw new ResultTooLargeException(
-              s"paged result spill exceeds maxSpillBytes=$maxSpillBytes " +
-                "— rejected; add a LIMIT or write to a sink")
-          offsets += written
-          buf.clear()
+        var oos: java.io.ObjectOutputStream = null
+        var rowsInPage = 0
+        def endPage(): Unit = if (oos != null) {
+          oos.close() // flushes through noClose; file stays open
+          perPage += rowsInPage
+          offsets += counting.count
+          oos = null
+          rowsInPage = 0
         }
         val it = df.toLocalIterator()
         while (it.hasNext) {
           if (e.cancelRequested) throw new InterruptedException("cancelled")
-          buf += it.next()
+          if (oos == null) oos = new java.io.ObjectOutputStream(noClose)
+          oos.writeObject(it.next())
+          rowsInPage += 1
           rowCount += 1
-          if (buf.length >= pageRows) flush()
+          // periodic flush keeps the byte count honest between the
+          // stream's internal 1 KB blocks without per-row flush cost
+          if (rowsInPage % 32 == 0) oos.flush()
+          if (rowsInPage >= pageRows ||
+              counting.count - offsets.last >= PageSoftBytes) endPage()
+          if (counting.count > maxSpillBytes)
+            throw new ResultTooLargeException(
+              s"paged result spill exceeds maxSpillBytes=$maxSpillBytes " +
+                "— rejected; add a LIMIT or write to a sink")
         }
-        flush()
-        out.close()
-        Spill(file, offsets.toArray, df.columns, rowCount, 0L, 0L)
+        // an empty result still gets one zero-row page: clients can
+        // fetch page 0 for columns/rowCount/timings instead of a dead end
+        if (offsets.length == 1 && oos == null)
+          oos = new java.io.ObjectOutputStream(noClose)
+        endPage()
+        counting.close()
+        Spill(file, offsets.toArray, perPage.toArray, df.columns, rowCount,
+          file.length(), 0L, 0L)
       } catch {
         case t: Throwable =>
-          try out.close() catch { case _: Throwable => () }
+          try counting.close() catch { case _: Throwable => () }
           file.delete()
           throw t
       }
@@ -503,8 +591,9 @@ object QueryService {
             }
             // the TTL sweep dies with the scheduler: free paged spills
             // now (a worker publishing after this sweep deletes its own
-            // file via the !running check; deleteOnExit backstops)
-            if (e.spill != null) { e.spill.file.delete(); e.spill = null }
+            // file via the !running check; the spillRoot shutdown hook
+            // backstops)
+            if (e.spill != null) { freeSpill(e.spill); e.spill = null }
           }
         }
         pendingRelaxed.clear()

@@ -287,16 +287,8 @@ object GpxPointIndex {
           val dts = cis.map(footer.schema(_).dataType)
           dts.zip(columns).foreach { case (dt, col) =>
             require(indexable(dt), s"cannot point-index $col: $dt") }
-          val fields = cis.map(footer.schema(_))
-          footer.rowGroups.iterator.zipWithIndex.flatMap { case (rg, rgIdx) =>
-            val slices: Array[Array[PixelSlice]] = cis.toArray.map { ci =>
-              val ch = rg.chunks(ci)
-              ch.pixels.indices.map(p => PixelSlice(
-                ch.offset + ch.pixels(p).relOffset, ch.pixelLength(p),
-                ch.pixels(p).rows)).toArray
-            }
-            val batch = GpxFileReader.readSlices(
-              f, c, StructType(fields), slices, rg.numRows, -1L)
+          footer.rowGroups.indices.iterator.flatMap { rgIdx =>
+            val batch = readFullRowGroup(f, c, footer, rgIdx, cis)
             val keys = mutable.HashSet.empty[Long]
             val it = batch.rowIterator()
             while (it.hasNext) {
@@ -390,6 +382,25 @@ object GpxPointIndex {
     listIndexes(table, new Configuration()).foreach(cs =>
       refresh(spark, table, cs))
 
+  /** read ALL pixels of the given column indices of row group `rgIdx` —
+    * the full-row-group read shared by the index build job and the
+    * memory-mirror load (the zone-map-pruned variant lives in
+    * [[entriesFor]]'s gpx path) */
+  private def readFullRowGroup(f: String, conf: Configuration,
+      footer: Footer, rgIdx: Int,
+      cis: Seq[Int]): org.apache.spark.sql.vectorized.ColumnarBatch = {
+    val rg = footer.rowGroups(rgIdx)
+    val slices: Array[Array[PixelSlice]] = cis.toArray.map { ci =>
+      val ch = rg.chunks(ci)
+      ch.pixels.indices.map(p => PixelSlice(
+        ch.offset + ch.pixels(p).relOffset, ch.pixelLength(p),
+        ch.pixels(p).rows)).toArray
+    }
+    GpxFileReader.readSlices(f, conf,
+      StructType(cis.map(footer.schema(_)).toIndexedSeq), slices,
+      rg.numRows, -1L)
+  }
+
   // ---------------- serving backends (schemes) ----------------
 
   /** Serving-backend schemes — the analog of the reference's pluggable
@@ -468,12 +479,19 @@ object GpxPointIndex {
       hits.set(0); loads.set(0); refusals.set(0)
     }
 
+    /** parsed OUTSIDE load()'s catch-all so a malformed value fails the
+      * lookup loudly instead of silently refusing the mirror forever */
     private def maxEntries(conf: Configuration): Long = {
-      val c = conf.get("graft.index.memory.maxEntries")
-      if (c != null) c.toLong
-      else org.apache.spark.sql.SparkSession.getActiveSession
-        .flatMap(_.conf.getOption("spark.graft.index.memory.maxEntries"))
-        .map(_.toLong).getOrElse(DefaultMaxEntries)
+      val c = Option(conf.get("graft.index.memory.maxEntries"))
+        .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+          .flatMap(_.conf.getOption("spark.graft.index.memory.maxEntries")))
+      c match {
+        case None => DefaultMaxEntries
+        case Some(v) => try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.index.memory.maxEntries must be a long, got '$v'")
+        }
+      }
     }
 
     /** serve `keys` from the mirror loaded under manifest fingerprint
@@ -481,6 +499,12 @@ object GpxPointIndex {
       * ago), loading it on first use. None = this scheme refuses (too
       * big, empty dir, or a load raced a rebuild) — caller serves via
       * the gpx backend, never fails. */
+    /** per-dir load serialization: without it, N concurrent first probes
+      * each run the full driver-direct index read (the one expensive
+      * operation the cache exists to amortize) */
+    private val loadLocks =
+      new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
     def serve(idxDir: String, fp: String, keys: Set[Long],
         conf: Configuration): Option[Map[String, Set[Int]]] = {
       val cur = cache.get(idxDir)
@@ -488,16 +512,32 @@ object GpxPointIndex {
         if (cur != null && cur.fp == fp) { hits.incrementAndGet(); cur }
         else if (refused.contains(s"$idxDir|$fp")) {
           refusals.incrementAndGet(); return None
-        } else load(idxDir, fp, conf) match {
-          case Some(l) =>
-            cache.put(idxDir, l)
-            evictOver()
-            l
-          case None =>
-            if (refused.size >= MaxRefusals) refused.clear()
-            refused.add(s"$idxDir|$fp")
-            refusals.incrementAndGet()
-            return None
+        } else {
+          val cap = maxEntries(conf) // parse errors propagate loudly
+          val lock = loadLocks.computeIfAbsent(idxDir, _ => new Object)
+          lock.synchronized {
+            // double-check: the thread we queued behind may have loaded
+            // exactly the fp we want. Loads for DIFFERENT fps still
+            // overwrite newest-put-wins — a transient rebuild race costs
+            // at most one extra reload, never a stale serve (the fp
+            // check above gates every hit).
+            val again = cache.get(idxDir)
+            if (again != null && again.fp == fp) {
+              hits.incrementAndGet(); again
+            } else if (refused.contains(s"$idxDir|$fp")) {
+              refusals.incrementAndGet(); return None
+            } else load(idxDir, fp, conf, cap) match {
+              case Some(l) =>
+                cache.put(idxDir, l)
+                evictOver()
+                l
+              case None =>
+                if (refused.size >= MaxRefusals) refused.clear()
+                refused.add(s"$idxDir|$fp")
+                refusals.incrementAndGet()
+                return None
+            }
+          }
         }
       val out = mutable.Map.empty[String, mutable.Set[Int]]
       keys.foreach { k =>
@@ -516,11 +556,10 @@ object GpxPointIndex {
       * loaded bytes (superset entries under an old tag — next serve
       * sees the moved fp and reloads), never fresher than them. Any
       * read error (rebuild deleted a bucket mid-walk) refuses cleanly. */
-    private def load(idxDir: String, fp: String,
-        conf: Configuration): Option[Mirror] = try {
+    private def load(idxDir: String, fp: String, conf: Configuration,
+        cap: Long): Option[Mirror] = try {
       val files = GpxTable.listFiles(Seq(idxDir), conf)
       if (files.isEmpty) return None
-      val cap = maxEntries(conf)
       var total = 0L
       val footers = files.map { f =>
         val ft = GpxFileReader.FooterCache.get(f, conf)
@@ -532,16 +571,9 @@ object GpxPointIndex {
       val fileArr = mutable.ArrayBuffer.empty[String]
       val acc = new java.util.HashMap[Long, mutable.ArrayBuffer[Long]]()
       footers.foreach { case (f, footer) =>
-        val schema = footer.schema // (key, file, rg)
-        footer.rowGroups.foreach { rg =>
-          val cols = schema.fields.indices.toArray.map { ci =>
-            val ch = rg.chunks(ci)
-            ch.pixels.indices.map(p => PixelSlice(
-              ch.offset + ch.pixels(p).relOffset, ch.pixelLength(p),
-              ch.pixels(p).rows)).toArray
-          }
-          val batch = GpxFileReader.readSlices(
-            f, conf, schema, cols, rg.numRows, -1L)
+        footer.rowGroups.indices.foreach { rgIdx0 =>
+          val batch = readFullRowGroup(f, conf, footer, rgIdx0,
+            footer.schema.fields.indices) // (key, file, rg)
           val it = batch.rowIterator()
           while (it.hasNext) {
             val row = it.next()
@@ -587,17 +619,25 @@ object GpxPointIndex {
   def entriesFor(table: String, column: String, keys: Set[Long],
       conf: Configuration): Option[Map[String, Set[Int]]] = {
     if (keys.isEmpty || keys.size > MaxKeys) return None
-    if (!valid(table, column, conf)) return None
+    // one manifest read serves BOTH the validity check and the memory
+    // scheme's fingerprint (the hot serve path shouldn't pay a second
+    // small-file round trip per lookup — on object storage that is a
+    // redundant remote GET per scan-planning call)
+    val m = readManifest(table, column, conf).getOrElse(return None)
+    val ok = {
+      val cur = GpxVersion.currentData(table, conf)
+      if (m.token.isDefined && cur.isDefined) m.token == cur
+      else m.fp == tableFingerprint(table, conf)
+    }
+    if (!ok) return None
     val idx = indexDir(table, column)
     if (scheme(conf) == SchemeMemory) {
-      // fingerprint as of now (the table validity held a moment ago): a
-      // commit in the gap moves the manifest and the mirror refuses or
-      // reloads — it can never serve entries for a fp it wasn't built on
-      readManifest(table, column, conf).foreach { m =>
-        MemoryMirror.serve(idx, m.fp, keys, conf) match {
-          case Some(res) => return Some(res)
-          case None => () // refused — persistent gpx backend serves below
-        }
+      // the mirror serves only under this exact fingerprint: a commit in
+      // the gap moves the manifest and the mirror refuses or reloads —
+      // it can never serve entries for a fp it wasn't built on
+      MemoryMirror.serve(idx, m.fp, keys, conf) match {
+        case Some(res) => return Some(res)
+        case None => () // refused — persistent gpx backend serves below
       }
     }
     val spec = GpxTable.readBucketSpec(idx, conf).getOrElse(return None)

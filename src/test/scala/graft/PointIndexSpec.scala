@@ -439,6 +439,32 @@ class PointIndexSpec extends GraftSpec {
     }
   }
 
+  test("memory scheme serves compound indexes identically to gpx") {
+    val d = Files.createTempDirectory("gpx_idx_mem_comp").toString
+    Tables.orders(sp, sf).repartition(4)
+      .write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "256").save(d)
+    GpxPointIndex.buildCompound(sp, d,
+      Seq("o_custkey", "o_orderstatus"), numBuckets = 4)
+    val sample = Tables.orders(sp, sf)
+      .select("o_custkey", "o_orderstatus").distinct().limit(3)
+      .collect().map(r => Seq[Any](r.getLong(0), r.getString(1))).toSet
+    val outCols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+    def run(): Seq[Seq[Any]] = GpxPointIndex.lookupCompound(sp, d,
+      Seq("o_custkey", "o_orderstatus"), sample, outCols)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val viaGpx = run()
+    GpxPointIndex.MemoryMirror.reset()
+    sp.conf.set("spark.graft.index.scheme", "memory")
+    try {
+      val viaMem = run()
+      assert(viaMem == viaGpx && viaMem.nonEmpty,
+        "compound lookups must be scheme-transparent")
+      assert(GpxPointIndex.MemoryMirror.loads.get == 1,
+        "the compound index must actually have been mirrored")
+    } finally sp.conf.unset("spark.graft.index.scheme")
+  }
+
   test("memory scheme serves scan planning; unknown schemes are rejected") {
     val d = Files.createTempDirectory("gpx_idx_mem_plan").toString
     Tables.orders(sp, sf).repartition(4)

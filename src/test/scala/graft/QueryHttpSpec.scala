@@ -181,4 +181,21 @@ class QueryHttpSpec extends GraftSpec {
       assert(get(s"$base/query/result?token=$plain").statusCode() == 200)
     } finally { http.close(); m.close() }
   }
+
+  test("a spill-overflow rejection surfaces as 413 on the page fetch too") {
+    val m = new QueryService.Manager(spark, slots = 2, pageRows = 100,
+      maxSpillBytes = 1024)
+    val http = new QueryHttp(m)
+    try {
+      val base = s"http://127.0.0.1:${http.boundPort}"
+      val token = field(post(s"$base/query?hint=immediate&paged=true",
+        "SELECT id, uuid() AS u FROM range(100000)").body(), "token").get
+      m.await(token)
+      // the natural paged-client fetch (page=0) must explain the
+      // rejection, not 404 as if the result expired
+      val p0 = get(s"$base/query/result?token=$token&page=0")
+      assert(p0.statusCode() == 413, s"${p0.statusCode()} ${p0.body()}")
+      assert(get(s"$base/query/result?token=$token").statusCode() == 413)
+    } finally { http.close(); m.close() }
+  }
 }

@@ -196,18 +196,50 @@ class QueryServiceSpec extends GraftSpec {
       assert(m.resultPage(t, 0).get.rows.length == 7)
       assert(m.resultPage(t, 5).get.rows.length == 5)
       assert(m.resultPage(t, 6).isEmpty && m.resultPage(t, -1).isEmpty)
-      // release frees the spill exactly once; pages stop serving
+      // release frees the spill exactly once; pages stop serving; the
+      // service-wide retention ledger returns to zero
+      assert(m.retainedSpillBytes > 0)
       assert(m.releaseResult(t))
       assert(!m.releaseResult(t))
       assert(m.resultPage(t, 0).isEmpty && m.pageCount(t).isEmpty)
+      assert(m.retainedSpillBytes == 0)
     } finally m.close()
   }
 
-  test("paged results: spill cap rejects, empty pages to zero, TTL/cancel free the file") {
+  test("paged results: pages close by bytes, and the service spill budget rejects") {
+    // pageRows effectively unbounded: the ~4 MB soft byte bound must
+    // split the pages, so page READS stay memory-bounded on wide results
+    val m = new Manager(spark, slots = 2, pageRows = Int.MaxValue)
+    try {
+      val t = m.submit("SELECT id, repeat('x', 64) AS pad FROM range(200000)",
+        Immediate, paged = true)
+      assert(m.await(t, 120000).contains(Finished))
+      val pages = m.pageCount(t).get
+      assert(pages > 1, s"a multi-MB result must split by bytes, got $pages")
+      val total = (0 until pages).map(i => m.resultPage(t, i).get.rows.length)
+      assert(total.sum == 200000, s"pages lost rows: $total")
+    } finally m.close()
+    // service-wide budget: a finish that would exceed it is rejected like
+    // an oversize result, and the transient ledger add is reverted
+    val m2 = new Manager(spark, slots = 2, pageRows = 100,
+      maxTotalSpillBytes = 10)
+    try {
+      val r = m2.submit("SELECT id FROM range(50)", Immediate, paged = true)
+      m2.await(r) match {
+        case Some(Failed(reason)) =>
+          assert(reason.startsWith("ResultTooLargeException") &&
+            reason.contains("service spill budget"), reason)
+        case other => fail(s"expected service-budget rejection, got $other")
+      }
+      assert(m2.retainedSpillBytes == 0,
+        "a rejected spill must not stay in the ledger")
+    } finally m2.close()
+  }
+
+  test("paged results: spill cap rejects, empty pages once, TTL/cancel free the file") {
     def spillFiles: Set[String] =
-      Option(new java.io.File(System.getProperty("java.io.tmpdir"))
-        .listFiles()).getOrElse(Array.empty)
-        .filter(_.getName.startsWith("graft_qspill_")).map(_.getName).toSet
+      Option(QueryService.spillRoot.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).toSet
     val m = new Manager(spark, slots = 2, pageRows = 100,
       maxSpillBytes = 2048, resultTtlMs = 500L)
     try {
@@ -219,12 +251,16 @@ class QueryServiceSpec extends GraftSpec {
           assert(reason.startsWith("ResultTooLargeException"), reason)
         case other => fail(s"expected spill overflow rejection, got $other")
       }
-      // empty result: Finished with zero pages, not an error
+      // empty result: Finished with ONE zero-row page (columns/metadata
+      // stay fetchable — a zero-page result would be an HTTP dead end)
       val empty = m.submit("SELECT id FROM range(10) WHERE id < 0",
         Immediate, paged = true)
       assert(m.await(empty).contains(Finished))
-      assert(m.pageCount(empty).contains(0))
-      assert(m.resultPage(empty, 0).isEmpty)
+      assert(m.pageCount(empty).contains(1))
+      val ep = m.resultPage(empty, 0).get
+      assert(ep.rows.isEmpty && ep.rowCount == 0 &&
+        ep.columns.sameElements(Array("id")))
+      assert(m.resultPage(empty, 1).isEmpty)
       // TTL expiry evicts the entry AND deletes the spill file
       val before = spillFiles
       val t = m.submit("SELECT id FROM range(5)", Immediate, paged = true)
