@@ -73,6 +73,12 @@ object QueryService {
     * page READS are memory-bounded too (one page ≈ this + one row) */
   private val PageSoftBytes: Long = 4L << 20
 
+  /** hard per-page ceiling: a page deserializes through ONE byte array,
+    * so a single row serialized past this cannot be served and is
+    * rejected at write time (only reachable with maxSpillBytes raised
+    * past ~1.6 GiB — the soft bound closes multi-row pages at ~4 MB) */
+  private val MaxPageServeBytes: Long = (Int.MaxValue.toLong * 3) / 4
+
   private final class CountingOutputStream(u: java.io.OutputStream)
     extends java.io.FilterOutputStream(u) {
     var count = 0L
@@ -143,9 +149,14 @@ object QueryService {
     private val retainedSpill = new AtomicLong(0)
 
     /** every spill-deletion path goes through here so the ledger can
-      * never drift from the files actually on disk */
+      * never drift from the files actually on disk. A delete refused by
+      * the OS (a page read holding the file open on Windows; POSIX
+      * deletes open files fine) is handed to deleteOnExit — a rare,
+      * bounded fallback, unlike the per-file registration the spill dir
+      * replaced — and still leaves the ledger, because the budget's job
+      * is bounding what NEW spills may assume is free. */
     private def freeSpill(s: Spill): Unit = {
-      s.file.delete()
+      if (!s.file.delete() && s.file.exists()) s.file.deleteOnExit()
       retainedSpill.addAndGet(-s.bytes)
       ()
     }
@@ -403,10 +414,17 @@ object QueryService {
               val spill = spillWrite(e, df)
               // service-wide retention admission BEFORE publication: a
               // finish that would push retained spill past the budget is
-              // rejected exactly like an oversize result (the transient
-              // ledger add is reverted on the rejection path)
-              if (retainedSpill.addAndGet(spill.bytes) > maxTotalSpillBytes) {
-                retainedSpill.addAndGet(-spill.bytes)
+              // rejected exactly like an oversize result. CAS, not blind
+              // add-then-revert: a doomed neighbor's transient over-add
+              // must not spuriously reject a small spill that fits.
+              var admitted = false
+              var cur = retainedSpill.get()
+              while (!admitted && cur + spill.bytes <= maxTotalSpillBytes) {
+                if (retainedSpill.compareAndSet(cur, cur + spill.bytes))
+                  admitted = true
+                else cur = retainedSpill.get()
+              }
+              if (!admitted) {
                 spill.file.delete()
                 throw new ResultTooLargeException(
                   s"service spill budget exceeded (maxTotalSpillBytes=" +
@@ -512,12 +530,18 @@ object QueryService {
       val counting = new CountingOutputStream(new java.io.BufferedOutputStream(
         new java.io.FileOutputStream(file)))
       // each page is its own ObjectOutputStream (own header + reference
-      // table) over a close-ignoring view, so pages deserialize
-      // independently by byte range
+      // table) over a close/flush-absorbing view, so pages deserialize
+      // independently by byte range. flush() deliberately does NOT
+      // propagate: counting sits ABOVE the 8 KB file buffer, so the
+      // logical count (offsets, budget checks) is exact the moment
+      // ObjectOutputStream drains its 1 KB blocks, while the buffered
+      // stream keeps batching syscalls — per-page closes and the
+      // periodic count-refresh flushes cost no I/O
       val noClose = new java.io.FilterOutputStream(counting) {
         override def write(b: Array[Byte], off: Int, len: Int): Unit =
           counting.write(b, off, len)
-        override def close(): Unit = flush()
+        override def flush(): Unit = ()
+        override def close(): Unit = ()
       }
       try {
         val offsets = scala.collection.mutable.ArrayBuffer(0L)
@@ -539,9 +563,16 @@ object QueryService {
           oos.writeObject(it.next())
           rowsInPage += 1
           rowCount += 1
-          // periodic flush keeps the byte count honest between the
-          // stream's internal 1 KB blocks without per-row flush cost
+          // periodic drain keeps the byte count honest between the
+          // stream's internal 1 KB blocks; no syscall (flush is absorbed)
           if (rowsInPage % 32 == 0) oos.flush()
+          // a single row serialized past the servable-page bound can
+          // never be read back through a byte array — reject it here
+          // rather than 500 on the fetch
+          if (counting.count - offsets.last > MaxPageServeBytes)
+            throw new ResultTooLargeException(
+              "one row serialized past the servable page bound " +
+                s"($MaxPageServeBytes bytes) — write to a sink")
           if (rowsInPage >= pageRows ||
               counting.count - offsets.last >= PageSoftBytes) endPage()
           if (counting.count > maxSpillBytes)

@@ -148,15 +148,22 @@ object GpxPointIndex {
     }
   }
 
-  /** index exists and matches the table's current state. Token-tracked
-    * tables answer with two tiny reads (manifest + `_version`) — O(1) at
-    * any file count; legacy manifests pay the exact fingerprint walk. */
+  /** manifest freshness against the table's CURRENT state: token-tracked
+    * tables answer with one tiny `_version` read — O(1) at any file
+    * count; legacy manifests pay the exact fingerprint walk. The ONE
+    * copy of the rule — [[valid]] and [[entriesFor]] both route here so
+    * the two serving paths can never drift. */
+  private def manifestCurrent(m: Manifest, table: String,
+      conf: Configuration): Boolean = {
+    val cur = GpxVersion.currentData(table, conf)
+    if (m.token.isDefined && cur.isDefined) m.token == cur
+    else m.fp == tableFingerprint(table, conf)
+  }
+
+  /** index exists and matches the table's current state */
   def valid(table: String, column: String, conf: Configuration): Boolean =
-    readManifest(table, column, conf).exists { m =>
-      val cur = GpxVersion.currentData(table, conf)
-      if (m.token.isDefined && cur.isDefined) m.token == cur
-      else m.fp == tableFingerprint(table, conf)
-    }
+    readManifest(table, column, conf)
+      .exists(manifestCurrent(_, table, conf))
 
   // ---------------- key conversion ----------------
 
@@ -472,10 +479,15 @@ object GpxPointIndex {
     def invalidate(idxDir: String): Unit = {
       cache.remove(idxDir)
       refused.removeIf(_.startsWith(idxDir + "|"))
+      // the lock map must not grow one entry per dir for the process
+      // lifetime; a racing loader re-creates its lock harmlessly (the
+      // worst case is one duplicated load, never a stale serve)
+      loadLocks.remove(idxDir)
+      ()
     }
     /** test hook: drop all mirrors and counters */
     def reset(): Unit = {
-      cache.clear(); refused.clear()
+      cache.clear(); refused.clear(); loadLocks.clear()
       hits.set(0); loads.set(0); refusals.set(0)
     }
 
@@ -487,10 +499,17 @@ object GpxPointIndex {
           .flatMap(_.conf.getOption("spark.graft.index.memory.maxEntries")))
       c match {
         case None => DefaultMaxEntries
-        case Some(v) => try v.toLong catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"graft.index.memory.maxEntries must be a long, got '$v'")
-        }
+        case Some(v) =>
+          val parsed = try v.toLong catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"graft.index.memory.maxEntries must be a long, got '$v'")
+          }
+          // a non-positive cap would silently refuse every mirror — the
+          // exact quiet failure the loud parse exists to prevent
+          if (parsed < 1) throw new IllegalArgumentException(
+            s"graft.index.memory.maxEntries must be >= 1, got $parsed")
+          parsed
       }
     }
 
@@ -605,6 +624,7 @@ object GpxPointIndex {
         cache.forEach((d, m) => if (m.loadedAt < at) { at = m.loadedAt; oldest = d })
         if (oldest == null) return
         cache.remove(oldest)
+        loadLocks.remove(oldest)
       }
   }
 
@@ -624,12 +644,7 @@ object GpxPointIndex {
     // small-file round trip per lookup — on object storage that is a
     // redundant remote GET per scan-planning call)
     val m = readManifest(table, column, conf).getOrElse(return None)
-    val ok = {
-      val cur = GpxVersion.currentData(table, conf)
-      if (m.token.isDefined && cur.isDefined) m.token == cur
-      else m.fp == tableFingerprint(table, conf)
-    }
-    if (!ok) return None
+    if (!manifestCurrent(m, table, conf)) return None
     val idx = indexDir(table, column)
     if (scheme(conf) == SchemeMemory) {
       // the mirror serves only under this exact fingerprint: a commit in

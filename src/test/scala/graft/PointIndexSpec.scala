@@ -485,5 +485,18 @@ class PointIndexSpec extends GraftSpec {
     val bad = new Configuration()
     bad.set("graft.index.scheme", "rocksdb")
     intercept[IllegalArgumentException](GpxPointIndex.scheme(bad))
+    // malformed or non-positive mirror caps fail LOUDLY on the lookup,
+    // never silently refuse the mirror forever
+    for (v <- Seq("4M", "0", "-1")) {
+      GpxPointIndex.MemoryMirror.reset()
+      sp.conf.set("spark.graft.index.scheme", "memory")
+      sp.conf.set("spark.graft.index.memory.maxEntries", v)
+      try intercept[IllegalArgumentException] {
+        GpxPointIndex.entriesFor(d, "o_orderkey", Set(key), conf)
+      } finally {
+        sp.conf.unset("spark.graft.index.scheme")
+        sp.conf.unset("spark.graft.index.memory.maxEntries")
+      }
+    }
   }
 }
