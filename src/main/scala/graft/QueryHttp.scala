@@ -34,6 +34,8 @@ import java.nio.charset.StandardCharsets
   *             "columns":[...],"rows":[[...],...],"pendingMs":n,"execMs":n}
   *        | 404 unknown/unfinished/released token or page out of range
   *        | 413 the spill exceeded maxSpillBytes/maxTotalSpillBytes
+  *   GET  /query/stats
+  *     -> 200 {"retainedSpillBytes":n}   (service spill-retention ledger)
   *   POST /query/release?token=T   (free a paged result's spill early)
   *     -> 200 {"released":true|false}
   *   POST /query/cancel?token=T
@@ -79,6 +81,11 @@ final class QueryHttp(mgr: QueryService.Manager, port: Int = 0,
         case ("POST", "/query") => submit(x)
         case ("GET", "/query/status") => status(x)
         case ("GET", "/query/result") => result(x)
+        case ("GET", "/query/stats") =>
+          // service observability (the STAT analog for the transport):
+          // the one number an operator needs to reason about 413s
+          send(x, 200,
+            s"""{"retainedSpillBytes":${mgr.retainedSpillBytes}}""")
         case ("POST", "/query/release") => release(x)
         case ("POST", "/query/cancel") => cancel(x)
         case _ => send(x, 404, """{"error":"not found"}""")

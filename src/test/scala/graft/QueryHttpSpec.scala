@@ -196,6 +196,10 @@ class QueryHttpSpec extends GraftSpec {
       val p0 = get(s"$base/query/result?token=$token&page=0")
       assert(p0.statusCode() == 413, s"${p0.statusCode()} ${p0.body()}")
       assert(get(s"$base/query/result?token=$token").statusCode() == 413)
+      // the stats route explains 413s: nothing retained after a rejection
+      val st = get(s"$base/query/stats")
+      assert(st.statusCode() == 200 &&
+        st.body().contains(""""retainedSpillBytes":0"""), st.body())
     } finally { http.close(); m.close() }
   }
 }

@@ -285,6 +285,44 @@ class QueryServiceSpec extends GraftSpec {
     } finally m.close()
   }
 
+  test("paged results under concurrent submit/read/release/cancel drain the ledger to zero") {
+    val m = new Manager(spark, slots = 4, pageRows = 50)
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 6).map { tid =>
+        new Thread(() => try {
+          (0 until 8).foreach { i =>
+            val paged = (tid + i) % 2 == 0
+            val t = m.submit(
+              s"SELECT id, id * 2 AS v FROM range(${100 + i * 37})",
+              Immediate, paged)
+            assert(m.await(t, 60000).contains(Finished))
+            (tid + i) % 4 match {
+              case 0 if paged =>
+                // read page 0 then release explicitly
+                assert(m.resultPage(t, 0).isDefined)
+                assert(m.releaseResult(t))
+              case 1 if paged =>
+                // read every page, then ABANDON (close() must sweep it)
+                val n = m.pageCount(t).getOrElse(0)
+                (0 until n).foreach(p => assert(m.resultPage(t, p).isDefined))
+              case _ if !paged => assert(m.popResult(t).isDefined)
+              case _ => m.releaseResult(t); ()
+            }
+          }
+        } catch { case x: Throwable => errs.add(x); () },
+          s"spill-fuzz-$tid")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(errs.isEmpty, s"fuzz thread failed: ${errs.peek()}")
+    } finally m.close()
+    // abandoned spills were freed by close's sweep; the CAS admissions,
+    // releases, and sweeps must balance exactly
+    assert(m.retainedSpillBytes == 0,
+      s"ledger did not drain: ${m.retainedSpillBytes} bytes retained")
+  }
+
   test("pop-once holds under concurrent pops: exactly one winner") {
     val m = new Manager(spark, slots = 2)
     try {
