@@ -158,13 +158,8 @@ final class QueryHttp(mgr: QueryService.Manager, port: Int = 0,
               // a paged client naturally retries page=0 after a failure:
               // a spill-overflow rejection must surface as 413 here too,
               // not a 404 that reads as "expired/popped"
-              case None => mgr.status(t) match {
-                case Some(QueryService.Failed(reason))
-                    if reason.startsWith("ResultTooLargeException") =>
-                  send(x, 413, s"""{"error":${jstr(reason)}}""")
-                case _ =>
-                  send(x, 404, """{"error":"no paged result for token"}""")
-              }
+              case None =>
+                rejectedOr404(x, t, """{"error":"no paged result for token"}""")
             }
           }
         }
@@ -181,19 +176,26 @@ final class QueryHttp(mgr: QueryService.Manager, port: Int = 0,
           // to fetch it instead of a misleading "expired/popped" 404
           case Some(n) => send(x, 400,
             s"""{"error":"result is paged: pass page=N","pages":$n}""")
-          case None => mgr.status(t) match {
-            // the one failure a RESULT request should explain with its
-            // own HTTP class: the query ran fine but its result blew the
-            // manager's driver-buffer budget — 413 tells the client to
-            // page (paged=true, LIMIT/OFFSET) or write to a sink, where
-            // a generic 404 would read as "expired/popped"
-            case Some(QueryService.Failed(reason))
-                if reason.startsWith("ResultTooLargeException") =>
-              send(x, 413, s"""{"error":${jstr(reason)}}""")
-            case _ => send(x, 404, """{"error":"no poppable result"}""")
-          }
+          case None =>
+            rejectedOr404(x, t, """{"error":"no poppable result"}""")
         }
       }
+    }
+
+  /** the one failure a RESULT request should explain with its own HTTP
+    * class: the query ran fine but its result blew a budget (heap
+    * maxResultRows or spill maxSpillBytes/maxTotalSpillBytes) — 413
+    * tells the client to page or write to a sink, where a generic 404
+    * would read as "expired/popped". ONE implementation so the pop and
+    * page routes can never drift (a drift already bit once: 413 was
+    * unreachable from page fetches). */
+  private def rejectedOr404(x: HttpExchange, token: String,
+      notFound: String): Unit =
+    mgr.status(token) match {
+      case Some(QueryService.Failed(reason))
+          if reason.startsWith("ResultTooLargeException") =>
+        send(x, 413, s"""{"error":${jstr(reason)}}""")
+      case _ => send(x, 404, notFound)
     }
 
   private def release(x: HttpExchange): Unit =

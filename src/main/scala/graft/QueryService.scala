@@ -579,6 +579,15 @@ object QueryService {
             throw new ResultTooLargeException(
               s"paged result spill exceeds maxSpillBytes=$maxSpillBytes " +
                 "— rejected; add a LIMIT or write to a sink")
+          // early service-budget abort (advisory — the CAS at publication
+          // decides): a spill that provably cannot be admitted should
+          // stop executing and writing NOW, not after up to maxSpillBytes
+          // of doomed disk I/O
+          if (retainedSpill.get() + counting.count > maxTotalSpillBytes)
+            throw new ResultTooLargeException(
+              s"service spill budget exceeded (maxTotalSpillBytes=" +
+                s"$maxTotalSpillBytes) — pop/release earlier paged " +
+                "results or write to a sink")
         }
         // an empty result still gets one zero-row page: clients can
         // fetch page 0 for columns/rowCount/timings instead of a dead end

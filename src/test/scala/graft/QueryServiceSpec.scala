@@ -292,22 +292,23 @@ class QueryServiceSpec extends GraftSpec {
       val threads = (0 until 6).map { tid =>
         new Thread(() => try {
           (0 until 8).foreach { i =>
-            val paged = (tid + i) % 2 == 0
+            val mode = (tid + i) % 4
+            val paged = mode <= 1
             val t = m.submit(
               s"SELECT id, id * 2 AS v FROM range(${100 + i * 37})",
               Immediate, paged)
             assert(m.await(t, 60000).contains(Finished))
-            (tid + i) % 4 match {
-              case 0 if paged =>
+            mode match {
+              case 0 =>
                 // read page 0 then release explicitly
                 assert(m.resultPage(t, 0).isDefined)
                 assert(m.releaseResult(t))
-              case 1 if paged =>
+              case 1 =>
                 // read every page, then ABANDON (close() must sweep it)
                 val n = m.pageCount(t).getOrElse(0)
+                assert(n >= 1)
                 (0 until n).foreach(p => assert(m.resultPage(t, p).isDefined))
-              case _ if !paged => assert(m.popResult(t).isDefined)
-              case _ => m.releaseResult(t); ()
+              case _ => assert(m.popResult(t).isDefined)
             }
           }
         } catch { case x: Throwable => errs.add(x); () },
