@@ -324,6 +324,45 @@ class QueryServiceSpec extends GraftSpec {
       s"ledger did not drain: ${m.retainedSpillBytes} bytes retained")
   }
 
+  test("paged results round-trip every common SQL type exactly") {
+    val m = new Manager(spark, slots = 2, pageRows = 3)
+    try {
+      val sql =
+        """SELECT id,
+          |  CAST(id AS TINYINT) AS i8, CAST(id AS SMALLINT) AS i16,
+          |  CAST(id AS INT) AS i32, CAST(id * 1.5 AS DOUBLE) AS d,
+          |  CAST(id * 0.25 AS FLOAT) AS f,
+          |  CAST(id AS DECIMAL(20, 4)) / 7 AS dec,
+          |  id % 2 = 0 AS b,
+          |  CASE WHEN id % 3 = 0 THEN NULL ELSE concat('s', id) END AS s,
+          |  CAST(concat('b', id) AS BINARY) AS bin,
+          |  DATE '2026-01-01' + make_interval(0, 0, 0, CAST(id AS INT)) AS dt,
+          |  TIMESTAMP '2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts,
+          |  array(id, id + 1) AS arr,
+          |  named_struct('a', id, 'b', concat('x', id)) AS st,
+          |  map(concat('k', id), id) AS mp
+          |FROM range(10) ORDER BY id""".stripMargin
+      val t = m.submit(sql, Immediate, paged = true)
+      assert(m.await(t).contains(Finished))
+      val pages = m.pageCount(t).get
+      val viaPages = (0 until pages).flatMap(p => m.resultPage(t, p).get.rows)
+      val direct = spark.sql(sql).collect()
+      assert(viaPages.length == direct.length)
+      viaPages.zip(direct).foreach { case (a, b) =>
+        assert(a.length == b.length)
+        (0 until a.length).foreach { i =>
+          (a.get(i), b.get(i)) match {
+            case (x: Array[Byte], y: Array[Byte]) =>
+              assert(x.sameElements(y), s"col $i binary mismatch")
+            case (x, y) => assert(x == y, s"col $i: $x != $y")
+          }
+        }
+      }
+      m.releaseResult(t)
+      ()
+    } finally m.close()
+  }
+
   test("pop-once holds under concurrent pops: exactly one winner") {
     val m = new Manager(spark, slots = 2)
     try {
