@@ -115,10 +115,40 @@ object GpxCompactor {
       finally o.close()
     }
 
-    val r = byteCopy(files, outPath,
-      i => new Path(outPath, f"compact-$i%05d.gpx"), conf, targetFileBytes)
+    // schema-evolved tables hold files with DIFFERENT column sets (an
+    // old file without a later-added column null-fills at scan time):
+    // byte-copy cannot merge those into one footer without synthesizing
+    // chunks, so compact each same-shape group separately — the output
+    // table reads identically (per-file footers drive the scan)
+    val r = shapeGroups(files, conf).foldLeft(Result(0, 0, 0L)) {
+      (acc, group) =>
+        val base = acc.outputFiles
+        val g = byteCopy(group, outPath,
+          i => new Path(outPath, f"compact-${base + i}%05d.gpx"),
+          conf, targetFileBytes)
+        Result(acc.inputFiles + g.inputFiles,
+          acc.outputFiles + g.outputFiles, acc.rows + g.rows)
+    }
     GpxVersion.bump(outDir, conf) // fresh table contents under outDir
     r
+  }
+
+  /** compaction inputs partitioned by column shape (names + erased
+    * types, order-sensitive — what one merged footer can describe),
+    * deterministic order. Nullability differences stay WITHIN a group
+    * (byteCopy widens them). */
+  private def shapeGroups(files: Seq[String],
+      conf: Configuration): Seq[Seq[String]] = {
+    def erased(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        org.apache.spark.sql.types.ArrayType(erased(et), containsNull = true)
+      case other => other
+    }
+    files.groupBy { f =>
+      GpxFileReader.FooterCache.get(f, conf).schema.fields.toSeq
+        .map(fl => (fl.name, erased(fl.dataType))).toString
+    }.toSeq.sortBy(_._1).map(_._2)
   }
 
   /** The zero-decode core: concatenate the inputs' row groups into files
@@ -277,10 +307,22 @@ object GpxCompactor {
     // clean files compact. Fold or COW-delete them first to reclaim them.
     val maskedByParent = allLive.map(f => new Path(f).getParent).distinct
       .map(p => p -> GpxDeleteBitmap.sidecarsIn(p, conf).keySet).toMap
-    val files = allLive.filterNot { f =>
+    val unmasked = allLive.filterNot { f =>
       val p = new Path(f)
       maskedByParent(p.getParent).contains(p.getName)
     }
+    if (unmasked.isEmpty) return Result(0, 0, 0L)
+    // schema evolution: files with different COLUMN SETS (a pre-ADD file
+    // has no chunks for the later column) cannot share one merged footer
+    // under byte-copy. Compact each same-shape group; with several
+    // shapes, singleton groups stay live untouched — there is nothing to
+    // merge them with, and the one Replace below swaps every compacted
+    // group atomically. A single-shape table keeps the legacy behavior
+    // (compacts even one file).
+    val groups = shapeGroups(unmasked, conf)
+    val files =
+      if (groups.size <= 1) unmasked
+      else groups.filter(_.size >= 2).flatten
     if (files.isEmpty) return Result(0, 0, 0L)
     val dirP = new Path(dir)
     val opId = java.util.UUID.randomUUID().toString.take(8)
@@ -295,10 +337,17 @@ object GpxCompactor {
     }
     val r =
       try {
-        val copied = byteCopy(files, dirP,
-          i => { val p = new Path(dirP, f"compact-$opId-$i%05d.gpx")
-            outNames += p; p },
-          conf, targetFileBytes)
+        val copied = shapeGroups(files, conf)
+          .foldLeft(Result(0, 0, 0L)) { (acc, group) =>
+            val base = acc.outputFiles
+            val g = byteCopy(group, dirP,
+              i => { val p = new Path(dirP,
+                f"compact-$opId-${base + i}%05d.gpx")
+                outNames += p; p },
+              conf, targetFileBytes)
+            Result(acc.inputFiles + g.inputFiles,
+              acc.outputFiles + g.outputFiles, acc.rows + g.rows)
+          }
         beforeSwap()
         // SWAP under the mutation lock, with a mask recheck first. The
         // byte copy runs lock-free (it can take minutes and holds no

@@ -199,6 +199,59 @@ class CrossProcessSpec extends GraftSpec {
     }
   }
 
+  test("projection-routed scans stay exact while other processes append and compact") {
+    // same silent-wrong-data class as the point-index fuzz, on the OTHER
+    // derived-artifact serving path: a narrow projection covers the read
+    // while valid and must fall back to the base the instant a sibling
+    // process commits — a stale projection serves missing/resurrected
+    // rows with no error anywhere
+    val dir = tempDir("xproc_proj")
+    val sp2 = spark
+    import sp2.implicits._
+    (0L until 500L).map(i => (i, s"pad-$i-${"x" * 32}")).toDF("amount", "pad")
+      .coalesce(2).write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    graft.format.GpxProjection.build(spark, dir, "narrow", Seq("amount"))
+    val conf2 = new Configuration()
+    assert(graft.format.GpxProjection
+      .covering(dir, Set("amount"), conf2).isDefined,
+      "the fresh projection must cover the narrow read")
+    def amounts(): Set[Long] = spark.read.format("gpx").load(dir)
+      .select("amount").collect().map(_.getLong(0)).toSet
+    assert(amounts().size == 500)
+
+    val writer = ForkedJvm.start("graft.CrossProcessMain",
+      Seq("append", dir, "8", "15")) // amounts 800000..800014
+    val compactor = ForkedJvm.start("graft.CrossProcessMain",
+      Seq("compact", dir, "6"))
+    val newKeys = (0 until 15).map(i => 800000L + i).toSet
+    var found = Set.empty[Long]
+    var rounds = 0
+    while ((writer.process.isAlive || found.size < newKeys.size) &&
+        rounds < 500) {
+      rounds += 1
+      val got = amounts()
+      // pre-existing rows survive every interleave
+      assert(got.contains(42L), "pre-existing row vanished mid-race")
+      // rows seen once must stay visible (no regression to a stale copy)
+      found.foreach(k => assert(got.contains(k),
+        s"committed amount $k vanished from projection-era reads"))
+      found ++= newKeys.filter(got.contains)
+    }
+    writer.awaitOk(); compactor.awaitOk()
+    assert(found == newKeys,
+      s"committed amounts never became visible: ${newKeys -- found}")
+    // refresh over the settled table: the projection covers again AND
+    // the routed read is exact
+    graft.format.GpxProjection.refresh(spark, dir, "narrow")
+    assert(graft.format.GpxProjection
+      .covering(dir, Set("amount"), conf2).isDefined,
+      "refresh must re-validate the projection over the settled table")
+    val after = amounts()
+    assert(after == ((0L until 500L).toSet ++ newKeys),
+      s"settled projection read wrong: missing=${((0L until 500L).toSet ++ newKeys) -- after}")
+  }
+
   test("IMPORT races appends, compaction, and vacuum across processes: every registration lands exactly once") {
     val dir = tempDir("xproc_import")
     spark.sql("SELECT CAST(-1 AS BIGINT) AS amount")

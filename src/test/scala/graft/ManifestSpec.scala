@@ -341,6 +341,46 @@ class ManifestSpec extends GraftSpec {
     assert(GpxCommitLog.head(dir, conf).get.live.size == 1 + r.outputFiles)
   }
 
+  test("in-place compaction merges schema-evolved files by column shape") {
+    // a table that gained a column mid-life holds files with DIFFERENT
+    // column sets; byte-copy cannot merge those under one footer, so
+    // compaction must partition by shape — not crash, and not skip the
+    // whole table
+    val dir = tempDir("gpx_log_evo_compact")
+    (0 until 3).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L).selectExpr("id")
+        .coalesce(1).write.format("gpx").mode("append")
+        .option("commitProtocol", "manifest").save(dir)
+    }
+    (0 until 3).foreach { i =>
+      spark.range(300L + i * 100L, 300L + (i + 1) * 100L)
+        .selectExpr("id", "id * 2 as v")
+        .coalesce(1).write.format("gpx").mode("append").save(dir)
+    }
+    val r = graft.format.GpxCompactor.compactInPlace(dir, conf)
+    assert(r.inputFiles == 6 && r.rows == 600, s"$r")
+    assert(r.outputFiles == 2,
+      s"expected one output per column shape, got $r")
+    val df = spark.read.format("gpx").load(dir)
+    assert(df.count() == 600)
+    // old-shape rows null-fill the evolved column; new-shape rows keep it
+    assert(df.filter(col("v").isNull).count() == 300)
+    assert(df.filter(col("v") === col("id") * 2).count() == 300)
+    // a LONE evolved file among many old-shape files stays live untouched
+    val dir2 = tempDir("gpx_log_evo_single")
+    (0 until 3).foreach { i =>
+      spark.range(i * 10L, (i + 1) * 10L).selectExpr("id")
+        .coalesce(1).write.format("gpx").mode("append")
+        .option("commitProtocol", "manifest").save(dir2)
+    }
+    spark.range(30L, 40L).selectExpr("id", "id * 2 as v")
+      .coalesce(1).write.format("gpx").mode("append").save(dir2)
+    val r2 = graft.format.GpxCompactor.compactInPlace(dir2, conf)
+    assert(r2.inputFiles == 3 && r2.outputFiles == 1,
+      s"singleton shape group must stay live untouched: $r2")
+    assert(spark.read.format("gpx").load(dir2).count() == 40)
+  }
+
   test("in-place compaction: one atomic manifest swap, MVCC stamps survive the byte-copy") {
     val dir = tempDir("gpx_log_compact")
     // many small commits with distinct commitTs (MVCC history to preserve)
