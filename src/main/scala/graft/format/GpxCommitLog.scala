@@ -802,6 +802,9 @@ object GpxCommitLog {
     var lastBase = -1L
     var sameBase = 0
     var guardedSeed = false
+    // added files seen on disk at the FIRST attempt (None until then):
+    // the liveness re-check below verifies exactly these on every retry
+    var verifyAdds: Option[Set[String]] = None
     while (attempts > 0) {
       attempts -= 1
       val h = head(root, conf)
@@ -896,6 +899,47 @@ object GpxCommitLog {
         case Replace(add, removeRel, sc) =>
           serializeDelta(Delta(next.version, isReplace = true,
             add.toVector, removeRel, None, Nil, None, sc))
+      }
+      // staged-file liveness re-check across the retry loop: vacuum
+      // sweeps ANY unreferenced .gpx past its staging grace, so a writer
+      // whose stage-to-commit latency exceeded that grace (contention,
+      // GC, CPU starvation — or a grace misconfigured below commit
+      // latency) may be about to publish entries for files that no
+      // longer exist. A dangling reference is SILENT until some later
+      // read trips FileNotFound — fail the commit loudly instead so the
+      // writer re-stages and retries (CrossProcessSpec's append+vacuum
+      // fuzz hit exactly this under host load). The log layer stays
+      // metadata-only for entries that never existed: files ABSENT at
+      // the first attempt are synthetic (tests, catalog seeds) and stay
+      // unverified; files seen ONCE must stay present through every
+      // retry. Overwrites skip entirely (snapshot-level metadata ops —
+      // and a 10k-entry seed must not pay 10k stats). A logDefer-staged
+      // file swept BEFORE this commit's first attempt is
+      // indistinguishable from a synthetic entry and stays TTL-guarded
+      // only (stage close to commit, or raise the grace). The stat-to-put
+      // window remains (microseconds vs the whole retry loop), so the
+      // hard guarantee is still the vacuum grace TTL — this check makes
+      // a violated TTL overwhelmingly loud instead of silent.
+      if (!change.isInstanceOf[Overwrite]) {
+        val d0 = dirOf(root)
+        val addedRel = change match {
+          case Append(add, _, _, _, _) => add.map(_.relPath)
+          case Replace(add, _, _) => add.map(_.relPath)
+          case _ => Nil
+        }
+        verifyAdds match {
+          case None =>
+            verifyAdds = Some(addedRel.filter(rel =>
+              GpxFs.exists(new Path(d0, rel).toString, conf)).toSet)
+          case Some(present) => present.foreach { rel =>
+            if (!GpxFs.exists(new Path(d0, rel).toString, conf))
+              throw new java.io.FileNotFoundException(
+                s"gpx log commit refused: staged file $rel vanished " +
+                  "while the commit retried (vacuum staging grace below " +
+                  "this writer's stage-to-commit latency?) — re-stage " +
+                  "and retry")
+          }
+        }
       }
       if (putIfAbsent(fs, new Path(lp, manifestName(next.version)), bytes)) {
         manifestBytesWritten.addAndGet(bytes.length.toLong)

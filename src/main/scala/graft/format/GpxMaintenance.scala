@@ -180,8 +180,11 @@ object GpxMaintenance {
         catch {
           case t: Throwable =>
             // unreferenced imp_*.gpx files are invisible to log-table
-            // readers but reclaimed by NO sweep (they carry visible
-            // names) — a failed commit must take its copies with it
+            // readers and reclaimed only by vacuum's staging-grace sweep
+            // (possibly hours away) — a failed commit must take its
+            // copies with it. The commit itself re-checks the copies
+            // exist before publishing, so a sweep that DID race the
+            // grace fails here loudly instead of landing dangling.
             out.foreach { case (p, _) =>
               try fs.delete(new Path(p), false)
               catch { case _: Throwable => () }

@@ -36,14 +36,30 @@ object CrossProcessMain {
         val dir = args(1); val id = args(2).toInt; val n = args(3).toInt
         (0 until n).foreach { i =>
           val amount = id * 100000L + i
-          val f = writeAmountFile(dir, amount, conf)
-          System.err.println(s"[append] staged amount=$amount file=$f " +
-            s"t=${System.currentTimeMillis()}")
-          val v = GpxCommitLog.commit(dir, conf,
-            GpxCommitLog.Append(Seq(GpxCommitLog.entryFor(dir, f, conf)),
-              schema = Some(amountSchema)))
-          System.err.println(s"[append] committed amount=$amount v=$v " +
-            s"t=${System.currentTimeMillis()}")
+          // a vacuum racing this writer may sweep the staged file while
+          // the commit retries past the staging grace — the commit then
+          // fails LOUDLY (never a dangling reference) and the writer's
+          // contract is to re-stage and retry, which is what a
+          // production ingester would do
+          var done = false
+          while (!done) {
+            val f = writeAmountFile(dir, amount, conf)
+            System.err.println(s"[append] staged amount=$amount file=$f " +
+              s"t=${System.currentTimeMillis()}")
+            try {
+              val v = GpxCommitLog.commit(dir, conf,
+                GpxCommitLog.Append(Seq(GpxCommitLog.entryFor(dir, f, conf)),
+                  schema = Some(amountSchema)))
+              System.err.println(s"[append] committed amount=$amount v=$v " +
+                s"t=${System.currentTimeMillis()}")
+              done = true
+            } catch {
+              case _: java.io.FileNotFoundException =>
+                System.err.println(s"[append] staged file swept " +
+                  s"mid-commit for amount=$amount — re-staging " +
+                  s"t=${System.currentTimeMillis()}")
+            }
+          }
         }
 
       // transfer <a> <b> <iters> <base>: atomic append-pair transfers of
@@ -115,11 +131,25 @@ object CrossProcessMain {
         (0 until n).foreach { i =>
           val amount = id * 100000L + i
           val src = writeAmountFile(tmp, amount, conf)
-          val (files, rows) =
-            graft.format.GpxMaintenance.importFiles(dir, Seq(src), conf)
-          require(files == 1 && rows == 1L, s"import returned ($files, $rows)")
-          System.err.println(s"[import] committed amount=$amount " +
-            s"t=${System.currentTimeMillis()}")
+          // a racing vacuum can sweep the pre-commit imp_ copy past the
+          // staging grace: importFiles fails LOUDLY (removing its
+          // copies) — retry, as a production importer would
+          var done = false
+          while (!done) {
+            try {
+              val (files, rows) =
+                graft.format.GpxMaintenance.importFiles(dir, Seq(src), conf)
+              require(files == 1 && rows == 1L,
+                s"import returned ($files, $rows)")
+              System.err.println(s"[import] committed amount=$amount " +
+                s"t=${System.currentTimeMillis()}")
+              done = true
+            } catch {
+              case _: java.io.FileNotFoundException =>
+                System.err.println(s"[import] copy swept mid-commit for " +
+                  s"amount=$amount — retrying t=${System.currentTimeMillis()}")
+            }
+          }
         }
 
       // vacuum <dir> <iters> <minAgeMs>: repeated vacuums racing the

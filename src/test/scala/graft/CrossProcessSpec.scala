@@ -40,15 +40,12 @@ class CrossProcessSpec extends GraftSpec {
     val head = GpxCommitLog.head(dir, conf).get
     assert(head.version >= v0 + 45,
       s"head at v${head.version}, expected >= v${v0 + 45} — a commit was lost")
-    // every appended row visible exactly once
-    val got = spark.read.format("gpx").load(dir)
-      .select("amount").collect().map(_.getLong(0)).sorted.toSeq
-    val want = (-1L +: (for {
-      id <- 0 until 3; i <- 0 until 15
-    } yield id * 100000L + i)).sorted
-    if (got != want) { // preserve evidence: the table dir and every
-      // child's log survive the tempdir cleanup, so a rare fuzz failure
-      // is diagnosable post-hoc (graft.LogDump dumps the copied chain)
+    // preserve evidence on ANY failure (mismatch OR a read exception —
+    // e.g. a dangling manifest reference tripping FileNotFound): the
+    // table dir and every child's log survive the tempdir cleanup, so a
+    // rare fuzz failure is diagnosable post-hoc (graft.LogDump dumps
+    // the copied chain)
+    def preserve(why: String): Unit = {
       val dest = s"/tmp/xproc_evidence_${System.currentTimeMillis()}"
       org.apache.commons.io.FileUtils.copyDirectory(
         new java.io.File(dir), new java.io.File(dest))
@@ -57,9 +54,17 @@ class CrossProcessSpec extends GraftSpec {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$dest/_childlog_$n.txt"), h.logText)
       }
-      System.err.println(s"[evidence] copied $dir -> $dest; " +
-        s"missing=${want.diff(got)} extra=${got.diff(want)}")
+      System.err.println(s"[evidence] copied $dir -> $dest; $why")
     }
+    // every appended row visible exactly once
+    val got = try spark.read.format("gpx").load(dir)
+      .select("amount").collect().map(_.getLong(0)).sorted.toSeq
+    catch { case t: Throwable => preserve(s"read failed: $t"); throw t }
+    val want = (-1L +: (for {
+      id <- 0 until 3; i <- 0 until 15
+    } yield id * 100000L + i)).sorted
+    if (got != want)
+      preserve(s"missing=${want.diff(got)} extra=${got.diff(want)}")
     assert(got == want)
   }
 
