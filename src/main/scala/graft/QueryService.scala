@@ -139,13 +139,17 @@ object QueryService {
     require(slots >= 1 && queueCap >= 1 && maxResultRows >= 1 &&
       pageRows >= 1 && maxSpillBytes >= 1 && maxTotalSpillBytes >= 1)
 
-    /** spill bytes currently RETAINED by finished paged results —
-      * `maxSpillBytes` bounds one query, this bounds the service: without
-      * it, N clients each just under the per-query cap hold N GiB of
-      * tmpdir (RAM again when /tmp is tmpfs) until their TTLs. A finish
-      * that would exceed it is rejected like an oversize result. In-flight
-      * writes are outside this ledger, so the true peak is retained +
-      * (concurrent writers x maxSpillBytes). */
+    /** spill bytes currently RETAINED by finished paged results PLUS
+      * bytes reserved by in-flight paged writes — `maxSpillBytes` bounds
+      * one query, this bounds the service: without it, N clients each
+      * just under the per-query cap hold N GiB of tmpdir (RAM again when
+      * /tmp is tmpfs) until their TTLs. In-flight writers reserve their
+      * counted bytes incrementally as they write (released on failure),
+      * so `slots` concurrent paged writers cannot each pass an
+      * admission check and then write maxSpillBytes of unaccounted disk:
+      * the ledger IS the disk bound, overshoot at most one flush
+      * interval per writer. A write that would exceed it aborts exactly
+      * like an oversize result. */
     private val retainedSpill = new AtomicLong(0)
 
     /** every spill-deletion path goes through here so the ledger can
@@ -411,26 +415,13 @@ object QueryService {
               // time (driver holds one partition + one page buffer, not
               // the result), each page serialized as one independent
               // block so serving reads exactly one block per request
+              // service-wide budget: reserved INCREMENTALLY inside
+              // spillWrite as bytes are written (the ledger covers
+              // in-flight writers, so `slots` concurrent spills are
+              // bounded collectively); at success the reservation equals
+              // spill.bytes, which every failure path below returns via
+              // freeSpill — nothing left to admit here.
               val spill = spillWrite(e, df)
-              // service-wide retention admission BEFORE publication: a
-              // finish that would push retained spill past the budget is
-              // rejected exactly like an oversize result. CAS, not blind
-              // add-then-revert: a doomed neighbor's transient over-add
-              // must not spuriously reject a small spill that fits.
-              var admitted = false
-              var cur = retainedSpill.get()
-              while (!admitted && cur + spill.bytes <= maxTotalSpillBytes) {
-                if (retainedSpill.compareAndSet(cur, cur + spill.bytes))
-                  admitted = true
-                else cur = retainedSpill.get()
-              }
-              if (!admitted) {
-                spill.file.delete()
-                throw new ResultTooLargeException(
-                  s"service spill budget exceeded (maxTotalSpillBytes=" +
-                    s"$maxTotalSpillBytes) — pop/release earlier paged " +
-                    "results or write to a sink")
-              }
               val finished = System.currentTimeMillis()
               var keep = false
               e.synchronized {
@@ -543,6 +534,32 @@ object QueryService {
         override def flush(): Unit = ()
         override def close(): Unit = ()
       }
+      // incremental service-budget reservation: this writer's counted
+      // bytes sit in the retainedSpill ledger WHILE it writes, so
+      // concurrent paged writers are bounded collectively — reserving
+      // only at publication would let `slots` writers each pass an
+      // admission check and write up to maxSpillBytes of unaccounted
+      // (and possibly doomed) disk first. Overshoot is at most one
+      // flush interval per writer; released on any failure; at success
+      // the reservation equals Spill.bytes, which freeSpill returns.
+      var reserved = 0L
+      def reserve(upTo: Long): Unit = {
+        val delta = upTo - reserved
+        if (delta > 0) {
+          var ok = false
+          var cur = retainedSpill.get()
+          while (!ok && cur + delta <= maxTotalSpillBytes) {
+            if (retainedSpill.compareAndSet(cur, cur + delta)) ok = true
+            else cur = retainedSpill.get()
+          }
+          if (!ok)
+            throw new ResultTooLargeException(
+              s"service spill budget exceeded (maxTotalSpillBytes=" +
+                s"$maxTotalSpillBytes) — pop/release earlier paged " +
+                "results or write to a sink")
+          reserved = upTo
+        }
+      }
       try {
         val offsets = scala.collection.mutable.ArrayBuffer(0L)
         val perPage = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -579,15 +596,10 @@ object QueryService {
             throw new ResultTooLargeException(
               s"paged result spill exceeds maxSpillBytes=$maxSpillBytes " +
                 "— rejected; add a LIMIT or write to a sink")
-          // early service-budget abort (advisory — the CAS at publication
-          // decides): a spill that provably cannot be admitted should
-          // stop executing and writing NOW, not after up to maxSpillBytes
-          // of doomed disk I/O
-          if (retainedSpill.get() + counting.count > maxTotalSpillBytes)
-            throw new ResultTooLargeException(
-              s"service spill budget exceeded (maxTotalSpillBytes=" +
-                s"$maxTotalSpillBytes) — pop/release earlier paged " +
-                "results or write to a sink")
+          // reserve what's been counted so far — this is the binding
+          // service-budget check, and it aborts a spill that cannot be
+          // admitted NOW, not after maxSpillBytes of doomed disk I/O
+          reserve(counting.count)
         }
         // an empty result still gets one zero-row page: clients can
         // fetch page 0 for columns/rowCount/timings instead of a dead end
@@ -595,11 +607,15 @@ object QueryService {
           oos = new java.io.ObjectOutputStream(noClose)
         endPage()
         counting.close()
+        // settle the reservation to the exact final byte count so
+        // freeSpill's -bytes later balances the ledger to zero
+        reserve(counting.count)
         Spill(file, offsets.toArray, perPage.toArray, df.columns, rowCount,
-          file.length(), 0L, 0L)
+          counting.count, 0L, 0L)
       } catch {
         case t: Throwable =>
           try counting.close() catch { case _: Throwable => () }
+          retainedSpill.addAndGet(-reserved)
           file.delete()
           throw t
       }

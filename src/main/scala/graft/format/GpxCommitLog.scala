@@ -102,7 +102,52 @@ object GpxCommitLog {
     * the inode is reclaimed — the bound on how stale an in-flight
     * committer's resolved base may be without risking a reopened-slot
     * win (see the tombstone comment in [[vacuum]]) */
-  val TombstoneGraceMs: Long = 60L * 60 * 1000
+  val DefaultTombstoneGraceMs: Long = 60L * 60 * 1000
+
+  /** default for vacuum's staging grace (`minAgeMs`): how long an
+    * unreferenced data file is presumed to belong to an in-flight,
+    * not-yet-committed writer */
+  val DefaultVacuumGraceMs: Long = 60L * 60 * 1000
+
+  /** ONE config surface for the commit-log liveness graces — they and
+    * the mutation-lock/claim TTL all encode the same boundary ("a writer
+    * stalled past X is dead") and must move TOGETHER, so each read
+    * cross-validates grace >= [[GpxMutationLock.ttlMs]]: a grace below
+    * the lock TTL would let vacuum reclaim artifacts of a writer the
+    * lock layer still considers alive. Hadoop conf key
+    * `graft.gpx.<name>` wins, then Spark conf `spark.graft.gpx.<name>`,
+    * then the default. Malformed or TTL-violating values fail LOUDLY —
+    * a grace knob silently falling back to 1 h is how a misconfigured
+    * deployment loses data on the day it matters. (Tests/fuzz that
+    * deliberately race below the boundary pass vacuum's explicit
+    * `minAgeMs` parameter, which bypasses this surface.) */
+  def tombstoneGraceMs(conf: Configuration): Long =
+    graceConf(conf, "tombstoneGraceMs", DefaultTombstoneGraceMs)
+
+  def vacuumGraceMs(conf: Configuration): Long =
+    graceConf(conf, "vacuumGraceMs", DefaultVacuumGraceMs)
+
+  private def graceConf(conf: Configuration, name: String,
+      dflt: Long): Long = {
+    val raw = Option(conf.get(s"graft.gpx.$name"))
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(_.conf.getOption(s"spark.graft.gpx.$name")))
+    val v = raw match {
+      case None => dflt
+      case Some(s) =>
+        try s.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.gpx.$name must be a long (ms), got '$s'")
+        }
+    }
+    val ttl = GpxMutationLock.ttlMs
+    if (v < ttl) throw new IllegalArgumentException(
+      s"graft.gpx.$name = $v ms is below the mutation-lock/claim TTL " +
+        s"($ttl ms) — both encode the same liveness boundary and must " +
+        "move together (raise the grace, or lower " +
+        "spark.graft.gpx.mutationLockTtlMs with it)")
+    v
+  }
 
   // parsed manifests are immutable once committed: cache by (dir, version)
   private val parseCache = java.util.Collections.synchronizedMap(
@@ -802,9 +847,11 @@ object GpxCommitLog {
     var lastBase = -1L
     var sameBase = 0
     var guardedSeed = false
-    // added files seen on disk at the FIRST attempt (None until then):
-    // the liveness re-check below verifies exactly these on every retry
+    // added files seen on disk at the FIRST RETRY (None until then —
+    // the happy path never stats): the liveness re-check below verifies
+    // exactly these on every subsequent retry
     var verifyAdds: Option[Set[String]] = None
+    var firstAttempt = true
     while (attempts > 0) {
       attempts -= 1
       val h = head(root, conf)
@@ -920,7 +967,12 @@ object GpxCommitLog {
       // window remains (microseconds vs the whole retry loop), so the
       // hard guarantee is still the vacuum grace TTL — this check makes
       // a violated TTL overwhelmingly loud instead of silent.
-      if (!change.isInstanceOf[Overwrite]) {
+      // LAZY: the baseline is built only when a retry actually happens
+      // (first re-entry of the loop) — an N-file append whose first
+      // putIfAbsent wins pays ZERO extra exists() round-trips, which
+      // matters per-commit on object storage; the cross-retry guarantee
+      // is unchanged because it only binds from the second attempt on.
+      if (!change.isInstanceOf[Overwrite] && !firstAttempt) {
         val d0 = dirOf(root)
         val addedRel = change match {
           case Append(add, _, _, _, _) => add.map(_.relPath)
@@ -961,6 +1013,7 @@ object GpxCommitLog {
         return next.version
       }
       // lost the slot: back off a touch and rebase on the new head
+      firstAttempt = false
       Thread.sleep(2 + scala.util.Random.nextInt(8))
     }
     // Attempts exhausted. Distinguish livelock-by-contention from a DEAD
@@ -1117,11 +1170,16 @@ object GpxCommitLog {
     * `minAgeMs` protects IN-FLIGHT commits: a writer that has published
     * its data files but not yet claimed its manifest slot looks exactly
     * like an orphan — only files older than the window are reclaimed
-    * (no batch write publishes for an hour; raise it if yours do). */
+    * (no batch write publishes for an hour; raise it if yours do).
+    * Defaults (minAgeMs < 0) to the [[vacuumGraceMs]] config surface,
+    * which cross-validates against the lock TTL; an explicit value is
+    * the caller's own liveness claim (tests race below it on purpose). */
   def vacuum(root: String, conf: Configuration,
       keepVersions: Int = 2,
-      minAgeMs: Long = 60L * 60 * 1000): (Int, Int) = {
+      minAgeMs: Long = -1L): (Int, Int) = {
     require(keepVersions >= 1, "must keep at least the head")
+    val stagingGraceMs = if (minAgeMs >= 0) minAgeMs else vacuumGraceMs(conf)
+    val tombGraceMs = tombstoneGraceMs(conf)
     val lp = logPath(root)
     val fs = lp.getFileSystem(conf)
     def isSelfContained(v: Long): Boolean =
@@ -1172,7 +1230,7 @@ object GpxCommitLog {
         !full.drop(qd.length).stripPrefix("/").split('/')
           .exists(s => s.startsWith("_") || s.startsWith(".")) => full
     }
-    val cutoff = System.currentTimeMillis() - minAgeMs
+    val cutoff = System.currentTimeMillis() - stagingGraceMs
     var dataDeleted = 0
     all.foreach { f =>
       val rel = if (f.startsWith(qd)) f.drop(qd.length).stripPrefix("/") else f
@@ -1208,7 +1266,7 @@ object GpxCommitLog {
       val swept = GpxFs.stat(mp.toString, conf) match {
         case Some(st) if st.len == 0 =>
           // already a tombstone: reclaim after the grace, never recount
-          if (System.currentTimeMillis() - st.mtime > TombstoneGraceMs) {
+          if (System.currentTimeMillis() - st.mtime > tombGraceMs) {
             try { fs.delete(mp, false); () } catch { case _: Throwable => () }
           }
           false

@@ -38,7 +38,10 @@ object GpxMutationLock {
   final case class Held(path: Path, token: String, fs: FileSystem,
       acquiredAtMs: Long, ttlAtAcquireMs: Long)
 
-  private def ttlMs: Long =
+  /** the liveness boundary everything above builds on: a holder stalled
+    * past this is treated as dead. Public so the commit-log graces (which
+    * encode the SAME boundary) can cross-validate against it. */
+  def ttlMs: Long =
     try org.apache.spark.sql.SparkSession.active.conf
       .getOption("spark.graft.gpx.mutationLockTtlMs").map(_.toLong)
       .getOrElse(DefaultTtlMs)

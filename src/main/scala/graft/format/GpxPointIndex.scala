@@ -546,13 +546,23 @@ object GpxPointIndex {
             } else if (refused.contains(s"$idxDir|$fp")) {
               refusals.incrementAndGet(); return None
             } else load(idxDir, fp, conf, cap) match {
-              case Some(l) =>
+              case Loaded(l) =>
                 cache.put(idxDir, l)
                 evictOver()
                 l
-              case None =>
+              case OverCapOrEmpty =>
+                // a GENUINE refusal (index bigger than the cap, or no
+                // files yet): stable for this fp, so cache it — every
+                // lookup shouldn't re-walk footers just to re-refuse
                 if (refused.size >= MaxRefusals) refused.clear()
                 refused.add(s"$idxDir|$fp")
+                refusals.incrementAndGet()
+                return None
+              case TransientError =>
+                // a one-off read failure (object-store hiccup, a rebuild
+                // deleting a bucket mid-walk) must NOT permanently
+                // disable the memory scheme for this fp: don't cache the
+                // refusal — the next probe retries the load
                 refusals.incrementAndGet()
                 return None
             }
@@ -574,18 +584,27 @@ object GpxPointIndex {
       * a refresh racing this load can only make the tag STALER than the
       * loaded bytes (superset entries under an old tag — next serve
       * sees the moved fp and reloads), never fresher than them. Any
-      * read error (rebuild deleted a bucket mid-walk) refuses cleanly. */
+      * read error (rebuild deleted a bucket mid-walk) refuses cleanly —
+      * but as [[TransientError]], so the caller retries next probe
+      * instead of caching the refusal for the fp's lifetime. */
+    private sealed trait LoadResult
+    private final case class Loaded(m: Mirror) extends LoadResult
+    /** stable for this fingerprint: cacheable refusal */
+    private case object OverCapOrEmpty extends LoadResult
+    /** possibly one-off: never cached, retried on the next probe */
+    private case object TransientError extends LoadResult
+
     private def load(idxDir: String, fp: String, conf: Configuration,
-        cap: Long): Option[Mirror] = try {
+        cap: Long): LoadResult = try {
       val files = GpxTable.listFiles(Seq(idxDir), conf)
-      if (files.isEmpty) return None
+      if (files.isEmpty) return OverCapOrEmpty
       var total = 0L
       val footers = files.map { f =>
         val ft = GpxFileReader.FooterCache.get(f, conf)
         total += ft.rowGroups.map(_.numRows.toLong).sum
         f -> ft
       }
-      if (total > cap) return None
+      if (total > cap) return OverCapOrEmpty
       val fileIds = mutable.HashMap.empty[String, Int]
       val fileArr = mutable.ArrayBuffer.empty[String]
       val acc = new java.util.HashMap[Long, mutable.ArrayBuffer[Long]]()
@@ -614,8 +633,8 @@ object GpxPointIndex {
         math.max(16, acc.size * 2))
       acc.forEach((k, v) => map.put(k, v.toArray))
       loads.incrementAndGet()
-      Some(Mirror(fp, fileArr.toArray, map, System.nanoTime()))
-    } catch { case scala.util.control.NonFatal(_) => None }
+      Loaded(Mirror(fp, fileArr.toArray, map, System.nanoTime()))
+    } catch { case scala.util.control.NonFatal(_) => TransientError }
 
     private def evictOver(): Unit =
       while (cache.size > MaxMirrors) {

@@ -41,7 +41,10 @@ object CrossProcessMain {
           // fails LOUDLY (never a dangling reference) and the writer's
           // contract is to re-stage and retry, which is what a
           // production ingester would do
-          var done = false
+          // bounded: a vacuum grace persistently below stage-to-commit
+          // latency must fail LOUDLY (exit 1 -> parent's awaitOk), not
+          // spin this child forever and hang the test on its exit
+          var done = false; var restages = 0
           while (!done) {
             val f = writeAmountFile(dir, amount, conf)
             System.err.println(s"[append] staged amount=$amount file=$f " +
@@ -54,7 +57,12 @@ object CrossProcessMain {
                 s"t=${System.currentTimeMillis()}")
               done = true
             } catch {
-              case _: java.io.FileNotFoundException =>
+              case e: java.io.FileNotFoundException =>
+                restages += 1
+                if (restages > 50) throw new IllegalStateException(
+                  s"append starved: staged file swept $restages times for " +
+                    s"amount=$amount (vacuum grace below stage-to-commit " +
+                    "latency?)", e)
                 System.err.println(s"[append] staged file swept " +
                   s"mid-commit for amount=$amount — re-staging " +
                   s"t=${System.currentTimeMillis()}")
@@ -134,7 +142,8 @@ object CrossProcessMain {
           // a racing vacuum can sweep the pre-commit imp_ copy past the
           // staging grace: importFiles fails LOUDLY (removing its
           // copies) — retry, as a production importer would
-          var done = false
+          // bounded like the append loop: persistent sweeps fail loudly
+          var done = false; var retries = 0
           while (!done) {
             try {
               val (files, rows) =
@@ -145,7 +154,12 @@ object CrossProcessMain {
                 s"t=${System.currentTimeMillis()}")
               done = true
             } catch {
-              case _: java.io.FileNotFoundException =>
+              case e: java.io.FileNotFoundException =>
+                retries += 1
+                if (retries > 50) throw new IllegalStateException(
+                  s"import starved: copy swept $retries times for " +
+                    s"amount=$amount (vacuum grace below copy-to-commit " +
+                    "latency?)", e)
                 System.err.println(s"[import] copy swept mid-commit for " +
                   s"amount=$amount — retrying t=${System.currentTimeMillis()}")
             }

@@ -631,4 +631,48 @@ class ManifestSpec extends GraftSpec {
     assert(GpxCommitLog.head(dir, conf).exists(_.live.nonEmpty))
     assert(spark.read.format("gpx").load(dir).count() == 2)
   }
+
+  test("grace knobs: one config surface, cross-validated against the lock TTL") {
+    val dir = tempDir("gpx_log_grace")
+    spark.range(0, 10).selectExpr("id", "id as v")
+      .write.format("gpx").mode("append")
+      .option("commitProtocol", "manifest").save(dir)
+    val ttl = graft.format.GpxMutationLock.ttlMs
+
+    // a grace below the lock TTL is a liveness-boundary contradiction:
+    // vacuum could reclaim artifacts of a writer the lock layer still
+    // considers alive — refuse loudly, with no state changed
+    val low = new Configuration(conf)
+    low.set("graft.gpx.vacuumGraceMs", (ttl - 1).toString)
+    val e1 = intercept[IllegalArgumentException] {
+      GpxCommitLog.vacuum(dir, low)
+    }
+    assert(e1.getMessage.contains("mutation-lock"))
+    val lowTomb = new Configuration(conf)
+    lowTomb.set("graft.gpx.tombstoneGraceMs", "1000")
+    intercept[IllegalArgumentException] { GpxCommitLog.vacuum(dir, lowTomb) }
+
+    // malformed values fail loudly, never silently fall back to defaults
+    val bad = new Configuration(conf)
+    bad.set("graft.gpx.tombstoneGraceMs", "soon")
+    intercept[IllegalArgumentException] { GpxCommitLog.vacuum(dir, bad) }
+
+    // valid configured graces are honored (>= TTL passes validation);
+    // nothing young enough is reclaimed, reads intact
+    val ok = new Configuration(conf)
+    ok.set("graft.gpx.vacuumGraceMs", (ttl * 2).toString)
+    ok.set("graft.gpx.tombstoneGraceMs", (ttl * 2).toString)
+    val (dataGone, _) = GpxCommitLog.vacuum(dir, ok, keepVersions = 1)
+    assert(dataGone == 0, "fresh files are inside the staging grace")
+    assert(spark.read.format("gpx").load(dir).count() == 10)
+
+    // explicit minAgeMs bypasses the surface — the caller's own liveness
+    // claim (tests/fuzz deliberately race below the boundary)
+    spark.range(10, 20).selectExpr("id", "id as v")
+      .write.format("gpx").mode("overwrite").save(dir)
+    val (gone2, _) = GpxCommitLog.vacuum(dir, conf, keepVersions = 1,
+      minAgeMs = 0)
+    assert(gone2 > 0)
+    assert(spark.read.format("gpx").load(dir).count() == 10)
+  }
 }

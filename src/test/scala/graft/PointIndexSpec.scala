@@ -439,6 +439,45 @@ class PointIndexSpec extends GraftSpec {
     }
   }
 
+  test("memory scheme: a transient read error is retried, not cached as a refusal") {
+    val d = Files.createTempDirectory("gpx_idx_mem_tr").toString
+    Tables.orders(sp, sf).repartition(4)
+      .write.format("gpx").mode("overwrite")
+      .option("rowGroupRows", "256").save(d)
+    GpxPointIndex.build(sp, d, "o_orderkey", numBuckets = 4)
+    val keys = Tables.orders(sp, sf).limit(2).collect()
+      .map(_.getLong(0)).toSet
+    val idx = GpxPointIndex.indexDir(d, "o_orderkey")
+    // corrupt an index bucket file whose bucket serves NONE of the probed
+    // keys: the mirror's full walk trips over it (the "object-store
+    // hiccup"), while the gpx fallback bucket-prunes past it and serves
+    val eligible = keys.map(GpxTable.bucketOf(_, 4))
+    val victim = new java.io.File(idx).listFiles()
+      .filter(_.getName.endsWith(".gpx"))
+      .find(f => GpxTable.bucketOfFile(f.getName).exists(b => !eligible.contains(b)))
+      .getOrElse(fail("no ineligible bucket file to corrupt"))
+    val orig = java.nio.file.Files.readAllBytes(victim.toPath)
+    GpxPointIndex.MemoryMirror.reset()
+    sp.conf.set("spark.graft.index.scheme", "memory")
+    try {
+      java.nio.file.Files.write(victim.toPath, Array[Byte](1, 2, 3))
+      val got = GpxPointIndex.entriesFor(d, "o_orderkey", keys, conf)
+      assert(got.isDefined && got.get.nonEmpty,
+        "a transient mirror failure must fall back to gpx, not fail")
+      assert(GpxPointIndex.MemoryMirror.loads.get == 0)
+      assert(GpxPointIndex.MemoryMirror.refusals.get >= 1)
+      // heal the store: the NEXT probe must retry the load — a one-off
+      // read error must not disable the memory scheme for this fp until
+      // a rebuild or process restart
+      java.nio.file.Files.write(victim.toPath, orig)
+      val again = GpxPointIndex.entriesFor(d, "o_orderkey", keys, conf)
+      assert(again == got)
+      assert(GpxPointIndex.MemoryMirror.loads.get == 1,
+        "healed store must be mirrored on the next probe — transient " +
+          "errors must not be cached as refusals")
+    } finally sp.conf.unset("spark.graft.index.scheme")
+  }
+
   test("memory scheme serves compound indexes identically to gpx") {
     val d = Files.createTempDirectory("gpx_idx_mem_comp").toString
     Tables.orders(sp, sf).repartition(4)

@@ -236,6 +236,55 @@ class QueryServiceSpec extends GraftSpec {
     } finally m2.close()
   }
 
+  test("in-flight spills are ledger-reserved: concurrent writers are collectively bounded") {
+    val sql = "SELECT id, repeat('x', 64) AS pad FROM range(2000)"
+    // calibrate one spill's byte size with an unconstrained manager
+    val m0 = new Manager(spark, slots = 1, pageRows = 500)
+    val one = try {
+      val t = m0.submit(sql, Immediate, paged = true)
+      assert(m0.await(t, 60000).contains(Finished))
+      m0.retainedSpillBytes
+    } finally m0.close()
+    assert(one > 0)
+    // budget admits ONE such spill but not two: without in-flight
+    // reservation, 3 concurrent writers would each pass an
+    // admission-at-publication check and write 3x the budget to disk
+    val budget = (one * 1.6).toLong
+    val m = new Manager(spark, slots = 4, pageRows = 500,
+      maxTotalSpillBytes = budget)
+    try {
+      @volatile var sampling = true
+      var maxSeen = 0L
+      val sampler = new Thread(() => {
+        while (sampling) {
+          maxSeen = math.max(maxSeen, m.retainedSpillBytes)
+          Thread.sleep(1)
+        }
+      })
+      sampler.setDaemon(true)
+      sampler.start()
+      val tokens = (1 to 3).map(_ => m.submit(sql, Immediate, paged = true))
+      val outcomes = tokens.map(t => m.await(t, 120000).get)
+      sampling = false
+      sampler.join(2000)
+      maxSeen = math.max(maxSeen, m.retainedSpillBytes)
+      assert(maxSeen <= budget,
+        s"ledger exceeded the budget under concurrency: $maxSeen > $budget")
+      val finished = outcomes.count(_ == Finished)
+      assert(finished <= 1, s"two spills can't both fit: $outcomes")
+      outcomes.filterNot(_ == Finished).foreach {
+        case Failed(reason) =>
+          assert(reason.contains("service spill budget"), reason)
+        case other => fail(s"expected a budget rejection, got $other")
+      }
+      // aborted writers must have released their reservations: only the
+      // finished result (if any) is still retained
+      tokens.foreach(t => m.releaseResult(t))
+      assert(m.retainedSpillBytes == 0,
+        s"ledger did not drain: ${m.retainedSpillBytes}")
+    } finally m.close()
+  }
+
   test("paged results: spill cap rejects, empty pages once, TTL/cancel free the file") {
     def spillFiles: Set[String] =
       Option(QueryService.spillRoot.listFiles()).getOrElse(Array.empty)
