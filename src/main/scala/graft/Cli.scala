@@ -17,8 +17,11 @@ import org.apache.spark.sql.SparkSession
   *                                         on plain tables) — no row
   *                                         re-read through Spark
   *   COMPACT <gpx-src> <gpx-dest>          ordered → compact layout merge
-  *   COMPACT <gpx-log-table>               IN-PLACE (commit-log tables:
-  *                                         one atomic manifest swap)
+  *   COMPACT <gpx-log-table> [--rewrite]   IN-PLACE (commit-log tables:
+  *                                         one atomic manifest swap);
+  *                                         --rewrite re-encodes through
+  *                                         the union schema so evolved
+  *                                         tables converge to one shape
   *   STAT    <gpx-table>                   ANALYZE: NDV sidecar for CBO
   *   INDEX   <gpx-table> <col[,col2]>      build a point index (compound
   *                                         when 2+ columns)
@@ -60,7 +63,8 @@ object Cli {
       |          --numBuckets n] [--rangeBy c --rangeBounds b1,b2,...]
       |          [--rowGroupRows n] [--overwrite]
       |  IMPORT  <gpx-file[,f2..]|dir> <gpx-table>
-      |  COMPACT <gpx-src> <gpx-dest>   (or: COMPACT <gpx-log-table> in place)
+      |  COMPACT <gpx-src> <gpx-dest>   (or: COMPACT <gpx-log-table>
+      |          [--rewrite] in place; --rewrite converges evolved tables)
       |  STAT    <gpx-table>
       |  INDEX   <gpx-table> <col[,col2]>
       |  VACUUM  <gpx-table> [ttlMs]
@@ -125,14 +129,18 @@ object Cli {
         println(s"IMPORT ok: $n file(s), $rows rows -> $table")
       case "COMPACT" =>
         // two operands: copy-compact into a new dir; one operand: in-place
-        // atomic compaction of a commit-log table
+        // atomic compaction of a commit-log table (--rewrite re-encodes
+        // through the union schema so evolved tables converge to 1 shape)
         val ops = args.drop(1).takeWhile(!_.startsWith("--"))
         ops match {
           case Seq(src, dest) =>
             graft.format.GpxCompactor.compact(src, dest, conf)
             println(s"COMPACT ok: $src -> $dest")
           case Seq(table) =>
-            val r = graft.format.GpxCompactor.compactInPlace(table, conf)
+            val r =
+              if (args.contains("--rewrite"))
+                graft.format.GpxCompactor.compactRewrite(spark, table, conf)
+              else graft.format.GpxCompactor.compactInPlace(table, conf)
             println(s"COMPACT ok: $table in place " +
               s"(${r.inputFiles} -> ${r.outputFiles} files, ${r.rows} rows)")
           case _ => usage()

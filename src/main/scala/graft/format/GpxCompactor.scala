@@ -394,4 +394,127 @@ object GpxCompactor {
     GpxVersion.bump(dir, conf)
     r
   }
+
+  /** RE-ENCODE compaction of a commit-log table — the convergence mode
+    * byte-copy cannot offer on schema-EVOLVED tables: [[compactInPlace]]
+    * merges only same-shape files, so a table with k historical column
+    * shapes never compacts below k files. This mode reads the whole
+    * table through the SCAN's union-schema semantics (null-fill for
+    * pre-ADD files, rename aliases, dropped-column hiding, delete masks
+    * applied) and writes ONE shape; the reference reaches that state
+    * only by re-LOADing the table (its compactor assumes a single
+    * schema, pixels-core/.../compactor/PixelsCompactor.java:52, and the
+    * LOAD path re-encodes).
+    *
+    * Same atomicity as compactInPlace: outputs stage under an invisible
+    * dot-dir (a crash's leftovers match the dot-temp vacuum sweep), get
+    * published as unreferenced compact-* names, and ONE Replace commit
+    * swaps them in under the mutation lock after a sidecar recheck — a
+    * delete landing while the rewrite ran refuses loudly rather than
+    * silently shipping files with stale folded masks. The scan pins the
+    * starting head version, so the consumed set is exact, a buffered
+    * memtable tail (served to CURRENT reads only) can never be baked
+    * into files, and a concurrent APPEND simply survives the Replace
+    * (its files are not consumed); a COW rewrite of a consumed input
+    * makes the commit refuse (consumed-no-longer-live).
+    *
+    * Trades vs byte-copy — use [[compactInPlace]] when shapes allow:
+    * decode+re-encode cost, and per-row-group commitTs history collapses
+    * into always-visible rows (the same documented approximation as
+    * mask folding; version-pinned time travel through RETAINED manifests
+    * is unaffected). Layout sidecars (sort/bucket/range) are re-applied
+    * as write options so routing and pruning survive the rewrite. */
+  def compactRewrite(spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      conf: Configuration,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      beforeSwap: () => Unit = () => ()): Result = {
+    require(GpxCommitLog.isLogTable(dir, conf),
+      s"compactRewrite requires a commit-log table (Cli LOG $dir)")
+    val h = GpxCommitLog.head(dir, conf).getOrElse(
+      throw new IllegalStateException(s"no manifest head under $dir"))
+    if (h.live.isEmpty) return Result(0, 0, 0L)
+    val dirP = new Path(dir)
+    val fs = dirP.getFileSystem(conf)
+    val qd = fs.makeQualified(dirP).toString
+    val consumedAbs = h.live.map(e => s"$qd/${e.relPath}").sorted
+    // the masks the scan will fold into the rewrite, fingerprinted by
+    // sidecar identity (names are uuid-unique): re-verified unchanged
+    // under the lock before the swap
+    def sidecarFp(): Map[String, Seq[String]] = {
+      val byParent = consumedAbs.map(f => new Path(f).getParent).distinct
+        .map(p => p -> GpxDeleteBitmap.sidecarsIn(p, conf)).toMap
+      consumedAbs.map { f =>
+        val p = new Path(f)
+        f -> byParent(p.getParent).getOrElse(p.getName, Seq.empty)
+          .map(_.path).sorted
+      }.toMap
+    }
+    val sidecarsBefore = sidecarFp()
+    val df = spark.read.format("gpx")
+      .option("atVersion", h.version.toString).load(dir)
+    val sortSpec = GpxTable.readSortSpec(dir, conf)
+    val bucket = GpxTable.readBucketSpec(dir, conf)
+    val range = GpxTable.readRangeSpec(dir, conf)
+    // size the output by input bytes (an upper bound — re-encoding the
+    // union shape can only null-fill, not grow). coalesce, NOT
+    // repartition: a compaction must never shuffle the table; each
+    // output task concatenates scan splits. Bucketed tables skip the
+    // coalesce — the writer's own per-bucket routing names the files.
+    val totalBytes = consumedAbs.map(f =>
+      GpxFs.stat(f, conf).map(_.len).getOrElse(0L)).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val shaped = if (bucket.isEmpty) df.coalesce(nOut) else df
+    val opId = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(dirP, s".rewrite-$opId")
+    val outNames = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def cleanup(): Unit = {
+      try { fs.delete(stage, true); () } catch { case _: Throwable => () }
+      outNames.foreach(p =>
+        try { fs.delete(p, false); () } catch { case _: Throwable => () })
+    }
+    try {
+      var w = shaped.write.format("gpx").mode("overwrite")
+      if (sortSpec.nonEmpty) w = w.option("sortBy", sortSpec.mkString(","))
+      bucket.foreach { b =>
+        w = w.option("bucketBy", b.column)
+          .option("numBuckets", b.numBuckets.toString)
+      }
+      range.foreach { r =>
+        w = w.option("rangeBy", r.column)
+          .option("rangeBounds", r.bounds.mkString(","))
+      }
+      w.save(stage.toString)
+      // publish into the table dir under compact-* names — visible to a
+      // listing but unreferenced by any manifest, so invisible to reads
+      // until the commit (every failure path deletes them)
+      val staged = GpxTable.listFiles(Seq(stage.toString), conf).sorted
+      var rows = 0L
+      staged.zipWithIndex.foreach { case (f, i) =>
+        rows += GpxFileReader.FooterCache.get(f, conf)
+          .rowGroups.map(_.numRows.toLong).sum
+        val to = new Path(dirP, f"compact-$opId-$i%05d.gpx")
+        if (!fs.rename(new Path(f), to))
+          throw new java.io.IOException(s"rewrite publish failed: $f -> $to")
+        outNames += to
+      }
+      beforeSwap()
+      GpxMutationLock.withLock(dir, conf, "compaction") {
+        if (sidecarFp() != sidecarsBefore)
+          throw new java.util.ConcurrentModificationException(
+            s"gpx compactRewrite($dir): delete sidecars changed while the " +
+              "rewrite ran — the folded masks are stale and swapping the " +
+              "outputs in would resurrect deleted rows. Re-run the " +
+              "compaction.")
+        val entries = outNames.toSeq.map(p =>
+          GpxCommitLog.entryFor(dir, p.toString, conf))
+        GpxCommitLog.commit(dir, conf, GpxCommitLog.Replace(entries,
+          h.live.map(_.relPath).toSet))
+      }
+      try { fs.delete(stage, true); () } catch { case _: Throwable => () }
+      GpxVersion.bump(dir, conf)
+      Result(consumedAbs.size, outNames.size, rows)
+    } catch { case t: Throwable => cleanup(); throw t }
+  }
 }

@@ -381,6 +381,77 @@ class ManifestSpec extends GraftSpec {
     assert(spark.read.format("gpx").load(dir2).count() == 40)
   }
 
+  test("rewrite compaction converges a 3-shape evolved table to one file") {
+    val dir = tempDir("gpx_log_rewrite")
+    // three historical column shapes, two files each: byte-copy caps
+    // convergence at 3 files (one per shape) forever
+    (0 until 2).foreach { i =>
+      spark.range(i * 50L, (i + 1) * 50L).selectExpr("id")
+        .coalesce(1).write.format("gpx").mode("append")
+        .option("commitProtocol", "manifest").save(dir)
+    }
+    (0 until 2).foreach { i =>
+      spark.range(100L + i * 50L, 100L + (i + 1) * 50L)
+        .selectExpr("id", "id * 2 as v")
+        .coalesce(1).write.format("gpx").mode("append").save(dir)
+    }
+    (0 until 2).foreach { i =>
+      spark.range(200L + i * 50L, 200L + (i + 1) * 50L)
+        .selectExpr("id", "id * 2 as v", "id * 3 as w")
+        .coalesce(1).write.format("gpx").mode("append").save(dir)
+    }
+    val rb = graft.format.GpxCompactor.compactInPlace(dir, conf)
+    assert(rb.outputFiles == 3, s"byte-copy is shape-bounded: $rb")
+    def rows() = spark.read.format("gpx").load(dir)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    val before = rows()
+    val headV = GpxCommitLog.head(dir, conf).get.version
+
+    val r = graft.format.GpxCompactor.compactRewrite(spark, dir, conf)
+    assert(r.inputFiles == 3 && r.outputFiles == 1 && r.rows == 300, s"$r")
+    assert(GpxCommitLog.head(dir, conf).get.live.size == 1,
+      "the union-schema rewrite must converge the live set to one file")
+    // oracle: the rewritten table reads IDENTICALLY, null-fills included
+    assert(rows() == before)
+    val df = spark.read.format("gpx").load(dir)
+    assert(df.filter(col("v").isNull).count() == 100)
+    assert(df.filter(col("w").isNull).count() == 200)
+    assert(df.filter(col("w") === col("id") * 3).count() == 100)
+    // projection through the single-shape file stays exact
+    assert(df.select(sum(col("v"))).head.getLong(0) ==
+      (100L until 300L).map(_ * 2).sum)
+    // version travel to the pre-rewrite manifest still serves old files
+    assert(spark.read.format("gpx").option("atVersion", headV.toString)
+      .load(dir).count() == 300)
+
+    // a delete landing while the rewrite runs makes the swap REFUSE
+    // (the masks the scan folded in are stale) and leaves no staged leak
+    // (retired pre-rewrite files legitimately remain until vacuum, so
+    // compare the whole disk set, not a count)
+    val diskBefore = gpxFilesOnDisk(dir).toSet
+    val e = intercept[java.util.ConcurrentModificationException] {
+      graft.format.GpxCompactor.compactRewrite(spark, dir, conf,
+        beforeSwap = () => {
+          val live = GpxCommitLog.liveFiles(dir, conf)
+          val bits = new java.util.BitSet(); (0 until 10).foreach(bits.set)
+          graft.format.GpxVersion.markDeletes(dir, conf)
+          graft.format.GpxDeleteBitmap.write(
+            new org.apache.hadoop.fs.Path(live.head),
+            graft.format.GpxTxn.stamp(dir, conf), bits, 300L, conf)
+          ()
+        })
+    }
+    assert(e.getMessage.contains("sidecars changed"), e.getMessage)
+    assert(spark.read.format("gpx").load(dir).count() == 290,
+      "the refused rewrite must leave the masked table intact")
+    assert(gpxFilesOnDisk(dir).toSet == diskBefore,
+      "a refused rewrite must clean its published-but-unreferenced files")
+    // the masked table now rewrites cleanly: the fold applies the mask
+    val r2 = graft.format.GpxCompactor.compactRewrite(spark, dir, conf)
+    assert(r2.outputFiles == 1 && r2.rows == 290, s"$r2")
+    assert(spark.read.format("gpx").load(dir).count() == 290)
+  }
+
   test("in-place compaction: one atomic manifest swap, MVCC stamps survive the byte-copy") {
     val dir = tempDir("gpx_log_compact")
     // many small commits with distinct commitTs (MVCC history to preserve)
