@@ -25,7 +25,8 @@ object SparkEntry {
       WideOps.queries ++
       WideOps.approxQueries ++
       Offload.queries ++
-      ExchangeOps.queries
+      ExchangeOps.queries ++
+      ServiceOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q3 shape: 3-way join + grouped agg + top-k. */
