@@ -3,12 +3,56 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every registered query at the sf dir from
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line (driver contract).
+  *
+  * Measurement discipline (each clause exists because a round's artifact
+  * once lied without it):
+  *  - min-of-2 inner runs per row: one stolen hypervisor window cannot
+  *    fabricate a regression (identical code measured 9 s and 178 s
+  *    back-to-back in round 5).
+  *  - END-OF-RUN RECHECK of every slow row: a load window long enough to
+  *    swallow BOTH inner runs still can (round 12 shipped d08 at 20.4 s
+  *    while the same query measured 4.7 s in the same session's stretch
+  *    run). Rows over the recheck threshold are re-timed after the full
+  *    pass; the reported value is the min across all runs and rows whose
+  *    initial min exceeded 3x the recheck are named in "divergent" — the
+  *    contradiction is measured and resolved inside ONE artifact instead
+  *    of shipping silently.
+  *  - loadavg at START and END (a 7-minute run's end loadavg says nothing
+  *    about a spike during its 12th row), per-row wall offsets in a
+  *    detail file, and the worker CPU count in the artifact (Bench and
+  *    StretchBench must agree — a 4-vs-32 mismatch makes CPU-bound rows
+  *    incomparable across artifacts).
+  *  - per-row r(N-1)->rN delta table generated FROM artifacts
+  *    (bench_history.jsonl), so report prose can cite it instead of
+  *    recalling numbers.
+  *
   * A small untimed warmup absorbs JVM/codegen/session start-up so the
   * first timed query isn't charged ~5 s of fixed cost. */
 object Bench {
+  private def s3(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  private def loadavg: Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** drop the OS page cache (root-only; best effort). The chunk-cache
+    * pair's cold leg uses it so "cold" means disk, not page-cache-warm —
+    * without it the LRU's value is invisible on a local filesystem and
+    * the pair reads as pure overhead (round 12: warm 0.219 vs cold
+    * 0.201). Returns false where unavailable (non-root deployments); the
+    * artifact records which cold the pair measured. */
+  private def dropOsCaches(): Boolean = try {
+    val p = new ProcessBuilder("sh", "-c",
+      "sync && echo 3 > /proc/sys/vm/drop_caches").start()
+    p.waitFor(30, java.util.concurrent.TimeUnit.SECONDS) && p.exitValue == 0
+  } catch { case _: Throwable => false }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default matches StretchBench (and the documented local[32] target):
+    // round 12's d08 contradiction was only diagnosable because the
+    // artifacts disagreed on worker count — never leave it implicit again
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,6 +75,9 @@ object Bench {
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         l, org.apache.logging.log4j.Level.ERROR)
     }
+    val loadStart = loadavg
+    val benchT0 = System.nanoTime()
+    def offset: Double = (System.nanoTime() - benchT0) / 1e9
     // warmup: touch scan + shuffle + codegen once, untimed
     try SparkEntry.queries("q03_tpch_q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
@@ -82,41 +129,83 @@ object Bench {
     def benchFn(name: String): (SparkSession, String) =>
         org.apache.spark.sql.DataFrame =
       serveOverrides.getOrElse(name, SparkEntry.queries(name))
-    def timeOne(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+    def runOnce(fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      // a failed query must never bench as a fast success: record it as
+      // an explicit "err" marker instead of a timing
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // BLOCKING release OUTSIDE the timed window: async eviction debt
+      // from one query's caches must not drain into the next one's number
+      CacheScope.release(blocking = true)
+      (dt, ok)
+    }
+    // min-of-2 inner runs for EVERY query (see the header); a query must
+    // be slow TWICE to report slow — and even then the recheck pass
+    // below re-measures it once the run's tail is quiet
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Boolean) = {
-      def once(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        // a failed query must never bench as a fast success: record it as
-        // an explicit "err" marker instead of a timing
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // BLOCKING release OUTSIDE the timed window: async eviction debt
-        // from one query's caches must not drain into the next one's number
-        CacheScope.release(blocking = true)
-        (dt, ok)
-      }
-      // min-of-2 inner runs for EVERY query: this VM shows hypervisor
-      // stalls that can inflate a single timing 10-20x (identical code
-      // measured 9 s and 178 s back-to-back in round 5; r10's artifact
-      // recorded a 5x d03 "regression" that never reproduced warm) — one
-      // stolen window can no longer fabricate a regression, a query must
-      // be slow TWICE to report slow
-      val (d1, ok1) = once()
+      val (d1, ok1) = runOnce(fn)
       if (!ok1) return (d1, false)
-      val (d2, ok2) = once()
+      val (d2, ok2) = runOnce(fn)
       (if (ok2) math.min(d1, d2) else d1, true)
     }
+    val detail = List.newBuilder[String]
     val queryResults = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, _) => val (dt, ok) = timeOne(name, benchFn(name)); (name, dt, ok)
+      case (name, _) =>
+        val at = offset
+        val (dt, ok) = timeOne(benchFn(name))
+        detail += s""""${name.takeWhile(_ != '_')}":{"at":${s3(at)},"min2":${s3(dt)}}"""
+        (name, dt, ok)
     }
-    // cold/warm chunk-cache pair on one gpx scan: the cache's value is
-    // invisible in per-query rows (every row runs warm after its first
-    // inner run), so a dedicated pair pins it in the artifact — a
-    // regression in the cache path shows as warm creeping toward cold.
-    // The aggregate is a data-page sum (never answerable from footer or
-    // manifest stats), so both runs really decode every row group.
+    // ---- recheck pass: re-time every slow row at the END of the run ----
+    // (min-of-2 again). A transient load window wide enough to inflate
+    // both inner runs of one row is very unlikely to ALSO cover its
+    // recheck several minutes later; reported value = min of all four.
+    val RecheckAboveSec = 2.5
+    val recheck: Map[String, Double] = queryResults.collect {
+      case (name, dt, true) if dt > RecheckAboveSec =>
+        val (r, ok) = timeOne(benchFn(name))
+        name -> (if (ok) r else dt)
+    }.toMap
+    val finalResults = queryResults.map { case (name, dt, ok) =>
+      (name, recheck.get(name).fold(dt)(math.min(dt, _)), ok)
+    }
+    val divergent = queryResults.collect {
+      case (name, dt, true)
+        if recheck.get(name).exists(r => dt > 3.0 * math.max(r, 0.05)) =>
+        name.takeWhile(_ != '_')
+    }
+    // ---- x03 fixed-cost probe: the identical cross-JVM pipeline over a
+    // ONE-ROW gpx table isolates fork + JVM/Hadoop init + streaming-
+    // engine startup; x03marginal is what actually scales with data ----
+    val x03Fixed: Option[Double] =
+      if (finalResults.exists(r => r._1.startsWith("x03") && r._3)) try {
+        val tiny = java.nio.file.Files.createTempDirectory("gpx_x03probe")
+        Tables.lineitem(spark, sfDir).limit(1).coalesce(1)
+          .write.format("gpx").mode("overwrite").save(tiny.toString)
+        def probe(): Double = {
+          val t0 = System.nanoTime()
+          operators.ExchangeOps.remoteAgg(spark, tiny.toString).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val v = math.min(probe(), probe())
+        org.apache.commons.io.FileUtils.deleteDirectory(tiny.toFile)
+        Some(v)
+      } catch { case _: Throwable => None }
+      else None
+    // ---- chunk-cache pair on one gpx scan. The aggregate is a data-page
+    // sum (never answerable from footer or manifest stats), so both legs
+    // really decode every row group. Cold = ChunkCache cleared AND (where
+    // root allows) the OS page cache dropped — otherwise a local-FS page
+    // cache makes "cold" free and the LRU shows as pure overhead, which
+    // says nothing about the cloud-storage reads it exists to absorb.
+    // Warm-leg chunk hits are recorded so the artifact PROVES the serve
+    // path (hits > 0, zero misses) rather than implying it. ----
+    var warmHits = 0L
+    var coldMode = "pagecache"
     val cachePair: Seq[(String, Double, Boolean)] =
       try {
         val dir = operators.FormatOps.gpxDir(spark, sfDir, "lineitem")
@@ -128,52 +217,154 @@ object Bench {
           ()
         }
         scan() // warm plans/codegen; cache state is reset explicitly below
-        // min-of-2 per leg, same discipline as timeOne: one stolen
-        // hypervisor window during a single warm run would fabricate
-        // exactly the warm-creeping-toward-cold regression signal this
-        // pair exists to detect
+        // min-of-2 per leg, same discipline as timeOne
         def leg(pre: () => Unit): Double =
           (0 until 2).map { _ =>
             pre()
             val t0 = System.nanoTime(); scan()
             (System.nanoTime() - t0) / 1e9
           }.min
-        val cold = leg(() => format.GpxFileReader.ChunkCache.clear())
+        val canDrop = dropOsCaches()
+        if (canDrop) coldMode = "dropcaches"
+        val cold = leg(() => {
+          format.GpxFileReader.ChunkCache.clear()
+          if (canDrop) { dropOsCaches(); () }
+        })
+        // populate once untimed, then measure pure serve-path hits
+        format.GpxFileReader.ChunkCache.clear()
+        scan()
+        val h0 = format.GpxFileReader.ChunkCache.hits.get
+        val m0 = format.GpxFileReader.ChunkCache.misses.get
         val warm = leg(() => ())
+        warmHits = format.GpxFileReader.ChunkCache.hits.get - h0
+        val warmMisses = format.GpxFileReader.ChunkCache.misses.get - m0
+        if (warmMisses > 0)
+          System.err.println(s"bench cache pair: $warmMisses warm misses " +
+            "— the scan does not fit the chunk cache at this sf")
         Seq(("gpxcold_scan", cold, true), ("gpxwarm_scan", warm, true))
       } catch {
         case _: Throwable =>
           Seq(("gpxcold_scan", 0.0, false), ("gpxwarm_scan", 0.0, false))
       }
-    val results = queryResults ++ cachePair
+    val results = finalResults ++ cachePair
     // Driver stores only the last ~2000 chars of output: keep the whole
     // JSON line short (id-prefix keys, 3-decimal seconds) so it survives
     // intact and machine-parseable. Full name = id prefix of the entry
     // in SparkEntry.queries (q42 -> q42_tpch_q21_waiting_supplier).
-    def s3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, ok) =>
       val short = k.takeWhile(_ != '_')
       if (ok) s""""$short":${s3(v)}""" else s""""$short":"err""""
     }.mkString("{", ",", "}")
     // headline total stays the sum over REGISTERED queries (comparable
     // round over round); the cache pair rides only in the queries map
-    val total = queryResults.collect { case (_, v, true) => v }.sum
+    val total = finalResults.collect { case (_, v, true) => v }.sum
     val errs = results.count(!_._3)
     val errField = if (errs > 0) s""","errs":$errs""" else ""
-    // record the host's 1-min load average so a load-distorted artifact
-    // is self-identifying (r10 was recorded under loadavg 12-15 with zero
-    // graft JVMs running)
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec"$errField,"loadavg":${s3(load)},"queries":$qs,"sf":"$sfDir"}"""
+    val divField =
+      if (divergent.isEmpty) ""
+      else divergent.map("\"" + _ + "\"").mkString(""","divergent":[""", ",", "]")
+    val recheckField =
+      if (recheck.isEmpty) ""
+      else recheck.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""${k.takeWhile(_ != '_')}":${s3(v)}"""
+      }.mkString(""","recheck":{""", ",", "}")
+    val x03Fields = x03Fixed.fold("") { f =>
+      val full = finalResults.collectFirst {
+        case (n, v, true) if n.startsWith("x03") => v }.getOrElse(f)
+      s""","x03fixed":${s3(f)},"x03marginal":${s3(math.max(0.0, full - f))}"""
+    }
+    val line =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec"$errField,""" +
+      s""""cpus":$cpus,"loadavg":${s3(loadavg)},"loadavg0":${s3(loadStart)}""" +
+      s"""$divField$recheckField$x03Fields,"warmhits":$warmHits,""" +
+      s""""coldmode":"$coldMode","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the driver keeps only the tail of stdout and has truncated the line
     // mid-JSON before (r10: parsed=null, two rows lost) — persist the full
-    // artifact to a file as well
+    // artifact, a per-row detail file (start offsets + pre-recheck
+    // min-of-2), the history ledger, and the r(N-1)->rN delta table
     try { java.nio.file.Files.write(
       java.nio.file.Paths.get("/tmp/graft_bench.json"),
       (line + "\n").getBytes("UTF-8")); () }
     catch { case _: Throwable => () }
+    try { java.nio.file.Files.write(
+      java.nio.file.Paths.get("/tmp/graft_bench_detail.json"),
+      (detail.result().mkString("{", ",", "}") + "\n").getBytes("UTF-8")); () }
+    catch { case _: Throwable => () }
+    try BenchDelta.emit(line) catch { case t: Throwable =>
+      System.err.println(s"bench delta: ${t.getClass.getSimpleName}: " +
+        s"${Option(t.getMessage).getOrElse("")}")
+    }
     spark.stop()
+  }
+}
+
+/** Per-row delta table between consecutive bench artifacts — the tooling
+  * answer to "report numbers must be GENERATED from the artifact": every
+  * run appends its JSON line to bench_history.jsonl and writes
+  * /tmp/graft_bench_delta.md comparing itself to the previous same-sf
+  * entry, so a round report can paste the table instead of recalling
+  * numbers (round 12's report claimed 79.9-85.3 s against a shipped
+  * artifact totaling 106.3 s, and named 2 movers where the artifact
+  * showed 7). */
+object BenchDelta {
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def emit(line: String): Unit = {
+    val hist = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+        "/root/repo/bench_history.jsonl"))
+    val cur = om.readTree(line)
+    val prev: Option[com.fasterxml.jackson.databind.JsonNode] =
+      if (java.nio.file.Files.exists(hist)) {
+        val lines = scala.jdk.CollectionConverters
+          .ListHasAsScala(java.nio.file.Files.readAllLines(hist)).asScala
+        lines.reverseIterator.map(l => try Some(om.readTree(l)) catch {
+          case _: Throwable => None
+        }).collectFirst {
+          case Some(n) if n.hasNonNull("queries") &&
+            Option(n.get("sf")).map(_.asText).contains(cur.get("sf").asText) => n
+        }
+      } else None
+    prev.foreach { p =>
+      val pq = p.get("queries"); val cq = cur.get("queries")
+      val rows = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(cq.fieldNames()).asScala.toSeq.flatMap { k =>
+          (Option(pq.get(k)), Option(cq.get(k))) match {
+            case (Some(a), Some(b)) if a.isNumber && b.isNumber =>
+              Some((k, a.asDouble, b.asDouble))
+            case _ => None
+          }
+        }
+      def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      val interesting = rows
+        .filter { case (_, a, b) => math.max(a, b) >= 0.2 }
+        .sortBy { case (_, a, b) => -(b / math.max(a, 1e-9)) }
+      val sb = new StringBuilder
+      sb.append("# Bench delta (generated by graft.BenchDelta — cite this, ")
+        .append("do not recall numbers)\n\n")
+      sb.append(s"| | prev | cur |\n|---|---|---|\n")
+      sb.append(s"| total | ${p.get("value").asDouble} | ${cur.get("value").asDouble} |\n")
+      sb.append(s"| loadavg | ${p.get("loadavg").asDouble} | ")
+        .append(s"${cur.get("loadavg").asDouble} (start ${Option(cur.get("loadavg0")).map(_.asDouble).getOrElse(-1.0)}) |\n")
+      sb.append(s"| cpus | ${Option(p.get("cpus")).map(_.asText).getOrElse("?")} | ${cur.get("cpus").asText} |\n\n")
+      sb.append("| row | prev s | cur s | ratio |\n|---|---|---|---|\n")
+      interesting.foreach { case (k, a, b) =>
+        sb.append(s"| $k | ${s3(a)} | ${s3(b)} | ${s3(b / math.max(a, 1e-9))} |\n")
+      }
+      val movers = interesting.count { case (_, a, b) =>
+        val r = b / math.max(a, 1e-9); r > 1.5 || r < 0.667 }
+      sb.append(s"\nrows >=0.2 s: ${interesting.size}; moved >1.5x either way: $movers\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/graft_bench_delta.md"),
+        sb.toString.getBytes("UTF-8"))
+      ()
+    }
+    if (prev.isEmpty)
+      System.err.println("bench delta: no previous same-sf artifact in history")
+    java.nio.file.Files.write(hist, (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    ()
   }
 }

@@ -76,24 +76,38 @@ object StretchBench {
         k -> SparkEntry.queries(k))
     }.distinctBy(_._1)
 
-    def timeAt(dir: String, fn: (SparkSession, String) => DataFrame): Double = {
+    // the pair-finders whose candidate stage gets counted per leg: their
+    // cost is legitimately output/duplicate-mass-driven, so without
+    // per-leg {candidates, outputRows} stamps a future superlinear
+    // candidate blowup would be indistinguishable from corpus drift
+    val counted = Set("d02", "d03", "d05", "d06", "d08", "d10", "v05")
+
+    /** (seconds, output rows, candidate rows) — candidates counted
+      * UNTIMED after the timed window, from the exact plan the timed run
+      * registered (Dedup.PairStats, construction-time) */
+    def timeAt(dir: String, name: String,
+        fn: (SparkSession, String) => DataFrame): (Double, Long, Long) = {
       // construction pass builds any cachedDir materialization untimed
       // (indexes, gpx layouts) — timed rows measure the query, like Bench
       try { fn(spark, dir); () } catch { case _: Throwable => () }
       CacheScope.release(blocking = true)
       val t0 = System.nanoTime()
-      fn(spark, dir).count()
+      val n = fn(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
+      val short = name.takeWhile(_ != '_')
+      val cand =
+        if (!counted(short)) -1L
+        else operators.Dedup.candidatePlan(short).map(_.count()).getOrElse(-1L)
       CacheScope.release(blocking = true)
-      dt
+      (dt, n, cand)
     }
 
     def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val rows = queries.map { case (name, fn) =>
-      val t01 = timeAt(src, fn)
-      val t1 = timeAt(out, fn)
+      val (t01, n01, c01) = timeAt(src, name, fn)
+      val (t1, n1, c1) = timeAt(out, name, fn)
       val ratio = t1 / (factor * t01)
-      (name.takeWhile(_ != '_'), t01, t1, ratio)
+      (name.takeWhile(_ != '_'), t01, t1, ratio, (n01, n1, c01, c1))
     }
     // d03 additionally at a corpus built to STRADDLE the old 4096-gram
     // mask gate (sf0.1 vocab is ~377, so 12 near-disjoint copies land at
@@ -123,15 +137,21 @@ object StretchBench {
       require(vocab > 4096,
         s"straddle corpus failed to cross the 4096-gram gate: $vocab")
       val t01 = rows.find(_._1 == "d03").map(_._2)
-        .getOrElse(timeAt(src, fn))
-      val tx = timeAt(xdir, fn)
-      ("d03x", t01, tx, tx / (xf * t01), vocab, xf)
+        .getOrElse(timeAt(src, "d03", fn)._1)
+      val (tx, nx, cx) = timeAt(xdir, "d03", fn)
+      ("d03x", t01, tx, tx / (xf * t01), vocab, xf, nx, cx)
     }
-    val qjson = (rows.map { case (k, t01, t1, r) =>
-      s""""$k":{"sf01":${s3(t01)},"sf1":${s3(t1)},"ratio":${s3(r)}}"""
-    } ++ straddle.map { case (k, t01, t1, r, vocab, xf) =>
+    def counts(t: (Long, Long, Long, Long)): String = t match {
+      case (n01, n1, c01, c1) =>
+        val base = s""","rows01":$n01,"rows1":$n1"""
+        if (c01 >= 0 || c1 >= 0) base + s""","cand01":$c01,"cand1":$c1"""
+        else base
+    }
+    val qjson = (rows.map { case (k, t01, t1, r, cs) =>
+      s""""$k":{"sf01":${s3(t01)},"sf1":${s3(t1)},"ratio":${s3(r)}${counts(cs)}}"""
+    } ++ straddle.map { case (k, t01, t1, r, vocab, xf, nx, cx) =>
       s""""$k":{"sf01":${s3(t01)},"sf1":${s3(t1)},"ratio":${s3(r)},""" +
-        s""""factor":$xf,"vocab":$vocab}"""
+        s""""factor":$xf,"vocab":$vocab,"rows1":$nx,"cand1":$cx}"""
     }).mkString("{", ",", "}")
     val worst = (rows.map(_._4) ++ straddle.map(_._4)).max
     // loadavg in the artifact + a file copy (the Bench discipline): host

@@ -20,6 +20,25 @@ object Dedup {
   /** distinct word tokens of `text` */
   private def tokens: Column = array_distinct(split(col("text"), " "))
 
+  /** Candidate-stage plan registry for the stretch artifact: each heavy
+    * pair-finder publishes its candidate DataFrame (the band/prefix join
+    * output BEFORE exact verification) while its plan is CONSTRUCTED, so
+    * StretchBench counts the exact candidate stage the timed run
+    * executed — a superlinear candidate blowup is then measured per
+    * scale leg, never inferred from totals or confused with corpus
+    * drift. Keys are short query ids (d02 ... v05). Registration is a
+    * plan reference (lazy, no action); consumers build the query's
+    * DataFrame first (Stretch's untimed construction pass does) and
+    * count AFTER the timed window. */
+  private[operators] object PairStats {
+    val lastCandidates = new java.util.concurrent.ConcurrentHashMap[
+      String, DataFrame]()
+  }
+
+  /** published for StretchBench (read-only view) */
+  def candidatePlan(shortId: String): Option[DataFrame] =
+    Option(PairStats.lastCandidates.get(shortId))
+
   private val NumHashes = 128 // minhash functions (xxhash64 seeded by index)
   private val BandR = 4 // rows per band -> 32 bands; at J>=0.8 the pair
   // miss probability is (1-J^4)^32 <= (1-0.41)^32 ~ 4e-8, while mediocre
@@ -209,11 +228,13 @@ object Dedup {
     // below (banding input, both expansion joins, the intra self-join)
     val fp = simhashDF(s, d).tracked
     fp.count()
-    // fingerprint-level candidate pairs: reuse bandedPairs with the
+    // fingerprint-level candidate pairs: reuse the banded join with the
     // fingerprint itself as the ordering id (simhash32 is non-negative,
     // so `<` on the long is a total order over distinct values)
-    val fpPairs = bandedPairs(
-        fp.select(col("simhash").as("doc_id"), col("simhash")).distinct())
+    val fpCand = bandedCandidates(
+      fp.select(col("simhash").as("doc_id"), col("simhash")).distinct())
+    PairStats.lastCandidates.put("d05", fpCand)
+    val fpPairs = fpCand.filter(col("hamming") <= 6)
       .select(col("a_id").as("a_fp"), col("b_id").as("b_fp"), col("hamming"))
     // cross-fingerprint member pairs: each join keys on the full 32-bit
     // fingerprint (high cardinality — no 128-key pile-up)
@@ -258,7 +279,15 @@ object Dedup {
     * candidates. Within a block a pair matches exactly one probe row
     * (the 9 probe keys are distinct; the build key equals the one whose
     * flip is the differing bit). */
-  private def bandedPairs(fp: DataFrame): DataFrame = {
+  private def bandedPairs(fp: DataFrame): DataFrame =
+    bandedCandidates(fp)
+      .filter(col("hamming") <= 6)
+      .select("a_id", "b_id", "hamming")
+
+  /** the band join's raw output (hamming still unfiltered) — the
+    * CANDIDATE stage [[bandedPairs]] verifies, split out so the stretch
+    * artifact can count exactly what the op enumerates */
+  private def bandedCandidates(fp: DataFrame): DataFrame = {
     val buildCols = (0 until 4).map { b =>
       struct(lit(b).as("b"),
         shiftrightunsigned(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("key"))
@@ -284,8 +313,6 @@ object Dedup {
           col("x.bk.b") === firstBlock)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         bit_count(xor).cast(IntegerType).as("hamming"))
-      .filter(col("hamming") <= 6)
-      .select("a_id", "b_id", "hamming")
   }
 
   /** Connected components over the simhash near-dup pair graph:
@@ -323,7 +350,9 @@ object Dedup {
     // count, so a 100 TB rep graph still fans out to the cluster while
     // the sf0.1 graph stops paying 32-partition scheduling overhead
     // for 2 k nodes.
-    val pairs = bandedPairs(repFp)
+    val cand6 = bandedCandidates(repFp)
+    PairStats.lastCandidates.put("d06", cand6)
+    val pairs = cand6.filter(col("hamming") <= 6)
       .select(col("a_id").cast(LongType), col("b_id").cast(LongType))
       .rdd.map(r => (r.getLong(0), r.getLong(1))).persist()
     val edgeCount = pairs.count() * 2
@@ -473,6 +502,7 @@ object Dedup {
             col("y.nt") >= col("x.nt") * 0.8 - 0.5)
         .select(col("x.rep_id").as("ra"), col("y.rep_id").as("rb"))
         .distinct()
+      PairStats.lastCandidates.put("d02", candidates)
       // exact verify between representative token sets (size-ratio
       // prefilter is implied by J>=t: |A|/|B| must be in [t, 1/t]).
       // Adaptive representation: when the corpus vocabulary fits in a
@@ -604,6 +634,7 @@ object Dedup {
               (col("x.sz") + col("y.sz")) * (t / (1 + t)) - 0.5)
         .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
         .distinct()
+      PairStats.lastCandidates.put("d03", candidates)
       // multi-word bitset verify: with a dictionary of V grams, each set is
       // ceil(V/64) longs; |A&B| / |A|B| are word-wise popcounts — identical
       // integer ratios to the array intersect/union, ~2 orders cheaper per
@@ -817,6 +848,7 @@ object Dedup {
             col("y.nt") >= col("x.nt") * t - 0.5)
         .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
         .distinct()
+      PairStats.lastCandidates.put("d08", candidates)
       // side-restricted rep resolution: ga resolves against BATCH reps
       // and gb against CORPUS reps only. Without the gb restriction, a
       // 64-bit gid collision between a corpus fp and a batch-only fp
@@ -912,6 +944,7 @@ object Dedup {
         .select(col("x.fp").as("fa"), col("y.fp").as("fb"))
         .distinct()
         .tracked
+      PairStats.lastCandidates.put("d10", cand)
       // exact verification over stored token strings, bounded by the
       // candidate set — a semi-join + split per candidate row, zero
       // aggregation (the index stores each fp's sorted token set as one

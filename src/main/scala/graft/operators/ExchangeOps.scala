@@ -75,9 +75,26 @@ object ExchangeOps {
     // aggregation and oracle as x01, so any row lost, duplicated, or torn
     // crossing the PROCESS boundary fails the hash compare — the
     // reference's disjoint producer/consumer worker fleets, end to end.
-    GQuery("x03_exchange_remote_agg", (s, d) => {
+    GQuery("x03_exchange_remote_agg", (s, d) =>
+      remoteAgg(s, FormatOps.gpxDir(s, d, "lineitem")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${Det.o.dsum("l_quantity")} AS sum_qty,
+              |  ${Det.o.dsum("l_extendedprice")} AS sum_price,
+              |  COUNT(*) AS n
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+  )
+
+  /** the x03 body over an explicit gpx dir. Factored out so Bench can
+    * probe the path's FIXED cost (child-JVM fork + Hadoop/codegen init +
+    * streaming-engine startup) by running the identical pipeline over a
+    * one-row table: the artifact then reports x03fixed/x03marginal
+    * alongside x03, separating per-run setup from the per-byte streaming
+    * cost that actually scales (at 100 TB the fleet forks once and
+    * streams for hours — the marginal cost is the design-relevant one). */
+  def remoteAgg(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       import graft.streaming.{ExchangeChannel, ExchangeServer, RemoteScanWorker}
-      val dir = FormatOps.gpxDir(s, d, "lineitem")
       val files = Option(new java.io.File(dir).listFiles())
         .getOrElse(Array.empty[java.io.File])
         .filter(_.getName.endsWith(".gpx")).map(_.getAbsolutePath).sorted.toSeq
@@ -134,12 +151,5 @@ object ExchangeOps {
         if (server != null) server.stop()
         ExchangeChannel.remove(name)
       }
-    },
-      Some(s"""SELECT l_returnflag, l_linestatus,
-              |  ${Det.o.dsum("l_quantity")} AS sum_qty,
-              |  ${Det.o.dsum("l_extendedprice")} AS sum_price,
-              |  COUNT(*) AS n
-              |FROM lineitem GROUP BY l_returnflag, l_linestatus
-              |ORDER BY l_returnflag, l_linestatus""".stripMargin))
-  )
+  }
 }

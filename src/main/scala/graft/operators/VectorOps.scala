@@ -255,6 +255,7 @@ object VectorOps {
           col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
         .distinct()
+      Dedup.PairStats.lastCandidates.put("v05", candidates)
       // near-dup pair sets grow superlinearly with the corpus: the result
       // stays DISTRIBUTED (no driver collect); the consumer releases the
       // tracked caches after its action (CacheScope contract)

@@ -269,6 +269,59 @@ class HostileStoreSpec extends GraftSpec {
       "an explicit manifest request must apply on any filesystem")
   }
 
+  test("chunk cache absorbs injected store read latency: warm scans never touch the store") {
+    // The executor-local byte-LRU (S21) exists for the object-store read
+    // path — on a local filesystem the page cache makes cold reads nearly
+    // free and the LRU shows as pure bookkeeping (the r12 bench pair).
+    // Here the hostile store injects a per-open first-byte latency (the
+    // remote GET cost), so the cache's value becomes MEASURABLE: the cold
+    // scan pays one injected sleep per data open, the warm scan must not
+    // open the store at all (zero data bytes read, hits > 0) and must be
+    // decisively faster.
+    val dir = hostileDir("gpx_hostile_cache")
+    spark.range(0, 60000).selectExpr("id", "id * 7 as v")
+      .repartition(16)
+      .write.format("gpx").mode("append")
+      .option("rowGroupRows", "4096").save(dir)
+    // files inside the ChunkCache mtime race window (2 s) never cache:
+    // wait it out so the first scan can populate
+    Thread.sleep(2100)
+    val r = graft.format.GpxFileReader
+    import org.apache.spark.sql.functions._
+    def scan(): Long = spark.read.format("gpx").load(dir)
+      .agg(sum(col("v") * col("id"))).head.getLong(0)
+    scan() // plans/codegen warm; cache state reset below
+    HostileFileSystem.readLatencyMs.set(50)
+    try {
+      r.ChunkCache.clear()
+      val o0 = HostileFileSystem.opens.get
+      var t0 = System.nanoTime()
+      val coldSum = scan()
+      val cold = (System.nanoTime() - t0) / 1e9
+      val coldOpens = HostileFileSystem.opens.get - o0
+      val h0 = r.ChunkCache.hits.get
+      val b0 = r.dataBytesRead.get
+      val o1 = HostileFileSystem.opens.get
+      t0 = System.nanoTime()
+      val warmSum = scan()
+      val warm = (System.nanoTime() - t0) / 1e9
+      val warmOpens = HostileFileSystem.opens.get - o1
+      assert(warmSum == coldSum)
+      assert(r.ChunkCache.hits.get > h0, "warm scan must serve from the LRU")
+      assert(r.dataBytesRead.get == b0,
+        "warm scan must read zero data bytes from the store")
+      // the deterministic core claim: a warm scan issues a small
+      // CONSTANT number of GETs (manifest head + version token — scan
+      // planning), never the per-data-file opens the cold scan pays
+      assert(warmOpens * 4 <= coldOpens,
+        s"warm scan still opening the store per file: " +
+          s"cold=$coldOpens opens, warm=$warmOpens opens")
+      assert(warm < cold,
+        f"latency-paying opens must show in wall time: cold=$cold%.3f s " +
+          f"warm=$warm%.3f s (opens $coldOpens vs $warmOpens)")
+    } finally HostileFileSystem.readLatencyMs.set(0)
+  }
+
   private def causeChain(e: Throwable): Seq[Throwable] = {
     val b = Seq.newBuilder[Throwable]
     var cur = e

@@ -57,8 +57,15 @@ class HostileFileSystem extends FileSystem with GpxCommitLog.ConditionalPut {
       if (st.isDirectory) FsPermission.getDirDefault else FsPermission.getFileDefault,
       "test", "test", hostile(st.getPath))
 
-  override def open(f: Path, bufferSize: Int): FSDataInputStream =
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    // injected per-open latency (HostileFileSystem.readLatencyMs): the
+    // first-byte cost of a remote GET, so cache layers can be proven to
+    // absorb store latency rather than just asserted to
+    val lat = HostileFileSystem.readLatencyMs.get
+    if (lat > 0) Thread.sleep(lat)
+    HostileFileSystem.opens.incrementAndGet()
     local.open(toLocal(f), bufferSize)
+  }
 
   /** overwrite=false is silently ignored — last writer wins (object PUT) */
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
@@ -132,4 +139,11 @@ class HostileFileSystem extends FileSystem with GpxCommitLog.ConditionalPut {
 object HostileFileSystem {
   /** stands in for the object store's server-side linearization point */
   val casLock = new Object
+
+  /** per-open() injected latency (ms) — the first-byte cost of a remote
+    * GET; 0 disables. Static because Hadoop constructs FS instances. */
+  val readLatencyMs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** total open() calls — "how many GETs did that operation issue" */
+  val opens = new java.util.concurrent.atomic.AtomicLong(0)
 }
