@@ -222,6 +222,10 @@ object Dedup {
     * hamming<=6 = (same-fp pairs, hamming 0) ∪ (members of fp pairs
     * with 1<=hamming<=6), and pigeonhole recall applies to the
     * distinct-fp banding identically. */
+  /** test/profiling seam: the registered d05 minus its final orderBy */
+  private[graft] def simhashPairsForProfile(s: SparkSession, d: String): DataFrame =
+    simhashPairs(s, d)
+
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     // fingerprints are tiny (one long per doc) but cost a full corpus
     // pass — persist AND materialize before the multi-consumer plans
@@ -288,6 +292,17 @@ object Dedup {
     * CANDIDATE stage [[bandedPairs]] verifies, split out so the stretch
     * artifact can count exactly what the op enumerates */
   private def bandedCandidates(fp: DataFrame): DataFrame = {
+    // AQE parallelism guard: the distinct-fingerprint input is tiny in
+    // BYTES (two longs per row), so AQE coalesces the upstream shuffle to
+    // ONE partition — but this join EXPLODES ~70x beyond its input (the
+    // sf1 stretch leg ran its 96M match-iterations in a single task,
+    // 60 s of a 65 s query; caught round 13 by the stage metrics). An
+    // explicit NUMBERED repartition pins the streamed side's task count:
+    // REPARTITION_BY_NUM is exempt from AQE coalescing, and the extra
+    // exchange moves only the fingerprint rows (negligible at any scale —
+    // distinct fps, not docs).
+    val spread = fp.repartition(
+      fp.sparkSession.sparkContext.defaultParallelism)
     val buildCols = (0 until 4).map { b =>
       struct(lit(b).as("b"),
         shiftrightunsigned(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("key"))
@@ -298,9 +313,9 @@ object Dedup {
     }.zipWithIndex.map { case (k, i) =>
       struct(lit(i / 9).as("b"), k.as("key"))
     }
-    val build = fp.select(col("doc_id"), col("simhash"),
+    val build = spread.select(col("doc_id"), col("simhash"),
       explode(array(buildCols: _*)).as("bk"))
-    val probe = fp.select(col("doc_id"), col("simhash"),
+    val probe = spread.select(col("doc_id"), col("simhash"),
       explode(array(probeCols: _*)).as("bk"))
     val xor = col("x.simhash").bitwiseXOR(col("y.simhash"))
     def blockHamming(b: Int) =

@@ -63,10 +63,12 @@ object ServiceOps {
     Tables.lineitem(s, d).createOrReplaceTempView("h01_lineitem")
     val sql =
       """SELECT l_orderkey, l_linenumber, l_partkey
-        |FROM h01_lineitem WHERE l_orderkey % 7 = 0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |FROM h01_lineitem WHERE l_orderkey % 31 = 0
+        |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    // l_partkey completes the total order, or ROW_NUMBER tie-breaks diverge
     // small pages force a genuinely multi-page spill at every test sf
-    val mgr = new QueryService.Manager(s, slots = 2, pageRows = 512)
+    val mgr = new QueryService.Manager(s, slots = 2, pageRows = 256)
     val http = new QueryHttp(mgr)
     try {
       val base = s"http://127.0.0.1:${http.boundPort}"
@@ -149,7 +151,7 @@ object ServiceOps {
 
   def queries: Seq[GQuery] = Seq(
     GQuery("h01_http_paged_result", (s, d) => httpPaged(s, d),
-      Some("""SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS seq,
+      Some("""SELECT ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey) - 1 AS seq,
              |       l_orderkey, l_linenumber, l_partkey
-             |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin)))
+             |FROM lineitem WHERE l_orderkey % 31 = 0""".stripMargin)))
 }
