@@ -244,6 +244,10 @@ object Bench {
         Seq(("gpxcold_scan", cold, true), ("gpxwarm_scan", warm, true))
       } catch {
         case _: Throwable =>
+          // a failed pair must not masquerade as a measured zero-hit
+          // pagecache run — sentinel the side fields too
+          warmHits = -1
+          coldMode = "err"
           Seq(("gpxcold_scan", 0.0, false), ("gpxwarm_scan", 0.0, false))
       }
     val results = finalResults ++ cachePair
@@ -326,6 +330,13 @@ object BenchDelta {
             Option(n.get("sf")).map(_.asText).contains(cur.get("sf").asText) => n
         }
       } else None
+    // append to the ledger BEFORE generating the delta: a malformed
+    // previous entry must not also drop THIS run from the history — the
+    // next run would then diff against the wrong artifact, the exact
+    // failure this tooling exists to prevent
+    java.nio.file.Files.write(hist, (line + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     prev.foreach { p =>
       val pq = p.get("queries"); val cq = cur.get("queries")
       val rows = scala.jdk.CollectionConverters
@@ -343,11 +354,15 @@ object BenchDelta {
       val sb = new StringBuilder
       sb.append("# Bench delta (generated by graft.BenchDelta — cite this, ")
         .append("do not recall numbers)\n\n")
+      // every legacy-entry field access is Option-guarded: one
+      // hand-edited or old-format history line must not kill the delta
+      def num(n: com.fasterxml.jackson.databind.JsonNode, f: String): String =
+        Option(n.get(f)).filter(_.isNumber).map(_.asDouble.toString).getOrElse("?")
       sb.append(s"| | prev | cur |\n|---|---|---|\n")
-      sb.append(s"| total | ${p.get("value").asDouble} | ${cur.get("value").asDouble} |\n")
-      sb.append(s"| loadavg | ${p.get("loadavg").asDouble} | ")
-        .append(s"${cur.get("loadavg").asDouble} (start ${Option(cur.get("loadavg0")).map(_.asDouble).getOrElse(-1.0)}) |\n")
-      sb.append(s"| cpus | ${Option(p.get("cpus")).map(_.asText).getOrElse("?")} | ${cur.get("cpus").asText} |\n\n")
+      sb.append(s"| total | ${num(p, "value")} | ${num(cur, "value")} |\n")
+      sb.append(s"| loadavg | ${num(p, "loadavg")} | ")
+        .append(s"${num(cur, "loadavg")} (start ${num(cur, "loadavg0")}) |\n")
+      sb.append(s"| cpus | ${Option(p.get("cpus")).map(_.asText).getOrElse("?")} | ${Option(cur.get("cpus")).map(_.asText).getOrElse("?")} |\n\n")
       sb.append("| row | prev s | cur s | ratio |\n|---|---|---|---|\n")
       interesting.foreach { case (k, a, b) =>
         sb.append(s"| $k | ${s3(a)} | ${s3(b)} | ${s3(b / math.max(a, 1e-9))} |\n")
@@ -362,9 +377,6 @@ object BenchDelta {
     }
     if (prev.isEmpty)
       System.err.println("bench delta: no previous same-sf artifact in history")
-    java.nio.file.Files.write(hist, (line + "\n").getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
     ()
   }
 }

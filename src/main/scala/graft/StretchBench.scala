@@ -95,9 +95,14 @@ object StretchBench {
       val n = fn(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       val short = name.takeWhile(_ != '_')
+      // guarded: the untimed count re-executes the candidate stage, and a
+      // transient failure there must cost ONE stamp (-1 sentinel), never
+      // the whole multi-hour run's artifact
       val cand =
         if (!counted(short)) -1L
-        else operators.Dedup.candidatePlan(short).map(_.count()).getOrElse(-1L)
+        else try operators.Dedup.candidatePlan(short)
+          .map(_.count()).getOrElse(-1L)
+        catch { case _: Throwable => -1L }
       CacheScope.release(blocking = true)
       (dt, n, cand)
     }

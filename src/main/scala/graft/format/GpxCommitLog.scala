@@ -847,9 +847,9 @@ object GpxCommitLog {
     var lastBase = -1L
     var sameBase = 0
     var guardedSeed = false
-    // added files seen on disk at the FIRST RETRY (None until then —
-    // the happy path never stats): the liveness re-check below verifies
-    // exactly these on every subsequent retry
+    // the added files the liveness re-check verifies on every retry
+    // (None until the first retry — the happy path never stats; from the
+    // first retry on, EVERY added file must be present on disk)
     var verifyAdds: Option[Set[String]] = None
     var firstAttempt = true
     while (attempts > 0) {
@@ -967,11 +967,17 @@ object GpxCommitLog {
       // window remains (microseconds vs the whole retry loop), so the
       // hard guarantee is still the vacuum grace TTL — this check makes
       // a violated TTL overwhelmingly loud instead of silent.
-      // LAZY: the baseline is built only when a retry actually happens
-      // (first re-entry of the loop) — an N-file append whose first
-      // putIfAbsent wins pays ZERO extra exists() round-trips, which
-      // matters per-commit on object storage; the cross-retry guarantee
-      // is unchanged because it only binds from the second attempt on.
+      // LAZY: stats run only when a retry actually happens (first
+      // re-entry of the loop) — an N-file append whose first putIfAbsent
+      // wins pays ZERO extra exists() round-trips, which matters
+      // per-commit on object storage. On the first retry, a file ALREADY
+      // missing refuses loudly right away (it may have been swept during
+      // attempt 1 — building a tolerant baseline here would silently
+      // reopen exactly the dangling-reference window this check closes,
+      // and is STRICTER than the old eager baseline, which tolerated
+      // pre-attempt-1 sweeps). The cost: synthetic never-on-disk entries
+      // (tests, catalog seeds) are only tolerated on single-attempt
+      // commits — contended synthetic commits must stage real bytes.
       if (!change.isInstanceOf[Overwrite] && !firstAttempt) {
         val d0 = dirOf(root)
         val addedRel = change match {
@@ -979,19 +985,16 @@ object GpxCommitLog {
           case Replace(add, _, _) => add.map(_.relPath)
           case _ => Nil
         }
-        verifyAdds match {
-          case None =>
-            verifyAdds = Some(addedRel.filter(rel =>
-              GpxFs.exists(new Path(d0, rel).toString, conf)).toSet)
-          case Some(present) => present.foreach { rel =>
-            if (!GpxFs.exists(new Path(d0, rel).toString, conf))
-              throw new java.io.FileNotFoundException(
-                s"gpx log commit refused: staged file $rel vanished " +
-                  "while the commit retried (vacuum staging grace below " +
-                  "this writer's stage-to-commit latency?) — re-stage " +
-                  "and retry")
-          }
+        val toCheck = verifyAdds.getOrElse(addedRel.toSet)
+        toCheck.foreach { rel =>
+          if (!GpxFs.exists(new Path(d0, rel).toString, conf))
+            throw new java.io.FileNotFoundException(
+              s"gpx log commit refused: staged file $rel is missing " +
+                "while the commit retries (vacuum staging grace below " +
+                "this writer's stage-to-commit latency? a synthetic " +
+                "entry on a contended table?) — re-stage and retry")
         }
+        if (verifyAdds.isEmpty) verifyAdds = Some(toCheck)
       }
       if (putIfAbsent(fs, new Path(lp, manifestName(next.version)), bytes)) {
         manifestBytesWritten.addAndGet(bytes.length.toLong)

@@ -488,13 +488,21 @@ object GpxCompactor {
       w.save(stage.toString)
       // publish into the table dir under compact-* names — visible to a
       // listing but unreferenced by any manifest, so invisible to reads
-      // until the commit (every failure path deletes them)
+      // until the commit (every failure path deletes them). The staged
+      // file's bucket/range routing tag (-bN/-rN) is PRESERVED in the
+      // published name: bucket pruning and storage-partitioned-join
+      // planning key on the name suffix (GpxTable.bucketOfFile), so
+      // dropping it would silently degrade every pruned scan to a full
+      // scan — the exact layout the rewrite re-applied via write options.
+      val tagRe = "(-[br]\\d+)\\.gpx$".r
       val staged = GpxTable.listFiles(Seq(stage.toString), conf).sorted
       var rows = 0L
       staged.zipWithIndex.foreach { case (f, i) =>
         rows += GpxFileReader.FooterCache.get(f, conf)
           .rowGroups.map(_.numRows.toLong).sum
-        val to = new Path(dirP, f"compact-$opId-$i%05d.gpx")
+        val tag = tagRe.findFirstMatchIn(
+          f.substring(f.lastIndexOf('/') + 1)).map(_.group(1)).getOrElse("")
+        val to = new Path(dirP, f"compact-$opId-$i%05d$tag.gpx")
         if (!fs.rename(new Path(f), to))
           throw new java.io.IOException(s"rewrite publish failed: $f -> $to")
         outNames += to

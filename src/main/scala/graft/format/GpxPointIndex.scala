@@ -466,6 +466,14 @@ object GpxPointIndex {
       new java.util.concurrent.ConcurrentHashMap[String, Mirror]()
     private val refused =
       java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    /** consecutive transient-load failures per (dir|fp): transient errors
+      * are retried (a healed store must recover, see serve) but a
+      * PERMANENTLY broken one must not re-list + re-walk every footer on
+      * every hot-path probe — past the cap the refusal is cached like an
+      * over-cap one (rebuild/invalidate clears it). */
+    private val TransientRetryCap = 3
+    private val transientFails =
+      new java.util.concurrent.ConcurrentHashMap[String, Integer]()
     val hits = new java.util.concurrent.atomic.AtomicLong
     val loads = new java.util.concurrent.atomic.AtomicLong
     val refusals = new java.util.concurrent.atomic.AtomicLong
@@ -479,6 +487,7 @@ object GpxPointIndex {
     def invalidate(idxDir: String): Unit = {
       cache.remove(idxDir)
       refused.removeIf(_.startsWith(idxDir + "|"))
+      transientFails.keySet.removeIf(_.startsWith(idxDir + "|"))
       // the lock map must not grow one entry per dir for the process
       // lifetime; a racing loader re-creates its lock harmlessly (the
       // worst case is one duplicated load, never a stale serve)
@@ -488,6 +497,7 @@ object GpxPointIndex {
     /** test hook: drop all mirrors and counters */
     def reset(): Unit = {
       cache.clear(); refused.clear(); loadLocks.clear()
+      transientFails.clear()
       hits.set(0); loads.set(0); refusals.set(0)
     }
 
@@ -547,6 +557,7 @@ object GpxPointIndex {
               refusals.incrementAndGet(); return None
             } else load(idxDir, fp, conf, cap) match {
               case Loaded(l) =>
+                transientFails.remove(s"$idxDir|$fp")
                 cache.put(idxDir, l)
                 evictOver()
                 l
@@ -562,7 +573,19 @@ object GpxPointIndex {
                 // a one-off read failure (object-store hiccup, a rebuild
                 // deleting a bucket mid-walk) must NOT permanently
                 // disable the memory scheme for this fp: don't cache the
-                // refusal — the next probe retries the load
+                // refusal — the next probe retries the load. BOUNDED: a
+                // permanently broken store stops paying the full footer
+                // re-walk per probe after TransientRetryCap consecutive
+                // failures (then cached like a genuine refusal).
+                if (transientFails.size > MaxRefusals) transientFails.clear()
+                val k = s"$idxDir|$fp"
+                val n: Int = transientFails.merge(k, 1, (a, b) => a + b)
+                if (n >= TransientRetryCap) {
+                  if (refused.size >= MaxRefusals) refused.clear()
+                  refused.add(k)
+                  transientFails.remove(k)
+                  ()
+                }
                 refusals.incrementAndGet()
                 return None
             }

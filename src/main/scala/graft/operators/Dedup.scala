@@ -222,10 +222,6 @@ object Dedup {
     * hamming<=6 = (same-fp pairs, hamming 0) ∪ (members of fp pairs
     * with 1<=hamming<=6), and pigeonhole recall applies to the
     * distinct-fp banding identically. */
-  /** test/profiling seam: the registered d05 minus its final orderBy */
-  private[graft] def simhashPairsForProfile(s: SparkSession, d: String): DataFrame =
-    simhashPairs(s, d)
-
   private def simhashPairs(s: SparkSession, d: String): DataFrame = {
     // fingerprints are tiny (one long per doc) but cost a full corpus
     // pass — persist AND materialize before the multi-consumer plans

@@ -66,9 +66,11 @@ object ServiceOps {
         |FROM h01_lineitem WHERE l_orderkey % 31 = 0
         |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin
     // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
-    // l_partkey completes the total order, or ROW_NUMBER tie-breaks diverge
-    // small pages force a genuinely multi-page spill at every test sf
-    val mgr = new QueryService.Manager(s, slots = 2, pageRows = 256)
+    // l_partkey completes the total order, or ROW_NUMBER tie-breaks diverge.
+    // pageRows=64: small enough that the filter's slice spans MULTIPLE
+    // pages at every test sf incl. sf0.001 (~186 rows -> 3 pages), so the
+    // multi-page require below never fails on a small-but-valid corpus
+    val mgr = new QueryService.Manager(s, slots = 2, pageRows = 64)
     val http = new QueryHttp(mgr)
     try {
       val base = s"http://127.0.0.1:${http.boundPort}"

@@ -452,6 +452,29 @@ class ManifestSpec extends GraftSpec {
     assert(spark.read.format("gpx").load(dir).count() == 290)
   }
 
+  test("rewrite compaction preserves the bucket routing tag") {
+    val dir = tempDir("gpx_log_rwb")
+    (0 until 3).foreach { i =>
+      spark.range(i * 100L, (i + 1) * 100L).selectExpr("id", "id * 2 as v")
+        .write.format("gpx").mode("append")
+        .option("commitProtocol", "manifest")
+        .option("bucketBy", "id").option("numBuckets", "4").save(dir)
+    }
+    val r = graft.format.GpxCompactor.compactRewrite(spark, dir, conf)
+    assert(r.rows == 300, s"$r")
+    val live = GpxCommitLog.liveFiles(dir, conf)
+    // without the -bN tag on the published names, bucketOfFile returns
+    // None and every bucket-pruned scan degrades to a full scan
+    assert(live.nonEmpty && live.forall(f =>
+      graft.format.GpxTable.bucketOfFile(f).isDefined),
+      s"rewrite dropped the bucket tag: ${live.map(_.split('/').last)}")
+    assert(live.flatMap(f => graft.format.GpxTable.bucketOfFile(f))
+      .toSet.size > 1, "bucket routing must spread the rewrite outputs")
+    val df = spark.read.format("gpx").load(dir)
+    assert(df.count() == 300)
+    assert(df.filter(col("id") === 42L).head.getLong(1) == 84L)
+  }
+
   test("in-place compaction: one atomic manifest swap, MVCC stamps survive the byte-copy") {
     val dir = tempDir("gpx_log_compact")
     // many small commits with distinct commitTs (MVCC history to preserve)

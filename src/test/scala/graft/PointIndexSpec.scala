@@ -475,6 +475,26 @@ class PointIndexSpec extends GraftSpec {
       assert(GpxPointIndex.MemoryMirror.loads.get == 1,
         "healed store must be mirrored on the next probe — transient " +
           "errors must not be cached as refusals")
+
+      // ...but a PERMANENTLY broken store must not re-walk every footer
+      // on every probe: after the retry cap, the refusal caches (a heal
+      // then needs a rebuild/invalidate to serve from memory again)
+      GpxPointIndex.MemoryMirror.reset()
+      java.nio.file.Files.write(victim.toPath, Array[Byte](9, 9, 9))
+      (1 to 3).foreach { _ =>
+        assert(GpxPointIndex.entriesFor(d, "o_orderkey", keys, conf) == got)
+      }
+      java.nio.file.Files.write(victim.toPath, orig) // heal AFTER the cap
+      val r0 = GpxPointIndex.MemoryMirror.refusals.get
+      assert(GpxPointIndex.entriesFor(d, "o_orderkey", keys, conf) == got)
+      assert(GpxPointIndex.MemoryMirror.loads.get == 0 &&
+        GpxPointIndex.MemoryMirror.refusals.get > r0,
+        "past the transient-retry cap the refusal must be cached")
+      // rebuild clears it: the memory scheme recovers
+      GpxPointIndex.build(sp, d, "o_orderkey", numBuckets = 4)
+      assert(GpxPointIndex.entriesFor(d, "o_orderkey", keys, conf).isDefined)
+      assert(GpxPointIndex.MemoryMirror.loads.get == 1,
+        "a rebuild must clear the cached transient refusal")
     } finally sp.conf.unset("spark.graft.index.scheme")
   }
 
