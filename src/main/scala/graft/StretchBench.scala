@@ -26,6 +26,21 @@ object StretchBench {
   /** divisible by every modulus the query suite filters on (lcm(1..30)) */
   private val Shift = 2329089562800L
 
+  /** content stamp of the SOURCE dir (names + lengths + mtimes, one
+    * level of nesting for parquet dirs): the derived sf1 corpus must be
+    * REGENERATED when the driver regenerates testdata — a factor-only
+    * ready marker would silently reuse stale derived data and every
+    * ratio/candidate stamp would compare apples to oranges */
+  private def srcStamp(src: String): String = {
+    def sig(f: java.io.File): Seq[(String, Long, Long)] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .sortBy(_.getName).flatMap(sig)
+      else Seq((f.getName, f.length, f.lastModified))
+    val h = sig(new java.io.File(src)).hashCode
+    (h & 0x7fffffff).toString
+  }
+
   /** every bench row >1 s at sf0.1, plus the near-1 s rows the round-11
     * verdict called out (v06/v07, q33/q39) — the policy is "no heavy row
     * without a stretch witness". The x-rows carry ~1 s of FIXED
@@ -123,7 +138,7 @@ object StretchBench {
     val straddle = queries.find(_._1.startsWith("d03")).map { case (_, fn) =>
       val xf = 27
       val xdir = s"${out}_straddle$xf"
-      val ready = new java.io.File(s"$xdir/_READY_v3_$xf")
+      val ready = new java.io.File(s"$xdir/_READY_v3_${xf}_${srcStamp(src)}")
       if (!ready.exists()) {
         new java.io.File(xdir).mkdirs()
         writeDocCopies(spark, src, xdir, xf, wide = true)
@@ -242,7 +257,7 @@ object StretchBench {
   def generate(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     // v2: events replicate too (w-family stretch rows);
     // v3: per-copy word sentinels (boundary-trigram disjointness)
-    val ready = new java.io.File(s"$out/_READY_v3_$factor")
+    val ready = new java.io.File(s"$out/_READY_v3_${factor}_${srcStamp(src)}")
     if (ready.exists()) return
     new java.io.File(out).mkdirs()
     def copies(df: DataFrame)(tx: (DataFrame, Int) => DataFrame): DataFrame =

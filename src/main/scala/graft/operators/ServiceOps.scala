@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{GQuery, QueryHttp, QueryService, Tables}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** End-to-end oracle coverage for the SLA query service's PAGED result
@@ -67,10 +68,15 @@ object ServiceOps {
         |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin
     // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
     // l_partkey completes the total order, or ROW_NUMBER tie-breaks diverge.
-    // pageRows=64: small enough that the filter's slice spans MULTIPLE
-    // pages at every test sf incl. sf0.001 (~186 rows -> 3 pages), so the
-    // multi-page require below never fails on a small-but-valid corpus
-    val mgr = new QueryService.Manager(s, slots = 2, pageRows = 64)
+    // ADAPTIVE page size: aim for ~8 pages at any sf — a fixed small page
+    // spans pages at sf0.001 but turns sf1 into thousands of HTTP round
+    // trips (measured 136 s), while a fixed large one collapses the tiny
+    // corpus to one page and fails the multi-page gate. The sizing count
+    // is metadata-only (parquet row count, no scan).
+    val slice = Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 31 === 0).count()
+    val pageRows = math.max(64L, math.min(4096L, slice / 8)).toInt
+    val mgr = new QueryService.Manager(s, slots = 2, pageRows = pageRows)
     val http = new QueryHttp(mgr)
     try {
       val base = s"http://127.0.0.1:${http.boundPort}"

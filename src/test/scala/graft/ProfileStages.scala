@@ -3,12 +3,17 @@ package graft
 import org.apache.spark.scheduler._
 import scala.collection.mutable
 
-/** generic per-query stage profile: flags stages whose task count is far
-  * below the runtime they consume (the AQE explode-coalesce pathology) */
+/** generic per-query stage profile: flags stages whose parallelism is far
+  * below the runtime they consume — either the AQE explode-coalesce
+  * pathology (few tasks, big runtime: found d05's single-task collapse)
+  * or a straggler/skew shape (many tasks but the wall is one task long).
+  * Pass query names, or ALL to sweep the whole registry. */
 object ProfileStages {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/tmp/graft_stretch_sf1")
-    val names = args.drop(1)
+    val names: Seq[String] =
+      if (args.drop(1).toSeq == Seq("ALL")) SparkEntry.queries.keys.toSeq.sorted
+      else args.drop(1).toSeq
     val s = Tables.localSession(32)
     val stages = mutable.Map.empty[Int, (Long, Long, Int)]
     s.sparkContext.addSparkListener(new SparkListener {
@@ -24,13 +29,22 @@ object ProfileStages {
       CacheScope.release(blocking = true)
       stages.clear()
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(s, d).count()
-      println(f"QUERY $name ${(System.nanoTime() - t0) / 1e9}%.2f s (n=$n)")
+      val res = try Right(SparkEntry.queries(name)(s, d).count())
+        catch { case t: Throwable => Left(t.getClass.getSimpleName) }
+      val wall = (System.nanoTime() - t0) / 1e9
       CacheScope.release(blocking = true)
-      Thread.sleep(500)
-      stages.toSeq.sortBy(-_._2._2).take(5).foreach { case (id, (w, rt, nt)) =>
-        val flag = if (nt <= 2 && rt > 3000) "  <-- LOW-PARALLELISM" else ""
-        println(f"  stage $id%4d wall=${w / 1000.0}%8.2f s runSum=${rt / 1000.0}%9.2f s tasks=$nt%4d$flag")
+      Thread.sleep(300)
+      val flagged = stages.toSeq.filter { case (_, (w, rt, nt)) =>
+        (nt <= 2 && rt > 3000) || (w > 5000 && rt.toDouble / math.max(w, 1) < 4)
+      }
+      val flag = if (flagged.nonEmpty) " FLAGGED" else ""
+      println(f"QUERY $name $wall%.2f s $res$flag")
+      val toShow =
+        if (flagged.nonEmpty) flagged
+        else if (wall > 3.0) stages.toSeq.sortBy(-_._2._2).take(2)
+        else Nil
+      toShow.sortBy(-_._2._2).foreach { case (id, (w, rt, nt)) =>
+        println(f"  stage $id%5d wall=${w / 1000.0}%8.2f s runSum=${rt / 1000.0}%9.2f s tasks=$nt%4d")
       }
     }
     s.stop()
