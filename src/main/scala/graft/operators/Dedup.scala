@@ -683,9 +683,23 @@ object Dedup {
             .collect().map(_.getLong(0))
           val masks = g.select(col("doc_id"), graft.functions.VectorFunctions
             .sorted_ids_to_mask(col("sids"), gids).as("m"))
+          // the mask payload is FAT (nWords longs per rep): letting the
+          // two fetch joins shuffle, each candidate row drags ~2x that
+          // payload through two exchanges — at the sf1 stretch leg that
+          // is 19M candidates x ~0.5 KiB x 2, the row's dominant CPU
+          // stage. The masks SIDE is small (one row per distinct rep),
+          // but at nWords ~59 it just misses the 10 MB auto-broadcast
+          // threshold, so gate an explicit broadcast on the MEASURED
+          // side size (rep count x mask width, both already known) —
+          // bounded, never a blind hint that could OOM the driver on a
+          // genuinely large rep set (the d09 rule).
+          val repCount = g.count() // g is persisted; metadata-cheap
+          val maskBytes = repCount * (nWords + 4L) * 8L
+          val maskSide =
+            if (maskBytes < (64L << 20)) broadcast(masks) else masks
           candidates
-            .join(masks.select(col("doc_id").as("a_id"), col("m").as("ma")), "a_id")
-            .join(masks.select(col("doc_id").as("b_id"), col("m").as("mb")), "b_id")
+            .join(maskSide.select(col("doc_id").as("a_id"), col("m").as("ma")), "a_id")
+            .join(maskSide.select(col("doc_id").as("b_id"), col("m").as("mb")), "b_id")
             .withColumn("jaccard", graft.functions.VectorFunctions
               .mask_jaccard(col("ma"), col("mb")))
         } else candidates
