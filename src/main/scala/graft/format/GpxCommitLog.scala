@@ -978,7 +978,19 @@ object GpxCommitLog {
       // pre-attempt-1 sweeps). The cost: synthetic never-on-disk entries
       // (tests, catalog seeds) are only tolerated on single-attempt
       // commits — contended synthetic commits must stage real bytes.
-      if (!change.isInstanceOf[Overwrite] && !firstAttempt) {
+      // explicit opt-out (`graft.gpx.commitLivenessCheck=false`, Hadoop
+      // or Spark conf) for callers that COMMIT entries whose bytes never
+      // exist on disk (metadata-only mirrors, external-file catalogs):
+      // without it, such a commit fails permanently the first time it is
+      // CONTENDED — a contention-only failure mode that would be
+      // near-impossible to reproduce when first hit in production. Every
+      // internal writer stages real bytes and keeps the check on.
+      val livenessCheckOn =
+        Option(conf.get("graft.gpx.commitLivenessCheck"))
+          .orElse(org.apache.spark.sql.SparkSession.getActiveSession
+            .flatMap(_.conf.getOption("spark.graft.gpx.commitLivenessCheck")))
+          .forall(_.toBoolean)
+      if (!change.isInstanceOf[Overwrite] && !firstAttempt && livenessCheckOn) {
         val d0 = dirOf(root)
         val addedRel = change match {
           case Append(add, _, _, _, _) => add.map(_.relPath)

@@ -469,9 +469,16 @@ object GpxCompactor {
     val opId = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(dirP, s".rewrite-$opId")
     val outNames = scala.collection.mutable.ArrayBuffer.empty[Path]
+    // once the Replace manifest is committed, the compact-* files are
+    // manifest-referenced LIVE data: the catch-all cleanup must never
+    // delete them (a post-commit exception would otherwise turn into
+    // dangling manifest references = data loss). Today the post-commit
+    // tail swallows its own errors, but this flag closes the window
+    // structurally rather than incidentally.
+    var committed = false
     def cleanup(): Unit = {
       try { fs.delete(stage, true); () } catch { case _: Throwable => () }
-      outNames.foreach(p =>
+      if (!committed) outNames.foreach(p =>
         try { fs.delete(p, false); () } catch { case _: Throwable => () })
     }
     try {
@@ -520,6 +527,7 @@ object GpxCompactor {
         GpxCommitLog.commit(dir, conf, GpxCommitLog.Replace(entries,
           h.live.map(_.relPath).toSet))
       }
+      committed = true
       try { fs.delete(stage, true); () } catch { case _: Throwable => () }
       GpxVersion.bump(dir, conf)
       Result(consumedAbs.size, outNames.size, rows)

@@ -695,8 +695,16 @@ object Dedup {
           // genuinely large rep set (the d09 rule).
           val repCount = g.count() // g is persisted; metadata-cheap
           val maskBytes = repCount * (nWords + 4L) * 8L
+          // gate on RAW payload bytes but leave generous headroom: a
+          // broadcast HashedRelation materializes at a small multiple of
+          // the raw estimate (object headers, hash table, the driver-side
+          // copy), so a near-limit raw estimate can occupy several times
+          // that in the single local-mode JVM. 24 MiB raw ~= well under
+          // 200 MiB materialized worst-case — safely inside executor
+          // memory at any fan-out, while still broadcasting every corpus
+          // the fused mask tier actually selects (sf1 stretch: ~3 MiB).
           val maskSide =
-            if (maskBytes < (64L << 20)) broadcast(masks) else masks
+            if (maskBytes < (24L << 20)) broadcast(masks) else masks
           candidates
             .join(maskSide.select(col("doc_id").as("a_id"), col("m").as("ma")), "a_id")
             .join(maskSide.select(col("doc_id").as("b_id"), col("m").as("mb")), "b_id")
