@@ -17,6 +17,25 @@ import org.apache.spark.sql.SparkSession
   *    initial min exceeded 3x the recheck are named in "divergent" — the
   *    contradiction is measured and resolved inside ONE artifact instead
   *    of shipping silently.
+  *  - HISTORY-RELATIVE recheck trigger (round 13 shipped ~14 small rows
+  *    inflated 3-17x that the old absolute 2.5 s threshold never
+  *    re-timed: q13 at 2.26 s vs its own 0.150 s clean run): a row is
+  *    rechecked when it exceeds 3x its bench_history.jsonl median
+  *    (floor 0.3 s) OR the absolute backstop for rows with no history.
+  *  - FINAL-STAMP GATE: the artifact carries "final":true only when,
+  *    after up to three recheck rounds, no row remains above 3x its
+  *    ledger median, no row errored, the cache pair reads warm < cold,
+  *    and the start loadavg was under a bound (the run WAITS up to 120 s
+  *    for a quiet start first). A run stamped "final":false names its
+  *    "unstable" rows and must not ship as the round's headline
+  *    artifact — rerun it. This is the refusal the round-13 verdict
+  *    asked for, expressed as a self-describing stamp rather than a
+  *    nonzero exit so the driver's per-round invocation always yields a
+  *    parseable artifact.
+  *  - the final artifact REGENERATES the current report's bench section
+  *    (between "<!-- bench:auto -->" markers in the highest REPORT_r*.md
+  *    next to the history ledger), so report prose and shipped artifact
+  *    cannot diverge by construction (r12 and r13 both drifted).
   *  - loadavg at START and END (a 7-minute run's end loadavg says nothing
   *    about a spike during its 12th row), per-row wall offsets in a
   *    detail file, and the worker CPU count in the artifact (Bench and
@@ -75,6 +94,18 @@ object Bench {
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         l, org.apache.logging.log4j.Level.ERROR)
     }
+    // wait (bounded) for a quiet start: a co-tenant compile or stray JVM
+    // at t0 inflates the first rows and the final-stamp gate would then
+    // refuse the whole run — cheaper to wait two minutes than to rerun
+    // seven. The bound is env-tunable; the time actually waited is
+    // recorded in the artifact.
+    val maxLoad0 =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_LOADAVG0", "3.5").toDouble
+    val waitT0 = System.nanoTime()
+    while (loadavg > maxLoad0 &&
+        (System.nanoTime() - waitT0) < 120L * 1000 * 1000 * 1000)
+      Thread.sleep(5000)
+    val waitedSec = (System.nanoTime() - waitT0) / 1e9
     val loadStart = loadavg
     val benchT0 = System.nanoTime()
     def offset: Double = (System.nanoTime() - benchT0) / 1e9
@@ -160,22 +191,56 @@ object Bench {
         detail += s""""${name.takeWhile(_ != '_')}":{"at":${s3(at)},"min2":${s3(dt)}}"""
         (name, dt, ok)
     }
-    // ---- recheck pass: re-time every slow row at the END of the run ----
+    // ---- recheck passes: re-time suspicious rows at the END of the run
     // (min-of-2 again). A transient load window wide enough to inflate
     // both inner runs of one row is very unlikely to ALSO cover its
-    // recheck several minutes later; reported value = min of all four.
+    // recheck several minutes later; reported value = min of all runs.
+    // Trigger is HISTORY-RELATIVE (3x the row's ledger median, floor
+    // 0.3 s) with the old absolute threshold kept only as a backstop for
+    // rows that have no same-sf history yet; rows still above 3x their
+    // median after a recheck get up to two more rounds before the run
+    // gives up and stamps itself non-final.
     val RecheckAboveSec = 2.5
-    val recheck: Map[String, Double] = queryResults.collect {
-      case (name, dt, true) if dt > RecheckAboveSec =>
+    val UnstableFloorSec = 0.3
+    val medians: Map[String, Double] = BenchDelta.ledgerMedians(sfDir)
+    def medianOf(name: String): Option[Double] =
+      medians.get(name.takeWhile(_ != '_'))
+    def overMedian(name: String, dt: Double): Boolean =
+      medianOf(name).exists(m =>
+        dt > math.max(UnstableFloorSec, 3.0 * m))
+    val best = scala.collection.mutable.Map[String, Double](
+      queryResults.collect { case (n, d, true) => (n, d) }.toSeq: _*)
+    val recheck = scala.collection.mutable.Map.empty[String, Double]
+    var pending: Seq[String] = queryResults.collect {
+      case (name, dt, true)
+        if overMedian(name, dt) ||
+          (medianOf(name).isEmpty && dt > RecheckAboveSec) => name
+    }
+    var recheckRounds = 3
+    while (pending.nonEmpty && recheckRounds > 0) {
+      recheckRounds -= 1
+      pending.foreach { name =>
         val (r, ok) = timeOne(benchFn(name))
-        name -> (if (ok) r else dt)
-    }.toMap
+        if (ok) {
+          recheck(name) = recheck.get(name).fold(r)(math.min(_, r))
+          best(name) = math.min(best(name), r)
+        }
+      }
+      pending = pending.filter(n => overMedian(n, best(n)))
+    }
     val finalResults = queryResults.map { case (name, dt, ok) =>
       (name, recheck.get(name).fold(dt)(math.min(dt, _)), ok)
     }
+    // contradictions RESOLVED inside this artifact (initial min-of-2 was
+    // >3x the recheck floor): named, but do not block the final stamp
     val divergent = queryResults.collect {
       case (name, dt, true)
         if recheck.get(name).exists(r => dt > 3.0 * math.max(r, 0.05)) =>
+        name.takeWhile(_ != '_')
+    }
+    // rows STILL unexplained after every recheck round: these block it
+    val unstable = finalResults.collect {
+      case (name, dt, true) if overMedian(name, dt) =>
         name.takeWhile(_ != '_')
     }
     // ---- x03 fixed-cost probe: the identical cross-JVM pipeline over a
@@ -206,6 +271,7 @@ object Bench {
     // path (hits > 0, zero misses) rather than implying it. ----
     var warmHits = 0L
     var coldMode = "pagecache"
+    var pairOk = false
     val cachePair: Seq[(String, Double, Boolean)] =
       try {
         val dir = operators.FormatOps.gpxDir(spark, sfDir, "lineitem")
@@ -217,30 +283,44 @@ object Bench {
           ()
         }
         scan() // warm plans/codegen; cache state is reset explicitly below
-        // min-of-2 per leg, same discipline as timeOne
+        // min-of-3 per leg (the legs are ~0.2 s — pure scheduler noise at
+        // min-of-2, which shipped an inverted pair two rounds running)
         def leg(pre: () => Unit): Double =
-          (0 until 2).map { _ =>
+          (0 until 3).map { _ =>
             pre()
             val t0 = System.nanoTime(); scan()
             (System.nanoTime() - t0) / 1e9
           }.min
-        val canDrop = dropOsCaches()
-        if (canDrop) coldMode = "dropcaches"
-        val cold = leg(() => {
+        // the pair runs in the run's QUIET TAIL (after rechecks) and is
+        // retried up to 3 times until warm < cold — an inverted pair is
+        // measurement noise (the deterministic HostileStoreSpec gate is
+        // the functional evidence), but a headline artifact must not
+        // READ backwards; if three attempts cannot produce warm < cold
+        // the final stamp below stays false and the run reruns.
+        var cold = Double.MaxValue
+        var warm = Double.MaxValue
+        var attempts = 3
+        while (attempts > 0 && !(warm < cold)) {
+          attempts -= 1
+          val canDrop = dropOsCaches()
+          if (canDrop) coldMode = "dropcaches"
+          cold = math.min(cold, leg(() => {
+            format.GpxFileReader.ChunkCache.clear()
+            if (canDrop) { dropOsCaches(); () }
+          }))
+          // populate once untimed, then measure pure serve-path hits
           format.GpxFileReader.ChunkCache.clear()
-          if (canDrop) { dropOsCaches(); () }
-        })
-        // populate once untimed, then measure pure serve-path hits
-        format.GpxFileReader.ChunkCache.clear()
-        scan()
-        val h0 = format.GpxFileReader.ChunkCache.hits.get
-        val m0 = format.GpxFileReader.ChunkCache.misses.get
-        val warm = leg(() => ())
-        warmHits = format.GpxFileReader.ChunkCache.hits.get - h0
-        val warmMisses = format.GpxFileReader.ChunkCache.misses.get - m0
-        if (warmMisses > 0)
-          System.err.println(s"bench cache pair: $warmMisses warm misses " +
-            "— the scan does not fit the chunk cache at this sf")
+          scan()
+          val h0 = format.GpxFileReader.ChunkCache.hits.get
+          val m0 = format.GpxFileReader.ChunkCache.misses.get
+          warm = math.min(warm, leg(() => ()))
+          warmHits = format.GpxFileReader.ChunkCache.hits.get - h0
+          val warmMisses = format.GpxFileReader.ChunkCache.misses.get - m0
+          if (warmMisses > 0)
+            System.err.println(s"bench cache pair: $warmMisses warm misses " +
+              "— the scan does not fit the chunk cache at this sf")
+        }
+        pairOk = warm < cold
         Seq(("gpxcold_scan", cold, true), ("gpxwarm_scan", warm, true))
       } catch {
         case _: Throwable =>
@@ -264,6 +344,15 @@ object Bench {
     val total = finalResults.collect { case (_, v, true) => v }.sum
     val errs = results.count(!_._3)
     val errField = if (errs > 0) s""","errs":$errs""" else ""
+    // the round's headline artifact must carry "final":true — anything
+    // else is a self-describing refusal to stamp (see the header)
+    val isFinal =
+      unstable.isEmpty && errs == 0 && pairOk && loadStart <= maxLoad0
+    val unstableField =
+      if (unstable.isEmpty) ""
+      else unstable.map("\"" + _ + "\"").mkString(""","unstable":[""", ",", "]")
+    val waitField =
+      if (waitedSec >= 1.0) s""","wait0":${s3(waitedSec)}""" else ""
     val divField =
       if (divergent.isEmpty) ""
       else divergent.map("\"" + _ + "\"").mkString(""","divergent":[""", ",", "]")
@@ -280,6 +369,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec"$errField,""" +
       s""""cpus":$cpus,"loadavg":${s3(loadavg)},"loadavg0":${s3(loadStart)}""" +
+      s""","final":$isFinal$unstableField$waitField""" +
       s"""$divField$recheckField$x03Fields,"warmhits":$warmHits,""" +
       s""""coldmode":"$coldMode","queries":$qs,"sf":"$sfDir"}"""
     println(line)
@@ -299,6 +389,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${s3(total)},"unit":"sec"$errField,""" +
       s""""cpus":$cpus,"loadavg":${s3(loadavg)},"loadavg0":${s3(loadStart)}""" +
+      s""","final":$isFinal$unstableField$waitField""" +
       s"""$divField$x03Fields,"warmhits":$warmHits,""" +
       s""""coldmode":"$coldMode","partial":true,""" +
       s""""full":"/tmp/graft_bench.json","queries":$compactRows,"sf":"$sfDir"}""")
@@ -318,6 +409,10 @@ object Bench {
       System.err.println(s"bench delta: ${t.getClass.getSimpleName}: " +
         s"${Option(t.getMessage).getOrElse("")}")
     }
+    try BenchReport.update(line) catch { case t: Throwable =>
+      System.err.println(s"bench report: ${t.getClass.getSimpleName}: " +
+        s"${Option(t.getMessage).getOrElse("")}")
+    }
     spark.stop()
   }
 }
@@ -333,10 +428,45 @@ object Bench {
 object BenchDelta {
   private val om = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  private[graft] def histPath: java.nio.file.Path = java.nio.file.Paths.get(
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      "/root/repo/bench_history.jsonl"))
+
+  /** per-row median over the last (up to) 10 same-sf ledger entries,
+    * keyed by the short row name — the reference point for the
+    * history-relative recheck trigger and the final-stamp gate. A row
+    * absent from history (new query) gets no median and falls back to
+    * the absolute recheck backstop. Failures return empty (first run,
+    * hand-edited ledger) rather than failing the bench. */
+  def ledgerMedians(sf: String): Map[String, Double] = try {
+    if (!java.nio.file.Files.exists(histPath)) return Map.empty
+    val entries = scala.jdk.CollectionConverters
+      .ListHasAsScala(java.nio.file.Files.readAllLines(histPath)).asScala
+      .flatMap(l => try Some(om.readTree(l)) catch { case _: Throwable => None })
+      .filter(n => n.hasNonNull("queries") &&
+        Option(n.get("sf")).map(_.asText).contains(sf))
+      .takeRight(10)
+    val vals = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    entries.foreach { e =>
+      val q = e.get("queries")
+      scala.jdk.CollectionConverters.IteratorHasAsScala(q.fieldNames())
+        .asScala.foreach { k =>
+          val v = q.get(k)
+          if (v.isNumber)
+            vals.getOrElseUpdate(k,
+              scala.collection.mutable.ArrayBuffer.empty) += v.asDouble
+        }
+    }
+    vals.map { case (k, vs) =>
+      val s = vs.sorted
+      k -> (if (s.size % 2 == 1) s(s.size / 2)
+            else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
+    }.toMap
+  } catch { case _: Throwable => Map.empty }
+
   def emit(line: String): Unit = {
-    val hist = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
-        "/root/repo/bench_history.jsonl"))
+    val hist = histPath
     val cur = om.readTree(line)
     val prev: Option[com.fasterxml.jackson.databind.JsonNode] =
       if (java.nio.file.Files.exists(hist)) {
@@ -396,6 +526,108 @@ object BenchDelta {
     }
     if (prev.isEmpty)
       System.err.println("bench delta: no previous same-sf artifact in history")
+    ()
+  }
+}
+
+/** Regenerates the current round report's bench section FROM the artifact
+  * the run just wrote, so report prose and shipped numbers cannot diverge
+  * by construction (REPORT_r12 and REPORT_r13 both drifted from the
+  * artifact committed after them). The target is the highest-numbered
+  * `REPORT_r*.md` next to the history ledger; the rewritten region is
+  * delimited by `<!-- bench:auto -->` / `<!-- /bench:auto -->` markers
+  * (appended as a new section when absent). Only sf0.1 artifacts touch
+  * the report — local sf0.01 iteration runs must not overwrite the
+  * round's numbers. */
+object BenchReport {
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def update(line: String): Unit = {
+    val n = om.readTree(line)
+    val sf = Option(n.get("sf")).map(_.asText).getOrElse("")
+    if (!sf.endsWith("sf0.1")) return
+    val repoDir = BenchDelta.histPath.getParent
+    if (repoDir == null) return
+    val reRep = "REPORT_r(\\d+)\\.md".r
+    val reports = java.nio.file.Files.list(repoDir).iterator()
+    val best = scala.jdk.CollectionConverters.IteratorHasAsScala(reports)
+      .asScala.flatMap { p =>
+        p.getFileName.toString match {
+          case reRep(num) => Some((num.toInt, p))
+          case _ => None
+        }
+      }.toSeq.sortBy(-_._1).headOption
+    val target = best match {
+      case Some((_, p)) => p
+      case None =>
+        System.err.println("bench report: no REPORT_r*.md to update")
+        return
+    }
+    def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def num(f: String): String =
+      Option(n.get(f)).filter(_.isNumber).map(x => s3(x.asDouble)).getOrElse("?")
+    def arr(f: String): Seq[String] = Option(n.get(f)).toSeq.flatMap(a =>
+      (0 until a.size()).map(a.get(_).asText()))
+    val q = n.get("queries")
+    val rows = scala.jdk.CollectionConverters.IteratorHasAsScala(q.fieldNames())
+      .asScala.toSeq.flatMap { k =>
+        Option(q.get(k)).filter(_.isNumber).map(v => (k, v.asDouble)) }
+    val qCount = rows.size - 2 // minus the cache pair rows
+    val top = rows.filterNot(r => r._1.startsWith("gpx"))
+      .sortBy(-_._2).take(10)
+    val cold = rows.find(_._1 == "gpxcold").map(_._2)
+    val warm = rows.find(_._1 == "gpxwarm").map(_._2)
+    val recheckN = Option(n.get("recheck")).map(_.size()).getOrElse(0)
+    val sb = new StringBuilder
+    sb.append("<!-- bench:auto -->\n")
+    sb.append("_This block is regenerated by `graft.BenchReport` from the ")
+    sb.append("artifact each bench run writes — do not hand-edit; numbers ")
+    sb.append("here ARE the shipped artifact's._\n\n")
+    sb.append(s"- artifact: total **${num("value")} s** over $qCount rows, ")
+    sb.append(s"sf=`$sf`, cpus=${Option(n.get("cpus")).map(_.asText).getOrElse("?")}, ")
+    sb.append(s"loadavg ${num("loadavg0")} -> ${num("loadavg")}")
+    Option(n.get("wait0")).foreach(w =>
+      sb.append(s" (waited ${s3(w.asDouble)} s for quiet start)"))
+    sb.append("\n")
+    val fin = Option(n.get("final")).exists(_.asBoolean())
+    sb.append(s"- final stamp: **$fin**")
+    val uns = arr("unstable")
+    if (uns.nonEmpty) sb.append(s"; unstable after all rechecks: ${uns.mkString(", ")}")
+    sb.append("\n")
+    val div = arr("divergent")
+    sb.append(s"- divergent rows (initial min-of-2 >3x their recheck, resolved in-artifact): ")
+    sb.append(if (div.isEmpty) "none" else div.mkString(", "))
+    sb.append(s"; rows re-timed in the recheck tail: $recheckN\n")
+    (cold, warm) match {
+      case (Some(c), Some(w)) =>
+        sb.append(s"- cache pair: cold ${s3(c)} s / warm ${s3(w)} s ")
+        sb.append(s"(mode ${Option(n.get("coldmode")).map(_.asText).getOrElse("?")}, ")
+        sb.append(s"warm chunk hits ${Option(n.get("warmhits")).map(_.asText).getOrElse("?")})\n")
+      case _ => sb.append("- cache pair: err\n")
+    }
+    if (n.hasNonNull("x03fixed"))
+      sb.append(s"- x03 fixed ${num("x03fixed")} s / marginal ${num("x03marginal")} s\n")
+    sb.append("- slowest rows: ")
+    sb.append(top.map { case (k, v) => s"$k ${s3(v)}" }.mkString(", "))
+    sb.append("\n\nPer-row history and the r(N-1)->rN delta live in ")
+    sb.append("`bench_history.jsonl` / `/tmp/graft_bench_delta.md`.\n")
+    sb.append("<!-- /bench:auto -->")
+    val block = sb.toString
+    val text =
+      if (java.nio.file.Files.exists(target))
+        new String(java.nio.file.Files.readAllBytes(target), "UTF-8")
+      else ""
+    val open = "<!-- bench:auto -->"
+    val close = "<!-- /bench:auto -->"
+    val i0 = text.indexOf(open)
+    val i1 = text.indexOf(close)
+    val next =
+      if (i0 >= 0 && i1 > i0)
+        text.substring(0, i0) + block + text.substring(i1 + close.length)
+      else text + (if (text.isEmpty || text.endsWith("\n")) "" else "\n") +
+        "\n## Bench (auto-generated)\n\n" + block + "\n"
+    java.nio.file.Files.write(target, next.getBytes("UTF-8"))
+    System.err.println(s"bench report: updated ${target.getFileName}")
     ()
   }
 }
