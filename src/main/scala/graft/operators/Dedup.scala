@@ -39,6 +39,18 @@ object Dedup {
   def candidatePlan(shortId: String): Option[DataFrame] =
     Option(PairStats.lastCandidates.get(shortId))
 
+  /** `spark.graft.dedup.referencePlan=true` flips every plan-shape choice
+    * this family makes for SPEED onto its slower, structurally different
+    * alternative — array-tier jaccard verify instead of the fused mask
+    * expressions, no explicit broadcasts, a different pinned parallelism
+    * for the exploding band joins — WITHOUT changing any operator's
+    * contract. [[graft.DedupSf1Gate]] hash-compares both legs at the sf1
+    * stretch scale: answer equivalence under diverging plans is the
+    * evidence that the r13 scale fixes (numbered repartition, measured
+    * broadcast gates, mask tiers) optimize without altering results. */
+  private def referencePlan(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.dedup.referencePlan").exists(_.toBoolean)
+
   private val NumHashes = 128 // minhash functions (xxhash64 seeded by index)
   private val BandR = 4 // rows per band -> 32 bands; at J>=0.8 the pair
   // miss probability is (1-J^4)^32 <= (1-0.41)^32 ~ 4e-8, while mediocre
@@ -298,7 +310,13 @@ object Dedup {
     // exchange moves only the fingerprint rows (negligible at any scale —
     // distinct fps, not docs).
     val spread = fp.repartition(
-      fp.sparkSession.sparkContext.defaultParallelism)
+      if (referencePlan(fp.sparkSession))
+        // a deliberately DIFFERENT pin (odd, smaller): the gate's two
+        // legs must diverge in task layout to prove answers don't
+        // depend on it — still >1, so neither leg exercises the
+        // single-task pathology
+        math.max(3, fp.sparkSession.sparkContext.defaultParallelism / 4 | 1)
+      else fp.sparkSession.sparkContext.defaultParallelism)
     val buildCols = (0 until 4).map { b =>
       struct(lit(b).as("b"),
         shiftrightunsigned(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("key"))
@@ -671,7 +689,8 @@ object Dedup {
       lazy val avgSz = Option(g.agg(avg(col("sz"))).head.get(0))
         .map(_.asInstanceOf[Double]).getOrElse(0.0)
       val verify =
-        if (nWords <= 64 || (nWords <= 1024 && vocabV <= 256 * avgSz)) {
+        if (!referencePlan(s) &&
+            (nWords <= 64 || (nWords <= 1024 && vocabV <= 256 * avgSz))) {
           // the sorted <=65536-gid dictionary — bounded by the nWords
           // gate, so the collect is provably tiny at any corpus size
           // (freq already holds exactly one row per gid). Masks build
@@ -969,7 +988,11 @@ object Dedup {
       // the persisted band index streams through a broadcast hash join —
       // the corpus is never shuffled, the probe's exchange carries only
       // the batch signatures + matched candidates
-      val cand = broadcast(bband).as("x").join(corpusBanded.as("y"),
+      // reference leg: shuffle join instead — answers must not depend on
+      // the join strategy (DedupSf1Gate hash-compares both)
+      val bbandSide =
+        if (referencePlan(s)) bband else broadcast(bband)
+      val cand = bbandSide.as("x").join(corpusBanded.as("y"),
           col("x.band") === col("y.band") && hEq &&
             col("x.fp") =!= col("y.fp") &&
             col("x.nt") >= col("y.nt") * t - 0.5 &&

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.scheduler._
+
+/** Regression gates for the AQE explode-coalesce pathology class (round
+  * 13's flagship scale find): a byte-tiny shuffle feeding a row-exploding
+  * join must never collapse to single-task execution. The full-registry
+  * sweep at sf1 is [[StageGate]] (a per-round main gating on stage
+  * metrics); this spec pins the class's cheapest reliable witnesses into
+  * `sbt test` so the numbered-repartition fix cannot regress silently
+  * between rounds. */
+class StageGateSpec extends GraftSpec {
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("d05 banded candidate join runs at pinned parallelism, not AQE-coalesced to one task") {
+    val pairs = SparkEntry.queries("d05_simhash_pairs")(spark, sf01)
+    pairs.count()
+    val cand = operators.Dedup.candidatePlan("d05")
+      .getOrElse(fail("d05 did not register its candidate plan"))
+    // .rdd materializes the AQE query stages: the partition count IS the
+    // band join's task count (the exploding probe side streams through a
+    // broadcast join, so upstream partitioning survives). Pre-fix, AQE
+    // coalesced the byte-tiny distinct-fingerprint shuffle to ONE
+    // partition and the whole ~70x-exploding join ran in a single task.
+    val n = cand.rdd.getNumPartitions
+    val pinned = spark.sparkContext.defaultParallelism
+    assert(n >= math.min(pinned, 2),
+      s"banded candidate join collapsed to $n partition(s) — the " +
+        s"AQE-coalesce-exempt numbered repartition (expected ~$pinned) " +
+        "is gone or no longer upstream of the join")
+  }
+
+  test("no query stage at sf0.01 runs >2s of executor time in <=2 tasks (collapse witness at test scale)") {
+    // cheap in-test analog of the sf1 sweep over the heavy dedup family:
+    // the pathology is scale-amplified but already VISIBLE at sf0.01 as
+    // a single-task stage consuming most of the query's runtime
+    val stages = scala.collection.mutable.Map.empty[Int, (Long, Int)]
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        stages.synchronized {
+          stages(si.stageId) = (si.taskMetrics.executorRunTime, si.numTasks)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Seq("d02_minhash_lsh", "d05_simhash_pairs", "d08_incremental_dedup")
+        .foreach { q =>
+          stages.synchronized(stages.clear())
+          SparkEntry.queries(q)(spark, sf01).count()
+          Thread.sleep(200)
+          val collapsed = stages.synchronized(stages.toSeq).filter {
+            case (_, (rt, nt)) => nt <= 2 && rt > 2000
+          }
+          assert(collapsed.isEmpty,
+            s"$q ran stages ${collapsed.map(_._1).mkString(",")} with " +
+              "<=2 tasks and >2s executor time — explode-coalesce class")
+        }
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("shipped plan and reference plan agree on every dedup answer (sf0.01 leg of the sf1 gate)") {
+    // the fast in-test leg of DedupSf1Gate: same flag, same fingerprint,
+    // tiny corpus — catches an expression- or layout-dependent answer
+    // change at `sbt test` time; the sf1 run is the per-round artifact
+    val names = Seq("d02_minhash_lsh", "d03_ngram_jaccard",
+      "d05_simhash_pairs", "d06_dup_clusters", "d08_incremental_dedup",
+      "d10_indexed_incremental_dedup")
+    names.foreach { name =>
+      val a = DedupSf1Gate.fingerprint(SparkEntry.queries(name)(spark, sf01))
+      CacheScope.release(blocking = true)
+      spark.conf.set("spark.graft.dedup.referencePlan", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val b =
+        try DedupSf1Gate.fingerprint(SparkEntry.queries(name)(spark, sf01))
+        finally {
+          spark.conf.unset("spark.graft.dedup.referencePlan")
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+        }
+      CacheScope.release(blocking = true)
+      assert(a == b, s"$name diverged between shipped and reference plans: $a vs $b")
+    }
+  }
+}
