@@ -202,4 +202,107 @@ class QueryHttpSpec extends GraftSpec {
         st.body().contains(""""retainedSpillBytes":0"""), st.body())
     } finally { http.close(); m.close() }
   }
+
+  test("4 concurrent paged clients: hash-exact reassembly, no cross-token bleed, ledger drains, TTL evicts") {
+    // VERDICT r13 #6: h01 proves the paged loop single-client; the spill
+    // ledger is spec'd under concurrent writers; this gate drives the
+    // FULL http surface concurrently — 4 clients x 3 paged queries over
+    // 2 slots with out-of-order fetches, mid-stream re-reads, releases,
+    // and one deliberately abandoned result per client left to the TTL
+    // sweep. Every client's rows carry a client-specific multiplier, so
+    // one page served to the wrong token fails the value check, not
+    // just a count.
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m = new QueryService.Manager(spark, slots = 2, pageRows = 5,
+      resultTtlMs = 1500L)
+    val http = new QueryHttp(m)
+    try {
+      val base = s"http://127.0.0.1:${http.boundPort}"
+      val failures = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      val abandoned = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
+      def client(c: Int): Unit = try {
+        (0 until 3).foreach { q =>
+          val n = 23 + 7 * c + q // 5..8 pages at pageRows=5, per-client
+          val mult = 1000 * (c + 1) + q
+          val sub = post(s"$base/query?hint=immediate&paged=true",
+            s"SELECT id, id * $mult AS v FROM range($n) ORDER BY id")
+          assert(sub.statusCode() == 200, sub.body())
+          val token = field(sub.body(), "token").get
+          var st = ""
+          val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+          while (st != "finished") {
+            assert(System.nanoTime() < deadline, s"client $c poll timeout")
+            val r = get(s"$base/query/status?token=$token")
+            assert(r.statusCode() == 200, r.body())
+            st = field(r.body(), "status").get
+            assert(st != "failed" && st != "cancelled", r.body())
+            if (st != "finished") Thread.sleep(10)
+          }
+          def page(i: Int) = {
+            val r = get(s"$base/query/result?token=$token&page=$i")
+            assert(r.statusCode() == 200, s"page $i: ${r.body()}")
+            om.readTree(r.body())
+          }
+          val p0 = page(0)
+          val pages = p0.get("pages").asInt()
+          assert(p0.get("rowCount").asLong() == n, p0.toString)
+          // fetch OUT OF ORDER (descending), re-read page 0 at the end
+          val byPage = ((pages - 1) to 0 by -1)
+            .map(i => i -> (if (i == 0) page(0) else page(i))).toMap
+          assert(page(0).get("rows").toString ==
+            byPage(0).get("rows").toString, "page 0 re-read drifted")
+          var id = 0L
+          (0 until pages).foreach { i =>
+            val pg = byPage(i)
+            assert(pg.get("page").asInt() == i && pg.get("pages").asInt() == pages)
+            val rows = pg.get("rows")
+            (0 until rows.size()).foreach { r =>
+              val row = rows.get(r)
+              assert(row.get(0).asLong() == id &&
+                row.get(1).asLong() == id * mult,
+                s"client $c token $token row $id bled: $row (mult $mult)")
+              id += 1
+            }
+          }
+          assert(id == n, s"client $c reassembled $id of $n rows")
+          if (q == 2) abandoned.add(token) // leave the last one to the TTL
+          else {
+            val rel = post(s"$base/query/release?token=$token")
+            assert(rel.statusCode() == 200 && rel.body().contains("true"))
+            assert(get(s"$base/query/result?token=$token&page=0")
+              .statusCode() == 404, "released result still serves")
+          }
+        }
+      } catch {
+        case t: Throwable => failures.add(s"client $c: ${t.getMessage}")
+      }
+      val threads = (0 until 4).map(c => new Thread(() => client(c)))
+      threads.foreach(_.start()); threads.foreach(_.join(120000))
+      assert(failures.isEmpty, failures.toString)
+      // the 4 abandoned results still retain spill — then the TTL sweep
+      // (nudged by fresh submissions) must drain the ledger to ZERO and
+      // expire their tokens
+      def retained(): Long = {
+        val b = get(s"$base/query/stats").body()
+        """"retainedSpillBytes":(\d+)""".r.findFirstMatchIn(b)
+          .map(_.group(1).toLong).getOrElse(fail(s"no ledger in $b"))
+      }
+      assert(retained() > 0, "abandoned paged results should retain spill")
+      Thread.sleep(1600)
+      val drainDeadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (retained() > 0 && System.nanoTime() < drainDeadline) {
+        val t = field(post(s"$base/query?hint=immediate", "SELECT 1").body(),
+          "token").get
+        m.await(t); get(s"$base/query/result?token=$t")
+        Thread.sleep(200)
+      }
+      assert(retained() == 0, "TTL sweep never drained the spill ledger")
+      abandoned.forEach { tok =>
+        assert(get(s"$base/query/result?token=$tok&page=0").statusCode() == 404,
+          s"expired token $tok still serves pages")
+      }
+    } finally { http.close(); m.close() }
+  }
 }
