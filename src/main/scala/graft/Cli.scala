@@ -164,6 +164,27 @@ object Cli {
         println(s"STAT index memoryMirrors=${mi.mirrorCount} " +
           s"mirrorEntries=${mi.entryCount} mirrorHits=${mi.hits.get} " +
           s"mirrorLoads=${mi.loads.get} mirrorRefusals=${mi.refusals.get}")
+        // effective liveness-boundary config + its validation verdict: an
+        // operator tuning graft.gpx.{vacuumGraceMs,tombstoneGraceMs} or
+        // the lock TTL needs to SEE what a table actually runs with — the
+        // cross-validation (grace >= lock TTL) otherwise only surfaces
+        // when a vacuum or commit first reads the knob, i.e. too late.
+        // Misconfigured values print the refusal instead of crashing STAT.
+        val lockTtl = graft.format.GpxMutationLock.ttlMs
+        def grace(name: String, read: () => Long): String =
+          try s"$name=${read()}ms" catch {
+            case e: IllegalArgumentException =>
+              s"$name=INVALID(${e.getMessage})"
+          }
+        val vg = grace("vacuumGraceMs",
+          () => graft.format.GpxCommitLog.vacuumGraceMs(conf))
+        val tg = grace("tombstoneGraceMs",
+          () => graft.format.GpxCommitLog.tombstoneGraceMs(conf))
+        val verdict =
+          if (vg.contains("INVALID") || tg.contains("INVALID")) "INVALID"
+          else "OK"
+        println(s"STAT liveness mutationLockTtlMs=${lockTtl}ms $vg $tg " +
+          s"validation=$verdict")
       case "INDEX" =>
         val Seq(table, cols) = operands(args, 2)
         val parts = cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty)

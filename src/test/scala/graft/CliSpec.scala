@@ -140,4 +140,32 @@ class CliSpec extends GraftSpec {
     bad("QUERY", "SELECT 1", "--table", "noequals")
     bad("NOSUCH")
   }
+
+  test("STAT prints the effective liveness boundary and its validation verdict") {
+    val t = TestSpark.tempDir("cli_stat_liveness")
+    Cli.run(sp, Seq("LOAD", "/root/testdata/sf0.001/region.parquet", t,
+      "--overwrite"))
+    def statOut(): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+        Cli.run(sp, Seq("STAT", t))
+      }
+      bos.toString("UTF-8")
+    }
+    val out = statOut()
+    val line = out.linesIterator.find(_.startsWith("STAT liveness"))
+      .getOrElse(fail(s"no liveness line in:\n$out"))
+    assert(line.contains("mutationLockTtlMs=") &&
+      line.contains("vacuumGraceMs=") && line.contains("tombstoneGraceMs=") &&
+      line.contains("validation=OK"), line)
+    // a grace below the lock TTL must print the refusal, not crash STAT
+    // (set via the Hadoop surface — the same one Cli.run hands the
+    // format layer, so the test does not depend on thread-local
+    // active-session state)
+    sp.sparkContext.hadoopConfiguration.set("graft.gpx.vacuumGraceMs", "1")
+    try {
+      val bad = statOut().linesIterator.find(_.startsWith("STAT liveness")).get
+      assert(bad.contains("INVALID") && bad.contains("validation=INVALID"), bad)
+    } finally sp.sparkContext.hadoopConfiguration.unset("graft.gpx.vacuumGraceMs")
+  }
 }
