@@ -29,6 +29,18 @@ object VectorFunctions {
   def positions_to_mask(ps: Column, nWords: Int): Column =
     org.apache.spark.sql.graft.VectorExpressions.positions_to_mask(ps, nWords)
 
+  /** Delta-varint rank stream (binary) of a sorted distinct array<long>
+    * against a sorted dictionary — the compact verify payload when the
+    * set side cannot broadcast
+    * (org.apache.spark.sql.graft.SortedIdsToVarint). */
+  def sorted_ids_to_varint(ids: Column, dict: Array[Long]): Column =
+    org.apache.spark.sql.graft.VectorExpressions.sorted_ids_to_varint(ids, dict)
+
+  /** Exact Jaccard of two delta-varint rank streams — one streaming
+    * decode-merge per pair (org.apache.spark.sql.graft.VarintJaccard). */
+  def varint_jaccard(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.varint_jaccard(a, b)
+
   /** Fixed-width array<long> bitmask from a sorted-distinct id array and
     * a sorted dictionary, computed map-side with zero joins
     * (org.apache.spark.sql.graft.SortedIdsToMask). */

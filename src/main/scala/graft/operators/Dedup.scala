@@ -688,52 +688,81 @@ object Dedup {
       // empty corpus (avg = NULL) reads as density 0 -> array tier
       lazy val avgSz = Option(g.agg(avg(col("sz"))).head.get(0))
         .map(_.asInstanceOf[Double]).getOrElse(0.0)
-      val verify =
-        if (!referencePlan(s) &&
-            (nWords <= 64 || (nWords <= 1024 && vocabV <= 256 * avgSz))) {
-          // the sorted <=65536-gid dictionary — bounded by the nWords
-          // gate, so the collect is provably tiny at any corpus size
-          // (freq already holds exactly one row per gid). Masks build
-          // MAP-SIDE from each representative's already-persisted sorted
-          // id array with the dictionary riding as one expression
-          // reference (no rank join, no per-gram shuffle, no re-group —
-          // the old pivot aggregate moved every gram instance again).
-          val gids = freq.select(col("gid")).orderBy(col("gid"))
-            .collect().map(_.getLong(0))
+      val repCount = g.count() // g is persisted; metadata-cheap
+      val maskBytes = repCount * (nWords + 4L) * 8L
+      // broadcast gate on RAW payload bytes with generous headroom: a
+      // broadcast HashedRelation materializes at a small multiple of the
+      // raw estimate (object headers, hash table, the driver-side copy),
+      // so a near-limit raw estimate can occupy several times that in
+      // the single local-mode JVM. 24 MiB raw ~= well under 200 MiB
+      // materialized worst-case — safely inside executor memory at any
+      // fan-out, while still broadcasting every corpus the fused mask
+      // tier actually selects (sf1 stretch: ~3 MiB). Never a blind
+      // hint that could OOM the driver on a genuinely large rep set
+      // (the d09 rule).
+      val maskBroadcastable = maskBytes < (24L << 20)
+      val maskKernelOk = nWords <= 64 || (nWords <= 1024 && vocabV <= 256 * avgSz)
+      // TIER CHOICE. When the set side BROADCASTS, the candidate stream
+      // carries nothing and the fused popcount kernel wins outright ->
+      // mask. When it cannot broadcast, the two fetch joins drag the
+      // payload per CANDIDATE row through two exchanges (the sf1
+      // straddle: 50.9M candidates x 2 sides — the row's dominant
+      // cost), so the WIRE SIZE of the set representation decides:
+      // delta-varint rank gaps are ~1-2 bytes/element (gap ~ V/avg, one
+      // LEB128 byte while V <= 128*avg) vs nWords*8 for the mask and
+      // 8/element for raw ids — pick the smallest estimate. The varint
+      // tier needs the same <=65536-gid dictionary as the mask tier;
+      // past that the corpus is a genuine word-level vocabulary and the
+      // raw sorted-id arrays are the honest representation.
+      // `spark.graft.dedup.d03VerifyTier` forces a tier (test hook —
+      // StageGateSpec proves all tiers agree on answers).
+      val tier: String = s.conf.getOption("spark.graft.dedup.d03VerifyTier")
+        .getOrElse {
+          if (referencePlan(s)) "array"
+          else if (maskKernelOk && maskBroadcastable) "mask"
+          else if (vocabV <= 65536) {
+            val gapBytes = 1.0 + math.max(0.0,
+              math.log(math.max(1.0, vocabV / math.max(avgSz, 1.0))) /
+                math.log(128.0))
+            val estVarintBytes = avgSz * gapBytes
+            if (maskKernelOk && (nWords + 4L) * 8.0 <= estVarintBytes) "mask"
+            else "varint"
+          } else "array"
+        }
+      // the sorted <=65536-gid dictionary (mask + varint tiers) —
+      // bounded by the tier gates, so the collect is provably tiny at
+      // any corpus size (freq already holds exactly one row per gid).
+      // Payloads build MAP-SIDE from each representative's already-
+      // persisted sorted id array with the dictionary riding as one
+      // expression reference (no rank join, no per-gram shuffle, no
+      // re-group — the old pivot aggregate moved every gram instance
+      // again).
+      lazy val gids = freq.select(col("gid")).orderBy(col("gid"))
+        .collect().map(_.getLong(0))
+      val verify = tier match {
+        case "mask" =>
           val masks = g.select(col("doc_id"), graft.functions.VectorFunctions
             .sorted_ids_to_mask(col("sids"), gids).as("m"))
-          // the mask payload is FAT (nWords longs per rep): letting the
-          // two fetch joins shuffle, each candidate row drags ~2x that
-          // payload through two exchanges — at the sf1 stretch leg that
-          // is 19M candidates x ~0.5 KiB x 2, the row's dominant CPU
-          // stage. The masks SIDE is small (one row per distinct rep),
-          // but at nWords ~59 it just misses the 10 MB auto-broadcast
-          // threshold, so gate an explicit broadcast on the MEASURED
-          // side size (rep count x mask width, both already known) —
-          // bounded, never a blind hint that could OOM the driver on a
-          // genuinely large rep set (the d09 rule).
-          val repCount = g.count() // g is persisted; metadata-cheap
-          val maskBytes = repCount * (nWords + 4L) * 8L
-          // gate on RAW payload bytes but leave generous headroom: a
-          // broadcast HashedRelation materializes at a small multiple of
-          // the raw estimate (object headers, hash table, the driver-side
-          // copy), so a near-limit raw estimate can occupy several times
-          // that in the single local-mode JVM. 24 MiB raw ~= well under
-          // 200 MiB materialized worst-case — safely inside executor
-          // memory at any fan-out, while still broadcasting every corpus
-          // the fused mask tier actually selects (sf1 stretch: ~3 MiB).
-          val maskSide =
-            if (maskBytes < (24L << 20)) broadcast(masks) else masks
+          val maskSide = if (maskBroadcastable) broadcast(masks) else masks
           candidates
             .join(maskSide.select(col("doc_id").as("a_id"), col("m").as("ma")), "a_id")
             .join(maskSide.select(col("doc_id").as("b_id"), col("m").as("mb")), "b_id")
             .withColumn("jaccard", graft.functions.VectorFunctions
               .mask_jaccard(col("ma"), col("mb")))
-        } else candidates
+        case "varint" =>
+          val vars = g.select(col("doc_id"), graft.functions.VectorFunctions
+            .sorted_ids_to_varint(col("sids"), gids).as("v"))
+          candidates
+            .join(vars.select(col("doc_id").as("a_id"), col("v").as("va")), "a_id")
+            .join(vars.select(col("doc_id").as("b_id"), col("v").as("vb")), "b_id")
+            .withColumn("jaccard", graft.functions.VectorFunctions
+              .varint_jaccard(col("va"), col("vb")))
+        case _ => candidates
           .join(gInt.select(col("gd").as("a_id"), col("sids").as("a_s")), "a_id")
           .join(gInt.select(col("gd").as("b_id"), col("sids").as("b_s")), "b_id")
           .withColumn("jaccard", graft.functions.VectorFunctions
             .sorted_jaccard(col("a_s"), col("b_s")))
+      }
       val repPairs = verify
         .filter(col("jaccard") >= t)
         .select(col("a_id").as("ra"), col("b_id").as("rb"), col("jaccard"))

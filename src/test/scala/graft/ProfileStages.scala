@@ -40,8 +40,9 @@ object ProfileStages {
       val flag = if (flagged.nonEmpty) " FLAGGED" else ""
       println(f"QUERY $name $wall%.2f s $res$flag")
       val toShow =
-        if (flagged.nonEmpty) flagged
-        else if (wall > 3.0) stages.toSeq.sortBy(-_._2._2).take(2)
+        if (flagged.nonEmpty)
+          (flagged ++ stages.toSeq.sortBy(-_._2._2).take(6)).distinct
+        else if (wall > 3.0) stages.toSeq.sortBy(-_._2._2).take(6)
         else Nil
       toShow.sortBy(-_._2._2).foreach { case (id, (w, rt, nt)) =>
         println(f"  stage $id%5d wall=${w / 1000.0}%8.2f s runSum=${rt / 1000.0}%9.2f s tasks=$nt%4d")

@@ -82,4 +82,58 @@ class StageGateSpec extends GraftSpec {
       assert(a == b, s"$name diverged between shipped and reference plans: $a vs $b")
     }
   }
+
+  test("all three d03 verify tiers (mask, varint, array) agree on every answer") {
+    // the tier choice is a pure payload/kernel tradeoff — the ANSWER must
+    // be identical whichever representation carries the sets (fused
+    // popcount masks, delta-varint rank streams, raw sorted-id arrays)
+    val legs = Seq("mask", "varint", "array").map { tier =>
+      spark.conf.set("spark.graft.dedup.d03VerifyTier", tier)
+      try {
+        val fp = DedupSf1Gate.fingerprint(
+          SparkEntry.queries("d03_ngram_jaccard")(spark, sf01))
+        CacheScope.release(blocking = true)
+        tier -> fp
+      } finally spark.conf.unset("spark.graft.dedup.d03VerifyTier")
+    }
+    assert(legs.map(_._2).distinct.size == 1,
+      s"d03 verify tiers disagree: $legs")
+    assert(legs.head._2._1 > 0, "d03 returned zero rows — vacuous tier check")
+  }
+
+  test("varint set encoding: jaccard matches the sorted-merge kernel on random sets") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    // random sorted distinct id sets over a skewed id space, including
+    // empty sets, singletons, identical pairs and disjoint pairs
+    val sets: Seq[(Seq[Long], Seq[Long])] = (0 until 300).map { i =>
+      def mk(): Seq[Long] =
+        if (rnd.nextInt(20) == 0) Seq.empty
+        else (0 until (1 + rnd.nextInt(60)))
+          .map(_ => rnd.nextInt(1 << (3 + rnd.nextInt(14))).toLong)
+          .distinct.sorted
+      val a = mk()
+      val b = rnd.nextInt(10) match {
+        case 0 => a // identical
+        case 1 => mk().filterNot(a.contains) // disjoint-ish
+        case _ => (mk() ++ a.take(rnd.nextInt(a.size + 1))).distinct.sorted
+      }
+      (a, b)
+    }
+    val dict = sets.flatMap(p => p._1 ++ p._2).distinct.sorted.toArray
+    val sp = spark
+    import sp.implicits._
+    val df = sets.toDF("a", "b")
+    val both = df.select(
+      graft.functions.VectorFunctions.sorted_jaccard(col("a"), col("b")).as("sj"),
+      graft.functions.VectorFunctions.varint_jaccard(
+        graft.functions.VectorFunctions.sorted_ids_to_varint(col("a"), dict),
+        graft.functions.VectorFunctions.sorted_ids_to_varint(col("b"), dict)).as("vj"))
+      .collect()
+    both.zipWithIndex.foreach { case (r, i) =>
+      val sj = if (r.isNullAt(0)) null else r.getDouble(0)
+      val vj = if (r.isNullAt(1)) null else r.getDouble(1)
+      assert(sj == vj, s"pair $i: sorted=$sj varint=$vj (${sets(i)})")
+    }
+  }
 }
