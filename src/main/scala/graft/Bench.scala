@@ -437,11 +437,13 @@ object BenchDelta {
     * history-relative recheck trigger and the final-stamp gate. A row
     * absent from history (new query) gets no median and falls back to
     * the absolute recheck backstop. Failures return empty (first run,
-    * hand-edited ledger) rather than failing the bench. */
-  def ledgerMedians(sf: String): Map[String, Double] = try {
-    if (!java.nio.file.Files.exists(histPath)) return Map.empty
+    * hand-edited ledger) rather than failing the bench. The ledger path
+    * parameter exists for specs; production callers use the env default. */
+  def ledgerMedians(sf: String,
+      ledger: java.nio.file.Path = histPath): Map[String, Double] = try {
+    if (!java.nio.file.Files.exists(ledger)) return Map.empty
     val entries = scala.jdk.CollectionConverters
-      .ListHasAsScala(java.nio.file.Files.readAllLines(histPath)).asScala
+      .ListHasAsScala(java.nio.file.Files.readAllLines(ledger)).asScala
       .flatMap(l => try Some(om.readTree(l)) catch { case _: Throwable => None })
       .filter(n => n.hasNonNull("queries") &&
         Option(n.get("sf")).map(_.asText).contains(sf))
@@ -542,11 +544,14 @@ object BenchDelta {
 object BenchReport {
   private val om = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  def update(line: String): Unit = {
+  /** `dir` parameter exists for specs; production callers default to the
+    * ledger's directory (the repo root). */
+  def update(line: String,
+      dir: Option[java.nio.file.Path] = None): Unit = {
     val n = om.readTree(line)
     val sf = Option(n.get("sf")).map(_.asText).getOrElse("")
     if (!sf.endsWith("sf0.1")) return
-    val repoDir = BenchDelta.histPath.getParent
+    val repoDir = dir.getOrElse(BenchDelta.histPath.getParent)
     if (repoDir == null) return
     val reRep = "REPORT_r(\\d+)\\.md".r
     val reports = java.nio.file.Files.list(repoDir).iterator()
