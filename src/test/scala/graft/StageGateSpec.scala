@@ -136,4 +136,38 @@ class StageGateSpec extends GraftSpec {
       assert(sj == vj, s"pair $i: sorted=$sj varint=$vj (${sets(i)})")
     }
   }
+
+  test("positive control: the collapse detector actually fires on a synthetic single-task stage") {
+    // a green sweep is only evidence if the witness machinery DETECTS
+    // collapses — run >2s of executor work in one task and assert the
+    // same listener/filter shape used by StageGate flags it
+    val stages = scala.collection.mutable.Map.empty[Int, (Long, Int)]
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        stages.synchronized {
+          stages(si.stageId) = (si.taskMetrics.executorRunTime, si.numTasks)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // nondeterministic so neither column pruning (count() dropped the
+      // deterministic UDF entirely — measured 476 ms) nor project
+      // pushdown can elide the work; coalesce so no exchange lets it
+      // fan out upstream (observed with repartition: 4 tasks)
+      val slow = org.apache.spark.sql.functions.udf { (i: Long) =>
+        Thread.sleep(60); i
+      }.asNondeterministic()
+      import org.apache.spark.sql.functions.{col, sum => fsum}
+      spark.range(40).coalesce(1)
+        .select(slow(col("id")).as("v")).agg(fsum(col("v"))).collect()
+      Thread.sleep(300)
+      val collapsed = stages.synchronized(stages.toSeq).filter {
+        case (_, (rt, nt)) => nt <= 2 && rt > 2000
+      }
+      assert(collapsed.nonEmpty,
+        s"synthetic 1-task 2.4s stage not flagged — detector is blind: $stages")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
