@@ -40,6 +40,13 @@ object StageGate {
     StretchBench.generate(spark, src, out, factor)
 
     val stages = mutable.Map.empty[Int, (Long, Long, Int)]
+    // shuffle WRITE bytes per query, summed across its stages: the
+    // scale-killer class StageGate's runtime flags cannot see is "right
+    // answer, needless exchange" — a query whose shuffle volume is a
+    // multiple of its input will saturate the fabric at 100 TB long
+    // before any single stage straggles. Stamped per query (informational
+    // ranking, not a flag: legitimate shuffle volume is query-shaped).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val si = e.stageInfo
@@ -48,6 +55,8 @@ object StageGate {
             si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
             si.taskMetrics.executorRunTime, si.numTasks)
         }
+        shuffleBytes.addAndGet(si.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        ()
       }
     })
     def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -58,6 +67,7 @@ object StageGate {
       try { fn(spark, out); () } catch { case _: Throwable => () }
       CacheScope.release(blocking = true)
       stages.synchronized(stages.clear())
+      shuffleBytes.set(0L)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, out).count(); true }
         catch { case _: Throwable => false }
@@ -66,6 +76,7 @@ object StageGate {
       // the listener is async: give the last stage-completed event a
       // beat to land before reading the map
       Thread.sleep(200)
+      val shufMb = shuffleBytes.get / (1024.0 * 1024.0)
       val snap = stages.synchronized(stages.toSeq)
       val flagged = snap.filter { case (_, (w, rt, nt)) =>
         (nt <= 2 && rt > 3000) || (w > 5000 && rt.toDouble / math.max(w, 1) < 4)
@@ -76,14 +87,15 @@ object StageGate {
           f"wall=${w / 1000.0}%.2fs runSum=${rt / 1000.0}%.2fs tasks=$nt")
       }
       (short, wall, ok, snap.size, flagged.map { case (id, (w, rt, nt)) =>
-        s"""{"stage":$id,"wallMs":$w,"runMs":$rt,"tasks":$nt}""" })
+        s"""{"stage":$id,"wallMs":$w,"runMs":$rt,"tasks":$nt}""" }, shufMb)
     }
     val flaggedTotal = rows.map(_._5.size).sum
     val errTotal = rows.count(!_._3)
-    val qs = rows.map { case (short, wall, ok, nStages, flags) =>
+    val qs = rows.map { case (short, wall, ok, nStages, flags, shufMb) =>
       val f = if (flags.isEmpty) ""
         else flags.mkString(""","flags":[""", ",", "]")
-      if (ok) s""""$short":{"sec":${s3(wall)},"stages":$nStages$f}"""
+      if (ok) s""""$short":{"sec":${s3(wall)},"stages":$nStages,""" +
+        s""""shufMB":${s3(shufMb)}$f}"""
       else s""""$short":{"err":true}"""
     }.mkString("{", ",", "}")
     val line =

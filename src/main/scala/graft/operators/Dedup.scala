@@ -1021,12 +1021,23 @@ object Dedup {
       // the join strategy (DedupSf1Gate hash-compares both)
       val bbandSide =
         if (referencePlan(s)) bband else broadcast(bband)
+      // candidate pairs travel as COMPACT 64-bit gids, not 32-char md5
+      // strings — the d08 lesson applied to the indexed path after the
+      // round-14 StageGate shuffle stamp ranked d10 the registry's top
+      // shuffle producer at sf1 (2993 MB, mostly the pre-distinct band
+      // hits and the two verify fetch joins dragging string pairs).
+      // EXACTNESS IS PRESERVED by the same argument as d08: a gid
+      // collision only ADDS candidate rows; the batch fetch resolves ga
+      // against BATCH groups only and the corpus fetch resolves gb
+      // against the CORPUS index only, so every extra row is a genuine
+      // (batch, corpus) pair exact-verified over the real token sets —
+      // a subset of the all-pairs contract the oracle computes.
       val cand = bbandSide.as("x").join(corpusBanded.as("y"),
           col("x.band") === col("y.band") && hEq &&
             col("x.fp") =!= col("y.fp") &&
             col("x.nt") >= col("y.nt") * t - 0.5 &&
             col("y.nt") >= col("x.nt") * t - 0.5)
-        .select(col("x.fp").as("fa"), col("y.fp").as("fb"))
+        .select(xxhash64(col("x.fp")).as("ga"), xxhash64(col("y.fp")).as("gb"))
         .distinct()
         .tracked
       PairStats.lastCandidates.put("d10", cand)
@@ -1035,8 +1046,9 @@ object Dedup {
       // aggregation (the index stores each fp's sorted token set as one
       // joined string; an empty set round-trips as an empty array)
       val ctoks = corpusTokens
-        .join(broadcast(cand.select(col("fb").as("fp")).distinct()), "fp")
-        .select(col("fp"),
+        .select(xxhash64(col("fp")).as("gb"), col("toks_s"))
+        .join(broadcast(cand.select(col("gb")).distinct()), "gb")
+        .select(col("gb"),
           // split-on-space yields >= 1 element, so the EMPTY set is
           // unreachable; the only set serializing to "" is [""] — decode
           // it back exactly (an empty array here would diverge from the
@@ -1044,13 +1056,14 @@ object Dedup {
           when(col("toks_s") === "", array(lit("")))
             .otherwise(split(col("toks_s"), " ")).as("ctoks"))
       val verified = cand
-        .join(bgroups.select(col("fp").as("fa"), col("toks").as("btoks")), "fa")
-        .join(ctoks.select(col("fp").as("fb"), col("ctoks")), "fb")
+        .join(bgroups.select(xxhash64(col("fp")).as("ga"), col("fp"),
+          col("toks").as("btoks")), "ga")
+        .join(ctoks, "gb")
         .withColumn("j",
           size(array_intersect(col("btoks"), col("ctoks"))).cast(DoubleType) /
             size(array_union(col("btoks"), col("ctoks"))))
         .filter(col("j") >= t)
-        .select(col("fa").as("fp"), col("j"))
+        .select(col("fp"), col("j"))
       // identical token set present in the index => exact dup, J = 1
       val exact = bgroups.join(corpusReps, Seq("fp"), "leftsemi")
         .select(col("fp"), lit(1.0).as("j"))
