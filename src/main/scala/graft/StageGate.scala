@@ -78,8 +78,15 @@ object StageGate {
       Thread.sleep(200)
       val shufMb = shuffleBytes.get / (1024.0 * 1024.0)
       val snap = stages.synchronized(stages.toSeq)
+      // straggler flag requires rt >= w: a real straggler's one long task
+      // alone spans the stage wall (runSum >= wall), while a near-idle
+      // stage QUEUED behind a core-hogging sibling (AQE runs independent
+      // stages concurrently; observed: 14 ms of work, 5.4 s of wall
+      // waiting out d08's band join) has rt << w and is scheduler wait,
+      // not skew
       val flagged = snap.filter { case (_, (w, rt, nt)) =>
-        (nt <= 2 && rt > 3000) || (w > 5000 && rt.toDouble / math.max(w, 1) < 4)
+        (nt <= 2 && rt > 3000) ||
+          (w > 5000 && rt >= w && rt.toDouble / math.max(w, 1) < 4)
       }
       val short = name.takeWhile(_ != '_')
       flagged.foreach { case (id, (w, rt, nt)) =>

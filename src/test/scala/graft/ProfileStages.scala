@@ -34,8 +34,11 @@ object ProfileStages {
       val wall = (System.nanoTime() - t0) / 1e9
       CacheScope.release(blocking = true)
       Thread.sleep(300)
+      // rt >= w on the straggler arm: see StageGate — a near-idle stage
+      // queued behind a core-hogging sibling is scheduler wait, not skew
       val flagged = stages.toSeq.filter { case (_, (w, rt, nt)) =>
-        (nt <= 2 && rt > 3000) || (w > 5000 && rt.toDouble / math.max(w, 1) < 4)
+        (nt <= 2 && rt > 3000) ||
+          (w > 5000 && rt >= w && rt.toDouble / math.max(w, 1) < 4)
       }
       val flag = if (flagged.nonEmpty) " FLAGGED" else ""
       println(f"QUERY $name $wall%.2f s $res$flag")
