@@ -29,8 +29,16 @@ class CrossProcessSpec extends GraftSpec {
       ForkedJvm.start("graft.CrossProcessMain",
         Seq("append", dir, id.toString, "15"))
     }
+    // 8 s staging grace, NOT 3 s: the grace is the product's hard
+    // guarantee against sweeping an in-flight writer's staged file on a
+    // FIRST-attempt commit (the liveness recheck only defends retries —
+    // the documented stat-to-put window). Under a full-suite 32-thread
+    // load a child writer's stage-to-commit latency measurably exceeded
+    // 3 s once (round 14: reader FNF on a vacuumed-then-committed file);
+    // the sweeper still reclaims everything retired earlier in the
+    // minute-long fuzz, so the vacuum paths stay fully exercised.
     val sweeper = ForkedJvm.start("graft.CrossProcessMain",
-      Seq("vacuum", dir, "80", "3000"))
+      Seq("vacuum", dir, "80", "8000"))
     writers.foreach(_.awaitOk())
     sweeper.awaitOk()
 
@@ -82,7 +90,7 @@ class CrossProcessSpec extends GraftSpec {
     val compactor = ForkedJvm.start("graft.CrossProcessMain",
       Seq("compact", dir, "12"))
     val sweeper = ForkedJvm.start("graft.CrossProcessMain",
-      Seq("vacuum", dir, "60", "3000"))
+      Seq("vacuum", dir, "60", "8000"))
     writers.foreach(_.awaitOk())
     compactor.awaitOk()
     sweeper.awaitOk()
@@ -277,7 +285,7 @@ class CrossProcessSpec extends GraftSpec {
     val compactor = ForkedJvm.start("graft.CrossProcessMain",
       Seq("compact", dir, "6"))
     val sweeper = ForkedJvm.start("graft.CrossProcessMain",
-      Seq("vacuum", dir, "40", "3000"))
+      Seq("vacuum", dir, "40", "8000"))
     importers.foreach(_.awaitOk())
     appender.awaitOk(); compactor.awaitOk(); sweeper.awaitOk()
     val want = (-1L +: (for {
@@ -299,7 +307,7 @@ class CrossProcessSpec extends GraftSpec {
     val compactor = ForkedJvm.start("graft.CrossProcessMain",
       Seq("compact", dir, "10"))
     val sweeper = ForkedJvm.start("graft.CrossProcessMain",
-      Seq("vacuum", dir, "40", "3000"))
+      Seq("vacuum", dir, "40", "8000"))
     val prev = spark.conf.getOption("spark.graft.gpx.deleteMode")
     spark.conf.set("spark.graft.gpx.deleteMode", "mor")
     try {
