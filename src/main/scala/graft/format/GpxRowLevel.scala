@@ -55,6 +55,14 @@ class GpxRowLevelOperation(
   private[format] val sidecarsAtPlan =
     GpxMutationLock.sidecarState(roots.head, new Configuration())
 
+  /** live data-file NAMES at operation construction — the baseline for
+    * commit()'s cross-snapshot conflict check (names are uuid-unique
+    * within a table dir, so the comparison is path-form-proof). See
+    * [[GpxReplaceBatchWrite.commit]] for the race this closes. */
+  private[format] val filesAtPlan: Set[String] =
+    GpxTable.listFiles(roots, new Configuration())
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+
   override def command(): RowLevelOperation.Command = cmd
 
   private val mainScanBuilt = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -123,7 +131,7 @@ class GpxRowLevelOperation(
           }.toArray
         override def toBatch: BatchWrite = new GpxReplaceBatchWrite(
           info.schema(), roots.head, commitTs, replacedFiles, cmd,
-          fileIdx, tsIdx, sidecarsAtPlan)
+          fileIdx, tsIdx, sidecarsAtPlan, filesAtPlan)
       }
     }
   }
@@ -162,7 +170,10 @@ class GpxReplaceBatchWrite(
     // GpxRowLevelOperation) — re-checked at commit under the lock: a
     // sidecar added by a concurrent merge-on-read delete would be FOLDED
     // AWAY by this rewrite's dropSidecars, resurrecting the deleted rows
-    sidecarsAtPlan: Set[String]) extends BatchWrite {
+    sidecarsAtPlan: Set[String],
+    // live data-file names at operation construction — re-diffed at
+    // commit under the lock for the cross-snapshot conflict check below
+    filesAtPlan: Set[String]) extends BatchWrite {
 
   private val opId = java.util.UUID.randomUUID().toString.take(8)
   private val tmp = s"$root/_replace_$opId"
@@ -198,6 +209,36 @@ class GpxReplaceBatchWrite(
     // ... and the sidecar state must match what this op's scan saw
     GpxMutationLock.verifySidecarsUnchanged(root, conf, sidecarsAtPlan,
       s"$cmd rewrite-commit")
+    // CROSS-SNAPSHOT CONFLICT CHECK (round 14, found by the hostile COW
+    // fuzz under load, reproduced 2/8 with a 24-thread CPU hog): the
+    // operation's ROW SCAN and the runtime group-filter subquery are
+    // SEPARATE plans that can pin DIFFERENT manifest versions. When a
+    // concurrent writer replaces files between the two resolutions, the
+    // `_file IN (files with matches)` intersection silently drops groups
+    // — observed as an UPDATE committing an EMPTY Replace (evidence
+    // manifest v5: no rm, no add) and reporting success while its
+    // increment vanished; remove-set liveness cannot catch it because
+    // the remove set is empty. Any file that was live at plan time, is
+    // gone now, and is NOT being removed by THIS commit means a
+    // concurrent rewrite of data this operation may have scanned (or
+    // should have): refuse so the caller retries from a fresh snapshot.
+    // Appends alone retire nothing and trip nothing. Causality makes the
+    // check sufficient: a conflicting rewrite can only have influenced
+    // our scans if it committed BEFORE they executed, hence strictly
+    // before this listing.
+    val liveNames = GpxTable.listFiles(Seq(root), conf)
+      .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+    val ownRemoveNames = recorded.asScalaSet
+      .map(f => f.substring(f.lastIndexOf('/') + 1))
+    val retiredSincePlan = filesAtPlan -- liveNames -- ownRemoveNames
+    if (retiredSincePlan.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"gpx $cmd rewrite refused: ${retiredSincePlan.size} file(s) live " +
+          s"when this operation planned were rewritten concurrently " +
+          s"(${retiredSincePlan.take(3).mkString(", ")}…) — the row scan " +
+          "and its runtime group filter may have pinned different " +
+          "snapshots and silently dropped matching groups. Retry the " +
+          "operation.")
     val unrecorded = consumed.filterNot(recorded.contains)
     if (unrecorded.nonEmpty)
       throw new IllegalStateException(
@@ -249,7 +290,12 @@ class GpxReplaceBatchWrite(
     val toDelete =
       if (cmd == RowLevelOperation.Command.UPDATE && fileIdx >= 0) consumed
       else recorded.asScalaSet
-    if (GpxCommitLog.isLogTable(root, conf)) {
+    // nothing rewritten, nothing retired, and the conflict check above
+    // proved the live set did not move under the operation: a GENUINE
+    // no-match (e.g. MERGE with no matching rows) — commit nothing
+    // rather than recording a no-op manifest version
+    if (publishedDests.isEmpty && toDelete.isEmpty) ()
+    else if (GpxCommitLog.isLogTable(root, conf)) {
       // commit-log table: additions + retirements land as ONE conditional-
       // put manifest commit (readers never see the intermediate duplicate
       // state); superseded bytes stay for pinned readers until vacuum. A

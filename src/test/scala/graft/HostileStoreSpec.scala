@@ -133,10 +133,29 @@ class HostileStoreSpec extends GraftSpec {
     val want = (1L << nThreads) - 1 // sum of all increments
     val got = spark.table(s"$cat.db.t").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got.size == 60)
-    (0L until 40L).foreach(id => assert(got(id) == want,
-      s"id $id: lost update — v=${got(id)}, want $want"))
-    (40L until 60L).foreach(id => assert(got(id) == 0L))
+    // evidence on failure: one full-suite run under 32-thread load ended
+    // at v=12 (increments 1 and 2 lost) and the cleaned-up temp dir left
+    // nothing to diagnose — preserve the warehouse (manifest log included)
+    // and the observed values before rethrowing, like the CrossProcess
+    // fuzz does
+    try {
+      assert(got.size == 60)
+      (0L until 40L).foreach(id => assert(got(id) == want,
+        s"id $id: lost update — v=${got(id)}, want $want"))
+      (40L until 60L).foreach(id => assert(got(id) == 0L))
+    } catch {
+      case e: Throwable =>
+        val dest = s"/tmp/hostile_upd_evidence_${System.currentTimeMillis()}"
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(wh.stripPrefix("hostile://")),
+          new java.io.File(dest))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dest/_observed.txt"),
+          got.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+            .mkString("\n"))
+        System.err.println(s"[evidence] hostile COW update state -> $dest")
+        throw e
+    }
   }
 
   test("in-place compaction racing appends on the hostile store: no row lost or duplicated") {
