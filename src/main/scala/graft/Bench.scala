@@ -577,9 +577,12 @@ object BenchReport {
     val rows = scala.jdk.CollectionConverters.IteratorHasAsScala(q.fieldNames())
       .asScala.toSeq.flatMap { k =>
         Option(q.get(k)).filter(_.isNumber).map(v => (k, v.asDouble)) }
-    val qCount = rows.size - 2 // minus the cache pair rows
-    val top = rows.filterNot(r => r._1.startsWith("gpx"))
-      .sortBy(-_._2).take(10)
+    // exclude the gpxcold/gpxwarm cache-pair rows by NAME (same filter
+    // `top` uses) — a fixed "- 2" understates the count when the cache
+    // pair errored and its rows are absent from the artifact
+    val qRows = rows.filterNot(r => r._1.startsWith("gpx"))
+    val qCount = qRows.size
+    val top = qRows.sortBy(-_._2).take(10)
     val cold = rows.find(_._1 == "gpxcold").map(_._2)
     val warm = rows.find(_._1 == "gpxwarm").map(_._2)
     val recheckN = Option(n.get("recheck")).map(_.size()).getOrElse(0)

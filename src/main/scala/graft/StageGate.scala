@@ -66,6 +66,11 @@ object StageGate {
       // a one-time table build is not a query-plan pathology
       try { fn(spark, out); () } catch { case _: Throwable => () }
       CacheScope.release(blocking = true)
+      // stage-completed events are delivered ASYNC: a construction-pass
+      // stage landing after the clear would be mis-attributed to the
+      // gated window and flag spuriously — give the bus the same 200 ms
+      // settle the post-run read uses before clearing
+      Thread.sleep(200)
       stages.synchronized(stages.clear())
       shuffleBytes.set(0L)
       val t0 = System.nanoTime()

@@ -985,11 +985,16 @@ object GpxCommitLog {
       // CONTENDED — a contention-only failure mode that would be
       // near-impossible to reproduce when first hit in production. Every
       // internal writer stages real bytes and keeps the check on.
+      // tolerant parse: only a literal "false" opts out. `.toBoolean`
+      // would turn a typo ("no", "0") into an IllegalArgumentException
+      // thrown from INSIDE the contended retry path — the worst place to
+      // learn a conf value is malformed — while this keeps the check ON
+      // for anything that isn't an unambiguous opt-out.
       val livenessCheckOn =
         Option(conf.get("graft.gpx.commitLivenessCheck"))
           .orElse(org.apache.spark.sql.SparkSession.getActiveSession
             .flatMap(_.conf.getOption("spark.graft.gpx.commitLivenessCheck")))
-          .forall(_.toBoolean)
+          .forall(v => !v.trim.equalsIgnoreCase("false"))
       if (!change.isInstanceOf[Overwrite] && !firstAttempt && livenessCheckOn) {
         val d0 = dirOf(root)
         val addedRel = change match {

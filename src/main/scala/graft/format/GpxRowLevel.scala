@@ -63,6 +63,33 @@ class GpxRowLevelOperation(
     GpxTable.listFiles(roots, new Configuration())
       .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
 
+  /** per-file manifest stats at operation construction (commit-log
+    * tables only) — lets commit() SCOPE the cross-snapshot conflict
+    * check to files the operation's static filters could have matched:
+    * a concurrent rewrite of provably-unrelated files (background
+    * compaction of a cold range, an unrelated DELETE) must not abort
+    * this op. Captured at the same instant as [[filesAtPlan]] so the
+    * stats describe exactly the files the baseline names. Non-log
+    * tables have no retained stats for retired files → None → the
+    * check stays table-wide (conservative, never unsound). */
+  private[format] val statsAtPlan: Option[Map[String, GpxCommitLog.FileEntry]] = {
+    val conf = new Configuration()
+    val r = roots.head
+    if (roots.size == 1 && !r.endsWith(".gpx") && GpxCommitLog.isLogTable(r, conf))
+      GpxCommitLog.head(r, conf).map(_.live.iterator.map { e =>
+        (e.relPath.substring(e.relPath.lastIndexOf('/') + 1), e)
+      }.toMap)
+    else None
+  }
+
+  /** static (plan-time) data filters Spark pushed to the row scan — the
+    * scope key for the conflict check above. None until pushdown runs;
+    * an operation whose scan gets no pushed filters (MERGE with no
+    * static target predicate) keeps the table-wide scope, which is
+    * correct: any file could hold matching rows. */
+  @volatile private[format] var staticFilters
+      : Option[Array[org.apache.spark.sql.sources.Filter]] = None
+
   override def command(): RowLevelOperation.Command = cmd
 
   private val mainScanBuilt = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -77,7 +104,17 @@ class GpxRowLevelOperation(
     * over-delete at commit). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (mainScanBuilt.compareAndSet(false, true))
-      new GpxScanBuilder(schema, roots, None, fileGranular = Some(replacedFiles))
+      new GpxScanBuilder(schema, roots, None,
+          fileGranular = Some(replacedFiles)) {
+        // capture the STATIC filters Spark pushes to the row scan (runtime
+        // group filters arrive later via GpxScan.filter, never here) —
+        // they scope commit()'s cross-snapshot conflict check
+        override def pushFilters(fs: Array[org.apache.spark.sql.sources.Filter])
+            : Array[org.apache.spark.sql.sources.Filter] = {
+          staticFilters = Some(fs)
+          super.pushFilters(fs)
+        }
+      }
     else new GpxScanBuilder(schema, roots, None)
 
   /** `_file` does triple duty: (1) declaring a metadata attribute routes
@@ -131,7 +168,10 @@ class GpxRowLevelOperation(
           }.toArray
         override def toBatch: BatchWrite = new GpxReplaceBatchWrite(
           info.schema(), roots.head, commitTs, replacedFiles, cmd,
-          fileIdx, tsIdx, sidecarsAtPlan, filesAtPlan)
+          fileIdx, tsIdx, sidecarsAtPlan, filesAtPlan, statsAtPlan,
+          // thunk: filter pushdown on the row scan may run after this
+          // write is built — commit() reads the final value
+          () => staticFilters)
       }
     }
   }
@@ -173,7 +213,13 @@ class GpxReplaceBatchWrite(
     sidecarsAtPlan: Set[String],
     // live data-file names at operation construction — re-diffed at
     // commit under the lock for the cross-snapshot conflict check below
-    filesAtPlan: Set[String]) extends BatchWrite {
+    filesAtPlan: Set[String],
+    // per-file manifest stats at plan (log tables) + the row scan's
+    // pushed static filters: together they SCOPE the conflict check to
+    // files the operation could have matched (see commit below)
+    statsAtPlan: Option[Map[String, GpxCommitLog.FileEntry]],
+    staticFilters: () => Option[Array[org.apache.spark.sql.sources.Filter]])
+  extends BatchWrite {
 
   private val opId = java.util.UUID.randomUUID().toString.take(8)
   private val tmp = s"$root/_replace_$opId"
@@ -192,6 +238,11 @@ class GpxReplaceBatchWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // test-only interleave barrier: by now every scan this operation will
+    // ever run has executed, and nothing has been published — the widest
+    // deterministic window for racing a concurrent rewrite against the
+    // conflict checks below (DmlFuzzSpec drives it; no-op in production)
+    GpxReplaceBatchWrite.beforeCommitHook()
     val conf = new Configuration()
     val rootP = new Path(root)
     val fs = rootP.getFileSystem(conf)
@@ -230,7 +281,33 @@ class GpxReplaceBatchWrite(
       .map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
     val ownRemoveNames = recorded.asScalaSet
       .map(f => f.substring(f.lastIndexOf('/') + 1))
-    val retiredSincePlan = filesAtPlan -- liveNames -- ownRemoveNames
+    val retiredAll = filesAtPlan -- liveNames -- ownRemoveNames
+    // SCOPE (round 15, ADVICE): a retired file whose PLAN-TIME zone maps
+    // prove it could never match the operation's static filters cannot
+    // have held a matching group under ANY snapshot either scan pinned —
+    // its concurrent rewrite (background compaction, an unrelated DELETE)
+    // is no conflict. Everything about the test is plan-time state
+    // (manifest stats captured with filesAtPlan, filters as pushed), so
+    // the scoping is race-free; any gap — non-log table, no pushed
+    // filters (MERGE join conditions never push), a file the captured
+    // manifest does not list — keeps the file IN scope. Synthetic-column
+    // filters (_file) find no stats and stay conservative-true.
+    val retiredSincePlan = (statsAtPlan, staticFilters()) match {
+      case (Some(entries), Some(fs)) if fs.nonEmpty =>
+        val fileSchema = org.apache.spark.sql.types.StructType(
+          schema.filterNot(f => GpxTable.isSynthetic(f.name)))
+        val renames = GpxTable.readRenames(root, conf)
+        retiredAll.filter { name =>
+          entries.get(name).forall { e =>
+            fs.forall { fl =>
+              GpxFileReader.mayMatchNamed(fl, fileSchema, e.numRows, c =>
+                (c +: renames.getOrElse(c, Seq.empty)).iterator
+                  .flatMap(e.stats.get).nextOption())
+            }
+          }
+        }
+      case _ => retiredAll
+    }
     if (retiredSincePlan.nonEmpty)
       throw new java.util.ConcurrentModificationException(
         s"gpx $cmd rewrite refused: ${retiredSincePlan.size} file(s) live " +
@@ -335,6 +412,15 @@ class GpxReplaceBatchWrite(
     val tmpP = new Path(tmp)
     tmpP.getFileSystem(conf).delete(tmpP, true)
   }
+}
+
+object GpxReplaceBatchWrite {
+  /** test-only hook run at the top of every replace commit() — between
+    * the operation's last scan and its first published byte. Lets specs
+    * interleave a concurrent rewrite at exactly the point the COW
+    * cross-snapshot race lives, deterministically. Production never sets
+    * it. */
+  @volatile private[graft] var beforeCommitHook: () => Unit = () => ()
 }
 
 final case class GpxReplaceCommit(files: Seq[String], sourceFiles: Seq[String])

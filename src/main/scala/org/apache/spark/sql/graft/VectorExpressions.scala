@@ -592,7 +592,10 @@ case class SortedIdsToMask(child: Expression, dict: Array[Long])
 case class SortedIdsToVarint(child: Expression, dict: Array[Long])
   extends UnaryExpression with ExpectsInputTypes {
 
-  require(dict.nonEmpty, "empty dictionary")
+  // an EMPTY dictionary is legal (empty corpus with a forced varint
+  // tier): every set encodes to an empty stream and VarintJaccard yields
+  // NULL on the 0/0 union — the same degradation the mask/array tiers
+  // already have, instead of a construction-time require blowing up
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = BinaryType

@@ -389,4 +389,82 @@ class DmlFuzzSpec extends GraftSpec {
       } finally sp.conf.unset("spark.graft.gpx.asOfToken")
     }
   }
+
+  /** the exception Spark surfaces for a refused V2 commit wraps the
+    * connector's — walk the cause chain for the conflict refusal */
+  private def findCme(t: Throwable): Option[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+      .find(_.isInstanceOf[java.util.ConcurrentModificationException])
+
+  test("deterministic COW race: concurrent rewrite of candidate files refuses, never a silent empty Replace") {
+    val wh = Files.createTempDirectory("gpx_cowrace").toString
+    val cat = "gcr"
+    sp.conf.set(s"spark.sql.catalog.$cat", "graft.format.GpxCatalog")
+    sp.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    sp.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    sp.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING gpx " +
+      "TBLPROPERTIES('commit_protocol'='manifest')")
+    // EVEN ids only: file zone maps span [0,198], but id=51 matches no
+    // row — so the outer UPDATE's runtime group filter comes back empty
+    // and the replace commits with an EMPTY remove set, the exact
+    // signature of the r14 lost-update race (remove-set liveness is
+    // structurally blind to it; only the cross-snapshot check can refuse)
+    sp.sql(s"INSERT INTO $cat.db.t SELECT id * 2, 0 FROM range(0, 100)")
+    val hookHost = graft.format.GpxReplaceBatchWrite
+    try {
+      // the barrier: fires after the outer UPDATE's scans all executed,
+      // before it publishes — one-shot, so the inner rewrite it runs
+      // commits through an unhooked path
+      hookHost.beforeCommitHook = () => {
+        hookHost.beforeCommitHook = () => ()
+        sp.sql(s"UPDATE $cat.db.t SET v = v + 10 WHERE id < 200")
+        ()
+      }
+      val e = intercept[Throwable] {
+        sp.sql(s"UPDATE $cat.db.t SET v = v + 1 WHERE id = 51")
+      }
+      val cme = findCme(e).getOrElse(
+        fail(s"expected a ConcurrentModificationException cause, got $e"))
+      assert(cme.getMessage.contains("rewritten concurrently"), cme.getMessage)
+    } finally hookHost.beforeCommitHook = () => ()
+    // the inner rewrite held, in full; the refused outer op had no effect
+    val got = sp.table(s"$cat.db.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 100, s"row count changed: ${got.size}")
+    assert(got.forall { case (id, v) => id % 2 == 0 && v == 10L },
+      s"state must be exactly the inner rewrite's: ${got.take(3)}")
+  }
+
+  test("COW conflict check is scoped: a concurrent rewrite of provably-unrelated files does not abort") {
+    val wh = Files.createTempDirectory("gpx_cowscope").toString
+    val cat = "gcs"
+    sp.conf.set(s"spark.sql.catalog.$cat", "graft.format.GpxCatalog")
+    sp.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    sp.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    sp.sql(s"CREATE TABLE $cat.db.t (id BIGINT, v BIGINT) USING gpx " +
+      "TBLPROPERTIES('commit_protocol'='manifest')")
+    // two disjoint key ranges in separate commits -> separate files with
+    // non-overlapping id zone maps in the manifest
+    sp.sql(s"INSERT INTO $cat.db.t SELECT id, 0 FROM range(0, 100)")
+    sp.sql(s"INSERT INTO $cat.db.t SELECT id + 1000, 0 FROM range(0, 100)")
+    val hookHost = graft.format.GpxReplaceBatchWrite
+    try {
+      // at the barrier, rewrite ONLY the high-range files — their
+      // plan-time zone maps prove `id < 100` could never match them, so
+      // the scoped conflict check must let the outer UPDATE commit
+      // (before round 15 this aborted: the check diffed the whole table)
+      hookHost.beforeCommitHook = () => {
+        hookHost.beforeCommitHook = () => ()
+        sp.sql(s"UPDATE $cat.db.t SET v = v + 10 WHERE id >= 1000")
+        ()
+      }
+      sp.sql(s"UPDATE $cat.db.t SET v = v + 1 WHERE id < 100")
+    } finally hookHost.beforeCommitHook = () => ()
+    // both effects present: nothing lost, nothing duplicated
+    val got = sp.table(s"$cat.db.t").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 200, s"row count: ${got.length}")
+    assert(got.filter(_._1 < 100).forall(_._2 == 1L), "low-range update lost")
+    assert(got.filter(_._1 >= 1000).forall(_._2 == 10L), "high-range rewrite lost")
+  }
 }
