@@ -41,6 +41,37 @@ object VectorFunctions {
   def varint_jaccard(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.varint_jaccard(a, b)
 
+  /** Bitmask with bit positions remapped through a canonical-order
+    * permutation (org.apache.spark.sql.graft.SortedIdsToMaskPermuted);
+    * jaccard-equivalent to sorted_ids_to_mask. */
+  def sorted_ids_to_mask_permuted(ids: Column, dict: Array[Long],
+      perm: Array[Int], nWords: Int): Column =
+    org.apache.spark.sql.graft.VectorExpressions
+      .sorted_ids_to_mask_permuted(ids, dict, perm, nWords)
+
+  /** The id of two documents' canonically-first shared set element,
+    * looked up in a driver-collected flat mask table — the
+    * unique-emission predicate for prefix-join candidate enumeration
+    * (org.apache.spark.sql.graft.PairMinSharedGid). */
+  def pair_min_shared_gid(a: Column, b: Column, ids: Array[Long],
+      masks: Array[Long], nWords: Int, canonGids: Array[Long]): Column =
+    org.apache.spark.sql.graft.VectorExpressions
+      .pair_min_shared_gid(a, b, ids, masks, nWords, canonGids)
+
+  /** Delta-varint rank stream of a sorted distinct array<string> against
+    * a string dictionary, with an out-of-dict COUNT header — the exact
+    * compact payload for incremental dedup where a batch carries tokens
+    * the corpus dictionary has never seen
+    * (org.apache.spark.sql.graft.SortedTokensToVarint). */
+  def sorted_tokens_to_varint(toks: Column, dict: Array[String]): Column =
+    org.apache.spark.sql.graft.VectorExpressions.sorted_tokens_to_varint(toks, dict)
+
+  /** Exact Jaccard of two sorted_tokens_to_varint streams — rank merge
+    * plus out-of-dict headers; sound when at most one side can carry
+    * out-of-dict tokens (org.apache.spark.sql.graft.VarintJaccardEx). */
+  def varint_jaccard_ex(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorExpressions.varint_jaccard_ex(a, b)
+
   /** Fixed-width array<long> bitmask from a sorted-distinct id array and
     * a sorted dictionary, computed map-side with zero joins
     * (org.apache.spark.sql.graft.SortedIdsToMask). */

@@ -637,53 +637,18 @@ object Dedup {
       val vocabV = freq.count()
       val gidGrams = grams.join(freq, "gid")
         .select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("df"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("df"), col("gid"))
-      // persist: both sides of the prefix self-join consume this, and the
-      // per-doc rank window above it would otherwise run once per side
-      val prefix = gidGrams
-        .withColumn("rn", row_number().over(w))
-        // -1e-9 guards against fp overshoot in sz*t making ceil (and thus
-        // the prefix) one too short — a silent false-negative source
-        .filter(col("rn") <= col("sz") - ceil(col("sz") * t - 1e-9) + 1)
-        .select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("rn"))
-        .tracked
-      // PPJoin positional filter: a gram matching at 1-based positions
-      // (rnA, rnB) of the canonical rare-first order bounds the overlap by
-      // 1 + min(szA-rnA, szB-rnB), which must reach the equivalent overlap
-      // threshold a = t/(1+t) * (szA+szB). Complete: the smallest common
-      // gram of any qualifying pair satisfies the bound.
-      val candidates = prefix.as("x").join(prefix.as("y"),
-          col("x.gid") === col("y.gid") && col("x.lang") === col("y.lang") &&
-            col("x.doc_id") < col("y.doc_id") &&
-            // int sizes: 0.5 slack keeps boundary pairs (|A| = t|B|) safe
-            col("x.sz") >= col("y.sz") * t - 0.5 &&
-            col("y.sz") >= col("x.sz") * t - 0.5 &&
-            lit(1) + least(col("x.sz") - col("x.rn"), col("y.sz") - col("y.rn")) >=
-              (col("x.sz") + col("y.sz")) * (t / (1 + t)) - 0.5)
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      PairStats.lastCandidates.put("d03", candidates)
-      // multi-word bitset verify: with a dictionary of V grams, each set is
-      // ceil(V/64) longs; |A&B| / |A|B| are word-wise popcounts — identical
-      // integer ratios to the array intersect/union, ~2 orders cheaper per
-      // candidate pair WHEN sets are dense in the vocabulary (char-level
-      // corpora: OCR text, code, CJK). Falls back to array jaccard when
-      // the masks would be mostly-zero padding.
+      // ---- verify-tier and emission-strategy choice (moved above the
+      // prefix build: the unique-emission join below needs the mask
+      // table the mask tier already collects) ----
+      // multi-word bitset verify: with a dictionary of V grams, each set
+      // is ceil(V/64) longs; |A&B| / |A|B| are word-wise popcounts —
+      // identical integer ratios to the array intersect/union, ~2 orders
+      // cheaper per candidate pair WHEN sets are dense in the vocabulary
+      // (char-level corpora: OCR text, code, CJK). Falls back to array
+      // jaccard when the masks would be mostly-zero padding.
       // max(1, _): an empty corpus must not build a 0-word mask
       // expression (the pipeline is empty end-to-end anyway)
       val nWords = math.max(1L, (vocabV + 63) / 64).toInt
-      // density decides the tier: mask verify costs ~nWords word ops per
-      // pair, sorted-merge ~|A|+|B| branchy steps per pair — masks win
-      // while V stays within ~256x the average set size (word ops are
-      // ~4x cheaper than merge steps and the mask width is V/64). The
-      // old <=64-word gate was a CLIFF: crossing 4096 grams flipped
-      // every pair onto the ~10x-costlier array path at once. Now the
-      // per-pair cost grows linearly in nWords up to the 1024-word
-      // (8 KiB/doc) shuffle-width bound, and past THAT the corpus is a
-      // real word-level vocabulary whose sparse sets the array path
-      // represents honestly. The <=64-word tier is kept unconditional
-      // (previous behavior: tiny masks beat everything).
       // lazy: the common <=64-word case never pays this extra job, and an
       // empty corpus (avg = NULL) reads as density 0 -> array tier
       lazy val avgSz = Option(g.agg(avg(col("sz"))).head.get(0))
@@ -701,6 +666,10 @@ object Dedup {
       // hint that could OOM the driver on a genuinely large rep set
       // (the d09 rule).
       val maskBroadcastable = maskBytes < (24L << 20)
+      // density decides mask-vs-merge: mask verify costs ~nWords word
+      // ops per pair, sorted-merge ~|A|+|B| branchy steps — masks win
+      // while V stays within ~256x the average set size; the <=64-word
+      // tier is unconditional (tiny masks beat everything)
       val maskKernelOk = nWords <= 64 || (nWords <= 1024 && vocabV <= 256 * avgSz)
       // TIER CHOICE. When the set side BROADCASTS, the candidate stream
       // carries nothing and the fused popcount kernel wins outright ->
@@ -729,20 +698,135 @@ object Dedup {
             else "varint"
           } else "array"
         }
-      // the sorted <=65536-gid dictionary (mask + varint tiers) —
-      // bounded by the tier gates, so the collect is provably tiny at
-      // any corpus size (freq already holds exactly one row per gid).
-      // Payloads build MAP-SIDE from each representative's already-
-      // persisted sorted id array with the dictionary riding as one
-      // expression reference (no rank join, no per-gram shuffle, no
-      // re-group — the old pivot aggregate moved every gram instance
-      // again).
-      lazy val gids = freq.select(col("gid")).orderBy(col("gid"))
-        .collect().map(_.getLong(0))
+      // the <=65536-gid dictionary (mask + varint tiers) — bounded by
+      // the tier gates, so the collect is provably tiny at any corpus
+      // size (freq already holds exactly one row per gid). Payloads
+      // build MAP-SIDE from each representative's already-persisted
+      // sorted id array with the dictionary riding as one expression
+      // reference (no rank join, no per-gram shuffle, no re-group).
+      lazy val gidDf: Array[(Long, Long)] = freq
+        .select(col("gid"), col("df")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      lazy val gids: Array[Long] = gidDf.map(_._1).sorted
+      // UNIQUE-EMISSION gate (round 15): when the whole corpus' masks fit
+      // the broadcast gate anyway, collect them ONCE in canonical
+      // (df, gid) bit order and let the prefix join emit each pair
+      // exactly at its canonically-smallest shared gram — the
+      // pre-distinct candidate stream (239.7M rows / 1636 MB of d03's
+      // 1785 MB sf1 shuffle, ~12x the 19.0M distinct candidates; the
+      // copies land in different gid partitions so no partial aggregate
+      // can merge them) collapses to one row per pair and the distinct
+      // exchange disappears. Correct and complete: the min shared gram
+      // lies in both prefixes (prefixes are downward-closed in the
+      // canonical order) and carries the pair's MINIMAL ranks, so the
+      // positional filter is loosest exactly at the emitted copy.
+      val fused = tier == "mask" && maskBroadcastable && vocabV <= 65536
+      // canonical order maps: perm (value-sorted dict slot -> canonical
+      // rank) and canonGids (canonical rank -> gid)
+      lazy val canonGids: Array[Long] =
+        gidDf.sortBy { case (gid0, df0) => (df0, gid0) }.map(_._1)
+      lazy val perm: Array[Int] = {
+        val rankOf = new java.util.HashMap[Long, Integer](canonGids.length * 2)
+        var i = 0
+        while (i < canonGids.length) { rankOf.put(canonGids(i), i); i += 1 }
+        gids.map(g0 => rankOf.get(g0).intValue)
+      }
+      // the collected flat mask table (sorted rep ids + nWords-strided
+      // canonical masks) — the same bytes the mask tier broadcasts,
+      // bounded by the same 24 MiB gate
+      lazy val maskTable: (Array[Long], Array[Long]) = {
+        val rows = g.select(col("doc_id"), graft.functions.VectorFunctions
+            .sorted_ids_to_mask_permuted(col("sids"), gids, perm, nWords))
+          .collect().sortBy(_.getLong(0))
+        val ids = rows.map(_.getLong(0))
+        val flat = new Array[Long](ids.length * nWords)
+        var i = 0
+        while (i < rows.length) {
+          val m = rows(i).getSeq[Long](1)
+          var wd = 0
+          while (wd < nWords) { flat(i * nWords + wd) = m(wd); wd += 1 }
+          i += 1
+        }
+        (ids, flat)
+      }
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("gid"))
+      // persist: both sides of the prefix self-join consume this, and the
+      // per-doc rank window above it would otherwise run once per side
+      val prefix = gidGrams
+        .withColumn("rn", row_number().over(w))
+        // -1e-9 guards against fp overshoot in sz*t making ceil (and thus
+        // the prefix) one too short — a silent false-negative source
+        .filter(col("rn") <= col("sz") - ceil(col("sz") * t - 1e-9) + 1)
+        .select(col("doc_id"), col("lang"), col("sz"), col("gid"), col("rn"))
+        .tracked
+      // ASYMMETRIC INDEX PREFIX (PPJoin, Xiao et al. WWW'08; round 15):
+      // the smaller record of a qualifying pair only needs its first
+      // sz - ceil(2t/(1+t)*sz) + 1 grams indexed (~0.25*sz at t=0.6 vs
+      // ~0.4*sz for the probe prefix). Complete: for |x| <= |y| with
+      // J >= t the required overlap a = ceil(t/(1+t)*(|x|+|y|)) satisfies
+      // a >= 2t/(1+t)*|x| AND (via the size filter |x| >= t*|y|)
+      // a >= t*|y|, so the prefix lemma's guaranteed shared gram falls
+      // inside x's INDEX prefix and y's probe prefix. This cuts both the
+      // enumeration multiplicity (a true pair is emitted once per gram in
+      // the INTERSECTION of a shorter and a full prefix — the pre-distinct
+      // stream was 239.7M rows for 19.0M distinct candidates at sf1, and
+      // that stream's exchange was 1636 of d03's 1785 MB total shuffle)
+      // and the candidate count itself (a strictly tighter, still
+      // complete filter).
+      val indexPrefix = prefix
+        .filter(col("rn") <=
+          col("sz") - ceil(col("sz") * (2 * t / (1 + t)) - 1e-9) + 1)
+      // PPJoin positional filter: a gram matching at 1-based positions
+      // (rnX, rnY) of the canonical rare-first order bounds the overlap by
+      // 1 + min(szX-rnX, szY-rnY), which must reach the equivalent overlap
+      // threshold a = t/(1+t) * (szX+szY). Complete: the smallest common
+      // gram of any qualifying pair satisfies the bound. The x side is
+      // the INDEXED (smaller) record: size-then-id order makes each pair
+      // enumerable from exactly one role assignment.
+      val baseCond =
+        col("x.gid") === col("y.gid") && col("x.lang") === col("y.lang") &&
+          (col("x.sz") < col("y.sz") ||
+            (col("x.sz") === col("y.sz") &&
+              col("x.doc_id") < col("y.doc_id"))) &&
+          // int sizes: 0.5 slack keeps boundary pairs (|X| = t|Y|) safe
+          col("x.sz") >= col("y.sz") * t - 0.5 &&
+          lit(1) + least(col("x.sz") - col("x.rn"), col("y.sz") - col("y.rn")) >=
+            (col("x.sz") + col("y.sz")) * (t / (1 + t)) - 0.5
+      // unique emission: keep the copy at the pair's canonically-smallest
+      // shared gram only — all other copies of the pair die inside the
+      // join stage, before any exchange
+      val joinCond =
+        if (fused) baseCond &&
+          graft.functions.VectorFunctions.pair_min_shared_gid(
+            col("x.doc_id"), col("y.doc_id"),
+            maskTable._1, maskTable._2, nWords, canonGids) === col("x.gid")
+        else baseCond
+      val rawPairs = indexPrefix.as("x").join(prefix.as("y"), joinCond)
+        .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+      // fused emission is duplicate-free BY CONSTRUCTION (one role
+      // assignment per pair, one qualifying gram) — no distinct, no
+      // exchange; the legacy path dedups the ~12x copies the multi-gram
+      // enumeration produces
+      val candidates = if (fused) rawPairs else rawPairs.distinct()
+      PairStats.lastCandidates.put("d03", candidates)
+      // TIER CHOICE. When the set side BROADCASTS, the candidate stream
+      // verify runs AFTER the dedup point, never on multiplied copies: an
+      // sf1 experiment with the broadcast-mask verify fused pre-distinct
+      // showed 80% of enumerated copies are TRUE pairs in a dense corpus,
+      // so filtering early SHIPPED MORE (2425 MB vs 1785) — unique
+      // emission (above) beats both by never creating the copies.
+      // Fused runs reuse the canonical-permuted masks (jaccard is
+      // permutation-invariant), so both mask forms verify identically.
       val verify = tier match {
         case "mask" =>
-          val masks = g.select(col("doc_id"), graft.functions.VectorFunctions
-            .sorted_ids_to_mask(col("sids"), gids).as("m"))
+          val mcol =
+            if (fused) graft.functions.VectorFunctions
+              .sorted_ids_to_mask_permuted(col("sids"), gids, perm, nWords)
+            else graft.functions.VectorFunctions
+              .sorted_ids_to_mask(col("sids"), gids)
+          val masks = g.select(col("doc_id"), mcol.as("m"))
           val maskSide = if (maskBroadcastable) broadcast(masks) else masks
           candidates
             .join(maskSide.select(col("doc_id").as("a_id"), col("m").as("ma")), "a_id")
@@ -974,7 +1058,7 @@ object Dedup {
     // Same result set and SAME ORACLE as d08.
     GQuery("d10_indexed_incremental_dedup", (s, d) => {
       val t = 0.8
-      val idx = FormatOps.cachedDir(d, "dedup_sigidx3") { dir =>
+      val idx = FormatOps.cachedDir(d, "dedup_sigidx4") { dir =>
         val corpus = Tables.documents(s, d)
           .filter(col("doc_id") % 5 =!= 0)
           .select(col("doc_id"), array_sort(tokens).as("toks"))
@@ -991,9 +1075,30 @@ object Dedup {
         // to a different set, skewing the jaccard). The steady-state
         // probe then verifies candidates with a split — no per-run
         // collect_list regroup, no shuffle of the corpus token stream.
+        // This raw form stays the reference/fallback verify tier.
         cgroups.select(col("fp"),
           concat_ws(" ", col("toks")).as("toks_s"))
           .write.format("gpx").mode("overwrite").save(s"$dir/tokens")
+        // the varint WIRE tier (round 15): corpus vocabulary as a sorted
+        // dictionary plus each set pre-encoded as a delta-varint rank
+        // stream (~1-2 B/token vs ~8+len for the raw arrays the fetch
+        // joins previously dragged — d10 was the sf1 registry's top
+        // shuffle producer at 2593 MB, 2413 of them one exchange whose
+        // candidate rows each carried fp + a full array<string>).
+        // Bounded corpora only: past 64k distinct tokens the dictionary
+        // stops being an expression-reference-sized object and the raw
+        // string form is the honest representation (same 65536 gate and
+        // rationale as d03's rank tiers).
+        val dictDf = cgroups
+          .select(explode(col("toks")).as("tok")).distinct()
+        if (dictDf.count() <= 65536) {
+          val dictArr = dictDf.collect().map(_.getString(0))
+          cgroups.select(col("fp"), graft.functions.VectorFunctions
+              .sorted_tokens_to_varint(col("toks"), dictArr).as("vb"))
+            .write.format("gpx").mode("overwrite").save(s"$dir/varint")
+          dictDf.coalesce(1)
+            .write.format("gpx").mode("overwrite").save(s"$dir/dict")
+        }
         cgroups.select(col("fp"))
           .write.format("gpx").mode("overwrite").save(s"$dir/reps")
       }
@@ -1041,29 +1146,61 @@ object Dedup {
         .distinct()
         .tracked
       PairStats.lastCandidates.put("d10", cand)
-      // exact verification over stored token strings, bounded by the
-      // candidate set — a semi-join + split per candidate row, zero
-      // aggregation (the index stores each fp's sorted token set as one
-      // joined string; an empty set round-trips as an empty array)
-      val ctoks = corpusTokens
-        .select(xxhash64(col("fp")).as("gb"), col("toks_s"))
-        .join(broadcast(cand.select(col("gb")).distinct()), "gb")
-        .select(col("gb"),
-          // split-on-space yields >= 1 element, so the EMPTY set is
-          // unreachable; the only set serializing to "" is [""] — decode
-          // it back exactly (an empty array here would diverge from the
-          // batch side's [""] and skew the jaccard for empty-token docs)
-          when(col("toks_s") === "", array(lit("")))
-            .otherwise(split(col("toks_s"), " ")).as("ctoks"))
-      val verified = cand
-        .join(bgroups.select(xxhash64(col("fp")).as("ga"), col("fp"),
-          col("toks").as("btoks")), "ga")
-        .join(ctoks, "gb")
-        .withColumn("j",
-          size(array_intersect(col("btoks"), col("ctoks"))).cast(DoubleType) /
-            size(array_union(col("btoks"), col("ctoks"))))
-        .filter(col("j") >= t)
-        .select(col("fp"), col("j"))
+      // exact verification bounded by the candidate set. Preferred tier
+      // (round 15): VARINT rank streams — the corpus side was encoded
+      // once at index build against its own vocabulary (every token
+      // in-dict by construction), the batch side encodes map-side with
+      // novel tokens carried as an exact out-of-dict COUNT (they can
+      // intersect nothing in the corpus), and the join order keeps every
+      // payload off the wide exchange: cand rows cross the gb shuffle as
+      // two bare longs, the corpus varints join there at ~1-2 B/token,
+      // and the batch payload rides a broadcast. The raw string tier
+      // below remains for unbounded vocabularies (no dict in the index)
+      // and as the deliberately-divergent reference leg DedupSf1Gate
+      // hash-compares.
+      val haveVarint = new java.io.File(s"$idx/dict").exists()
+      val useVarint = haveVarint && !referencePlan(s) &&
+        !s.conf.getOption("spark.graft.dedup.d10VerifyTier").contains("array")
+      val verified = if (useVarint) {
+        val dictArr = s.read.format("gpx").load(s"$idx/dict")
+          .collect().map(_.getString(0))
+        val cv = s.read.format("gpx").load(s"$idx/varint")
+          .select(xxhash64(col("fp")).as("gb"), col("vb"))
+          .join(broadcast(cand.select(col("gb")).distinct()), "gb")
+        val bVar = bgroups.select(xxhash64(col("fp")).as("ga"), col("fp"),
+          graft.functions.VectorFunctions
+            .sorted_tokens_to_varint(col("toks"), dictArr).as("va"))
+        cand
+          .join(cv, "gb")
+          .join(broadcast(bVar), "ga")
+          .withColumn("j", graft.functions.VectorFunctions
+            .varint_jaccard_ex(col("va"), col("vb")))
+          .filter(col("j") >= t)
+          .select(col("fp"), col("j"))
+      } else {
+        // raw-string tier: semi-join + split per candidate row, zero
+        // aggregation (the index stores each fp's sorted token set as one
+        // joined string; an empty set round-trips as an empty array)
+        val ctoks = corpusTokens
+          .select(xxhash64(col("fp")).as("gb"), col("toks_s"))
+          .join(broadcast(cand.select(col("gb")).distinct()), "gb")
+          .select(col("gb"),
+            // split-on-space yields >= 1 element, so the EMPTY set is
+            // unreachable; the only set serializing to "" is [""] — decode
+            // it back exactly (an empty array here would diverge from the
+            // batch side's [""] and skew the jaccard for empty-token docs)
+            when(col("toks_s") === "", array(lit("")))
+              .otherwise(split(col("toks_s"), " ")).as("ctoks"))
+        cand
+          .join(bgroups.select(xxhash64(col("fp")).as("ga"), col("fp"),
+            col("toks").as("btoks")), "ga")
+          .join(ctoks, "gb")
+          .withColumn("j",
+            size(array_intersect(col("btoks"), col("ctoks"))).cast(DoubleType) /
+              size(array_union(col("btoks"), col("ctoks"))))
+          .filter(col("j") >= t)
+          .select(col("fp"), col("j"))
+      }
       // identical token set present in the index => exact dup, J = 1
       val exact = bgroups.join(corpusReps, Seq("fp"), "leftsemi")
         .select(col("fp"), lit(1.0).as("j"))

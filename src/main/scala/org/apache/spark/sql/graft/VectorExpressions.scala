@@ -148,6 +148,195 @@ object VectorKernels {
     val union = na + nb - inter
     if (union == 0L) -1.0 else inter.toDouble / union
   }
+
+  /** fixed-width bitmask of an id set with bit POSITIONS remapped through
+    * a permutation: id -> dictionary slot p (binary search) -> bit
+    * perm(p). Lets a mask's bit order follow a CANONICAL rank (e.g.
+    * document-frequency-first) while the dictionary stays sorted by id
+    * value for the O(log V) lookup — the first set bit of two masks'
+    * AND is then the canonically-smallest shared element. */
+  def idsToMaskPermuted(ids: ArrayData, dict: Array[Long], perm: Array[Int],
+      nWords: Int, mayNull: Boolean): Array[Long] = {
+    val words = new Array[Long](nWords)
+    val n = ids.numElements()
+    var i = 0
+    while (i < n) {
+      if (!(mayNull && ids.isNullAt(i))) {
+        val p = java.util.Arrays.binarySearch(dict, ids.getLong(i))
+        if (p >= 0) {
+          val r = perm(p)
+          words(r >> 6) |= 1L << (r & 63)
+        }
+      }
+      i += 1
+    }
+    words
+  }
+
+  /** the canonically-FIRST shared set element (as its id) of two
+    * documents' permuted masks, both resolved from a driver-collected
+    * flat mask table (sorted doc ids + nWords-strided mask words in
+    * canonical bit order; canonGids maps canonical rank back to the id).
+    * -1 when the docs share nothing; throws on a doc id the table does
+    * not carry — the caller builds ids and masks from the same persisted
+    * frame, so a miss is a broken invariant, not a data case, and
+    * silence here would silently DROP candidate pairs. */
+  def maskFirstSharedGid(aId: Long, bId: Long, ids: Array[Long],
+      masks: Array[Long], nWords: Int, canonGids: Array[Long]): Long = {
+    val ia = java.util.Arrays.binarySearch(ids, aId)
+    val ib = java.util.Arrays.binarySearch(ids, bId)
+    if (ia < 0 || ib < 0)
+      throw new IllegalStateException(
+        s"maskFirstSharedGid: doc id ${if (ia < 0) aId else bId} missing " +
+          "from the collected mask table")
+    var w = 0
+    val oa = ia * nWords
+    val ob = ib * nWords
+    while (w < nWords) {
+      val and = masks(oa + w) & masks(ob + w)
+      if (and != 0L)
+        return canonGids((w << 6) + java.lang.Long.numberOfTrailingZeros(and))
+      w += 1
+    }
+    -1L
+  }
+
+  /** [[sortedRanksVarint]] for STRING token sets with an out-of-dict
+    * tail: `[LEB128 nExtra][LEB128 rank gap]*`. Tokens found in the
+    * sorted dictionary encode as strictly-increasing rank gaps; tokens
+    * ABSENT from it are only COUNTED (nExtra) — the wire form for
+    * incremental dedup where the dictionary is built once over the
+    * corpus and a later batch carries novel tokens: novel tokens can
+    * intersect nothing on the corpus side, so |A∩B| needs only the rank
+    * streams while |A| = ranks + nExtra stays exact. Input must be a
+    * SORTED DISTINCT string array (array_sort(array_distinct(..)) —
+    * binary UTF8 order, the same total order the dictionary is sorted
+    * by); a non-increasing rank refuses loudly rather than corrupting
+    * the stream. */
+  def sortedTokenRanksVarint(toks: ArrayData,
+      dict: Array[org.apache.spark.unsafe.types.UTF8String],
+      mayNull: Boolean): Array[Byte] = {
+    val n = toks.numElements()
+    val ranks = new Array[Int](n)
+    var nr = 0
+    var extra = 0
+    var i = 0
+    while (i < n) {
+      if (!(mayNull && toks.isNullAt(i))) {
+        val p = java.util.Arrays.binarySearch(
+          dict.asInstanceOf[Array[AnyRef]], toks.getUTF8String(i))
+        if (p >= 0) {
+          if (nr > 0 && p <= ranks(nr - 1))
+            throw new IllegalArgumentException(
+              "sortedTokenRanksVarint: input array is not sorted distinct")
+          ranks(nr) = p; nr += 1
+        } else extra += 1
+      }
+      i += 1
+    }
+    val out = new Array[Byte](nr * 5 + 10)
+    var pos = 0
+    var g = extra
+    while ((g & ~0x7f) != 0) {
+      out(pos) = ((g & 0x7f) | 0x80).toByte; pos += 1; g >>>= 7
+    }
+    out(pos) = g.toByte; pos += 1
+    var prev = -1
+    i = 0
+    while (i < nr) {
+      var gap = ranks(i) - prev
+      prev = ranks(i)
+      while ((gap & ~0x7f) != 0) {
+        out(pos) = ((gap & 0x7f) | 0x80).toByte; pos += 1; gap >>>= 7
+      }
+      out(pos) = gap.toByte; pos += 1
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, pos)
+  }
+
+  /** exact jaccard over two [[sortedTokenRanksVarint]] streams: set
+    * sizes = decoded header (out-of-dict count) + terminator-byte count
+    * of the gap tail; intersection from one streaming decode-merge over
+    * the rank gaps (flat locals, zero allocation — same discipline as
+    * [[varintJaccard]]). SOUND ONLY when the two sides' out-of-dict
+    * tokens cannot coincide — e.g. one side is the corpus the dictionary
+    * was built from (nExtra = 0 by construction). Returns -1.0 on an
+    * empty union (callers map to SQL NULL). */
+  def varintJaccardEx(a: Array[Byte], b: Array[Byte]): Double = {
+    val la = a.length; val lb = b.length
+    var ia = 0; var ib = 0
+    var na = 0L; var nb = 0L
+    var bt = 0
+    if (la > 0) {
+      var s = 0; var g = 0L
+      while ({ bt = a(ia); ia += 1
+        g |= (bt & 0x7f).toLong << s; s += 7; (bt & 0x80) != 0 }) ()
+      na = g
+    }
+    if (lb > 0) {
+      var s = 0; var g = 0L
+      while ({ bt = b(ib); ib += 1
+        g |= (bt & 0x7f).toLong << s; s += 7; (bt & 0x80) != 0 }) ()
+      nb = g
+    }
+    var i = ia
+    while (i < la) { if ((a(i) & 0x80) == 0) na += 1; i += 1 }
+    i = ib
+    while (i < lb) { if ((b(i) & 0x80) == 0) nb += 1; i += 1 }
+    var inter = 0L
+    var va = -1; var vb = -1
+    var doneA = ia >= la; var doneB = ib >= lb
+    if (!doneA) {
+      var s = 0; var g = 0
+      while ({ bt = a(ia); ia += 1
+        g |= (bt & 0x7f) << s; s += 7; (bt & 0x80) != 0 }) ()
+      va += g
+    }
+    if (!doneB) {
+      var s = 0; var g = 0
+      while ({ bt = b(ib); ib += 1
+        g |= (bt & 0x7f) << s; s += 7; (bt & 0x80) != 0 }) ()
+      vb += g
+    }
+    while (!doneA && !doneB) {
+      if (va == vb) {
+        inter += 1
+        if (ia >= la) doneA = true
+        else {
+          var s = 0; var g = 0
+          while ({ bt = a(ia); ia += 1
+            g |= (bt & 0x7f) << s; s += 7; (bt & 0x80) != 0 }) ()
+          va += g
+        }
+        if (ib >= lb) doneB = true
+        else {
+          var s = 0; var g = 0
+          while ({ bt = b(ib); ib += 1
+            g |= (bt & 0x7f) << s; s += 7; (bt & 0x80) != 0 }) ()
+          vb += g
+        }
+      } else if (va < vb) {
+        if (ia >= la) doneA = true
+        else {
+          var s = 0; var g = 0
+          while ({ bt = a(ia); ia += 1
+            g |= (bt & 0x7f) << s; s += 7; (bt & 0x80) != 0 }) ()
+          va += g
+        }
+      } else {
+        if (ib >= lb) doneB = true
+        else {
+          var s = 0; var g = 0
+          while ({ bt = b(ib); ib += 1
+            g |= (bt & 0x7f) << s; s += 7; (bt & 0x80) != 0 }) ()
+          vb += g
+        }
+      }
+    }
+    val union = na + nb - inter
+    if (union == 0L) -1.0 else inter.toDouble / union
+  }
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)
@@ -653,6 +842,152 @@ case class VarintJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Bitmask of an id set with bit positions remapped through a
+  * permutation ([[VectorKernels.idsToMaskPermuted]]): the mask layout
+  * follows a CANONICAL total order (document-frequency-first for
+  * PPJoin) while the id dictionary stays value-sorted for the lookup.
+  * Jaccard over these masks equals jaccard over the plain
+  * [[SortedIdsToMask]] form (popcounts are permutation-invariant). */
+case class SortedIdsToMaskPermuted(child: Expression, dict: Array[Long],
+    perm: Array[Int], nWords: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private lazy val mayHaveNullElems = VectorKernels.elemsNullable(child)
+
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(VectorKernels.idsToMaskPermuted(
+        v.asInstanceOf[ArrayData], dict, perm, nWords, mayHaveNullElems))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("dict", dict, "long[]")
+    val permRef = ctx.addReferenceObj("perm", perm, "int[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(org.apache.spark.sql.graft.VectorKernels
+         |    .idsToMaskPermuted($a, $dictRef, $permRef, $nWords,
+         |      $mayHaveNullElems));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The id of the canonically-first shared set element of two documents,
+  * resolved from a driver-collected flat mask table
+  * ([[VectorKernels.maskFirstSharedGid]]) — the unique-emission
+  * predicate for PPJoin candidate enumeration: a prefix-join copy at
+  * gram g is kept iff g IS the pair's canonically-smallest shared gram,
+  * so each candidate pair leaves the join exactly once and the
+  * downstream distinct exchange disappears. -1 when nothing is shared.
+  * Bounded by the same broadcastability gate as the mask verify tier
+  * (the table is the same bytes). */
+case class PairMinSharedGid(left: Expression, right: Expression,
+    ids: Array[Long], masks: Array[Long], nWords: Int,
+    canonGids: Array[Long])
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.maskFirstSharedGid(l.asInstanceOf[Long],
+      r.asInstanceOf[Long], ids, masks, nWords, canonGids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
+    val masksRef = ctx.addReferenceObj("masks", masks, "long[]")
+    val canonRef = ctx.addReferenceObj("canonGids", canonGids, "long[]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.VectorKernels
+         |  .maskFirstSharedGid($a, $b, $idsRef, $masksRef, $nWords, $canonRef);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Delta-varint rank-stream encoding of a sorted distinct STRING token
+  * array against a sorted string dictionary, with an out-of-dict count
+  * header ([[VectorKernels.sortedTokenRanksVarint]]) — the compact,
+  * EXACT verify payload for incremental dedup (d10): the corpus side
+  * encodes once at index build (every token in-dict), a later batch
+  * carries novel tokens as a count, and [[VarintJaccardEx]] recovers the
+  * exact |A∩B|/|A∪B| because novel tokens can intersect nothing on the
+  * corpus side. ~1-2 bytes/token on the wire vs ~8+len bytes for the raw
+  * string array the fetch joins previously dragged through two
+  * exchanges. */
+case class SortedTokensToVarint(child: Expression,
+    dict: Array[org.apache.spark.unsafe.types.UTF8String])
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+
+  private lazy val mayHaveNullElems = VectorKernels.elemsNullable(child)
+
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.sortedTokenRanksVarint(
+      v.asInstanceOf[ArrayData], dict, mayHaveNullElems)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("dict", dict,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.VectorKernels
+         |  .sortedTokenRanksVarint($a, $dictRef, $mayHaveNullElems);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Exact Jaccard over two [[SortedTokensToVarint]] streams (rank merge +
+  * out-of-dict headers): null on null input or an empty union, matching
+  * the array/varint siblings. Sound when at most one side can carry
+  * out-of-dict tokens (see [[VectorKernels.varintJaccardEx]]). */
+case class VarintJaccardEx(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val j = VectorKernels.varintJaccardEx(
+      l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+    if (j < 0.0) null else java.lang.Double.valueOf(j)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val j = ctx.freshName("j")
+      s"""
+         |double $j = org.apache.spark.sql.graft.VectorKernels
+         |  .varintJaccardEx($a, $b);
+         |if ($j < 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $j; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All random-hyperplane LSH signatures of one vector in a single pass —
   * `tables` signatures of `bits` sign-bits each, over a flat row-major
   * plane matrix ((t * bits + b) * dim + i). One compact generated loop
@@ -993,6 +1328,31 @@ object VectorExpressions {
 
   def varint_jaccard(a: Column, b: Column): Column =
     ExpressionUtils.column(VarintJaccard(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def sorted_ids_to_mask_permuted(ids: Column, dict: Array[Long],
+      perm: Array[Int], nWords: Int): Column =
+    ExpressionUtils.column(SortedIdsToMaskPermuted(
+      ExpressionUtils.expression(ids), dict, perm, nWords))
+
+  def pair_min_shared_gid(a: Column, b: Column, ids: Array[Long],
+      masks: Array[Long], nWords: Int, canonGids: Array[Long]): Column =
+    ExpressionUtils.column(PairMinSharedGid(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
+      ids, masks, nWords, canonGids))
+
+  /** dict is sorted HERE (binary UTF8 order — the exact comparator the
+    * kernel's binarySearch uses), so index-build and probe encodes can
+    * never disagree on rank assignment however the caller ordered it */
+  def sorted_tokens_to_varint(toks: Column, dict: Array[String]): Column = {
+    val u = dict.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+    java.util.Arrays.sort(u.asInstanceOf[Array[AnyRef]])
+    ExpressionUtils.column(SortedTokensToVarint(
+      ExpressionUtils.expression(toks), u))
+  }
+
+  def varint_jaccard_ex(a: Column, b: Column): Column =
+    ExpressionUtils.column(VarintJaccardEx(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   def dot_product(a: Column, b: Column): Column =

@@ -137,6 +137,70 @@ class StageGateSpec extends GraftSpec {
     }
   }
 
+  test("d10 verify tiers (varint wire form vs raw strings) agree on every answer") {
+    // round 15: the varint rank-stream tier is the shipped plan (it cut
+    // the sf1 top-shuffle exchange ~10x); the raw-string tier stays the
+    // unbounded-vocabulary fallback and the reference leg. Answers must
+    // be identical — and the varint run must actually have taken the
+    // varint path (the index carries the dict, or this check is vacuous)
+    val legs = Seq("varint", "array").map { tier =>
+      spark.conf.set("spark.graft.dedup.d10VerifyTier", tier)
+      try {
+        val fp = DedupSf1Gate.fingerprint(
+          SparkEntry.queries("d10_indexed_incremental_dedup")(spark, sf01))
+        CacheScope.release(blocking = true)
+        tier -> fp
+      } finally spark.conf.unset("spark.graft.dedup.d10VerifyTier")
+    }
+    assert(legs.map(_._2).distinct.size == 1,
+      s"d10 verify tiers disagree: $legs")
+    assert(legs.head._2._1 > 0, "d10 returned zero rows — vacuous tier check")
+  }
+
+  test("token varint encoding: jaccard with an out-of-dict tail matches set arithmetic") {
+    // models d10 exactly: the dictionary covers every CORPUS token by
+    // construction; the batch side may carry novel tokens, which encode
+    // as a count and can intersect nothing. Includes empty sets,
+    // identical sets, all-novel batches and single-token sets.
+    val rnd = new scala.util.Random(11)
+    val dict = (0 until 400).map(i => s"tok$i")
+    val novel = (0 until 50).map(i => s"new$i")
+    val cases: Seq[(Seq[String], Seq[String])] = (0 until 300).map { _ =>
+      def corpusSet(): Seq[String] =
+        if (rnd.nextInt(20) == 0) Seq.empty
+        else (0 until 1 + rnd.nextInt(40))
+          .map(_ => dict(rnd.nextInt(dict.size))).distinct.sorted
+      val c = corpusSet()
+      val b = rnd.nextInt(10) match {
+        case 0 => c
+        case 1 => (0 until 1 + rnd.nextInt(5))
+          .map(_ => novel(rnd.nextInt(novel.size))).distinct.sorted
+        case _ => (corpusSet() ++ c.take(rnd.nextInt(c.size + 1)) ++
+          (0 until rnd.nextInt(4)).map(_ => novel(rnd.nextInt(novel.size))))
+          .distinct.sorted
+      }
+      (b, c) // (batch side with possible novels, corpus side all in-dict)
+    }
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = cases.toDF("b", "c").select(
+      graft.functions.VectorFunctions.varint_jaccard_ex(
+        graft.functions.VectorFunctions.sorted_tokens_to_varint(col("b"), dict.toArray),
+        graft.functions.VectorFunctions.sorted_tokens_to_varint(col("c"), dict.toArray))
+        .as("j"))
+      .collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      val (b, c) = cases(i)
+      val union = (b.toSet ++ c.toSet).size
+      val want: Any =
+        if (union == 0) null
+        else b.toSet.intersect(c.toSet).size.toDouble / union
+      val j: Any = if (r.isNullAt(0)) null else r.getDouble(0)
+      assert(j == want, s"case $i: got $j want $want ($b vs $c)")
+    }
+  }
+
   test("positive control: the collapse detector actually fires on a synthetic single-task stage") {
     // a green sweep is only evidence if the witness machinery DETECTS
     // collapses — run >2s of executor work in one task and assert the
