@@ -50,13 +50,23 @@ object VectorFunctions {
       .sorted_ids_to_mask_permuted(ids, dict, perm, nWords)
 
   /** The id of two documents' canonically-first shared set element,
-    * looked up in a driver-collected flat mask table — the
-    * unique-emission predicate for prefix-join candidate enumeration
+    * looked up in a BROADCAST flat mask table — the unique-emission
+    * predicate for prefix-join candidate enumeration
     * (org.apache.spark.sql.graft.PairMinSharedGid). */
-  def pair_min_shared_gid(a: Column, b: Column, ids: Array[Long],
-      masks: Array[Long], nWords: Int, canonGids: Array[Long]): Column =
+  def pair_min_shared_gid(a: Column, b: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.sql.graft.MaskTable]): Column =
     org.apache.spark.sql.graft.VectorExpressions
-      .pair_min_shared_gid(a, b, ids, masks, nWords, canonGids)
+      .pair_min_shared_gid(a, b, bc)
+
+  /** Exact jaccard straight off the broadcast mask table — map-side
+    * verify over bare (a_id, b_id) candidate rows, zero fetch joins
+    * (org.apache.spark.sql.graft.PairMaskJaccard). */
+  def pair_mask_jaccard(a: Column, b: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.sql.graft.MaskTable]): Column =
+    org.apache.spark.sql.graft.VectorExpressions
+      .pair_mask_jaccard(a, b, bc)
 
   /** Delta-varint rank stream of a sorted distinct array<string> against
     * a string dictionary, with an out-of-dict COUNT header — the exact

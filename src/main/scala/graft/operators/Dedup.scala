@@ -708,19 +708,30 @@ object Dedup {
         .select(col("gid"), col("df")).collect()
         .map(r => (r.getLong(0), r.getLong(1)))
       lazy val gids: Array[Long] = gidDf.map(_._1).sorted
-      // UNIQUE-EMISSION gate (round 15): when the whole corpus' masks fit
-      // the broadcast gate anyway, collect them ONCE in canonical
-      // (df, gid) bit order and let the prefix join emit each pair
-      // exactly at its canonically-smallest shared gram — the
-      // pre-distinct candidate stream (239.7M rows / 1636 MB of d03's
-      // 1785 MB sf1 shuffle, ~12x the 19.0M distinct candidates; the
-      // copies land in different gid partitions so no partial aggregate
-      // can merge them) collapses to one row per pair and the distinct
-      // exchange disappears. Correct and complete: the min shared gram
-      // lies in both prefixes (prefixes are downward-closed in the
-      // canonical order) and carries the pair's MINIMAL ranks, so the
-      // positional filter is loosest exactly at the emitted copy.
-      val fused = tier == "mask" && maskBroadcastable && vocabV <= 65536
+      // UNIQUE-EMISSION gate (round 15): collect the reps' masks ONCE in
+      // canonical (df, gid) bit order, ship them as a Spark BROADCAST,
+      // and let the prefix join emit each pair exactly at its
+      // canonically-smallest shared gram — the pre-distinct candidate
+      // stream (239.7M rows / 1636 MB of d03's 1785 MB sf1 shuffle, ~12x
+      // the 19.0M distinct candidates; the copies land in different gid
+      // partitions so no partial aggregate can merge them) collapses to
+      // one row per pair and the distinct exchange disappears. Correct
+      // and complete: the min shared gram lies in both prefixes
+      // (prefixes are downward-closed in the canonical order) and
+      // carries the pair's MINIMAL ranks, so the positional filter is
+      // loosest exactly at the emitted copy. The gate is EXECUTOR memory
+      // (one broadcast copy per executor, a handle per task), so it runs
+      // far past the verify tier's 24 MiB expression-reference bound —
+      // the d03x straddle corpus (~77 MB of masks) is exactly the case
+      // that needs it. Past the gate (or on the reference leg) the
+      // legacy enumerate-then-distinct path stands.
+      val maskTableBytes = repCount * (nWords * 8L + 32L)
+      // an explicitly forced tier takes the legacy enumerate-distinct-
+      // fetch path (the tier-agreement spec compares those three legs;
+      // the shipped-vs-reference gate compares fused against array)
+      val fused = vocabV <= 65536 && maskKernelOk &&
+        maskTableBytes < (256L << 20) && !referencePlan(s) &&
+        s.conf.getOption("spark.graft.dedup.d03VerifyTier").isEmpty
       // canonical order maps: perm (value-sorted dict slot -> canonical
       // rank) and canonGids (canonical rank -> gid)
       lazy val canonGids: Array[Long] =
@@ -731,10 +742,9 @@ object Dedup {
         while (i < canonGids.length) { rankOf.put(canonGids(i), i); i += 1 }
         gids.map(g0 => rankOf.get(g0).intValue)
       }
-      // the collected flat mask table (sorted rep ids + nWords-strided
-      // canonical masks) — the same bytes the mask tier broadcasts,
-      // bounded by the same 24 MiB gate
-      lazy val maskTable: (Array[Long], Array[Long]) = {
+      // the broadcast flat mask table (sorted rep ids + nWords-strided
+      // canonical masks)
+      lazy val maskTableBc = {
         val rows = g.select(col("doc_id"), graft.functions.VectorFunctions
             .sorted_ids_to_mask_permuted(col("sids"), gids, perm, nWords))
           .collect().sortBy(_.getLong(0))
@@ -747,7 +757,8 @@ object Dedup {
           while (wd < nWords) { flat(i * nWords + wd) = m(wd); wd += 1 }
           i += 1
         }
-        (ids, flat)
+        s.sparkContext.broadcast(
+          new org.apache.spark.sql.graft.MaskTable(ids, flat, nWords, canonGids))
       }
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("df"), col("gid"))
@@ -799,8 +810,7 @@ object Dedup {
       val joinCond =
         if (fused) baseCond &&
           graft.functions.VectorFunctions.pair_min_shared_gid(
-            col("x.doc_id"), col("y.doc_id"),
-            maskTable._1, maskTable._2, nWords, canonGids) === col("x.gid")
+            col("x.doc_id"), col("y.doc_id"), maskTableBc) === col("x.gid")
         else baseCond
       val rawPairs = indexPrefix.as("x").join(prefix.as("y"), joinCond)
         .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
@@ -817,16 +827,20 @@ object Dedup {
       // showed 80% of enumerated copies are TRUE pairs in a dense corpus,
       // so filtering early SHIPPED MORE (2425 MB vs 1785) — unique
       // emission (above) beats both by never creating the copies.
-      // Fused runs reuse the canonical-permuted masks (jaccard is
-      // permutation-invariant), so both mask forms verify identically.
-      val verify = tier match {
+      // FUSED verify: the broadcast table already holds every rep's
+      // mask, so the exact jaccard is a map-side expression over the
+      // bare (a_id, b_id) stream — no payload fetch joins at all (the
+      // d03x straddle's two fetch exchanges, 1 GB and its dominant
+      // 1210 s of runtime, were exactly this). Identical answers: same
+      // masks, same popcount arithmetic, permutation-invariant.
+      val verify =
+        if (fused)
+          candidates.withColumn("jaccard", graft.functions.VectorFunctions
+            .pair_mask_jaccard(col("a_id"), col("b_id"), maskTableBc))
+        else tier match {
         case "mask" =>
-          val mcol =
-            if (fused) graft.functions.VectorFunctions
-              .sorted_ids_to_mask_permuted(col("sids"), gids, perm, nWords)
-            else graft.functions.VectorFunctions
-              .sorted_ids_to_mask(col("sids"), gids)
-          val masks = g.select(col("doc_id"), mcol.as("m"))
+          val masks = g.select(col("doc_id"), graft.functions.VectorFunctions
+            .sorted_ids_to_mask(col("sids"), gids).as("m"))
           val maskSide = if (maskBroadcastable) broadcast(masks) else masks
           candidates
             .join(maskSide.select(col("doc_id").as("a_id"), col("m").as("ma")), "a_id")

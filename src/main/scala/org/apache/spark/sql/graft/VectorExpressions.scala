@@ -174,31 +174,66 @@ object VectorKernels {
   }
 
   /** the canonically-FIRST shared set element (as its id) of two
-    * documents' permuted masks, both resolved from a driver-collected
-    * flat mask table (sorted doc ids + nWords-strided mask words in
-    * canonical bit order; canonGids maps canonical rank back to the id).
-    * -1 when the docs share nothing; throws on a doc id the table does
-    * not carry — the caller builds ids and masks from the same persisted
-    * frame, so a miss is a broken invariant, not a data case, and
-    * silence here would silently DROP candidate pairs. */
-  def maskFirstSharedGid(aId: Long, bId: Long, ids: Array[Long],
-      masks: Array[Long], nWords: Int, canonGids: Array[Long]): Long = {
+    * documents' permuted masks, both resolved from a broadcast flat mask
+    * table (sorted doc ids + nWords-strided mask words in canonical bit
+    * order; canonGids maps canonical rank back to the id). -1 when the
+    * docs share nothing; throws on a doc id the table does not carry —
+    * the caller builds ids and masks from the same persisted frame, so a
+    * miss is a broken invariant, not a data case, and silence here would
+    * silently DROP candidate pairs. */
+  def maskFirstSharedGid(aId: Long, bId: Long,
+      bc: org.apache.spark.broadcast.Broadcast[MaskTable]): Long = {
+    val t = bc.value
+    val ids = t.ids
+    val masks = t.masks
+    val nWords = t.nWords
     val ia = java.util.Arrays.binarySearch(ids, aId)
     val ib = java.util.Arrays.binarySearch(ids, bId)
     if (ia < 0 || ib < 0)
       throw new IllegalStateException(
         s"maskFirstSharedGid: doc id ${if (ia < 0) aId else bId} missing " +
-          "from the collected mask table")
+          "from the broadcast mask table")
     var w = 0
     val oa = ia * nWords
     val ob = ib * nWords
     while (w < nWords) {
       val and = masks(oa + w) & masks(ob + w)
       if (and != 0L)
-        return canonGids((w << 6) + java.lang.Long.numberOfTrailingZeros(and))
+        return t.canonGids((w << 6) + java.lang.Long.numberOfTrailingZeros(and))
       w += 1
     }
     -1L
+  }
+
+  /** exact jaccard of two documents resolved from the broadcast mask
+    * table — word-wise AND/OR popcounts over the stored masks, -1.0 on
+    * an empty union (callers map to SQL NULL). With the table already
+    * shipped for [[maskFirstSharedGid]], the verify needs NO fetch
+    * joins: both sides come off the broadcast, map-side. */
+  def maskPairJaccard(aId: Long, bId: Long,
+      bc: org.apache.spark.broadcast.Broadcast[MaskTable]): Double = {
+    val t = bc.value
+    val masks = t.masks
+    val nWords = t.nWords
+    val ia = java.util.Arrays.binarySearch(t.ids, aId)
+    val ib = java.util.Arrays.binarySearch(t.ids, bId)
+    if (ia < 0 || ib < 0)
+      throw new IllegalStateException(
+        s"maskPairJaccard: doc id ${if (ia < 0) aId else bId} missing " +
+          "from the broadcast mask table")
+    var inter = 0L
+    var union = 0L
+    var w = 0
+    val oa = ia * nWords
+    val ob = ib * nWords
+    while (w < nWords) {
+      val ma = masks(oa + w)
+      val mb = masks(ob + w)
+      inter += java.lang.Long.bitCount(ma & mb)
+      union += java.lang.Long.bitCount(ma | mb)
+      w += 1
+    }
+    if (union == 0L) -1.0 else inter.toDouble / union
   }
 
   /** [[sortedRanksVarint]] for STRING token sets with an out-of-dict
@@ -879,18 +914,24 @@ case class SortedIdsToMaskPermuted(child: Expression, dict: Array[Long],
     copy(child = newChild)
 }
 
+/** flat per-document mask table for [[PairMinSharedGid]]: sorted doc
+  * ids, nWords-strided canonical-order mask words, and the canonical
+  * rank -> id map. Shipped as a Spark BROADCAST (one copy per executor,
+  * a handle in the task binary), so the unique-emission predicate stays
+  * usable well past expression-reference sizes — the gate is executor
+  * memory, not plan size. */
+final class MaskTable(val ids: Array[Long], val masks: Array[Long],
+    val nWords: Int, val canonGids: Array[Long]) extends Serializable
+
 /** The id of the canonically-first shared set element of two documents,
-  * resolved from a driver-collected flat mask table
+  * resolved from a broadcast flat mask table
   * ([[VectorKernels.maskFirstSharedGid]]) — the unique-emission
   * predicate for PPJoin candidate enumeration: a prefix-join copy at
   * gram g is kept iff g IS the pair's canonically-smallest shared gram,
   * so each candidate pair leaves the join exactly once and the
-  * downstream distinct exchange disappears. -1 when nothing is shared.
-  * Bounded by the same broadcastability gate as the mask verify tier
-  * (the table is the same bytes). */
+  * downstream distinct exchange disappears. -1 when nothing is shared. */
 case class PairMinSharedGid(left: Expression, right: Expression,
-    ids: Array[Long], masks: Array[Long], nWords: Int,
-    canonGids: Array[Long])
+    bc: org.apache.spark.broadcast.Broadcast[MaskTable])
   extends BinaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
@@ -899,17 +940,55 @@ case class PairMinSharedGid(left: Expression, right: Expression,
 
   override def nullSafeEval(l: Any, r: Any): Any =
     VectorKernels.maskFirstSharedGid(l.asInstanceOf[Long],
-      r.asInstanceOf[Long], ids, masks, nWords, canonGids)
+      r.asInstanceOf[Long], bc)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val idsRef = ctx.addReferenceObj("ids", ids, "long[]")
-    val masksRef = ctx.addReferenceObj("masks", masks, "long[]")
-    val canonRef = ctx.addReferenceObj("canonGids", canonGids, "long[]")
+    val bcRef = ctx.addReferenceObj("maskTableBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
          |${ev.value} = org.apache.spark.sql.graft.VectorKernels
-         |  .maskFirstSharedGid($a, $b, $idsRef, $masksRef, $nWords, $canonRef);
+         |  .maskFirstSharedGid($a, $b, $bcRef);
        """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Exact jaccard of two documents' sets resolved from the broadcast
+  * mask table ([[VectorKernels.maskPairJaccard]]): with the table
+  * already shipped for [[PairMinSharedGid]], the exact verify becomes a
+  * map-side expression over the bare (a_id, b_id) candidate stream —
+  * no payload fetch joins, no payload exchanges at all. Null on null
+  * input or an empty union, matching every sibling jaccard kernel. */
+case class PairMaskJaccard(left: Expression, right: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[MaskTable])
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val j = VectorKernels.maskPairJaccard(l.asInstanceOf[Long],
+      r.asInstanceOf[Long], bc)
+    if (j < 0.0) null else java.lang.Double.valueOf(j)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("maskTableBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val j = ctx.freshName("j")
+      s"""
+         |double $j = org.apache.spark.sql.graft.VectorKernels
+         |  .maskPairJaccard($a, $b, $bcRef);
+         |if ($j < 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $j; }
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(
@@ -1335,11 +1414,15 @@ object VectorExpressions {
     ExpressionUtils.column(SortedIdsToMaskPermuted(
       ExpressionUtils.expression(ids), dict, perm, nWords))
 
-  def pair_min_shared_gid(a: Column, b: Column, ids: Array[Long],
-      masks: Array[Long], nWords: Int, canonGids: Array[Long]): Column =
+  def pair_min_shared_gid(a: Column, b: Column,
+      bc: org.apache.spark.broadcast.Broadcast[MaskTable]): Column =
     ExpressionUtils.column(PairMinSharedGid(
-      ExpressionUtils.expression(a), ExpressionUtils.expression(b),
-      ids, masks, nWords, canonGids))
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), bc))
+
+  def pair_mask_jaccard(a: Column, b: Column,
+      bc: org.apache.spark.broadcast.Broadcast[MaskTable]): Column =
+    ExpressionUtils.column(PairMaskJaccard(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), bc))
 
   /** dict is sorted HERE (binary UTF8 order — the exact comparator the
     * kernel's binarySearch uses), so index-build and probe encodes can

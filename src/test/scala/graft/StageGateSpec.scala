@@ -137,6 +137,55 @@ class StageGateSpec extends GraftSpec {
     }
   }
 
+  test("ANN serve cores agree between shipped and reference plans (sf0.01 leg of the sf1 gate)") {
+    // v05/v06/v07 are value-deterministic (persisted or per-vector
+    // candidates, bit-deterministic cosine, id tie-breaks): exact hash.
+    // v03 trains k-means in-run — float-sum order across a different
+    // partitioning legitimately perturbs centroids — so it compares by
+    // top-k (q_id, n_id) overlap, like the sf1 gate.
+    import org.apache.spark.sql.functions.col
+    val fns: Seq[(String, String,
+        (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      ("v03", "overlap", operators.VectorOps.knnIvf _),
+      ("v05", "hash", operators.VectorOps.cosinePairsLsh _),
+      ("v06", "hash", operators.VectorOps.knnIvfIndexed _),
+      ("v07", "hash", operators.VectorOps.knnSq8 _))
+    fns.foreach { case (short, mode, fn) =>
+      val dfA = fn(spark, sf01)
+      val a = DedupSf1Gate.fingerprint(dfA)
+      val setA =
+        if (mode == "overlap")
+          dfA.select(col("q_id").cast("long"), col("n_id").cast("long"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        else Set.empty[(Long, Long)]
+      CacheScope.release(blocking = true)
+      spark.conf.set("spark.graft.dedup.referencePlan", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val (b, setB) =
+        try {
+          val dfB = fn(spark, sf01)
+          val fp = DedupSf1Gate.fingerprint(dfB)
+          val sB =
+            if (mode == "overlap")
+              dfB.select(col("q_id").cast("long"), col("n_id").cast("long"))
+                .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            else Set.empty[(Long, Long)]
+          (fp, sB)
+        } finally {
+          spark.conf.unset("spark.graft.dedup.referencePlan")
+          spark.conf.set("spark.sql.shuffle.partitions", "4")
+        }
+      CacheScope.release(blocking = true)
+      assert(a._1 > 0, s"$short returned zero rows — vacuous check")
+      if (mode == "overlap") {
+        assert(a._1 == b._1, s"$short row counts diverged: ${a._1} vs ${b._1}")
+        val ov = if (setA.isEmpty) 0 else (setA.intersect(setB).size * 100) / setA.size
+        assert(ov >= 90, s"$short top-k overlap $ov% < 90% between plans")
+      } else
+        assert(a == b, s"$short diverged between shipped and reference plans: $a vs $b")
+    }
+  }
+
   test("d10 verify tiers (varint wire form vs raw strings) agree on every answer") {
     // round 15: the varint rank-stream tier is the shipped plan (it cut
     // the sf1 top-shuffle exchange ~10x); the raw-string tier stays the
@@ -232,6 +281,45 @@ class StageGateSpec extends GraftSpec {
       }
       assert(collapsed.nonEmpty,
         s"synthetic 1-task 2.4s stage not flagged — detector is blind: $stages")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("positive control: the straggler detector fires on a synthetic skewed stage") {
+    // the runSum >= wall refinement (added after a false-positive class:
+    // near-idle stages QUEUED behind a core-hogging sibling) must still
+    // fire on genuine skew — one ~6 s task among 31 ~0.35 s ones: wall
+    // is held by the long task (runSum >= wall), total runtime is well
+    // under 4x the wall, and the wall exceeds 5 s. Without this control
+    // a regression could silently blind the branch (VERDICT r14 #6).
+    val stages = scala.collection.mutable.Map.empty[Int, (Long, Long, Int)]
+    val listener = new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        stages.synchronized {
+          stages(si.stageId) = (
+            si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+            si.taskMetrics.executorRunTime, si.numTasks)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // skew by partition id: nondeterministic so nothing elides the
+      // sleep; 32 partitions so the stage genuinely fans out
+      val skewed = org.apache.spark.sql.functions.udf { (i: Long) =>
+        Thread.sleep(if (i == 0L) 6200 else 350); i
+      }.asNondeterministic()
+      import org.apache.spark.sql.functions.{col, sum => fsum}
+      spark.range(32).repartition(32)
+        .select(skewed(col("id")).as("v")).agg(fsum(col("v"))).collect()
+      Thread.sleep(300)
+      // exact StageGate straggler shape
+      val flagged = stages.synchronized(stages.toSeq).filter {
+        case (_, (w, rt, nt)) =>
+          w > 5000 && rt >= w && rt.toDouble / math.max(w, 1) < 4 && nt > 2
+      }
+      assert(flagged.nonEmpty,
+        s"synthetic skewed stage (one 6.2s task of 32) not flagged: $stages")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
