@@ -228,6 +228,84 @@ object Bench {
       }
       pending = pending.filter(n => overMedian(n, best(n)))
     }
+    // bounded quiet-wait (the same 120 s discipline as the start gate),
+    // reusable by both late defenses below; total waited time is stamped
+    var waitedReSec = 0.0
+    def quietWait(): Unit = {
+      val w0 = System.nanoTime()
+      while (loadavg > maxLoad0 &&
+          (System.nanoTime() - w0) < 120L * 1000 * 1000 * 1000)
+        Thread.sleep(5000)
+      waitedReSec += (System.nanoTime() - w0) / 1e9
+    }
+    // round 15 (VERDICT r14 #1): the start gate defends t0, not minute
+    // 10 — a mid-run co-tenant spike wide enough to cover all three
+    // recheck rounds shipped the r14 driver artifact final:false
+    // (w40/w42). Still-unstable rows get ONE extra recheck round
+    // preceded by a bounded quiet-wait, so the stamp survives a loaded
+    // middle without ever accepting a loaded measurement.
+    if (pending.nonEmpty) {
+      quietWait()
+      pending.foreach { name =>
+        val (r, ok) = timeOne(benchFn(name))
+        if (ok) {
+          recheck(name) = recheck.get(name).fold(r)(math.min(_, r))
+          best(name) = math.min(best(name), r)
+        }
+      }
+      pending = pending.filter(n => overMedian(n, best(n)))
+    }
+    // ---- x03 fixed-cost probe: the identical cross-JVM pipeline over a
+    // ONE-ROW gpx table isolates fork + JVM/Hadoop init + streaming-
+    // engine startup; x03marginal is what actually scales with data.
+    // The marginal is DERIVED (full - fixed), so the per-row rechecks
+    // above cannot defend it (VERDICT r14 #2): it gets the same
+    // history-relative gate as any row — >3x its ledger median (backstop
+    // 1.5x x01 when no history) triggers a quiet-wait plus one
+    // re-measure of BOTH legs, and a still-over marginal joins the
+    // unstable set and blocks the final stamp. ----
+    val x03Key = queryResults.collectFirst {
+      case (n, _, true) if n.startsWith("x03") => n }
+    def x03Probe(): Option[Double] = try {
+      val tiny = java.nio.file.Files.createTempDirectory("gpx_x03probe")
+      Tables.lineitem(spark, sfDir).limit(1).coalesce(1)
+        .write.format("gpx").mode("overwrite").save(tiny.toString)
+      def probe(): Double = {
+        val t0 = System.nanoTime()
+        operators.ExchangeOps.remoteAgg(spark, tiny.toString).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val v = math.min(probe(), probe())
+      org.apache.commons.io.FileUtils.deleteDirectory(tiny.toFile)
+      Some(v)
+    } catch { case _: Throwable => None }
+    var x03Fixed: Option[Double] = x03Key.flatMap(_ => x03Probe())
+    def x03Marginal: Option[Double] =
+      for { k <- x03Key; f <- x03Fixed } yield math.max(0.0, best(k) - f)
+    val margBound: Option[Double] =
+      BenchDelta.ledgerFieldMedian(sfDir, "x03marginal")
+        .map(m => math.max(UnstableFloorSec, 3.0 * m))
+        .orElse(queryResults.collectFirst {
+          case (n, _, true) if n.startsWith("x01") => 1.5 * best(n) })
+    def margOver: Boolean = (x03Marginal, margBound) match {
+      case (Some(m), Some(b)) => m > b
+      case _ => false
+    }
+    if (margOver) {
+      quietWait()
+      // load only ever INFLATES a timing, so min over re-measures of
+      // both legs is the defensible derived value
+      x03Key.foreach { k =>
+        val (r, ok) = timeOne(benchFn(k))
+        if (ok) {
+          recheck(k) = recheck.get(k).fold(r)(math.min(_, r))
+          best(k) = math.min(best(k), r)
+        }
+      }
+      x03Probe().foreach(p =>
+        x03Fixed = x03Fixed.map(math.min(_, p)).orElse(Some(p)))
+    }
+    val margUnstable = margOver
     val finalResults = queryResults.map { case (name, dt, ok) =>
       (name, recheck.get(name).fold(dt)(math.min(dt, _)), ok)
     }
@@ -238,29 +316,12 @@ object Bench {
         if recheck.get(name).exists(r => dt > 3.0 * math.max(r, 0.05)) =>
         name.takeWhile(_ != '_')
     }
-    // rows STILL unexplained after every recheck round: these block it
+    // rows STILL unexplained after every recheck round: these block it —
+    // the derived x03marginal is gated exactly like a row
     val unstable = finalResults.collect {
       case (name, dt, true) if overMedian(name, dt) =>
         name.takeWhile(_ != '_')
-    }
-    // ---- x03 fixed-cost probe: the identical cross-JVM pipeline over a
-    // ONE-ROW gpx table isolates fork + JVM/Hadoop init + streaming-
-    // engine startup; x03marginal is what actually scales with data ----
-    val x03Fixed: Option[Double] =
-      if (finalResults.exists(r => r._1.startsWith("x03") && r._3)) try {
-        val tiny = java.nio.file.Files.createTempDirectory("gpx_x03probe")
-        Tables.lineitem(spark, sfDir).limit(1).coalesce(1)
-          .write.format("gpx").mode("overwrite").save(tiny.toString)
-        def probe(): Double = {
-          val t0 = System.nanoTime()
-          operators.ExchangeOps.remoteAgg(spark, tiny.toString).count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        val v = math.min(probe(), probe())
-        org.apache.commons.io.FileUtils.deleteDirectory(tiny.toFile)
-        Some(v)
-      } catch { case _: Throwable => None }
-      else None
+    } ++ (if (margUnstable) Seq("x03marginal") else Nil)
     // ---- chunk-cache pair on one gpx scan. The aggregate is a data-page
     // sum (never answerable from footer or manifest stats), so both legs
     // really decode every row group. Cold = ChunkCache cleared AND (where
@@ -353,6 +414,10 @@ object Bench {
       else unstable.map("\"" + _ + "\"").mkString(""","unstable":[""", ",", "]")
     val waitField =
       if (waitedSec >= 1.0) s""","wait0":${s3(waitedSec)}""" else ""
+    // time spent in mid-run quiet-waits (the extra recheck round + the
+    // x03marginal re-measure) — a final:true artifact that waited says so
+    val waitReField =
+      if (waitedReSec >= 1.0) s""","waitRe":${s3(waitedReSec)}""" else ""
     val divField =
       if (divergent.isEmpty) ""
       else divergent.map("\"" + _ + "\"").mkString(""","divergent":[""", ",", "]")
@@ -369,7 +434,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec"$errField,""" +
       s""""cpus":$cpus,"loadavg":${s3(loadavg)},"loadavg0":${s3(loadStart)}""" +
-      s""","final":$isFinal$unstableField$waitField""" +
+      s""","final":$isFinal$unstableField$waitField$waitReField""" +
       s"""$divField$recheckField$x03Fields,"warmhits":$warmHits,""" +
       s""""coldmode":"$coldMode","queries":$qs,"sf":"$sfDir"}"""
     println(line)
@@ -389,7 +454,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${s3(total)},"unit":"sec"$errField,""" +
       s""""cpus":$cpus,"loadavg":${s3(loadavg)},"loadavg0":${s3(loadStart)}""" +
-      s""","final":$isFinal$unstableField$waitField""" +
+      s""","final":$isFinal$unstableField$waitField$waitReField""" +
       s"""$divField$x03Fields,"warmhits":$warmHits,""" +
       s""""coldmode":"$coldMode","partial":true,""" +
       s""""full":"/tmp/graft_bench.json","queries":$compactRows,"sf":"$sfDir"}""")
@@ -466,6 +531,27 @@ object BenchDelta {
             else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
     }.toMap
   } catch { case _: Throwable => Map.empty }
+
+  /** median of a TOP-LEVEL numeric artifact field (e.g. the derived
+    * "x03marginal") over the last (up to) 10 same-sf ledger entries —
+    * the rows live under "queries", the derived numbers do not, and the
+    * r14 driver run shipped a 2.3x-over-gate marginal precisely because
+    * nothing history-gated it. Same failure tolerance as
+    * [[ledgerMedians]]. */
+  def ledgerFieldMedian(sf: String, field: String,
+      ledger: java.nio.file.Path = histPath): Option[Double] = try {
+    if (!java.nio.file.Files.exists(ledger)) return None
+    val vs = scala.jdk.CollectionConverters
+      .ListHasAsScala(java.nio.file.Files.readAllLines(ledger)).asScala
+      .flatMap(l => try Some(om.readTree(l)) catch { case _: Throwable => None })
+      .filter(n => Option(n.get("sf")).map(_.asText).contains(sf))
+      .takeRight(10)
+      .flatMap(n => Option(n.get(field)).filter(_.isNumber).map(_.asDouble))
+      .toSeq.sorted
+    if (vs.isEmpty) None
+    else Some(if (vs.size % 2 == 1) vs(vs.size / 2)
+      else (vs(vs.size / 2 - 1) + vs(vs.size / 2)) / 2.0)
+  } catch { case _: Throwable => None }
 
   def emit(line: String): Unit = {
     val hist = histPath

@@ -97,18 +97,29 @@ object StretchBench {
     // candidate blowup would be indistinguishable from corpus drift
     val counted = Set("d02", "d03", "d05", "d06", "d08", "d10", "v05")
 
-    /** (seconds, output rows, candidate rows) — candidates counted
-      * UNTIMED after the timed window, from the exact plan the timed run
-      * registered (Dedup.PairStats, construction-time) */
+    def loadavg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    /** (seconds, output rows, candidate rows, loadavg at leg start,
+      * loadavg at leg end) — candidates counted UNTIMED after the timed
+      * window, from the exact plan the timed run registered
+      * (Dedup.PairStats, construction-time). Per-LEG loadavg (VERDICT
+      * r14 #8): a ratio regression must be attributable from the
+      * artifact alone — one global end-of-run loadavg cannot say which
+      * leg a co-tenant spike actually hit (the r14 d03x 0.798-vs-0.769
+      * discussion burned a paragraph on exactly that). */
     def timeAt(dir: String, name: String,
-        fn: (SparkSession, String) => DataFrame): (Double, Long, Long) = {
+        fn: (SparkSession, String) => DataFrame)
+        : (Double, Long, Long, Double, Double) = {
       // construction pass builds any cachedDir materialization untimed
       // (indexes, gpx layouts) — timed rows measure the query, like Bench
       try { fn(spark, dir); () } catch { case _: Throwable => () }
       CacheScope.release(blocking = true)
+      val l0 = loadavg
       val t0 = System.nanoTime()
       val n = fn(spark, dir).count()
       val dt = (System.nanoTime() - t0) / 1e9
+      val l1 = loadavg
       val short = name.takeWhile(_ != '_')
       // guarded: the untimed count re-executes the candidate stage, and a
       // transient failure there must cost ONE stamp (-1 sentinel), never
@@ -119,15 +130,16 @@ object StretchBench {
           .map(_.count()).getOrElse(-1L)
         catch { case _: Throwable => -1L }
       CacheScope.release(blocking = true)
-      (dt, n, cand)
+      (dt, n, cand, l0, l1)
     }
 
     def s3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val rows = queries.map { case (name, fn) =>
-      val (t01, n01, c01) = timeAt(src, name, fn)
-      val (t1, n1, c1) = timeAt(out, name, fn)
+      val (t01, n01, c01, a0, a1) = timeAt(src, name, fn)
+      val (t1, n1, c1, b0, b1) = timeAt(out, name, fn)
       val ratio = t1 / (factor * t01)
-      (name.takeWhile(_ != '_'), t01, t1, ratio, (n01, n1, c01, c1))
+      (name.takeWhile(_ != '_'), t01, t1, ratio, (n01, n1, c01, c1),
+        (a0, a1, b0, b1))
     }
     // d03 additionally at a corpus built to STRADDLE the old 4096-gram
     // mask gate (sf0.1 vocab is ~377, so 12 near-disjoint copies land at
@@ -158,8 +170,8 @@ object StretchBench {
         s"straddle corpus failed to cross the 4096-gram gate: $vocab")
       val t01 = rows.find(_._1 == "d03").map(_._2)
         .getOrElse(timeAt(src, "d03", fn)._1)
-      val (tx, nx, cx) = timeAt(xdir, "d03", fn)
-      ("d03x", t01, tx, tx / (xf * t01), vocab, xf, nx, cx)
+      val (tx, nx, cx, x0, x1) = timeAt(xdir, "d03", fn)
+      ("d03x", t01, tx, tx / (xf * t01), vocab, xf, nx, cx, (x0, x1))
     }
     def counts(t: (Long, Long, Long, Long)): String = t match {
       case (n01, n1, c01, c1) =>
@@ -167,11 +179,16 @@ object StretchBench {
         if (c01 >= 0 || c1 >= 0) base + s""","cand01":$c01,"cand1":$c1"""
         else base
     }
-    val qjson = (rows.map { case (k, t01, t1, r, cs) =>
-      s""""$k":{"sf01":${s3(t01)},"sf1":${s3(t1)},"ratio":${s3(r)}${counts(cs)}}"""
-    } ++ straddle.map { case (k, t01, t1, r, vocab, xf, nx, cx) =>
+    // per-leg loadavg stamps: [start, end] around the timed leg only
+    def legLoads(a0: Double, a1: Double, b0: Double, b1: Double): String =
+      s""","ld01":[${s3(a0)},${s3(a1)}],"ld1":[${s3(b0)},${s3(b1)}]"""
+    val qjson = (rows.map { case (k, t01, t1, r, cs, (a0, a1, b0, b1)) =>
+      s""""$k":{"sf01":${s3(t01)},"sf1":${s3(t1)},"ratio":${s3(r)}""" +
+        s"""${counts(cs)}${legLoads(a0, a1, b0, b1)}}"""
+    } ++ straddle.map { case (k, t01, t1, r, vocab, xf, nx, cx, (x0, x1)) =>
       s""""$k":{"sf01":${s3(t01)},"sf1":${s3(t1)},"ratio":${s3(r)},""" +
-        s""""factor":$xf,"vocab":$vocab,"rows1":$nx,"cand1":$cx}"""
+        s""""factor":$xf,"vocab":$vocab,"rows1":$nx,"cand1":$cx,""" +
+        s""""ldx":[${s3(x0)},${s3(x1)}]}"""
     }).mkString("{", ",", "}")
     val worst = (rows.map(_._4) ++ straddle.map(_._4)).max
     // loadavg in the artifact + a file copy (the Bench discipline): host

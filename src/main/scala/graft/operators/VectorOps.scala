@@ -101,6 +101,19 @@ object VectorOps {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
+  /** the same reference-plan flag the dedup family honors
+    * ([[Dedup]] doc): flips every SPEED-motivated plan-shape choice in
+    * the ANN serve cores — explicit centroid/query broadcasts, the
+    * bucket-pruning IN pushdown — onto a plain shuffle/full-scan
+    * alternative without changing any contract, so [[graft.DedupSf1Gate]]
+    * can hash/overlap-compare both legs at the sf1 stretch scale. */
+  private def referencePlan(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.dedup.referencePlan").exists(_.toBoolean)
+
+  /** broadcast hint, elided on the reference leg */
+  private def maybeBroadcast(s: SparkSession, df: DataFrame): DataFrame =
+    if (referencePlan(s)) df else broadcast(df)
+
   // IVF ANN with LEARNED coarse centroids (the 100 TB scale path):
   // Lloyd's k-means over the corpus (fixed seed-free deterministic init
   // = the K lowest vec_ids; cosine assignment), then probe the NProbe
@@ -125,7 +138,7 @@ object VectorOps {
          Array[Seq[Double]] => DataFrame,
          Array[Seq[Double]] => DataFrame) = {
     def centDf(cent: Array[Seq[Double]]): DataFrame =
-      broadcast(s.createDataFrame(
+      maybeBroadcast(s, s.createDataFrame(
         s.sparkContext.parallelize(
           cent.zipWithIndex.toSeq.map { case (v, i) =>
             org.apache.spark.sql.Row(i, v)
@@ -301,17 +314,24 @@ object VectorOps {
       val q = vecs(s, d).filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
       val wc = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))
-      val probes = q.crossJoin(broadcast(cents))
+      val probes = q.crossJoin(maybeBroadcast(s, cents))
         .withColumn("ccos", cosine("qv", "qnorm", "cv", "cnorm"))
         .withColumn("crank", row_number().over(wc))
         .filter(col("crank") <= NProbe)
         .select(col("q_id"), col("qv"), col("qnorm"), col("cid"))
         .persist()
       // the distinct probed cids are bounded by K — a literal IN list the
-      // scan bucket-prunes on (only the probed buckets' files are read)
+      // scan bucket-prunes on (only the probed buckets' files are read).
+      // Reference leg: NO pushdown — the full index scans and the join on
+      // cid alone restricts the scope (same rows, provably, since probes
+      // carries exactly the probed cids), which is what the sf1 gate
+      // hash-compares the pruned plan against.
       val probeCids = probes.select("cid").distinct().collect().map(_.getInt(0))
-      val sub = s.read.format("gpx").load(s"$dir/clustered")
-        .filter(col("cid").isin(probeCids.map(Int.box).toSeq: _*))
+      val clusteredAll = s.read.format("gpx").load(s"$dir/clustered")
+      val sub =
+        if (referencePlan(s)) clusteredAll
+        else clusteredAll
+          .filter(col("cid").isin(probeCids.map(Int.box).toSeq: _*))
       val scored = probes.join(sub, "cid")
         .withColumn("cos", cosine("qv", "qnorm", "nv", "nnorm"))
       val result =
@@ -379,8 +399,8 @@ object VectorOps {
       val cand = topkPerQuery(approx, col("acos"), col("n_id"), shortlist,
           "n_id", "acos")
         .select(col("q_id"), col("n_id"))
-        .join(broadcast(q.select(col("q_id"), col("qv_full"), col("qnorm"))),
-          "q_id")
+        .join(maybeBroadcast(s,
+          q.select(col("q_id"), col("qv_full"), col("qnorm"))), "q_id")
       // pass 2: exact rerank of the shortlist on full-precision vectors
       val full = e.filter(col("vec_id") >= 10)
         .select(col("vec_id").as("n_id"), col("v").as("nv"),

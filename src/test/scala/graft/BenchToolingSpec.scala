@@ -31,6 +31,27 @@ class BenchToolingSpec extends GraftSpec {
     assert(BenchDelta.ledgerMedians("/x/sf0.1", gone).isEmpty)
   }
 
+  test("ledgerFieldMedian: top-level derived fields (x03marginal) get the same history gate as rows") {
+    val p = java.nio.file.Files.createTempFile("bench_hist_f", ".jsonl")
+    try {
+      def entry(sf: String, m: Double): String =
+        s"""{"metric":"total","value":1.0,"x03marginal":$m,"queries":{},"sf":"$sf"}"""
+      val lines =
+        Seq("garbage", """{"metric":"total","sf":"/x/sf0.1","queries":{}}""") ++
+        Seq(entry("/x/sf0.01", 99.0)) ++
+        (1 to 12).map(i => entry("/x/sf0.1", i.toDouble))
+      java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
+      // same-sf last-10 window (field-less same-sf artifacts count
+      // toward the window): keeps entries 3..12 -> median (7+8)/2 = 7.5
+      val m = BenchDelta.ledgerFieldMedian("/x/sf0.1", "x03marginal", p)
+      assert(m.contains(7.5), s"x03marginal median: $m")
+      assert(BenchDelta.ledgerFieldMedian("/x/sf0.1", "nope", p).isEmpty)
+      assert(BenchDelta.ledgerFieldMedian("/y/sf0.1", "x03marginal", p).isEmpty)
+      val gone = java.nio.file.Paths.get("/tmp/definitely_not_a_ledger.jsonl")
+      assert(BenchDelta.ledgerFieldMedian("/x/sf0.1", "x03marginal", gone).isEmpty)
+    } finally java.nio.file.Files.deleteIfExists(p)
+  }
+
   test("BenchReport rewrites exactly the marked block, appends when markers absent, skips non-sf0.1") {
     val dir = java.nio.file.Files.createTempDirectory("bench_report")
     try {
