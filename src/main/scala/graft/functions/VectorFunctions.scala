@@ -68,6 +68,15 @@ object VectorFunctions {
     org.apache.spark.sql.graft.VectorExpressions
       .pair_mask_jaccard(a, b, bc)
 
+  /** The first band on which two documents' minhash signatures agree,
+    * from a broadcast signature table — unique emission for LSH band
+    * self-joins (org.apache.spark.sql.graft.PairFirstSharedBand). */
+  def pair_first_shared_band(a: Column, b: Column,
+      bc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.sql.graft.SigTable]): Column =
+    org.apache.spark.sql.graft.VectorExpressions
+      .pair_first_shared_band(a, b, bc)
+
   /** Delta-varint rank stream of a sorted distinct array<string> against
     * a string dictionary, with an out-of-dict COUNT header — the exact
     * compact payload for incremental dedup where a batch carries tokens

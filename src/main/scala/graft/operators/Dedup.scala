@@ -997,7 +997,7 @@ object Dedup {
             .as("new_members"),
           count(when(!col("is_new"), lit(1))).as("n_old"))
         .tracked
-      val (_, repsInt, bands, _) =
+      val (expInt, repsInt, bands, vocabSize) =
         tokenSignatures(s, groups.select(col("fp"), col("toks")), "fp")
       val sides = groups.select(col("fp"),
         (size(col("new_members")) > 0).as("is_batch"),
@@ -1017,16 +1017,67 @@ object Dedup {
       val banded = bands.join(sides, "fp")
         .select(xxhash64(col("fp")).as("gid"), col("bk"), col("nt"),
           col("is_batch"), col("is_corpus"))
+      // FIRST-SHARED-BAND unique emission (round 15, the d03 lesson
+      // applied to the LSH band join): similar pairs agree on MANY of
+      // the 32 bands, so the pre-distinct band-hit stream ran ~13x the
+      // candidate count (101.8M rows / 1221 MB at sf1, 96% of d08's
+      // shuffle) and the copies land in different band-key partitions
+      // where no partial aggregate merges them. With the per-group
+      // minhash signatures broadcast (sorted gids + 128-long strides),
+      // the join keeps a copy iff ITS band is the pair's first shared
+      // band — each pair leaves the join exactly once and the distinct
+      // exchange disappears. Gated on (a) the table fitting executor
+      // memory and (b) gid-fp injectivity verified on the actual corpus
+      // (a collision would merge two groups' signatures; the legacy
+      // distinct path tolerates collisions additively, so it stays the
+      // fallback and the reference leg).
+      val nGroups = groups.count()
+      val sigBc: Option[org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.sql.graft.SigTable]] =
+        if (referencePlan(s) || nGroups * 1100L >= (256L << 20) ||
+            groups.select(xxhash64(col("fp"))).distinct().count() != nGroups)
+          None
+        else {
+          val rows = bands.select(xxhash64(col("fp")).as("gid"),
+            col("bk").getField("band").as("b"),
+            col("bk").getField("h0"), col("bk").getField("h1"),
+            col("bk").getField("h2"), col("bk").getField("h3")).collect()
+          val ids = rows.map(_.getLong(0)).distinct.sorted
+          val idx = new java.util.HashMap[Long, Integer](ids.length * 2)
+          ids.zipWithIndex.foreach { case (g0, i) => idx.put(g0, i) }
+          val flat = new Array[Long](ids.length * NumHashes)
+          rows.foreach { r =>
+            val o = idx.get(r.getLong(0)).intValue * NumHashes +
+              r.getInt(1) * BandR
+            flat(o) = r.getLong(2); flat(o + 1) = r.getLong(3)
+            flat(o + 2) = r.getLong(4); flat(o + 3) = r.getLong(5)
+          }
+          Some(s.sparkContext.broadcast(new org.apache.spark.sql.graft
+            .SigTable(ids, flat, BandR, NumHashes / BandR)))
+        }
       // asymmetric band join: batch bands probe corpus bands; size-ratio
       // bound inside the join as in d02 (J>=0.8 forces |A|/|B| in
-      // [0.8, 1.25], so dropping these rows cannot lose a true pair)
-      val candidates = banded.filter(col("is_batch")).as("x")
-        .join(banded.filter(col("is_corpus")).as("y"),
-          col("x.bk") === col("y.bk") &&
-            col("x.nt") >= col("y.nt") * t - 0.5 &&
-            col("y.nt") >= col("x.nt") * t - 0.5)
-        .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
-        .distinct()
+      // [0.8, 1.25], so dropping these rows cannot lose a true pair).
+      // The nt bound is per-PAIR (band-independent), so it holds at the
+      // first-shared-band copy whenever it holds at any copy.
+      val bandCond =
+        col("x.bk") === col("y.bk") &&
+          col("x.nt") >= col("y.nt") * t - 0.5 &&
+          col("y.nt") >= col("x.nt") * t - 0.5
+      val candidates = (sigBc match {
+        case Some(bc) =>
+          banded.filter(col("is_batch")).as("x")
+            .join(banded.filter(col("is_corpus")).as("y"),
+              bandCond && graft.functions.VectorFunctions
+                .pair_first_shared_band(col("x.gid"), col("y.gid"), bc) ===
+                col("x.bk").getField("band"))
+            .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
+        case None =>
+          banded.filter(col("is_batch")).as("x")
+            .join(banded.filter(col("is_corpus")).as("y"), bandCond)
+            .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
+            .distinct()
+      })
       PairStats.lastCandidates.put("d08", candidates)
       // side-restricted rep resolution: ga resolves against BATCH reps
       // and gb against CORPUS reps only. Without the gb restriction, a
@@ -1037,16 +1088,59 @@ object Dedup {
       val gidReps = repsInt.join(sides, "fp")
         .select(xxhash64(col("fp")).as("gid"), col("fp"), col("tids"),
           col("is_batch"), col("is_corpus"))
-      val verified = candidates
-        .join(gidReps.filter(col("is_batch"))
-          .select(col("gid").as("ga"), col("fp").as("fa"),
-            col("tids").as("ta")), "ga")
-        .join(gidReps.filter(col("is_corpus"))
-          .select(col("gid").as("gb"), col("tids").as("tb")), "gb")
-        .withColumn("j", graft.functions.VectorFunctions
-          .sorted_jaccard(col("ta"), col("tb")))
-        .filter(col("j") >= t)
-        .select(col("fa").as("fp"), col("j"))
+      // MAP-SIDE verify (round 15, the d03 fused-verify pattern): with
+      // gid-fp injectivity already proven on this corpus (the sigBc
+      // gate), a broadcast gid->token-mask table answers the exact
+      // jaccard per candidate row in the stage that emitted it — no
+      // fetch joins, no candidate exchange (the 13.3M-pair ga shuffle
+      // was d08's residual 138 MB). Side restriction is subsumed by
+      // injectivity: each gid resolves to exactly one fp's set. The
+      // per-ga max shrinks map-side before the one tiny fp join.
+      // Vocabulary gate as in d03 (masks need a <=65536 dictionary).
+      val maskBc: Option[org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.sql.graft.MaskTable]] =
+        if (sigBc.isEmpty || vocabSize > 65536) None
+        else {
+          val dict = expInt.select(col("tid")).distinct()
+            .collect().map(_.getLong(0)).sorted
+          val nW = math.max(1L, (vocabSize + 63) / 64).toInt
+          val rows = gidReps.select(col("gid"), graft.functions
+              .VectorFunctions.sorted_ids_to_mask(col("tids"), dict))
+            .collect().sortBy(_.getLong(0))
+          val ids = rows.map(_.getLong(0))
+          val flat = new Array[Long](ids.length * nW)
+          var i = 0
+          while (i < rows.length) {
+            val m = rows(i).getSeq[Long](1)
+            var wd = 0
+            while (wd < nW) { flat(i * nW + wd) = m(wd); wd += 1 }
+            i += 1
+          }
+          Some(s.sparkContext.broadcast(new org.apache.spark.sql.graft
+            .MaskTable(ids, flat, nW, Array.empty)))
+        }
+      val verified = maskBc match {
+        case Some(bc) =>
+          candidates
+            .withColumn("j", graft.functions.VectorFunctions
+              .pair_mask_jaccard(col("ga"), col("gb"), bc))
+            .filter(col("j") >= t)
+            .groupBy(col("ga")).agg(max(col("j")).as("j"))
+            .join(gidReps.filter(col("is_batch"))
+              .select(col("gid").as("ga"), col("fp")), "ga")
+            .select(col("fp"), col("j"))
+        case None =>
+          candidates
+            .join(gidReps.filter(col("is_batch"))
+              .select(col("gid").as("ga"), col("fp").as("fa"),
+                col("tids").as("ta")), "ga")
+            .join(gidReps.filter(col("is_corpus"))
+              .select(col("gid").as("gb"), col("tids").as("tb")), "gb")
+            .withColumn("j", graft.functions.VectorFunctions
+              .sorted_jaccard(col("ta"), col("tb")))
+            .filter(col("j") >= t)
+            .select(col("fa").as("fp"), col("j"))
+      }
       // exact cross-side duplicate: identical token set => J = 1 exactly
       val exact = groups
         .filter(size(col("new_members")) > 0 && col("n_old") > 0)

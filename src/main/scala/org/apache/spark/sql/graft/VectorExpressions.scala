@@ -236,6 +236,38 @@ object VectorKernels {
     if (union == 0L) -1.0 else inter.toDouble / union
   }
 
+  /** the first band (0-based) on which two documents' minhash signatures
+    * agree (all bandR rows equal), from a broadcast [[SigTable]]; -1
+    * when none does. Throws on a missing doc id — the caller builds the
+    * table and the banded rows from the same persisted frame. */
+  def firstSharedBand(aId: Long, bId: Long,
+      bc: org.apache.spark.broadcast.Broadcast[SigTable]): Int = {
+    val t = bc.value
+    val ia = java.util.Arrays.binarySearch(t.ids, aId)
+    val ib = java.util.Arrays.binarySearch(t.ids, bId)
+    if (ia < 0 || ib < 0)
+      throw new IllegalStateException(
+        s"firstSharedBand: doc id ${if (ia < 0) aId else bId} missing " +
+          "from the broadcast signature table")
+    val sigs = t.sigs
+    val r = t.bandR
+    val stride = r * t.nBands
+    val oa = ia * stride
+    val ob = ib * stride
+    var b = 0
+    while (b < t.nBands) {
+      var k = 0
+      var eq = true
+      while (eq && k < r) {
+        eq = sigs(oa + b * r + k) == sigs(ob + b * r + k)
+        k += 1
+      }
+      if (eq) return b
+      b += 1
+    }
+    -1
+  }
+
   /** [[sortedRanksVarint]] for STRING token sets with an out-of-dict
     * tail: `[LEB128 nExtra][LEB128 rank gap]*`. Tokens found in the
     * sorted dictionary encode as strictly-increasing rank gaps; tokens
@@ -957,6 +989,48 @@ case class PairMinSharedGid(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** flat per-document MINHASH SIGNATURE table for
+  * [[PairFirstSharedBand]]: sorted doc ids plus (nBands * bandR)-strided
+  * signature words. Same broadcast shipping rationale as [[MaskTable]]. */
+final class SigTable(val ids: Array[Long], val sigs: Array[Long],
+    val bandR: Int, val nBands: Int) extends Serializable
+
+/** The index of the FIRST band (0-based) on which two documents' minhash
+  * signatures agree, resolved from a broadcast signature table — the
+  * unique-emission predicate for LSH band self-joins: a band-join copy
+  * at band b survives iff b IS the pair's first shared band, so each
+  * candidate pair leaves the join exactly once and the pre-distinct
+  * band-hit exchange (one row per shared band, up to nBands per similar
+  * pair) disappears. -1 when no band agrees; throws on a doc id the
+  * table does not carry (same broken-invariant rationale as
+  * [[VectorKernels.maskFirstSharedGid]]). */
+case class PairFirstSharedBand(left: Expression, right: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[SigTable])
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.firstSharedBand(l.asInstanceOf[Long],
+      r.asInstanceOf[Long], bc)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("sigTableBc", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.graft.VectorKernels
+         |  .firstSharedBand($a, $b, $bcRef);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Exact jaccard of two documents' sets resolved from the broadcast
   * mask table ([[VectorKernels.maskPairJaccard]]): with the table
   * already shipped for [[PairMinSharedGid]], the exact verify becomes a
@@ -1422,6 +1496,11 @@ object VectorExpressions {
   def pair_mask_jaccard(a: Column, b: Column,
       bc: org.apache.spark.broadcast.Broadcast[MaskTable]): Column =
     ExpressionUtils.column(PairMaskJaccard(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), bc))
+
+  def pair_first_shared_band(a: Column, b: Column,
+      bc: org.apache.spark.broadcast.Broadcast[SigTable]): Column =
+    ExpressionUtils.column(PairFirstSharedBand(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b), bc))
 
   /** dict is sorted HERE (binary UTF8 order — the exact comparator the
