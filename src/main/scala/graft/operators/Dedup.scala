@@ -522,22 +522,96 @@ object Dedup {
       val reps = groups.select(col("rep_id"), col("toks"))
       val (expInt, repsInt, banded, vocabSize) =
         tokenSignatures(s, reps, "rep_id")
+      // FUSED fast path (round 15, the d08 pattern brought home where it
+      // started): sf1 profiling put d02's cost in CPU, not shuffle — one
+      // 447 s-runSum stage against 11 MB of total shuffle, split between
+      // the ~10 band-hit copies per candidate ground through the
+      // pre-distinct partial aggregate and 37.7M sorted-merge jaccards
+      // over ~150-token arrays (~5 us each). First-shared-band unique
+      // emission deletes the copies; the broadcast mask jaccard
+      // (~100 ns/pair) deletes the array verify. Unlike d08 there is NO
+      // collision gate: rep_id is min(doc_id) per fp group — unique by
+      // construction — so the broadcast tables key on it directly.
+      val nReps = groups.count()
+      val sigBc: Option[org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.sql.graft.SigTable]] =
+        if (referencePlan(s) || nReps * 1100L >= (256L << 20)) None
+        else {
+          val rows = banded.select(col("rep_id"),
+            col("bk").getField("band").as("b"),
+            col("bk").getField("h0"), col("bk").getField("h1"),
+            col("bk").getField("h2"), col("bk").getField("h3")).collect()
+          val ids = rows.map(_.getLong(0)).distinct.sorted
+          val idx = new java.util.HashMap[Long, Integer](ids.length * 2)
+          ids.zipWithIndex.foreach { case (g0, i) => idx.put(g0, i) }
+          val flat = new Array[Long](ids.length * NumHashes)
+          rows.foreach { r =>
+            val o = idx.get(r.getLong(0)).intValue * NumHashes +
+              r.getInt(1) * BandR
+            flat(o) = r.getLong(2); flat(o + 1) = r.getLong(3)
+            flat(o + 2) = r.getLong(4); flat(o + 3) = r.getLong(5)
+          }
+          Some(s.sparkContext.broadcast(new org.apache.spark.sql.graft
+            .SigTable(ids, flat, BandR, NumHashes / BandR)))
+        }
       // size-ratio bound applied INSIDE the band join: J>=0.8 forces
       // |A|/|B| in [0.8, 1.25], so dropping these rows before the distinct
-      // cannot lose a true pair (verify applies the same bound)
-      val candidates = banded.as("x").join(banded.as("y"),
-          col("x.bk") === col("y.bk") && col("x.rep_id") < col("y.rep_id") &&
-            col("x.nt") >= col("y.nt") * 0.8 - 0.5 &&
-            col("y.nt") >= col("x.nt") * 0.8 - 0.5)
-        .select(col("x.rep_id").as("ra"), col("y.rep_id").as("rb"))
-        .distinct()
+      // cannot lose a true pair (verify applies the same bound). The nt
+      // bound is per-PAIR (band-independent), so it holds at the
+      // first-shared-band copy whenever it holds at any copy — unique
+      // emission keeps exactly the distinct candidate set.
+      val bandCond =
+        col("x.bk") === col("y.bk") && col("x.rep_id") < col("y.rep_id") &&
+          col("x.nt") >= col("y.nt") * 0.8 - 0.5 &&
+          col("y.nt") >= col("x.nt") * 0.8 - 0.5
+      val candidates = sigBc match {
+        case Some(bc) =>
+          banded.as("x").join(banded.as("y"),
+              bandCond && graft.functions.VectorFunctions
+                .pair_first_shared_band(col("x.rep_id"), col("y.rep_id"), bc) ===
+                col("x.bk").getField("band"))
+            .select(col("x.rep_id").as("ra"), col("y.rep_id").as("rb"))
+        case None =>
+          banded.as("x").join(banded.as("y"), bandCond)
+            .select(col("x.rep_id").as("ra"), col("y.rep_id").as("rb"))
+            .distinct()
+      }
       PairStats.lastCandidates.put("d02", candidates)
+      // MAP-SIDE verify over a broadcast rep_id -> token-mask table
+      // (same kernel and gates as d08; masks need a <=65536-token
+      // dictionary and the table must fit executor memory). Exact: the
+      // mask popcounts produce the same |A∩B| and |A∪B| integers as the
+      // sorted-merge kernel, so the double ratio is bit-identical.
+      val maskBc: Option[org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.sql.graft.MaskTable]] = {
+        val nW = math.max(1L, (vocabSize + 63) / 64)
+        if (sigBc.isEmpty || vocabSize > 65536 ||
+            nReps * (nW * 8L + 8L) >= (256L << 20)) None
+        else {
+          val dict = expInt.select(col("tid")).distinct()
+            .collect().map(_.getLong(0)).sorted
+          val rows = repsInt.select(col("rep_id"), graft.functions
+              .VectorFunctions.sorted_ids_to_mask(col("tids"), dict))
+            .collect().sortBy(_.getLong(0))
+          val ids = rows.map(_.getLong(0))
+          val flat = new Array[Long](ids.length * nW.toInt)
+          var i = 0
+          while (i < rows.length) {
+            val m = rows(i).getSeq[Long](1)
+            var wd = 0
+            while (wd < nW.toInt) { flat(i * nW.toInt + wd) = m(wd); wd += 1 }
+            i += 1
+          }
+          Some(s.sparkContext.broadcast(new org.apache.spark.sql.graft
+            .MaskTable(ids, flat, nW.toInt, Array.empty)))
+        }
+      }
       // exact verify between representative token sets (size-ratio
       // prefilter is implied by J>=t: |A|/|B| must be in [t, 1/t]).
       // Adaptive representation: when the corpus vocabulary fits in a
       // 64-bit word, each set is a bitmask and jaccard becomes two
       // bit_counts — identical integer ratios, ~100x cheaper per pair.
-      val verified = if (vocabSize <= 62) {
+      def verifiedLegacy = if (vocabSize <= 62) {
         // map the <=62 sparse tids to dense bit positions via a collected,
         // sorted table — bounded by the gate, so the collect and the
         // broadcast are provably tiny at any corpus size
@@ -570,6 +644,17 @@ object Dedup {
           .sorted_jaccard(col("a_toks"), col("b_toks")))
         .filter(col("jaccard") >= 0.8)
         .select(col("ra"), col("rb"), col("jaccard"))
+      val verified = maskBc match {
+        case Some(bc) =>
+          // fused: the jaccard is a map-side expression in the stage that
+          // emitted the candidate — no mask/array fetch joins at all
+          candidates
+            .withColumn("jaccard", graft.functions.VectorFunctions
+              .pair_mask_jaccard(col("ra"), col("rb"), bc))
+            .filter(col("jaccard") >= 0.8)
+            .select(col("ra"), col("rb"), col("jaccard"))
+        case None => verifiedLegacy
+      }
       // expand: cross-group pairs
       val mem = groups.select(col("rep_id"), explode(col("members")).as("m"))
       val crossPairs = verified
