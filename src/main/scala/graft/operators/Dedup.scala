@@ -344,6 +344,76 @@ object Dedup {
         bit_count(xor).cast(IntegerType).as("hamming"))
   }
 
+  /** Per-partition spanning forest by union-find with path halving and
+    * union by size: emits exactly the input edges that join two
+    * components not yet connected within this partition. Primitive
+    * open-addressing id table (linear probing, power-of-two capacity,
+    * grow at 60% load) — no boxing in the per-edge path; doc ids are
+    * arbitrary longs, Long.MinValue is the empty-slot sentinel (ids are
+    * nonnegative in every corpus, and a hostile MinValue id would only
+    * over-emit edges, never drop connectivity). */
+  private[graft] def forestEdges(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    var cap = 1 << 13
+    var mask = cap - 1
+    var keys = Array.fill[Long](cap)(Long.MinValue)
+    var slot = new Array[Int](cap)
+    var parent = new Array[Int](cap)
+    var compSize = new Array[Int](cap)
+    var n = 0
+    def rehash(): Unit = {
+      val oc = cap
+      cap <<= 1; mask = cap - 1
+      val ok = keys; val os = slot
+      keys = Array.fill[Long](cap)(Long.MinValue)
+      slot = new Array[Int](cap)
+      parent = java.util.Arrays.copyOf(parent, cap)
+      compSize = java.util.Arrays.copyOf(compSize, cap)
+      var i = 0
+      while (i < oc) {
+        val k = ok(i)
+        if (k != Long.MinValue) {
+          var h = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mask
+          while (keys(h) != Long.MinValue) h = (h + 1) & mask
+          keys(h) = k; slot(h) = os(i)
+        }
+        i += 1
+      }
+    }
+    def idx(k: Long): Int = {
+      var h = (java.lang.Long.hashCode(k * -7046029254386353131L)) & mask
+      while (keys(h) != Long.MinValue && keys(h) != k) h = (h + 1) & mask
+      if (keys(h) == k) slot(h)
+      else {
+        if ((n + 1) * 5 >= cap * 3) { rehash(); idx(k) }
+        else {
+          keys(h) = k; slot(h) = n
+          parent(n) = n; compSize(n) = 1
+          n += 1; n - 1
+        }
+      }
+    }
+    def find(i0: Int): Int = {
+      var i = i0
+      while (parent(i) != i) { parent(i) = parent(parent(i)); i = parent(i) }
+      i
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    while (it.hasNext) {
+      val e = it.next()
+      val ra = find(idx(e._1))
+      val rb = find(idx(e._2))
+      if (ra != rb) {
+        if (compSize(ra) < compSize(rb)) {
+          parent(ra) = rb; compSize(rb) += compSize(ra)
+        } else {
+          parent(rb) = ra; compSize(ra) += compSize(rb)
+        }
+        out += e
+      }
+    }
+    out.iterator
+  }
+
   /** Connected components over the simhash near-dup pair graph:
     * (doc_id, cluster_id, cluster_size), unordered — shared by d06
     * (cluster listing) and d07 (best-of-cluster selection). See the d06
@@ -381,9 +451,33 @@ object Dedup {
     // for 2 k nodes.
     val cand6 = bandedCandidates(repFp)
     PairStats.lastCandidates.put("d06", cand6)
-    val pairs = cand6.filter(col("hamming") <= 6)
+    val rawPairs = cand6.filter(col("hamming") <= 6)
       .select(col("a_id").cast(LongType), col("b_id").cast(LongType))
       .rdd.map(r => (r.getLong(0), r.getLong(1))).persist()
+    val rawCount = rawPairs.count() // also the contraction gate input
+    // Local CONTRACTION before the loop (round 15): a near-dup rep graph
+    // is a union of near-cliques (sf1: 15.4M pairs over 26k nodes, avg
+    // degree ~1180), and every label round re-scans every edge — ~250 s
+    // of the measured runSum was the edge join alone. A per-partition
+    // union-find keeps only edges that connect two components not yet
+    // connected WITHIN that partition (a spanning forest, <= nodes-1
+    // edges per partition, one pass, no shuffle). Connectivity is
+    // preserved exactly: the original graph's components are the
+    // transitive closure of the union of per-partition subgraphs, and a
+    // spanning forest preserves each subgraph's connectivity by
+    // definition. Memory is bounded by the partition's DISTINCT nodes
+    // (<= 2x its edge count, ~1M longs at the 500k-edges/partition
+    // sizing below), not the graph. The uncontracted loop stays the
+    // referencePlan leg, so DedupSf1Gate compares the two end-to-end.
+    // gate on measured edge count: below ~2M edges the loop's per-round
+    // scan is already cheap and the extra forest pass/counts only add
+    // fixed overhead (sf0.1: 675k pairs) — the win is scale-side only
+    val pairs = if (referencePlan(s) || rawCount < 2000000L) rawPairs else {
+      val f = rawPairs.mapPartitions(forestEdges).persist()
+      f.count()
+      rawPairs.unpersist(blocking = false)
+      f
+    }
     val edgeCount = pairs.count() * 2
     val ccParts = math.max(1, math.min(
       s.sparkContext.defaultParallelism, (edgeCount / 500000L).toInt + 1))

@@ -275,4 +275,45 @@ class DedupFuzzSpec extends GraftSpec {
     val b = formulaFp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b, "native simhash diverged from the md5-nibble formula")
   }
+
+  test("per-partition spanning forest preserves connected components exactly") {
+    // the d06 contraction contract: for ANY edge list and ANY partition
+    // split, the union of per-partition forests has the same components
+    // as the full graph — checked against a reference union-find over
+    // random graphs spanning sparse chains to dense near-cliques
+    def components(nodes: Set[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      nodes.map(n => n -> find(n)).toMap
+    }
+    for (seed <- 1 to 20) {
+      val rnd = new scala.util.Random(seed)
+      val nNodes = 2 + rnd.nextInt(60)
+      // ids spread over the full long range, including 0
+      val ids = Vector(0L) ++ Vector.fill(nNodes - 1)(rnd.nextLong() >>> 1)
+      val nEdges = rnd.nextInt(nNodes * nNodes / 2 + 1)
+      val edges = Vector.fill(nEdges)(
+        (ids(rnd.nextInt(nNodes)), ids(rnd.nextInt(nNodes))))
+      val nParts = 1 + rnd.nextInt(5)
+      val forest = edges.grouped(math.max(1, edges.size / nParts + 1))
+        .flatMap(part => operators.Dedup.forestEdges(part.iterator))
+        .toVector
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(forest.size <= edges.size)
+      val full = components(nodes, edges)
+      val contracted = components(nodes, forest)
+      // same partition into components: equal label-classes
+      val byFull = full.groupBy(_._2).values.map(_.keySet).toSet
+      val byForest = contracted.groupBy(_._2).values.map(_.keySet).toSet
+      assert(byFull == byForest,
+        s"seed=$seed: forest changed the component partition")
+    }
+  }
 }
