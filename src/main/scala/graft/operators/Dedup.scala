@@ -471,8 +471,13 @@ object Dedup {
     // referencePlan leg, so DedupSf1Gate compares the two end-to-end.
     // gate on measured edge count: below ~2M edges the loop's per-round
     // scan is already cheap and the extra forest pass/counts only add
-    // fixed overhead (sf0.1: 675k pairs) — the win is scale-side only
-    val pairs = if (referencePlan(s) || rawCount < 2000000L) rawPairs else {
+    // fixed overhead (sf0.1: 675k pairs) — the win is scale-side only.
+    // The threshold is a conf so the in-suite equivalence test can force
+    // the contraction on a tiny corpus (the per-round sf1 gate exercises
+    // it at scale; this keeps a `sbt test`-time witness too).
+    val minEdges = s.conf.getOption("spark.graft.dedup.ccContractMinEdges")
+      .map(_.toLong).getOrElse(2000000L)
+    val pairs = if (referencePlan(s) || rawCount < minEdges) rawPairs else {
       val f = rawPairs.mapPartitions(forestEdges).persist()
       f.count()
       rawPairs.unpersist(blocking = false)

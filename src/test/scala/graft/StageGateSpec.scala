@@ -83,6 +83,23 @@ class StageGateSpec extends GraftSpec {
     }
   }
 
+  test("d06/d07 answers are identical with the CC contraction forced on") {
+    // the spanning-forest contraction is edge-count-gated (sf0.01 never
+    // reaches it); forcing the threshold to 0 exercises the contracted
+    // loop end-to-end on the tiny corpus and pins answer identity
+    Seq("d06_dup_clusters", "d07_dedup_keep_best").foreach { name =>
+      val a = DedupSf1Gate.fingerprint(SparkEntry.queries(name)(spark, sf01))
+      CacheScope.release(blocking = true)
+      spark.conf.set("spark.graft.dedup.ccContractMinEdges", "0")
+      val b =
+        try DedupSf1Gate.fingerprint(SparkEntry.queries(name)(spark, sf01))
+        finally spark.conf.unset("spark.graft.dedup.ccContractMinEdges")
+      CacheScope.release(blocking = true)
+      assert(a == b, s"$name diverged with the CC contraction forced: $a vs $b")
+      assert(a._1 > 0, s"$name returned zero rows — vacuous contraction check")
+    }
+  }
+
   test("all three d03 verify tiers (mask, varint, array) agree on every answer") {
     // the tier choice is a pure payload/kernel tradeoff — the ANSWER must
     // be identical whichever representation carries the sets (fused
