@@ -95,9 +95,12 @@ object Dedup {
       idCol: String): (DataFrame, DataFrame, DataFrame, Long) = {
     val exploded = reps.select(col(idCol), explode(col("toks")).as("tok"))
     val vocab = exploded.select(col("tok")).distinct().tracked
-    val vocabSize = vocab.count()
-    val expInt = (if (vocabSize ==
-        vocab.select(xxhash64(col("tok"))).distinct().count()) {
+    // one driver action for size + hash-injectivity (was two — each
+    // pre-query action is ~0.1-0.3 s of driver round-trip at bench scale)
+    val vcnt = vocab
+      .agg(count(lit(1)), count_distinct(xxhash64(col("tok")))).head()
+    val vocabSize = vcnt.getLong(0)
+    val expInt = (if (vocabSize == vcnt.getLong(1)) {
       exploded.select(col(idCol), xxhash64(col("tok")).as("tid"))
     } else {
       val dense = s.createDataFrame(
@@ -1215,11 +1218,17 @@ object Dedup {
       // (a collision would merge two groups' signatures; the legacy
       // distinct path tolerates collisions additively, so it stays the
       // fallback and the reference leg).
-      val nGroups = groups.count()
+      // count + gid-injectivity in ONE driver action (the distinct-gid
+      // leg is only decision-relevant when nGroups is small, where it is
+      // trivially cheap; at sizes past the broadcast gate the fused agg
+      // costs one distinct over gids, noise next to the corpus pass)
+      val gcnt = groups
+        .agg(count(lit(1)), count_distinct(xxhash64(col("fp")))).head()
+      val nGroups = gcnt.getLong(0)
       val sigBc: Option[org.apache.spark.broadcast.Broadcast[
           org.apache.spark.sql.graft.SigTable]] =
         if (referencePlan(s) || nGroups * 1100L >= (256L << 20) ||
-            groups.select(xxhash64(col("fp"))).distinct().count() != nGroups)
+            gcnt.getLong(1) != nGroups)
           None
         else {
           val rows = bands.select(xxhash64(col("fp")).as("gid"),
