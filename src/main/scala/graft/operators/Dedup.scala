@@ -1438,15 +1438,64 @@ object Dedup {
       // against the CORPUS index only, so every extra row is a genuine
       // (batch, corpus) pair exact-verified over the real token sets —
       // a subset of the all-pairs contract the oracle computes.
-      val cand = bbandSide.as("x").join(corpusBanded.as("y"),
-          col("x.band") === col("y.band") && hEq &&
-            col("x.fp") =!= col("y.fp") &&
-            col("x.nt") >= col("y.nt") * t - 0.5 &&
-            col("y.nt") >= col("x.nt") * t - 0.5)
-        .select(xxhash64(col("x.fp")).as("ga"), xxhash64(col("y.fp")).as("gb"))
-        .distinct()
-        .tracked
-      PairStats.lastCandidates.put("d10", cand)
+      // FIRST-SHARED-BAND unique emission (round 15, after the varint
+      // work left the pre-distinct band-hit stream as d10's remaining
+      // shuffle): a broadcast SigTable over batch ∪ corpus group
+      // signatures lets the probe keep a hit iff ITS band is the pair's
+      // first shared band, so the distinct exchange disappears. The
+      // signatures come from the PERSISTED band sidecar (one bounded
+      // driver read of ~34 B/group, not a corpus re-tokenization), so
+      // the steady-state batch-cost contract stands; the gate is the
+      // same 256 MiB executor-memory bound as d08's plus gid
+      // injectivity over the UNION of both sides' fps (the collision
+      // class the side-restricted verify cannot settle alone when the
+      // emission predicate consults merged signatures). Past the gate —
+      // and on the reference leg — the enumerate-then-distinct path
+      // stands unchanged.
+      val uc = bgroups.select(col("fp"))
+        .union(corpusReps.select(col("fp")))
+        .agg(count_distinct(col("fp")),
+          count_distinct(xxhash64(col("fp")))).head()
+      val sigBc10: Option[org.apache.spark.broadcast.Broadcast[
+          org.apache.spark.sql.graft.SigTable]] =
+        if (referencePlan(s) || uc.getLong(0) * 1100L >= (256L << 20) ||
+            uc.getLong(1) != uc.getLong(0)) None
+        else {
+          val rows = bband.unionByName(corpusBanded)
+            .select(xxhash64(col("fp")).as("gid"), col("band"),
+              col("h0"), col("h1"), col("h2"), col("h3")).collect()
+          val ids = rows.map(_.getLong(0)).distinct.sorted
+          val idx = new java.util.HashMap[Long, Integer](ids.length * 2)
+          ids.zipWithIndex.foreach { case (g0, i) => idx.put(g0, i) }
+          val flat = new Array[Long](ids.length * NumHashes)
+          rows.foreach { r =>
+            val o = idx.get(r.getLong(0)).intValue * NumHashes +
+              r.getInt(1) * BandR
+            flat(o) = r.getLong(2); flat(o + 1) = r.getLong(3)
+            flat(o + 2) = r.getLong(4); flat(o + 3) = r.getLong(5)
+          }
+          Some(s.sparkContext.broadcast(new org.apache.spark.sql.graft
+            .SigTable(ids, flat, BandR, NumHashes / BandR)))
+        }
+      val candBase =
+        col("x.band") === col("y.band") && hEq &&
+          col("x.fp") =!= col("y.fp") &&
+          col("x.nt") >= col("y.nt") * t - 0.5 &&
+          col("y.nt") >= col("x.nt") * t - 0.5
+      val cand = (sigBc10 match {
+        case Some(bc) =>
+          bbandSide.as("x").join(corpusBanded.as("y"),
+              candBase && graft.functions.VectorFunctions
+                .pair_first_shared_band(xxhash64(col("x.fp")),
+                  xxhash64(col("y.fp")), bc) === col("x.band"))
+            .select(xxhash64(col("x.fp")).as("ga"),
+              xxhash64(col("y.fp")).as("gb"))
+        case None =>
+          bbandSide.as("x").join(corpusBanded.as("y"), candBase)
+            .select(xxhash64(col("x.fp")).as("ga"),
+              xxhash64(col("y.fp")).as("gb"))
+            .distinct()
+      })
       // exact verification bounded by the candidate set. Preferred tier
       // (round 15): VARINT rank streams — the corpus side was encoded
       // once at index build against its own vocabulary (every token
@@ -1462,17 +1511,36 @@ object Dedup {
       val haveVarint = new java.io.File(s"$idx/dict").exists()
       val useVarint = haveVarint && !referencePlan(s) &&
         !s.conf.getOption("spark.graft.dedup.d10VerifyTier").contains("array")
+      // with unique emission AND a bounded varint sidecar, the WHOLE
+      // corpus varint table broadcasts (gate: its measured bytes, one
+      // cheap agg over the index — no dependence on the candidate set)
+      // and the candidate stream never leaves its emitting stage: no
+      // distinct exchange, no cand exchange, no cache materialization —
+      // cand is consumed exactly once, so it is only `.tracked` when a
+      // fallback tier reads it twice (the semi-join prefilters below).
+      val varTblBytes: Long =
+        if (!useVarint || sigBc10.isEmpty) Long.MaxValue
+        else s.read.format("gpx").load(s"$idx/varint")
+          .agg(coalesce(sum(length(col("vb"))), lit(0L)) +
+            count(lit(1)) * lit(24L)).head().getLong(0)
+      val onePass = varTblBytes < (64L << 20)
+      val candS = if (onePass) cand else cand.tracked
+      PairStats.lastCandidates.put("d10", candS)
       val verified = if (useVarint) {
         val dictArr = s.read.format("gpx").load(s"$idx/dict")
           .collect().map(_.getString(0))
-        val cv = s.read.format("gpx").load(s"$idx/varint")
-          .select(xxhash64(col("fp")).as("gb"), col("vb"))
-          .join(broadcast(cand.select(col("gb")).distinct()), "gb")
+        val varTbl = s.read.format("gpx").load(s"$idx/varint")
+        val cvSide =
+          if (onePass)
+            broadcast(varTbl.select(xxhash64(col("fp")).as("gb"), col("vb")))
+          else varTbl
+            .select(xxhash64(col("fp")).as("gb"), col("vb"))
+            .join(broadcast(candS.select(col("gb")).distinct()), "gb")
         val bVar = bgroups.select(xxhash64(col("fp")).as("ga"), col("fp"),
           graft.functions.VectorFunctions
             .sorted_tokens_to_varint(col("toks"), dictArr).as("va"))
-        cand
-          .join(cv, "gb")
+        candS
+          .join(cvSide, "gb")
           .join(broadcast(bVar), "ga")
           .withColumn("j", graft.functions.VectorFunctions
             .varint_jaccard_ex(col("va"), col("vb")))
@@ -1484,7 +1552,7 @@ object Dedup {
         // joined string; an empty set round-trips as an empty array)
         val ctoks = corpusTokens
           .select(xxhash64(col("fp")).as("gb"), col("toks_s"))
-          .join(broadcast(cand.select(col("gb")).distinct()), "gb")
+          .join(broadcast(candS.select(col("gb")).distinct()), "gb")
           .select(col("gb"),
             // split-on-space yields >= 1 element, so the EMPTY set is
             // unreachable; the only set serializing to "" is [""] — decode
@@ -1492,7 +1560,7 @@ object Dedup {
             // batch side's [""] and skew the jaccard for empty-token docs)
             when(col("toks_s") === "", array(lit("")))
               .otherwise(split(col("toks_s"), " ")).as("ctoks"))
-        cand
+        candS
           .join(bgroups.select(xxhash64(col("fp")).as("ga"), col("fp"),
             col("toks").as("btoks")), "ga")
           .join(ctoks, "gb")
