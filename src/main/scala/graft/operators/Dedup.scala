@@ -347,28 +347,31 @@ object Dedup {
         bit_count(xor).cast(IntegerType).as("hamming"))
   }
 
-  /** Per-partition spanning forest by union-find with path halving and
-    * union by size: emits exactly the input edges that join two
-    * components not yet connected within this partition. Primitive
-    * open-addressing id table (linear probing, power-of-two capacity,
-    * grow at 60% load) — no boxing in the per-edge path; doc ids are
-    * arbitrary longs, Long.MinValue is the empty-slot sentinel (ids are
-    * nonnegative in every corpus, and a hostile MinValue id would only
-    * over-emit edges, never drop connectivity). */
-  private[graft] def forestEdges(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
-    var cap = 1 << 13
-    var mask = cap - 1
-    var keys = Array.fill[Long](cap)(Long.MinValue)
-    var slot = new Array[Int](cap)
-    var parent = new Array[Int](cap)
-    var compSize = new Array[Int](cap)
-    var n = 0
-    def rehash(): Unit = {
+  /** Primitive open-addressing union-find over arbitrary long ids
+    * (linear probing, power-of-two capacity, grow at 60% load, path
+    * halving, union by size) — no boxing in the per-edge path; doc ids
+    * are arbitrary longs, Long.MinValue is the empty-slot sentinel (ids
+    * are nonnegative in every corpus, and a hostile MinValue id would
+    * only over-emit edges, never drop connectivity). Shared by the
+    * per-partition forest contraction ([[forestEdges]]) and the
+    * driver-local CC finish ([[localCcLabels]]) so their component
+    * semantics can never drift apart. */
+  private[graft] final class LongUnionFind {
+    private var cap = 1 << 13
+    private var mask = cap - 1
+    private var keys = Array.fill[Long](cap)(Long.MinValue)
+    private var slot = new Array[Int](cap)
+    private[graft] var ids = new Array[Long](cap) // slot -> id
+    private var parent = new Array[Int](cap)
+    private var compSize = new Array[Int](cap)
+    private[graft] var n = 0
+    private def rehash(): Unit = {
       val oc = cap
       cap <<= 1; mask = cap - 1
       val ok = keys; val os = slot
       keys = Array.fill[Long](cap)(Long.MinValue)
       slot = new Array[Int](cap)
+      ids = java.util.Arrays.copyOf(ids, cap)
       parent = java.util.Arrays.copyOf(parent, cap)
       compSize = java.util.Arrays.copyOf(compSize, cap)
       var i = 0
@@ -390,7 +393,7 @@ object Dedup {
         if ((n + 1) * 5 >= cap * 3) { rehash(); idx(k) }
         else {
           keys(h) = k; slot(h) = n
-          parent(n) = n; compSize(n) = 1
+          ids(n) = k; parent(n) = n; compSize(n) = 1
           n += 1; n - 1
         }
       }
@@ -400,21 +403,65 @@ object Dedup {
       while (parent(i) != i) { parent(i) = parent(parent(i)); i = parent(i) }
       i
     }
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    while (it.hasNext) {
-      val e = it.next()
-      val ra = find(idx(e._1))
-      val rb = find(idx(e._2))
-      if (ra != rb) {
+    /** true iff the edge connected two previously-separate components */
+    def union(a: Long, b: Long): Boolean = {
+      val ra = find(idx(a))
+      val rb = find(idx(b))
+      if (ra == rb) false
+      else {
         if (compSize(ra) < compSize(rb)) {
           parent(ra) = rb; compSize(rb) += compSize(ra)
         } else {
           parent(rb) = ra; compSize(ra) += compSize(rb)
         }
-        out += e
+        true
       }
     }
+  }
+
+  /** Per-partition spanning forest: emits exactly the input edges that
+    * join two components not yet connected within this partition
+    * (<= distinct-nodes-1 edges per partition, one pass, no shuffle). */
+  private[graft] def forestEdges(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val uf = new LongUnionFind
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    while (it.hasNext) {
+      val e = it.next()
+      if (uf.union(e._1, e._2)) out += e
+    }
     out.iterator
+  }
+
+  /** Driver-local CC finish over a MEASURED-BOUNDED edge list: one
+    * union-find pass, then each node labels as the MINIMUM node id of
+    * its component — exactly the fixpoint the distributed min-label/
+    * pointer-jump loop converges to, computed without the loop's
+    * per-round shuffles. Only nodes that appear in an edge are emitted;
+    * isolated reps label as themselves via the left-join coalesce at the
+    * consumer. Order-independent (union-find component structure does
+    * not depend on edge order), so collect() nondeterminism cannot leak
+    * into the answer. */
+  private[graft] def localCcLabels(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val uf = new LongUnionFind
+    var i = 0
+    while (i < edges.length) {
+      uf.union(edges(i)._1, edges(i)._2)
+      i += 1
+    }
+    val minId = Array.fill[Long](uf.n)(Long.MaxValue)
+    i = 0
+    while (i < uf.n) {
+      val r = uf.find(i)
+      if (uf.ids(i) < minId(r)) minId(r) = uf.ids(i)
+      i += 1
+    }
+    val out = new Array[(Long, Long)](uf.n)
+    i = 0
+    while (i < uf.n) {
+      out(i) = (uf.ids(i), minId(uf.find(i)))
+      i += 1
+    }
+    out
   }
 
   /** Connected components over the simhash near-dup pair graph:
@@ -480,73 +527,111 @@ object Dedup {
     // it at scale; this keeps a `sbt test`-time witness too).
     val minEdges = s.conf.getOption("spark.graft.dedup.ccContractMinEdges")
       .map(_.toLong).getOrElse(2000000L)
-    val pairs = if (referencePlan(s) || rawCount < minEdges) rawPairs else {
-      val f = rawPairs.mapPartitions(forestEdges).persist()
-      f.count()
-      rawPairs.unpersist(blocking = false)
-      f
-    }
-    val edgeCount = pairs.count() * 2
-    val ccParts = math.max(1, math.min(
-      s.sparkContext.defaultParallelism, (edgeCount / 500000L).toInt + 1))
-    val part = new org.apache.spark.HashPartitioner(ccParts)
-    // both directions, hash-partitioned by src ONCE — every round's
-    // edge-side join input is then narrow
-    val edgesBySrc = pairs
-      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .partitionBy(part).persist()
-    edgesBySrc.count()
-    pairs.unpersist(blocking = false)
-    // BigInt label sum: exact convergence test, immune to long overflow
-    // when node ids are dense at 100 TB row counts (1e12 ids sum past
-    // 2^63). Labels only ever decrease, so an unchanged sum == fixpoint.
-    def labelSum(l: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
-      l.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
-    var labels = repFp.select(col("doc_id").cast(LongType)).rdd
-      .map { r => val id = r.getLong(0); (id, id) }
-      .partitionBy(part).persist()
-    var last = labelSum(labels)
-    var converged = false
-    var round = 0
-    while (!converged && round < 40) {
-      round += 1
-      val t0 = System.nanoTime()
-      // min neighbor label per node (edge join is narrow: co-partitioned)
-      val nbrMin = edgesBySrc.join(labels)
-        .map { case (_, (dst, lab)) => (dst, lab) }
-        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-      val merged = labels.leftOuterJoin(nbrMin)
-        .mapValues { case (l, nl) => math.min(l, nl.getOrElse(l)) }
-      // pointer jump: label(v) <- label(label(v)); every label IS a node
-      // id (min over node-id-valued labels), so the lookup join hits
-      val next = merged.map { case (n, l) => (l, n) }
-        .join(merged.partitionBy(part))
-        .map { case (_, (n, pl)) => (n, pl) }
-        .partitionBy(part).persist()
-      val now = labelSum(next) // materializes next
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(s"[cc] round $round sum=$now ${(System.nanoTime() - t0) / 1e9}s")
-      converged = now == last
-      last = now
-      labels.unpersist(blocking = false)
-      labels = next
-    }
-    edgesBySrc.unpersist(blocking = false)
-    graft.CacheScope.trackRdd(labels) // released after the consuming action
+    val (pairs, pairCount) =
+      if (referencePlan(s) || rawCount < minEdges) (rawPairs, rawCount)
+      else {
+        val f = rawPairs.mapPartitions(forestEdges).persist()
+        val c = f.count()
+        rawPairs.unpersist(blocking = false)
+        (f, c)
+      }
     val labelSchema = new StructType()
       .add("node", LongType).add("label", LongType)
-    val labelsDf = s.createDataFrame(
-      labels.map { case (n, l) => org.apache.spark.sql.Row(n, l) }, labelSchema)
+    // LOCAL FINISH (round-15 optimization, guide §2.4 "remove shuffles
+    // outright"): below a MEASURED edge bound the component labels come
+    // from one driver-side union-find pass over the collected edge list —
+    // the distributed loop's per-round cost here is pure scheduling (at
+    // sf0.1 each round is ~3 tiny shuffles + a convergence aggregate over
+    // a 675k-edge/2.7k-node graph, ~0.6-0.9 s of wall for microseconds of
+    // CPU). The collect is bounded by the SAME discipline as the
+    // SigTable/MaskTable broadcasts: a measured count against a conf'd
+    // gate (default 4M edges = tens of MB on the driver), and the
+    // contraction pass above keeps the post-forest edge count
+    // node-bounded at scale (sf1: 15.4M raw -> 0.74M forest edges). Past
+    // the gate — and always under referencePlan, so DedupSf1Gate
+    // hash-compares loop vs local end-to-end at sf1 — the distributed
+    // loop below stands unchanged. Exactness: localCcLabels emits the
+    // min-node-id-per-component fixpoint, the identical contract the
+    // loop converges to (property-tested side by side in DedupFuzzSpec).
+    val maxLocalEdges = s.conf.getOption("spark.graft.dedup.ccLocalMaxEdges")
+      .map(_.toLong).getOrElse(4000000L)
+    val labelsDf: DataFrame = if (!referencePlan(s) && pairCount <= maxLocalEdges) {
+      val local = localCcLabels(pairs.collect())
+      pairs.unpersist(blocking = false)
+      val slices = math.max(1, math.min(s.sparkContext.defaultParallelism,
+        local.length / 100000 + 1))
+      s.createDataFrame(
+        s.sparkContext.parallelize(
+          local.toSeq.map { case (n0, l) => org.apache.spark.sql.Row(n0, l) },
+          slices),
+        labelSchema)
+    } else {
+      val edgeCount = pairCount * 2
+      val ccParts = math.max(1, math.min(
+        s.sparkContext.defaultParallelism, (edgeCount / 500000L).toInt + 1))
+      val part = new org.apache.spark.HashPartitioner(ccParts)
+      // both directions, hash-partitioned by src ONCE — every round's
+      // edge-side join input is then narrow
+      val edgesBySrc = pairs
+        .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+        .partitionBy(part).persist()
+      edgesBySrc.count()
+      pairs.unpersist(blocking = false)
+      // BigInt label sum: exact convergence test, immune to long overflow
+      // when node ids are dense at 100 TB row counts (1e12 ids sum past
+      // 2^63). Labels only ever decrease, so an unchanged sum == fixpoint.
+      def labelSum(l: org.apache.spark.rdd.RDD[(Long, Long)]): BigInt =
+        l.aggregate(BigInt(0))((acc, kv) => acc + kv._2, _ + _)
+      var labels = repFp.select(col("doc_id").cast(LongType)).rdd
+        .map { r => val id = r.getLong(0); (id, id) }
+        .partitionBy(part).persist()
+      var last = labelSum(labels)
+      var converged = false
+      var round = 0
+      while (!converged && round < 40) {
+        round += 1
+        val t0 = System.nanoTime()
+        // min neighbor label per node (edge join is narrow: co-partitioned)
+        val nbrMin = edgesBySrc.join(labels)
+          .map { case (_, (dst, lab)) => (dst, lab) }
+          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        val merged = labels.leftOuterJoin(nbrMin)
+          .mapValues { case (l, nl) => math.min(l, nl.getOrElse(l)) }
+        // pointer jump: label(v) <- label(label(v)); every label IS a node
+        // id (min over node-id-valued labels), so the lookup join hits
+        val next = merged.map { case (n, l) => (l, n) }
+          .join(merged.partitionBy(part))
+          .map { case (_, (n, pl)) => (n, pl) }
+          .partitionBy(part).persist()
+        val now = labelSum(next) // materializes next
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          println(s"[cc] round $round sum=$now ${(System.nanoTime() - t0) / 1e9}s")
+        converged = now == last
+        last = now
+        labels.unpersist(blocking = false)
+        labels = next
+      }
+      edgesBySrc.unpersist(blocking = false)
+      graft.CacheScope.trackRdd(labels) // released after the consuming action
+      s.createDataFrame(
+        labels.map { case (n, l) => org.apache.spark.sql.Row(n, l) }, labelSchema)
+    }
     // members inherit their representative's component label (exact:
     // identical fingerprints are hamming-0 pairs, so the whole group is
     // in the rep's component); cluster sizes count DOCS, not reps. The
     // cluster universe is the DOCUMENTS table, not fp: a doc whose text
     // tokenizes to nothing has no fingerprint, but is still its own
     // singleton cluster (the oracle's walk seeds from documents too).
+    // LEFT join + coalesce: the local-finish labels cover only nodes that
+    // appear in an edge; an isolated rep's component minimum is itself.
+    // Equivalent under the loop path too (there labelsDf covers every rep
+    // and an isolated rep's label is already its own id).
     val memberLabels = fp
       .join(repFp.select(col("simhash"), col("doc_id").as("rep")), "simhash")
-      .join(labelsDf.select(col("node").as("rep"), col("label")), "rep")
-      .select(col("doc_id"), col("label"))
+      .join(labelsDf.select(col("node").as("rep"), col("label")),
+        Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("rep")).as("label"))
     val docLabels = Tables.documents(s, d).select(col("doc_id"))
       .join(memberLabels, Seq("doc_id"), "left")
       .select(col("doc_id"),

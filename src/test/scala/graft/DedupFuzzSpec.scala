@@ -314,6 +314,17 @@ class DedupFuzzSpec extends GraftSpec {
       val byForest = contracted.groupBy(_._2).values.map(_.keySet).toSet
       assert(byFull == byForest,
         s"seed=$seed: forest changed the component partition")
+
+      // the d06 LOCAL-FINISH contract (round-15 optimization): for ANY
+      // edge list, localCcLabels emits exactly the min-node-id-per-
+      // component fixpoint the distributed min-label loop converges to —
+      // every edge-endpoint node present, labeled with its component's
+      // minimum id, regardless of edge order
+      val local = operators.Dedup
+        .localCcLabels(rnd.shuffle(edges).toArray).toMap
+      val expected = byFull.flatMap(cls => cls.map(n => n -> cls.min)).toMap
+      assert(local == expected,
+        s"seed=$seed: localCcLabels diverged from min-per-component")
     }
   }
 }
