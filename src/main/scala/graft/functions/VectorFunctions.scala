@@ -124,4 +124,18 @@ object VectorFunctions {
     * (org.apache.spark.sql.graft.TopKByScore). */
   def topk_by_score(score: Column, id: Column, k: Int): Column =
     org.apache.spark.sql.graft.TopKAggregate.topk_by_score(score, id, k)
+
+  /** Map-side nearest-centroid id under cosine against a flat K x dim
+    * literal centroid matrix; ties and invalid inputs resolve to the
+    * lowest cid (org.apache.spark.sql.graft.NearestCentroid). */
+  def nearest_centroid(v: Column, norm: Column,
+      cents: Array[Double], cnorms: Array[Double]): Column =
+    org.apache.spark.sql.graft.VectorExpressions
+      .nearest_centroid(v, norm, cents, cnorms)
+
+  /** Partial-aggregatable elementwise vector sum + well-formed row count:
+    * struct<sums array<double>, n bigint>, the one-exchange k-means mean
+    * step (org.apache.spark.sql.graft.VecSumCount). */
+  def vec_sum_count(v: Column): Column =
+    org.apache.spark.sql.graft.TopKAggregate.vec_sum_count(v)
 }

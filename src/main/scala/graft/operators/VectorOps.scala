@@ -147,7 +147,15 @@ object VectorOps {
           StructField("cv", ArrayType(DoubleType)))))
         .withColumn("cnorm", sqrt(expr(
           "aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x)"))))
-    def assign(cent: Array[Seq[Double]]): DataFrame =
+    // MAP-SIDE assignment (round-15 optimization, guide §2.4/§3.1): the
+    // K x dim centroid matrix is a per-iteration LITERAL (bounded: K=8),
+    // so nearest-centroid is a codegen'd per-row expression — no n x K
+    // crossJoin row blowup, no groupBy(n_id) exchange re-reducing it.
+    // Argmax order (highest cosine, ties to lowest cid, all-invalid to
+    // cid 0) and the dot/norm accumulation order are IDENTICAL to the
+    // max_by(struct(ccos, -cid)) formulation, which stays the
+    // referencePlan leg so the sf1 gate compares both end-to-end.
+    def assignRef(cent: Array[Seq[Double]]): DataFrame =
       data.crossJoin(centDf(cent))
         .withColumn("ccos", cosine("nv", "nnorm", "cv", "cnorm"))
         .groupBy("n_id")
@@ -155,16 +163,49 @@ object VectorOps {
           struct(col("ccos"), (-col("cid")).as("nc"))).as("m"))
         .select(col("n_id"), col("m.nv").as("nv"),
           col("m.nnorm").as("nnorm"), col("m.cid").as("cid"))
+    def assign(cent: Array[Seq[Double]]): DataFrame =
+      if (referencePlan(s)) assignRef(cent)
+      else {
+        val flat = cent.flatMap(_.toArray)
+        // cnorm accumulation order matches centDf's SQL aggregate fold
+        val cnorms = cent.map(v => math.sqrt(
+          v.foldLeft(0.0)((acc, x) => acc + x * x))).toArray
+        data.withColumn("cid",
+          coalesce(graft.functions.VectorFunctions
+            .nearest_centroid(col("nv"), col("nnorm"), flat, cnorms),
+            lit(0)))
+          .select(col("n_id"), col("nv"), col("nnorm"), col("cid"))
+      }
     var centroids: Array[Seq[Double]] = data.orderBy("n_id").limit(K)
       .select("nv").collect().map(_.getSeq[Double](0))
     for (_ <- 0 until Iters) {
-      val means = assign(centroids)
-        .select(col("cid"), posexplode(col("nv")).as(Seq("i", "x")))
-        .groupBy("cid", "i").agg(avg(col("x")).as("cx"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("ps"))
-        .select(col("cid"), expr("transform(ps, p -> p.cx)").as("cv"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      // per-cluster mean in ONE partial-aggregatable exchange
+      // (vec_sum_count) instead of posexplode + groupBy(cid, i) +
+      // groupBy(cid): the exploded formulation multiplies the assignment
+      // output by the embedding dimension and pays two extra exchanges
+      // per iteration. Same mean up to float-summation order (sum/count
+      // is exactly what avg computes); the exploded path stays the
+      // referencePlan leg.
+      val means: Map[Int, Seq[Double]] =
+        if (referencePlan(s))
+          assign(centroids)
+            .select(col("cid"), posexplode(col("nv")).as(Seq("i", "x")))
+            .groupBy("cid", "i").agg(avg(col("x")).as("cx"))
+            .groupBy("cid")
+            .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("ps"))
+            .select(col("cid"), expr("transform(ps, p -> p.cx)").as("cv"))
+            .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+        else
+          assign(centroids)
+            .groupBy("cid")
+            .agg(graft.functions.VectorFunctions
+              .vec_sum_count(col("nv")).as("sc"))
+            .filter(col("sc").isNotNull) // all-malformed cluster: keep prev
+            .select(col("cid"), col("sc.sums"), col("sc.n"))
+            .collect().map { r =>
+              val nRows = r.getLong(2)
+              r.getInt(0) -> r.getSeq[Double](1).map(_ / nRows)
+            }.toMap
       centroids = centroids.indices
         .map(i => means.getOrElse(i, centroids(i))).toArray
     }
@@ -178,7 +219,10 @@ object VectorOps {
         .select(col("vec_id").as("n_id"), col("v").as("nv"), col("norm").as("nnorm"))
         .persist()
       val (centroids, centDf, assign) = trainIvf(s, data, K, Iters)
-      val clustered = assign(centroids).persist()
+      // single-consumer plan: with map-side assignment the clustered frame
+      // is one codegen'd projection over the persisted corpus — persisting
+      // it again would only double the storage footprint
+      val clustered = assign(centroids)
 
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
@@ -188,14 +232,16 @@ object VectorOps {
         .withColumn("crank", row_number().over(wc))
         .filter(col("crank") <= NProbe)
         .select(col("q_id"), col("qv"), col("qnorm"), col("cid"))
-      val scored = probes.join(clustered, "cid")
+      // deliberate broadcast of the K*NProbe-bounded probe side (guide
+      // §3.1): the corpus side is then never shuffled by the serve join
+      val scored = maybeBroadcast(s, probes).join(clustered, "cid")
         .withColumn("cos", cosine("qv", "qnorm", "nv", "nnorm"))
       val result =
         topkPerQuery(scored, col("cos"), col("n_id"), 5, "n_id", "cos")
           .select(col("q_id"), col("rank"), col("n_id"),
             round(col("cos"), 4).as("cos_sim"))
           .orderBy("q_id", "rank")
-      releasing(s, result, data, clustered)
+      releasing(s, result, data)
   }
 
   // Random-hyperplane LSH near-dup pairs — the 100 TB scale path for

@@ -164,4 +164,120 @@ object TopKAggregate {
     ExpressionUtils.column(TopKByScore(
       ExpressionUtils.expression(score),
       ExpressionUtils.expression(id), k).toAggregateExpression())
+
+  def vec_sum_count(v: Column): Column =
+    ExpressionUtils.column(
+      VecSumCount(ExpressionUtils.expression(v)).toAggregateExpression())
+}
+
+/** Elementwise-sum + count buffer for [[VecSumCount]]: one double per
+  * dimension plus the number of well-formed rows absorbed. */
+final class VecSumBuf {
+  private[graft] var sums: Array[Double] = null
+  private[graft] var n = 0L
+
+  def add(v: org.apache.spark.sql.catalyst.util.ArrayData): Unit = {
+    val m = v.numElements()
+    if (sums == null) sums = new Array[Double](m)
+    if (m == sums.length) {
+      // reject rows carrying null elements WITHOUT partial mutation
+      var i = 0
+      var ok = true
+      while (ok && i < m) { if (v.isNullAt(i)) ok = false; i += 1 }
+      if (ok) {
+        i = 0
+        while (i < m) { sums(i) += v.getDouble(i); i += 1 }
+        n += 1
+      }
+    }
+  }
+
+  def absorb(o: VecSumBuf): Unit =
+    if (o.sums != null) {
+      if (sums == null) { sums = o.sums; n = o.n }
+      else if (o.sums.length == sums.length) {
+        var i = 0
+        while (i < sums.length) { sums(i) += o.sums(i); i += 1 }
+        n += o.n
+      }
+    }
+
+  def toBytes: Array[Byte] = {
+    val len = if (sums == null) 0 else sums.length
+    val bb = ByteBuffer.allocate(12 + 8 * len)
+    bb.putLong(n).putInt(len)
+    var i = 0
+    while (i < len) { bb.putDouble(sums(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object VecSumBuf {
+  def fromBytes(bytes: Array[Byte]): VecSumBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val b = new VecSumBuf
+    b.n = bb.getLong()
+    val len = bb.getInt()
+    if (len > 0 || b.n > 0) {
+      b.sums = new Array[Double](len)
+      var i = 0
+      while (i < len) { b.sums(i) = bb.getDouble(); i += 1 }
+    }
+    b
+  }
+}
+
+/** Partial-aggregatable elementwise vector sum with row count:
+  * `vec_sum_count(v)` returns `struct<sums array<double>, n bigint>` —
+  * the per-cluster mean numerator/denominator of the IVF k-means step in
+  * ONE aggregate. The posexplode formulation this replaces multiplies the
+  * assignment output by the embedding dimension and pays two extra
+  * exchanges per training iteration (groupBy(cid, i) then groupBy(cid));
+  * this map-side partial keeps one dim-length buffer per (partition,
+  * cluster), so the exchange carries O(clusters x partitions) rows of one
+  * array each. Rows that are null, dimension-mismatched (vs the first row
+  * absorbed), or carry null elements are skipped — the trainer's inputs
+  * are fixed-dimension by construction. Null when no row was absorbed. */
+case class VecSumCount(
+    v: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecSumBuf] with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def children: Seq[Expression] = Seq(v)
+  override def nullable: Boolean = true
+  override def dataType: DataType = new StructType()
+    .add("sums", ArrayType(DoubleType, containsNull = false), nullable = false)
+    .add("n", LongType, nullable = false)
+  override def prettyName: String = "vec_sum_count"
+
+  override def createAggregationBuffer(): VecSumBuf = new VecSumBuf
+
+  override def update(buffer: VecSumBuf, input: InternalRow): VecSumBuf = {
+    val a = v.eval(input)
+    if (a != null)
+      buffer.add(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    buffer
+  }
+
+  override def merge(buffer: VecSumBuf, other: VecSumBuf): VecSumBuf = {
+    buffer.absorb(other); buffer
+  }
+
+  override def eval(buffer: VecSumBuf): Any =
+    if (buffer.n == 0L) null
+    else InternalRow(new GenericArrayData(buffer.sums), buffer.n)
+
+  override def serialize(buffer: VecSumBuf): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): VecSumBuf =
+    VecSumBuf.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumCount =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumCount =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VecSumCount =
+    copy(v = newChildren(0))
 }

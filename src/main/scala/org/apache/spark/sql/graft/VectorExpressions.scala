@@ -1445,6 +1445,108 @@ object SimhashKernel {
   }
 }
 
+/** Map-side nearest-centroid assignment for the IVF trainer (v03/v06):
+  * argmax over K centroids of dot(v, c_k)/(norm * cnorm_k), ties and
+  * all-invalid inputs resolving to the LOWEST cid — the exact total order
+  * of the max_by(struct(ccos, -cid)) formulation it replaces, computed
+  * without the n x K crossJoin row blowup or the per-iteration
+  * groupBy(n_id) exchange. The K x dim centroid matrix rides the task
+  * binary as a flat literal (K is bounded; at K=8, dim<=1024 this is
+  * <=64 KB). A candidate centroid is valid iff its denom != 0 (the
+  * `when(denom =!= 0.0, ...)` null semantics of the cosine helper); a
+  * vector that is null-element-ridden or of mismatched dimension has no
+  * valid candidate and lands in cid 0, exactly where the null-ccos
+  * max_by sent it. Null only on null input (callers coalesce to 0). */
+case class NearestCentroid(vec: Expression, norm: Expression,
+    cents: Array[Double], cnorms: Array[Double])
+  extends BinaryExpression with ExpectsInputTypes {
+
+  require(cnorms.nonEmpty && cents.length % cnorms.length == 0,
+    "cents must be a flat K x dim matrix matching cnorms")
+
+  private val k = cnorms.length
+  private val dim = cents.length / k
+
+  override def left: Expression = vec
+  override def right: Expression = norm
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  private lazy val mayHaveNullElems = VectorKernels.elemsNullable(vec)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val nn = r.asInstanceOf[Double]
+    if (v.numElements() != dim ||
+      (mayHaveNullElems && VectorKernels.anyNull(v))) Integer.valueOf(0)
+    else {
+      var best = 0
+      var bestCos = 0.0
+      var has = false
+      var c = 0
+      while (c < k) {
+        val denom = nn * cnorms(c)
+        if (denom != 0.0) {
+          var dot = 0.0
+          var i = 0
+          val off = c * dim
+          while (i < dim) { dot += v.getDouble(i) * cents(off + i); i += 1 }
+          val cos = dot / denom
+          if (!has || cos > bestCos) { has = true; best = c; bestCos = cos }
+        }
+        c += 1
+      }
+      Integer.valueOf(best)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, nn) => {
+      val cm = ctx.addReferenceObj("cents", cents, "double[]")
+      val cn = ctx.addReferenceObj("cnorms", cnorms, "double[]")
+      val best = ctx.freshName("best")
+      val bestCos = ctx.freshName("bestCos")
+      val has = ctx.freshName("has")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val off = ctx.freshName("off")
+      val dot = ctx.freshName("dot")
+      val denom = ctx.freshName("denom")
+      val cos = ctx.freshName("cos")
+      val nullCheck = if (mayHaveNullElems)
+        s" ||\n    org.apache.spark.sql.graft.VectorKernels.anyNull($v)"
+      else ""
+      s"""
+         |if ($v.numElements() != $dim$nullCheck) {
+         |  ${ev.value} = 0;
+         |} else {
+         |  int $best = 0; double $bestCos = 0.0; boolean $has = false;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $denom = $nn * $cn[$c];
+         |    if ($denom != 0.0) {
+         |      double $dot = 0.0;
+         |      int $off = $c * $dim;
+         |      for (int $i = 0; $i < $dim; $i++) {
+         |        $dot += $v.getDouble($i) * $cm[$off + $i];
+         |      }
+         |      double $cos = $dot / $denom;
+         |      if (!$has || $cos > $bestCos) {
+         |        $has = true; $best = $c; $bestCos = $cos;
+         |      }
+         |    }
+         |  }
+         |  ${ev.value} = $best;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, norm = newRight)
+}
+
 object VectorExpressions {
   def cos_sim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(
@@ -1525,4 +1627,10 @@ object VectorExpressions {
       tables: Int, bits: Int): Column =
     ExpressionUtils.column(HyperplaneSigs(
       ExpressionUtils.expression(v), planes, tables, bits))
+
+  def nearest_centroid(v: Column, norm: Column,
+      cents: Array[Double], cnorms: Array[Double]): Column =
+    ExpressionUtils.column(NearestCentroid(
+      ExpressionUtils.expression(v), ExpressionUtils.expression(norm),
+      cents, cnorms))
 }

@@ -200,6 +200,74 @@ class VectorOpsSpec extends GraftSpec {
     assert(recall >= 0.6, s"recall=$recall")
   }
 
+  test("nearest_centroid matches the crossJoin/max_by assignment exactly") {
+    // the round-15 map-side k-means assignment: same dot/norm accumulation
+    // order, same argmax tie-break (highest cosine, lowest cid, all-invalid
+    // to 0) as the max_by(struct(ccos, -cid)) formulation — so on identical
+    // centroids the assignments must be IDENTICAL, not just close. Random
+    // vectors include a zero vector (no valid candidate -> cid 0).
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 16; val k = 5
+    val data = ((0 until 400).map { i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian()))
+    } :+ (400L, Seq.fill(dim)(0.0))).toDF("n_id", "nv")
+      .withColumn("nnorm", sqrt(expr(
+        "aggregate(nv, cast(0 as double), (acc, x) -> acc + x * x)")))
+      .cache()
+    val cents = Array.fill(k)(Seq.fill(dim)(rnd.nextGaussian()))
+    val centDf = cents.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v) }.toDF("cid", "cv")
+      .withColumn("cnorm", sqrt(expr(
+        "aggregate(cv, cast(0 as double), (acc, x) -> acc + x * x)")))
+    val denom = col("nnorm") * col("cnorm")
+    val ref = data.crossJoin(centDf)
+      .withColumn("ccos", when(denom =!= 0.0,
+        graft.functions.VectorFunctions.dot_product(col("nv"), col("cv")) / denom))
+      .groupBy("n_id")
+      .agg(max_by(col("cid"), struct(col("ccos"), (-col("cid")).as("nc"))).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val flat = cents.flatMap(_.toArray)
+    val cnorms = cents.map(v => math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x)))
+    def fastMap() = data.select(col("n_id"),
+        coalesce(graft.functions.VectorFunctions
+          .nearest_centroid(col("nv"), col("nnorm"), flat, cnorms), lit(0)).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fastMap() == ref, "codegen nearest_centroid diverged from max_by")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(fastMap() == ref, "interpreted nearest_centroid diverged")
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    data.unpersist()
+  }
+
+  test("vec_sum_count matches the posexplode/avg mean step") {
+    // exact-representable values (halves) so sum/count is bit-equal to
+    // avg regardless of partial-merge order
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 8
+    val data = (0 until 500).map { i =>
+      (i % 7, Seq.fill(dim)((rnd.nextInt(64) - 32) / 2.0))
+    }.toDF("cid", "nv").repartition(13).cache()
+    val viaAgg = data.groupBy("cid")
+      .agg(graft.functions.VectorFunctions.vec_sum_count(col("nv")).as("sc"))
+      .select(col("cid"), col("sc.sums"), col("sc.n"))
+      .collect().map { r =>
+        r.getInt(0) -> r.getSeq[Double](1).map(_ / r.getLong(2))
+      }.toMap
+    val viaExplode = data
+      .select(col("cid"), posexplode(col("nv")).as(Seq("i", "x")))
+      .groupBy("cid", "i").agg(avg(col("x")).as("cx"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("ps"))
+      .select(col("cid"), expr("transform(ps, p -> p.cx)").as("cv"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(viaAgg == viaExplode, "vec_sum_count mean diverged from avg")
+    data.unpersist()
+  }
+
   test("v07 sq8 knn: recall@5 vs brute >= 0.8, exact-reranked scores") {
     val brute = run("v02_knn_brute").cache()
     val sq = graft.operators.VectorOps.knnSq8(spark, sf).cache()
