@@ -90,9 +90,14 @@ object Dedup {
     *    expensive stage
     * All three are `.tracked` (the consumer drives the action and
     * releases via CacheScope); also returns the vocabulary size for the
-    * bitmask-representation gate. */
+    * bitmask-representation gate and a SORTED-dictionary provider: the
+    * distinct tids equal the persisted vocab mapped through the id
+    * assignment, so consumers that need the dictionary (the mask-table
+    * builds) read the ~|V|-row cached vocab instead of re-shuffling a
+    * distinct over the exploded (id, tid) table (~n_tokens rows — a real
+    * exchange at any scale, and the mask gates already bound |V|). */
   private def tokenSignatures(s: SparkSession, reps: DataFrame,
-      idCol: String): (DataFrame, DataFrame, DataFrame, Long) = {
+      idCol: String): (DataFrame, DataFrame, DataFrame, Long, () => Array[Long]) = {
     val exploded = reps.select(col(idCol), explode(col("toks")).as("tok"))
     val vocab = exploded.select(col("tok")).distinct().tracked
     // one driver action for size + hash-injectivity (was two — each
@@ -100,7 +105,16 @@ object Dedup {
     val vcnt = vocab
       .agg(count(lit(1)), count_distinct(xxhash64(col("tok")))).head()
     val vocabSize = vcnt.getLong(0)
-    val expInt = (if (vocabSize == vcnt.getLong(1)) {
+    val hashInjective = vocabSize == vcnt.getLong(1)
+    val dict: () => Array[Long] =
+      if (hashInjective)
+        // narrow scan of the cached vocab — no exchange, no distinct
+        () => vocab.select(xxhash64(col("tok"))).collect()
+          .map(_.getLong(0)).sorted
+      else
+        // dense ids are assigned 1..|V| by construction
+        () => Array.tabulate(vocabSize.toInt)(i => i + 1L)
+    val expInt = (if (hashInjective) {
       exploded.select(col(idCol), xxhash64(col("tok")).as("tid"))
     } else {
       val dense = s.createDataFrame(
@@ -116,7 +130,7 @@ object Dedup {
       .agg(sort_array(collect_list(col("tid"))).as("tids"))
       .tracked
     val banded = bandRows(repsInt, idCol).tracked
-    (expInt, repsInt, banded, vocabSize)
+    (expInt, repsInt, banded, vocabSize, dict)
   }
 
   /** (id, tids) -> flat banded rows (id, nt, bk): the 128 minhash
@@ -707,7 +721,7 @@ object Dedup {
           collect_list(col("doc_id")).as("members"))
         .tracked // reused by reps, the verify joins, and both expansions
       val reps = groups.select(col("rep_id"), col("toks"))
-      val (expInt, repsInt, banded, vocabSize) =
+      val (expInt, repsInt, banded, vocabSize, dictOf) =
         tokenSignatures(s, reps, "rep_id")
       // FUSED fast path (round 15, the d08 pattern brought home where it
       // started): sf1 profiling put d02's cost in CPU, not shuffle — one
@@ -775,8 +789,10 @@ object Dedup {
         if (sigBc.isEmpty || vocabSize > 65536 ||
             nReps * (nW * 8L + 8L) >= (256L << 20)) None
         else {
-          val dict = expInt.select(col("tid")).distinct()
-            .collect().map(_.getLong(0)).sorted
+          // sorted dictionary from the CACHED vocab (tokenSignatures),
+          // not a distinct over the exploded (id, tid) table — that
+          // distinct re-shuffled ~n_tokens rows for a |V|-bounded result
+          val dict = dictOf()
           val rows = repsInt.select(col("rep_id"), graft.functions
               .VectorFunctions.sorted_ids_to_mask(col("tids"), dict))
             .collect().sortBy(_.getLong(0))
@@ -802,8 +818,7 @@ object Dedup {
         // map the <=62 sparse tids to dense bit positions via a collected,
         // sorted table — bounded by the gate, so the collect and the
         // broadcast are provably tiny at any corpus size
-        val tids = expInt.select(col("tid")).distinct().orderBy(col("tid"))
-          .collect().map(_.getLong(0))
+        val tids = dictOf() // sorted ascending, from the cached vocab
         val posDf = broadcast(s.createDataFrame(
           s.sparkContext.parallelize(tids.zipWithIndex.toSeq.map {
             case (t, i) => org.apache.spark.sql.Row(t, i + 1)
@@ -1269,7 +1284,7 @@ object Dedup {
             .as("new_members"),
           count(when(!col("is_new"), lit(1))).as("n_old"))
         .tracked
-      val (expInt, repsInt, bands, vocabSize) =
+      val (expInt, repsInt, bands, vocabSize, dictOf) =
         tokenSignatures(s, groups.select(col("fp"), col("toks")), "fp")
       val sides = groups.select(col("fp"),
         (size(col("new_members")) > 0).as("is_batch"),
@@ -1379,8 +1394,8 @@ object Dedup {
           org.apache.spark.sql.graft.MaskTable]] =
         if (sigBc.isEmpty || vocabSize > 65536) None
         else {
-          val dict = expInt.select(col("tid")).distinct()
-            .collect().map(_.getLong(0)).sorted
+          // sorted dictionary from the CACHED vocab — see the d02 note
+          val dict = dictOf()
           val nW = math.max(1L, (vocabSize + 63) / 64).toInt
           val rows = gidReps.select(col("gid"), graft.functions
               .VectorFunctions.sorted_ids_to_mask(col("tids"), dict))

@@ -17,17 +17,25 @@ object ProfileJobs {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.drop(1).toSeq
     val s = Tables.localSession(32)
+    // ad-hoc conf A/B: GRAFT_PROF_CONF="spark.sql.x=y,spark.sql.z=w"
+    sys.env.get("GRAFT_PROF_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      s.conf.set(k, v)
+    })
     case class J(id: Int, t0: Long, var t1: Long, site: String)
     val jobs = mutable.ArrayBuffer.empty[J]
     s.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         jobs.synchronized {
-          val site = e.stageInfos.headOption.map { si =>
-            val det = si.details.linesIterator
-              .find(l => l.contains("graft") && !l.contains("ProfileJobs"))
-              .getOrElse(si.name)
-            s"${si.name.takeWhile(_ != '$').take(24)} | ${det.trim.take(80)}"
-          }.getOrElse("?")
+          val site = e.stageInfos
+            .flatMap(_.details.linesIterator)
+            .find(l => (l.contains("graft/operators") ||
+              l.contains("Dedup.scala") || l.contains("VectorOps.scala") ||
+              l.contains("Tables.scala")) && !l.contains("ProfileJobs"))
+            .map(_.trim.take(90))
+            .orElse(e.stageInfos.headOption.map(_.name.take(60)))
+            .getOrElse("?") +
+            s" [${e.stageInfos.size} stages]"
           jobs += J(e.jobId, System.nanoTime(), 0L, site)
           ()
         }
