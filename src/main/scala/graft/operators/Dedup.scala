@@ -72,6 +72,17 @@ object Dedup {
   private def docsSpread(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
 
+  /** Label the jobs a gate/broadcast-build action spawns (Spark UI +
+    * the Profile* listeners attribute stages by job description); the
+    * previous description is restored so the caller's own labeling —
+    * e.g. Bench's per-query tags — is untouched. */
+  private def labeled[T](s: SparkSession, tag: String)(f: => T): T = {
+    val sc = s.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(tag)
+    try f finally sc.setJobDescription(prev)
+  }
+
   /** Shared d02/d08 signature core over token-set representatives
     * `(idCol, toks)`. Dictionary-encodes tokens to int ids — inline
     * xxhash64, computed per row and fully parallel (a global
@@ -102,14 +113,15 @@ object Dedup {
     val vocab = exploded.select(col("tok")).distinct().tracked
     // one driver action for size + hash-injectivity (was two — each
     // pre-query action is ~0.1-0.3 s of driver round-trip at bench scale)
-    val vcnt = vocab
-      .agg(count(lit(1)), count_distinct(xxhash64(col("tok")))).head()
+    val vcnt = labeled(s, "sig-core: vocab size+injectivity")(vocab
+      .agg(count(lit(1)), count_distinct(xxhash64(col("tok")))).head())
     val vocabSize = vcnt.getLong(0)
     val hashInjective = vocabSize == vcnt.getLong(1)
     val dict: () => Array[Long] =
       if (hashInjective)
         // narrow scan of the cached vocab — no exchange, no distinct
-        () => vocab.select(xxhash64(col("tok"))).collect()
+        () => labeled(s, "sig-core: dictionary scan")(
+          vocab.select(xxhash64(col("tok"))).collect())
           .map(_.getLong(0)).sorted
       else
         // dense ids are assigned 1..|V| by construction
@@ -733,15 +745,16 @@ object Dedup {
       // (~100 ns/pair) deletes the array verify. Unlike d08 there is NO
       // collision gate: rep_id is min(doc_id) per fp group — unique by
       // construction — so the broadcast tables key on it directly.
-      val nReps = groups.count()
+      val nReps = labeled(s, "d02: groups count")(groups.count())
       val sigBc: Option[org.apache.spark.broadcast.Broadcast[
           org.apache.spark.sql.graft.SigTable]] =
         if (referencePlan(s) || nReps * 1100L >= (256L << 20)) None
         else {
-          val rows = banded.select(col("rep_id"),
-            col("bk").getField("band").as("b"),
-            col("bk").getField("h0"), col("bk").getField("h1"),
-            col("bk").getField("h2"), col("bk").getField("h3")).collect()
+          val rows = labeled(s, "d02: sig-table collect")(
+            banded.select(col("rep_id"),
+              col("bk").getField("band").as("b"),
+              col("bk").getField("h0"), col("bk").getField("h1"),
+              col("bk").getField("h2"), col("bk").getField("h3")).collect())
           val ids = rows.map(_.getLong(0)).distinct.sorted
           val idx = new java.util.HashMap[Long, Integer](ids.length * 2)
           ids.zipWithIndex.foreach { case (g0, i) => idx.put(g0, i) }
@@ -793,9 +806,10 @@ object Dedup {
           // not a distinct over the exploded (id, tid) table — that
           // distinct re-shuffled ~n_tokens rows for a |V|-bounded result
           val dict = dictOf()
-          val rows = repsInt.select(col("rep_id"), graft.functions
-              .VectorFunctions.sorted_ids_to_mask(col("tids"), dict))
-            .collect().sortBy(_.getLong(0))
+          val rows = labeled(s, "d02: mask-table collect")(
+            repsInt.select(col("rep_id"), graft.functions
+                .VectorFunctions.sorted_ids_to_mask(col("tids"), dict))
+              .collect()).sortBy(_.getLong(0))
           val ids = rows.map(_.getLong(0))
           val flat = new Array[Long](ids.length * nW.toInt)
           var i = 0
@@ -1322,8 +1336,8 @@ object Dedup {
       // leg is only decision-relevant when nGroups is small, where it is
       // trivially cheap; at sizes past the broadcast gate the fused agg
       // costs one distinct over gids, noise next to the corpus pass)
-      val gcnt = groups
-        .agg(count(lit(1)), count_distinct(xxhash64(col("fp")))).head()
+      val gcnt = labeled(s, "d08: groups count+gid-injectivity")(groups
+        .agg(count(lit(1)), count_distinct(xxhash64(col("fp")))).head())
       val nGroups = gcnt.getLong(0)
       val sigBc: Option[org.apache.spark.broadcast.Broadcast[
           org.apache.spark.sql.graft.SigTable]] =
@@ -1331,10 +1345,11 @@ object Dedup {
             gcnt.getLong(1) != nGroups)
           None
         else {
-          val rows = bands.select(xxhash64(col("fp")).as("gid"),
-            col("bk").getField("band").as("b"),
-            col("bk").getField("h0"), col("bk").getField("h1"),
-            col("bk").getField("h2"), col("bk").getField("h3")).collect()
+          val rows = labeled(s, "d08: sig-table collect")(
+            bands.select(xxhash64(col("fp")).as("gid"),
+              col("bk").getField("band").as("b"),
+              col("bk").getField("h0"), col("bk").getField("h1"),
+              col("bk").getField("h2"), col("bk").getField("h3")).collect())
           val ids = rows.map(_.getLong(0)).distinct.sorted
           val idx = new java.util.HashMap[Long, Integer](ids.length * 2)
           ids.zipWithIndex.foreach { case (g0, i) => idx.put(g0, i) }
@@ -1357,10 +1372,20 @@ object Dedup {
         col("x.bk") === col("y.bk") &&
           col("x.nt") >= col("y.nt") * t - 0.5 &&
           col("y.nt") >= col("x.nt") * t - 0.5
+      // explicit NUMBERED repartition by band key pins the join stage's
+      // parallelism (the d05 lesson): the matched-pair enumeration is
+      // CPU-quadratic inside dense band buckets while its input is a few
+      // MB, so byte-based AQE coalescing collapses it to 1-2 tasks
+      // (measured at sf0.1: 17 s of runSum behind a 3.0 s single-task
+      // wall; 0.6 s at 32 tasks). REPARTITION_BY_NUM is exempt from
+      // coalescing and hash-satisfies the join's bk distribution, so the
+      // exchange count is unchanged.
+      val np = s.sparkContext.defaultParallelism
       val candidates = (sigBc match {
         case Some(bc) =>
-          banded.filter(col("is_batch")).as("x")
-            .join(banded.filter(col("is_corpus")).as("y"),
+          banded.filter(col("is_batch")).repartition(np, col("bk")).as("x")
+            .join(banded.filter(col("is_corpus"))
+                .repartition(np, col("bk")).as("y"),
               bandCond && graft.functions.VectorFunctions
                 .pair_first_shared_band(col("x.gid"), col("y.gid"), bc) ===
                 col("x.bk").getField("band"))
@@ -1397,9 +1422,10 @@ object Dedup {
           // sorted dictionary from the CACHED vocab — see the d02 note
           val dict = dictOf()
           val nW = math.max(1L, (vocabSize + 63) / 64).toInt
-          val rows = gidReps.select(col("gid"), graft.functions
-              .VectorFunctions.sorted_ids_to_mask(col("tids"), dict))
-            .collect().sortBy(_.getLong(0))
+          val rows = labeled(s, "d08: mask-table collect")(
+            gidReps.select(col("gid"), graft.functions
+                .VectorFunctions.sorted_ids_to_mask(col("tids"), dict))
+              .collect()).sortBy(_.getLong(0))
           val ids = rows.map(_.getLong(0))
           val flat = new Array[Long](ids.length * nW)
           var i = 0

@@ -30,6 +30,23 @@ class StageGateSpec extends GraftSpec {
         "is gone or no longer upstream of the join")
   }
 
+  test("d08 fused band join runs at pinned parallelism, not AQE-coalesced to one task") {
+    SparkEntry.queries("d08_incremental_dedup")(spark, sf01).count()
+    val cand = operators.Dedup.candidatePlan("d08")
+      .getOrElse(fail("d08 did not register its candidate plan"))
+    // the matched-pair enumeration is CPU-quadratic inside dense band
+    // buckets while its input is byte-tiny, so AQE's byte-based
+    // coalescing collapsed it to 1-2 tasks (sf0.1: 17 s runSum behind a
+    // 3 s single-task wall). The REPARTITION_BY_NUM pin on both join
+    // inputs is coalesce-exempt; its partition count survives to the
+    // join output.
+    val n = cand.rdd.getNumPartitions
+    val pinned = spark.sparkContext.defaultParallelism
+    assert(n >= math.min(pinned, 2),
+      s"d08 band join collapsed to $n partition(s) — the numbered " +
+        s"repartition pin (expected ~$pinned) is gone")
+  }
+
   test("no query stage at sf0.01 runs >2s of executor time in <=2 tasks (collapse witness at test scale)") {
     // cheap in-test analog of the sf1 sweep over the heavy dedup family:
     // the pathology is scale-amplified but already VISIBLE at sf0.01 as
