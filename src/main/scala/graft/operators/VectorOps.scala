@@ -259,7 +259,16 @@ object VectorOps {
   def cosinePairsLsh(s: SparkSession, d: String): DataFrame = {
       import graft.CacheScope.Trackable
       val Tables_ = 16
-      val e = vecs(s, d).tracked
+      // spread the corpus BEFORE the signing pass (the docsSpread
+      // pattern): a single-file corpus plans one partition, which
+      // serialized the 16-table hyperplane signing into ONE task
+      // (measured at sf0.1: a 1.1 s single-task stage behind a 1.1 MB
+      // input). One vector moves once — strictly less data than the
+      // 16*Bits-per-vector ids-only banding shuffle downstream — and
+      // the numbered repartition pins the cache's partitioning so the
+      // signing, banding and verify fetches all inherit parallelism.
+      val e = vecs(s, d)
+        .repartition(s.sparkContext.defaultParallelism).tracked
       // embedding dimension from the DATA (one head row), never a
       // constant: HyperplaneSigs nulls every signature on a dimension
       // mismatch, so a hard-coded 64 against a different-dim table would
@@ -310,7 +319,19 @@ object VectorOps {
       // hyperplane cosines per vector run once, not once per join side.
       val banded = sigs.select(col("vec_id"),
         explode(array(keyCols: _*)).as("bk")).tracked
-      val candidates = banded.as("a").join(banded.as("b"),
+      // numbered repartition by band key pins the self-join's PROBE side
+      // (the d05/d08 lesson): bucket-mate enumeration is CPU-superlinear
+      // in bucket density while the ids-only banding rows are byte-tiny,
+      // so the planner broadcast the build side and streamed the whole
+      // enumeration through the probe's single cached partition
+      // (measured at sf0.1: a 1.15 s single-task stage). Only the probe
+      // is pinned — at small scale the build side still broadcasts (no
+      // second exchange), at large scale it gets the bk exchange the
+      // join needs anyway, which the pinned side's REPARTITION_BY_NUM
+      // partitioning already satisfies.
+      val np = s.sparkContext.defaultParallelism
+      val candidates = banded.repartition(np, col("bk")).as("a")
+        .join(banded.as("b"),
           col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
         .distinct()
@@ -511,7 +532,11 @@ object VectorOps {
     GQuery("v01_cosine_pairs_brute", (s, d) => {
       val e = requireBaselineScale(s, vecs(s, d),
         "v01_cosine_pairs_brute", "v05_cosine_pairs_lsh")
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      // spread the streamed side: the theta join broadcasts one side and
+      // streams the other at file-count parallelism (1 task at sf0.1),
+      // serializing the O(n^2) cosine pass this baseline exists to pay
+      e.repartition(s.sparkContext.defaultParallelism).as("a")
+        .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos", cosine("a.v", "a.norm", "b.v", "b.norm"))
         .filter(col("cos") >= 0.4)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
@@ -579,7 +604,13 @@ object VectorOps {
       val e = requireBaselineScale(s, vecs(s, d),
         "the v05 recall audit's brute-force truth side",
         "a sampled offline audit")
-      val truth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      // spread the STREAMED side of the brute-force truth join: the
+      // theta join broadcasts one side and streams the other at the
+      // parquet scan's file-count parallelism, so the O(n^2) cosine pass
+      // ran in 1 task at sf0.1 / 10 tasks for 93 s of runSum at sf1
+      // (audit-only leg — requireBaselineScale keeps it off real corpora)
+      val truth = e.repartition(s.sparkContext.defaultParallelism).as("a")
+        .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
         .withColumn("cos", cosine("a.v", "a.norm", "b.v", "b.norm"))
         .filter(col("cos") >= 0.4)
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
