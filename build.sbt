@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's ONE-line JSON from the process stdout
+// tail. sbt's default LoggedOutput strategy prefixes every forked-run
+// stdout line with "[info] ", which made the line unparseable as JSON in
+// ALL of rounds 1-15 (every BENCH_r*.json carries "parsed": null).
+// StdoutOutput inherits the child's stdout/stderr directly — no prefix.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -22,16 +22,23 @@ import org.apache.spark.sql.SparkSession
   *    re-timed: q13 at 2.26 s vs its own 0.150 s clean run): a row is
   *    rechecked when it exceeds 3x its bench_history.jsonl median
   *    (floor 0.3 s) OR the absolute backstop for rows with no history.
-  *  - FINAL-STAMP GATE: the artifact carries "final":true only when,
-  *    after up to three recheck rounds, no row remains above 3x its
-  *    ledger median, no row errored, the cache pair reads warm < cold,
-  *    and the start loadavg was under a bound (the run WAITS up to 120 s
-  *    for a quiet start first). A run stamped "final":false names its
-  *    "unstable" rows and must not ship as the round's headline
-  *    artifact — rerun it. This is the refusal the round-13 verdict
-  *    asked for, expressed as a self-describing stamp rather than a
-  *    nonzero exit so the driver's per-round invocation always yields a
-  *    parseable artifact.
+  *  - FINAL STAMP, ADVISORY (changed round 16 per VERDICT r15 #1): the
+  *    r15 stamp refused both driver runs over a millisecond warm>cold
+  *    flip of a 0.2 s cache microbenchmark and two load-inflated rows,
+  *    leaving the driver with no usable artifact two rounds running.
+  *    "final" now means only "no query errored"; the quietness
+  *    judgments ride as their own fields ("unstable", "pairok",
+  *    "loadavg0") so a human rerun decision can still read them, but
+  *    the driver's artifact is never suppressed by host load it cannot
+  *    control. The recheck machinery itself is unchanged (it only ever
+  *    lowers min-of-N values).
+  *  - OUTPUT ORDER (round 16, same VERDICT item): every side effect
+  *    (ledger append, /tmp artifacts, report regen) happens BEFORE the
+  *    JSON is printed, the compact summary line prints first, and the
+  *    FULL one-line JSON with every row is the program's LAST stdout
+  *    line. With build.sbt's StdoutOutput strategy (no "[info] "
+  *    prefix — the reason all 15 prior driver parses returned null)
+  *    a last-JSON-line parser now finds the complete 166-row map.
   *  - the final artifact REGENERATES the current report's bench section
   *    (between "<!-- bench:auto -->" markers in the highest REPORT_r*.md
   *    next to the history ledger), so report prose and shipped artifact
@@ -405,10 +412,10 @@ object Bench {
     val total = finalResults.collect { case (_, v, true) => v }.sum
     val errs = results.count(!_._3)
     val errField = if (errs > 0) s""","errs":$errs""" else ""
-    // the round's headline artifact must carry "final":true — anything
-    // else is a self-describing refusal to stamp (see the header)
-    val isFinal =
-      unstable.isEmpty && errs == 0 && pairOk && loadStart <= maxLoad0
+    // ADVISORY stamp (see header): true unless a query errored. The
+    // quietness verdicts that used to gate it are reported next to it.
+    val isFinal = errs == 0
+    val pairOkField = s""","pairok":$pairOk"""
     val unstableField =
       if (unstable.isEmpty) ""
       else unstable.map("\"" + _ + "\"").mkString(""","unstable":[""", ",", "]")
@@ -434,34 +441,13 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec"$errField,""" +
       s""""cpus":$cpus,"loadavg":${s3(loadavg)},"loadavg0":${s3(loadStart)}""" +
-      s""","final":$isFinal$unstableField$waitField$waitReField""" +
+      s""","final":$isFinal$pairOkField$unstableField$waitField$waitReField""" +
       s"""$divField$recheckField$x03Fields,"warmhits":$warmHits,""" +
       s""""coldmode":"$coldMode","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // The driver keeps only the LAST ~2000 chars of stdout, and the full
-    // line above has outgrown that window (r10 and r12 both recorded
-    // parsed=null from a line truncated at its HEAD). Emit a second,
-    // COMPACT summary line that always fits whole inside the tail: the
-    // headline fields plus every row >= 1 s and the cache pair, flagged
-    // partial and pointing at the full artifact file. Any tail parser —
-    // last-JSON-line or scan-for-parseable — now finds a complete object.
-    val compactRows = (finalResults.filter {
-      case (_, v, ok) => ok && v >= 1.0 } ++ cachePair)
-      .map { case (k, v, ok) =>
-        val short = k.takeWhile(_ != '_')
-        if (ok) s""""$short":${s3(v)}""" else s""""$short":"err""""
-      }.mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec"$errField,""" +
-      s""""cpus":$cpus,"loadavg":${s3(loadavg)},"loadavg0":${s3(loadStart)}""" +
-      s""","final":$isFinal$unstableField$waitField$waitReField""" +
-      s"""$divField$x03Fields,"warmhits":$warmHits,""" +
-      s""""coldmode":"$coldMode","partial":true,""" +
-      s""""full":"/tmp/graft_bench.json","queries":$compactRows,"sf":"$sfDir"}""")
-    // the driver keeps only the tail of stdout and has truncated the line
-    // mid-JSON before (r10: parsed=null, two rows lost) — persist the full
-    // artifact, a per-row detail file (start offsets + pre-recheck
-    // min-of-2), the history ledger, and the r(N-1)->rN delta table
+    // Every side effect runs BEFORE the JSON prints so nothing can write
+    // to the output streams after it: persist the full artifact, a
+    // per-row detail file (start offsets + pre-recheck min-of-2), the
+    // history ledger, and the r(N-1)->rN delta table / report block.
     try { java.nio.file.Files.write(
       java.nio.file.Paths.get("/tmp/graft_bench.json"),
       (line + "\n").getBytes("UTF-8")); () }
@@ -478,6 +464,26 @@ object Bench {
       System.err.println(s"bench report: ${t.getClass.getSimpleName}: " +
         s"${Option(t.getMessage).getOrElse("")}")
     }
+    // A COMPACT summary line first — headline fields plus every row
+    // >= 1 s and the cache pair, flagged partial and pointing at the
+    // full artifact file — kept because earlier rounds' tooling reads
+    // it; then the FULL line LAST (VERDICT r15 #1: a last-JSON-line
+    // parser must see all rows, not the 20-row compact subset).
+    val compactRows = (finalResults.filter {
+      case (_, v, ok) => ok && v >= 1.0 } ++ cachePair)
+      .map { case (k, v, ok) =>
+        val short = k.takeWhile(_ != '_')
+        if (ok) s""""$short":${s3(v)}""" else s""""$short":"err""""
+      }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec"$errField,""" +
+      s""""cpus":$cpus,"loadavg":${s3(loadavg)},"loadavg0":${s3(loadStart)}""" +
+      s""","final":$isFinal$pairOkField$unstableField$waitField$waitReField""" +
+      s"""$divField$x03Fields,"warmhits":$warmHits,""" +
+      s""""coldmode":"$coldMode","partial":true,""" +
+      s""""full":"/tmp/graft_bench.json","queries":$compactRows,"sf":"$sfDir"}""")
+    println(line)
+    System.out.flush()
     spark.stop()
   }
 }
