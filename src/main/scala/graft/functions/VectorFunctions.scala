@@ -100,6 +100,12 @@ object VectorFunctions {
   def minhash_sigs(a: Column, numHashes: Int): Column =
     org.apache.spark.sql.graft.VectorExpressions.minhash_sigs(a, numHashes)
 
+  /** fused minhash + band-key grouping: array<struct<band,h0..h{r-1}>>
+    * with the exact [[minhash_sigs]] minima — no intermediate signature
+    * array per row (the dedup band joins' hottest projection) */
+  def minhash_bands(a: Column, numHashes: Int, bandR: Int): Column =
+    org.apache.spark.sql.graft.VectorExpressions.minhash_bands(a, numHashes, bandR)
+
   def simhash32(a: Column): Column =
     org.apache.spark.sql.graft.VectorExpressions.simhash32(a)
 

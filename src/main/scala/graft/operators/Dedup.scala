@@ -155,17 +155,18 @@ object Dedup {
     * fields band,h0..h3) is defined: the in-run signatures
     * (tokenSignatures) and the persisted-index signatures (pureBands)
     * derive band keys here and so can never drift apart. */
-  private def bandRows(tids: DataFrame, idCol: String): DataFrame = {
-    val mh = tids.select(col(idCol), size(col("tids")).as("nt"),
-      graft.functions.VectorFunctions
-        .minhash_sigs(col("tids"), NumHashes).as("mhs"))
-    val bandCols = (0 until NumHashes / BandR).map { b =>
-      struct(lit(b).as("band") +:
-        (0 until BandR).map(r =>
-          col("mhs").getItem(BandR * b + r).as(s"h$r")): _*)
-    }
-    mh.select(col(idCol), col("nt"), explode(array(bandCols: _*)).as("bk"))
-  }
+  private def bandRows(tids: DataFrame, idCol: String): DataFrame =
+    // FUSED band-key generation (round 16, VERDICT r15 #2): one kernel
+    // emits the 32 (band, h0..h3) structs straight from the 128-min
+    // accumulator — same minima bit-for-bit (MinHashBandsKernel delegates
+    // to MinHashKernel), so band keys and candidate sets are unchanged,
+    // but the per-row intermediate 128-long array, the 128 GetArrayItem
+    // evaluations and the 32-struct expression tree disappear from the
+    // signature pass (the family's dominant CPU at sf1). Kernel-identity
+    // vs the composed formula is pinned in SqlFunctionsSpec.
+    tids.select(col(idCol), size(col("tids")).as("nt"),
+      explode(graft.functions.VectorFunctions
+        .minhash_bands(col("tids"), NumHashes, BandR)).as("bk"))
 
   /** Band keys as a PURE function of the token set — tids are xxhash64 of
     * the token string unconditionally (no dense-id fallback): a persisted

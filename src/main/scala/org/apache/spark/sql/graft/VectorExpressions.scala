@@ -1371,6 +1371,69 @@ object MinHashKernel {
   }
 }
 
+/** All LSH band keys of a token-id array in ONE fused pass: the identical
+  * `numHashes` MinHash minima as [[MinHashSigs]] (same seed folding, same
+  * XXH64 — candidate sets cannot change), grouped into
+  * `numHashes / bandR` structs `(band:int, h0..h{bandR-1}:long)` directly
+  * from the accumulator — no intermediate `array<long>` column, no
+  * `numHashes` GetArrayItem evaluations, no struct/array expression tree
+  * per row (that tree was the dedup family's hottest projection: the
+  * 128-min signature pass feeds every band join). Null on empty or
+  * null-element input; [[MinHashSigs]] yields an all-null-field struct
+  * array there, whose band-key equality is also never true, so candidate
+  * emission is identical (and the hot callers' token arrays are non-empty
+  * by construction: split() never returns an empty array). */
+case class MinHashBands(child: Expression, numHashes: Int, bandR: Int)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  require(numHashes > 0 && bandR > 0 && numHashes % bandR == 0,
+    s"minhash_bands needs numHashes divisible by bandR, got $numHashes/$bandR")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(
+    StructType(StructField("band", IntegerType, nullable = false) +:
+      (0 until bandR).map(r => StructField(s"h$r", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  private lazy val mayHaveNullElems = VectorKernels.elemsNullable(child)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashBandsKernel.eval(input.asInstanceOf[ArrayData], numHashes, bandR,
+      mayHaveNullElems)
+
+  // standalone kernel object for the same forwarder reason as MinHashKernel
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |${ev.value} = org.apache.spark.sql.graft.MinHashBandsKernel.eval($a, $numHashes, $bandR, $mayHaveNullElems);
+      |if (${ev.value} == null) { ${ev.isNull} = true; }
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashBandsKernel {
+  def eval(arr: ArrayData, n: Int, bandR: Int, checkNulls: Boolean)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val mins = MinHashKernel.eval(arr, n, checkNulls)
+    if (mins == null) return null
+    val nBands = n / bandR
+    val out = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      val row = new Array[Any](1 + bandR)
+      row(0) = b
+      var r = 0
+      while (r < bandR) { row(r + 1) = mins.getLong(b * bandR + r); r += 1 }
+      out(b) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(row)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** 32-bit SimHash of a token array in one pass, BIT-IDENTICAL to the
   * engine-portable SQL formula both sides of the oracle compute
   * (per token: md5 hex of the UTF-8 bytes; hex char k >= '8' — i.e. the
@@ -1560,6 +1623,10 @@ object VectorExpressions {
 
   def minhash_sigs(a: Column, numHashes: Int): Column =
     ExpressionUtils.column(MinHashSigs(ExpressionUtils.expression(a), numHashes))
+
+  def minhash_bands(a: Column, numHashes: Int, bandR: Int): Column =
+    ExpressionUtils.column(MinHashBands(
+      ExpressionUtils.expression(a), numHashes, bandR))
 
   def sorted_jaccard(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedJaccard(

@@ -90,6 +90,62 @@ class SqlFunctionsSpec extends GraftSpec {
       .head.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("minhash_bands emits exactly the composed minhash_sigs band structs") {
+    org.apache.spark.sql.graft.GraftFunctions.registerAll(sp)
+    import org.apache.spark.sql.functions._
+    import sp.implicits._
+    val NumHashes = 128
+    val BandR = 4
+    val rnd = new scala.util.Random(7)
+    val arrays: Seq[Seq[Long]] =
+      (1 to 50).map(_ => Seq.fill(1 + rnd.nextInt(200))(rnd.nextLong())) :+
+        Seq(7L) :+ Seq(Long.MinValue, 0L, Long.MaxValue)
+    val df = arrays.zipWithIndex.map { case (a, i) => (i, a) }.toDF("i", "tids")
+    // the fused kernel vs the composed formula bandRows used before r16
+    val fused = df.select(col("i"), graft.functions.VectorFunctions
+      .minhash_bands(col("tids"), NumHashes, BandR).as("bks"))
+    val mh = df.select(col("i"), graft.functions.VectorFunctions
+      .minhash_sigs(col("tids"), NumHashes).as("mhs"))
+    val bandCols = (0 until NumHashes / BandR).map { b =>
+      struct(lit(b).as("band") +:
+        (0 until BandR).map(r =>
+          col("mhs").getItem(BandR * b + r).as(s"h$r")): _*)
+    }
+    val composed = mh.select(col("i"), array(bandCols: _*).as("bks"))
+    val prev = sp.conf.getOption("spark.sql.codegen.fallback")
+    sp.conf.set("spark.sql.codegen.fallback", "false") // prove codegen path
+    try {
+      def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
+        r.getInt(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(b =>
+          (b.getInt(0), b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4)))
+      }.toMap
+      val f = rows(fused)
+      val c = rows(composed)
+      assert(f == c, "fused band keys diverge from the composed formula")
+      // interpreted path agrees too (collect on a local Dataset eval)
+      val interp = arrays.zipWithIndex.map { case (a, i) =>
+        val arr = org.apache.spark.sql.graft.MinHashBandsKernel.eval(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(a.toArray),
+          NumHashes, BandR, checkNulls = false)
+        i -> (0 until arr.numElements()).map { k =>
+          val s0 = arr.getStruct(k, 1 + BandR)
+          (s0.getInt(0), s0.getLong(1), s0.getLong(2), s0.getLong(3), s0.getLong(4))
+        }
+      }.toMap
+      assert(interp == c, "interpreted kernel diverges from the composed formula")
+    } finally prev match {
+      case Some(v) => sp.conf.set("spark.sql.codegen.fallback", v)
+      case None => sp.conf.unset("spark.sql.codegen.fallback")
+    }
+    // null/empty semantics: null on empty input and on null elements —
+    // the composed formula yields all-null-field structs there, which can
+    // never satisfy a band-key equality, so candidates are identical
+    val edge = Seq((0, Seq.empty[Long]), (1, Seq(1L))).toDF("i", "tids")
+    val e = edge.select(graft.functions.VectorFunctions
+      .minhash_bands(col("tids"), 8, 4)).collect()
+    assert(e(0).isNullAt(0) && !e(1).isNullAt(0))
+  }
+
   test("two simhash32 calls share one codegen scope without colliding") {
     org.apache.spark.sql.graft.GraftFunctions.registerAll(sp)
     val prev = sp.conf.getOption("spark.sql.codegen.fallback")
