@@ -26,6 +26,13 @@ object Tpch {
 
   private def ts(s: String) = lit(s).cast("timestamp_ntz")
 
+  /** same flag the dedup/ANN families honor: flips the round-16
+    * pre-filter plan shapes (q31 broadcast-EXISTS, q42 Bloom pre-filter,
+    * q43 pre-aggregation semi pruning) back onto the legacy shapes so an
+    * equivalence leg can hash-compare both at any scale. */
+  private def referencePlan(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.dedup.referencePlan").exists(_.toBoolean)
+
   /** lineitems of 'F' orders shipped >60 days after the order date —
     * built fresh per call site so the Q21 semi/anti self-joins get
     * independent attribute ids (no ambiguous-self-join resolution). */
@@ -47,11 +54,38 @@ object Tpch {
         .filter(col("o_orderdate") >= ts("1996-07-01") &&
           col("o_orderdate") < ts("1996-10-01"))
       val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
-      o.join(l, col("o_orderkey") === col("l_orderkey") &&
-          col("l_shipdate") > col("o_orderdate"), "left_semi")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("order_count"))
-        .orderBy("o_orderpriority")
+      // Broadcast-EXISTS under a measured count gate (round 16, guide
+      // §3.1/§3.2 — VERDICT r15 #4): the date window keeps ~4% of orders,
+      // but a LEFT-SEMI with orders on the LEFT can only broadcast the
+      // RIGHT side (lineitem), so both sides shuffled — 64 MB at sf1 for
+      // a ~58k-row probe set. Below the gate the filtered orders
+      // broadcast instead: lineitem is consumed map-side (never
+      // exchanged) and EXISTS becomes distinct-(orderkey, priority) over
+      // the matched pairs — the identical multiset the semi join's
+      // projected output carries (o_orderkey is the orders PK; the
+      // referencePlan leg hash-verifies the equivalence end to end).
+      // Past the gate — at a scale where 3 months of orders no longer
+      // fit a broadcast — the legacy semi join stands unchanged.
+      val maxB = s.conf.getOption("spark.graft.tpch.existsBroadcastMaxRows")
+        .map(_.toLong).getOrElse(2000000L)
+      val nFiltered = if (referencePlan(s)) Long.MaxValue else o.count()
+      if (nFiltered <= maxB) {
+        l.join(broadcast(o.select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))),
+            col("o_orderkey") === col("l_orderkey") &&
+              col("l_shipdate") > col("o_orderdate"))
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .distinct()
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      } else {
+        o.join(l, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      }
     },
       Some("""SELECT o_orderpriority, COUNT(*) AS order_count
              |FROM orders
@@ -364,15 +398,44 @@ object Tpch {
     // on l_orderkey is the semi join's partitioning too.
     GQuery("q42_tpch_q21_waiting_supplier", (s, d) => {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
-      val l1 = lateLines(s, d)
+      val l1base = lateLines(s, d)
         .withColumn("_mn", min("l_suppkey").over(w))
         .withColumn("_mx", max("l_suppkey").over(w))
         .filter(col("_mn") === col("_mx"))
         .drop("_mn", "_mx")
       val others = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey"))
+      // Bloom pre-filter on the EXISTS probe (round 16, guide §3.2 —
+      // VERDICT r15 #4): `others` is the whole lineitem keyed by
+      // orderkey, but only lines of LATE orders (~25% of orders) can
+      // semi-match l1 — the rest ride the exchange for nothing (the bulk
+      // of q42's 62 MB sf1 stamp). A Bloom filter over l1's orderkeys
+      // (persisted, so the build materializes the cache the main join
+      // reuses) drops them map-side; false positives only re-admit rows
+      // the semi join drops anyway, so the result is unchanged. Gated on
+      // the SCAN size (same discipline as Spark's own
+      // runtime.bloomFilter applicationSideScanSizeThreshold): below
+      // the threshold the build action costs more than the exchange it
+      // saves. The referencePlan leg always runs unfiltered.
+      val minBytes = s.conf.getOption("spark.graft.tpch.bloomMinScanBytes")
+        .map(_.toLong).getOrElse(64L << 20)
+      val liBytes = Tables.lineitem(s, d)
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val (l1, othersF) =
+        if (referencePlan(s) || liBytes < BigInt(minBytes)) (l1base, others)
+        else {
+          import graft.CacheScope.Trackable
+          val l1c = l1base.tracked
+          // expectedNumItems: the orders row count is a cheap metadata
+          // upper bound on distinct late orderkeys (1% fpp ~ 1.2 B/key)
+          val nOrders = math.max(1000L, Tables.orders(s, d).count())
+          val bf = l1c.stat.bloomFilter("l_orderkey", nOrders, 0.01)
+          val bfB = s.sparkContext.broadcast(bf)
+          val mightMatch = udf((k: Long) => bfB.value.mightContainLong(k))
+          (l1c, others.filter(mightMatch(col("x_orderkey"))))
+        }
       l1
-        .join(others, col("x_orderkey") === col("l_orderkey") &&
+        .join(othersF, col("x_orderkey") === col("l_orderkey") &&
           col("x_suppkey") =!= col("l_suppkey"), "left_semi")
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name")
@@ -405,9 +468,6 @@ object Tpch {
     // candidates and the minima (the oracle re-derives it per row).
     // MIN of a double set is exact, so the cost equality is safe.
     GQuery("q43_tpch_q2_min_cost_supplier", (s, d) => {
-      val offers = Tables.lineitem(s, d)
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(min(col("l_extendedprice")).as("cost"))
       val regionalSupp = Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)
             .join(broadcast(Tables.region(s, d)
@@ -416,6 +476,34 @@ object Tpch {
             .select(col("n_nationkey"), col("n_name"))),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("s_acctbal"), col("s_name"), col("n_name"))
+      val sizedParts = Tables.part(s, d).filter(col("p_size") === 5)
+        .select(col("p_partkey"), col("p_brand"))
+      // Pre-aggregation semi pruning (round 16, guide §3.2 — VERDICT r15
+      // #4): the offers groupBy shuffled EVERY lineitem (partkey,
+      // suppkey, price) — q43's 129 MB sf1 stamp — yet the query keeps
+      // only ASIA suppliers (~1/5) and size-5 parts (~1/50). Both
+      // predicates filter on GROUP KEYS, so dropping non-qualifying rows
+      // BEFORE the aggregate leaves every surviving (part, supplier)
+      // group's row set — and its MIN — bit-identical, and the per-part
+      // minimum is over regional offers of that same part, unaffected by
+      // other parts. Gated on the dims fitting a broadcast (cheap
+      // metadata row counts); past the gate, and always under
+      // referencePlan, the unpruned aggregate stands.
+      val maxDim = s.conf.getOption("spark.graft.tpch.semiBroadcastMaxRows")
+        .map(_.toLong).getOrElse(2000000L)
+      val prune = !referencePlan(s) &&
+        Tables.part(s, d).count() <= maxDim &&
+        Tables.supplier(s, d).count() <= maxDim
+      val offersIn =
+        if (!prune) Tables.lineitem(s, d)
+        else Tables.lineitem(s, d)
+          .join(broadcast(sizedParts.select(col("p_partkey").as("_pp"))),
+            col("l_partkey") === col("_pp"), "left_semi")
+          .join(broadcast(regionalSupp.select(col("s_suppkey").as("_ss"))),
+            col("l_suppkey") === col("_ss"), "left_semi")
+      val offers = offersIn
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("cost"))
       val regional = offers
         .join(regionalSupp, col("l_suppkey") === col("s_suppkey"))
       val minCost = regional.groupBy(col("l_partkey").as("mc_pk"))
@@ -423,9 +511,7 @@ object Tpch {
       regional
         .join(minCost, col("l_partkey") === col("mc_pk") &&
           col("cost") === col("min_cost"))
-        .join(Tables.part(s, d).filter(col("p_size") === 5)
-          .select(col("p_partkey"), col("p_brand")),
-          col("l_partkey") === col("p_partkey"))
+        .join(sizedParts, col("l_partkey") === col("p_partkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_brand"), col("cost"))
         .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))

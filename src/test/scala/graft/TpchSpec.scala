@@ -33,6 +33,29 @@ class TpchSpec extends GraftSpec {
     assert(df.select(countDistinct(col("total_revenue"))).head().getLong(0) == 1)
   }
 
+  test("q31/q42/q43 pre-filter shapes are row-identical to the referencePlan legs") {
+    // the round-16 shapes: q31 broadcast-EXISTS, q42 Bloom pre-filter on
+    // the probe (forced on via the scan-size conf), q43 pre-aggregation
+    // semi pruning. Each must emit the exact row multiset the legacy
+    // shape does — collected and compared sorted, all columns.
+    def rowsOf(name: String): Seq[String] =
+      run(name).collect().map(_.toString).sorted.toSeq
+    for (q <- Seq("q31_tpch_q4_exists_agg", "q42_tpch_q21_waiting_supplier",
+        "q43_tpch_q2_min_cost_supplier")) {
+      spark.conf.set("spark.graft.tpch.bloomMinScanBytes", "0")
+      val fused = rowsOf(q)
+      CacheScope.release(blocking = true)
+      spark.conf.set("spark.graft.dedup.referencePlan", "true")
+      val ref =
+        try rowsOf(q)
+        finally {
+          spark.conf.unset("spark.graft.dedup.referencePlan")
+          spark.conf.unset("spark.graft.tpch.bloomMinScanBytes")
+        }
+      assert(fused == ref, s"$q: pre-filter shape diverges from legacy")
+    }
+  }
+
   test("q32/q34: tiny dims (nation/region) join via broadcast, fact side never broadcast") {
     // earlier tests cache() some results; a cached plan would appear as an
     // InMemoryRelation scan and hide the joins from this assertion
