@@ -141,7 +141,25 @@ object Dedup {
     val repsInt = expInt.groupBy(idCol)
       .agg(sort_array(collect_list(col("tid"))).as("tids"))
       .tracked
-    val banded = bandRows(repsInt, idCol).tracked
+    // NARROW band frame (round 16, VERDICT r15 #5): the in-run band join
+    // needs only EQUALITY of band keys, so the 4-long (h0..h3) struct
+    // collapses to one xxhash64 — a within-band collision can only ADD a
+    // candidate pair, every candidate is exact-verified, and all three
+    // dedup oracles are brute-force truth, so extra verified pairs are
+    // rows the oracle also carries (the SigTable the first-shared-band
+    // predicate reads stores the SAME kh values, so join hits and the
+    // predicate agree on what "shared" means by construction). The band
+    // exchanges stay JOIN-TIME (ENSURE_REQUIREMENTS or the caller's
+    // explicit pin) rather than baked into the cache: a build-time
+    // pre-partition was measured — it removes one exchange but also
+    // removes AQE's skew splitting from the enumeration stage (d02 sf1
+    // wall 12.1 -> 15.0 s, one 200 s-runSum 64-task stage) — the bytes
+    // win the same either way because the rows are narrow now. The
+    // persisted d10 index (pureBands) keeps the full flat h0..h3 layout.
+    val banded = bandRows(repsInt, idCol)
+      .select(col(idCol), col("nt"), col("bk.band").as("band"),
+        xxhash64(col("bk")).as("kh"))
+      .tracked
     (expInt, repsInt, banded, vocabSize, dict)
   }
 
@@ -751,23 +769,21 @@ object Dedup {
           org.apache.spark.sql.graft.SigTable]] =
         if (referencePlan(s) || nReps * 1100L >= (256L << 20)) None
         else {
+          // per-band kh values (the join key hashes), stride 1 — same
+          // equality the narrow band join tests, 4x smaller than h0..h3
           val rows = labeled(s, "d02: sig-table collect")(
-            banded.select(col("rep_id"),
-              col("bk").getField("band").as("b"),
-              col("bk").getField("h0"), col("bk").getField("h1"),
-              col("bk").getField("h2"), col("bk").getField("h3")).collect())
+            banded.select(col("rep_id"), col("band"), col("kh")).collect())
           val ids = rows.map(_.getLong(0)).distinct.sorted
           val idx = new java.util.HashMap[Long, Integer](ids.length * 2)
           ids.zipWithIndex.foreach { case (g0, i) => idx.put(g0, i) }
-          val flat = new Array[Long](ids.length * NumHashes)
+          val nBands = NumHashes / BandR
+          val flat = new Array[Long](ids.length * nBands)
           rows.foreach { r =>
-            val o = idx.get(r.getLong(0)).intValue * NumHashes +
-              r.getInt(1) * BandR
-            flat(o) = r.getLong(2); flat(o + 1) = r.getLong(3)
-            flat(o + 2) = r.getLong(4); flat(o + 3) = r.getLong(5)
+            flat(idx.get(r.getLong(0)).intValue * nBands + r.getInt(1)) =
+              r.getLong(2)
           }
           Some(s.sparkContext.broadcast(new org.apache.spark.sql.graft
-            .SigTable(ids, flat, BandR, NumHashes / BandR)))
+            .SigTable(ids, flat, 1, nBands)))
         }
       // size-ratio bound applied INSIDE the band join: J>=0.8 forces
       // |A|/|B| in [0.8, 1.25], so dropping these rows before the distinct
@@ -776,18 +792,38 @@ object Dedup {
       // first-shared-band copy whenever it holds at any copy — unique
       // emission keeps exactly the distinct candidate set.
       val bandCond =
-        col("x.bk") === col("y.bk") && col("x.rep_id") < col("y.rep_id") &&
+        col("x.band") === col("y.band") && col("x.kh") === col("y.kh") &&
+          col("x.rep_id") < col("y.rep_id") &&
           col("x.nt") >= col("y.nt") * 0.8 - 0.5 &&
           col("y.nt") >= col("x.nt") * 0.8 - 0.5
+      // NUMBERED repartition pin, gated on the MEASURED band-row count
+      // (round 16): with the rows narrowed to (rep_id, nt, band, kh) the
+      // join exchanges dropped below AQE's advisory size and byte-based
+      // coalescing collapsed the CPU-quadratic enumeration at sf1
+      // (12.1 -> 13.9 s quiet) — the d05/d08 lesson, triggered by the
+      // narrowing itself. BELOW the gate the pin is itself the
+      // pathology: at sf0.1 AQE broadcast-converts the small self-join
+      // map-side and the forced exchanges cost 3.8 -> 8.6 s. nReps is
+      // already measured for the sig gate, so the pin fires exactly
+      // when the band rows are big enough that AQE would coalesce (not
+      // broadcast) them. REPARTITION_BY_NUM is coalesce-exempt and
+      // hash-satisfies the join's distribution.
+      val pinMinRows = s.conf
+        .getOption("spark.graft.dedup.bandPinMinRows")
+        .map(_.toLong).getOrElse(1000000L)
+      val npD02 = s.sparkContext.defaultParallelism
+      val pinned =
+        if (nReps * (NumHashes / BandR) < pinMinRows) banded
+        else banded.repartition(npD02, col("band"), col("kh"))
       val candidates = sigBc match {
         case Some(bc) =>
-          banded.as("x").join(banded.as("y"),
+          pinned.as("x").join(pinned.as("y"),
               bandCond && graft.functions.VectorFunctions
                 .pair_first_shared_band(col("x.rep_id"), col("y.rep_id"), bc) ===
-                col("x.bk").getField("band"))
+                col("x.band"))
             .select(col("x.rep_id").as("ra"), col("y.rep_id").as("rb"))
         case None =>
-          banded.as("x").join(banded.as("y"), bandCond)
+          pinned.as("x").join(pinned.as("y"), bandCond)
             .select(col("x.rep_id").as("ra"), col("y.rep_id").as("rb"))
             .distinct()
       }
@@ -1299,40 +1335,22 @@ object Dedup {
             .as("new_members"),
           count(when(!col("is_new"), lit(1))).as("n_old"))
         .tracked
-      val (expInt, repsInt, bands, vocabSize, dictOf) =
-        tokenSignatures(s, groups.select(col("fp"), col("toks")), "fp")
-      val sides = groups.select(col("fp"),
-        (size(col("new_members")) > 0).as("is_batch"),
-        (col("n_old") > 0).as("is_corpus"))
       // Candidate generation runs over COMPACT 64-bit group ids
       // (xxhash64 of the fp), not the 32-char md5 strings: the band
       // join's pre-distinct output is ~10 pair rows per true candidate
       // (similar docs share many bands), and profiling at 10x scale put
       // 19x growth in the distinct's shuffle of string pairs — the one
       // superlinear phase (STRETCH_r9 d08 1.395). Long pairs shrink that
-      // shuffle ~8x. EXACTNESS IS PRESERVED: a gid collision only ADDS
+      // shuffle ~8x. Round 16 extends this to the SIGNATURE CORE: with
+      // gid-fp injectivity proven on the corpus (the fused gate below),
+      // the whole core keys on the long gid and the band cache never
+      // carries the md5 string (its build exchange was 40.9 of d08's
+      // 49.6 sf1 MB — 32 string bytes riding every band row). Without
+      // injectivity the core keys on fp exactly as before, so the legacy
+      // path's collision story is unchanged: a gid collision only ADDS
       // candidate rows, every candidate is exact-verified over the real
-      // token arrays below, and the join carries no identity exclusion —
-      // a same-gid pair can only be an fp present on BOTH sides, whose
-      // (fp, 1.0) row the exact-dup shortcut emits anyway (groupBy-max
-      // dedupes), or a cross-fp collision that verification settles.
-      val banded = bands.join(sides, "fp")
-        .select(xxhash64(col("fp")).as("gid"), col("bk"), col("nt"),
-          col("is_batch"), col("is_corpus"))
-      // FIRST-SHARED-BAND unique emission (round 15, the d03 lesson
-      // applied to the LSH band join): similar pairs agree on MANY of
-      // the 32 bands, so the pre-distinct band-hit stream ran ~13x the
-      // candidate count (101.8M rows / 1221 MB at sf1, 96% of d08's
-      // shuffle) and the copies land in different band-key partitions
-      // where no partial aggregate merges them. With the per-group
-      // minhash signatures broadcast (sorted gids + 128-long strides),
-      // the join keeps a copy iff ITS band is the pair's first shared
-      // band — each pair leaves the join exactly once and the distinct
-      // exchange disappears. Gated on (a) the table fitting executor
-      // memory and (b) gid-fp injectivity verified on the actual corpus
-      // (a collision would merge two groups' signatures; the legacy
-      // distinct path tolerates collisions additively, so it stays the
-      // fallback and the reference leg).
+      // token arrays below, and side-restricted rep resolution settles
+      // the rest.
       // count + gid-injectivity in ONE driver action (the distinct-gid
       // leg is only decision-relevant when nGroups is small, where it is
       // trivially cheap; at sizes past the broadcast gate the fused agg
@@ -1340,56 +1358,95 @@ object Dedup {
       val gcnt = labeled(s, "d08: groups count+gid-injectivity")(groups
         .agg(count(lit(1)), count_distinct(xxhash64(col("fp")))).head())
       val nGroups = gcnt.getLong(0)
+      val fused = !referencePlan(s) && nGroups * 1100L < (256L << 20) &&
+        gcnt.getLong(1) == nGroups
+      // the core's group key: the injective long gid when proven, else
+      // the md5 string (a collision would merge two groups' token sets
+      // INSIDE the core, which nothing downstream could tolerate)
+      val keyExpr = if (fused) xxhash64(col("fp")) else col("fp")
+      // gid as candidates carry it: already the key when fused, else
+      // compacted from the string at the last moment (as in r9-r15)
+      def gidOf(gkey: org.apache.spark.sql.Column) =
+        if (fused) gkey else xxhash64(gkey)
+      val (expInt, repsInt, bands, vocabSize, dictOf) =
+        tokenSignatures(s, groups.select(keyExpr.as("gkey"), col("toks")),
+          "gkey")
+      val sides = groups.select(keyExpr.as("gkey"), col("fp"),
+        (size(col("new_members")) > 0).as("is_batch"),
+        (col("n_old") > 0).as("is_corpus"))
+      // FIRST-SHARED-BAND unique emission (round 15, the d03 lesson
+      // applied to the LSH band join): similar pairs agree on MANY of
+      // the 32 bands, so the pre-distinct band-hit stream ran ~13x the
+      // candidate count (101.8M rows / 1221 MB at sf1, 96% of d08's
+      // shuffle) and the copies land in different band-key partitions
+      // where no partial aggregate merges them. With the per-group
+      // band-key hashes broadcast (sorted gids + 32 kh strides), the
+      // join keeps a copy iff ITS band is the pair's first shared band —
+      // each pair leaves the join exactly once and the distinct exchange
+      // disappears. Gated on (a) the table fitting executor memory and
+      // (b) gid-fp injectivity verified on the actual corpus; the legacy
+      // distinct path stays the fallback and the reference leg.
       val sigBc: Option[org.apache.spark.broadcast.Broadcast[
           org.apache.spark.sql.graft.SigTable]] =
-        if (referencePlan(s) || nGroups * 1100L >= (256L << 20) ||
-            gcnt.getLong(1) != nGroups)
-          None
+        if (!fused) None
         else {
+          // per-band kh values, stride 1 (see tokenSignatures) — the
+          // same equality the narrow band join tests
           val rows = labeled(s, "d08: sig-table collect")(
-            bands.select(xxhash64(col("fp")).as("gid"),
-              col("bk").getField("band").as("b"),
-              col("bk").getField("h0"), col("bk").getField("h1"),
-              col("bk").getField("h2"), col("bk").getField("h3")).collect())
+            bands.select(col("gkey"), col("band"), col("kh")).collect())
           val ids = rows.map(_.getLong(0)).distinct.sorted
           val idx = new java.util.HashMap[Long, Integer](ids.length * 2)
           ids.zipWithIndex.foreach { case (g0, i) => idx.put(g0, i) }
-          val flat = new Array[Long](ids.length * NumHashes)
+          val nBands = NumHashes / BandR
+          val flat = new Array[Long](ids.length * nBands)
           rows.foreach { r =>
-            val o = idx.get(r.getLong(0)).intValue * NumHashes +
-              r.getInt(1) * BandR
-            flat(o) = r.getLong(2); flat(o + 1) = r.getLong(3)
-            flat(o + 2) = r.getLong(4); flat(o + 3) = r.getLong(5)
+            flat(idx.get(r.getLong(0)).intValue * nBands + r.getInt(1)) =
+              r.getLong(2)
           }
           Some(s.sparkContext.broadcast(new org.apache.spark.sql.graft
-            .SigTable(ids, flat, BandR, NumHashes / BandR)))
+            .SigTable(ids, flat, 1, nBands)))
         }
+      // fused branch: broadcast the sides join so the band cache's
+      // (band, kh) partitioning reaches both self-join inputs untouched —
+      // the join reads co-partitioned InMemoryTableScans, no exchange.
+      // sides is nGroups-bounded by the same gate as the sig broadcast.
+      val sidesFlags = sides.select(col("gkey"),
+        col("is_batch"), col("is_corpus"))
+      val banded = bands
+        .join(if (fused) broadcast(sidesFlags) else sidesFlags, "gkey")
+        .select(gidOf(col("gkey")).as("gid"), col("band"), col("kh"),
+          col("nt"), col("is_batch"), col("is_corpus"))
       // asymmetric band join: batch bands probe corpus bands; size-ratio
       // bound inside the join as in d02 (J>=0.8 forces |A|/|B| in
       // [0.8, 1.25], so dropping these rows cannot lose a true pair).
       // The nt bound is per-PAIR (band-independent), so it holds at the
       // first-shared-band copy whenever it holds at any copy.
       val bandCond =
-        col("x.bk") === col("y.bk") &&
+        col("x.band") === col("y.band") && col("x.kh") === col("y.kh") &&
           col("x.nt") >= col("y.nt") * t - 0.5 &&
           col("y.nt") >= col("x.nt") * t - 0.5
       // explicit NUMBERED repartition by band key pins the join stage's
-      // parallelism (the d05 lesson): the matched-pair enumeration is
-      // CPU-quadratic inside dense band buckets while its input is a few
-      // MB, so byte-based AQE coalescing collapses it to 1-2 tasks
-      // (measured at sf0.1: 17 s of runSum behind a 3.0 s single-task
-      // wall; 0.6 s at 32 tasks). REPARTITION_BY_NUM is exempt from
-      // coalescing and hash-satisfies the join's bk distribution, so the
-      // exchange count is unchanged.
+      // parallelism (the d05 lesson, kept UNCONDITIONAL from r15): the
+      // asymmetric batch x corpus enumeration is CPU-quadratic inside
+      // dense band buckets while its input is a few MB, so byte-based
+      // AQE coalescing collapses it to 1-2 tasks — measured at sf0.1
+      // both in r15 (17 s of runSum behind a 3 s single-task wall) and
+      // again in r16 with the narrow rows (7.8 s unpinned vs 4.2 s
+      // pinned; unlike d02's symmetric self-join, AQE does not rescue
+      // this shape with a broadcast). REPARTITION_BY_NUM is
+      // coalesce-exempt and hash-satisfies the join's distribution; the
+      // rows crossing it shrank from (md5 string + 4-long struct) to
+      // (long gid, int band, long kh).
       val np = s.sparkContext.defaultParallelism
+      def pin(df: DataFrame): DataFrame =
+        df.repartition(np, col("band"), col("kh"))
       val candidates = (sigBc match {
         case Some(bc) =>
-          banded.filter(col("is_batch")).repartition(np, col("bk")).as("x")
-            .join(banded.filter(col("is_corpus"))
-                .repartition(np, col("bk")).as("y"),
+          pin(banded.filter(col("is_batch"))).as("x")
+            .join(pin(banded.filter(col("is_corpus"))).as("y"),
               bandCond && graft.functions.VectorFunctions
                 .pair_first_shared_band(col("x.gid"), col("y.gid"), bc) ===
-                col("x.bk").getField("band"))
+                col("x.band"))
             .select(col("x.gid").as("ga"), col("y.gid").as("gb"))
         case None =>
           banded.filter(col("is_batch")).as("x")
@@ -1404,8 +1461,8 @@ object Dedup {
       // would score a batch-batch jaccard as a corpus best_jaccard —
       // a collision class exact verification cannot settle, because it
       // checks the similarity value, not side membership.
-      val gidReps = repsInt.join(sides, "fp")
-        .select(xxhash64(col("fp")).as("gid"), col("fp"), col("tids"),
+      val gidReps = repsInt.join(sides, "gkey")
+        .select(gidOf(col("gkey")).as("gid"), col("fp"), col("tids"),
           col("is_batch"), col("is_corpus"))
       // MAP-SIDE verify (round 15, the d03 fused-verify pattern): with
       // gid-fp injectivity already proven on this corpus (the sigBc
