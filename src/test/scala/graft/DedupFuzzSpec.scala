@@ -325,6 +325,15 @@ class DedupFuzzSpec extends GraftSpec {
       val expected = byFull.flatMap(cls => cls.map(n => n -> cls.min)).toMap
       assert(local == expected,
         s"seed=$seed: localCcLabels diverged from min-per-component")
+      // the round-16 primitive-packed collect path: identical labels
+      // from flat per-partition long arrays, any split
+      val shuffled = rnd.shuffle(edges)
+      val flat = shuffled.grouped(math.max(1, shuffled.size / nParts + 1))
+        .map(part => part.flatMap(e => Seq(e._1, e._2)).toArray)
+        .toArray
+      val localFlat = operators.Dedup.localCcLabelsFlat(flat).toMap
+      assert(localFlat == expected,
+        s"seed=$seed: localCcLabelsFlat diverged from localCcLabels")
     }
   }
 }
