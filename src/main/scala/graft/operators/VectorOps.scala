@@ -569,10 +569,21 @@ object VectorOps {
       // a single-file corpus plans one scan partition and the broadcast
       // theta join streams the whole q x corpus scoring through it;
       // REPARTITION_BY_NUM is coalesce-exempt so the scoring stage keeps
-      // defaultParallelism tasks at any file count. One vector moves
-      // once; the top-k heap aggregate stays map-side partial.
-      val scored = q.join(e.filter(col("vec_id") >= 10)
-          .repartition(s.sparkContext.defaultParallelism)
+      // defaultParallelism tasks at any file count. Gated on the SCAN
+      // size (plan-time stats, no action): at bench scale the corpus is
+      // under a MB and the forced exchange measurably costs (bench row
+      // 0.39 -> 0.56 s) while one task is already the right shape; past
+      // the gate the spread is what keeps a fat single-file corpus from
+      // serializing the scoring. The witness forces the conf to 0.
+      val spreadMin = s.conf
+        .getOption("spark.graft.vec.spreadMinScanBytes")
+        .map(_.toLong).getOrElse(32L << 20)
+      val corpus0 = e.filter(col("vec_id") >= 10)
+      val corpus =
+        if (Tables.embeddings(s, d).queryExecution.optimizedPlan
+            .stats.sizeInBytes < BigInt(spreadMin)) corpus0
+        else corpus0.repartition(s.sparkContext.defaultParallelism)
+      val scored = q.join(corpus
           .select(col("vec_id").as("n_id"), col("v").as("nv"), col("norm").as("nnorm")))
         .withColumn("cos", cosine("qv", "qnorm", "nv", "nnorm"))
       topkPerQuery(scored, col("cos"), col("n_id"), 5, "n_id", "cos")

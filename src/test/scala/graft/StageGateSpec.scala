@@ -52,7 +52,12 @@ class StageGateSpec extends GraftSpec {
     // streams the whole q x corpus scoring through the corpus scan's one
     // partition. The numbered repartition is coalesce-exempt, so the
     // witness is the plan carrying it at defaultParallelism.
-    val df = SparkEntry.queries("v02_knn_brute")(spark, sf01)
+    // the spread is scan-size-gated (off at test/bench scale where the
+    // forced exchange only costs); force it on for the shape witness
+    spark.conf.set("spark.graft.vec.spreadMinScanBytes", "0")
+    val df =
+      try SparkEntry.queries("v02_knn_brute")(spark, sf01)
+      finally spark.conf.unset("spark.graft.vec.spreadMinScanBytes")
     val reparts = df.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
         if r.shuffle => r.numPartitions
@@ -61,8 +66,12 @@ class StageGateSpec extends GraftSpec {
     assert(reparts.contains(pinned),
       s"v02 corpus spread (REPARTITION_BY_NUM $pinned) missing from the " +
         s"plan — found $reparts")
-    // and the answer is unchanged vs the unspread shape (row-identical)
-    assert(df.count() > 0)
+    // and the answer is unchanged vs the unspread (default, gated-off)
+    // shape — row-identical
+    val spreadRows = df.collect().map(_.toString).sorted.toSeq
+    val plainRows = SparkEntry.queries("v02_knn_brute")(spark, sf01)
+      .collect().map(_.toString).sorted.toSeq
+    assert(spreadRows == plainRows, "v02 spread changed the answer")
   }
 
   test("no query stage at sf0.01 runs >2s of executor time in <=2 tasks (collapse witness at test scale)") {
